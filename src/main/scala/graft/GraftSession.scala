@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * One place to encode the execution-model decisions that matter at scale:
+  * AQE on (runtime re-plan: skew joins, partition coalescing), shuffle
+  * partitions sized to the local core count (the driver harness runs
+  * `local[32]`; on a real cluster this would be `spark.sql.shuffle.partitions`
+  * tuned to executor count × cores), UTC session time zone so results are
+  * byte-comparable with the DuckDB oracle, and TIMESTAMP_MICROS parquet
+  * output so written results round-trip identically across engines.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to an arbitrary builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
+    // for; read as long and convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.ui.enabled", "false")
+
+  /** Local session with `cores` executor threads (driver harness contract). */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named bundle of driver-checkable queries.
+  *
+  * Each entry in `queries` is `(spark, sfDir) => DataFrame`; entries that also
+  * appear in `oracles` are hash-compared against DuckDB running the given ANSI
+  * SQL over the same parquet tables (driver contract — see repo README).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * Floating-point aggregation is order-dependent, and Spark and DuckDB will
+  * not sum doubles in the same order — so any `sum(double)` would be a
+  * nondeterministic hash mismatch waiting to happen. Policy: cast to an exact
+  * DECIMAL first (sums of decimals are exact and associative), aggregate, then
+  * cast the final value back to DOUBLE. Both engines round the same double to
+  * the same decimal and produce bit-identical results, at any scale and any
+  * degree of parallelism.
+  *
+  * Integer outputs are normalized to BIGINT on both sides because Spark and
+  * DuckDB disagree on the width of e.g. `year()` or int32 parquet columns.
+  */
+object OracleSafe {
+  /** Exact money/quantity sum: SUM(CAST(x AS DECIMAL(18,4))) cast to double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Higher-scale exact sum for small fractions (discounts, rates). */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Order-insensitive exact average: exact decimal sum / count. */
+  def davg(c: Column): Column = dsum6(c) / count(lit(1))
+
+  /** SQL fragments mirroring the Spark helpers, for DuckDB oracle text. */
+  def sqlDsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDsum6(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlDavg(x: String): String = s"(${sqlDsum6(x)} / count(*))"
+}
