@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import scala.util.{Failure, Success, Try}
+
+/** Row-level transform operators (reference §2.4).
+  *
+  * The reference's transforms are user closures running one record at a time
+  * in a dedicated tokio task (`etl-core/src/transformer.rs:7-65`,
+  * `etl-job/src/transform_store.rs:13-102`). Here they are Dataset
+  * operations, which Spark pipelines inside a whole-stage-codegen'd task per
+  * partition — same semantics, cluster-parallel. Prefer `Column`
+  * expressions where possible (see graft.queries packs); these typed
+  * combinators exist for genuinely imperative user logic.
+  */
+object Transforms {
+
+  /** T1 `Transformer`: sync map-with-filter. `f` returning None drops the
+    * record — exactly the reference's `Ok(None)` filter contract
+    * (`transformer.rs:39`).
+    */
+  def transformer[I, O: Encoder](ds: Dataset[I])(f: I => Option[O]): Dataset[O] =
+    ds.flatMap(i => f(i).toSeq)
+
+  /** T1/T2 with errors-as-data: a throwing record becomes an error element
+    * carrying the input's string form (`transformer.rs:40-55`), instead of
+    * failing the job. Returns typed (good, error) streams derived from one
+    * shared pass.
+    */
+  def transformerTolerant[I, O: Encoder](ds: Dataset[I])(f: I => Option[O])(
+      implicit attemptEnc: Encoder[(Option[O], Option[String])],
+      strEnc: Encoder[String]): (Dataset[O], Dataset[String]) = {
+    val attempted = ds.map { i =>
+      Try(f(i)) match {
+        case Success(out) => (out, None: Option[String])
+        case Failure(e)   => (None: Option[O], Some(s"${e.getMessage}: $i"))
+      }
+    }.persist()
+    val good = attempted.flatMap(_._1.toSeq)
+    val errs = attempted.flatMap(_._2.toSeq)
+    (good, errs)
+  }
+
+  /** T2 1→N expansion — the case the reference declares but panics on
+    * (`etl-job/src/transform_store.rs:70-72`): trivially complete as flatMap.
+    */
+  def expand[I, O: Encoder](ds: Dataset[I])(f: I => Seq[O]): Dataset[O] =
+    ds.flatMap(f)
+
+  /** T3 `Batcher`, size-bounded: group consecutive records of each partition
+    * into fixed-size batches (`etl-core/src/batch.rs:10-70`). Batches never
+    * cross partitions — at scale this is the only sane contract (the
+    * reference is single-stream so "consecutive" was global; we document the
+    * per-partition scoping).
+    */
+  def batchBySize[I](ds: Dataset[I], size: Int)(
+      implicit e: Encoder[Seq[I]]): Dataset[Seq[I]] = {
+    require(size > 0, "batch size must be positive")
+    ds.mapPartitions(_.grouped(size).map(_.toSeq))
+  }
+
+  /** T3 `Batcher`, predicate-bounded: `newBatch(next, current)` decides batch
+    * boundaries — size-, key-, or content-based, matching the reference's
+    * custom-predicate contract. Flushes the tail batch (`batch.rs:61-65`).
+    */
+  def batchBy[I](ds: Dataset[I])(newBatch: (I, Seq[I]) => Boolean)(
+      implicit e: Encoder[Seq[I]]): Dataset[Seq[I]] =
+    ds.mapPartitions { it =>
+      new Iterator[Seq[I]] {
+        private var buf = Vector.empty[I]
+        private var nextItem: Option[I] = None
+        override def hasNext: Boolean = buf.nonEmpty || nextItem.nonEmpty || it.hasNext
+        override def next(): Seq[I] = {
+          nextItem.foreach { i => buf = Vector(i); nextItem = None }
+          while (it.hasNext && nextItem.isEmpty) {
+            val i = it.next()
+            if (buf.nonEmpty && newBatch(i, buf)) nextItem = Some(i)
+            else buf = buf :+ i
+          }
+          val out = buf
+          buf = Vector.empty
+          out
+        }
+      }.filter(_.nonEmpty)
+    }
+
+  /** T4 `Apply`: terminal foreach with success counting
+    * (`etl-core/src/task/apply.rs:7-56`). Runs distributed; returns the
+    * number of records the side effect was applied to.
+    */
+  def applyForeach[I](ds: Dataset[I])(f: I => Unit): Long = {
+    val acc = ds.sparkSession.sparkContext.longAccumulator("graft.apply.count")
+    ds.foreachPartition { (it: Iterator[I]) =>
+      it.foreach { i => f(i); acc.add(1L) }
+    }
+    acc.value
+  }
+
+  /** J2 broadcast splitter: one source fanned out to N sinks
+    * (`etl-core/src/splitter.rs:71-139`). Spark-native form: persist once,
+    * run each sink as an independent action over the cached data — no
+    * re-scan, no cross-consumer backpressure coupling.
+    */
+  def fanOut(df: DataFrame, sinks: Seq[DataFrame => Unit]): Unit = {
+    val cached = df.persist()
+    try {
+      cached.count() // materialize once so sinks share the cache
+      sinks.foreach(sink => sink(cached))
+    } finally { cached.unpersist() }
+  }
+
+  /** T5 `Pipeline`: source→sink copy with stats
+    * (`etl-core/src/task/pipeline.rs:5-50`).
+    */
+  def copyPipeline(df: DataFrame, write: DataFrame => Unit): Long = {
+    val cached = df.persist()
+    try { val n = cached.count(); write(cached); n }
+    finally { cached.unpersist() }
+  }
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+
+/** Typed-row slice of lineitem for the T1 typed-transform demo. */
+case class LineSlim(l_orderkey: Long, l_linenumber: Int, l_quantity: Double,
+    l_extendedprice: Double, l_discount: Double)
+case class LineNet(l_orderkey: Long, l_linenumber: Long, net_price: Double)
+
+/** ETL dataflow parity queries (reference §2.1–§2.6).
+  *
+  * Each entry exercises one reference operator through its Spark-native
+  * equivalent and is checked against a DuckDB oracle — literal `VALUES`
+  * oracles for the fixed fixtures (the reference's own test inputs), SQL
+  * oracles over the sf tables elsewhere.
+  */
+object Etl extends QueryPack {
+  import OracleSafe._
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  private val fixtureSchema = StructType(Seq(
+    StructField("idx", StringType), StructField("words", StringType)))
+
+  /** Write the reference fixture files to a deterministic temp dir (S1 file
+    * source inputs). Idempotent.
+    */
+  private def fixtureDir(): String = {
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("10_lines.ndjson"),
+      Fixtures.ndjson10.mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("14_good_lines.csv"),
+      Fixtures.csv14.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- D2: NDJSON decode, errors-as-data (9 ok / 1 err fixture) ----
+    "d2_json_decode" -> ((s, dir) => {
+      import s.implicits._
+      val renamed = StructType(Seq(StructField("index", StringType),
+        StructField("words", StringType)))
+      val dec = ErrorTolerant.json(s, s.createDataset(Fixtures.ndjson10), renamed)
+      // serde-strict parity: a row missing the required `index` field counts
+      // as an error, like the reference's `index_cause_error` line.
+      dec.all.select(
+        $"index".as("idx"), $"words",
+        ($"index".isNull || col(ErrorTolerant.CorruptCol).isNotNull).as("error"))
+    }),
+
+    // ---- D1: CSV decode with arity errors (flexible/PERMISSIVE) ----
+    "d1_csv_decode" -> ((s, dir) => {
+      import s.implicits._
+      val dec = ErrorTolerant.csv(s, s.createDataset(Fixtures.csvWithErrors),
+        StructType(Seq(StructField("index", StringType), StructField("words", StringType))),
+        CsvReadOptions())
+      dec.all.select($"index".as("idx"), $"words",
+        col(ErrorTolerant.CorruptCol).isNotNull.as("error"))
+    }),
+
+    // ---- D2 over real data: from_json on the events.props JSON column ----
+    "d2_json_props" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).events.select(
+        $"event_id",
+        from_json($"props", StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").cast("long").as("k"))
+    }),
+
+    // ---- S7: enumerate/generator source ----
+    "s7_generator" -> ((s, dir) => {
+      import s.implicits._
+      s.range(1000).select(
+        $"id",
+        ($"id" % 13).as("bucket"),
+        md5($"id".cast("string")).as("id_hash"))
+    }),
+
+    // ---- S1: file lines with per-file lineage counters ----
+    "s1_text_lineage" -> ((s, dir) => {
+      val fd = fixtureDir()
+      TextSource.perFileCounts(TextSource.lines(s,
+        Seq(s"$fd/10_lines.ndjson", s"$fd/14_good_lines.csv")))
+    }),
+
+    // ---- E1: CSV encode (typed rows → csv lines) ----
+    "e1_csv_encode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).nation.select(
+        $"n_nationkey".cast("long").as("n_nationkey"),
+        to_csv(struct($"n_nationkey", $"n_name", $"n_regionkey")).as("line"))
+    }),
+
+    // ---- E3: key_values row flattening (row → (column, value) pairs) ----
+    "e3_key_values" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir).region
+      r.select($"r_regionkey".cast("long").as("r_regionkey"),
+          lit("r_name").as("col"), $"r_name".as("val"))
+        .unionByName(r.select($"r_regionkey".cast("long").as("r_regionkey"),
+          lit("r_regionkey").as("col"), $"r_regionkey".cast("string").as("val")))
+    }),
+
+    // ---- O5: content-hash dedup id (SQS FIFO md5(payload) semantics) ----
+    "o5_dedup_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).region.select(
+        $"r_regionkey".cast("long").as("r_regionkey"),
+        md5(to_json(struct($"r_regionkey", $"r_name"))).as("dedup_id"))
+    }),
+
+    // ---- T1: typed Transformer (map + Option filter) ----
+    "t1_transformer" -> ((s, dir) => {
+      import s.implicits._
+      val slim = t(s, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_discount").as[LineSlim]
+      Transforms.transformer(slim) { l =>
+        if (l.l_quantity >= 30.0)
+          Some(LineNet(l.l_orderkey, l.l_linenumber.toLong,
+            l.l_extendedprice * (1.0 - l.l_discount)))
+        else None
+      }.toDF()
+    }),
+
+    // ---- T2: 1→N expansion (the case the reference panics on) ----
+    "t2_expand" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).documents.select(
+        $"doc_id",
+        explode(slice(split($"text", " "), 1, 5)).as("token"))
+    }),
+
+    // ---- T3: key-bounded batching (ordered per-key batches) ----
+    "t3_batcher_bykey" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).events
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+            x => x.getField("event_type"))).as("batch"))
+    }),
+
+    // ---- T5: pipeline copy (read → write → read back, stats preserved) ----
+    "t5_pipeline_copy" -> ((s, dir) => {
+      import s.implicits._
+      val out = sys.props("java.io.tmpdir") + "/graft_pipeline_copy"
+      val n = Transforms.copyPipeline(t(s, dir).lineitem,
+        df => df.write.mode("overwrite").parquet(out))
+      s.read.parquet(out).agg(
+        count(lit(1)).as("rows_copied"),
+        dsum($"l_quantity").as("sum_qty"))
+    }),
+
+    // ---- S3/O3: JDBC roundtrip on embedded Derby with dead-letter sink ----
+    "o3_jdbc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val db = sys.props("java.io.tmpdir") + "/graft_derby_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val url = s"jdbc:derby:$db;create=true"
+      val conn = DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        "CREATE TABLE info (id INT PRIMARY KEY, resource_type VARCHAR(100))")
+      finally conn.close()
+      val rows = Generators.enumerate(s, 100)(i => (i.toInt, s"type${i % 5}"))
+        .toDF("id", "resource_type")
+      val dups = Seq((5, "duplicate"), (7, "duplicate")).toDF("id", "resource_type")
+      val dead = Jdbc.writeBatchedWithDeadLetter(rows.union(dups), url, "info", 7)
+      val nDead = dead.count()
+      Jdbc.read(s, url, "SELECT COUNT(*) AS N FROM info")
+        .select(col("N").cast("long").as("rows_written"))
+        .withColumn("dead_letters", lit(nDead))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "d2_json_decode" -> // fixture is fixed → literal expected stream
+      """SELECT * FROM (VALUES
+        |  ('0','zero',false),('1','one',false),(NULL,'two',true),
+        |  ('3','three',false),('4','four',false),('5','five',false),
+        |  ('6','six',false),('7','seven',false),('8','eight',false),
+        |  ('9','nine',false)) AS t(idx, words, error)""".stripMargin,
+
+    "d1_csv_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('0','word0',false),('1','word1',false),('2','word2',false),
+        |  ('3','word3',false),('4','word4',false),('5','word5',false),
+        |  ('6','word6',false),('7','word7',false),('8','word8',false),
+        |  ('9','word9',false),('10','word10',false),('11','word11',false),
+        |  ('12','word12',false),('13','word13',false),
+        |  ('14','word14',true),('15',NULL,true)) AS t(idx, words, error)""".stripMargin,
+
+    "d2_json_props" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "s7_generator" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |  CAST(range % 13 AS BIGINT) AS bucket,
+        |  md5(CAST(range AS VARCHAR)) AS id_hash
+        |FROM range(1000)""".stripMargin,
+
+    "s1_text_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('10_lines.ndjson', CAST(10 AS BIGINT)),
+        |  ('14_good_lines.csv', CAST(15 AS BIGINT))) AS t(file, n_lines)""".stripMargin,
+
+    "e1_csv_encode" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_nationkey || ',' || n_name || ',' || n_regionkey AS line
+        |FROM nation""".stripMargin,
+
+    "e3_key_values" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |  'r_name' AS col, r_name AS val FROM region
+        |UNION ALL
+        |SELECT CAST(r_regionkey AS BIGINT), 'r_regionkey',
+        |  CAST(r_regionkey AS VARCHAR) FROM region""".stripMargin,
+
+    "o5_dedup_id" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |  md5('{"r_regionkey":' || r_regionkey || ',"r_name":"' || r_name || '"}') AS dedup_id
+        |FROM region""".stripMargin,
+
+    "t1_transformer" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity >= 30.0""".stripMargin,
+
+    "t2_expand" ->
+      """SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS token
+        |FROM documents""".stripMargin,
+
+    "t3_batcher_bykey" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS batch
+        |FROM events
+        |GROUP BY user_id""".stripMargin,
+
+    "t5_pipeline_copy" ->
+      s"""SELECT count(*) AS rows_copied, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem""".stripMargin,
+
+    "o3_jdbc_roundtrip" ->
+      """SELECT CAST(100 AS BIGINT) AS rows_written,
+        |  CAST(2 AS BIGINT) AS dead_letters""".stripMargin
+  )
+}

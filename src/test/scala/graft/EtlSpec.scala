@@ -1,0 +1,105 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.types._
+
+/** Dataflow-parity tests mirroring the reference's integration assertions
+  * (SURVEY.md §5): exact ok/err counts on the fixture streams, batcher
+  * boundary semantics, splitter fan-out, tolerant transforms.
+  */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  val iw = StructType(Seq(StructField("index", StringType), StructField("words", StringType)))
+
+  test("D2: malformed json stream counts 3 ok / 2 err (simple-pipeline.rs:61-63)") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("todo", ArrayType(StringType)),
+      StructField("id", StringType)))
+    val dec = ErrorTolerant.json(spark,
+      spark.createDataset(Fixtures.malformedJsonStream), schema)
+    assert(dec.counts === ((3L, 2L)))
+    assert(dec.corrupt.as[String].collect().forall(_.contains("malformed")))
+  }
+
+  test("D2: ndjson10 strict-field parity 9 ok / 1 err (decoder_fs.rs:70-72)") {
+    val dec = ErrorTolerant.json(spark, spark.createDataset(Fixtures.ndjson10), iw)
+    // the renamed-key line parses as JSON but misses the required field
+    val strictBad = dec.all.filter($"index".isNull ||
+      org.apache.spark.sql.functions.col(ErrorTolerant.CorruptCol).isNotNull).count()
+    assert(dec.all.count() === 10)
+    assert(strictBad === 1)
+  }
+
+  test("D1: csv14 decodes 14 ok / 0 err (decoder_fs.rs:130-132)") {
+    val dec = ErrorTolerant.csv(spark, spark.createDataset(Fixtures.csv14), iw)
+    assert(dec.counts === ((14L, 0L)))
+  }
+
+  test("D1: quoted-comma CSV parses embedded commas (run-stream-handler.rs:80-95)") {
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("name", StringType), StructField("notes", StringType)))
+    val dec = ErrorTolerant.csv(spark, spark.createDataset(Fixtures.quotedCsv), schema)
+    val rows = dec.good.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("4f") === "McDondald, John")
+    assert(dec.counts._1 === 3)
+  }
+
+  test("T3: batchBySize groups with tail flush (batch.rs:61-65)") {
+    val ds = spark.createDataset(1 to 10).repartition(1)
+    val batches = Transforms.batchBySize(ds, 3).collect()
+    assert(batches.map(_.size).sorted.toSeq === Seq(1, 3, 3, 3))
+    assert(batches.flatten.sorted.toSeq === (1 to 10))
+  }
+
+  test("T3: batchBy key-change predicate bounds batches") {
+    val ds = spark.createDataset(Seq("a1", "a2", "b1", "b2", "b3", "c1")).repartition(1)
+    val batches = Transforms.batchBy(ds)((next, cur) => next.head != cur.head.head)
+      .collect()
+    assert(batches.map(_.mkString(",")).toSet ===
+      Set("a1,a2", "b1,b2,b3", "c1"))
+  }
+
+  test("T1: transformerTolerant captures throwing records as error elements") {
+    val ds = spark.createDataset(Seq("1", "2", "boom", "4"))
+    val (good, errs) = Transforms.transformerTolerant(ds) { s =>
+      val n = s.toInt; if (n % 2 == 0) Some(n) else None
+    }
+    assert(good.collect().sorted.toSeq === Seq(2, 4))
+    assert(errs.count() === 1)
+    assert(errs.collect().head.contains("boom"))
+  }
+
+  test("T2: expand 1→N (the reference's unimplemented List arm)") {
+    val out = Transforms.expand(spark.createDataset(Seq("a b", "c")))(_.split(" ").toSeq)
+    assert(out.collect().sorted.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("T4: applyForeach counts applied records (apply.rs:7-56)") {
+    val n = Transforms.applyForeach(spark.createDataset(1 to 4))(_ => ())
+    assert(n === 4)
+  }
+
+  test("J2: fanOut delivers every record to every sink (splitter.rs:71-139)") {
+    val df = spark.range(100).toDF("id")
+    val c1 = new java.util.concurrent.atomic.AtomicLong()
+    val c2 = new java.util.concurrent.atomic.AtomicLong()
+    Transforms.fanOut(df, Seq(d => c1.set(d.count()), d => c2.set(d.count())))
+    assert(c1.get() === 100 && c2.get() === 100)
+  }
+
+  test("S7/S8: enumerate and enumerateWithClient generate the index space") {
+    val plain = Generators.enumerate(spark, 50)(i => i * 2).collect().sorted
+    assert(plain.toSeq === (0 until 50).map(_ * 2L))
+    val opened = spark.sparkContext.longAccumulator("opened")
+    val withClient = Generators.enumerateWithClient(spark, 50)(() => {
+      opened.add(1); "client"
+    })((c, i) => s"$c-$i")(_ => ()).count()
+    assert(withClient === 50)
+    assert(opened.value > 0)
+  }
+
+  test("S6: a string literal is a source, one record per line (string.rs:5-29)") {
+    assert(TextSource.fromString(spark, "a\nb\nc").count() === 3)
+  }
+}
