@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     Relational,
-    Etl
+    Etl,
+    LlmOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure `Column` expression composition (higher-order
+  * array functions, no UDFs), so it stays inside whole-stage codegen and
+  * scales linearly with no shuffle: at 100 TB these run as map-only stages
+  * fused into the parquet scan.
+  *
+  * Cross-engine determinism: operators that feed DuckDB-checked oracles use
+  * only md5 / string ops (bit-identical everywhere); the fast paths use
+  * xxhash64 (Spark-native, codegen'd).
+  */
+object TextOps {
+
+  private val Hex = "0123456789abcdef"
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the classic pre-tokenizer regex shape.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Word n-gram shingles; a doc shorter than n tokens yields one shingle of
+    * the whole text.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Character k-gram shingles (including partial tail shingles). */
+  def charShingles(c: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k)))
+
+  /** Document fingerprint: minimum md5 over character 16-gram shingles —
+    * a winnowing-style rolling-hash fingerprint, stable across engines.
+    */
+  def fingerprint(c: Column): Column = array_min(transform(charShingles(c, 16), md5(_)))
+
+  /** 32-bit SimHash as a bit-string, built from md5 hex-digit parities so the
+    * same value is computable in any engine. Term frequency acts as the
+    * weight (tokens are not de-duplicated).
+    */
+  def simhash32(c: Column): Column = {
+    val hexes = transform(tokens(c), t => md5(t))
+    array_join(
+      transform(sequence(lit(1), lit(32)), i =>
+        when(aggregate(hexes, lit(0), (acc, h) =>
+          acc + (pmod(hexDigitVal(h.substr(i, lit(1))), lit(2)) * 2 - 1)) > 0,
+          lit("1")).otherwise(lit("0"))),
+      "")
+  }
+
+  /** 0-15 value of a hex digit character (mirrors DuckDB's
+    * `strpos('0123456789abcdef', ch) - 1`).
+    */
+  private def hexDigitVal(ch: Column): Column = conv(ch, 16, 10).cast("int")
+
+  /** Fast 64-bit SimHash (xxhash64-based, Spark-only scale path).
+    * Takes the column NAME because it is assembled as a SQL expression
+    * (shiftright with a lambda-bound shift needs the SQL form).
+    */
+  def simhash64(colName: String): Column =
+    expr(s"""aggregate(
+      transform(sequence(0, 63), b ->
+        CASE WHEN aggregate(split(trim($colName), '\\\\s+'), 0L,
+          (acc, t) -> acc + (CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
+                             THEN 1L ELSE -1L END)) > 0
+        THEN 1L ELSE 0L END),
+      0L, (acc, bit) -> shiftleft(acc, 1) | bit)""")
+
+  /** Hamming distance between two simhash64 values. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Language-marker languages, in deterministic tie-break preference order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " los "),
+    "fr" -> Seq(" le ", " les "))
+
+  /** Occurrences of a literal marker in a space-padded text. */
+  def occurrences(c: Column, marker: String): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)
+  }
+
+  /** Per-language marker score. */
+  def langScore(c: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(m => occurrences(c, m)).reduce(_ + _)
+
+  /** Heuristic language-ID: argmax of marker scores with fixed preference
+    * order on ties.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+    scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(scores.filter(_._1 != l).map(o => s >= o._2).reduce(_ && _), lit(l))
+        .otherwise(rest)
+    }
+  }
+
+  /** Quality-score components: char length, token count, mean word length,
+    * punctuation ratio, stopword ratio — all per-row IEEE arithmetic,
+    * engine-deterministic.
+    */
+  def qualityComponents(c: Column): Seq[(String, Column)] = {
+    val nTok = size(tokens(c))
+    Seq(
+      "n_chars" -> length(c).cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "mean_word_len" -> (length(regexp_replace(c, "\\s", "")).cast("double") / nTok),
+      "punct_ratio" -> (size(regexp_extract_all(c, lit("[.,!?;:]"), lit(0))).cast("double") /
+        length(c)),
+      "stopword_ratio" -> ((occurrences(c, " the ") + occurrences(c, " a ") +
+        occurrences(c, " and ")).cast("double") / nTok))
+  }
+
+  /** Composite quality score in [0,1]-ish range: favors mid-length docs with
+    * low punctuation noise and a sane stopword rate.
+    */
+  def qualityScore(c: Column): Column = {
+    val comp = qualityComponents(c).toMap
+    least(comp("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - least(comp("punct_ratio") * 10.0, lit(1.0))) * 0.25 +
+      least(comp("stopword_ratio") * 5.0, lit(1.0)) * 0.25
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators over the documents / embeddings
+  * tables: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH ANN), text analysis, multimodal binary
+  * plumbing.
+  *
+  * Oracle strategy: LSH/minhash internals are hash-dependent and engine-
+  * specific, but every *output* here is defined by exact verification
+  * (exact Jaccard / exact cosine), so DuckDB oracles compute the same answer
+  * by brute force. Near-dup pairs are synthesized deterministically inside
+  * the query (truncated / scaled copies) because the test corpus has no
+  * natural dups — LSH recall for those pairs is structurally 1 (subset
+  * shingles ≥ threshold jaccard; scaled vectors share every hyperplane
+  * sign).
+  */
+object LlmOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** documents ∪ copy with ids shifted +100000 and text truncated to the
+    * first 80% of tokens — deterministic near-dup corpus.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir).documents.select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val truncated = d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(toks, lit(1), floor(size(toks) * 0.8).cast("int")), " ").as("text"))
+    d.unionByName(truncated)
+  }
+
+  /** embeddings (as double vectors) ∪ scaled copies (ids +100000, ×1.1). */
+  private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * 1.1).as("embedding")))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: content-digest groupBy, min-id survivor ----
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir).documents.select(col("doc_id"), col("text"))
+      val dup = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exact(d.unionByName(dup), "doc_id", "text")
+    }),
+
+    // ---- MinHash+LSH near-dup pairs, exact-Jaccard verified ----
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5)),
+
+    // ---- SimHash fingerprints (engine-neutral 32-bit variant) ----
+    "dedup_simhash" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        TextOps.simhash32(col("text")).as("simhash"))),
+
+    // ---- blocked n-gram (token-set) Jaccard similarity join ----
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir).documents.select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+      Dedup.jaccardJoinBlocked(d, "doc_id", "toks", Seq("lang"), 0.5)
+    }),
+
+    // ---- rolling-hash document fingerprint ----
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ---- token counting (whitespace + BPE-ish regex) ----
+    "text_token_stats" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(TextOps.tokens(col("text")))).as("mean_word_len"))),
+
+    // ---- heuristic language ID with per-language marker scores ----
+    "text_langid" -> ((s, dir) => {
+      val c = col("text")
+      t(s, dir).documents.select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(c).as("predicted"),
+        TextOps.langScore(c, "en").as("s_en"),
+        TextOps.langScore(c, "de").as("s_de"),
+        TextOps.langScore(c, "es").as("s_es"),
+        TextOps.langScore(c, "fr").as("s_fr"))
+    }),
+
+    // ---- quality scoring components + composite ----
+    "text_quality" -> ((s, dir) => {
+      val comp = TextOps.qualityComponents(col("text"))
+      t(s, dir).documents.select(
+        col("doc_id") +: comp.map { case (n, c) => c.as(n) } :+
+          TextOps.qualityScore(col("text")).as("quality"): _*)
+    }),
+
+    // ---- brute-force cosine top-k (ANN baseline) ----
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    }),
+
+    // ---- embedding near-dup pairs via hyperplane LSH + exact cosine ----
+    "sim_neardup_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDups(vecsWithDups(s, dir), threshold = 0.99)),
+
+    // ---- LSH ANN top-k (scale path; rows-only check: LSH recall < 1 by
+    //      design, so no cross-engine oracle — see SimilaritySpec for the
+    //      recall test) ----
+    "sim_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    }),
+
+    // ---- multimodal: opaque binary + typed metadata plumbing ----
+    "mm_binary_stats" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir).documents, "doc_id", "text")
+      media.select(col("media_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("content_md5"),
+        col("meta.format").as("format"))
+    })
+  )
+
+  // shared SQL fragments for the oracle side
+  private val DuckToks = raw"string_split_regex(trim(text), '\s+')"
+  private def duckShingles(toksExpr: String): String =
+    s"""(CASE WHEN len($toksExpr) < 3 THEN [array_to_string($toksExpr, ' ')]
+       | ELSE list_transform(range(1, len($toksExpr) - 1),
+       |   i -> array_to_string(list_slice($toksExpr, i, i + 2), ' ')) END)""".stripMargin
+  private def duckOcc(marker: String): String =
+    s"(CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$marker', '')) AS DOUBLE) / ${marker.length})"
+  private def duckLangScore(lang: String): String =
+    TextOps.LangMarkers.toMap.apply(lang).map(duckOcc).mkString("(", " + ", ")")
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+        |  count(*) AS n_copies
+        |FROM u GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(${duckShingles("toks")}) AS s
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM base)
+         |)
+         |SELECT id_a, id_b, jac FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+         |  CASE WHEN list_sum(list_transform(hexes, h ->
+         |    2 * ((strpos('0123456789abcdef', substr(h, i, 1)) - 1) % 2) - 1)) > 0
+         |  THEN '1' ELSE '0' END), '') AS simhash
+         |FROM (SELECT doc_id, list_transform($DuckToks, t -> md5(t)) AS hexes
+         |      FROM documents)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""SELECT id_a, id_b, jac FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+         |  FROM (SELECT doc_id, lang, list_distinct($DuckToks) AS s FROM documents) a
+         |  JOIN (SELECT doc_id, lang, list_distinct($DuckToks) AS s FROM documents) b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |WHERE jac >= 0.5""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, list_min(list_transform(
+        |    range(1, greatest(length(text) - 15, 1) + 1),
+        |    i -> md5(substr(text, i, 16)))) AS fp
+        |FROM documents""".stripMargin,
+
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($DuckToks) AS mean_word_len
+         |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN ${duckLangScore("en")} >= ${duckLangScore("de")} AND ${duckLangScore("en")} >= ${duckLangScore("es")} AND ${duckLangScore("en")} >= ${duckLangScore("fr")} THEN 'en'
+         |    WHEN ${duckLangScore("de")} >= ${duckLangScore("en")} AND ${duckLangScore("de")} >= ${duckLangScore("es")} AND ${duckLangScore("de")} >= ${duckLangScore("fr")} THEN 'de'
+         |    WHEN ${duckLangScore("es")} >= ${duckLangScore("en")} AND ${duckLangScore("es")} >= ${duckLangScore("de")} AND ${duckLangScore("es")} >= ${duckLangScore("fr")} THEN 'es'
+         |    WHEN ${duckLangScore("fr")} >= ${duckLangScore("en")} AND ${duckLangScore("fr")} >= ${duckLangScore("de")} AND ${duckLangScore("fr")} >= ${duckLangScore("es")} THEN 'fr'
+         |    ELSE 'und' END AS predicted,
+         |  ${duckLangScore("en")} AS s_en, ${duckLangScore("de")} AS s_de,
+         |  ${duckLangScore("es")} AS s_es, ${duckLangScore("fr")} AS s_fr
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($DuckToks) AS mean_word_len,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  (${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) AS stopword_ratio,
+         |  least(CAST(len($DuckToks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |    (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25 +
+         |    least((${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) * 5.0, 1.0) * 0.25 AS quality
+         |FROM documents""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "sim_neardup_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT * FROM e
+        |      UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 1.1) FROM e)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM u a, u b WHERE a.vec_id < b.vec_id)
+        |WHERE sim >= 0.99""".stripMargin,
+
+    "mm_binary_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  'text/plain' AS format
+        |FROM documents""".stripMargin
+  )
+}

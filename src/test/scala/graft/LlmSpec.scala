@@ -1,0 +1,104 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64: identical text → hamming 0; near-identical → small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val fp = df.select($"id", TextOps.simhash64("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("simhashNearDups finds exact dups via chunk blocking") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("Dedup.exact: min-id survivor, copy counting") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhashNearDups: subset-shingle near-dup is found, unrelated is not") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, trunc), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("annTopK retrieves planted parallel duplicates at rank 1, sim 1.0") {
+    val e = Tables(spark, sf0001).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dups = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * 1.1).as("embedding"))
+    val queries = e.filter($"vec_id" < 5)
+    val res = Similarity.annTopK(queries, e.unionByName(dups), k = 3)
+      .filter($"rank" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length === 5)
+    res.foreach { case (q, n, sim) =>
+      assert(n === q + 100000, s"query $q should find its scaled copy")
+      assert(sim === 1.0)
+    }
+  }
+
+  test("bruteForceTopK and annTopK agree on planted dups") {
+    val e = Tables(spark, sf0001).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .limit(50)
+    val q = e.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(q, e, k = 5).collect()
+    assert(brute.length === 15)
+    assert(brute.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("Multimodal: feature extraction preserves ids, dims, byte counts") {
+    val media = Multimodal.fromText(
+      Tables(spark, sf0001).documents.limit(10), "doc_id", "text").as[MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 10)
+    assert(feats.forall(_.features.length === Multimodal.FeatureDim))
+    assert(feats.forall(f => f.n_bytes > 0))
+    assert(feats.forall(_.features.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("Multimodal: resizeMeta clamps the long side, frameSamplePlan grids") {
+    val df = Seq((1L, Array[Byte](1, 2))).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("img").as("format"),
+        lit(2000).as("width"), lit(1000).as("height"), lit(100L).as("durationMs")))
+    val resized = Multimodal.resizeMeta(df, maxSide = 500)
+      .select($"meta.width", $"meta.height").head()
+    assert(resized.getInt(0) === 500 && resized.getInt(1) === 250)
+    val frames = Multimodal.frameSamplePlan(df, everyMs = 30).count()
+    assert(frames === 4) // 0, 30, 60, 90
+  }
+
+  test("langId picks the dominant marker language deterministically") {
+    val df = Seq("x the y and z the w", "der hund und der ball",
+      "el gato los perros el", "le chat les chiens le").toDF("text")
+    val got = df.select(TextOps.langId($"text")).as[String].collect()
+    assert(got.toSeq === Seq("en", "de", "es", "fr"))
+  }
+}
