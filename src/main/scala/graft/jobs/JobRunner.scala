@@ -1,0 +1,218 @@
+package graft.jobs
+
+import graft.etl.ErrorTolerant
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Error raised when a job's (or the manager's) error budget is exceeded —
+  * the reference's `TooManyErrors` broadcast
+  * (`etl-job/src/job_manager.rs:216-228`).
+  */
+final case class TooManyErrors(job: String, count: Long, budget: Long)
+  extends RuntimeException(s"job $job: $count errors > budget $budget")
+
+final case class JobRunnerConfig(maxErrors: Long = 1000)
+
+/** Step-by-step pipeline runner over Spark actions — the reference
+  * `JobRunner` (`etl-job/src/job.rs:318-643`): durable per-step state,
+  * skip-if-complete, per-source ok/err counters, local + global error
+  * budgets, fatal-error latch honored by `stopOnError` on later steps.
+  *
+  * The data plane stays 100% Spark (lazy DataFrames, distributed actions);
+  * this class only decides *whether* to trigger an action and records what
+  * happened — a thin driver-side state machine, exactly the role the
+  * reference's tokio event loop played, minus the per-record pumping.
+  */
+final class JobRunner(
+    val id: String,
+    val name: String,
+    store: SimpleStore,
+    config: JobRunnerConfig = JobRunnerConfig(),
+    manager: Option[JobManager] = None) {
+
+  private val doc = JobState.docName(id, name)
+  private var state: JobState =
+    store.load(doc).map(JobState.fromJson).getOrElse(JobState.empty(id, name))
+  private var errorsSoFar: Long = 0
+  manager.foreach(_.register(this))
+
+  def currentState: JobState = state
+  private def save(): Unit = store.write(doc, JobState.toJson(state))
+  private def now(): Long = System.currentTimeMillis()
+
+  /** settings KV (`state.rs:40`, set_state/get_state semantics). */
+  def setSetting(key: String, value: String): Unit = {
+    state = state.copy(settings = state.settings + (key -> value)); save()
+  }
+  def getSetting(key: String): Option[String] = state.settings.get(key)
+  def getSettingOrDefault(key: String, default: String): String = {
+    state.settings.get(key) match {
+      case Some(v) => v
+      case None => setSetting(key, default); default
+    }
+  }
+
+  private def checkBudgets(step: String, newErrors: Long): Unit = {
+    errorsSoFar += newErrors
+    manager.foreach(_.addErrors(newErrors))
+    if (errorsSoFar > config.maxErrors)
+      throw TooManyErrors(s"$id.$name", errorsSoFar, config.maxErrors)
+    manager.foreach(_.checkGlobalBudget())
+  }
+
+  private def abortIfFatal(stopOnError: Boolean): Unit =
+    if (stopOnError) state.fatalError.foreach { e =>
+      throw new IllegalStateException(s"previous step failed fatally: $e")
+    }
+
+  /** Stream step over an error-tolerant decoded source: counts ok/err rows
+    * (distributed, incl. per-input-file counts via lineage when present),
+    * enforces the error budget, runs `write` over the good rows, records
+    * output stats — `run_stream` (`job.rs:318-412`). Re-running a Complete
+    * step skips the whole action (`job.rs:331-338`).
+    *
+    * Returns true if the step ran, false if skipped.
+    */
+  def runDecodedStream(step: String, decoded: ErrorTolerant.Decoded,
+      sinkName: String, write: DataFrame => Long,
+      stopOnError: Boolean = true): Boolean = {
+    if (state.isStreamComplete(step)) return false
+    abortIfFatal(stopOnError)
+    val started = now()
+    state = state.copy(streams = state.streams + (step ->
+      StepStreamStatus(step, state.curStepIndex, JobState.InProgress, started,
+        None, 0, 0, Map.empty, Nil, None)))
+    save()
+    try {
+      // Cache: (a) the ok/err aggregation, per-file counts, and the sink
+      // write share one scan; (b) file-backed permissive reads disallow
+      // corrupt-record-only projections unless parsed results are cached
+      // (Spark QUERY_ONLY_CORRUPT_RECORD_COLUMN rule).
+      val all = decoded.all.cache()
+      val cachedDecoded = ErrorTolerant.Decoded(all)
+      val hasLineage = all.columns.contains("source")
+      val perFile: Map[String, FileStatus] =
+        if (hasLineage)
+          all.groupBy(element_at(split(col("source"), "/"), -1).as("f"))
+            .agg(sum(when(col(ErrorTolerant.CorruptCol).isNull, 1L).otherwise(0L)).as("ok"),
+              sum(when(col(ErrorTolerant.CorruptCol).isNotNull, 1L).otherwise(0L)).as("err"))
+            .collect().map(r => r.getString(0) -> FileStatus(r.getLong(1), r.getLong(2)))
+            .toMap
+        else Map.empty
+      val (ok, err) = cachedDecoded.counts
+      checkBudgets(step, err)
+      val written = write(cachedDecoded.good)
+      all.unpersist()
+      state = state.copy(
+        curStepIndex = state.curStepIndex + 1,
+        streams = state.streams + (step -> StepStreamStatus(step,
+          state.curStepIndex, JobState.Complete, started, Some(now()),
+          ok + err, err, perFile, List(OutputStats(sinkName, written)), None)))
+      save()
+      true
+    } catch {
+      case e: Throwable =>
+        state = state.copy(
+          fatalError = Some(e.getMessage),
+          streams = state.streams + (step -> state.streams(step).copy(
+            status = JobState.Error, finishedMs = Some(now()),
+            numErrors = errorsSoFar, error = Some(e.getMessage))))
+        save()
+        throw e
+    }
+  }
+
+  /** Plain stream step: any DataFrame, no decode-error accounting. */
+  def runStream(step: String, df: => DataFrame, sinkName: String,
+      write: DataFrame => Long): Boolean =
+    runDecodedStream(step,
+      ErrorTolerant.Decoded(df.withColumn(ErrorTolerant.CorruptCol,
+        lit(null).cast("string"))),
+      sinkName, write)
+
+  /** Durable side-effect command step — `run_cmd` (`job.rs:606-643`) with
+    * `stop_on_error` semantics (`state.rs:190-206`): a failing command marks
+    * the job fatally errored; if `stopOnError` the *next* steps refuse to
+    * run; otherwise execution continues.
+    */
+  def runCmd(step: String, stopOnError: Boolean = true)(cmd: => Unit): Boolean = {
+    if (state.isCommandComplete(step)) return false
+    abortIfFatal(stopOnError)
+    val started = now()
+    try {
+      cmd
+      state = state.copy(
+        curStepIndex = state.curStepIndex + 1,
+        commands = state.commands + (step -> StepCommandStatus(step,
+          state.curStepIndex, JobState.Complete, started, Some(now()), None)))
+      save()
+      true
+    } catch {
+      case e: Throwable =>
+        state = state.copy(
+          fatalError = Some(e.getMessage),
+          commands = state.commands + (step -> StepCommandStatus(step,
+            state.curStepIndex, JobState.Error, started, Some(now()),
+            Some(e.getMessage))))
+        save()
+        if (stopOnError) throw e
+        false
+    }
+  }
+
+  /** Detached concurrent output (`OutputTask`, `job.rs:433-451`): the action
+    * runs on another driver thread while later steps proceed; `complete()`
+    * joins all of them.
+    */
+  private val detached = scala.collection.mutable.ArrayBuffer
+    .empty[(String, java.util.concurrent.Future[Long])]
+  private lazy val pool = java.util.concurrent.Executors.newCachedThreadPool()
+
+  def runOutputTask(taskName: String)(action: () => Long): Unit =
+    detached += taskName -> pool.submit(
+      new java.util.concurrent.Callable[Long] { def call(): Long = action() })
+
+  /** Join detached outputs, mark job completed — `complete()`
+    * (`job.rs:280-314`).
+    */
+  def complete(): JobState = {
+    val outs = detached.map { case (n, f) => OutputStats(n, f.get()) }.toList
+    if (outs.nonEmpty) {
+      state = state.copy(streams = state.streams + ("__detached__" ->
+        StepStreamStatus("__detached__", state.curStepIndex, JobState.Complete,
+          now(), Some(now()), outs.map(_.linesWritten).sum, 0, Map.empty, outs, None)))
+    }
+    save()
+    manager.foreach(_.jobCompleted(this))
+    state
+  }
+}
+
+/** Cross-job coordinator — the reference `JobManager`
+  * (`etl-job/src/job_manager.rs:102-337`): aggregates error counts across
+  * all registered runners and trips a global `TooManyErrors` once the shared
+  * budget is exceeded.
+  */
+final class JobManager(globalMaxErrors: Long = 1000) {
+  private val totalErrors = new java.util.concurrent.atomic.AtomicLong()
+  private val jobs = scala.collection.mutable.ArrayBuffer.empty[JobRunner]
+
+  def register(j: JobRunner): Unit = synchronized { jobs += j }
+  def addErrors(n: Long): Unit = totalErrors.addAndGet(n)
+  def errorCount: Long = totalErrors.get()
+  def checkGlobalBudget(): Unit =
+    if (totalErrors.get() > globalMaxErrors)
+      throw TooManyErrors("GLOBAL", totalErrors.get(), globalMaxErrors)
+  def jobCompleted(j: JobRunner): Unit = ()
+}
+
+/** Resume-at-index (`job.rs:484-511`): skip records already processed by a
+  * prior partial run. Batch analog of the reference's fast-forward replay —
+  * requires an explicit deterministic order column (at scale, "the Nth
+  * record" only means something relative to a declared ordering; streaming
+  * checkpoints are the preferred incremental path, see graft.streaming).
+  */
+object Resume {
+  def atIndex(df: DataFrame, orderCol: String, index: Long): DataFrame =
+    df.filter(col(orderCol) >= index)
+}
