@@ -1,0 +1,93 @@
+package graft
+
+import graft.etl.Fixtures
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming decode: errors-as-data over a file stream (3 ok / 2 err)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.write(dir.resolve("drop1.ndjson"),
+      Fixtures.malformedJsonStream.mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("todo", ArrayType(StringType)),
+      StructField("id", StringType)))
+    val q = Streams.decodeJsonStream(spark, dir.toString + "/*.ndjson", schema)
+      .writeStream.format("memory").queryName("dec").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dec")
+    assert(rows.count() === 5)
+    assert(rows.filter($"is_error").count() === 2)
+    assert(rows.filter(!$"is_error").count() === 3)
+  }
+
+  test("watermarked tumbling-window aggregation emits closed windows") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedEventAgg(df, "ts", "10 seconds", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:00:10"), "click", 1.0),
+      (ts("2024-01-01 00:00:20"), "click", 2.0),
+      (ts("2024-01-01 00:00:30"), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window so it closes
+    mem.addData((ts("2024-01-01 00:10:00"), "click", 9.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("winagg")
+      .select($"event_type", $"n", $"sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("session windows split on gap") {
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionWindows(df, "ts", "5 minutes", "user_id")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:01:00"), 1L),
+      (ts("2024-01-01 00:20:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 01:00:00"), 2L)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sessions")
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sessions.count(_ == (1L, 2L)) === 1) // first session: 2 events
+    assert(sessions.count(_ == (1L, 1L)) === 1) // second session: 1 event
+  }
+
+  test("streaming dedup keeps first occurrence across micro-batches") {
+    val mem = MemoryStream[String](spark)
+    val deduped = Streams.streamingDedupByKey(mem.toDS(), identity[String])
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("update").start()
+    mem.addData("a", "b", "a")
+    q.processAllAvailable()
+    mem.addData("b", "c") // b already seen in batch 1
+    q.processAllAvailable(); q.stop()
+    val seen = spark.table("dedup").as[String].collect().sorted
+    assert(seen.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("foreachBatch fan-out: every sink sees every micro-batch row") {
+    val mem = MemoryStream[Long](spark)
+    val c1 = new java.util.concurrent.atomic.AtomicLong()
+    val c2 = new java.util.concurrent.atomic.AtomicLong()
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val q = Streams.fanOutForeachBatch(mem.toDF(), cp, Seq(
+      "a" -> (d => c1.addAndGet(d.count())),
+      "b" -> (d => c2.addAndGet(d.count()))))
+    mem.addData(1L, 2L, 3L); q.processAllAvailable()
+    mem.addData(4L); q.processAllAvailable(); q.stop()
+    assert(c1.get() === 4 && c2.get() === 4)
+  }
+}
