@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-reader warmup on the smallest SF so the first
+    // timed query doesn't absorb ~5s of one-time initialization
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

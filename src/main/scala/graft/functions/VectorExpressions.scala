@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * Spark's higher-order array functions are interpreted (no codegen), so a
+  * 64-dim cosine via `aggregate(zip_with(...))` pays boxed per-element eval.
+  * These expressions generate a primitive Java loop inside whole-stage
+  * codegen — the preferred shape for scalar kernels per the project design
+  * rules (custom `Expression` with `doGenCode` beats a UDF, which beats
+  * interpreted HOFs).
+  */
+
+/** cosine(a, b) over array<double> columns, computed in one fused loop with
+  * left-to-right accumulation (bit-compatible with the documented oracle
+  * semantics in graft.llm.Similarity).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires array<double> inputs, got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** hamming(a, b) over two int64 fingerprints (simhash64 distance). */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == LongType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming64 requires bigint inputs, got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hamming64"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Registration: per-session temp functions plus a `SparkSessionExtensions`
+  * hook for `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (es => CosineSim(es(0), es(1))),
+    "graft_hamming64" -> (es => Hamming64(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+  }
+
+  /** Column-API forms (require register(spark) once per session). */
+  def graftCosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def graftHamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+}
+
+/** `spark.sql.extensions`-loadable function injection. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

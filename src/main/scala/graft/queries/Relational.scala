@@ -261,6 +261,21 @@ object Relational extends QueryPack {
           min($"l_extendedprice").as("min_price"))
     }),
 
+    // ---- C7: delegated-SQL surface made native — the reference ships SQL
+    //      text to Athena and polls S3 for a result CSV
+    //      (`etl-aws-utils/src/athena.rs:175-274`); here the same SQL text
+    //      runs in-engine via spark.sql over registered views and the
+    //      result stays a DataFrame. ----
+    "c7_sql_frontend" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.orders.createOrReplaceTempView("orders_v")
+      tb.customer.createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_orders,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+              |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
     // ---- HAVING: post-aggregation filter ----
     "q20_group_having" -> ((s, dir) => {
       import s.implicits._
@@ -418,6 +433,12 @@ object Relational extends QueryPack {
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    "c7_sql_frontend" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q20_group_having" ->
       s"""SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spent,

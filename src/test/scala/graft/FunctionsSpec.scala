@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSim expression matches the HOF cosine bit-for-bit") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001).embeddings.limit(100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val diff = pairs.select(
+        (GraftFunctions.graftCosine($"va", $"vb") -
+          Similarity.cosine($"va", $"vb")).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff === 0.0) // identical accumulation order → identical doubles
+  }
+
+  test("graft functions are SQL-visible after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "graft_hamming64(7L, 1L) AS h").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getLong(1) === 2L)
+  }
+
+  test("CosineSim participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sf0001).embeddings.limit(10)
+      .select($"embedding".cast("array<double>").as("v"))
+    val plan = e.select(GraftFunctions.graftCosine($"v", $"v").as("c"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_cosine"))
+  }
+}
