@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Catalyst's built-ins.
+  *
+  * The reference's only join is a block-nested-loop left theta join
+  * (`etl-core/src/joins.rs:15-185`), which Catalyst subsumes. These are the
+  * *scale* joins a training-data warehouse actually needs on top.
+  */
+object Joins {
+
+  /** As-of join: for every left row, the single latest right row with the
+    * same key and `rightTs <= leftTs` (time-series point-in-time lookup).
+    *
+    * Spark has no native as-of join; the naive formulation
+    * (`l JOIN r ON key AND r.ts <= l.ts` + max-per-group) explodes into a
+    * range join. This implementation is the scalable union+window form:
+    * tag both sides, union (no join at all), sort within key by
+    * (ts, side) — right rows first on ties so `rightTs == leftTs` matches,
+    * like DuckDB/QuestDB ASOF semantics — and carry the latest right
+    * attributes forward with `last_value(ignoreNulls)`. Exactly ONE
+    * shuffle (hash partition by key) regardless of data size or time
+    * skew; no candidate explosion.
+    *
+    * Right columns (except key/ts) are appended nullable; left rows with
+    * no prior right row keep nulls (left-outer as-of).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    val rightVals = right.columns.filter(c => c != keyCol && c != rightTsCol)
+    val leftCols = left.columns
+
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
+        leftCols.filter(_ != keyCol).map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val taggedRight = right
+      .withColumn("__ts", col(rightTsCol))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
+        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+  }
+
+  /** Salted equi-join for skewed keys: the hot keys of the big side are
+    * split across `saltBuckets` sub-keys and the small side is replicated
+    * per bucket — turning one straggler partition into `saltBuckets`
+    * parallel ones. AQE's skew-join handles sort-merge skew adaptively;
+    * explicit salting is for when the skew is known and extreme (a single
+    * key holding >1 partition of data).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

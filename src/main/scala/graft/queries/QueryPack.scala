@@ -38,8 +38,16 @@ object OracleSafe {
   /** Order-insensitive exact average: exact decimal sum / count. */
   def davg(c: Column): Column = dsum6(c) / count(lit(1))
 
-  /** SQL fragments mirroring the Spark helpers, for DuckDB oracle text. */
-  def sqlDsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
-  def sqlDsum6(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+  /** SQL fragments mirroring the Spark helpers, for DuckDB oracle text.
+    *
+    * The decimal→double conversion goes through VARCHAR because DuckDB's
+    * direct cast rounds twice (int128→double, then ÷10^scale) and can land
+    * one ulp off the correctly-rounded value whenever the unscaled integer
+    * exceeds 2^53; strtod on the exact decimal string is correctly rounded,
+    * matching Spark's BigDecimal.doubleValue bit-for-bit.
+    */
+  def sqlToDouble(dec: String): String = s"CAST(CAST($dec AS VARCHAR) AS DOUBLE)"
+  def sqlDsum(x: String): String = sqlToDouble(s"sum(CAST($x AS DECIMAL(18,4)))")
+  def sqlDsum6(x: String): String = sqlToDouble(s"sum(CAST($x AS DECIMAL(18,6)))")
   def sqlDavg(x: String): String = s"(${sqlDsum6(x)} / count(*))"
 }

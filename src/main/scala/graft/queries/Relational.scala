@@ -261,6 +261,76 @@ object Relational extends QueryPack {
           min($"l_extendedprice").as("min_price"))
     }),
 
+    // ---- as-of join (point-in-time lookup): each order matched to the
+    //      customer's latest "statement" at or before the order date.
+    //      Spark has no native as-of join; graft.operators.Joins.asOf is
+    //      the one-shuffle union+window form (no range-join explosion). ----
+    "q21_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val stmts = o
+        .groupBy($"o_custkey", ($"o_orderdate" + expr("INTERVAL 15 DAYS")).as("stmt_ts"))
+        .agg(dsum($"o_totalprice").as("stmt_amount"))
+      val left = o.select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      graft.operators.Joins.asOf(left, stmts, "o_custkey", "o_orderdate", "stmt_ts")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"stmt_amount")
+    }),
+
+    // ---- exact percentiles (sort-based, linear interpolation) ----
+    "q22_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).customer
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(
+          expr("percentile(c_acctbal, 0.25)").as("p25"),
+          expr("percentile(c_acctbal, 0.5)").as("median"),
+          expr("percentile(c_acctbal, 0.75)").as("p75"))
+    }),
+
+    // ---- second moments from exact decimal sums: stddev & correlation
+    //      computed by explicit formula so both engines derive identical
+    //      doubles (native stddev/corr accumulate floats order-dependently) ----
+    "q23_exact_stats" -> ((s, dir) => {
+      import s.implicits._
+      val x = $"l_quantity".cast(DecimalType(18, 4))
+      val y = $"l_extendedprice".cast(DecimalType(18, 4))
+      t(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select($"l_returnflag", $"n",
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("stddev_qty"),
+          (($"sxy" - $"sx" * $"sy" / $"n") /
+            (sqrt($"sxx" - $"sx" * $"sx" / $"n") * sqrt($"syy" - $"sy" * $"sy" / $"n")))
+            .as("corr_qty_price"))
+    }),
+
+    // ---- pivot (wide conditional aggregation) ----
+    "q24_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).customer
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // ---- approximate distinct (HLL++): rows-only check — sketch values are
+    //      engine-specific by construction; exactness is tested in
+    //      RelationalSpec against the true distinct count ----
+    "q25_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+    }),
+
     // ---- C7: delegated-SQL surface made native — the reference ships SQL
     //      text to Athena and polls S3 for a result CSV
     //      (`etl-aws-utils/src/athena.rs:175-274`); here the same SQL text
@@ -291,7 +361,7 @@ object Relational extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
          |  ${sqlDavg("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem
@@ -308,7 +378,7 @@ object Relational extends QueryPack {
 
     "q3_revenue_by_segment" ->
       """SELECT c_mktsegment,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -324,7 +394,7 @@ object Relational extends QueryPack {
 
     "q5_nation_volume" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -402,7 +472,7 @@ object Relational extends QueryPack {
     "q16_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders
-        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |WHERE o_totalprice > (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*)
         |                      FROM orders) * 1.5""".stripMargin,
 
     "q17_string_funcs" ->
@@ -427,16 +497,55 @@ object Relational extends QueryPack {
 
     "q19_conditional_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_discounted,
+        |  CAST(CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS qty_discounted,
         |  sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
         |  max(l_extendedprice) AS max_price,
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
 
+    "q21_asof_join" ->
+      s"""WITH stmts AS (
+         |  SELECT o_custkey AS custkey, o_orderdate + INTERVAL 15 DAY AS stmt_ts,
+         |    ${sqlDsum("o_totalprice")} AS stmt_amount
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, s.stmt_amount
+         |FROM orders o ASOF LEFT JOIN stmts s
+         |  ON o.o_custkey = s.custkey AND o.o_orderdate >= s.stmt_ts""".stripMargin,
+
+    "q22_percentiles" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  quantile_cont(c_acctbal, 0.25) AS p25,
+        |  quantile_cont(c_acctbal, 0.5) AS median,
+        |  quantile_cont(c_acctbal, 0.75) AS p75
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q23_exact_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+        |FROM s""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS AUTOMOBILE,
+        |  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BUILDING,
+        |  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS FURNITURE,
+        |  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS HOUSEHOLD,
+        |  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS MACHINERY
+        |FROM customer GROUP BY 1""".stripMargin,
+
     "c7_sql_frontend" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf: latest right row at-or-before left ts, per key; nulls before any") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 12:00:00"), "t2"),
+      (1L, ts("2024-01-01 09:00:00"), "t0"),
+      (2L, ts("2024-01-01 10:00:00"), "u1")
+    ).toDF("k", "lts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+      (2L, ts("2024-01-01 10:00:00"), 999.0) // tie: inclusive match
+    ).toDF("k", "rts", "price")
+    val got = Joins.asOf(left, right, "k", "lts", "rts")
+      .select($"tag", $"price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toMap
+    assert(got === Map("t0" -> -1.0, "t1" -> 100.0, "t2" -> 200.0, "u1" -> 999.0))
+  }
+
+  test("saltedJoin produces identical results to a plain join") {
+    val big = Tables(spark, sf0001).orders.select($"o_orderkey", $"o_custkey")
+    val small = Tables(spark, sf0001).customer.select($"c_custkey", $"c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val saltedRows = Joins.saltedJoin(big, small, "o_custkey", 8)
+      .select("o_custkey", "o_orderkey", "c_mktsegment").collect().map(_.toSeq).toSet
+    val plainRows = big.join(small, "o_custkey")
+      .select("o_custkey", "o_orderkey", "c_mktsegment").collect().map(_.toSeq).toSet
+    assert(saltedRows === plainRows)
+  }
+
+  test("approx_count_distinct stays within rsd of the exact count") {
+    val li = Tables(spark, sf0001).lineitem
+    val exact = li.select($"l_orderkey").distinct().count()
+    val approx = li.agg(approx_count_distinct($"l_orderkey", 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
