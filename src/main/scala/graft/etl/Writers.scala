@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** File/object sinks (reference O1/O2/E1) and queue parity (O7/S10).
+  *
+  * The reference writes one file per sink task with hand-rolled buffers and
+  * multipart uploads (`etl-core/src/datastore/fs.rs:184-242`,
+  * `etl-aws-utils/src/s3_datastore.rs:88-129`); Spark writes one file per
+  * partition through the committer protocol (atomic, retry-safe, S3A
+  * multipart under the hood) — `coalesce(1)` only when a single file is
+  * genuinely required.
+  */
+object Writers {
+
+  /** O1/E1: CSV out with the reference's CsvWriteOptions mapping. */
+  def csv(df: DataFrame, path: String, opts: CsvWriteOptions = CsvWriteOptions(),
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).options(opts.toSpark).csv(path)
+
+  /** O1: NDJSON out. */
+  def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Columnar out — the scale default (pruning + pushdown on re-read). */
+  def parquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** O4: null sink (validation/benchmark). */
+  def noop(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).format("noop").save()
+
+  /** Bucketed table write: pre-shuffled layout so future equi-joins and
+    * aggregations on `bucketCols` are exchange-free (SortMergeJoin with no
+    * Exchange on either side). Requires the session catalog (saveAsTable).
+    */
+  def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
+/** File-based queue (reference O7: `LocalFs`/`Mock` QueueClient — JSON doc
+  * per message under a directory, `fs.rs:132-148`): the handoff pattern
+  * between pipeline stages that don't share a process. push = atomic file
+  * drop keyed by content hash; pop = lexicographically-first doc;
+  * asSource = the whole directory as a DataFrame (and, streaming, a
+  * file-stream source — see graft.streaming).
+  */
+final class FileQueue(dir: String) {
+  private val root = java.nio.file.Paths.get(dir)
+  java.nio.file.Files.createDirectories(root)
+
+  def push(msgJson: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(msgJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = root.resolve(s".$key.tmp")
+    java.nio.file.Files.write(tmp, msgJson.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, root.resolve(s"$key.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    key
+  }
+
+  def pop(): Option[String] = {
+    val files = java.nio.file.Files.list(root).iterator()
+    var first: Option[java.nio.file.Path] = None
+    while (files.hasNext) {
+      val p = files.next()
+      if (p.getFileName.toString.endsWith(".json") &&
+        first.forall(f => p.getFileName.toString < f.getFileName.toString))
+        first = Some(p)
+    }
+    first.map { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.delete(p)
+      s
+    }
+  }
+
+  def size: Long = java.nio.file.Files.list(root).iterator().asScala
+    .count(_.getFileName.toString.endsWith(".json"))
+
+  private implicit class IterScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+}
+
+/** C8: file listing with glob + regex filter
+  * (`etl-aws-utils/src/s3_utils.rs:17-106` — paginated ListObjectsV2 with
+  * prefix/regex). Hadoop FS globStatus covers local, HDFS, and S3A alike.
+  */
+object FileListing {
+  def list(spark: org.apache.spark.sql.SparkSession, glob: String,
+      regex: Option[String] = None): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(path)).getOrElse(Array.empty)
+      .map(_.getPath.toString)
+    regex.fold(matched.toSeq)(r => matched.filter(_.matches(r)).toSeq)
+  }
+}

@@ -265,6 +265,16 @@ object Relational extends QueryPack {
     //      customer's latest "statement" at or before the order date.
     //      Spark has no native as-of join; graft.operators.Joins.asOf is
     //      the one-shuffle union+window form (no range-join explosion). ----
+    // ---- gap-based sessionization in batch mode (session_window) ----
+    "q26_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).events
+        .groupBy(session_window($"ts", "5 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"n_events",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"))
+    }),
+
     "q21_asof_join" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir).orders
@@ -503,6 +513,21 @@ object Relational extends QueryPack {
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q26_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "q21_asof_join" ->
       s"""WITH stmts AS (

@@ -1,0 +1,86 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.functions._
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("O1/E1: CSV write with options round-trips (quoted delimiters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_out").toString + "/out"
+    val df = Seq((1L, "plain"), (2L, "with, comma"), (3L, "with|pipe"))
+      .toDF("id", "note")
+    Writers.csv(df, dir, CsvWriteOptions(delimiter = '|', writeHeaders = true))
+    val back = spark.read.option("header", "true").option("sep", "|")
+      .csv(dir).orderBy("id").collect()
+    assert(back.length === 3)
+    assert(back(1).getString(1) === "with, comma")
+    assert(back(2).getString(1) === "with|pipe") // quoted on write
+  }
+
+  test("partitioned parquet write prunes partitions on filtered re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_out").toString + "/out"
+    Writers.parquet(Tables(spark, sf0001).orders
+      .withColumn("year", year($"o_orderdate")), dir, partitionBy = Seq("year"))
+    val plan = spark.read.parquet(dir).filter($"year" === 1997)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"))
+  }
+
+  test("O7: file queue push/pop with content-hash keys and atomic drops") {
+    val q = new FileQueue(
+      java.nio.file.Files.createTempDirectory("graft_queue").toString)
+    val k1 = q.push("""{"job":"a"}""")
+    q.push("""{"job":"b"}""")
+    q.push("""{"job":"a"}""") // same content → same key → idempotent
+    assert(q.size === 2)
+    assert(k1.length === 32)
+    val popped = Seq(q.pop(), q.pop(), q.pop())
+    assert(popped.count(_.isDefined) === 2)
+    assert(q.size === 0)
+  }
+
+  test("C8: glob listing with regex filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glob")
+    java.nio.file.Files.write(dir.resolve("a_1.ndjson"), "x".getBytes)
+    java.nio.file.Files.write(dir.resolve("a_2.ndjson"), "x".getBytes)
+    java.nio.file.Files.write(dir.resolve("b_1.csv"), "x".getBytes)
+    val all = FileListing.list(spark, dir.toString + "/*")
+    assert(all.size === 3)
+    val onlyNdjson = FileListing.list(spark, dir.toString + "/*",
+      regex = Some(".*a_\\d+\\.ndjson"))
+    assert(onlyNdjson.size === 2)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a crashed previous run can leave the managed location behind without
+    // a catalog entry — clear it or saveAsTable refuses
+    Seq("b_orders", "b_customer").foreach { t =>
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Writers.bucketed(Tables(spark, sf0001).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+      "b_orders", Seq("o_custkey"), 8)
+    Writers.bucketed(Tables(spark, sf0001).customer
+      .select($"c_custkey", $"c_mktsegment"),
+      "b_customer", Seq("c_custkey"), 8)
+    // tiny test tables would broadcast (which also ignores bucketing) —
+    // force the shuffle-join path to observe the bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(
+        spark.table("b_customer").withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  }
+}
