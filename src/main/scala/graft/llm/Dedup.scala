@@ -153,16 +153,38 @@ object Dedup {
       threshold)
   }
 
+  /** Distinct word n-gram shingle sets, computed in one JIT-compiled pass
+    * (same semantics as TextOps.wordShingles + array_distinct, which are
+    * interpreted HOFs). Returns (id, set).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val sh =
+          if (toks.length < n) Array(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toArray
+        (id, sh.distinct: Seq[String])
+      })
+      .toDF("id", "set")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: text → word n-gram shingles → LSH
-    * candidates → exact-Jaccard verified pairs.
+    * candidates → exact-Jaccard verified pairs. Shingle sets are computed
+    * once (kernel), shared by candidate generation and verification.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64,
       threshold: Double = 0.5): DataFrame = {
-    val shingled = df.select(col(idCol), col(textCol),
-      TextOps.wordShingles(col(textCol), shingleN).as("__shingles"))
-    val cands = lshCandidates(shingled, idCol, "__shingles", numHashes, bands)
-    jaccardVerify(cands, shingled, idCol, "__shingles", threshold)
+    val sets = shingleSets(df, idCol, textCol, shingleN).persist()
+    val cands = lshCandidates(sets, "id", "set", numHashes, bands)
+    jaccardOfPairs(cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b"),
+      threshold)
   }
 
   /** Effectively-64-bit string hash (two murmur3 passes) — collision odds
