@@ -111,10 +111,16 @@ object Transforms {
 
   /** T5 `Pipeline`: source→sink copy with stats
     * (`etl-core/src/task/pipeline.rs:5-50`).
+    *
+    * Row count comes from the Observation API — metrics piggyback on the
+    * write action itself, so the copy is a SINGLE pass with no cache and no
+    * extra count job (the reference's `DataOutputStats` for free).
+    * `write` must trigger exactly one action over the frame it receives.
     */
   def copyPipeline(df: DataFrame, write: DataFrame => Unit): Long = {
-    val cached = df.persist()
-    try { val n = cached.count(); write(cached); n }
-    finally { cached.unpersist() }
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
   }
 }

@@ -157,6 +157,65 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-flat ANN (the coarse-quantizer scale path, complementing LSH):
+    * `nCells` seed centroids are drawn deterministically from the corpus
+    * (every (n/nCells)-th vector by id order — no RNG, no training loop),
+    * every corpus vector is assigned to its nearest centroid cell (map-only
+    * with broadcast centroids), and a query probes its `nProbe` nearest
+    * cells with exact cosine re-ranking inside them. Cell assignment cost
+    * is O(n·nCells·dim) map-only; query cost is bounded by probed-cell
+    * population, never n².
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
+    // deterministic centroid sample: rank by id, take every strided row
+    val n = vecs.count()
+    val stride = math.max(1L, n / nCells)
+    val centroids = vecs
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      .filter((col("rn") - 1) % stride === 0)
+      .limit(nCells)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+
+    def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
+      val x = v.toArray
+      centroids.indices.map { c =>
+        val p = centroids(c)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < x.length) { dot += x(i) * p(i); na += x(i) * x(i); nb += p(i) * p(i); i += 1 }
+        c -> dot / (math.sqrt(na) * math.sqrt(nb))
+      }.sortBy { case (c, s) => (-s, c) }.take(m).map(_._1)
+    }
+
+    val assigned = vecs.as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, nearestCells(v, 1).head) })
+      .toDF("neighbor_id", "vb", "cell")
+    val probes = vectorsOf(queries, idCol, vecCol, "query_id", "va")
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        nearestCells(v, nProbe).map(c => (id, v, c))
+      })
+      .toDF("query_id", "va", "cell")
+    val cands = probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("va"), col("vb"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cosineOfPairs(cands, "query_id", "neighbor_id")
+      .withColumn("sim", round(col("sim_raw"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-dup pairs: all corpus pairs with cosine ≥ threshold.
     * Candidate generation via LSH buckets (any shared bucket), verification
     * by exact cosine — output-bounded, no n² stage.

@@ -119,6 +119,12 @@ object LlmOps extends QueryPack {
       Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }),
 
+    // ---- IVF-flat ANN (coarse quantizer scale path; rows-only like LSH) ----
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    }),
+
     // ---- multimodal: opaque binary + typed metadata plumbing ----
     "mm_binary_stats" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir).documents, "doc_id", "text")

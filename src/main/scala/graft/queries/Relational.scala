@@ -265,6 +265,15 @@ object Relational extends QueryPack {
     //      customer's latest "statement" at or before the order date.
     //      Spark has no native as-of join; graft.operators.Joins.asOf is
     //      the one-shuffle union+window form (no range-join explosion). ----
+    // ---- distinct union (set semantics, complementing q12's EXCEPT/INTERSECT) ----
+    "q27_union" -> ((s, dir) => {
+      import s.implicits._
+      val tb = t(s, dir)
+      tb.customer.select($"c_nationkey".cast("long").as("key"))
+        .union(tb.supplier.select($"s_nationkey".cast("long").as("key")))
+        .distinct()
+    }),
+
     // ---- gap-based sessionization in batch mode (session_window) ----
     "q26_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -513,6 +522,11 @@ object Relational extends QueryPack {
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q27_union" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS BIGINT) AS key FROM supplier""".stripMargin,
 
     "q26_sessionize" ->
       """WITH x AS (

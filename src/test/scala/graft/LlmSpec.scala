@@ -64,6 +64,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK retrieves planted parallel duplicates at rank 1, sim 1.0") {
+    val e = Tables(spark, sf0001).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dups = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * 1.1).as("embedding"))
+    val res = Similarity.ivfTopK(e.filter($"vec_id" < 5), e.unionByName(dups), k = 3)
+      .filter($"rank" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length === 5)
+    res.foreach { case (q, n, sim) =>
+      assert(n === q + 100000, s"query $q should find its scaled copy in its own cell")
+      assert(sim === 1.0)
+    }
+  }
+
   test("bruteForceTopK and annTopK agree on planted dups") {
     val e = Tables(spark, sf0001).embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
