@@ -75,6 +75,51 @@ object Streams {
       .flatMap(_.toSeq)
   }
 
+  /** Stream-static enrichment join: a stream joined to a (small) dimension
+    * DataFrame — Spark broadcasts the static side per micro-batch, so the
+    * stream is enriched map-side with no stateful shuffle.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+
+  /** Streaming error budget — the reference's `max_errors` abort
+    * (`etl-job/src/job.rs:258-263`) applied to an unbounded decode stream:
+    * corrupt rows are counted per micro-batch; once the cumulative count
+    * crosses the budget the query is stopped (from a monitor thread — a
+    * stream cannot stop itself from inside foreachBatch). Good rows go to
+    * `sink`; the returned counter exposes progress.
+    */
+  def decodeWithErrorBudget(decoded: DataFrame, checkpoint: String,
+      maxErrors: Long, sink: DataFrame => Unit):
+      (org.apache.spark.sql.streaming.StreamingQuery,
+        java.util.concurrent.atomic.AtomicLong) = {
+    val errors = new java.util.concurrent.atomic.AtomicLong()
+    val query = decoded.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          // deliver the batch before charging the budget: the budget aborts
+          // BETWEEN micro-batches (reference checks between records/steps),
+          // never by killing a half-delivered batch
+          sink(cached.filter(!col("is_error")))
+          errors.addAndGet(cached.filter(col("is_error")).count())
+        } finally { cached.unpersist() }
+        ()
+      }
+      .start()
+    val monitor = new Thread(() => {
+      while (query.isActive) {
+        if (errors.get() > maxErrors) query.stop()
+        Thread.sleep(50)
+      }
+    }, "graft-error-budget-monitor")
+    monitor.setDaemon(true)
+    monitor.start()
+    (query, errors)
+  }
+
   /** J2 fan-out for streams: one source, N sinks, single read per
     * micro-batch (persist inside foreachBatch) — the streaming splitter.
     */

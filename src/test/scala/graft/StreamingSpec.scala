@@ -78,6 +78,35 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("stream-static enrichment join broadcasts the dimension side") {
+    val mem = MemoryStream[(Long, Double)](spark)
+    val stream = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrich(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    mem.addData((1L, 10.0), (2L, 20.0), (1L, 30.0))
+    q.processAllAvailable(); q.stop()
+    val tiers = spark.table("enriched").select($"tier").as[String].collect().sorted
+    assert(tiers.toSeq === Seq("gold", "gold", "silver"))
+  }
+
+  test("streaming error budget stops the query once corrupt rows exceed it") {
+    val in = java.nio.file.Files.createTempDirectory("graft_budget_in")
+    val cp = java.nio.file.Files.createTempDirectory("graft_budget_cp").toString
+    val schema = StructType(Seq(StructField("id", StringType)))
+    val good = new java.util.concurrent.atomic.AtomicLong()
+    java.nio.file.Files.write(in.resolve("a.ndjson"),
+      ("{\"id\":\"1\"}\n" + (1 to 5).map(i => s"garbage line $i").mkString("\n")).getBytes)
+    val (q, errs) = Streams.decodeWithErrorBudget(
+      Streams.decodeJsonStream(spark, in.toString + "/*.ndjson", schema),
+      cp, maxErrors = 3, d => good.addAndGet(d.count()))
+    q.processAllAvailable()
+    // monitor sees 5 > 3 and stops the query
+    q.awaitTermination(10000)
+    assert(!q.isActive, "query must be stopped by the budget monitor")
+    assert(errs.get() === 5 && good.get() === 1)
+  }
+
   test("checkpoint resume: restart processes only new drops (C2 Resume parity)") {
     val in = java.nio.file.Files.createTempDirectory("graft_resume_in")
     val cp = java.nio.file.Files.createTempDirectory("graft_resume_cp").toString
