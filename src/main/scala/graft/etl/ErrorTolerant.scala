@@ -22,16 +22,29 @@ object ErrorTolerant {
   final case class Decoded(all: DataFrame) {
     /** Rows that parsed cleanly (corrupt column dropped). */
     def good: DataFrame = all.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    /** The raw text of records that failed to parse. */
+    /** The raw text of records that failed to parse.
+      *
+      * NOTE for file-backed reads (`csvFiles`/`jsonFiles`): Spark refuses a
+      * projection that references only the corrupt-record column over an
+      * uncached file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache `all`
+      * first (as JobRunner.runDecodedStream does) before consuming this.
+      */
     def corrupt: DataFrame = all.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw"))
-    /** (ok, err) counts in one distributed pass. */
+    /** (ok, err) counts in one distributed pass. Self-caches briefly so the
+      * corrupt-only projection is legal for file-backed reads too.
+      */
     def counts: (Long, Long) = {
-      val r = all.agg(
-        sum(when(col(CorruptCol).isNull, 1L).otherwise(0L)),
-        sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L))).head()
-      (Option(r.get(0)).fold(0L)(_.asInstanceOf[Long]),
-        Option(r.get(1)).fold(0L)(_.asInstanceOf[Long]))
+      // never unpersist a cache the caller created
+      val wasCached = all.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      val cached = if (wasCached) all else all.cache()
+      try {
+        val r = cached.agg(
+          sum(when(col(CorruptCol).isNull, 1L).otherwise(0L)),
+          sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L))).head()
+        (Option(r.get(0)).fold(0L)(_.asInstanceOf[Long]),
+          Option(r.get(1)).fold(0L)(_.asInstanceOf[Long]))
+      } finally if (!wasCached) cached.unpersist()
     }
   }
 

@@ -28,14 +28,13 @@ object Generators {
     import spark.implicits._
     spark.range(max).mapPartitions { it =>
       val client = open()
-      new Iterator[O] {
-        override def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h) close(client)
-          h
-        }
-        override def next(): O = create(client, it.next())
-      }
+      // close exactly once at task completion — fires on normal exhaustion,
+      // early stop (limit/take), and failure alike
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; close(client) }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      it.map(i => create(client, i: Long))
     }
   }
 }

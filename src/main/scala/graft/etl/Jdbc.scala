@@ -49,9 +49,17 @@ object Jdbc {
 
   /** Batched insert with row-wise degradation and a dead-letter result.
     *
-    * Returns a DataFrame (row_json STRING, error STRING) of rows that failed
-    * even individually. Executes one connection per partition; each batch is
-    * a transaction.
+    * Returns a MATERIALIZED DataFrame (row_json STRING, error STRING) of
+    * rows that failed even individually: the insert runs eagerly exactly
+    * once here (persist + count) — re-reading the returned quarantine frame
+    * never re-runs the side effect. One connection per partition; each
+    * batch is a transaction, rolled back before the row-wise retry, so a
+    * failing batch never half-commits.
+    *
+    * Delivery is at-least-once under Spark TASK retries (a batch committed
+    * before an executor crash is re-attempted by the retried task — the
+    * same guarantee every non-transactional JDBC writer has); use a staging
+    * table + MERGE for exactly-once.
     */
   def writeBatchedWithDeadLetter(df: DataFrame, url: String, table: String,
       batchSize: Int): DataFrame = {
@@ -61,6 +69,20 @@ object Jdbc {
     val cols = schema.fieldNames
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+
+    def jsonStr(v: Any): String = v match {
+      case null => "null"
+      case other =>
+        "\"" + other.toString.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+    }
 
     val failed = df.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
@@ -75,7 +97,7 @@ object Jdbc {
           while (i < cols.length) { st.setObject(i + 1, row.get(i)); i += 1 }
         }
         def rowJson(row: Row): String =
-          cols.zipWithIndex.map { case (c, i) => s""""$c":"${row.get(i)}"""" }
+          cols.zipWithIndex.map { case (c, i) => s""""$c":${jsonStr(row.get(i))}""" }
             .mkString("{", ",", "}")
 
         try {
@@ -86,7 +108,8 @@ object Jdbc {
               conn.commit()
             } catch {
               case _: java.sql.SQLException =>
-                conn.rollback() // no partial batch survives → no double insert
+                stmt.clearBatch() // a bind-failure leaves pending param sets
+                conn.rollback() // no partial batch survives
                 batch.foreach { r =>
                   try { bind(stmt, r); stmt.executeUpdate(); conn.commit() }
                   catch {
@@ -101,6 +124,8 @@ object Jdbc {
         deadLetters.iterator
       }
     }.toDF("row_json", "error")
-    failed
+    val materialized = failed.persist()
+    materialized.count() // run the insert exactly once, now
+    materialized
   }
 }

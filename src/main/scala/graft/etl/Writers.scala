@@ -67,14 +67,22 @@ final class FileQueue(dir: String) {
     key
   }
 
+  /** Run f over the directory stream, always closing it (fd-leak-free). */
+  private def withListing[T](f: Iterator[java.nio.file.Path] => T): T = {
+    val stream = java.nio.file.Files.list(root)
+    try {
+      val it = stream.iterator()
+      f(new Iterator[java.nio.file.Path] {
+        def hasNext = it.hasNext; def next() = it.next()
+      })
+    } finally stream.close()
+  }
+
   def pop(): Option[String] = {
-    val files = java.nio.file.Files.list(root).iterator()
-    var first: Option[java.nio.file.Path] = None
-    while (files.hasNext) {
-      val p = files.next()
-      if (p.getFileName.toString.endsWith(".json") &&
-        first.forall(f => p.getFileName.toString < f.getFileName.toString))
-        first = Some(p)
+    val first = withListing {
+      _.filter(_.getFileName.toString.endsWith(".json"))
+        .reduceOption((a, b) =>
+          if (a.getFileName.toString <= b.getFileName.toString) a else b)
     }
     first.map { p =>
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -83,14 +91,7 @@ final class FileQueue(dir: String) {
     }
   }
 
-  def size: Long = java.nio.file.Files.list(root).iterator().asScala
-    .count(_.getFileName.toString.endsWith(".json"))
-
-  private implicit class IterScala[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
-  }
+  def size: Long = withListing(_.count(_.getFileName.toString.endsWith(".json")))
 }
 
 /** C8: file listing with glob + regex filter

@@ -245,6 +245,10 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4-chunk pigeonhole blocking guarantees a shared chunk only for
+    // hamming ≤ 3; larger distances would silently miss qualifying pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashNearDups chunk blocking is sound for maxHamming <= 3, got $maxHamming")
     val fp = df.select(col(idCol).as("id"),
       TextOps.simhash64(textCol).as("fp"))
     // chunk extraction via SQL form: the shift amount is lambda-bound

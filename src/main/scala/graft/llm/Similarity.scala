@@ -70,6 +70,8 @@ object Similarity {
   private def bucketsScala(v: Seq[Double], planes: Array[Array[Array[Double]]],
       tables: Int, bits: Int): Array[Long] = {
     val arr = v.toArray
+    require(arr.length <= MaxDim,
+      s"lshIndex supports embeddings up to $MaxDim dims, got ${arr.length}; raise MaxDim")
     Array.tabulate(tables) { t =>
       var acc = 0L
       var b = 0

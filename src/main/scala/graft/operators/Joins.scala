@@ -33,27 +33,32 @@ object Joins {
     val rightVals = right.columns.filter(c => c != keyCol && c != rightTsCol)
     val leftCols = left.columns
 
+    // All right value columns travel as ONE struct, carried forward with a
+    // single last(ignoreNulls). Carrying columns independently would
+    // back-fill a null field of the latest right row from an OLDER row —
+    // fabricating a right row that never existed.
     val taggedLeft = left
       .withColumn("__ts", col(leftTsCol))
       .withColumn("__side", lit(1))
-      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
-        leftCols.filter(_ != keyCol).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightVals.map(c => right.schema(c)))))
+      .select(Seq(col(keyCol), col("__ts"), col("__side"), col("__rv")) ++
+        leftCols.filter(_ != keyCol).map(col): _*)
     val taggedRight = right
       .withColumn("__ts", col(rightTsCol))
       .withColumn("__side", lit(0))
-      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
-        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+      .withColumn("__rv", struct(rightVals.map(col): _*))
+      .select(Seq(col(keyCol), col("__ts"), col("__side"), col("__rv")) ++
+        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
   /** Salted equi-join for skewed keys: the hot keys of the big side are
@@ -65,6 +70,11 @@ object Joins {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // replication of the small side is only sound when unmatched
+    // small-side rows never surface (they would appear saltBuckets times)
+    require(Set("inner", "left", "leftouter")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
     val replicated = small

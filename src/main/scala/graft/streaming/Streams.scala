@@ -77,35 +77,45 @@ object Streams {
 
   /** Stream-static enrichment join: a stream joined to a (small) dimension
     * DataFrame — Spark broadcasts the static side per micro-batch, so the
-    * stream is enriched map-side with no stateful shuffle.
+    * stream is enriched map-side with no stateful shuffle. Left-outer:
+    * events with no dimension match pass through with nulls (an enrichment
+    * must never silently drop late-registered keys).
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+    stream.join(broadcast(dim), keys, "left_outer")
 
   /** Streaming error budget — the reference's `max_errors` abort
     * (`etl-job/src/job.rs:258-263`) applied to an unbounded decode stream:
     * corrupt rows are counted per micro-batch; once the cumulative count
-    * crosses the budget the query is stopped (from a monitor thread — a
-    * stream cannot stop itself from inside foreachBatch). Good rows go to
+    * crosses the budget, later micro-batches are skipped (gate checked at
+    * the START of each foreachBatch, so a tripped budget never delivers
+    * again even before the stop lands) and a monitor thread stops the
+    * query. Charging is deduplicated by batchId so an at-least-once
+    * foreachBatch retry cannot double-count a batch. Good rows go to
     * `sink`; the returned counter exposes progress.
+    *
+    * Delivery itself remains at-least-once on retry (Spark's foreachBatch
+    * contract) — idempotent sinks or batchId-keyed writes give effective
+    * exactly-once, as usual.
     */
   def decodeWithErrorBudget(decoded: DataFrame, checkpoint: String,
       maxErrors: Long, sink: DataFrame => Unit):
       (org.apache.spark.sql.streaming.StreamingQuery,
         java.util.concurrent.atomic.AtomicLong) = {
     val errors = new java.util.concurrent.atomic.AtomicLong()
+    val lastCharged = new java.util.concurrent.atomic.AtomicLong(-1L)
     val query = decoded.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.persist()
-        try {
-          // deliver the batch before charging the budget: the budget aborts
-          // BETWEEN micro-batches (reference checks between records/steps),
-          // never by killing a half-delivered batch
-          sink(cached.filter(!col("is_error")))
-          errors.addAndGet(cached.filter(col("is_error")).count())
-        } finally { cached.unpersist() }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (errors.get() <= maxErrors) {
+          val cached = batch.persist()
+          try {
+            sink(cached.filter(!col("is_error")))
+            if (lastCharged.getAndSet(batchId) != batchId)
+              errors.addAndGet(cached.filter(col("is_error")).count())
+          } finally { cached.unpersist() }
+        }
         ()
       }
       .start()

@@ -28,6 +28,26 @@ class JoinsSpec extends SparkSpec {
     assert(got === Map("t0" -> -1.0, "t1" -> 100.0, "t2" -> 200.0, "u1" -> 999.0))
   }
 
+  test("asOf: null field in the latest right row is NOT back-filled from older rows") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "lts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5.0), 2L),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double], 9L)
+    ).toDF("k", "rts", "price", "qty")
+    val row = Joins.asOf(left, right, "k", "lts", "rts")
+      .select($"price", $"qty").head()
+    // the ts=11:00 row is the match: price must be null (not 5.0 from 09:00)
+    assert(row.isNullAt(0), "null field must come from the matched row, not older ones")
+    assert(row.getLong(1) === 9L)
+  }
+
+  test("saltedJoin rejects join types that would duplicate the replicated side") {
+    val df = spark.range(5).toDF("k")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, "k", 4, "right")
+    }
+  }
+
   test("saltedJoin produces identical results to a plain join") {
     val big = Tables(spark, sf0001).orders.select($"o_orderkey", $"o_custkey")
     val small = Tables(spark, sf0001).customer.select($"c_custkey", $"c_mktsegment")

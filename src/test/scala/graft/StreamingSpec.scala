@@ -84,10 +84,13 @@ class StreamingSpec extends SparkSpec {
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val q = Streams.enrich(stream, dim, Seq("user_id"))
       .writeStream.format("memory").queryName("enriched").outputMode("append").start()
-    mem.addData((1L, 10.0), (2L, 20.0), (1L, 30.0))
+    mem.addData((1L, 10.0), (2L, 20.0), (1L, 30.0), (3L, 40.0))
     q.processAllAvailable(); q.stop()
-    val tiers = spark.table("enriched").select($"tier").as[String].collect().sorted
-    assert(tiers.toSeq === Seq("gold", "gold", "silver"))
+    val rows = spark.table("enriched").select($"user_id", $"tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sorted
+    // unmatched key 3 passes through unenriched (left outer), never dropped
+    assert(rows.toSeq === Seq(1L -> Some("gold"), 1L -> Some("gold"),
+      2L -> Some("silver"), 3L -> None))
   }
 
   test("streaming error budget stops the query once corrupt rows exceed it") {
