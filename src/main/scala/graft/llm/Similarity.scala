@@ -175,12 +175,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
-    // deterministic centroid sample: rank by id, take every strided row
-    val n = vecs.count()
-    val stride = math.max(1L, n / nCells)
+    // deterministic pseudo-random centroid sample: the nCells ids with the
+    // smallest hash — orderBy+limit plans as TakeOrdered (per-partition
+    // heap + driver merge of nCells rows), never a global single-partition
+    // sort
     val centroids = vecs
-      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
-      .filter((col("rn") - 1) % stride === 0)
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
       .limit(nCells)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
 

@@ -29,6 +29,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(1) === 2L)
   }
 
+  test("GraftExtensions builders evaluate standalone (injection hook wiring)") {
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ham = graft.functions.GraftFunctions.all.toMap
+      .apply("graft_hamming64")(Seq(Literal(255L), Literal(0L)))
+    assert(ham.eval(null) === 8L)
+    val arr = Literal.create(Array(3.0, 4.0), ArrayType(DoubleType))
+    val cos = graft.functions.GraftFunctions.all.toMap
+      .apply("graft_cosine")(Seq(arr, arr))
+    assert(cos.eval(null) === 1.0)
+  }
+
   test("CosineSim participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val e = Tables(spark, sf0001).embeddings.limit(10)
