@@ -48,7 +48,8 @@ object ErrorTolerant {
     }
   }
 
-  private def withCorrupt(schema: StructType): StructType =
+  /** Append the corrupt-record column unless the schema already has it. */
+  def withCorrupt(schema: StructType): StructType =
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, StringType, nullable = true)
 

@@ -35,15 +35,20 @@ case class CosineSim(left: Expression, right: Expression)
       s"graft_cosine requires array<double> inputs, got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null array elements → null result
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: array lengths differ ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match HOF null semantics
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -58,14 +63,21 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: array lengths differ (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = $a.getDouble($i);
          |  double $yv = $b.getDouble($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

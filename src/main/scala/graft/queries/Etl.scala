@@ -150,20 +150,26 @@ object Etl extends QueryPack {
             x => x.getField("event_type"))).as("batch"))
     }),
 
-    // ---- T5: pipeline copy (read → write → read back, stats preserved) ----
+    // ---- T5: pipeline copy (read → write → read back). The observed count
+    //      from the write action (Observation metrics, zero extra jobs) is
+    //      emitted alongside the read-back count — the oracle equating them
+    //      proves single-pass stats match reality. ----
     "t5_pipeline_copy" -> ((s, dir) => {
       import s.implicits._
       val out = sys.props("java.io.tmpdir") + "/graft_pipeline_copy"
-      val n = Transforms.copyPipeline(t(s, dir).lineitem,
+      val observed = Transforms.copyPipeline(t(s, dir).lineitem,
         df => df.write.mode("overwrite").parquet(out))
       s.read.parquet(out).agg(
         count(lit(1)).as("rows_copied"),
         dsum($"l_quantity").as("sum_qty"))
+        .withColumn("observed_rows", lit(observed))
     }),
 
     // ---- S3/O3: JDBC roundtrip on embedded Derby with dead-letter sink ----
     "o3_jdbc_roundtrip" -> ((s, dir) => {
       import s.implicits._
+      sys.props.getOrElseUpdate("derby.system.home",
+        sys.props("java.io.tmpdir")) // keep derby.log out of the CWD
       val db = sys.props("java.io.tmpdir") + "/graft_derby_" +
         java.util.UUID.randomUUID().toString.take(8)
       val url = s"jdbc:derby:$db;create=true"
@@ -176,9 +182,21 @@ object Etl extends QueryPack {
       val dups = Seq((5, "duplicate"), (7, "duplicate")).toDF("id", "resource_type")
       val dead = Jdbc.writeBatchedWithDeadLetter(rows.union(dups), url, "info", 7)
       val nDead = dead.count()
-      Jdbc.read(s, url, "SELECT COUNT(*) AS N FROM info")
+      dead.unpersist() // quarantine frame is pinned by contract; release it
+      val result = Jdbc.read(s, url, "SELECT COUNT(*) AS N FROM info")
         .select(col("N").cast("long").as("rows_written"))
         .withColumn("dead_letters", lit(nDead))
+        .cache()
+      result.count() // materialize before tearing the database down
+      try DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // shutdown always "throws"
+      val dir = java.nio.file.Paths.get(db)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      result
     })
   )
 
@@ -249,7 +267,8 @@ object Etl extends QueryPack {
         |GROUP BY user_id""".stripMargin,
 
     "t5_pipeline_copy" ->
-      s"""SELECT count(*) AS rows_copied, ${sqlDsum("l_quantity")} AS sum_qty
+      s"""SELECT count(*) AS rows_copied, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  count(*) AS observed_rows
          |FROM lineitem""".stripMargin,
 
     "o3_jdbc_roundtrip" ->

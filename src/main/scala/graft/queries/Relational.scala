@@ -261,10 +261,6 @@ object Relational extends QueryPack {
           min($"l_extendedprice").as("min_price"))
     }),
 
-    // ---- as-of join (point-in-time lookup): each order matched to the
-    //      customer's latest "statement" at or before the order date.
-    //      Spark has no native as-of join; graft.operators.Joins.asOf is
-    //      the one-shuffle union+window form (no range-join explosion). ----
     // ---- distinct union (set semantics, complementing q12's EXCEPT/INTERSECT) ----
     "q27_union" -> ((s, dir) => {
       import s.implicits._
@@ -284,6 +280,10 @@ object Relational extends QueryPack {
           date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"))
     }),
 
+    // ---- as-of join (point-in-time lookup): each order matched to the
+    //      customer's latest "statement" at or before the order date.
+    //      Spark has no native as-of join; graft.operators.Joins.asOf is
+    //      the one-shuffle union+window form (no range-join explosion). ----
     "q21_asof_join" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir).orders
@@ -444,9 +444,9 @@ object Relational extends QueryPack {
 
     "q9_window_running" ->
       """SELECT event_id, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
         |FROM events""".stripMargin,
 

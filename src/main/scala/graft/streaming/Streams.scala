@@ -30,7 +30,7 @@ object Streams {
     spark.readStream
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", ErrorTolerant.CorruptCol)
-      .schema(schema.add(ErrorTolerant.CorruptCol, "string"))
+      .schema(ErrorTolerant.withCorrupt(schema))
       .json(pathGlob)
       .withColumn("source", input_file_name())
       .withColumn("is_error", col(ErrorTolerant.CorruptCol).isNotNull)
@@ -131,17 +131,17 @@ object Streams {
   }
 
   /** J2 fan-out for streams: one source, N sinks, single read per
-    * micro-batch (persist inside foreachBatch) — the streaming splitter.
+    * micro-batch — the streaming splitter, delegating each batch to the
+    * batch splitter (`graft.etl.Transforms.fanOut`) so the two forms cannot
+    * drift.
     */
   def fanOutForeachBatch(stream: DataFrame, checkpoint: String,
-      sinks: Seq[(String, DataFrame => Unit)]): org.apache.spark.sql.streaming.StreamingQuery =
+      sinks: Seq[DataFrame => Unit]): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.persist()
-        try { cached.count(); sinks.foreach { case (_, sink) => sink(cached) } }
-        finally { cached.unpersist() }
+        graft.etl.Transforms.fanOut(batch, sinks)
         ()
       }
       .start()

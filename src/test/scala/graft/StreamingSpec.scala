@@ -117,7 +117,7 @@ class StreamingSpec extends SparkSpec {
     val seen = new java.util.concurrent.atomic.AtomicLong()
     def start() = Streams.fanOutForeachBatch(
       spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
-      cp, Seq("count" -> (d => seen.addAndGet(d.count()))))
+      cp, Seq(d => seen.addAndGet(d.count())))
     java.nio.file.Files.write(in.resolve("a.ndjson"),
       "{\"id\":\"1\"}\n{\"id\":\"2\"}".getBytes)
     val q1 = start(); q1.processAllAvailable(); q1.stop()
@@ -134,8 +134,8 @@ class StreamingSpec extends SparkSpec {
     val c2 = new java.util.concurrent.atomic.AtomicLong()
     val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
     val q = Streams.fanOutForeachBatch(mem.toDF(), cp, Seq(
-      "a" -> (d => c1.addAndGet(d.count())),
-      "b" -> (d => c2.addAndGet(d.count()))))
+      d => c1.addAndGet(d.count()),
+      d => c2.addAndGet(d.count())))
     mem.addData(1L, 2L, 3L); q.processAllAvailable()
     mem.addData(4L); q.processAllAvailable(); q.stop()
     assert(c1.get() === 4 && c2.get() === 4)
