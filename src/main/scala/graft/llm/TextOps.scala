@@ -18,6 +18,14 @@ object TextOps {
 
   private val Hex = "0123456789abcdef"
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * punctuation, collapse whitespace runs, trim. The standard pre-hash
+    * normalization so near-identical formatting variants dedup exactly.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:'\"()\\[\\]{}]", ""),
+      "\\s+", " "))
+
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 

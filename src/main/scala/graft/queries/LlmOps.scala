@@ -68,6 +68,12 @@ object LlmOps extends QueryPack {
       Dedup.jaccardJoinBlocked(d, "doc_id", "toks", Seq("lang"), 0.5)
     }),
 
+    // ---- canonical normalization + normalized-content dedup key ----
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        TextOps.normalize(col("text")).as("norm_text"),
+        md5(TextOps.normalize(col("text"))).as("norm_key"))),
+
     // ---- rolling-hash document fingerprint ----
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -189,6 +195,12 @@ object LlmOps extends QueryPack {
          |  JOIN (SELECT doc_id, lang, list_distinct($DuckToks) AS s FROM documents) b
          |    ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |WHERE jac >= 0.5""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key
+        |FROM documents""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, list_min(list_transform(

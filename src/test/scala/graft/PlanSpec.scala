@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan shape regression tests: the scale promises (pushdown,
+  * broadcast dims, partial aggregation, top-K without global sort) must
+  * fail CI if a refactor silently loses them — not just show up as a bench
+  * regression. Complements graft.tools.PlanAudit (interactive sweep).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q2 filter+projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p.take(500))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q3/q5 star joins broadcast the dimension sides") {
+    assert(plan("q3_revenue_by_segment").contains("BroadcastHashJoin"))
+    assert(plan("q5_nation_volume").contains("BroadcastHashJoin"))
+  }
+
+  test("q1 aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_"), p.take(500))
+    assert("Exchange ".r.findAllIn(p).size === 1)
+  }
+
+  test("q10 global top-K plans as TakeOrdered, not a full sort") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrdered"), p.take(500))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q8 per-group top-N shuffles once on the partition key") {
+    val p = plan("q8_window_topn_per_group")
+    assert("Exchange ".r.findAllIn(p).size === 1, p.take(800))
+  }
+
+  test("map-only text analysis stays zero-exchange and codegen'd") {
+    Seq("text_quality", "text_langid", "dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n${p.take(400)}")
+      assert(p.contains("*("), s"$q fell out of codegen")
+    }
+  }
+}
