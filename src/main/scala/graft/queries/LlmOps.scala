@@ -68,6 +68,19 @@ object LlmOps extends QueryPack {
       Dedup.jaccardJoinBlocked(d, "doc_id", "toks", Seq("lang"), 0.5)
     }),
 
+    // ---- deterministic uniform sampling: bottom-k by content hash per
+    //      group (no RNG, reproducible on any cluster layout — the
+    //      LLM-corpus "take a stable N-doc sample per language" op) ----
+    "sample_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      t(s, dir).documents
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
+    }),
+
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -195,6 +208,13 @@ object LlmOps extends QueryPack {
          |  JOIN (SELECT doc_id, lang, list_distinct($DuckToks) AS s FROM documents) b
          |    ON a.lang = b.lang AND a.doc_id < b.doc_id)
          |WHERE jac >= 0.5""".stripMargin,
+
+    "sample_per_group" ->
+      """SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

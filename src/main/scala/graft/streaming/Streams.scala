@@ -130,6 +130,29 @@ object Streams {
     (query, errors)
   }
 
+  /** Per-key running statistics emitted on every update —
+    * `flatMapGroupsWithState` with explicit keyed state: the general
+    * custom-state escape hatch (arbitrary per-key accumulators, emit-on-
+    * change), complementing mapGroupsWithState (dedup) and session_window
+    * (sessions). State is (count, sum); each micro-batch emits the new
+    * running values for keys it touched.
+    */
+  def runningStatsByKey(ds: Dataset[(String, Double)]):
+      Dataset[(String, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, items: Iterator[(String, Double)],
+            state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          items.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          if (n == n0) Iterator.empty else Iterator((key, n, s))
+      }
+  }
+
   /** J2 fan-out for streams: one source, N sinks, single read per
     * micro-batch — the streaming splitter, delegating each batch to the
     * batch splitter (`graft.etl.Transforms.fanOut`) so the two forms cannot

@@ -78,6 +78,22 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("flatMapGroupsWithState running stats accumulate across batches") {
+    val mem = MemoryStream[(String, Double)](spark)
+    val q = Streams.runningStatsByKey(mem.toDS())
+      .toDF("key", "n", "sum")
+      .writeStream.format("memory").queryName("runstats")
+      .outputMode("append").start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0))
+    q.processAllAvailable(); q.stop()
+    val byBatchEnd = spark.table("runstats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch 1 emits (a,2,3.0) and (b,1,10.0); batch 2 emits updated (a,3,6.0)
+    assert(byBatchEnd === Set(("a", 2L, 3.0), ("b", 1L, 10.0), ("a", 3L, 6.0)))
+  }
+
   test("stream-static enrichment join broadcasts the dimension side") {
     val mem = MemoryStream[(Long, Double)](spark)
     val stream = mem.toDF().toDF("user_id", "value")
