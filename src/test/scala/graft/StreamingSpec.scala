@@ -78,6 +78,26 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("corpusIngest composes decode → normalize → dedup → quality gate") {
+    val in = java.nio.file.Files.createTempDirectory("graft_ingest_in")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val goodText = ("the quick brown fox and the lazy dog " * 4).trim
+    java.nio.file.Files.write(in.resolve("a.ndjson"), Seq(
+      s"""{"doc_id":1,"text":"$goodText"}""",
+      s"""{"doc_id":2,"text":"  ${goodText.toUpperCase}!!"}""", // case+punct variant
+      "not json at all",
+      """{"doc_id":3,"text":"x"}""" // too short → quality gate drops it
+    ).mkString("\n").getBytes)
+    val q = graft.streaming.Pipelines
+      .corpusIngest(spark, in.toString + "/*.ndjson", schema, minQuality = 0.3)
+      .writeStream.format("memory").queryName("ingest").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ingest").select($"doc_id").as[Long].collect().sorted
+    // doc 2 normalizes to doc 1's text → deduped; corrupt line and doc 3 dropped
+    assert(out.toSeq === Seq(1L))
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val mem = MemoryStream[(String, Double)](spark)
     val q = Streams.runningStatsByKey(mem.toDS())
