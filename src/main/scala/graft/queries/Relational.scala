@@ -261,6 +261,43 @@ object Relational extends QueryPack {
           min($"l_extendedprice").as("min_price"))
     }),
 
+    // ---- window function completeness: first/last/ntile/dense_rank ----
+    "q28_window_misc" -> ((s, dir) => {
+      import s.implicits._
+      val wOrder = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      val wFull = wOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir).orders.select(
+        $"o_orderkey", $"o_custkey",
+        first($"o_totalprice").over(wFull).as("first_price"),
+        last($"o_totalprice").over(wFull).as("last_price"),
+        ntile(4).over(wOrder).cast("long").as("quartile"),
+        dense_rank().over(Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderpriority".asc)).cast("long").as("priority_rank"))
+    }),
+
+    // ---- correlated scalar subquery: above own-group average ----
+    "q29_above_own_avg" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val custAvg = o.groupBy($"o_custkey".as("ck"))
+        .agg((dsum($"o_totalprice") / count(lit(1))).as("cust_avg"))
+      o.join(broadcast(custAvg), $"o_custkey" === $"ck")
+        .where($"o_totalprice" > $"cust_avg")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // ---- multiset set operators (ALL variants keep duplicates) ----
+    "q30_setops_all" -> ((s, dir) => {
+      import s.implicits._
+      val tb = t(s, dir)
+      val a = tb.orders.select($"o_custkey".as("key"))
+      val b = tb.customer.select($"c_custkey".as("key"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .groupBy($"op").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- distinct union (set semantics, complementing q12's EXCEPT/INTERSECT) ----
     "q27_union" -> ((s, dir) => {
       import s.implicits._
@@ -522,6 +559,38 @@ object Relational extends QueryPack {
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q28_window_misc" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority ASC) AS BIGINT) AS priority_rank
+        |FROM orders""".stripMargin,
+
+    "q29_above_own_avg" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM orders o
+         |WHERE o_totalprice > (
+         |  SELECT ${sqlDsum("o_totalprice")} / count(*)
+         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q30_setops_all" ->
+      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey FROM customer) a
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey FROM customer) b""".stripMargin,
 
     "q27_union" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
