@@ -36,6 +36,9 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // null array elements → null result
+  // literal inputs fold at plan time via Catalyst's own ConstantFolding —
+  // no custom optimizer rule needed
+  override def foldable: Boolean = left.foldable && right.foldable
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -96,6 +99,7 @@ case class Hamming64(left: Expression, right: Expression)
       s"graft_hamming64 requires bigint inputs, got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = LongType
+  override def foldable: Boolean = left.foldable && right.foldable
   override def prettyName: String = "graft_hamming64"
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -43,6 +43,14 @@ class FunctionsSpec extends SparkSpec {
     assert(cos.eval(null) === 1.0)
   }
 
+  test("literal graft_cosine calls constant-fold at plan time") {
+    GraftFunctions.register(spark)
+    val plan = spark.sql(
+      "SELECT graft_hamming64(7L, 1L) AS h FROM range(3)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("2 AS h"), plan) // folded to a literal, no per-row eval
+  }
+
   test("CosineSim participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val e = Tables(spark, sf0001).embeddings.limit(10)
