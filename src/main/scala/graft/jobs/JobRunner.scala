@@ -172,6 +172,22 @@ final class JobRunner(
     detached += taskName -> pool.submit(
       new java.util.concurrent.Callable[Long] { def call(): Long = action() })
 
+  /** Structured run report as a DataFrame — the reference's CSV log sink
+    * (`etl-core/src/utils/log.rs:82-136`, O8) reimagined as data: one row
+    * per step with status/counters/timing, writable to any format and
+    * queryable like everything else.
+    */
+  def runReport(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val streamRows = state.streams.values.map(s => (s.name, "stream", s.stepIndex,
+      s.status, s.startedMs, s.finishedMs.getOrElse(-1L), s.totalLinesScanned,
+      s.numErrors, s.outputs.map(_.linesWritten).sum))
+    val cmdRows = state.commands.values.map(c => (c.name, "command", c.stepIndex,
+      c.status, c.startedMs, c.finishedMs.getOrElse(-1L), 0L, 0L, 0L))
+    (streamRows ++ cmdRows).toSeq.toDF("step", "kind", "step_index", "status",
+      "started_ms", "finished_ms", "lines_scanned", "num_errors", "lines_written")
+  }
+
   /** Join detached outputs, mark job completed — `complete()`
     * (`job.rs:280-314`).
     */

@@ -115,6 +115,19 @@ class JobSpec extends SparkSpec {
     assert(st.streams("__detached__").outputs === List(OutputStats("side", 42)))
   }
 
+  test("run report exposes step history as a queryable DataFrame (O8 parity)") {
+    val r = new JobRunner("j7", "report", new InMemoryStore)
+    r.runCmd("ddl")(())
+    r.runDecodedStream("decode", malformedDecoded(), "mock", _.count())
+    val report = r.runReport(spark)
+    assert(report.count() === 2)
+    val decode = report.filter(org.apache.spark.sql.functions.col("step") === "decode").head()
+    assert(decode.getAs[String]("status") === JobState.Complete)
+    assert(decode.getAs[Long]("lines_scanned") === 5L)
+    assert(decode.getAs[Long]("num_errors") === 2L)
+    assert(decode.getAs[Long]("lines_written") === 3L)
+  }
+
   test("JobState JSON round-trips through the store doc format") {
     val s = JobState("a", "b", 2,
       Map("x" -> StepStreamStatus("x", 0, "Complete", 1L, Some(2L), 10, 1,
