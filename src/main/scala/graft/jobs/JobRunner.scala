@@ -75,34 +75,52 @@ final class JobRunner(
     */
   def runDecodedStream(step: String, decoded: ErrorTolerant.Decoded,
       sinkName: String, write: DataFrame => Long,
+      stopOnError: Boolean = true): Boolean =
+    runDecodedStreamLazy(step, decoded, sinkName, write, stopOnError)
+
+  /** Same, with a by-name decoded source: nothing is forced (no schema
+    * inference, no file listing) when the step skips as already Complete.
+    */
+  def runDecodedStreamLazy(step: String, decoded: => ErrorTolerant.Decoded,
+      sinkName: String, write: DataFrame => Long,
       stopOnError: Boolean = true): Boolean = {
     if (state.isStreamComplete(step)) return false
     abortIfFatal(stopOnError)
     val started = now()
+    // a retry of a previously Errored step must not re-charge the errors it
+    // already charged to the budgets
+    val previouslyCharged =
+      state.streams.get(step).map(_.numErrors).getOrElse(0L)
     state = state.copy(streams = state.streams + (step ->
       StepStreamStatus(step, state.curStepIndex, JobState.InProgress, started,
         None, 0, 0, Map.empty, Nil, None)))
     save()
+    var stepErrors = 0L
+    var all: DataFrame = null
     try {
       // Cache: (a) the ok/err aggregation, per-file counts, and the sink
       // write share one scan; (b) file-backed permissive reads disallow
       // corrupt-record-only projections unless parsed results are cached
       // (Spark QUERY_ONLY_CORRUPT_RECORD_COLUMN rule).
-      val all = decoded.all.cache()
+      all = decoded.all.cache()
       val cachedDecoded = ErrorTolerant.Decoded(all)
       val hasLineage = all.columns.contains("source")
       val perFile: Map[String, FileStatus] =
         if (hasLineage)
-          all.groupBy(element_at(split(col("source"), "/"), -1).as("f"))
+          // key = full source URI: basenames collide across directories
+          all.groupBy(col("source").as("f"))
             .agg(sum(when(col(ErrorTolerant.CorruptCol).isNull, 1L).otherwise(0L)).as("ok"),
               sum(when(col(ErrorTolerant.CorruptCol).isNotNull, 1L).otherwise(0L)).as("err"))
             .collect().map(r => r.getString(0) -> FileStatus(r.getLong(1), r.getLong(2)))
             .toMap
         else Map.empty
-      val (ok, err) = cachedDecoded.counts
-      checkBudgets(step, err)
+      // with lineage, totals are already in hand — no second aggregation
+      val (ok, err) =
+        if (hasLineage) (perFile.values.map(_.numOk).sum, perFile.values.map(_.numErr).sum)
+        else cachedDecoded.counts
+      stepErrors = err
+      checkBudgets(step, math.max(0L, err - previouslyCharged))
       val written = write(cachedDecoded.good)
-      all.unpersist()
       state = state.copy(
         curStepIndex = state.curStepIndex + 1,
         streams = state.streams + (step -> StepStreamStatus(step,
@@ -116,16 +134,18 @@ final class JobRunner(
           fatalError = Some(e.getMessage),
           streams = state.streams + (step -> state.streams(step).copy(
             status = JobState.Error, finishedMs = Some(now()),
-            numErrors = errorsSoFar, error = Some(e.getMessage))))
+            numErrors = stepErrors, error = Some(e.getMessage))))
         save()
         throw e
-    }
+    } finally if (all != null) all.unpersist()
   }
 
-  /** Plain stream step: any DataFrame, no decode-error accounting. */
+  /** Plain stream step: any DataFrame, no decode-error accounting. The
+    * by-name parameter is only forced if the step actually runs.
+    */
   def runStream(step: String, df: => DataFrame, sinkName: String,
       write: DataFrame => Long): Boolean =
-    runDecodedStream(step,
+    runDecodedStreamLazy(step,
       ErrorTolerant.Decoded(df.withColumn(ErrorTolerant.CorruptCol,
         lit(null).cast("string"))),
       sinkName, write)
@@ -189,17 +209,33 @@ final class JobRunner(
   }
 
   /** Join detached outputs, mark job completed — `complete()`
-    * (`job.rs:280-314`).
+    * (`job.rs:280-314`). EVERY detached task is joined (a failure in one
+    * does not leave later ones running unobserved); the first failure is
+    * rethrown after all joins, state save, and pool shutdown.
     */
   def complete(): JobState = {
-    val outs = detached.map { case (n, f) => OutputStats(n, f.get()) }.toList
-    if (outs.nonEmpty) {
+    val joined = detached.map { case (n, f) =>
+      n -> scala.util.Try(f.get())
+    }.toList
+    detached.clear()
+    if (joined.nonEmpty) pool.shutdown()
+    val outs = joined.collect { case (n, scala.util.Success(written)) =>
+      OutputStats(n, written)
+    }
+    val failures = joined.collect { case (n, scala.util.Failure(e)) => n -> e }
+    if (joined.nonEmpty) {
       state = state.copy(streams = state.streams + ("__detached__" ->
-        StepStreamStatus("__detached__", state.curStepIndex, JobState.Complete,
-          now(), Some(now()), outs.map(_.linesWritten).sum, 0, Map.empty, outs, None)))
+        StepStreamStatus("__detached__", state.curStepIndex,
+          if (failures.isEmpty) JobState.Complete else JobState.Error,
+          now(), Some(now()), outs.map(_.linesWritten).sum, failures.size,
+          Map.empty, outs,
+          failures.headOption.map { case (n, e) => s"$n: ${e.getMessage}" })))
     }
     save()
     manager.foreach(_.jobCompleted(this))
+    failures.headOption.foreach { case (n, e) =>
+      throw new IllegalStateException(s"detached output '$n' failed", e)
+    }
     state
   }
 }

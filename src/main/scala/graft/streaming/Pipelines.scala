@@ -14,10 +14,14 @@ object Pipelines {
   /** Continuous corpus ingestion:
     *
     *   raw NDJSON drops
-    *     → error-tolerant decode (corrupt rows split off, counted)
+    *     → error-tolerant decode; corrupt rows and rows missing doc_id/text
+    *       are dropped here (wrap the decode stream with
+    *       `Streams.decodeWithErrorBudget` when the drop rate must be
+    *       observed and bounded — this pipeline itself is the happy path)
     *     → canonical normalization (TextOps.normalize)
     *     → streaming exact-dedup on the normalized content key
-    *       (keyed state, first occurrence wins, across micro-batches)
+    *       (keyed state, first occurrence wins, across micro-batches,
+    *       Append mode → composes with file sinks)
     *     → quality gate (TextOps.qualityScore ≥ minQuality)
     *     → scored output stream
     *
@@ -30,6 +34,9 @@ object Pipelines {
     import spark.implicits._
     val decoded = Streams.decodeJsonStream(spark, pathGlob, schema)
       .filter(!col("is_error"))
+      // a parseable row with a null doc_id/text would NPE the typed dedup
+      // encoder and crash-loop the query from the checkpoint
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .withColumn("norm_text", TextOps.normalize(col("text")))
       .withColumn("norm_key", md5(col("norm_text")))
     val deduped: Dataset[(String, Long, String)] = Streams.streamingDedupByKey(

@@ -59,20 +59,21 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
 
   /** Streaming exact-dedup across micro-batches: keep the FIRST record per
-    * key ever seen, drop all later ones — `mapGroupsWithState` keyed state.
-    * The streaming form of Dedup.exact for continuous ingestion pipelines.
+    * key ever seen, drop all later ones — `flatMapGroupsWithState` keyed
+    * state in Append mode, so the result composes with file sinks (the
+    * natural target of an ingestion pipeline; `mapGroupsWithState` would
+    * force Update mode, which file sinks reject).
     */
   def streamingDedupByKey[T](ds: Dataset[T], key: T => String)(
-      implicit e: org.apache.spark.sql.Encoder[T],
-      oe: org.apache.spark.sql.Encoder[Option[T]]): Dataset[T] = {
+      implicit e: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(key)
-      .mapGroupsWithState[Boolean, Option[T]](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, items: Iterator[T], state: GroupState[Boolean]) =>
-          if (state.exists) None
-          else { state.update(true); items.nextOption() }
+          if (state.exists) Iterator.empty
+          else { state.update(true); items.take(1) }
       }
-      .flatMap(_.toSeq)
   }
 
   /** Stream-static enrichment join: a stream joined to a (small) dimension

@@ -61,8 +61,11 @@ class JobSpec extends SparkSpec {
     val r = new JobRunner("j3", "files", new InMemoryStore)
     r.runDecodedStream("decode", dec, "noop", _.count())
     val files = r.currentState.streams("decode").files
-    assert(files("bad.ndjson") === FileStatus(3, 2))
-    assert(files("good.ndjson") === FileStatus(2, 0))
+    def byName(n: String) = files.collectFirst {
+      case (k, v) if k.endsWith(n) => v
+    }.get
+    assert(byName("bad.ndjson") === FileStatus(3, 2))
+    assert(byName("good.ndjson") === FileStatus(2, 0))
   }
 
   test("run_cmd: stop_on_error=false continues, fatal latch stops next strict step (job-command.rs)") {

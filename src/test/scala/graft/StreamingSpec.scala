@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[String](spark)
     val deduped = Streams.streamingDedupByKey(mem.toDS(), identity[String])
     val q = deduped.writeStream.format("memory").queryName("dedup")
-      .outputMode("update").start()
+      .outputMode("append").start()
     mem.addData("a", "b", "a")
     q.processAllAvailable()
     mem.addData("b", "c") // b already seen in batch 1
@@ -91,7 +91,7 @@ class StreamingSpec extends SparkSpec {
     ).mkString("\n").getBytes)
     val q = graft.streaming.Pipelines
       .corpusIngest(spark, in.toString + "/*.ndjson", schema, minQuality = 0.3)
-      .writeStream.format("memory").queryName("ingest").outputMode("update").start()
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val out = spark.table("ingest").select($"doc_id").as[Long].collect().sorted
     // doc 2 normalizes to doc 1's text → deduped; corrupt line and doc 3 dropped
