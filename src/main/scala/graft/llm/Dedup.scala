@@ -77,11 +77,38 @@ object Dedup {
 
   /** Ensure enough partitions for a CPU-heavy map stage: small local files
     * arrive as one split; at warehouse scale the input is already split and
-    * this is a no-op.
+    * this is a no-op. Decided from the logical plan's input file count —
+    * never forces plan→RDD conversion at build time (non-file inputs, e.g.
+    * in-memory test frames, are left alone: they are already parallelized).
     */
   private def ensureParallelism(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want / 2) df.repartition(want) else df
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < want / 2) df.repartition(want) else df
+  }
+
+  /** Distinct (id_a, id_b) pairs (id_a < id_b) among ids sharing a bucket:
+    * ONE shuffle of slim (bucket key, id) rows + local pair generation
+    * inside each bucket, instead of a two-sided self-join (which shuffles
+    * the index twice and builds a hash table). Output volume is identical —
+    * bounded by Σ bucket² — so the final distinct sees the same input.
+    */
+  private[llm] def pairsWithinBuckets(idx: DataFrame, keyCols: Seq[String],
+      idCol: String): DataFrame = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    idx.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol).cast("long")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).as[Seq[Long]]
+      .mapPartitions(_.flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        a.indices.iterator.flatMap(i =>
+          (i + 1 until a.length).iterator.map(j => (a(i), a(j))))
+      })
+      .toDF("id_a", "id_b")
+      .distinct()
   }
 
   /** LSH candidate pairs: band the signature, bucket-join within bands.
@@ -111,11 +138,7 @@ object Dedup {
           }
         }
       }.toDF("id", "band", "bucket")
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    pairsWithinBuckets(banded, Seq("band", "bucket"), "id")
   }
 
   /** Exact Jaccard over (id_a, id_b, set_a, set_b) rows, JIT-compiled
@@ -134,7 +157,36 @@ object Dedup {
         val s = sa.toSet
         var inter = 0
         sb.foreach(x => if (s.contains(x)) inter += 1)
-        (a, b, inter.toDouble / (sa.size + sb.size - inter))
+        val union = sa.size + sb.size - inter
+        // two empty sets → 0/0; report 0.0, not NaN (Spark orders NaN above
+        // every double, so NaN would silently pass a >= threshold filter)
+        (a, b, if (union == 0) 0.0 else inter.toDouble / union)
+      })
+      .toDF("id_a", "id_b", "jac")
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Exact Jaccard over hashed-set pair rows (id_a, id_b, hs_a, hs_b) where
+    * the sets are SORTED long arrays: linear merge intersection, no string
+    * deserialization in the pair loop. Hashed counts equal string-set counts
+    * (64-bit collisions are ~2^-64), so jac values are oracle-identical.
+    */
+  private def jaccardOfHashedPairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("hs_a"), col("hs_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (a, b, ha, hb) =>
+        var i = 0; var j = 0; var inter = 0
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1
+          else j += 1
+        }
+        val union = ha.length + hb.length - inter
+        (a, b, if (union == 0) 0.0 else inter.toDouble / union)
       })
       .toDF("id_a", "id_b", "jac")
       .filter(col("jac") >= threshold)
@@ -172,18 +224,85 @@ object Dedup {
       .toDF("id", "set")
   }
 
-  /** Full MinHash+LSH near-dup pipeline: text → word n-gram shingles → LSH
-    * candidates → exact-Jaccard verified pairs. Shingle sets are computed
-    * once (kernel), shared by candidate generation and verification.
+  /** Distinct word n-gram shingle sets as SORTED 64-bit hash arrays — the
+    * scale representation: one kernel pass hashes each shingle once, the
+    * verify stage intersects by linear merge, and shuffles carry 8 bytes per
+    * shingle instead of the string. Returns (id, hs).
+    */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val sh =
+          if (toks.length < n) Array(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toArray
+        val hs = sh.distinct.map(hash64)
+        java.util.Arrays.sort(hs)
+        (id, hs)
+      })
+      .toDF("id", "hs")
+  }
+
+  /** Minhash signature from a hashed shingle set (same universal-hash family
+    * as `sigScala`; base values are the 64-bit shingle hashes folded into
+    * the modular space). JIT-compiled primitive loop.
+    */
+  private def sigFromHashes(hs: Array[Long], numHashes: Int): Array[Long] = {
+    val base = new Array[Long](hs.length)
+    var k = 0
+    while (k < hs.length) { base(k) = (hs(k) & Long.MaxValue) % P; k += 1 }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var h = 0
+    while (h < numHashes) {
+      val a = 2L * h + 1; val b = 7919L * h
+      var m = Long.MaxValue
+      var i = 0
+      while (i < base.length) {
+        val v = (a * base(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(h) = m
+      h += 1
+    }
+    sig
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: text → hashed word n-gram shingle
+    * sets (one kernel pass, persisted, shared by candidate generation and
+    * verification) → banded LSH buckets → bucket-local candidate pairs →
+    * exact-Jaccard verified pairs via sorted-array merge. All shuffles carry
+    * either (id, band, bucket) triples or 8-byte-per-shingle hash arrays —
+    * never raw shingle strings.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64,
       threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleN).persist()
-    val cands = lshCandidates(sets, "id", "set", numHashes, bands)
-    jaccardOfPairs(cands
-      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b"),
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = hashedShingleSets(df, idCol, textCol, shingleN).persist()
+    val banded = sets.as[(Long, Array[Long])]
+      .mapPartitions(_.flatMap { case (id, hs) =>
+        val sig = sigFromHashes(hs, numHashes)
+        (0 until bands).iterator.map { b =>
+          var bh = 1125899906842597L
+          var i = b * rows
+          while (i < (b + 1) * rows) { bh = bh * 31 + sig(i); i += 1 }
+          (id, b, bh)
+        }
+      })
+      .toDF("id", "band", "bucket")
+    val cands = pairsWithinBuckets(banded, Seq("band", "bucket"), "id")
+    jaccardOfHashedPairs(cands
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b")),
       threshold)
   }
 
@@ -195,14 +314,22 @@ object Dedup {
       (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
 
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs
-    * limited to equal blocking keys. For bounded block sizes only — the
-    * LSH pipeline is the unbounded-scale path.
+    * limited to equal blocking keys PLUS an automatic set-size bucket.
     *
     * Scale mechanics: token sets are dictionary-hashed to SORTED long
     * arrays once per row (primitive encoder, no per-pair string
     * deserialization), the pair join carries a sound size-ratio prefilter
     * (jac ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — drops pairs without changing the
     * output), and the intersection is a linear merge of sorted arrays.
+    *
+    * Size bucketing (lossless): jac ≥ t bounds the size ratio to [t, 1/t],
+    * so in log_{1/t}(size) space qualifying pairs sit at most ONE bucket
+    * apart. The probe side is expanded to its bucket ±1 and joined against
+    * the single-bucket build side — every qualifying pair matches exactly
+    * once (the build side's bucket is unique per row), and block
+    * populations are bounded by (user block × size bucket), never a whole
+    * language's corpus share. This keeps the blocked join O(Σ bucket²)
+    * instead of O(n²/|blocks|) at corpus scale.
     */
   def jaccardJoinBlocked(df: DataFrame, idCol: String, tokensCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
@@ -218,24 +345,20 @@ object Dedup {
       })
       .toDF("id", "block", "hs")
       .withColumn("sz", size(col("hs")))
-    val pairs = hashed.as("l").join(hashed.as("r"),
-        col("l.block") === col("r.block") && col("l.id") < col("r.id") &&
+      .withColumn("lb",
+        if (threshold >= 1.0) col("sz").cast("long")
+        else floor(log(greatest(col("sz"), lit(1)).cast("double")) /
+          math.log(1.0 / threshold)).cast("long"))
+    val probe = hashed.select(col("id"), col("block"), col("hs"), col("sz"),
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lbx"))
+    val pairs = probe.as("l").join(hashed.as("r"),
+        col("l.block") === col("r.block") && col("l.lbx") === col("r.lb") &&
+          col("l.id") < col("r.id") &&
           col("l.sz") >= col("r.sz") * threshold &&
           col("r.sz") >= col("l.sz") * threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.hs").as("hs_a"), col("r.hs").as("hs_b"))
-    pairs.as[(Long, Long, Array[Long], Array[Long])]
-      .mapPartitions(_.map { case (a, b, ha, hb) =>
-        var i = 0; var j = 0; var inter = 0
-        while (i < ha.length && j < hb.length) {
-          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
-          else if (ha(i) < hb(j)) i += 1
-          else j += 1
-        }
-        (a, b, inter.toDouble / (ha.length + hb.length - inter))
-      })
-      .toDF("id_a", "id_b", "jac")
-      .filter(col("jac") >= threshold)
+    jaccardOfHashedPairs(pairs, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, pairs within `maxHamming`.

@@ -226,11 +226,10 @@ object Similarity {
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val idx = lshIndex(df, tables, bits, idCol, vecCol)
-    val cands = idx.as("l").join(idx.as("r"),
-        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    // bucket-local pair generation: one shuffle of slim (table, bucket, id)
+    // rows instead of a two-sided self-join; a pair colliding in up to
+    // `tables` buckets still reaches distinct() only as (id_a, id_b) longs
+    val cands = Dedup.pairsWithinBuckets(idx, Seq("table", "bucket"), idCol)
       .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")
       .join(vectorsOf(df, idCol, vecCol, "id_b", "vb"), "id_b")
     cosineOfPairs(cands, "id_a", "id_b")

@@ -61,13 +61,15 @@ object Relational extends QueryPack {
           $"l_extendedprice", $"l_returnflag")
     }),
 
-    // ---- fact⋈fact join + broadcast dim, grouped revenue ----
+    // ---- fact⋈fact join + customer join, grouped revenue. customer is
+    // SF-scaled (~15M rows at sf100) so NO broadcast hint: AQE/threshold
+    // picks broadcast while it fits and shuffle-hash beyond that. ----
     "q3_revenue_by_segment" -> ((s, dir) => {
       import s.implicits._
       val tb = t(s, dir)
       tb.lineitem
         .join(tb.orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(tb.customer), $"o_custkey" === $"c_custkey")
+        .join(tb.customer, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(
           sum($"l_extendedprice".cast(DecimalType(18, 4)) *
@@ -87,14 +89,15 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
-    // ---- 6-way star join, dims broadcast, grouped by nation ----
+    // ---- 6-way star join: true dims (supplier/nation/region) broadcast;
+    // customer is SF-scaled so it joins unhinted (AQE decides). ----
     "q5_nation_volume" -> ((s, dir) => {
       import s.implicits._
       val tb = t(s, dir)
       tb.lineitem
         .join(tb.orders, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(tb.supplier), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(tb.customer), $"o_custkey" === $"c_custkey" &&
+        .join(tb.customer, $"o_custkey" === $"c_custkey" &&
           $"c_nationkey" === $"s_nationkey")
         .join(broadcast(tb.nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(tb.region), $"n_regionkey" === $"r_regionkey")
@@ -276,13 +279,15 @@ object Relational extends QueryPack {
           .orderBy($"o_orderpriority".asc)).cast("long").as("priority_rank"))
     }),
 
-    // ---- correlated scalar subquery: above own-group average ----
+    // ---- correlated scalar subquery: above own-group average. The per-
+    // customer aggregate scales with customer, so no broadcast hint — both
+    // sides are already hash-partitioned on the key, AQE handles the rest. ----
     "q29_above_own_avg" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir).orders
       val custAvg = o.groupBy($"o_custkey".as("ck"))
         .agg((dsum($"o_totalprice") / count(lit(1))).as("cust_avg"))
-      o.join(broadcast(custAvg), $"o_custkey" === $"ck")
+      o.join(custAvg, $"o_custkey" === $"ck")
         .where($"o_totalprice" > $"cust_avg")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }),
@@ -554,7 +559,7 @@ object Relational extends QueryPack {
     "q19_conditional_agg" ->
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS qty_discounted,
-        |  sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+        |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
         |  max(l_extendedprice) AS max_price,
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
@@ -601,7 +606,7 @@ object Relational extends QueryPack {
       """WITH x AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), y AS (

@@ -21,6 +21,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("q5_nation_volume").contains("BroadcastHashJoin"))
   }
 
+  // Forced broadcast of an SF-scaled table (customer grows to ~15M rows at
+  // sf100) OOMs at scale; only true dims (nation/region/supplier) may carry
+  // an explicit hint. AQE may still *choose* broadcast at small SF — so this
+  // asserts on the logical-plan hints, not the physical strategy.
+  test("no broadcast hint is forced onto SF-scaled (customer-derived) inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    Seq("q3_revenue_by_segment", "q5_nation_volume", "q29_above_own_avg").foreach { q =>
+      val analyzed = SparkEntry.queries(q)(spark, sf0001).queryExecution.analyzed
+      val hinted = analyzed.collect { case h: ResolvedHint => h }
+      val badHint = hinted.exists { h =>
+        val scans = h.child.collectLeaves().map(_.toString.toLowerCase)
+        scans.exists(s => s.contains("customer") || s.contains("orders") ||
+          s.contains("lineitem"))
+      }
+      assert(!badHint, s"$q forces broadcast of an SF-scaled input")
+    }
+  }
+
   test("q1 aggregation is partial (map-side) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_"), p.take(500))
