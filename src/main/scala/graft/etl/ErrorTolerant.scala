@@ -27,7 +27,7 @@ object ErrorTolerant {
       * NOTE for file-backed reads (`csvFiles`/`jsonFiles`): Spark refuses a
       * projection that references only the corrupt-record column over an
       * uncached file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache `all`
-      * first (as JobRunner.runDecodedStream does) before consuming this.
+      * first, or keep at least one data column in the consuming query.
       */
     def corrupt: DataFrame = all.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw"))

@@ -1,8 +1,30 @@
 package graft.jobs
 
 import graft.etl.ErrorTolerant
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Observation}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Per-file ok/err counting as an aggregate function, so it can ride a sink
+  * write inside `Dataset.observe` — one pass, no cache, exactly-once metric
+  * semantics (observed metrics ignore retried tasks). Output map is bounded
+  * by the number of distinct input files, keyed "O|uri" / "E|uri".
+  */
+private[jobs] class PerFileCounter
+    extends Aggregator[(String, Boolean), Map[String, Long], Map[String, Long]] {
+  def zero: Map[String, Long] = Map.empty
+  def reduce(m: Map[String, Long], row: (String, Boolean)): Map[String, Long] = {
+    val k = (if (row._2) "E|" else "O|") + row._1
+    m.updated(k, m.getOrElse(k, 0L) + 1L)
+  }
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+  def finish(r: Map[String, Long]): Map[String, Long] = r
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
 
 /** Error raised when a job's (or the manager's) error budget is exceeded —
   * the reference's `TooManyErrors` broadcast
@@ -96,31 +118,65 @@ final class JobRunner(
         None, 0, 0, Map.empty, Nil, None)))
     save()
     var stepErrors = 0L
-    var all: DataFrame = null
     try {
-      // Cache: (a) the ok/err aggregation, per-file counts, and the sink
-      // write share one scan; (b) file-backed permissive reads disallow
-      // corrupt-record-only projections unless parsed results are cached
-      // (Spark QUERY_ONLY_CORRUPT_RECORD_COLUMN rule).
-      all = decoded.all.cache()
-      val cachedDecoded = ErrorTolerant.Decoded(all)
+      // Single pass, no cache: ok/err totals (and per-file counts when the
+      // frame carries a `source` lineage column) ride the sink write itself
+      // as observed metrics — the pattern Transforms.copyPipeline uses. At
+      // warehouse scale this is one scan of the input and zero cluster-wide
+      // caching; the corrupt-record column is never projected on its own,
+      // so file-backed permissive reads stay legal uncached.
+      val all = decoded.all
       val hasLineage = all.columns.contains("source")
-      val perFile: Map[String, FileStatus] =
+      val corrupt = col(ErrorTolerant.CorruptCol)
+      val obs = Observation(s"graft.$id.$name.$step")
+      // the xxhash64-over-all-columns metric pins every column into the
+      // scan's required schema (count(struct(..)) would be folded away):
+      // corrupt-record detection is only defined over a full-row parse — a
+      // pruned parse marks fewer rows corrupt — and it keeps count()-style
+      // sinks legal over uncached permissive reads
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      val baseMetrics = Seq(
+        sum(when(corrupt.isNull, 1L).otherwise(0L)).as("ok"),
+        sum(when(corrupt.isNotNull, 1L).otherwise(0L)).as("err"),
+        max(xxhash64(all.columns.map(col): _*)).as("_schema_pin"))
+      val perFileUdaf = udaf(new PerFileCounter)
+      val metrics =
         if (hasLineage)
           // key = full source URI: basenames collide across directories
-          all.groupBy(col("source").as("f"))
-            .agg(sum(when(col(ErrorTolerant.CorruptCol).isNull, 1L).otherwise(0L)).as("ok"),
-              sum(when(col(ErrorTolerant.CorruptCol).isNotNull, 1L).otherwise(0L)).as("err"))
-            .collect().map(r => r.getString(0) -> FileStatus(r.getLong(1), r.getLong(2)))
-            .toMap
-        else Map.empty
-      // with lineage, totals are already in hand — no second aggregation
-      val (ok, err) =
-        if (hasLineage) (perFile.values.map(_.numOk).sum, perFile.values.map(_.numErr).sum)
-        else cachedDecoded.counts
+          baseMetrics :+ perFileUdaf(col("source"), corrupt.isNotNull).as("per_file")
+        else baseMetrics
+      val observed = all.observe(obs, metrics.head, metrics.tail: _*)
+      val written = write(ErrorTolerant.Decoded(observed).good)
+      // `write` is contractually a Spark action over the frame; metrics are
+      // published by an async listener just after the action completes, so
+      // wait briefly rather than block forever if the contract was broken
+      val m: Map[String, Any] =
+        scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "s")))
+          .map(row => row.schema.fieldNames.zip(row.toSeq).toMap)
+          .getOrElse(Map.empty)
+      val (ok, err, perFile) =
+        if (m.nonEmpty) {
+          val pf = if (hasLineage)
+            m("per_file").asInstanceOf[Map[String, Long]]
+              .groupBy { case (k, _) => k.drop(2) }
+              .map { case (f, kv) => f -> FileStatus(
+                kv.collect { case (k, v) if k.startsWith("O|") => v }.sum,
+                kv.collect { case (k, v) if k.startsWith("E|") => v }.sum) }
+          else Map.empty[String, FileStatus]
+          (Option(m("ok")).fold(0L)(_.asInstanceOf[Long]),
+            Option(m("err")).fold(0L)(_.asInstanceOf[Long]), pf)
+        } else {
+          // fallback: `write` ran no action on the frame (nothing was
+          // observed) — count in a separate pass
+          val c = decoded.counts
+          (c._1, c._2, Map.empty[String, FileStatus])
+        }
       stepErrors = err
+      // budget check happens after the write's action completes (counts are
+      // discovered *while* writing — same as the reference's incremental
+      // stream, where output produced before the budget trips exists)
       checkBudgets(step, math.max(0L, err - previouslyCharged))
-      val written = write(cachedDecoded.good)
       state = state.copy(
         curStepIndex = state.curStepIndex + 1,
         streams = state.streams + (step -> StepStreamStatus(step,
@@ -137,7 +193,7 @@ final class JobRunner(
             numErrors = stepErrors, error = Some(e.getMessage))))
         save()
         throw e
-    } finally if (all != null) all.unpersist()
+    }
   }
 
   /** Plain stream step: any DataFrame, no decode-error accounting. The
@@ -186,10 +242,17 @@ final class JobRunner(
     */
   private val detached = scala.collection.mutable.ArrayBuffer
     .empty[(String, java.util.concurrent.Future[Long])]
-  private lazy val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  // recreated after complete() shuts it down, so a runner can keep
+  // scheduling detached outputs across complete() cycles
+  private var pool: java.util.concurrent.ExecutorService = null
+  private def livePool(): java.util.concurrent.ExecutorService = {
+    if (pool == null || pool.isShutdown)
+      pool = java.util.concurrent.Executors.newCachedThreadPool()
+    pool
+  }
 
   def runOutputTask(taskName: String)(action: () => Long): Unit =
-    detached += taskName -> pool.submit(
+    detached += taskName -> livePool().submit(
       new java.util.concurrent.Callable[Long] { def call(): Long = action() })
 
   /** Structured run report as a DataFrame — the reference's CSV log sink
@@ -218,7 +281,7 @@ final class JobRunner(
       n -> scala.util.Try(f.get())
     }.toList
     detached.clear()
-    if (joined.nonEmpty) pool.shutdown()
+    if (joined.nonEmpty && pool != null) pool.shutdown()
     val outs = joined.collect { case (n, scala.util.Success(written)) =>
       OutputStats(n, written)
     }

@@ -76,6 +76,44 @@ object Streams {
       }
   }
 
+  /** `streamingDedupByKey` with bounded state: each key's entry expires
+    * `ttlMs` after its latest occurrence (event time), after which the key
+    * is admitted again. THIS is the 100 TB ingestion form — `NoTimeout`
+    * state grows with the number of distinct keys ever seen, which on an
+    * unbounded corpus stream is itself unbounded; an event-time TTL caps
+    * state at (keys seen within one TTL window) at the cost of re-admitting
+    * a duplicate that recurs after the window.
+    *
+    * The input must carry a watermark on an event-time column (call
+    * `.withWatermark` upstream); `eventTimeMs` extracts that column's epoch
+    * millis from the record. Expiry rides the watermark: state for a key is
+    * dropped once the watermark passes lastSeen + ttl.
+    */
+  def streamingDedupByKeyExpiring[T](ds: Dataset[T], key: T => String,
+      eventTimeMs: T => Long, ttlMs: Long)(
+      implicit e: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Long, T](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, items: Iterator[T], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seenBefore = state.exists
+            val newest = items.foldLeft((Option.empty[T], Long.MinValue)) {
+              case ((first, mx), t) =>
+                (first.orElse(Some(t)), math.max(mx, eventTimeMs(t)))
+            }
+            val last = math.max(state.getOption.getOrElse(Long.MinValue), newest._2)
+            state.update(last)
+            // timeout must sit above the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(last + ttlMs, state.getCurrentWatermarkMs() + 1))
+            if (seenBefore) Iterator.empty else newest._1.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: a stream joined to a (small) dimension
     * DataFrame — Spark broadcasts the static side per micro-batch, so the
     * stream is enriched map-side with no stateful shuffle. Left-outer:
@@ -112,9 +150,16 @@ object Streams {
         if (errors.get() <= maxErrors) {
           val cached = batch.persist()
           try {
+            // count FIRST, but mark the batch charged only after both the
+            // count and the sink succeeded: a throw from either leaves
+            // lastCharged untouched, so the foreachBatch retry still charges
+            // this batch (marking before counting silently under-counted the
+            // budget). Charging after the sink also keeps this batch's good
+            // rows flowing before the monitor can observe the tripped budget.
+            val batchErrors = cached.filter(col("is_error")).count()
             sink(cached.filter(!col("is_error")))
             if (lastCharged.getAndSet(batchId) != batchId)
-              errors.addAndGet(cached.filter(col("is_error")).count())
+              errors.addAndGet(batchErrors)
           } finally { cached.unpersist() }
         }
         ()

@@ -116,6 +116,10 @@ class JobSpec extends SparkSpec {
     r.runOutputTask("side")(() => spark.range(42).count())
     val st = r.complete()
     assert(st.streams("__detached__").outputs === List(OutputStats("side", 42)))
+    // a runner stays usable after complete(): the detached pool is recreated
+    r.runOutputTask("again")(() => 7L)
+    val st2 = r.complete()
+    assert(st2.streams("__detached__").outputs === List(OutputStats("again", 7)))
   }
 
   test("run report exposes step history as a queryable DataFrame (O8 parity)") {

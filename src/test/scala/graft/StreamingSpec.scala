@@ -78,6 +78,28 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("expiring streaming dedup re-admits keys after the event-time TTL") {
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val wm = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "0 seconds").as[(Timestamp, String)]
+    val dd = Streams.streamingDedupByKeyExpiring[(Timestamp, String)](
+      wm, _._2, _._1.getTime, ttlMs = 60 * 1000)
+    val q = dd.toDF("ts", "k").writeStream.format("memory").queryName("ttldedup")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:00:00"), "a")); q.processAllAvailable()
+    // duplicate within the TTL → dropped (extends retention to 00:01:30)
+    mem.addData((ts("2024-01-01 00:00:30"), "a")); q.processAllAvailable()
+    // watermark moves to 00:05:00, past a's expiry
+    mem.addData((ts("2024-01-01 00:05:00"), "z")); q.processAllAvailable()
+    // a has no data this batch → its timed-out state is evicted here
+    mem.addData((ts("2024-01-01 00:10:00"), "zz")); q.processAllAvailable()
+    // state gone → the key is admitted again (bounded-state trade-off)
+    mem.addData((ts("2024-01-01 00:11:00"), "a")); q.processAllAvailable()
+    q.stop()
+    val ks = spark.table("ttldedup").select($"k").as[String].collect().sorted.toSeq
+    assert(ks === Seq("a", "a", "z", "zz"))
+  }
+
   test("corpusIngest composes decode → normalize → dedup → quality gate") {
     val in = java.nio.file.Files.createTempDirectory("graft_ingest_in")
     val schema = StructType(Seq(StructField("doc_id", LongType),
