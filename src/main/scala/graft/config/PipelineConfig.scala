@@ -1,0 +1,208 @@
+package graft.config
+
+import graft.etl.{ErrorTolerant, TextSource, Writers}
+import graft.jobs.{JobManager, JobRunner, JobRunnerConfig, JobState, SimpleStore}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Declarative pipeline construction — the reference's config-driven surface
+  * (`CreateDataSource`/`CreateDataOutput`, `etl-core/src/datastore/
+  * mod.rs:146-164`; `load_toml` with autocreate, `fs.rs:150-181`, C10)
+  * re-expressed as a JSON document that compiles onto the existing
+  * constructors: a `source` builds an error-tolerant `Decoded`, `transforms`
+  * are Spark SQL expressions (Catalyst-optimizable — never opaque lambdas),
+  * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
+  * so declared pipelines get durable state, skip-if-complete, and error
+  * budgets for free.
+  *
+  * ```json
+  * { "id": "j1", "name": "ingest", "maxErrors": 100,
+  *   "steps": [
+  *     { "step": "decode", "kind": "stream",
+  *       "source": { "type": "json_files", "paths": ["in/drop-0.ndjson"],
+  *                   "schema": "name STRING, id STRING" },
+  *       "transforms": [ { "op": "filter", "expr": "id IS NOT NULL" },
+  *                       { "op": "withColumn", "name": "k",
+  *                         "expr": "upper(name)" } ],
+  *       "sink": { "type": "parquet", "path": "out/decoded" } },
+  *     { "step": "publish", "kind": "command", "sql": "SELECT 1" } ] }
+  * ```
+  */
+object PipelineConfig {
+
+  final case class SourceConf(
+      `type`: String,
+      paths: Seq[String] = Nil,
+      schema: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+      lines: Seq[String] = Nil,
+      query: Option[String] = None,
+      table: Option[String] = None)
+
+  final case class TransformConf(
+      op: String,
+      expr: Option[String] = None,
+      name: Option[String] = None,
+      cols: Seq[String] = Nil)
+
+  final case class SinkConf(
+      `type`: String,
+      path: Option[String] = None,
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil)
+
+  final case class StepConf(
+      step: String,
+      kind: String = "stream",
+      source: Option[SourceConf] = None,
+      transforms: Seq[TransformConf] = Nil,
+      sink: Option[SinkConf] = None,
+      sql: Option[String] = None,
+      stopOnError: Boolean = true)
+
+  final case class PipelineConf(
+      id: String,
+      name: String,
+      maxErrors: Long = 1000,
+      steps: Seq[StepConf] = Nil)
+
+  private implicit val formats: Formats = DefaultFormats
+
+  def parse(json: String): PipelineConf =
+    JsonMethods.parse(json).extract[PipelineConf]
+
+  def toJson(conf: PipelineConf): String = Serialization.writePretty(conf)
+
+  /** `load_toml` parity (`fs.rs:150-181`): read a config file; when missing
+    * and `autocreate`, write a default skeleton and return it.
+    */
+  def load(path: String, autocreate: Boolean = false): PipelineConf = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else if (autocreate) {
+      val cfg = PipelineConf(id = "job-id", name = "job-name")
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, toJson(cfg).getBytes("UTF-8"))
+      cfg
+    } else sys.error(s"Error opening configuration file: $path")
+  }
+
+  /** Compile a source config to an error-tolerant Decoded frame. All file
+    * forms stay distributed splittable scans; `*_lines` are the mock/inline
+    * sources (reference S4/S5) for tests and small fixtures.
+    */
+  def buildSource(spark: SparkSession, c: SourceConf): ErrorTolerant.Decoded = {
+    def ddl = StructType.fromDDL(c.schema.getOrElse(
+      sys.error(s"source type '${c.`type`}' requires a schema")))
+    def inline = {
+      import spark.implicits._
+      spark.createDataset(c.lines)
+    }
+    def noCorrupt(df: DataFrame) = ErrorTolerant.Decoded(
+      df.withColumn(ErrorTolerant.CorruptCol, lit(null).cast("string")))
+    c.`type` match {
+      case "csv_files" => ErrorTolerant.Decoded(
+        spark.read.options(c.options).schema(ErrorTolerant.withCorrupt(ddl))
+          .csv(c.paths: _*))
+      case "json_files" => ErrorTolerant.Decoded(
+        spark.read.options(c.options)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", ErrorTolerant.CorruptCol)
+          .schema(ErrorTolerant.withCorrupt(ddl)).json(c.paths: _*))
+      case "csv_lines" => ErrorTolerant.csv(spark, inline, ddl)
+      case "json_lines" => ErrorTolerant.json(spark, inline, ddl)
+      case "text" => noCorrupt(TextSource.lines(spark, c.paths))
+      case "parquet" => noCorrupt(spark.read.options(c.options).parquet(c.paths: _*))
+      case "table" => noCorrupt(spark.table(c.table.getOrElse(
+        sys.error("source type 'table' requires a table name"))))
+      case "sql" => noCorrupt(spark.sql(c.query.getOrElse(
+        sys.error("source type 'sql' requires a query"))))
+      case other => sys.error(s"unknown source type: $other")
+    }
+  }
+
+  /** Transforms are SQL expressions — they stay inside Catalyst (pushdown,
+    * pruning, codegen), unlike opaque function steps.
+    */
+  def applyTransforms(df: DataFrame, ts: Seq[TransformConf]): DataFrame =
+    ts.foldLeft(df) { (d, t) =>
+      t.op match {
+        case "filter" => d.filter(t.expr.getOrElse(sys.error("filter needs expr")))
+        case "withColumn" => d.withColumn(
+          t.name.getOrElse(sys.error("withColumn needs name")),
+          expr(t.expr.getOrElse(sys.error("withColumn needs expr"))))
+        case "select" =>
+          if (t.cols.nonEmpty) d.select(t.cols.map(col): _*)
+          else d.selectExpr(t.expr.getOrElse(sys.error("select needs cols or expr")))
+        case "drop" => d.drop(t.cols: _*)
+        case "repartition" => d.repartition(
+          t.expr.map(_.toInt).getOrElse(d.sparkSession.sparkContext.defaultParallelism))
+        case other => sys.error(s"unknown transform op: $other")
+      }
+    }
+
+  /** Compile a sink config to a write action returning rows written. The
+    * count rides the write itself as an observed metric — one pass.
+    */
+  def buildSink(c: SinkConf): DataFrame => Long = { df =>
+    val mode = SaveMode.valueOf(c.mode.capitalize)
+    def path = c.path.getOrElse(sys.error(s"sink '${c.`type`}' requires a path"))
+    val obs = Observation()
+    val counted = df.observe(obs, count(lit(1)).as("n"))
+    c.`type` match {
+      case "parquet" => Writers.parquet(counted, path, mode, c.partitionBy)
+      case "csv" => counted.write.mode(mode).options(c.options).csv(path)
+      case "json" => counted.write.mode(mode).options(c.options).json(path)
+      case "noop" | "null" => Writers.noop(counted)
+      case other => sys.error(s"unknown sink type: $other")
+    }
+    scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(30, "s")).getLong(0)
+  }
+
+  /** Run a declared pipeline through JobRunner: durable per-step state,
+    * skip-if-complete on re-run, error budgets, fatal latch — the
+    * `etl-job/tests/simple-pipeline.rs` contract, from a config file.
+    */
+  def run(spark: SparkSession, conf: PipelineConf, store: SimpleStore,
+      manager: Option[JobManager] = None): JobState = {
+    val runner = new JobRunner(conf.id, conf.name, store,
+      JobRunnerConfig(maxErrors = conf.maxErrors), manager)
+    conf.steps.foreach { s =>
+      s.kind match {
+        case "stream" =>
+          val src = s.source.getOrElse(sys.error(s"step ${s.step}: stream needs a source"))
+          val sink = s.sink.getOrElse(SinkConf("noop"))
+          // transforms run on the GOOD rows inside the write action: decode
+          // ok/err accounting stays a property of the source, while a
+          // filtering transform only affects rows written — the reference's
+          // TransformHandler contract (errors counted at decode, transform
+          // output measured at the sink)
+          runner.runDecodedStreamLazy(
+            s.step,
+            buildSource(spark, src),
+            sink.`type` + sink.path.fold("")(":" + _),
+            df => buildSink(sink)(applyTransforms(df, s.transforms)),
+            s.stopOnError)
+        case "command" =>
+          runner.runCmd(s.step, s.stopOnError) {
+            spark.sql(s.sql.getOrElse(sys.error(s"step ${s.step}: command needs sql")))
+              .collect()
+            ()
+          }
+        case other => sys.error(s"unknown step kind: $other")
+      }
+    }
+    runner.complete()
+  }
+
+  /** Convenience: load from a file and run. */
+  def runFile(spark: SparkSession, path: String, store: SimpleStore,
+      manager: Option[JobManager] = None): JobState =
+    run(spark, load(path), store, manager)
+}

@@ -61,14 +61,21 @@ object Jdbc {
     * same guarantee every non-transactional JDBC writer has); use a staging
     * table + MERGE for exactly-once.
     */
+  /** `mapQuery` is the reference's pre-write rewrite hook
+    * (`etl-mysql/src/datastore.rs` `map_query`): it receives the generated
+    * parameterized INSERT and may rewrite it (INSERT IGNORE, ON DUPLICATE
+    * KEY, a different target table) before execution. Row *values* are
+    * rewritten Spark-side with `withColumn` before calling — the hook is
+    * for statement shape only.
+    */
   def writeBatchedWithDeadLetter(df: DataFrame, url: String, table: String,
-      batchSize: Int): DataFrame = {
+      batchSize: Int, mapQuery: String => String = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
     val cols = schema.fieldNames
-    val insertSql =
-      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val insertSql = mapQuery(
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
 
     def jsonStr(v: Any): String = v match {
       case null => "null"

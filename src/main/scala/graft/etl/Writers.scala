@@ -46,6 +46,50 @@ object Writers {
       .saveAsTable(table)
 }
 
+/** Pluggable queue seam (reference `QueueClient`,
+  * `etl-core/src/queue/mod.rs:14-31`; SQS impl
+  * `etl-aws-utils/src/sqs_queue.rs:26-58`): push computes a content-derived
+  * dedup id (the SQS FIFO `message_deduplication_id` = md5 of the body) and
+  * returns it; duplicate pushes of the same body collapse to one message.
+  * `FileQueue` is the local implementation; an SQS/Kafka client implements
+  * the same trait (no AWS credentials or SDK in this environment to
+  * exercise a live one — the md5-dedup-id semantics are oracle-checked by
+  * `o5_dedup_id`).
+  */
+trait QueueClient {
+  /** Enqueue a message; returns its dedup id (md5 of the body). */
+  def push(msgJson: String): String
+  /** Dequeue the oldest message, if any. */
+  def pop(): Option[String]
+  def size: Long
+}
+
+object QueueClient {
+  /** SQS-parity dedup id: lowercase-hex md5 of the message body. */
+  def dedupId(msgJson: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(msgJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+/** In-memory QueueClient (the reference's `Mock` queue): FIFO with
+  * content-dedup — a repeated body re-uses its dedup id and is not
+  * enqueued twice while the original is still queued.
+  */
+final class InMemoryQueue extends QueueClient {
+  private val q = new java.util.LinkedHashMap[String, String]()
+  def push(msgJson: String): String = synchronized {
+    val id = QueueClient.dedupId(msgJson)
+    q.putIfAbsent(id, msgJson)
+    id
+  }
+  def pop(): Option[String] = synchronized {
+    val it = q.entrySet().iterator()
+    if (!it.hasNext) None
+    else { val e = it.next(); it.remove(); Some(e.getValue) }
+  }
+  def size: Long = synchronized(q.size().toLong)
+}
+
 /** File-based queue (reference O7: `LocalFs`/`Mock` QueueClient — JSON doc
   * per message under a directory, `fs.rs:132-148`): the handoff pattern
   * between pipeline stages that don't share a process. push = atomic file
@@ -53,13 +97,12 @@ object Writers {
   * asSource = the whole directory as a DataFrame (and, streaming, a
   * file-stream source — see graft.streaming).
   */
-final class FileQueue(dir: String) {
+final class FileQueue(dir: String) extends QueueClient {
   private val root = java.nio.file.Paths.get(dir)
   java.nio.file.Files.createDirectories(root)
 
   def push(msgJson: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(msgJson.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val key = QueueClient.dedupId(msgJson)
     val tmp = root.resolve(s".$key.tmp")
     java.nio.file.Files.write(tmp, msgJson.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, root.resolve(s"$key.json"),

@@ -1,0 +1,87 @@
+package graft
+
+import graft.config.PipelineConfig
+import graft.etl.Fixtures
+import graft.jobs._
+
+/** Declarative pipeline tests mirroring `etl-job/tests/simple-pipeline.rs`:
+  * a config document (not code) declares source → transforms → sink; running
+  * it through JobRunner yields the same durable state, counters, and
+  * skip-if-complete semantics as the code-built pipeline.
+  */
+class ConfigSpec extends SparkSpec {
+
+  private def confJson(sinkDir: String): String =
+    s"""{
+       |  "id": "cfg1", "name": "simple", "maxErrors": 100,
+       |  "steps": [
+       |    { "step": "transformed-ds-1", "kind": "stream",
+       |      "source": { "type": "json_lines",
+       |        "schema": "name STRING, todo ARRAY<STRING>, id STRING",
+       |        "lines": ${org.json4s.jackson.Serialization.write(
+                  Fixtures.malformedJsonStream)(org.json4s.DefaultFormats)} },
+       |      "transforms": [
+       |        { "op": "withColumn", "name": "name_upper", "expr": "upper(name)" },
+       |        { "op": "select", "cols": ["name_upper", "id"] } ],
+       |      "sink": { "type": "json", "path": "$sinkDir" } },
+       |    { "step": "announce", "kind": "command", "sql": "SELECT 1" }
+       |  ]
+       |}""".stripMargin
+
+  test("declared pipeline runs end-to-end with state + counters (simple-pipeline.rs)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_out").toString + "/j"
+    val store = new InMemoryStore
+    val conf = PipelineConfig.parse(confJson(out))
+    val st = PipelineConfig.run(spark, conf, store)
+    val stream = st.streams("transformed-ds-1")
+    assert(stream.status === JobState.Complete && stream.stepIndex === 0)
+    assert(stream.totalLinesScanned === 5 && stream.numErrors === 2)
+    assert(stream.outputs.map(_.linesWritten) === List(3L))
+    assert(st.commands("announce").status === JobState.Complete)
+    // sink really wrote the 3 good, transformed rows
+    assert(spark.read.json(out).count() === 3)
+    assert(spark.read.json(out).columns.sorted.toSeq === Seq("id", "name_upper"))
+    // re-running the same declared pipeline over the same store skips steps
+    val st2 = PipelineConfig.run(spark, conf, store)
+    assert(st2.streams("transformed-ds-1").startedMs === stream.startedMs)
+  }
+
+  test("max_errors aborts a declared pipeline (simple-pipeline max-error case)") {
+    val store = new InMemoryStore
+    val conf = PipelineConfig.parse(confJson(
+      java.nio.file.Files.createTempDirectory("graft_cfg_err").toString + "/j"))
+      .copy(maxErrors = 1, id = "cfg2")
+    intercept[TooManyErrors] { PipelineConfig.run(spark, conf, store) }
+    val st = JobState.fromJson(store.load(JobState.docName("cfg2", "simple")).get)
+    assert(st.streams("transformed-ds-1").status === JobState.Error)
+    assert(st.fatalError.isDefined)
+  }
+
+  test("load autocreates a default config skeleton (load_toml parity)") {
+    val p = java.nio.file.Files.createTempDirectory("graft_cfg").resolve("job.json")
+    val cfg = PipelineConfig.load(p.toString, autocreate = true)
+    assert(cfg.id === "job-id" && java.nio.file.Files.exists(p))
+    // and it round-trips through the file it just wrote
+    assert(PipelineConfig.load(p.toString) === cfg)
+    intercept[RuntimeException] { PipelineConfig.load(p.toString + ".missing") }
+  }
+
+  test("file-backed sources work through the config layer (csv_files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_csv")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "1,alpha\n2,beta\nnot-an-int,gamma\n".getBytes)
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_csv_out").toString + "/p"
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg3", "name": "csv", "steps": [
+         |  { "step": "ingest", "kind": "stream",
+         |    "source": { "type": "csv_files", "paths": ["$dir/*.csv"],
+         |      "schema": "k INT, v STRING" },
+         |    "transforms": [ { "op": "filter", "expr": "k > 1" } ],
+         |    "sink": { "type": "parquet", "path": "$out" } } ] }""".stripMargin)
+    val st = PipelineConfig.run(spark, conf, new InMemoryStore)
+    val s = st.streams("ingest")
+    assert(s.totalLinesScanned === 3 && s.numErrors === 1)
+    assert(s.outputs.map(_.linesWritten) === List(1L))
+    assert(spark.read.parquet(out).count() === 1)
+  }
+}

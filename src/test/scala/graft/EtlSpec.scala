@@ -102,4 +102,26 @@ class EtlSpec extends SparkSpec {
   test("S6: a string literal is a source, one record per line (string.rs:5-29)") {
     assert(TextSource.fromString(spark, "a\nb\nc").count() === 3)
   }
+
+  test("O3: mapQuery rewrites the INSERT before execution (map_query parity)") {
+    sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
+    val db = sys.props("java.io.tmpdir") + "/graft_derby_mq_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute("CREATE TABLE main_t (id INT, v VARCHAR(20))")
+      conn.createStatement().execute("CREATE TABLE redirected (id INT, v VARCHAR(20))")
+    } finally conn.close()
+    val dead = Jdbc.writeBatchedWithDeadLetter(
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), url, "main_t", 10,
+      mapQuery = _.replace("INSERT INTO main_t", "INSERT INTO redirected"))
+    assert(dead.count() === 0)
+    dead.unpersist()
+    def n(t: String) = Jdbc.read(spark, url, s"SELECT COUNT(*) AS n FROM $t")
+      .collect().head.get(0).toString.toLong
+    assert(n("redirected") === 2 && n("main_t") === 0)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+  }
 }

@@ -52,6 +52,38 @@ class WritersSpec extends SparkSpec {
     assert(onlyNdjson.size === 2)
   }
 
+  test("QueueClient seam: FileQueue and InMemoryQueue dedup by content md5") {
+    val fq: QueueClient = new FileQueue(
+      java.nio.file.Files.createTempDirectory("graft_qc").toString)
+    val mq: QueueClient = new InMemoryQueue
+    Seq(fq, mq).foreach { q =>
+      val id1 = q.push("""{"msg":1}""")
+      val id2 = q.push("""{"msg":1}""") // same body → same dedup id, 1 entry
+      val id3 = q.push("""{"msg":2}""")
+      assert(id1 === id2)
+      assert(id1 !== id3)
+      assert(id1 === QueueClient.dedupId("""{"msg":1}"""))
+      assert(q.size === 2)
+      assert(q.pop().isDefined && q.pop().isDefined && q.pop().isEmpty)
+    }
+  }
+
+  test("Staging.fetch pulls remote files into a staging dir, then decodes (C9)") {
+    val remote = java.nio.file.Files.createTempDirectory("graft_remote")
+    java.nio.file.Files.write(remote.resolve("a.txt"), "l1\nl2".getBytes)
+    java.nio.file.Files.write(remote.resolve("b.txt"), "l3".getBytes)
+    java.nio.file.Files.write(remote.resolve("skip.csv"), "x".getBytes)
+    val staging = java.nio.file.Files.createTempDirectory("graft_staging").toString
+    val staged = Staging.fetch(spark, Seq(remote.toString + "/*"),
+      staging, regex = Some(".*\\.txt"))
+    assert(staged.size === 2 && staged.forall(_.contains(staging)))
+    val lines = Staging.fetchLines(spark, Seq(remote.toString + "/*.txt"),
+      staging + "2")
+    assert(lines.count() === 3)
+    // lineage points at the STAGED copy, not the remote origin
+    assert(lines.select("source").distinct().count() === 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
