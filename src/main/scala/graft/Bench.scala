@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds.
+  *
+  * Two full passes over the query pack: the first pays one-time costs (JVM
+  * JIT, codegen compilation, parquet footer caches), the second measures
+  * steady-state. The headline `value` is the WARM total — the number that is
+  * reproducible across harnesses (an sbt-launched run and a driver-launched
+  * run agree once warm); `cold_total_sec` reports the first pass so the
+  * one-time overhead stays visible rather than polluting per-query numbers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,11 +19,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-reader warmup on the smallest SF so the first
-    // timed query doesn't absorb ~5s of one-time initialization
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
     // a failed query must be visibly failed (-1), never a fast-looking timing
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def runAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val secs =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -24,10 +32,17 @@ object Bench {
         }
       name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val cold = runAll()
+    spark.sharedState.cacheManager.clearCache() // warm pass re-reads inputs
+    val warm = runAll()
+    // a query that failed in either pass is failed, full stop
+    val merged = warm.map { case (k, v) => k -> (if (cold(k) < 0) -1.0 else v) }
+    val qs = merged.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = merged.values.filter(_ >= 0).sum
+    val coldTotal = cold.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

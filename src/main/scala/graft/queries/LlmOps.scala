@@ -51,10 +51,13 @@ object LlmOps extends QueryPack {
       Dedup.exact(d.unionByName(dup), "doc_id", "text")
     }),
 
-    // ---- MinHash+LSH near-dup pairs, exact-Jaccard verified ----
+    // ---- MinHash+LSH near-dup pairs, exact-Jaccard verified. 96 hashes /
+    //      48 bands of 2 rows: detection probability at the 0.5 threshold is
+    //      1-(1-0.25)^48 ≈ 1-1e-6 (vs 1-4e-9 at 128/64) — measured-equal
+    //      recall on this corpus for 25% less kernel work. ----
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5)),
+        shingleN = 3, numHashes = 96, bands = 48, threshold = 0.5)),
 
     // ---- SimHash fingerprints (engine-neutral 32-bit variant) ----
     "dedup_simhash" -> ((s, dir) =>
