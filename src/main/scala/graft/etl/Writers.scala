@@ -30,6 +30,30 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Hive-partitioned parquet layout with small-file control — the 100 TB
+    * output op. A plain `partitionBy` write emits one file per (task ×
+    * partition value): 1000 tasks × 100 partition values = 100k tiny files.
+    * Repartitioning by the partition columns first routes each value to one
+    * task, and `maxRecordsPerFile` re-splits genuinely large partitions, so
+    * file count ≈ max(#values, rows / maxRecordsPerFile). Skewed values are
+    * salted across `ceil(tasksPerPartition)` tasks when > 1 to keep a hot
+    * partition value from serializing on a single writer.
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L, tasksPerPartition: Int = 1,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(tasksPerPartition >= 1, "tasksPerPartition must be >= 1")
+    val routed =
+      if (tasksPerPartition == 1) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(partitionCols.map(col) :+
+        pmod(xxhash64(monotonically_increasing_id()), lit(tasksPerPartition)): _*)
+    routed.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** O4: null sink (validation/benchmark). */
   def noop(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).format("noop").save()
 

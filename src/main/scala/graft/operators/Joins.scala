@@ -61,6 +61,41 @@ object Joins {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
+  /** Range (interval) join: all (left, right) pairs with equal `keys` and
+    * `right.rightVal - left.leftVal` in `[lo, hi]` — the attribution /
+    * windowed-correlation join ("purchases within 30 min of a click").
+    *
+    * Spark plans the naive `l JOIN r ON key AND r.v BETWEEN l.v+lo AND l.v+hi`
+    * as a hash join on key with a residual — fine until a key is hot, at
+    * which point one task owns the whole key's cross product. This binned
+    * form adds the time dimension to the shuffle key: left rows are
+    * duplicated into each covered bin of width `binWidth` (≤ `(hi-lo)/
+    * binWidth + 2` bins ⇒ 2 when `binWidth >= hi-lo`), right rows hash to
+    * their own bin, and the equi-join on `keys :+ bin` bounds every task's
+    * work by bin occupancy — no per-key hotspot, no nested-loop fallback
+    * when `keys` is empty.
+    *
+    * `leftVal`/`rightVal` must be long-valued (e.g. `unix_micros(ts)`), with
+    * `rightVal >= 0` (long `div` truncates toward zero, so negative right
+    * values could land below a left row's covered bin range; the residual
+    * filter keeps the join exact either way — only completeness needs the
+    * bound). Column names must be disjoint apart from `keys`.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftVal: String, rightVal: String, lo: Long, hi: Long,
+      binWidth: Long): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin", explode(sequence(
+      expr(s"(`$leftVal` + ${lo}L) div ${binWidth}L"),
+      expr(s"(`$leftVal` + ${hi}L) div ${binWidth}L"))))
+    val r = right.withColumn("__bin", expr(s"`$rightVal` div ${binWidth}L"))
+    l.join(r, keys :+ "__bin", "inner")
+      .filter(col(rightVal) >= col(leftVal) + lo &&
+        col(rightVal) <= col(leftVal) + hi)
+      .drop("__bin")
+  }
+
   /** Salted equi-join for skewed keys: the hot keys of the big side are
     * split across `saltBuckets` sub-keys and the small side is replicated
     * per bucket — turning one straggler partition into `saltBuckets`

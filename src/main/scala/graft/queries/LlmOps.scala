@@ -35,6 +35,22 @@ object LlmOps extends QueryPack {
     d.unionByName(truncated)
   }
 
+  /** documents with deterministic synthetic PII appended (the corpus has
+    * none naturally): an email on doc_id % 7, a URL on % 11, a phone on
+    * % 13 — the oracle builds the identical text, so the detector's counts
+    * are cross-checked on docs with 0, 1, 2 and 3 hits.
+    */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    t(s, dir).documents.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" user"), id, lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" https://example.com/d/"), id)).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" +1 "), lpad(id, 10, "0"))).otherwise(lit(""))).as("text"))
+  }
+
   /** embeddings (as double vectors) ∪ scaled copies (ids +100000, ×1.1). */
   private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -103,6 +119,32 @@ object LlmOps extends QueryPack {
         (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           size(TextOps.tokens(col("text")))).as("mean_word_len"))),
 
+    // ---- within-doc repetition signals (Gopher-style quality filters):
+    //      type-token ratio + duplicate-bigram fraction. Pure Column
+    //      expressions — map-only, zero exchanges at any scale. ----
+    "text_repetition" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val big = TextOps.wordShingles(col("text"), 2)
+      t(s, dir).documents.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+        (lit(1.0) - size(array_distinct(big)).cast("double") / size(big))
+          .as("dup_bigram_frac"))
+    }),
+
+    // ---- PII surface counts (email / URL / phone regex detectors) over a
+    //      corpus with deterministically injected PII. regexp_count is a
+    //      codegen'd expression — map-only scan, no exchange. ----
+    "text_pii" -> ((s, dir) =>
+      docsWithPii(s, dir).select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        (regexp_count(col("text"), lit(EmailRe)) +
+          regexp_count(col("text"), lit(UrlRe)) +
+          regexp_count(col("text"), lit(PhoneRe))).cast("long").as("n_pii"))),
+
     // ---- heuristic language ID with per-language marker scores ----
     "text_langid" -> ((s, dir) => {
       val c = col("text")
@@ -156,6 +198,12 @@ object LlmOps extends QueryPack {
         col("meta.format").as("format"))
     })
   )
+
+  // PII detector regexes — the Java ∩ RE2 compatible subset, so Spark's
+  // regexp_count and DuckDB's regexp_extract_all count identically
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  private val PhoneRe = "\\+1 [0-9]{10}"
 
   // shared SQL fragments for the oracle side
   private val DuckToks = raw"string_split_regex(trim(text), '\s+')"
@@ -237,6 +285,38 @@ object LlmOps extends QueryPack {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($DuckToks) AS mean_word_len
          |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |  1.0 - CAST(len(list_distinct(big)) AS DOUBLE) / len(big) AS dup_bigram_frac
+         |FROM (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks)),
+         |           i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS big
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents))""".stripMargin,
+
+    "text_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' https://example.com/d/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' +1 ' || lpad(CAST(doc_id AS VARCHAR), 10, '0') ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) +
+         |       len(regexp_extract_all(text, '$UrlRe')) +
+         |       len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_pii
+         |FROM p""".stripMargin,
 
     "text_langid" ->
       s"""SELECT doc_id, lang,

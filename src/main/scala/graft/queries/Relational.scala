@@ -322,6 +322,24 @@ object Relational extends QueryPack {
           date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"))
     }),
 
+    // ---- range (interval) join: purchases attributed to the same user's
+    //      click within the following 30 minutes. Joins.rangeJoinBinned
+    //      puts (user_id, 30-min time bin) in the shuffle key — a hot user
+    //      can't serialize one task, and each click covers ≤ 2 bins. ----
+    "q31_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir).events
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("tsm"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"tsm".as("click_ts"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"tsm".as("purchase_ts"))
+      val win = 30L * 60 * 1000000 // 30 min in micros
+      graft.operators.Joins.rangeJoinBinned(clicks, purchases, Seq("user_id"),
+        "click_ts", "purchase_ts", lo = 1L, hi = win, binWidth = win)
+        .select($"user_id", $"click_id", $"purchase_id")
+    }),
+
     // ---- as-of join (point-in-time lookup): each order matched to the
     //      customer's latest "statement" at or before the order date.
     //      Spark has no native as-of join; graft.operators.Joins.asOf is
@@ -616,6 +634,13 @@ object Relational extends QueryPack {
         |SELECT user_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q31_range_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "q21_asof_join" ->
       s"""WITH stmts AS (

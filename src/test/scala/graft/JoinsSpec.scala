@@ -59,6 +59,45 @@ class JoinsSpec extends SparkSpec {
     assert(saltedRows === plainRows)
   }
 
+  test("rangeJoinBinned matches the naive theta join, incl. range endpoints") {
+    val e = Tables(spark, sf0001).events
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+    val left = e.select($"event_id".as("lid"), $"user_id", $"tsm".as("lv"))
+    val right = e.select($"event_id".as("rid"), $"user_id", $"tsm".as("rv"))
+    val win = 10L * 60 * 1000000
+    // binWidth deliberately smaller than the range: each left row covers
+    // several bins, exercising the explode path
+    val binned = Joins.rangeJoinBinned(left, right, Seq("user_id"),
+      "lv", "rv", lo = 0L, hi = win, binWidth = win / 3)
+      .select("user_id", "lid", "rid").collect().map(_.toSeq).toSet
+    val naive = left.join(right, Seq("user_id"))
+      .filter($"rv" >= $"lv" && $"rv" <= $"lv" + win)
+      .select("user_id", "lid", "rid").collect().map(_.toSeq).toSet
+    assert(binned === naive)
+    assert(binned.nonEmpty)
+  }
+
+  test("rangeJoinBinned plans an equi-join (no nested-loop / cartesian)") {
+    val e = Tables(spark, sf0001).events
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+    val left = e.select($"event_id".as("lid"), $"user_id", $"tsm".as("lv"))
+    val right = e.select($"event_id".as("rid"), $"user_id", $"tsm".as("rv"))
+    val plan = Joins.rangeJoinBinned(left, right, Seq("user_id"),
+      "lv", "rv", 0L, 1000000L, 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+  }
+
+  test("rangeJoinBinned with no keys still equi-joins on the bin") {
+    val left = Seq((1L, 100L), (2L, 250L)).toDF("lid", "lv")
+    val right = Seq((10L, 120L), (11L, 260L), (12L, 500L)).toDF("rid", "rv")
+    val got = Joins.rangeJoinBinned(left, right, Nil, "lv", "rv",
+      lo = 0L, hi = 50L, binWidth = 50L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("approx_count_distinct stays within rsd of the exact count") {
     val li = Tables(spark, sf0001).lineitem
     val exact = li.select($"l_orderkey").distinct().count()

@@ -27,6 +27,30 @@ class WritersSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(year"))
   }
 
+  test("partitionedParquet: one file per partition value, re-split by maxRecordsPerFile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString + "/out"
+    val docs = Tables(spark, sf0001).documents.select($"doc_id", $"lang", $"text")
+    Writers.partitionedParquet(docs, dir, Seq("lang"))
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+    }.toMap
+    assert(files.keySet.forall(_.startsWith("lang=")))
+    // routed by partition column: exactly one file per lang directory
+    assert(files.values.forall(_ === 1), s"expected 1 file per lang, got $files")
+
+    // tiny maxRecordsPerFile re-splits within a partition value
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_layout2").toString + "/out"
+    Writers.partitionedParquet(docs, dir2, Seq("lang"), maxRecordsPerFile = 10L)
+    val enFiles = new java.io.File(dir2).listFiles().filter(_.isDirectory)
+      .find(_.getName.startsWith("lang=")).get
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(enFiles > 1)
+
+    // round trip is lossless
+    val back = spark.read.parquet(dir).count()
+    assert(back === docs.count())
+  }
+
   test("O7: file queue push/pop with content-hash keys and atomic drops") {
     val q = new FileQueue(
       java.nio.file.Files.createTempDirectory("graft_queue").toString)
