@@ -92,14 +92,22 @@ object Dedup {
     * inside each bucket, instead of a two-sided self-join (which shuffles
     * the index twice and builds a hash table). Output volume is identical —
     * bounded by Σ bucket² — so the final distinct sees the same input.
+    *
+    * `maxBucketSize` drops degenerate buckets (a boilerplate-heavy band at
+    * corpus scale can collect millions of ids, turning one task into an n²
+    * pair generator): with the cap, worst-case pair volume is bounded by
+    * `maxBucketSize × (rows × bands)` — linear in corpus size. Pairs whose
+    * EVERY shared bucket is degenerate are lost (recall tradeoff); near-dups
+    * collide in many bands, so in practice a dropped mega-bucket costs
+    * recall only for pairs that were borderline to begin with.
     */
   private[llm] def pairsWithinBuckets(idx: DataFrame, keyCols: Seq[String],
-      idCol: String): DataFrame = {
+      idCol: String, maxBucketSize: Int = 100000): DataFrame = {
     val spark = idx.sparkSession
     import spark.implicits._
     idx.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(idCol).cast("long")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(col("ids")).as[Seq[Long]]
       .mapPartitions(_.flatMap { ids =>
         val a = ids.toArray
@@ -119,7 +127,7 @@ object Dedup {
     * bucket equi-join shuffles only (id, band, bucket) triples.
     */
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int, maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val spark = df.sparkSession
@@ -138,7 +146,7 @@ object Dedup {
           }
         }
       }.toDF("id", "band", "bucket")
-    pairsWithinBuckets(banded, Seq("band", "bucket"), "id")
+    pairsWithinBuckets(banded, Seq("band", "bucket"), "id", maxBucketSize)
   }
 
   /** Exact Jaccard over (id_a, id_b, set_a, set_b) rows, JIT-compiled
@@ -281,7 +289,7 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val spark = df.sparkSession
@@ -298,7 +306,8 @@ object Dedup {
         }
       })
       .toDF("id", "band", "bucket")
-    val cands = pairsWithinBuckets(banded, Seq("band", "bucket"), "id")
+    val cands = pairsWithinBuckets(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
     jaccardOfHashedPairs(cands
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")

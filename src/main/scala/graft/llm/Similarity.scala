@@ -224,12 +224,14 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 100000): DataFrame = {
     val idx = lshIndex(df, tables, bits, idCol, vecCol)
     // bucket-local pair generation: one shuffle of slim (table, bucket, id)
     // rows instead of a two-sided self-join; a pair colliding in up to
     // `tables` buckets still reaches distinct() only as (id_a, id_b) longs
-    val cands = Dedup.pairsWithinBuckets(idx, Seq("table", "bucket"), idCol)
+    val cands = Dedup.pairsWithinBuckets(idx, Seq("table", "bucket"), idCol,
+      maxBucketSize)
       .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")
       .join(vectorsOf(df, idCol, vecCol, "id_b", "vb"), "id_b")
     cosineOfPairs(cands, "id_a", "id_b")

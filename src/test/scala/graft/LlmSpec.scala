@@ -48,6 +48,16 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("minhashNearDups: maxBucketSize drops degenerate buckets, default keeps them") {
+    // 30 identical docs: every band puts all 30 ids in one bucket
+    val df = (1L to 30L).map(i => (i, (1 to 40).map(j => s"tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(df, "doc_id", "text", maxBucketSize = 10)
+    assert(capped.count() === 0L)
+    val uncapped = Dedup.minhashNearDups(df, "doc_id", "text")
+    assert(uncapped.count() === 30L * 29 / 2)
+  }
+
   test("annTopK retrieves planted parallel duplicates at rank 1, sim 1.0") {
     val e = Tables(spark, sf0001).embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
