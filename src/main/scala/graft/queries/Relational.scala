@@ -197,6 +197,17 @@ object Relational extends QueryPack {
         .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
     }),
 
+    // ---- arbitrary grouping sets (the general form rollup/cube special-
+    //      case): one shuffle, Expand feeds partial aggregation ----
+    "q32_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
     // ---- event-time bucketing (engine-neutral string buckets) ----
     "q14_time_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -536,6 +547,12 @@ object Relational extends QueryPack {
          |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q32_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "q14_time_buckets" ->
       s"""SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,

@@ -57,10 +57,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("map-only text analysis stays zero-exchange and codegen'd") {
-    Seq("text_quality", "text_langid", "dedup_simhash").foreach { q =>
+    Seq("text_quality", "text_langid", "dedup_simhash", "text_repetition",
+        "text_pii").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q grew a shuffle:\n${p.take(400)}")
       assert(p.contains("*("), s"$q fell out of codegen")
     }
+  }
+
+  test("q31 range join is an equi-join with the bin in the key, no nested loop") {
+    val p = plan("q31_range_join")
+    assert(!p.contains("NestedLoop"), p.take(800))
+    assert(!p.contains("Cartesian"), p.take(800))
+    // the event_type filters must reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(800))
   }
 }
