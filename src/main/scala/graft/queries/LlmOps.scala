@@ -165,6 +165,30 @@ object LlmOps extends QueryPack {
           TextOps.qualityScore(col("text")).as("quality"): _*)
     }),
 
+    // ---- corpus vocabulary: token frequencies, deterministic top-100
+    //      (tokenizer-training preprocessing). explode → partial-agg'd
+    //      groupBy → TakeOrdered: one shuffle of (token, partial count). ----
+    "text_vocab_topk" -> ((s, dir) =>
+      t(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100)),
+
+    // ---- int8 embedding quantization: 4× storage cut, reconstruction
+    //      quality verified by exact cosine vs the original ----
+    "emb_quantize" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id"), col("v"),
+          array_max(transform(col("v"), x => abs(x))).as("amax"),
+          Similarity.quantizeInt8(col("v")).as("q"))
+        .select(col("vec_id"), col("amax"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          round(graft.functions.GraftFunctions.graftCosine(col("v"),
+            Similarity.dequantizeInt8(col("q"), col("amax"))), 4).as("recon_cos"))
+    }),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir).embeddings
@@ -341,6 +365,29 @@ object LlmOps extends QueryPack {
          |    (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25 +
          |    least((${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) * 5.0, 1.0) * 0.25 AS quality
          |FROM documents""".stripMargin,
+
+    "text_vocab_topk" ->
+      s"""SELECT token, count(*) AS freq FROM (
+         |  SELECT unnest($DuckToks) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS amax,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(floor(
+        |        x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INT))
+        |    END AS q
+        |  FROM e)
+        |SELECT vec_id, amax,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  round(list_cosine_similarity(v,
+        |    list_transform(q, i -> i * amax / 127.0)), 4) AS recon_cos
+        |FROM qz""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -123,6 +123,31 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left_outer")
 
+  /** Stream-stream interval join (streaming attribution: the unbounded form
+    * of `Joins.rangeJoinBinned`): left and right streams equi-join on `keys`
+    * with `right.ts` in `[left.ts, left.ts + window]`. BOTH sides carry a
+    * watermark and the join condition bounds the time difference — that pair
+    * of constraints is what lets Spark evict buffered rows once the
+    * watermark passes, so join state stays bounded on an unbounded stream
+    * (without them, stream-stream join state grows forever).
+    *
+    * `delay` is each side's lateness allowance; state retention ≈
+    * `delay + window` per side. Timestamp columns must be named distinctly
+    * (`leftTs`/`rightTs`); output is an inner join (Append mode).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, window: String,
+      delay: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    val keyCond = keys.map(k => l(k) === r(k))
+    val timeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window")
+    val joined = l.join(r, (keyCond :+ timeCond).reduce(_ && _), "inner")
+    // drop the right side's duplicated key columns
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming error budget — the reference's `max_errors` abort
     * (`etl-job/src/job.rs:258-263`) applied to an unbounded decode stream:
     * corrupt rows are counted per micro-batch; once the cumulative count

@@ -151,6 +151,33 @@ class StreamingSpec extends SparkSpec {
       2L -> Some("silver"), 3L -> None))
   }
 
+  test("stream-stream interval join matches in-window pairs and drops out-of-window") {
+    val clicks = MemoryStream[(Timestamp, Long, String)](spark)
+    val buys = MemoryStream[(Timestamp, Long, String)](spark)
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("click_ts", "user", "click_id"),
+      buys.toDF().toDF("buy_ts", "user", "buy_id"),
+      Seq("user"), "click_ts", "buy_ts", window = "30 minutes")
+    val q = joined.select($"click_id", $"buy_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L, "c1"),
+      (ts("2024-01-01 10:00:00"), 2L, "c2"))
+    buys.addData(
+      (ts("2024-01-01 10:10:00"), 1L, "b1"),  // in window, same user → match
+      (ts("2024-01-01 10:50:00"), 1L, "b2"),  // past window → no match
+      (ts("2024-01-01 10:10:00"), 3L, "b3"))  // no such click user → no match
+    q.processAllAvailable()
+    // advance both watermarks so in-window results finalize
+    clicks.addData((ts("2024-01-01 12:00:00"), 9L, "c9"))
+    buys.addData((ts("2024-01-01 12:00:00"), 9L, "b9"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("c1", "b1")))
+    assert(!out.exists(_._2 == "b2"))
+    assert(!out.exists(_._2 == "b3"))
+  }
+
   test("streaming error budget stops the query once corrupt rows exceed it") {
     val in = java.nio.file.Files.createTempDirectory("graft_budget_in")
     val cp = java.nio.file.Files.createTempDirectory("graft_budget_cp").toString
