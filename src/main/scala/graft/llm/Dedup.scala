@@ -322,6 +322,36 @@ object Dedup {
     (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
       (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
 
+  /** Pairs of documents sharing at least ONE contiguous `spanTokens`-token
+    * span — exact substring-granularity duplication / benchmark-contamination
+    * detection at document-pair output (the doc-level form of
+    * suffix-array training-data dedup; a doc shorter than the span window
+    * contributes its whole text as one span).
+    *
+    * Scale mechanics: each doc emits its distinct span hashes — the shuffle
+    * carries (span_hash: long, id: long) pairs, never span text — and pair
+    * generation is bucket-local per span hash with the same degenerate-
+    * bucket cap as the LSH paths (a boilerplate span shared by a large
+    * corpus share would otherwise generate n² pairs). Exactly one shuffle
+    * plus the pair distinct. 64-bit span hashing: collision odds ~2^-64.
+    */
+  def commonSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 20, maxBucketSize: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val sh =
+          if (toks.length < spanTokens) Array(toks.mkString(" "))
+          else toks.sliding(spanTokens).map(_.mkString(" ")).toArray
+        sh.distinct.iterator.map(s => (hash64(s), id))
+      })
+      .toDF("span", "id")
+    pairsWithinBuckets(spans, Seq("span"), "id", maxBucketSize)
+  }
+
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs
     * limited to equal blocking keys PLUS an automatic set-size bucket.
     *

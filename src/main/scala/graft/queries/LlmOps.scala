@@ -87,6 +87,13 @@ object LlmOps extends QueryPack {
       Dedup.jaccardJoinBlocked(d, "doc_id", "toks", Seq("lang"), 0.5)
     }),
 
+    // ---- exact common-span pairs (contamination / substring dedup):
+    //      docs sharing any contiguous 20-token span. Span hashes shuffle
+    //      as longs; pair generation is bucket-local and capped. ----
+    "dedup_common_span" -> ((s, dir) =>
+      Dedup.commonSpanPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        spanTokens = 20)),
+
     // ---- deterministic uniform sampling: bottom-k by content hash per
     //      group (no RNG, reproducible on any cluster layout — the
     //      LLM-corpus "take a stable N-doc sample per language" op) ----
@@ -273,6 +280,24 @@ object LlmOps extends QueryPack {
          |  THEN '1' ELSE '0' END), '') AS simhash
          |FROM (SELECT doc_id, list_transform($DuckToks, t -> md5(t)) AS hexes
          |      FROM documents)""".stripMargin,
+
+    "dedup_common_span" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), sp AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 18),
+         |           i -> array_to_string(list_slice(toks, i, i + 19), ' ')) END) AS s
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM base)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sp a JOIN sp b
+         |  ON a.doc_id < b.doc_id AND len(list_intersect(a.s, b.s)) > 0""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""SELECT id_a, id_b, jac FROM (

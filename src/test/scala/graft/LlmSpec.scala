@@ -48,6 +48,20 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("commonSpanPairs: shared 20-token span found; disjoint docs are not paired") {
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val a = span + " " + (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ") + " " + span
+    val c = (100 to 160).map(i => s"c$i").mkString(" ")
+    val short1 = "tiny doc"     // < 20 tokens → whole text is the span
+    val short2 = "tiny doc"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, short1), (5L, short2))
+      .toDF("doc_id", "text")
+    val got = Dedup.commonSpanPairs(df, "doc_id", "text", spanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (4L, 5L)))
+  }
+
   test("minhashNearDups: maxBucketSize drops degenerate buckets, default keeps them") {
     // 30 identical docs: every band puts all 30 ids in one bucket
     val df = (1L to 30L).map(i => (i, (1 to 40).map(j => s"tok$j").mkString(" ")))
