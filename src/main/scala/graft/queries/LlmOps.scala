@@ -107,6 +107,17 @@ object LlmOps extends QueryPack {
         .select(col("lang"), col("doc_id"), col("rn").cast("long").as("rn"))
     }),
 
+    // ---- deterministic train/val/test assignment: content-hash bucketing
+    //      (md5 prefix, engine-neutral), ~80/10/10, reproducible on any
+    //      cluster layout and stable under corpus growth — a doc never
+    //      changes split when new docs arrive. Map-only. ----
+    "sample_split" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      t(s, dir).documents.select(col("doc_id"),
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+          .as("split"))
+    }),
+
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -315,6 +326,13 @@ object LlmOps extends QueryPack {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-driven invariants for the numeric kernels: one Spark job per
+  * property over a scalacheck-generated batch (per-case Spark jobs would be
+  * prohibitively slow; the batch keeps the property seeds deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val vecGen: Gen[Seq[Double]] = for {
+    d <- Gen.choose(4, 64)
+    v <- Gen.listOfN(d, Gen.choose(-10.0, 10.0))
+    if v.exists(x => math.abs(x) > 1e-9) // all-zero has no direction
+  } yield v
+
+  test("property: int8 quantization keeps values in [-127,127] and cosine ≥ 0.999") {
+    GraftFunctions.register(spark)
+    val vecs = sample(vecGen, 200).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+      .withColumn("amax", array_max(transform($"v", x => abs(x))))
+      .withColumn("q", Similarity.quantizeInt8($"v"))
+    val bad = df.filter(exists($"q", i => i > 127 || i < -127)).count()
+    assert(bad === 0L)
+    val minCos = df
+      .select(GraftFunctions.graftCosine($"v",
+        Similarity.dequantizeInt8($"q", $"amax")).as("c"))
+      .agg(min($"c")).head().getDouble(0)
+    assert(minCos >= 0.999, s"worst reconstruction cosine $minCos")
+  }
+
+  test("property: hamming64 is symmetric, zero on the diagonal, ≤ 64") {
+    GraftFunctions.register(spark)
+    val longs = sample(Gen.choose(Long.MinValue, Long.MaxValue), 100)
+    val df = longs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.x").as("xa"), col("b.x").as("xb"))
+      .withColumn("hab", call_function("graft_hamming64", $"xa", $"xb"))
+      .withColumn("hba", call_function("graft_hamming64", $"xb", $"xa"))
+    assert(pairs.filter($"hab" =!= $"hba").count() === 0L)
+    assert(pairs.filter($"ia" === $"ib" && $"hab" =!= 0L).count() === 0L)
+    assert(pairs.filter($"hab" > 64L || $"hab" < 0L).count() === 0L)
+  }
+
+  test("property: cosine is symmetric, 1.0 on self, scale-invariant") {
+    GraftFunctions.register(spark)
+    val vecs = sample(vecGen, 100).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val self = df.select(abs(GraftFunctions.graftCosine($"v", $"v") - 1.0).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(self < 1e-12, s"self-cosine deviates by $self")
+    // positive scaling must not change the angle (beyond fp rounding)
+    val scaled = df
+      .withColumn("w", transform($"v", x => x * 3.7))
+      .select(abs(GraftFunctions.graftCosine($"v", $"w") - 1.0).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(scaled < 1e-9, s"scaled-cosine deviates by $scaled")
+  }
+}
