@@ -238,6 +238,138 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Product-quantization ANN top-k: dimensions split into `m` subspaces,
+    * each corpus vector encoded as `m` codebook indices (the compressed
+    * scan representation real 100 TB vector search uses — the code scan
+    * touches m bytes per vector instead of 4·d, and raw vectors are read
+    * only for the final `rerank` candidates per query).
+    *
+    * Codebooks are a deterministic hash-sample of corpus subvectors (the
+    * same stand-in used for IVF cells: production would k-means-train them;
+    * sampling keeps results reproducible with no iterative job). Scoring is
+    * asymmetric: each query precomputes a LUT of subspace dot products
+    * against the codebooks (broadcast, `queries × m × codebookSize`
+    * doubles), the corpus code scan accumulates approximate similarity with
+    * `m` table lookups per vector, and per-partition bounded heaps emit
+    * only `queries × rerank` rows per partition — never the full
+    * query × corpus cross product. Exact cosine re-ranks the global
+    * top-`rerank` candidates down to `k`.
+    *
+    * All vectors are unit-normalized before encoding, so approximate inner
+    * product ranks like cosine. Recall < 1 by design (rows-only check;
+    * recall is pinned by SimilaritySpec's planted duplicates).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 4, codebookSize: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def normalize(x: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < x.length) { n += x(i) * x(i); i += 1 }
+      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+      val y = new Array[Double](x.length)
+      i = 0; while (i < x.length) { y(i) = x(i) * inv; i += 1 }
+      y
+    }
+
+    val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
+    // deterministic codebook sample — bounded collect of codebookSize rows
+    val samples = vecs
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(codebookSize)
+      .select(col("v")).as[Seq[Double]].collect()
+      .map(s => normalize(s.toArray))
+    val dim = samples.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // codebooks(j)(c) = c-th sampled vector's j-th subvector
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, samples.length)((j, c) =>
+        java.util.Arrays.copyOfRange(samples(c), j * sub, (j + 1) * sub))
+
+    def encode(xn: Array[Double]): Array[Int] =
+      Array.tabulate(m) { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < codebooks(j).length) {
+          val cb = codebooks(j)(c)
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val t = xn(j * sub + i) - cb(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+
+    val codes = vecs.as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, encode(normalize(v.toArray))) })
+      .toDF("neighbor_id", "code")
+
+    // per-query LUTs, broadcast with the closure (queries are a small set —
+    // same stance as bruteForceTopK)
+    val qluts: Array[(Long, Array[Array[Double]])] =
+      vectorsOf(queries, idCol, vecCol, "query_id", "va")
+        .as[(Long, Seq[Double])].collect()
+        .map { case (qid, q) =>
+          val qn = normalize(q.toArray)
+          qid -> Array.tabulate(m, codebooks(0).length) { (j, c) =>
+            val cb = codebooks(j)(c)
+            var s = 0.0; var i = 0
+            while (i < sub) { s += qn(j * sub + i) * cb(i); i += 1 }
+            s
+          }
+        }
+
+    val approx = codes.as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        // bounded per-(partition, query) heaps: emit rerank rows per query,
+        // not the full code scan
+        val heaps = qluts.map { case (qid, _) =>
+          qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.by[(Double, Long), Double](_._1).reverse) // min-heap
+        }.toMap
+        it.foreach { case (nid, codeSeq) =>
+          val code = codeSeq.toArray
+          qluts.foreach { case (qid, lut) =>
+            if (qid != nid) {
+              var s = 0.0; var j = 0
+              while (j < m) { s += lut(j)(code(j)); j += 1 }
+              val h = heaps(qid)
+              if (h.size < rerank) h.enqueue((s, nid))
+              else if (s > h.head._1) { h.dequeue(); h.enqueue((s, nid)) }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, nid) => (qid, nid, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = approx
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(vectorsOf(queries, idCol, vecCol, "query_id", "va"), "query_id")
+      .join(vectorsOf(corpus, idCol, vecCol, "neighbor_id", "vb"), "neighbor_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cosineOfPairs(cands, "query_id", "neighbor_id")
+      .withColumn("sim", round(col("sim_raw"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-dup pairs: all corpus pairs with cosine ≥ threshold.
     * Candidate generation via LSH buckets (any shared bucket), verification
     * by exact cosine — output-bounded, no n² stage.

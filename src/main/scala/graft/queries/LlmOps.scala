@@ -231,6 +231,13 @@ object LlmOps extends QueryPack {
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }),
 
+    // ---- product-quantization ANN (compressed code scan + asymmetric
+    //      distance + exact re-rank; rows-only like LSH/IVF) ----
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    }),
+
     // ---- multimodal: opaque binary + typed metadata plumbing ----
     "mm_binary_stats" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir).documents, "doc_id", "text")

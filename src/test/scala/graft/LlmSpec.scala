@@ -103,6 +103,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK retrieves planted parallel duplicates at rank 1, sim 1.0") {
+    val e = Tables(spark, sf0001).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dups = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * 1.1).as("embedding"))
+    val queries = e.filter($"vec_id" < 5)
+    // a scaled copy normalizes to the identical unit vector → identical PQ
+    // codes → approx sim ties the query's own code score → survives rerank
+    val res = Similarity.pqTopK(queries, e.unionByName(dups), k = 3)
+      .filter($"rank" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.length === 5)
+    res.foreach { case (q, n, sim) =>
+      assert(n === q + 100000, s"query $q should find its scaled copy")
+      assert(sim === 1.0)
+    }
+  }
+
   test("bruteForceTopK and annTopK agree on planted dups") {
     val e = Tables(spark, sf0001).embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
