@@ -238,6 +238,26 @@ object LlmOps extends QueryPack {
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }),
 
+    // ---- composed curation pipeline: quality gate → exact dedup (min-id
+    //      survivor per normalized content) → split assignment → per-
+    //      (lang, split) counts. The whole composition is oracle-checked,
+    //      proving the operators chain without engine drift. Two shuffles
+    //      (dedup groupBy, final count) — both on slim keys. ----
+    "pipeline_curate" -> ((s, dir) => {
+      val d = t(s, dir).documents
+        .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        .withColumn("norm_key", md5(TextOps.normalize(col("text"))))
+      val survivors = d.groupBy(col("norm_key"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      survivors
+        .select(col("lang"),
+          when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+            .as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- multimodal: opaque binary + typed metadata plumbing ----
     "mm_binary_stats" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir).documents, "doc_id", "text")
@@ -262,6 +282,18 @@ object LlmOps extends QueryPack {
        |   i -> array_to_string(list_slice($toksExpr, i, i + 2), ' ')) END)""".stripMargin
   private def duckOcc(marker: String): String =
     s"(CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$marker', '')) AS DOUBLE) / ${marker.length})"
+  // composite quality score — MUST stay textually in sync with the
+  // text_quality oracle (same formula, same fragments)
+  private def duckQuality: String =
+    s"""least(CAST(len($DuckToks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |    (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25 +
+       |    least((${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) * 5.0, 1.0) * 0.25""".stripMargin
+  private val DuckNorm =
+    raw"""trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g'))"""
+  private val DuckSplit =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |     ELSE 'test' END""".stripMargin
   private def duckLangScore(lang: String): String =
     TextOps.LangMarkers.toMap.apply(lang).map(duckOcc).mkString("(", " + ", ")")
 
@@ -459,6 +491,19 @@ object LlmOps extends QueryPack {
         |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
         |  FROM u a, u b WHERE a.vec_id < b.vec_id)
         |WHERE sim >= 0.99""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE $duckQuality >= 0.5
+         |), k AS (
+         |  SELECT doc_id, lang, md5($DuckNorm) AS norm_key FROM f
+         |), s AS (
+         |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+         |  FROM k GROUP BY norm_key
+         |)
+         |SELECT lang, $DuckSplit AS split, count(*) AS n
+         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "mm_binary_stats" ->
       """SELECT doc_id AS media_id,
