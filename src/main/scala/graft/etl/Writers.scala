@@ -54,6 +54,48 @@ object Writers {
       .parquet(path)
   }
 
+  /** Key-based upsert (MERGE) into a hive-partitioned parquet dataset,
+    * rewriting ONLY the partitions the updates touch — the incremental-
+    * corpus-update op. Mechanics: collect the updates' distinct partition
+    * values (bounded: one row per touched partition), read back just those
+    * partitions (partition-pruned scan), anti-join out the rows whose key
+    * is being replaced, union the updates, and write with DYNAMIC partition
+    * overwrite so untouched partition directories are never rewritten.
+    * At 100 TB an update batch touching 3 of 10k partitions costs 3
+    * partitions of IO, not a dataset rewrite.
+    *
+    * Updates must carry the full row schema. Not transactional across
+    * concurrent writers (that is a table format's job — Iceberg/Delta);
+    * single-writer correctness only.
+    */
+  def upsertPartitionedParquet(updates: DataFrame, path: String,
+      keyCols: Seq[String], partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(keyCols.nonEmpty && partitionCols.nonEmpty)
+    val spark = updates.sparkSession
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val merged = if (!exists) updates else {
+      val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
+      val prune = touched.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val kept = spark.read.parquet(path).filter(prune)
+        .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      kept.unionByName(updates.select(kept.columns.map(col): _*))
+    }
+    merged.repartition(partitionCols.map(col): _*).write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** O4: null sink (validation/benchmark). */
   def noop(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).format("noop").save()
 

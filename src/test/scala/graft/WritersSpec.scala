@@ -51,6 +51,31 @@ class WritersSpec extends SparkSpec {
     assert(back === docs.count())
   }
 
+  test("upsertPartitionedParquet rewrites only touched partitions, merges by key") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/ds"
+    val initial = Seq(
+      (1L, "en", "one"), (2L, "en", "two"), (3L, "de", "drei"), (4L, "fr", "quatre")
+    ).toDF("id", "lang", "payload")
+    Writers.upsertPartitionedParquet(initial, root, Seq("id"), Seq("lang"))
+
+    val deDir = new java.io.File(s"$root/lang=de")
+    val deBefore = deDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    // update id=2, insert id=9 — only lang=en is touched
+    val updates = Seq((2L, "en", "TWO"), (9L, "en", "nine"))
+      .toDF("id", "lang", "payload")
+    Writers.upsertPartitionedParquet(updates, root, Seq("id"), Seq("lang"))
+
+    val back = spark.read.parquet(root)
+    assert(back.count() === 5)
+    assert(back.filter($"id" === 2L).select("payload").head().getString(0) === "TWO")
+    assert(back.filter($"id" === 9L).count() === 1)
+    assert(back.filter($"lang" === "de").count() === 1)
+    // untouched partition directory: identical files, untouched mtimes
+    val deAfter = deDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(deAfter === deBefore, "lang=de partition must not be rewritten")
+  }
+
   test("O7: file queue push/pop with content-hash keys and atomic drops") {
     val q = new FileQueue(
       java.nio.file.Files.createTempDirectory("graft_queue").toString)
