@@ -44,10 +44,14 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(tasksPerPartition >= 1, "tasksPerPartition must be >= 1")
+    // salt must be DETERMINISTIC per row: monotonically_increasing_id()
+    // changes on task re-execution, and a nondeterministic repartition key
+    // loses/duplicates rows under fetch-failure retries (SPARK-23207 class).
+    // Hashing the row's own columns re-routes identically on recompute.
     val routed =
       if (tasksPerPartition == 1) df.repartition(partitionCols.map(col): _*)
       else df.repartition(partitionCols.map(col) :+
-        pmod(xxhash64(monotonically_increasing_id()), lit(tasksPerPartition)): _*)
+        pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition)): _*)
     routed.write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
@@ -64,9 +68,13 @@ object Writers {
     * At 100 TB an update batch touching 3 of 10k partitions costs 3
     * partitions of IO, not a dataset rewrite.
     *
-    * Updates must carry the full row schema. Not transactional across
-    * concurrent writers (that is a table format's job — Iceberg/Delta);
-    * single-writer correctness only.
+    * Updates must carry the full row schema, and keys must be
+    * PARTITION-STABLE: an update row must carry the same partition values
+    * as the existing row for that key. Moving a key across partitions needs
+    * a delete from the old partition first — the pruned read never sees
+    * other partitions, so a moved key would otherwise survive twice.
+    * Not transactional across concurrent writers (that is a table format's
+    * job — Iceberg/Delta); single-writer correctness only.
     */
   def upsertPartitionedParquet(updates: DataFrame, path: String,
       keyCols: Seq[String], partitionCols: Seq[String],
@@ -77,23 +85,34 @@ object Writers {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val merged = if (!exists) updates else {
-      val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
-      val prune = touched.map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduce(_ || _)
-      val kept = spark.read.parquet(path).filter(prune)
-        .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-      kept.unionByName(updates.select(kept.columns.map(col): _*))
-    }
-    merged.repartition(partitionCols.map(col): _*).write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    // updates feeds three plans (touched collect, anti-join, final union) —
+    // persist so the upstream computation runs once
+    val up = updates.persist()
+    try {
+      val touched =
+        if (!exists) Array.empty[org.apache.spark.sql.Row]
+        else up.select(partitionCols.map(col): _*).distinct().collect()
+      if (exists && touched.isEmpty) return // empty batch: nothing to merge
+      val merged = if (!exists) up else {
+        // null-safe <=>: a null partition value must select the
+        // __HIVE_DEFAULT_PARTITION__ rows, not evaluate to unknown and
+        // drop every existing row of that partition
+        val prune = touched.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        val kept = spark.read.parquet(path).filter(prune)
+          .join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+        kept.unionByName(up.select(kept.columns.map(col): _*))
+      }
+      merged.repartition(partitionCols.map(col): _*).write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally up.unpersist()
   }
 
   /** O4: null sink (validation/benchmark). */

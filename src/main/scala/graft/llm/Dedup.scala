@@ -223,13 +223,21 @@ object Dedup {
     ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.trim.split("\\s+")
-        val sh =
-          if (toks.length < n) Array(toks.mkString(" "))
-          else toks.sliding(n).map(_.mkString(" ")).toArray
-        (id, sh.distinct: Seq[String])
+        (id, distinctShingles(text, n): Seq[String])
       })
       .toDF("id", "set")
+  }
+
+  /** Distinct word n-gram shingles of one doc — THE tokenization shared by
+    * shingleSets / hashedShingleSets / commonSpanPairs (and mirrored by the
+    * DuckDB oracles); a doc shorter than n tokens yields its whole text.
+    */
+  private def distinctShingles(text: String, n: Int): Array[String] = {
+    val toks = text.trim.split("\\s+")
+    val sh =
+      if (toks.length < n) Array(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toArray
+    sh.distinct
   }
 
   /** Distinct word n-gram shingle sets as SORTED 64-bit hash arrays — the
@@ -244,11 +252,7 @@ object Dedup {
     ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.trim.split("\\s+")
-        val sh =
-          if (toks.length < n) Array(toks.mkString(" "))
-          else toks.sliding(n).map(_.mkString(" ")).toArray
-        val hs = sh.distinct.map(hash64)
+        val hs = distinctShingles(text, n).map(hash64)
         java.util.Arrays.sort(hs)
         (id, hs)
       })
@@ -342,11 +346,7 @@ object Dedup {
     val spans = ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+")
-        val sh =
-          if (toks.length < spanTokens) Array(toks.mkString(" "))
-          else toks.sliding(spanTokens).map(_.mkString(" ")).toArray
-        sh.distinct.iterator.map(s => (hash64(s), id))
+        distinctShingles(text, spanTokens).iterator.map(s => (hash64(s), id))
       })
       .toDF("span", "id")
     pairsWithinBuckets(spans, Seq("span"), "id", maxBucketSize)

@@ -35,6 +35,15 @@ object LlmOps extends QueryPack {
     d.unionByName(truncated)
   }
 
+  /** Deterministic ~80/10/10 split by md5-prefix bucket — the ONE split
+    * definition shared by sample_split and pipeline_curate (its SQL twin is
+    * `DuckSplit`).
+    */
+  private def splitCol(docId: Column): Column = {
+    val h2 = substring(md5(docId.cast("string")), 1, 2)
+    when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+  }
+
   /** documents with deterministic synthetic PII appended (the corpus has
     * none naturally): an email on doc_id % 7, a URL on % 11, a phone on
     * % 13 — the oracle builds the identical text, so the detector's counts
@@ -111,12 +120,9 @@ object LlmOps extends QueryPack {
     //      (md5 prefix, engine-neutral), ~80/10/10, reproducible on any
     //      cluster layout and stable under corpus growth — a doc never
     //      changes split when new docs arrive. Map-only. ----
-    "sample_split" -> ((s, dir) => {
-      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    "sample_split" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
-        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
-          .as("split"))
-    }),
+        splitCol(col("doc_id")).as("split"))),
 
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
@@ -250,11 +256,8 @@ object LlmOps extends QueryPack {
       val survivors = d.groupBy(col("norm_key"))
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("lang"), col("doc_id")).as("lang"))
-      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
       survivors
-        .select(col("lang"),
-          when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
-            .as("split"))
+        .select(col("lang"), splitCol(col("doc_id")).as("split"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
     }),
 
@@ -282,8 +285,8 @@ object LlmOps extends QueryPack {
        |   i -> array_to_string(list_slice($toksExpr, i, i + 2), ' ')) END)""".stripMargin
   private def duckOcc(marker: String): String =
     s"(CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$marker', '')) AS DOUBLE) / ${marker.length})"
-  // composite quality score — MUST stay textually in sync with the
-  // text_quality oracle (same formula, same fragments)
+  // composite quality score — the single definition, interpolated into both
+  // the text_quality and pipeline_curate oracles
   private def duckQuality: String =
     s"""least(CAST(len($DuckToks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25 +
@@ -367,17 +370,15 @@ object LlmOps extends QueryPack {
         |WHERE rn <= 5""".stripMargin,
 
     "sample_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  $DuckSplit AS split
+         |FROM documents""".stripMargin,
 
     "text_normalize" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
-        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  $DuckNorm AS norm_text,
+         |  md5($DuckNorm) AS norm_key
+         |FROM documents""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, list_min(list_transform(
@@ -443,9 +444,7 @@ object LlmOps extends QueryPack {
          |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($DuckToks) AS mean_word_len,
          |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
          |  (${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) AS stopword_ratio,
-         |  least(CAST(len($DuckToks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-         |    (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25 +
-         |    least((${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) * 5.0, 1.0) * 0.25 AS quality
+         |  $duckQuality AS quality
          |FROM documents""".stripMargin,
 
     "text_vocab_topk" ->

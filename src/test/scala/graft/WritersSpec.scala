@@ -76,6 +76,29 @@ class WritersSpec extends SparkSpec {
     assert(deAfter === deBefore, "lang=de partition must not be rewritten")
   }
 
+  test("upsertPartitionedParquet: null partition values and empty batches are safe") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_null").toString + "/ds"
+    val initial = Seq(
+      (2L, Option("en"), "two"), (5L, None: Option[String], "five"),
+      (6L, None: Option[String], "six")
+    ).toDF("id", "lang", "payload")
+    Writers.upsertPartitionedParquet(initial, root, Seq("id"), Seq("lang"))
+
+    // empty update batch: must be a no-op, not a crash
+    Writers.upsertPartitionedParquet(initial.filter($"id" === -1L), root,
+      Seq("id"), Seq("lang"))
+    assert(spark.read.parquet(root).count() === 3)
+
+    // update a key inside the null partition: the sibling null-partition
+    // row must survive (needs null-safe partition pruning)
+    val up = Seq((5L, None: Option[String], "FIVE")).toDF("id", "lang", "payload")
+    Writers.upsertPartitionedParquet(up, root, Seq("id"), Seq("lang"))
+    val back = spark.read.parquet(root)
+    assert(back.count() === 3)
+    assert(back.filter($"id" === 5L).select("payload").head().getString(0) === "FIVE")
+    assert(back.filter($"id" === 6L).count() === 1, "sibling null-partition row lost")
+  }
+
   test("O7: file queue push/pop with content-hash keys and atomic drops") {
     val q = new FileQueue(
       java.nio.file.Files.createTempDirectory("graft_queue").toString)
