@@ -202,6 +202,7 @@ object LlmOps extends QueryPack {
     // ---- int8 embedding quantization: 4× storage cut, reconstruction
     //      quality verified by exact cosine vs the original ----
     "emb_quantize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // graft_cosine, idempotent
       val e = t(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       e.select(col("vec_id"), col("v"),
