@@ -124,6 +124,16 @@ object LlmOps extends QueryPack {
       t(s, dir).documents.select(col("doc_id"),
         splitCol(col("doc_id")).as("split"))),
 
+    // ---- deterministic stratified downsampling (corpus rebalancing:
+    //      keep 10% of over-represented 'en', 50% of the rest) — same
+    //      md5-bucket trick as sample_split, map-only, reproducible ----
+    "sample_stratified" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      t(s, dir).documents
+        .filter(when(col("lang") === "en", h2 < "1a").otherwise(h2 < "80"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -374,6 +384,12 @@ object LlmOps extends QueryPack {
       s"""SELECT doc_id,
          |  $DuckSplit AS split
          |FROM documents""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END""".stripMargin,
 
     "text_normalize" ->
       s"""SELECT doc_id,
