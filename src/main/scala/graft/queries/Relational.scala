@@ -421,6 +421,20 @@ object Relational extends QueryPack {
           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
     }),
 
+    // ---- approximate percentiles (mergeable sketch — the scale form of
+    //      q22's exact percentiles: one pass, fixed-size state per group,
+    //      no sort). Sketch values are engine-specific → rows-only check;
+    //      the error bound vs exact percentile is pinned in JoinsSpec. ----
+    "q33_approx_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).customer
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(
+          expr("approx_percentile(c_acctbal, 0.25, 1000)").as("p25"),
+          expr("approx_percentile(c_acctbal, 0.5, 1000)").as("median"),
+          expr("approx_percentile(c_acctbal, 0.75, 1000)").as("p75"))
+    }),
+
     // ---- C7: delegated-SQL surface made native — the reference ships SQL
     //      text to Athena and polls S3 for a result CSV
     //      (`etl-aws-utils/src/athena.rs:175-274`); here the same SQL text

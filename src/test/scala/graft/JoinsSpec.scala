@@ -104,4 +104,17 @@ class JoinsSpec extends SparkSpec {
     val approx = li.agg(approx_count_distinct($"l_orderkey", 0.01)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("approx_percentile tracks the exact percentile within rank tolerance") {
+    val c = Tables(spark, sf0001).customer
+    val Array(exact, approx) = c.agg(
+      expr("percentile(c_acctbal, 0.5)"),
+      expr("approx_percentile(c_acctbal, 0.5, 1000)")).head()
+      .toSeq.map(_.toString.toDouble).toArray
+    // accuracy=1000 → rank error ≤ n/1000; on acctbal's spread that is a
+    // tight value band
+    val spread = c.agg(max($"c_acctbal") - min($"c_acctbal")).head().getDouble(0)
+    assert(math.abs(approx - exact) <= spread * 0.02,
+      s"approx $approx vs exact $exact (spread $spread)")
+  }
 }
