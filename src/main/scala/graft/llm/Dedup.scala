@@ -228,6 +228,63 @@ object Dedup {
       .toDF("id", "set")
   }
 
+  /** Connected components over a near-duplicate pair graph → survivor
+    * assignment: every id that appears in `pairs` is labeled with the
+    * minimum id of its component (the survivor); rows not in any pair are
+    * trivially their own survivor and are not emitted.
+    *
+    * Iterative min-label propagation to FIXPOINT (each round: label :=
+    * min(label, neighbors' labels); stop when no label changes). The input
+    * is the pairs output — orders of magnitude smaller than the corpus —
+    * so the per-round convergence action is cheap; per-round persist +
+    * unpersist keeps the lineage from growing exponentially. Near-dup
+    * components are near-cliques (diameter ≤ 2–3), so rounds ≈ 3 in
+    * practice; `maxIterations` is a runaway guard for pathological chains.
+    * Returns (id, survivor_id).
+    */
+  def survivorAssignment(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val viaNeighbors = edges
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .select(col("src").as("id"), col("label"))
+        val next = labels.select(col("id"), col("label"))
+          .unionByName(viaNeighbors)
+          .groupBy("id").agg(min("label").as("label"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      labels.select(col("id"), col("label").as("survivor_id"))
+        // materialize before unpersist in finally (collect-free: the caller
+        // usually writes or joins this; localCheckpoint pins the result)
+        .localCheckpoint()
+    } finally { edges.unpersist(); labels.unpersist() }
+  }
+
+  /** Keep one row per near-dup component (the survivor) plus every row not
+    * in any pair: anti-join the non-survivor ids out of `df`.
+    */
+  def applySurvivors(df: DataFrame, idCol: String, assignment: DataFrame): DataFrame = {
+    val losers = assignment.filter(col("id") =!= col("survivor_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word n-gram shingles of one doc — THE tokenization shared by
     * shingleSets / hashedShingleSets / commonSpanPairs (and mirrored by the
     * DuckDB oracles); a doc shorter than n tokens yields its whole text.

@@ -96,6 +96,16 @@ object LlmOps extends QueryPack {
       Dedup.jaccardJoinBlocked(d, "doc_id", "toks", Seq("lang"), 0.5)
     }),
 
+    // ---- survivor assignment: near-dup pairs → connected components →
+    //      min-id survivor per component (the "actually drop the dups"
+    //      step). Fixpoint label propagation over the PAIRS graph only —
+    //      tiny relative to the corpus. ----
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(docsWithNearDups(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 96, bands = 48, threshold = 0.5)
+      Dedup.survivorAssignment(pairs)
+    }),
+
     // ---- exact common-span pairs (contamination / substring dedup):
     //      docs sharing any contiguous 20-token span. Span hashes shuffle
     //      as longs; pair generation is bucket-local and capped. ----
@@ -290,6 +300,28 @@ object LlmOps extends QueryPack {
 
   // shared SQL fragments for the oracle side
   private val DuckToks = raw"string_split_regex(trim(text), '\s+')"
+  /** Brute-force exact-Jaccard near-dup pairs over the planted-dup corpus —
+    * the ONE pair definition shared by the dedup_minhash and
+    * dedup_components oracles (CTE chain ending in `npairs`).
+    */
+  private def duckNearDupCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(${duckShingles("toks")}) AS s
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM base)
+       |), npairs AS (
+       |  SELECT id_a, id_b, jac FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+       |    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+       |  WHERE jac >= 0.5
+       |)""".stripMargin
   private def duckShingles(toksExpr: String): String =
     s"""(CASE WHEN len($toksExpr) < 3 THEN [array_to_string($toksExpr, ' ')]
        | ELSE list_transform(range(1, len($toksExpr) - 1),
@@ -320,22 +352,20 @@ object LlmOps extends QueryPack {
         |FROM u GROUP BY md5(text)""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000,
-         |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
-         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
-         |), sh AS (
-         |  SELECT doc_id, list_distinct(${duckShingles("toks")}) AS s
-         |  FROM (SELECT doc_id, $DuckToks AS toks FROM base)
+      s"""WITH $duckNearDupCtes
+         |SELECT id_a, id_b, jac FROM npairs""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM npairs
+         |  UNION ALL SELECT id_b, id_a FROM npairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
          |)
-         |SELECT id_a, id_b, jac FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-         |WHERE jac >= 0.5""".stripMargin,
+         |SELECT id, min(r) AS survivor_id FROM reach GROUP BY id""".stripMargin,
 
     "dedup_simhash" ->
       s"""SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->

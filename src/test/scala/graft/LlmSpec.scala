@@ -48,6 +48,20 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("survivorAssignment: chains collapse to min-id; applySurvivors keeps one per component") {
+    // component {1,2,3} as a CHAIN (1-2, 2-3: transitive, not a clique),
+    // component {7,9}, and 5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.survivorAssignment(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    val corpus = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = Dedup.applySurvivors(corpus, "doc_id", Dedup.survivorAssignment(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L, 7L))
+  }
+
   test("commonSpanPairs: shared 20-token span found; disjoint docs are not paired") {
     val span = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = span + " " + (1 to 30).map(i => s"a$i").mkString(" ")
