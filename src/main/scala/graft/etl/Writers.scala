@@ -48,10 +48,21 @@ object Writers {
     // changes on task re-execution, and a nondeterministic repartition key
     // loses/duplicates rows under fetch-failure retries (SPARK-23207 class).
     // Hashing the row's own columns re-routes identically on recompute.
+    // Tradeoff: identical rows share a salt, so a hot partition value made
+    // of duplicate rows still serializes — dedup first, or add a distinct
+    // discriminator column, if that is your shape. MapType columns are not
+    // hashable and are excluded; names are backtick-quoted (dots).
     val routed =
       if (tasksPerPartition == 1) df.repartition(partitionCols.map(col): _*)
-      else df.repartition(partitionCols.map(col) :+
-        pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition)): _*)
+      else {
+        val hashable = df.schema.fields
+          .filter(!_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(f => col(s"`${f.name}`"))
+        require(hashable.nonEmpty,
+          "tasksPerPartition > 1 needs at least one non-map column to salt on")
+        df.repartition(partitionCols.map(col) :+
+          pmod(xxhash64(hashable: _*), lit(tasksPerPartition)): _*)
+      }
     routed.write.mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
@@ -85,9 +96,11 @@ object Writers {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    // updates feeds three plans (touched collect, anti-join, final union) —
-    // persist so the upstream computation runs once
-    val up = updates.persist()
+    // on the merge path updates feeds three plans (touched collect,
+    // anti-join, final union) — persist so the upstream computation runs
+    // once; the initial-load path consumes it exactly once, so caching
+    // there would only double-materialize the whole dataset
+    val up = if (exists) updates.persist() else updates
     try {
       val touched =
         if (!exists) Array.empty[org.apache.spark.sql.Row]

@@ -262,13 +262,21 @@ object Dedup {
           .unionByName(viaNeighbors)
           .groupBy("id").agg(min("label").as("label"))
           .persist()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
+        val changed =
+          try next.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(col("label") =!= col("old")).count()
+          catch { case t: Throwable => next.unpersist(); throw t }
         labels.unpersist()
         labels = next
         converged = changed == 0
         i += 1
       }
+      // a silent cutoff would emit INCONSISTENT survivors (a node labeled
+      // with an id that itself has a different survivor) and applySurvivors
+      // would then retain duplicates — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"survivorAssignment did not converge in $maxIterations rounds — " +
+          "the pair graph has a component of larger diameter; raise maxIterations")
       labels.select(col("id"), col("label").as("survivor_id"))
         // materialize before unpersist in finally (collect-free: the caller
         // usually writes or joins this; localCheckpoint pins the result)

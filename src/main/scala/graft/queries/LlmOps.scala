@@ -35,12 +35,18 @@ object LlmOps extends QueryPack {
     d.unionByName(truncated)
   }
 
-  /** Deterministic ~80/10/10 split by md5-prefix bucket — the ONE split
-    * definition shared by sample_split and pipeline_curate (its SQL twin is
-    * `DuckSplit`).
+  /** md5-prefix hash bucket in ['00','ff'] — the ONE deterministic
+    * bucketing primitive behind splits and stratified sampling (SQL twin:
+    * `DuckBucket`).
+    */
+  private def bucketHex(docId: Column): Column =
+    substring(md5(docId.cast("string")), 1, 2)
+
+  /** Deterministic ~80/10/10 split on [[bucketHex]] — shared by
+    * sample_split and pipeline_curate (its SQL twin is `DuckSplit`).
     */
   private def splitCol(docId: Column): Column = {
-    val h2 = substring(md5(docId.cast("string")), 1, 2)
+    val h2 = bucketHex(docId)
     when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
   }
 
@@ -138,7 +144,7 @@ object LlmOps extends QueryPack {
     //      keep 10% of over-represented 'en', 50% of the rest) — same
     //      md5-bucket trick as sample_split, map-only, reproducible ----
     "sample_stratified" -> ((s, dir) => {
-      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val h2 = bucketHex(col("doc_id"))
       t(s, dir).documents
         .filter(when(col("lang") === "en", h2 < "1a").otherwise(h2 < "80"))
         .select(col("doc_id"), col("lang"))
@@ -336,10 +342,11 @@ object LlmOps extends QueryPack {
        |    least((${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) * 5.0, 1.0) * 0.25""".stripMargin
   private val DuckNorm =
     raw"""trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g'))"""
+  private val DuckBucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
   private val DuckSplit =
-    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |     ELSE 'test' END""".stripMargin
+    s"""CASE WHEN $DuckBucket < 'cc' THEN 'train'
+       |     WHEN $DuckBucket < 'e6' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
   private def duckLangScore(lang: String): String =
     TextOps.LangMarkers.toMap.apply(lang).map(duckOcc).mkString("(", " + ", ")")
 
@@ -416,10 +423,10 @@ object LlmOps extends QueryPack {
          |FROM documents""".stripMargin,
 
     "sample_stratified" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE CASE WHEN lang = 'en'
-        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END""".stripMargin,
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CASE WHEN lang = 'en'
+         |  THEN $DuckBucket < '1a'
+         |  ELSE $DuckBucket < '80' END""".stripMargin,
 
     "text_normalize" ->
       s"""SELECT doc_id,

@@ -106,15 +106,20 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("approx_percentile tracks the exact percentile within rank tolerance") {
-    val c = Tables(spark, sf0001).customer
-    val Array(exact, approx) = c.agg(
-      expr("percentile(c_acctbal, 0.5)"),
-      expr("approx_percentile(c_acctbal, 0.5, 1000)")).head()
+    // lineitem (thousands of rows) with accuracy=100 so n >> accuracy and
+    // the sketch actually approximates — on a column smaller than the
+    // accuracy the sketch stores every value and the test proves nothing
+    val li = Tables(spark, sf0001).lineitem
+    val n = li.count()
+    assert(n > 1000, "need n >> accuracy for a meaningful approximation test")
+    val Array(exact, approx) = li.agg(
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("approx_percentile(l_extendedprice, 0.5, 100)")).head()
       .toSeq.map(_.toString.toDouble).toArray
-    // accuracy=1000 → rank error ≤ n/1000; on acctbal's spread that is a
-    // tight value band
-    val spread = c.agg(max($"c_acctbal") - min($"c_acctbal")).head().getDouble(0)
-    assert(math.abs(approx - exact) <= spread * 0.02,
-      s"approx $approx vs exact $exact (spread $spread)")
+    // rank error ≤ n/accuracy ⇒ compare by RANK, not value: the exact rank
+    // of the approx answer must sit within n/100 (+ties slack) of n/2
+    val rankOfApprox = li.filter($"l_extendedprice" <= approx).count()
+    assert(math.abs(rankOfApprox - n / 2.0) <= n / 100.0 + 1,
+      s"approx $approx sits at rank $rankOfApprox of $n (exact median $exact)")
   }
 }
