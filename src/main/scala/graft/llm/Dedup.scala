@@ -243,10 +243,14 @@ object Dedup {
     * Returns (id, survivor_id).
     */
   def survivorAssignment(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs
+    // materialize the (possibly expensive) pair computation ONCE before the
+    // two-direction union — both union branches would otherwise re-run the
+    // whole upstream plan (e.g. a full MinHash pass) inside the first action
+    val p = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
