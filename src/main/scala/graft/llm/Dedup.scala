@@ -297,6 +297,18 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The full near-dedup story in one call: MinHash+LSH pairs → connected
+    * components → survivors applied. Returns `df` minus every non-survivor
+    * row (min-id survivor per near-dup component).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 48,
+      threshold: Double = 0.5, maxBucketSize: Int = 100000): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold, maxBucketSize)
+    applySurvivors(df, idCol, survivorAssignment(pairs))
+  }
+
   /** Distinct word n-gram shingles of one doc — THE tokenization shared by
     * shingleSets / hashedShingleSets / commonSpanPairs (and mirrored by the
     * DuckDB oracles); a doc shorter than n tokens yields its whole text.

@@ -48,4 +48,29 @@ object Pipelines {
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("norm_key"), col("quality"))
   }
+
+  /** Continuous attribution: conversions credited to the same key's trigger
+    * event within `window` — `Streams.intervalJoin` (watermark-bounded
+    * state) followed by a per-key windowed count of attributed conversions.
+    *
+    * Trigger stream must carry (`keyCol`, `triggerTs`, trigger columns);
+    * conversion stream (`keyCol`, `convTs`, conversion columns). Output:
+    * one row per (key, `triggerTs` tumbling window) with the attributed
+    * conversion count — Append mode, emitted when the watermark closes the
+    * window, so it composes with any file/queue sink. Two stateful stages,
+    * each with bounded state: join retention ≈ delay + window per side,
+    * aggregation state ≈ one row per open window.
+    */
+  def attribution(triggers: DataFrame, conversions: DataFrame, keyCol: String,
+      triggerTs: String, convTs: String, window: String,
+      delay: String = "1 minute"): DataFrame = {
+    val joined = Streams.intervalJoin(triggers, conversions, Seq(keyCol),
+      triggerTs, convTs, window, delay)
+    joined
+      .groupBy(org.apache.spark.sql.functions.window(col(triggerTs), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("attributed"))
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("attributed"))
+  }
 }

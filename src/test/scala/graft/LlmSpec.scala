@@ -62,6 +62,16 @@ class LlmSpec extends SparkSpec {
     assert(kept === Set(1L, 5L, 7L))
   }
 
+  test("dropNearDuplicates keeps min-id survivor per near-dup cluster plus uniques") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, trunc), (3L, other)).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 is 1's near-dup; 3 is unique
+  }
+
   test("commonSpanPairs: shared 20-token span found; disjoint docs are not paired") {
     val span = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = span + " " + (1 to 30).map(i => s"a$i").mkString(" ")

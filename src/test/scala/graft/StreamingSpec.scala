@@ -178,6 +178,30 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._2 == "b3"))
   }
 
+  test("attribution pipeline counts in-window conversions per key and window") {
+    val clicks = MemoryStream[(Timestamp, Long, String)](spark)
+    val buys = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = graft.streaming.Pipelines.attribution(
+      clicks.toDF().toDF("click_ts", "user", "click_id"),
+      buys.toDF().toDF("buy_ts", "user", "buy_id"),
+      "user", "click_ts", "buy_ts", window = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L, "c1"))
+    buys.addData(
+      (ts("2024-01-01 10:05:00"), 1L, "b1"),
+      (ts("2024-01-01 10:20:00"), 1L, "b2"),  // both in window → 2 attributed
+      (ts("2024-01-01 11:30:00"), 1L, "b3"))  // out of window
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 14:00:00"), 9L, "c9"))
+    buys.addData((ts("2024-01-01 14:00:00"), 9L, "b9"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attrib")
+      .select($"user", $"attributed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.get(1L).contains(2L))
+  }
+
   test("streaming error budget stops the query once corrupt rows exceed it") {
     val in = java.nio.file.Files.createTempDirectory("graft_budget_in")
     val cp = java.nio.file.Files.createTempDirectory("graft_budget_cp").toString
