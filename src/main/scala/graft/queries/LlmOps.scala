@@ -295,6 +295,20 @@ object LlmOps extends QueryPack {
         length(col("media")).cast("long").as("n_bytes"),
         md5(col("media")).as("content_md5"),
         col("meta.format").as("format"))
+    }),
+
+    // ---- multimodal feature extraction through the batched kernel: the
+    //      stub codec is md5-derived, so the feature CHECKSUM (sum × 255 =
+    //      digest byte sum) is engine-computable — the oracle drives the
+    //      real batch path, not just the schema ----
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromText(t(s, dir).documents, "doc_id", "text")
+      Multimodal.extractFeatures(media.as[MediaRecord]).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(aggregate(col("features"), lit(0.0d),
+            (a, x) => a + x.cast("double")) * 255.0).cast("long")
+            .as("feature_checksum"))
     })
   )
 
@@ -557,6 +571,17 @@ object LlmOps extends QueryPack {
          |)
          |SELECT lang, $DuckSplit AS split, count(*) AS n
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "mm_features" ->
+      """SELECT media_id, n_bytes,
+        |  CAST(list_sum(list_transform(range(1, 17), j ->
+        |    16 * (strpos('0123456789abcdef', substr(h, 2*j - 1, 1)) - 1)
+        |       + (strpos('0123456789abcdef', substr(h, 2*j, 1)) - 1))) AS BIGINT)
+        |    AS feature_checksum
+        |FROM (SELECT doc_id AS media_id,
+        |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |        md5(text) AS h
+        |      FROM documents)""".stripMargin,
 
     "mm_binary_stats" ->
       """SELECT doc_id AS media_id,
