@@ -128,6 +128,22 @@ object Writers {
     } finally up.unpersist()
   }
 
+  /** Range-clustered parquet layout for data skipping: rows are range-
+    * partitioned on `clusterCol` and sorted within each task, so every
+    * output file covers a DISJOINT value range and parquet min/max stats
+    * let a range predicate prune to the few files that can match — at
+    * 100 TB the difference between scanning one file and scanning the
+    * dataset. `targetFiles` sets the range-partition count (≈ file count;
+    * AQE may coalesce empty ranges).
+    */
+  def clusteredParquet(df: DataFrame, path: String, clusterCol: String,
+      targetFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(targetFiles >= 1)
+    df.repartitionByRange(targetFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode(mode).parquet(path)
+  }
+
   /** O4: null sink (validation/benchmark). */
   def noop(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).format("noop").save()
 

@@ -99,6 +99,30 @@ class WritersSpec extends SparkSpec {
     assert(back.filter($"id" === 6L).count() === 1, "sibling null-partition row lost")
   }
 
+  test("clusteredParquet: per-file value ranges are disjoint (data skipping layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString + "/out"
+    Writers.clusteredParquet(
+      Tables(spark, sf0001).orders.select($"o_orderkey", $"o_totalprice"),
+      dir, "o_orderkey", targetFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"o_orderkey"), max($"o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // a point predicate must prune to a single file's row-group stats:
+    // all files minus the one whose range covers the key can be skipped
+    val key = ranges.head._2 // max of first file → only file 1 can match
+    assert(ranges.count { case (lo, hi) => lo <= key && key <= hi } === 1)
+  }
+
   test("O7: file queue push/pop with content-hash keys and atomic drops") {
     val q = new FileQueue(
       java.nio.file.Files.createTempDirectory("graft_queue").toString)
