@@ -282,6 +282,7 @@ object Similarity {
       .limit(codebookSize)
       .select(col("v")).as[Seq[Double]].collect()
       .map(s => normalize(s.toArray))
+    require(samples.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
     val dim = samples.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
