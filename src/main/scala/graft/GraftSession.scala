@@ -21,6 +21,9 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // zstd over default snappy: ~30% smaller files at comparable CPU — at
+    // 100 TB that is tens of TB less storage and scan IO
+    .config("spark.sql.parquet.compression.codec", "zstd")
     // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
     // for; read as long and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -30,6 +30,15 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC out — the other native columnar format (same pruning/pushdown
+    * story as parquet; pick by ecosystem, not capability).
+    */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Hive-partitioned parquet layout with small-file control — the 100 TB
     * output op. A plain `partitionBy` write emits one file per (task ×
     * partition value): 1000 tasks × 100 partition values = 100k tiny files.

@@ -123,6 +123,24 @@ class WritersSpec extends SparkSpec {
     assert(ranges.count { case (lo, hi) => lo <= key && key <= hi } === 1)
   }
 
+  test("ORC sink round-trips with filter pushdown on re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/out"
+    val src = Tables(spark, sf0001).orders.select($"o_orderkey", $"o_totalprice")
+    Writers.orc(src, dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === src.count())
+    val plan = back.filter($"o_orderkey" === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey)"), plan.take(400))
+  }
+
+  test("session parquet writes use zstd compression") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstd").toString + "/out"
+    Writers.parquet(Tables(spark, sf0001).region, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+  }
+
   test("O7: file queue push/pop with content-hash keys and atomic drops") {
     val q = new FileQueue(
       java.nio.file.Files.createTempDirectory("graft_queue").toString)
