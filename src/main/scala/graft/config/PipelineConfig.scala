@@ -118,6 +118,7 @@ object PipelineConfig {
       case "json_lines" => ErrorTolerant.json(spark, inline, ddl)
       case "text" => noCorrupt(TextSource.lines(spark, c.paths))
       case "parquet" => noCorrupt(spark.read.options(c.options).parquet(c.paths: _*))
+      case "orc" => noCorrupt(spark.read.options(c.options).orc(c.paths: _*))
       case "table" => noCorrupt(spark.table(c.table.getOrElse(
         sys.error("source type 'table' requires a table name"))))
       case "sql" => noCorrupt(spark.sql(c.query.getOrElse(
@@ -156,6 +157,7 @@ object PipelineConfig {
     val counted = df.observe(obs, count(lit(1)).as("n"))
     c.`type` match {
       case "parquet" => Writers.parquet(counted, path, mode, c.partitionBy)
+      case "orc" => Writers.orc(counted, path, mode, c.partitionBy)
       case "csv" => counted.write.mode(mode).options(c.options).csv(path)
       case "json" => counted.write.mode(mode).options(c.options).json(path)
       case "noop" | "null" => Writers.noop(counted)

@@ -65,6 +65,32 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.count(_ == (1L, 1L)) === 1) // second session: 1 event
   }
 
+  test("stateful dedup runs on the RocksDB state store (bounded-memory state at scale)") {
+    // RocksDB spills keyed state to local disk — the provider to run with
+    // when dedup state is corpus-sized; prove the integration works here
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String](spark)
+      val out = Streams.streamingDedupByKey(mem.toDS(), (s: String) => s)
+      val q = out.writeStream.format("memory").queryName("rocksdedup")
+        .outputMode("append").start()
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      mem.addData("b", "c")
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocksdedup").as[String].collect().sorted
+      assert(got.toSeq === Seq("a", "b", "c"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup keeps first occurrence across micro-batches") {
     val mem = MemoryStream[String](spark)
     val deduped = Streams.streamingDedupByKey(mem.toDS(), identity[String])
