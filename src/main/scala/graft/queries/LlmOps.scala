@@ -112,6 +112,13 @@ object LlmOps extends QueryPack {
       Dedup.survivorAssignment(pairs)
     }),
 
+    // ---- end-to-end near-dedup: the corpus AFTER dropping every
+    //      non-survivor (one call: pairs → components → anti-join) ----
+    "dedup_apply" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docsWithNearDups(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 96, bands = 48, threshold = 0.5)
+        .select(col("doc_id"))),
+
     // ---- exact common-span pairs (contamination / substring dedup):
     //      docs sharing any contiguous 20-token span. Span hashes shuffle
     //      as longs; pair generation is bucket-local and capped. ----
@@ -375,6 +382,22 @@ object LlmOps extends QueryPack {
     "dedup_minhash" ->
       s"""WITH $duckNearDupCtes
          |SELECT id_a, id_b, jac FROM npairs""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM npairs
+         |  UNION ALL SELECT id_b, id_a FROM npairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |), losers AS (
+         |  SELECT id FROM (SELECT id, min(r) AS s FROM reach GROUP BY id)
+         |  WHERE id <> s
+         |)
+         |SELECT doc_id FROM base
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $duckNearDupCtes,
