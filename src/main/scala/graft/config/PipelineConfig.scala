@@ -155,11 +155,16 @@ object PipelineConfig {
     def path = c.path.getOrElse(sys.error(s"sink '${c.`type`}' requires a path"))
     val obs = Observation()
     val counted = df.observe(obs, count(lit(1)).as("n"))
+    // writer options apply uniformly to every file sink
+    def w = {
+      val base = counted.write.mode(mode).options(c.options)
+      if (c.partitionBy.nonEmpty) base.partitionBy(c.partitionBy: _*) else base
+    }
     c.`type` match {
-      case "parquet" => Writers.parquet(counted, path, mode, c.partitionBy)
-      case "orc" => Writers.orc(counted, path, mode, c.partitionBy)
-      case "csv" => counted.write.mode(mode).options(c.options).csv(path)
-      case "json" => counted.write.mode(mode).options(c.options).json(path)
+      case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
+      case "csv" => w.csv(path)
+      case "json" => w.json(path)
       case "noop" | "null" => Writers.noop(counted)
       case other => sys.error(s"unknown sink type: $other")
     }

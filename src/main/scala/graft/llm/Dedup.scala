@@ -304,9 +304,13 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 96, bands: Int = 48,
       threshold: Double = 0.5, maxBucketSize: Int = 100000): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, shingleN, numHashes,
-      bands, threshold, maxBucketSize)
-    applySurvivors(df, idCol, survivorAssignment(pairs))
+    val (pairs, release) = minhashNearDupsScoped(df, idCol, textCol, shingleN,
+      numHashes, bands, threshold, maxBucketSize)
+    // survivorAssignment eagerly checkpoints the pairs, so the shingle-set
+    // cache can be released here — repeated per-corpus calls stay flat
+    val assignment = survivorAssignment(pairs)
+    release()
+    applySurvivors(df, idCol, assignment)
   }
 
   /** Distinct word n-gram shingles of one doc — THE tokenization shared by
@@ -374,7 +378,18 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      threshold: Double = 0.5, maxBucketSize: Int = 100000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100000): DataFrame =
+    minhashNearDupsScoped(df, idCol, textCol, shingleN, numHashes, bands,
+      threshold, maxBucketSize)._1
+
+  /** [[minhashNearDups]] plus a release handle for the shared shingle-set
+    * cache. The plain form leaves the cache to Spark's LRU eviction (fine
+    * for one-shot queries); loops over many corpora should call the
+    * release once the pairs are materialized, or the caches accumulate.
+    */
+  private[llm] def minhashNearDupsScoped(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val spark = df.sparkSession
@@ -393,11 +408,12 @@ object Dedup {
       .toDF("id", "band", "bucket")
     val cands = pairsWithinBuckets(banded, Seq("band", "bucket"), "id",
       maxBucketSize)
-    jaccardOfHashedPairs(cands
+    val pairs = jaccardOfHashedPairs(cands
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b")),
       threshold)
+    (pairs, () => { sets.unpersist(); () })
   }
 
   /** Effectively-64-bit string hash (two murmur3 passes) — collision odds

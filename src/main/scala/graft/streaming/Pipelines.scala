@@ -49,24 +49,32 @@ object Pipelines {
       .select(col("doc_id"), col("norm_key"), col("quality"))
   }
 
-  /** Continuous attribution: conversions credited to the same key's trigger
-    * event within `window` — `Streams.intervalJoin` (watermark-bounded
-    * state) followed by a per-key windowed count of attributed conversions.
+  /** Continuous attribution: each conversion credited ONCE to a same-key
+    * trigger within the preceding `window` — `Streams.intervalJoin`
+    * (watermark-bounded state), a per-conversion dedup so a conversion
+    * matched by several triggers is not double-counted
+    * (`dropDuplicatesWithinWatermark` on `convIdCol`: single credit to an
+    * arbitrary in-window trigger), then a per-key windowed count.
     *
     * Trigger stream must carry (`keyCol`, `triggerTs`, trigger columns);
-    * conversion stream (`keyCol`, `convTs`, conversion columns). Output:
-    * one row per (key, `triggerTs` tumbling window) with the attributed
-    * conversion count — Append mode, emitted when the watermark closes the
-    * window, so it composes with any file/queue sink. Two stateful stages,
-    * each with bounded state: join retention ≈ delay + window per side,
-    * aggregation state ≈ one row per open window.
+    * conversion stream (`keyCol`, `convTs`, `convIdCol`, conversion
+    * columns). Output: one row per (key, `triggerTs` tumbling window) with
+    * the attributed conversion count — Append mode, emitted when the
+    * watermark closes the window. Three stateful stages, each bounded:
+    * join retention ≈ delay + window per side, dedup state expires with
+    * the watermark, aggregation state ≈ one row per open window.
     */
   def attribution(triggers: DataFrame, conversions: DataFrame, keyCol: String,
-      triggerTs: String, convTs: String, window: String,
+      triggerTs: String, convTs: String, convIdCol: String, window: String,
       delay: String = "1 minute"): DataFrame = {
     val joined = Streams.intervalJoin(triggers, conversions, Seq(keyCol),
       triggerTs, convTs, window, delay)
     joined
+      // a post-join stream carries BOTH sides' event-time columns; the
+      // stateful dedup allows only one — drop the conversion-side ts (its
+      // in-window position is already enforced by the join)
+      .drop(convTs)
+      .dropDuplicatesWithinWatermark(convIdCol)
       .groupBy(org.apache.spark.sql.functions.window(col(triggerTs), window),
         col(keyCol))
       .agg(count(lit(1)).as("attributed"))

@@ -210,10 +210,13 @@ class StreamingSpec extends SparkSpec {
     val out = graft.streaming.Pipelines.attribution(
       clicks.toDF().toDF("click_ts", "user", "click_id"),
       buys.toDF().toDF("buy_ts", "user", "buy_id"),
-      "user", "click_ts", "buy_ts", window = "30 minutes")
+      "user", "click_ts", "buy_ts", "buy_id", window = "30 minutes")
     val q = out.writeStream.format("memory").queryName("attrib")
       .outputMode("append").start()
-    clicks.addData((ts("2024-01-01 10:00:00"), 1L, "c1"))
+    // TWO in-window clicks and one purchase: the purchase must be credited
+    // once, not once per matching click
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L, "c1"),
+      (ts("2024-01-01 10:10:00"), 1L, "c1b"))
     buys.addData(
       (ts("2024-01-01 10:05:00"), 1L, "b1"),
       (ts("2024-01-01 10:20:00"), 1L, "b2"),  // both in window → 2 attributed
@@ -222,10 +225,9 @@ class StreamingSpec extends SparkSpec {
     clicks.addData((ts("2024-01-01 14:00:00"), 9L, "c9"))
     buys.addData((ts("2024-01-01 14:00:00"), 9L, "b9"))
     q.processAllAvailable(); q.stop()
-    val rows = spark.table("attrib")
-      .select($"user", $"attributed").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(rows.get(1L).contains(2L))
+    val total = spark.table("attrib").filter($"user" === 1L)
+      .agg(sum($"attributed")).head().getLong(0)
+    assert(total === 2L, s"each conversion must be credited exactly once (got $total)")
   }
 
   test("streaming error budget stops the query once corrupt rows exceed it") {
