@@ -35,6 +35,12 @@ object LlmOps extends QueryPack {
     d.unionByName(truncated)
   }
 
+  /** The planted-near-dup profiling corpus, exposed for diagnostics tools
+    * (graft.tools.MinhashProfile recall measurement).
+    */
+  def docsForProfile(s: SparkSession, dir: String): DataFrame =
+    docsWithNearDups(s, dir)
+
   /** md5-prefix hash bucket in ['00','ff'] — the ONE deterministic
     * bucketing primitive behind splits and stratified sampling (SQL twin:
     * `DuckBucket`).

@@ -13,15 +13,30 @@ object MinhashProfile {
     // warmup
     graft.SparkEntry.entry(spark).count()
     val t0 = System.nanoTime()
+    // always over the planted-dup corpus so the pair count (and the
+    // optional recall below) is comparable across parameter sweeps
     val n = (args.lift(1), args.lift(2)) match {
       case (Some(h), Some(b)) =>
-        import org.apache.spark.sql.functions.col
-        graft.llm.Dedup.minhashNearDups(
-          graft.Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+        graft.llm.Dedup.minhashNearDups(LlmOps.docsForProfile(spark, dir),
           "doc_id", "text", numHashes = h.toInt, bands = b.toInt).count()
       case _ => LlmOps.queries("dedup_minhash")(spark, dir).count()
     }
     println(f"[mh] dedup_minhash end-to-end: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs")
+
+    // measured recall vs ground truth: brute-force exact Jaccard over ALL
+    // pairs (O(n²) — profile-tool only, run at small SF)
+    if (args.lift(3).contains("recall")) {
+      import org.apache.spark.sql.functions._
+      val docs = LlmOps.docsForProfile(spark, dir)
+      val sets = graft.llm.Dedup.shingleSets(docs, "doc_id", "text", 3)
+      val all = sets.select(col("id").as("id_a"), col("set").as("set_a"))
+        .crossJoin(sets.select(col("id").as("id_b"), col("set").as("set_b")))
+        .filter(col("id_a") < col("id_b"))
+      val truth = graft.llm.Dedup.jaccardVerify(
+        all.select(col("id_a"), col("id_b")), sets, "id", "set", 0.5)
+      println(s"[mh] ground-truth pairs: ${truth.count()}, lsh found: $n " +
+        s"(recall = ${n.toDouble / truth.count()})")
+    }
     spark.stop()
   }
 }
