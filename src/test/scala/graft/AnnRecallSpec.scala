@@ -1,0 +1,53 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Aggregate recall@k of every ANN variant against the brute-force truth on
+  * the synthetic embeddings table — pins the accuracy/cost tradeoff so
+  * parameter changes (hashes, tables, cells, probes, codebooks) cannot
+  * silently degrade retrieval quality. Planted-dup tests catch gross
+  * breakage; this catches drift.
+  *
+  * Context for the floors: these embeddings are UNIFORM RANDOM — the
+  * worst case for ANN, since the top-10 "neighbors" are barely closer
+  * than arbitrary points and share no cluster structure for buckets/cells
+  * /codes to exploit. Measured on this corpus: LSH ≈ 0.13, IVF ≈ 0.39,
+  * PQ ≈ 0.42. Real embedding corpora are clustered and recalls are far
+  * higher (the planted-dup tests show 1.0 on structured neighbors). The
+  * assertions are drift alarms at ~60% of measured, not quality targets.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf0001).embeddings
+    .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+  private lazy val queries = emb.filter($"vec_id" < 10)
+
+  private def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.filter($"rank" <= 10).select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val truth = topSet(Similarity.bruteForceTopK(queries, emb, k = 10))
+
+  private def recall(got: Set[(Long, Long)]): Double =
+    (truth & got).size.toDouble / truth.size
+
+  test("LSH ANN recall@10 vs brute force stays above floor") {
+    val r = recall(topSet(Similarity.annTopK(queries, emb, k = 10)))
+    info(f"annTopK recall@10 = $r%.3f")
+    assert(r >= 0.08, f"LSH recall degraded: $r%.3f")
+  }
+
+  test("IVF ANN recall@10 vs brute force stays above floor") {
+    val r = recall(topSet(Similarity.ivfTopK(queries, emb, k = 10)))
+    info(f"ivfTopK recall@10 = $r%.3f")
+    assert(r >= 0.25, f"IVF recall degraded: $r%.3f")
+  }
+
+  test("PQ ANN recall@10 vs brute force stays above floor") {
+    val r = recall(topSet(Similarity.pqTopK(queries, emb, k = 10)))
+    info(f"pqTopK recall@10 = $r%.3f")
+    assert(r >= 0.25, f"PQ recall degraded: $r%.3f")
+  }
+}
