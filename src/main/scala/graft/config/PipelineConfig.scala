@@ -114,6 +114,8 @@ object PipelineConfig {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", ErrorTolerant.CorruptCol)
           .schema(ErrorTolerant.withCorrupt(ddl)).json(c.paths: _*))
+      case "xml_files" => ErrorTolerant.xmlFiles(spark, c.paths, ddl,
+        c.options.getOrElse("rowTag", "row"))
       case "csv_lines" => ErrorTolerant.csv(spark, inline, ddl)
       case "json_lines" => ErrorTolerant.json(spark, inline, ddl)
       case "text" => noCorrupt(TextSource.lines(spark, c.paths))

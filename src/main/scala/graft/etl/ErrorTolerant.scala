@@ -76,4 +76,17 @@ object ErrorTolerant {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(withCorrupt(schema)).json(paths: _*))
+
+  /** Decode XML files with the same errors-as-data contract (Spark 4
+    * native XML source; `rowTag` names the repeated record element). A
+    * malformed record lands in `_corrupt_record` like the CSV/JSON paths.
+    */
+  def xmlFiles(spark: SparkSession, paths: Seq[String], schema: StructType,
+      rowTag: String): Decoded =
+    Decoded(spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt(schema))
+      .load(paths: _*))
 }

@@ -45,6 +45,27 @@ class EtlSpec extends SparkSpec {
     assert(dec.counts._1 === 3)
   }
 
+  test("XML decode: errors-as-data over malformed records (Spark 4 native XML)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    java.nio.file.Files.write(dir.resolve("recs.xml"),
+      """<root>
+        |  <rec><id>1</id><name>alpha</name></rec>
+        |  <rec><id>not a number</id><name>beta</name></rec>
+        |  <rec><id>3</id><name>gamma</name></rec>
+        |</root>""".stripMargin.getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING")
+    val d = graft.etl.ErrorTolerant.xmlFiles(spark,
+      Seq(dir.toString + "/recs.xml"), schema, rowTag = "rec")
+    val (ok, err) = d.counts
+    assert(ok === 2 && err === 1, s"got ok=$ok err=$err")
+    // project the FULL schema: corrupt-record detection happens at parse
+    // time over the required columns, so pruning `id` away would let the
+    // malformed row parse clean (same pruned-schema caveat as CSV/JSON)
+    assert(d.good.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "alpha"), (3L, "gamma")))
+  }
+
   test("T3: batchBySize groups with tail flush (batch.rs:61-65)") {
     val ds = spark.createDataset(1 to 10).repartition(1)
     val batches = Transforms.batchBySize(ds, 3).collect()
