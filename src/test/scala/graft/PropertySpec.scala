@@ -51,6 +51,31 @@ class PropertySpec extends SparkSpec {
     assert(pairs.filter($"hab" > 64L || $"hab" < 0L).count() === 0L)
   }
 
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 60)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.const("w."), Gen.const("x,y"), Gen.const("Z!")))
+  } yield words.mkString(" ")
+
+  test("property: shingle counts follow max(tokens - n + 1, 1); normalize is idempotent") {
+    import graft.llm.TextOps
+    val texts = sample(textGen, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val checked = df.select(
+      size(TextOps.tokens($"text")).as("ntok"),
+      size(TextOps.wordShingles($"text", 3)).as("nsh3"),
+      size(TextOps.charShingles($"text", 16)).as("nch"),
+      length($"text").as("len"),
+      TextOps.normalize($"text").as("norm1"),
+      TextOps.normalize(TextOps.normalize($"text")).as("norm2"))
+    val bad = checked.filter(
+      $"nsh3" =!= greatest($"ntok" - 2, lit(1)) ||
+      $"nch" =!= greatest($"len" - 15, lit(1)) ||
+      $"norm1" =!= $"norm2").count()
+    assert(bad === 0L)
+  }
+
   test("property: cosine is symmetric, 1.0 on self, scale-invariant") {
     GraftFunctions.register(spark)
     val vecs = sample(vecGen, 100).zipWithIndex.map { case (v, i) => (i.toLong, v) }
