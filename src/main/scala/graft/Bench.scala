@@ -1,19 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query seconds.
+/** Benchmark main: one machine-parseable JSON line with per-query seconds.
   *
-  * Two full passes over the query pack: the first pays one-time costs (JVM
-  * JIT, codegen compilation, parquet footer caches), the second measures
-  * steady-state. The headline `value` is the WARM total — the number that is
-  * reproducible across harnesses (an sbt-launched run and a driver-launched
-  * run agree once warm); `cold_total_sec` reports the first pass so the
-  * one-time overhead stays visible rather than polluting per-query numbers.
+  * Methodology (round 3): one cold pass pays one-time costs (JVM JIT, codegen
+  * compilation, parquet footer caches), then `SPARK_GRAFT_WARM_REPS` (default
+  * 3) warm passes; the reported per-query number is the *median* across warm
+  * reps, so a single container-load spike cannot masquerade as a plan
+  * regression (the round-2 harness could not tell the two apart). The headline
+  * `value` is the sum of warm medians.
+  *
+  * Artifact contract: the JSON line is printed FIRST (before spark.stop and
+  * sbt's footer) and kept compact (3-decimal seconds — full-precision doubles
+  * are what pushed round 2's line past the driver's ~8k tail capture). The
+  * full artifact (cold pass, every warm rep, medians) is also written to
+  * `bench_out.json` in the working directory so nothing depends on stdout
+  * truncation behavior.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "3").toInt.max(1)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -33,16 +41,42 @@ object Bench {
       name -> secs
     }
 
+    def freshPass(): Map[String, Double] = {
+      spark.sharedState.cacheManager.clearCache() // every pass re-reads inputs
+      runAll()
+    }
+
     val cold = runAll()
-    spark.sharedState.cacheManager.clearCache() // warm pass re-reads inputs
-    val warm = runAll()
-    // a query that failed in either pass is failed, full stop
-    val merged = warm.map { case (k, v) => k -> (if (cold(k) < 0) -1.0 else v) }
-    val qs = merged.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = merged.values.filter(_ >= 0).sum
+    val warmReps = Seq.fill(reps)(freshPass())
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query that failed in any pass is failed, full stop
+    val names = cold.keys.toSeq.sorted
+    val warmMed = names.map { n =>
+      val vs = warmReps.map(_(n))
+      n -> (if (cold(n) < 0 || vs.exists(_ < 0)) -1.0 else median(vs))
+    }.toMap
+
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def qjson(m: Map[String, Double]): String =
+      names.map(n => s"\"$n\":${f3(m(n))}").mkString("{", ",", "}")
+    val total = warmMed.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold_total_sec":${f3(coldTotal)},"warm_reps":$reps,"queries":${qjson(warmMed)},"sf":"$sfDir"}"""
+
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","warm_reps":$reps,
+                  |"cold":${qjson(cold)},
+                  |${warmReps.zipWithIndex.map { case (r, i) => s"\"warm_rep$i\":${qjson(r)}" }.mkString(",\n")},
+                  |"queries":${qjson(warmMed)}}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // the parseable line goes out FIRST, before any shutdown/footer noise
+    println(line)
+    Console.out.flush()
     spark.stop()
   }
 }

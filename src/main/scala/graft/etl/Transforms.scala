@@ -29,7 +29,17 @@ object Transforms {
     */
   def transformerTolerant[I, O: Encoder](ds: Dataset[I])(f: I => Option[O])(
       implicit attemptEnc: Encoder[(Option[O], Option[String])],
-      strEnc: Encoder[String]): (Dataset[O], Dataset[String]) = {
+      strEnc: Encoder[String]): (Dataset[O], Dataset[String]) =
+    transformerTolerantScoped(ds)(f)._1
+
+  /** [[transformerTolerant]] plus a release handle for the shared attempted
+    * cache. The plain form leaves the cache to Spark's LRU eviction (fine
+    * for a one-shot pipeline); loops over many inputs should call the
+    * release once both branches are materialized, or caches accumulate.
+    */
+  def transformerTolerantScoped[I, O: Encoder](ds: Dataset[I])(f: I => Option[O])(
+      implicit attemptEnc: Encoder[(Option[O], Option[String])],
+      strEnc: Encoder[String]): ((Dataset[O], Dataset[String]), () => Unit) = {
     val attempted = ds.map { i =>
       Try(f(i)) match {
         case Success(out) => (out, None: Option[String])
@@ -38,7 +48,7 @@ object Transforms {
     }.persist()
     val good = attempted.flatMap(_._1.toSeq)
     val errs = attempted.flatMap(_._2.toSeq)
-    (good, errs)
+    ((good, errs), () => { attempted.unpersist(); () })
   }
 
   /** T2 1→N expansion — the case the reference declares but panics on
@@ -103,10 +113,32 @@ object Transforms {
     */
   def fanOut(df: DataFrame, sinks: Seq[DataFrame => Unit]): Unit = {
     val cached = df.persist()
-    try {
-      cached.count() // materialize once so sinks share the cache
-      sinks.foreach(sink => sink(cached))
-    } finally { cached.unpersist() }
+    // no warm-up action: sinks run sequentially, so the FIRST sink's scan
+    // populates the cache and later sinks read it — a separate count() would
+    // cost one full extra pass of scheduling at scale for nothing
+    try sinks.foreach(sink => sink(cached))
+    finally { cached.unpersist() }
+  }
+
+  /** E3 `key_values`, schema-generic: flatten every non-id column of ANY
+    * row into (idCols…, column-name, string-value) pairs — the reference
+    * flattens arbitrary serde rows this way as its row→SQL bridge
+    * (`etl-core/src/utils.rs:52-82`). Values are cast to string first (the
+    * reference emits string pairs too), then unpivoted with Spark's native
+    * melt — which plans as a map-only Expand: zero shuffle, n_value_cols
+    * output rows per input row, survives any width and any scale.
+    */
+  def unpivot(df: DataFrame, idCols: Seq[String], colName: String = "col",
+      valName: String = "val"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val valueCols = df.columns.filterNot(idCols.contains)
+    require(valueCols.nonEmpty, "unpivot needs at least one non-id column")
+    require(idCols.forall(df.columns.contains),
+      s"id columns ${idCols.filterNot(df.columns.contains).mkString(", ")} not in schema")
+    df.select(idCols.map(col) ++
+        valueCols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        colName, valName)
   }
 
   /** T5 `Pipeline`: source→sink copy with stats

@@ -93,8 +93,12 @@ object Writers {
     * as the existing row for that key. Moving a key across partitions needs
     * a delete from the old partition first — the pruned read never sees
     * other partitions, so a moved key would otherwise survive twice.
-    * Not transactional across concurrent writers (that is a table format's
-    * job — Iceberg/Delta); single-writer correctness only.
+    * Not transactional across concurrent writers, and the self-read-plus-
+    * dynamic-overwrite commit is not crash-atomic either: a driver failure
+    * during the overwrite's job commit can leave the touched partitions
+    * partially replaced with no rollback. Single-writer, crash-free
+    * correctness only — when concurrent writers or crash atomicity matter,
+    * use a table format (Iceberg/Delta) whose metadata commit is atomic.
     */
   def upsertPartitionedParquet(updates: DataFrame, path: String,
       keyCols: Seq[String], partitionCols: Seq[String],

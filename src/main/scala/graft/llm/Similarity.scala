@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * deterministic (xxhash64 of (table, bit, dim)), so results are reproducible
   * across runs and cluster layouts.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Cosine similarity between two array<float/double> columns, computed in
     * double. Per-row IEEE arithmetic — deterministic, engine-comparable.
@@ -155,15 +155,28 @@ object Similarity {
 
   /** ANN top-k via hyperplane LSH: candidates share a bucket in any table;
     * exact cosine re-ranking on the candidate set.
+    *
+    * `maxBucketSize` drops corpus-side buckets above the cap BEFORE the
+    * candidate join — the same degenerate-bucket guard every other LSH path
+    * carries. Without it, one boilerplate bucket (near-identical template
+    * vectors) multiplies candidates for EVERY query that lands in it,
+    * unbounded by k. Queries keep their other `tables − 1` buckets, so a
+    * dropped mega-bucket costs recall only on vectors findable nowhere else.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = lshIndex(queries, tables, bits, idCol, vecCol)
       .withColumnRenamed(idCol, "query_id")
-    val c = lshIndex(corpus, tables, bits, idCol, vecCol)
+    val cFull = lshIndex(corpus, tables, bits, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
+    val okBuckets = cFull.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucketSize)
+      .select(col("table"), col("bucket"))
+    val c = cFull.join(okBuckets, Seq("table", "bucket"))
     val cands = q.join(c, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
@@ -179,9 +192,77 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** L2-normalized copy of a vector (all-zero input stays zero). */
+  private def normalizeVec(x: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < x.length) { n += x(i) * x(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    val y = new Array[Double](x.length)
+    i = 0; while (i < x.length) { y(i) = x(i) * inv; i += 1 }
+    y
+  }
+
+  /** Deterministic hash-ordered training sample: the `n` vectors with the
+    * smallest id hash. orderBy+limit plans as TakeOrdered (per-partition
+    * heap + driver merge of n rows), never a global single-partition sort —
+    * a bounded collect, the standard stance for codebook training (100 TB
+    * never passes through training; FAISS trains on a sample too).
+    */
+  private def trainSample(vecs: DataFrame, n: Int): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(n)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+  }
+
+  /** Deterministic driver-side Lloyd iterations. `spherical` assigns by
+    * max dot product and re-normalizes the cluster means (the cosine /
+    * unit-sphere variant); otherwise plain Euclidean k-means. Init is the
+    * first `k` samples (hash-ordered upstream → reproducible); an empty
+    * cluster keeps its previous centroid. Cost is O(iters·|sample|·k·dim)
+    * on the driver — milliseconds at the bounded sample sizes used here,
+    * with no per-iteration cluster job.
+    */
+  private def lloyd(samples: Array[Array[Double]], k: Int, iters: Int,
+      spherical: Boolean): Array[Array[Double]] = {
+    require(samples.nonEmpty, "lloyd: empty training sample")
+    val dim = samples.head.length
+    var cents = samples.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Int](cents.length)
+      samples.foreach { x =>
+        var best = 0
+        var bestScore = if (spherical) Double.NegativeInfinity else Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val ct = cents(c)
+          var s = 0.0; var i = 0
+          if (spherical) { while (i < dim) { s += x(i) * ct(i); i += 1 } }
+          else { while (i < dim) { val t = x(i) - ct(i); s += t * t; i += 1 } }
+          if (if (spherical) s > bestScore else s < bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        var i = 0; while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val mean = new Array[Double](dim)
+          var i = 0; while (i < dim) { mean(i) = sums(c)(i) / counts(c); i += 1 }
+          if (spherical) normalizeVec(mean) else mean
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF-flat ANN (the coarse-quantizer scale path, complementing LSH):
-    * `nCells` seed centroids are drawn deterministically from the corpus
-    * (every (n/nCells)-th vector by id order — no RNG, no training loop),
+    * `nCells` centroids are trained with `trainIters` deterministic
+    * spherical-Lloyd iterations over a bounded hash-sample of the corpus
+    * (`trainIters = 0` reproduces the untrained sampled-centroid stand-in),
     * every corpus vector is assigned to its nearest centroid cell (map-only
     * with broadcast centroids), and a query probes its `nProbe` nearest
     * cells with exact cosine re-ranking inside them. Cell assignment cost
@@ -190,19 +271,17 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 8, trainSampleSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
-    // deterministic pseudo-random centroid sample: the nCells ids with the
-    // smallest hash — orderBy+limit plans as TakeOrdered (per-partition
-    // heap + driver merge of nCells rows), never a global single-partition
-    // sort
-    val centroids = vecs
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(nCells)
-      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    // trained unit centroids: cosine ranking below is scale-invariant, so
+    // normalizing them changes nothing about assignment semantics
+    val centroids = lloyd(
+      trainSample(vecs, math.max(nCells, trainSampleSize)).map(normalizeVec),
+      nCells, trainIters, spherical = true)
 
     def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
       val x = v.toArray
@@ -244,9 +323,10 @@ object Similarity {
     * touches m bytes per vector instead of 4·d, and raw vectors are read
     * only for the final `rerank` candidates per query).
     *
-    * Codebooks are a deterministic hash-sample of corpus subvectors (the
-    * same stand-in used for IVF cells: production would k-means-train them;
-    * sampling keeps results reproducible with no iterative job). Scoring is
+    * Codebooks are k-means-trained per subspace: `trainIters` deterministic
+    * Euclidean-Lloyd iterations over a bounded hash-sample of corpus
+    * subvectors, driver-side (no iterative cluster job; `trainIters = 0`
+    * reproduces the untrained sampled-codebook stand-in). Scoring is
     * asymmetric: each query precomputes a LUT of subspace dot products
     * against the codebooks (broadcast, `queries × m × codebookSize`
     * doubles), the corpus code scan accumulates approximate similarity with
@@ -260,36 +340,30 @@ object Similarity {
     * recall is pinned by SimilaritySpec's planted duplicates).
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 4, codebookSize: Int = 16, rerank: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      m: Int = 8, codebookSize: Int = 32, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 8, trainSampleSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-
-    def normalize(x: Array[Double]): Array[Double] = {
-      var n = 0.0; var i = 0
-      while (i < x.length) { n += x(i) * x(i); i += 1 }
-      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
-      val y = new Array[Double](x.length)
-      i = 0; while (i < x.length) { y(i) = x(i) * inv; i += 1 }
-      y
-    }
+    def normalize(x: Array[Double]): Array[Double] = normalizeVec(x)
 
     val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
-    // deterministic codebook sample — bounded collect of codebookSize rows
-    val samples = vecs
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(codebookSize)
-      .select(col("v")).as[Seq[Double]].collect()
-      .map(s => normalize(s.toArray))
+    // deterministic bounded training sample (normalized, like the encode path)
+    val samples = trainSample(vecs, math.max(codebookSize, trainSampleSize))
+      .map(normalize)
     require(samples.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
     val dim = samples.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    // codebooks(j)(c) = c-th sampled vector's j-th subvector
+    // codebooks(j) = per-subspace Euclidean k-means over the sample's j-th
+    // subvectors; codebooks(j)(c) is the c-th centroid of subspace j
     val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, samples.length)((j, c) =>
-        java.util.Arrays.copyOfRange(samples(c), j * sub, (j + 1) * sub))
+      Array.tabulate(m) { j =>
+        val subvecs = samples.map(s =>
+          java.util.Arrays.copyOfRange(s, j * sub, (j + 1) * sub))
+        lloyd(subvecs, codebookSize, trainIters, spherical = false)
+      }
 
     def encode(xn: Array[Double]): Array[Int] =
       Array.tabulate(m) { j =>
@@ -378,7 +452,7 @@ object Similarity {
   def cosineNearDups(df: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame = {
     val idx = lshIndex(df, tables, bits, idCol, vecCol)
     // bucket-local pair generation: one shuffle of slim (table, bucket, id)
     // rows instead of a two-sided self-join; a pair colliding in up to

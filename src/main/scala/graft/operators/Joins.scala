@@ -86,6 +86,10 @@ object Joins {
       binWidth: Long): DataFrame = {
     require(lo <= hi, s"empty range [$lo, $hi]")
     require(binWidth > 0, "binWidth must be positive")
+    // __bin is a working column; an input already carrying one would be
+    // silently overwritten and dropped — reject it like any other collision
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "inputs must not contain a __bin column (reserved working name)")
     val l = left.withColumn("__bin", explode(sequence(
       expr(s"(`$leftVal` + ${lo}L) div ${binWidth}L"),
       expr(s"(`$leftVal` + ${hi}L) div ${binWidth}L"))))
@@ -110,6 +114,8 @@ object Joins {
     require(Set("inner", "left", "leftouter")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
+    require(!(big.columns ++ small.columns).contains("__salt"),
+      "inputs must not contain a __salt column (reserved working name)")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
     val replicated = small

@@ -98,14 +98,14 @@ object Etl extends QueryPack {
         to_csv(struct($"n_nationkey", $"n_name", $"n_regionkey")).as("line"))
     }),
 
-    // ---- E3: key_values row flattening (row → (column, value) pairs) ----
+    // ---- E3: key_values row flattening (row → (column, value) pairs) via
+    //      the schema-generic unpivot (reference flattens ANY serde row) ----
     "e3_key_values" -> ((s, dir) => {
       import s.implicits._
-      val r = t(s, dir).region
-      r.select($"r_regionkey".cast("long").as("r_regionkey"),
-          lit("r_name").as("col"), $"r_name".as("val"))
-        .unionByName(r.select($"r_regionkey".cast("long").as("r_regionkey"),
-          lit("r_regionkey").as("col"), $"r_regionkey".cast("string").as("val")))
+      graft.etl.Transforms.unpivot(
+        t(s, dir).nation.select($"n_nationkey".cast("long").as("n_nationkey"),
+          $"n_name", $"n_regionkey".cast("long").as("n_regionkey")),
+        Seq("n_nationkey"))
     }),
 
     // ---- O5: content-hash dedup id (SQS FIFO md5(payload) semantics) ----
@@ -239,11 +239,11 @@ object Etl extends QueryPack {
         |FROM nation""".stripMargin,
 
     "e3_key_values" ->
-      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
-        |  'r_name' AS col, r_name AS val FROM region
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  'n_name' AS col, n_name AS val FROM nation
         |UNION ALL
-        |SELECT CAST(r_regionkey AS BIGINT), 'r_regionkey',
-        |  CAST(r_regionkey AS VARCHAR) FROM region""".stripMargin,
+        |SELECT CAST(n_nationkey AS BIGINT), 'n_regionkey',
+        |  CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
 
     "o5_dedup_id" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,

@@ -56,9 +56,17 @@ object Pipelines {
     * (`dropDuplicatesWithinWatermark` on `convIdCol`: single credit to an
     * arbitrary in-window trigger), then a per-key windowed count.
     *
+    * The dedup's event-time column must be IDENTICAL across every match of
+    * one conversion, or its state can expire between two matches and credit
+    * twice: join matches carry trigger timestamps up to `window` apart, so
+    * keying dedup state to the trigger time is unsound once two in-window
+    * triggers straddle `delay`. `convTs` is that identical column — the
+    * trigger-side ts is dropped after the join, and both the dedup and the
+    * final count key to the conversion's own event time.
+    *
     * Trigger stream must carry (`keyCol`, `triggerTs`, trigger columns);
     * conversion stream (`keyCol`, `convTs`, `convIdCol`, conversion
-    * columns). Output: one row per (key, `triggerTs` tumbling window) with
+    * columns). Output: one row per (key, `convTs` tumbling window) with
     * the attributed conversion count — Append mode, emitted when the
     * watermark closes the window. Three stateful stages, each bounded:
     * join retention ≈ delay + window per side, dedup state expires with
@@ -71,11 +79,11 @@ object Pipelines {
       triggerTs, convTs, window, delay)
     joined
       // a post-join stream carries BOTH sides' event-time columns; the
-      // stateful dedup allows only one — drop the conversion-side ts (its
-      // in-window position is already enforced by the join)
-      .drop(convTs)
+      // stateful dedup allows only one — keep the conversion-side ts (the
+      // one column that is constant across a conversion's matches)
+      .drop(triggerTs)
       .dropDuplicatesWithinWatermark(convIdCol)
-      .groupBy(org.apache.spark.sql.functions.window(col(triggerTs), window),
+      .groupBy(org.apache.spark.sql.functions.window(col(convTs), window),
         col(keyCol))
       .agg(count(lit(1)).as("attributed"))
       .select(col(keyCol), col("window.start").as("window_start"),

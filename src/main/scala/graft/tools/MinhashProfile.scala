@@ -34,8 +34,9 @@ object MinhashProfile {
         .filter(col("id_a") < col("id_b"))
       val truth = graft.llm.Dedup.jaccardVerify(
         all.select(col("id_a"), col("id_b")), sets, "id", "set", 0.5)
-      println(s"[mh] ground-truth pairs: ${truth.count()}, lsh found: $n " +
-        s"(recall = ${n.toDouble / truth.count()})")
+      val nTruth = truth.count() // the O(n²) ground truth runs exactly once
+      println(s"[mh] ground-truth pairs: $nTruth, lsh found: $n " +
+        s"(recall = ${n.toDouble / nTruth})")
     }
     spark.stop()
   }

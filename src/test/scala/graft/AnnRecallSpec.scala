@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * Context for the floors: these embeddings are UNIFORM RANDOM — the
   * worst case for ANN, since the top-10 "neighbors" are barely closer
   * than arbitrary points and share no cluster structure for buckets/cells
-  * /codes to exploit. Measured on this corpus: LSH ≈ 0.13, IVF ≈ 0.39,
-  * PQ ≈ 0.42. Real embedding corpora are clustered and recalls are far
-  * higher (the planted-dup tests show 1.0 on structured neighbors). The
-  * assertions are drift alarms at ~60% of measured, not quality targets.
+  * /codes to exploit. Measured on this corpus: LSH ≈ 0.13 (no trained
+  * component), IVF ≈ 0.57 and PQ ≈ 0.83 with the round-3 Lloyd-trained
+  * codebooks (up from 0.39 / 0.42 untrained — training is deterministic,
+  * so these numbers are exact, not averages). Real embedding corpora are
+  * clustered and recalls are far higher (the planted-dup tests show 1.0
+  * on structured neighbors). The assertions are drift alarms below
+  * measured, not quality targets.
   */
 class AnnRecallSpec extends SparkSpec {
   import spark.implicits._
@@ -42,12 +45,12 @@ class AnnRecallSpec extends SparkSpec {
   test("IVF ANN recall@10 vs brute force stays above floor") {
     val r = recall(topSet(Similarity.ivfTopK(queries, emb, k = 10)))
     info(f"ivfTopK recall@10 = $r%.3f")
-    assert(r >= 0.25, f"IVF recall degraded: $r%.3f")
+    assert(r >= 0.5, f"IVF recall degraded: $r%.3f")
   }
 
   test("PQ ANN recall@10 vs brute force stays above floor") {
     val r = recall(topSet(Similarity.pqTopK(queries, emb, k = 10)))
     info(f"pqTopK recall@10 = $r%.3f")
-    assert(r >= 0.25, f"PQ recall degraded: $r%.3f")
+    assert(r >= 0.6, f"PQ recall degraded: $r%.3f")
   }
 }

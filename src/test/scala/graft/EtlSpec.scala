@@ -91,6 +91,28 @@ class EtlSpec extends SparkSpec {
     assert(errs.collect().head.contains("boom"))
   }
 
+  test("T1: transformerTolerantScoped releases the shared cache on release()") {
+    val cm = spark.sharedState.cacheManager
+    val wasEmpty = cm.isEmpty
+    val ds = spark.createDataset(Seq("1", "2", "3"))
+    val ((good, errs), release) =
+      Transforms.transformerTolerantScoped(ds)(s => Some(s.toInt))
+    assert(good.count() === 3 && errs.count() === 0)
+    assert(!cm.isEmpty, "the attempted intermediate must be cached while in scope")
+    release()
+    assert(cm.isEmpty || !wasEmpty, "no lingering cache entry after release")
+  }
+
+  test("E3: generic unpivot flattens any width (5 columns) to (id, col, val)") {
+    val df = Seq((1L, "a", 2, 3.5, true)).toDF("id", "s", "i", "d", "b")
+    val out = Transforms.unpivot(df, Seq("id"))
+    assert(out.columns.toSeq === Seq("id", "col", "val"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set((1L, "s", "a"), (1L, "i", "2"),
+      (1L, "d", "3.5"), (1L, "b", "true")))
+  }
+
   test("T2: expand 1→N (the reference's unimplemented List arm)") {
     val out = Transforms.expand(spark.createDataset(Seq("a b", "c")))(_.split(" ").toSeq)
     assert(out.collect().sorted.toSeq === Seq("a", "b", "c"))

@@ -112,6 +112,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("annTopK: degenerate-bucket cap bounds candidates from a boilerplate bucket") {
+    // 60 IDENTICAL vectors land in the same bucket of every LSH table; with
+    // the cap below their count the bucket is dropped before the candidate
+    // join, so one boilerplate cluster cannot multiply candidates for every
+    // query that hashes into it
+    val ones = Seq.fill(8)(1.0)
+    val corpus = ((100L until 160L).map(id => (id, ones)) :+ ((1L, ones.updated(0, 0.9))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, ones)).toDF("vec_id", "embedding")
+    val uncapped = Similarity.annTopK(queries, corpus, k = 5)
+    assert(uncapped.count() === 5, "without the cap the boilerplate bucket floods top-k")
+    val capped = Similarity.annTopK(queries, corpus, k = 5, maxBucketSize = 10)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!capped.exists(_ >= 100L),
+      "neighbors from the dropped mega-bucket must not appear as candidates")
+  }
+
   test("ivfTopK retrieves planted parallel duplicates at rank 1, sim 1.0") {
     val e = Tables(spark, sf0001).embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+/** White-box tests of the dedup scale mechanics (package-private seams):
+  * per-task pair-volume bounds for degenerate buckets and the star-contraction
+  * components' round bound.
+  */
+class DedupInternalsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("chunkBlocks splits a mega-bucket's pair space into bounded work items") {
+    val ids = (0L until 300L).toArray
+    val blocks = Dedup.chunkBlocks(ids, chunkSize = 64).toArray
+    // 5 chunks (4×64 + 1×44) → 15 blocks: the bucket's quadratic pair space
+    // is spread over >1 task instead of serialized through one flatMap
+    assert(blocks.length === 15)
+    assert(blocks.forall { case (a, b) => a.length <= 64 && b.length <= 64 })
+    val perBlock = blocks.map { case (a, b) => Dedup.blockPairs(a, b).size }
+    val total = 300 * 299 / 2
+    assert(perBlock.sum === total)
+    assert(perBlock.max <= 64 * 64, "no single work item may exceed chunkSize² pairs")
+    assert(perBlock.max < total, "pair space must not collapse into one item")
+  }
+
+  test("pairsWithinBuckets: chunked path is exact on an over-chunkSize bucket") {
+    // one planted bucket larger than chunkSize → exercises the block path
+    val idx = (0L until 150L).map(id => ("b", id)).toDF("bucket", "id")
+    val got = Dedup.pairsWithinBuckets(idx, Seq("bucket"), "id",
+        maxBucketSize = 10000, chunkSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- 0L until 150L; b <- (a + 1) until 150L
+    } yield (a, b)).toSet
+    assert(got === want)
+  }
+
+  test("pairsWithinBuckets: small and over-chunk buckets coexist; cap drops degenerate buckets") {
+    val small = Seq(("s", 1L), ("s", 2L), ("s", 3L))
+    val big = (100L until 170L).map(id => ("b", id)) // 70 > chunkSize 32
+    val degenerate = (1000L until 1150L).map(id => ("d", id)) // 150 > cap 100
+    val idx = (small ++ big ++ degenerate).toDF("bucket", "id")
+    val got = Dedup.pairsWithinBuckets(idx, Seq("bucket"), "id",
+        maxBucketSize = 100, chunkSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.count(p => p._1 < 100) === 3) // (1,2),(1,3),(2,3)
+    assert(got.count(p => p._1 >= 100 && p._1 < 1000) === 70 * 69 / 2)
+    assert(!got.exists(_._1 >= 1000L), "over-cap bucket must be dropped entirely")
+  }
+
+  test("survivorAssignment converges on a 100-node path (diameter >> rounds)") {
+    // a chain of overlapping near-dups: plain min-label propagation needs
+    // ~100 rounds here; star contraction must converge within the default 30
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.survivorAssignment(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 100)
+    assert(got.values.forall(_ == 0L), "every chain node must label to the min id")
+  }
+
+  test("survivorAssignment: multiple components, exact min labels") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 20L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.survivorAssignment(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+}
