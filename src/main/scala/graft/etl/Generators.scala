@@ -19,6 +19,34 @@ object Generators {
     spark.range(max).map(i => create(i: Long))
   }
 
+  /** S7 with the reference's optional inter-record `pause`
+    * (`etl-core/src/datastore/enumerate.rs:6-59`): a PER-PARTITION rate
+    * limit, so the aggregate rate is `maxPerSecPerPartition × partitions` —
+    * the only sane contract on a cluster (a global limiter would serialize
+    * the job through one coordinator). Intended for generators that page a
+    * rate-limited external API in batch; for continuous rate-limited
+    * streams use the rate source (`Streams.rateSource`). Throttling paces
+    * evenly: each record waits until its slot time, so bursts after a slow
+    * record catch up without exceeding the average rate.
+    */
+  def enumerateThrottled[O: Encoder](spark: SparkSession, max: Long,
+      maxPerSecPerPartition: Double)(create: Long => O): Dataset[O] = {
+    require(maxPerSecPerPartition > 0, "rate must be positive")
+    import spark.implicits._
+    val nanosPerRecord = (1e9 / maxPerSecPerPartition).toLong
+    spark.range(max).mapPartitions { it =>
+      val t0 = System.nanoTime()
+      var n = 0L
+      it.map { i =>
+        val slot = t0 + n * nanosPerRecord
+        n += 1
+        val wait = slot - System.nanoTime()
+        if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+        create(i: Long)
+      }
+    }
+  }
+
   /** S8: generator with per-partition shared state (connection pool, HTTP
     * client...). `open` runs once per partition; `create` per index;
     * `close` on partition completion.

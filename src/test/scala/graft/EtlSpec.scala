@@ -131,6 +131,17 @@ class EtlSpec extends SparkSpec {
     assert(c1.get() === 100 && c2.get() === 100)
   }
 
+  test("S7: enumerateThrottled paces records per partition (enumerate.rs pause)") {
+    val t0 = System.nanoTime()
+    val out = Generators.enumerateThrottled(spark, 20, maxPerSecPerPartition = 50.0)(identity)
+      .collect().sorted
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.toSeq === (0L until 20L))
+    // 4 partitions × 5 records at 50/s → each partition needs ≥ ~80 ms of
+    // slot time; a lower bound only (slow machines just take longer)
+    assert(elapsedMs >= 60, f"throttle not applied: $elapsedMs%.0f ms")
+  }
+
   test("S7/S8: enumerate and enumerateWithClient generate the index space") {
     val plain = Generators.enumerate(spark, 50)(i => i * 2).collect().sorted
     assert(plain.toSeq === (0 until 50).map(_ * 2L))
