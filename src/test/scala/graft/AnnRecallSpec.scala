@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * Context for the floors: these embeddings are UNIFORM RANDOM — the
   * worst case for ANN, since the top-10 "neighbors" are barely closer
   * than arbitrary points and share no cluster structure for buckets/cells
-  * /codes to exploit. Measured on this corpus: LSH ≈ 0.13 (no trained
-  * component), IVF ≈ 0.57 and PQ ≈ 0.83 with the round-3 Lloyd-trained
-  * codebooks (up from 0.39 / 0.42 untrained — training is deterministic,
-  * so these numbers are exact, not averages). Real embedding corpora are
+  * /codes to exploit. Measured on this corpus (round 3): LSH ≈ 0.55 with
+  * query-side multi-probe (0.13 exact-bucket), IVF ≈ 0.57 and PQ ≈ 0.83
+  * with Lloyd-trained codebooks (up from 0.39 / 0.42 untrained — training
+  * is deterministic, so these numbers are exact, not averages). Real
+  * embedding corpora are
   * clustered and recalls are far higher (the planted-dup tests show 1.0
   * on structured neighbors). The assertions are drift alarms below
   * measured, not quality targets.
@@ -39,7 +40,7 @@ class AnnRecallSpec extends SparkSpec {
   test("LSH ANN recall@10 vs brute force stays above floor") {
     val r = recall(topSet(Similarity.annTopK(queries, emb, k = 10)))
     info(f"annTopK recall@10 = $r%.3f")
-    assert(r >= 0.08, f"LSH recall degraded: $r%.3f")
+    assert(r >= 0.4, f"LSH recall degraded: $r%.3f")
   }
 
   test("IVF ANN recall@10 vs brute force stays above floor") {

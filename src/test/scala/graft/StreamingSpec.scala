@@ -230,6 +230,44 @@ class StreamingSpec extends SparkSpec {
     assert(total === 2L, s"each conversion must be credited exactly once (got $total)")
   }
 
+  test("attribution: single credit survives triggers straddling the watermark delay") {
+    // The round-2 design keyed the dedup's state lifetime to the TRIGGER
+    // time: once the watermark passed trigger1Ts + delay, a later in-window
+    // trigger's match found no dedup state and the conversion was credited
+    // twice. Choreography: (1) trigger c1@10:00 + conversion b1@10:25 match;
+    // (2) filler advances the watermark to ~10:15 — past trigger1+delay but
+    // below trigger2's ts; (3) trigger c2@10:20 arrives (not late) and
+    // matches the still-buffered conversion. Keying dedup state to the
+    // conversion's own event time (constant across matches) keeps it alive
+    // until the conversion itself expires → exactly one credit.
+    val clicks = MemoryStream[(Timestamp, Long, String)](spark)
+    val buys = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = graft.streaming.Pipelines.attribution(
+      clicks.toDF().toDF("click_ts", "user", "click_id"),
+      buys.toDF().toDF("buy_ts", "user", "buy_id"),
+      "user", "click_ts", "buy_ts", "buy_id", window = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib_straddle")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L, "c1"))
+    buys.addData((ts("2024-01-01 10:25:00"), 1L, "b1"))
+    q.processAllAvailable()
+    // watermark → ~10:15 on both sides (delay 1 min), expiring any state
+    // keyed to trigger1's 10:00 event time
+    clicks.addData((ts("2024-01-01 10:16:00"), 8L, "cf"))
+    buys.addData((ts("2024-01-01 10:16:00"), 8L, "bf"))
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 10:20:00"), 1L, "c2")) // matches b1 again
+    q.processAllAvailable()
+    // close all windows
+    clicks.addData((ts("2024-01-01 14:00:00"), 9L, "c9"))
+    buys.addData((ts("2024-01-01 14:00:00"), 9L, "b9"))
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("attrib_straddle").filter($"user" === 1L)
+      .agg(coalesce(sum($"attributed"), lit(0L))).head().getLong(0)
+    assert(total === 1L,
+      s"conversion b1 must be credited exactly once across straddling triggers (got $total)")
+  }
+
   test("streaming error budget stops the query once corrupt rows exceed it") {
     val in = java.nio.file.Files.createTempDirectory("graft_budget_in")
     val cp = java.nio.file.Files.createTempDirectory("graft_budget_cp").toString
