@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e3 generic unpivot plans as a map-only Expand (zero exchange)") {
+    val p = plan("e3_key_values")
+    assert(p.contains("Expand"), p.take(400))
+    assert(!p.contains("Exchange"), s"unpivot grew a shuffle:\n${p.take(400)}")
+  }
+
   test("q31 range join is an equi-join with the bin in the key, no nested loop") {
     val p = plan("q31_range_join")
     assert(!p.contains("NestedLoop"), p.take(800))
