@@ -143,6 +143,8 @@ object PipelineConfig {
           if (t.cols.nonEmpty) d.select(t.cols.map(col): _*)
           else d.selectExpr(t.expr.getOrElse(sys.error("select needs cols or expr")))
         case "drop" => d.drop(t.cols: _*)
+        // schema-generic key_values flatten (E3): cols = the id columns kept
+        case "unpivot" => graft.etl.Transforms.unpivot(d, t.cols)
         case "repartition" => d.repartition(
           t.expr.map(_.toInt).getOrElse(d.sparkSession.sparkContext.defaultParallelism))
         case other => sys.error(s"unknown transform op: $other")

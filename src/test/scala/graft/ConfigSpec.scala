@@ -46,6 +46,23 @@ class ConfigSpec extends SparkSpec {
     assert(st2.streams("transformed-ds-1").startedMs === stream.startedMs)
   }
 
+  test("unpivot transform is reachable from a declared pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_unpivot").toString + "/j"
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-up", "name": "kv", "steps": [
+         |  { "step": "flatten", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id STRING, a STRING, b STRING",
+         |      "lines": ["{\\"id\\":\\"1\\",\\"a\\":\\"x\\",\\"b\\":\\"y\\"}"] },
+         |    "transforms": [ { "op": "drop", "cols": ["_corrupt_record"] },
+         |                    { "op": "unpivot", "cols": ["id"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("col"), r.getAs[String]("val"))).toSet
+    assert(rows === Set(("1", "a", "x"), ("1", "b", "y")))
+  }
+
   test("max_errors aborts a declared pipeline (simple-pipeline max-error case)") {
     val store = new InMemoryStore
     val conf = PipelineConfig.parse(confJson(
