@@ -37,6 +37,39 @@ class PropertySpec extends SparkSpec {
     assert(minCos >= 0.999, s"worst reconstruction cosine $minCos")
   }
 
+  test("property: star-contraction components match a local union-find on random graphs") {
+    // the riskiest distributed algorithm in the dedup family gets an exact
+    // independent oracle: survivorAssignment vs a driver-side union-find,
+    // over scalacheck-generated graphs (random density, multi-edges,
+    // reversed duplicates, chains and cliques alike)
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      nEdges <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+    } yield edges.filter { case (a, b) => a != b }
+    sample(edgeGen, 12).filter(_.nonEmpty).zipWithIndex.foreach { case (edges, gi) =>
+      // local union-find ground truth (min id per component)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // union by min is not guaranteed by rank-less union-find path order;
+      // normalize: min id of each root's member set
+      val members = parent.keys.toSeq.groupBy(find)
+      val want = members.flatMap { case (_, ids) =>
+        val m = ids.min; ids.map(_ -> m)
+      }.toMap
+      val got = graft.llm.Dedup.survivorAssignment(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"graph #$gi mismatch (edges: $edges)")
+    }
+  }
+
   test("property: hamming64 is symmetric, zero on the diagonal, ≤ 64") {
     GraftFunctions.register(spark)
     val longs = sample(Gen.choose(Long.MinValue, Long.MaxValue), 100)
