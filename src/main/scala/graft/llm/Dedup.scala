@@ -301,12 +301,14 @@ object Dedup {
     // materialize the (possibly expensive) pair computation ONCE — the star
     // rounds re-read the edge set many times and must not re-run the whole
     // upstream plan (e.g. a full MinHash pass) each round
-    val p0 = pairs
+    val pAll = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
-      .where(col("u") =!= col("v"))
       .localCheckpoint()
-    val allIds = p0.select(col("u").as("id"))
-      .unionByName(p0.select(col("v").as("id"))).distinct().persist()
+    // all ids get a label — including one appearing only in a degenerate
+    // self-pair (its component is itself)
+    val allIds = pAll.select(col("u").as("id"))
+      .unionByName(pAll.select(col("v").as("id"))).distinct().persist()
+    val p0 = pAll.where(col("u") =!= col("v"))
 
     // large-star: for every node u, connect each neighbor v > u to
     // m = min({u} ∪ N(u)). Grows stars downward without losing connectivity.

@@ -58,12 +58,13 @@ class DedupInternalsSpec extends graft.SparkSpec {
     assert(got.values.forall(_ == 0L), "every chain node must label to the min id")
   }
 
-  test("survivorAssignment: multiple components, exact min labels") {
-    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 20L), (30L, 31L))
+  test("survivorAssignment: multiple components, self-pairs, exact min labels") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 20L), (30L, 31L),
+      (40L, 40L)) // degenerate self-pair: still labeled (its own component)
       .toDF("id_a", "id_b")
     val got = Dedup.survivorAssignment(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
-      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 40L -> 40L))
   }
 }
