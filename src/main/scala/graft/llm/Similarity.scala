@@ -281,20 +281,41 @@ object Similarity extends Serializable {
     * cells with exact cosine re-ranking inside them. Cell assignment cost
     * is O(n·nCells·dim) map-only; query cost is bounded by probed-cell
     * population, never n².
+    *
+    * `nCells = 0` (the default) auto-sizes the index from the corpus count
+    * with the standard `√n` rule (what FAISS documents for IVF-flat),
+    * clamped to [16, 4096] — the clamp keeps driver-side training bounded
+    * (Lloyd is O(iters·sample·cells·dim)) and mean cell population at
+    * `n / cells = √n`, so probed-candidate cost grows with √corpus rather
+    * than staying fixed as data scales. `nProbe = 0` likewise auto-sizes
+    * to `max(4, √cells)`: the probed FRACTION shrinks as the index grows
+    * (the actual scale win) while small indexes keep enough probes for
+    * usable recall. Explicit values override both knobs exactly as before.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
+      nCells: Int = 0, nProbe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 8, trainSampleSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        // one cheap metadata-driven count against the corpus scan; the
+        // result feeds only the codebook size, so it runs once per build
+        val n = vecs.count()
+        math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+      }
+    val probe =
+      if (nProbe > 0) nProbe
+      else math.max(4, math.round(math.sqrt(cells.toDouble)).toInt)
     // trained unit centroids: cosine ranking below is scale-invariant, so
     // normalizing them changes nothing about assignment semantics
     val centroids = lloyd(
-      trainSample(vecs, math.max(nCells, trainSampleSize)).map(normalizeVec),
-      nCells, trainIters, spherical = true)
+      trainSample(vecs, math.max(cells, trainSampleSize)).map(normalizeVec),
+      cells, trainIters, spherical = true)
 
     def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
       val x = v.toArray
@@ -313,7 +334,7 @@ object Similarity extends Serializable {
     val probes = vectorsOf(queries, idCol, vecCol, "query_id", "va")
       .as[(Long, Seq[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        nearestCells(v, nProbe).map(c => (id, v, c))
+        nearestCells(v, probe).map(c => (id, v, c))
       })
       .toDF("query_id", "va", "cell")
     val cands = probes.join(assigned, "cell")

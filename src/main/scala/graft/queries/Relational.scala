@@ -275,6 +275,25 @@ object Relational extends QueryPack {
           min($"l_extendedprice").as("min_price"))
     }),
 
+    // ---- RANGE-frame window: trailing 10-minute per-user aggregate. The
+    //      frame is VALUE-based (micros offsets), so tied timestamps are
+    //      peers and the result is deterministic regardless of tie order —
+    //      a ROWS frame here would be order-dependent and un-oracleable.
+    //      Executes like q9: one hash shuffle on user_id + partition sort,
+    //      then a sliding frame scan. ----
+    "q34_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val tenMinMicros = 10L * 60 * 1000000
+      val w = Window.partitionBy($"user_id").orderBy($"tsm")
+        .rangeBetween(-tenMinMicros, 0L)
+      t(s, dir).events
+        .withColumn("tsm", unix_micros($"ts"))
+        .withColumn("sum_10m",
+          sum($"value".cast(DecimalType(18, 6))).over(w).cast("double"))
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .select($"event_id", $"user_id", $"sum_10m", $"n_10m")
+    }),
+
     // ---- window function completeness: first/last/ntile/dense_rank ----
     "q28_window_misc" -> ((s, dir) => {
       import s.implicits._
@@ -613,6 +632,17 @@ object Relational extends QueryPack {
         |  min(l_extendedprice) AS min_price
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
+
+    // epoch_ns // 1000 (floor division) mirrors Spark's `ts div 1000` nanos
+    // truncation exactly, so frame-boundary membership can't drift between
+    // engines even if the data ever grows sub-microsecond components.
+    "q34_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_10m,
+        |  count(*) OVER w AS n_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q28_window_misc" ->
       """SELECT o_orderkey, o_custkey,

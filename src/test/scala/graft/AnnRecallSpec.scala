@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * worst case for ANN, since the top-10 "neighbors" are barely closer
   * than arbitrary points and share no cluster structure for buckets/cells
   * /codes to exploit. Measured on this corpus (round 3): LSH ≈ 0.55 with
-  * query-side multi-probe (0.13 exact-bucket), IVF ≈ 0.57 and PQ ≈ 0.83
-  * with Lloyd-trained codebooks (up from 0.39 / 0.42 untrained — training
+  * query-side multi-probe (0.13 exact-bucket), IVF ≈ 0.59 with √n
+  * auto-sized cells (22 cells / 5 probes at n=500; 0.57 at the old fixed
+  * 16/4) and PQ ≈ 0.83, both with Lloyd-trained codebooks (up from
+  * 0.39 / 0.42 untrained — training
   * is deterministic, so these numbers are exact, not averages). Real
   * embedding corpora are
   * clustered and recalls are far higher (the planted-dup tests show 1.0
