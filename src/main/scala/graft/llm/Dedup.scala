@@ -445,6 +445,102 @@ object Dedup {
     sig
   }
 
+  /** Banded LSH bucket rows (id, band, bucket) from hashed shingle sets —
+    * the persistable MinHash index relation. One JIT-compiled pass:
+    * signature + band hashes per row, no intermediate signature column.
+    */
+  private def bandFromSets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val spark = sets.sparkSession
+    import spark.implicits._
+    sets.select(col("id"), col("hs")).as[(Long, Array[Long])]
+      .mapPartitions(_.flatMap { case (id, hs) =>
+        val sig = sigFromHashes(hs, numHashes)
+        (0 until bands).iterator.map { b =>
+          var bh = 1125899906842597L
+          var i = b * rows
+          while (i < (b + 1) * rows) { bh = bh * 31 + sig(i); i += 1 }
+          (id, b, bh)
+        }
+      })
+      .toDF("id", "band", "bucket")
+  }
+
+  /** The persistable MinHash+LSH index of a corpus: (id, band, bucket) rows,
+    * ~`bands` longs per document — write this to parquet once and
+    * [[minhashNearDupsIncremental]] absorbs new batches without touching
+    * the corpus text again. Parameters must match the ones later used for
+    * the incremental pass (band hashes are parameter-specific).
+    */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame =
+    bandFromSets(hashedShingleSets(df, idCol, textCol, shingleN),
+      numHashes, bands)
+
+  /** Incremental near-dup pairs: the pairs a `fresh` batch introduces
+    * against an `existing` corpus — fresh×fresh and fresh×existing, never
+    * existing×existing — byte-identical to running [[minhashNearDups]] over
+    * `existing ∪ fresh` and keeping the pairs that touch a fresh id, at a
+    * fraction of the cost.
+    *
+    * This is the 100 TB ingestion shape: a daily 0.1% batch must not
+    * re-shingle, re-sign, and re-pair the whole corpus. Here the existing
+    * corpus contributes only its persisted `existingIndex`
+    * ([[minhashBandIndex]] rows, built with the SAME shingleN/numHashes/
+    * bands), pruned to the buckets the fresh batch actually touches (an
+    * equi-join on slim (band, bucket) keys); existing TEXT is read only for
+    * the existing docs that end up in candidate pairs (a semi-join–bounded
+    * re-shingle, proportional to output, not corpus). Bucket populations —
+    * and therefore the `maxBucketSize` guard and candidate set — are
+    * exactly those of the full recompute, because bucket membership doesn't
+    * depend on which side a row arrived with.
+    *
+    * `existing` and `fresh` must have disjoint ids. Returns
+    * (id_a, id_b, jac), id_a < id_b, jac ≥ threshold.
+    */
+  def minhashNearDupsIncremental(existing: DataFrame, existingIndex: DataFrame,
+      fresh: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 128, bands: Int = 64, threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    val freshSets = hashedShingleSets(fresh, idCol, textCol, shingleN).persist()
+    val freshBanded = bandFromSets(freshSets, numHashes, bands).persist()
+    try {
+      val touched = freshBanded.select(col("band"), col("bucket")).distinct()
+      val oldInTouched = existingIndex
+        .select(col("id").cast("long").as("id"), col("band"), col("bucket"))
+        .join(touched, Seq("band", "bucket"))
+      val cands = pairsWithinBuckets(
+        freshBanded.unionByName(oldInTouched),
+        Seq("band", "bucket"), "id", maxBucketSize)
+      // keep only pairs touching a fresh id (anti-then-semi, both slim
+      // long-key equi-joins; an OR-predicate join would lose the hash plan)
+      val freshIds = freshBanded.select(col("id")).distinct()
+      val pairsTouching = cands
+        .join(freshIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .unionByName(cands
+          .join(freshIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+          .join(freshIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+          .select(col("id_a"), col("id_b")))
+      // existing text is re-shingled ONLY for candidate ids
+      val candIds = pairsTouching.select(col("id_a").as("cid"))
+        .unionByName(pairsTouching.select(col("id_b").as("cid"))).distinct()
+      val oldCandDocs = existing
+        .join(candIds, col(idCol).cast("long") === col("cid"), "left_semi")
+      val sets = freshSets.unionByName(
+        hashedShingleSets(oldCandDocs, idCol, textCol, shingleN))
+      jaccardOfHashedPairs(pairsTouching
+        .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b")),
+        threshold)
+        // materialize before the finally-unpersist releases the inputs
+        .localCheckpoint()
+    } finally { freshBanded.unpersist(); freshSets.unpersist() }
+  }
+
   /** Full MinHash+LSH near-dup pipeline: text → hashed word n-gram shingle
     * sets (one kernel pass, persisted, shared by candidate generation and
     * verification) → banded LSH buckets → bucket-local candidate pairs →
@@ -466,22 +562,8 @@ object Dedup {
   private[llm] def minhashNearDupsScoped(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, numHashes: Int, bands: Int,
       threshold: Double, maxBucketSize: Int): (DataFrame, () => Unit) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val spark = df.sparkSession
-    import spark.implicits._
     val sets = hashedShingleSets(df, idCol, textCol, shingleN).persist()
-    val banded = sets.as[(Long, Array[Long])]
-      .mapPartitions(_.flatMap { case (id, hs) =>
-        val sig = sigFromHashes(hs, numHashes)
-        (0 until bands).iterator.map { b =>
-          var bh = 1125899906842597L
-          var i = b * rows
-          while (i < (b + 1) * rows) { bh = bh * 31 + sig(i); i += 1 }
-          (id, b, bh)
-        }
-      })
-      .toDF("id", "band", "bucket")
+    val banded = bandFromSets(sets, numHashes, bands)
     val cands = pairsWithinBuckets(banded, Seq("band", "bucket"), "id",
       maxBucketSize)
     val pairs = jaccardOfHashedPairs(cands

@@ -86,6 +86,31 @@ class LlmSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (4L, 5L)))
   }
 
+  test("minhashNearDupsIncremental === full recompute restricted to fresh-touching pairs") {
+    // near-dup structure crossing the existing/fresh split: fresh 11 pairs
+    // with existing 1 and 2 (fresh×existing), 12 is a copy of 11
+    // (fresh×fresh), 13 is unique; existing pair (1,2) must NOT reappear.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val trunc2 = (1 to 36).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val uniq = (200 to 240).map(i => s"u$i").mkString(" ")
+    val existing = Seq((1L, base), (2L, trunc), (3L, other)).toDF("doc_id", "text")
+    val fresh = Seq((11L, trunc2), (12L, trunc2), (13L, uniq)).toDF("doc_id", "text")
+
+    val idx = Dedup.minhashBandIndex(existing, "doc_id", "text")
+    val incr = Dedup.minhashNearDupsIncremental(existing, idx, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val full = Dedup.minhashNearDups(existing.unionByName(fresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= 11L || b >= 11L }.toSet
+
+    assert(incr === full)
+    assert(incr.map { case (a, b, _) => (a, b) } ===
+      Set((1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L), (11L, 12L)))
+  }
+
   test("minhashNearDups: maxBucketSize drops degenerate buckets, default keeps them") {
     // 30 identical docs: every band puts all 30 ids in one bucket
     val df = (1L to 30L).map(i => (i, (1 to 40).map(j => s"tok$j").mkString(" ")))
