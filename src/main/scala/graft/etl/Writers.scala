@@ -157,6 +157,75 @@ object Writers {
       .write.mode(mode).parquet(path)
   }
 
+  /** Z-order clustered parquet: files simultaneously range-local in ALL
+    * `clusterCols`, so parquet footer min/max stats prune scans for a
+    * predicate on ANY of them — [[clusteredParquet]] skips only on its one
+    * sort column. The classic space-filling-curve layout (what Delta /
+    * Iceberg `OPTIMIZE ZORDER BY` produces).
+    *
+    * Mechanics, write-side only: each column is rank-bucketed into
+    * 2^bitsPerCol equi-depth buckets against `approxQuantile` boundaries
+    * (one bounded driver-side pass over all columns — the same sampled
+    * range-ID approach Delta uses), bucket bits are interleaved MSB-first
+    * into a Morton code with pure Column bit arithmetic (codegen'd, no
+    * UDF), and rows are range-partitioned + sorted by the code — the same
+    * single write-side shuffle clusteredParquet pays, so this scales to
+    * any corpus the plain writer handles. Equi-depth bucketing makes the
+    * layout skew-robust: a hot value floods its own bucket, not the grid.
+    *
+    * File boundaries align to z-prefix blocks: ranging on the code's top
+    * ceil(log2(targetFiles)) bits (equal values never split across range
+    * partitions) makes every file a union of WHOLE grid hyperrectangles,
+    * so per-file min/max stay tight in every cluster column — ranging on
+    * the raw code would let sampled boundaries cut through a block and
+    * smear that file across both dimensions. Heavy joint skew merges
+    * sparse blocks into fewer, larger files (targetFiles is a target,
+    * not a promise — same stance as clusteredParquet on a hot key).
+    *
+    * Cluster columns must cast to double (numerics, timestamps); NULLs
+    * land in the lowest bucket. Reads need no special support: plain
+    * parquet row-group stats do the skipping.
+    */
+  def zorderParquet(df: DataFrame, path: String, clusterCols: Seq[String],
+      targetFiles: Int, bitsPerCol: Int = 4,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(clusterCols.size >= 2, "one column: use clusteredParquet")
+    require(bitsPerCol >= 1 && bitsPerCol * clusterCols.size <= 62,
+      "bitsPerCol * clusterCols must fit a long")
+    require(targetFiles >= 1)
+    val n = 1 << bitsPerCol
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val asDouble = df.select(clusterCols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = asDouble.stat.approxQuantile(clusterCols.toArray, probs, 0.01)
+    val nCols = clusterCols.size
+    val zName = Iterator.from(0).map(i => s"__zorder$i")
+      .find(nm => !df.columns.contains(nm)).get
+    val z = clusterCols.zipWithIndex.map { case (c, j) =>
+      // equi-depth bucket = #(distinct boundaries <= value); skewed data
+      // may repeat a quantile, so dedup keeps buckets ordered and <= n
+      val bs = bounds(j).distinct.sorted
+      val bucket = bs.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)
+      }
+      // MSB-first interleave: bit i of column j -> position
+      // i*nCols + (nCols-1-j), so high-order bits of every column
+      // dominate the code jointly
+      (0 until bitsPerCol).map { i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)),
+          i * nCols + (nCols - 1 - j))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    val totalBits = bitsPerCol * nCols
+    val blockBits = math.min(totalBits,
+      if (targetFiles <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros((targetFiles - 1).toLong))
+    df.withColumn(zName, z)
+      .repartitionByRange(targetFiles, shiftright(col(zName), totalBits - blockBits))
+      .sortWithinPartitions(col(zName))
+      .drop(zName)
+      .write.mode(mode).parquet(path)
+  }
+
   /** O4: null sink (validation/benchmark). */
   def noop(df: DataFrame): Unit = df.write.mode(SaveMode.Overwrite).format("noop").save()
 

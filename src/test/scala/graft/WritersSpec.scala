@@ -123,6 +123,48 @@ class WritersSpec extends SparkSpec {
     assert(ranges.count { case (lo, hi) => lo <= key && key <= hi } === 1)
   }
 
+  test("zorderParquet: files skip on BOTH cluster columns; 1-col clustering cannot") {
+    val src = Tables(spark, sf0001).orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/out"
+    Writers.zorderParquet(src, zdir, Seq("o_custkey", "o_totalprice"),
+      targetFiles = 16)
+
+    def ranges(dir: String, c: String): Array[(Double, Double)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+    // a bottom-decile range predicate on EITHER column must skip files
+    // via footer stats alone. 16 files = 4 block-prefix bits (cb3, pb3,
+    // cb2, pb2), so the cut constrains two of them per dimension -> only
+    // the 4 blocks with that quarter-prefix can overlap; block alignment
+    // guarantees every other file's min sits above the cut.
+    def overlapping(dir: String, c: String): Int = {
+      val rs = ranges(dir, c)
+      assert(rs.length >= 8, s"expected >=8 files, got ${rs.length}")
+      val lo = rs.map(_._1).min
+      val hi = rs.map(_._2).max
+      val cut = lo + (hi - lo) * 0.1
+      rs.count { case (mn, _) => mn <= cut } // files a scan <= cut must read
+    }
+    val nz = ranges(zdir, "o_custkey").length
+    assert(overlapping(zdir, "o_custkey") <= nz / 2)
+    assert(overlapping(zdir, "o_totalprice") <= nz / 2)
+
+    // baseline: single-column clustering leaves the OTHER column
+    // unclustered — every file overlaps the same predicate
+    val cdir = java.nio.file.Files.createTempDirectory("graft_zbase").toString + "/out"
+    Writers.clusteredParquet(src, cdir, "o_custkey", targetFiles = 8)
+    val nc = ranges(cdir, "o_totalprice").length
+    assert(overlapping(cdir, "o_totalprice") === nc)
+
+    // layout must not lose or duplicate rows
+    assert(spark.read.parquet(zdir).count() === src.count())
+  }
+
   test("ORC sink round-trips with filter pushdown on re-read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/out"
     val src = Tables(spark, sf0001).orders.select($"o_orderkey", $"o_totalprice")
