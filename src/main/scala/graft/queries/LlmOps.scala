@@ -163,6 +163,19 @@ object LlmOps extends QueryPack {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- sequence packing (concat-and-chunk pretraining batcher):
+    //      deterministic shard → id-ordered token stream → fixed 512-token
+    //      sequences. One exchange + per-shard sort; layout-independent. ----
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir).documents, "doc_id",
+        TextOps.tokenCount(col("text")), budget = 512, nShards = 8)),
+
+    // ---- per-(doc, sequence) copy spans of the same packing — what a
+    //      batch-materializing kernel consumes. Map-only on top. ----
+    "pack_chunks" -> ((s, dir) =>
+      Packing.packChunks(t(s, dir).documents, "doc_id",
+        TextOps.tokenCount(col("text")), budget = 512, nShards = 8)),
+
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -470,6 +483,43 @@ object LlmOps extends QueryPack {
          |WHERE CASE WHEN lang = 'en'
          |  THEN $DuckBucket < '1a'
          |  ELSE $DuckBucket < '80' END""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    GREATEST(CAST(len($DuckToks) AS BIGINT), 1) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  cum_before // 512 AS seq_first,
+         |  (cum_before + n_tokens - 1) // 512 AS seq_last,
+         |  cum_before % 512 AS tok_offset
+         |FROM c""".stripMargin,
+
+    "pack_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    GREATEST(CAST(len($DuckToks) AS BIGINT), 1) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+         |  FROM d),
+         |e AS (
+         |  SELECT doc_id, shard, n_tokens, g0,
+         |    unnest(generate_series(g0 // 512,
+         |      (g0 + n_tokens - 1) // 512)) AS seq
+         |  FROM c)
+         |SELECT doc_id, shard, seq,
+         |  GREATEST(seq * 512, g0) - g0 AS tok_start,
+         |  LEAST((seq + 1) * 512, g0 + n_tokens)
+         |    - GREATEST(seq * 512, g0) AS tok_len
+         |FROM e""".stripMargin,
 
     "text_normalize" ->
       s"""SELECT doc_id,

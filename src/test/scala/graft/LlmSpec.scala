@@ -224,4 +224,35 @@ class LlmSpec extends SparkSpec {
     val got = df.select(TextOps.langId($"text")).as[String].collect()
     assert(got.toSeq === Seq("en", "de", "es", "fr"))
   }
+
+  test("Packing: every token lands in exactly one slot; sequences fill to budget") {
+    val docs = Tables(spark, sf0001).documents
+    val budget = 64
+    val nTok = TextOps.tokenCount($"text")
+    val packed = Packing.packSequences(docs, "doc_id", nTok, budget, nShards = 4)
+    val chunks = Packing.packChunks(docs, "doc_id", nTok, budget, nShards = 4)
+
+    // chunk spans partition each document's tokens: contiguous from 0,
+    // summing to n_tokens, each piece within (0, budget]
+    val perDoc = chunks.groupBy($"doc_id")
+      .agg(sum($"tok_len").as("covered"), min($"tok_start").as("first"),
+        max($"tok_len").as("longest"))
+      .join(packed, "doc_id")
+    assert(perDoc.filter($"covered" =!= $"n_tokens" || $"first" =!= 0 ||
+      $"longest" > budget).count() === 0)
+
+    // every sequence except each shard's last holds exactly `budget` tokens
+    val seqFill = chunks.groupBy($"shard", $"seq").agg(sum($"tok_len").as("fill"))
+    val lastSeq = seqFill.groupBy($"shard").agg(max($"seq").as("last"))
+    assert(seqFill.join(lastSeq, "shard")
+      .filter($"seq" < $"last" && $"fill" =!= budget).count() === 0)
+
+    // assignment is layout-independent: a repartitioned, reversed input
+    // packs identically (pure function of ids + token counts)
+    val shuffled = Packing.packSequences(
+      docs.repartition(7).sortWithinPartitions($"doc_id".desc),
+      "doc_id", nTok, budget, nShards = 4)
+    assert(packed.exceptAll(shuffled).count() === 0)
+    assert(shuffled.exceptAll(packed).count() === 0)
+  }
 }

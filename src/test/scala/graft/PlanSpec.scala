@@ -78,4 +78,12 @@ class PlanSpec extends SparkSpec {
     // the event_type filters must reach the parquet scan
     assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(800))
   }
+
+  test("sequence packing pays exactly one exchange (the shard window)") {
+    Seq("pack_sequences", "pack_chunks").foreach { q =>
+      val p = plan(q)
+      assert("Exchange ".r.findAllIn(p).size === 1,
+        s"$q should shuffle once on shard:\n${p.take(800)}")
+    }
+  }
 }
