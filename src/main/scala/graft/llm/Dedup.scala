@@ -595,16 +595,50 @@ object Dedup {
     * plus the pair distinct. 64-bit span hashing: collision odds ~2^-64.
     */
   def commonSpanPairs(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 20, maxBucketSize: Int = 10000): DataFrame = {
+      spanTokens: Int = 20, maxBucketSize: Int = 10000): DataFrame =
+    pairsWithinBuckets(spanHashes(df, idCol, textCol, spanTokens),
+      Seq("span"), "id", maxBucketSize)
+
+  /** (span_hash: long, id: long) rows — each doc's distinct `spanTokens`-
+    * token contiguous spans, 64-bit-hashed so shuffles never carry text.
+    */
+  private def spanHashes(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val spans = ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
+    ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         distinctShingles(text, spanTokens).iterator.map(s => (hash64(s), id))
       })
       .toDF("span", "id")
-    pairsWithinBuckets(spans, Seq("span"), "id", maxBucketSize)
+  }
+
+  /** Benchmark decontamination: remove from `corpus` every document that
+    * shares at least one contiguous `spanTokens`-token span with ANY
+    * held-out document — the GPT-3/Llama-style n-gram overlap screen run
+    * as a two-corpus exact-substring filter (reference analog: the same
+    * span hashing [[commonSpanPairs]] uses for within-corpus contamination).
+    *
+    * Scale mechanics: both sides reduce to (span_hash: long, id) rows, so
+    * shuffle traffic never carries text. The held-out side (an eval suite,
+    * orders of magnitude smaller than the corpus) collapses to distinct
+    * span hashes and drives a LEFT SEMI join — AQE broadcasts it when it
+    * fits, filtering the corpus span stream map-side — and the
+    * contaminated-id set anti-joins the corpus. No pair generation
+    * anywhere: a boilerplate span shared corpus-wide costs one row per
+    * doc, never a bucket square, so this is strictly cheaper than running
+    * [[commonSpanPairs]] on the union.
+    */
+  def decontaminate(corpus: DataFrame, heldout: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int = 13): DataFrame = {
+    val cSpans = spanHashes(corpus, idCol, textCol, spanTokens)
+    val hSpans = spanHashes(heldout, idCol, textCol, spanTokens)
+      .select(col("span")).distinct()
+    val contaminated = cSpans.join(hSpans, Seq("span"), "left_semi")
+      .select(col("id")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol).cast("long") === contaminated("id"), "left_anti")
   }
 
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs

@@ -132,6 +132,17 @@ object LlmOps extends QueryPack {
       Dedup.commonSpanPairs(docsWithNearDups(s, dir), "doc_id", "text",
         spanTokens = 20)),
 
+    // ---- two-corpus benchmark decontamination: corpus minus every doc
+    //      sharing a 20-token span with the held-out set (docs with
+    //      id ≡ 3 mod 10 stand in for an eval suite). Held-out span
+    //      hashes broadcast; no pair generation. ----
+    "decontaminate" -> ((s, dir) => {
+      val corpus = t(s, dir).documents
+      val heldout = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
+      Dedup.decontaminate(corpus, heldout, "doc_id", "text", spanTokens = 20)
+        .select(col("doc_id"))
+    }),
+
     // ---- deterministic uniform sampling: bottom-k by content hash per
     //      group (no RNG, reproducible on any cluster layout — the
     //      LLM-corpus "take a stable N-doc sample per language" op) ----
@@ -483,6 +494,23 @@ object LlmOps extends QueryPack {
          |WHERE CASE WHEN lang = 'en'
          |  THEN $DuckBucket < '1a'
          |  ELSE $DuckBucket < '80' END""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 18),
+         |           i -> array_to_string(list_slice(toks, i, i + 19), ' ')) END) AS s
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), flat AS (
+         |  SELECT doc_id, unnest(s) AS span FROM sp
+         |), held AS (
+         |  SELECT DISTINCT span FROM flat WHERE doc_id % 10 = 3
+         |), bad AS (
+         |  SELECT DISTINCT doc_id FROM flat JOIN held USING (span)
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH d AS (

@@ -225,6 +225,19 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq("en", "de", "es", "fr"))
   }
 
+  test("decontaminate drops span-sharing docs, keeps clean ones") {
+    val benchText = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro words then $benchText trailing content here"), // contains the eval span
+      (2L, "totally unrelated clean document with its own words"),
+      (3L, benchText)) // exactly the eval text
+      .toDF("doc_id", "text")
+    val heldout = Seq((100L, benchText)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, heldout, "doc_id", "text",
+      spanTokens = 12).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L))
+  }
+
   test("Packing: every token lands in exactly one slot; sequences fill to budget") {
     val docs = Tables(spark, sf0001).documents
     val budget = 64
