@@ -174,6 +174,15 @@ object LlmOps extends QueryPack {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- corpus mixture rebalancing: largest subset realizing a 2:1:1
+    //      en:de:fr target, selected by content-hash rank — exact integer
+    //      arithmetic, reproducible on any engine/layout. The histogram-
+    //      pruned window only sorts each group's boundary bucket. ----
+    "mixture_resample" -> ((s, dir) =>
+      Mixture.resampleToMixture(t(s, dir).documents, "lang",
+        Map("en" -> 2L, "de" -> 1L, "fr" -> 1L), "doc_id")
+        .select(col("doc_id"), col("lang"))),
+
     // ---- sequence packing (concat-and-chunk pretraining batcher):
     //      deterministic shard → id-ordered token stream → fixed 512-token
     //      sequences. One exchange + per-shard sort; layout-independent. ----
@@ -511,6 +520,25 @@ object LlmOps extends QueryPack {
          |)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "mixture_resample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IN ('en','de','fr') GROUP BY lang),
+        |t AS (
+        |  SELECT min(n * 4 // CASE lang WHEN 'en' THEN 2 ELSE 1 END) AS total
+        |  FROM c),
+        |tc AS (
+        |  SELECT lang,
+        |    (SELECT total FROM t) * CASE lang WHEN 'en' THEN 2 ELSE 1 END // 4
+        |      AS target
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents WHERE lang IN ('en','de','fr'))
+        |SELECT doc_id, lang FROM r JOIN tc USING (lang)
+        |WHERE rn <= target""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH d AS (

@@ -225,6 +225,34 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq("en", "de", "es", "fr"))
   }
 
+  test("Mixture.resampleToMixture: exact target proportions, equals plain rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf0001).documents
+    val weights = Map("en" -> 3L, "zh" -> 1L)
+    val got = Mixture.resampleToMixture(docs, "lang", weights, "doc_id")
+      .select($"doc_id", $"lang")
+
+    // exact integer-arithmetic targets
+    val n = docs.filter($"lang".isin("en", "zh")).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = math.min(n("en") * 4 / 3, n("zh") * 4 / 1)
+    val want = Map("en" -> total * 3 / 4, "zh" -> total / 4)
+    val gotCounts = got.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts === want)
+
+    // same SET as the naive per-group hash-rank selection (the histogram
+    // walk is an optimization, not a semantics change)
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    val naive = docs.filter($"lang".isin("en", "zh"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= when($"lang" === "en", want("en")).otherwise(want("zh")))
+      .select($"doc_id", $"lang")
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+  }
+
   test("decontaminate drops span-sharing docs, keeps clean ones") {
     val benchText = (1 to 12).map(i => s"bench$i").mkString(" ")
     val corpus = Seq(
