@@ -119,7 +119,14 @@ case class Hamming64(left: Expression, right: Expression)
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
-    "graft_hamming64" -> (es => Hamming64(es(0), es(1))))
+    "graft_hamming64" -> (es => Hamming64(es(0), es(1))),
+    // Spark's own runtime-filter predicate (codegen'd), exposed as a
+    // callable function: arg0 = a constant BINARY bloom sketch in
+    // `BloomFilter.writeTo` format, arg1 = a BIGINT key (e.g. xxhash64).
+    // Powers graft.llm.Dedup.dropIfInReference's map-side pre-filter.
+    "graft_bloom_contains" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -129,6 +136,8 @@ object GraftFunctions {
   /** Column-API forms (require register(spark) once per session). */
   def graftCosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def graftHamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+  def graftBloomContains(bloom: Column, key: Column): Column =
+    call_function("graft_bloom_contains", bloom, key)
 }
 
 /** `spark.sql.extensions`-loadable function injection. */

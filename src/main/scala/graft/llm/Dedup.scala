@@ -641,6 +641,47 @@ object Dedup {
       corpus(idCol).cast("long") === contaminated("id"), "left_anti")
   }
 
+  /** Exact whole-document dedup of `corpus` against a reference corpus
+    * (a blocklist, an earlier training run, a licensed-content registry),
+    * with a broadcast Bloom pre-filter so the bulk of the corpus never
+    * pays a shuffle (reference analog: the dedup-id gate SQS writes apply
+    * per message, `etl-aws-utils/src/sqs_queue.rs:26-58`, lifted to
+    * corpus-vs-corpus scale).
+    *
+    * Exactness: the bloom admits false positives but never false
+    * negatives, and every candidate is confirmed by an md5 anti-join —
+    * the output is identical to a plain `corpus ANTI JOIN reference` at
+    * any fpp.
+    *
+    * Scale mechanics: the reference collapses to 8-byte xxhash64 keys and
+    * aggregates into one driver-merged bloom (~1.8 bytes/doc at fpp 1e-3:
+    * 1e9 reference docs ≈ 1.8 GB — size `fpp` to the executor broadcast
+    * budget; the raw key set would be 8 GB + a corpus-wide shuffle). The
+    * corpus is read twice, both map-only codegen'd scans (Spark's own
+    * `BloomFilterMightContain`, the runtime-filter predicate): the
+    * non-candidate branch exchanges NOTHING, and only candidates — true
+    * matches + an fpp-fraction — reach the confirming anti-join, where
+    * AQE broadcasts the reference digests when they fit. Double scan IO
+    * in exchange for no corpus-wide shuffle is the right trade at 100 TB.
+    */
+  def dropIfInReference(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, expectedRefDocs: Long = 1L << 20,
+      fpp: Double = 0.001): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val refKeys = reference.select(xxhash64(col(textCol)).as("__h"),
+      md5(col(textCol)).as("__ref_md5"))
+    val bloom = refKeys.stat.bloomFilter("__h", expectedRefDocs, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightMatch = graft.functions.GraftFunctions.graftBloomContains(
+      lit(bos.toByteArray), xxhash64(col(textCol)))
+    val clean = corpus.filter(!mightMatch)
+    val confirmedKeep = corpus.filter(mightMatch)
+      .join(refKeys.select(col("__ref_md5")).distinct(),
+        md5(col(textCol)) === col("__ref_md5"), "left_anti")
+    clean.unionByName(confirmedKeep)
+  }
+
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs
     * limited to equal blocking keys PLUS an automatic set-size bucket.
     *

@@ -143,6 +143,18 @@ object LlmOps extends QueryPack {
         .select(col("doc_id"))
     }),
 
+    // ---- whole-document dedup against a reference corpus (blocklist /
+    //      prior-run registry): broadcast Bloom pre-filter (fpp 1e-3, no
+    //      false negatives) + exact md5 anti-join confirm — identical
+    //      output to a plain anti-join, without a corpus-wide shuffle ----
+    "dedup_against_ref" -> ((s, dir) => {
+      val corpus = t(s, dir).documents
+      val ref = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("text"))
+      Dedup.dropIfInReference(corpus, ref, "doc_id", "text",
+        expectedRefDocs = 1L << 16, fpp = 0.001).select(col("doc_id"))
+    }),
+
     // ---- deterministic uniform sampling: bottom-k by content hash per
     //      group (no RNG, reproducible on any cluster layout — the
     //      LLM-corpus "take a stable N-doc sample per language" op) ----
@@ -520,6 +532,11 @@ object LlmOps extends QueryPack {
          |)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "dedup_against_ref" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)""".stripMargin,
 
     "mixture_resample" ->
       """WITH c AS (

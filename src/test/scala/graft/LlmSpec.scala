@@ -296,4 +296,24 @@ class LlmSpec extends SparkSpec {
     assert(packed.exceptAll(shuffled).count() === 0)
     assert(shuffled.exceptAll(packed).count() === 0)
   }
+
+  test("dropIfInReference equals a plain anti-join at any fpp (bloom is prune-only)") {
+    val corpus = ((1 to 60).map(i => i.toLong -> s"doc number $i body") ++
+      Seq(1001L -> "doc number 7 body", 1002L -> "doc number 8 body"))
+      .toDF("doc_id", "text")
+    val ref = Seq("doc number 7 body", "doc number 8 body", "not in corpus")
+      .toDF("text")
+    val expected = corpus.join(ref, Seq("text"), "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+
+    // generous fpp AND a deliberately undersized bloom (forces false
+    // positives through the pre-filter): the md5 confirm join must scrub
+    // every one of them — output identical to the exact anti-join
+    for ((n, fpp) <- Seq((4L, 0.5), (1L << 16, 0.001))) {
+      val got = Dedup.dropIfInReference(corpus, ref, "doc_id", "text",
+        expectedRefDocs = n, fpp = fpp)
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === expected.toSeq, s"(expected=$n fpp=$fpp)")
+    }
+  }
 }
