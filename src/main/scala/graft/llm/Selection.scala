@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality-ranked corpus selection: keep the best documents of each group,
+  * by count fraction or by token budget — the "filter to the top quartile"
+  * and "take the best N-billion-token subset per language" pretraining ops.
+  *
+  * Both selections are defined by an exact global rank (score desc, id asc
+  * — deterministic, engine-reproducible; the DuckDB oracles compute the
+  * identical set with a plain window), but neither pays a full per-group
+  * sort. Scores must lie in [0, 1] (quality scores do); each group gets a
+  * 256-cell histogram over floor(score·255) — one partial agg, |groups|×256
+  * rows collected, bounded like [[Mixture.resampleToMixture]]'s — and the
+  * walk from the top cell locates the boundary cell. Cells above it are
+  * kept with a map-side comparison; ONLY the boundary cell (~1/256 of the
+  * group, unless score mass degenerates onto one value) pays a window.
+  * Bucketing is a monotone coarsening of the score order, so the pruned
+  * selection equals the plain-rank selection exactly.
+  */
+object Selection extends Serializable {
+
+  private val B = 256
+
+  private def scoreBucket(score: Column): Column =
+    floor(least(greatest(score, lit(0.0)), lit(1.0)) * (B - 1)).cast("int")
+
+  /** Per-(group, score-cell) totals of `measure`, collected driver-side.
+    * Bounded: |groups|×256 rows of (group, cell, total).
+    */
+  private def histogram(df: DataFrame, groupCol: String, score: Column,
+      measure: Column): Array[(String, Int, Long)] =
+    df.groupBy(col(groupCol).as("g"), scoreBucket(score).as("b"))
+      .agg(sum(measure).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+
+  /** Walk each group's cells from the best score down until `target(g)` of
+    * the measure is covered; returns (group, boundaryCell, residual measure
+    * still needed from the boundary cell). A group whose target covers it
+    * entirely gets boundary -1 (keep-everything sentinel: every real cell
+    * compares greater).
+    */
+  private def bounds(hist: Array[(String, Int, Long)],
+      target: Map[String, Long]): Seq[(String, Int, Long)] =
+    hist.groupBy(_._1).toSeq.map { case (g, cells) =>
+      val want = target(g)
+      val desc = cells.sortBy(-_._2)
+      var cum = 0L
+      var i = 0
+      while (i < desc.length && cum + desc(i)._3 < want) {
+        cum += desc(i)._3; i += 1
+      }
+      if (i < desc.length) (g, desc(i)._2, want - cum) else (g, -1, 0L)
+    }
+
+  private def withBounds(df: DataFrame, groupCol: String, score: Column,
+      bs: Seq[(String, Int, Long)]): DataFrame = {
+    val boundsDf = broadcast(df.sparkSession.createDataFrame(bs)
+      .toDF(groupCol, "__selbb", "__selneed"))
+    df.withColumn("__selb", scoreBucket(score)).join(boundsDf, groupCol)
+  }
+
+  private def finish(above: DataFrame, boundary: DataFrame): DataFrame =
+    above.unionByName(boundary)
+      .drop("__selb", "__selbb", "__selneed", "__selsc")
+
+  /** Keep the top keepNum/keepDen fraction of each group by (score desc,
+    * id asc) — exact integer target floor(n·keepNum/keepDen) per group, so
+    * the kept set is reproducible on any engine or cluster layout.
+    */
+  def topFractionByScore(df: DataFrame, groupCol: String, score: Column,
+      idCol: String, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be in [0,1], got $keepNum/$keepDen")
+    val hist = histogram(df, groupCol, score, lit(1L))
+    val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val target = totals.map { case (g, n) => g -> n * keepNum / keepDen }
+    val j = withBounds(df.withColumn("__selsc", score), groupCol,
+      col("__selsc"), bounds(hist, target))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__selsc").desc, col(idCol).asc)
+    val boundary = j.filter(col("__selb") === col("__selbb"))
+      .withColumn("__selrn", row_number().over(w))
+      .filter(col("__selrn") <= col("__selneed"))
+      .drop("__selrn")
+    finish(j.filter(col("__selb") > col("__selbb")), boundary)
+  }
+
+  /** Greedy token-budget selection: walk each group in (score desc, id asc)
+    * order and keep every document whose running token total stays within
+    * `budget` — "the best B tokens per language". The boundary cell's
+    * window carries the residual budget left after the cells above it.
+    */
+  def tokenBudgetByScore(df: DataFrame, groupCol: String, score: Column,
+      tokenCount: Column, idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val in = df.withColumn("__selsc", score).withColumn("__seltk", tokenCount)
+    val hist = histogram(in, groupCol, col("__selsc"), col("__seltk"))
+    val target = hist.map(_._1).distinct.map(_ -> budget).toMap
+    val j = withBounds(in, groupCol, col("__selsc"), bounds(hist, target))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__selsc").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = j.filter(col("__selb") === col("__selbb"))
+      .withColumn("__selcum", sum(col("__seltk")).over(w))
+      .filter(col("__selcum") <= col("__selneed"))
+      .drop("__selcum")
+    finish(j.filter(col("__selb") > col("__selbb")), boundary)
+      .drop("__seltk")
+  }
+}

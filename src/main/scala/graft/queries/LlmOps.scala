@@ -195,6 +195,23 @@ object LlmOps extends QueryPack {
         Map("en" -> 2L, "de" -> 1L, "fr" -> 1L), "doc_id")
         .select(col("doc_id"), col("lang"))),
 
+    // ---- quality gate: keep the top 3/4 of each language by composite
+    //      quality score — exact rank semantics, but only each group's
+    //      histogram boundary cell pays a window (~1/256 of the group) ----
+    "quality_gate" -> ((s, dir) =>
+      Selection.topFractionByScore(t(s, dir).documents, "lang",
+        TextOps.qualityScore(col("text")), "doc_id", keepNum = 3, keepDen = 4)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- token-budget selection: the best 5000 tokens per language,
+    //      greedy by quality — same histogram-pruned shape, accumulating
+    //      token sums instead of row counts ----
+    "token_budget" -> ((s, dir) =>
+      Selection.tokenBudgetByScore(t(s, dir).documents, "lang",
+        TextOps.qualityScore(col("text")), TextOps.tokenCount(col("text")),
+        "doc_id", budget = 5000L)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- sequence packing (concat-and-chunk pretraining batcher):
     //      deterministic shard → id-ordered token stream → fixed 512-token
     //      sequences. One exchange + per-shard sort; layout-independent. ----
@@ -556,6 +573,28 @@ object LlmOps extends QueryPack {
         |  FROM documents WHERE lang IN ('en','de','fr'))
         |SELECT doc_id, lang FROM r JOIN tc USING (lang)
         |WHERE rn <= target""".stripMargin,
+
+    "quality_gate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, $duckQuality AS score FROM documents),
+         |c AS (SELECT lang, count(*) AS n FROM q GROUP BY lang),
+         |r AS (
+         |  SELECT doc_id, lang, n, row_number() OVER (PARTITION BY lang
+         |    ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM q JOIN c USING (lang))
+         |SELECT doc_id, lang FROM r WHERE rn <= n * 3 // 4""".stripMargin,
+
+    "token_budget" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, $duckQuality AS score,
+         |    CAST(len($DuckToks) AS BIGINT) AS ntok
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, sum(ntok) OVER (PARTITION BY lang
+         |    ORDER BY score DESC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q)
+         |SELECT doc_id, lang FROM r WHERE cum <= 5000""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH d AS (

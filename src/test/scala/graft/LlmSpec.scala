@@ -297,6 +297,37 @@ class LlmSpec extends SparkSpec {
     assert(shuffled.exceptAll(packed).count() === 0)
   }
 
+  test("Selection: histogram-pruned picks equal plain-window picks, incl. degenerate scores") {
+    import org.apache.spark.sql.expressions.Window
+    // group a: smooth score spread; group b: ALL MASS ON ONE SCORE (the
+    // worst case for pruning — boundary cell is the whole group); group c:
+    // tiny (target rounds to 0 rows for the fraction op)
+    val rows = (1 to 200).map(i => (i.toLong, "a", (i % 97) / 96.0, 5L + i % 7)) ++
+      (201 to 300).map(i => (i.toLong, "b", 0.5, 10L)) ++
+      Seq((301L, "c", 0.9, 3L))
+    val df = rows.toDF("doc_id", "lang", "score", "ntok")
+
+    val fracGot = Selection.topFractionByScore(df, "lang", $"score", "doc_id", 3, 4)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id".asc)
+    val counts = df.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val fracWant = df.join(counts, "lang")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n" * 3 / 4)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(fracGot.toSeq === fracWant.toSeq)
+
+    val budGot = Selection.tokenBudgetByScore(df, "lang", $"score", $"ntok",
+      "doc_id", budget = 400L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budWant = df.withColumn("cum", sum($"ntok").over(cumW))
+      .filter($"cum" <= 400L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(budGot.toSeq === budWant.toSeq)
+    assert(budGot.nonEmpty && budGot.length < rows.length) // budget actually binds
+  }
+
   test("dropIfInReference equals a plain anti-join at any fpp (bloom is prune-only)") {
     val corpus = ((1 to 60).map(i => i.toLong -> s"doc number $i body") ++
       Seq(1001L -> "doc number 7 body", 1002L -> "doc number 8 body"))
