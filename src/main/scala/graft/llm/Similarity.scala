@@ -500,4 +500,69 @@ object Similarity extends Serializable {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDeDup — semantic dedup by embedding clustering (Abbas et al. 2023,
+    * arXiv:2303.09540): spherical k-means centroids trained on a bounded
+    * hash-sample, every vector assigned to its nearest centroid (map-only,
+    * broadcast centroids — same kernel as [[ivfTopK]]'s cell assignment),
+    * near-dup candidates generated ONLY within clusters, verified by exact
+    * cosine. A vector is dropped when any LOWER-ID vector in its cluster
+    * sits at cosine ≥ threshold (min-id survivor — deterministic given the
+    * centroids, reproducible across layouts). Returns the surviving rows.
+    *
+    * Scale mechanics: no cross-cluster pair is ever considered, so pair
+    * volume is O(Σ cluster²) bounded by `maxClusterSize` and per-task
+    * bounded by the shared chunked pair machinery
+    * ([[Dedup.pairsWithinBuckets]]); `nClusters = 0` auto-sizes to √n
+    * like IVF, keeping mean cluster population at √n. Like all clustered
+    * dedup, recall < 1 by design: a dup pair straddling a centroid
+    * boundary is missed (the paper accepts the same trade) — so this is
+    * rows-only checked, with recall pinned on planted dups in LlmSpec.
+    */
+  def semDedup(df: DataFrame, threshold: Double, nClusters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 8, trainSampleSize: Int = 4096,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = vectorsOf(df, idCol, vecCol, "id", "v")
+    val cells =
+      if (nClusters > 0) nClusters
+      else {
+        val n = vecs.count()
+        math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+      }
+    val centroids = lloyd(
+      trainSample(vecs, math.max(cells, trainSampleSize)).map(normalizeVec),
+      cells, trainIters, spherical = true)
+
+    def nearest(v: Seq[Double]): Int = {
+      val x = v.toArray
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val p = centroids(c)
+        var dot = 0.0; var na = 0.0
+        var i = 0
+        while (i < x.length) { dot += x(i) * p(i); na += x(i) * x(i); i += 1 }
+        val s = if (na == 0.0) 0.0 else dot / math.sqrt(na)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    val assigned = vecs.as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, nearest(v)) })
+      .toDF("id", "cell")
+    val pairs = Dedup.pairsWithinBuckets(assigned, Seq("cell"), "id",
+      maxClusterSize)
+      .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")
+      .join(vectorsOf(df, idCol, vecCol, "id_b", "vb"), "id_b")
+    // pairsWithinBuckets emits sorted (id_a < id_b): the higher id drops
+    val dropIds = cosineOfPairs(pairs, "id_a", "id_b")
+      .filter(round(col("sim_raw"), 4) >= threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(dropIds, df(idCol).cast("long") === dropIds("__drop"), "left_anti")
+  }
 }

@@ -346,6 +346,15 @@ object LlmOps extends QueryPack {
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }),
 
+    // ---- SemDeDup: embedding-cluster semantic dedup (rows-only by
+    //      design like the ANN family — a dup pair straddling a centroid
+    //      boundary is missed; recall pinned on planted dups in LlmSpec).
+    //      Scaled copies normalize to identical unit vectors, land in the
+    //      same cluster, and are dropped as min-id survivors. ----
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(vecsWithDups(s, dir), threshold = 0.99)
+        .select(col("vec_id"))),
+
     // ---- composed curation pipeline: quality gate → exact dedup (min-id
     //      survivor per normalized content) → split assignment → per-
     //      (lang, split) counts. The whole composition is oracle-checked,

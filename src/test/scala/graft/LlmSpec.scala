@@ -328,6 +328,23 @@ class LlmSpec extends SparkSpec {
     assert(budGot.nonEmpty && budGot.length < rows.length) // budget actually binds
   }
 
+  test("semDedup drops planted scaled duplicates, keeps min-id originals") {
+    // 40 well-separated base vectors (one-hot-ish in 16 dims) + scaled
+    // copies (×1.1, ids +1000): copies normalize to identical unit vectors
+    // → same cluster, cosine 1 → dropped; every original survives
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(16)(0.01 * ((i * 7 + 3) % 5))
+      v(i % 16) = 1.0; v((i * 3 + 1) % 16) += 0.5 * (i % 3)
+      (i.toLong, v.toSeq)
+    }
+    val dups = base.map { case (id, v) => (id + 1000L, v.map(_ * 1.1)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, threshold = 0.99, nClusters = 8,
+      trainIters = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === (0L until 40L))
+  }
+
   test("dropIfInReference equals a plain anti-join at any fpp (bloom is prune-only)") {
     val corpus = ((1 to 60).map(i => i.toLong -> s"doc number $i body") ++
       Seq(1001L -> "doc number 7 body", 1002L -> "doc number 8 body"))
