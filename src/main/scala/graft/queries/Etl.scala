@@ -116,6 +116,29 @@ object Etl extends QueryPack {
         md5(to_json(struct($"r_regionkey", $"r_name"))).as("dedup_id"))
     }),
 
+    // ---- SCD2 versioned dimension merge (beyond-reference ETL op: the
+    //      keep-history form of the reference's ON DUPLICATE KEY upsert).
+    //      Synthetic dimension: open rows for every customer + closed
+    //      history for %11 keys; updates change segment on %7 keys and
+    //      add brand-new %13 keys. ----
+    "scd2_merge" -> ((s, dir) => {
+      val cust = t(s, dir).customer
+      val k = col("c_custkey").cast("long")
+      val open = cust.select(k.as("k"), col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val closedHist = cust.filter(k % 11 === 0)
+        .select(k.as("k"), lit("OLDSEG").as("seg"),
+          lit(java.sql.Date.valueOf("2018-01-01")).as("valid_from"),
+          lit(java.sql.Date.valueOf("2020-01-01")).as("valid_to"))
+      val updates = cust.select(k.as("k"),
+          when(k % 7 === 0, lit("UPDATED")).otherwise(col("c_mktsegment")).as("seg"))
+        .unionByName(cust.filter(k % 13 === 0)
+          .select((k + 1000000L).as("k"), lit("NEWKEY").as("seg")))
+      Scd.scd2Merge(open.unionByName(closedHist), updates,
+        Seq("k"), Seq("seg"), lit(java.sql.Date.valueOf("2024-06-01")))
+    }),
+
     // ---- T1: typed Transformer (map + Option filter) ----
     "t1_transformer" -> ((s, dir) => {
       import s.implicits._
@@ -249,6 +272,36 @@ object Etl extends QueryPack {
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
         |  md5('{"r_regionkey":' || r_regionkey || ',"r_name":"' || r_name || '"}') AS dedup_id
         |FROM region""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH cur_open AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |cur_closed AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, 'OLDSEG' AS seg,
+        |    DATE '2018-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |upd AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS seg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey AS BIGINT) + 1000000, 'NEWKEY'
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |chg AS (
+        |  SELECT o.k FROM cur_open o JOIN upd u USING (k) WHERE o.seg <> u.seg)
+        |SELECT k, seg, valid_from, valid_to FROM cur_closed
+        |UNION ALL
+        |SELECT k, seg, valid_from,
+        |  CASE WHEN k IN (SELECT k FROM chg) THEN DATE '2024-06-01'
+        |       ELSE valid_to END
+        |FROM cur_open
+        |UNION ALL
+        |SELECT k, seg, DATE '2024-06-01', CAST(NULL AS DATE)
+        |FROM upd
+        |WHERE k IN (SELECT k FROM chg)
+        |   OR k NOT IN (SELECT k FROM cur_open)""".stripMargin,
 
     "t1_transformer" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -178,4 +178,30 @@ class EtlSpec extends SparkSpec {
     try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
     catch { case _: java.sql.SQLException => () }
   }
+
+  test("Scd.scd2Merge: all four row fates in one merge") {
+    val d = java.sql.Date.valueOf(_: String)
+    // key 1: unchanged; key 2: changed (has closed history too);
+    // key 3: no update row; key 4: brand-new in the snapshot
+    val current = Seq(
+      (1L, "a", d("2020-01-01"), null.asInstanceOf[java.sql.Date]),
+      (2L, "b", d("2020-01-01"), null.asInstanceOf[java.sql.Date]),
+      (2L, "old", d("2018-01-01"), d("2020-01-01")),
+      (3L, "c", d("2020-01-01"), null.asInstanceOf[java.sql.Date])
+    ).toDF("k", "seg", "valid_from", "valid_to")
+    val updates = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("k", "seg")
+    val got = Scd.scd2Merge(current, updates, Seq("k"), Seq("seg"),
+      org.apache.spark.sql.functions.lit(d("2024-06-01")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.getDate(2)),
+        String.valueOf(r.getDate(3))))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq === Seq(
+      (1L, "a", "2020-01-01", "null"),
+      (2L, "old", "2018-01-01", "2020-01-01"),
+      (2L, "b", "2020-01-01", "2024-06-01"),
+      (2L, "B2", "2024-06-01", "null"),
+      (3L, "c", "2020-01-01", "null"),
+      (4L, "d", "2024-06-01", "null")))
+  }
 }
