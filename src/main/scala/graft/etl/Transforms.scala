@@ -141,6 +141,38 @@ object Transforms {
         colName, valName)
   }
 
+  /** Exact global rank by (md5(id), id) — the deterministic corpus-shuffle
+    * position a pretraining run reads documents in — WITHOUT the
+    * single-partition sort a naive global `row_number()` window plans
+    * (Spark moves ALL rows to one task for an unpartitioned window; a
+    * 100 TB corpus simply dies there). Distributed form: the hash's first
+    * byte splits rows into 256 buckets whose lexicographic order equals
+    * hash order; per-bucket counts (one partial agg, 256 rows collected)
+    * become broadcast prefix offsets, and each bucket sorts independently
+    * under a PARTITIONED window. Rank = bucket offset + within-bucket
+    * row_number — identical to the naive global rank, at 256-way (or
+    * `spark.sql.shuffle.partitions`-way) parallelism.
+    */
+  def globalHashRank(df: DataFrame, idCol: String,
+      rankCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val hash = md5(col(idCol).cast("string"))
+    val bucket = substring(hash, 1, 2)
+    val counts = df.groupBy(bucket.as("__grb")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) return df.withColumn(rankCol, lit(1L)) // no rows
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offsetsDf = broadcast(df.sparkSession.createDataFrame(offsets)
+      .toDF("__grb", "__groff"))
+    val w = Window.partitionBy(col("__grb")).orderBy(hash.asc, col(idCol).asc)
+    df.withColumn("__grb", bucket)
+      .join(offsetsDf, "__grb")
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__groff"))
+      .drop("__grb", "__groff")
+  }
+
   /** T5 `Pipeline`: source→sink copy with stats
     * (`etl-core/src/task/pipeline.rs:5-50`).
     *

@@ -225,6 +225,23 @@ object LlmOps extends QueryPack {
       Packing.packChunks(t(s, dir).documents, "doc_id",
         TextOps.tokenCount(col("text")), budget = 512, nShards = 8)),
 
+    // ---- deterministic corpus shuffle: exact global (md5, id) rank at
+    //      256-way parallelism — never the single-partition sort a naive
+    //      global row_number() would plan (PlanSpec asserts this) ----
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.etl.Transforms.globalHashRank(
+        t(s, dir).documents.select(col("doc_id")), "doc_id")),
+
+    // ---- PII redaction: map-only regexp_replace chain over the same
+    //      detector regexes text_pii counts with ----
+    "text_redact" -> ((s, dir) =>
+      docsWithPii(s, dir).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), UrlRe, "[URL]"),
+            EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))),
+
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -692,6 +709,31 @@ object LlmOps extends QueryPack {
          |       len(regexp_extract_all(text, '$UrlRe')) +
          |       len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_pii
          |FROM p""".stripMargin,
+
+    "text_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' https://example.com/d/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' +1 ' || lpad(CAST(doc_id AS VARCHAR), 10, '0') ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '$UrlRe', '[URL]', 'g'),
+         |      '$EmailRe', '[EMAIL]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g') AS redacted
+         |FROM p""".stripMargin,
+
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+        |    AS pos
+        |FROM documents""".stripMargin,
 
     "text_langid" ->
       s"""SELECT doc_id, lang,

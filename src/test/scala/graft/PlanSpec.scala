@@ -86,4 +86,14 @@ class PlanSpec extends SparkSpec {
         s"$q should shuffle once on shard:\n${p.take(800)}")
     }
   }
+
+  test("corpus_shuffle global rank is hash-partitioned, never SinglePartition") {
+    // a naive global row_number() window would plan Exchange SinglePartition
+    // and die at corpus scale; the bucketed form must keep the window
+    // partitioned and pay no single-partition exchange anywhere
+    val p = plan("corpus_shuffle")
+    assert(p.contains("Window"), p.take(500))
+    assert(!p.contains("SinglePartition"),
+      s"global rank fell back to a single-partition sort:\n${p.take(800)}")
+  }
 }
