@@ -335,13 +335,16 @@ object Dedup {
     try {
       var converged = false
       var i = 0
+      var nEdges = -1L // carried across rounds: one count job instead of two
       while (!converged && i < maxIterations) {
         val next = smallStar(largeStar(edges)).localCheckpoint()
         // set equality without except(): |A| = |B| = |A ∪ B|
         val nNext = next.count()
-        converged = nNext == edges.count() &&
+        if (nEdges < 0) nEdges = edges.count()
+        converged = nNext == nEdges &&
           nNext == next.unionByName(edges).distinct().count()
         edges = next
+        nEdges = nNext
         i += 1
       }
       // a silent cutoff would emit INCONSISTENT survivors (a node labeled
