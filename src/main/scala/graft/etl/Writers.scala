@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File/object sinks (reference O1/O2/E1) and queue parity (O7/S10).
@@ -224,6 +224,41 @@ object Writers {
       .sortWithinPartitions(col(zName))
       .drop(zName)
       .write.mode(mode).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into files sized
+    * ~`targetFileBytes` — the maintenance op every long-running ingest
+    * needs (streaming sinks and per-batch appends accrete thousands of
+    * KB-scale files; at 100 TB the scan's task-scheduling and footer
+    * overhead then dominate the read). File count is sized from the
+    * directory's actual on-disk bytes (any Hadoop FS scheme), and the
+    * rewrite uses `coalesce` — a NARROW dependency, so the job is pure
+    * IO with zero shuffle: each output task concatenates a set of input
+    * files. Returns the output file count.
+    *
+    * Writes to `outPath` (not in place): swapping the compacted directory
+    * over the source is a caller-side move, and like
+    * [[upsertPartitionedParquet]] that swap is not crash-atomic on a
+    * plain filesystem — use a table format when atomicity matters. For a
+    * hive-partitioned layout, compact per partition directory (file
+    * sizing is only meaningful within one partition's files).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 512L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var totalBytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
   }
 
   /** O4: null sink (validation/benchmark). */

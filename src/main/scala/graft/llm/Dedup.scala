@@ -666,6 +666,11 @@ object Dedup {
     * matches + an fpp-fraction — reach the confirming anti-join, where
     * AQE broadcasts the reference digests when they fit. Double scan IO
     * in exchange for no corpus-wide shuffle is the right trade at 100 TB.
+    *
+    * Streaming: works unchanged on a streaming `corpus` — the bloom builds
+    * from the (static) reference at plan time, the pre-filter is map-only,
+    * and the confirm is a stateless stream-static anti-join
+    * (StreamingSpec proves the gate across micro-batches).
     */
   def dropIfInReference(corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, expectedRefDocs: Long = 1L << 20,

@@ -104,6 +104,26 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("dropIfInReference gates a stream against a static reference (stateless)") {
+    // the SAME batch operator runs on a stream unchanged: the bloom builds
+    // from the static side at plan time, the pre-filter is map-only, and
+    // the confirm is a stateless stream-static anti-join
+    val mem = MemoryStream[(Long, String)](spark)
+    val ref = Seq("blocked one", "blocked two").toDF("text")
+    val gated = graft.llm.Dedup.dropIfInReference(
+      mem.toDF().toDF("doc_id", "text"), ref, "doc_id", "text",
+      expectedRefDocs = 16, fpp = 0.01)
+    val q = gated.writeStream.format("memory").queryName("refgate")
+      .outputMode("append").start()
+    mem.addData((1L, "clean doc"), (2L, "blocked one"))
+    q.processAllAvailable()
+    mem.addData((3L, "blocked two"), (4L, "another clean"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("refgate").select($"doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+  }
+
   test("expiring streaming dedup re-admits keys after the event-time TTL") {
     val mem = MemoryStream[(Timestamp, String)](spark)
     val wm = mem.toDF().toDF("ts", "k")

@@ -271,4 +271,30 @@ class WritersSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
   }
+
+  test("compactParquet merges small files shuffle-free, content preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val out2 = s"$dir/out2"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(40).write.parquet(in) // 40 tiny files
+    def nParquet(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(nParquet(in) === 40)
+
+    // generous target → single file; content identical
+    val n1 = Writers.compactParquet(spark, in, out, targetFileBytes = 1L << 30)
+    assert(n1 === 1 && nParquet(out) === 1)
+    assert(spark.read.parquet(out).exceptAll(df).count() === 0)
+    assert(df.exceptAll(spark.read.parquet(out)).count() === 0)
+
+    // tiny target → several files, never more than the input count
+    val n2 = Writers.compactParquet(spark, in, out2, targetFileBytes = 20000L)
+    assert(n2 > 1 && nParquet(out2) <= 40)
+    assert(spark.read.parquet(out2).count() === 10000)
+
+    // the rewrite is a narrow plan: no Exchange anywhere
+    val plan = spark.read.parquet(in).coalesce(n1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
