@@ -48,6 +48,23 @@ object TextOps {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
+  /** Sliding token windows — RAG / embedding-prep chunking: windows of
+    * `chunkTokens` tokens every `strideTokens` (overlap = chunk − stride).
+    * Window starts run while a FULL window fits, so no trailing partial
+    * chunk is emitted; a doc shorter than one chunk yields the whole doc.
+    * Pure Column expression — explode it and the chunker is map-only,
+    * zero-exchange at any scale.
+    */
+  def slidingChunks(c: Column, chunkTokens: Int, strideTokens: Int): Column = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      "chunk and stride must be positive")
+    val toks = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (chunkTokens - 1), lit(1)),
+        lit(strideTokens)),
+      s => array_join(slice(toks, s, lit(chunkTokens)), " "))
+  }
+
   /** Character k-gram shingles (including partial tail shingles). */
   def charShingles(c: Column, k: Int): Column =
     transform(sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),

@@ -242,6 +242,29 @@ object LlmOps extends QueryPack {
             EmailRe, "[EMAIL]"),
           PhoneRe, "[PHONE]").as("redacted"))),
 
+    // ---- sliding-window chunking (RAG / embedding prep): overlapping
+    //      32-token windows every 16 — posexplode of a pure Column
+    //      expression, map-only at any scale ----
+    "chunk_sliding" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+          posexplode(TextOps.slidingChunks(col("text"), 32, 16)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"))),
+
+    // ---- leakage-free train/val/test split: every member of a near-dup
+    //      component is bucketed by its COMPONENT's survivor id, so a dup
+    //      pair can never straddle train and test — the split-time twin
+    //      of dedup_apply ----
+    "split_leakage_free" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 96, bands = 48, threshold = 0.5)
+      val assign = Dedup.survivorAssignment(pairs)
+      docs.join(assign, docs("doc_id") === assign("id"), "left")
+        .select(docs("doc_id"),
+          splitCol(coalesce(col("survivor_id"), docs("doc_id"))).as("split"))
+    }),
+
     // ---- canonical normalization + normalized-content dedup key ----
     "text_normalize" -> ((s, dir) =>
       t(s, dir).documents.select(col("doc_id"),
@@ -580,6 +603,38 @@ object LlmOps extends QueryPack {
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)""".stripMargin,
+
+    "chunk_sliding" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(1, GREATEST(len(toks) - 31, 1) + 1, 16)) AS st
+         |  FROM d)
+         |SELECT doc_id, CAST((st - 1) // 16 AS BIGINT) AS chunk_idx,
+         |  array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk
+         |FROM s""".stripMargin,
+
+    "split_leakage_free" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM npairs
+         |  UNION ALL SELECT id_b, id_a FROM npairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS s FROM reach GROUP BY id
+         |), lab AS (
+         |  SELECT base.doc_id,
+         |    substr(md5(CAST(COALESCE(comp.s, base.doc_id) AS VARCHAR)), 1, 2) AS h
+         |  FROM base LEFT JOIN comp ON base.doc_id = comp.id)
+         |SELECT doc_id,
+         |  CASE WHEN h < 'cc' THEN 'train'
+         |       WHEN h < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lab""".stripMargin,
 
     "mixture_resample" ->
       """WITH c AS (

@@ -345,6 +345,30 @@ class LlmSpec extends SparkSpec {
     assert(kept.toSeq === (0L until 40L))
   }
 
+  test("split_leakage_free: no near-dup pair straddles splits; chunks tile docs") {
+    val split = graft.SparkEntry.queries("split_leakage_free")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.queries.LlmOps.queries("dedup_minhash")(spark, sf0001)
+      .select($"id_a", $"id_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(split(r.getLong(0)) === split(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles splits")
+    }
+
+    // chunking: consecutive chunks overlap by chunk - stride tokens
+    val chunks = Tables(spark, sf0001).documents.limit(5)
+      .select($"doc_id", posexplode(TextOps.slidingChunks($"text", 32, 16)))
+      .collect().groupBy(_.getLong(0))
+    chunks.values.foreach { rows =>
+      val byIdx = rows.sortBy(_.getInt(1)).map(_.getString(2).split(" ").toSeq)
+      byIdx.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a.drop(16) === b.take(a.length - 16))
+      }
+    }
+  }
+
   test("dropIfInReference equals a plain anti-join at any fpp (bloom is prune-only)") {
     val corpus = ((1 to 60).map(i => i.toLong -> s"doc number $i body") ++
       Seq(1001L -> "doc number 7 body", 1002L -> "doc number 8 body"))
