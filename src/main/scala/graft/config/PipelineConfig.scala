@@ -16,7 +16,10 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * are Spark SQL expressions (Catalyst-optimizable — never opaque lambdas),
   * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
   * so declared pipelines get durable state, skip-if-complete, and error
-  * budgets for free.
+  * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
+  * (`dedup_exact`, `quality_gate`, `normalize`, `redact`, `chunk`) makes
+  * the LLM-data operators declarable — a config file can express the
+  * standard corpus-curation chain end-to-end (ConfigSpec drives one).
   *
   * ```json
   * { "id": "j1", "name": "ingest", "maxErrors": 100,
@@ -147,6 +150,54 @@ object PipelineConfig {
         case "unpivot" => graft.etl.Transforms.unpivot(d, t.cols)
         case "repartition" => d.repartition(
           t.expr.map(_.toInt).getOrElse(d.sparkSession.sparkContext.defaultParallelism))
+
+        // ---- curation vocabulary: the LLM-data operators, declarable ----
+        // exact dedup keeping min-id survivor ROWS: cols = [idCol, contentCol]
+        case "dedup_exact" =>
+          val Seq(idc, cc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_exact needs cols = [idCol, contentCol]")
+          }
+          val surv = d.groupBy(md5(col(cc)).as("__k"))
+            .agg(min(col(idc)).as("__sid"))
+          d.join(surv,
+            md5(col(cc)) === col("__k") && col(idc) === col("__sid"),
+            "left_semi")
+        // per-group quality gate: cols = [groupCol, idCol],
+        // expr = score SQL expression, name = "keepNum/keepDen"
+        case "quality_gate" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("quality_gate needs cols = [groupCol, idCol]")
+          }
+          val Array(num, den) = t.name.getOrElse("3/4").split("/").map(_.toLong)
+          graft.llm.Selection.topFractionByScore(d, g,
+            expr(t.expr.getOrElse(sys.error("quality_gate needs a score expr"))),
+            idc, num, den)
+        // canonical text normalization in place: cols = [textCol]
+        case "normalize" =>
+          val c = t.cols.headOption.getOrElse(sys.error("normalize needs cols = [textCol]"))
+          d.withColumn(c, graft.llm.TextOps.normalize(col(c)))
+        // PII redaction in place with the detector regexes: cols = [textCol]
+        case "redact" =>
+          val c = t.cols.headOption.getOrElse(sys.error("redact needs cols = [textCol]"))
+          d.withColumn(c,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col(c),
+                  "https?://[A-Za-z0-9./_-]+", "[URL]"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+              "\\+1 [0-9]{10}", "[PHONE]"))
+        // sliding-window chunk explode: cols = [textCol], name = output col,
+        // expr = "chunkTokens,strideTokens"
+        case "chunk" =>
+          val c = t.cols.headOption.getOrElse(sys.error("chunk needs cols = [textCol]"))
+          val Array(ck, st) = t.expr.getOrElse("32,16").split(",").map(_.trim.toInt)
+          val out = t.name.getOrElse("chunk")
+          d.withColumn(out,
+              explode(graft.llm.TextOps.slidingChunks(col(c), ck, st)))
+            .drop(c)
+
         case other => sys.error(s"unknown transform op: $other")
       }
     }

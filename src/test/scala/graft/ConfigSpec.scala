@@ -63,6 +63,43 @@ class ConfigSpec extends SparkSpec {
     assert(rows === Set(("1", "a", "x"), ("1", "b", "y")))
   }
 
+  test("curation vocabulary: declared dedup_exact → quality_gate → redact → chunk") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_cur").toString + "/j"
+    // 4 docs in one group: id 3 duplicates id 1 (dedup drops 3); the gate
+    // keeps the top 2/3 by token count (drops the shortest survivor); the
+    // remaining docs are redacted and chunked at 4-token windows, stride 2
+    val lines = Seq(
+      """{"id":1,"text":"alpha beta gamma delta epsilon zeta mail me at a@b.co"}""",
+      """{"id":2,"text":"one two three four five six seven eight nine ten"}""",
+      """{"id":3,"text":"alpha beta gamma delta epsilon zeta mail me at a@b.co"}""",
+      """{"id":4,"text":"short doc here"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-cur", "name": "curate", "steps": [
+         |  { "step": "curate", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "withColumn", "name": "grp", "expr": "'g'" },
+         |      { "op": "dedup_exact", "cols": ["id", "text"] },
+         |      { "op": "quality_gate", "cols": ["grp", "id"], "name": "2/3",
+         |        "expr": "least(size(split(text, ' ')) / 10.0, 1.0)" },
+         |      { "op": "redact", "cols": ["text"] },
+         |      { "op": "chunk", "cols": ["text"], "name": "chunk", "expr": "4,2" },
+         |      { "op": "select", "cols": ["id", "chunk"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("chunk")))
+    val ids = rows.map(_._1).distinct.sorted
+    assert(ids.toSeq === Seq(1L, 2L)) // 3 deduped, 4 gated out
+    assert(rows.exists(_._2.contains("[EMAIL]")))
+    assert(rows.forall(!_._2.contains("a@b.co")))
+    // stride-2 windows of 4 tokens over an 11-token doc → starts 1,3,5,7
+    assert(rows.count(_._1 == 1L) === 4)
+  }
+
   test("max_errors aborts a declared pipeline (simple-pipeline max-error case)") {
     val store = new InMemoryStore
     val conf = PipelineConfig.parse(confJson(
