@@ -160,8 +160,11 @@ object PipelineConfig {
           }
           val surv = d.groupBy(md5(col(cc)).as("__k"))
             .agg(min(col(idc)).as("__sid"))
+          // null-safe on both sides: NULL content is a legitimate dedup
+          // group (its min-id row must survive), and === would silently
+          // drop every such row
           d.join(surv,
-            md5(col(cc)) === col("__k") && col(idc) === col("__sid"),
+            md5(col(cc)) <=> col("__k") && col(idc) <=> col("__sid"),
             "left_semi")
         // per-group quality gate: cols = [groupCol, idCol],
         // expr = score SQL expression, name = "keepNum/keepDen"
@@ -178,25 +181,22 @@ object PipelineConfig {
         case "normalize" =>
           val c = t.cols.headOption.getOrElse(sys.error("normalize needs cols = [textCol]"))
           d.withColumn(c, graft.llm.TextOps.normalize(col(c)))
-        // PII redaction in place with the detector regexes: cols = [textCol]
+        // PII redaction in place with the shared detector regexes
+        // (graft.llm.TextOps — same patterns text_pii counts): cols = [textCol]
         case "redact" =>
           val c = t.cols.headOption.getOrElse(sys.error("redact needs cols = [textCol]"))
-          d.withColumn(c,
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col(c),
-                  "https?://[A-Za-z0-9./_-]+", "[URL]"),
-                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-              "\\+1 [0-9]{10}", "[PHONE]"))
+          d.withColumn(c, graft.llm.TextOps.redactPii(col(c)))
         // sliding-window chunk explode: cols = [textCol], name = output col,
         // expr = "chunkTokens,strideTokens"
         case "chunk" =>
           val c = t.cols.headOption.getOrElse(sys.error("chunk needs cols = [textCol]"))
           val Array(ck, st) = t.expr.getOrElse("32,16").split(",").map(_.trim.toInt)
           val out = t.name.getOrElse("chunk")
-          d.withColumn(out,
-              explode(graft.llm.TextOps.slidingChunks(col(c), ck, st)))
-            .drop(c)
+          val chunked = d.withColumn(out,
+            explode(graft.llm.TextOps.slidingChunks(col(c), ck, st)))
+          // out == c means "replace the text column with its chunks" —
+          // dropping would delete the freshly created column
+          if (out == c) chunked else chunked.drop(c)
 
         case other => sys.error(s"unknown transform op: $other")
       }

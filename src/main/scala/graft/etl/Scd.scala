@@ -37,13 +37,19 @@ object Scd {
       "scd2Merge needs at least one key and one tracked column")
     val outCols = keyCols ++ trackCols :+ validFrom :+ validTo
     val closed = current.filter(col(validTo).isNotNull).select(outCols.map(col): _*)
-    val open = current.filter(col(validTo).isNull).alias("o")
-    val upd = updates.select((keyCols ++ trackCols).map(col): _*).alias("u")
+    // presence markers, NOT key nullability: the join itself is null-safe
+    // (<=>), so a row with a NULL key value is a legitimate participant —
+    // testing a key column for null would misread it as "side absent" and
+    // silently drop it from the merge
+    val open = current.filter(col(validTo).isNull)
+      .withColumn("__in_cur", lit(true)).alias("o")
+    val upd = updates.select((keyCols ++ trackCols).map(col): _*)
+      .withColumn("__in_upd", lit(true)).alias("u")
 
     val joinCond = keyCols.map(k => col(s"o.$k") <=> col(s"u.$k")).reduce(_ && _)
     val j = open.join(upd, joinCond, "full_outer")
-    val inOld = col(s"o.${keyCols.head}").isNotNull
-    val inNew = col(s"u.${keyCols.head}").isNotNull
+    val inOld = col("o.__in_cur").isNotNull
+    val inNew = col("u.__in_upd").isNotNull
     val changed = trackCols.map(c => !(col(s"o.$c") <=> col(s"u.$c"))).reduce(_ || _)
 
     // surviving old versions: every open row, closed at `effective` when

@@ -160,7 +160,14 @@ object Transforms {
     val hash = md5(col(idCol).cast("string"))
     val bucket = substring(hash, 1, 2)
     val counts = df.groupBy(bucket.as("__grb")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        // md5(NULL) buckets to NULL: a NULL id has no defined rank (and
+        // engines disagree on NULL ordering) — fail loudly, never drop
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"globalHashRank: id column '$idCol' contains NULLs — a NULL id " +
+            "has no deterministic rank")
+        r.getString(0) -> r.getLong(1)
+      }.sortBy(_._1)
     if (counts.isEmpty) return df.withColumn(rankCol, lit(1L)) // no rows
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq

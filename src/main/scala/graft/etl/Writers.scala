@@ -254,10 +254,14 @@ object Writers {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
     }
-    val nFiles = math.max(1L,
+    val wanted = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.parquet(inPath).coalesce(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val df = spark.read.parquet(inPath)
+    // coalesce cannot INCREASE partitions: a target below
+    // spark.sql.files.maxPartitionBytes would otherwise silently produce
+    // scan-sized files while reporting the requested count
+    val nFiles = math.min(wanted, math.max(1, df.rdd.getNumPartitions))
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
   }
 

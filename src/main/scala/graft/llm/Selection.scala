@@ -11,31 +11,49 @@ import org.apache.spark.sql.functions._
   * Both selections are defined by an exact global rank (score desc, id asc
   * — deterministic, engine-reproducible; the DuckDB oracles compute the
   * identical set with a plain window), but neither pays a full per-group
-  * sort. Scores must lie in [0, 1] (quality scores do); each group gets a
-  * 256-cell histogram over floor(score·255) — one partial agg, |groups|×256
-  * rows collected, bounded like [[Mixture.resampleToMixture]]'s — and the
-  * walk from the top cell locates the boundary cell. Cells above it are
-  * kept with a map-side comparison; ONLY the boundary cell (~1/256 of the
-  * group, unless score mass degenerates onto one value) pays a window.
-  * Bucketing is a monotone coarsening of the score order, so the pruned
-  * selection equals the plain-rank selection exactly.
+  * sort. Scores must be non-null and lie in [0, 1] (quality scores do; a
+  * NULL score fails loudly — its rank would differ between engines). Each
+  * group gets a 256-cell histogram over floor(score·255) — one partial
+  * agg, |groups|×256 rows collected, bounded like
+  * [[Mixture.resampleToMixture]]'s — and the walk from the top cell
+  * locates the boundary cell. Cells above it are kept with a map-side
+  * comparison; ONLY the boundary cell (~1/256 of the group, unless score
+  * mass degenerates onto one value) pays a window. Bucketing is a
+  * monotone coarsening of the score order, so the pruned selection equals
+  * the plain-rank selection exactly.
+  *
+  * Group columns may be any type (grouped on their string form
+  * internally); NULL is a legitimate group of its own.
   */
 object Selection extends Serializable {
 
   private val B = 256
+  // internal working columns (dropped from the output)
+  private val G = "__selg"
 
   private def scoreBucket(score: Column): Column =
-    floor(least(greatest(score, lit(0.0)), lit(1.0)) * (B - 1)).cast("int")
+    // explicit null propagation: Spark's greatest/least SKIP nulls, so a
+    // NULL score would otherwise silently bucket to 0 instead of tripping
+    // the histogram's null guard
+    when(score.isNull, lit(null).cast("int"))
+      .otherwise(floor(least(greatest(score, lit(0.0)), lit(1.0)) * (B - 1))
+        .cast("int"))
 
   /** Per-(group, score-cell) totals of `measure`, collected driver-side.
-    * Bounded: |groups|×256 rows of (group, cell, total).
+    * Bounded: |groups|×256 rows of (group, cell, total). Input must carry
+    * the stringified group in [[G]].
     */
-  private def histogram(df: DataFrame, groupCol: String, score: Column,
+  private def histogram(df: DataFrame, score: Column,
       measure: Column): Array[(String, Int, Long)] =
-    df.groupBy(col(groupCol).as("g"), scoreBucket(score).as("b"))
+    df.groupBy(col(G).as("g"), scoreBucket(score).as("b"))
       .agg(sum(measure).as("m"))
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .map { r =>
+        if (r.isNullAt(1)) throw new IllegalArgumentException(
+          "Selection: the score column contains NULLs — scores must be " +
+            "non-null values in [0, 1] (a NULL's rank is engine-dependent)")
+        (r.getString(0), r.getInt(1), r.getLong(2))
+      }
 
   /** Walk each group's cells from the best score down until `target(g)` of
     * the measure is covered; returns (group, boundaryCell, residual measure
@@ -56,16 +74,19 @@ object Selection extends Serializable {
       if (i < desc.length) (g, desc(i)._2, want - cum) else (g, -1, 0L)
     }
 
-  private def withBounds(df: DataFrame, groupCol: String, score: Column,
+  /** Null-safe-joins the per-group bounds back in (NULL is a real group). */
+  private def withBounds(df: DataFrame, score: Column,
       bs: Seq[(String, Int, Long)]): DataFrame = {
     val boundsDf = broadcast(df.sparkSession.createDataFrame(bs)
-      .toDF(groupCol, "__selbb", "__selneed"))
-    df.withColumn("__selb", scoreBucket(score)).join(boundsDf, groupCol)
+      .toDF("__selgb", "__selbb", "__selneed"))
+    df.withColumn("__selb", scoreBucket(score))
+      .join(boundsDf, col(G) <=> col("__selgb"))
+      .drop("__selgb")
   }
 
   private def finish(above: DataFrame, boundary: DataFrame): DataFrame =
     above.unionByName(boundary)
-      .drop("__selb", "__selbb", "__selneed", "__selsc")
+      .drop(G, "__selb", "__selbb", "__selneed", "__selsc")
 
   /** Keep the top keepNum/keepDen fraction of each group by (score desc,
     * id asc) — exact integer target floor(n·keepNum/keepDen) per group, so
@@ -75,12 +96,13 @@ object Selection extends Serializable {
       idCol: String, keepNum: Long, keepDen: Long): DataFrame = {
     require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
       s"keep fraction must be in [0,1], got $keepNum/$keepDen")
-    val hist = histogram(df, groupCol, score, lit(1L))
+    val in = df.withColumn(G, col(groupCol).cast("string"))
+      .withColumn("__selsc", score)
+    val hist = histogram(in, col("__selsc"), lit(1L))
     val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val target = totals.map { case (g, n) => g -> n * keepNum / keepDen }
-    val j = withBounds(df.withColumn("__selsc", score), groupCol,
-      col("__selsc"), bounds(hist, target))
-    val w = Window.partitionBy(col(groupCol))
+    val j = withBounds(in, col("__selsc"), bounds(hist, target))
+    val w = Window.partitionBy(col(G))
       .orderBy(col("__selsc").desc, col(idCol).asc)
     val boundary = j.filter(col("__selb") === col("__selbb"))
       .withColumn("__selrn", row_number().over(w))
@@ -97,11 +119,12 @@ object Selection extends Serializable {
   def tokenBudgetByScore(df: DataFrame, groupCol: String, score: Column,
       tokenCount: Column, idCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val in = df.withColumn("__selsc", score).withColumn("__seltk", tokenCount)
-    val hist = histogram(in, groupCol, col("__selsc"), col("__seltk"))
+    val in = df.withColumn(G, col(groupCol).cast("string"))
+      .withColumn("__selsc", score).withColumn("__seltk", tokenCount)
+    val hist = histogram(in, col("__selsc"), col("__seltk"))
     val target = hist.map(_._1).distinct.map(_ -> budget).toMap
-    val j = withBounds(in, groupCol, col("__selsc"), bounds(hist, target))
-    val w = Window.partitionBy(col(groupCol))
+    val j = withBounds(in, col("__selsc"), bounds(hist, target))
+    val w = Window.partitionBy(col(G))
       .orderBy(col("__selsc").desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = j.filter(col("__selb") === col("__selbb"))

@@ -518,6 +518,14 @@ object Similarity extends Serializable {
     * dedup, recall < 1 by design: a dup pair straddling a centroid
     * boundary is missed (the paper accepts the same trade) — so this is
     * rows-only checked, with recall pinned on planted dups in LlmSpec.
+    *
+    * A cluster LARGER than `maxClusterSize` is skipped wholesale (the
+    * degenerate-bucket cap all LSH paths share) — its members pass
+    * through undeduplicated. With auto-sizing (√n clusters clamped at
+    * 4096) mean population stays under the 10k default only while
+    * n ≲ 4·10⁷ vectors; beyond that raise `maxClusterSize` / `nClusters`
+    * or the cap swallows typical clusters. The skip is never silent: the
+    * count of over-cap clusters is checked eagerly and logged to stderr.
     */
   def semDedup(df: DataFrame, threshold: Double, nClusters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -555,6 +563,18 @@ object Similarity extends Serializable {
     val assigned = vecs.as[(Long, Seq[Double])]
       .mapPartitions(_.map { case (id, v) => (id, nearest(v)) })
       .toDF("id", "cell")
+      // read twice (over-cap audit + pair generation): localCheckpoint
+      // materializes once with no lingering cache entry to release
+      .localCheckpoint()
+    // over-cap clusters are SKIPPED by the pair generator — that must
+    // never happen silently (it means the corpus outgrew the cap and the
+    // op is quietly under-deduplicating)
+    val oversize = assigned.groupBy("cell").count()
+      .filter(col("count") > maxClusterSize).count()
+    if (oversize > 0) System.err.println(
+      s"[graft] semDedup: $oversize cluster(s) exceed maxClusterSize=" +
+        s"$maxClusterSize and are NOT deduplicated — raise maxClusterSize " +
+        "or nClusters")
     val pairs = Dedup.pairsWithinBuckets(assigned, Seq("cell"), "id",
       maxClusterSize)
       .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")

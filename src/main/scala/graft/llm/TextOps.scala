@@ -18,6 +18,26 @@ object TextOps {
 
   private val Hex = "0123456789abcdef"
 
+  /** PII detector regexes — the Java ∩ RE2 compatible subset, so Spark's
+    * regexp functions and DuckDB's match identically. The ONE definition
+    * shared by the counting query (text_pii), the redaction query
+    * (text_redact), and the declarative `redact` op — a widened pattern
+    * changes detection and scrubbing together.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  val PhoneRe = "\\+1 [0-9]{10}"
+
+  /** Map-only PII redaction with the shared detectors. URL first, so an
+    * email-shaped substring inside a URL path cannot split the URL match.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "[URL]"),
+        EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * punctuation, collapse whitespace runs, trim. The standard pre-hash
     * normalization so near-identical formatting variants dedup exactly.

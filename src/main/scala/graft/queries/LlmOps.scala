@@ -236,11 +236,7 @@ object LlmOps extends QueryPack {
     //      detector regexes text_pii counts with ----
     "text_redact" -> ((s, dir) =>
       docsWithPii(s, dir).select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), UrlRe, "[URL]"),
-            EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]").as("redacted"))),
+        TextOps.redactPii(col("text")).as("redacted"))),
 
     // ---- sliding-window chunking (RAG / embedding prep): overlapping
     //      32-token windows every 16 — posexplode of a pure Column
@@ -436,11 +432,11 @@ object LlmOps extends QueryPack {
     })
   )
 
-  // PII detector regexes — the Java ∩ RE2 compatible subset, so Spark's
-  // regexp_count and DuckDB's regexp_extract_all count identically
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
-  private val PhoneRe = "\\+1 [0-9]{10}"
+  // PII detector regexes — single definition in TextOps (shared with the
+  // declarative redact op); aliased here for the oracle interpolations
+  private val EmailRe = TextOps.EmailRe
+  private val UrlRe = TextOps.UrlRe
+  private val PhoneRe = TextOps.PhoneRe
 
   // shared SQL fragments for the oracle side
   private val DuckToks = raw"string_split_regex(trim(text), '\s+')"

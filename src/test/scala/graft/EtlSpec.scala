@@ -204,4 +204,25 @@ class EtlSpec extends SparkSpec {
       (3L, "c", "2020-01-01", "null"),
       (4L, "d", "2024-06-01", "null")))
   }
+
+  test("Scd.scd2Merge: a NULL key value is a real key, not a missing side") {
+    val d = java.sql.Date.valueOf(_: String)
+    val current = Seq(
+      (Option.empty[Long], "x", d("2020-01-01"), null.asInstanceOf[java.sql.Date]),
+      (Some(1L), "a", d("2020-01-01"), null.asInstanceOf[java.sql.Date])
+    ).toDF("k", "seg", "valid_from", "valid_to")
+    val updates = Seq((Option.empty[Long], "x2")).toDF("k", "seg")
+    val got = Scd.scd2Merge(current, updates, Seq("k"), Seq("seg"),
+      org.apache.spark.sql.functions.lit(d("2024-06-01")))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+        String.valueOf(r.getDate(3))))
+      .sortBy(t => (t._1, t._2))
+    // the null-key row is closed and re-versioned like any changed key;
+    // nothing is silently dropped
+    assert(got.toSeq === Seq(
+      (-1L, "x", "2024-06-01"),
+      (-1L, "x2", "null"),
+      (1L, "a", "null")))
+  }
 }

@@ -317,6 +317,20 @@ class LlmSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).sorted
     assert(fracGot.toSeq === fracWant.toSeq)
 
+    // non-string and NULL group values are legitimate (grouped on their
+    // string form; NULL is its own group) — and a NULL score fails loudly
+    val typed = Seq((1L, Some(10), 0.9), (2L, Some(10), 0.1),
+      (3L, None, 0.9), (4L, None, 0.1)).toDF("doc_id", "grp", "score")
+    val keptTyped = Selection.topFractionByScore(typed, "grp", $"score",
+      "doc_id", 1, 2).select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(keptTyped.toSeq === Seq(1L, 3L))
+    val nullScore = Seq((1L, "g", Some(0.5)), (2L, "g", None))
+      .toDF("doc_id", "grp", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Selection.topFractionByScore(nullScore, "grp", $"score", "doc_id", 1, 2)
+    }
+    assert(ex.getMessage.contains("NULL"))
+
     val budGot = Selection.tokenBudgetByScore(df, "lang", $"score", $"ntok",
       "doc_id", budget = 400L)
       .select($"doc_id").collect().map(_.getLong(0)).sorted
