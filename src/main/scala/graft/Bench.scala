@@ -60,7 +60,11 @@ object Bench {
       n -> (if (cold(n) < 0 || vs.exists(_ < 0)) -1.0 else median(vs))
     }.toMap
 
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render 12.345 as "12,345" — invalid JSON
+    def f3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
     def qjson(m: Map[String, Double]): String =
       names.map(n => s"\"$n\":${f3(m(n))}").mkString("{", ",", "}")
     val total = warmMed.values.filter(_ >= 0).sum

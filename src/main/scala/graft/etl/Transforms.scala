@@ -115,7 +115,13 @@ object Transforms {
     val cached = df.persist()
     // no warm-up action: sinks run sequentially, so the FIRST sink's scan
     // populates the cache and later sinks read it — a separate count() would
-    // cost one full extra pass of scheduling at scale for nothing
+    // cost one full extra pass of scheduling at scale for nothing.
+    // CONTRACT: each sink must consume the frame fully. Spark caches a
+    // partition only when its iterator is drained, so a partial consumer
+    // first (e.g. .limit(n).write) leaves most partitions uncached and
+    // later sinks re-scan the source — correct only while the source is
+    // static. Run partial consumers LAST, or materialize first (count())
+    // when the source can change between sinks.
     try sinks.foreach(sink => sink(cached))
     finally { cached.unpersist() }
   }
@@ -157,6 +163,9 @@ object Transforms {
       rankCol: String = "pos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    val clash = Seq("__grb", "__groff").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved column(s) ${clash.mkString(", ")}")
     val hash = md5(col(idCol).cast("string"))
     val bucket = substring(hash, 1, 2)
     val counts = df.groupBy(bucket.as("__grb")).agg(count(lit(1)).as("n"))

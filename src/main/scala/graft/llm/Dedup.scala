@@ -96,7 +96,11 @@ object Dedup {
     * `maxBucketSize` drops degenerate buckets (a boilerplate-heavy band at
     * corpus scale can collect millions of ids, turning one task into an n²
     * pair generator): with the cap, worst-case pair volume is bounded by
-    * `maxBucketSize × (rows × bands)` — linear in corpus size. Pairs whose
+    * `maxBucketSize × (rows × bands)` — linear in corpus size. NOTE: round
+    * 3 lowered the default cap 100k → 10k (per-task bound); a corpus whose
+    * legitimate dup clusters exceed 10k ids per band bucket must pass a
+    * larger cap explicitly or those clusters dedup with reduced recall —
+    * `tools.MinhashProfile` measures the effect on a given corpus. Pairs whose
     * EVERY shared bucket is degenerate are lost (recall tradeoff); near-dups
     * collide in many bands, so in practice a dropped mega-bucket costs
     * recall only for pairs that were borderline to begin with.
@@ -635,11 +639,28 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, heldout: DataFrame, idCol: String,
       textCol: String, spanTokens: Int = 13): DataFrame = {
+    val toksLen = size(split(trim(col(textCol)), "\\s+"))
     val cSpans = spanHashes(corpus, idCol, textCol, spanTokens)
     val hSpans = spanHashes(heldout, idCol, textCol, spanTokens)
       .select(col("span")).distinct()
-    val contaminated = cSpans.join(hSpans, Seq("span"), "left_semi")
-      .select(col("id")).distinct()
+    val mainBad = cSpans.join(hSpans, Seq("span"), "left_semi")
+      .select(col("id"))
+    // a held-out doc SHORTER than spanTokens emits only its whole text
+    // above, which a longer corpus doc never emits — a verbatim-embedded
+    // short eval question would slip through (the exact case this screen
+    // exists for). Search corpus spans at each distinct short length: at
+    // most spanTokens-1 extra map-only passes, and none when the held-out
+    // suite has no short docs.
+    val shortLens = heldout.select(toksLen.cast("int").as("L"))
+      .where(col("L") < spanTokens && col("L") > 0).distinct()
+      .collect().map(_.getInt(0))
+    val shortBad = shortLens.toSeq.map { l =>
+      val cs = spanHashes(corpus.where(toksLen >= l), idCol, textCol, l)
+      val hs = spanHashes(heldout.where(toksLen === l), idCol, textCol, l)
+        .select(col("span")).distinct()
+      cs.join(hs, Seq("span"), "left_semi").select(col("id"))
+    }
+    val contaminated = (mainBad +: shortBad).reduce(_.unionByName(_)).distinct()
     corpus.join(contaminated,
       corpus(idCol).cast("long") === contaminated("id"), "left_anti")
   }

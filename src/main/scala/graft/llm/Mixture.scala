@@ -33,6 +33,11 @@ object Mixture extends Serializable {
       weights: Map[String, Long], idCol: String): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
+    // reserved working names — silently overwriting + dropping a caller's
+    // column would corrupt the output (same contract as Joins' __bin/__salt)
+    val reserved = Seq("__mxb", "__mxbb", "__mxneed").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input must not contain reserved column(s) ${reserved.mkString(", ")}")
     val bigW = weights.values.sum
     val hash = md5(col(idCol).cast("string"))
     val bucket = substring(hash, 1, 2)

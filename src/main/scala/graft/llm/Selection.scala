@@ -30,6 +30,14 @@ object Selection extends Serializable {
   private val B = 256
   // internal working columns (dropped from the output)
   private val G = "__selg"
+  private val Reserved =
+    Seq(G, "__selb", "__selbb", "__selneed", "__selsc", "__seltk")
+
+  private def guardReserved(df: DataFrame): Unit = {
+    val hit = Reserved.filter(df.columns.contains)
+    require(hit.isEmpty,
+      s"input must not contain reserved column(s) ${hit.mkString(", ")}")
+  }
 
   private def scoreBucket(score: Column): Column =
     // explicit null propagation: Spark's greatest/least SKIP nulls, so a
@@ -96,6 +104,7 @@ object Selection extends Serializable {
       idCol: String, keepNum: Long, keepDen: Long): DataFrame = {
     require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
       s"keep fraction must be in [0,1], got $keepNum/$keepDen")
+    guardReserved(df)
     val in = df.withColumn(G, col(groupCol).cast("string"))
       .withColumn("__selsc", score)
     val hist = histogram(in, col("__selsc"), lit(1L))
@@ -119,6 +128,7 @@ object Selection extends Serializable {
   def tokenBudgetByScore(df: DataFrame, groupCol: String, score: Column,
       tokenCount: Column, idCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    guardReserved(df)
     val in = df.withColumn(G, col(groupCol).cast("string"))
       .withColumn("__selsc", score).withColumn("__seltk", tokenCount)
     val hist = histogram(in, col("__selsc"), col("__seltk"))

@@ -183,8 +183,12 @@ object Similarity extends Serializable {
       else qExact.select(col("query_id"), col("table"),
         explode(array((lit(0L) +: (0 until bits).map(b => lit(1L << b)))
           .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+    // localCheckpoint: the index feeds BOTH the bucket-size audit and the
+    // candidate join — without it the whole-corpus hyperplane kernel (the
+    // dominant cost) would execute twice
     val cFull = lshIndex(corpus, tables, bits, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
+      .localCheckpoint()
     val okBuckets = cFull.groupBy("table", "bucket")
       .agg(count(lit(1)).as("__bsz"))
       .where(col("__bsz") <= maxBucketSize)
@@ -237,6 +241,38 @@ object Similarity extends Serializable {
     * on the driver — milliseconds at the bounded sample sizes used here,
     * with no per-iteration cluster job.
     */
+  /** Nearest centroid of x (max dot for spherical, min L2 otherwise) —
+    * shared by the driver and distributed Lloyd paths.
+    */
+  private def nearestCentroid(cents: Array[Array[Double]], x: Array[Double],
+      spherical: Boolean): Int = {
+    var best = 0
+    var bestScore = if (spherical) Double.NegativeInfinity else Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var s = 0.0; var i = 0
+      if (spherical) { while (i < x.length) { s += x(i) * ct(i); i += 1 } }
+      else { while (i < x.length) { val t = x(i) - ct(i); s += t * t; i += 1 } }
+      if (if (spherical) s > bestScore else s < bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def centroidsFromSums(prev: Array[Array[Double]],
+      sums: Array[Array[Double]], counts: Array[Long],
+      spherical: Boolean): Array[Array[Double]] =
+    Array.tabulate(prev.length) { c =>
+      if (counts(c) == 0) prev(c) // empty cluster keeps its centroid
+      else {
+        val dim = prev(c).length
+        val mean = new Array[Double](dim)
+        var i = 0; while (i < dim) { mean(i) = sums(c)(i) / counts(c); i += 1 }
+        if (spherical) normalizeVec(mean) else mean
+      }
+    }
+
   private def lloyd(samples: Array[Array[Double]], k: Int, iters: Int,
       spherical: Boolean): Array[Array[Double]] = {
     require(samples.nonEmpty, "lloyd: empty training sample")
@@ -244,32 +280,104 @@ object Similarity extends Serializable {
     var cents = samples.take(k).map(_.clone)
     for (_ <- 0 until iters) {
       val sums = Array.fill(cents.length, dim)(0.0)
-      val counts = new Array[Int](cents.length)
+      val counts = new Array[Long](cents.length)
       samples.foreach { x =>
-        var best = 0
-        var bestScore = if (spherical) Double.NegativeInfinity else Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          val ct = cents(c)
-          var s = 0.0; var i = 0
-          if (spherical) { while (i < dim) { s += x(i) * ct(i); i += 1 } }
-          else { while (i < dim) { val t = x(i) - ct(i); s += t * t; i += 1 } }
-          if (if (spherical) s > bestScore else s < bestScore) { bestScore = s; best = c }
-          c += 1
-        }
+        val best = nearestCentroid(cents, x, spherical)
         var i = 0; while (i < dim) { sums(best)(i) += x(i); i += 1 }
         counts(best) += 1
       }
-      cents = Array.tabulate(cents.length) { c =>
-        if (counts(c) == 0) cents(c)
-        else {
-          val mean = new Array[Double](dim)
-          var i = 0; while (i < dim) { mean(i) = sums(c)(i) / counts(c); i += 1 }
-          if (spherical) normalizeVec(mean) else mean
-        }
-      }
+      cents = centroidsFromSums(cents, sums, counts, spherical)
     }
     cents
+  }
+
+  /** Fixed-point scale for the distributed Lloyd accumulators: components
+    * are in [-1, 1] after normalization, so a scaled value fits 2^40 and a
+    * sum over the ≤ 2^22-row training sample stays far below Long overflow.
+    * Integer addition is associative — the aggregated sums (hence the
+    * centroids) are bit-identical under any partitioning or merge order,
+    * which double accumulation cannot guarantee.
+    */
+  private val LloydScale = 1L << 40
+  private val LloydMaxSample = 1L << 22
+
+  /** Distributed deterministic Lloyd: one `treeAggregate` pass over a
+    * DataFrame sample per iteration, per-cell sums carried as scaled longs.
+    * The scale path when `k` needs more training rows than a driver-side
+    * loop can afford (driver Lloyd is O(iters·sample·k·dim)): assignment
+    * cost spreads across the cluster and only k·dim longs come back per
+    * partition.
+    */
+  private def lloydDistributed(sample: DataFrame, init: Array[Array[Double]],
+      iters: Int, spherical: Boolean): Array[Array[Double]] = {
+    require(init.nonEmpty, "lloydDistributed: empty init")
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val k = init.length
+    val dim = init.head.length
+    val rdd = sample.select(col("v")).as[Seq[Double]].rdd
+    var cents = init
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val (sums, counts) = rdd.treeAggregate(
+        (Array.fill(k)(new Array[Long](dim)), new Array[Long](k)))(
+        seqOp = { case ((s, c), v) =>
+          val x = normalizeVec(v.toArray)
+          val best = nearestCentroid(bc.value, x, spherical)
+          var i = 0
+          while (i < dim) { s(best)(i) += math.round(x(i) * LloydScale); i += 1 }
+          c(best) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var cc = 0
+          while (cc < k) {
+            var i = 0
+            while (i < dim) { s1(cc)(i) += s2(cc)(i); i += 1 }
+            c1(cc) += c2(cc)
+            cc += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      val dsums = sums.map(_.map(_.toDouble / LloydScale))
+      cents = centroidsFromSums(cents, dsums, counts, spherical)
+    }
+    cents
+  }
+
+  /** Train `k` centroids over `vecs` (columns id, v), picking the path by
+    * training-volume: when the FAISS-style guideline of ~39 rows per
+    * centroid fits `trainSampleSize`, the sample collects and Lloyd runs
+    * on the driver (no cluster jobs); otherwise a deterministic
+    * hash-thresholded sample of ~39·k rows stays DISTRIBUTED and each
+    * iteration is one treeAggregate — so auto-sized indexes (√n cells,
+    * clamped at 4096) train on 39·k real rows instead of silently
+    * degenerating to an untrained 4096-row sample, without ever putting
+    * O(iters·sample·k·dim) on the driver.
+    */
+  private def trainCentroids(vecs: DataFrame, k: Int, iters: Int,
+      spherical: Boolean, trainSampleSize: Int,
+      nRows: Long = -1L): Array[Array[Double]] = {
+    val targetRows = 39L * k
+    if (targetRows <= trainSampleSize || iters == 0)
+      lloyd(trainSample(vecs, math.max(k, trainSampleSize)).map(normalizeVec),
+        k, iters, spherical)
+    else {
+      val n = if (nRows >= 0) nRows else vecs.count()
+      require(targetRows <= LloydMaxSample,
+        s"training sample $targetRows exceeds the fixed-point bound $LloydMaxSample")
+      val init = trainSample(vecs, k).map(normalizeVec)
+      // deterministic content-hash threshold: ~targetRows rows, layout-free
+      val sample =
+        if (n <= targetRows) vecs
+        else {
+          val m = 1L << 20
+          val keep = math.max(1L, targetRows * m / n)
+          vecs.where(pmod(xxhash64(col("id")), lit(m)) < keep)
+        }
+      lloydDistributed(sample, init, iters, spherical)
+    }
   }
 
   /** IVF-flat ANN (the coarse-quantizer scale path, complementing LSH):
@@ -300,22 +408,24 @@ object Similarity extends Serializable {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
+    // one count against the corpus scan; feeds the auto codebook size and
+    // the trainer's sampling fraction, so it runs once per build
+    val nKnown = if (nCells > 0) -1L else vecs.count()
     val cells =
       if (nCells > 0) nCells
-      else {
-        // one cheap metadata-driven count against the corpus scan; the
-        // result feeds only the codebook size, so it runs once per build
-        val n = vecs.count()
-        math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-      }
+      else math.max(16, math.min(4096,
+        math.round(math.sqrt(nKnown.toDouble)).toInt))
     val probe =
       if (nProbe > 0) nProbe
       else math.max(4, math.round(math.sqrt(cells.toDouble)).toInt)
     // trained unit centroids: cosine ranking below is scale-invariant, so
-    // normalizing them changes nothing about assignment semantics
-    val centroids = lloyd(
-      trainSample(vecs, math.max(cells, trainSampleSize)).map(normalizeVec),
-      cells, trainIters, spherical = true)
+    // normalizing them changes nothing about assignment semantics. The
+    // trainer scales its sample with the cell count (39·cells rows,
+    // distributed Lloyd when that exceeds the driver budget) — a 4096-cell
+    // auto-sized index trains on 160k real rows, not a degenerate
+    // one-sample-per-centroid collect.
+    val centroids = trainCentroids(vecs, cells, trainIters,
+      spherical = true, trainSampleSize, nRows = nKnown)
 
     def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
       val x = v.toArray
@@ -372,6 +482,11 @@ object Similarity extends Serializable {
     * All vectors are unit-normalized before encoding, so approximate inner
     * product ranks like cosine. Recall < 1 by design (rows-only check;
     * recall is pinned by SimilaritySpec's planted duplicates).
+    *
+    * NOTE: round 3 retuned the defaults m 4 → 8 and codebookSize 16 → 32
+    * (recall 0.42 → 0.83 on the uniform worst case). `m` must divide the
+    * embedding dim — callers on dims divisible by 4 but not 8 (12, 20, …)
+    * must now pass `m` explicitly where the old default happened to fit.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, codebookSize: Int = 32, rerank: Int = 64,
@@ -534,15 +649,13 @@ object Similarity extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = vectorsOf(df, idCol, vecCol, "id", "v")
+    val nKnown = if (nClusters > 0) -1L else vecs.count()
     val cells =
       if (nClusters > 0) nClusters
-      else {
-        val n = vecs.count()
-        math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-      }
-    val centroids = lloyd(
-      trainSample(vecs, math.max(cells, trainSampleSize)).map(normalizeVec),
-      cells, trainIters, spherical = true)
+      else math.max(16, math.min(4096,
+        math.round(math.sqrt(nKnown.toDouble)).toInt))
+    val centroids = trainCentroids(vecs, cells, trainIters,
+      spherical = true, trainSampleSize, nRows = nKnown)
 
     def nearest(v: Seq[Double]): Int = {
       val x = v.toArray

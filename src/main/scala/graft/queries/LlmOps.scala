@@ -579,18 +579,37 @@ object LlmOps extends QueryPack {
          |  ELSE $DuckBucket < '80' END""".stripMargin,
 
     "decontaminate" ->
-      s"""WITH sp AS (
+      s"""WITH d AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), sp AS (
          |  SELECT doc_id, list_distinct(
          |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
          |         ELSE list_transform(range(1, len(toks) - 18),
          |           i -> array_to_string(list_slice(toks, i, i + 19), ' ')) END) AS s
-         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |  FROM d
          |), flat AS (
          |  SELECT doc_id, unnest(s) AS span FROM sp
          |), held AS (
          |  SELECT DISTINCT span FROM flat WHERE doc_id % 10 = 3
+         |), shortlens AS (
+         |  SELECT DISTINCT len(toks) AS L FROM d
+         |  WHERE doc_id % 10 = 3 AND len(toks) < 20 AND len(toks) > 0
+         |), cshort0 AS (
+         |  SELECT dd.doc_id, dd.toks, sl.L,
+         |    unnest(range(1, len(dd.toks) - sl.L + 2)) AS st
+         |  FROM d dd JOIN shortlens sl ON len(dd.toks) >= sl.L
+         |), cshort AS (
+         |  SELECT doc_id, L,
+         |    array_to_string(list_slice(toks, st, st + L - 1), ' ') AS span
+         |  FROM cshort0
+         |), hshort AS (
+         |  SELECT DISTINCT len(toks) AS L, array_to_string(toks, ' ') AS span
+         |  FROM d WHERE doc_id % 10 = 3 AND len(toks) < 20 AND len(toks) > 0
          |), bad AS (
          |  SELECT DISTINCT doc_id FROM flat JOIN held USING (span)
+         |  UNION
+         |  SELECT DISTINCT c.doc_id FROM cshort c
+         |  JOIN hshort h ON c.L = h.L AND c.span = h.span
          |)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,

@@ -266,6 +266,20 @@ class LlmSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L))
   }
 
+  test("decontaminate catches a SHORT held-out doc embedded verbatim in a long doc") {
+    // the eval question is 4 tokens — far below spanTokens — and sits
+    // inside doc 1's 20-token body; the whole-text span alone would miss it
+    val q = "what is the capital"
+    val corpus = Seq(
+      (1L, s"some long page begins $q of france and then rambles onward forever"),
+      (2L, "a clean unrelated page about something else entirely okay"))
+      .toDF("doc_id", "text")
+    val heldout = Seq((100L, q)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, heldout, "doc_id", "text",
+      spanTokens = 13).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L))
+  }
+
   test("Packing: every token lands in exactly one slot; sequences fill to budget") {
     val docs = Tables(spark, sf0001).documents
     val budget = 64
@@ -340,6 +354,27 @@ class LlmSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).sorted
     assert(budGot.toSeq === budWant.toSeq)
     assert(budGot.nonEmpty && budGot.length < rows.length) // budget actually binds
+  }
+
+  test("distributed Lloyd training is deterministic and layout-independent") {
+    // 64 cells × 39 rows/cell > the 128-row driver budget → the trainer
+    // must take the treeAggregate path; fixed-point integer accumulation
+    // makes the centroids (hence the top-k output) bit-identical under any
+    // partitioning of the corpus
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 600).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(queries, c, k = 5, nCells = 64,
+        trainSampleSize = 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val base = run(corpus)
+    val shuffled = run(corpus.repartition(7))
+    assert(base.nonEmpty)
+    assert(base.toSeq === shuffled.toSeq)
   }
 
   test("semDedup drops planted scaled duplicates, keeps min-id originals") {

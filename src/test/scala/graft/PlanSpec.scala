@@ -42,7 +42,7 @@ class PlanSpec extends SparkSpec {
   test("q1 aggregation is partial (map-side) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_"), p.take(500))
-    assert("Exchange ".r.findAllIn(p).size === 1)
+    assert("(?<!Reused)Exchange ".r.findAllIn(p).size === 1)
   }
 
   test("q10 global top-K plans as TakeOrdered, not a full sort") {
@@ -53,7 +53,7 @@ class PlanSpec extends SparkSpec {
 
   test("q8 per-group top-N shuffles once on the partition key") {
     val p = plan("q8_window_topn_per_group")
-    assert("Exchange ".r.findAllIn(p).size === 1, p.take(800))
+    assert("(?<!Reused)Exchange ".r.findAllIn(p).size === 1, p.take(800))
   }
 
   test("map-only text analysis stays zero-exchange and codegen'd") {
@@ -82,7 +82,7 @@ class PlanSpec extends SparkSpec {
   test("sequence packing pays exactly one exchange (the shard window)") {
     Seq("pack_sequences", "pack_chunks").foreach { q =>
       val p = plan(q)
-      assert("Exchange ".r.findAllIn(p).size === 1,
+      assert("(?<!Reused)Exchange ".r.findAllIn(p).size === 1,
         s"$q should shuffle once on shard:\n${p.take(800)}")
     }
   }
