@@ -621,6 +621,32 @@ object Dedup {
       .toDF("span", "id")
   }
 
+  /** Span hashes at SEVERAL window lengths in one pass: each doc is
+    * tokenized once and emits its distinct l-grams for every l ≤ its
+    * length, as (l, span_hash, id) — the multi-length analog of
+    * [[spanHashes]] for the short-held-out decontamination sweep. One
+    * corpus scan regardless of how many lengths are probed.
+    */
+  private def spanHashesMulti(df: DataFrame, idCol: String, textCol: String,
+      lens: Array[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ls = lens.distinct.sorted
+    ensureParallelism(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        ls.iterator.filter(_ <= toks.length).flatMap { l =>
+          val seen = new java.util.HashSet[Long]()
+          (0 to toks.length - l).iterator.flatMap { i =>
+            val h = hash64(toks.slice(i, i + l).mkString(" "))
+            if (seen.add(h)) Iterator.single((l, h, id)) else Iterator.empty
+          }
+        }
+      })
+      .toDF("l", "span", "id")
+  }
+
   /** Benchmark decontamination: remove from `corpus` every document that
     * shares at least one contiguous `spanTokens`-token span with ANY
     * held-out document — the GPT-3/Llama-style n-gram overlap screen run
@@ -648,18 +674,33 @@ object Dedup {
     // a held-out doc SHORTER than spanTokens emits only its whole text
     // above, which a longer corpus doc never emits — a verbatim-embedded
     // short eval question would slip through (the exact case this screen
-    // exists for). Search corpus spans at each distinct short length: at
-    // most spanTokens-1 extra map-only passes, and none when the held-out
-    // suite has no short docs.
+    // exists for). Search corpus spans at every distinct short held-out
+    // length in ONE extra pass (the kernel tokenizes each doc once and
+    // emits all lengths), keyed (length, hash) so only same-length spans
+    // match; no pass at all when the suite has no short docs.
     val shortLens = heldout.select(toksLen.cast("int").as("L"))
       .where(col("L") < spanTokens && col("L") > 0).distinct()
-      .collect().map(_.getInt(0))
-    val shortBad = shortLens.toSeq.map { l =>
-      val cs = spanHashes(corpus.where(toksLen >= l), idCol, textCol, l)
-      val hs = spanHashes(heldout.where(toksLen === l), idCol, textCol, l)
-        .select(col("span")).distinct()
-      cs.join(hs, Seq("span"), "left_semi").select(col("id"))
-    }
+      .collect().map(_.getInt(0)).sorted
+    val shortBad =
+      if (shortLens.isEmpty) Nil
+      else {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val cs = spanHashesMulti(corpus, idCol, textCol, shortLens)
+        // a short held-out doc's only span at its own length IS its whole
+        // token string — hash it directly, keyed by its length
+        val hSpansShort = ensureParallelism(
+          heldout.where(toksLen < spanTokens)
+            .select(col(idCol).cast("long"), col(textCol)))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (_, text) =>
+            val toks = text.trim.split("\\s+")
+            (toks.length, hash64(toks.mkString(" ")))
+          })
+          .toDF("l", "span").distinct()
+        Seq(cs.join(hSpansShort, Seq("l", "span"), "left_semi")
+          .select(col("id")))
+      }
     val contaminated = (mainBad +: shortBad).reduce(_.unionByName(_)).distinct()
     corpus.join(contaminated,
       corpus(idCol).cast("long") === contaminated("id"), "left_anti")
