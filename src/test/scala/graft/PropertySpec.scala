@@ -123,4 +123,75 @@ class PropertySpec extends SparkSpec {
       .agg(max($"d")).head().getDouble(0)
     assert(scaled < 1e-9, s"scaled-cosine deviates by $scaled")
   }
+
+  test("property: histogram-pruned selection equals the plain window on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    // random group counts, tie-heavy scores (coarse grid forces many exact
+    // ties and boundary-cell collisions), random token weights
+    val rowGen: Gen[(Long, String, Double, Long)] = for {
+      id <- Gen.choose(0L, 100000L)
+      g <- Gen.oneOf("a", "b", "c", "d")
+      s <- Gen.choose(0, 20).map(_ / 20.0)
+      t <- Gen.choose(1L, 30L)
+    } yield (id, g, s, t)
+    val rows = sample(rowGen, 400).distinctBy(_._1)
+    val df = rows.toDF("doc_id", "grp", "score", "ntok")
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"doc_id".asc)
+
+    val fracGot = graft.llm.Selection
+      .topFractionByScore(df, "grp", $"score", "doc_id", 2, 3)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val counts = df.groupBy($"grp").agg(count(lit(1)).as("n"))
+    val fracWant = df.join(counts, "grp")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n" * 2 / 3)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(fracGot.toSeq === fracWant.toSeq)
+
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budGot = graft.llm.Selection
+      .tokenBudgetByScore(df, "grp", $"score", $"ntok", "doc_id", 500L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val budWant = df.withColumn("cum", sum($"ntok").over(cumW))
+      .filter($"cum" <= 500L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(budGot.toSeq === budWant.toSeq)
+  }
+
+  test("property: scd2Merge preserves closed history and yields one open row per surviving key") {
+    val d = java.sql.Date.valueOf(_: String)
+    // random dimension: some keys with history, random update coverage
+    // (changed / unchanged / absent / brand-new)
+    val keyGen = Gen.choose(0L, 30L)
+    val segGen = Gen.oneOf("s1", "s2", "s3")
+    val curKeys = sample(keyGen, 40).distinct
+    val updRows = sample(Gen.zip(keyGen, segGen), 25).distinctBy(_._1)
+    val openRows = curKeys.map(k => (k, s"s${(k % 3) + 1}",
+      d("2020-01-01"), null.asInstanceOf[java.sql.Date]))
+    val closedRows = curKeys.filter(_ % 4 == 0).map(k =>
+      (k, "old", d("2018-01-01"), d("2020-01-01")))
+    val current = (openRows ++ closedRows).toDF("k", "seg", "valid_from", "valid_to")
+    val updates = updRows.toDF("k", "seg")
+    val out = graft.etl.Scd.scd2Merge(current, updates, Seq("k"), Seq("seg"),
+      lit(d("2024-06-01"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.getDate(2)),
+        Option(r.getDate(3)).map(_.toString)))
+
+    // closed history passes through untouched
+    val closedOut = out.filter(_._2 == "old")
+    assert(closedOut.map(_._1).sorted.toSeq === closedRows.map(_._1).sorted)
+    assert(closedOut.forall(r => r._3 == "2018-01-01" && r._4.contains("2020-01-01")))
+    // exactly ONE open row (valid_to null) per surviving key
+    val openPerKey = out.filter(_._4.isEmpty).groupBy(_._1).view.mapValues(_.length)
+    assert(openPerKey.values.forall(_ == 1),
+      s"keys with != 1 open row: ${openPerKey.filter(_._2 != 1)}")
+    // every key present in current or updates still has an open row
+    val allKeys = (curKeys ++ updRows.map(_._1)).distinct.sorted
+    assert(openPerKey.keys.toSeq.sorted === allKeys)
+    // a changed key carries exactly one closed-at-effective row
+    val updMap = updRows.toMap
+    val changed = curKeys.filter(k => updMap.get(k).exists(_ != s"s${(k % 3) + 1}"))
+    val closedAtEff = out.filter(_._4.contains("2024-06-01")).map(_._1).sorted
+    assert(closedAtEff.toSeq === changed.sorted)
+  }
 }
