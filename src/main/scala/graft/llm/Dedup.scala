@@ -647,6 +647,49 @@ object Dedup {
       .toDF("l", "span", "id")
   }
 
+  /** Top boilerplate spans: the `k` most document-frequent contiguous
+    * `spanTokens`-token spans (site navigation, license footers, template
+    * chrome — the C4-style boilerplate signal), with their doc counts.
+    *
+    * Two-phase so span TEXT never rides a corpus-wide shuffle: phase 1
+    * counts 8-byte span hashes (per-doc-distinct, so counts are document
+    * frequencies) and takes the top-k hash cutoff with TakeOrdered;
+    * phase 2 re-scans only for spans whose hash clears the cutoff
+    * (broadcast long set) to recover their text, then ranks exactly by
+    * (count desc, text asc) — deterministic across engines, ties at the
+    * cutoff included before the final limit. Output (span, n_docs).
+    */
+  def topBoilerplateSpans(corpus: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 20, k: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val counts = spanHashes(corpus, idCol, textCol, spanTokens)
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+    // k-th largest count = the cutoff; every hash at or above it is a
+    // candidate (ties at rank k survive to the exact final ranking)
+    val topCounts = counts.orderBy(col("n_docs").desc).limit(k)
+      .select(col("n_docs")).as[Long].collect()
+    if (topCounts.isEmpty) return counts.withColumn("span", lit(""))
+      .select(col("span"), col("n_docs")).limit(0)
+    val cutoff = topCounts.min
+    val candHashes = counts.where(col("n_docs") >= cutoff)
+    val candSet = spark.sparkContext.broadcast(
+      candHashes.select(col("span")).as[Long].collect().toSet)
+    val texts = ensureParallelism(
+      corpus.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (_, text) =>
+        distinctShingles(text, spanTokens).iterator.collect {
+          case s if candSet.value.contains(hash64(s)) => (hash64(s), s)
+        }
+      })
+      .toDF("span", "span_text").distinct()
+    candHashes.join(texts, "span")
+      .select(col("span_text").as("span"), col("n_docs"))
+      .orderBy(col("n_docs").desc, col("span").asc)
+      .limit(k)
+  }
+
   /** Benchmark decontamination: remove from `corpus` every document that
     * shares at least one contiguous `spanTokens`-token span with ANY
     * held-out document — the GPT-3/Llama-style n-gram overlap screen run

@@ -326,6 +326,37 @@ object LlmOps extends QueryPack {
           TextOps.qualityScore(col("text")).as("quality"): _*)
     }),
 
+    // ---- boilerplate span detection (C4-style template chrome): top-30
+    //      most document-frequent 20-token spans over a corpus with two
+    //      planted footers. Two-phase: hash counts shuffle as longs, span
+    //      TEXT is fetched only for hashes above the top-k cutoff ----
+    "text_boilerplate" -> ((s, dir) => {
+      val footerA = (1 to 40).map(i => s"nav$i").mkString(" ")
+      val footerB = (1 to 30).map(i => s"legal$i").mkString(" ")
+      val docs = t(s, dir).documents.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(" " + footerA))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + footerB))
+            .otherwise(lit(""))).as("text"))
+      Dedup.topBoilerplateSpans(docs, "doc_id", "text", spanTokens = 20, k = 30)
+    }),
+
+    // ---- corpus-frequency commonness signals: per-doc sum and min of
+    //      corpus-wide token frequencies (rare-token docs are noise or
+    //      non-language; all-common docs are boilerplate-ish). Exact
+    //      integer arithmetic: vocab agg + token join, both shuffling
+    //      slim (token, count) rows ----
+    "text_commonness" -> ((s, dir) => {
+      val exploded = t(s, dir).documents
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val vocab = exploded.groupBy("token").agg(count(lit(1)).as("tf"))
+      exploded.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("tf_sum"), min(col("tf")).as("tf_min"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // ---- corpus vocabulary: token frequencies, deterministic top-100
     //      (tokenizer-training preprocessing). explode → partial-agg'd
     //      groupBy → TakeOrdered: one shuffle of (token, partial count). ----
@@ -618,6 +649,37 @@ object LlmOps extends QueryPack {
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)""".stripMargin,
+
+    "text_boilerplate" -> {
+      val footerA = (1 to 40).map(i => s"nav$i").mkString(" ")
+      val footerB = (1 to 30).map(i => s"legal$i").mkString(" ")
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' $footerA' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' $footerB' ELSE '' END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, $DuckToks AS toks FROM p),
+         |sp AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 18),
+         |           i -> array_to_string(list_slice(toks, i, i + 19), ' ')) END) AS s
+         |  FROM d),
+         |f AS (SELECT doc_id, unnest(s) AS span FROM sp),
+         |c AS (SELECT span, count(*) AS n_docs FROM f GROUP BY span)
+         |SELECT span, n_docs FROM c
+         |ORDER BY n_docs DESC, span ASC LIMIT 30""".stripMargin
+    },
+
+    "text_commonness" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum,
+         |  CAST(min(tf) AS BIGINT) AS tf_min,
+         |  count(*) AS n_tokens
+         |FROM tok JOIN v USING (token)
+         |GROUP BY doc_id""".stripMargin,
 
     "chunk_sliding" ->
       s"""WITH d AS (

@@ -266,6 +266,19 @@ class LlmSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L))
   }
 
+  test("topBoilerplateSpans surfaces the planted footer with its doc frequency") {
+    val footer = (1 to 20).map(i => s"nav$i").mkString(" ")
+    val docs = (1 to 8).map { i =>
+      val body = (1 to 25).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$body $footer" else body)
+    }.toDF("doc_id", "text")
+    val top = Dedup.topBoilerplateSpans(docs, "doc_id", "text",
+      spanTokens = 20, k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length === 1)
+    assert(top.head === (footer, 4L))
+  }
+
   test("decontaminate catches a SHORT held-out doc embedded verbatim in a long doc") {
     // the eval question is 4 tokens — far below spanTokens — and sits
     // inside doc 1's 20-token body; the whole-text span alone would miss it
