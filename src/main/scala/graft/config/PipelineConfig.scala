@@ -158,13 +158,19 @@ object PipelineConfig {
             case s if s.length == 2 => s
             case _ => sys.error("dedup_exact needs cols = [idCol, contentCol]")
           }
-          val surv = d.groupBy(md5(col(cc)).as("__k"))
+          // a NULL id cannot name a survivor — min() over an all-NULL
+          // group is NULL and the null-safe join would then keep EVERY
+          // row of that group. Fail loudly at evaluation, zero extra jobs.
+          val dd = d.withColumn(idc, when(col(idc).isNull,
+            raise_error(lit(s"dedup_exact: NULL value in id column '$idc'")))
+            .otherwise(col(idc)))
+          val surv = dd.groupBy(md5(col(cc)).as("__k"))
             .agg(min(col(idc)).as("__sid"))
-          // null-safe on both sides: NULL content is a legitimate dedup
-          // group (its min-id row must survive), and === would silently
-          // drop every such row
-          d.join(surv,
-            md5(col(cc)) <=> col("__k") && col(idc) <=> col("__sid"),
+          // null-safe on the CONTENT side: NULL content is a legitimate
+          // dedup group (its min-id row must survive), and === would
+          // silently drop every such row
+          dd.join(surv,
+            md5(col(cc)) <=> col("__k") && col(idc) === col("__sid"),
             "left_semi")
         // per-group quality gate: cols = [groupCol, idCol],
         // expr = score SQL expression, name = "keepNum/keepDen"

@@ -663,8 +663,12 @@ object Dedup {
       spanTokens: Int = 20, k: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // localCheckpoint: the hash-count aggregation feeds three consumers
+    // (cutoff collect, candidate collect, final join) — without it the
+    // corpus-wide span shuffle would execute once per consumer
     val counts = spanHashes(corpus, idCol, textCol, spanTokens)
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     // k-th largest count = the cutoff; every hash at or above it is a
     // candidate (ties at rank k survive to the exact final ranking)
     val topCounts = counts.orderBy(col("n_docs").desc).limit(k)

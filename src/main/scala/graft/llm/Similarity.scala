@@ -315,14 +315,18 @@ object Similarity extends Serializable {
     import spark.implicits._
     val k = init.length
     val dim = init.head.length
+    // persist the normalized sample: every iteration re-reads it, and
+    // without this each treeAggregate would re-scan the corpus, re-apply
+    // the sampling filter, and re-normalize from scratch
     val rdd = sample.select(col("v")).as[Seq[Double]].rdd
+      .map(v => normalizeVec(v.toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = init
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val (sums, counts) = rdd.treeAggregate(
         (Array.fill(k)(new Array[Long](dim)), new Array[Long](k)))(
-        seqOp = { case ((s, c), v) =>
-          val x = normalizeVec(v.toArray)
+        seqOp = { case ((s, c), x) =>
           val best = nearestCentroid(bc.value, x, spherical)
           var i = 0
           while (i < dim) { s(best)(i) += math.round(x(i) * LloydScale); i += 1 }
@@ -342,7 +346,7 @@ object Similarity extends Serializable {
       bc.destroy()
       val dsums = sums.map(_.map(_.toDouble / LloydScale))
       cents = centroidsFromSums(cents, dsums, counts, spherical)
-    }
+    } finally rdd.unpersist(blocking = false)
     cents
   }
 
@@ -483,13 +487,14 @@ object Similarity extends Serializable {
     * product ranks like cosine. Recall < 1 by design (rows-only check;
     * recall is pinned by SimilaritySpec's planted duplicates).
     *
-    * NOTE: round 3 retuned the defaults m 4 → 8 and codebookSize 16 → 32
-    * (recall 0.42 → 0.83 on the uniform worst case). `m` must divide the
-    * embedding dim — callers on dims divisible by 4 but not 8 (12, 20, …)
-    * must now pass `m` explicitly where the old default happened to fit.
+    * NOTE: round 3 retuned the defaults (8 subspaces when the dim allows,
+    * codebookSize 16 → 32; recall 0.42 → 0.83 on the uniform worst case).
+    * `m = 0` (the default) auto-picks the largest of 8/4/2/1 dividing the
+    * embedding dim, so any even dim keeps working; an explicit `m` must
+    * divide the dim exactly.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 8, codebookSize: Int = 32, rerank: Int = 64,
+      m: Int = 0, codebookSize: Int = 32, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 8, trainSampleSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -503,19 +508,22 @@ object Similarity extends Serializable {
       .map(normalize)
     require(samples.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
     val dim = samples.head.length
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
+    // m = 0 auto-picks the largest standard subspace count dividing dim,
+    // so default-arg callers keep working on any even dim
+    val mm = if (m > 0) m else Seq(8, 4, 2, 1).find(dim % _ == 0).get
+    require(dim % mm == 0, s"m=$mm must divide dim=$dim")
+    val sub = dim / mm
     // codebooks(j) = per-subspace Euclidean k-means over the sample's j-th
     // subvectors; codebooks(j)(c) is the c-th centroid of subspace j
     val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m) { j =>
+      Array.tabulate(mm) { j =>
         val subvecs = samples.map(s =>
           java.util.Arrays.copyOfRange(s, j * sub, (j + 1) * sub))
         lloyd(subvecs, codebookSize, trainIters, spherical = false)
       }
 
     def encode(xn: Array[Double]): Array[Int] =
-      Array.tabulate(m) { j =>
+      Array.tabulate(mm) { j =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < codebooks(j).length) {
@@ -541,7 +549,7 @@ object Similarity extends Serializable {
         .as[(Long, Seq[Double])].collect()
         .map { case (qid, q) =>
           val qn = normalize(q.toArray)
-          qid -> Array.tabulate(m, codebooks(0).length) { (j, c) =>
+          qid -> Array.tabulate(mm, codebooks(0).length) { (j, c) =>
             val cb = codebooks(j)(c)
             var s = 0.0; var i = 0
             while (i < sub) { s += qn(j * sub + i) * cb(i); i += 1 }
@@ -562,7 +570,7 @@ object Similarity extends Serializable {
           qluts.foreach { case (qid, lut) =>
             if (qid != nid) {
               var s = 0.0; var j = 0
-              while (j < m) { s += lut(j)(code(j)); j += 1 }
+              while (j < mm) { s += lut(j)(code(j)); j += 1 }
               val h = heaps(qid)
               if (h.size < rerank) h.enqueue((s, nid))
               else if (s > h.head._1) { h.dequeue(); h.enqueue((s, nid)) }

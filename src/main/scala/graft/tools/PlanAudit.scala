@@ -29,7 +29,7 @@ object PlanAudit {
             "partialAgg" -> plan.contains("partial_"),
             "codegen" -> plan.contains("*("),
             "exchanges" -> ("Exchange".r.findAllIn(plan).size > 0))
-          val n = "(?<!Reused)Exchange ".r.findAllIn(plan).size
+          val n = "(?m)^[\\s:+\\-*()0-9]*Exchange ".r.findAllIn(plan).size
           println(f"$name%-26s " +
             props.collect { case (k, true) => k }.mkString(" ") + s" exchanges=$n")
         }

@@ -35,7 +35,7 @@ object RegressionProbe {
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin")
         .map(j => s"$j=${j.r.findAllIn(plan).size}").mkString(" ")
-      println(s"[probe]   final-plan joins: $joins exchanges=${"(?<!Reused)Exchange ".r.findAllIn(plan).size}")
+      println(s"[probe]   final-plan joins: $joins exchanges=${"(?m)^[\\s:+\\-*()0-9]*Exchange ".r.findAllIn(plan).size}")
       if (sys.env.get("PROBE_FULL_PLAN").contains("1"))
         println(s"==== $name final plan ====\n$plan")
     }

@@ -10,6 +10,12 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** Real shuffle count: Exchange operator lines only — a ReusedExchange
+    * line embeds its child as ", Exchange ..." and must not count.
+    */
+  private def nExchanges(p: String): Int =
+    "(?m)^[\\s:+\\-*()0-9]*Exchange ".r.findAllIn(p).size
+
   test("q2 filter+projection reach the parquet scan") {
     val p = plan("q2_filter_project")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p.take(500))
@@ -42,7 +48,7 @@ class PlanSpec extends SparkSpec {
   test("q1 aggregation is partial (map-side) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_"), p.take(500))
-    assert("(?<!Reused)Exchange ".r.findAllIn(p).size === 1)
+    assert(nExchanges(p) === 1)
   }
 
   test("q10 global top-K plans as TakeOrdered, not a full sort") {
@@ -53,7 +59,7 @@ class PlanSpec extends SparkSpec {
 
   test("q8 per-group top-N shuffles once on the partition key") {
     val p = plan("q8_window_topn_per_group")
-    assert("(?<!Reused)Exchange ".r.findAllIn(p).size === 1, p.take(800))
+    assert(nExchanges(p) === 1, p.take(800))
   }
 
   test("map-only text analysis stays zero-exchange and codegen'd") {
@@ -82,7 +88,7 @@ class PlanSpec extends SparkSpec {
   test("sequence packing pays exactly one exchange (the shard window)") {
     Seq("pack_sequences", "pack_chunks").foreach { q =>
       val p = plan(q)
-      assert("(?<!Reused)Exchange ".r.findAllIn(p).size === 1,
+      assert(nExchanges(p) === 1,
         s"$q should shuffle once on shard:\n${p.take(800)}")
     }
   }
