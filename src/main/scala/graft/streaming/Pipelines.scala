@@ -49,6 +49,64 @@ object Pipelines {
       .select(col("doc_id"), col("norm_key"), col("quality"))
   }
 
+  /** Continuous NEAR-dup-deduplicated ingestion: each micro-batch is
+    * deduplicated against everything already accepted — via the persisted
+    * MinHash band index ([[graft.llm.Dedup.minhashBandIndex]] rows at
+    * `indexDir`), never a corpus re-scan — and against itself, then the
+    * survivors are appended to `corpusDir` and their bands merged into the
+    * index. The streaming form of the reference's accumulate-forever file
+    * sinks, upgraded from exact to near-dup semantics.
+    *
+    * Per batch: `minhashNearDupsIncremental` yields fresh×fresh and
+    * fresh×existing pairs only (the accepted corpus contributes just its
+    * index, pruned to touched buckets); star-contraction survivor
+    * assignment drops every batch doc connected to a lower id. Ids must be
+    * globally unique and increase across batches (normal for ingest), so
+    * accepted docs always win against later arrivals.
+    *
+    * Caveat: foreachBatch + plain parquet appends are at-least-once on
+    * retry — point `corpusDir`/`indexDir` at a table format when
+    * exactly-once matters.
+    */
+  def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 48,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        if (fresh.count() > 0) {
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val haveIndex = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxPath) // any Hadoop FS scheme, not just local files
+          val (corpus, index) =
+            if (haveIndex)
+              (spark.read.parquet(corpusDir), spark.read.parquet(indexDir))
+            else {
+              import spark.implicits._
+              (Seq.empty[(Long, String)].toDF(idCol, textCol),
+                Seq.empty[(Long, Int, Long)].toDF("id", "band", "bucket"))
+            }
+          val pairs = Dedup.minhashNearDupsIncremental(corpus, index, fresh,
+            idCol, textCol, shingleN, numHashes, bands, threshold)
+          val losers = Dedup.survivorAssignment(pairs)
+            .where(col("id") =!= col("survivor_id"))
+            .select(col("id"))
+          val kept = fresh.join(losers,
+            fresh(idCol).cast("long") === losers("id"), "left_anti")
+            .localCheckpoint()
+          kept.write.mode("append").parquet(corpusDir)
+          Dedup.minhashBandIndex(kept, idCol, textCol, shingleN, numHashes,
+            bands).write.mode("append").parquet(indexDir)
+        }
+      }
+      .start()
+  }
+
   /** Continuous attribution: each conversion credited ONCE to a same-key
     * trigger within the preceding `window` — `Streams.intervalJoin`
     * (watermark-bounded state), a per-conversion dedup so a conversion

@@ -104,6 +104,31 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("nearDupIngest dedups each batch against the persisted index and itself") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndi").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.nearDupIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/corpus", s"$base/index", s"$base/ckpt")
+    val docA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val docB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val docATrunc = (1 to 32).map(i => s"alpha$i").mkString(" ") // ~0.8 jaccard
+    val docD = (1 to 40).map(i => s"delta$i").mkString(" ")
+    // batch 1: A, B, and a WITHIN-batch near-dup of A (id 5) → 5 dropped
+    mem.addData((1L, docA), (2L, docB), (5L, docATrunc))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch near-dup of A (id 7) and a fresh doc (id 8)
+    mem.addData((7L, docATrunc), (8L, docD))
+    q.processAllAvailable(); q.stop()
+    val accepted = spark.read.parquet(s"$base/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(accepted.toSeq === Seq(1L, 2L, 8L))
+    // the index holds bands for exactly the accepted docs
+    val idxIds = spark.read.parquet(s"$base/index")
+      .select($"id").distinct().collect().map(_.getLong(0)).sorted
+    assert(idxIds.toSeq === Seq(1L, 2L, 8L))
+  }
+
   test("dropIfInReference gates a stream against a static reference (stateless)") {
     // the SAME batch operator runs on a stream unchanged: the bloom builds
     // from the static side at plan time, the pre-filter is map-only, and
