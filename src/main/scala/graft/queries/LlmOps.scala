@@ -195,6 +195,16 @@ object LlmOps extends QueryPack {
         Map("en" -> 2L, "de" -> 1L, "fr" -> 1L), "doc_id")
         .select(col("doc_id"), col("lang"))),
 
+    // ---- TOKEN-weighted mixture: the 2:1:1 en:de:fr target realized as
+    //      exact token proportions (pretraining mixtures are token
+    //      budgets, not doc counts) — hash-prefix greedy selection, only
+    //      each group's boundary bucket pays a window ----
+    "mixture_tokens" -> ((s, dir) =>
+      Mixture.resampleToTokenMixture(t(s, dir).documents, "lang",
+        TextOps.tokenCount(col("text")),
+        Map("en" -> 2L, "de" -> 1L, "fr" -> 1L), "doc_id")
+        .select(col("doc_id"), col("lang"))),
+
     // ---- quality gate: keep the top 3/4 of each language by composite
     //      quality score — exact rank semantics, but only each group's
     //      histogram boundary cell pays a window (~1/256 of the group) ----
@@ -731,6 +741,27 @@ object LlmOps extends QueryPack {
         |  FROM documents WHERE lang IN ('en','de','fr'))
         |SELECT doc_id, lang FROM r JOIN tc USING (lang)
         |WHERE rn <= target""".stripMargin,
+
+    "mixture_tokens" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, CAST(len($DuckToks) AS BIGINT) AS ntok
+         |  FROM documents WHERE lang IN ('en','de','fr')),
+         |c AS (SELECT lang, sum(ntok) AS n FROM tk GROUP BY lang),
+         |t AS (
+         |  SELECT min(n * 4 // CASE lang WHEN 'en' THEN 2 ELSE 1 END) AS total
+         |  FROM c),
+         |tc AS (
+         |  SELECT lang,
+         |    (SELECT total FROM t) * CASE lang WHEN 'en' THEN 2 ELSE 1 END // 4
+         |      AS target
+         |  FROM c),
+         |r AS (
+         |  SELECT doc_id, lang, sum(ntok) OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tk)
+         |SELECT doc_id, lang FROM r JOIN tc USING (lang)
+         |WHERE cum <= target""".stripMargin,
 
     "quality_gate" ->
       s"""WITH q AS (
