@@ -300,14 +300,50 @@ object Dedup {
     * The input is the pairs output — orders of magnitude smaller than the
     * corpus — so per-round actions are cheap; per-round localCheckpoint
     * keeps the lineage flat. Returns (id, survivor_id).
+    *
+    * ADAPTIVE: when the pairs graph has at most `localThreshold` edges
+    * (default 2M ≈ 32 MB — it usually does, even for a 100 TB corpus,
+    * because pairs ∝ duplicates, not documents), the whole computation is
+    * one collect + an exact driver-side union-find: identical output,
+    * none of the per-round job scheduling. `localThreshold = 0` forces
+    * the distributed path (the property suite runs both).
     */
-  def survivorAssignment(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+  def survivorAssignment(pairs: DataFrame, maxIterations: Int = 30,
+      localThreshold: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE — the star
     // rounds re-read the edge set many times and must not re-run the whole
     // upstream plan (e.g. a full MinHash pass) each round
     val pAll = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .localCheckpoint()
+    // ADAPTIVE: the pairs graph is orders of magnitude smaller than the
+    // corpus; when it fits the driver (16 B/edge — the default threshold
+    // is ~32 MB), an exact local union-find replaces ~10 scheduling-bound
+    // Spark jobs per contraction round with microseconds of driver CPU.
+    // Same min-id semantics, same output; the distributed star contraction
+    // below remains the unbounded-scale path.
+    if (localThreshold > 0 && pAll.count() <= localThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = pAll.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.foreach { case (u, v) =>
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      }
+      val assign = edges.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct.map(id => (id, find(id)))
+      return spark.createDataFrame(assign.toSeq)
+        .toDF("id", "survivor_id")
+    }
     // all ids get a label — including one appearing only in a degenerate
     // self-pair (its component is itself)
     val allIds = pAll.select(col("u").as("id"))

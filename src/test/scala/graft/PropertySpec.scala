@@ -64,7 +64,8 @@ class PropertySpec extends SparkSpec {
       val want = members.flatMap { case (_, ids) =>
         val m = ids.min; ids.map(_ -> m)
       }.toMap
-      val got = graft.llm.Dedup.survivorAssignment(edges.toDF("id_a", "id_b"))
+      val got = graft.llm.Dedup.survivorAssignment(edges.toDF("id_a", "id_b"),
+        localThreshold = if (gi % 2 == 0) 0 else 2000000L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want, s"graph #$gi mismatch (edges: $edges)")
     }

@@ -52,7 +52,7 @@ class DedupInternalsSpec extends graft.SparkSpec {
     // a chain of overlapping near-dups: plain min-label propagation needs
     // ~100 rounds here; star contraction must converge within the default 30
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.survivorAssignment(pairs).collect()
+    val got = Dedup.survivorAssignment(pairs, localThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 100)
     assert(got.values.forall(_ == 0L), "every chain node must label to the min id")
@@ -62,7 +62,7 @@ class DedupInternalsSpec extends graft.SparkSpec {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 20L), (30L, 31L),
       (40L, 40L)) // degenerate self-pair: still labeled (its own component)
       .toDF("id_a", "id_b")
-    val got = Dedup.survivorAssignment(pairs).collect()
+    val got = Dedup.survivorAssignment(pairs, localThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 40L -> 40L))
