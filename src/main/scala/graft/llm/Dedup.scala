@@ -302,14 +302,15 @@ object Dedup {
     * keeps the lineage flat. Returns (id, survivor_id).
     *
     * ADAPTIVE: when the pairs graph has at most `localThreshold` edges
-    * (default 2M ≈ 32 MB — it usually does, even for a 100 TB corpus,
-    * because pairs ∝ duplicates, not documents), the whole computation is
-    * one collect + an exact driver-side union-find: identical output,
-    * none of the per-round job scheduling. `localThreshold = 0` forces
-    * the distributed path (the property suite runs both).
+    * (default 1M ≈ 60 MB of transient primitive driver arrays — it
+    * usually fits, even for a 100 TB corpus, because pairs ∝ duplicates,
+    * not documents), the whole computation is one collect + an exact
+    * driver-side union-find: identical output, none of the per-round job
+    * scheduling. `localThreshold = 0` forces the distributed path (the
+    * property suite runs both).
     */
   def survivorAssignment(pairs: DataFrame, maxIterations: Int = 30,
-      localThreshold: Long = 2000000L): DataFrame = {
+      localThreshold: Long = 1000000L): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE — the star
     // rounds re-read the edge set many times and must not re-run the whole
     // upstream plan (e.g. a full MinHash pass) each round
@@ -317,32 +318,38 @@ object Dedup {
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .localCheckpoint()
     // ADAPTIVE: the pairs graph is orders of magnitude smaller than the
-    // corpus; when it fits the driver (16 B/edge — the default threshold
-    // is ~32 MB), an exact local union-find replaces ~10 scheduling-bound
-    // Spark jobs per contraction round with microseconds of driver CPU.
-    // Same min-id semantics, same output; the distributed star contraction
-    // below remains the unbounded-scale path.
+    // corpus; when it fits the driver, an exact local union-find replaces
+    // ~10 scheduling-bound Spark jobs per contraction round. All driver
+    // state is PRIMITIVE arrays (two long columns, a sorted id dictionary,
+    // an int parent array) — ~56 B/edge peak, ~60 MB transient at the 1M
+    // default — never boxed tuples/maps, whose ~10× overhead would OOM a
+    // modestly sized driver. Same min-id semantics, same output; the
+    // distributed star contraction below remains the unbounded-scale path.
     if (localThreshold > 0 && pAll.count() <= localThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val edges = pAll.as[(Long, Long)].collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-        var c = x // path compression
-        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      val us = pAll.select(col("u")).as[Long].collect()
+      val vs = pAll.select(col("v")).as[Long].collect()
+      val ids = (us ++ vs).distinct.sorted // dictionary: index ↔ id, id-ordered
+      val parent = Array.tabulate(ids.length)(identity)
+      def idxOf(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+      def find(i0: Int): Int = {
+        var r = i0
+        while (parent(r) != r) r = parent(r)
+        var c = i0 // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.foreach { case (u, v) =>
-        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      var e = 0
+      while (e < us.length) {
+        val (ru, rv) = (find(idxOf(us(e))), find(idxOf(vs(e))))
+        // ids is sorted, so the smaller INDEX is the smaller id → rooting
+        // at min index keeps every root the component minimum
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        e += 1
       }
-      val assign = edges.iterator.flatMap { case (u, v) => Iterator(u, v) }
-        .toArray.distinct.map(id => (id, find(id)))
-      return spark.createDataFrame(assign.toSeq)
-        .toDF("id", "survivor_id")
+      val assign = ids.indices.map(i => (ids(i), ids(find(i))))
+      return spark.createDataFrame(assign).toDF("id", "survivor_id")
     }
     // all ids get a label — including one appearing only in a degenerate
     // self-pair (its component is itself)
@@ -545,7 +552,20 @@ object Dedup {
   def minhashNearDupsIncremental(existing: DataFrame, existingIndex: DataFrame,
       fresh: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
       numHashes: Int = 128, bands: Int = 64, threshold: Double = 0.5,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    minhashNearDupsIncrementalWithBands(existing, existingIndex, fresh, idCol,
+      textCol, shingleN, numHashes, bands, threshold, maxBucketSize)._1
+
+  /** [[minhashNearDupsIncremental]] that ALSO returns the fresh batch's
+    * (id, band, bucket) index rows (materialized), so an ingest loop can
+    * merge survivors into its persisted band index without re-running the
+    * shingle+MinHash kernel it just paid for.
+    */
+  def minhashNearDupsIncrementalWithBands(existing: DataFrame,
+      existingIndex: DataFrame, fresh: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 128,
+      bands: Int = 64, threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     val spark = fresh.sparkSession
     import spark.implicits._
     val freshSets = hashedShingleSets(fresh, idCol, textCol, shingleN).persist()
@@ -574,13 +594,14 @@ object Dedup {
         .join(candIds, col(idCol).cast("long") === col("cid"), "left_semi")
       val sets = freshSets.unionByName(
         hashedShingleSets(oldCandDocs, idCol, textCol, shingleN))
-      jaccardOfHashedPairs(pairsTouching
+      val verified = jaccardOfHashedPairs(pairsTouching
         .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
         .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b")),
         threshold)
         // materialize before the finally-unpersist releases the inputs
         .localCheckpoint()
+      (verified, freshBanded.localCheckpoint())
     } finally { freshBanded.unpersist(); freshSets.unpersist() }
   }
 

@@ -64,9 +64,13 @@ object Pipelines {
     * globally unique and increase across batches (normal for ingest), so
     * accepted docs always win against later arrivals.
     *
-    * Caveat: foreachBatch + plain parquet appends are at-least-once on
-    * retry — point `corpusDir`/`indexDir` at a table format when
-    * exactly-once matters.
+    * Durability: each batch writes to `batch=<id>` subdirectories of both
+    * sinks with per-partition OVERWRITE, so a retried batch replaces its
+    * own output instead of appending twice, and a crash BETWEEN the corpus
+    * and index writes is healed by the retry re-overwriting both — the
+    * standard idempotent-foreachBatch layout. Readers see a `batch`
+    * partition column; the dedup reads select past it. (For stronger
+    * cross-directory atomicity, point both at a table format.)
     */
   def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
       corpusDir: String, indexDir: String, checkpointDir: String,
@@ -75,7 +79,7 @@ object Pipelines {
     import graft.llm.Dedup
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
         if (fresh.count() > 0) {
@@ -85,23 +89,36 @@ object Pipelines {
             .exists(idxPath) // any Hadoop FS scheme, not just local files
           val (corpus, index) =
             if (haveIndex)
-              (spark.read.parquet(corpusDir), spark.read.parquet(indexDir))
+              // exclude this batch's own partitions: a retry must dedup
+              // against the PRIOR state, not its failed attempt's output
+              (spark.read.parquet(corpusDir)
+                 .where(col("batch") =!= batchId)
+                 .select(col(idCol), col(textCol)),
+                spark.read.parquet(indexDir)
+                  .where(col("batch") =!= batchId)
+                  .select(col("id"), col("band"), col("bucket")))
             else {
               import spark.implicits._
               (Seq.empty[(Long, String)].toDF(idCol, textCol),
                 Seq.empty[(Long, Int, Long)].toDF("id", "band", "bucket"))
             }
-          val pairs = Dedup.minhashNearDupsIncremental(corpus, index, fresh,
-            idCol, textCol, shingleN, numHashes, bands, threshold)
+          val (pairs, freshBands) = Dedup.minhashNearDupsIncrementalWithBands(
+            corpus, index, fresh, idCol, textCol, shingleN, numHashes, bands,
+            threshold)
           val losers = Dedup.survivorAssignment(pairs)
             .where(col("id") =!= col("survivor_id"))
             .select(col("id"))
           val kept = fresh.join(losers,
             fresh(idCol).cast("long") === losers("id"), "left_anti")
             .localCheckpoint()
-          kept.write.mode("append").parquet(corpusDir)
-          Dedup.minhashBandIndex(kept, idCol, textCol, shingleN, numHashes,
-            bands).write.mode("append").parquet(indexDir)
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch=$batchId")
+          // survivors' bands, straight from the kernel output this batch
+          // already computed — no re-shingle
+          freshBands.join(kept.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch=$batchId")
         }
       }
       .start()
