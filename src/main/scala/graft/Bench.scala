@@ -10,12 +10,18 @@ import org.apache.spark.sql.SparkSession
   * regression (the round-2 harness could not tell the two apart). The headline
   * `value` is the sum of warm medians.
   *
-  * Artifact contract: the JSON line is printed FIRST (before spark.stop and
-  * sbt's footer) and kept compact (3-decimal seconds — full-precision doubles
-  * are what pushed round 2's line past the driver's ~8k tail capture). The
-  * full artifact (cold pass, every warm rep, medians) is also written to
-  * `bench_out.json` in the working directory so nothing depends on stdout
-  * truncation behavior.
+  * Artifact contract (round 5): the driver keeps only the LAST 2000 chars of
+  * stdout (measured from BENCH_r01/r02/r04 `tail` fields), and sbt's
+  * `[success] Total time…` footer eats ~80 of them — so the parseable line
+  * must be (a) the final thing we print, after `spark.stop()`, and (b) under
+  * ~1.9k chars total. With 91 queries the sum of full query names alone is
+  * ~1.3k chars, so the printed line abbreviates `qNN_description` keys to
+  * `qNN` (the format the driver's own example uses: `"queries":{"q1":sec}`)
+  * and strips trailing zeros; if growth ever pushes past the budget it
+  * degrades to 2-decimal values before giving up. The full artifact — full
+  * names, cold pass, every warm rep, medians — is written to
+  * `bench_out.json`, and a full-name line is still printed early for the
+  * driver's scrollback.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,9 +68,15 @@ object Bench {
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would render 12.345 as "12,345" — invalid JSON
-    def f3(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(v))
+    def fmt(v: Double, decimals: Int): String =
+      if (v < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+          Double.box(v))
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      }
+    def f3(v: Double): String = fmt(v, 3)
     def qjson(m: Map[String, Double]): String =
       names.map(n => s"\"$n\":${f3(m(n))}").mkString("{", ",", "}")
     val total = warmMed.values.filter(_ >= 0).sum
@@ -78,9 +90,27 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    // the parseable line goes out FIRST, before any shutdown/footer noise
+    // full-name line for scrollback/humans; NOT the one the driver parses
     println(line)
     Console.out.flush()
     spark.stop()
+
+    // The driver keeps only the last ~2000 chars of stdout, so the line it
+    // parses must be final AND short: qNN_* keys abbreviate to qNN (full
+    // names are in bench_out.json and the early line above).
+    val qPrefix = "^(q\\d+)_.*$".r
+    val shortName: Map[String, String] =
+      names.map(n => n -> (n match { case qPrefix(p) => p; case _ => n })).toMap
+    require(shortName.values.toSet.size == names.size,
+      "abbreviated bench keys collide; rename the offending query")
+    def compact(decimals: Int): String = {
+      val q = names.map(n => s"\"${shortName(n)}\":${fmt(warmMed(n), decimals)}")
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","warm_reps":$reps,"queries":$q,"sf":"$sfDir"}"""
+    }
+    val tailLine = Seq(3, 2).map(compact).find(_.length <= 1880)
+      .getOrElse(compact(1))
+    println(tailLine)
+    Console.out.flush()
   }
 }
