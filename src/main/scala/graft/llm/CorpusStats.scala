@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-model text operators: statistics fitted over the whole corpus and
+  * applied back to every document — TF-IDF keyword extraction, a smoothed
+  * bigram language-model score (the CCNet-style "how much does this doc look
+  * like the corpus" quality signal), and exact repeated-span removal (the
+  * span-level half of exact-substring dedup, Lee et al. 2022).
+  *
+  * Everything here is defined in EXACT integer / rational arithmetic so a SQL
+  * engine reproduces the result bit-for-bit (driver contract): ranks compare
+  * integer-scaled rationals (`tf·10⁹ div df`), and the LM score accumulates
+  * `floor(ln(p)·10⁶)` per bigram as BIGINT — summation order can't change a
+  * BIGINT sum, and the only cross-engine float risk left is `ln` differing at
+  * the floor boundary (width 1e-6, libm vs JVM disagreement ~1e-16 relative —
+  * vanishing, and independent of scale-up).
+  *
+  * Scale notes (100 TB stance): every shuffle below carries slim
+  * (token/hash, count) or (doc, pos, hash) rows, never document text; spans
+  * shuffle as md5 hex (32 B) regardless of span width; model tables (vocab,
+  * bigram counts, frequent spans) are aggregated with partial (map-side)
+  * combine before any join. Joins of exploded-tokens ⋈ model are plain
+  * shuffle joins on the model key — Spark/AQE broadcasts them when the model
+  * side is small, and degrades to hash join (not driver collect) when a 100 TB
+  * corpus makes the vocab itself large.
+  */
+object CorpusStats extends Serializable {
+
+  /** Per-document top-k distinctive keywords by TF-IDF.
+    *
+    * The rank key is `tf · 10⁹ div df` (BIGINT floor division) — the corpus
+    * size N is constant within a corpus, so ranking by tf/df is exactly
+    * ranking by tf·(N/df), and staying in integers sidesteps the
+    * engine-dependent rounding a float idf would inject into rank ties.
+    * Ties break (key desc, term asc): fully deterministic on any engine or
+    * cluster layout.
+    *
+    * Output: (id, term, tf, df, tfidf_key, rank), rank ≤ k.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency: tf is already (doc, term)-distinct, so count(*)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf_key", expr("tf * CAST(1000000000 AS BIGINT) div df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_key").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf_key"), col("rank"))
+  }
+
+  /** Add-one-smoothed bigram LM negative log-likelihood per document, fitted
+    * on the corpus itself: for each adjacent token pair,
+    * `p = (c(w1,w2) + 1) / (c(w1) + V)` with V = |vocab|, accumulated as
+    * `-Σ floor(ln(p)·10⁶)` (BIGINT — order-independent). High `avg_nll`
+    * means "unlike the corpus": the classic perplexity-bucket quality
+    * signal. Documents with fewer than 2 tokens have no bigrams and are
+    * omitted (their perplexity is undefined).
+    *
+    * Output: (id, n_bigrams, nll_micro, avg_nll_micro).
+    *
+    * Bigrams are derived positionally from the token array (map-only
+    * explode — no positional self-join); counts and V come from two partial
+    * aggs; scoring joins on (w1,w2) then w1, both slim keys.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    // filter BEFORE sequence(): Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0], not an empty array, so a 1-token doc would index tk[0]
+    val bigrams = df.filter(size(tk) >= 2).select(col(idCol), explode(
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = df.select(explode(tk).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    val logpMicro = floor(
+      log((col("c2") + 1).cast("double") / (col("c1") + col("vocab"))) *
+        1000000L).cast("long")
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol), logpMicro.as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_micro"))
+      .withColumn("avg_nll_micro", expr("nll_micro div n_bigrams"))
+  }
+
+  /** Exact repeated-span removal: delete every token covered by a
+    * `spanTokens`-token window whose exact text occurs in more than `maxDf`
+    * distinct documents — the span-level exact-substring dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), with corpus document-frequency as the dup criterion (a
+    * suffix array's role at single-machine scale).
+    *
+    * Output: (id, n_tokens, n_removed, clean_text) — one row per input doc;
+    * a fully-covered doc keeps the row with clean_text = ''.
+    *
+    * Spans shuffle as md5 hashes (32 B, span-width-independent); covered
+    * positions are (doc, pos) pairs bounded by corpus token count; the
+    * rebuild aggregates (pos, token) pairs per doc — the only stage that
+    * carries token text, and it carries each token once.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, maxDf: Int): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val tk = TextOps.tokens(col(textCol))
+    val base = df.select(col(idCol), tk.as("tk"))
+    val L = spanTokens
+
+    // docs shorter than one span contribute no spans (filter BEFORE
+    // sequence() — sequence(1, 0) is a descending [1, 0], not empty)
+    val spans = base.filter(size(col("tk")) >= L).select(col(idCol), explode(
+      transform(sequence(lit(1), size(col("tk")) - (L - 1)),
+        i => struct(i.as("pos"),
+          md5(array_join(slice(col("tk"), i, lit(L)), " ").cast("binary"))
+            .as("h")))).as("sp"))
+      .select(col(idCol), col("sp.pos"), col("sp.h"))
+    val frequent = spans.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("span_df"))
+      .filter(col("span_df") > maxDf)
+      .select("h")
+    val covered = spans.join(frequent, "h")
+      .select(col(idCol), explode(sequence(col("pos"),
+        col("pos") + (L - 1))).as("p"))
+      .distinct()
+
+    val toksPos = base.select(col(idCol),
+      posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toksPos.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"),
+          col("tok")))), s => s("tok")), " ").as("clean_text"))
+
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

@@ -72,6 +72,21 @@ object LlmOps extends QueryPack {
         concat(lit(" +1 "), lpad(id, 10, "0"))).otherwise(lit(""))).as("text"))
   }
 
+  /** Planted boilerplate footers (the corpus has no natural repeated spans):
+    * a 40-token nav footer on doc_id % 4, a 30-token legal footer on % 7 —
+    * shared by text_boilerplate and dedup_span_removal (SQL twin:
+    * [[duckFootered]]).
+    */
+  private val FooterA = (1 to 40).map(i => s"nav$i").mkString(" ")
+  private val FooterB = (1 to 30).map(i => s"legal$i").mkString(" ")
+  private def docsWithFooters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" " + FooterA))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + FooterB))
+          .otherwise(lit(""))).as("text"))
+
   /** embeddings (as double vectors) ∪ scaled copies (ids +100000, ×1.1). */
   private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -340,17 +355,29 @@ object LlmOps extends QueryPack {
     //      most document-frequent 20-token spans over a corpus with two
     //      planted footers. Two-phase: hash counts shuffle as longs, span
     //      TEXT is fetched only for hashes above the top-k cutoff ----
-    "text_boilerplate" -> ((s, dir) => {
-      val footerA = (1 to 40).map(i => s"nav$i").mkString(" ")
-      val footerB = (1 to 30).map(i => s"legal$i").mkString(" ")
-      val docs = t(s, dir).documents.select(col("doc_id"),
-        concat(col("text"),
-          when(pmod(col("doc_id"), lit(4)) === 0, lit(" " + footerA))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + footerB))
-            .otherwise(lit(""))).as("text"))
-      Dedup.topBoilerplateSpans(docs, "doc_id", "text", spanTokens = 20, k = 30)
-    }),
+    "text_boilerplate" -> ((s, dir) =>
+      Dedup.topBoilerplateSpans(docsWithFooters(s, dir), "doc_id", "text",
+        spanTokens = 20, k = 30)),
+
+    // ---- exact repeated-span removal (the span half of exact-substring
+    //      dedup, Lee et al. 2022): delete every token covered by a
+    //      20-token span occurring in > 3 distinct docs. Spans shuffle as
+    //      md5 longs-equivalents; rebuild carries each kept token once ----
+    "dedup_span_removal" -> ((s, dir) =>
+      CorpusStats.removeRepeatedSpans(docsWithFooters(s, dir), "doc_id",
+        "text", spanTokens = 20, maxDf = 3)),
+
+    // ---- per-doc TF-IDF keyword extraction: integer-exact rank key
+    //      (tf·10⁹ div df — N is constant per corpus, so tf/df ranks
+    //      identically to tf·idf), ties broken on term ----
+    "text_tfidf" -> ((s, dir) =>
+      CorpusStats.tfidfKeywords(t(s, dir).documents, "doc_id", "text", k = 5)),
+
+    // ---- smoothed bigram LM score fitted on the corpus itself (the
+    //      CCNet-shape perplexity quality signal), accumulated as
+    //      floor(ln·10⁶) BIGINTs so the sum is order-independent ----
+    "text_lm_score" -> ((s, dir) =>
+      CorpusStats.bigramLmScore(t(s, dir).documents, "doc_id", "text")),
 
     // ---- corpus-frequency commonness signals: per-doc sum and min of
     //      corpus-wide token frequencies (rare-token docs are noise or
@@ -524,6 +551,12 @@ object LlmOps extends QueryPack {
        |     ELSE 'test' END""".stripMargin
   private def duckLangScore(lang: String): String =
     TextOps.LangMarkers.toMap.apply(lang).map(duckOcc).mkString("(", " + ", ")")
+  /** SQL twin of [[docsWithFooters]]. */
+  private def duckFootered: String =
+    s"""SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' $FooterA' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' $FooterB' ELSE '' END AS text
+       |  FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -661,13 +694,7 @@ object LlmOps extends QueryPack {
         |  (SELECT md5(text) FROM documents WHERE doc_id % 10 = 3)""".stripMargin,
 
     "text_boilerplate" -> {
-      val footerA = (1 to 40).map(i => s"nav$i").mkString(" ")
-      val footerB = (1 to 30).map(i => s"legal$i").mkString(" ")
-      s"""WITH p AS (
-         |  SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 4 = 0 THEN ' $footerA' ELSE '' END ||
-         |    CASE WHEN doc_id % 7 = 0 THEN ' $footerB' ELSE '' END AS text
-         |  FROM documents),
+      s"""WITH p AS ($duckFootered),
          |d AS (SELECT doc_id, $DuckToks AS toks FROM p),
          |sp AS (
          |  SELECT doc_id, list_distinct(
@@ -680,6 +707,66 @@ object LlmOps extends QueryPack {
          |SELECT span, n_docs FROM c
          |ORDER BY n_docs DESC, span ASC LIMIT 30""".stripMargin
     },
+
+    "dedup_span_removal" ->
+      s"""WITH p AS ($duckFootered),
+         |toksq AS (SELECT doc_id, $DuckToks AS tk FROM p),
+         |spans AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(tk, i, i + 19), ' ')) AS h
+         |  FROM toksq, unnest(range(1, len(tk) - 18)) AS u(i)),
+         |freq AS (SELECT h FROM spans GROUP BY h
+         |         HAVING count(DISTINCT doc_id) > 3),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.pos + o AS cp
+         |  FROM spans s JOIN freq USING (h)
+         |  CROSS JOIN unnest(range(0, 20)) AS t(o)),
+         |tp AS (SELECT doc_id, i AS p, tk[i] AS tok
+         |       FROM toksq, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |    string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+         |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+         |  WHERE c.cp IS NULL GROUP BY t.doc_id)
+         |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM toksq b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT doc_id, term, tf, df,
+         |    (tf * CAST(1000000000 AS BIGINT)) // df AS tfidf_key,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY (tf * CAST(1000000000 AS BIGINT)) // df DESC,
+         |        term ASC) AS rank
+         |  FROM tf JOIN dfq USING (term))
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, tfidf_key, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH toksq AS (
+         |  SELECT doc_id, $DuckToks AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |       FROM toksq, unnest(range(1, len(tk))) AS u(i)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1
+         |       FROM (SELECT unnest(tk) AS w1 FROM toksq) GROUP BY 1),
+         |v AS (SELECT count(*) AS vocab FROM c1),
+         |lp AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vocab)) * 1000000)
+         |      AS BIGINT) AS lp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  -sum(lp) AS nll_micro,
+         |  (-sum(lp)) // count(*) AS avg_nll_micro
+         |FROM lp GROUP BY doc_id""".stripMargin,
 
     "text_commonness" ->
       s"""WITH tok AS (

@@ -1,0 +1,87 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfKeywords ranks rare terms above common ones, ties on term") {
+    // 'apple' appears in every doc (df=3); each doc also has a unique term
+    val df = Seq(
+      (1L, "apple unique1 apple"),
+      (2L, "apple unique2"),
+      (3L, "apple unique3 unique3")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfKeywords(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // df(uniqueN)=1 beats df(apple)=3 even when apple's tf is higher:
+    // doc 1 has tf(apple)=2 → key 2e9/3 = 666M < tf(unique1)=1 → key 1e9
+    assert(out === Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
+  }
+
+  test("tfidfKeywords rank is dense within doc and capped at k") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfKeywords(df, "doc_id", "text", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(5)).toSeq === Seq(1L, 2L, 3L))
+    // all terms tie on key (tf=1, df=1) → order is alphabetical
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
+  }
+
+  test("bigramLmScore: a doc of corpus-frequent bigrams scores lower nll") {
+    val common = (1 to 6).map(i => (i.toLong, "the cat sat on the mat"))
+    val df = (common :+ (99L, "zq xv qp wk jn bz"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(99L),
+      s"frequent-bigram doc should have lower avg nll: $out")
+    // all six identical docs get the identical score
+    assert((1 to 6).map(i => out(i.toLong)).toSet.size === 1)
+  }
+
+  test("bigramLmScore omits docs with fewer than 2 tokens") {
+    val df = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    val ids = CorpusStats.bigramLmScore(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L))
+  }
+
+  test("removeRepeatedSpans cuts planted spans, keeps unique text") {
+    val footer = (1 to 6).map(i => s"f$i").mkString(" ") // 6-token footer
+    val df = (1 to 5).map(i => (i.toLong, s"unique${i}a unique${i}b $footer"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeRepeatedSpans(df, "doc_id", "text",
+      spanTokens = 6, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    out.foreach { case (id, nTok, nRem, clean) =>
+      assert(nTok === 8L)
+      assert(nRem === 6L, s"doc $id should lose exactly the footer")
+      assert(clean === s"unique${id}a unique${id}b")
+    }
+  }
+
+  test("removeRepeatedSpans keeps short and unique docs intact") {
+    val df = Seq(
+      (1L, "too short"), // shorter than one span
+      (2L, "entirely unique words that repeat nowhere else at all ok")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.removeRepeatedSpans(df, "doc_id", "text",
+      spanTokens = 6, maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("removeRepeatedSpans: overlapping frequent spans merge their cover") {
+    // every doc is the same 8 tokens → every 6-token span (3 of them) is
+    // frequent; the union covers all 8 positions → clean_text empty
+    val df = (1 to 4).map(i => (i.toLong, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeRepeatedSpans(df, "doc_id", "text",
+      spanTokens = 6, maxDf = 3)
+      .collect().map(r => (r.getLong(2), r.getString(3))).distinct
+    assert(out.toSeq === Seq((8L, "")))
+  }
+}
