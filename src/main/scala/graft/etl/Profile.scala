@@ -1,0 +1,61 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling — the ANALYZE-shape statistics pass a warehouse runs
+  * before planning over new data: per-column null count, exact distinct
+  * count, and min/max, one output row per column.
+  *
+  * Values are normalized to engine-portable strings AFTER aggregating (the
+  * raw column keeps its native ordering for min/max — a lexicographic min of
+  * stringified numbers would rank "10" < "9"): integers via BIGINT, floats
+  * via DECIMAL(18,4) (both engines render full scale), timestamps via
+  * second-precision formatting.
+  *
+  * Scale: one job, one shuffle. The exact multi-column distinct plans an
+  * Expand (input × (ncols+1) rows before partial aggregation) — that is the
+  * honest cost of exact ndv on every column in one pass; when approximation
+  * is acceptable, swap `countDistinct` for `approx_count_distinct` and the
+  * Expand disappears (the relational pack's q25 demonstrates the HLL path).
+  */
+object Profile extends Serializable {
+
+  private def norm(dt: DataType, c: Column): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      c.cast("long").cast("string")
+    case FloatType | DoubleType => c.cast(DecimalType(18, 4)).cast("string")
+    case _: DecimalType => c.cast(DecimalType(18, 4)).cast("string")
+    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  /** Profile `cols` (default: every column) of `df`. Output:
+    * (column, n_nulls, ndv, min_val, max_val) — one row per column, in the
+    * requested order (a `pos` column keeps it stable for consumers that
+    * sort).
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.isEmpty) df.columns.toSeq else cols
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    names.foreach(n => require(types.contains(n), s"no such column: $n"))
+
+    val aggs = names.flatMap { n =>
+      val c = col(n)
+      val dt = types(n)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+        countDistinct(c).as(s"${n}__ndv"),
+        norm(dt, min(c)).as(s"${n}__min"),
+        norm(dt, max(c)).as(s"${n}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = names.zipWithIndex.map { case (n, i) =>
+      struct(lit(i.toLong).as("pos"), lit(n).as("column"),
+        col(s"${n}__nulls").as("n_nulls"), col(s"${n}__ndv").as("ndv"),
+        col(s"${n}__min").as("min_val"), col(s"${n}__max").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

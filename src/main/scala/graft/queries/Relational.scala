@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.etl.Profile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -476,10 +477,78 @@ object Relational extends QueryPack {
         .groupBy($"o_custkey")
         .agg(dsum($"o_totalprice").as("total_spent"), count(lit(1)).as("n_orders"))
         .filter($"n_orders" >= 3)
-    })
+    }),
+
+    // ---- multi-step funnel (view → click after it → purchase after that):
+    //      each stage is a conditional min over the previous stage's users.
+    //      All three joins and aggs key on user_id — one partitioning
+    //      reused down the chain, no per-user sort, no window ----
+    "q35_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir).events.select($"user_id", $"event_type", $"ts")
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .where($"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .where($"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      val f = "yyyy-MM-dd HH:mm:ss"
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id", date_format($"t_view", f).as("t_view"),
+          date_format($"t_click", f).as("t_click"),
+          date_format($"t_purchase", f).as("t_purchase"))
+    }),
+
+    // ---- table profiling (ANALYZE shape): per-column nulls / exact ndv /
+    //      min / max in ONE pass over lineitem (etl.Profile) ----
+    "q36_profile" -> ((s, dir) => Profile.profile(t(s, dir).lineitem))
   )
 
   override def oracles: Map[String, String] = Map(
+    "q35_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id,
+        |  strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |  strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |  strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+        |FROM v LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q36_profile" -> {
+      // per-column UNION ALL twin of etl.Profile over lineitem, with the
+      // same type-directed value normalization
+      val cols = Seq(
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "dbl"),
+        ("l_extendedprice", "dbl"), ("l_discount", "dbl"), ("l_tax", "dbl"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"))
+      def mm(kind: String, agg: String, c: String) = kind match {
+        case "int" => s"CAST(CAST($agg($c) AS BIGINT) AS VARCHAR)"
+        case "dbl" => s"CAST(CAST($agg($c) AS DECIMAL(18,4)) AS VARCHAR)"
+        case "ts" => s"strftime($agg($c), '%Y-%m-%d %H:%M:%S')"
+        case _ => s"$agg($c)"
+      }
+      cols.zipWithIndex.map { case ((c, k), i) =>
+        s"""SELECT CAST($i AS BIGINT) AS pos, '$c' AS "column",
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS ndv,
+           |  ${mm(k, "min", c)} AS min_val, ${mm(k, "max", c)} AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
