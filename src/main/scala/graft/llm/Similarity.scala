@@ -656,7 +656,13 @@ object Similarity extends Serializable {
       maxClusterSize: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = vectorsOf(df, idCol, vecCol, "id", "v")
+    // one eager materialization of the narrow (id, vec) projection: every
+    // downstream stage — count, each Lloyd treeAggregate, assignment, and
+    // both pair-side joins — would otherwise rescan and re-project the
+    // SOURCE per job (~13 scans for 8 training iters). Iterative ML input
+    // is the textbook localCheckpoint case; the checkpoint is compact
+    // binary on executor-local disk and carries no lineage.
+    val vecs = vectorsOf(df, idCol, vecCol, "id", "v").localCheckpoint()
     val nKnown = if (nClusters > 0) -1L else vecs.count()
     val cells =
       if (nClusters > 0) nClusters
@@ -698,8 +704,8 @@ object Similarity extends Serializable {
         "or nClusters")
     val pairs = Dedup.pairsWithinBuckets(assigned, Seq("cell"), "id",
       maxClusterSize)
-      .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")
-      .join(vectorsOf(df, idCol, vecCol, "id_b", "vb"), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
     // pairsWithinBuckets emits sorted (id_a < id_b): the higher id drops
     val dropIds = cosineOfPairs(pairs, "id_a", "id_b")
       .filter(round(col("sim_raw"), 4) >= threshold)
