@@ -450,6 +450,19 @@ object LlmOps extends QueryPack {
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10)
     }),
 
+    // ---- per-label embedding centroids (class/topic centroid primitive:
+    //      mean-pool by dimension). posexplode → one partial-agg'd shuffle
+    //      of (label, pos) cells — |labels|·dim output rows, layout-free
+    //      exact decimal means ----
+    "emb_centroids" -> ((s, dir) =>
+      t(s, dir).embeddings
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(OracleSafe.davg(col("x")).as("c"),
+          count(lit(1)).as("n_vecs"))),
+
     // ---- SemDeDup: embedding-cluster semantic dedup (rows-only by
     //      design like the ANN family — a dup pair straddling a centroid
     //      boundary is missed; recall pinned on planted dups in LlmSpec).
@@ -1012,6 +1025,16 @@ object LlmOps extends QueryPack {
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    "emb_centroids" ->
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (
+         |  SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+         |    v[i] AS x
+         |  FROM e, unnest(range(1, len(v) + 1)) AS u(i))
+         |SELECT label, pos, ${OracleSafe.sqlDavg("x")} AS c,
+         |  count(*) AS n_vecs
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

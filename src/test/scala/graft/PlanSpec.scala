@@ -102,4 +102,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"global rank fell back to a single-partition sort:\n${p.take(800)}")
   }
+
+  test("q36 profiling is one pass: single Expand, no SinglePartition agg") {
+    // the exact multi-column ndv must plan ONE Expand over one scan —
+    // a per-column plan would rescan lineitem 11 times
+    val p = plan("q36_profile")
+    assert("(?m)^[\\s:+\\-*()0-9]*Expand".r.findAllIn(p).size === 1, p.take(800))
+    assert("FileScan".r.findAllIn(p).size === 1,
+      s"profiling rescans the table:\n${p.take(800)}")
+  }
+
+  test("q35 funnel keys every stage on user_id — no window, no sort-merge") {
+    // conditional-min stages must stay hash aggregations over user_id
+    // joins; a window-based funnel would add per-user sorts
+    val p = plan("q35_funnel")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("text_lm_score model joins never plan a nested loop or cartesian") {
+    val p = plan("text_lm_score")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the single-row vocab count is the only nested-loop (broadcast) join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
+  }
 }
