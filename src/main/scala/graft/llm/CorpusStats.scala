@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats extends Serializable {
 
+  // working column names; an idCol that collides would silently join wrong
+  private val Reserved = Set("term", "tf", "df", "tfidf_key", "rank",
+    "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
+    "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
+    "n_tokens", "n_removed", "clean_text")
+
+  private def guard(idCol: String): Unit =
+    require(!Reserved(idCol),
+      s"idCol '$idCol' collides with a CorpusStats working column")
+
   /** Per-document top-k distinctive keywords by TF-IDF.
     *
     * The rank key is `tf · 10⁹ div df` (BIGINT floor division) — the corpus
@@ -43,6 +53,7 @@ object CorpusStats extends Serializable {
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    guard(idCol)
     val toks = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
@@ -74,6 +85,7 @@ object CorpusStats extends Serializable {
     * aggs; scoring joins on (w1,w2) then w1, both slim keys.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    guard(idCol)
     val tk = TextOps.tokens(col(textCol))
     // filter BEFORE sequence(): Spark's sequence(1, 0) yields a DESCENDING
     // [1, 0], not an empty array, so a 1-token doc would index tk[0]
@@ -118,6 +130,7 @@ object CorpusStats extends Serializable {
       spanTokens: Int, maxDf: Int): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    guard(idCol)
     val tk = TextOps.tokens(col(textCol))
     val base = df.select(col(idCol), tk.as("tk"))
     val L = spanTokens
