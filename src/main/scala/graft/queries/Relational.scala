@@ -503,7 +503,39 @@ object Relational extends QueryPack {
 
     // ---- table profiling (ANALYZE shape): per-column nulls / exact ndv /
     //      min / max in ONE pass over lineitem (etl.Profile) ----
-    "q36_profile" -> ((s, dir) => Profile.profile(t(s, dir).lineitem))
+    "q36_profile" -> ((s, dir) => Profile.profile(t(s, dir).lineitem)),
+
+    // ---- cohort retention: users bucketed by first-event week, activity
+    //      counted at week offsets — integer micros div keeps the offset
+    //      engine-exact. Two shuffles, both on slim keys (user; cohort) ----
+    "q37_retention" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir).events.select($"user_id", $"ts")
+      val first = e.groupBy($"user_id").agg(min($"ts").as("t0"))
+      val weekMicros = 7L * 86400 * 1000000
+      e.join(first, "user_id")
+        .select(
+          date_format(date_trunc("week", $"t0"), "yyyy-MM-dd").as("cohort_week"),
+          // integer div, not double `/`: exact at any epoch distance
+          expr(s"(unix_micros(ts) - unix_micros(t0)) div $weekMicros")
+            .as("week_k"),
+          $"user_id")
+        .groupBy($"cohort_week", $"week_k")
+        .agg(countDistinct($"user_id").as("n_users"))
+    }),
+
+    // ---- equi-width histogram of a money column: exact integer cents
+    //      (floor(x·100) is the identical IEEE double op on any engine)
+    //      div a fixed bucket width — one partial-agg'd shuffle ----
+    "q38_histogram" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .select(expr(
+          "CAST(floor(l_extendedprice * 100) AS BIGINT) div 1000000")
+          .as("bucket"), $"l_extendedprice")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+    })
   )
 
   override def oracles: Map[String, String] = Map(
@@ -548,6 +580,21 @@ object Relational extends QueryPack {
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    "q37_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT strftime(date_trunc('week', f.t0), '%Y-%m-%d') AS cohort_week,
+        |    (epoch_us(e.ts) - epoch_us(f.t0)) // 604800000000 AS week_k,
+        |    e.user_id
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_k, count(DISTINCT user_id) AS n_users
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q38_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) // 1000000 AS bucket,
+         |  count(*) AS n, ${sqlDsum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
