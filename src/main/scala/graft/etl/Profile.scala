@@ -41,7 +41,7 @@ object Profile extends Serializable {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     names.foreach(n => require(types.contains(n), s"no such column: $n"))
 
-    val aggs = names.flatMap { n =>
+    val aggs = count(lit(1)).as("__rows") +: names.flatMap { n =>
       val c = col(n)
       val dt = types(n)
       Seq(
@@ -53,9 +53,44 @@ object Profile extends Serializable {
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = names.zipWithIndex.map { case (n, i) =>
       struct(lit(i.toLong).as("pos"), lit(n).as("column"),
+        col("__rows").as("n_rows"),
         col(s"${n}__nulls").as("n_nulls"), col(s"${n}__ndv").as("ndv"),
         col(s"${n}__min").as("min_val"), col(s"${n}__max").as("max_val"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Distribution-drift gate between two profiles of the same columns (a
+    * new batch/partition vs a trusted baseline): flags a column when its
+    * null fraction moved more than `nullFracTol` (absolute) or its
+    * distinct-count density (ndv / rows) changed by more than
+    * `ndvRatioTol`× in either direction — the two cheap signals that catch
+    * most schema-rot and upstream-regression incidents. Returns flagged
+    * rows (column, metric, baseline, current); empty = no drift. Purely a
+    * join of two |columns|-row frames — trivially broadcastable.
+    */
+  def drift(current: DataFrame, baseline: DataFrame,
+      nullFracTol: Double = 0.05, ndvRatioTol: Double = 2.0): DataFrame = {
+    require(nullFracTol >= 0 && ndvRatioTol >= 1.0,
+      s"bad tolerances: $nullFracTol / $ndvRatioTol")
+    def frac(a: Column, b: Column): Column =
+      when(b === 0L, lit(0.0)).otherwise(a.cast("double") / b)
+    val c = current.select(col("column"),
+      frac(col("n_nulls"), col("n_rows")).as("nf_c"),
+      frac(col("ndv"), col("n_rows")).as("dv_c"))
+    val b = baseline.select(col("column"),
+      frac(col("n_nulls"), col("n_rows")).as("nf_b"),
+      frac(col("ndv"), col("n_rows")).as("dv_b"))
+    val j = c.join(b, "column")
+    val nullDrift = j
+      .filter(abs(col("nf_c") - col("nf_b")) > nullFracTol)
+      .select(col("column"), lit("null_fraction").as("metric"),
+        col("nf_b").as("baseline"), col("nf_c").as("current"))
+    val ndvDrift = j
+      .filter(greatest(col("dv_c"), col("dv_b")) >
+        least(col("dv_c"), col("dv_b")) * ndvRatioTol)
+      .select(col("column"), lit("ndv_density").as("metric"),
+        col("dv_b").as("baseline"), col("dv_c").as("current"))
+    nullDrift.unionByName(ndvDrift)
   }
 }

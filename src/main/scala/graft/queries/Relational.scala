@@ -575,6 +575,7 @@ object Relational extends QueryPack {
       }
       cols.zipWithIndex.map { case ((c, k), i) =>
         s"""SELECT CAST($i AS BIGINT) AS pos, '$c' AS "column",
+           |  count(*) AS n_rows,
            |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS ndv,
            |  ${mm(k, "min", c)} AS min_val, ${mm(k, "max", c)} AS max_val
            |FROM lineitem""".stripMargin

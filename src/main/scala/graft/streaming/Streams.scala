@@ -239,4 +239,25 @@ object Streams {
         ()
       }
       .start()
+
+  /** Continuous data monitoring: profile every micro-batch
+    * (`etl.Profile.profile` — nulls/ndv/min/max per column) and hand the
+    * batch_id-stamped stats to `sink` (append to a stats table, or gate
+    * through [[graft.etl.Profile.drift]] against a trusted baseline and
+    * alert). The profile is one agg over the batch; the stats frame is
+    * |columns| rows — monitoring cost is a rounding error next to the
+    * pipeline it watches, at any scale.
+    */
+  def profilePerBatch(stream: DataFrame, checkpoint: String,
+      cols: Seq[String] = Nil)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.etl.Profile.profile(batch, cols)
+          .withColumn("batch_id", lit(id)))
+        ()
+      }
+      .start()
 }

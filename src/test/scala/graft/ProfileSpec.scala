@@ -14,12 +14,27 @@ class ProfileSpec extends SparkSpec {
       (3L, Some(2.5), Some("a"))
     ).toDF("k", "x", "s")
     val out = Profile.profile(df).collect()
-      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
-        r.getString(4), r.getString(5)))).toMap
-    assert(out("k") === ((0L, 3L, "1", "3")))
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5), r.getString(6)))).toMap
+    assert(out("k") === ((4L, 0L, 3L, "1", "3")))
     // numeric min/max, not lexicographic: 2.5 < 10.0
-    assert(out("x") === ((1L, 2L, "2.5000", "10.0000")))
-    assert(out("s") === ((1L, 2L, "a", "b")))
+    assert(out("x") === ((4L, 1L, 2L, "2.5000", "10.0000")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("drift flags null-fraction and ndv-density shifts, passes stable data") {
+    val base = Seq.tabulate(100)(i => (i.toLong, Some(s"v$i"))).toDF("k", "s")
+    val same = Seq.tabulate(50)(i => (i.toLong, Some(s"w$i"))).toDF("k", "s")
+    // half the values null, strings collapsed to 2 distinct
+    val bad = Seq.tabulate(50)(i =>
+      (i.toLong, if (i % 2 == 0) None else Some(s"c${i % 2}"))).toDF("k", "s")
+    val pb = Profile.profile(base)
+    assert(Profile.drift(Profile.profile(same), pb).count() === 0)
+    val flagged = Profile.drift(Profile.profile(bad), pb)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flagged.contains(("s", "null_fraction")))
+    assert(flagged.contains(("s", "ndv_density")))
+    assert(!flagged.exists(_._1 == "k"), s"stable column flagged: $flagged")
   }
 
   test("profile: column subset and stable positions") {

@@ -360,4 +360,18 @@ class StreamingSpec extends SparkSpec {
     mem.addData(4L); q.processAllAvailable(); q.stop()
     assert(c1.get() === 4 && c2.get() === 4)
   }
+
+  test("per-batch profiling stamps batch ids and feeds the drift gate") {
+    val mem = MemoryStream[Long](spark)
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = Streams.profilePerBatch(mem.toDF().toDF("v"), cp) { stats =>
+      stats.collect().foreach(r => seen.add((r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("ndv"))))
+    }
+    mem.addData(1L, 2L, 2L); q.processAllAvailable()
+    mem.addData(5L); q.processAllAvailable(); q.stop()
+    val byBatch = seen.toArray(Array.empty[(Long, Long, Long)]).toSeq.sorted
+    assert(byBatch === Seq((0L, 3L, 2L), (1L, 1L, 1L)))
+  }
 }
