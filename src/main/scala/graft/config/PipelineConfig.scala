@@ -17,9 +17,10 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
   * so declared pipelines get durable state, skip-if-complete, and error
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
-  * (`dedup_exact`, `quality_gate`, `normalize`, `redact`, `chunk`) makes
-  * the LLM-data operators declarable — a config file can express the
-  * standard corpus-curation chain end-to-end (ConfigSpec drives one).
+  * (`dedup_exact`, `quality_gate`, `normalize`, `redact`, `chunk`,
+  * `span_removal`, `lm_score`) makes the LLM-data operators declarable — a
+  * config file can express the standard corpus-curation chain end-to-end
+  * (ConfigSpec drives one).
   *
   * ```json
   * { "id": "j1", "name": "ingest", "maxErrors": 100,
@@ -203,6 +204,26 @@ object PipelineConfig {
           // out == c means "replace the text column with its chunks" —
           // dropping would delete the freshly created column
           if (out == c) chunked else chunked.drop(c)
+        // exact repeated-span removal (corpus-level boilerplate cut):
+        // cols = [idCol, textCol], expr = "spanTokens,maxDf". clean_text
+        // replaces the text column; n_tokens/n_removed ride along.
+        case "span_removal" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("span_removal needs cols = [idCol, textCol]")
+          }
+          val Array(l, mdf) = t.expr.getOrElse("20,3").split(",").map(_.trim.toInt)
+          graft.llm.CorpusStats.removeRepeatedSpans(d, idc, c, l, mdf)
+            .withColumnRenamed("clean_text", c)
+            .join(d.drop(c), Seq(idc))
+        // corpus-fitted bigram LM score appended as columns:
+        // cols = [idCol, textCol]; docs with < 2 tokens get NULL scores
+        case "lm_score" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("lm_score needs cols = [idCol, textCol]")
+          }
+          d.join(graft.llm.CorpusStats.bigramLmScore(d, idc, c), Seq(idc), "left")
 
         case other => sys.error(s"unknown transform op: $other")
       }

@@ -100,6 +100,35 @@ class ConfigSpec extends SparkSpec {
     assert(rows.count(_._1 == 1L) === 4)
   }
 
+  test("curation vocabulary: declared span_removal → lm_score") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_sr").toString + "/j"
+    // 4 docs share a 3-token footer (df=4 > maxDf=3) → removed everywhere;
+    // lm_score then appends corpus-LM columns over the CLEANED text
+    val lines = (1 to 4).map(i =>
+      s"""{"id":$i,"text":"unique${i}a unique${i}b promo footer here"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-sr", "name": "spans", "steps": [
+         |  { "step": "spans", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "span_removal", "cols": ["id", "text"], "expr": "3,3" },
+         |      { "op": "lm_score", "cols": ["id", "text"] },
+         |      { "op": "select", "cols": ["id", "text", "n_removed", "avg_nll_micro"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_removed")))
+    assert(rows.length === 4)
+    rows.foreach { case (id, text, nRem) =>
+      assert(nRem === 3L, s"doc $id kept the footer")
+      assert(text === s"unique${id}a unique${id}b")
+    }
+  }
+
   test("max_errors aborts a declared pipeline (simple-pipeline max-error case)") {
     val store = new InMemoryStore
     val conf = PipelineConfig.parse(confJson(

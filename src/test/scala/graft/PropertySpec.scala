@@ -195,4 +195,66 @@ class PropertySpec extends SparkSpec {
     val closedAtEff = out.filter(_._4.contains("2024-06-01")).map(_._1).sorted
     assert(closedAtEff.toSeq === changed.sorted)
   }
+
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for {
+      nDocs <- Gen.choose(5, 15)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(3, 30)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("property: removeRepeatedSpans matches a local reference on random corpora") {
+    import graft.llm.CorpusStats
+    val L = 3; val maxDf = 2
+    sample(corpusGen, 8).zipWithIndex.foreach { case (docs, gi) =>
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+      val spans = toks.toSeq.flatMap { case (id, tk) =>
+        tk.sliding(L).filter(_.size == L).zipWithIndex
+          .map { case (s, i) => (id, i, s.mkString(" ")) }
+      }
+      val freq = spans.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size).filter(_._2 > maxDf).keySet
+      val expect = docs.map { case (id, _) =>
+        val tk = toks(id)
+        val covered = spans.filter(p => p._1 == id && freq(p._3))
+          .flatMap(p => p._2 until p._2 + L).toSet
+        val kept = tk.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+        (id, tk.size.toLong, (tk.size - kept.size).toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+      val got = CorpusStats.removeRepeatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", L, maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === expect, s"corpus $gi: $docs")
+    }
+  }
+
+  test("property: tfidfKeywords matches a local reference on random corpora") {
+    import graft.llm.CorpusStats
+    val k = 3
+    sample(corpusGen, 8).zipWithIndex.foreach { case (docs, gi) =>
+      val tf = docs.flatMap { case (id, t) =>
+        t.trim.split("\\s+").toSeq.map(w => (id, w))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dfq = tf.keySet.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expect = tf.toSeq
+        .map { case ((id, w), n) => (id, w, n, dfq(w), n * 1000000000L / dfq(w)) }
+        .groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+          ts.sortBy(t => (-t._5, t._2)).take(k).zipWithIndex
+            .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, (i + 1).toLong) }
+        }.sortBy(t => (t._1, t._6))
+      val got = CorpusStats.tfidfKeywords(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._6))
+      assert(got.toSeq === expect, s"corpus $gi: $docs")
+    }
+  }
 }
