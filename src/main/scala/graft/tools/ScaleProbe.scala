@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.llm.{CorpusStats, Dedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: the sf0.1 bench corpus is small enough that
+  * scheduling overhead dominates, so linear-vs-superlinear behavior of the
+  * corpus operators is invisible there. This tool generates synthetic
+  * corpora at two sizes (default 50k and 200k docs — 4×) with controlled
+  * duplicate structure (~1% exact dups, ~1% truncated near-dups, a shared
+  * 40-token footer on every 50th doc), runs the heavyweight operators at
+  * both sizes, and prints the wall-time ratio per operator. A ratio near
+  * the size ratio is evidence the op scales by data volume, not by pair
+  * blowup; a superlinear ratio flags a design problem long before a
+  * cluster run would.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [nSmall] [factor]
+  * Corpora are written to /tmp/graft_scale_<n>/documents.parquet and reused
+  * across invocations (delete to regenerate).
+  */
+object ScaleProbe {
+
+  /** Hash-derived token stream for a given doc id: ~60–300 tokens from a
+    * 20k-word vocab — the SAME formula regenerates any doc's text, which
+    * lets planted dups copy their neighbor without a shuffle.
+    */
+  private def genText(id: Column): Column = {
+    val len = (pmod(xxhash64(id), lit(240)) + 60).cast("int")
+    array_join(
+      transform(sequence(lit(1), len),
+        i => concat(lit("w"), pmod(xxhash64(id * 1000 + i), lit(20000)))), " ")
+  }
+
+  /** Deterministic synthetic corpus with planted structure: id%100==1 →
+    * exact copy of the previous doc; id%100==2 → 80%-truncated near-dup of
+    * the previous doc; id%50==7 → shared 40-token footer (real frequent
+    * spans). Footer ids never collide with dup-source ids (≡0,1 mod 100).
+    */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("doc_id")
+    val prevText = genText(id - 1)
+    val nearPrev = array_join(slice(split(prevText, " "), lit(1),
+      floor((pmod(xxhash64(id - 1), lit(240)) + 60) * 0.8).cast("int")), " ")
+    val footer = " " + (1 to 40).map(i => s"f$i").mkString(" ")
+    spark.range(n).toDF("doc_id").select(id,
+      when(pmod(id, lit(100)) === 1 && id > 0, prevText)
+        .when(pmod(id, lit(100)) === 2, nearPrev)
+        .when(pmod(id, lit(50)) === 7, concat(genText(id), lit(footer)))
+        .otherwise(genText(id)).as("text"))
+  }
+
+  private def materialize(spark: SparkSession, n: Long): String = {
+    val dir = s"/tmp/graft_scale_$n"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      corpus(spark, n).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    }
+    dir
+  }
+
+  private def time(label: String, n: Long)(f: => Long): (String, Double) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] n=$n%-8d $label%-18s $secs%7.2f s  ($rows rows)")
+    (label, secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = args.headOption.map(_.toLong).getOrElse(50000L)
+    val factor = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = GraftSession.local(32, "scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runAll(n: Long): Map[String, Double] = {
+      val docs = spark.read.parquet(s"${materialize(spark, n)}/documents.parquet")
+      Seq(
+        time("near_dup_drop", n) {
+          Dedup.dropNearDuplicates(docs, "doc_id", "text",
+            maxBucketSize = 10000).count()
+        },
+        time("span_removal", n) {
+          // aggregate REAL output columns: a bare count() lets Catalyst
+          // eliminate the final unique-key left join and skip the work
+          CorpusStats.removeRepeatedSpans(docs, "doc_id", "text",
+            spanTokens = 20, maxDf = 5)
+            .agg(sum("n_removed"), sum(length(col("clean_text"))))
+            .collect().length.toLong
+        },
+        time("tfidf", n) {
+          CorpusStats.tfidfKeywords(docs, "doc_id", "text", k = 5).count()
+        },
+        time("lm_score", n) {
+          CorpusStats.bigramLmScore(docs, "doc_id", "text").count()
+        }).toMap
+    }
+
+    // warm the JVM/codegen on the small corpus before measuring
+    spark.read.parquet(s"${materialize(spark, nSmall)}/documents.parquet").count()
+    val small = runAll(nSmall)
+    val big = runAll(nSmall * factor)
+    println(f"[scale] == ratios at ${factor}x data (linear = $factor.0) ==")
+    small.keys.toSeq.sorted.foreach { k =>
+      println(f"[scale] $k%-18s ${big(k) / small(k)}%5.2fx")
+    }
+    spark.stop()
+  }
+}
