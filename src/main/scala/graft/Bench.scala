@@ -99,10 +99,15 @@ object Bench {
     // parses must be final AND short: qNN_* keys abbreviate to qNN (full
     // names are in bench_out.json and the early line above).
     val qPrefix = "^(q\\d+)_.*$".r
-    val shortName: Map[String, String] =
+    val proposed: Map[String, String] =
       names.map(n => n -> (n match { case qPrefix(p) => p; case _ => n })).toMap
-    require(shortName.values.toSet.size == names.size,
-      "abbreviated bench keys collide; rename the offending query")
+    // a key collision must not kill the round's bench artifact: colliding
+    // entries fall back to their full names (the line may then exceed the
+    // tail window, but every non-colliding round still parses)
+    val collided = proposed.groupBy(_._2).filter(_._2.size > 1).keySet
+    val shortName = proposed.map { case (n, s) =>
+      n -> (if (collided(s)) n else s)
+    }
     def compact(decimals: Int): String = {
       val q = names.map(n => s"\"${shortName(n)}\":${fmt(warmMed(n), decimals)}")
         .mkString("{", ",", "}")

@@ -40,13 +40,16 @@ object ScaleProbe {
     */
   def corpus(spark: SparkSession, n: Long): DataFrame = {
     val id = col("doc_id")
-    val prevText = genText(id - 1)
-    val nearPrev = array_join(slice(split(prevText, " "), lit(1),
-      floor((pmod(xxhash64(id - 1), lit(240)) + 60) * 0.8).cast("int")), " ")
+    // both planted copies target doc id-2's ORIGINAL text: doc id-1 (≡1
+    // mod 100) is replaced by an exact copy of it, so truncating
+    // genText(id-1) would near-dup a text no document carries
+    val srcText = genText(id - 2)
+    val nearSrc = array_join(slice(split(srcText, " "), lit(1),
+      floor((pmod(xxhash64(id - 2), lit(240)) + 60) * 0.8).cast("int")), " ")
     val footer = " " + (1 to 40).map(i => s"f$i").mkString(" ")
     spark.range(n).toDF("doc_id").select(id,
-      when(pmod(id, lit(100)) === 1 && id > 0, prevText)
-        .when(pmod(id, lit(100)) === 2, nearPrev)
+      when(pmod(id, lit(100)) === 1 && id > 1, genText(id - 1))
+        .when(pmod(id, lit(100)) === 2 && id > 1, nearSrc)
         .when(pmod(id, lit(50)) === 7, concat(genText(id), lit(footer)))
         .otherwise(genText(id)).as("text"))
   }
