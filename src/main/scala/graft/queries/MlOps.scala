@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import graft.ml.{Features, Scoring}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering + in-warehouse model scoring — ML inference pushed
+  * into the query plan as fused Catalyst expressions (no UDFs, no per-row
+  * interpreter), with exact cross-engine semantics so every query has a
+  * DuckDB oracle: decimal-exact moments for standardization, fixed
+  * evaluation order for the float chains (IEEE ops are correctly rounded,
+  * so written order = bit-identical results), and a ranked DISTINCT
+  * dimension for category indices.
+  */
+object MlOps extends QueryPack {
+  import OracleSafe._
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** The one demo tree, shared by the Spark query and the SQL oracle. */
+  private val DemoTree: Scoring.Node = Scoring.Split("l_quantity", 25.0,
+    Scoring.Split("l_discount", 0.05,
+      Scoring.Leaf(0, 0.2), Scoring.Leaf(1, 0.8)),
+    Scoring.Split("l_tax", 0.04,
+      Scoring.Leaf(2, 0.5), Scoring.Leaf(3, 0.9)))
+
+  private val DemoWeights =
+    Seq("l_quantity" -> 0.05, "l_discount" -> -3.0, "l_tax" -> 1.5)
+  private val DemoBias = -0.6
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- per-group z-score standardization: decimal-exact μ/σ, one
+    //      stats shuffle joined back (no broadcast hint — stats scale
+    //      with group cardinality), map-only after ----
+    "feat_standardize" -> ((s, dir) =>
+      Features.standardize(t(s, dir).lineitem, "l_returnflag", "l_quantity",
+        "z_qty")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"), col("z_qty"))),
+
+    // ---- per-group min-max scaling into [0,1] ----
+    "feat_minmax" -> ((s, dir) =>
+      Features.minMaxScale(t(s, dir).lineitem, "l_returnflag",
+        "l_extendedprice", "mm_price")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"), col("mm_price"))),
+
+    // ---- deterministic category index: rank over the DISTINCT dimension
+    //      (category-cardinality sort), joined back — the fact table
+    //      never sorts ----
+    "feat_category_index" -> ((s, dir) =>
+      Features.categoryIndex(t(s, dir).events, "event_type", "cat_idx")
+        .select(col("event_id"), col("event_type"), col("cat_idx"),
+          col("cat_idx_n"))),
+
+    // ---- fused linear scorer: one arithmetic Column inside the scan
+    //      projection, margin + thresholded label ----
+    "ml_score_linear" -> ((s, dir) =>
+      Scoring.scoreLinear(t(s, dir).lineitem, DemoWeights, DemoBias, "score")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("score"), col("score_label"))),
+
+    // ---- decision tree compiled to nested CASE: leaf id + leaf value,
+    //      zero shuffles, codegen-resident ----
+    "ml_score_tree" -> ((s, dir) =>
+      Scoring.scoreTree(t(s, dir).lineitem, DemoTree, "pred")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("pred_leaf"), col("pred")))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "feat_standardize" ->
+      s"""WITH st AS (
+         |  SELECT l_returnflag AS g, ${sqlDavg("l_quantity")} AS mu,
+         |    ${sqlDavg("l_quantity * l_quantity")} AS musq
+         |  FROM lineitem GROUP BY 1),
+         |s2 AS (SELECT g, mu,
+         |  sqrt(greatest(musq - mu * mu, 0.0)) AS sigma FROM st)
+         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  l_returnflag,
+         |  CASE WHEN sigma > 0 THEN (l_quantity - mu) / sigma
+         |       ELSE 0.0 END AS z_qty
+         |FROM lineitem JOIN s2 ON l_returnflag = g""".stripMargin,
+
+    "feat_minmax" ->
+      """WITH st AS (
+        |  SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+        |    max(l_extendedprice) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_returnflag,
+        |  CASE WHEN hi > lo THEN (l_extendedprice - lo) / (hi - lo)
+        |       ELSE 0.0 END AS mm_price
+        |FROM lineitem JOIN st ON l_returnflag = g""".stripMargin,
+
+    "feat_category_index" ->
+      """WITH dim AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+        |      AS cat_idx,
+        |    count(*) OVER () AS cat_idx_n
+        |  FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT event_id, event_type, cat_idx, cat_idx_n
+        |FROM events JOIN dim USING (event_type)""".stripMargin,
+
+    "ml_score_linear" -> {
+      val expr = Scoring.linearSql(DemoWeights, DemoBias)
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($expr AS DOUBLE) AS score,
+         |  CAST(CASE WHEN $expr > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS score_label
+         |FROM lineitem""".stripMargin
+    },
+
+    "ml_score_tree" -> {
+      val leaf = Scoring.treeSql(DemoTree, asValue = false)
+      val value = Scoring.treeSql(DemoTree, asValue = true)
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($leaf AS BIGINT) AS pred_leaf,
+         |  CAST($value AS DOUBLE) AS pred
+         |FROM lineitem""".stripMargin
+    }
+  )
+}
