@@ -191,6 +191,19 @@ object LlmOps extends QueryPack {
       t(s, dir).documents.select(col("doc_id"),
         splitCol(col("doc_id")).as("split"))),
 
+    // ---- deterministic WEIGHTED sampling (quality-weighted corpus
+    //      selection, the DCLM/FineWeb-style soft filter): keep each doc
+    //      with probability = its quality score, decided by an md5-derived
+    //      uniform — RNG-free, map-only, reproducible on any layout, and a
+    //      doc's fate never changes as the corpus grows ----
+    "sample_weighted" -> ((s, dir) => {
+      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double")
+      t(s, dir).documents
+        .filter(u32 < TextOps.qualityScore(col("text")) * 4294967296.0)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ---- deterministic stratified downsampling (corpus rebalancing:
     //      keep 10% of over-represented 'en', 50% of the rest) — same
     //      md5-bucket trick as sample_split, map-only, reproducible ----
@@ -720,6 +733,12 @@ object LlmOps extends QueryPack {
          |SELECT span, n_docs FROM c
          |ORDER BY n_docs DESC, span ASC LIMIT 30""".stripMargin
     },
+
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(CAST(concat('0x',
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |  AS DOUBLE) < ($duckQuality) * 4294967296.0""".stripMargin,
 
     "dedup_span_removal" ->
       s"""WITH p AS ($duckFootered),
