@@ -24,6 +24,39 @@ import org.apache.spark.sql.SparkSession
   * driver's scrollback.
   */
 object Bench {
+
+  /** Key abbreviation for the printed line (full names stay in
+    * bench_out.json): explicit overrides for long outliers, then
+    * `<code>NN_description` → `<code>NN` (the driver's own `"q1"` example
+    * format, generalized to the reference-row codes s1/t3/o5/…), then
+    * mechanical family-prefix compressions. BenchArtifactSpec asserts the
+    * worst-case line fits the tail window and the keys stay
+    * collision-free.
+    */
+  private val Overrides = Map(
+    "split_leakage_free" -> "split_lf",
+    "feat_category_index" -> "ft_catidx",
+    "sim_neardup_cosine" -> "si_neardup",
+    "dedup_ngram_jaccard" -> "dd_jaccard",
+    "dedup_span_removal" -> "dd_spans",
+    "dedup_against_ref" -> "dd_vs_ref",
+    "mm_binary_stats" -> "mm_stats",
+    "pipeline_curate" -> "pipe_cur",
+    "corpus_shuffle" -> "cshuffle",
+    "d2_json_decode" -> "d2_dec",
+    "d2_json_props" -> "d2_props")
+  private val codePrefix = "^([a-z]\\d+)_.*$".r
+  private val FamilyAbbrev = Seq(
+    "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",
+    "sample_" -> "sm_", "mixture_" -> "mx_", "pack_" -> "pk_",
+    "feat_" -> "ft_", "ml_score_" -> "ml_")
+  def shortName(n: String): String = Overrides.getOrElse(n, n match {
+    case codePrefix(p) => p
+    case _ => FamilyAbbrev.collectFirst {
+      case (long, short) if n.startsWith(long) =>
+        short + n.stripPrefix(long)
+    }.getOrElse(n)
+  })
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,22 +129,22 @@ object Bench {
     spark.stop()
 
     // The driver keeps only the last ~2000 chars of stdout, so the line it
-    // parses must be final AND short: qNN_* keys abbreviate to qNN (full
-    // names are in bench_out.json and the early line above).
-    val qPrefix = "^(q\\d+)_.*$".r
-    val proposed: Map[String, String] =
-      names.map(n => n -> (n match { case qPrefix(p) => p; case _ => n })).toMap
+    // parses must be final AND short: keys abbreviate via Bench.shortName
+    // (full names are in bench_out.json and the early line above).
+    val proposed: Map[String, String] = names.map(n => n -> shortName(n)).toMap
     // a key collision must not kill the round's bench artifact: colliding
     // entries fall back to their full names (the line may then exceed the
     // tail window, but every non-colliding round still parses)
     val collided = proposed.groupBy(_._2).filter(_._2.size > 1).keySet
-    val shortName = proposed.map { case (n, s) =>
+    val shortKey = proposed.map { case (n, s) =>
       n -> (if (collided(s)) n else s)
     }
     def compact(decimals: Int): String = {
-      val q = names.map(n => s"\"${shortName(n)}\":${fmt(warmMed(n), decimals)}")
+      val q = names.map(n => s"\"${shortKey(n)}\":${fmt(warmMed(n), decimals)}")
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","warm_reps":$reps,"queries":$q,"sf":"$sfDir"}"""
+      // basename only: the full dir is in the early line + bench_out.json
+      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","warm_reps":$reps,"queries":$q,"sf":"$sfShort"}"""
     }
     val tailLine = Seq(3, 2).map(compact).find(_.length <= 1880)
       .getOrElse(compact(1))
