@@ -485,6 +485,22 @@ object LlmOps extends QueryPack {
       Similarity.semDedup(vecsWithDups(s, dir), threshold = 0.99)
         .select(col("vec_id"))),
 
+    // ---- corpus datacard: the per-language dataset-card panel every
+    //      corpus release ships — doc/token counts, exact-dup rate, mean
+    //      quality, long-doc share. ONE partial-agg'd shuffle (the exact
+    //      distinct pays the standard second phase) ----
+    "corpus_datacard" -> ((s, dir) => {
+      val toks = TextOps.tokenCount(col("text"))
+      t(s, dir).documents.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(toks).as("total_tokens"),
+          OracleSafe.davg(TextOps.qualityScore(col("text")))
+            .as("mean_quality"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+          sum(when(toks >= 100, 1L).otherwise(0L)).as("n_long"))
+    }),
+
     // ---- composed curation pipeline: quality gate → exact dedup (min-id
     //      survivor per normalized content) → split assignment → per-
     //      (lang, split) counts. The whole composition is oracle-checked,
@@ -733,6 +749,15 @@ object LlmOps extends QueryPack {
          |SELECT span, n_docs FROM c
          |ORDER BY n_docs DESC, span ASC LIMIT 30""".stripMargin
     },
+
+    "corpus_datacard" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($DuckToks)) AS BIGINT) AS total_tokens,
+         |  ${OracleSafe.sqlDavg(s"($duckQuality)")} AS mean_quality,
+         |  count(DISTINCT md5(text)) AS n_unique,
+         |  CAST(sum(CASE WHEN len($DuckToks) >= 100 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_long
+         |FROM documents GROUP BY lang""".stripMargin,
 
     "sample_weighted" ->
       s"""SELECT doc_id, lang FROM documents

@@ -74,6 +74,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("degenerate corpora: all-identical docs, empty text, one giant doc") {
+    // all-identical: every term ties (same tf, df=n) → alphabetical top-k;
+    // tfidf must not blow up on total rank ties
+    val same = (1 to 6).map(i => (i.toLong, "b a c b")).toDF("doc_id", "text")
+    val top = CorpusStats.tfidfKeywords(same, "doc_id", "text", k = 2)
+      .filter($"doc_id" === 1L).orderBy("rank")
+      .collect().map(_.getString(1))
+    assert(top.toSeq === Seq("b", "a")) // tf=2 beats tf=1; then alphabetical
+    // empty text tokenizes to one "" token — survives all three ops
+    val empty = Seq((1L, ""), (2L, "x y")).toDF("doc_id", "text")
+    assert(CorpusStats.tfidfKeywords(empty, "doc_id", "text", 3).count() === 3)
+    assert(CorpusStats.removeRepeatedSpans(empty, "doc_id", "text", 2, 1)
+      .count() === 2)
+    assert(CorpusStats.bigramLmScore(empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(2L))
+    // one giant doc among small ones: per-doc work is bounded by doc size,
+    // and the giant's spans are unique → untouched
+    val giant = (1 to 3).map(i => (i.toLong, s"tiny$i doc")) :+
+      (99L, (1 to 5000).map(j => s"g$j").mkString(" "))
+    val out = CorpusStats.removeRepeatedSpans(
+      giant.toDF("doc_id", "text"), "doc_id", "text", 20, 1)
+      .filter($"doc_id" === 99L).head()
+    assert(out.getLong(1) === 5000L && out.getLong(2) === 0L)
+  }
+
   test("removeRepeatedSpans: overlapping frequent spans merge their cover") {
     // every doc is the same 8 tokens → every 6-token span (3 of them) is
     // frequent; the union covers all 8 positions → clean_text empty
