@@ -138,27 +138,82 @@ object CorpusStats extends Serializable {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     guard(idCol)
-    val tk = TextOps.tokens(col(textCol))
-    val base = df.select(col(idCol), tk.as("tk"))
-    val L = spanTokens
+    val base = tokenized(df, idCol, textCol)
+    val spans = spanFrame(base, idCol, spanTokens)
+    val frequent = spans.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("span_df"))
+      .filter(col("span_df") > maxDf)
+      .select("h")
+    cutCovered(base, spans, frequent, idCol, spanTokens)
+  }
 
-    // docs shorter than one span contribute no spans (filter BEFORE
-    // sequence() — sequence(1, 0) is a descending [1, 0], not empty)
-    val spans = base.filter(size(col("tk")) >= L).select(col(idCol), explode(
+  /** Persisted span document-frequency index: (h, span_df) over a corpus —
+    * the boilerplate-tracking state an ingestion loop keeps between
+    * batches. Merge batches with [[mergeSpanDfIndex]]: ids are disjoint
+    * across batches, so summed per-batch distinct counts equal the
+    * distinct count over the union (exact, not approximate).
+    */
+  def spanDfIndex(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    guard(idCol)
+    spanFrame(tokenized(df, idCol, textCol), idCol, spanTokens)
+      .groupBy("h").agg(countDistinct(col(idCol)).as("span_df"))
+  }
+
+  /** Additive merge of span-df indexes built over DISJOINT doc sets. */
+  def mergeSpanDfIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("h").agg(sum(col("span_df")).as("span_df"))
+
+  /** Incremental repeated-span removal for continuous ingestion: clean a
+    * `fresh` batch against the corpus-wide span frequencies — the batch's
+    * own spans PLUS the persisted `existingIndex` ([[spanDfIndex]] rows
+    * built with the same spanTokens, disjoint ids) — without re-scanning
+    * historical text. Byte-identical on the fresh rows to running
+    * [[removeRepeatedSpans]] over (existing ∪ fresh), because summed
+    * disjoint distinct counts ARE the union's document frequencies.
+    *
+    * Returns (cleaned fresh rows, the fresh batch's own index rows) so the
+    * loop can [[mergeSpanDfIndex]] and persist without recomputing spans.
+    */
+  def removeRepeatedSpansIncremental(existingIndex: DataFrame,
+      fresh: DataFrame, idCol: String, textCol: String, spanTokens: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    guard(idCol)
+    val base = tokenized(fresh, idCol, textCol)
+    val spans = spanFrame(base, idCol, spanTokens)
+    val freshIndex = spans.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("span_df"))
+    val merged = mergeSpanDfIndex(existingIndex, freshIndex)
+    val frequent = merged.filter(col("span_df") > maxDf).select("h")
+    (cutCovered(base, spans, frequent, idCol, spanTokens), freshIndex)
+  }
+
+  private def tokenized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+
+  /** (id, pos, h): every spanTokens-token window's md5, 1-based positions.
+    * Docs shorter than one span contribute no spans (filter BEFORE
+    * sequence() — sequence(1, 0) is a descending [1, 0], not empty).
+    */
+  private def spanFrame(base: DataFrame, idCol: String, L: Int): DataFrame =
+    base.filter(size(col("tk")) >= L).select(col(idCol), explode(
       transform(sequence(lit(1), size(col("tk")) - (L - 1)),
         i => struct(i.as("pos"),
           md5(array_join(slice(col("tk"), i, lit(L)), " ").cast("binary"))
             .as("h")))).as("sp"))
       .select(col(idCol), col("sp.pos"), col("sp.h"))
-    val frequent = spans.groupBy("h")
-      .agg(countDistinct(col(idCol)).as("span_df"))
-      .filter(col("span_df") > maxDf)
-      .select("h")
+
+  /** Cut every token covered by a frequent-span occurrence and rebuild the
+    * text from the kept (pos, token) pairs.
+    */
+  private def cutCovered(base: DataFrame, spans: DataFrame,
+      frequent: DataFrame, idCol: String, L: Int): DataFrame = {
     val covered = spans.join(frequent, "h")
       .select(col(idCol), explode(sequence(col("pos"),
         col("pos") + (L - 1))).as("p"))
       .distinct()
-
     val toksPos = base.select(col(idCol),
       posexplode(col("tk")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
@@ -167,7 +222,6 @@ object CorpusStats extends Serializable {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("p"),
           col("tok")))), s => s("tok")), " ").as("clean_text"))
-
     base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),

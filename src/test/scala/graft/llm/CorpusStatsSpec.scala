@@ -99,6 +99,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.getLong(1) === 5000L && out.getLong(2) === 0L)
   }
 
+  test("incremental span removal equals the batch recompute on fresh rows") {
+    val footer = (1 to 6).map(i => s"f$i").mkString(" ")
+    val old = (1 to 3).map(i => (i.toLong, s"old${i}a old${i}b $footer"))
+      .toDF("doc_id", "text")
+    val fresh = (4 to 6).map(i => (i.toLong, s"new${i}a new${i}b $footer"))
+      .toDF("doc_id", "text")
+    val idx = CorpusStats.spanDfIndex(old, "doc_id", "text", spanTokens = 6)
+    val (cleaned, freshIdx) = CorpusStats.removeRepeatedSpansIncremental(
+      idx, fresh, "doc_id", "text", spanTokens = 6, maxDf = 3)
+    val batch = CorpusStats.removeRepeatedSpans(
+      old.unionByName(fresh), "doc_id", "text", spanTokens = 6, maxDf = 3)
+      .filter($"doc_id" >= 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(cleaned) === rows(batch))
+    // the footer reached df=6 > 3 only ACROSS the index merge: each side
+    // alone has df=3, so the incremental path genuinely used the index
+    assert(rows(cleaned).forall(_._3 === 6L))
+    // merged index round-trips: merging fresh rows in gives the union's df
+    val merged = CorpusStats.mergeSpanDfIndex(idx, freshIdx)
+    val full = CorpusStats.spanDfIndex(old.unionByName(fresh), "doc_id",
+      "text", spanTokens = 6)
+    assert(merged.orderBy("h").collect().toSeq ===
+      full.orderBy("h").collect().toSeq)
+  }
+
   test("removeRepeatedSpans: overlapping frequent spans merge their cover") {
     // every doc is the same 8 tokens → every 6-token span (3 of them) is
     // frequent; the union covers all 8 positions → clean_text empty
