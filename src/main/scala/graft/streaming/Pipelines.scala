@@ -124,6 +124,55 @@ object Pipelines {
       .start()
   }
 
+  /** Continuous boilerplate removal: each micro-batch of documents cleans
+    * itself against the corpus-wide span frequencies — its own spans plus
+    * the persisted span-df index — and appends both its cleaned rows and
+    * its index contribution, never re-scanning historical text
+    * ([[graft.llm.CorpusStats.removeRepeatedSpansIncremental]]; the same
+    * per-batch-partition idempotent layout as [[nearDupIngest]]: a retry
+    * overwrites its own `batch=` partitions and reads only PRIOR state).
+    *
+    * Streaming semantics caveat, by design: a span that only becomes
+    * frequent in a later batch is cut from that batch on, not
+    * retroactively — already-written batches are immutable (run the batch
+    * operator over the corpus for a full retro-clean).
+    */
+  def boilerplateIngest(stream: DataFrame, idCol: String, textCol: String,
+      cleanDir: String, indexDir: String, checkpointDir: String,
+      spanTokens: Int = 20,
+      maxDf: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.CorpusStats
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        if (fresh.count() > 0) {
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val haveIndex = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxPath)
+          val existingIndex =
+            if (haveIndex)
+              // per-batch partitions re-aggregate to corpus-wide df on
+              // read (batches have disjoint ids, so sums are exact); a
+              // retry must exclude its failed attempt's own partition
+              spark.read.parquet(indexDir)
+                .where(col("batch") =!= batchId)
+                .groupBy("h").agg(sum(col("span_df")).as("span_df"))
+            else {
+              import spark.implicits._
+              Seq.empty[(String, Long)].toDF("h", "span_df")
+            }
+          val (cleaned, freshIdx) = CorpusStats.removeRepeatedSpansIncremental(
+            existingIndex, fresh, idCol, textCol, spanTokens, maxDf)
+          cleaned.write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+          freshIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Continuous attribution: each conversion credited ONCE to a same-key
     * trigger within the preceding `window` — `Streams.intervalJoin`
     * (watermark-bounded state), a per-conversion dedup so a conversion

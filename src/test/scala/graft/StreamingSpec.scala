@@ -129,6 +129,37 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds.toSeq === Seq(1L, 2L, 8L))
   }
 
+  test("boilerplateIngest cuts spans that become frequent across batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bpi").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.boilerplateIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/clean", s"$base/index", s"$base/ckpt",
+      spanTokens = 4, maxDf = 3)
+    val footer = (1 to 4).map(i => s"f$i").mkString(" ")
+    // batch 1: footer df=3 ≤ maxDf → everything kept verbatim
+    mem.addData((1 to 3).map(i => (i.toLong, s"one$i two$i $footer")): _*)
+    q.processAllAvailable()
+    // batch 2: merged footer df=6 > 3 → cut from batch-2 docs only
+    mem.addData((4 to 6).map(i => (i.toLong, s"one$i two$i $footer")): _*)
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$base/clean")
+      .select($"doc_id", $"n_removed", $"clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(out.length === 6)
+    out.filter(_._1 <= 3).foreach { case (id, nRem, text) =>
+      assert(nRem === 0L && text.endsWith(footer), s"batch-1 doc $id changed")
+    }
+    out.filter(_._1 >= 4).foreach { case (id, nRem, text) =>
+      assert(nRem === 4L && text === s"one$id two$id", s"doc $id kept footer")
+    }
+    // the persisted index re-aggregates to the union's frequencies
+    val df = spark.read.parquet(s"$base/index")
+      .groupBy($"h").agg(sum($"span_df").as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(df === 6L)
+  }
+
   test("dropIfInReference gates a stream against a static reference (stateless)") {
     // the SAME batch operator runs on a stream unchanged: the bloom builds
     // from the static side at plan time, the pre-filter is map-only, and
