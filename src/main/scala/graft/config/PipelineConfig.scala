@@ -18,7 +18,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * so declared pipelines get durable state, skip-if-complete, and error
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
   * (`dedup_exact`, `quality_gate`, `normalize`, `redact`, `chunk`,
-  * `span_removal`, `lm_score`) makes the LLM-data operators declarable — a
+  * `span_removal`, `lm_score`, `standardize`, `score_linear`) makes the
+  * LLM-data and feature/scoring operators declarable — a
   * config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
   *
@@ -224,6 +225,30 @@ object PipelineConfig {
             case _ => sys.error("lm_score needs cols = [idCol, textCol]")
           }
           d.join(graft.llm.CorpusStats.bigramLmScore(d, idc, c), Seq(idc), "left")
+        // per-group z-score feature: cols = [groupCol, valueCol],
+        // name = output column
+        case "standardize" =>
+          val Seq(g, v) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("standardize needs cols = [groupCol, valueCol]")
+          }
+          graft.ml.Features.standardize(d, g, v,
+            t.name.getOrElse(v + "_z"))
+        // fused linear scorer: name = output column,
+        // expr = "bias, feature:weight, feature:weight, ..."
+        case "score_linear" =>
+          val parts = t.expr.getOrElse(
+            sys.error("score_linear needs expr = \"bias, col:w, ...\""))
+            .split(",").map(_.trim).toSeq
+          val bias = parts.head.toDouble
+          val ws = parts.tail.map { p =>
+            p.split(":") match {
+              case Array(c, w) => c.trim -> w.trim.toDouble
+              case _ => sys.error(s"score_linear: bad weight '$p'")
+            }
+          }
+          graft.ml.Scoring.scoreLinear(d, ws, bias,
+            t.name.getOrElse("score"))
 
         case other => sys.error(s"unknown transform op: $other")
       }

@@ -129,6 +129,36 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("declared standardize → score_linear chain (feature-to-score config)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_ml").toString + "/j"
+    val lines = Seq(
+      """{"id":1,"g":"a","x":1.0}""", """{"id":2,"g":"a","x":2.0}""",
+      """{"id":3,"g":"a","x":3.0}""", """{"id":4,"g":"b","x":7.0}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-ml", "name": "mlchain", "steps": [
+         |  { "step": "score", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, g STRING, x DOUBLE",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "standardize", "cols": ["g", "x"], "name": "z" },
+         |      { "op": "score_linear", "name": "s", "expr": "0.5, z:2.0" },
+         |      { "op": "select", "cols": ["id", "z", "s", "s_label"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("z"),
+        r.getAs[Double]("s"), r.getAs[Long]("s_label"))).sortBy(_._1)
+    assert(rows.length === 4)
+    // group a: z of the middle value is 0 → s = 0.5 → label 1
+    assert(rows(1)._2 === 0.0 && rows(1)._3 === 0.5 && rows(1)._4 === 1L)
+    // constant group b standardizes to 0
+    assert(rows(3)._2 === 0.0)
+    // z=-sqrt(3/2) for x=1 → s = 0.5 - 2*1.2247... < 0 → label 0
+    assert(rows(0)._3 < 0 && rows(0)._4 === 0L)
+  }
+
   test("max_errors aborts a declared pipeline (simple-pipeline max-error case)") {
     val store = new InMemoryStore
     val conf = PipelineConfig.parse(confJson(
