@@ -113,12 +113,21 @@ object Similarity extends Serializable {
     * feeds ordinary equi-joins.
     */
   def lshIndex(df: DataFrame, tables: Int, bits: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = df.sparkSession
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshFromVecs(
+      df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")),
+      tables, bits, idCol)
+
+  /** LSH kernel over an already-narrow (id: long, vec: array<double>)
+    * frame — lets callers that materialized the projection (e.g.
+    * [[cosineNearDups]]) index it without re-deriving from source.
+    */
+  private def lshFromVecs(vecs: DataFrame, tables: Int, bits: Int,
+      idCol: String): DataFrame = {
+    val spark = vecs.sparkSession
     import spark.implicits._
     val planes = planesArray(tables, bits)
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
+    vecs.as[(Long, Seq[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
         bucketsScala(v, planes, tables, bits).iterator.zipWithIndex
           .map { case (bk, t) => (id, t, bk) }
@@ -610,14 +619,21 @@ object Similarity extends Serializable {
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 10000): DataFrame = {
-    val idx = lshIndex(df, tables, bits, idCol, vecCol)
+    // one materialization of the narrow (id, vec) frame: the LSH kernel
+    // and BOTH pair-side joins read it instead of three source scans
+    // (same pattern as semDedup; compact binary, no lineage)
+    val vecs = vectorsOf(df, idCol, vecCol, "__cnd_id", "__cnd_v")
+      .localCheckpoint()
+    val idx = lshFromVecs(vecs, tables, bits, idCol)
     // bucket-local pair generation: one shuffle of slim (table, bucket, id)
     // rows instead of a two-sided self-join; a pair colliding in up to
     // `tables` buckets still reaches distinct() only as (id_a, id_b) longs
     val cands = Dedup.pairsWithinBuckets(idx, Seq("table", "bucket"), idCol,
       maxBucketSize)
-      .join(vectorsOf(df, idCol, vecCol, "id_a", "va"), "id_a")
-      .join(vectorsOf(df, idCol, vecCol, "id_b", "vb"), "id_b")
+      .join(vecs.select(col("__cnd_id").as("id_a"),
+        col("__cnd_v").as("va")), "id_a")
+      .join(vecs.select(col("__cnd_id").as("id_b"),
+        col("__cnd_v").as("vb")), "id_b")
     cosineOfPairs(cands, "id_a", "id_b")
       .withColumn("sim", round(col("sim_raw"), 4))
       .filter(col("sim") >= threshold)
