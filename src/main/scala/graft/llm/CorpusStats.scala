@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * engine reproduces the result bit-for-bit (driver contract): ranks compare
   * integer-scaled rationals (`tf·10⁹ div df`), and the LM score accumulates
   * `floor(ln(p)·10⁶)` per bigram as BIGINT — summation order can't change a
-  * BIGINT sum, and the only cross-engine float risk left is `ln` differing at
-  * the floor boundary (width 1e-6, libm vs JVM disagreement ~1e-16 relative —
-  * vanishing, and independent of scale-up).
+  * BIGINT sum, and the `ln` itself is [[graft.functions.PortableMath]]'s
+  * engine-exact staged expression (integer argument reduction + an IEEE
+  * basic-ops polynomial), not a libm/JVM `log` whose last-ulp disagreement
+  * can flip the floor (it did, once, at sf0.01 — see PortableMath's scaladoc).
   *
   * Scale notes (100 TB stance): every shuffle below carries slim
   * (token/hash, count) or (doc, pos, hash) rows, never document text; spans
@@ -29,11 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats extends Serializable {
 
-  // working column names; an idCol that collides would silently join wrong
+  // working column names; an idCol that collides would silently join wrong.
+  // Includes bigramLmScore's per-doc multiplicity columns (m, lpm) and the
+  // PortableMath.microLnStages working columns; CorpusStatsSpec keeps this
+  // set in sync with the code by grepping the working-column usages.
   private val Reserved = Set("term", "tf", "df", "tfidf_key", "rank",
     "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
     "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
-    "n_tokens", "n_removed", "clean_text")
+    "n_tokens", "n_removed", "clean_text", "m", "lpm", "avg_nll_micro") ++
+    graft.functions.PortableMath.microLnColumns
 
   private def guard(idCol: String): Unit =
     require(!Reserved(idCol),
@@ -105,12 +110,17 @@ object CorpusStats extends Serializable {
     val uni = df.select(explode(tk).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = uni.agg(count(lit(1)).as("vocab"))
-    val logpMicro = floor(
-      log((col("c2") + 1).cast("double") / (col("c1") + col("vocab"))) *
-        1000000L).cast("long")
-    // model-sized joins build (w1, w2, lp); instances join the model ONCE
-    val model = c2.join(uni, Seq("w1")).crossJoin(broadcast(v))
-      .select(col("w1"), col("w2"), logpMicro.as("lp"))
+    // model-sized joins build (w1, w2, lp); instances join the model ONCE.
+    // lp = floor(ln((c2+1)/(c1+V))·10⁶) via PortableMath's engine-exact
+    // staged expression — a bare ln() here is JVM-vs-libm dependent at floor
+    // boundaries and broke the cross-engine oracle hash at sf0.01.
+    val lnStages = graft.functions.PortableMath.microLnStages(
+      "c2 + 1", "c1 + vocab", graft.functions.PortableMath.sparkShiftLeft)
+    val model = lnStages.foldLeft(
+        c2.join(uni, Seq("w1")).crossJoin(broadcast(v))) {
+        case (d, (name, sql)) => d.withColumn(name, expr(sql))
+      }
+      .select(col("w1"), col("w2"), col("lp"))
     perDoc.join(model, Seq("w1", "w2"))
       .select(col(idCol), col("m"), (col("m") * col("lp")).as("lpm"))
       .groupBy(col(idCol))

@@ -550,6 +550,26 @@ object LlmOps extends QueryPack {
 
   // shared SQL fragments for the oracle side
   private val DuckToks = raw"string_split_regex(trim(text), '\s+')"
+
+  /** CTE chain applying PortableMath.microLnStages in the DuckDB dialect:
+    * starts from CTE `from` (which must expose the stage inputs), emits one
+    * CTE per stage, ending in CTE `lnfin` carrying `from`'s columns + `lp`.
+    * Sharing the generator with the Spark side is what makes the oracle
+    * engine-exact — both engines evaluate the identical expression DAG.
+    */
+  private def duckMicroLnCtes(from: String, aExpr: String,
+      bExpr: String): String = {
+    val stages = graft.functions.PortableMath.microLnStages(
+      aExpr, bExpr, graft.functions.PortableMath.duckShiftLeft)
+    val (ctes, last) = stages.zipWithIndex.foldLeft(
+        (Vector.empty[String], from)) {
+      case ((acc, prev), ((name, sql), i)) =>
+        val cte = if (i == stages.size - 1) "lnfin" else s"ln$i"
+        (acc :+ s"$cte AS (SELECT *, $sql AS $name FROM $prev)", cte)
+    }
+    require(last == "lnfin")
+    ctes.mkString(",\n")
+  }
   /** Brute-force exact-Jaccard near-dup pairs over the planted-dup corpus —
     * the ONE pair definition shared by the dedup_minhash and
     * dedup_components oracles (CTE chain ending in `npairs`).
@@ -815,15 +835,16 @@ object LlmOps extends QueryPack {
          |c1 AS (SELECT w1, count(*) AS c1
          |       FROM (SELECT unnest(tk) AS w1 FROM toksq) GROUP BY 1),
          |v AS (SELECT count(*) AS vocab FROM c1),
-         |lp AS (
-         |  SELECT doc_id,
-         |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vocab)) * 1000000)
-         |      AS BIGINT) AS lp
-         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |model0 AS (
+         |  SELECT w1, w2, c2, c1, vocab
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+         |${duckMicroLnCtes("model0", "c2 + 1", "c1 + vocab")},
+         |lpj AS (
+         |  SELECT doc_id, lp FROM bg JOIN lnfin USING (w1, w2))
          |SELECT doc_id, count(*) AS n_bigrams,
          |  -sum(lp) AS nll_micro,
          |  (-sum(lp)) // count(*) AS avg_nll_micro
-         |FROM lp GROUP BY doc_id""".stripMargin,
+         |FROM lpj GROUP BY doc_id""".stripMargin,
 
     "text_commonness" ->
       s"""WITH tok AS (

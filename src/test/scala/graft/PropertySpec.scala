@@ -257,4 +257,45 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === expect, s"corpus $gi: $docs")
     }
   }
+
+  test("property: PortableMath microLn SQL stages match the JVM reference, including floor-boundary cases") {
+    import graft.functions.PortableMath
+    // random (c2, c1, V) triples in the LM-score shape (a = c2+1 ≤ b = c1+V)
+    val triGen: Gen[(Long, Long, Long)] = for {
+      c1 <- Gen.choose(1L, 10000000L)
+      c2 <- Gen.choose(0L, math.min(c1, 1000000L))
+      v <- Gen.choose(1L, 1000000L)
+    } yield (c2, c1, v)
+    val random = sample(triGen, 2000)
+    // plant cases where true ln(a/b)·10⁶ sits within 1e-6 of a floor
+    // boundary — exactly where a last-ulp engine disagreement in a bare
+    // ln() flips the fixed-point value (the round-5 correctness failure)
+    val boundary = (for {
+      b <- 2L to 4000L
+      a <- 1L to math.min(b, 80L)
+      t = math.log(a.toDouble / b) * 1e6
+      if math.abs(t - math.rint(t)) < 1e-3
+    } yield (a - 1, b - 1, 1L)).take(500)
+    val all = (random ++ boundary).distinct
+    val expect = all.map { case (c2, c1, v) =>
+      (c2, c1, v, PortableMath.microLnRef(c2 + 1, c1 + v))
+    }
+    val stages = PortableMath.microLnStages(
+      "c2 + 1", "c1 + vocab", PortableMath.sparkShiftLeft)
+    val got = stages.foldLeft(all.toDF("c2", "c1", "vocab")) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select($"c2", $"c1", $"vocab", $"lp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(boundary.size > 50, "boundary hunt found too few planted cases")
+    assert(got.toSeq.sorted === expect.sorted)
+    // and the polynomial stays within the 1e-6 fixed-point granularity of
+    // the true logarithm (semantics check, not just determinism)
+    expect.foreach { case (c2, c1, v, lp) =>
+      val t = math.log((c2 + 1).toDouble / (c1 + v))
+      assert(math.abs(t - lp / 1e6) <= 1.000001e-6,
+        s"($c2,$c1,$v): lp=$lp true=$t")
+    }
+  }
 }

@@ -136,4 +136,30 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getString(3))).distinct
     assert(out.toSeq === Seq((8L, "")))
   }
+
+  test("Reserved guard covers every working column the file actually uses") {
+    // keep the Reserved set honest by grepping the source for .as("...") /
+    // AS-column usages — a new working column that skips the guard would
+    // let a colliding idCol silently join wrong
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/llm/CorpusStats.scala")), "UTF-8")
+    val declared = """\.as\("([a-z_0-9]+)"\)""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    val guarded = declared.filter { c =>
+      intercept[IllegalArgumentException] {
+        CorpusStats.tfidfKeywords(
+          Seq((1L, "x")).toDF(c, "text"), c, "text", 1)
+      }.getMessage.contains("collides")
+      true
+    }
+    assert(guarded === declared) // every declared working column is Reserved
+    // and the microLn stage columns are in there too
+    graft.functions.PortableMath.microLnColumns.foreach { c =>
+      val e = intercept[IllegalArgumentException] {
+        CorpusStats.bigramLmScore(Seq((1L, "a b")).toDF(c, "text"), c, "text")
+      }
+      assert(e.getMessage.contains("collides"), s"column $c not guarded")
+    }
+  }
 }
