@@ -44,11 +44,19 @@ object Mixture extends Serializable {
     * sort — a corpus-sized group makes that a giant single-partition sort.
     * Instead a 256-cell md5-prefix histogram per group (one partial agg,
     * |groups|×256 rows collected — bounded like the IVF centroid collect)
-    * locates each group's boundary bucket; rows below it are kept with a
-    * map-side comparison and ONLY the boundary bucket (~1/256 of the
-    * group) pays a window. The histogram walk and the plain per-group
-    * rank produce the same set because the bucket is the hash's own
-    * prefix: (bucket, hash, id) order IS (hash, id) order.
+    * locates each group's boundary bucket; rows below it are kept outright
+    * and ONLY the boundary bucket (~1/256 of the group) pays a window. The
+    * histogram walk and the plain per-group rank produce the same set
+    * because the bucket is the hash's own prefix: (bucket, hash, id) order
+    * IS (hash, id) order.
+    *
+    * Corpus-scan economics: the weighted rows are scanned ONCE into a slim
+    * locally-checkpointed (group, id, measure) projection — the measure
+    * (often a tokenizer pass) evaluates once per row — and the histogram
+    * plus both kept-set branches read the checkpoint; the output is one
+    * LEFT SEMI join of the source against the kept ids (a single FileScan
+    * in the final plan, PlanSpec-asserted). `idCol` must uniquely identify
+    * rows — the kept set is joined back by id.
     */
   private def resampleByMeasure(df: DataFrame, groupCol: String,
       measure: Column, weights: Map[String, Long], idCol: String): DataFrame = {
@@ -64,14 +72,17 @@ object Mixture extends Serializable {
     val hash = md5(col(idCol).cast("string"))
     val bucket = substring(hash, 1, 2)
     val inMix = df.filter(col(groupCol).isInCollection(weights.keys.toSeq))
-      .withColumn("__mxm", measure)
+    // ONE scan of the weighted rows: slim (group, id, measure) checkpoint
+    val slim = inMix.withColumn("__mxm", measure)
+      .select(col(groupCol), col(idCol), col("__mxm"))
+      .localCheckpoint()
 
     // |groups|×256 rows — bounded, the only driver-side state
-    val hist = inMix.groupBy(col(groupCol).as("g"), bucket.as("b"))
+    val hist = slim.groupBy(col(groupCol).as("g"), bucket.as("b"))
       .agg(sum(col("__mxm")).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    if (hist.isEmpty) return inMix.drop("__mxm") // no weighted group present
+    if (hist.isEmpty) return inMix // no weighted group present
 
     val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val total = totals.map { case (g, n) => n * bigW / weights(g) }.min
@@ -90,16 +101,15 @@ object Mixture extends Serializable {
     val boundsDf = broadcast(
       spark.createDataFrame(bounds).toDF(groupCol, "__mxbb", "__mxneed"))
 
-    val j = inMix.withColumn("__mxb", bucket).join(boundsDf, groupCol)
-    val low = j.filter(col("__mxb") < col("__mxbb"))
+    val j = slim.withColumn("__mxb", bucket).join(boundsDf, groupCol)
+    val lowIds = j.filter(col("__mxb") < col("__mxbb")).select(col(idCol))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(hash.asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundary = j.filter(col("__mxb") === col("__mxbb"))
+    val boundaryIds = j.filter(col("__mxb") === col("__mxbb"))
       .withColumn("__mxcum", sum(col("__mxm")).over(w))
       .filter(col("__mxcum") <= col("__mxneed"))
-      .drop("__mxcum")
-    low.unionByName(boundary)
-      .drop("__mxb", "__mxbb", "__mxneed", "__mxm")
+      .select(col(idCol))
+    inMix.join(lowIds.unionByName(boundaryIds), Seq(idCol), "left_semi")
   }
 }

@@ -16,19 +16,32 @@ import org.apache.spark.sql.functions._
   * group gets a 256-cell histogram over floor(score·255) — one partial
   * agg, |groups|×256 rows collected, bounded like
   * [[Mixture.resampleToMixture]]'s — and the walk from the top cell
-  * locates the boundary cell. Cells above it are kept with a map-side
-  * comparison; ONLY the boundary cell (~1/256 of the group, unless score
-  * mass degenerates onto one value) pays a window. Bucketing is a
-  * monotone coarsening of the score order, so the pruned selection equals
-  * the plain-rank selection exactly.
+  * locates the boundary cell. Cells above it are kept outright; ONLY the
+  * boundary cell (~1/256 of the group, unless score mass degenerates onto
+  * one value) pays a window. Bucketing is a monotone coarsening of the
+  * score order, so the pruned selection equals the plain-rank selection
+  * exactly.
+  *
+  * Corpus-scan economics (100 TB stance): the corpus is scanned ONCE into
+  * a slim locally-checkpointed (group, score[, tokens], id) projection —
+  * the score expression (for quality scores, a nontrivial regex chain)
+  * evaluates exactly once per row — and the histogram plus both kept-set
+  * branches read the checkpoint. The caller's output is one LEFT SEMI join
+  * of the source against the kept ids, so the final plan contains a single
+  * FileScan of the source (PlanSpec-asserted): two source scans total,
+  * down from three in the naive union-of-branches shape. The semi join's
+  * build side carries only ids; AQE broadcasts it when the kept set is
+  * small.
   *
   * Group columns may be any type (grouped on their string form
-  * internally); NULL is a legitimate group of its own.
+  * internally); NULL is a legitimate group of its own. `idCol` must
+  * uniquely identify rows — the kept set is joined back by id (duplicate
+  * ids already made the rank tie-break nondeterministic).
   */
 object Selection extends Serializable {
 
   private val B = 256
-  // internal working columns (dropped from the output)
+  // internal working columns (never visible in the output)
   private val G = "__selg"
   private val Reserved =
     Seq(G, "__selb", "__selbb", "__selneed", "__selsc", "__seltk")
@@ -92,9 +105,19 @@ object Selection extends Serializable {
       .drop("__selgb")
   }
 
-  private def finish(above: DataFrame, boundary: DataFrame): DataFrame =
-    above.unionByName(boundary)
-      .drop(G, "__selb", "__selbb", "__selneed", "__selsc")
+  /** Slim single-scan projection: (G, __selsc[, __seltk], idCol), locally
+    * checkpointed so the histogram action and the kept-id branches don't
+    * re-scan (or re-score) the corpus.
+    */
+  private def slimCheckpoint(df: DataFrame, groupCol: String, score: Column,
+      idCol: String, token: Option[Column]): DataFrame = {
+    val base = df.withColumn(G, col(groupCol).cast("string"))
+      .withColumn("__selsc", score)
+    val withTk = token.fold(base)(t => base.withColumn("__seltk", t))
+    withTk.select((Seq(G, "__selsc") ++ token.map(_ => "__seltk") :+ idCol)
+      .map(col): _*)
+      .localCheckpoint()
+  }
 
   /** Keep the top keepNum/keepDen fraction of each group by (score desc,
     * id asc) — exact integer target floor(n·keepNum/keepDen) per group, so
@@ -105,19 +128,20 @@ object Selection extends Serializable {
     require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
       s"keep fraction must be in [0,1], got $keepNum/$keepDen")
     guardReserved(df)
-    val in = df.withColumn(G, col(groupCol).cast("string"))
-      .withColumn("__selsc", score)
-    val hist = histogram(in, col("__selsc"), lit(1L))
+    val p = slimCheckpoint(df, groupCol, score, idCol, None)
+    val hist = histogram(p, col("__selsc"), lit(1L))
     val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val target = totals.map { case (g, n) => g -> n * keepNum / keepDen }
-    val j = withBounds(in, col("__selsc"), bounds(hist, target))
+    val j = withBounds(p, col("__selsc"), bounds(hist, target))
     val w = Window.partitionBy(col(G))
       .orderBy(col("__selsc").desc, col(idCol).asc)
-    val boundary = j.filter(col("__selb") === col("__selbb"))
+    val boundaryIds = j.filter(col("__selb") === col("__selbb"))
       .withColumn("__selrn", row_number().over(w))
       .filter(col("__selrn") <= col("__selneed"))
-      .drop("__selrn")
-    finish(j.filter(col("__selb") > col("__selbb")), boundary)
+      .select(col(idCol))
+    val keptIds = j.filter(col("__selb") > col("__selbb")).select(col(idCol))
+      .unionByName(boundaryIds)
+    df.join(keptIds, Seq(idCol), "left_semi")
   }
 
   /** Greedy token-budget selection: walk each group in (score desc, id asc)
@@ -129,19 +153,19 @@ object Selection extends Serializable {
       tokenCount: Column, idCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     guardReserved(df)
-    val in = df.withColumn(G, col(groupCol).cast("string"))
-      .withColumn("__selsc", score).withColumn("__seltk", tokenCount)
-    val hist = histogram(in, col("__selsc"), col("__seltk"))
+    val p = slimCheckpoint(df, groupCol, score, idCol, Some(tokenCount))
+    val hist = histogram(p, col("__selsc"), col("__seltk"))
     val target = hist.map(_._1).distinct.map(_ -> budget).toMap
-    val j = withBounds(in, col("__selsc"), bounds(hist, target))
+    val j = withBounds(p, col("__selsc"), bounds(hist, target))
     val w = Window.partitionBy(col(G))
       .orderBy(col("__selsc").desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundary = j.filter(col("__selb") === col("__selbb"))
+    val boundaryIds = j.filter(col("__selb") === col("__selbb"))
       .withColumn("__selcum", sum(col("__seltk")).over(w))
       .filter(col("__selcum") <= col("__selneed"))
-      .drop("__selcum")
-    finish(j.filter(col("__selb") > col("__selbb")), boundary)
-      .drop("__seltk")
+      .select(col(idCol))
+    val keptIds = j.filter(col("__selb") > col("__selbb")).select(col(idCol))
+      .unionByName(boundaryIds)
+    df.join(keptIds, Seq(idCol), "left_semi")
   }
 }

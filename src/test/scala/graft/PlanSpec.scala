@@ -125,4 +125,18 @@ class PlanSpec extends SparkSpec {
     // the single-row vocab count is the only nested-loop (broadcast) join
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
   }
+
+  test("selection/mixture output plans scan the corpus exactly once") {
+    // the histogram pass reads a slim localCheckpoint, not the source, so
+    // the caller's final plan must contain a single documents FileScan
+    // (the kept-id side is a checkpoint RDD scan) — the three-scan
+    // union-of-branches shape this replaced had two, plus the histogram's
+    for (name <- Seq("quality_gate", "token_budget", "mixture_resample",
+        "mixture_tokens")) {
+      val p = plan(name)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans === 1, s"$name: $scans source scans\n${p.take(1200)}")
+      assert(p.contains("LeftSemi"), s"$name misses the semi join")
+    }
+  }
 }
