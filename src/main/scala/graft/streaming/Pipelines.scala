@@ -82,7 +82,7 @@ object Pipelines {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
-        if (fresh.count() > 0) {
+        if (!fresh.isEmpty) {
           val idxPath = new org.apache.hadoop.fs.Path(indexDir)
           val haveIndex = idxPath
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,6 +132,19 @@ object Pipelines {
     * per-batch-partition idempotent layout as [[nearDupIngest]]: a retry
     * overwrites its own `batch=` partitions and reads only PRIOR state).
     *
+    * The index is two-level so per-batch work stays bounded over a
+    * months-long ingestion: every `compactEvery` batches the loop folds
+    * all live partitions into a single compacted BASE partition, written
+    * under the negative partition value `batch=-(batchId+1)` — negative
+    * values mark bases, so the read path (newest base + delta partitions
+    * after it, partition-pruned) identifies state from the directory
+    * listing alone, and deleting superseded partitions is pure hygiene
+    * that correctness never depends on. A half-written base is harmless:
+    * only batches AFTER a successful batchId read `batch=-(batchId+1)`,
+    * and the retry of batchId excludes its own partitions. Read the index
+    * externally with [[readSpanDfIndex]] — summing the raw partitions
+    * double-counts once a base exists.
+    *
     * Streaming semantics caveat, by design: a span that only becomes
     * frequent in a later batch is cut from that batch on, not
     * retroactively — already-written batches are immutable (run the batch
@@ -139,38 +152,92 @@ object Pipelines {
     */
   def boilerplateIngest(stream: DataFrame, idCol: String, textCol: String,
       cleanDir: String, indexDir: String, checkpointDir: String,
-      spanTokens: Int = 20,
-      maxDf: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+      spanTokens: Int = 20, maxDf: Int = 3,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.CorpusStats
+    require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
-        if (fresh.count() > 0) {
-          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-          val haveIndex = idxPath
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(idxPath)
-          val existingIndex =
-            if (haveIndex)
-              // per-batch partitions re-aggregate to corpus-wide df on
-              // read (batches have disjoint ids, so sums are exact); a
-              // retry must exclude its failed attempt's own partition
-              spark.read.parquet(indexDir)
-                .where(col("batch") =!= batchId)
-                .groupBy("h").agg(sum(col("span_df")).as("span_df"))
-            else {
-              import spark.implicits._
-              Seq.empty[(String, Long)].toDF("h", "span_df")
-            }
+        if (!fresh.isEmpty) {
+          val (existing, priorParts) = spanIndexState(spark, indexDir, Some(batchId))
+          val existingIndex = existing.getOrElse {
+            import spark.implicits._
+            Seq.empty[(String, Long)].toDF("h", "span_df")
+          }
           val (cleaned, freshIdx) = CorpusStats.removeRepeatedSpansIncremental(
             existingIndex, fresh, idCol, textCol, spanTokens, maxDf)
           cleaned.write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-          freshIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          if (batchId % compactEvery == compactEvery - 1) {
+            // compaction batch: fold prior state + this batch into a new
+            // base (the write reads old partitions BEFORE any delete),
+            // then GC everything it superseded — every listed partition
+            // plus a failed attempt's own delta. Losing a delete only
+            // leaves dead files the read path already prunes.
+            CorpusStats.mergeSpanDfIndex(existingIndex, freshIdx)
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$indexDir/batch=-${batchId + 1}")
+            val fs = new org.apache.hadoop.fs.Path(indexDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            (priorParts :+ batchId).distinct.foreach { v =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)
+            }
+          } else {
+            freshIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          }
         }
       }
       .start()
+  }
+
+  /** The corpus-wide span-df index at `indexDir` (written by
+    * [[boilerplateIngest]]): newest base + deltas after it, aggregated to
+    * one (h, span_df) row per span. Empty frame if the index is empty.
+    */
+  def readSpanDfIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spanIndexState(spark, indexDir, None)._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("h", "span_df")
+    }
+
+  /** Resolve the two-level span-df index: list `batch=` partition values
+    * (a pure directory listing — no data read), pick the newest base
+    * (negative value), and build the aggregated frame from that base plus
+    * the deltas after it, partition-pruned. `excludeBatch` removes the
+    * running batch's own partitions (retry must see PRIOR state only).
+    * Returns (aggregated index if any, ALL listed partition values after
+    * the exclusion — a compaction folds exactly this set into its new
+    * base and deletes it).
+    */
+  private def spanIndexState(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long]): (Option[DataFrame], Seq[Long]) = {
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idxPath)) return (None, Nil)
+    val skip: Set[Long] =
+      excludeBatch.map(b => Set(b, -(b + 1))).getOrElse(Set.empty)
+    val vals = fs.listStatus(idxPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=") }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filterNot(skip)
+    if (vals.isEmpty) return (None, Nil)
+    val baseId = vals.filter(_ < 0).map(v => -v - 1).sorted.lastOption
+    // deltas after the base are the positives > b (b ≥ 0, so negatives —
+    // older bases — fall out of the range check for free)
+    val notCurrent = excludeBatch.fold(lit(true))(x => col("batch") =!= x)
+    val cond = baseId match {
+      case Some(b) => (col("batch") === -(b + 1)) ||
+        (col("batch") > b && notCurrent)
+      case None => col("batch") >= 0 && notCurrent
+    }
+    val df = spark.read.parquet(indexDir).where(cond)
+      .groupBy("h").agg(sum(col("span_df")).as("span_df"))
+    (Some(df), vals.distinct)
   }
 
   /** Continuous attribution: each conversion credited ONCE to a same-key

@@ -153,11 +153,57 @@ class StreamingSpec extends SparkSpec {
     out.filter(_._1 >= 4).foreach { case (id, nRem, text) =>
       assert(nRem === 4L && text === s"one$id two$id", s"doc $id kept footer")
     }
-    // the persisted index re-aggregates to the union's frequencies
-    val df = spark.read.parquet(s"$base/index")
-      .groupBy($"h").agg(sum($"span_df").as("n"))
-      .agg(max($"n")).head().getLong(0)
+    // the persisted index resolves to the union's frequencies (via the
+    // two-level read path — raw partition sums double-count once a
+    // compacted base exists)
+    val df = graft.streaming.Pipelines.readSpanDfIndex(spark, s"$base/index")
+      .agg(max($"span_df")).head().getLong(0)
     assert(df === 6L)
+  }
+
+  test("boilerplateIngest compaction bounds the index partitions, output unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bpc").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val compactEvery = 2
+    val q = graft.streaming.Pipelines.boilerplateIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/clean", s"$base/index", s"$base/ckpt",
+      spanTokens = 4, maxDf = 3, compactEvery = compactEvery)
+    val footer = (1 to 4).map(i => s"f$i").mkString(" ")
+    // 7 batches (> 3×compactEvery), one doc each, every doc carries the
+    // footer: doc 4's merged df is 4 > maxDf=3, so docs 4+ get it cut
+    val nBatches = 7
+    (1 to nBatches).foreach { i =>
+      mem.addData((i.toLong, s"one$i two$i $footer"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // partition count stays bounded by the compaction cadence (one base +
+    // at most compactEvery-1 deltas), not by batch history
+    val parts = new java.io.File(s"$base/index").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length <= compactEvery,
+      s"index partitions grew with history: ${parts.mkString(", ")}")
+    assert(parts.exists(_.startsWith("batch=-")), s"no base: ${parts.mkString(", ")}")
+    // the resolved index equals the batch operator's full recompute
+    val resolved = graft.streaming.Pipelines
+      .readSpanDfIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = graft.llm.CorpusStats.spanDfIndex(
+      (1 to nBatches).map(i => (i.toLong, s"one$i two$i $footer"))
+        .toDF("doc_id", "text"), "doc_id", "text", spanTokens = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === full)
+    // cleaning semantics unchanged: footer kept through doc 3 (merged
+    // df ≤ 3 at each one's own batch), cut from doc 4 on
+    val out = spark.read.parquet(s"$base/clean")
+      .select($"doc_id", $"n_removed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.length === nBatches)
+    out.foreach { case (id, nRem) =>
+      if (id <= 3) assert(nRem === 0L, s"doc $id lost its footer early")
+      else assert(nRem === 4L, s"doc $id kept a frequent footer")
+    }
   }
 
   test("dropIfInReference gates a stream against a static reference (stateless)") {
