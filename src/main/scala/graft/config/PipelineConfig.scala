@@ -207,16 +207,25 @@ object PipelineConfig {
           if (out == c) chunked else chunked.drop(c)
         // exact repeated-span removal (corpus-level boilerplate cut):
         // cols = [idCol, textCol], expr = "spanTokens,maxDf". clean_text
-        // replaces the text column; n_tokens/n_removed ride along.
+        // replaces the text column; n_tokens/n_removed ride along
+        // (suffixed "_span" when the input already carries columns of
+        // those names, e.g. the op applied twice). The rejoin is by id —
+        // idCol must uniquely identify rows or the join multiplies them.
         case "span_removal" =>
           val Seq(idc, c) = t.cols match {
             case s if s.length == 2 => s
             case _ => sys.error("span_removal needs cols = [idCol, textCol]")
           }
           val Array(l, mdf) = t.expr.getOrElse("20,3").split(",").map(_.trim.toInt)
-          graft.llm.CorpusStats.removeRepeatedSpans(d, idc, c, l, mdf)
-            .withColumnRenamed("clean_text", c)
-            .join(d.drop(c), Seq(idc))
+          val rest = d.drop(c)
+          val cleaned = Seq("n_tokens", "n_removed")
+            .foldLeft(graft.llm.CorpusStats.removeRepeatedSpans(d, idc, c, l, mdf)
+              .withColumnRenamed("clean_text", c)) { (acc, n) =>
+              if (rest.columns.contains(n))
+                acc.withColumnRenamed(n, n + "_span")
+              else acc
+            }
+          cleaned.join(rest, Seq(idc))
         // corpus-fitted bigram LM score appended as columns:
         // cols = [idCol, textCol]; docs with < 2 tokens get NULL scores
         case "lm_score" =>

@@ -72,4 +72,36 @@ class MlSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(viaCol === viaSql)
   }
+
+  test("standardize/minMaxScale/categoryIndex: NULL group is a group, NULL value stays NULL") {
+    // (group, value): NULL-group rows must survive the stats rejoin with
+    // their own statistics; NULL values must not bias the mean (SQL AVG
+    // semantics) and must scale to NULL, not 0
+    val df = Seq[(Option[String], Option[Double], Long)](
+      (Some("a"), Some(1.0), 1L), (Some("a"), Some(3.0), 2L),
+      (Some("a"), None, 3L),
+      (None, Some(10.0), 4L), (None, Some(20.0), 5L))
+      .toDF("g", "x", "id")
+    val z = Features.standardize(df, "g", "x", "z")
+      .select($"id", $"z").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(z.keySet === Set(1L, 2L, 3L, 4L, 5L), "rows were dropped")
+    // group a: non-null mean 2, sigma 1 (NULL excluded from both)
+    assert(z(1L) === Some(-1.0) && z(2L) === Some(1.0))
+    assert(z(3L) === None, "NULL value must standardize to NULL")
+    // NULL group: mean 15, sigma 5
+    assert(z(4L) === Some(-1.0) && z(5L) === Some(1.0))
+    val m = Features.minMaxScale(df, "g", "x", "m")
+      .select($"id", $"m").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(m(1L) === Some(0.0) && m(2L) === Some(1.0) && m(3L) === None)
+    assert(m(4L) === Some(0.0) && m(5L) === Some(1.0))
+    val c = Features.categoryIndex(df.select($"id", $"g"), "g", "gi")
+      .select($"id", $"gi").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NULL sorts first → index 0; "a" → 1; nobody dropped
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+  }
 }
