@@ -17,10 +17,11 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
   * so declared pipelines get durable state, skip-if-complete, and error
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
-  * (`dedup_exact`, `quality_gate`, `normalize`, `redact`, `chunk`,
-  * `span_removal`, `lm_score`, `standardize`, `score_linear`) makes the
-  * LLM-data and feature/scoring operators declarable — a
-  * config file can express the standard corpus-curation chain end-to-end
+  * (`dedup_exact`, `quality_gate`, `token_budget`, `mixture`, `normalize`,
+  * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `lm_score`,
+  * `tfidf_keywords`, `profile`, `drift`, `standardize`, `score_linear`)
+  * makes the LLM-data, curation, and feature/scoring operators declarable —
+  * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
   *
   * ```json
@@ -243,6 +244,91 @@ object PipelineConfig {
           }
           graft.ml.Features.standardize(d, g, v,
             t.name.getOrElse(v + "_z"))
+        // per-doc TF-IDF keyword extraction — REPLACES the frame with
+        // (id, term, tf, df, tfidf_key, rank): cols = [idCol, textCol],
+        // expr = k (top keywords per doc, default 5)
+        case "tfidf_keywords" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("tfidf_keywords needs cols = [idCol, textCol]")
+          }
+          graft.llm.CorpusStats.tfidfKeywords(d, idc, c,
+            t.expr.getOrElse("5").trim.toInt)
+        // greedy per-group token-budget selection: cols = [groupCol, idCol],
+        // name = budget (tokens), expr = "scoreExpr;tokenCountExpr"
+        case "token_budget" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("token_budget needs cols = [groupCol, idCol]")
+          }
+          val Array(sc, tk) = t.expr.getOrElse(
+            sys.error("token_budget needs expr = \"scoreExpr;tokenExpr\""))
+            .split(";").map(_.trim)
+          graft.llm.Selection.tokenBudgetByScore(d, g, expr(sc), expr(tk),
+            idc, t.name.getOrElse(sys.error("token_budget needs name = budget"))
+              .trim.toLong)
+        // mixture rebalance to target weights: cols = [groupCol, idCol],
+        // expr = "group:weight, group:weight, ..."; name = optional
+        // token-count SQL expr → token-weighted form
+        case "mixture" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("mixture needs cols = [groupCol, idCol]")
+          }
+          val weights = t.expr.getOrElse(
+            sys.error("mixture needs expr = \"group:weight, ...\""))
+            .split(",").map(_.trim).map { p =>
+              p.split(":") match {
+                case Array(k, w) => k.trim -> w.trim.toLong
+                case _ => sys.error(s"mixture: bad weight '$p'")
+              }
+            }.toMap
+          t.name match {
+            case Some(tk) => graft.llm.Mixture.resampleToTokenMixture(
+              d, g, expr(tk), weights, idc)
+            case None => graft.llm.Mixture.resampleToMixture(d, g, weights, idc)
+          }
+        // incremental span removal against a PERSISTED span-df index
+        // (read-only — index persistence belongs to the ingest loop,
+        // streaming.Pipelines.boilerplateIngest, whose two-level layout
+        // readSpanDfIndex understands): cols = [idCol, textCol],
+        // expr = "spanTokens,maxDf", name = indexDir. Same rejoin
+        // contract as span_removal.
+        case "span_clean_indexed" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("span_clean_indexed needs cols = [idCol, textCol]")
+          }
+          val Array(l, mdf) = t.expr.getOrElse("20,3").split(",").map(_.trim.toInt)
+          val idx = graft.streaming.Pipelines.readSpanDfIndex(
+            d.sparkSession, t.name.getOrElse(
+              sys.error("span_clean_indexed needs name = indexDir")))
+          val (cleanedInc, _) = graft.llm.CorpusStats
+            .removeRepeatedSpansIncremental(idx, d, idc, c, l, mdf)
+          val restInc = d.drop(c)
+          Seq("n_tokens", "n_removed")
+            .foldLeft(cleanedInc.withColumnRenamed("clean_text", c)) { (acc, n) =>
+              if (restInc.columns.contains(n))
+                acc.withColumnRenamed(n, n + "_span")
+              else acc
+            }
+            .join(restInc, Seq(idc))
+        // one-pass table profile — REPLACES the frame with one row per
+        // column (pos, column, n_rows, n_nulls, ndv, min_val, max_val):
+        // cols = optional column subset (default all)
+        case "profile" =>
+          graft.etl.Profile.profile(d, t.cols)
+        // drift gate vs a stored baseline profile — REPLACES the frame
+        // with the flagged rows (empty = healthy): name = baseline
+        // profile parquet path, expr = "nullFracTol,ndvRatioTol",
+        // cols = optional subset to profile
+        case "drift" =>
+          val Array(nf, dv) = t.expr.getOrElse("0.05,2.0")
+            .split(",").map(_.trim.toDouble)
+          val baseline = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("drift needs name = baseline profile path")))
+          graft.etl.Profile.drift(
+            graft.etl.Profile.profile(d, t.cols), baseline, nf, dv)
         // fused linear scorer: name = output column,
         // expr = "bias, feature:weight, feature:weight, ..."
         case "score_linear" =>

@@ -159,6 +159,144 @@ class ConfigSpec extends SparkSpec {
     assert(rows(0)._3 < 0 && rows(0)._4 === 0L)
   }
 
+  test("declared tfidf_keywords reshapes docs to ranked keyword rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_tfidf").toString + "/j"
+    // 'common' appears in every doc; each doc carries a unique term that
+    // must outrank it at k=1
+    val lines = (1 to 3).map(i =>
+      s"""{"id":$i,"text":"common common unique$i"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-tfidf", "name": "kw", "steps": [
+         |  { "step": "kw", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "tfidf_keywords", "cols": ["id", "text"], "expr": "1" },
+         |      { "op": "select", "cols": ["id", "term", "rank"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("term"))).sortBy(_._1)
+    assert(rows.toSeq === (1 to 3).map(i => (i.toLong, s"unique$i")))
+  }
+
+  test("declared token_budget and mixture select the exact rank/hash subsets") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_tb").toString + "/j"
+    // scores by token count: id2 (6 tok, 0.6) then id1 (4 tok, 0.4) fit a
+    // 10-token budget; id3 (2 tok) would overflow it
+    val lines = Seq(
+      """{"id":1,"text":"a b c d"}""",
+      """{"id":2,"text":"a b c d e f"}""",
+      """{"id":3,"text":"a b"}""").map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-tb", "name": "budget", "steps": [
+         |  { "step": "budget", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "withColumn", "name": "grp", "expr": "'g'" },
+         |      { "op": "token_budget", "cols": ["grp", "id"], "name": "10",
+         |        "expr": "least(size(split(text, ' ')) / 10.0, 1.0);size(split(text, ' '))" },
+         |      { "op": "select", "cols": ["id"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    assert(spark.read.json(out).collect().map(_.getAs[Long]("id")).sorted
+      .toSeq === Seq(1L, 2L))
+
+    // mixture: 4 en + 2 de docs at equal weights → 2 kept per group
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cfg_mx").toString + "/j"
+    val mixLines = ((1 to 4).map(i => s"""{"id":$i,"lang":"en"}""") ++
+      (5 to 6).map(i => s"""{"id":$i,"lang":"de"}"""))
+      .map(_.replace("\"", "\\\""))
+    val mixConf = PipelineConfig.parse(
+      s"""{ "id": "cfg-mx", "name": "mix", "steps": [
+         |  { "step": "mix", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, lang STRING",
+         |      "lines": [${mixLines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "mixture", "cols": ["lang", "id"], "expr": "en:1, de:1" },
+         |      { "op": "select", "cols": ["id", "lang"] } ],
+         |    "sink": { "type": "json", "path": "$out2" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, mixConf, new InMemoryStore)
+    val byLang = spark.read.json(out2).collect()
+      .map(_.getAs[String]("lang")).groupBy(identity).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 2, "de" -> 2))
+  }
+
+  test("declared span_clean_indexed cleans against a persisted index, read-only") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_sci_idx").toString
+    // persisted history: 3 docs with the footer → footer-span df = 3
+    graft.llm.CorpusStats.spanDfIndex(
+      (1 to 3).map(i => (i.toLong, s"h${i}a h${i}b promo footer here"))
+        .toDF("id", "text"), "id", "text", spanTokens = 3)
+      .write.parquet(s"$idxDir/batch=0")
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_sci").toString + "/j"
+    // fresh doc 10 carries the footer (merged df 4 > maxDf 3 → cut);
+    // doc 11 is clean and must pass through verbatim
+    val lines = Seq(
+      """{"id":10,"text":"x1 x2 promo footer here"}""",
+      """{"id":11,"text":"y1 y2 y3 y4 y5"}""").map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-sci", "name": "sci", "steps": [
+         |  { "step": "clean", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "span_clean_indexed", "cols": ["id", "text"],
+         |        "expr": "3,3", "name": "$idxDir" },
+         |      { "op": "select", "cols": ["id", "text", "n_removed"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_removed"))).sortBy(_._1)
+    assert(rows.toSeq === Seq((10L, "x1 x2", 3L), (11L, "y1 y2 y3 y4 y5", 0L)))
+    // read-only contract: the op left the index directory untouched
+    assert(new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
+  }
+
+  test("declared profile baseline then drift gate flags a null regression") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_cfg_prof").toString + "/baseline"
+    val goodLines = (1 to 4).map(i => s"""{"id":$i,"name":"n$i"}""")
+      .map(_.replace("\"", "\\\""))
+    val profileConf = PipelineConfig.parse(
+      s"""{ "id": "cfg-prof", "name": "prof", "steps": [
+         |  { "step": "baseline", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, name STRING",
+         |      "lines": [${goodLines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [ { "op": "profile", "cols": ["id", "name"] } ],
+         |    "sink": { "type": "parquet", "path": "$baseDir" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, profileConf, new InMemoryStore)
+    assert(spark.read.parquet(baseDir).count() === 2) // one row per column
+
+    // current batch: half the names are NULL → null_fraction drift on name
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_drift").toString + "/j"
+    val badLines = (Seq(s"""{"id":1,"name":"n1"}""", s"""{"id":2,"name":"n2"}""") ++
+      Seq("""{"id":3}""", """{"id":4}""")).map(_.replace("\"", "\\\""))
+    val driftConf = PipelineConfig.parse(
+      s"""{ "id": "cfg-drift", "name": "drift", "steps": [
+         |  { "step": "gate", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, name STRING",
+         |      "lines": [${badLines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "drift", "cols": ["id", "name"], "name": "$baseDir" } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, driftConf, new InMemoryStore)
+    val flagged = spark.read.json(out).collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[String]("metric")))
+    assert(flagged.contains(("name", "null_fraction")), flagged.mkString(", "))
+    assert(!flagged.exists(_._1 == "id"), "id column falsely flagged")
+  }
+
   test("max_errors aborts a declared pipeline (simple-pipeline max-error case)") {
     val store = new InMemoryStore
     val conf = PipelineConfig.parse(confJson(
