@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * is deterministic, so these numbers are exact, not averages). Real
   * embedding corpora are
   * clustered and recalls are far higher (the planted-dup tests show 1.0
-  * on structured neighbors). The assertions are drift alarms below
-  * measured, not quality targets.
+  * on structured neighbors). The assertions are drift alarms pinned just
+  * under the measured post-training values (0.55 / 0.59 / 0.83 — training
+  * and multi-probe are deterministic, so any dip below the pin is a real
+  * parameter or kernel regression, not noise), not quality targets.
   */
 class AnnRecallSpec extends SparkSpec {
   import spark.implicits._
@@ -42,18 +44,18 @@ class AnnRecallSpec extends SparkSpec {
   test("LSH ANN recall@10 vs brute force stays above floor") {
     val r = recall(topSet(Similarity.annTopK(queries, emb, k = 10)))
     info(f"annTopK recall@10 = $r%.3f")
-    assert(r >= 0.4, f"LSH recall degraded: $r%.3f")
+    assert(r >= 0.5, f"LSH recall degraded: $r%.3f (measured 0.55)")
   }
 
   test("IVF ANN recall@10 vs brute force stays above floor") {
     val r = recall(topSet(Similarity.ivfTopK(queries, emb, k = 10)))
     info(f"ivfTopK recall@10 = $r%.3f")
-    assert(r >= 0.5, f"IVF recall degraded: $r%.3f")
+    assert(r >= 0.55, f"IVF recall degraded: $r%.3f (measured 0.59)")
   }
 
   test("PQ ANN recall@10 vs brute force stays above floor") {
     val r = recall(topSet(Similarity.pqTopK(queries, emb, k = 10)))
     info(f"pqTopK recall@10 = $r%.3f")
-    assert(r >= 0.6, f"PQ recall degraded: $r%.3f")
+    assert(r >= 0.75, f"PQ recall degraded: $r%.3f (measured 0.83)")
   }
 }
