@@ -97,6 +97,24 @@ object ScaleProbe {
         },
         time("lm_score", n) {
           CorpusStats.bigramLmScore(docs, "doc_id", "text").count()
+        },
+        time("components_dist", n) {
+          // the star-contraction path itself (localThreshold = 0 disables
+          // the driver union-find shortcut): the corpus's planted dup
+          // edges (~2% of n) plus a 1000-node chain — the diameter-heavy
+          // shape whose convergence must stay O(log n) rounds, so the 4×
+          // wall ratio should track edge count, not blow up
+          val ids = spark.range(n).toDF("id")
+          val dupEdges = ids
+            .filter(pmod(col("id"), lit(100)) === 1 && col("id") > 1)
+            .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
+            .unionByName(ids
+              .filter(pmod(col("id"), lit(100)) === 2 && col("id") > 1)
+              .select(col("id").as("id_a"), (col("id") - 2).as("id_b")))
+          val chain = spark.range(1000).toDF("c")
+            .select((col("c") + n).as("id_a"), (col("c") + n + 1).as("id_b"))
+          Dedup.survivorAssignment(dupEdges.unionByName(chain),
+            localThreshold = 0).count()
         }).toMap
     }
 
