@@ -19,7 +19,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
   * (`dedup_exact`, `quality_gate`, `token_budget`, `mixture`, `normalize`,
   * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `lm_score`,
-  * `tfidf_keywords`, `profile`, `drift`, `standardize`, `score_linear`)
+  * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
+  * `score_linear`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
@@ -254,6 +255,22 @@ object PipelineConfig {
           }
           graft.llm.CorpusStats.tfidfKeywords(d, idc, c,
             t.expr.getOrElse("5").trim.toInt)
+        // incremental TF-IDF against a PERSISTED term-df index (read-only —
+        // index persistence belongs to the ingest loop,
+        // streaming.Pipelines.tfidfIngest, whose two-level layout
+        // readTermDfIndex understands) — REPLACES the frame with
+        // (id, term, tf, df, tfidf_key, rank): cols = [idCol, textCol],
+        // expr = k (default 5), name = indexDir
+        case "tfidf_indexed" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("tfidf_indexed needs cols = [idCol, textCol]")
+          }
+          val idx = graft.streaming.Pipelines.readTermDfIndex(
+            d.sparkSession, t.name.getOrElse(
+              sys.error("tfidf_indexed needs name = indexDir")))
+          graft.llm.CorpusStats.tfidfKeywordsIncremental(
+            idx, d, idc, c, t.expr.getOrElse("5").trim.toInt)._1
         // greedy per-group token-budget selection: cols = [groupCol, idCol],
         // name = budget (tokens), expr = "scoreExpr;tokenCountExpr"
         case "token_budget" =>

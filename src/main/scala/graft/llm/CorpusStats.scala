@@ -75,6 +75,59 @@ object CorpusStats extends Serializable {
         col("tfidf_key"), col("rank"))
   }
 
+  /** Persisted term document-frequency index: (term, df) over a corpus —
+    * the TF-IDF state an ingestion loop keeps between batches. Merge
+    * batches with [[mergeTermDfIndex]]: ids are disjoint across batches,
+    * so summed per-batch distinct counts equal the distinct count over
+    * the union (exact, not approximate — the same argument as
+    * [[spanDfIndex]]).
+    */
+  def termDfIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    guard(idCol)
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(countDistinct(col(idCol)).as("df"))
+  }
+
+  /** Additive merge of term-df indexes built over DISJOINT doc sets. */
+  def mergeTermDfIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("term").agg(sum(col("df")).as("df"))
+
+  /** Incremental TF-IDF keywords for continuous ingestion: rank a `fresh`
+    * batch's terms against the corpus-wide document frequencies — the
+    * batch's own df PLUS the persisted `existingIndex` ([[termDfIndex]]
+    * rows, disjoint ids) — without re-scanning historical text.
+    * Byte-identical on the fresh rows to running [[tfidfKeywords]] over
+    * (existing ∪ fresh), because summed disjoint distinct counts ARE the
+    * union's document frequencies and tf/rank are per-document.
+    *
+    * Returns (fresh keywords, the fresh batch's own index rows) so the
+    * loop can [[mergeTermDfIndex]] and persist without re-tokenizing.
+    * Same streaming caveat as the span index: already-ranked batches are
+    * immutable; a term that becomes common later is only devalued from
+    * that batch on.
+    */
+  def tfidfKeywordsIncremental(existingIndex: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, k: Int): (DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
+    guard(idCol)
+    val tf = fresh.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is (doc, term)-distinct, so count(*) is the batch's df — and
+    // Catalyst reuses the exchange under the same "term" partitioning
+    val freshIndex = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val merged = mergeTermDfIndex(existingIndex, freshIndex)
+    val scored = tf.join(merged, "term")
+      .withColumn("tfidf_key", expr("tf * CAST(1000000000 AS BIGINT) div df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_key").desc, col("term").asc)
+    val kw = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf_key"), col("rank"))
+    (kw, freshIndex)
+  }
+
   /** Add-one-smoothed bigram LM negative log-likelihood per document, fitted
     * on the corpus itself: for each adjacent token pair,
     * `p = (c(w1,w2) + 1) / (c(w1) + V)` with V = |vocab|, accumulated as

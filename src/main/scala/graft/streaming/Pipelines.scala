@@ -204,17 +204,91 @@ object Pipelines {
       Seq.empty[(String, Long)].toDF("h", "span_df")
     }
 
-  /** Resolve the two-level span-df index: list `batch=` partition values
-    * (a pure directory listing — no data read), pick the newest base
-    * (negative value), and build the aggregated frame from that base plus
-    * the deltas after it, partition-pruned. `excludeBatch` removes the
-    * running batch's own partitions (retry must see PRIOR state only).
-    * Returns (aggregated index if any, ALL listed partition values after
-    * the exclusion — a compaction folds exactly this set into its new
-    * base and deletes it).
+  /** Continuous TF-IDF keyword extraction: each micro-batch of documents is
+    * ranked against the corpus-wide term document frequencies — its own
+    * terms plus the persisted term-df index
+    * ([[graft.llm.CorpusStats.tfidfKeywordsIncremental]]) — and appends
+    * both its keyword rows and its index contribution, never re-tokenizing
+    * historical text. Same two-level base/delta index layout, idempotent
+    * `batch=` partitioning, and compaction cadence as [[boilerplateIngest]];
+    * read the index externally with [[readTermDfIndex]].
+    *
+    * Streaming semantics caveat, by design: a batch is ranked against the
+    * frequencies known AT INGESTION — a term that becomes corpus-common
+    * later is only devalued from that batch on (run
+    * [[graft.llm.CorpusStats.tfidfKeywords]] over the corpus for a full
+    * retro-rank).
     */
+  def tfidfIngest(stream: DataFrame, idCol: String, textCol: String,
+      keywordsDir: String, indexDir: String, checkpointDir: String,
+      k: Int = 5,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.CorpusStats
+    require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        if (!fresh.isEmpty) {
+          val (existing, priorParts) =
+            termIndexState(spark, indexDir, Some(batchId))
+          val existingIndex = existing.getOrElse {
+            import spark.implicits._
+            Seq.empty[(String, Long)].toDF("term", "df")
+          }
+          val (kw, freshIdx) = CorpusStats.tfidfKeywordsIncremental(
+            existingIndex, fresh, idCol, textCol, k)
+          kw.write.mode("overwrite").parquet(s"$keywordsDir/batch=$batchId")
+          if (batchId % compactEvery == compactEvery - 1) {
+            CorpusStats.mergeTermDfIndex(existingIndex, freshIdx)
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$indexDir/batch=-${batchId + 1}")
+            val fs = new org.apache.hadoop.fs.Path(indexDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            (priorParts :+ batchId).distinct.foreach { v =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)
+            }
+          } else {
+            freshIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          }
+        }
+      }
+      .start()
+  }
+
+  /** The corpus-wide term-df index at `indexDir` (written by
+    * [[tfidfIngest]]): newest base + deltas after it, aggregated to one
+    * (term, df) row per term. Empty frame if the index is empty.
+    */
+  def readTermDfIndex(spark: SparkSession, indexDir: String): DataFrame =
+    termIndexState(spark, indexDir, None)._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("term", "df")
+    }
+
   private def spanIndexState(spark: SparkSession, indexDir: String,
-      excludeBatch: Option[Long]): (Option[DataFrame], Seq[Long]) = {
+      excludeBatch: Option[Long]): (Option[DataFrame], Seq[Long]) =
+    indexState(spark, indexDir, excludeBatch, "h", "span_df")
+
+  private def termIndexState(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long]): (Option[DataFrame], Seq[Long]) =
+    indexState(spark, indexDir, excludeBatch, "term", "df")
+
+  /** Resolve a two-level (base/delta) additive index: list `batch=`
+    * partition values (a pure directory listing — no data read), pick the
+    * newest base (negative value), and build the aggregated frame from
+    * that base plus the deltas after it, partition-pruned. `excludeBatch`
+    * removes the running batch's own partitions (retry must see PRIOR
+    * state only). Returns (aggregated index if any, ALL listed partition
+    * values after the exclusion — a compaction folds exactly this set
+    * into its new base and deletes it).
+    */
+  private def indexState(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long], keyCol: String,
+      cntCol: String): (Option[DataFrame], Seq[Long]) = {
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idxPath)) return (None, Nil)
@@ -236,7 +310,7 @@ object Pipelines {
       case None => col("batch") >= 0 && notCurrent
     }
     val df = spark.read.parquet(indexDir).where(cond)
-      .groupBy("h").agg(sum(col("span_df")).as("span_df"))
+      .groupBy(keyCol).agg(sum(col(cntCol)).as(cntCol))
     (Some(df), vals.distinct)
   }
 

@@ -262,6 +262,37 @@ class ConfigSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
   }
 
+  test("declared tfidf_indexed ranks against a persisted term-df index, read-only") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_tfi_idx").toString
+    // persisted history: "common" appears in 3 prior docs
+    graft.llm.CorpusStats.termDfIndex(
+      (1 to 3).map(i => (i.toLong, s"common uniq$i")).toDF("id", "text"),
+      "id", "text")
+      .write.parquet(s"$idxDir/batch=0")
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_tfi").toString + "/j"
+    // fresh doc: "rare" (merged df 1) must outrank "common" (merged df 4)
+    val lines = Seq("""{"id":10,"text":"common rare"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-tfi", "name": "tfi", "steps": [
+         |  { "step": "rank", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "tfidf_indexed", "cols": ["id", "text"],
+         |        "expr": "1", "name": "$idxDir" } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("term"),
+        r.getAs[Long]("df"), r.getAs[Long]("rank")))
+    assert(rows.toSeq === Seq((10L, "rare", 1L, 1L)))
+    assert(new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
+  }
+
   test("declared profile baseline then drift gate flags a null regression") {
     val baseDir = java.nio.file.Files.createTempDirectory("graft_cfg_prof").toString + "/baseline"
     val goodLines = (1 to 4).map(i => s"""{"id":$i,"name":"n$i"}""")

@@ -206,6 +206,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tfidfIngest: fresh rows equal the batch operator over the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tfi").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.tfidfIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/kw", s"$base/index", s"$base/ckpt", k = 3)
+    val b1 = Seq((1L, "alpha beta shared shared"), (2L, "gamma delta shared"),
+      (3L, "alpha epsilon zeta"))
+    val b2 = Seq((4L, "alpha beta gamma"), (5L, "shared shared theta"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf_key", $"rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val out = spark.read.parquet(s"$base/kw")
+    // batch 1 saw only itself: identical to the batch operator over b1
+    assert(rows(out.filter($"batch" === 0)) ===
+      rows(graft.llm.CorpusStats.tfidfKeywords(
+        b1.toDF("doc_id", "text"), "doc_id", "text", 3)))
+    // batch 2 ranked against the merged index: byte-identical to the batch
+    // operator over b1 ∪ b2 restricted to the fresh ids — the disjoint-id
+    // additivity claim, end to end through the persisted index
+    assert(rows(out.filter($"batch" === 1)) ===
+      rows(graft.llm.CorpusStats.tfidfKeywords(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 3)
+        .filter($"doc_id" >= 4L)))
+    // the resolved index equals the batch df over the union
+    val resolved = graft.streaming.Pipelines
+      .readTermDfIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = graft.llm.CorpusStats.termDfIndex(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === full)
+  }
+
+  test("tfidfIngest compaction bounds the index partitions, index unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tfc").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val compactEvery = 2
+    val q = graft.streaming.Pipelines.tfidfIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/kw", s"$base/index", s"$base/ckpt",
+      k = 2, compactEvery = compactEvery)
+    val nBatches = 7
+    (1 to nBatches).foreach { i =>
+      mem.addData((i.toLong, s"alpha uniq$i"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val parts = new java.io.File(s"$base/index").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length <= compactEvery,
+      s"index partitions grew with history: ${parts.mkString(", ")}")
+    assert(parts.exists(_.startsWith("batch=-")),
+      s"no base: ${parts.mkString(", ")}")
+    val resolved = graft.streaming.Pipelines
+      .readTermDfIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = graft.llm.CorpusStats.termDfIndex(
+      (1 to nBatches).map(i => (i.toLong, s"alpha uniq$i"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === full)
+    assert(resolved("alpha") === nBatches.toLong)
+  }
+
   test("dropIfInReference gates a stream against a static reference (stateless)") {
     // the SAME batch operator runs on a stream unchanged: the bloom builds
     // from the static side at plan time, the pre-filter is map-only, and
