@@ -43,6 +43,11 @@ object Bench {
     "mm_binary_stats" -> "mm_stats",
     "pipeline_curate" -> "pipe_cur",
     "corpus_shuffle" -> "cshuffle",
+    "sel_cap_per_source" -> "sel_cap",
+    "dedup_keep_best" -> "dd_best",
+    "corpus_datacard" -> "datacard",
+    "text_fingerprint" -> "tx_fpr",
+    "feat_standardize" -> "ft_std",
     "d2_json_decode" -> "d2_dec",
     "d2_json_props" -> "d2_props")
   private val codePrefix = "^([a-z]\\d+)_.*$".r

@@ -439,6 +439,39 @@ object Dedup {
     applySurvivors(df, idCol, assignment)
   }
 
+  /** Quality-aware near-dedup: MinHash+LSH pairs → connected components →
+    * keep the HIGHEST-`score` member of each component (ties → min id)
+    * instead of the min-id member. The curation form of
+    * [[dropNearDuplicates]]: when a family holds an original and its
+    * mangled copies, survival should follow quality, not arrival order.
+    *
+    * Scale stance: `score` is evaluated only for component MEMBERS — an
+    * inner join against the assignment, which is pairs-sized (∝ duplicates,
+    * not documents) — and the ranking window partitions by component label,
+    * so no corpus-wide sort exists anywhere; the corpus itself is touched
+    * once by the final anti-join.
+    */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+      textCol: String, score: Column, shingleN: Int = 3, numHashes: Int = 96,
+      bands: Int = 48, threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val (pairs, release) = minhashNearDupsScoped(df, idCol, textCol, shingleN,
+      numHashes, bands, threshold, maxBucketSize)
+    val assignment = survivorAssignment(pairs)
+    release()
+    val members = df
+      .select(col(idCol).cast("long").as("id"), score.as("__kb_score"))
+      .join(assignment, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("survivor_id"))
+      .orderBy(col("__kb_score").desc, col("id").asc)
+    val losers = members
+      .withColumn("__kb_rn", row_number().over(w))
+      .filter(col("__kb_rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word n-gram shingles of one doc — THE tokenization shared by
     * shingleSets / hashedShingleSets / commonSpanPairs (and mirrored by the
     * DuckDB oracles); a doc shorter than n tokens yields its whole text.

@@ -144,6 +144,31 @@ object Selection extends Serializable {
     df.join(keptIds, Seq(idCol), "left_semi")
   }
 
+  /** Per-group cap: keep the top `n` rows of each group by (score desc,
+    * id asc) and attach their 1-based `rank` — the source/domain balancing
+    * step ("at most N docs per domain") every web-corpus recipe applies
+    * before mixing.
+    *
+    * Unlike the fraction/budget selectors above, the cap is a constant, so
+    * no histogram pass is needed: one window per group, and Spark's
+    * WindowGroupLimit pushes the `rank <= n` filter below the exchange —
+    * each map task keeps at most n rows per group before any shuffle, so
+    * the shuffle carries O(groups·n) rows, not the corpus.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, score: Column,
+      idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    require(!df.columns.contains("rank"),
+      "input already has a 'rank' column — rename it before capPerGroup")
+    guardReserved(df)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__selb", row_number().over(w))
+      .filter(col("__selb") <= n)
+      .withColumn("rank", col("__selb").cast("long"))
+      .drop("__selb")
+  }
+
   /** Greedy token-budget selection: walk each group in (score desc, id asc)
     * order and keep every document whose running token total stays within
     * `budget` — "the best B tokens per language". The boundary cell's

@@ -250,6 +250,23 @@ object LlmOps extends QueryPack {
         "doc_id", budget = 5000L)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- per-source cap (domain balancing): at most 10 docs per source,
+    //      best-by-quality first. Constant cap → no histogram pass, and
+    //      WindowGroupLimit keeps the shuffle at O(sources·cap) rows ----
+    "sel_cap_per_source" -> ((s, dir) =>
+      Selection.capPerGroup(
+        t(s, dir).documents.select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        "source", col("quality"), "doc_id", n = 10)),
+
+    // ---- quality-aware near-dedup: same components as dedup_apply, but
+    //      the kept member of each family is the HIGHEST-quality one
+    //      (ties → min id), not the minimum id ----
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesKeepBest(docsWithNearDups(s, dir), "doc_id",
+        "text", TextOps.qualityScore(col("text")))
+        .select(col("doc_id"))),
+
     // ---- sequence packing (concat-and-chunk pretraining batcher):
     //      deterministic shard → id-ordered token stream → fixed 512-token
     //      sequences. One exchange + per-shard sort; layout-independent. ----
@@ -949,6 +966,40 @@ object LlmOps extends QueryPack {
          |    ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM q)
          |SELECT doc_id, lang FROM r WHERE cum <= 5000""".stripMargin,
+
+    "sel_cap_per_source" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $duckQuality AS quality FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality, row_number() OVER (
+         |    PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM q)
+         |SELECT doc_id, source, quality, CAST(rn AS BIGINT) AS rank
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM npairs
+         |  UNION ALL SELECT id_b, id_a FROM npairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS c FROM reach GROUP BY id
+         |), scored AS (
+         |  SELECT b.doc_id AS id, $duckQuality AS q
+         |  FROM base b JOIN comp ON b.doc_id = comp.id
+         |), losers AS (
+         |  SELECT id FROM (
+         |    SELECT s.id, row_number() OVER (PARTITION BY comp.c
+         |      ORDER BY s.q DESC, s.id ASC) AS rn
+         |    FROM scored s JOIN comp ON s.id = comp.id)
+         |  WHERE rn > 1
+         |)
+         |SELECT doc_id FROM base
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH d AS (

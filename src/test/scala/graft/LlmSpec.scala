@@ -72,6 +72,40 @@ class LlmSpec extends SparkSpec {
     assert(kept === Set(1L, 3L)) // 2 is 1's near-dup; 3 is unique
   }
 
+  test("dropNearDuplicatesKeepBest keeps the highest-score family member") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    // score favors the LATER doc 2 — min-id dedup would keep 1 instead
+    val df = Seq((1L, base, 0.2), (2L, trunc, 0.9), (3L, other, 0.5))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.dropNearDuplicatesKeepBest(df, "doc_id", "text", $"score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // score ties fall back to min id — identical to dropNearDuplicates
+    val tied = Seq((1L, base, 0.5), (2L, trunc, 0.5), (3L, other, 0.5))
+      .toDF("doc_id", "text", "score")
+    val keptTied = Dedup.dropNearDuplicatesKeepBest(tied, "doc_id", "text", $"score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTied === Set(1L, 3L))
+  }
+
+  test("capPerGroup: top-n per group by (score desc, id asc), ranks attached") {
+    val rows = (1 to 9).map(i => (i.toLong, if (i <= 5) "a" else "b", i / 10.0)) :+
+      (10L, "a", 0.5) // ties doc 5 on score; id asc keeps 5 first
+    val df = rows.toDF("doc_id", "src", "score")
+    val got = Selection.capPerGroup(df, "src", $"score", "doc_id", n = 2)
+      .select($"src", $"doc_id", $"rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === Seq(("a", 5L, 1L), ("a", 10L, 2L), ("b", 9L, 1L), ("b", 8L, 2L)).sorted)
+    // a "rank" collision on the input is refused, not silently overwritten
+    val clash = intercept[IllegalArgumentException] {
+      Selection.capPerGroup(df.withColumnRenamed("score", "rank"),
+        "src", $"rank", "doc_id", n = 2)
+    }
+    assert(clash.getMessage.contains("rank"))
+  }
+
   test("commonSpanPairs: shared 20-token span found; disjoint docs are not paired") {
     val span = (1 to 20).map(i => s"s$i").mkString(" ")
     val a = span + " " + (1 to 30).map(i => s"a$i").mkString(" ")
