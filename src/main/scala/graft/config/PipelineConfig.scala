@@ -17,7 +17,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
   * so declared pipelines get durable state, skip-if-complete, and error
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
-  * (`dedup_exact`, `quality_gate`, `token_budget`, `mixture`, `normalize`,
+  * (`dedup_exact`, `dedup_keep_best`, `quality_gate`, `cap_per_group`,
+  * `token_budget`, `mixture`, `normalize`,
   * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `lm_score`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
   * `score_linear`)
@@ -187,6 +188,27 @@ object PipelineConfig {
           graft.llm.Selection.topFractionByScore(d, g,
             expr(t.expr.getOrElse(sys.error("quality_gate needs a score expr"))),
             idc, num, den)
+        // per-group cap (domain balancing): keep the top-n of each group
+        // by (score desc, id asc), rank attached: cols = [groupCol, idCol],
+        // expr = score SQL expression, name = n (default 10)
+        case "cap_per_group" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("cap_per_group needs cols = [groupCol, idCol]")
+          }
+          graft.llm.Selection.capPerGroup(d, g,
+            expr(t.expr.getOrElse(sys.error("cap_per_group needs a score expr"))),
+            idc, t.name.getOrElse("10").trim.toInt)
+        // quality-aware near-dedup: keep each near-dup family's
+        // highest-score member: cols = [idCol, textCol],
+        // expr = score SQL expression
+        case "dedup_keep_best" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_keep_best needs cols = [idCol, textCol]")
+          }
+          graft.llm.Dedup.dropNearDuplicatesKeepBest(d, idc, c,
+            expr(t.expr.getOrElse(sys.error("dedup_keep_best needs a score expr"))))
         // canonical text normalization in place: cols = [textCol]
         case "normalize" =>
           val c = t.cols.headOption.getOrElse(sys.error("normalize needs cols = [textCol]"))

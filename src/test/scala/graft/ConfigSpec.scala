@@ -227,6 +227,51 @@ class ConfigSpec extends SparkSpec {
     assert(byLang === Map("en" -> 2, "de" -> 2))
   }
 
+  test("declared cap_per_group and dedup_keep_best pick the right survivors") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_cap").toString + "/j"
+    // 3 docs in src a, 1 in src b; cap 2 by id-as-score keeps a's top-2 ids
+    val capLines = (Seq((1, "a"), (2, "a"), (3, "a"), (4, "b")))
+      .map { case (i, s) => s"""{"id":$i,"src":"$s"}""" }
+      .map(_.replace("\"", "\\\""))
+    val capConf = PipelineConfig.parse(
+      s"""{ "id": "cfg-cap", "name": "cap", "steps": [
+         |  { "step": "cap", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, src STRING",
+         |      "lines": [${capLines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "cap_per_group", "cols": ["src", "id"],
+         |        "expr": "id * 1.0", "name": "2" },
+         |      { "op": "select", "cols": ["id", "rank"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, capConf, new InMemoryStore)
+    val got = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"))).sorted
+    assert(got.toSeq === Seq((2L, 2L), (3L, 1L), (4L, 1L)))
+
+    // keep-best: doc 2 is doc 1's near-dup with the higher declared score
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cfg_kb").toString + "/j"
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val kbLines = Seq(
+      s"""{"id":1,"text":"$base"}""", s"""{"id":2,"text":"$trunc"}""")
+      .map(_.replace("\"", "\\\""))
+    val kbConf = PipelineConfig.parse(
+      s"""{ "id": "cfg-kb", "name": "kb", "steps": [
+         |  { "step": "kb", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${kbLines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "dedup_keep_best", "cols": ["id", "text"],
+         |        "expr": "id * 1.0" },
+         |      { "op": "select", "cols": ["id"] } ],
+         |    "sink": { "type": "json", "path": "$out2" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, kbConf, new InMemoryStore)
+    assert(spark.read.json(out2).collect().map(_.getAs[Long]("id")).toSeq
+      === Seq(2L))
+  }
+
   test("declared span_clean_indexed cleans against a persisted index, read-only") {
     import spark.implicits._
     val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_sci_idx").toString

@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
   }
 
+  test("sel_cap_per_source pushes the cap below the exchange (WindowGroupLimit)") {
+    val p = plan("sel_cap_per_source")
+    // the rank<=n filter must run on the map side too: partial
+    // WindowGroupLimit before the exchange, so the shuffle carries
+    // O(groups·n) rows, not the corpus
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(nExchanges(p) === 1, p.take(800))
+  }
+
   test("selection/mixture output plans scan the corpus exactly once") {
     // the histogram pass reads a slim localCheckpoint, not the source, so
     // the caller's final plan must contain a single documents FileScan
