@@ -48,6 +48,10 @@ object Bench {
     "corpus_datacard" -> "datacard",
     "text_fingerprint" -> "tx_fpr",
     "feat_standardize" -> "ft_std",
+    "text_para_dedup" -> "tx_para",
+    "dedup_common_span" -> "dd_cspan",
+    "text_boilerplate" -> "tx_boiler",
+    "text_commonness" -> "tx_common",
     "d2_json_decode" -> "d2_dec",
     "d2_json_props" -> "d2_props")
   private val codePrefix = "^([a-z]\\d+)_.*$".r

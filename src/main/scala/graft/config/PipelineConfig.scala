@@ -19,7 +19,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
   * (`dedup_exact`, `dedup_keep_best`, `quality_gate`, `cap_per_group`,
   * `token_budget`, `mixture`, `normalize`,
-  * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `lm_score`,
+  * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `para_dedup`,
+  * `lm_score`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
   * `score_linear`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
@@ -250,6 +251,25 @@ object PipelineConfig {
               else acc
             }
           cleaned.join(rest, Seq(idc))
+        // paragraph-level exact dedup in place (cut corpus-frequent
+        // paragraphs, rebuild text): cols = [idCol, textCol],
+        // expr = maxDf (default 3). Same rejoin contract as span_removal.
+        case "para_dedup" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("para_dedup needs cols = [idCol, textCol]")
+          }
+          val mdf = t.expr.getOrElse("3").trim.toInt
+          val restP = d.drop(c)
+          val cleanedP = Seq("n_paras", "n_removed")
+            .foldLeft(graft.llm.CorpusStats
+              .dropRepeatedParagraphs(d, idc, c, mdf)
+              .withColumnRenamed("clean_text", c)) { (acc, n) =>
+              if (restP.columns.contains(n))
+                acc.withColumnRenamed(n, n + "_para")
+              else acc
+            }
+          cleanedP.join(restP, Seq(idc))
         // corpus-fitted bigram LM score appended as columns:
         // cols = [idCol, textCol]; docs with < 2 tokens get NULL scores
         case "lm_score" =>

@@ -37,7 +37,8 @@ object CorpusStats extends Serializable {
   private val Reserved = Set("term", "tf", "df", "tfidf_key", "rank",
     "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
     "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
-    "n_tokens", "n_removed", "clean_text", "m", "lpm", "avg_nll_micro") ++
+    "n_tokens", "n_removed", "clean_text", "m", "lpm", "avg_nll_micro",
+    "para", "para_df", "n_paras") ++
     graft.functions.PortableMath.microLnColumns
 
   private def guard(idCol: String): Unit =
@@ -250,6 +251,53 @@ object CorpusStats extends Serializable {
     val merged = mergeSpanDfIndex(existingIndex, freshIndex)
     val frequent = merged.filter(col("span_df") > maxDf).select("h")
     (cutCovered(base, spans, frequent, idCol, spanTokens), freshIndex)
+  }
+
+  /** Paragraph-level exact dedup (the CCNet recipe's first pass): delete
+    * every paragraph whose exact trimmed text occurs in more than `maxDf`
+    * distinct documents. The line/paragraph analog of
+    * [[removeRepeatedSpans]] — site chrome (nav blocks, cookie banners,
+    * legal footers) repeats VERBATIM as whole paragraphs, and hashing one
+    * unit per paragraph is far cheaper than one per token position; run
+    * the span form after this for the partial-overlap tail.
+    *
+    * Output: (id, n_paras, n_removed, clean_text) — one row per input doc;
+    * kept paragraphs rejoin with a single newline in original order, and a
+    * fully-boilerplate doc keeps its row with clean_text = ''. Paragraphs
+    * are `sep`-delimited (default: any newline run); blank paragraphs are
+    * dropped from both counts and rebuild.
+    *
+    * Scale: paragraphs shuffle as md5 hex (32 B) for the frequency agg
+    * (partial map-side combine); paragraph TEXT only moves doc → its own
+    * rebuild group. One row per (doc, paragraph), never per token.
+    */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, sep: String = "\\n+"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    guard(idCol)
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), sep)).as(Seq("p0", "para")))
+      .select(col(idCol), col("p0"), trim(col("para")).as("para"))
+      .filter(col("para") =!= "")
+      .withColumn("h", md5(col("para").cast("binary")))
+    val frequent = paras.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("para_df"))
+      .filter(col("para_df") > maxDf)
+      .select("h")
+    val kept = paras.join(frequent, Seq("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(array_sort(collect_list(struct(col("p0"),
+          col("para")))), s => s("para"))).as("clean_text"))
+    val stats = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        (coalesce(col("n_paras"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   private def tokenized(df: DataFrame, idCol: String,

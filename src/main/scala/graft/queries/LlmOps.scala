@@ -87,6 +87,20 @@ object LlmOps extends QueryPack {
         when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + FooterB))
           .otherwise(lit(""))).as("text"))
 
+  /** Paragraph-structured planted corpus: FooterA as a LEADING paragraph
+    * on every 4th doc, FooterB as a TRAILING one on every 7th — position
+    * matters (the rebuild must keep the body in place after cutting
+    * either side).
+    */
+  private def docsWithParaFooters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(FooterA + "\n"))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("\n" + FooterB))
+          .otherwise(lit(""))).as("text"))
+
   /** embeddings (as double vectors) ∪ scaled copies (ids +100000, ×1.1). */
   private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -396,6 +410,13 @@ object LlmOps extends QueryPack {
     "dedup_span_removal" -> ((s, dir) =>
       CorpusStats.removeRepeatedSpans(docsWithFooters(s, dir), "doc_id",
         "text", spanTokens = 20, maxDf = 3)),
+
+    // ---- paragraph-level exact dedup (the CCNet first pass): whole
+    //      paragraphs repeating in > maxDf docs are cut; one md5 per
+    //      paragraph, not per token position ----
+    "text_para_dedup" -> ((s, dir) =>
+      CorpusStats.dropRepeatedParagraphs(docsWithParaFooters(s, dir),
+        "doc_id", "text", maxDf = 3)),
 
     // ---- per-doc TF-IDF keyword extraction: integer-exact rank key
     //      (tf·10⁹ div df — N is constant per corpus, so tf/df ranks
@@ -826,6 +847,33 @@ object LlmOps extends QueryPack {
          |  CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
          |  coalesce(k.clean_text, '') AS clean_text
          |FROM toksq b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "text_para_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN '$FooterA' || chr(10) ELSE '' END ||
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || '$FooterB' ELSE '' END AS text
+         |  FROM documents),
+         |ps AS (SELECT doc_id, string_split_regex(text, chr(10) || '+') AS pl
+         |       FROM d),
+         |p AS (
+         |  SELECT doc_id, i AS pos, trim(pl[i]) AS para
+         |  FROM ps, unnest(range(1, len(pl) + 1)) AS u(i)
+         |  WHERE trim(pl[i]) <> ''),
+         |f AS (SELECT para FROM p GROUP BY para
+         |      HAVING count(DISTINCT doc_id) > 3),
+         |kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(para, chr(10) ORDER BY pos) AS clean_text
+         |  FROM p WHERE para NOT IN (SELECT para FROM f)
+         |  GROUP BY doc_id),
+         |s AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_paras, 0) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(s.n_paras, 0) - coalesce(kept.n_kept, 0) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(kept.clean_text, '') AS clean_text
+         |FROM d LEFT JOIN s USING (doc_id) LEFT JOIN kept USING (doc_id)""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (

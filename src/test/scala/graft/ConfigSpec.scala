@@ -272,6 +272,29 @@ class ConfigSpec extends SparkSpec {
       === Seq(2L))
   }
 
+  test("declared para_dedup cuts the shared paragraph in place") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_pd").toString + "/j"
+    val nl = "\\\\n" // JSON-escaped newline inside the json_lines payload
+    val lines = ((1 to 3).map(i => s"""{"id":$i,"text":"body $i${nl}promo footer"}""") :+
+      s"""{"id":4,"text":"clean four"}""").map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-pd", "name": "pd", "steps": [
+         |  { "step": "pd", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "para_dedup", "cols": ["id", "text"], "expr": "2" },
+         |      { "op": "select", "cols": ["id", "text", "n_removed"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_removed"))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "body 1", 1L), (2L, "body 2", 1L),
+      (3L, "body 3", 1L), (4L, "clean four", 0L)))
+  }
+
   test("declared span_clean_indexed cleans against a persisted index, read-only") {
     import spark.implicits._
     val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_sci_idx").toString

@@ -137,6 +137,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq((8L, "")))
   }
 
+  test("dropRepeatedParagraphs cuts shared paragraphs, keeps order and edge docs") {
+    val footer = "cookie banner text"
+    val df = Seq(
+      (1L, s"$footer\nbody one"),          // leading boilerplate
+      (2L, s"body two\n$footer"),          // trailing
+      (3L, s"body three\n\n$footer\nmore three"), // middle + blank para
+      (4L, footer),                         // fully boilerplate
+      (5L, "  \n "),                        // only blank paragraphs
+      (6L, "untouched doc")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.dropRepeatedParagraphs(df, "doc_id", "text", maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, "body one"),
+      (2L, 2L, 1L, "body two"),
+      (3L, 3L, 1L, "body three\nmore three"),
+      (4L, 1L, 1L, ""),
+      (5L, 0L, 0L, ""),
+      (6L, 1L, 0L, "untouched doc")))
+    // below the df threshold nothing is cut (footer df = 4 <= maxDf = 4)
+    val keep = CorpusStats.dropRepeatedParagraphs(df, "doc_id", "text", maxDf = 4)
+      .agg(sum("n_removed")).head().getLong(0)
+    assert(keep === 0L)
+  }
+
   test("Reserved guard covers every working column the file actually uses") {
     // keep the Reserved set honest by grepping the source for .as("...") /
     // AS-column usages — a new working column that skips the guard would
