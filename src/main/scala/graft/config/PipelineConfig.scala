@@ -20,7 +20,7 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * (`dedup_exact`, `dedup_keep_best`, `quality_gate`, `cap_per_group`,
   * `token_budget`, `mixture`, `normalize`,
   * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `para_dedup`,
-  * `lm_score`,
+  * `para_clean_indexed`, `lm_score`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
   * `score_linear`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
@@ -372,6 +372,31 @@ object PipelineConfig {
               else acc
             }
             .join(restInc, Seq(idc))
+        // incremental paragraph dedup against a PERSISTED paragraph-df
+        // index (read-only — index persistence belongs to the ingest loop,
+        // streaming.Pipelines.paraDedupIngest, whose two-level layout
+        // readParaDfIndex understands): cols = [idCol, textCol],
+        // expr = maxDf (default 3), name = indexDir. Same rejoin contract
+        // as para_dedup.
+        case "para_clean_indexed" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("para_clean_indexed needs cols = [idCol, textCol]")
+          }
+          val mdfI = t.expr.getOrElse("3").trim.toInt
+          val idxP = graft.streaming.Pipelines.readParaDfIndex(
+            d.sparkSession, t.name.getOrElse(
+              sys.error("para_clean_indexed needs name = indexDir")))
+          val (cleanedPi, _) = graft.llm.CorpusStats
+            .dropRepeatedParagraphsIncremental(idxP, d, idc, c, mdfI)
+          val restPi = d.drop(c)
+          Seq("n_paras", "n_removed")
+            .foldLeft(cleanedPi.withColumnRenamed("clean_text", c)) { (acc, n) =>
+              if (restPi.columns.contains(n))
+                acc.withColumnRenamed(n, n + "_para")
+              else acc
+            }
+            .join(restPi, Seq(idc))
         // one-pass table profile — REPLACES the frame with one row per
         // column (pos, column, n_rows, n_nulls, ndv, min_val, max_val):
         // cols = optional column subset (default all)

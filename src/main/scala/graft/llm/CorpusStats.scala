@@ -275,16 +275,73 @@ object CorpusStats extends Serializable {
       maxDf: Int, sep: String = "\\n+"): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     guard(idCol)
-    val paras = df
-      .select(col(idCol),
-        posexplode(split(col(textCol), sep)).as(Seq("p0", "para")))
-      .select(col(idCol), col("p0"), trim(col("para")).as("para"))
-      .filter(col("para") =!= "")
-      .withColumn("h", md5(col("para").cast("binary")))
+    val paras = paraFrame(df, idCol, textCol, sep)
     val frequent = paras.groupBy("h")
       .agg(countDistinct(col(idCol)).as("para_df"))
       .filter(col("para_df") > maxDf)
       .select("h")
+    cutParas(df, paras, frequent, idCol)
+  }
+
+  /** Persisted paragraph document-frequency index: (h, para_df) over a
+    * corpus — the boilerplate-paragraph state an ingestion loop keeps
+    * between batches (the paragraph analog of [[spanDfIndex]]). Merge
+    * batches with [[mergeParaDfIndex]]: ids are disjoint across batches,
+    * so summed per-batch distinct counts equal the distinct count over
+    * the union (exact, not approximate).
+    */
+  def paraDfIndex(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\n+"): DataFrame = {
+    guard(idCol)
+    paraFrame(df, idCol, textCol, sep)
+      .groupBy("h").agg(countDistinct(col(idCol)).as("para_df"))
+  }
+
+  /** Additive merge of paragraph-df indexes built over DISJOINT doc sets. */
+  def mergeParaDfIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("h").agg(sum(col("para_df")).as("para_df"))
+
+  /** Incremental paragraph dedup for continuous ingestion: clean a `fresh`
+    * batch against the corpus-wide paragraph frequencies — the batch's own
+    * paragraphs PLUS the persisted `existingIndex` ([[paraDfIndex]] rows
+    * built with the same `sep`, disjoint ids) — without re-scanning
+    * historical text. Byte-identical on the fresh rows to running
+    * [[dropRepeatedParagraphs]] over (existing ∪ fresh), because summed
+    * disjoint distinct counts ARE the union's document frequencies.
+    *
+    * Returns (cleaned fresh rows, the fresh batch's own index rows) so the
+    * loop can [[mergeParaDfIndex]] and persist without recomputing hashes.
+    */
+  def dropRepeatedParagraphsIncremental(existingIndex: DataFrame,
+      fresh: DataFrame, idCol: String, textCol: String, maxDf: Int,
+      sep: String = "\\n+"): (DataFrame, DataFrame) = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    guard(idCol)
+    val paras = paraFrame(fresh, idCol, textCol, sep)
+    val freshIndex = paras.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("para_df"))
+    val merged = mergeParaDfIndex(existingIndex, freshIndex)
+    val frequent = merged.filter(col("para_df") > maxDf).select("h")
+    (cutParas(fresh, paras, frequent, idCol), freshIndex)
+  }
+
+  /** (id, p0, para, h): one row per non-blank trimmed paragraph, with its
+    * original position and md5. Shared by the batch, index, and
+    * incremental paragraph-dedup forms.
+    */
+  private def paraFrame(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), sep)).as(Seq("p0", "para")))
+      .select(col(idCol), col("p0"), trim(col("para")).as("para"))
+      .filter(col("para") =!= "")
+      .withColumn("h", md5(col("para").cast("binary")))
+
+  /** Drop `frequent` paragraphs and rebuild each doc's text in original
+    * order: (id, n_paras, n_removed, clean_text), one row per input doc.
+    */
+  private def cutParas(df: DataFrame, paras: DataFrame, frequent: DataFrame,
+      idCol: String): DataFrame = {
     val kept = paras.join(frequent, Seq("h"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),

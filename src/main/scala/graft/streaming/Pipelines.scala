@@ -155,6 +155,63 @@ object Pipelines {
       spanTokens: Int = 20, maxDf: Int = 3,
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.CorpusStats
+    indexedIngest(stream, idCol, textCol, cleanDir, indexDir, checkpointDir,
+      compactEvery, "h", "span_df",
+      (idx, fresh) => CorpusStats.removeRepeatedSpansIncremental(
+        idx, fresh, idCol, textCol, spanTokens, maxDf),
+      CorpusStats.mergeSpanDfIndex)
+  }
+
+  /** Continuous paragraph-level exact dedup (the CCNet first pass,
+    * streaming form): each micro-batch cuts paragraphs that are frequent
+    * across the corpus so far — its own paragraphs plus the persisted
+    * paragraph-df index
+    * ([[graft.llm.CorpusStats.dropRepeatedParagraphsIncremental]]) — and
+    * appends both its cleaned rows and its index contribution, never
+    * re-reading historical text. Same two-level base/delta index layout,
+    * idempotent `batch=` partitioning, compaction cadence, and
+    * become-frequent-later caveat as [[boilerplateIngest]]; read the index
+    * externally with [[readParaDfIndex]].
+    */
+  def paraDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      cleanDir: String, indexDir: String, checkpointDir: String,
+      maxDf: Int = 3,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.CorpusStats
+    indexedIngest(stream, idCol, textCol, cleanDir, indexDir, checkpointDir,
+      compactEvery, "h", "para_df",
+      (idx, fresh) => CorpusStats.dropRepeatedParagraphsIncremental(
+        idx, fresh, idCol, textCol, maxDf),
+      CorpusStats.mergeParaDfIndex)
+  }
+
+  /** The corpus-wide paragraph-df index at `indexDir` (written by
+    * [[paraDedupIngest]]): newest base + deltas after it, aggregated to
+    * one (h, para_df) row per paragraph. Empty frame if the index is empty.
+    */
+  def readParaDfIndex(spark: SparkSession, indexDir: String): DataFrame =
+    indexState(spark, indexDir, None, "h", "para_df")._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("h", "para_df")
+    }
+
+  /** Shared engine of the indexed-ingest loops ([[boilerplateIngest]],
+    * [[tfidfIngest]], [[paraDedupIngest]]): per batch, resolve PRIOR
+    * additive-index state (two-level base/delta, this batch's own
+    * partitions excluded so a retry is idempotent), run `step(existing
+    * index, fresh rows)` → (output rows, fresh index rows), write both
+    * under `batch=` partitions, and every `compactEvery` batches fold all
+    * live index partitions into a single compacted base at
+    * `batch=-(batchId+1)` (the write reads old partitions BEFORE any
+    * delete; losing a delete only leaves dead files the read path
+    * prunes). The empty-index frame is (`keyCol` STRING, `cntCol` LONG).
+    */
+  private def indexedIngest(stream: DataFrame, idCol: String, textCol: String,
+      outDir: String, indexDir: String, checkpointDir: String,
+      compactEvery: Int, keyCol: String, cntCol: String,
+      step: (DataFrame, DataFrame) => (DataFrame, DataFrame),
+      merge: (DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -162,21 +219,16 @@ object Pipelines {
         val spark = batch.sparkSession
         val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
         if (!fresh.isEmpty) {
-          val (existing, priorParts) = spanIndexState(spark, indexDir, Some(batchId))
+          val (existing, priorParts) =
+            indexState(spark, indexDir, Some(batchId), keyCol, cntCol)
           val existingIndex = existing.getOrElse {
             import spark.implicits._
-            Seq.empty[(String, Long)].toDF("h", "span_df")
+            Seq.empty[(String, Long)].toDF(keyCol, cntCol)
           }
-          val (cleaned, freshIdx) = CorpusStats.removeRepeatedSpansIncremental(
-            existingIndex, fresh, idCol, textCol, spanTokens, maxDf)
-          cleaned.write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+          val (out, freshIdx) = step(existingIndex, fresh)
+          out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           if (batchId % compactEvery == compactEvery - 1) {
-            // compaction batch: fold prior state + this batch into a new
-            // base (the write reads old partitions BEFORE any delete),
-            // then GC everything it superseded — every listed partition
-            // plus a failed attempt's own delta. Losing a delete only
-            // leaves dead files the read path already prunes.
-            CorpusStats.mergeSpanDfIndex(existingIndex, freshIdx)
+            merge(existingIndex, freshIdx)
               .coalesce(1)
               .write.mode("overwrite")
               .parquet(s"$indexDir/batch=-${batchId + 1}")
@@ -224,39 +276,11 @@ object Pipelines {
       k: Int = 5,
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.CorpusStats
-    require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
-        if (!fresh.isEmpty) {
-          val (existing, priorParts) =
-            termIndexState(spark, indexDir, Some(batchId))
-          val existingIndex = existing.getOrElse {
-            import spark.implicits._
-            Seq.empty[(String, Long)].toDF("term", "df")
-          }
-          val (kw, freshIdx) = CorpusStats.tfidfKeywordsIncremental(
-            existingIndex, fresh, idCol, textCol, k)
-          kw.write.mode("overwrite").parquet(s"$keywordsDir/batch=$batchId")
-          if (batchId % compactEvery == compactEvery - 1) {
-            CorpusStats.mergeTermDfIndex(existingIndex, freshIdx)
-              .coalesce(1)
-              .write.mode("overwrite")
-              .parquet(s"$indexDir/batch=-${batchId + 1}")
-            val fs = new org.apache.hadoop.fs.Path(indexDir)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            (priorParts :+ batchId).distinct.foreach { v =>
-              fs.delete(
-                new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)
-            }
-          } else {
-            freshIdx.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-          }
-        }
-      }
-      .start()
+    indexedIngest(stream, idCol, textCol, keywordsDir, indexDir,
+      checkpointDir, compactEvery, "term", "df",
+      (idx, fresh) => CorpusStats.tfidfKeywordsIncremental(
+        idx, fresh, idCol, textCol, k),
+      CorpusStats.mergeTermDfIndex)
   }
 
   /** The corpus-wide term-df index at `indexDir` (written by

@@ -330,6 +330,42 @@ class ConfigSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
   }
 
+  test("declared para_clean_indexed cleans against a persisted index, read-only") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_pci_idx").toString
+    // persisted history: 3 docs with the footer paragraph → para df = 3
+    graft.llm.CorpusStats.paraDfIndex(
+      (1 to 3).map(i => (i.toLong, s"history $i\npromo footer"))
+        .toDF("id", "text"), "id", "text")
+      .write.parquet(s"$idxDir/batch=0")
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_pci").toString + "/j"
+    val nl = "\\\\n"
+    // fresh doc 10 carries the footer (merged df 4 > maxDf 3 → cut);
+    // doc 11 is clean and must pass through verbatim
+    val lines = Seq(
+      s"""{"id":10,"text":"fresh body${nl}promo footer"}""",
+      """{"id":11,"text":"clean doc"}""").map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-pci", "name": "pci", "steps": [
+         |  { "step": "clean", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "para_clean_indexed", "cols": ["id", "text"],
+         |        "expr": "3", "name": "$idxDir" },
+         |      { "op": "select", "cols": ["id", "text", "n_removed"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.json(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_removed"))).sortBy(_._1)
+    assert(rows.toSeq === Seq((10L, "fresh body", 1L), (11L, "clean doc", 0L)))
+    // read-only contract: the op left the index directory untouched
+    assert(new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
+  }
+
   test("declared tfidf_indexed ranks against a persisted term-df index, read-only") {
     import spark.implicits._
     val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_tfi_idx").toString

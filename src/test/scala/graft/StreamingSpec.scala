@@ -277,6 +277,55 @@ class StreamingSpec extends SparkSpec {
     assert(resolved("alpha") === nBatches.toLong)
   }
 
+  test("paraDedupIngest: batch-vs-full equality, compaction-bounded index") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pdi").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val compactEvery = 2
+    val q = graft.streaming.Pipelines.paraDedupIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/clean", s"$base/index", s"$base/ckpt",
+      maxDf = 3, compactEvery = compactEvery)
+    // 7 batches (> 3×compactEvery), one doc each, all carrying the same
+    // footer PARAGRAPH: doc 4's merged df is 4 > maxDf=3, so docs 4+ get
+    // it cut while docs 1-3 (written when df ≤ 3) stay verbatim
+    val all = (1 to 7).map(i => (i.toLong, s"body $i\nshared promo footer"))
+    all.foreach { d => mem.addData(d); q.processAllAvailable() }
+    q.stop()
+    val out = spark.read.parquet(s"$base/clean")
+      .select($"doc_id", $"n_paras", $"n_removed", $"clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.length === 7)
+    out.foreach { case (id, nP, nRem, text) =>
+      assert(nP === 2L)
+      if (id <= 3) assert(nRem === 0L && text === s"body $id\nshared promo footer",
+        s"doc $id cleaned early")
+      else assert(nRem === 1L && text === s"body $id", s"doc $id kept the footer")
+    }
+    // fresh rows are byte-identical to the batch operator over the union
+    // restricted to the fresh ids (disjoint-id additivity end to end)
+    val full = graft.llm.CorpusStats.dropRepeatedParagraphs(
+      all.toDF("doc_id", "text"), "doc_id", "text", maxDf = 3)
+      .filter($"doc_id" >= 4L).select($"doc_id", $"n_removed", $"clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out.filter(_._1 >= 4).map(t => (t._1, t._3, t._4)).toSet === full)
+    // index partitions bounded by the compaction cadence, not history;
+    // the resolved index equals the batch recompute over the union
+    val parts = new java.io.File(s"$base/index").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(parts.length <= compactEvery,
+      s"index partitions grew with history: ${parts.mkString(", ")}")
+    assert(parts.exists(_.startsWith("batch=-")), s"no base: ${parts.mkString(", ")}")
+    val resolved = graft.streaming.Pipelines
+      .readParaDfIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val fullIdx = graft.llm.CorpusStats.paraDfIndex(
+      all.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === fullIdx)
+    assert(resolved.values.max === 7L)
+  }
+
   test("dropIfInReference gates a stream against a static reference (stateless)") {
     // the SAME batch operator runs on a stream unchanged: the bloom builds
     // from the static side at plan time, the pre-filter is map-only, and
