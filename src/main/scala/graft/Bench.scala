@@ -35,11 +35,14 @@ object Bench {
     */
   private val Overrides = Map(
     "split_leakage_free" -> "split_lf",
-    "feat_category_index" -> "ft_catidx",
-    "sim_neardup_cosine" -> "si_neardup",
-    "dedup_ngram_jaccard" -> "dd_jaccard",
+    "feat_category_index" -> "ft_cidx",
+    "sim_neardup_cosine" -> "si_ndup",
+    "dedup_ngram_jaccard" -> "dd_jac",
     "dedup_span_removal" -> "dd_spans",
-    "dedup_against_ref" -> "dd_vs_ref",
+    "dedup_against_ref" -> "dd_vsref",
+    "dedup_vs_ref_near" -> "dd_vrn",
+    "quality_gate" -> "q_gate",
+    "token_budget" -> "tok_bud",
     "mm_binary_stats" -> "mm_stats",
     "pipeline_curate" -> "pipe_cur",
     "corpus_shuffle" -> "cshuffle",

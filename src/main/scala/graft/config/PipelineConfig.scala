@@ -17,7 +17,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
   * so declared pipelines get durable state, skip-if-complete, and error
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
-  * (`dedup_exact`, `dedup_keep_best`, `quality_gate`, `cap_per_group`,
+  * (`dedup_exact`, `dedup_keep_best`, `decontaminate_near`, `quality_gate`,
+  * `cap_per_group`,
   * `token_budget`, `mixture`, `normalize`,
   * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `para_dedup`,
   * `para_clean_indexed`, `lm_score`,
@@ -210,6 +211,23 @@ object PipelineConfig {
           }
           graft.llm.Dedup.dropNearDuplicatesKeepBest(d, idc, c,
             expr(t.expr.getOrElse(sys.error("dedup_keep_best needs a score expr"))))
+        // NEAR-dup decontamination against a reference parquet (an eval
+        // suite): drops every row whose shingle-set Jaccard against ANY
+        // reference doc reaches the threshold. cols = [idCol, textCol],
+        // name = reference parquet path (same id/text column names),
+        // expr = "shingleN,threshold" (default "3,0.5"). The reference
+        // broadcasts as an inverted index — the frame itself never
+        // shuffles.
+        case "decontaminate_near" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("decontaminate_near needs cols = [idCol, textCol]")
+          }
+          val Array(shn, thr) = t.expr.getOrElse("3,0.5").split(",").map(_.trim)
+          val ref = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("decontaminate_near needs name = reference parquet path")))
+          graft.llm.Dedup.dropNearDupsOfReference(d, ref, idc, c,
+            shingleN = shn.toInt, threshold = thr.toDouble)
         // canonical text normalization in place: cols = [textCol]
         case "normalize" =>
           val c = t.cols.headOption.getOrElse(sys.error("normalize needs cols = [textCol]"))

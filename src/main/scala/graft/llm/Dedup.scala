@@ -889,6 +889,104 @@ object Dedup {
     clean.unionByName(confirmedKeep)
   }
 
+  /** Exact-Jaccard near-dup pairs between a corpus and a (small)
+    * reference / held-out set — benchmark decontamination at NEAR-duplicate
+    * granularity, between [[dropIfInReference]] (exact whole-doc match) and
+    * [[decontaminate]] (any shared span): a corpus doc whose shingle-set
+    * Jaccard against a reference doc reaches `threshold` is flagged even
+    * when it was paraphrased, truncated, or lightly edited.
+    *
+    * Scale stance: the reference side (an eval suite) is orders of
+    * magnitude smaller than the corpus, so its shingle sets ship whole as
+    * ONE broadcast inverted index (shingle hash → ref slots); the corpus
+    * is then a single map-only pass — each doc probes its own shingles,
+    * accumulates per-ref intersection counts in a primitive array, and
+    * emits exact Jaccard. Zero shuffle, zero candidate materialization,
+    * and EXACT output: when one side broadcasts, this dominates a two-sided
+    * MinHash+LSH join (no recall bound, no band tuning). `maxRefShingles`
+    * bounds the broadcast (~8 bytes per distinct (doc, shingle)); a
+    * reference too large for it should go through [[minhashNearDups]] over
+    * the union instead.
+    *
+    * Returns (id, ref_id, jac), jac ≥ threshold, one row per qualifying
+    * (corpus doc, reference doc) pair.
+    */
+  def nearDupsVsReference(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5, maxRefShingles: Long = 50000000L): DataFrame = {
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val refSets: Array[(Long, Array[Long])] =
+      hashedShingleSets(reference, idCol, textCol, shingleN)
+        .as[(Long, Array[Long])].collect()
+    val totalShingles = refSets.iterator.map(_._2.length.toLong).sum
+    require(totalShingles <= maxRefShingles,
+      s"reference carries $totalShingles shingles > maxRefShingles " +
+        s"$maxRefShingles — broadcast would be unbounded; use " +
+        "minhashNearDups over the union for a large reference")
+    val refIds = refSets.map(_._1)
+    val refSizes = refSets.map(_._2.length)
+    val inv = new java.util.HashMap[Long, Array[Int]]()
+    refSets.iterator.zipWithIndex.foreach { case ((_, hs), slot) =>
+      hs.foreach { h =>
+        val prev = inv.get(h)
+        inv.put(h, if (prev == null) Array(slot) else prev :+ slot)
+      }
+    }
+    val bIdx = spark.sparkContext.broadcast((inv, refIds, refSizes))
+    ensureParallelism(corpus.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (inv, refIds, refSizes) = bIdx.value
+        val counts = new Array[Int](refIds.length)
+        val touched = new Array[Int](refIds.length)
+        it.flatMap { case (id, text) =>
+          val hs = distinctShingles(text, shingleN).map(hash64)
+          var nTouched = 0
+          var i = 0
+          while (i < hs.length) {
+            val slots = inv.get(hs(i))
+            if (slots != null) {
+              var j = 0
+              while (j < slots.length) {
+                val r = slots(j)
+                if (counts(r) == 0) { touched(nTouched) = r; nTouched += 1 }
+                counts(r) += 1
+                j += 1
+              }
+            }
+            i += 1
+          }
+          val out = Array.newBuilder[(Long, Long, Double)]
+          var k = 0
+          while (k < nTouched) {
+            val r = touched(k)
+            val inter = counts(r)
+            counts(r) = 0
+            val jac = inter.toDouble / (hs.length + refSizes(r) - inter)
+            if (jac >= threshold) out += ((id, refIds(r), jac))
+            k += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("id", "ref_id", "jac")
+  }
+
+  /** `corpus` minus every doc near-duplicating ANY reference doc
+    * ([[nearDupsVsReference]] pairs → distinct contaminated ids →
+    * broadcast anti-join): the apply form an eval-decontamination step
+    * actually ships. Corpus rows pass through untouched otherwise.
+    */
+  def dropNearDupsOfReference(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5, maxRefShingles: Long = 50000000L): DataFrame = {
+    val bad = nearDupsVsReference(corpus, reference, idCol, textCol,
+      shingleN, threshold, maxRefShingles).select(col("id")).distinct()
+    corpus.join(bad, corpus(idCol).cast("long") === bad("id"), "left_anti")
+  }
+
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs
     * limited to equal blocking keys PLUS an automatic set-size bucket.
     *

@@ -41,6 +41,19 @@ object LlmOps extends QueryPack {
   def docsForProfile(s: SparkSession, dir: String): DataFrame =
     docsWithNearDups(s, dir)
 
+  /** Held-out suite for NEAR-dup decontamination: docs with id ≡ 3 mod 10,
+    * ids +200000, text truncated to the first 80% of tokens — a truncated/
+    * paraphrased eval item per sampled doc (SQL twin inside the
+    * dedup_vs_ref_near oracle).
+    */
+  private def refNearSuite(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    t(s, dir).documents.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          floor(size(toks) * 0.8).cast("int")), " ").as("text"))
+  }
+
   /** md5-prefix hash bucket in ['00','ff'] — the ONE deterministic
     * bucketing primitive behind splits and stratified sampling (SQL twin:
     * `DuckBucket`).
@@ -165,6 +178,18 @@ object LlmOps extends QueryPack {
     //      sharing a 20-token span with the held-out set (docs with
     //      id ≡ 3 mod 10 stand in for an eval suite). Held-out span
     //      hashes broadcast; no pair generation. ----
+    // ---- NEAR-dup benchmark decontamination: exact-Jaccard pairs
+    //      between the corpus and a small held-out suite (truncated
+    //      copies of docs with id ≡ 3 mod 10 stand in for paraphrased
+    //      eval items). The suite ships as ONE broadcast inverted index;
+    //      the corpus pass is map-only — zero shuffle, exact output (no
+    //      LSH recall bound when one side broadcasts). ----
+    "dedup_vs_ref_near" -> ((s, dir) =>
+      Dedup.nearDupsVsReference(
+        t(s, dir).documents.select(col("doc_id"), col("text")),
+        refNearSuite(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)),
+
     "decontaminate" -> ((s, dir) => {
       val corpus = t(s, dir).documents
       val heldout = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
@@ -705,6 +730,27 @@ object LlmOps extends QueryPack {
          |  THEN '1' ELSE '0' END), '') AS simhash
          |FROM (SELECT doc_id, list_transform($DuckToks, t -> md5(t)) AS hexes
          |      FROM documents)""".stripMargin,
+
+    "dedup_vs_ref_near" ->
+      s"""WITH ref AS (
+         |  SELECT doc_id + 200000 AS ref_id,
+         |    array_to_string(list_slice(toks, 1,
+         |      CAST(floor(len(toks) * 0.8) AS INT)), ' ') AS text
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |  WHERE doc_id % 10 = 3
+         |), shc AS (
+         |  SELECT doc_id, list_distinct(${duckShingles("toks")}) AS s
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), shr AS (
+         |  SELECT ref_id, list_distinct(${duckShingles("toks")}) AS s
+         |  FROM (SELECT ref_id, $DuckToks AS toks FROM ref)
+         |)
+         |SELECT id, ref_id, jac FROM (
+         |  SELECT c.doc_id AS id, r.ref_id AS ref_id,
+         |    CAST(len(list_intersect(c.s, r.s)) AS DOUBLE) /
+         |      (len(c.s) + len(r.s) - len(list_intersect(c.s, r.s))) AS jac
+         |  FROM shc c, shr r)
+         |WHERE jac >= 0.5""".stripMargin,
 
     "dedup_common_span" ->
       s"""WITH base AS (

@@ -98,6 +98,22 @@ object ScaleProbe {
         time("lm_score", n) {
           CorpusStats.bigramLmScore(docs, "doc_id", "text").count()
         },
+        time("vs_ref_near", n) {
+          // fixed-size reference suite (1k truncated docs) vs the growing
+          // corpus: the suite broadcasts, so wall time must track the
+          // corpus scan — a superlinear ratio would mean the inverted
+          // index probe degraded into pair blowup
+          // doc_id < nSmall keeps the suite IDENTICAL at both corpus
+          // sizes (limit() would grow it with n and pollute the ratio)
+          val ref = docs
+            .filter(pmod(col("doc_id"), lit(100)) === 3 &&
+              col("doc_id") < nSmall)
+            .select((col("doc_id") + n * 10).as("doc_id"),
+              array_join(slice(split(col("text"), " "), lit(1), lit(60)),
+                " ").as("text"))
+          Dedup.nearDupsVsReference(docs, ref, "doc_id", "text",
+            shingleN = 3, threshold = 0.3).count()
+        },
         time("components_dist", n) {
           // the star-contraction path itself (localThreshold = 0 disables
           // the driver union-find shortcut): the corpus's planted dup

@@ -330,6 +330,34 @@ class ConfigSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
   }
 
+  test("declared decontaminate_near drops rows near-duplicating the reference") {
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("graft_cfg_dcn_ref").toString + "/ref"
+    // reference: a truncated copy of doc 1's text (jaccard ≈ .79 > .5)
+    Seq((901L, (1 to 32).map(i => s"tok$i").mkString(" ")))
+      .toDF("id", "text").write.parquet(refDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_dcn").toString + "/j"
+    val contaminated = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val clean = (100 to 140).map(i => s"w$i").mkString(" ")
+    val lines = Seq(
+      s"""{"id":1,"text":"$contaminated"}""",
+      s"""{"id":2,"text":"$clean"}""").map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-dcn", "name": "dcn", "steps": [
+         |  { "step": "gate", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "decontaminate_near", "cols": ["id", "text"],
+         |        "expr": "3,0.5", "name": "$refDir" },
+         |      { "op": "select", "cols": ["id"] } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val ids = spark.read.json(out).collect().map(_.getAs[Long]("id")).toSeq
+    assert(ids === Seq(2L))
+  }
+
   test("declared para_clean_indexed cleans against a persisted index, read-only") {
     import spark.implicits._
     val idxDir = java.nio.file.Files.createTempDirectory("graft_cfg_pci_idx").toString

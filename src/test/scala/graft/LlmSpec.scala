@@ -72,6 +72,35 @@ class LlmSpec extends SparkSpec {
     assert(kept === Set(1L, 3L)) // 2 is 1's near-dup; 3 is unique
   }
 
+  test("nearDupsVsReference: exact pairs vs a broadcast suite; drop form anti-joins") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")   // jac 30/38 ≈ .79
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, other), (3L, "tiny doc here"))
+      .toDF("doc_id", "text")
+    val ref = Seq((901L, trunc), (902L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsVsReference(corpus, ref, "doc_id", "text",
+      shingleN = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 901L)))
+    // exact jaccard: corpus doc has 38 distinct 3-shingles, ref 30, all
+    // ref shingles are a prefix subset → inter 30, union 38
+    assert(math.abs(pairs.head._3 - 30.0 / 38.0) < 1e-12)
+    // corpus-vs-corpus and ref-vs-ref pairs never appear; drop form keeps
+    // every non-contaminated row
+    val kept = Dedup.dropNearDupsOfReference(corpus, ref, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // the guard trips on an over-budget reference instead of broadcasting it
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupsVsReference(corpus, ref, "doc_id", "text",
+        maxRefShingles = 10L)
+    }
+    assert(e.getMessage.contains("maxRefShingles"))
+  }
+
   test("dropNearDuplicatesKeepBest keeps the highest-score family member") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")

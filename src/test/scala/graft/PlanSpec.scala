@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_vs_ref_near corpus pass is zero-exchange (suite broadcasts at build)") {
+    // the reference side collapses to a broadcast inverted index at
+    // DataFrame-build time; the remaining plan must be a single map-only
+    // corpus scan — any KEY exchange means the decontamination pass
+    // started shuffling the 100 TB side. The one allowed Exchange is
+    // ensureParallelism's round-robin input-split fan-out (a no-op at
+    // warehouse scale, where the input arrives pre-split).
+    val p = plan("dedup_vs_ref_near")
+    val keyExchanges = "(?m)^[\\s:+\\-*()0-9]*Exchange (?!RoundRobinPartitioning)"
+      .r.findAllIn(p).size
+    assert(keyExchanges === 0,
+      s"vs-reference pass grew a key shuffle:\n${p.take(600)}")
+  }
+
   test("e3 generic unpivot plans as a map-only Expand (zero exchange)") {
     val p = plan("e3_key_values")
     assert(p.contains("Expand"), p.take(400))
