@@ -228,6 +228,22 @@ object PipelineConfig {
             sys.error("decontaminate_near needs name = reference parquet path")))
           graft.llm.Dedup.dropNearDupsOfReference(d, ref, idc, c,
             shingleN = shn.toInt, threshold = thr.toDouble)
+        // Gopher rule-suite gate (Rae et al. 2021 Table A1, default
+        // thresholds): cols = [idCol, textCol]; name = "filter" (default —
+        // keep only passing rows, original columns intact via a semi join)
+        // or "annotate" (join every signal + gopher_keep onto the frame)
+        case "gopher_gate" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("gopher_gate needs cols = [idCol, textCol]")
+          }
+          val gated = graft.llm.GopherRules.gate(d, idc, c)
+          t.name.getOrElse("filter") match {
+            case "annotate" => d.join(gated, Seq(idc))
+            case "filter" => d.join(gated.filter(col("gopher_keep"))
+              .select(col(idc)), Seq(idc), "left_semi")
+            case other => sys.error(s"gopher_gate mode '$other' (want filter|annotate)")
+          }
         // canonical text normalization in place: cols = [textCol]
         case "normalize" =>
           val c = t.cols.headOption.getOrElse(sys.error("normalize needs cols = [textCol]"))

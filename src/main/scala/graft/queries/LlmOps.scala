@@ -114,6 +114,28 @@ object LlmOps extends QueryPack {
         when(pmod(col("doc_id"), lit(7)) === 0, lit("\n" + FooterB))
           .otherwise(lit(""))).as("text"))
 
+  /** One boilerplate footer line, repeated doc_id % 4 times per doc by
+    * [[docsWithRepetition]] — 6 tokens, so k ≥ 2 copies also plant
+    * within-doc repeated 5-grams.
+    */
+  private val RepLine = "call now to subscribe today friends"
+
+  /** Repetition-planted corpus for the Gopher rule suite: `doc_id % 4`
+    * copies of [[RepLine]] as trailing lines, two bullet lines on every
+    * 5th doc, a trailing-ellipsis line on every 6th (SQL twin inside the
+    * gopher_quality_gate oracle).
+    */
+  private def docsWithRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("- item one\n- item two\n")).otherwise(lit("")),
+        col("text"),
+        call_function("repeat", lit("\n" + RepLine),
+          pmod(col("doc_id"), lit(4)).cast("int")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit("\nto be continued...")).otherwise(lit(""))).as("text"))
+
   /** embeddings (as double vectors) ∪ scaled copies (ids +100000, ×1.1). */
   private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -387,6 +409,13 @@ object LlmOps extends QueryPack {
         (lit(1.0) - size(array_distinct(big)).cast("double") / size(big))
           .as("dup_bigram_frac"))
     }),
+
+    // ---- the full Gopher rule suite (Rae et al. 2021, Table A1) over a
+    //      repetition-planted corpus: word sanity, line repetition, top
+    //      n-gram mass, repeated-5-gram coverage, and the keep verdict.
+    //      Every signal is an exact integer ratio → oracle-hash-exact. ----
+    "gopher_quality_gate" -> ((s, dir) =>
+      GopherRules.gate(docsWithRepetition(s, dir), "doc_id", "text")),
 
     // ---- PII surface counts (email / URL / phone regex detectors) over a
     //      corpus with deterministically injected PII. regexp_count is a
@@ -1163,6 +1192,131 @@ object LlmOps extends QueryPack {
          |         ELSE list_transform(range(1, len(toks)),
          |           i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS big
          |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents))""".stripMargin,
+
+    "gopher_quality_gate" -> {
+      val th = GopherThresholds()
+      val stopPresence = GopherRules.Stopwords.map(w =>
+        s"CASE WHEN contains(' ' || nrm || ' ', ' $w ') THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH rep AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN '- item one' || chr(10) || '- item two' || chr(10) ELSE '' END ||
+         |    text ||
+         |    repeat(chr(10) || '$RepLine', CAST(doc_id % 4 AS INT)) ||
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN chr(10) || 'to be continued...' ELSE '' END AS text
+         |  FROM documents),
+         |tok AS (SELECT doc_id, text,
+         |  regexp_replace(text, '\\s+', ' ', 'g') AS nrm,
+         |  $DuckToks AS toks FROM rep),
+         |word AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) AS mean_word_len,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_word_frac,
+         |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) +
+         |         len(regexp_extract_all(text, '…')) AS DOUBLE) / len(toks) AS symbol_word_ratio,
+         |    CAST($stopPresence AS BIGINT) AS n_stopwords_present
+         |  FROM tok),
+         |lines AS (
+         |  SELECT doc_id, trim(l) AS line
+         |  FROM rep, UNNEST(string_split_regex(text, '\\n+')) AS u(l)
+         |  WHERE trim(l) <> ''),
+         |perline AS (
+         |  SELECT doc_id, line, count(*) AS c, CAST(length(line) AS BIGINT) AS len,
+         |    CASE WHEN regexp_matches(line, '^[-*•]') THEN 1 ELSE 0 END AS is_bullet,
+         |    CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$$') THEN 1 ELSE 0 END AS is_ellipsis
+         |  FROM lines GROUP BY doc_id, line),
+         |linestats AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
+         |    CAST(sum((c - 1) * len) AS BIGINT) AS dup_chars,
+         |    CAST(sum(c * len) AS BIGINT) AS all_chars,
+         |    CAST(sum(c * is_bullet) AS BIGINT) AS n_bullet,
+         |    CAST(sum(c * is_ellipsis) AS BIGINT) AS n_ellipsis
+         |  FROM perline GROUP BY doc_id),
+         |grams AS (
+         |  SELECT doc_id, 2 AS n, g FROM tok,
+         |    UNNEST(list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS u(g)
+         |    WHERE len(toks) >= 2
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n, g FROM tok,
+         |    UNNEST(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS u(g)
+         |    WHERE len(toks) >= 3
+         |  UNION ALL
+         |  SELECT doc_id, 4 AS n, g FROM tok,
+         |    UNNEST(list_transform(range(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS u(g)
+         |    WHERE len(toks) >= 4),
+         |gtop AS (
+         |  SELECT doc_id, n, c, g FROM (
+         |    SELECT doc_id, n, g, count(*) AS c,
+         |      row_number() OVER (PARTITION BY doc_id, n
+         |        ORDER BY count(*) DESC, g ASC) AS rn
+         |    FROM grams GROUP BY doc_id, n, g)
+         |  WHERE rn = 1),
+         |gpiv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN n = 2 THEN c END) AS c2,
+         |    max(CASE WHEN n = 2 THEN CAST(length(g) AS BIGINT) END) AS g2,
+         |    max(CASE WHEN n = 3 THEN c END) AS c3,
+         |    max(CASE WHEN n = 3 THEN CAST(length(g) AS BIGINT) END) AS g3,
+         |    max(CASE WHEN n = 4 THEN c END) AS c4,
+         |    max(CASE WHEN n = 4 THEN CAST(length(g) AS BIGINT) END) AS g4
+         |  FROM gtop GROUP BY doc_id),
+         |spans AS (
+         |  SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i + 4), ' ') AS h
+         |  FROM tok, UNNEST(range(1, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 5),
+         |rep5 AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) AS c FROM spans GROUP BY doc_id, h)
+         |  WHERE c >= 2),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id AS doc_id, u.p AS p FROM (
+         |    SELECT sp.doc_id AS doc_id, sp.pos AS pos
+         |    FROM spans sp JOIN rep5 r ON sp.doc_id = r.doc_id AND sp.h = r.h) s,
+         |    UNNEST(range(s.pos, s.pos + 5)) AS u(p)),
+         |tokpos AS (
+         |  SELECT doc_id, i AS p, CAST(length(toks[i]) AS BIGINT) AS len
+         |  FROM tok, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |covstats AS (
+         |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS cov_chars
+         |  FROM tokpos JOIN cov USING (doc_id, p) GROUP BY doc_id),
+         |totstats AS (
+         |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS tot_chars
+         |  FROM tokpos GROUP BY doc_id),
+         |sig AS (
+         |  SELECT w.doc_id, n_tokens, mean_word_len, alpha_word_frac,
+         |    symbol_word_ratio, n_stopwords_present,
+         |    coalesce(n_lines, 0) AS n_lines,
+         |    coalesce(CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines, 0.0) AS dup_line_frac,
+         |    coalesce(CAST(dup_chars AS DOUBLE) / all_chars, 0.0) AS dup_line_char_frac,
+         |    coalesce(CAST(n_bullet AS DOUBLE) / n_lines, 0.0) AS bullet_line_frac,
+         |    coalesce(CAST(n_ellipsis AS DOUBLE) / n_lines, 0.0) AS ellipsis_line_frac,
+         |    coalesce(CAST(c2 * g2 AS DOUBLE) / length(w.text), 0.0) AS top_2gram_char_frac,
+         |    coalesce(CAST(c3 * g3 AS DOUBLE) / length(w.text), 0.0) AS top_3gram_char_frac,
+         |    coalesce(CAST(c4 * g4 AS DOUBLE) / length(w.text), 0.0) AS top_4gram_char_frac,
+         |    coalesce(CAST(cov_chars AS DOUBLE) / tot_chars, 0.0) AS dup_5gram_char_frac
+         |  FROM word w
+         |  LEFT JOIN linestats USING (doc_id) LEFT JOIN gpiv USING (doc_id)
+         |  LEFT JOIN covstats USING (doc_id) LEFT JOIN totstats USING (doc_id))
+         |SELECT *,
+         |  (n_tokens BETWEEN ${th.minWords} AND ${th.maxWords})
+         |  AND (mean_word_len BETWEEN ${th.minMeanWordLen} AND ${th.maxMeanWordLen})
+         |  AND symbol_word_ratio <= ${th.maxSymbolWordRatio}
+         |  AND alpha_word_frac >= ${th.minAlphaWordFrac}
+         |  AND n_stopwords_present >= ${th.minStopwordsPresent}
+         |  AND bullet_line_frac <= ${th.maxBulletLineFrac}
+         |  AND ellipsis_line_frac <= ${th.maxEllipsisLineFrac}
+         |  AND dup_line_frac <= ${th.maxDupLineFrac}
+         |  AND dup_line_char_frac <= ${th.maxDupLineCharFrac}
+         |  AND top_2gram_char_frac <= ${th.maxTop2gramCharFrac}
+         |  AND top_3gram_char_frac <= ${th.maxTop3gramCharFrac}
+         |  AND top_4gram_char_frac <= ${th.maxTop4gramCharFrac}
+         |  AND dup_5gram_char_frac <= ${th.maxDup5gramCharFrac} AS gopher_keep
+         |FROM sig""".stripMargin
+    },
 
     "text_pii" ->
       s"""WITH p AS (

@@ -498,4 +498,33 @@ class ConfigSpec extends SparkSpec {
     assert(s.outputs.map(_.linesWritten) === List(1L))
     assert(spark.read.parquet(out).count() === 1)
   }
+
+  test("declared gopher_gate filters and annotates with the rule suite") {
+    val outF = java.nio.file.Files.createTempDirectory("graft_cfg_gq").toString + "/f"
+    val outA = java.nio.file.Files.createTempDirectory("graft_cfg_gq").toString + "/a"
+    // doc 1: 60 distinct words + stopwords → passes; doc 2: too short
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and"
+    val lines = Seq(
+      s"""{"id":1,"text":"$good"}""",
+      """{"id":2,"text":"too short the of"}""")
+      .map(_.replace("\"", "\\\""))
+    def conf(mode: String, out: String) = PipelineConfig.parse(
+      s"""{ "id": "cfg-gq-$mode", "name": "gq", "steps": [
+         |  { "step": "gate", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "gopher_gate", "cols": ["id", "text"], "name": "$mode" } ],
+         |    "sink": { "type": "parquet", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf("filter", outF), new InMemoryStore)
+    val kept = spark.read.parquet(outF).collect()
+    assert(kept.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    assert(kept.head.schema.fieldNames.toSet === Set("id", "text"))
+    PipelineConfig.run(spark, conf("annotate", outA), new InMemoryStore)
+    val ann = spark.read.parquet(outA)
+    assert(ann.count() === 2)
+    assert(ann.columns.contains("gopher_keep") &&
+      ann.columns.contains("dup_5gram_char_frac"))
+  }
 }
