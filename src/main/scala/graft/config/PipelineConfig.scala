@@ -228,6 +228,20 @@ object PipelineConfig {
             sys.error("decontaminate_near needs name = reference parquet path")))
           graft.llm.Dedup.dropNearDupsOfReference(d, ref, idc, c,
             shingleN = shn.toInt, threshold = thr.toDouble)
+        // DSIR top-k selection (Xie et al. 2023): cols = [idCol, textCol],
+        // expr = target-predicate SQL defining the in-domain subset,
+        // name = k (default 1000). Keeps the original columns of the k
+        // most target-like rows via a semi join on the id.
+        case "dsir_select" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dsir_select needs cols = [idCol, textCol]")
+          }
+          val pred = expr(t.expr.getOrElse(
+            sys.error("dsir_select needs a target predicate expr")))
+          val k = t.name.getOrElse("1000").trim.toInt
+          d.join(graft.llm.Dsir.selectTopK(d, idc, c, pred, k)
+            .select(col(idc)), Seq(idc), "left_semi")
         // Gopher rule-suite gate (Rae et al. 2021 Table A1, default
         // thresholds): cols = [idCol, textCol]; name = "filter" (default —
         // keep only passing rows, original columns intact via a semi join)

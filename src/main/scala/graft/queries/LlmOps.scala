@@ -417,6 +417,18 @@ object LlmOps extends QueryPack {
     "gopher_quality_gate" -> ((s, dir) =>
       GopherRules.gate(docsWithRepetition(s, dir), "doc_id", "text")),
 
+    // ---- DSIR importance weighting (Xie et al. 2023 / Moore-Lewis):
+    //      hashed unigram+bigram buckets, portable fixed-point log-ratio
+    //      vs the English subset as target — BIGINT weights, oracle-
+    //      hash-exact. dsir_select keeps the top-100 most target-like. ----
+    "dsir_weights" -> ((s, dir) =>
+      Dsir.importanceWeights(t(s, dir).documents, "doc_id", "text",
+        col("lang") === "en")),
+
+    "dsir_select" -> ((s, dir) =>
+      Dsir.selectTopK(t(s, dir).documents, "doc_id", "text",
+        col("lang") === "en", k = 100)),
+
     // ---- PII surface counts (email / URL / phone regex detectors) over a
     //      corpus with deterministically injected PII. regexp_count is a
     //      codegen'd expression — map-only scan, no exchange. ----
@@ -649,19 +661,55 @@ object LlmOps extends QueryPack {
     * Sharing the generator with the Spark side is what makes the oracle
     * engine-exact — both engines evaluate the identical expression DAG.
     */
+  /** CTE chain ending in `<prefix>fin`; pass distinct prefixes to apply
+    * the portable log more than once in one query (the working COLUMN
+    * names repeat, so select them away between applications).
+    */
   private def duckMicroLnCtes(from: String, aExpr: String,
-      bExpr: String): String = {
+      bExpr: String, prefix: String = "ln"): String = {
     val stages = graft.functions.PortableMath.microLnStages(
       aExpr, bExpr, graft.functions.PortableMath.duckShiftLeft)
     val (ctes, last) = stages.zipWithIndex.foldLeft(
         (Vector.empty[String], from)) {
       case ((acc, prev), ((name, sql), i)) =>
-        val cte = if (i == stages.size - 1) "lnfin" else s"ln$i"
+        val cte = if (i == stages.size - 1) s"${prefix}fin" else s"$prefix$i"
         (acc :+ s"$cte AS (SELECT *, $sql AS $name FROM $prev)", cte)
     }
-    require(last == "lnfin")
+    require(last == s"${prefix}fin")
     ctes.mkString(",\n")
   }
+  /** SQL twin of graft.llm.Dsir over documents with lang='en' as target:
+    * CTE chain ending in `dweights` = (doc_id, n_feats, weight_micro).
+    * Applies the portable log twice (distinct CTE prefixes; chain-1
+    * working columns selected away in d2).
+    */
+  private def duckDsirCtes: String =
+    s"""tok AS (SELECT doc_id, lang, $DuckToks AS toks FROM documents),
+       |feats0 AS (
+       |  SELECT doc_id, lang, g FROM tok, UNNEST(toks) AS u(g)
+       |  UNION ALL
+       |  SELECT doc_id, lang, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+       |  FROM tok, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2),
+       |feats AS (
+       |  SELECT doc_id, lang, substr(md5(g), 1, ${Dsir.BucketHexLen}) AS bkt,
+       |    CAST(count(*) AS BIGINT) AS m
+       |  FROM feats0 GROUP BY doc_id, lang, bkt),
+       |rawd AS (SELECT bkt, CAST(sum(m) AS BIGINT) AS cr FROM feats GROUP BY bkt),
+       |tgtd AS (SELECT bkt, CAST(sum(m) AS BIGINT) AS ct FROM feats
+       |  WHERE lang = 'en' GROUP BY bkt),
+       |dists AS (
+       |  SELECT rawd.bkt AS bkt, coalesce(ct, 0) AS ct, cr,
+       |    (SELECT CAST(sum(m) AS BIGINT) FROM feats WHERE lang = 'en') AS tt,
+       |    (SELECT CAST(sum(m) AS BIGINT) FROM feats) AS tr
+       |  FROM rawd LEFT JOIN tgtd USING (bkt)),
+       |${duckMicroLnCtes("dists", "ct + 1", s"tt + ${Dsir.Buckets}", "lt")},
+       |d2 AS (SELECT bkt, cr, tr, lp AS lpt FROM ltfin),
+       |${duckMicroLnCtes("d2", "cr + 1", s"tr + ${Dsir.Buckets}", "lr")},
+       |dweights AS (
+       |  SELECT f.doc_id, CAST(sum(f.m) AS BIGINT) AS n_feats,
+       |    CAST(sum(f.m * (w.lpt - w.lp)) AS BIGINT) AS weight_micro
+       |  FROM feats f JOIN lrfin w USING (bkt) GROUP BY f.doc_id)""".stripMargin
+
   /** Brute-force exact-Jaccard near-dup pairs over the planted-dup corpus —
     * the ONE pair definition shared by the dedup_minhash and
     * dedup_components oracles (CTE chain ending in `npairs`).
@@ -1192,6 +1240,15 @@ object LlmOps extends QueryPack {
          |         ELSE list_transform(range(1, len(toks)),
          |           i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS big
          |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents))""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH $duckDsirCtes
+         |SELECT doc_id, n_feats, weight_micro FROM dweights""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH $duckDsirCtes
+         |SELECT doc_id, n_feats, weight_micro FROM dweights
+         |ORDER BY weight_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "gopher_quality_gate" -> {
       val th = GopherThresholds()

@@ -527,4 +527,31 @@ class ConfigSpec extends SparkSpec {
     assert(ann.columns.contains("gopher_keep") &&
       ann.columns.contains("dup_5gram_char_frac"))
   }
+
+  test("declared dsir_select keeps the most target-like rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_dsir").toString + "/p"
+    val lines = Seq(
+      """{"id":1,"text":"apple banana cherry apple","grp":"t"}""",
+      """{"id":2,"text":"banana cherry apple banana","grp":"t"}""",
+      """{"id":3,"text":"iron copper zinc iron","grp":"r"}""",
+      """{"id":4,"text":"apple cherry banana apple","grp":"r"}""",
+      """{"id":5,"text":"zinc copper iron zinc","grp":"r"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-dsir", "name": "dsir", "steps": [
+         |  { "step": "select", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING, grp STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "dsir_select", "cols": ["id", "text"],
+         |        "expr": "grp = 't'", "name": "3" } ],
+         |    "sink": { "type": "parquet", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val kept = spark.read.parquet(out).collect()
+    assert(kept.length === 3)
+    // the 3 most target-like are the fruit-vocab docs, original columns kept
+    assert(kept.map(_.getAs[Long]("id")).toSet === Set(1L, 2L, 4L))
+    assert(kept.head.schema.fieldNames.toSet === Set("id", "text", "grp"))
+  }
 }
