@@ -56,7 +56,30 @@ object Bench {
     "text_boilerplate" -> "tx_boiler",
     "text_commonness" -> "tx_common",
     "d2_json_decode" -> "d2_dec",
-    "d2_json_props" -> "d2_props")
+    "d2_json_props" -> "d2_props",
+    "text_token_stats" -> "tx_tok",
+    "chunk_sliding" -> "chunks",
+    "decontaminate" -> "decon",
+    "dedup_components" -> "dd_comp",
+    "emb_centroids" -> "emb_cent",
+    "sample_stratified" -> "sm_strat",
+    "sim_topk_brute" -> "si_topk",
+    "text_repetition" -> "tx_rep",
+    "text_vocab_topk" -> "tx_vocab",
+    "emb_quantize" -> "emb_q",
+    "pack_sequences" -> "pk_seq",
+    "sample_per_group" -> "sm_grp",
+    "text_normalize" -> "tx_norm",
+    "mixture_resample" -> "mx_docs",
+    "mm_features" -> "mm_feat",
+    "sample_weighted" -> "sm_wt",
+    "sim_semdedup" -> "si_sdd",
+    "gopher_quality_gate" -> "gopher",
+    "dsir_weights" -> "dsir_w",
+    "dsir_select" -> "dsir_k",
+    "sim_hard_negatives" -> "si_hneg",
+    "curriculum_order" -> "curric",
+    "text_html_clean" -> "tx_html")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

@@ -262,6 +262,28 @@ object PipelineConfig {
         case "normalize" =>
           val c = t.cols.headOption.getOrElse(sys.error("normalize needs cols = [textCol]"))
           d.withColumn(c, graft.llm.TextOps.normalize(col(c)))
+        // C4-style HTML cleanup in place (tag strip + entity unescape +
+        // whitespace collapse): cols = [textCol]
+        case "html_clean" =>
+          val c = t.cols.headOption.getOrElse(sys.error("html_clean needs cols = [textCol]"))
+          d.withColumn(c, graft.llm.TextOps.stripHtml(col(c)))
+        // stride-scheduling curriculum order: cols = [groupCol, idCol],
+        // expr = "grpA:wA,grpB:wB,..." (positive integer weights); appends
+        // ticket + schedule_pos to the frame via a join on the id
+        case "curriculum" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("curriculum needs cols = [groupCol, idCol]")
+          }
+          val weights = t.expr.getOrElse(
+              sys.error("curriculum needs expr = grp:weight pairs"))
+            .split(",").map(_.trim.split(":") match {
+              case Array(k, v) => k -> v.trim.toLong
+              case other => sys.error(
+                s"curriculum weight '${other.mkString(":")}' not grp:weight")
+            }).toMap
+          d.join(graft.llm.Curriculum.interleave(d, g, idc, weights)
+            .drop(g), Seq(idc))
         // PII redaction in place with the shared detector regexes
         // (graft.llm.TextOps — same patterns text_pii counts): cols = [textCol]
         case "redact" =>

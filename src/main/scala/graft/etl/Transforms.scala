@@ -189,6 +189,42 @@ object Transforms {
       .drop("__grb", "__groff")
   }
 
+  /** Exact global rank by an ARBITRARY sort key without a SinglePartition
+    * window (the [[globalHashRank]] offset trick generalized from hash
+    * order to any key order): range-repartition on the key, freeze the
+    * partition ids (localCheckpoint — `spark_partition_id` is
+    * nondeterministic across recomputations), collect the ≤ numShuffle-
+    * Partitions per-partition counts into prefix offsets, and add each
+    * row's offset to its within-partition row_number. Equal keys land in
+    * one range partition, so rank is defined purely by the key order —
+    * independent of sampling or partitioning — but the caller MUST make
+    * the key unique (end it with a unique id) or ties rank arbitrarily.
+    */
+  def globalSortRank(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      rankCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "globalSortRank needs at least one key column")
+    val clash = Seq("__gsp", "__gso").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved column(s) ${clash.mkString(", ")}")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__gsp", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy("__gsp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) return df.withColumn(rankCol, lit(1L)) // no rows
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offsetsDf = broadcast(df.sparkSession.createDataFrame(offsets)
+      .toDF("__gsp", "__gso"))
+    val w = Window.partitionBy(col("__gsp")).orderBy(keys: _*)
+    staged.join(offsetsDf, "__gsp")
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__gso"))
+      .drop("__gsp", "__gso")
+  }
+
   /** T5 `Pipeline`: source→sink copy with stats
     * (`etl-core/src/task/pipeline.rs:5-50`).
     *

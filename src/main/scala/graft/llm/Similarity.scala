@@ -728,4 +728,41 @@ object Similarity extends Serializable {
       .select(col("id_b").as("__drop")).distinct()
     df.join(dropIds, df(idCol).cast("long") === dropIds("__drop"), "left_anti")
   }
+
+  /** Hard-negative mining for contrastive training (the in-batch-negative
+    * upgrade of DPR, Karpukhin et al. 2020 §3.2): for each query vector,
+    * the `k` most-similar corpus vectors carrying a DIFFERENT label — the
+    * near-misses that make the strongest training negatives — with
+    * similarity capped at `maxSim` to exclude probable false negatives
+    * (mislabeled true matches).
+    *
+    * Output: (query_id, neighbor_id, sim, rank), rank ≤ k per query by
+    * (sim desc, neighbor_id asc). Same execution shape as
+    * [[bruteForceTopK]]: queries broadcast, codegen'd cosine, one
+    * WindowGroupLimit-pruned rank — the corpus side streams, never
+    * shuffles more than the per-query candidates.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxSim: Double = 1.0, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+        !(col("__ql") <=> col("__nl")))
+      .withColumn("sim", round(
+        graft.functions.GraftFunctions.graftCosine(col("qv"), col("cv")), 4))
+      .filter(col("sim") <= maxSim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -137,6 +137,30 @@ object TextOps {
     "es" -> Seq(" el ", " los "),
     "fr" -> Seq(" le ", " les "))
 
+  /** Entity unescapes applied by [[stripHtml]], in order — `&amp;` LAST so
+    * a double-escaped `&amp;lt;` decodes one level (`&lt;`), not two (the
+    * standard unescape order).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** C4-style web-text cleanup: drop HTML/XML tags (each tag → one space,
+    * so adjacent words never fuse), unescape the common entities
+    * ([[HtmlEntities]]), collapse whitespace runs, trim. Pure codegen'd
+    * regexp/replace chain — map-only at any scale, and every step is a
+    * literal or non-backtracking pattern that Java regex and RE2 treat
+    * identically (oracle-exact).
+    */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val unescaped = HtmlEntities.foldLeft(noTags) {
+      case (acc, (entity, repl)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(entity), repl)
+    }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Occurrences of a literal marker in a space-padded text. */
   def occurrences(c: Column, marker: String): Column = {
     val padded = concat(lit(" "), c, lit(" "))

@@ -136,6 +136,21 @@ object LlmOps extends QueryPack {
         when(pmod(col("doc_id"), lit(6)) === 0,
           lit("\nto be continued...")).otherwise(lit(""))).as("text"))
 
+  /** HTML-polluted corpus: every 3rd doc wrapped in tags, every 4th doc
+    * with escaped entities appended (SQL twin inside the text_html_clean
+    * oracle).
+    */
+  private def docsWithHtml(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<div class=\"body\"><p>"), col("text"),
+            lit("</p>\n<br/></div>")))
+          .otherwise(col("text")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" &lt;escaped&gt; &amp;amp; &quot;quoted&quot;"))
+          .otherwise(lit(""))).as("text"))
+
   /** embeddings (as double vectors) ∪ scaled copies (ids +100000, ×1.1). */
   private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir).embeddings
@@ -417,6 +432,20 @@ object LlmOps extends QueryPack {
     "gopher_quality_gate" -> ((s, dir) =>
       GopherRules.gate(docsWithRepetition(s, dir), "doc_id", "text")),
 
+    // ---- C4-style HTML cleanup: tag strip + entity unescape + whitespace
+    //      collapse, all literal/non-backtracking patterns → map-only and
+    //      oracle-exact. ----
+    "text_html_clean" -> ((s, dir) =>
+      docsWithHtml(s, dir).select(col("doc_id"),
+        TextOps.stripHtml(col("text")).as("clean_text"))),
+
+    // ---- stride-scheduling curriculum (Waldspurger & Weihl): interleave
+    //      languages so every schedule prefix matches the weights; exact
+    //      integer tickets + range-partitioned global rank. ----
+    "curriculum_order" -> ((s, dir) =>
+      Curriculum.interleave(t(s, dir).documents, "lang", "doc_id",
+        Map("en" -> 4L, "fr" -> 2L, "de" -> 2L, "es" -> 1L, "zh" -> 1L))),
+
     // ---- DSIR importance weighting (Xie et al. 2023 / Moore-Lewis):
     //      hashed unigram+bigram buckets, portable fixed-point log-ratio
     //      vs the English subset as target — BIGINT weights, oracle-
@@ -540,6 +569,14 @@ object LlmOps extends QueryPack {
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir).embeddings
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    }),
+
+    // ---- hard-negative mining (DPR-style): per query, the top-k most
+    //      similar DIFFERENT-label vectors under a false-negative cap ----
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, k = 10,
+        maxSim = 0.99)
     }),
 
     // ---- embedding near-dup pairs via hyperplane LSH + exact cosine ----
@@ -1241,6 +1278,38 @@ object LlmOps extends QueryPack {
          |           i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS big
          |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents))""".stripMargin,
 
+    "text_html_clean" -> {
+      val unescapes = TextOps.HtmlEntities.foldLeft("regexp_replace(text, '<[^>]*>', ' ', 'g')") {
+        case (acc, (e, r)) =>
+          s"replace($acc, '${e}', '${r.replace("'", "''")}')"
+      }
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN '<div class="body"><p>' || text || '</p>' || chr(10) || '<br/></div>'
+         |      ELSE text END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN ' &lt;escaped&gt; &amp;amp; &quot;quoted&quot;' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  trim(regexp_replace($unescapes, '\\s+', ' ', 'g')) AS clean_text
+         |FROM h""".stripMargin
+    },
+
+    "curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS r,
+        |    CASE lang WHEN 'en' THEN 4 WHEN 'fr' THEN 2 WHEN 'de' THEN 2
+        |              WHEN 'es' THEN 1 WHEN 'zh' THEN 1 END AS w
+        |  FROM documents)
+        |SELECT doc_id, lang, ticket,
+        |  CAST(row_number() OVER (ORDER BY ticket ASC, lang ASC, doc_id ASC)
+        |    AS BIGINT) AS schedule_pos
+        |FROM (SELECT doc_id, lang,
+        |        CAST(r AS BIGINT) * 1000000000 // CAST(w AS BIGINT) AS ticket
+        |      FROM t)""".stripMargin,
+
     "dsir_weights" ->
       s"""WITH $duckDsirCtes
          |SELECT doc_id, n_feats, weight_micro FROM dweights""".stripMargin,
@@ -1483,6 +1552,20 @@ object LlmOps extends QueryPack {
         |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |    AND NOT (q.label IS NOT DISTINCT FROM c.label))
+        |SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        |  FROM scored WHERE sim <= 0.99)
         |WHERE rnk <= 10""".stripMargin,
 
     "sim_neardup_cosine" ->

@@ -554,4 +554,32 @@ class ConfigSpec extends SparkSpec {
     assert(kept.map(_.getAs[Long]("id")).toSet === Set(1L, 2L, 4L))
     assert(kept.head.schema.fieldNames.toSet === Set("id", "text", "grp"))
   }
+
+  test("declared html_clean and curriculum compose in one pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_cur2").toString + "/p"
+    val lines = Seq(
+      """{"id":1,"text":"<p>alpha beta</p>","grp":"a"}""",
+      """{"id":2,"text":"gamma &amp; delta","grp":"a"}""",
+      """{"id":3,"text":"plain text here","grp":"b"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-cur2", "name": "order", "steps": [
+         |  { "step": "order", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING, grp STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "html_clean", "cols": ["text"] },
+         |      { "op": "curriculum", "cols": ["grp", "id"],
+         |        "expr": "a:2, b:1" } ],
+         |    "sink": { "type": "parquet", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val rows = spark.read.parquet(out)
+      .orderBy("schedule_pos").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L))
+    val byId = rows.map(r =>
+      r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(byId(1L) === "alpha beta")
+    assert(byId(2L) === "gamma & delta")
+  }
 }

@@ -513,4 +513,77 @@ class LlmSpec extends SparkSpec {
       assert(got.toSeq === expected.toSeq, s"(expected=$n fpp=$fpp)")
     }
   }
+
+  test("hardNegatives excludes same-label vectors and caps similarity") {
+    // label 0: query + an identical twin (sim 1.0) + a near twin;
+    // label 1: a near match (the hard negative) + an orthogonal vector
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0),
+      (2L, Seq(1.0, 0.0, 0.0), 0), // same label — never a negative
+      (3L, Seq(0.9, 0.1, 0.0), 0), // same label
+      (4L, Seq(0.9, 0.2, 0.0), 1), // hard negative
+      (5L, Seq(0.0, 0.0, 1.0), 1), // easy negative
+      (6L, Seq(1.0, 0.0, 0.0), 1) // identical but other label: sim 1.0 > cap
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      vecs.filter($"vec_id" === 1), vecs, k = 5, maxSim = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // ranked: 4 first (hardest), then 5; 2/3 same-label excluded; 6 capped
+    assert(out.toSeq === Seq((4L, 1L), (5L, 2L)))
+  }
+
+  test("curriculum interleave honors weights in every schedule prefix") {
+    val df = ((1 to 40).map(i => (i.toLong, "a")) ++
+      (101 to 120).map(i => (i.toLong, "b"))).toDF("doc_id", "grp")
+    val sched = Curriculum.interleave(df, "grp", "doc_id",
+      Map("a" -> 2L, "b" -> 1L))
+      .orderBy("schedule_pos").collect().map(_.getString(1))
+    assert(sched.length === 60)
+    // stride property: every prefix carries groups near their 2:1 weights
+    for (p <- Seq(6, 15, 30, 60)) {
+      val a = sched.take(p).count(_ == "a")
+      assert(math.abs(a - p * 2.0 / 3) <= 2,
+        s"prefix $p has $a 'a' docs, want ~${p * 2 / 3}")
+    }
+    // within a group, docs appear in id order
+    val aOrder = Curriculum.interleave(df, "grp", "doc_id",
+      Map("a" -> 2L, "b" -> 1L))
+      .filter($"grp" === "a").orderBy("schedule_pos")
+      .collect().map(_.getLong(0))
+    assert(aOrder.toSeq === aOrder.sorted.toSeq)
+  }
+
+  test("curriculum interleave fails loudly on a missing group weight") {
+    val df = Seq((1L, "a"), (2L, "zz")).toDF("doc_id", "grp")
+    val e = intercept[Exception] {
+      Curriculum.interleave(df, "grp", "doc_id", Map("a" -> 1L)).collect()
+    }
+    assert(e.getMessage.contains("no weight for group"))
+  }
+
+  test("globalSortRank equals a single-partition sort rank, at any key") {
+    import graft.etl.Transforms
+    val df = (1 to 500).map(i => (i.toLong, (i * 37) % 101))
+      .toDF("id", "key").repartition(13)
+    val got = Transforms.globalSortRank(df,
+        Seq($"key".asc, $"id".asc), "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got === want)
+  }
+
+  test("stripHtml strips tags, unescapes once, collapses whitespace") {
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "a &amp;amp; b &lt;tag&gt;"), // double-escaped decodes ONE level
+      (3L, "no  markup   here")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.stripHtml($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "hello world")
+    assert(out(2L) === "a &amp; b <tag>")
+    assert(out(3L) === "no markup here")
+  }
 }
