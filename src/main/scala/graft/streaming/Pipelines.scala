@@ -185,6 +185,53 @@ object Pipelines {
       CorpusStats.mergeParaDfIndex)
   }
 
+  /** Continuous DSIR scoring (graft.llm.Dsir, streaming form): each
+    * micro-batch of raw documents is importance-weighted against a FIXED
+    * target distribution (a [[graft.llm.Dsir.featureDist]] over the
+    * in-domain corpus, columns (bkt, cnt)) and the accumulated raw
+    * distribution — the batch's own hashed features plus the persisted
+    * raw-dist index — then appends its (id, n_feats, weight_micro) rows
+    * and its index contribution, never re-tokenizing history. Same
+    * two-level base/delta index layout, idempotent `batch=` partitioning,
+    * and compaction cadence as [[boilerplateIngest]]; read the index
+    * externally with [[readDsirRawDist]].
+    *
+    * Streaming semantics caveat, by design: a batch is weighted against
+    * the raw distribution known AT INGESTION — the last batch's weights
+    * equal the batch operator over everything ingested so far, earlier
+    * batches used their smaller prefix (run
+    * [[graft.llm.Dsir.importanceWeights]] over the corpus for a full
+    * retro-score).
+    */
+  def dsirIngest(stream: DataFrame, idCol: String, textCol: String,
+      targetDist: DataFrame, weightsDir: String, indexDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dsir
+    val tgt = targetDist.withColumnRenamed("cnt", "ct")
+    indexedIngest(stream, idCol, textCol, weightsDir, indexDir,
+      checkpointDir, compactEvery, "bkt", "cnt",
+      (idx, fresh) => {
+        val feats = Dsir.hashedFeatures(fresh, idCol, textCol)
+          .localCheckpoint()
+        val freshIdx = Dsir.featureDist(feats)
+        val raw = Dsir.mergeFeatureDist(idx, freshIdx)
+          .withColumnRenamed("cnt", "cr")
+        (Dsir.weightsOfFeatures(feats, raw, tgt, idCol), freshIdx)
+      },
+      Dsir.mergeFeatureDist)
+  }
+
+  /** The accumulated raw feature distribution at `indexDir` (written by
+    * [[dsirIngest]]): newest base + deltas, one (bkt, cnt) row per
+    * bucket. Empty frame if the index is empty.
+    */
+  def readDsirRawDist(spark: SparkSession, indexDir: String): DataFrame =
+    indexState(spark, indexDir, None, "bkt", "cnt")._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("bkt", "cnt")
+    }
+
   /** The corpus-wide paragraph-df index at `indexDir` (written by
     * [[paraDedupIngest]]): newest base + deltas after it, aggregated to
     * one (h, para_df) row per paragraph. Empty frame if the index is empty.

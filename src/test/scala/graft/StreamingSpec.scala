@@ -571,4 +571,50 @@ class StreamingSpec extends SparkSpec {
     val byBatch = seen.toArray(Array.empty[(Long, Long, Long)]).toSeq.sorted
     assert(byBatch === Seq((0L, 3L, 2L), (1L, 1L, 1L)))
   }
+
+  test("dsirIngest: last batch equals the batch operator over the union") {
+    import graft.llm.Dsir
+    val base = java.nio.file.Files.createTempDirectory("graft_dsi").toString
+    // fixed in-domain target: fruit vocabulary
+    val target = Seq((901L, "apple banana cherry apple"),
+      (902L, "banana cherry apple banana")).toDF("doc_id", "text")
+    val targetDist = Dsir.featureDist(
+      Dsir.hashedFeatures(target, "doc_id", "text")).localCheckpoint()
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.dsirIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", targetDist,
+      s"$base/w", s"$base/index", s"$base/ckpt", compactEvery = 2)
+    val b1 = Seq((1L, "apple banana iron"), (2L, "zinc copper iron"))
+    val b2 = Seq((3L, "apple cherry banana"), (4L, "iron zinc zinc"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def wset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_feats", $"weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = spark.read.parquet(s"$base/w")
+    def featsOf(rows: Seq[(Long, String)]) =
+      Dsir.hashedFeatures(rows.toDF("doc_id", "text"), "doc_id", "text")
+    // batch 1 scored against its own raw dist only
+    assert(wset(out.filter($"batch" === 0)) ===
+      wset(Dsir.weightsOfFeatures(featsOf(b1),
+        Dsir.featureDist(featsOf(b1)).withColumnRenamed("cnt", "cr"),
+        targetDist.withColumnRenamed("cnt", "ct"), "doc_id")))
+    // batch 2 scored against the ACCUMULATED raw dist (b1 ∪ b2) via the
+    // persisted index — equal to the direct computation over the union
+    assert(wset(out.filter($"batch" === 1)) ===
+      wset(Dsir.weightsOfFeatures(featsOf(b2),
+        Dsir.featureDist(featsOf(b1 ++ b2)).withColumnRenamed("cnt", "cr"),
+        targetDist.withColumnRenamed("cnt", "ct"), "doc_id")))
+    // the fruit-vocab doc outweighs the metal-vocab doc in its batch
+    val w2 = wset(out.filter($"batch" === 1)).map(t => t._1 -> t._3).toMap
+    assert(w2(3L) > w2(4L))
+    // resolved index = the full-union raw distribution (compaction ran)
+    val resolved = graft.streaming.Pipelines
+      .readDsirRawDist(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = Dsir.featureDist(featsOf(b1 ++ b2))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === full)
+  }
 }
