@@ -63,7 +63,7 @@ object GopherRules extends Serializable {
     "top_3gram_char_frac", "top_4gram_char_frac", "dup_5gram_char_frac",
     "gopher_keep", "c2", "g2", "c3", "g3", "c4", "g4", "rn", "cov_chars",
     "tot_chars", "n_dup_line", "dup_chars", "all_chars", "n_bullet",
-    "n_ellipsis", "n_distinct_lines", "__text")
+    "n_ellipsis", "n_distinct_lines", "__len")
 
   private def guard(idCol: String): Unit =
     require(!Reserved(idCol),
@@ -111,7 +111,8 @@ object GopherRules extends Serializable {
       when(TextOps.occurrences(nrm, s" $w ") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
     val wordLevel = df.select(id,
-      text.as("__text"),
+      // doc char length ONLY — the text itself must not ride the joins
+      length(text).cast("long").as("__len"),
       size(toks).cast("long").as("n_tokens"),
       (length(regexp_replace(text, "\\s", "")).cast("double") /
         size(toks)).as("mean_word_len"),
@@ -204,11 +205,11 @@ object GopherRules extends Serializable {
         coalesce(col("n_ellipsis").cast("double") / col("n_lines"),
           lit(0.0)).as("ellipsis_line_frac"),
         coalesce((col("c2") * col("g2")).cast("double") /
-          length(col("__text")), lit(0.0)).as("top_2gram_char_frac"),
+          col("__len"), lit(0.0)).as("top_2gram_char_frac"),
         coalesce((col("c3") * col("g3")).cast("double") /
-          length(col("__text")), lit(0.0)).as("top_3gram_char_frac"),
+          col("__len"), lit(0.0)).as("top_3gram_char_frac"),
         coalesce((col("c4") * col("g4")).cast("double") /
-          length(col("__text")), lit(0.0)).as("top_4gram_char_frac"),
+          col("__len"), lit(0.0)).as("top_4gram_char_frac"),
         coalesce(col("cov_chars").cast("double") / col("tot_chars"),
           lit(0.0)).as("dup_5gram_char_frac"))
   }

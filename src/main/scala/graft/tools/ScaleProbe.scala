@@ -131,6 +131,20 @@ object ScaleProbe {
             .select((col("c") + n).as("id_a"), (col("c") + n + 1).as("id_b"))
           Dedup.survivorAssignment(dupEdges.unionByName(chain),
             localThreshold = 0).count()
+        },
+        time("gopher_rules", n) {
+          // line + n-gram + span aggregates: wall time must track token
+          // volume (all shuffles carry slim (id, hash, count) rows)
+          graft.llm.GopherRules.gate(docs, "doc_id", "text")
+            .agg(sum(when(col("gopher_keep"), 1L).otherwise(0L)))
+            .collect().length.toLong
+        },
+        time("dsir_weights", n) {
+          // model tables stay 4096 rows at any corpus size: the scan and
+          // the (id, bucket) agg are the only n-scaled stages
+          graft.llm.Dsir.importanceWeights(docs, "doc_id", "text",
+            pmod(col("doc_id"), lit(10)) === 0)
+            .agg(sum("weight_micro")).collect().length.toLong
         }).toMap
     }
 

@@ -162,4 +162,44 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("LeftSemi"), s"$name misses the semi join")
     }
   }
+
+  test("text_html_clean is a zero-exchange codegen'd scan") {
+    val p = plan("text_html_clean")
+    assert(!p.contains("Exchange"), s"html clean grew a shuffle:\n${p.take(400)}")
+    assert(p.contains("*("), "html clean fell out of codegen")
+  }
+
+  test("curriculum_order global rank is never SinglePartition") {
+    // the schedule_pos rank must come from the range-partition + offset
+    // trick — a plain global window would die at corpus scale
+    val p = plan("curriculum_order")
+    assert(p.contains("Window"), p.take(500))
+    assert(!p.contains("SinglePartition"),
+      s"curriculum rank fell back to a single partition:\n${p.take(800)}")
+  }
+
+  test("sim_hard_negatives broadcasts the query side, prunes rank early") {
+    // the θ-condition (id ≠, label ≠) forces a nested-loop join — it must
+    // be the BROADCAST kind (tiny query set) so the corpus side streams,
+    // and the top-k must prune map-side via WindowGroupLimit
+    val p = plan("sim_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p.take(800))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("dsir model joins never plan a cartesian; totals are the only BNLJs") {
+    val p = plan("dsir_weights")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // two single-row totals (target, raw) are the only nested-loop joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
+  test("gopher_quality_gate: no cartesian, partial aggregation everywhere") {
+    val p = plan("gopher_quality_gate")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // every groupBy must combine map-side before its exchange
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"gopher aggregation lost its partial phase:\n${p.take(800)}")
+  }
 }
