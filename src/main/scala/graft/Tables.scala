@@ -20,13 +20,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = apply("part")
   def orders: DataFrame     = apply("orders")
   def lineitem: DataFrame   = apply("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * integral `div`, not `/`, because ns-since-2024 exceeds double's 2^53
-    * exact-integer range.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across test-data generations, so dispatch on the type
+    * actually read instead of assuming one:
+    *   - LongType: the NANOS form surfaced by
+    *     `spark.sql.legacy.parquet.nanosAsLong` — truncate to micros with
+    *     integral `div` (ns-since-2024 exceeds double's 2^53 exact range).
+    *   - TIMESTAMP_NTZ / TIMESTAMP: the MICROS form — cast to session-TZ
+    *     TimestampType (identity on wall-clock under the UTC session) so every
+    *     consumer sees the same type either way.
     */
-  def events: DataFrame = apply("events")
-    .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = apply("events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents: DataFrame  = apply("documents")
   def embeddings: DataFrame = apply("embeddings")
 }

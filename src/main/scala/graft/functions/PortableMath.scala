@@ -63,6 +63,22 @@ object PortableMath {
     * renders the dialect's integer left shift.
     */
   def microLnStages(a: String, b: String,
+      shiftLeft: (String, String) => String): Seq[(String, String)] =
+    lnStages(a, b, shiftLeft) :+
+      ("lp" -> s"CAST(floor($lnDoubleSql * CAST(1000000 AS DOUBLE)) AS BIGINT)")
+
+  /** The pre-floor staged double `ln(a/b)` in terms of the working columns
+    * emitted by [[lnStages]]. The parenthesization fixes evaluation order:
+    * `(2·s·p) − e·ln2`, each step one correctly-rounded IEEE op.
+    */
+  private val lnDoubleSql: String =
+    "((CAST(2 AS DOUBLE) * lns * lnp) - " +
+      "CAST(lne AS DOUBLE) * CAST('0.6931471805599453' AS DOUBLE))"
+
+  /** All stages except the final floor — shared by the unsigned and signed
+    * forms.
+    */
+  private def lnStages(a: String, b: String,
       shiftLeft: (String, String) => String): Seq[(String, String)] = {
     // Horner in u = s²: p = 1 + u(1/3 + u(1/5 + ... + u(1/21)))
     val horner = (19 to 3 by -2).foldLeft("(CAST(1 AS DOUBLE) / 21)") {
@@ -78,10 +94,50 @@ object PortableMath {
       "lnm" -> s"(CAST(CASE WHEN lnad >= lnb THEN lnad ELSE ${shiftLeft("lnad", "1")} END AS DOUBLE) / CAST(lnb AS DOUBLE))",
       "lns" -> "((lnm - CAST(1 AS DOUBLE)) / (lnm + CAST(1 AS DOUBLE)))",
       "lnu" -> "(lns * lns)",
-      "lnp" -> s"(CAST(1 AS DOUBLE) + lnu * $horner)",
-      "lp" -> ("CAST(floor(((CAST(2 AS DOUBLE) * lns * lnp) - " +
-        "CAST(lne AS DOUBLE) * CAST('0.6931471805599453' AS DOUBLE)) * " +
+      "lnp" -> s"(CAST(1 AS DOUBLE) + lnu * $horner)")
+  }
+
+  /** Signed variant of [[microLnStages]]: `lp = floor(ln(a/b)·10⁶)` for ANY
+    * positive integers `a`, `b < 2^52` — the ratio may exceed 1 (positive
+    * log). The unsigned stages run on `(least, greatest)` (ratio ≤ 1, the
+    * domain they're verified on) and the final floor takes `±1 ·` the staged
+    * double: negation via ±1 multiplication is exact in IEEE, and the
+    * left-to-right product `(sign · d) · 10⁶` matches [[microLnSignedRef]],
+    * so the result is still bit-identical across engines. Motivating case:
+    * BM25's Robertson idf `ln((N−df+0.5)/(df+0.5))`, positive for any term
+    * appearing in less than half the corpus.
+    */
+  def microLnSignedStages(a: String, b: String,
+      shiftLeft: (String, String) => String): Seq[(String, String)] =
+    Seq("lpa" -> s"($a)", "lpb" -> s"($b)") ++
+      lnStages("least(lpa, lpb)", "greatest(lpa, lpb)", shiftLeft) :+
+      ("lp" -> ("CAST(floor((CASE WHEN lpa >= lpb THEN CAST(-1 AS DOUBLE) " +
+        s"ELSE CAST(1 AS DOUBLE) END) * $lnDoubleSql * " +
         "CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+
+  /** Working column names produced by [[microLnSignedStages]]. */
+  val microLnSignedColumns: Seq[String] = Seq("lpa", "lpb") ++ microLnColumns
+
+  /** Pure-JVM reference for [[microLnSignedStages]]. */
+  def microLnSignedRef(a: Long, b: Long): Long = {
+    require(a >= 1 && b >= 1, s"positive args required, got a=$a b=$b")
+    val (lo, hi) = (math.min(a, b), math.max(a, b))
+    val d = microLnDoubleRef(lo, hi)
+    math.floor((if (a >= b) -d else d) * 1000000.0).toLong
+  }
+
+  /** The staged double `ln(a/b)` (pre-floor) for `1 ≤ a ≤ b < 2^52`. */
+  private def microLnDoubleRef(a: Long, b: Long): Double = {
+    val lnd = (64 - java.lang.Long.numberOfLeadingZeros(b)) -
+      (64 - java.lang.Long.numberOfLeadingZeros(a))
+    val lnad = a << lnd
+    val (lne, mnum) = if (lnad >= b) (lnd, lnad) else (lnd + 1, lnad << 1)
+    val m = mnum.toDouble / b.toDouble
+    val s = (m - 1.0) / (m + 1.0)
+    val u = s * s
+    val p0 = (19 to 3 by -2).foldLeft(1.0 / 21) { (p, k) => 1.0 / k + u * p }
+    val p = 1.0 + u * p0
+    (2.0 * s * p) - lne.toDouble * 0.6931471805599453
   }
 
   /** Pure-JVM reference implementation of [[microLnStages]] — the same

@@ -1067,8 +1067,8 @@ object LlmOps extends QueryPack {
          |lpj AS (
          |  SELECT doc_id, lp FROM bg JOIN lnfin USING (w1, w2))
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  -sum(lp) AS nll_micro,
-         |  (-sum(lp)) // count(*) AS avg_nll_micro
+         |  CAST(-sum(lp) AS BIGINT) AS nll_micro,
+         |  CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
          |FROM lpj GROUP BY doc_id""".stripMargin,
 
     "text_commonness" ->
