@@ -34,38 +34,26 @@ object Bench {
     * collision-free.
     */
   private val Overrides = Map(
-    "split_leakage_free" -> "split_lf",
     "feat_category_index" -> "ft_cidx",
     "sim_neardup_cosine" -> "si_ndup",
     "dedup_ngram_jaccard" -> "dd_jac",
     "dedup_span_removal" -> "dd_spans",
     "dedup_against_ref" -> "dd_vsref",
     "dedup_vs_ref_near" -> "dd_vrn",
-    "quality_gate" -> "q_gate",
-    "token_budget" -> "tok_bud",
     "mm_binary_stats" -> "mm_stats",
-    "pipeline_curate" -> "pipe_cur",
-    "corpus_shuffle" -> "cshuffle",
     "sel_cap_per_source" -> "sel_cap",
     "dedup_keep_best" -> "dd_best",
-    "corpus_datacard" -> "datacard",
     "text_fingerprint" -> "tx_fpr",
     "feat_standardize" -> "ft_std",
     "text_para_dedup" -> "tx_para",
-    "dedup_common_span" -> "dd_cspan",
-    "text_boilerplate" -> "tx_boiler",
-    "text_commonness" -> "tx_common",
     "d2_json_decode" -> "d2_dec",
     "d2_json_props" -> "d2_props",
     "text_token_stats" -> "tx_tok",
     "chunk_sliding" -> "chunks",
     "decontaminate" -> "decon",
     "dedup_components" -> "dd_comp",
-    "emb_centroids" -> "emb_cent",
-    "sample_stratified" -> "sm_strat",
     "sim_topk_brute" -> "si_topk",
     "text_repetition" -> "tx_rep",
-    "text_vocab_topk" -> "tx_vocab",
     "emb_quantize" -> "emb_q",
     "pack_sequences" -> "pk_seq",
     "sample_per_group" -> "sm_grp",
@@ -79,7 +67,26 @@ object Bench {
     "dsir_select" -> "dsir_k",
     "sim_hard_negatives" -> "si_hneg",
     "curriculum_order" -> "curric",
-    "text_html_clean" -> "tx_html")
+    "text_html_clean" -> "tx_html",
+    "ret_bm25_topk" -> "bm25",
+    "mixture_unimax" -> "umax",
+    "bpe_merges" -> "bpe",
+    "cluster_kmeans" -> "kmeans",
+    "scd2_merge" -> "scd2",
+    "text_boilerplate" -> "tx_bp",
+    "text_commonness" -> "tx_cm",
+    "mixture_tokens" -> "mx_tok",
+    "ml_score_linear" -> "ml_lin",
+    "corpus_shuffle" -> "cshuf",
+    "corpus_datacard" -> "dcard",
+    "emb_centroids" -> "emb_c",
+    "sample_stratified" -> "sm_st",
+    "dedup_common_span" -> "dd_cs",
+    "pipeline_curate" -> "pipe",
+    "split_leakage_free" -> "splf",
+    "text_vocab_topk" -> "tx_vb",
+    "token_budget" -> "tkb",
+    "quality_gate" -> "qg")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

@@ -14,7 +14,8 @@ object SparkEntry {
     Relational,
     Etl,
     LlmOps,
-    MlOps
+    MlOps,
+    CurationOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

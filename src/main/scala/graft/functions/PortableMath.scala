@@ -118,6 +118,24 @@ object PortableMath {
   /** Working column names produced by [[microLnSignedStages]]. */
   val microLnSignedColumns: Seq[String] = Seq("lpa", "lpb") ++ microLnColumns
 
+  /** Render a stage list as a DuckDB CTE chain starting from CTE `from`,
+    * one CTE per stage, ending in `<prefix>fin` which carries `from`'s
+    * columns plus every stage column. Sharing the generator between the
+    * Spark fold and the oracle SQL is what makes cross-engine hashes exact —
+    * both engines evaluate the identical expression DAG.
+    */
+  def duckCteChain(stages: Seq[(String, String)], from: String,
+      prefix: String = "ln"): String = {
+    val (ctes, last) = stages.zipWithIndex.foldLeft(
+        (Vector.empty[String], from)) {
+      case ((acc, prev), ((name, sql), i)) =>
+        val cte = if (i == stages.size - 1) s"${prefix}fin" else s"$prefix$i"
+        (acc :+ s"$cte AS (SELECT *, $sql AS $name FROM $prev)", cte)
+    }
+    require(last == s"${prefix}fin")
+    ctes.mkString(",\n")
+  }
+
   /** Pure-JVM reference for [[microLnSignedStages]]. */
   def microLnSignedRef(a: Long, b: Long): Long = {
     require(a >= 1 && b >= 1, s"positive args required, got a=$a b=$b")

@@ -112,4 +112,72 @@ object Mixture extends Serializable {
       .select(col(idCol))
     inMix.join(lowIds.unionByName(boundaryIds), Seq(idCol), "left_semi")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+    * given a total token budget `B` and a per-group repeat cap `maxEpochs`,
+    * allocate the budget as uniformly as possible across groups without
+    * giving any group more than `maxEpochs` passes over its own tokens —
+    * integer waterfilling.
+    *
+    * With groups sorted ascending by cap `c_g = maxEpochs·n_g` (ties on
+    * group name): walk the prefix; group j is capped iff
+    * `c_j · M_j ≤ R_j` where `R_j` is the budget left before j and `M_j`
+    * the groups left including j (equivalent to `c_j ≤ R_j div M_j` for
+    * positive integers, but division-free). The first uncapped group ends
+    * the prefix — caps are ascending, so cappedness is prefix-monotone.
+    * The remaining M groups split R: each gets `w = R div M`, and the
+    * first `R mod M` of them (ascending order) get one extra token, so the
+    * allocation exactly exhausts min(B, Σc_g).
+    *
+    * Everything is exact BIGINT arithmetic — the DuckDB oracle reproduces
+    * the identical allocation via window prefix sums. `budgetOf` receives
+    * the corpus token total T so budgets can be stated relative to the
+    * corpus (e.g. `t => 3 * t / 4`); `epochs_micro = alloc·10⁶ div n_g`
+    * needs `alloc < 2^63/10⁶ ≈ 9.2·10¹²` tokens per group — documented,
+    * not guarded.
+    *
+    * Scale shape: ONE corpus scan into a partial-aggregated
+    * (group, token-sum); the waterfill itself runs driver-side over
+    * |groups| rows (languages/domains — bounded like the histogram and
+    * centroid collects elsewhere in this package).
+    *
+    * Output: (groupCol, n_tokens, cap, alloc, epochs_micro), one row per
+    * group, allocation in tokens.
+    */
+  def unimaxAllocation(df: DataFrame, groupCol: String, tokenCount: Column,
+      maxEpochs: Long, budgetOf: Long => Long): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val spark = df.sparkSession
+    val groups = df.groupBy(col(groupCol))
+      .agg(sum(tokenCount).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, n) => (maxEpochs * n, g) }
+    require(groups.nonEmpty, "no groups to allocate")
+    val budget = budgetOf(groups.map(_._2).sum)
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+
+    // ascending-cap walk: capped prefix, then waterfill the rest
+    var remaining = budget
+    var left = groups.length.toLong
+    var i = 0
+    while (i < groups.length &&
+        maxEpochs * groups(i)._2 * left <= remaining) {
+      remaining -= maxEpochs * groups(i)._2
+      left -= 1
+      i += 1
+    }
+    val w = if (left == 0) 0L else remaining / left
+    val r = if (left == 0) 0L else remaining % left
+    val rows = groups.zipWithIndex.map { case ((g, n), j) =>
+      val cap = maxEpochs * n
+      val alloc =
+        if (j < i) cap
+        else w + (if (j - i < r) 1L else 0L)
+      (g, n, cap, alloc, alloc * 1000000L / n)
+    }
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF(groupCol, "n_tokens", "cap", "alloc", "epochs_micro")
+  }
 }

@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.functions.PortableMath
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: BM25 scoring and top-k search.
+  *
+  * Training-data pipelines use lexical retrieval constantly — targeted
+  * data selection ("find documents about X for the curriculum"), eval-set
+  * mining, and as the sparse half of hybrid (BM25 + dense) search. The
+  * reference engine (etl-tools-rs) delegates search-shaped work to external
+  * SQL (athena, `job/src/handler.rs`); here it is a first-class distributed
+  * operator.
+  *
+  * Determinism: BM25 is usually float math; this implementation is exact
+  * integer arithmetic end-to-end so results hash-identically on any engine.
+  * With the classic parameters k1 = 6/5 (1.2) and b = 3/4 (0.75):
+  *
+  *   - idf (Lucene form, always positive):  ln(1 + (N−df+0.5)/(df+0.5))
+  *     = ln((2N+2)/(2df+1)) — an integer ratio, evaluated as
+  *     `idf_micro = floor(ln((2N+2)/(2df+1))·10⁶)` via
+  *     [[PortableMath.microLnSignedStages]] (ratio > 1, so the signed form).
+  *   - tf saturation:  tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl) with
+  *     avgdl = T/N (T = corpus tokens, N = docs). Multiplying numerator and
+  *     denominator by 20·T clears every fraction:
+  *       num = 44·T·tf
+  *       den = 20·T·tf + 6·T + 18·dl·N
+  *   - per-term score: `(idf_micro · num) div den` — BIGINT, truncating
+  *     division (Spark `div` and DuckDB `//` agree on non-negatives).
+  *   - doc score: Σ over matched query terms — order-independent BIGINT sum.
+  *
+  * Overflow bound: `idf_micro ≤ ln(2N+2)·10⁶` and `num = 44·T·tf`, so the
+  * product needs `44·T·tf·ln(2N+2)·10⁶ < 2^63` — fine to ~10⁹ corpus tokens
+  * per scoring shard; beyond that, pre-divide num/den by their gcd or score
+  * per-partition. Documented rather than guarded: the driver corpus is far
+  * inside the bound.
+  *
+  * Scale shape: the query-term table (a few dozen rows) broadcasts and
+  * SEMI-prunes the posting lists before any wide work — only documents
+  * containing at least one query term are scored. Postings shuffle as slim
+  * (term, doc, tf) rows; document length and corpus totals join by slim
+  * keys; the final top-k is a per-query window that WindowGroupLimit prunes
+  * to k rows per partition before the shuffle (same plan shape as
+  * [[Similarity.hardNegatives]]).
+  */
+object Retrieval extends Serializable {
+
+  /** Tokenized (query_id, term) pairs for a literal query set — distinct
+    * terms per query, whitespace tokenization matching [[TextOps.tokens]].
+    */
+  private def queryTerms(spark: SparkSession,
+      queries: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(TextOps.tokens(col("qtext"))).as("term"))
+      .distinct()
+  }
+
+  /** BM25 top-k: for each (query_id, query_text), the `k` highest-scoring
+    * documents. Output: (query_id, doc_id, n_terms, score_micro, rank) —
+    * n_terms = matched query terms, score_micro = Σ floor'd fixed-point
+    * per-term BM25 contributions, rank 1..k by (score desc, doc asc).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty && k > 0, "need at least one query and k > 0")
+    val spark = df.sparkSession
+    val reserved = PortableMath.microLnSignedColumns ++
+      Seq("term", "tf", "df", "dl", "n", "t", "num", "den", "ts")
+    val clash = reserved.filter(Seq(idCol).contains)
+    require(clash.isEmpty, s"idCol clashes with working columns: $clash")
+
+    // postings: one corpus scan → (doc, term, tf); dl re-aggregates from tf
+    // (Catalyst reuses nothing across the two groupings, but both shuffle
+    // slim keyed rows, never text)
+    val tf = df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    // model-sized idf: |query terms| rows through the staged portable log
+    val qt = broadcast(queryTerms(spark, queries))
+    val idfStages = PortableMath.microLnSignedStages(
+      "2 * n + 2", "2 * df + 1", PortableMath.sparkShiftLeft)
+    val idf = idfStages.foldLeft(
+        qt.join(dfq, Seq("term")).crossJoin(broadcast(tot))) {
+        case (d, (name, sql)) => d.withColumn(name, expr(sql))
+      }
+      .select(col("query_id"), col("term"), col("df"), col("n"), col("t"),
+        col("lp"))
+
+    // instance scoring: postings ⋈ (broadcast) idf model ⋈ dl
+    val scored = tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .withColumn("num", expr("44 * t * tf"))
+      .withColumn("den", expr("20 * t * tf + 6 * t + 18 * dl * n"))
+      .withColumn("ts", expr("(lp * num) div den"))
+    val agg = scored.groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        col("score_micro"), col("rank"))
+  }
+}

@@ -765,4 +765,80 @@ object Similarity extends Serializable {
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Deterministic integer k-means over int8-quantized embeddings — the
+    * clustering primitive behind cluster-balanced sampling and SemDeDup-style
+    * curation, made engine-exact so the full assignment is oracle-checkable
+    * (float Lloyd iterations never are: summation order changes centroids).
+    *
+    * Mechanics: vectors quantize via [[quantizeInt8]] (values in [-127,127]);
+    * distances are exact BIGINT squared-L2; centroid updates are per-dimension
+    * `sum div count` (truncating integer division — Spark `div` and DuckDB
+    * `//` agree, including on negative sums); assignment ties break to the
+    * lowest centroid index; empty clusters keep their previous centroid.
+    * Initialization is the `k` vectors with the smallest ids. Every step is
+    * a total order on integers, so the trajectory is identical on any engine
+    * and any parallelism.
+    *
+    * Scale shape: per iteration, ONE broadcast of the k×dim centroid table
+    * against the corpus (map-side distance + min), then a slim
+    * (cluster, dim, partial-sum) aggregation — k·dim rows collected to the
+    * driver (the [[ivfTopK]] centroid-collect pattern; bounded, never
+    * corpus-sized). The quantized vectors are localCheckpoint'ed once and
+    * reused across iterations.
+    *
+    * Output: (idCol, cluster, dist) — final assignment with its squared-L2
+    * distance to the winning centroid.
+    */
+  def kmeansInt8(df: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    val vecs = df.select(col(idCol).as("__kid"),
+        quantizeInt8(col(vecCol).cast("array<double>")).as("__kq"))
+      .localCheckpoint()
+
+    // init: the k smallest ids, cluster index in id order — deterministic
+    var centroids: Array[(Int, Seq[Int])] = vecs.orderBy(col("__kid"))
+      .limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Int](1)) }
+    val spark = df.sparkSession
+
+    def assigned(): DataFrame = {
+      import spark.implicits._
+      val cents = broadcast(centroids.toIndexedSeq.toDF("__kc", "__kcv"))
+      val dist = aggregate(
+        zip_with(col("__kq"), col("__kcv"),
+          (a, b) => (a - b).cast("long") * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      vecs.crossJoin(cents)
+        .withColumn("__kd", dist)
+        .groupBy(col("__kid"))
+        .agg(min(struct(col("__kd"), col("__kc"))).as("__kbest"))
+        .select(col("__kid"), col("__kbest.__kc").as("__kc"),
+          col("__kbest.__kd").as("__kd"))
+    }
+
+    for (_ <- 1 to iters) {
+      // k×dim bounded collect; sums fit easily (127 · n per cell)
+      val sums = assigned().join(vecs, "__kid")
+        .select(col("__kc"), posexplode(col("__kq")).as(Seq("__kp", "__kv")))
+        .groupBy(col("__kc"), col("__kp"))
+        .agg(sum(col("__kv")).as("__ks"), count(lit(1)).as("__kn"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1)
+      centroids = centroids.map { case (c, prev) =>
+        sums.get(c) match {
+          case Some(rows) =>
+            // truncating div matches DuckDB's `//` on negatives too
+            (c, rows.map(_._2).sortBy(_._1)
+              .map { case (_, s, n) => (s / n).toInt }.toSeq)
+          case None => (c, prev) // empty cluster: keep previous centroid
+        }
+      }
+    }
+    assigned().select(col("__kid").as(idCol),
+      col("__kc").cast("long").as("cluster"), col("__kd").as("dist"))
+  }
 }

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training preprocessing: distributed BPE merge mining.
+  *
+  * Byte-pair encoding (Sennrich et al. 2016) learns a tokenizer vocabulary
+  * by repeatedly merging the most frequent adjacent symbol pair. The
+  * classic trainer's key property — and what makes it feasible at corpus
+  * scale — is that after the initial word count it operates on the WORD
+  * FREQUENCY table (|vocab| rows), never the corpus: a pair's corpus
+  * frequency is Σ over distinct words of (occurrences in word × word
+  * count). This implementation keeps that shape: one corpus scan, then
+  * each merge round is a slim (pair → weighted count) aggregation over the
+  * vocab-sized frame plus a LIMIT-1 collect of the winner.
+  *
+  * Symbol-sequence encoding: a word's symbols are kept as a single string
+  * with TWO spaces between symbols and two-space sentinels at both ends
+  * (`"ab"` → `"␣␣a␣␣b␣␣"`). A merge of (x, y) is then the literal string
+  * replacement `"␣x␣␣y␣"` → `"␣xy␣"`: each match consumes one of the two
+  * boundary spaces on each side, so adjacent matches stay available
+  * (`a b a b` merges to `ab ab` in one pass) while overlapping ones don't
+  * (`a a a` → `aa a` — the left-to-right greedy semantics of BPE, which is
+  * exactly what non-overlapping `replace` implements in both Spark and
+  * DuckDB). No regex, no lookbehind (RE2-safe), invariant preserved after
+  * every round.
+  *
+  * Determinism: counts are exact BIGINTs; the winning pair each round is
+  * (count desc, left asc, right asc) — total order, so the merge table is
+  * engine-exact and the DuckDB oracle reproduces it with an unrolled CTE
+  * chain per round.
+  */
+object Tokenizer extends Serializable {
+
+  /** `"abc"` → `"  a  b  c  "` — see class doc. */
+  private def encodeSymbols(c: org.apache.spark.sql.Column) =
+    concat(lit("  "), regexp_replace(c, "(.)", "$1  "))
+
+  /** Mine the first `nMerges` BPE merges from the corpus. Words are
+    * whitespace tokens restricted to `[A-Za-z0-9]+` (punctuation-free
+    * symbols keep the pair encoding unambiguous). Output:
+    * (merge_rank, lhs, rhs, pair_count) — one row per learned merge, in
+    * merge order; stops early if the vocabulary runs out of pairs.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+
+    // ONE corpus-sized pass: word → count, symbols pre-encoded
+    var words = df
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(encodeSymbols(col("word")).as("w"), col("c"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // adjacent symbol pairs weighted by word count — slim (w1, w2, cnt)
+      // shuffle over the VOCAB-sized frame, then a 1-row collect
+      val syms = split(trim(col("w")), "  ")
+      val best = words
+        .select(col("c"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1))).as("bg"))
+        .select(col("bg")("0").as("w1"), col("bg")("1").as("w2"), col("c"))
+        .groupBy("w1", "w2").agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank.toLong, l, r, cnt))
+        // literal (non-regex) replace — identical non-overlapping
+        // left-to-right semantics in Spark and DuckDB. localCheckpoint
+        // keeps each round's replace from re-deriving the whole merge
+        // history (linear, not quadratic, total work).
+        words = words
+          .withColumn("w",
+            org.apache.spark.sql.functions.replace(col("w"),
+              lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    spark.createDataFrame(merges.result().toIndexedSeq)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+}

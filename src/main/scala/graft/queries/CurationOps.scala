@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.PortableMath
+import graft.llm._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation-loop operators beyond the core LLM pack: lexical retrieval
+  * (BM25), UniMax budget allocation, BPE merge mining, and deterministic
+  * integer k-means — each oracle-hash-exact (the float-free formulations
+  * are what make that possible; see the operator scaladocs).
+  */
+object CurationOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  private val DuckToks = raw"string_split_regex(trim(text), '\s+')"
+
+  /** The BM25 query set: ids and whitespace-tokenized query strings drawn
+    * from the corpus vocabulary. Shared by the Spark query and the oracle.
+    */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "q_hash_join" -> "hash join spark",
+    "q_scan_filter" -> "table scan filter",
+    "q_vector_merge" -> "vector batch merge")
+
+  private val Bm25K = 10
+  private val BpeMergeCount = 8
+  private val KmeansK = 8
+  private val KmeansIters = 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- BM25 top-k lexical retrieval, exact fixed-point scoring ----
+    "ret_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir).documents, "doc_id", "text",
+        Bm25Queries, Bm25K)),
+
+    // ---- UniMax budget allocation across languages: 1-epoch cap,
+    //      budget = 3/4 of the corpus tokens (exercises both the capped
+    //      prefix and the waterfilled remainder on the skewed en-heavy
+    //      corpus) ----
+    "mixture_unimax" -> ((s, dir) =>
+      Mixture.unimaxAllocation(t(s, dir).documents, "lang",
+        TextOps.tokenCount(col("text")), maxEpochs = 1L,
+        budgetOf = total => 3L * total / 4L)),
+
+    // ---- first 8 BPE merges mined from the word-frequency table ----
+    "bpe_merges" -> ((s, dir) =>
+      Tokenizer.bpeMerges(t(s, dir).documents, "text", BpeMergeCount)),
+
+    // ---- deterministic integer k-means over int8-quantized embeddings ----
+    "cluster_kmeans" -> ((s, dir) =>
+      Similarity.kmeansInt8(t(s, dir).embeddings, KmeansK, KmeansIters)))
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  private def bm25Sql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"('$id', '$q')" }.mkString(", ")
+    val lnCtes = PortableMath.duckCteChain(
+      PortableMath.microLnSignedStages(
+        "2 * n + 2", "2 * df + 1", PortableMath.duckShiftLeft), "idf0")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |  SELECT query_id,
+       |    unnest(string_split_regex(trim(qtext), '\\s+')) AS term FROM q)),
+       |tok AS (SELECT doc_id, unnest($DuckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(dl) AS BIGINT) AS t FROM dl),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |idf0 AS (SELECT query_id, term, df, n, t
+       |         FROM qt JOIN dfq USING (term) CROSS JOIN tot),
+       |$lnCtes,
+       |sc AS (
+       |  SELECT query_id, tf.doc_id AS doc_id,
+       |    (lp * (44 * t * tf)) // (20 * t * tf + 6 * t + 18 * dl * n) AS ts
+       |  FROM lnfin JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
+       |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |       CAST(sum(ts) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_terms, score_micro,
+       |  CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_micro DESC, doc_id ASC) AS rnk FROM ag)
+       |WHERE rnk <= $Bm25K""".stripMargin
+  }
+
+  private def unimaxSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, CAST(len($DuckToks) AS BIGINT) AS ntok FROM documents),
+       |g AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS n FROM tok GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+       |              CAST(count(*) AS BIGINT) AS lcnt FROM g),
+       |s AS (SELECT lang, n, 1 * n AS cap,
+       |        CAST(row_number() OVER (ORDER BY 1 * n, lang) AS BIGINT) AS j,
+       |        CAST(sum(1 * n) OVER (ORDER BY 1 * n, lang
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pj
+       |      FROM g),
+       |b AS (SELECT (3 * t) // 4 AS budget, lcnt FROM tt),
+       |c AS (SELECT s.*, budget, lcnt,
+       |        CASE WHEN cap * (lcnt - j + 1) <= budget - (pj - cap)
+       |             THEN 1 ELSE 0 END AS craw
+       |      FROM s CROSS JOIN b),
+       |cp AS (SELECT *, min(craw) OVER (ORDER BY j
+       |         ROWS UNBOUNDED PRECEDING) AS capped FROM c),
+       |ist AS (SELECT CAST(coalesce(sum(capped), 0) AS BIGINT) AS istar,
+       |          CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0)
+       |            AS BIGINT) AS pstar
+       |        FROM cp),
+       |f AS (SELECT cp.*, istar, pstar,
+       |        CASE WHEN lcnt = istar THEN CAST(0 AS BIGINT)
+       |             ELSE (budget - pstar) // (lcnt - istar) END AS w,
+       |        CASE WHEN lcnt = istar THEN CAST(0 AS BIGINT)
+       |             ELSE (budget - pstar) % (lcnt - istar) END AS r
+       |      FROM cp CROSS JOIN ist),
+       |al AS (SELECT lang, n, cap,
+       |         CASE WHEN capped = 1 THEN cap
+       |              ELSE w + (CASE WHEN j - istar <= r THEN 1 ELSE 0 END)
+       |         END AS alloc
+       |       FROM f)
+       |SELECT lang, n AS n_tokens, CAST(cap AS BIGINT) AS cap,
+       |  CAST(alloc AS BIGINT) AS alloc,
+       |  CAST((alloc * 1000000) // n AS BIGINT) AS epochs_micro
+       |FROM al""".stripMargin
+
+  private def bpeSql: String = {
+    val enc = raw"'  ' || regexp_replace(word, '(.)', '\1  ', 'g')"
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT $enc AS w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($DuckToks) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$')
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to BpeMergeCount).map { i =>
+      s"""p$i AS (SELECT s[j] AS w1, s[j + 1] AS w2,
+         |  CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(w), '  ') AS s, c FROM w${i - 1}),
+         |       unnest(range(1, len(s))) AS u(j)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, w1, w2, cnt
+         |  FROM p$i ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+         |w$i AS (SELECT replace(w, ' ' || b.w1 || '  ' || b.w2 || ' ',
+         |                       ' ' || b.w1 || b.w2 || ' ') AS w, c
+         |  FROM w${i - 1}, b$i AS b)""".stripMargin
+    }
+    val union = (1 to BpeMergeCount)
+      .map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""$head,
+       |${rounds.mkString(",\n")}
+       |SELECT merge_rank, w1 AS lhs, w2 AS rhs, cnt AS pair_count
+       |FROM ($union)""".stripMargin
+  }
+
+  private def kmeansSql: String = {
+    val dist =
+      """CAST(list_sum(list_transform(range(1, 65),
+        |  j -> CAST(z.q[j] - c.q[j] AS BIGINT) *
+        |       CAST(z.q[j] - c.q[j] AS BIGINT))) AS BIGINT)""".stripMargin
+    def assign(i: Int) =
+      s"""a$i AS (SELECT vec_id, cid, d FROM (
+         |  SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM (SELECT z.vec_id AS vec_id, c.cid AS cid, $dist AS d
+         |        FROM qz z CROSS JOIN c${i - 1} c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""c$i AS (
+         |  SELECT p.cid, coalesce(nc.q, p.q) AS q
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cid, list(sq // cn ORDER BY j) AS q FROM (
+         |      SELECT a.cid AS cid, j, CAST(sum(z.q[j]) AS BIGINT) AS sq,
+         |             CAST(count(*) AS BIGINT) AS cn
+         |      FROM a$i a JOIN qz z USING (vec_id),
+         |           unnest(range(1, 65)) AS u(j)
+         |      GROUP BY 1, 2)
+         |    GROUP BY cid) nc ON p.cid = nc.cid)""".stripMargin
+    val body = (1 to KmeansIters)
+      .map(i => s"${assign(i)},\n${update(i)}").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+       |           THEN list_transform(v, x -> 0)
+       |           ELSE list_transform(v, x -> CAST(floor(x * 127.0 /
+       |             list_max(list_transform(v, y -> abs(y))) + 0.5) AS INT))
+       |         END AS q
+       |       FROM e),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |         AS cid, q
+       |       FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT $KmeansK)),
+       |$body,
+       |${assign(KmeansIters + 1)}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
+       |FROM a${KmeansIters + 1}""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "ret_bm25_topk" -> bm25Sql,
+    "mixture_unimax" -> unimaxSql,
+    "bpe_merges" -> bpeSql,
+    "cluster_kmeans" -> kmeansSql)
+}

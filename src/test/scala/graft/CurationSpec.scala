@@ -1,0 +1,195 @@
+package graft
+
+import graft.functions.PortableMath
+import graft.llm.{Mixture, Retrieval, Similarity, Tokenizer}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Specs for the curation-loop operators: BM25 retrieval, UniMax budget
+  * allocation, BPE merge mining, deterministic integer k-means, and the
+  * signed portable log they build on.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // ---------------------------------------------------------------- ln
+
+  test("property: signed microLn SQL stages match the JVM reference on both sides of 1") {
+    val pairGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(1L, 100000000L)
+      b <- Gen.choose(1L, 100000000L)
+    } yield (a, b)
+    // include idf-shaped pairs (a > b guaranteed) and exact-equal pairs
+    val idf = (0L until 300L).map(df => (2L * 10000 + 2, 2 * df + 1))
+    val eq = Seq((1L, 1L), (7L, 7L), (1L << 50, 1L << 50))
+    val all = (sample(pairGen, 2000) ++ idf ++ eq).distinct
+    val expect = all.map { case (a, b) =>
+      (a, b, PortableMath.microLnSignedRef(a, b))
+    }
+    val stages = PortableMath.microLnSignedStages(
+      "a", "b", PortableMath.sparkShiftLeft)
+    val got = stages.foldLeft(all.toDF("a", "b")) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select($"a", $"b", $"lp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq.sorted === expect.sorted)
+    // semantics: within fixed-point granularity of the true log
+    expect.foreach { case (a, b, lp) =>
+      val t = math.log(a.toDouble / b)
+      assert(math.abs(t - lp / 1e6) <= 1.000001e-6, s"($a,$b): lp=$lp true=$t")
+    }
+  }
+
+  // -------------------------------------------------------------- bm25
+
+  test("bm25TopK matches an exact single-machine reference on a small corpus") {
+    val docs = Seq(
+      (1L, "hash join hash join merge"),
+      (2L, "table scan filter scan scan"),
+      (3L, "hash table vector"),
+      (4L, "join join join join join join join join"),
+      (5L, "spark"),
+      (6L, "merge vector batch batch"))
+    val df = docs.toDF("doc_id", "text")
+    val queries = Seq("qa" -> "hash join", "qb" -> "scan vector")
+    val got = Retrieval.bm25TopK(df, "doc_id", "text", queries, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+
+    // independent reference: same integer formulas, plain Scala collections
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = docs.size.toLong
+    val t = toks.values.map(_.size.toLong).sum
+    val dl = toks.map { case (id, s) => id -> s.size.toLong }
+    val dfOf = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val expect = queries.flatMap { case (qid, qtext) =>
+      val scores = toks.keys.toSeq.flatMap { id =>
+        val terms = qtext.split("\\s+").distinct.toSeq
+          .filter(w => toks(id).contains(w))
+        if (terms.isEmpty) None
+        else {
+          val s = terms.map { w =>
+            val tf = toks(id).count(_ == w)
+            val idf = PortableMath.microLnSignedRef(2 * n + 2, 2 * dfOf(w) + 1)
+            val num = 44 * t * tf
+            val den = 20 * t * tf + 6 * t + 18 * dl(id) * n
+            idf * num / den
+          }.sum
+          Some((id, terms.size.toLong, s))
+        }
+      }
+      scores.sortBy { case (id, _, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, nt, s), i) => (qid, id, nt, s, i + 1L) }
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("bm25TopK ranks a term-stuffed doc below short exact matches only via saturation, never negatively") {
+    val got = Retrieval.bm25TopK(
+      Tables(spark, sf0001).documents, "doc_id", "text",
+      Seq("q" -> "hash join"), k = 20).collect()
+    assert(got.nonEmpty)
+    // scores positive (Lucene idf form), ranks contiguous from 1, sorted
+    val ranks = got.map(_.getLong(4)).sorted
+    assert(ranks.toSeq === (1L to got.length).toSeq)
+    val byRank = got.sortBy(_.getLong(4)).map(_.getLong(3))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    assert(got.forall(_.getLong(3) > 0))
+  }
+
+  // ------------------------------------------------------------ unimax
+
+  test("property: unimax allocation matches a sequential waterfill and exhausts min(budget, caps)") {
+    val caseGen: Gen[(Seq[Long], Long, Long)] = for {
+      k <- Gen.choose(1, 12)
+      ns <- Gen.listOfN(k, Gen.choose(1L, 10000L))
+      e <- Gen.choose(1L, 4L)
+      b <- Gen.choose(0L, 60000L)
+    } yield (ns, e, b)
+    sample(caseGen, 60).zipWithIndex.foreach { case ((ns, e, b), ci) =>
+      val df = ns.zipWithIndex
+        .flatMap { case (n, i) => Seq((f"g$i%02d", n)) }
+        .toDF("grp", "ntok")
+      val got = Mixture.unimaxAllocation(df, "grp", col("ntok"), e, _ => b)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1)
+
+      // reference: literal sequential waterfill
+      val sorted = ns.zipWithIndex
+        .map { case (n, i) => (f"g$i%02d", n, e * n) }
+        .sortBy { case (g, _, cap) => (cap, g) }
+      var rem = b
+      var left = sorted.size.toLong
+      var i = 0
+      while (i < sorted.size && sorted(i)._3 * left <= rem) {
+        rem -= sorted(i)._3; left -= 1; i += 1
+      }
+      val w = if (left == 0) 0L else rem / left
+      val r = if (left == 0) 0L else rem % left
+      val expect = sorted.zipWithIndex.map { case ((g, n, cap), j) =>
+        val alloc = if (j < i) cap else w + (if (j - i < r) 1L else 0L)
+        (g, n, cap, alloc, alloc * 1000000L / n)
+      }.sortBy(_._1)
+      assert(got.toSeq === expect, s"case $ci: ns=$ns e=$e b=$b")
+      // invariants: per-group cap respected; total = min(budget, sum of caps)
+      assert(got.forall { case (_, _, cap, alloc, _) => alloc <= cap })
+      assert(got.map(_._4).sum === math.min(b, sorted.map(_._3).sum),
+        s"case $ci under/over-allocates")
+    }
+  }
+
+  // --------------------------------------------------------------- bpe
+
+  test("bpeMerges learns greedy left-to-right merges (adjacent pairs available, overlaps not)") {
+    // 'abab' x3: pair (a,b) wins with count 6 (both positions per word
+    // occurrence); after merging, (ab,ab) is countable — adjacency across
+    // a merge result must be visible. 'aaa' x2 exercises overlap: (a,a)
+    // counts 4 raw but only the FIRST of the two overlapping occurrences
+    // may merge per word.
+    val df = Seq.fill(3)("abab").union(Seq.fill(2)("aaa")).toDF("text")
+    val got = Tokenizer.bpeMerges(df, "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: pairs ab:6 (3×2), aa:4 (2×2), ba:3 → (a,b) — the 'ba' pair
+    //          proves pre-merge adjacency counting
+    // round 2: words 'ab ab' ×3, 'aaa' ×2 → (ab,ab):3 vs (a,a):4 → (a,a):
+    //          raw adjacent count (both overlapping occurrences) decides
+    //          the WINNER even though only the first occurrence merges
+    // round 3: words 'abab' ×3, 'aa a' ×2 → (ab,ab):3 beats (aa,a):2 —
+    //          adjacency across a prior merge result is visible
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", 6L),
+      (2L, "a", "a", 4L),
+      (3L, "ab", "ab", 3L)))
+  }
+
+  test("bpeMerges stops early when the vocabulary runs out of pairs") {
+    val df = Seq("ab", "cd").toDF("text")
+    val got = Tokenizer.bpeMerges(df, "text", 10).collect()
+    assert(got.length === 2) // (a,b) then (c,d); fully merged words end it
+  }
+
+  // ------------------------------------------------------------ kmeans
+
+  test("kmeansInt8: assignment is the true argmin centroid and runs are deterministic") {
+    val emb = Tables(spark, sf0001).embeddings
+    val r1 = Similarity.kmeansInt8(emb, k = 8, iters = 2)
+    val rows1 = r1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows2 = Similarity.kmeansInt8(emb, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows1.sorted.toSeq === rows2.sorted.toSeq, "nondeterministic run")
+    assert(rows1.map(_._1).distinct.length === rows1.length, "dup vec_id")
+    assert(rows1.forall { case (_, c, d) => c >= 0 && c < 8 && d >= 0 })
+    // more than one cluster used on real data
+    assert(rows1.map(_._2).distinct.length > 1)
+  }
+}
