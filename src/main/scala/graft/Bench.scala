@@ -34,20 +34,20 @@ object Bench {
     * collision-free.
     */
   private val Overrides = Map(
-    "feat_category_index" -> "ft_cidx",
-    "sim_neardup_cosine" -> "si_ndup",
+    "feat_category_index" -> "ftci",
+    "sim_neardup_cosine" -> "sind",
     "dedup_ngram_jaccard" -> "dd_jac",
-    "dedup_span_removal" -> "dd_spans",
-    "dedup_against_ref" -> "dd_vsref",
-    "dedup_vs_ref_near" -> "dd_vrn",
-    "mm_binary_stats" -> "mm_stats",
-    "sel_cap_per_source" -> "sel_cap",
-    "dedup_keep_best" -> "dd_best",
+    "dedup_span_removal" -> "ddsp",
+    "dedup_against_ref" -> "ddvr",
+    "dedup_vs_ref_near" -> "ddvn",
+    "mm_binary_stats" -> "mmst",
+    "sel_cap_per_source" -> "selc",
+    "dedup_keep_best" -> "ddbt",
     "text_fingerprint" -> "tx_fpr",
     "feat_standardize" -> "ft_std",
-    "text_para_dedup" -> "tx_para",
+    "text_para_dedup" -> "txpa",
     "d2_json_decode" -> "d2_dec",
-    "d2_json_props" -> "d2_props",
+    "d2_json_props" -> "d2p",
     "text_token_stats" -> "tx_tok",
     "chunk_sliding" -> "chunks",
     "decontaminate" -> "decon",
@@ -65,11 +65,14 @@ object Bench {
     "gopher_quality_gate" -> "gopher",
     "dsir_weights" -> "dsir_w",
     "dsir_select" -> "dsir_k",
-    "sim_hard_negatives" -> "si_hneg",
+    "sim_hard_negatives" -> "sihn",
     "curriculum_order" -> "curric",
     "text_html_clean" -> "tx_html",
     "ret_bm25_topk" -> "bm25",
+    "ret_hybrid_rrf" -> "rrf",
+    "text_collocations" -> "colloc",
     "mixture_unimax" -> "umax",
+    "mixture_unimax_select" -> "umaxs",
     "bpe_merges" -> "bpe",
     "cluster_kmeans" -> "kmeans",
     "scd2_merge" -> "scd2",

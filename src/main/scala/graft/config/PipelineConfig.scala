@@ -242,6 +242,20 @@ object PipelineConfig {
           val k = t.name.getOrElse("1000").trim.toInt
           d.join(graft.llm.Dsir.selectTopK(d, idc, c, pred, k)
             .select(col(idc)), Seq(idc), "left_semi")
+        // BM25 relevance selection: keep only documents in the BM25 top-k
+        // for a query string — targeted data selection ("docs about X").
+        // cols = [idCol, textCol]; expr = the query text; name = k
+        // (default 100)
+        case "bm25_select" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("bm25_select needs cols = [idCol, textCol]")
+          }
+          val qtext = t.expr.getOrElse(
+            sys.error("bm25_select needs expr = the query text"))
+          val k = t.name.getOrElse("100").trim.toInt
+          d.join(graft.llm.Retrieval.bm25TopK(d, idc, c, Seq("q" -> qtext), k)
+            .select(col(idc)), Seq(idc), "left_semi")
         // Gopher rule-suite gate (Rae et al. 2021 Table A1, default
         // thresholds): cols = [idCol, textCol]; name = "filter" (default —
         // keep only passing rows, original columns intact via a semi join)

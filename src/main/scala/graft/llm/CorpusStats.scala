@@ -38,8 +38,11 @@ object CorpusStats extends Serializable {
     "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
     "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
     "n_tokens", "n_removed", "clean_text", "m", "lpm", "avg_nll_micro",
-    "para", "para_df", "n_paras") ++
-    graft.functions.PortableMath.microLnColumns
+    "para", "para_df", "n_paras",
+    // collocations working columns (incl. the signed-log stages)
+    "w", "bb", "tt", "c1a", "c1b", "lp_first", "pmi_micro") ++
+    graft.functions.PortableMath.microLnColumns ++
+    graft.functions.PortableMath.microLnSignedColumns
 
   private def guard(idCol: String): Unit =
     require(!Reserved(idCol),
@@ -395,5 +398,68 @@ object CorpusStats extends Serializable {
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Top-k adjacent-token collocations by pointwise mutual information —
+    * the classic phrase-mining signal (Church & Hanks 1990; word2vec's
+    * phrase pass uses the same score shape) for tokenizer vocabularies and
+    * corpus datacards.
+    *
+    * PMI = ln( p(ab) / (p(a)p(b)) ) = ln( c₂·T² / (B·c₁(a)·c₁(b)) ) with T
+    * = corpus token instances and B = corpus bigram instances. `c₂·T²`
+    * overflows 2^52 long before the counts themselves do, so the ratio is
+    * split into two exactly-representable factors, each through the signed
+    * staged log:
+    *
+    *   pmi_micro = floor(ln(c₂·T/(B·c₁a))·10⁶) + floor(ln(T/c₁b)·10⁶)
+    *
+    * The sum of the two floors is the DEFINITION here (within 2·10⁻⁶ of
+    * true PMI — two grid floors), evaluated identically by the DuckDB
+    * oracle, so ranking and hashes are engine-exact. Needs
+    * `c₂·T < 2^52` and `B·c₁a < 2^52` — fine to ~10⁸ tokens per scoring
+    * run; shard the corpus beyond that.
+    *
+    * One corpus scan feeds both the bigram and unigram aggregations
+    * (slim (token, count) shuffles); the model join is |bigram-types|
+    * rows; the final top-k is (pmi desc, w1, w2) via TakeOrdered — no
+    * global sort. `minCount` keeps noise bigrams (hapax pairs score
+    * highest under PMI) out of the ranking.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(k > 0 && minCount >= 1, s"need k > 0, minCount >= 1; got $k, $minCount")
+    val tk = TextOps.tokens(col(textCol))
+    val bigrams = df.filter(size(tk) >= 2).select(explode(
+        arrays_zip(slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1))).as("bg"))
+      .select(col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = df.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val totB = c2.agg(sum(col("c2")).as("bb"))
+    val totT = uni.agg(sum(col("c1")).as("tt"))
+    val joined = c2.filter(col("c2") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b"), "w2")
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totT))
+    val chainA = graft.functions.PortableMath.microLnSignedStages(
+      "c2 * tt", "bb * c1a", graft.functions.PortableMath.sparkShiftLeft)
+    val chainB = graft.functions.PortableMath.microLnSignedStages(
+      "tt", "c1b", graft.functions.PortableMath.sparkShiftLeft)
+    val afterA = chainA.foldLeft(joined) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select(col("w1"), col("w2"), col("c2"), col("c1a"), col("c1b"),
+        col("tt"), col("bb"), col("lp").as("lp_first"))
+    val scored = chainB.foldLeft(afterA) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select(col("w1"), col("w2"), col("c2"),
+        (col("lp_first") + col("lp")).as("pmi_micro"))
+    scored.orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc))
+        .cast("long"))
   }
 }

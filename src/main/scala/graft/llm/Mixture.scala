@@ -62,16 +62,31 @@ object Mixture extends Serializable {
       measure: Column, weights: Map[String, Long], idCol: String): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
+    val bigW = weights.values.sum
+    val inMix = df.filter(col(groupCol).isInCollection(weights.keys.toSeq))
+    prefixSelect(inMix, groupCol, measure, idCol, totals => {
+      val total = totals.map { case (g, n) => n * bigW / weights(g) }.min
+      totals.map { case (g, _) => g -> total * weights(g) / bigW }
+    })
+  }
+
+  /** The shared histogram-prefix selection: keep each group's md5-prefix
+    * rows while the running measure stays within `targetsOf(group totals)`.
+    * See [[resampleByMeasure]] for the 256-cell histogram mechanics — only
+    * the boundary bucket pays a window; `targetsOf` runs driver-side on
+    * the |groups|-sized totals map.
+    */
+  private def prefixSelect(inMix: DataFrame, groupCol: String,
+      measure: Column, idCol: String,
+      targetsOf: Map[String, Long] => Map[String, Long]): DataFrame = {
     // reserved working names — silently overwriting + dropping a caller's
     // column would corrupt the output (same contract as Joins' __bin/__salt)
     val reserved = Seq("__mxb", "__mxbb", "__mxneed", "__mxm", "__mxcum")
-      .filter(df.columns.contains)
+      .filter(inMix.columns.contains)
     require(reserved.isEmpty,
       s"input must not contain reserved column(s) ${reserved.mkString(", ")}")
-    val bigW = weights.values.sum
     val hash = md5(col(idCol).cast("string"))
     val bucket = substring(hash, 1, 2)
-    val inMix = df.filter(col(groupCol).isInCollection(weights.keys.toSeq))
     // ONE scan of the weighted rows: slim (group, id, measure) checkpoint
     val slim = inMix.withColumn("__mxm", measure)
       .select(col(groupCol), col(idCol), col("__mxm"))
@@ -85,10 +100,10 @@ object Mixture extends Serializable {
     if (hist.isEmpty) return inMix // no weighted group present
 
     val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val total = totals.map { case (g, n) => n * bigW / weights(g) }.min
+    val targets = targetsOf(totals)
     // boundary bucket + residual measure inside it, per group
     val bounds = totals.keys.toSeq.map { g =>
-      val target = total * weights(g) / bigW
+      val target = targets(g)
       val cells = hist.filter(_._1 == g).sortBy(_._2)
       var cum = 0L
       var i = 0
@@ -97,7 +112,7 @@ object Mixture extends Serializable {
       }
       if (i < cells.length) (g, cells(i)._2, target - cum) else (g, "zz", 0L)
     }
-    val spark = df.sparkSession
+    val spark = inMix.sparkSession
     val boundsDf = broadcast(
       spark.createDataFrame(bounds).toDF(groupCol, "__mxbb", "__mxneed"))
 
@@ -147,14 +162,26 @@ object Mixture extends Serializable {
     */
   def unimaxAllocation(df: DataFrame, groupCol: String, tokenCount: Column,
       maxEpochs: Long, budgetOf: Long => Long): DataFrame = {
-    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
     val spark = df.sparkSession
     val groups = df.groupBy(col(groupCol))
       .agg(sum(tokenCount).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (g, n) => (maxEpochs * n, g) }
-    require(groups.nonEmpty, "no groups to allocate")
+    val rows = waterfill(groups.toIndexedSeq, maxEpochs, budgetOf)
+    spark.createDataFrame(rows)
+      .toDF(groupCol, "n_tokens", "cap", "alloc", "epochs_micro")
+  }
+
+  /** The UniMax integer waterfill over (group, token total) rows — shared
+    * by [[unimaxAllocation]] (reporting) and [[unimaxSelect]]
+    * (materialization). Returns (group, n, cap, alloc, epochs_micro) in
+    * ascending-cap order.
+    */
+  private def waterfill(groupTotals: Seq[(String, Long)], maxEpochs: Long,
+      budgetOf: Long => Long): Seq[(String, Long, Long, Long, Long)] = {
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    require(groupTotals.nonEmpty, "no groups to allocate")
+    val groups = groupTotals.sortBy { case (g, n) => (maxEpochs * n, g) }
     val budget = budgetOf(groups.map(_._2).sum)
     require(budget >= 0, s"budget must be non-negative, got $budget")
 
@@ -170,14 +197,29 @@ object Mixture extends Serializable {
     }
     val w = if (left == 0) 0L else remaining / left
     val r = if (left == 0) 0L else remaining % left
-    val rows = groups.zipWithIndex.map { case ((g, n), j) =>
+    groups.zipWithIndex.map { case ((g, n), j) =>
       val cap = maxEpochs * n
       val alloc =
         if (j < i) cap
         else w + (if (j - i < r) 1L else 0L)
       (g, n, cap, alloc, alloc * 1000000L / n)
     }
-    spark.createDataFrame(rows.toIndexedSeq)
-      .toDF(groupCol, "n_tokens", "cap", "alloc", "epochs_micro")
   }
+
+  /** Materialize a UniMax allocation: keep each group's md5-prefix
+    * documents while its running token total stays within the group's
+    * waterfilled allocation — [[unimaxAllocation]] composed with the same
+    * greedy hash-prefix selection every mixture op here uses, so the kept
+    * set is exact, engine-reproducible, and layout-independent. One corpus
+    * scan: the selection's own 256-cell histogram supplies the group token
+    * totals the waterfill needs (no separate aggregation pass). Groups
+    * whose allocation exceeds their own tokens (capped groups under
+    * `maxEpochs` ≥ 1) keep every row — repetition/epochs are a training-
+    * loop concern, not a selection one.
+    */
+  def unimaxSelect(df: DataFrame, groupCol: String, tokenCount: Column,
+      maxEpochs: Long, budgetOf: Long => Long, idCol: String): DataFrame =
+    prefixSelect(df, groupCol, tokenCount, idCol, totals =>
+      waterfill(totals.toSeq, maxEpochs, budgetOf)
+        .map { case (g, _, _, alloc, _) => g -> alloc }.toMap)
 }

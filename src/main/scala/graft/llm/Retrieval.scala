@@ -58,6 +58,61 @@ object Retrieval extends Serializable {
       .distinct()
   }
 
+  private def guard(idCol: String): Unit = {
+    val reserved = (PortableMath.microLnSignedColumns ++
+      Seq("term", "tf", "df", "dl", "n", "t", "num", "den", "ts")).toSet
+    require(!reserved(idCol), s"idCol '$idCol' clashes with a working column")
+  }
+
+  /** Sentinel index keys for corpus totals — they contain spaces, which no
+    * whitespace-split token can, so they can never collide with a term.
+    */
+  val DocCountKey = " N "
+  val TokenCountKey = " T "
+
+  /** The additive BM25 corpus index over `df`: one (term, df) row per term
+    * plus the [[DocCountKey]]/[[TokenCountKey]] sentinel rows carrying the
+    * document and token totals. Indexes over DISJOINT doc sets merge by
+    * summing `df` per term (document frequencies, doc counts and token
+    * counts are all additive across disjoint corpora) — the state an
+    * ingestion loop persists between batches.
+    */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    guard(idCol)
+    val tf = df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    dfq.unionByName(dl.agg(count(lit(1)).as("df"))
+        .select(lit(DocCountKey).as("term"), col("df")))
+      .unionByName(dl.agg(sum(col("dl")).as("df"))
+        .select(lit(TokenCountKey).as("term"), col("df")))
+  }
+
+  /** BM25 per-(query, doc) aggregates for the `fresh` documents, with
+    * corpus statistics (df/N/T) taken from `index` ([[bm25Index]] rows —
+    * possibly accumulated over many batches) rather than from `fresh`
+    * itself. Output: (query_id, idCol, n_terms, score_micro) — unranked,
+    * which is the streaming-scoring form (rank against whatever top-k
+    * state the caller keeps).
+    */
+  def bm25ScoreAgainstIndex(fresh: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, String)], index: DataFrame): DataFrame = {
+    guard(idCol)
+    val spark = fresh.sparkSession
+    val tf = fresh.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfq = index.filter(col("term") =!= DocCountKey &&
+      col("term") =!= TokenCountKey)
+    val tot = index.groupBy()
+      .agg(sum(when(col("term") === DocCountKey, col("df"))).as("n"),
+        sum(when(col("term") === TokenCountKey, col("df"))).as("t"))
+    scoreAgg(spark, tf, dl, dfq, tot, idCol, queries)
+  }
+
   /** BM25 top-k: for each (query_id, query_text), the `k` highest-scoring
     * documents. Output: (query_id, doc_id, n_terms, score_micro, rank) —
     * n_terms = matched query terms, score_micro = Σ floor'd fixed-point
@@ -66,11 +121,8 @@ object Retrieval extends Serializable {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: Seq[(String, String)], k: Int): DataFrame = {
     require(queries.nonEmpty && k > 0, "need at least one query and k > 0")
+    guard(idCol)
     val spark = df.sparkSession
-    val reserved = PortableMath.microLnSignedColumns ++
-      Seq("term", "tf", "df", "dl", "n", "t", "num", "den", "ts")
-    val clash = reserved.filter(Seq(idCol).contains)
-    require(clash.isEmpty, s"idCol clashes with working columns: $clash")
 
     // postings: one corpus scan → (doc, term, tf); dl re-aggregates from tf
     // (Catalyst reuses nothing across the two groupings, but both shuffle
@@ -82,6 +134,21 @@ object Retrieval extends Serializable {
     val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
+    val agg = scoreAgg(spark, tf, dl, dfq, tot, idCol, queries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        col("score_micro"), col("rank"))
+  }
+
+  /** The shared scoring core: postings ⋈ (broadcast) staged-idf model ⋈
+    * doc lengths → per-(query, doc) BIGINT aggregates.
+    */
+  private def scoreAgg(spark: SparkSession, tf: DataFrame, dl: DataFrame,
+      dfq: DataFrame, tot: DataFrame, idCol: String,
+      queries: Seq[(String, String)]): DataFrame = {
     // model-sized idf: |query terms| rows through the staged portable log
     val qt = broadcast(queryTerms(spark, queries))
     val idfStages = PortableMath.microLnSignedStages(
@@ -94,18 +161,42 @@ object Retrieval extends Serializable {
         col("lp"))
 
     // instance scoring: postings ⋈ (broadcast) idf model ⋈ dl
-    val scored = tf.join(broadcast(idf), Seq("term"))
+    tf.join(broadcast(idf), Seq("term"))
       .join(dl, Seq(idCol))
       .withColumn("num", expr("44 * t * tf"))
       .withColumn("den", expr("20 * t * tf + 6 * t + 18 * dl * n"))
       .withColumn("ts", expr("(lp * num) div den"))
-    val agg = scored.groupBy(col("query_id"), col(idCol))
+      .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine heterogeneous rankings (lexical BM25 + dense ANN = hybrid
+    * search) without comparable scores: each list contributes
+    * `1/(rrfK + rank)` per item, here as the exact integer
+    * `1000000 div (rrfK + rank)` so fused scores are order-independent
+    * BIGINTs and engine-exact.
+    *
+    * Every input ranking must have columns (query_id, item_id, rank). The
+    * fusion itself is one slim union + groupBy on (query, item) — rank
+    * lists are k-bounded per query, so the shuffle is |queries|·k·|lists|
+    * rows regardless of corpus size.
+    *
+    * Output: (query_id, item_id, n_lists, rrf_micro, rank 1..k by
+    * (rrf desc, item asc)).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && rrfK >= 0,
+      "need rankings, k > 0, rrfK >= 0")
+    val cols = Seq("query_id", "item_id", "rank")
+    val u = rankings.map(_.select(cols.map(col): _*)).reduce(_ unionByName _)
+    val fused = u
+      .withColumn("contrib", expr(s"1000000 div ($rrfK + rank)"))
+      .groupBy(col("query_id"), col("item_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrf_micro"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col(idCol).asc)
-    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rrf_micro").desc, col("item_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("n_terms"),
-        col("score_micro"), col("rank"))
   }
 }

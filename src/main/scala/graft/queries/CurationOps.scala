@@ -51,19 +51,68 @@ object CurationOps extends QueryPack {
 
     // ---- deterministic integer k-means over int8-quantized embeddings ----
     "cluster_kmeans" -> ((s, dir) =>
-      Similarity.kmeansInt8(t(s, dir).embeddings, KmeansK, KmeansIters)))
+      Similarity.kmeansInt8(t(s, dir).embeddings, KmeansK, KmeansIters)),
+
+    // ---- hybrid retrieval: BM25 ranks fused (RRF) with a dense ranking
+    //      seeded by each query's top-1 lexical hit — pseudo-relevance
+    //      feedback over the aligned embeddings table ----
+    "ret_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val tb = t(s, dir)
+      val bm = Retrieval.bm25TopK(tb.documents, "doc_id", "text",
+          Bm25Queries, Bm25K)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val seeds = bm.filter(col("rank") === 1)
+        .join(tb.embeddings.select(col("vec_id").as("item_id"),
+          col("embedding").cast("array<double>").as("qv")), "item_id")
+        .select(col("query_id"), col("qv"))
+      val wD = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("item_id").asc)
+      val dense = tb.embeddings
+        .select(col("vec_id").as("item_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("sim", round(
+          graft.functions.GraftFunctions.graftCosine(col("qv"), col("cv")), 4))
+        .withColumn("rank", row_number().over(wD).cast("long"))
+        .filter(col("rank") <= Bm25K)
+        .select(col("query_id"), col("item_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, dense), Bm25K)
+        .withColumnRenamed("item_id", "doc_id")
+    }),
+
+    // ---- top-k adjacent collocations by fixed-point PMI ----
+    "text_collocations" -> ((s, dir) =>
+      CorpusStats.collocations(t(s, dir).documents, "text",
+        minCount = CollocMinCount, k = CollocK)),
+
+    // ---- UniMax materialized: the waterfilled allocation applied as a
+    //      greedy per-group hash-prefix document selection ----
+    "mixture_unimax_select" -> ((s, dir) =>
+      Mixture.unimaxSelect(t(s, dir).documents, "lang",
+        TextOps.tokenCount(col("text")), maxEpochs = 1L,
+        budgetOf = total => 3L * total / 4L, idCol = "doc_id")
+        .select(col("doc_id"), col("lang"))))
+
+  private val CollocMinCount = 5L
+  private val CollocK = 40
 
   // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
-  private def bm25Sql: String = {
+  /** Shared BM25 CTE body ending in `bmr` = (query_id, doc_id, n_terms,
+    * score_micro, rnk ≤ k) — consumed by both the plain top-k oracle and
+    * the hybrid-RRF oracle.
+    */
+  private def bm25Ctes: String = {
     val values = Bm25Queries
       .map { case (id, q) => s"('$id', '$q')" }.mkString(", ")
     val lnCtes = PortableMath.duckCteChain(
       PortableMath.microLnSignedStages(
         "2 * n + 2", "2 * df + 1", PortableMath.duckShiftLeft), "idf0")
-    s"""WITH q(query_id, qtext) AS (VALUES $values),
+    s"""q(query_id, qtext) AS (VALUES $values),
        |qt AS (SELECT DISTINCT query_id, term FROM (
        |  SELECT query_id,
        |    unnest(string_split_regex(trim(qtext), '\\s+')) AS term FROM q)),
@@ -82,17 +131,79 @@ object CurationOps extends QueryPack {
        |    (lp * (44 * t * tf)) // (20 * t * tf + 6 * t + 18 * dl * n) AS ts
        |  FROM lnfin JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
        |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       |       CAST(sum(ts) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2)
-       |SELECT query_id, doc_id, n_terms, score_micro,
-       |  CAST(rnk AS BIGINT) AS rank
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |        ORDER BY score_micro DESC, doc_id ASC) AS rnk FROM ag)
-       |WHERE rnk <= $Bm25K""".stripMargin
+       |       CAST(sum(ts) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2),
+       |bmr AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY query_id
+       |          ORDER BY score_micro DESC, doc_id ASC) AS rnk FROM ag)
+       |        WHERE rnk <= $Bm25K)""".stripMargin
   }
 
-  private def unimaxSql: String =
-    s"""WITH tok AS (
-       |  SELECT lang, CAST(len($DuckToks) AS BIGINT) AS ntok FROM documents),
+  private def bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, doc_id, n_terms, score_micro,
+       |  CAST(rnk AS BIGINT) AS rank
+       |FROM bmr""".stripMargin
+
+  private def hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+       |br AS (SELECT query_id, doc_id AS item_id,
+       |         CAST(rnk AS BIGINT) AS rank FROM bmr),
+       |seed AS (SELECT query_id, item_id FROM br WHERE rank = 1),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dsc AS (SELECT s.query_id, e2.vec_id AS item_id,
+       |          round(list_cosine_similarity(e1.v, e2.v), 4) AS sim
+       |        FROM seed s, e e1, e e2 WHERE e1.vec_id = s.item_id),
+       |dr AS (SELECT query_id, item_id, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, item_id ASC) AS rn FROM dsc) WHERE rn <= $Bm25K),
+       |u AS (SELECT * FROM br UNION ALL SELECT * FROM dr),
+       |f AS (SELECT query_id, item_id, CAST(count(*) AS BIGINT) AS n_lists,
+       |       CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, item_id AS doc_id, n_lists, rrf_micro,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_micro DESC, item_id ASC) AS rn FROM f)
+       |WHERE rn <= $Bm25K""".stripMargin
+
+  private def collocationsSql: String = {
+    val chainA = PortableMath.duckCteChain(
+      PortableMath.microLnSignedStages(
+        "c2 * tt", "bb * c1a", PortableMath.duckShiftLeft), "j0", "la")
+    val chainB = PortableMath.duckCteChain(
+      PortableMath.microLnSignedStages(
+        "tt", "c1b", PortableMath.duckShiftLeft), "ca", "lb")
+    s"""WITH tok AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+       |bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+       |       FROM tok, unnest(range(1, len(tk))) AS u(i)),
+       |c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |        FROM bg GROUP BY 1, 2),
+       |unig AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |         FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+       |tb AS (SELECT CAST(sum(c2) AS BIGINT) AS bb FROM c2t),
+       |ttt AS (SELECT CAST(sum(c1) AS BIGINT) AS tt FROM unig),
+       |j0 AS (SELECT w1, w2, c2, ua.c1 AS c1a, ub.c1 AS c1b, bb, tt
+       |       FROM c2t JOIN unig ua ON c2t.w1 = ua.w
+       |                JOIN unig ub ON c2t.w2 = ub.w
+       |       CROSS JOIN tb CROSS JOIN ttt
+       |       WHERE c2 >= $CollocMinCount),
+       |$chainA,
+       |ca AS (SELECT w1, w2, c2, c1b, tt, lp AS lp_first FROM lafin),
+       |$chainB
+       |SELECT w1, w2, c2, pmi_micro, CAST(rnk AS BIGINT) AS rank FROM (
+       |  SELECT w1, w2, c2, lp_first + lp AS pmi_micro,
+       |    row_number() OVER (ORDER BY lp_first + lp DESC, w1 ASC, w2 ASC) AS rnk
+       |  FROM lbfin)
+       |WHERE rnk <= $CollocK""".stripMargin
+  }
+
+  /** Shared UniMax CTE body ending in `al` = (lang, n, cap, alloc); the
+    * leading `tok` CTE carries doc_id so the select form can reuse it.
+    */
+  private def unimaxCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, CAST(len($DuckToks) AS BIGINT) AS ntok
+       |  FROM documents),
        |g AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS n FROM tok GROUP BY 1),
        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t,
        |              CAST(count(*) AS BIGINT) AS lcnt FROM g),
@@ -122,11 +233,24 @@ object CurationOps extends QueryPack {
        |         CASE WHEN capped = 1 THEN cap
        |              ELSE w + (CASE WHEN j - istar <= r THEN 1 ELSE 0 END)
        |         END AS alloc
-       |       FROM f)
+       |       FROM f)""".stripMargin
+
+  private def unimaxSql: String =
+    s"""WITH $unimaxCtes
        |SELECT lang, n AS n_tokens, CAST(cap AS BIGINT) AS cap,
        |  CAST(alloc AS BIGINT) AS alloc,
        |  CAST((alloc * 1000000) // n AS BIGINT) AS epochs_micro
        |FROM al""".stripMargin
+
+  private def unimaxSelectSql: String =
+    s"""WITH $unimaxCtes,
+       |run AS (
+       |  SELECT doc_id, lang, sum(ntok) OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tok)
+       |SELECT doc_id, lang FROM run JOIN al USING (lang)
+       |WHERE cum <= alloc""".stripMargin
 
   private def bpeSql: String = {
     val enc = raw"'  ' || regexp_replace(word, '(.)', '\1  ', 'g')"
@@ -203,5 +327,8 @@ object CurationOps extends QueryPack {
     "ret_bm25_topk" -> bm25Sql,
     "mixture_unimax" -> unimaxSql,
     "bpe_merges" -> bpeSql,
-    "cluster_kmeans" -> kmeansSql)
+    "cluster_kmeans" -> kmeansSql,
+    "ret_hybrid_rrf" -> hybridRrfSql,
+    "text_collocations" -> collocationsSql,
+    "mixture_unimax_select" -> unimaxSelectSql)
 }

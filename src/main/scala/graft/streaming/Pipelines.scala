@@ -222,6 +222,53 @@ object Pipelines {
       Dsir.mergeFeatureDist)
   }
 
+  /** Continuous BM25 scoring over the shared indexed-ingest engine: each
+    * batch's documents are scored for the fixed `queries` against the
+    * ACCUMULATED corpus statistics — document frequencies, document count
+    * and token count persisted as one additive
+    * [[graft.llm.Retrieval.bm25Index]] (totals ride along as sentinel
+    * rows, so the engine's single (term, df) index carries everything and
+    * batches merge by summing). Fresh batches therefore score exactly as
+    * the batch operator would over everything ingested so far —
+    * StreamingSpec proves batch ≡ union equality. Per-batch outputs are
+    * unranked (query_id, id, n_terms, score_micro) rows under `batch=`
+    * partitions; rank downstream against whatever window the application
+    * keeps.
+    *
+    * Same caveat as every ingest loop here: already-scored batches are
+    * immutable — a term's idf drifting as the corpus grows only affects
+    * batches from that point on.
+    */
+  def bm25Ingest(stream: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, String)], scoresDir: String, indexDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Retrieval
+    indexedIngest(stream, idCol, textCol, scoresDir, indexDir,
+      checkpointDir, compactEvery, "term", "df",
+      (idx, fresh) => {
+        val freshIdx = Retrieval.bm25Index(fresh, idCol, textCol)
+          .localCheckpoint()
+        val merged = mergeBm25Index(idx, freshIdx)
+        (Retrieval.bm25ScoreAgainstIndex(fresh, idCol, textCol, queries,
+          merged), freshIdx)
+      },
+      mergeBm25Index)
+  }
+
+  private def mergeBm25Index(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("term").agg(sum(col("df")).as("df"))
+
+  /** The accumulated BM25 corpus index at `indexDir` (written by
+    * [[bm25Ingest]]): term df rows plus the sentinel total rows. Empty
+    * frame if the index is empty.
+    */
+  def readBm25Index(spark: SparkSession, indexDir: String): DataFrame =
+    indexState(spark, indexDir, None, "term", "df")._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("term", "df")
+    }
+
   /** The accumulated raw feature distribution at `indexDir` (written by
     * [[dsirIngest]]): newest base + deltas, one (bkt, cnt) row per
     * bucket. Empty frame if the index is empty.

@@ -528,6 +528,32 @@ class ConfigSpec extends SparkSpec {
       ann.columns.contains("dup_5gram_char_frac"))
   }
 
+  test("declared bm25_select keeps only the top-k relevant rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_bm25").toString + "/p"
+    val lines = Seq(
+      """{"id":1,"text":"apple banana cherry apple"}""",
+      """{"id":2,"text":"iron copper zinc iron"}""",
+      """{"id":3,"text":"apple cherry banana apple banana"}""",
+      """{"id":4,"text":"zinc copper iron zinc"}""",
+      """{"id":5,"text":"cherry cherry cherry"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-bm25", "name": "bm25", "steps": [
+         |  { "step": "select", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "bm25_select", "cols": ["id", "text"],
+         |        "expr": "apple banana", "name": "2" } ],
+         |    "sink": { "type": "parquet", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val kept = spark.read.parquet(out).collect()
+    // the two fruit docs that actually contain the query terms win
+    assert(kept.map(_.getAs[Long]("id")).toSet === Set(1L, 3L))
+    assert(kept.head.schema.fieldNames.toSet === Set("id", "text"))
+  }
+
   test("declared dsir_select keeps the most target-like rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_cfg_dsir").toString + "/p"
     val lines = Seq(

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.PortableMath
-import graft.llm.{Mixture, Retrieval, Similarity, Tokenizer}
+import graft.llm.{CorpusStats, Mixture, Retrieval, Similarity, Tokenizer}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -148,6 +148,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("unimaxSelect materializes exactly the greedy hash-prefix of each allocation") {
+    val docs = (1L to 60L).map { i =>
+      val grp = if (i % 3 == 0) "big" else "small"
+      // big-group docs are 8 tokens, small are 2 — forces big uncapped
+      val text = Seq.fill(if (grp == "big") 8 else 2)("w").mkString(" ")
+      (i, grp, text)
+    }
+    val df = docs.toDF("doc_id", "grp", "text")
+    val e = 1L
+    val budgetOf: Long => Long = t => t / 2
+    val kept = Mixture.unimaxSelect(df, "grp",
+        graft.llm.TextOps.tokenCount(col("text")), e, budgetOf, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // reference: allocation from the operator, selection by literal greedy
+    // walk in (md5(id), id) order per group
+    val alloc = Mixture.unimaxAllocation(df, "grp",
+        graft.llm.TextOps.tokenCount(col("text")), e, budgetOf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs.groupBy(_._2).flatMap { case (g, rows) =>
+      var cum = 0L
+      rows.sortBy { case (id, _, _) => (md5(id.toString), id) }
+        .flatMap { case (id, _, text) =>
+          cum += text.split(" ").length
+          if (cum <= alloc(g)) Some(id) else None // cum only grows: done
+        }
+    }.toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < docs.size)
+  }
+
   // --------------------------------------------------------------- bpe
 
   test("bpeMerges learns greedy left-to-right merges (adjacent pairs available, overlaps not)") {
@@ -176,6 +209,59 @@ class CurationSpec extends SparkSpec {
     val df = Seq("ab", "cd").toDF("text")
     val got = Tokenizer.bpeMerges(df, "text", 10).collect()
     assert(got.length === 2) // (a,b) then (c,d); fully merged words end it
+  }
+
+  // --------------------------------------------------------------- rrf
+
+  test("rrfFuse combines rank lists with exact integer reciprocal ranks") {
+    val a = Seq(("q1", 10L, 1L), ("q1", 20L, 2L), ("q1", 30L, 3L))
+      .toDF("query_id", "item_id", "rank")
+    val b = Seq(("q1", 20L, 1L), ("q1", 40L, 2L))
+      .toDF("query_id", "item_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._5)
+    def c(r: Long) = 1000000L / (60 + r)
+    // 20 appears in both lists: 1/(60+2) + 1/(60+1) — must win
+    val expect = Seq(
+      ("q1", 20L, 2L, c(2) + c(1), 1L),
+      ("q1", 10L, 1L, c(1), 2L),
+      ("q1", 40L, 1L, c(2), 3L),
+      ("q1", 30L, 1L, c(3), 4L))
+    assert(got.toSeq === expect)
+  }
+
+  // ------------------------------------------------------- collocations
+
+  test("collocations: PMI is the two-factor staged log and ranking is total-ordered") {
+    // 'x y' always adjacent (high PMI), 'a'/'b' frequent but independent
+    val docs = (Seq.fill(6)("x y") ++ Seq.fill(10)("a b a b a b")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val got = CorpusStats.collocations(df, "text", minCount = 3L, k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+    // independent reference over plain collections
+    val toks = docs.map(_._2.split("\\s+").toSeq)
+    val bigrams = toks.flatMap(s => s.zip(s.tail))
+    val c2 = bigrams.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val c1 = toks.flatten.groupBy(identity).map { case (k1, v) => k1 -> v.size.toLong }
+    val bb = bigrams.size.toLong
+    val tt = toks.flatten.size.toLong
+    val expect = c2.toSeq.filter(_._2 >= 3)
+      .map { case ((w1, w2), n2) =>
+        val pmi = PortableMath.microLnSignedRef(n2 * tt, bb * c1(w1)) +
+          PortableMath.microLnSignedRef(tt, c1(w2))
+        (w1, w2, n2, pmi)
+      }
+      .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+      .take(5).zipWithIndex
+      .map { case ((w1, w2, n2, pmi), i) => (w1, w2, n2, pmi, i + 1L) }
+    assert(got.toSeq === expect)
+    // the genuinely-collocated pair outranks the independent ones
+    assert(got.head._1 === "x" && got.head._2 === "y")
   }
 
   // ------------------------------------------------------------ kmeans

@@ -202,4 +202,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"gopher aggregation lost its partial phase:\n${p.take(800)}")
   }
+
+  test("ret_bm25_topk: idf model broadcasts, no cartesian, top-k prunes early") {
+    val p = plan("ret_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the query-term/idf model joins postings as a broadcast hash join —
+    // the corpus-sized posting side must stream, never shuffle against a
+    // few dozen model rows
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // per-query top-k prunes below the exchange
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("cluster_kmeans: centroid table broadcasts against the corpus") {
+    val p = plan("cluster_kmeans")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the k-row centroid side must be the broadcast side of the cross
+    // join; assignment aggregation must combine map-side
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"assignment lost its partial min:\n${p.take(800)}")
+  }
+
+  test("text_collocations: top-k is TakeOrdered, never a global sort") {
+    val p = plan("text_collocations")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }

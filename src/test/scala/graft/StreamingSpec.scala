@@ -617,4 +617,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(resolved === full)
   }
+
+  test("bm25Ingest: batch scores equal the batch operator over the union corpus") {
+    import graft.llm.Retrieval
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val queries = Seq("qf" -> "apple banana", "qm" -> "iron zinc")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.bm25Ingest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", queries,
+      s"$base/scores", s"$base/index", s"$base/ckpt", compactEvery = 2)
+    val b1 = Seq((1L, "apple banana iron apple"), (2L, "zinc copper iron"))
+    val b2 = Seq((3L, "apple cherry banana"), (4L, "iron zinc zinc iron"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def sset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"doc_id", $"n_terms", $"score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val out = spark.read.parquet(s"$base/scores")
+    def score(docs: Seq[(Long, String)], statsOver: Seq[(Long, String)]) =
+      Retrieval.bm25ScoreAgainstIndex(docs.toDF("doc_id", "text"),
+        "doc_id", "text", queries,
+        Retrieval.bm25Index(statsOver.toDF("doc_id", "text"), "doc_id", "text"))
+    // batch 1: scored against its own statistics only
+    assert(sset(out.filter($"batch" === 0)) === sset(score(b1, b1)))
+    // batch 2: scored against the ACCUMULATED index (b1 ∪ b2) via the
+    // persisted state — equal to the direct computation over the union
+    assert(sset(out.filter($"batch" === 1)) === sset(score(b2, b1 ++ b2)))
+    // the resolved index equals the batch index over the full union
+    val resolved = graft.streaming.Pipelines
+      .readBm25Index(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = Retrieval.bm25Index((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === full)
+    assert(full(Retrieval.DocCountKey) === 4L)
+    assert(full(Retrieval.TokenCountKey) === 14L)
+  }
 }
