@@ -36,19 +36,19 @@ object Bench {
   private val Overrides = Map(
     "feat_category_index" -> "ftci",
     "sim_neardup_cosine" -> "sind",
-    "dedup_ngram_jaccard" -> "dd_jac",
+    "dedup_ngram_jaccard" -> "ddj",
     "dedup_span_removal" -> "ddsp",
     "dedup_against_ref" -> "ddvr",
     "dedup_vs_ref_near" -> "ddvn",
     "mm_binary_stats" -> "mmst",
     "sel_cap_per_source" -> "selc",
     "dedup_keep_best" -> "ddbt",
-    "text_fingerprint" -> "tx_fpr",
-    "feat_standardize" -> "ft_std",
+    "text_fingerprint" -> "txf",
+    "feat_standardize" -> "fts",
     "text_para_dedup" -> "txpa",
-    "d2_json_decode" -> "d2_dec",
+    "d2_json_decode" -> "d2d",
     "d2_json_props" -> "d2p",
-    "text_token_stats" -> "tx_tok",
+    "text_token_stats" -> "txt",
     "chunk_sliding" -> "chunks",
     "decontaminate" -> "decon",
     "dedup_components" -> "dd_comp",
@@ -74,6 +74,7 @@ object Bench {
     "mixture_unimax" -> "umax",
     "mixture_unimax_select" -> "umaxs",
     "bpe_merges" -> "bpe",
+    "bpe_encode" -> "bpee",
     "cluster_kmeans" -> "kmeans",
     "scd2_merge" -> "scd2",
     "text_boilerplate" -> "tx_bp",

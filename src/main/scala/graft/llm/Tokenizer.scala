@@ -90,4 +90,38 @@ object Tokenizer extends Serializable {
     spark.createDataFrame(merges.result().toIndexedSeq)
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
+
+  /** Apply a learned merge table and count the resulting BPE tokens per
+    * document — the "encode" half of the tokenizer loop, and the token
+    * counter a budget/packing stage should use once a tokenizer exists.
+    *
+    * Scale shape: merges apply to the DISTINCT word vocabulary (the same
+    * vocab-sized frame the trainer used — one chained literal `replace`
+    * per merge), and documents join the resulting (word → piece count)
+    * map by word. With a real merge table (tens of thousands of rounds)
+    * this is the only tenable shape: the per-instance alternative re-runs
+    * every merge on every token occurrence. Words outside `[A-Za-z0-9]+`
+    * (never trained) count as 1 piece.
+    *
+    * Output: (idCol, n_words, n_bpe_tokens).
+    */
+  def applyMergesTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val vocab = words.filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .select("word").distinct()
+    val applied = merges.foldLeft(
+        vocab.withColumn("w", encodeSymbols(col("word")))) {
+        case (d, (l, r)) => d.withColumn("w",
+          org.apache.spark.sql.functions.replace(col("w"),
+            lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+      .select(col("word"),
+        size(split(trim(col("w")), "  ")).cast("long").as("ns"))
+    words.join(applied, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("ns"), lit(1L))).as("n_bpe_tokens"))
+  }
 }

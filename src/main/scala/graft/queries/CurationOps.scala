@@ -93,7 +93,17 @@ object CurationOps extends QueryPack {
       Mixture.unimaxSelect(t(s, dir).documents, "lang",
         TextOps.tokenCount(col("text")), maxEpochs = 1L,
         budgetOf = total => 3L * total / 4L, idCol = "doc_id")
-        .select(col("doc_id"), col("lang"))))
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- tokenizer loop closed: mine the merge table, then encode the
+    //      corpus with it and count BPE tokens per document ----
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val merges = Tokenizer.bpeMerges(docs, "text", BpeMergeCount)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Tokenizer.applyMergesTokenCounts(docs, "doc_id", "text", merges)
+    }))
 
   private val CollocMinCount = 5L
   private val CollocK = 40
@@ -252,14 +262,18 @@ object CurationOps extends QueryPack {
        |SELECT doc_id, lang FROM run JOIN al USING (lang)
        |WHERE cum <= alloc""".stripMargin
 
-  private def bpeSql: String = {
+  /** Shared BPE merge-mining CTE chain: w0..wN word-frequency rounds
+    * (each carrying the raw `word` alongside its evolving symbol string)
+    * and b1..bN winning-pair rows.
+    */
+  private def bpeRounds: String = {
     val enc = raw"'  ' || regexp_replace(word, '(.)', '\1  ', 'g')"
     val head =
-      s"""WITH w0 AS (
-         |  SELECT $enc AS w, CAST(count(*) AS BIGINT) AS c
+      s"""w0 AS (
+         |  SELECT word, $enc AS w, CAST(count(*) AS BIGINT) AS c
          |  FROM (SELECT unnest($DuckToks) AS word FROM documents)
          |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$')
-         |  GROUP BY 1)""".stripMargin
+         |  GROUP BY word)""".stripMargin
     val rounds = (1 to BpeMergeCount).map { i =>
       s"""p$i AS (SELECT s[j] AS w1, s[j + 1] AS w2,
          |  CAST(sum(c) AS BIGINT) AS cnt
@@ -268,17 +282,32 @@ object CurationOps extends QueryPack {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, w1, w2, cnt
          |  FROM p$i ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
-         |w$i AS (SELECT replace(w, ' ' || b.w1 || '  ' || b.w2 || ' ',
+         |w$i AS (SELECT word, replace(w, ' ' || b.w1 || '  ' || b.w2 || ' ',
          |                       ' ' || b.w1 || b.w2 || ' ') AS w, c
          |  FROM w${i - 1}, b$i AS b)""".stripMargin
     }
+    s"""$head,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeSql: String = {
     val union = (1 to BpeMergeCount)
       .map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
-    s"""$head,
-       |${rounds.mkString(",\n")}
+    s"""WITH $bpeRounds
        |SELECT merge_rank, w1 AS lhs, w2 AS rhs, cnt AS pair_count
        |FROM ($union)""".stripMargin
   }
+
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeRounds,
+       |tokd AS (SELECT doc_id, unnest($DuckToks) AS word FROM documents),
+       |wmap AS (SELECT word,
+       |  CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS ns
+       |  FROM w$BpeMergeCount)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(ns, 1)) AS BIGINT) AS n_bpe_tokens
+       |FROM tokd LEFT JOIN wmap USING (word)
+       |GROUP BY doc_id""".stripMargin
 
   private def kmeansSql: String = {
     val dist =
@@ -330,5 +359,6 @@ object CurationOps extends QueryPack {
     "cluster_kmeans" -> kmeansSql,
     "ret_hybrid_rrf" -> hybridRrfSql,
     "text_collocations" -> collocationsSql,
-    "mixture_unimax_select" -> unimaxSelectSql)
+    "mixture_unimax_select" -> unimaxSelectSql,
+    "bpe_encode" -> bpeEncodeSql)
 }

@@ -145,6 +145,19 @@ object ScaleProbe {
           graft.llm.Dsir.importanceWeights(docs, "doc_id", "text",
             pmod(col("doc_id"), lit(10)) === 0)
             .agg(sum("weight_micro")).collect().length.toLong
+        },
+        time("bm25_topk", n) {
+          // the query-term model is constant-size: scoring must track the
+          // posting volume of the matched terms (a fixed vocab slice), so
+          // the ratio should sit at-or-below the data ratio
+          graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+            Seq("q1" -> "w17 w4242 w99", "q2" -> "w1234 w777"), 10).count()
+        },
+        time("bpe_merges", n) {
+          // after the initial word count every round is vocab-sized; the
+          // corpus-scaled stage is the one scan, so the ratio should
+          // approach the scan ratio as n grows
+          graft.llm.Tokenizer.bpeMerges(docs, "text", 4).count()
         }).toMap
     }
 

@@ -205,6 +205,20 @@ class CurationSpec extends SparkSpec {
       (3L, "ab", "ab", 3L)))
   }
 
+  test("applyMergesTokenCounts encodes with the learned merges; unknown words count 1") {
+    val train = Seq.fill(3)("abab").union(Seq.fill(2)("aaa")).toDF("text")
+    val merges = Tokenizer.bpeMerges(train, "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges: (a,b) → (a,a) → (ab,ab); so 'abab'→[abab]=1, 'aaa'→[aa,a]=2,
+    // 'ab'→[ab]=1, 'ba'→[b,a]=2, '!!' non-alnum → 1
+    val docs = Seq((1L, "abab aaa"), (2L, "ab ba !!"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val got = Tokenizer.applyMergesTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === Seq((1L, 2L, 3L), (2L, 3L, 4L), (3L, 1L, 3L)))
+  }
+
   test("bpeMerges stops early when the vocabulary runs out of pairs") {
     val df = Seq("ab", "cd").toDF("text")
     val got = Tokenizer.bpeMerges(df, "text", 10).collect()
