@@ -49,11 +49,11 @@ object Bench {
     "d2_json_decode" -> "d2d",
     "d2_json_props" -> "d2p",
     "text_token_stats" -> "txt",
-    "chunk_sliding" -> "chunks",
-    "decontaminate" -> "decon",
-    "dedup_components" -> "dd_comp",
-    "sim_topk_brute" -> "si_topk",
-    "text_repetition" -> "tx_rep",
+    "chunk_sliding" -> "chk",
+    "decontaminate" -> "dcn",
+    "dedup_components" -> "ddc",
+    "sim_topk_brute" -> "sitk",
+    "text_repetition" -> "txr",
     "emb_quantize" -> "emb_q",
     "pack_sequences" -> "pk_seq",
     "sample_per_group" -> "sm_grp",
@@ -75,6 +75,7 @@ object Bench {
     "mixture_unimax_select" -> "umaxs",
     "bpe_merges" -> "bpe",
     "bpe_encode" -> "bpee",
+    "text_winnow" -> "winn",
     "cluster_kmeans" -> "kmeans",
     "scd2_merge" -> "scd2",
     "text_boilerplate" -> "tx_bp",

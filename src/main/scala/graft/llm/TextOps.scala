@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -207,5 +207,51 @@ object TextOps {
     least(comp("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
       (lit(1.0) - least(comp("punct_ratio") * 10.0, lit(1.0))) * 0.25 +
       least(comp("stopword_ratio") * 5.0, lit(1.0)) * 0.25
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * scheme): hash every k-token shingle, then in each sliding window of
+    * `w` consecutive shingle hashes select the minimum; the distinct
+    * selected hashes are the document's fingerprints. Winnowing guarantees
+    * any shared run of ≥ w+k-1 tokens yields at least one shared
+    * fingerprint (the local-match guarantee exact-substring dedup and
+    * clone detection build on), at an expected density of 2/(w+1)
+    * fingerprints per shingle.
+    *
+    * Determinism: hashes are the first 40 bits of md5 (exact nibble
+    * arithmetic on any engine); window ties break to the SMALLEST position
+    * by minimizing the single BIGINT `hash·2²⁰ + pos` — so the selected
+    * set is a pure function of the text, identical on any engine or
+    * layout. Leading windows shorter than `w` participate (their prefix
+    * minima are selected) so documents with fewer than w shingles still
+    * fingerprint; a doc shorter than k tokens contributes one whole-text
+    * shingle. Positions must stay below 2²⁰ (1M tokens/doc) for the
+    * packed tie-break — documented, not guarded.
+    *
+    * Map-only until the per-doc window (partitioned by doc, ordered by
+    * position — never SinglePartition); the output is one slim
+    * (id, pos, fingerprint) row per selected hash.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1; got k=$k, w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__wtk"))
+    val sh = base
+      .select(col(idCol), explode(sequence(lit(1),
+        greatest(size(col("__wtk")) - (k - 1), lit(1)))).as("__wpos"),
+        col("__wtk"))
+      .select(col(idCol), col("__wpos"),
+        conv(substring(md5(array_join(
+          slice(col("__wtk"), col("__wpos"), lit(k)), " ")), 1, 10), 16, 10)
+          .cast("long").as("__whash"))
+    val comb = col("__whash") * (1L << 20) + col("__wpos")
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
+      .rowsBetween(-(w - 1), 0)
+    sh.withColumn("__wmin", min(comb).over(frame))
+      .select(col(idCol), col("__wmin")).distinct()
+      .select(col(idCol),
+        (col("__wmin") % (1L << 20)).as("pos"),
+        expr(s"__wmin div ${1L << 20}").as("fingerprint"))
   }
 }

@@ -103,7 +103,19 @@ object CurationOps extends QueryPack {
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Tokenizer.applyMergesTokenCounts(docs, "doc_id", "text", merges)
-    }))
+    }),
+
+    // ---- winnowing fingerprints (MOSS), aggregated per doc ----
+    "text_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir).documents, "doc_id", "text",
+        k = WinnowK, w = WinnowW)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          sum(col("fingerprint")).as("fp_checksum"),
+          sum(col("pos")).as("pos_sum"))))
+
+  private val WinnowK = 5
+  private val WinnowW = 4
 
   private val CollocMinCount = 5L
   private val CollocK = 40
@@ -360,5 +372,35 @@ object CurationOps extends QueryPack {
     "ret_hybrid_rrf" -> hybridRrfSql,
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
-    "bpe_encode" -> bpeEncodeSql)
+    "bpe_encode" -> bpeEncodeSql,
+    "text_winnow" -> winnowSql)
+
+  private def winnowSql: String = {
+    val kM1 = WinnowK - 1
+    val wM1 = WinnowW - 1
+    // first 40 bits of md5 as exact nibble arithmetic (the mm_features
+    // idiom) — identical to Spark's conv(substr(md5, 1, 10), 16, 10)
+    val hexDecode =
+      """CAST(list_sum(list_transform(range(1, 11), j ->
+        |  CAST(strpos('0123456789abcdef', substr(hx, j, 1)) - 1 AS BIGINT)
+        |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+       |sh0 AS (SELECT doc_id, i AS pos,
+       |  substr(md5(array_to_string(list_slice(tk, i, i + $kM1), ' ')),
+       |    1, 10) AS hx
+       |  FROM tok,
+       |    unnest(range(1, greatest(len(tk) - $kM1, 1) + 1)) AS u(i)),
+       |sh AS (SELECT doc_id, pos, $hexDecode AS h FROM sh0),
+       |win AS (SELECT doc_id,
+       |  min(h * (CAST(1 AS BIGINT) << 20) + pos) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN $wM1 PRECEDING AND CURRENT ROW) AS wmin
+       |  FROM sh),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM win)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       |  CAST(sum(wmin // (CAST(1 AS BIGINT) << 20)) AS BIGINT)
+       |    AS fp_checksum,
+       |  CAST(sum(wmin % (CAST(1 AS BIGINT) << 20)) AS BIGINT) AS pos_sum
+       |FROM sel GROUP BY doc_id""".stripMargin
+  }
 }

@@ -278,6 +278,40 @@ class CurationSpec extends SparkSpec {
     assert(got.head._1 === "x" && got.head._2 === "y")
   }
 
+  // ------------------------------------------------------------ winnow
+
+  test("winnowFingerprints: local-match guarantee and ~2/(w+1) density") {
+    import graft.llm.TextOps
+    val k = 5
+    val w = 4
+    // two docs sharing a run of w+k-1 = 8 tokens amid distinct noise
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6 a7 a8"),
+      (2L, s"b1 b2 b3 b4 b5 $shared b6 b7 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // guarantee: the shared 8-token run yields at least one shared hash
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // the unrelated doc shares nothing with either
+    assert((byDoc(3L) & byDoc(1L)).isEmpty && (byDoc(3L) & byDoc(2L)).isEmpty)
+    // determinism across runs
+    val fp2 = TextOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fp.sorted.toSeq === fp2.sorted.toSeq)
+
+    // density on a long pseudo-random doc: expected 2/(w+1) = 0.4 of the
+    // shingle count, loosely bounded
+    val long = Seq((9L, (1 to 2000).map(i =>
+      s"t${(i * 2654435761L) % 9973}").mkString(" "))).toDF("doc_id", "text")
+    val nsh = 2000 - k + 1
+    val nfp = TextOps.winnowFingerprints(long, "doc_id", "text", k, w).count()
+    val density = nfp.toDouble / nsh
+    assert(density > 0.25 && density < 0.55, s"density $density")
+  }
+
   // ------------------------------------------------------------ kmeans
 
   test("kmeansInt8: assignment is the true argmin centroid and runs are deterministic") {
