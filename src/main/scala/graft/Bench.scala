@@ -54,10 +54,10 @@ object Bench {
     "dedup_components" -> "ddc",
     "sim_topk_brute" -> "sitk",
     "text_repetition" -> "txr",
-    "emb_quantize" -> "emb_q",
-    "pack_sequences" -> "pk_seq",
-    "sample_per_group" -> "sm_grp",
-    "text_normalize" -> "tx_norm",
+    "emb_quantize" -> "emq",
+    "pack_sequences" -> "pks",
+    "sample_per_group" -> "smg",
+    "text_normalize" -> "txn",
     "mixture_resample" -> "mx_docs",
     "mm_features" -> "mm_feat",
     "sample_weighted" -> "sm_wt",
@@ -76,6 +76,7 @@ object Bench {
     "bpe_merges" -> "bpe",
     "bpe_encode" -> "bpee",
     "text_winnow" -> "winn",
+    "text_entropy" -> "ent",
     "cluster_kmeans" -> "kmeans",
     "scd2_merge" -> "scd2",
     "text_boilerplate" -> "tx_bp",

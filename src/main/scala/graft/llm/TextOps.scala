@@ -209,6 +209,46 @@ object TextOps {
       least(comp("stopword_ratio") * 5.0, lit(1.0)) * 0.25
   }
 
+  /** Per-document token-distribution Shannon entropy, in fixed-point nats
+    * — the token-diversity quality signal (degenerate/gibberish docs sit at
+    * the extremes: near-zero entropy = one token repeated, near-ln(dl) =
+    * no repetition at all).
+    *
+    * With type counts tf over a doc of length dl,
+    * `H = ln(dl) − (Σ tf·ln(tf))/dl`. Every ln is the engine-exact staged
+    * log (`floor(ln(x)·10⁶)` via [[graft.functions.PortableMath]], signed
+    * form since x ≥ 1), the weighted sum is an exact BIGINT, and the final
+    * division is truncating — so `entropy_micro` is bit-identical on any
+    * engine, unlike a float Σp·log(p).
+    *
+    * Shape: one scan → (doc, type) partial-agg'd counts → per-doc agg;
+    * both shuffles carry slim (id, token-ish) keys.
+    *
+    * Output: (idCol, n_tokens, n_types, entropy_micro).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.PortableMath
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__etok"))
+      .groupBy(col(idCol), col("__etok")).agg(count(lit(1)).as("__etf"))
+    val tfStages = PortableMath.microLnSignedStages("__etf", "1",
+      PortableMath.sparkShiftLeft)
+    val perType = tfStages.foldLeft(tf) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select(col(idCol), col("__etf"), (col("__etf") * col("lp")).as("__ew"))
+    val perDoc = perType.groupBy(col(idCol))
+      .agg(sum(col("__etf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__ew")).as("__ews"))
+    val dlStages = PortableMath.microLnSignedStages("n_tokens", "1",
+      PortableMath.sparkShiftLeft)
+    dlStages.foldLeft(perDoc) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (col("lp") - expr("__ews div n_tokens")).as("entropy_micro"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * scheme): hash every k-token shingle, then in each sliding window of
     * `w` consecutive shingle hashes select the minimum; the distinct

@@ -60,9 +60,13 @@ object CurationOps extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       graft.functions.GraftFunctions.register(s)
       val tb = t(s, dir)
+      // the BM25 ranking fans out three ways (seeds, dense ranking, and
+      // the fusion union); localCheckpoint computes the corpus-sized
+      // scoring ONCE and replays k·|queries| rows
       val bm = Retrieval.bm25TopK(tb.documents, "doc_id", "text",
           Bm25Queries, Bm25K)
         .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+        .localCheckpoint()
       val seeds = bm.filter(col("rank") === 1)
         .join(tb.embeddings.select(col("vec_id").as("item_id"),
           col("embedding").cast("array<double>").as("qv")), "item_id")
@@ -112,7 +116,11 @@ object CurationOps extends QueryPack {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"),
           sum(col("fingerprint")).as("fp_checksum"),
-          sum(col("pos")).as("pos_sum"))))
+          sum(col("pos")).as("pos_sum"))),
+
+    // ---- per-doc token-distribution entropy, fixed-point nats ----
+    "text_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir).documents, "doc_id", "text")))
 
   private val WinnowK = 5
   private val WinnowW = 4
@@ -373,7 +381,30 @@ object CurationOps extends QueryPack {
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,
-    "text_winnow" -> winnowSql)
+    "text_winnow" -> winnowSql,
+    "text_entropy" -> entropySql)
+
+  private def entropySql: String = {
+    val chainA = PortableMath.duckCteChain(
+      PortableMath.microLnSignedStages("etf", "1",
+        PortableMath.duckShiftLeft), "tf0", "ea")
+    val chainB = PortableMath.duckCteChain(
+      PortableMath.microLnSignedStages("n_tokens", "1",
+        PortableMath.duckShiftLeft), "pd", "eb")
+    s"""WITH tok AS (SELECT doc_id, unnest($DuckToks) AS tk2 FROM documents),
+       |tf0 AS (SELECT doc_id, tk2, CAST(count(*) AS BIGINT) AS etf
+       |        FROM tok GROUP BY 1, 2),
+       |$chainA,
+       |pt AS (SELECT doc_id, etf, etf * lp AS ew FROM eafin),
+       |pd AS (SELECT doc_id, CAST(sum(etf) AS BIGINT) AS n_tokens,
+       |        CAST(count(*) AS BIGINT) AS n_types,
+       |        CAST(sum(ew) AS BIGINT) AS ews
+       |       FROM pt GROUP BY 1),
+       |$chainB
+       |SELECT doc_id, n_tokens, n_types,
+       |  CAST(lp - (ews // n_tokens) AS BIGINT) AS entropy_micro
+       |FROM ebfin""".stripMargin
+  }
 
   private def winnowSql: String = {
     val kM1 = WinnowK - 1

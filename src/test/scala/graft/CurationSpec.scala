@@ -312,6 +312,29 @@ class CurationSpec extends SparkSpec {
     assert(density > 0.25 && density < 0.55, s"density $density")
   }
 
+  // ----------------------------------------------------------- entropy
+
+  test("tokenEntropy: exact fixed-point Shannon entropy of the token distribution") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "a a a a"),       // degenerate: H = 0
+      (2L, "a b c d"),       // uniform singletons: H = ln 4
+      (3L, "a a b b"),       // H = ln 2
+      (4L, "x"))             // single token: H = 0
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    def lp(x: Long) = graft.functions.PortableMath.microLnSignedRef(x, 1L)
+    assert(got.toSeq === Seq(
+      (1L, 4L, 1L, 0L),
+      (2L, 4L, 4L, lp(4)),          // ln 4 ≈ 1.386294e6 micro-nats
+      (3L, 4L, 2L, lp(4) - lp(2)),  // = ln 2 exactly in the fixed point
+      (4L, 1L, 1L, 0L)))
+    assert(lp(4) === 1386294L)
+  }
+
   // ------------------------------------------------------------ kmeans
 
   test("kmeansInt8: assignment is the true argmin centroid and runs are deterministic") {
