@@ -58,10 +58,10 @@ object Bench {
     "pack_sequences" -> "pks",
     "sample_per_group" -> "smg",
     "text_normalize" -> "txn",
-    "mixture_resample" -> "mx_docs",
-    "mm_features" -> "mm_feat",
-    "sample_weighted" -> "sm_wt",
-    "sim_semdedup" -> "si_sdd",
+    "mixture_resample" -> "mxd",
+    "mm_features" -> "mmf",
+    "sample_weighted" -> "smw",
+    "sim_semdedup" -> "sdd",
     "gopher_quality_gate" -> "gopher",
     "dsir_weights" -> "dsir_w",
     "dsir_select" -> "dsir_k",
@@ -77,6 +77,7 @@ object Bench {
     "bpe_encode" -> "bpee",
     "text_winnow" -> "winn",
     "text_entropy" -> "ent",
+    "dedup_winnow" -> "ddw",
     "cluster_kmeans" -> "kmeans",
     "scd2_merge" -> "scd2",
     "text_boilerplate" -> "tx_bp",

@@ -1061,4 +1061,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Near-dup candidate pairs from winnowing fingerprints
+    * ([[TextOps.winnowFingerprints]]): doc pairs sharing at least
+    * `minShared` selected fingerprints, with the exact shared count.
+    *
+    * Unlike MinHash (probabilistic recall at a Jaccard threshold),
+    * winnowing carries a LOCAL guarantee: any shared token run of length
+    * ≥ w+k−1 shares a fingerprint, so with `minShared = m` every pair
+    * sharing m disjoint such runs is found — the clone-detection /
+    * shared-passage dedup regime, complementary to whole-doc similarity.
+    *
+    * Scale mechanics: fingerprints shuffle as (id, 40-bit hash) longs —
+    * never text; candidate generation reuses the capped/chunked bucket
+    * pairing ([[pairsWithinBuckets]], degenerate boilerplate fingerprints
+    * dropped by `maxBucketSize` like LSH buckets); the shared count is a
+    * candidate-bounded join, not a fingerprint self-join. `idCol` must be
+    * numeric (the bucket pairing packs ids as longs, same contract as
+    * MinHash).
+    *
+    * Output: (id_a, id_b, n_shared), id_a < id_b, n_shared ≥ minShared.
+    */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("__wid"),
+        col("fingerprint").as("__wfp"))
+      .distinct()
+      .localCheckpoint()
+    val cand = pairsWithinBuckets(fp, Seq("__wfp"), "__wid", maxBucketSize)
+    cand
+      .join(fp.select(col("__wid").as("id_a"), col("__wfp")), Seq("id_a"))
+      .join(fp.select(col("__wid").as("id_b"), col("__wfp")),
+        Seq("id_b", "__wfp"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

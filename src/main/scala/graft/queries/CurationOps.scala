@@ -120,7 +120,20 @@ object CurationOps extends QueryPack {
 
     // ---- per-doc token-distribution entropy, fixed-point nats ----
     "text_entropy" -> ((s, dir) =>
-      TextOps.tokenEntropy(t(s, dir).documents, "doc_id", "text")))
+      TextOps.tokenEntropy(t(s, dir).documents, "doc_id", "text")),
+
+    // ---- winnowing-based near-dup pairs over the planted-dup corpus
+    //      (same 80%-truncation planting as the minhash/jaccard family) ----
+    "dedup_winnow" -> ((s, dir) => {
+      val d = t(s, dir).documents.select(col("doc_id"), col("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      val planted = d.unionByName(d.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          floor(size(toks) * 0.8).cast("int")), " ").as("text")))
+      Dedup.winnowNearDupPairs(planted, "doc_id", "text",
+        k = WinnowK, w = WinnowW, minShared = 2)
+    }))
 
   private val WinnowK = 5
   private val WinnowW = 4
@@ -382,7 +395,48 @@ object CurationOps extends QueryPack {
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,
     "text_winnow" -> winnowSql,
-    "text_entropy" -> entropySql)
+    "text_entropy" -> entropySql,
+    "dedup_winnow" -> dedupWinnowSql)
+
+  /** Winnow the planted-dup corpus and self-join fingerprints exactly —
+    * the capped bucket pairing on the Spark side only DROPS degenerate
+    * buckets (none exist at oracle scale), so the exact self-join is the
+    * same answer.
+    */
+  private def dedupWinnowSql: String = {
+    val kM1 = WinnowK - 1
+    val wM1 = WinnowW - 1
+    val hexDecode =
+      """CAST(list_sum(list_transform(range(1, 11), j ->
+        |  CAST(strpos('0123456789abcdef', substr(hx, j, 1)) - 1 AS BIGINT)
+        |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(list_slice(toks, 1,
+       |      CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)),
+       |tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |        FROM base),
+       |sh0 AS (SELECT doc_id, i AS pos,
+       |  substr(md5(array_to_string(list_slice(tk, i, i + $kM1), ' ')),
+       |    1, 10) AS hx
+       |  FROM tok,
+       |    unnest(range(1, greatest(len(tk) - $kM1, 1) + 1)) AS u(i)),
+       |sh AS (SELECT doc_id, pos, $hexDecode AS h FROM sh0),
+       |win AS (SELECT doc_id,
+       |  min(h * (CAST(1 AS BIGINT) << 20) + pos) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN $wM1 PRECEDING AND CURRENT ROW) AS wmin
+       |  FROM sh),
+       |fps AS (SELECT DISTINCT doc_id,
+       |          wmin // (CAST(1 AS BIGINT) << 20) AS h FROM win)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+  }
 
   private def entropySql: String = {
     val chainA = PortableMath.duckCteChain(

@@ -312,6 +312,31 @@ class CurationSpec extends SparkSpec {
     assert(density > 0.25 && density < 0.55, s"density $density")
   }
 
+  test("winnowNearDupPairs finds every planted truncation pair with exact shared counts") {
+    import graft.llm.Dedup
+    val base = Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text")).limit(100)
+    val toks = split(trim(col("text")), "\\s+")
+    val planted = base.unionByName(base.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(toks, lit(1),
+        floor(size(toks) * 0.8).cast("int")), " ").as("text")))
+    val pairs = Dedup.winnowNearDupPairs(planted, "doc_id", "text",
+        k = 5, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // every doc long enough for its truncation to carry a shared run
+    // (≥ w+k-1 = 8 tokens surviving the 80% cut) must pair with its copy
+    val longIds = base.filter(size(toks) >= 12).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(longIds.nonEmpty)
+    longIds.foreach { id =>
+      assert(asMap.contains((id, id + 100000)),
+        s"planted pair for doc $id missing")
+    }
+    assert(pairs.forall(_._3 >= 2))
+  }
+
   // ----------------------------------------------------------- entropy
 
   test("tokenEntropy: exact fixed-point Shannon entropy of the token distribution") {
