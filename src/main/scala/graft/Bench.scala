@@ -62,11 +62,11 @@ object Bench {
     "mm_features" -> "mmf",
     "sample_weighted" -> "smw",
     "sim_semdedup" -> "sdd",
-    "gopher_quality_gate" -> "gopher",
-    "dsir_weights" -> "dsir_w",
-    "dsir_select" -> "dsir_k",
+    "gopher_quality_gate" -> "gph",
+    "dsir_weights" -> "dsw",
+    "dsir_select" -> "dsk",
     "sim_hard_negatives" -> "sihn",
-    "curriculum_order" -> "curric",
+    "curriculum_order" -> "cur",
     "text_html_clean" -> "tx_html",
     "ret_bm25_topk" -> "bm25",
     "ret_hybrid_rrf" -> "rrf",
@@ -78,6 +78,7 @@ object Bench {
     "text_winnow" -> "winn",
     "text_entropy" -> "ent",
     "dedup_winnow" -> "ddw",
+    "quality_blocklist" -> "qbl",
     "cluster_kmeans" -> "kmeans",
     "scd2_merge" -> "scd2",
     "text_boilerplate" -> "tx_bp",

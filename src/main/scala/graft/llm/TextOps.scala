@@ -209,6 +209,50 @@ object TextOps {
       least(comp("stopword_ratio") * 5.0, lit(1.0)) * 0.25
   }
 
+  /** Exact blocklist phrase counts per document — the safety/policy
+    * filtering stage every production corpus pipeline carries (bad-word /
+    * banned-phrase lists), as data rather than a hardcoded regex.
+    *
+    * Matching is token-exact: a phrase of L tokens matches wherever the
+    * document's L-token shingle equals it, so counts are exact (including
+    * adjacent occurrences that string-replace counting would miss) and
+    * multi-token phrases can't match across word boundaries. One shingle
+    * pass per DISTINCT phrase length; the phrase set broadcasts; docs with
+    * no hits keep a row with zeros.
+    *
+    * Output: (idCol, n_blocked, n_phrases, blocked) — total instances,
+    * distinct phrases hit, any-hit flag.
+    */
+  def blocklistCounts(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val phr = phrases.map(p => (p.trim.split("\\s+").length, p.trim))
+      .distinct
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__btk"))
+    val hits = phr.map(_._1).distinct.map { len =>
+      val phrasesOfLen = broadcast(
+        phr.filter(_._1 == len).map(_._2).toDF("__bphr"))
+      base
+        .select(col(idCol), explode(sequence(lit(1),
+          greatest(size(col("__btk")) - (len - 1), lit(1)))).as("__bpos"),
+          col("__btk"))
+        .select(col(idCol), array_join(
+          slice(col("__btk"), col("__bpos"), lit(len)), " ").as("__bphr"))
+        .join(phrasesOfLen, Seq("__bphr"))
+    }.reduce(_ unionByName _)
+    val agg = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocked"),
+        countDistinct(col("__bphr")).as("n_phrases"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        (coalesce(col("n_blocked"), lit(0L)) > 0).as("blocked"))
+  }
+
   /** Per-document token-distribution Shannon entropy, in fixed-point nats
     * — the token-diversity quality signal (degenerate/gibberish docs sit at
     * the extremes: near-zero entropy = one token repeated, near-ln(dl) =

@@ -133,10 +133,20 @@ object CurationOps extends QueryPack {
           floor(size(toks) * 0.8).cast("int")), " ").as("text")))
       Dedup.winnowNearDupPairs(planted, "doc_id", "text",
         k = WinnowK, w = WinnowW, minShared = 2)
-    }))
+    }),
+
+    // ---- exact blocklist phrase counts (safety/policy filtering) ----
+    "quality_blocklist" -> ((s, dir) =>
+      TextOps.blocklistCounts(t(s, dir).documents, "doc_id", "text",
+        BlockPhrases)))
 
   private val WinnowK = 5
   private val WinnowW = 4
+
+  /** Blocklist for the safety-filter query — phrases over the corpus
+    * vocabulary, mixed lengths. Shared with the oracle.
+    */
+  val BlockPhrases: Seq[String] = Seq("slow merge", "big hash", "dup")
 
   private val CollocMinCount = 5L
   private val CollocK = 40
@@ -396,7 +406,35 @@ object CurationOps extends QueryPack {
     "bpe_encode" -> bpeEncodeSql,
     "text_winnow" -> winnowSql,
     "text_entropy" -> entropySql,
-    "dedup_winnow" -> dedupWinnowSql)
+    "dedup_winnow" -> dedupWinnowSql,
+    "quality_blocklist" -> blocklistSql)
+
+  private def blocklistSql: String = {
+    // one shingle CTE per distinct phrase length, unioned
+    val byLen = BlockPhrases.map(p => (p.trim.split("\\s+").length, p.trim))
+      .distinct.groupBy(_._1).toSeq.sortBy(_._1)
+    val hitCtes = byLen.map { case (len, ps) =>
+      val values = ps.map(p => s"('${p._2}')").mkString(", ")
+      s"""SELECT doc_id,
+         |  array_to_string(list_slice(tk, i, i + ${len - 1}), ' ') AS phr
+         |FROM tok,
+         |  unnest(range(1, greatest(len(tk) - ${len - 1}, 1) + 1)) AS u(i)
+         |WHERE array_to_string(list_slice(tk, i, i + ${len - 1}), ' ') IN (
+         |  SELECT p FROM (VALUES $values) AS v(p))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+       |hits AS (
+       |$hitCtes
+       |),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked,
+       |        CAST(count(DISTINCT phr) AS BIGINT) AS n_phrases
+       |       FROM hits GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(n_blocked, 0) AS n_blocked,
+       |  coalesce(n_phrases, 0) AS n_phrases,
+       |  coalesce(n_blocked, 0) > 0 AS blocked
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN ag USING (doc_id)""".stripMargin
+  }
 
   /** Winnow the planted-dup corpus and self-join fingerprints exactly —
     * the capped bucket pairing on the Spark side only DROPS degenerate

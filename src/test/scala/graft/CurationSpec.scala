@@ -337,6 +337,28 @@ class CurationSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 2))
   }
 
+  // --------------------------------------------------------- blocklist
+
+  test("blocklistCounts: token-exact phrase instances, zero rows kept") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "slow merge slow merge dup"), // 2× 'slow merge' + 1× 'dup'
+      (2L, "big hash big hash"),         // adjacent 2-token occurrences
+      (3L, "merge slow hash big"),       // reversed orders must NOT match
+      (4L, "dupdup bigdup"))             // substrings must NOT match
+      .toDF("doc_id", "text")
+    val got = TextOps.blocklistCounts(docs, "doc_id", "text",
+        Seq("slow merge", "big hash", "dup"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, true),
+      (2L, 2L, 1L, true),
+      (3L, 0L, 0L, false),
+      (4L, 0L, 0L, false)))
+  }
+
   // ----------------------------------------------------------- entropy
 
   test("tokenEntropy: exact fixed-point Shannon entropy of the token distribution") {
