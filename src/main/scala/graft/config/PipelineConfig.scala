@@ -242,6 +242,24 @@ object PipelineConfig {
           val k = t.name.getOrElse("1000").trim.toInt
           d.join(graft.llm.Dsir.selectTopK(d, idc, c, pred, k)
             .select(col(idc)), Seq(idc), "left_semi")
+        // blocklist filter: drop documents containing any banned phrase
+        // (token-exact shingle matching). cols = [idCol, textCol,
+        // phrase...]; name = "filter" (default) or "annotate" (join the
+        // n_blocked/n_phrases/blocked signals onto the frame)
+        case "blocklist" =>
+          val (idc, c, phrases) = t.cols match {
+            case s if s.length >= 3 => (s(0), s(1), s.drop(2))
+            case _ => sys.error(
+              "blocklist needs cols = [idCol, textCol, phrase, ...]")
+          }
+          val counts = graft.llm.TextOps.blocklistCounts(d, idc, c, phrases)
+          t.name.getOrElse("filter") match {
+            case "annotate" => d.join(counts, Seq(idc))
+            case "filter" => d.join(counts.filter(!col("blocked"))
+              .select(col(idc)), Seq(idc), "left_semi")
+            case other => sys.error(
+              s"blocklist mode '$other' (want filter|annotate)")
+          }
         // BM25 relevance selection: keep only documents in the BM25 top-k
         // for a query string — targeted data selection ("docs about X").
         // cols = [idCol, textCol]; expr = the query text; name = k

@@ -528,6 +528,27 @@ class ConfigSpec extends SparkSpec {
       ann.columns.contains("dup_5gram_char_frac"))
   }
 
+  test("declared blocklist drops docs containing banned phrases") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfg_bl").toString + "/p"
+    val lines = Seq(
+      """{"id":1,"text":"clean doc here"}""",
+      """{"id":2,"text":"has a bad phrase inside"}""",
+      """{"id":3,"text":"badphrase is fine as one word"}""")
+      .map(_.replace("\"", "\\\""))
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "cfg-bl", "name": "bl", "steps": [
+         |  { "step": "f", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "id LONG, text STRING",
+         |      "lines": [${lines.map("\"" + _ + "\"").mkString(",")}] },
+         |    "transforms": [
+         |      { "op": "blocklist", "cols": ["id", "text", "bad phrase"] } ],
+         |    "sink": { "type": "parquet", "path": "$out" } } ] }""".stripMargin)
+    PipelineConfig.run(spark, conf, new InMemoryStore)
+    val kept = spark.read.parquet(out).collect().map(_.getAs[Long]("id")).toSet
+    assert(kept === Set(1L, 3L)) // token-exact: 'badphrase' survives
+  }
+
   test("declared bm25_select keeps only the top-k relevant rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_cfg_bm25").toString + "/p"
     val lines = Seq(
