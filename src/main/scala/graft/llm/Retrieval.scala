@@ -59,8 +59,14 @@ object Retrieval extends Serializable {
   }
 
   private def guard(idCol: String): Unit = {
+    // both the internal working columns AND the output columns: an idCol of
+    // 'query_id' or 'score_micro' passes any working-column check but then
+    // collides in scoreAgg's groupBy/select (and 'item_id'/'rrf_micro'/
+    // 'n_lists' would collide for rankings fed onward to rrfFuse).
     val reserved = (PortableMath.microLnSignedColumns ++
-      Seq("term", "tf", "df", "dl", "n", "t", "num", "den", "ts")).toSet
+      Seq("term", "tf", "df", "dl", "n", "t", "num", "den", "ts",
+        "query_id", "n_terms", "score_micro", "rank",
+        "item_id", "n_lists", "rrf_micro")).toSet
     require(!reserved(idCol), s"idCol '$idCol' clashes with a working column")
   }
 
@@ -107,9 +113,17 @@ object Retrieval extends Serializable {
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfq = index.filter(col("term") =!= DocCountKey &&
       col("term") =!= TokenCountKey)
+    // fail fast on a malformed index (missing sentinel rows would otherwise
+    // propagate NULL totals into every score); the check rides inside the
+    // totals row itself, so it costs nothing extra at execution
+    val missing = s"malformed BM25 index: missing '$DocCountKey'/'$TokenCountKey'" +
+      " sentinel totals (was it built by bm25Index?)"
     val tot = index.groupBy()
       .agg(sum(when(col("term") === DocCountKey, col("df"))).as("n"),
         sum(when(col("term") === TokenCountKey, col("df"))).as("t"))
+      .select(
+        when(col("n").isNull, raise_error(lit(missing))).otherwise(col("n")).as("n"),
+        when(col("t").isNull, raise_error(lit(missing))).otherwise(col("t")).as("t"))
     scoreAgg(spark, tf, dl, dfq, tot, idCol, queries)
   }
 

@@ -223,9 +223,18 @@ object TextOps {
     * Output: (idCol, n_blocked, n_phrases, blocked) — total instances,
     * distinct phrases hit, any-hit flag.
     */
+  // Per-op reserved-name guard (same contract as CorpusStats.guard): an
+  // idCol that matches a working or output column would silently join or
+  // group wrong, so fail loudly at construction instead.
+  private def guardId(idCol: String, reserved: Set[String]): Unit =
+    require(!reserved(idCol),
+      s"idCol '$idCol' collides with a working/output column of this op")
+
   def blocklistCounts(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "need at least one phrase")
+    guardId(idCol, Set("__btk", "__bpos", "__bphr",
+      "n_blocked", "n_phrases", "blocked"))
     val spark = df.sparkSession
     import spark.implicits._
     val phr = phrases.map(p => (p.trim.split("\\s+").length, p.trim))
@@ -272,6 +281,9 @@ object TextOps {
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.PortableMath
+    guardId(idCol, Set("__etok", "__etf", "__ew", "__ews",
+      "n_tokens", "n_types", "entropy_micro") ++
+      PortableMath.microLnSignedColumns)
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__etok"))
       .groupBy(col(idCol), col("__etok")).agg(count(lit(1)).as("__etf"))
     val tfStages = PortableMath.microLnSignedStages("__etf", "1",
@@ -319,6 +331,8 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1; got k=$k, w=$w")
+    guardId(idCol, Set("__wtk", "__wpos", "__whash", "__wmin",
+      "pos", "fingerprint"))
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), tokens(col(textCol)).as("__wtk"))
     val sh = base

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.PortableMath
-import graft.llm.{CorpusStats, Mixture, Retrieval, Similarity, Tokenizer}
+import graft.llm.{CorpusStats, Mixture, Retrieval, Similarity, TextOps, Tokenizer}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -103,6 +103,44 @@ class CurationSpec extends SparkSpec {
     val byRank = got.sortBy(_.getLong(4)).map(_.getLong(3))
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     assert(got.forall(_.getLong(3) > 0))
+  }
+
+  test("reserved-name guards reject output-column idCols; malformed index fails fast") {
+    // Retrieval: an idCol equal to an OUTPUT column (not just a working one)
+    // must be rejected at construction, not surface as ambiguity downstream
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(Seq((1L, "a b")).toDF("score_micro", "text"),
+        "score_micro", "text", Seq("q" -> "a"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Index(Seq((1L, "a b")).toDF("query_id", "text"),
+        "query_id", "text")
+    }
+    // TextOps trio
+    intercept[IllegalArgumentException] {
+      TextOps.tokenEntropy(Seq((1L, "a")).toDF("entropy_micro", "text"),
+        "entropy_micro", "text")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.winnowFingerprints(Seq((1L, "a")).toDF("fingerprint", "text"),
+        "fingerprint", "text")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.blocklistCounts(Seq((1L, "a")).toDF("blocked", "text"),
+        "blocked", "text", Seq("a"))
+    }
+    // an index without the sentinel totals must fail loudly, not emit NULL
+    // scores for every row
+    val docs = Seq((1L, "hash join"), (2L, "scan")).toDF("doc_id", "text")
+    val badIndex = Seq(("hash", 1L)).toDF("term", "df")
+    val ex = intercept[Exception] {
+      Retrieval.bm25ScoreAgainstIndex(docs, "doc_id", "text",
+        Seq("q" -> "hash"), badIndex).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("malformed BM25 index")),
+      s"unexpected failure: $ex")
   }
 
   // ------------------------------------------------------------ unimax
@@ -217,6 +255,45 @@ class CurationSpec extends SparkSpec {
     val got = Tokenizer.applyMergesTokenCounts(docs, "doc_id", "text", merges)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(got.toSeq === Seq((1L, 2L, 3L), (2L, 3L, 4L), (3L, 1L, 3L)))
+  }
+
+  test("property: kernel encoder is bit-equal to the chained-replace fold") {
+    // Random dense corpora over a 2-letter alphabet force heavy merge
+    // interaction (adjacent/overlapping occurrences, multi-round growth);
+    // mined tables then exercise the real loop. Both paths must agree
+    // exactly — the kernel replaces the fold at scale, so any divergence
+    // is a correctness bug, not an approximation.
+    val wordGen = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val docGen = for {
+      k <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(k, wordGen)
+    } yield ws.mkString(" ")
+    (0 until 6).foreach { ci =>
+      val texts = sample(docGen, 8).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      val merges = Tokenizer.bpeMerges(df, "text", 5)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      if (merges.nonEmpty) {
+        val fold = Tokenizer.applyMergesTokenCounts(df, "doc_id", "text", merges)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        val kern = Tokenizer.applyMergesTokenCountsKernel(df, "doc_id", "text", merges)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        assert(kern.toSeq === fold.toSeq, s"case $ci diverged: texts=$texts merges=$merges")
+      }
+    }
+    // adversarial ILL-FORMED table: merge 1 references a symbol only merge 2
+    // creates ("resurrection"). Sequential semantics must NOT apply it —
+    // both paths agree on 'xab' staying 2 pieces, not fusing to 'xab'.
+    val ill = Seq(("x", "ab"), ("a", "b"))
+    val df2 = Seq((1L, "xab")).toDF("doc_id", "text")
+    val f2 = Tokenizer.applyMergesTokenCounts(df2, "doc_id", "text", ill).collect()
+    val k2 = Tokenizer.applyMergesTokenCountsKernel(df2, "doc_id", "text", ill).collect()
+    assert(f2.map(_.getLong(2)).toSeq === Seq(2L))
+    assert(k2.map(_.getLong(2)).toSeq === Seq(2L))
   }
 
   test("bpeMerges stops early when the vocabulary runs out of pairs") {
