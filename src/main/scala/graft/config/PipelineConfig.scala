@@ -142,6 +142,25 @@ object PipelineConfig {
   /** Transforms are SQL expressions — they stay inside Catalyst (pushdown,
     * pruning, codegen), unlike opaque function steps.
     */
+  /** In-plan id-uniqueness tripwire for ops that rejoin derived columns by
+    * id (`span_removal`, `para_dedup`): a duplicate id would silently
+    * multiply rows through the join, so fold a per-id window count into the
+    * id column itself — `raise_error` names the offending id at execution.
+    * Riding inside the retained id column keeps Catalyst from pruning the
+    * check, and the window's hash partitioning is the same key the rejoin
+    * shuffles on, so the marginal cost is a per-partition sort, not an
+    * extra shuffle of the wide side.
+    */
+  private def assertUniqueIds(d: DataFrame, idc: String, op: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idc))
+    d.withColumn(idc,
+      when(count(lit(1)).over(w) > 1,
+        raise_error(concat(lit(s"$op: duplicate values in id column '$idc'" +
+          " (the rejoin requires unique ids); e.g. id = "),
+          col(idc).cast("string"))))
+        .otherwise(col(idc)))
+  }
+
   def applyTransforms(df: DataFrame, ts: Seq[TransformConf]): DataFrame =
     ts.foldLeft(df) { (d, t) =>
       t.op match {
@@ -337,14 +356,15 @@ object PipelineConfig {
         // replaces the text column; n_tokens/n_removed ride along
         // (suffixed "_span" when the input already carries columns of
         // those names, e.g. the op applied twice). The rejoin is by id —
-        // idCol must uniquely identify rows or the join multiplies them.
+        // idCol must uniquely identify rows (enforced in-plan: a duplicate
+        // id fails the run loudly instead of silently multiplying rows).
         case "span_removal" =>
           val Seq(idc, c) = t.cols match {
             case s if s.length == 2 => s
             case _ => sys.error("span_removal needs cols = [idCol, textCol]")
           }
           val Array(l, mdf) = t.expr.getOrElse("20,3").split(",").map(_.trim.toInt)
-          val rest = d.drop(c)
+          val rest = assertUniqueIds(d.drop(c), idc, "span_removal")
           val cleaned = Seq("n_tokens", "n_removed")
             .foldLeft(graft.llm.CorpusStats.removeRepeatedSpans(d, idc, c, l, mdf)
               .withColumnRenamed("clean_text", c)) { (acc, n) =>
@@ -362,7 +382,7 @@ object PipelineConfig {
             case _ => sys.error("para_dedup needs cols = [idCol, textCol]")
           }
           val mdf = t.expr.getOrElse("3").trim.toInt
-          val restP = d.drop(c)
+          val restP = assertUniqueIds(d.drop(c), idc, "para_dedup")
           val cleanedP = Seq("n_paras", "n_removed")
             .foldLeft(graft.llm.CorpusStats
               .dropRepeatedParagraphs(d, idc, c, mdf)

@@ -129,6 +129,26 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("span_removal/para_dedup fail loudly on duplicate ids instead of multiplying rows") {
+    import spark.implicits._
+    val dup = Seq((1L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"))
+      .toDF("id", "text")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    Seq(
+      PipelineConfig.TransformConf(op = "span_removal",
+        cols = Seq("id", "text"), expr = Some("2,1")),
+      PipelineConfig.TransformConf(op = "para_dedup",
+        cols = Seq("id", "text"), expr = Some("1"))
+    ).foreach { t =>
+      val ex = intercept[Exception] {
+        PipelineConfig.applyTransforms(dup, Seq(t)).collect()
+      }
+      assert(messages(ex).exists(_.contains("duplicate values in id column 'id'")),
+        s"${t.op}: unexpected failure $ex")
+    }
+  }
+
   test("declared standardize → score_linear chain (feature-to-score config)") {
     val out = java.nio.file.Files.createTempDirectory("graft_cfg_ml").toString + "/j"
     val lines = Seq(
