@@ -45,6 +45,14 @@ object Tokenizer extends Serializable {
     */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    // COST NOTE (trainer shape): each merge round is one Spark job — a
+    // vocab-sized aggregation plus a LIMIT-1 collect of the winning pair.
+    // That is the classic sequential-BPE trainer and is inherent to exact
+    // greedy mining (round N+1's counts depend on round N's merge), but it
+    // means a production 32k-merge table costs ~32k sequential jobs. Mine
+    // large tables rarely and persist them; ENCODING against a large table
+    // is the cheap, frequent operation and has a dedicated scale path
+    // ([[applyMergesTokenCountsKernel]]).
     val spark = df.sparkSession
 
     // ONE corpus-sized pass: word → count, symbols pre-encoded
@@ -119,6 +127,76 @@ object Tokenizer extends Serializable {
       }
       .select(col("word"),
         size(split(trim(col("w")), "  ")).cast("long").as("ns"))
+    words.join(applied, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("ns"), lit(1L))).as("n_bpe_tokens"))
+  }
+
+  /** Scale-path encoder: identical semantics to [[applyMergesTokenCounts]]
+    * but the merge loop runs as a JIT-compiled `mapPartitions` kernel over
+    * the distinct vocabulary instead of |merges| chained Catalyst `replace`
+    * expressions.
+    *
+    * The fold path builds one plan node per merge, which breaks down at
+    * real merge-table sizes (a 32k-merge plan blows up analysis/codegen
+    * long before execution). Here the merge table broadcasts once
+    * (~32k string pairs ≈ a few hundred KB) and each word is encoded
+    * locally, mirroring the replace semantics EXACTLY: merges apply in
+    * rank order, one left-to-right non-overlapping pass each, and a pair
+    * "resurrected" by a later merge is NOT revisited — so results are
+    * bit-identical to the fold (and to the DuckDB unrolled-replace oracle)
+    * on any merge table, well-formed or not. An adjacency multiset makes
+    * skipping absent pairs O(1), so a word costs O(|merges|) hash probes
+    * plus O(|word|) per merge that actually fires.
+    *
+    * Output: (idCol, n_words, n_bpe_tokens) — same as the fold path.
+    */
+  def applyMergesTokenCountsKernel(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val vocab = words.filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .select("word").distinct()
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val applied = vocab.as[String].mapPartitions { it =>
+      val table = bc.value
+      it.map { word =>
+        var syms: Array[String] = word.map(_.toString).toArray
+        // adjacency multiset of the CURRENT symbol sequence
+        val adj = new scala.collection.mutable.HashMap[(String, String), Int]()
+        def rebuildAdj(): Unit = {
+          adj.clear()
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            adj.update(k, adj.getOrElse(k, 0) + 1)
+            i += 1
+          }
+        }
+        rebuildAdj()
+        var m = 0
+        while (m < table.length && syms.length > 1) {
+          val (l, r) = table(m)
+          if (adj.getOrElse((l, r), 0) > 0) {
+            // one left-to-right non-overlapping pass, like literal replace
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+            rebuildAdj()
+          }
+          m += 1
+        }
+        (word, syms.length.toLong)
+      }
+    }.toDF("word", "ns")
     words.join(applied, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),

@@ -106,7 +106,9 @@ object CurationOps extends QueryPack {
       val merges = Tokenizer.bpeMerges(docs, "text", BpeMergeCount)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      Tokenizer.applyMergesTokenCounts(docs, "doc_id", "text", merges)
+      // the kernel (scale) path — CurationSpec proves it fold-equivalent,
+      // this oracle row proves it engine-exact
+      Tokenizer.applyMergesTokenCountsKernel(docs, "doc_id", "text", merges)
     }),
 
     // ---- winnowing fingerprints (MOSS), aggregated per doc ----
