@@ -67,10 +67,10 @@ object Bench {
     "dsir_select" -> "dsk",
     "sim_hard_negatives" -> "sihn",
     "curriculum_order" -> "cur",
-    "text_html_clean" -> "tx_html",
+    "text_html_clean" -> "txh",
     "ret_bm25_topk" -> "bm25",
     "ret_hybrid_rrf" -> "rrf",
-    "text_collocations" -> "colloc",
+    "text_collocations" -> "clc",
     "mixture_unimax" -> "umax",
     "mixture_unimax_select" -> "umaxs",
     "bpe_merges" -> "bpe",
@@ -78,14 +78,15 @@ object Bench {
     "text_winnow" -> "winn",
     "text_entropy" -> "ent",
     "dedup_winnow" -> "ddw",
+    "dedup_winnow_apply" -> "ddwa",
     "quality_blocklist" -> "qbl",
-    "cluster_kmeans" -> "kmeans",
+    "cluster_kmeans" -> "kmn",
     "scd2_merge" -> "scd2",
     "text_boilerplate" -> "tx_bp",
     "text_commonness" -> "tx_cm",
     "mixture_tokens" -> "mx_tok",
-    "ml_score_linear" -> "ml_lin",
-    "corpus_shuffle" -> "cshuf",
+    "ml_score_linear" -> "mll",
+    "corpus_shuffle" -> "csh",
     "corpus_datacard" -> "dcard",
     "emb_centroids" -> "emb_c",
     "sample_stratified" -> "sm_st",

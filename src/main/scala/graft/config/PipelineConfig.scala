@@ -17,7 +17,7 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * and a `sink` is one of the `Writers`. Steps execute through `JobRunner`,
   * so declared pipelines get durable state, skip-if-complete, and error
   * budgets for free. Beyond the row-level SQL ops, the curation vocabulary
-  * (`dedup_exact`, `dedup_keep_best`, `decontaminate_near`, `quality_gate`,
+  * (`dedup_exact`, `dedup_winnow`, `dedup_keep_best`, `decontaminate_near`, `quality_gate`,
   * `cap_per_group`,
   * `token_budget`, `mixture`, `normalize`,
   * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `para_dedup`,
@@ -220,6 +220,17 @@ object PipelineConfig {
           graft.llm.Selection.capPerGroup(d, g,
             expr(t.expr.getOrElse(sys.error("cap_per_group needs a score expr"))),
             idc, t.name.getOrElse("10").trim.toInt)
+        // winnow-based near-dedup (guaranteed recall for shared runs of
+        // ≥ w+k−1 tokens): min-id survivor per fingerprint component.
+        // cols = [idCol, textCol], expr = "k,w,minShared" (default "5,4,2")
+        case "dedup_winnow" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_winnow needs cols = [idCol, textCol]")
+          }
+          val Array(k, w, ms) =
+            t.expr.getOrElse("5,4,2").split(",").map(_.trim.toInt)
+          graft.llm.Dedup.dropWinnowDuplicates(d, idc, c, k, w, ms)
         // quality-aware near-dedup: keep each near-dup family's
         // highest-score member: cols = [idCol, textCol],
         // expr = score SQL expression

@@ -459,6 +459,16 @@ object Dedup {
       numHashes, bands, threshold, maxBucketSize)
     val assignment = survivorAssignment(pairs)
     release()
+    keepBestFromAssignment(df, idCol, score, assignment)
+  }
+
+  /** Shared keep-best application: rank component MEMBERS (assignment is
+    * pairs-sized) by (score desc, id asc) within their component and
+    * anti-join everything but the winner out of `df`. No corpus-wide sort;
+    * the corpus is touched once by the anti-join.
+    */
+  private def keepBestFromAssignment(df: DataFrame, idCol: String,
+      score: Column, assignment: DataFrame): DataFrame = {
     val members = df
       .select(col(idCol).cast("long").as("id"), score.as("__kb_score"))
       .join(assignment, Seq("id"))
@@ -470,6 +480,34 @@ object Dedup {
       .filter(col("__kb_rn") > 1)
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end winnow-based near-dedup: [[winnowNearDupPairs]] →
+    * connected components → min-id survivors applied. The guaranteed-recall
+    * counterpart of [[dropNearDuplicates]] — any pair of documents sharing
+    * a run of ≥ w+k−1 tokens is connected with certainty (the winnowing
+    * local-match guarantee), where MinHash-LSH only connects with high
+    * probability. Same downstream machinery, so the same scale story:
+    * pairs ∝ duplicates, components in O(log n) rounds, one corpus
+    * anti-join.
+    */
+  def dropWinnowDuplicates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = winnowNearDupPairs(df, idCol, textCol, k, w, minShared,
+      maxBucketSize)
+    applySurvivors(df, idCol, survivorAssignment(pairs))
+  }
+
+  /** Quality-aware form of [[dropWinnowDuplicates]]: keep the highest-
+    * `score` member of each winnow component (ties → min id).
+    */
+  def dropWinnowDuplicatesKeepBest(df: DataFrame, idCol: String,
+      textCol: String, score: Column, k: Int = 5, w: Int = 4,
+      minShared: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = winnowNearDupPairs(df, idCol, textCol, k, w, minShared,
+      maxBucketSize)
+    keepBestFromAssignment(df, idCol, score, survivorAssignment(pairs))
   }
 
   /** Distinct word n-gram shingles of one doc — THE tokenization shared by

@@ -126,16 +126,17 @@ object CurationOps extends QueryPack {
 
     // ---- winnowing-based near-dup pairs over the planted-dup corpus
     //      (same 80%-truncation planting as the minhash/jaccard family) ----
-    "dedup_winnow" -> ((s, dir) => {
-      val d = t(s, dir).documents.select(col("doc_id"), col("text"))
-      val toks = split(trim(col("text")), "\\s+")
-      val planted = d.unionByName(d.select(
-        (col("doc_id") + 100000).as("doc_id"),
-        array_join(slice(toks, lit(1),
-          floor(size(toks) * 0.8).cast("int")), " ").as("text")))
-      Dedup.winnowNearDupPairs(planted, "doc_id", "text",
-        k = WinnowK, w = WinnowW, minShared = 2)
-    }),
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowNearDupPairs(plantedWinnowCorpus(s, dir), "doc_id", "text",
+        k = WinnowK, w = WinnowW, minShared = 2)),
+
+    // ---- the winnow pipeline APPLIED: pairs → connected components →
+    //      min-id survivors anti-joined out — the guaranteed-recall
+    //      end-to-end dedup (vs dedup_apply's probabilistic MinHash) ----
+    "dedup_winnow_apply" -> ((s, dir) =>
+      Dedup.dropWinnowDuplicates(plantedWinnowCorpus(s, dir), "doc_id",
+        "text", k = WinnowK, w = WinnowW, minShared = 2)
+        .select(col("doc_id"))),
 
     // ---- exact blocklist phrase counts (safety/policy filtering) ----
     "quality_blocklist" -> ((s, dir) =>
@@ -144,6 +145,19 @@ object CurationOps extends QueryPack {
 
   private val WinnowK = 5
   private val WinnowW = 4
+
+  /** The planted-dup corpus the winnow family runs on: every doc plus an
+    * 80%-truncated copy at doc_id + 100000 (same planting as the
+    * minhash/jaccard family).
+    */
+  private def plantedWinnowCorpus(s: SparkSession, dir: String) = {
+    val d = t(s, dir).documents.select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    d.unionByName(d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(toks, lit(1),
+        floor(size(toks) * 0.8).cast("int")), " ").as("text")))
+  }
 
   /** Blocklist for the safety-filter query — phrases over the corpus
     * vocabulary, mixed lengths. Shared with the oracle.
@@ -409,6 +423,7 @@ object CurationOps extends QueryPack {
     "text_winnow" -> winnowSql,
     "text_entropy" -> entropySql,
     "dedup_winnow" -> dedupWinnowSql,
+    "dedup_winnow_apply" -> dedupWinnowApplySql,
     "quality_blocklist" -> blocklistSql)
 
   private def blocklistSql: String = {
@@ -443,14 +458,20 @@ object CurationOps extends QueryPack {
     * buckets (none exist at oracle scale), so the exact self-join is the
     * same answer.
     */
-  private def dedupWinnowSql: String = {
+  /** Shared winnow-pair CTE body over the planted-dup corpus, ending in
+    * `base` = (doc_id, text) and `wpairs` = (id_a, id_b, n_shared) — the
+    * capped bucket pairing on the Spark side only DROPS degenerate buckets
+    * (none exist at oracle scale), so the exact self-join is the same
+    * answer.
+    */
+  private def winnowPairCtes: String = {
     val kM1 = WinnowK - 1
     val wM1 = WinnowW - 1
     val hexDecode =
       """CAST(list_sum(list_transform(range(1, 11), j ->
         |  CAST(strpos('0123456789abcdef', substr(hx, j, 1)) - 1 AS BIGINT)
         |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT)""".stripMargin
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000,
@@ -471,12 +492,37 @@ object CurationOps extends QueryPack {
        |    ROWS BETWEEN $wM1 PRECEDING AND CURRENT ROW) AS wmin
        |  FROM sh),
        |fps AS (SELECT DISTINCT doc_id,
-       |          wmin // (CAST(1 AS BIGINT) << 20) AS h FROM win)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(count(*) AS BIGINT) AS n_shared
-       |FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+       |          wmin // (CAST(1 AS BIGINT) << 20) AS h FROM win),
+       |wpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
   }
+
+  private def dedupWinnowSql: String =
+    s"""WITH $winnowPairCtes
+       |SELECT id_a, id_b, n_shared FROM wpairs""".stripMargin
+
+  /** Connected components over the winnow pairs (recursive reachability —
+    * exact at oracle scale), min-id survivors anti-selected, mirroring
+    * dedup_apply's oracle shape.
+    */
+  private def dedupWinnowApplySql: String =
+    s"""WITH RECURSIVE $winnowPairCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM wpairs
+       |  UNION ALL SELECT id_b, id_a FROM wpairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+       |), losers AS (
+       |  SELECT id FROM (SELECT id, min(r) AS s FROM reach GROUP BY id)
+       |  WHERE id <> s
+       |)
+       |SELECT doc_id FROM base
+       |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
 
   private def entropySql: String = {
     val chainA = PortableMath.duckCteChain(

@@ -149,6 +149,19 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("declared dedup_winnow drops truncated near-copies, keeping min-id survivors") {
+    import spark.implicits._
+    val docs = (1L to 2L).map(i =>
+      (i, (1 to 30).map(j => s"g${i}t$j").mkString(" ")))
+    val planted = docs ++ docs.map { case (i, txt) =>
+      (i + 100, txt.split(" ").take(24).mkString(" "))
+    }
+    val out = PipelineConfig.applyTransforms(planted.toDF("doc_id", "text"),
+      Seq(PipelineConfig.TransformConf(op = "dedup_winnow",
+        cols = Seq("doc_id", "text"))))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("declared standardize → score_linear chain (feature-to-score config)") {
     val out = java.nio.file.Files.createTempDirectory("graft_cfg_ml").toString + "/j"
     val lines = Seq(

@@ -414,6 +414,32 @@ class CurationSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 2))
   }
 
+  test("dropWinnowDuplicates keeps exactly the min-id survivor of each truncation family") {
+    import graft.llm.Dedup
+    // three 30-token docs with disjoint vocabularies, each with a 24-token
+    // truncated copy at id+100: every family shares a run far above the
+    // w+k-1 = 8 guarantee, so the pairs are certain, not probabilistic
+    val docs = (1L to 3L).map { i =>
+      (i, (1 to 30).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val planted = docs ++ docs.map { case (i, txt) =>
+      (i + 100, txt.split(" ").take(24).mkString(" "))
+    }
+    val df = planted.toDF("doc_id", "text")
+    val kept = Dedup.dropWinnowDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L))
+    // keep-best by token count keeps the LONG member even when it has the
+    // larger id: invert the planting so copies get the small ids
+    val inverted = docs.map { case (i, txt) => (i + 100, txt) } ++
+      docs.map { case (i, txt) => (i, txt.split(" ").take(24).mkString(" ")) }
+    val keptBest = Dedup.dropWinnowDuplicatesKeepBest(
+        inverted.toDF("doc_id", "text"), "doc_id", "text",
+        size(split(trim(col("text")), "\\s+")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBest === Set(101L, 102L, 103L))
+  }
+
   // --------------------------------------------------------- blocklist
 
   test("blocklistCounts: token-exact phrase instances, zero rows kept") {
