@@ -70,6 +70,7 @@ object Bench {
     "text_html_clean" -> "txh",
     "ret_bm25_topk" -> "bm25",
     "ret_hybrid_rrf" -> "rrf",
+    "ret_hybrid_ann" -> "rrfa",
     "text_collocations" -> "clc",
     "mixture_unimax" -> "umax",
     "mixture_unimax_select" -> "umaxs",
@@ -82,18 +83,18 @@ object Bench {
     "quality_blocklist" -> "qbl",
     "cluster_kmeans" -> "kmn",
     "scd2_merge" -> "scd2",
-    "text_boilerplate" -> "tx_bp",
-    "text_commonness" -> "tx_cm",
-    "mixture_tokens" -> "mx_tok",
+    "text_boilerplate" -> "txb",
+    "text_commonness" -> "txc",
+    "mixture_tokens" -> "mxt",
     "ml_score_linear" -> "mll",
     "corpus_shuffle" -> "csh",
-    "corpus_datacard" -> "dcard",
-    "emb_centroids" -> "emb_c",
+    "corpus_datacard" -> "dcd",
+    "emb_centroids" -> "emc",
     "sample_stratified" -> "sm_st",
     "dedup_common_span" -> "dd_cs",
-    "pipeline_curate" -> "pipe",
+    "pipeline_curate" -> "pp",
     "split_leakage_free" -> "splf",
-    "text_vocab_topk" -> "tx_vb",
+    "text_vocab_topk" -> "txv",
     "token_budget" -> "tkb",
     "quality_gate" -> "qg")
   private val codePrefix = "^([a-z]\\d+)_.*$".r

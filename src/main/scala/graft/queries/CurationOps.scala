@@ -55,10 +55,14 @@ object CurationOps extends QueryPack {
 
     // ---- hybrid retrieval: BM25 ranks fused (RRF) with a dense ranking
     //      seeded by each query's top-1 lexical hit — pseudo-relevance
-    //      feedback over the aligned embeddings table ----
+    //      feedback over the aligned embeddings table. The dense ranking is
+    //      the cosine of int8-quantized vectors (the kmeansInt8 max-abs
+    //      quantization): dot and norms are exact BIGINTs, and the final
+    //      dot/√(na·nb) is exactly-rounded IEEE arithmetic on exact
+    //      integers — bit-identical on any engine, unlike a rounded float
+    //      cosine whose .00005 boundary cases could flip a rank (r7 ADVICE)
     "ret_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.functions.GraftFunctions.register(s)
       val tb = t(s, dir)
       // the BM25 ranking fans out three ways (seeds, dense ranking, and
       // the fusion union); localCheckpoint computes the corpus-sized
@@ -67,21 +71,52 @@ object CurationOps extends QueryPack {
           Bm25Queries, Bm25K)
         .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
         .localCheckpoint()
+      val q8 = tb.embeddings.select(col("vec_id").as("item_id"),
+        Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("q"))
       val seeds = bm.filter(col("rank") === 1)
-        .join(tb.embeddings.select(col("vec_id").as("item_id"),
-          col("embedding").cast("array<double>").as("qv")), "item_id")
-        .select(col("query_id"), col("qv"))
+        .join(q8.select(col("item_id"), col("q").as("qa")), "item_id")
+        .select(col("query_id"), col("qa"))
       val wD = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("item_id").asc)
-      val dense = tb.embeddings
-        .select(col("vec_id").as("item_id"),
-          col("embedding").cast("array<double>").as("cv"))
+      val dense = q8.select(col("item_id"), col("q").as("qb"))
         .crossJoin(broadcast(seeds))
-        .withColumn("sim", round(
-          graft.functions.GraftFunctions.graftCosine(col("qv"), col("cv")), 4))
+        .withColumn("dot", expr("aggregate(zip_with(qa, qb," +
+          " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("na", expr("aggregate(qa, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("nb", expr("aggregate(qb, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("sim", expr("CASE WHEN na = 0 OR nb = 0 THEN CAST(-2.0 AS DOUBLE)" +
+          " ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END"))
         .withColumn("rank", row_number().over(wD).cast("long"))
         .filter(col("rank") <= Bm25K)
         .select(col("query_id"), col("item_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, dense), Bm25K)
+        .withColumnRenamed("item_id", "doc_id")
+    }),
+
+    // ---- the production hybrid-search shape: BM25 fused with a REAL ANN
+    //      list (IVF-flat over the embeddings, seeded per query by its
+    //      top-1 lexical hit). IVF internals are hash/cell-dependent, so
+    //      this row is rows-only by design — AnnRecallSpec pins its
+    //      agreement with the exact-dense hybrid instead ----
+    "ret_hybrid_ann" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val bm = Retrieval.bm25TopK(tb.documents, "doc_id", "text",
+          Bm25Queries, Bm25K)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+        .localCheckpoint()
+      val emb = tb.embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val seedMap = bm.filter(col("rank") === 1)
+        .select(col("query_id").as("bm_query"), col("item_id"))
+      val seedVecs = emb.join(
+        seedMap.select(col("item_id").as("vec_id")).distinct(), "vec_id")
+      val ann = Similarity.ivfTopK(seedVecs, emb, k = Bm25K,
+        idCol = "vec_id", vecCol = "embedding")
+      val dense = ann.join(seedMap, ann("query_id") === seedMap("item_id"))
+        .select(col("bm_query").as("query_id"),
+          col("neighbor_id").as("item_id"), ann("rank"))
       Retrieval.rrfFuse(Seq(bm, dense), Bm25K)
         .withColumnRenamed("item_id", "doc_id")
     }),
@@ -219,9 +254,28 @@ object CurationOps extends QueryPack {
        |         CAST(rnk AS BIGINT) AS rank FROM bmr),
        |seed AS (SELECT query_id, item_id FROM br WHERE rank = 1),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |dsc AS (SELECT s.query_id, e2.vec_id AS item_id,
-       |          round(list_cosine_similarity(e1.v, e2.v), 4) AS sim
-       |        FROM seed s, e e1, e e2 WHERE e1.vec_id = s.item_id),
+       |qz AS (SELECT vec_id,
+       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+       |           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |           ELSE list_transform(v, x -> CAST(floor(x * 127.0 /
+       |             list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT))
+       |         END AS q
+       |       FROM e),
+       |dq AS (SELECT s.query_id AS query_id, a.q AS qa
+       |       FROM seed s JOIN qz a ON a.vec_id = s.item_id),
+       |dsc0 AS (SELECT d.query_id, b.vec_id AS item_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> d.qa[j] * b.q[j])) AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> d.qa[j] * d.qa[j])) AS BIGINT) AS na,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> b.q[j] * b.q[j])) AS BIGINT) AS nb
+       |  FROM dq d CROSS JOIN qz b),
+       |dsc AS (SELECT query_id, item_id,
+       |    CASE WHEN na = 0 OR nb = 0 THEN CAST(-2.0 AS DOUBLE)
+       |         ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END
+       |      AS sim
+       |  FROM dsc0),
        |dr AS (SELECT query_id, item_id, CAST(rn AS BIGINT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, item_id ASC) AS rn FROM dsc) WHERE rn <= $Bm25K),

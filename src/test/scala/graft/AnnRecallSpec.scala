@@ -58,4 +58,21 @@ class AnnRecallSpec extends SparkSpec {
     info(f"pqTopK recall@10 = $r%.3f")
     assert(r >= 0.75, f"PQ recall degraded: $r%.3f (measured 0.83)")
   }
+
+  test("hybrid ANN fusion agrees with the exact-dense hybrid above floor") {
+    // ret_hybrid_rrf's dense leg scores the FULL corpus with the exact
+    // quantized cosine, so its fused output is the brute-force reference
+    // for ret_hybrid_ann (same BM25 leg, IVF dense leg). Agreement dips
+    // only as far as IVF recall does — pin the end-to-end floor.
+    def fused(name: String): Set[(String, Long)] =
+      graft.queries.CurationOps.queries(name)(spark, sf0001)
+        .select($"query_id", $"doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = fused("ret_hybrid_rrf")
+    val ann = fused("ret_hybrid_ann")
+    assert(exact.nonEmpty)
+    val agree = (exact & ann).size.toDouble / exact.size
+    info(f"hybrid ANN agreement@k = $agree%.3f")
+    assert(agree >= 0.5, f"hybrid ANN fusion diverged: $agree%.3f")
+  }
 }
