@@ -256,6 +256,49 @@ object Pipelines {
       mergeBm25Index)
   }
 
+  /** Continuous blocklist filtering ([[graft.llm.TextOps.blocklistCounts]],
+    * streaming form): per-document phrase-hit counts for each micro-batch,
+    * appended under the idempotent `batch=` layout. The signal is
+    * per-document (no corpus state), so streamed output is IDENTICAL to
+    * the batch operator over the union — no index, no caveats
+    * (StreamingSpec pins the equality).
+    */
+  def blocklistIngest(stream: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    statelessIngest(stream, idCol, textCol, outDir, checkpointDir,
+      d => TextOps.blocklistCounts(d, idCol, textCol, phrases))
+
+  /** Continuous token-entropy scoring ([[graft.llm.TextOps.tokenEntropy]],
+    * streaming form): per-document Shannon-entropy quality signal per
+    * micro-batch, same stateless batch ≡ union guarantee as
+    * [[blocklistIngest]].
+    */
+  def entropyIngest(stream: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    statelessIngest(stream, idCol, textCol, outDir, checkpointDir,
+      d => TextOps.tokenEntropy(d, idCol, textCol))
+
+  /** Shared engine of the STATELESS per-document signal loops: the operator
+    * is independent per document — no corpus index, so each micro-batch
+    * runs the batch operator over itself and appends under the same
+    * idempotent `batch=` partition layout as the indexed loops (a retried
+    * batch overwrites its own output).
+    */
+  private def statelessIngest(stream: DataFrame, idCol: String,
+      textCol: String, outDir: String, checkpointDir: String,
+      op: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        if (!fresh.isEmpty)
+          op(fresh).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   private def mergeBm25Index(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("term").agg(sum(col("df")).as("df"))
 

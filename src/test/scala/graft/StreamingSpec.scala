@@ -618,6 +618,45 @@ class StreamingSpec extends SparkSpec {
     assert(resolved === full)
   }
 
+  test("blocklistIngest/entropyIngest: streamed signals equal the batch operator over the union") {
+    import graft.llm.TextOps
+    val b1 = Seq((1L, "clean words here"), (2L, "a bad phrase and a dup here"))
+    val b2 = Seq((3L, "dup dup bad phrase"), (4L, "x x x x y"))
+    val phrases = Seq("bad phrase", "dup")
+
+    def runLoop(tag: String,
+        start: (org.apache.spark.sql.DataFrame, String, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery): org.apache.spark.sql.DataFrame = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = start(mem.toDF().toDF("doc_id", "text"),
+        s"$base/out", s"$base/ckpt")
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+      spark.read.parquet(s"$base/out").drop("batch")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    // blocklist: per-document, so streamed ≡ batch over the union, exactly
+    val gotB = runLoop("bl", (s, out, ck) =>
+      graft.streaming.Pipelines.blocklistIngest(s, "doc_id", "text",
+        phrases, out, ck))
+    val expB = TextOps.blocklistCounts((b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text", phrases)
+    assert(rows(gotB.select($"doc_id", $"n_blocked", $"n_phrases", $"blocked"))
+      === rows(expB.select($"doc_id", $"n_blocked", $"n_phrases", $"blocked")))
+    assert(gotB.filter($"blocked").count() === 2)
+
+    // entropy: same stateless equality
+    val gotE = runLoop("ent", (s, out, ck) =>
+      graft.streaming.Pipelines.entropyIngest(s, "doc_id", "text", out, ck))
+    val expE = TextOps.tokenEntropy((b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(rows(gotE.select($"doc_id", $"n_tokens", $"n_types", $"entropy_micro"))
+      === rows(expE.select($"doc_id", $"n_tokens", $"n_types", $"entropy_micro")))
+  }
+
   test("bm25Ingest: batch scores equal the batch operator over the union corpus") {
     import graft.llm.Retrieval
     val base = java.nio.file.Files.createTempDirectory("graft_bm25").toString
