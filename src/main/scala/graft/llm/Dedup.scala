@@ -459,15 +459,17 @@ object Dedup {
       numHashes, bands, threshold, maxBucketSize)
     val assignment = survivorAssignment(pairs)
     release()
-    keepBestFromAssignment(df, idCol, score, assignment)
+    applySurvivorsKeepBest(df, idCol, score, assignment)
   }
 
-  /** Shared keep-best application: rank component MEMBERS (assignment is
+  /** Keep-best application over a PRECOMPUTED assignment (the reuse form —
+    * compute pairs/components once, apply min-id and keep-best policies
+    * from the same chain): rank component MEMBERS (assignment is
     * pairs-sized) by (score desc, id asc) within their component and
     * anti-join everything but the winner out of `df`. No corpus-wide sort;
     * the corpus is touched once by the anti-join.
     */
-  private def keepBestFromAssignment(df: DataFrame, idCol: String,
+  def applySurvivorsKeepBest(df: DataFrame, idCol: String,
       score: Column, assignment: DataFrame): DataFrame = {
     val members = df
       .select(col(idCol).cast("long").as("id"), score.as("__kb_score"))
@@ -507,7 +509,7 @@ object Dedup {
       minShared: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     val pairs = winnowNearDupPairs(df, idCol, textCol, k, w, minShared,
       maxBucketSize)
-    keepBestFromAssignment(df, idCol, score, survivorAssignment(pairs))
+    applySurvivorsKeepBest(df, idCol, score, survivorAssignment(pairs))
   }
 
   /** Distinct word n-gram shingles of one doc — THE tokenization shared by
