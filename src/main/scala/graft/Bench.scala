@@ -34,55 +34,57 @@ object Bench {
     * collision-free.
     */
   private val Overrides = Map(
-    "feat_category_index" -> "ftci",
+    "feat_category_index" -> "ftc",
     "sim_neardup_cosine" -> "sind",
     "dedup_ngram_jaccard" -> "ddj",
-    "dedup_span_removal" -> "ddsp",
-    "dedup_against_ref" -> "ddvr",
-    "dedup_vs_ref_near" -> "ddvn",
-    "mm_binary_stats" -> "mmst",
-    "sel_cap_per_source" -> "selc",
-    "dedup_keep_best" -> "ddbt",
+    "dedup_span_removal" -> "dsp",
+    "dedup_against_ref" -> "dvr",
+    "dedup_vs_ref_near" -> "dvn",
+    "mm_binary_stats" -> "mms",
+    "sel_cap_per_source" -> "sel",
+    "dedup_keep_best" -> "ddb",
     "text_fingerprint" -> "txf",
     "feat_standardize" -> "fts",
-    "text_para_dedup" -> "txpa",
+    "text_para_dedup" -> "txp",
     "d2_json_decode" -> "d2d",
     "d2_json_props" -> "d2p",
     "text_token_stats" -> "txt",
     "chunk_sliding" -> "chk",
     "decontaminate" -> "dcn",
     "dedup_components" -> "ddc",
-    "sim_topk_brute" -> "sitk",
+    "sim_topk_brute" -> "stk",
     "text_repetition" -> "txr",
     "emb_quantize" -> "emq",
-    "pack_sequences" -> "pks",
-    "sample_per_group" -> "smg",
+    "pack_sequences" -> "pk",
+    "sample_per_group" -> "sg",
     "text_normalize" -> "txn",
     "mixture_resample" -> "mxd",
-    "mm_features" -> "mmf",
-    "sample_weighted" -> "smw",
+    "mm_features" -> "mf",
+    "sample_weighted" -> "sw",
     "sim_semdedup" -> "sdd",
     "gopher_quality_gate" -> "gph",
     "dsir_weights" -> "dsw",
     "dsir_select" -> "dsk",
-    "sim_hard_negatives" -> "sihn",
+    "sim_hard_negatives" -> "shn",
     "curriculum_order" -> "cur",
     "text_html_clean" -> "txh",
-    "ret_bm25_topk" -> "bm25",
+    "ret_bm25_topk" -> "bm",
     "ret_hybrid_rrf" -> "rrf",
     "ret_hybrid_ann" -> "rrfa",
     "text_collocations" -> "clc",
     "mixture_unimax" -> "umax",
-    "mixture_unimax_select" -> "umaxs",
+    "mixture_unimax_select" -> "umx",
     "bpe_merges" -> "bpe",
     "bpe_encode" -> "bpee",
-    "text_winnow" -> "winn",
+    "text_winnow" -> "win",
+    "text_ppl_buckets" -> "ppl",
+    "text_lm_backoff" -> "lmb",
     "text_entropy" -> "ent",
     "dedup_winnow" -> "ddw",
-    "dedup_winnow_apply" -> "ddwa",
+    "dedup_winnow_apply" -> "dwa",
     "quality_blocklist" -> "qbl",
     "cluster_kmeans" -> "kmn",
-    "scd2_merge" -> "scd2",
+    "scd2_merge" -> "sc2",
     "text_boilerplate" -> "txb",
     "text_commonness" -> "txc",
     "mixture_tokens" -> "mxt",
@@ -90,10 +92,10 @@ object Bench {
     "corpus_shuffle" -> "csh",
     "corpus_datacard" -> "dcd",
     "emb_centroids" -> "emc",
-    "sample_stratified" -> "sm_st",
-    "dedup_common_span" -> "dd_cs",
+    "sample_stratified" -> "sms",
+    "dedup_common_span" -> "dcs",
     "pipeline_curate" -> "pp",
-    "split_leakage_free" -> "splf",
+    "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "txv",
     "token_budget" -> "tkb",
     "quality_gate" -> "qg")

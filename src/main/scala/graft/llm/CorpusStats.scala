@@ -35,6 +35,10 @@ object CorpusStats extends Serializable {
   // PortableMath.microLnStages working columns; CorpusStatsSpec keeps this
   // set in sync with the code by grepping the working-column usages.
   private val Reserved = Set("term", "tf", "df", "tfidf_key", "rank",
+    "tercile", "bucket",
+    "w3", "tg", "c3", "cp", "cb2", "cm", "cw", "ntot", "lp3", "lp2", "lpu",
+    "bw1", "bw2", "cb", "cu",
+    "n_trigrams", "sb_nll_micro", "avg_sb_nll_micro",
     "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
     "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
     "n_tokens", "n_removed", "clean_text", "m", "lpm", "avg_nll_micro",
@@ -183,6 +187,143 @@ object CorpusStats extends Serializable {
       .groupBy(col(idCol))
       .agg(sum(col("m")).as("n_bigrams"), (-sum(col("lpm"))).as("nll_micro"))
       .withColumn("avg_nll_micro", expr("nll_micro div n_bigrams"))
+  }
+
+  /** Fixed-point `floor(ln(0.4)·10⁶)` — the stupid-backoff discount in the
+    * same micro-log space as the staged portable log, computed once on the
+    * JVM and embedded as a literal on BOTH engines (a constant, so
+    * cross-engine exactness is by construction).
+    */
+  val StupidBackoffDiscountMicro: Long =
+    graft.functions.PortableMath.microLnSignedRef(2, 5)
+
+  /** Trigram LM scoring with stupid backoff (Brants et al. 2007) — the
+    * web-scale LM-filtering shape: score FRESH documents against a
+    * REFERENCE corpus LM (two corpora, unlike [[bigramLmScore]]'s
+    * self-trained add-one model), backing off trigram → bigram → unigram
+    * with the 0.4 discount where the reference has no count:
+    *
+    *   S(w3|w1w2) = c3/c(w1w2)                 if the trigram is attested
+    *              = 0.4 · c(w2w3)/c(w2)        else if the bigram is
+    *              = 0.4² · c(w3)/N             else (unseen w3 ⇒ count 1)
+    *
+    * All in fixed-point micro-log space: each level's log-ratio is the
+    * engine-exact staged log, the discount is
+    * [[StupidBackoffDiscountMicro]], and the per-doc sum is an exact
+    * BIGINT — hash-identical on any engine.
+    *
+    * Scale shape: the model is built over the DISTINCT trigram vocabulary
+    * of the scored corpus (not instances) and joined to slim per-doc
+    * (trigram, multiplicity) rows; train-side tables shuffle as
+    * (ngram, count). Docs with < 3 tokens carry no score row.
+    *
+    * Output: (idCol, n_trigrams, sb_nll_micro, avg_sb_nll_micro).
+    */
+  def stupidBackoffScore(train: DataFrame, fresh: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    guard(idCol)
+    import graft.functions.PortableMath
+    val ln04 = StupidBackoffDiscountMicro
+
+    def tk(d: DataFrame) = TextOps.tokens(d(textCol))
+    def trigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = {
+      val t = TextOps.tokens(col(textCol))
+      d.filter(size(t) >= 3).select(cols :+ explode(arrays_zip(
+          slice(t, lit(1), size(t) - 2),
+          slice(t, lit(2), size(t) - 2),
+          slice(t, lit(3), size(t) - 2))).as("tg"): _*)
+        .select(cols ++ Seq(col("tg")("0").as("w1"), col("tg")("1").as("w2"),
+          col("tg")("2").as("w3")): _*)
+    }
+    // reference model: trigram / bigram / unigram counts + total tokens
+    val tri = trigrams(train, Nil).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val tb = tk(train)
+    val big = train.filter(size(tb) >= 2).select(explode(arrays_zip(
+        slice(tb, lit(1), size(tb) - 1),
+        slice(tb, lit(2), size(tb) - 1))).as("bg"))
+      .select(col("bg")("0").as("bw1"), col("bg")("1").as("bw2"))
+      .groupBy("bw1", "bw2").agg(count(lit(1)).as("cb"))
+    val uni = train.select(explode(tk(train)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val ntot = uni.agg(sum(col("cu")).as("ntot"))
+
+    // scored side: per-doc trigram multiplicities; the model evaluates on
+    // the DISTINCT trigram vocabulary only
+    val perDoc = trigrams(fresh, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+    val v3 = perDoc.select("w1", "w2", "w3").distinct()
+    val m0 = v3
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("bw1").as("w1"), col("bw2").as("w2"),
+        col("cb").as("cp")), Seq("w1", "w2"), "left")
+      .join(big.select(col("bw1").as("w2"), col("bw2").as("w3"),
+        col("cb").as("cb2")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cm")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cw")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(ntot))
+    // three staged-log chains, working columns selected away between them
+    def chain(d: DataFrame, a: String, b: String, out: String,
+        keep: Seq[String]): DataFrame =
+      PortableMath.microLnSignedStages(a, b, PortableMath.sparkShiftLeft)
+        .foldLeft(d) { case (acc, (n, s)) => acc.withColumn(n, expr(s)) }
+        .select((keep :+ "lp").map(col): _*)
+        .withColumnRenamed("lp", out)
+    val base = Seq("w1", "w2", "w3", "c3", "cp", "cb2", "cm", "cw", "ntot")
+    val mt = chain(m0, "c3", "cp", "lp3", base)
+    val mb = chain(mt, "cb2", "cm", "lp2",
+      Seq("w1", "w2", "w3", "c3", "cb2", "cw", "ntot", "lp3"))
+    val model = chain(
+      mb, "coalesce(cw, 1)", "ntot", "lpu",
+      Seq("w1", "w2", "w3", "c3", "cb2", "lp3", "lp2"))
+      .withColumn("lp",
+        when(col("c3").isNotNull, col("lp3"))
+          .when(col("cb2").isNotNull, col("lp2") + ln04)
+          .otherwise(col("lpu") + 2 * ln04))
+      .select(col("w1"), col("w2"), col("w3"), col("lp"))
+    perDoc.join(model, Seq("w1", "w2", "w3"))
+      .select(col(idCol), col("m"), (col("m") * col("lp")).as("lpm"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_trigrams"),
+        (-sum(col("lpm"))).as("sb_nll_micro"))
+      .withColumn("avg_sb_nll_micro", expr("sb_nll_micro div n_trigrams"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    * documents are split into head/middle/tail terciles of the LM-score
+    * distribution — the standard way web corpora are stratified by fluency
+    * before sampling (head = most in-domain-fluent third). The score is
+    * [[bigramLmScore]]'s engine-exact fixed-point avg NLL, and the tercile
+    * is `ntile(3)` over the TOTAL order (avg_nll asc, id asc), so bucket
+    * membership is deterministic and hash-comparable across engines —
+    * unlike CCNet's float-perplexity thresholds.
+    *
+    * Docs with < 2 tokens carry no LM score and are absent (same contract
+    * as bigramLmScore). The window partitions by language — never a
+    * global sort; per-language ordering is the corpus-wide stage, one
+    * shuffle on the language key.
+    *
+    * Output: (idCol, langCol, avg_nll_micro, tercile 1..3, bucket
+    * head|middle|tail).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    guard(idCol)
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(df, idCol, textCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_nll_micro").asc, col(idCol).asc)
+    df.select(col(idCol), col(langCol))
+      .join(scored.select(col(idCol), col("avg_nll_micro")), Seq(idCol))
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select(col(idCol), col(langCol), col("avg_nll_micro"),
+        col("tercile"), col("bucket"))
   }
 
   /** Exact repeated-span removal: delete every token covered by a

@@ -555,6 +555,22 @@ object LlmOps extends QueryPack {
           count(lit(1)).as("n_tokens"))
     }),
 
+    // ---- trigram stupid-backoff LM scoring of the corpus against a
+    //      reference LM (even-id docs as the reference corpus) — the
+    //      two-corpus LM-filtering shape; odd docs exercise the backoff
+    //      cascade ----
+    "text_lm_backoff" -> ((s, dir) => {
+      val d = t(s, dir).documents
+      CorpusStats.stupidBackoffScore(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), d, "doc_id", "text")
+    }),
+
+    // ---- CCNet-style head/middle/tail perplexity terciles per language
+    //      (corpus stratification by LM fluency before sampling) ----
+    "text_ppl_buckets" -> ((s, dir) =>
+      CorpusStats.perplexityBuckets(t(s, dir).documents, "doc_id", "text",
+        "lang")),
+
     // ---- corpus vocabulary: token frequencies, deterministic top-100
     //      (tokenizer-training preprocessing). explode → partial-agg'd
     //      groupBy → TakeOrdered: one shuffle of (token, partial count). ----
@@ -730,6 +746,31 @@ object LlmOps extends QueryPack {
     require(last == s"${prefix}fin")
     ctes.mkString(",\n")
   }
+  /** SQL twin of CorpusStats.bigramLmScore over documents: CTE chain
+    * ending in `lmsc` = (doc_id, n_bigrams, nll_micro, avg_nll_micro) —
+    * shared by the text_lm_score oracle and the perplexity-bucket oracle.
+    */
+  private def lmScoreCtes: String =
+    s"""toksq AS (
+       |  SELECT doc_id, $DuckToks AS tk FROM documents),
+       |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+       |       FROM toksq, unnest(range(1, len(tk))) AS u(i)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1
+       |       FROM (SELECT unnest(tk) AS w1 FROM toksq) GROUP BY 1),
+       |v AS (SELECT count(*) AS vocab FROM c1),
+       |model0 AS (
+       |  SELECT w1, w2, c2, c1, vocab
+       |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+       |${duckMicroLnCtes("model0", "c2 + 1", "c1 + vocab")},
+       |lpj AS (
+       |  SELECT doc_id, lp FROM bg JOIN lnfin USING (w1, w2)),
+       |lmsc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(-sum(lp) AS BIGINT) AS nll_micro,
+       |    CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
+       |  FROM lpj GROUP BY doc_id)""".stripMargin
+
   /** SQL twin of graft.llm.Dsir over documents with lang='en' as target:
     * CTE chain ending in `dweights` = (doc_id, n_feats, weight_micro).
     * Applies the portable log twice (distinct CTE prefixes; chain-1
@@ -1067,24 +1108,73 @@ object LlmOps extends QueryPack {
          |FROM r WHERE rank <= 5""".stripMargin,
 
     "text_lm_score" ->
-      s"""WITH toksq AS (
-         |  SELECT doc_id, $DuckToks AS tk FROM documents),
-         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
-         |       FROM toksq, unnest(range(1, len(tk))) AS u(i)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1
-         |       FROM (SELECT unnest(tk) AS w1 FROM toksq) GROUP BY 1),
-         |v AS (SELECT count(*) AS vocab FROM c1),
-         |model0 AS (
-         |  SELECT w1, w2, c2, c1, vocab
-         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
-         |${duckMicroLnCtes("model0", "c2 + 1", "c1 + vocab")},
-         |lpj AS (
-         |  SELECT doc_id, lp FROM bg JOIN lnfin USING (w1, w2))
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(-sum(lp) AS BIGINT) AS nll_micro,
-         |  CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_micro
-         |FROM lpj GROUP BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, n_bigrams, nll_micro, avg_nll_micro
+         |FROM lmsc""".stripMargin,
+
+    "text_lm_backoff" -> {
+      import graft.functions.PortableMath
+      val ln04 = CorpusStats.StupidBackoffDiscountMicro
+      def chainSql(a: String, b: String, from: String, prefix: String) =
+        PortableMath.duckCteChain(PortableMath.microLnSignedStages(
+          a, b, PortableMath.duckShiftLeft), from, prefix)
+      s"""WITH ttk AS (
+         |  SELECT doc_id, $DuckToks AS tk FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |tri AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         |    CAST(count(*) AS BIGINT) AS c3
+         |  FROM ttk, unnest(range(1, len(tk) - 1)) AS u(i) GROUP BY 1, 2, 3),
+         |big AS (SELECT tk[i] AS bw1, tk[i + 1] AS bw2,
+         |    CAST(count(*) AS BIGINT) AS cb
+         |  FROM ttk, unnest(range(1, len(tk))) AS u(i) GROUP BY 1, 2),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(tk) AS w FROM ttk) GROUP BY 1),
+         |ntt AS (SELECT CAST(sum(cu) AS BIGINT) AS ntot FROM uni),
+         |ftk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |pd AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+         |    tk[i + 2] AS w3, CAST(count(*) AS BIGINT) AS m
+         |  FROM ftk, unnest(range(1, len(tk) - 1)) AS u(i)
+         |  GROUP BY 1, 2, 3, 4),
+         |v3 AS (SELECT DISTINCT w1, w2, w3 FROM pd),
+         |m0 AS (SELECT v3.w1, v3.w2, v3.w3, t.c3 AS c3, p.cb AS cp,
+         |    b.cb AS cb2, um.cu AS cm, uw.cu AS cw, ntot
+         |  FROM v3 LEFT JOIN tri t USING (w1, w2, w3)
+         |  LEFT JOIN big p ON p.bw1 = v3.w1 AND p.bw2 = v3.w2
+         |  LEFT JOIN big b ON b.bw1 = v3.w2 AND b.bw2 = v3.w3
+         |  LEFT JOIN uni um ON um.w = v3.w2
+         |  LEFT JOIN uni uw ON uw.w = v3.w3
+         |  CROSS JOIN ntt),
+         |${chainSql("c3", "cp", "m0", "t")},
+         |mt AS (SELECT w1, w2, w3, c3, cb2, cm, cw, ntot, lp AS lp3
+         |  FROM tfin),
+         |${chainSql("cb2", "cm", "mt", "b")},
+         |mb AS (SELECT w1, w2, w3, c3, cb2, cw, ntot, lp3, lp AS lp2
+         |  FROM bfin),
+         |${chainSql("coalesce(cw, 1)", "ntot", "mb", "u")},
+         |mu AS (SELECT w1, w2, w3,
+         |    CASE WHEN c3 IS NOT NULL THEN lp3
+         |         WHEN cb2 IS NOT NULL THEN lp2 + ($ln04)
+         |         ELSE lp + 2 * ($ln04) END AS lp
+         |  FROM ufin),
+         |sc AS (SELECT pd.doc_id AS doc_id, pd.m AS m, mu.lp AS lp
+         |  FROM pd JOIN mu USING (w1, w2, w3))
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+         |  CAST(-sum(m * lp) AS BIGINT) AS sb_nll_micro,
+         |  CAST((-sum(m * lp)) // sum(m) AS BIGINT) AS avg_sb_nll_micro
+         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
+    "text_ppl_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |nt AS (
+         |  SELECT s.doc_id AS doc_id, d.lang AS lang, s.avg_nll_micro,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY s.avg_nll_micro ASC, s.doc_id ASC) AS tc
+         |  FROM lmsc s JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, avg_nll_micro, CAST(tc AS BIGINT) AS tercile,
+         |  CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM nt""".stripMargin,
 
     "text_commonness" ->
       s"""WITH tok AS (

@@ -163,6 +163,55 @@ class CorpusStatsSpec extends SparkSpec {
     assert(keep === 0L)
   }
 
+  test("stupidBackoffScore: every backoff level matches the hand-computed cascade") {
+    import graft.functions.PortableMath
+    val ln04 = CorpusStats.StupidBackoffDiscountMicro
+    assert(ln04 === PortableMath.microLnSignedRef(2, 5))
+    val train = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    // trigram counts: (a,b,c)=1, (b,c,d)=1; bigrams ab/bc/cd=1; N=4
+    val fresh = Seq(
+      (1L, "a b c"), // attested trigram: lp = L(1, c(ab)=1) = 0
+      (2L, "x b c"), // bigram backoff: lp = ln04 + L(c(bc)=1, c(b)=1) = ln04
+      (3L, "x y c"), // unigram backoff: lp = 2·ln04 + L(c(c)=1, N=4)
+      (4L, "x y z"), // unseen unigram: count clamps to 1 → same as doc 3
+      (5L, "a b")    // < 3 tokens → no row
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.stupidBackoffScore(train, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val l14 = PortableMath.microLnSignedRef(1, 4)
+    val expect = Seq(
+      (1L, 1L, 0L),
+      (2L, 1L, -ln04),
+      (3L, 1L, -(2 * ln04 + l14)),
+      (4L, 1L, -(2 * ln04 + l14)))
+    assert(got.toSeq === expect)
+  }
+
+  test("perplexityBuckets: per-language terciles follow the (nll, id) total order") {
+    // one language, 5 scorable docs → ntile(3) sizes 2/2/1; repetition of a
+    // corpus-common bigram lowers a doc's avg NLL (more predictable)
+    val docs = Seq(
+      (1L, "en", "p q p q p q p q"), // most predictable → head
+      (2L, "en", "p q p q r s"),
+      (3L, "en", "p q r s t u"),
+      (4L, "en", "r s t u v w"),
+      (5L, "en", "t u v w x y"),
+      (6L, "en", "solo") // 1 token → absent
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.length === 5)
+    // bucket sizes 2/2/1 and bucket follows the avg_nll ordering
+    val byBucket = got.groupBy(_._5).view.mapValues(_.map(_._1).toSet).toMap
+    val sorted = got.sortBy(v => (v._3, v._1)).map(_._1)
+    assert(byBucket("head") === sorted.take(2).toSet)
+    assert(byBucket("middle") === sorted.slice(2, 4).toSet)
+    assert(byBucket("tail") === sorted.drop(4).toSet)
+    assert(got.forall(v => (v._4 >= 1L && v._4 <= 3L)))
+  }
+
   test("Reserved guard covers every working column the file actually uses") {
     // keep the Reserved set honest by grepping the source for .as("...") /
     // AS-column usages — a new working column that skips the guard would
