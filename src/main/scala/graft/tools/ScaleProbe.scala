@@ -63,6 +63,25 @@ object ScaleProbe {
     dir
   }
 
+  /** Deterministic synthetic merge table over the probe corpus's character
+    * alphabet ('w' + digits): breadth-first concatenation rounds until `n`
+    * entries exist — the depth shape of a real mined table (every merge's
+    * symbols exist before it), at production size.
+    */
+  def syntheticMerges(n: Int): Seq[(String, String)] = {
+    val alphabet = ("w" +: (0 to 9).map(_.toString)).toVector
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var frontier = alphabet
+    while (out.size < n) {
+      val next = Vector.newBuilder[String]
+      for (l <- frontier; r <- alphabet if out.size < n) {
+        out += ((l, r)); next += (l + r)
+      }
+      frontier = next.result()
+    }
+    out.toSeq
+  }
+
   private def time(label: String, n: Long)(f: => Long): (String, Double) = {
     val t0 = System.nanoTime()
     val rows = f
@@ -158,6 +177,16 @@ object ScaleProbe {
           // corpus-scaled stage is the one scan, so the ratio should
           // approach the scan ratio as n grows
           graft.llm.Tokenizer.bpeMerges(docs, "text", 4).count()
+        },
+        time("bpe_enc_kernel", n) {
+          // production merge-table depth: 4096 synthetic merges through
+          // the mapPartitions kernel — the chained-replace fold cannot
+          // even ANALYZE a plan this deep. Cost is O(|merges|) hash
+          // probes per DISTINCT word, so the ratio should track the
+          // vocab (sublinear in n once the 20k-word vocab saturates)
+          graft.llm.Tokenizer.applyMergesTokenCountsKernel(docs, "doc_id",
+              "text", syntheticMerges(4096))
+            .agg(sum("n_bpe_tokens")).collect().length.toLong
         }).toMap
     }
 

@@ -296,6 +296,37 @@ class CurationSpec extends SparkSpec {
     assert(k2.map(_.getLong(2)).toSeq === Seq(2L))
   }
 
+  test("kernel encoder handles a 2048-merge table, matching an independent sequential reference") {
+    // depth the chained-replace fold cannot plan; the reference below is a
+    // deliberately naive pass-per-merge loop (no adjacency skip), so the
+    // kernel's optimization is checked against independent logic
+    val merges = graft.tools.ScaleProbe.syntheticMerges(2048)
+    def refEncode(word: String): Long = {
+      var syms = word.map(_.toString).toVector
+      for ((l, r) <- merges if syms.length > 1) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val words = Seq("w1", "w123", "w4242", "w999w999", "w0w1w2w3w4",
+      "1234567890", "ww", "w")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Tokenizer.applyMergesTokenCountsKernel(docs, "doc_id", "text",
+        merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) === refEncode(w), s"word '$w' diverged")
+    }
+  }
+
   test("bpeMerges stops early when the vocabulary runs out of pairs") {
     val df = Seq("ab", "cd").toDF("text")
     val got = Tokenizer.bpeMerges(df, "text", 10).collect()
