@@ -21,7 +21,7 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `cap_per_group`,
   * `token_budget`, `mixture`, `normalize`,
   * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `para_dedup`,
-  * `para_clean_indexed`, `lm_score`,
+  * `para_clean_indexed`, `lm_score`, `lm_backoff`, `ppl_buckets`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
   * `score_linear`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
@@ -403,6 +403,30 @@ object PipelineConfig {
               else acc
             }
           cleanedP.join(restP, Seq(idc))
+        // trigram stupid-backoff LM score appended as columns
+        // (n_trigrams, sb_nll_micro, avg_sb_nll_micro): cols = [idCol,
+        // textCol]; name = reference-corpus parquet path (same columns) —
+        // omitted, the frame scores against itself. Docs with < 3 tokens
+        // get NULL scores.
+        case "lm_backoff" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("lm_backoff needs cols = [idCol, textCol]")
+          }
+          val ref = t.name.map(p => d.sparkSession.read.parquet(p))
+            .getOrElse(d)
+          d.join(graft.llm.CorpusStats.stupidBackoffScore(ref, d, idc, c),
+            Seq(idc), "left")
+        // CCNet head/middle/tail perplexity terciles appended as columns
+        // (avg_nll_micro, tercile, bucket): cols = [idCol, textCol,
+        // langCol]; docs with < 2 tokens get NULLs
+        case "ppl_buckets" =>
+          val Seq(idc, c, lg) = t.cols match {
+            case s if s.length == 3 => s
+            case _ => sys.error("ppl_buckets needs cols = [idCol, textCol, langCol]")
+          }
+          d.join(graft.llm.CorpusStats.perplexityBuckets(d, idc, c, lg)
+            .drop(lg), Seq(idc), "left")
         // corpus-fitted bigram LM score appended as columns:
         // cols = [idCol, textCol]; docs with < 2 tokens get NULL scores
         case "lm_score" =>

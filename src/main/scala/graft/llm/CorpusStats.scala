@@ -37,7 +37,7 @@ object CorpusStats extends Serializable {
   private val Reserved = Set("term", "tf", "df", "tfidf_key", "rank",
     "tercile", "bucket",
     "w3", "tg", "c3", "cp", "cb2", "cm", "cw", "ntot", "lp3", "lp2", "lpu",
-    "bw1", "bw2", "cb", "cu",
+    "ng", "cnt", "k3", "kp", "kb", "km", "kw",
     "n_trigrams", "sb_nll_micro", "avg_sb_nll_micro",
     "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
     "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
@@ -220,12 +220,52 @@ object CorpusStats extends Serializable {
     * Output: (idCol, n_trigrams, sb_nll_micro, avg_sb_nll_micro).
     */
   def stupidBackoffScore(train: DataFrame, fresh: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    stupidBackoffScoreAgainstIndex(fresh, idCol, textCol,
+      ngramIndex(train, textCol))
+
+  /** Additive n-gram count index for [[stupidBackoffScoreAgainstIndex]]:
+    * one (ng, cnt) row per distinct reference n-gram, level-prefixed —
+    * `"3:w1 w2 w3"`, `"2:w1 w2"`, `"1:w"`. Tokens are whitespace-split so
+    * the keys are collision-free, and the token total N is Σ cnt over
+    * `1:` rows — no sentinel needed. Indexes over DISJOINT corpora merge
+    * by summing per key ([[mergeNgramIndex]]): the state a streaming
+    * LM-scoring loop persists between batches.
+    */
+  def ngramIndex(df: DataFrame, textCol: String): DataFrame = {
+    val t = TextOps.tokens(col(textCol))
+    val tri = df.filter(size(t) >= 3).select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 2),
+        slice(t, lit(2), size(t) - 2),
+        slice(t, lit(3), size(t) - 2))).as("tg"))
+      .select(concat(lit("3:"), col("tg")("0"), lit(" "), col("tg")("1"),
+        lit(" "), col("tg")("2")).as("ng"))
+    val big = df.filter(size(t) >= 2).select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1))).as("bg"))
+      .select(concat(lit("2:"), col("bg")("0"), lit(" "),
+        col("bg")("1")).as("ng"))
+    val uni = df.select(explode(t).as("w"))
+      .select(concat(lit("1:"), col("w")).as("ng"))
+    tri.unionByName(big).unionByName(uni)
+      .groupBy("ng").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two [[ngramIndex]] frames over disjoint corpora (counts add). */
+  def mergeNgramIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("ng").agg(sum(col("cnt")).as("cnt"))
+
+  /** The streaming-scoring form of [[stupidBackoffScore]]: reference
+    * counts come from an [[ngramIndex]] frame (possibly accumulated over
+    * many batches) instead of a corpus scan. Identical output values for
+    * an index built over the same reference corpus.
+    */
+  def stupidBackoffScoreAgainstIndex(fresh: DataFrame, idCol: String,
+      textCol: String, index: DataFrame): DataFrame = {
     guard(idCol)
     import graft.functions.PortableMath
     val ln04 = StupidBackoffDiscountMicro
 
-    def tk(d: DataFrame) = TextOps.tokens(d(textCol))
     def trigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = {
       val t = TextOps.tokens(col(textCol))
       d.filter(size(t) >= 3).select(cols :+ explode(arrays_zip(
@@ -235,35 +275,30 @@ object CorpusStats extends Serializable {
         .select(cols ++ Seq(col("tg")("0").as("w1"), col("tg")("1").as("w2"),
           col("tg")("2").as("w3")): _*)
     }
-    // reference model: trigram / bigram / unigram counts + total tokens
-    val tri = trigrams(train, Nil).groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c3"))
-    val tb = tk(train)
-    val big = train.filter(size(tb) >= 2).select(explode(arrays_zip(
-        slice(tb, lit(1), size(tb) - 1),
-        slice(tb, lit(2), size(tb) - 1))).as("bg"))
-      .select(col("bg")("0").as("bw1"), col("bg")("1").as("bw2"))
-      .groupBy("bw1", "bw2").agg(count(lit(1)).as("cb"))
-    val uni = train.select(explode(tk(train)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
-    val ntot = uni.agg(sum(col("cu")).as("ntot"))
+    val ntot = index.filter(col("ng").startsWith("1:"))
+      .agg(sum(col("cnt")).as("ntot"))
 
     // scored side: per-doc trigram multiplicities; the model evaluates on
-    // the DISTINCT trigram vocabulary only
+    // the DISTINCT trigram vocabulary only, joined to the index by
+    // level-prefixed keys
     val perDoc = trigrams(fresh, Seq(col(idCol)))
       .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("m"))
     val v3 = perDoc.select("w1", "w2", "w3").distinct()
+    def cntAs(k: String, as: String) =
+      index.select(col("ng").as(k), col("cnt").as(as))
     val m0 = v3
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(big.select(col("bw1").as("w1"), col("bw2").as("w2"),
-        col("cb").as("cp")), Seq("w1", "w2"), "left")
-      .join(big.select(col("bw1").as("w2"), col("bw2").as("w3"),
-        col("cb").as("cb2")), Seq("w2", "w3"), "left")
-      .join(uni.select(col("w").as("w2"), col("cu").as("cm")),
-        Seq("w2"), "left")
-      .join(uni.select(col("w").as("w3"), col("cu").as("cw")),
-        Seq("w3"), "left")
+      .withColumn("k3", concat(lit("3:"), col("w1"), lit(" "), col("w2"),
+        lit(" "), col("w3")))
+      .withColumn("kp", concat(lit("2:"), col("w1"), lit(" "), col("w2")))
+      .withColumn("kb", concat(lit("2:"), col("w2"), lit(" "), col("w3")))
+      .withColumn("km", concat(lit("1:"), col("w2")))
+      .withColumn("kw", concat(lit("1:"), col("w3")))
+      .join(cntAs("k3", "c3"), Seq("k3"), "left")
+      .join(cntAs("kp", "cp"), Seq("kp"), "left")
+      .join(cntAs("kb", "cb2"), Seq("kb"), "left")
+      .join(cntAs("km", "cm"), Seq("km"), "left")
+      .join(cntAs("kw", "cw"), Seq("kw"), "left")
       .crossJoin(broadcast(ntot))
     // three staged-log chains, working columns selected away between them
     def chain(d: DataFrame, a: String, b: String, out: String,

@@ -256,6 +256,43 @@ object Pipelines {
       mergeBm25Index)
   }
 
+  /** Continuous trigram LM scoring with stupid backoff
+    * ([[graft.llm.CorpusStats.stupidBackoffScore]], streaming form): each
+    * batch's documents are scored against the ACCUMULATED reference
+    * n-gram counts — one additive level-prefixed (ng, cnt) index
+    * ([[graft.llm.CorpusStats.ngramIndex]]) persisted over the shared
+    * base/delta engine, merged with the batch's own counts before
+    * scoring, so a fresh batch scores exactly as the batch operator would
+    * with the union corpus as reference (StreamingSpec proves the
+    * equality). Same caveat as every ingest loop: already-scored batches
+    * are immutable — counts accumulating later affect later batches only.
+    */
+  def lmScoreIngest(stream: DataFrame, idCol: String, textCol: String,
+      scoresDir: String, indexDir: String, checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.CorpusStats
+    indexedIngest(stream, idCol, textCol, scoresDir, indexDir,
+      checkpointDir, compactEvery, "ng", "cnt",
+      (idx, fresh) => {
+        val freshIdx = CorpusStats.ngramIndex(fresh, textCol)
+          .localCheckpoint()
+        val merged = CorpusStats.mergeNgramIndex(idx, freshIdx)
+        (CorpusStats.stupidBackoffScoreAgainstIndex(fresh, idCol, textCol,
+          merged), freshIdx)
+      },
+      CorpusStats.mergeNgramIndex)
+  }
+
+  /** The accumulated reference n-gram index at `indexDir` (written by
+    * [[lmScoreIngest]]): level-prefixed (ng, cnt) rows. Empty frame if
+    * the index is empty.
+    */
+  def readNgramIndex(spark: SparkSession, indexDir: String): DataFrame =
+    indexState(spark, indexDir, None, "ng", "cnt")._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("ng", "cnt")
+    }
+
   /** Continuous blocklist filtering ([[graft.llm.TextOps.blocklistCounts]],
     * streaming form): per-document phrase-hit counts for each micro-batch,
     * appended under the idempotent `batch=` layout. The signal is

@@ -162,6 +162,27 @@ class ConfigSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("declared lm_backoff and ppl_buckets append LM columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "p q p q p q p q"),
+      (2L, "en", "p q r s t u"),
+      (3L, "en", "r s t u v w"),
+      (4L, "en", "xx")).toDF("doc_id", "lang", "text")
+    val out = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "lm_backoff",
+        cols = Seq("doc_id", "text")),
+      PipelineConfig.TransformConf(op = "ppl_buckets",
+        cols = Seq("doc_id", "text", "lang"))))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (Option(r.getAs[java.lang.Long]("sb_nll_micro")),
+        Option(r.getAs[String]("bucket")))).toMap
+    // scorable docs carry both signals; the 1-token doc carries neither
+    assert(rows(1L)._1.isDefined && rows(1L)._2.isDefined)
+    assert(rows(4L)._1.isEmpty && rows(4L)._2.isEmpty)
+    assert(out.count() === 4) // left joins never multiply or drop rows
+  }
+
   test("declared standardize → score_linear chain (feature-to-score config)") {
     val out = java.nio.file.Files.createTempDirectory("graft_cfg_ml").toString + "/j"
     val lines = Seq(

@@ -657,6 +657,38 @@ class StreamingSpec extends SparkSpec {
       === rows(expE.select($"doc_id", $"n_tokens", $"n_types", $"entropy_micro")))
   }
 
+  test("lmScoreIngest: batch scores equal the batch operator with the union as reference") {
+    import graft.llm.CorpusStats
+    val base = java.nio.file.Files.createTempDirectory("graft_lmsb").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.lmScoreIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/scores", s"$base/index", s"$base/ckpt", compactEvery = 2)
+    val b1 = Seq((1L, "a b c d"), (2L, "a b c"))
+    val b2 = Seq((3L, "x b c d"), (4L, "x y z a b c"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def sset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_trigrams", $"sb_nll_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = spark.read.parquet(s"$base/scores")
+    def score(docs: Seq[(Long, String)], ref: Seq[(Long, String)]) =
+      CorpusStats.stupidBackoffScore(ref.toDF("doc_id", "text"),
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+    // batch 1: scored against its own counts only
+    assert(sset(out.filter($"batch" === 0)) === sset(score(b1, b1)))
+    // batch 2: scored against the ACCUMULATED index (b1 ∪ b2)
+    assert(sset(out.filter($"batch" === 1)) === sset(score(b2, b1 ++ b2)))
+    // resolved index equals the batch index over the union
+    val resolved = graft.streaming.Pipelines
+      .readNgramIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = CorpusStats.ngramIndex((b1 ++ b2).toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === full)
+    assert(full("1:b") === 4L && full("2:b c") === 4L && full("3:a b c") === 3L)
+  }
+
   test("bm25Ingest: batch scores equal the batch operator over the union corpus") {
     import graft.llm.Retrieval
     val base = java.nio.file.Files.createTempDirectory("graft_bm25").toString
