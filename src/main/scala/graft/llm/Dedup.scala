@@ -1122,6 +1122,63 @@ object Dedup {
     *
     * Output: (id_a, id_b, n_shared), id_a < id_b, n_shared ≥ minShared.
     */
+  /** The persistable winnow index of a corpus: DISTINCT (id, fingerprint)
+    * rows — unlike the MinHash band index, this IS the full similarity
+    * state, so incremental passes never re-read corpus text at all.
+    * Parameters must match the later incremental pass.
+    */
+  def winnowFingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("id"), col("fingerprint"))
+      .distinct()
+
+  /** Incremental winnow near-dup pairs: the pairs a `fresh` batch
+    * introduces against an existing corpus represented ONLY by its
+    * persisted [[winnowFingerprintIndex]] — fresh×fresh and
+    * fresh×existing, never existing×existing — value-identical to running
+    * [[winnowNearDupPairs]] over the union and keeping pairs that touch a
+    * fresh id. The index is pruned to fingerprints the batch actually
+    * touches before pairing, and shared counts come straight from index
+    * rows (no text re-shingle — the winnow advantage over the MinHash
+    * incremental form). Ids must be disjoint between the index and the
+    * batch. Returns ((id_a, id_b, n_shared), fresh index rows).
+    */
+  def winnowNearDupsIncremental(existingIndex: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, w: Int = 4,
+      minShared: Int = 2, maxBucketSize: Int = 10000)
+      : (DataFrame, DataFrame) = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val freshFp = winnowFingerprintIndex(fresh, idCol, textCol, k, w)
+      .localCheckpoint()
+    val oldIdx = existingIndex
+      .select(col("id").cast("long").as("id"), col("fingerprint"))
+    val touched = freshFp.select(col("fingerprint")).distinct()
+    val oldInTouched = oldIdx.join(touched, Seq("fingerprint"))
+    val cands = pairsWithinBuckets(freshFp.unionByName(oldInTouched),
+      Seq("fingerprint"), "id", maxBucketSize)
+    val freshIds = freshFp.select(col("id")).distinct()
+    val pairsTouching = cands
+      .join(freshIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .unionByName(cands
+        .join(freshIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+        .join(freshIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b")))
+    val candIds = pairsTouching.select(col("id_a").as("cid"))
+      .unionByName(pairsTouching.select(col("id_b").as("cid"))).distinct()
+    val sets = freshFp.unionByName(
+      oldIdx.join(candIds, col("id") === col("cid"), "left_semi"))
+    val pairs = pairsTouching
+      .join(sets.select(col("id").as("id_a"), col("fingerprint")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("fingerprint")),
+        Seq("id_b", "fingerprint"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint()
+    (pairs, freshFp)
+  }
+
   def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxBucketSize: Int = 10000): DataFrame = {

@@ -160,17 +160,17 @@ object CurationOps extends QueryPack {
       TextOps.tokenEntropy(t(s, dir).documents, "doc_id", "text")),
 
     // ---- winnowing-based near-dup pairs over the planted-dup corpus
-    //      (same 80%-truncation planting as the minhash/jaccard family) ----
-    "dedup_winnow" -> ((s, dir) =>
-      Dedup.winnowNearDupPairs(plantedWinnowCorpus(s, dir), "doc_id", "text",
-        k = WinnowK, w = WinnowW, minShared = 2)),
+    //      (same 80%-truncation planting as the minhash/jaccard family);
+    //      pairs are memoized per (session, dir) — the applied query
+    //      reuses them, like LlmOps' MinHash chain ----
+    "dedup_winnow" -> ((s, dir) => winnowPairsShared(s, dir)),
 
     // ---- the winnow pipeline APPLIED: pairs → connected components →
     //      min-id survivors anti-joined out — the guaranteed-recall
     //      end-to-end dedup (vs dedup_apply's probabilistic MinHash) ----
     "dedup_winnow_apply" -> ((s, dir) =>
-      Dedup.dropWinnowDuplicates(plantedWinnowCorpus(s, dir), "doc_id",
-        "text", k = WinnowK, w = WinnowW, minShared = 2)
+      Dedup.applySurvivors(plantedWinnowCorpus(s, dir), "doc_id",
+        Dedup.survivorAssignment(winnowPairsShared(s, dir)))
         .select(col("doc_id"))),
 
     // ---- exact blocklist phrase counts (safety/policy filtering) ----
@@ -180,6 +180,20 @@ object CurationOps extends QueryPack {
 
   private val WinnowK = 5
   private val WinnowW = 4
+
+  /** Winnow pairs over the planted corpus, memoized per (session, sf dir)
+    * and localCheckpoint'd — the corpus-sized fingerprint pass runs once
+    * for the pairs query and the applied query (deterministic, so both
+    * hashes equal standalone recomputation).
+    */
+  private val winnowPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def winnowPairsShared(s: SparkSession, dir: String): DataFrame =
+    winnowPairsCache.computeIfAbsent((s, dir), { key =>
+      Dedup.winnowNearDupPairs(plantedWinnowCorpus(key._1, key._2),
+          "doc_id", "text", k = WinnowK, w = WinnowW, minShared = 2)
+        .localCheckpoint()
+    })
 
   /** The planted-dup corpus the winnow family runs on: every doc plus an
     * 80%-truncated copy at doc_id + 100000 (same planting as the

@@ -124,6 +124,63 @@ object Pipelines {
       .start()
   }
 
+  /** Continuous GUARANTEED-RECALL near-dup-deduplicated ingestion: the
+    * winnow counterpart of [[nearDupIngest]] — each batch is deduplicated
+    * against everything already accepted via the persisted winnow
+    * fingerprint index ([[graft.llm.Dedup.winnowFingerprintIndex]] rows at
+    * `indexDir`) and against itself, survivors appended to `corpusDir`
+    * and their fingerprints merged into the index. Any batch doc sharing
+    * a run of ≥ w+k−1 tokens with an accepted doc is dropped with
+    * CERTAINTY (the winnowing local-match guarantee), where MinHash drops
+    * with high probability; the tradeoff is an index of ~2/(w+1)
+    * fingerprints per shingle instead of `bands` longs per doc. Existing
+    * text is NEVER re-read — the index is the full similarity state.
+    * Same idempotent per-batch-partition layout and id-monotonicity
+    * contract as [[nearDupIngest]].
+    */
+  def winnowIngest(stream: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        if (!fresh.isEmpty) {
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val haveIndex = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxPath)
+          val index =
+            if (haveIndex)
+              spark.read.parquet(indexDir)
+                .where(col("batch") =!= batchId) // retry sees PRIOR state
+                .select(col("id"), col("fingerprint"))
+            else {
+              import spark.implicits._
+              Seq.empty[(Long, Long)].toDF("id", "fingerprint")
+            }
+          val (pairs, freshFp) = Dedup.winnowNearDupsIncremental(
+            index, fresh, idCol, textCol, k, w, minShared)
+          val losers = Dedup.survivorAssignment(pairs)
+            .where(col("id") =!= col("survivor_id"))
+            .select(col("id"))
+          val kept = fresh.join(losers,
+            fresh(idCol).cast("long") === losers("id"), "left_anti")
+            .localCheckpoint()
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch=$batchId")
+          freshFp.join(kept.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Continuous boilerplate removal: each micro-batch of documents cleans
     * itself against the corpus-wide span frequencies — its own spans plus
     * the persisted span-df index — and appends both its cleaned rows and

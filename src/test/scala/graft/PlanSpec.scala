@@ -229,4 +229,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("text_lm_backoff: index lookups hash-join; the 1-row total is the only BNLJ") {
+    val p = plan("text_lm_backoff")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // five level-key lookups against the n-gram index must be hash joins
+    // (model-sized frames, never nested loops over the vocab)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
+  }
+
+  test("text_ppl_buckets: tercile window partitions by language, never globally") {
+    val p = plan("text_ppl_buckets")
+    // the ntile window spec itself must carry the language partition key
+    // (the only SinglePartition allowed elsewhere is the 1-row vocab count)
+    assert(p.contains("windowspecdefinition(lang"),
+      s"per-language ntile degraded to a global window:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("ret_hybrid_rrf: seeds broadcast against the corpus; fusion has no cartesian") {
+    val p = plan("ret_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the |queries|-row quantized seed side must broadcast into the dense
+    // scoring cross join — the corpus side streams
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }

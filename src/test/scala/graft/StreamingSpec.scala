@@ -129,6 +129,58 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds.toSeq === Seq(1L, 2L, 8L))
   }
 
+  test("winnowIngest drops guaranteed-recall near-dups across and within batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wni").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.winnowIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/corpus", s"$base/index", s"$base/ckpt")
+    val docA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val docB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val docATrunc = (1 to 32).map(i => s"alpha$i").mkString(" ")
+    val docD = (1 to 40).map(i => s"delta$i").mkString(" ")
+    // batch 1: A, B, and a within-batch truncation of A (id 5) → 5 dropped
+    mem.addData((1L, docA), (2L, docB), (5L, docATrunc))
+    q.processAllAvailable()
+    // batch 2: a cross-batch truncation of A (id 7; 32 shared tokens ≫
+    // w+k−1 = 8, so the drop is guaranteed, not probabilistic) + fresh 8
+    mem.addData((7L, docATrunc), (8L, docD))
+    q.processAllAvailable(); q.stop()
+    val accepted = spark.read.parquet(s"$base/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(accepted.toSeq === Seq(1L, 2L, 8L))
+    // the index holds fingerprints for exactly the accepted docs
+    val idxIds = spark.read.parquet(s"$base/index")
+      .select($"id").distinct().collect().map(_.getLong(0)).sorted
+    assert(idxIds.toSeq === Seq(1L, 2L, 8L))
+  }
+
+  test("winnowNearDupsIncremental equals the batch recompute's fresh-touching pairs") {
+    import graft.llm.Dedup
+    val mk = (tag: String, n: Int) => (1 to n).map(i => s"$tag$i").mkString(" ")
+    val existing = Seq((1L, mk("a", 30)), (2L, mk("b", 30))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, mk("a", 24)),  // near-dup of existing 1
+      (11L, mk("c", 30)),  // novel
+      (12L, mk("c", 24))   // within-batch near-dup of 11
+    ).toDF("doc_id", "text")
+    val index = Dedup.winnowFingerprintIndex(existing, "doc_id", "text")
+    val (pairs, freshFp) = Dedup.winnowNearDupsIncremental(
+      index, fresh, "doc_id", "text")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.winnowNearDupPairs(
+        existing.unionByName(fresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 >= 10L || p._2 >= 10L).toSet
+    assert(got === full)
+    assert(got.exists(p => p._1 === 1L && p._2 === 10L))
+    assert(got.exists(p => p._1 === 11L && p._2 === 12L))
+    // fresh index rows cover exactly the fresh ids
+    assert(freshFp.select($"id").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(10L, 11L, 12L))
+  }
+
   test("boilerplateIngest cuts spans that become frequent across batches") {
     val base = java.nio.file.Files.createTempDirectory("graft_bpi").toString
     val mem = MemoryStream[(Long, String)](spark)
