@@ -36,37 +36,38 @@ object Bench {
   private val Overrides = Map(
     "feat_category_index" -> "ftc",
     "sim_neardup_cosine" -> "sind",
-    "dedup_ngram_jaccard" -> "ddj",
+    "dedup_ngram_jaccard" -> "dj",
     "dedup_span_removal" -> "dsp",
     "dedup_against_ref" -> "dvr",
     "dedup_vs_ref_near" -> "dvn",
     "mm_binary_stats" -> "mms",
     "sel_cap_per_source" -> "sel",
+    "sel_mmr" -> "mmr",
     "dedup_keep_best" -> "ddb",
-    "text_fingerprint" -> "txf",
+    "text_fingerprint" -> "tf",
     "feat_standardize" -> "fts",
     "text_para_dedup" -> "txp",
     "d2_json_decode" -> "d2d",
     "d2_json_props" -> "d2p",
-    "text_token_stats" -> "txt",
-    "chunk_sliding" -> "chk",
-    "decontaminate" -> "dcn",
+    "text_token_stats" -> "tt",
+    "chunk_sliding" -> "ch",
+    "decontaminate" -> "dn",
     "dedup_components" -> "ddc",
     "sim_topk_brute" -> "stk",
-    "text_repetition" -> "txr",
+    "text_repetition" -> "tr",
     "emb_quantize" -> "emq",
     "pack_sequences" -> "pk",
     "sample_per_group" -> "sg",
-    "text_normalize" -> "txn",
+    "text_normalize" -> "tn",
     "mixture_resample" -> "mxd",
     "mm_features" -> "mf",
     "sample_weighted" -> "sw",
     "sim_semdedup" -> "sdd",
-    "gopher_quality_gate" -> "gph",
+    "gopher_quality_gate" -> "gp",
     "dsir_weights" -> "dsw",
     "dsir_select" -> "dsk",
     "sim_hard_negatives" -> "shn",
-    "curriculum_order" -> "cur",
+    "curriculum_order" -> "cu",
     "text_html_clean" -> "txh",
     "ret_bm25_topk" -> "bm",
     "ret_hybrid_rrf" -> "rrf",
@@ -79,10 +80,10 @@ object Bench {
     "text_winnow" -> "win",
     "text_ppl_buckets" -> "ppl",
     "text_lm_backoff" -> "lmb",
-    "text_entropy" -> "ent",
+    "text_entropy" -> "en",
     "dedup_winnow" -> "ddw",
     "dedup_winnow_apply" -> "dwa",
-    "quality_blocklist" -> "qbl",
+    "quality_blocklist" -> "qb",
     "cluster_kmeans" -> "kmn",
     "scd2_merge" -> "sc2",
     "text_boilerplate" -> "txb",
@@ -97,7 +98,7 @@ object Bench {
     "pipeline_curate" -> "pp",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "txv",
-    "token_budget" -> "tkb",
+    "token_budget" -> "tb",
     "quality_gate" -> "qg")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(

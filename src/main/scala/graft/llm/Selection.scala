@@ -174,6 +174,82 @@ object Selection extends Serializable {
     * `budget` — "the best B tokens per language". The boundary cell's
     * window carries the residual budget left after the cells above it.
     */
+  /** MMR (maximal marginal relevance — Carbonell & Goldstein 1998) diverse
+    * subset selection: greedily pick `k` items, each maximizing
+    * `relevance − max similarity to the already-selected set` (the λ = 1/2
+    * MMR objective up to a monotone factor) — the standard way to curate
+    * an eval suite or prompt set that is both on-topic and non-redundant.
+    *
+    * Determinism: `relevance` must be an integer (micro-scaled) column;
+    * similarity is the cosine of int8-quantized vectors in micro units —
+    * `floor((dot/√(na·nb))·10⁶)` where dot/na/nb are exact BIGINTs, so
+    * the floor of an exactly-rounded IEEE double on exact inputs is
+    * engine-identical and the DuckDB oracle replays the whole greedy
+    * trajectory. Ties break to the smaller id.
+    *
+    * Scale shape: like the Lloyd/BPE trainers, one bounded job per
+    * selection round — the selected set (≤ k quantized vectors)
+    * broadcasts, candidates scan map-only, only the 1-row argmax
+    * collects. For bounded k (suite curation), not corpus-sized output.
+    *
+    * Output: (idCol, sel_rank 1..k, mmr_score_micro at selection time).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, relevance: Column,
+      vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = df.select(col(idCol).cast("long").as("__mid"),
+        relevance.cast("long").as("__mrel"),
+        graft.llm.Similarity.quantizeInt8(col(vecCol).cast("array<double>"))
+          .as("__mq"))
+      .localCheckpoint()
+    val simMicro = expr(
+      """CASE WHEN __mna = 0 OR __mnb = 0 THEN CAST(-2000000 AS BIGINT)
+        |ELSE CAST(floor(CAST(__mdot AS DOUBLE) /
+        |  sqrt(CAST(__mna * __mnb AS DOUBLE)) *
+        |  CAST(1000000 AS DOUBLE)) AS BIGINT) END""".stripMargin)
+    var picked = Vector.empty[(Long, Long, Long)]
+    var selVecs = Vector.empty[(Long, Seq[Int])]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best: Option[(Long, Long, Seq[Int])] =
+        if (r == 1)
+          cands.orderBy(col("__mrel").desc, col("__mid").asc).limit(1)
+            .select(col("__mid"), col("__mrel"), col("__mq"))
+            .as[(Long, Long, Seq[Int])].collect().headOption
+        else {
+          val sel = broadcast(selVecs.toDF("__msid", "__msq"))
+          cands.filter(!col("__mid").isin(picked.map(_._1): _*))
+            .crossJoin(sel)
+            .withColumn("__mdot", expr("aggregate(zip_with(__mq, __msq," +
+              " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT)," +
+              " (a, x) -> a + x)"))
+            .withColumn("__mna", expr("aggregate(__mq, CAST(0 AS BIGINT)," +
+              " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+            .withColumn("__mnb", expr("aggregate(__msq, CAST(0 AS BIGINT)," +
+              " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+            .withColumn("__msim", simMicro)
+            .groupBy(col("__mid"), col("__mrel"), col("__mq"))
+            .agg(max(col("__msim")).as("__mmax"))
+            .select(col("__mid"), (col("__mrel") - col("__mmax")).as("__msc"),
+              col("__mq"))
+            .orderBy(col("__msc").desc, col("__mid").asc).limit(1)
+            .as[(Long, Long, Seq[Int])].collect().headOption
+        }
+      best match {
+        case Some((id, sc, q)) =>
+          picked :+= ((id, r.toLong, sc))
+          selVecs :+= ((id, q))
+          r += 1
+        case None => exhausted = true
+      }
+    }
+    spark.createDataFrame(picked)
+      .toDF(idCol, "sel_rank", "mmr_score_micro")
+  }
+
   def tokenBudgetByScore(df: DataFrame, groupCol: String, score: Column,
       tokenCount: Column, idCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")

@@ -176,7 +176,34 @@ object CurationOps extends QueryPack {
     // ---- exact blocklist phrase counts (safety/policy filtering) ----
     "quality_blocklist" -> ((s, dir) =>
       TextOps.blocklistCounts(t(s, dir).documents, "doc_id", "text",
-        BlockPhrases)))
+        BlockPhrases)),
+
+    // ---- MMR diverse selection: greedy relevance-minus-redundancy
+    //      suite curation over the embeddings, relevance = quantized
+    //      cosine to vec 0 — the full greedy trajectory is engine-exact
+    //      and the oracle replays it round by round ----
+    "sel_mmr" -> ((s, dir) => {
+      val q8 = t(s, dir).embeddings.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding").cast("array<double>"))
+          .as("__q"))
+      val q0 = q8.filter(col("vec_id") === 0).select(col("__q").as("__q0"))
+      val rel = q8.crossJoin(broadcast(q0))
+        .withColumn("__mdot", expr("aggregate(zip_with(__q, __q0," +
+          " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x)"))
+        .withColumn("__mna", expr("aggregate(__q, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("__mnb", expr("aggregate(__q0, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("rel_micro", expr(
+          """CASE WHEN __mna = 0 OR __mnb = 0 THEN CAST(-2000000 AS BIGINT)
+            |ELSE CAST(floor(CAST(__mdot AS DOUBLE) /
+            |  sqrt(CAST(__mna * __mnb AS DOUBLE)) *
+            |  CAST(1000000 AS DOUBLE)) AS BIGINT) END""".stripMargin))
+        .select(col("vec_id"), col("embedding"), col("rel_micro"))
+      Selection.mmrSelect(rel, "vec_id", col("rel_micro"), "embedding",
+        k = MmrK)
+    }))
 
   private val WinnowK = 5
   private val WinnowW = 4
@@ -215,6 +242,7 @@ object CurationOps extends QueryPack {
 
   private val CollocMinCount = 5L
   private val CollocK = 40
+  private val MmrK = 6
 
   // ------------------------------------------------------------------
   // Oracles
@@ -479,7 +507,52 @@ object CurationOps extends QueryPack {
        |FROM a${KmeansIters + 1}""".stripMargin
   }
 
+  /** Unrolled-trajectory oracle for the MMR greedy selection (the kmeans
+    * pattern): round 1 is the relevance argmax; each later round recomputes
+    * every remaining candidate's max quantized-cosine against the selected
+    * set and takes the (score desc, id asc) argmax.
+    */
+  private def mmrSql: String = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), j -> $a[j] * $b[j])) AS BIGINT)"
+    def sim(a: String, b: String) =
+      s"""(CASE WHEN ${dot(a, a)} = 0 OR ${dot(b, b)} = 0
+         |  THEN CAST(-2000000 AS BIGINT)
+         |  ELSE CAST(floor(CAST(${dot(a, b)} AS DOUBLE) /
+         |    sqrt(CAST(${dot(a, a)} * ${dot(b, b)} AS DOUBLE)) *
+         |    CAST(1000000 AS DOUBLE)) AS BIGINT) END)""".stripMargin
+    val rounds = (2 to MmrK).map { i =>
+      s"""p$i AS (
+         |  SELECT r.id AS id,
+         |    CAST(r.rel - max(${sim("r.q", "s.q")}) AS BIGINT) AS score,
+         |    r.q AS q, CAST($i AS BIGINT) AS rnk
+         |  FROM rel r CROSS JOIN sel${i - 1} s
+         |  WHERE r.id NOT IN (SELECT id FROM sel${i - 1})
+         |  GROUP BY r.id, r.rel, r.q
+         |  ORDER BY score DESC, id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+       |           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |           ELSE list_transform(v, x -> CAST(floor(x * 127.0 /
+       |             list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT))
+       |         END AS q
+       |       FROM e),
+       |qv AS (SELECT q AS q0 FROM qz WHERE vec_id = 0),
+       |rel AS (SELECT z.vec_id AS id, ${sim("z.q", "q0")} AS rel, z.q AS q
+       |        FROM qz z CROSS JOIN qv),
+       |sel1 AS (SELECT id, rel AS score, q, CAST(1 AS BIGINT) AS rnk
+       |         FROM rel ORDER BY rel DESC, id LIMIT 1),
+       |$rounds
+       |SELECT id AS vec_id, rnk AS sel_rank, score AS mmr_score_micro
+       |FROM sel$MmrK""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sel_mmr" -> mmrSql,
     "ret_bm25_topk" -> bm25Sql,
     "mixture_unimax" -> unimaxSql,
     "bpe_merges" -> bpeSql,

@@ -471,6 +471,30 @@ class CurationSpec extends SparkSpec {
     assert(keptBest === Set(101L, 102L, 103L))
   }
 
+  test("mmrSelect picks diverse items over redundant higher-relevance ones") {
+    import graft.llm.Selection
+    // a (rel 1000), near-copy of a (rel 990), orthogonal b (rel 500):
+    // greedy MMR must pick a, then b (the near-copy's redundancy penalty
+    // ~10⁶ dwarfs its 490-point relevance edge), then the near-copy
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 1000L),
+      (2L, Seq(0.99f, 0.01f, 0.0f), 990L),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 500L))
+      .toDF("vec_id", "embedding", "rel")
+    val got = Selection.mmrSelect(vecs, "vec_id", col("rel"), "embedding", 3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1L), (3L, 2L), (2L, 3L)))
+    // k larger than the corpus stops early with every item ranked
+    val all = Selection.mmrSelect(vecs, "vec_id", col("rel"), "embedding", 10)
+    assert(all.count() === 3)
+    // scores: rank-1 carries raw relevance; rank-3 carries rel − maxsim
+    val scores = Selection.mmrSelect(vecs, "vec_id", col("rel"), "embedding", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(scores(1L) === 1000L)
+    assert(scores(3L) < 0L) // near-copy's penalty pushed it far negative
+  }
+
   // --------------------------------------------------------- blocklist
 
   test("blocklistCounts: token-exact phrase instances, zero rows kept") {
