@@ -42,7 +42,7 @@ object Bench {
     "dedup_vs_ref_near" -> "dvn",
     "mm_binary_stats" -> "mms",
     "sel_cap_per_source" -> "sel",
-    "sel_mmr" -> "mmr",
+    "sel_mmr" -> "mm",
     "dedup_keep_best" -> "ddb",
     "text_fingerprint" -> "tf",
     "feat_standardize" -> "fts",
@@ -70,21 +70,22 @@ object Bench {
     "curriculum_order" -> "cu",
     "text_html_clean" -> "txh",
     "ret_bm25_topk" -> "bm",
-    "ret_hybrid_rrf" -> "rrf",
-    "ret_hybrid_ann" -> "rrfa",
+    "ret_hybrid_rrf" -> "rf",
+    "ret_hybrid_ann" -> "rfa",
     "text_collocations" -> "clc",
-    "mixture_unimax" -> "umax",
+    "mixture_unimax" -> "um",
     "mixture_unimax_select" -> "umx",
     "bpe_merges" -> "bpe",
-    "bpe_encode" -> "bpee",
-    "text_winnow" -> "win",
-    "text_ppl_buckets" -> "ppl",
-    "text_lm_backoff" -> "lmb",
+    "bpe_encode" -> "bp",
+    "text_winnow" -> "wi",
+    "text_ppl_buckets" -> "pl",
+    "text_novelty" -> "nv",
+    "text_lm_backoff" -> "lb",
     "text_entropy" -> "en",
     "dedup_winnow" -> "ddw",
     "dedup_winnow_apply" -> "dwa",
     "quality_blocklist" -> "qb",
-    "cluster_kmeans" -> "kmn",
+    "cluster_kmeans" -> "km",
     "scd2_merge" -> "sc2",
     "text_boilerplate" -> "txb",
     "text_commonness" -> "txc",

@@ -37,7 +37,7 @@ object CorpusStats extends Serializable {
   private val Reserved = Set("term", "tf", "df", "tfidf_key", "rank",
     "tercile", "bucket",
     "w3", "tg", "c3", "cp", "cb2", "cm", "cw", "ntot", "lp3", "lp2", "lpu",
-    "ng", "cnt", "k3", "kp", "kb", "km", "kw",
+    "ng", "cnt", "k3", "kp", "kb", "km", "kw", "n_novel", "novelty_micro",
     "n_trigrams", "sb_nll_micro", "avg_sb_nll_micro",
     "w1", "w2", "bg", "c1", "c2", "vocab", "lp", "n_bigrams", "nll_micro",
     "tk", "sp", "pos", "h", "span_df", "p", "p0", "tok", "n_kept",
@@ -260,21 +260,28 @@ object CorpusStats extends Serializable {
     * many batches) instead of a corpus scan. Identical output values for
     * an index built over the same reference corpus.
     */
+  /** Per-doc trigram instances (cols..., w1, w2, w3); docs with < 3 tokens
+    * yield none. Shared by the backoff scorer and the novelty signal.
+    */
+  private def docTrigrams(d: DataFrame, textCol: String,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val t = TextOps.tokens(col(textCol))
+    d.filter(size(t) >= 3).select(cols :+ explode(arrays_zip(
+        slice(t, lit(1), size(t) - 2),
+        slice(t, lit(2), size(t) - 2),
+        slice(t, lit(3), size(t) - 2))).as("tg"): _*)
+      .select(cols ++ Seq(col("tg")("0").as("w1"), col("tg")("1").as("w2"),
+        col("tg")("2").as("w3")): _*)
+  }
+
   def stupidBackoffScoreAgainstIndex(fresh: DataFrame, idCol: String,
       textCol: String, index: DataFrame): DataFrame = {
     guard(idCol)
     import graft.functions.PortableMath
     val ln04 = StupidBackoffDiscountMicro
 
-    def trigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = {
-      val t = TextOps.tokens(col(textCol))
-      d.filter(size(t) >= 3).select(cols :+ explode(arrays_zip(
-          slice(t, lit(1), size(t) - 2),
-          slice(t, lit(2), size(t) - 2),
-          slice(t, lit(3), size(t) - 2))).as("tg"): _*)
-        .select(cols ++ Seq(col("tg")("0").as("w1"), col("tg")("1").as("w2"),
-          col("tg")("2").as("w3")): _*)
-    }
+    def trigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      docTrigrams(d, textCol, cols)
     val ntot = index.filter(col("ng").startsWith("1:"))
       .agg(sum(col("cnt")).as("ntot"))
 
@@ -325,6 +332,34 @@ object CorpusStats extends Serializable {
       .agg(sum(col("m")).as("n_trigrams"),
         (-sum(col("lpm"))).as("sb_nll_micro"))
       .withColumn("avg_sb_nll_micro", expr("sb_nll_micro div n_trigrams"))
+  }
+
+  /** Per-document n-gram novelty against a reference corpus: the fraction
+    * of a doc's trigram INSTANCES whose trigram the reference has never
+    * seen — the cheap "how much of this is new text vs recombination"
+    * signal (high novelty + low LM score ≈ gibberish; low novelty ≈
+    * near-copy of the reference). Reference counts come from the same
+    * additive [[ngramIndex]] the backoff scorer uses (only `3:` rows are
+    * consulted), so one persisted index serves both signals — including
+    * in the streaming loop.
+    *
+    * Exact integers: `novelty_micro = n_novel·10⁶ div n_trigrams`. Docs
+    * with < 3 tokens carry no row.
+    *
+    * Output: (idCol, n_trigrams, n_novel, novelty_micro).
+    */
+  def ngramNovelty(fresh: DataFrame, idCol: String, textCol: String,
+      index: DataFrame): DataFrame = {
+    guard(idCol)
+    val inst = docTrigrams(fresh, textCol, Seq(col(idCol)))
+      .withColumn("k3", concat(lit("3:"), col("w1"), lit(" "), col("w2"),
+        lit(" "), col("w3")))
+    inst.join(index.select(col("ng").as("k3"), col("cnt")), Seq("k3"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("(n_novel * 1000000) div n_trigrams"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,

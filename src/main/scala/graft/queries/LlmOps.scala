@@ -565,6 +565,15 @@ object LlmOps extends QueryPack {
         d.filter(pmod(col("doc_id"), lit(2)) === 0), d, "doc_id", "text")
     }),
 
+    // ---- trigram novelty vs the same reference corpus: fraction of a
+    //      doc's trigram instances the reference never saw ----
+    "text_novelty" -> ((s, dir) => {
+      val d = t(s, dir).documents
+      CorpusStats.ngramNovelty(d, "doc_id", "text",
+        CorpusStats.ngramIndex(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
+    }),
+
     // ---- CCNet-style head/middle/tail perplexity terciles per language
     //      (corpus stratification by LM fluency before sampling) ----
     "text_ppl_buckets" -> ((s, dir) =>
@@ -1163,6 +1172,24 @@ object LlmOps extends QueryPack {
          |  CAST((-sum(m * lp)) // sum(m) AS BIGINT) AS avg_sb_nll_micro
          |FROM sc GROUP BY doc_id""".stripMargin
     },
+
+    "text_novelty" ->
+      s"""WITH ref AS (SELECT $DuckToks AS tk FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |rtri AS (SELECT DISTINCT tk[i] AS w1, tk[i + 1] AS w2,
+         |    tk[i + 2] AS w3
+         |  FROM ref, unnest(range(1, len(tk) - 1)) AS u(i)),
+         |ftk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |fin AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+         |    tk[i + 2] AS w3
+         |  FROM ftk, unnest(range(1, len(tk) - 1)) AS u(i)),
+         |j AS (SELECT f.doc_id AS doc_id,
+         |    CASE WHEN r.w1 IS NULL THEN 1 ELSE 0 END AS nov
+         |  FROM fin f LEFT JOIN rtri r USING (w1, w2, w3))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(nov) AS BIGINT) AS n_novel,
+         |  CAST((sum(nov) * 1000000) // count(*) AS BIGINT) AS novelty_micro
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     "text_ppl_buckets" ->
       s"""WITH $lmScoreCtes,
