@@ -85,6 +85,22 @@ object Bench {
     "dedup_winnow" -> "ddw",
     "dedup_winnow_apply" -> "dwa",
     "quality_blocklist" -> "qb",
+    "graph_pagerank" -> "pr",
+    "dedup_keep_central" -> "dkc",
+    "dedup_exact" -> "de",
+    "dedup_apply" -> "da",
+    "dedup_minhash" -> "dm",
+    "dedup_simhash" -> "ds",
+    "text_langid" -> "tl",
+    "text_pii" -> "tp",
+    "text_quality" -> "tq",
+    "text_redact" -> "td",
+    "text_tfidf" -> "ti",
+    "sample_split" -> "ss",
+    "sim_ann_lsh" -> "sal",
+    "sim_ann_ivf" -> "sai",
+    "sim_ann_pq" -> "sap",
+    "pack_chunks" -> "pc",
     "cluster_kmeans" -> "km",
     "scd2_merge" -> "sc2",
     "text_boilerplate" -> "txb",

@@ -484,6 +484,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Centrality-aware survivor application: keep the most PageRank-central
+    * member of each near-dup component (ties → min id) — the curation
+    * policy for families with no external quality score: the member most
+    * connected within its family (the original a mirror farm copied, the
+    * canonical form of a boilerplate page) is the representative, not the
+    * lowest id or an arbitrary scan order. Centrality comes from
+    * [[Graph.pageRankCentrality]] over the SAME pair list that built the
+    * components, so both are pairs-sized — ∝ duplicates, not corpus — and
+    * the ranking window partitions by component label exactly like
+    * [[applySurvivorsKeepBest]]. The corpus is touched once, by the final
+    * anti-join. A doc in the assignment but not the rank table (possible
+    * only via degenerate self-pairs) ranks at 0.
+    */
+  def applySurvivorsKeepCentral(df: DataFrame, idCol: String,
+      pairs: DataFrame, iterations: Int = 5,
+      dampingMicro: Long = 850000L): DataFrame = {
+    val assignment = survivorAssignment(pairs)
+    val ranks = Graph.pageRankCentrality(pairs, iterations, dampingMicro)
+    val members = assignment.join(ranks, Seq("id"), "left")
+      .select(col("id"), col("survivor_id"),
+        coalesce(col("rank_micro"), lit(0L)).as("__pc_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("survivor_id"))
+      .orderBy(col("__pc_r").desc, col("id").asc)
+    val losers = members
+      .withColumn("__pc_rn", row_number().over(w))
+      .filter(col("__pc_rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end winnow-based near-dedup: [[winnowNearDupPairs]] →
     * connected components → min-id survivors applied. The guaranteed-recall
     * counterpart of [[dropNearDuplicates]] — any pair of documents sharing

@@ -203,10 +203,27 @@ object CurationOps extends QueryPack {
         .select(col("vec_id"), col("embedding"), col("rel_micro"))
       Selection.mmrSelect(rel, "vec_id", col("rel_micro"), "embedding",
         k = MmrK)
-    }))
+    }),
+
+    // ---- PageRank centrality over the winnow near-dup graph: fixed-
+    //      iteration integer power method (micro units, floor division),
+    //      hubs of each dup family rank highest — the oracle replays the
+    //      identical unrolled iterations ----
+    "graph_pagerank" -> ((s, dir) =>
+      Graph.pageRankCentrality(winnowPairsShared(s, dir), PrIters)),
+
+    // ---- centrality-applied dedup: per near-dup component keep the most
+    //      PageRank-central member (ties → min id) instead of the min id —
+    //      survivor = the canonical family member, not arrival order ----
+    "dedup_keep_central" -> ((s, dir) =>
+      Dedup.applySurvivorsKeepCentral(plantedWinnowCorpus(s, dir), "doc_id",
+        winnowPairsShared(s, dir), PrIters)
+        .select(col("doc_id"))))
 
   private val WinnowK = 5
   private val WinnowW = 4
+  private val PrIters = 5
+  private val PrDamp = 850000L
 
   /** Winnow pairs over the planted corpus, memoized per (session, sf dir)
     * and localCheckpoint'd — the corpus-sized fingerprint pass runs once
@@ -565,7 +582,62 @@ object CurationOps extends QueryPack {
     "text_entropy" -> entropySql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_winnow_apply" -> dedupWinnowApplySql,
-    "quality_blocklist" -> blocklistSql)
+    "quality_blocklist" -> blocklistSql,
+    "graph_pagerank" -> graphPagerankSql,
+    "dedup_keep_central" -> dedupKeepCentralSql)
+
+  /** Unrolled integer-PageRank CTEs over the symmetric winnow pair graph,
+    * mirroring [[graft.llm.Graph.pageRankCentrality]] round for round
+    * (micro units, `//` floor division = Spark `DIV` on non-negatives).
+    * Ends in `r$PrIters` = (id, r); expects `wpairs` in scope.
+    */
+  private def pageRankCtes: String = {
+    val base = 1000000L - PrDamp
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.u AS id,
+         |    CAST($base + ($PrDamp * COALESCE(c.s, 0)) // 1000000 AS BIGINT)
+         |      AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.v, sum(r.r // g.deg) AS s
+         |    FROM edges e JOIN r${i - 1} r ON e.u = r.id
+         |      JOIN deg g ON e.u = g.u
+         |    GROUP BY e.v) c ON d.u = c.v)""".stripMargin
+    }
+    s"""edges AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT id_a AS u, id_b AS v FROM wpairs WHERE id_a <> id_b
+       |    UNION ALL
+       |    SELECT id_b, id_a FROM wpairs WHERE id_a <> id_b)),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY u),
+       |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def graphPagerankSql: String =
+    s"""WITH $winnowPairCtes,
+       |$pageRankCtes
+       |SELECT id, r AS rank_micro FROM r$PrIters""".stripMargin
+
+  /** Components (recursive reachability) + PageRank argmax survivor per
+    * component (ties → min id), anti-selected — the centrality-policy twin
+    * of [[dedupWinnowApplySql]].
+    */
+  private def dedupKeepCentralSql: String =
+    s"""WITH RECURSIVE $winnowPairCtes,
+       |$pageRankCtes,
+       |reach(id, rt) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, reach.rt FROM edges e JOIN reach ON e.v = reach.id),
+       |comp AS (SELECT id, min(rt) AS c FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT comp.id, row_number() OVER (PARTITION BY c
+       |    ORDER BY COALESCE(rf.r, 0) DESC, comp.id ASC) AS rn
+       |  FROM comp LEFT JOIN r$PrIters rf ON comp.id = rf.id)
+       |SELECT doc_id FROM base
+       |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)""".stripMargin
 
   private def blocklistSql: String = {
     // one shingle CTE per distinct phrase length, unioned

@@ -1,0 +1,50 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(es: (Long, Long)*) =
+    es.toDF("id_a", "id_b")
+
+  test("pageRankCentrality: star center outranks leaves, exact hand values") {
+    // star 1-2, 1-3, 1-4: center deg 3, leaves deg 1.
+    // Hand-replay of one iteration (micro, floor division):
+    //   center gets 3 leaves * (1e6 DIV 1) = 3e6 -> 150000 + 2550000 = 2700000
+    //   each leaf gets 1e6 DIV 3 = 333333 -> 150000 + 283333 = 433333
+    val r1 = Graph.pageRankCentrality(pairs(1L -> 2L, 1L -> 3L, 1L -> 4L),
+      iterations = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) === 2700000L)
+    assert(r1(2L) === 433333L && r1(3L) === 433333L && r1(4L) === 433333L)
+    // more rounds keep the center strictly on top
+    val r5 = Graph.pageRankCentrality(pairs(1L -> 2L, 1L -> 3L, 1L -> 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5(1L) > r5(2L) && r5(2L) === r5(3L) && r5(3L) === r5(4L))
+  }
+
+  test("pageRankCentrality: symmetric dedup of reversed/duplicate pairs, self-pairs dropped") {
+    // same edge listed twice + reversed + a self-pair must equal the clean graph
+    val noisy = Graph.pageRankCentrality(
+      pairs(1L -> 2L, 2L -> 1L, 1L -> 2L, 3L -> 3L, 2L -> 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clean = Graph.pageRankCentrality(pairs(1L -> 2L, 2L -> 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noisy === clean)
+    assert(!noisy.contains(4L)) // self-pair-only / absent nodes excluded
+    // path 1-2-3: middle node is the hub
+    assert(clean(2L) > clean(1L) && clean(1L) === clean(3L))
+  }
+
+  test("applySurvivorsKeepCentral keeps the family hub, not the min id") {
+    // family {1,2,3,9}: 9 is the hub (linked to all); min-id policy would
+    // keep 1, centrality policy must keep 9. Node 7 is untouched.
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "d"), (7L, "solo"))
+      .toDF("doc_id", "text")
+    val p = pairs(9L -> 1L, 9L -> 2L, 9L -> 3L)
+    val kept = Dedup.applySurvivorsKeepCentral(corpus, "doc_id", p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(9L, 7L))
+  }
+}
