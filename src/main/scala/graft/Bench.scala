@@ -87,6 +87,8 @@ object Bench {
     "quality_blocklist" -> "qb",
     "graph_pagerank" -> "pr",
     "dedup_keep_central" -> "dkc",
+    "mixture_alpha" -> "ma",
+    "mixture_alpha_select" -> "mas",
     "dedup_exact" -> "de",
     "dedup_apply" -> "da",
     "dedup_minhash" -> "dm",

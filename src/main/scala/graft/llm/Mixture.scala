@@ -206,6 +206,93 @@ object Mixture extends Serializable {
     }
   }
 
+  /** Temperature-sampled mixture (XLM-style, Lample & Conneau 2019): group
+    * sampling mass ∝ n_g^α with α = 1/2 — the square-root reweighting that
+    * lifts low-resource languages without letting the head dominate. Unlike
+    * [[unimaxAllocation]]'s hard per-group epoch caps, this is a smooth
+    * power-law flattening; α = 1/2 specifically because the integer square
+    * root is EXACT (a correctly-rounded IEEE sqrt snapped by two integer
+    * comparisons — the same trick both engines compute bit-identically),
+    * so the whole allocation is reproducible integer arithmetic with no
+    * staged-log machinery. Fractional-α variants would ride the
+    * PortableMath exp/ln stages instead; nobody has needed one yet.
+    *
+    * The allocation: s_g = isqrt(n_g), S = Σ s_g, B = `budgetOf`(Σ n_g);
+    * each group gets floor(B·s_g / S) tokens and the first B mod-ish
+    * remainder groups (s desc, group asc) get one extra, so the allocation
+    * exactly exhausts B. B·s_g is computed in BigInt driver-side (the
+    * collect is |groups|-sized, like the waterfill) — at 100 TB, B ≈ 10¹³
+    * tokens × s_g ≈ 10⁶·⁵ overflows a 64-bit long, and a silently wrapped
+    * allocation would be a corrupt mixture.
+    *
+    * Output: (groupCol, n_tokens, w_sqrt, samp_micro, alloc) — the sqrt
+    * weight, the sampling probability in micro units (floor), and the token
+    * allocation. `alloc` may exceed `n_tokens` for tail groups (upsampling
+    * is a training-loop concern); [[temperatureSelect]] caps at the
+    * group's own tokens when materializing.
+    */
+  def temperatureAllocation(df: DataFrame, groupCol: String,
+      tokenCount: Column, budgetOf: Long => Long): DataFrame = {
+    val spark = df.sparkSession
+    val groups = df.groupBy(col(groupCol))
+      .agg(sum(tokenCount).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = temperatureMix(groups.toIndexedSeq, budgetOf)
+    spark.createDataFrame(rows)
+      .toDF(groupCol, "n_tokens", "w_sqrt", "samp_micro", "alloc")
+  }
+
+  /** Exact floor integer square root for non-negative longs: the
+    * correctly-rounded double sqrt is within ±1 of the true floor root;
+    * two integer comparisons snap it. Mirrored verbatim by the oracle SQL.
+    */
+  private def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    val y0 = math.sqrt(n.toDouble).toLong
+    if ((y0 + 1) * (y0 + 1) <= n) y0 + 1
+    else if (y0 * y0 > n) y0 - 1
+    else y0
+  }
+
+  /** The α=1/2 temperature allocation over (group, token total) rows —
+    * shared by [[temperatureAllocation]] (reporting) and
+    * [[temperatureSelect]] (materialization). BigInt only for the B·s_g
+    * product; every emitted value fits a long because alloc ≤ B.
+    */
+  private def temperatureMix(groupTotals: Seq[(String, Long)],
+      budgetOf: Long => Long): Seq[(String, Long, Long, Long, Long)] = {
+    require(groupTotals.nonEmpty, "no groups to allocate")
+    val budget = budgetOf(groupTotals.map(_._2).sum)
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val withS = groupTotals.map { case (g, n) => (g, n, isqrt(n)) }
+    val bigS = withS.map(_._3).sum
+    require(bigS > 0, "all groups are empty — nothing to weight")
+    val floors = withS.map { case (g, n, s) =>
+      (g, n, s, (BigInt(budget) * s / bigS).toLong, 1000000L * s / bigS)
+    }
+    val rem = budget - floors.map(_._4).sum
+    // remainder order: biggest sampling mass first, group name breaks ties
+    val bonus = floors.sortBy { case (g, _, s, _, _) => (-s, g) }
+      .take(rem.toInt).map(_._1).toSet
+    floors.map { case (g, n, s, fa, sm) =>
+      (g, n, s, sm, fa + (if (bonus(g)) 1L else 0L))
+    }
+  }
+
+  /** Materialize an α=1/2 temperature mixture: keep each group's
+    * md5-prefix documents while its running token total stays within
+    * min(n_g, alloc_g) — the same greedy hash-prefix selection every
+    * mixture op here uses (downsample-only; a tail group whose allocation
+    * exceeds its own tokens keeps every row). One corpus scan: the
+    * selection histogram supplies the group totals.
+    */
+  def temperatureSelect(df: DataFrame, groupCol: String, tokenCount: Column,
+      budgetOf: Long => Long, idCol: String): DataFrame =
+    prefixSelect(df, groupCol, tokenCount, idCol, totals =>
+      temperatureMix(totals.toSeq, budgetOf)
+        .map { case (g, n, _, _, alloc) => g -> math.min(n, alloc) }.toMap)
+
   /** Materialize a UniMax allocation: keep each group's md5-prefix
     * documents while its running token total stays within the group's
     * waterfilled allocation — [[unimaxAllocation]] composed with the same

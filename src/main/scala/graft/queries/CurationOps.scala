@@ -218,7 +218,23 @@ object CurationOps extends QueryPack {
     "dedup_keep_central" -> ((s, dir) =>
       Dedup.applySurvivorsKeepCentral(plantedWinnowCorpus(s, dir), "doc_id",
         winnowPairsShared(s, dir), PrIters)
-        .select(col("doc_id"))))
+        .select(col("doc_id"))),
+
+    // ---- XLM-style temperature mixture (α = 1/2): sampling mass ∝
+    //      isqrt(group tokens), budget = half the corpus — exact integer
+    //      square-root weighting, remainder tokens to the biggest groups ----
+    "mixture_alpha" -> ((s, dir) =>
+      Mixture.temperatureAllocation(t(s, dir).documents, "lang",
+        TextOps.tokenCount(col("text")), budgetOf = total => total / 2L)),
+
+    // ---- the temperature mixture materialized as the usual greedy
+    //      hash-prefix per-group selection, capped at each group's own
+    //      tokens (downsample-only) ----
+    "mixture_alpha_select" -> ((s, dir) =>
+      Mixture.temperatureSelect(t(s, dir).documents, "lang",
+        TextOps.tokenCount(col("text")), budgetOf = total => total / 2L,
+        idCol = "doc_id")
+        .select(col("doc_id"), col("lang"))))
 
   private val WinnowK = 5
   private val WinnowW = 4
@@ -584,7 +600,58 @@ object CurationOps extends QueryPack {
     "dedup_winnow_apply" -> dedupWinnowApplySql,
     "quality_blocklist" -> blocklistSql,
     "graph_pagerank" -> graphPagerankSql,
-    "dedup_keep_central" -> dedupKeepCentralSql)
+    "dedup_keep_central" -> dedupKeepCentralSql,
+    "mixture_alpha" -> alphaSql,
+    "mixture_alpha_select" -> alphaSelectSql)
+
+  /** Shared α=1/2 temperature-mixture CTEs, mirroring
+    * [[graft.llm.Mixture.temperatureAllocation]]: exact integer sqrt via
+    * snap-corrected IEEE sqrt, BigInt-free here because DuckDB's BIGINT
+    * multiply errors (not wraps) on overflow — safe at oracle scale. Ends
+    * in `alc` = (lang, n, s, samp_micro, alloc); expects `tok` from
+    * [[unimaxCtes]]'s shape.
+    */
+  private def alphaCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, CAST(len($DuckToks) AS BIGINT) AS ntok
+       |  FROM documents),
+       |g AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS n
+       |      FROM tok GROUP BY 1),
+       |y AS (SELECT lang, n,
+       |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS y0
+       |      FROM g),
+       |sq AS (SELECT lang, n,
+       |         CASE WHEN (y0 + 1) * (y0 + 1) <= n THEN y0 + 1
+       |              WHEN y0 * y0 > n THEN y0 - 1 ELSE y0 END AS s
+       |       FROM y),
+       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+       |              CAST(sum(s) AS BIGINT) AS ss FROM sq),
+       |fl AS (SELECT lang, n, s, (t // 2) AS budget, ss,
+       |         CAST(((t // 2) * s) // ss AS BIGINT) AS fa,
+       |         CAST((1000000 * s) // ss AS BIGINT) AS samp_micro
+       |       FROM sq CROSS JOIN tt),
+       |alc AS (SELECT lang, n, s, samp_micro,
+       |          CAST(fa + CASE WHEN row_number() OVER
+       |              (ORDER BY s DESC, lang ASC)
+       |            <= budget - sum(fa) OVER () THEN 1 ELSE 0 END
+       |            AS BIGINT) AS alloc
+       |        FROM fl)""".stripMargin
+
+  private def alphaSql: String =
+    s"""WITH $alphaCtes
+       |SELECT lang, n AS n_tokens, CAST(s AS BIGINT) AS w_sqrt,
+       |  samp_micro, alloc
+       |FROM alc""".stripMargin
+
+  private def alphaSelectSql: String =
+    s"""WITH $alphaCtes,
+       |run AS (
+       |  SELECT doc_id, lang, sum(ntok) OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM tok)
+       |SELECT doc_id, lang FROM run JOIN alc USING (lang)
+       |WHERE cum <= least(n, alloc)""".stripMargin
 
   /** Unrolled integer-PageRank CTEs over the symmetric winnow pair graph,
     * mirroring [[graft.llm.Graph.pageRankCentrality]] round for round

@@ -219,6 +219,53 @@ class CurationSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < docs.size)
   }
 
+  test("property: temperature allocation is exact sqrt-proportional and exhausts the budget") {
+    val caseGen: Gen[(Seq[Long], Long)] = for {
+      k <- Gen.choose(1, 12)
+      ns <- Gen.listOfN(k, Gen.choose(1L, 100000L))
+      b <- Gen.choose(0L, 200000L)
+    } yield (ns, b)
+    sample(caseGen, 60).zipWithIndex.foreach { case ((ns, b), ci) =>
+      val df = ns.zipWithIndex.map { case (n, i) => (f"g$i%02d", n) }
+        .toDF("grp", "ntok")
+      val got = Mixture.temperatureAllocation(df, "grp", col("ntok"), _ => b)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1)
+      def isqrt(n: Long): Long =
+        (0L to math.sqrt(n.toDouble).toLong + 2).takeWhile(y => y * y <= n).last
+      val ss = ns.map(isqrt).sum
+      // per-group: w_sqrt is the exact floor sqrt and alloc is within one
+      // remainder token of exact proportionality
+      got.zip(ns.zipWithIndex.sortBy { case (_, i) => f"g$i%02d" }).foreach {
+        case ((g, n, s, sm, alloc), (n0, _)) =>
+          assert(n === n0 && s === isqrt(n0), s"case $ci group $g")
+          assert(sm === 1000000L * s / ss)
+          val fl = (BigInt(b) * s / ss).toLong
+          assert(alloc === fl || alloc === fl + 1L, s"case $ci group $g")
+      }
+      // the allocation exactly exhausts the budget
+      assert(got.map(_._5).sum === b, s"case $ci total")
+    }
+  }
+
+  test("temperatureSelect keeps every row of an over-allocated tail group") {
+    // tail group has few tokens: sqrt weighting over-allocates it relative
+    // to its size, so selection must cap at the group's own tokens
+    val docs = (1L to 40L).map { i =>
+      val grp = if (i <= 36) "head" else "tail"
+      (i, grp, Seq.fill(if (grp == "head") 9 else 1)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "grp", "text")
+    val kept = Mixture.temperatureSelect(df, "grp",
+        graft.llm.TextOps.tokenCount(col("text")), t => 3 * t / 4, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tailIds = docs.filter(_._2 == "tail").map(_._1).toSet
+    assert(tailIds.subsetOf(kept), "tail group must survive whole")
+    assert((kept -- tailIds).size < 36, "head group must be downsampled")
+  }
+
   // --------------------------------------------------------------- bpe
 
   test("bpeMerges learns greedy left-to-right merges (adjacent pairs available, overlaps not)") {
