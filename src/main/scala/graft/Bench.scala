@@ -117,6 +117,7 @@ object Bench {
     "pipeline_curate" -> "pp",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "txv",
+    "text_vocab_topk_mg" -> "txm",
     "token_budget" -> "tb",
     "quality_gate" -> "qg")
   private val codePrefix = "^([a-z]\\d+)_.*$".r

@@ -673,4 +673,106 @@ object CorpusStats extends Serializable {
         .Window.orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc))
         .cast("long"))
   }
+
+  /** Exact top-`k` corpus tokens, Misra-Gries-pruned (Misra & Gries 1982):
+    * the heavy-hitter answer to "plain `groupBy(token)` shuffles one row
+    * per distinct token per partition, and web-scale text is ~half hapax
+    * legomena, so that's ~N/2 shuffled rows at 100 TB". Instead each
+    * partition keeps an m-counter Misra-Gries summary (one map-only pass,
+    * amortized O(1) per token) and shuffles AT MOST m rows — candidates ∝
+    * partitions, not corpus.
+    *
+    * Exactness, certified not hoped-for: the output is ALWAYS the exact
+    * top-k (same rows and counts as [[text-vocab-topk]]'s plain
+    * aggregation, `(freq desc, token asc)` order, ties at rank k cut
+    * identically).
+    *  - No partition ever evicted → the summaries ARE exact partial
+    *    counts; summing them is the plain aggregation with a bounded
+    *    dictionary.
+    *  - Evictions happened → a second map-only scan exact-counts ONLY the
+    *    candidate tokens (broadcast semi join), and the MG bound certifies
+    *    the result: any token with global freq > N/(m+1) survives in some
+    *    partition's summary (pigeonhole over partitions), so if the k-th
+    *    exact candidate count clears N/(m+1), no non-candidate can reach
+    *    the top k.
+    *  - Certification fails (k-th count at/below the bound, or fewer than
+    *    k certified candidates) → loud stderr note and an exact full
+    *    aggregation fallback. Size `sketchCapacity` ≈ k · skew-margin so
+    *    this stays the cold path; the default 4096 certifies a top-100
+    *    whenever the 100th token holds > 0.024% of corpus tokens.
+    *
+    * The candidate SET depends on partition layout; the OUTPUT never does —
+    * every path returns the same exact top-k, which is what makes this
+    * oracle-checkable against the plain-SQL aggregation.
+    */
+  def vocabTopKSketch(corpus: DataFrame, textCol: String, k: Int = 100,
+      sketchCapacity: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // capacity below k is legal — certification simply fails and the
+    // exact fallback runs — but pointless; size m ≫ k for the fast path
+    require(sketchCapacity >= 1,
+      s"sketchCapacity must be positive, got $sketchCapacity")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = sketchCapacity
+    def toks = corpus.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    def exactTopK(counts: DataFrame): DataFrame =
+      counts.orderBy(col("freq").desc, col("token").asc).limit(k)
+    def fullAgg: DataFrame =
+      exactTopK(toks.groupBy("token").agg(count(lit(1)).as("freq")))
+
+    // pass 1, map-only: per-partition MG summaries. Rows carry the
+    // partition's evicted flag so the certifier can tell "exact partial
+    // counts" from "lossy residuals" without a second structure.
+    val summ = toks.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long](m * 2)
+      var evicted = false
+      while (it.hasNext) {
+        val t = it.next()
+        val cur = counts.get(t) // 0L when absent
+        if (cur > 0L) counts.put(t, cur + 1L)
+        else if (counts.size < m) counts.put(t, 1L)
+        else {
+          // decrement-all sweep (the new token's implicit 1 is consumed
+          // too); amortized O(1) — each sweep cancels m+1 increments
+          evicted = true
+          val jt = counts.entrySet().iterator()
+          while (jt.hasNext) {
+            val e = jt.next()
+            if (e.getValue == 1L) jt.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      val out = Vector.newBuilder[(String, Long, Boolean)]
+      counts.forEach((t, c) => out += ((t, c, evicted)))
+      out.result().iterator
+    }.toDF("token", "resid", "evicted").localCheckpoint()
+
+    val anyEvictRow = summ.agg(max(col("evicted"))).collect()(0)
+    if (anyEvictRow.isNullAt(0)) return fullAgg // empty corpus
+    if (!anyEvictRow.getBoolean(0))
+      return exactTopK(summ.groupBy("token").agg(sum("resid").as("freq")))
+
+    // lossy summaries: exact-count candidates only (second map-only scan),
+    // then certify against the MG bound
+    val cand = summ.select("token").distinct()
+    val top = exactTopK(
+      toks.join(broadcast(cand), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("freq")))
+      .localCheckpoint()
+    val n = corpus
+      .select(coalesce(sum(size(TextOps.tokens(col(textCol)))), lit(0L)))
+      .collect()(0).getLong(0)
+    val got = top.count()
+    val kth = if (got < k) -1L
+      else top.agg(min(col("freq"))).collect()(0).getLong(0)
+    if (got >= k && kth * (m + 1L) > n) top
+    else {
+      // certification failed — pathological skew for this capacity; the
+      // answer must stay exact, so pay the full aggregation and say so
+      System.err.println(s"[graft] vocabTopKSketch: cannot certify top-$k " +
+        s"at capacity $m (kth=$kth, N=$n) — falling back to full aggregation")
+      fullAgg
+    }
+  }
 }

@@ -590,6 +590,13 @@ object LlmOps extends QueryPack {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    // ---- the same top-k through the Misra-Gries heavy-hitter path:
+    //      per-partition m-counter sketches bound the shuffle to m rows
+    //      per partition regardless of vocabulary size, and the output is
+    //      CERTIFIED exact (identical oracle to text_vocab_topk) ----
+    "text_vocab_topk_mg" -> ((s, dir) =>
+      CorpusStats.vocabTopKSketch(t(s, dir).documents, "text", k = 100)),
+
     // ---- int8 embedding quantization: 4× storage cut, reconstruction
     //      quality verified by exact cosine vs the original ----
     "emb_quantize" -> ((s, dir) => {
@@ -1643,6 +1650,14 @@ object LlmOps extends QueryPack {
          |FROM documents""".stripMargin,
 
     "text_vocab_topk" ->
+      s"""SELECT token, count(*) AS freq FROM (
+         |  SELECT unnest($DuckToks) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the sketch path is certified-exact, so its oracle IS the plain
+    // aggregation — identical SQL to text_vocab_topk by construction
+    "text_vocab_topk_mg" ->
       s"""SELECT token, count(*) AS freq FROM (
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token

@@ -237,4 +237,38 @@ class CorpusStatsSpec extends SparkSpec {
       assert(e.getMessage.contains("collides"), s"column $c not guarded")
     }
   }
+
+  test("vocabTopKSketch equals the plain aggregation on every path") {
+    def plain(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .select(org.apache.spark.sql.functions.explode(
+        TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("token"))
+      .groupBy("token").count().withColumnRenamed("count", "freq")
+      .orderBy(org.apache.spark.sql.functions.col("freq").desc,
+        org.apache.spark.sql.functions.col("token").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int, cap: Int) =
+      CorpusStats.vocabTopKSketch(df, "text", k, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // (a) clean path: capacity far above vocab, no eviction anywhere
+    val small = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 3} fixed"))
+      .toDF("doc_id", "text").repartition(8)
+    assert(sketch(small, 5, 4096) === plain(small, 5))
+
+    // (b) certified lossy path: heavy hitters dominate a long random tail,
+    // tiny capacity forces evictions but the top-2 certify
+    val rnd = new scala.util.Random(7)
+    val skewed = (1L to 400L).map { i =>
+      val hot = if (i % 2 == 0) "alpha alpha alpha beta beta" else "alpha beta"
+      (i, s"$hot u${rnd.nextInt(100000)}x${i}")
+    }.toDF("doc_id", "text").repartition(4)
+    assert(sketch(skewed, 2, 8) === plain(skewed, 2))
+
+    // (c) fallback path: uniform tokens, capacity too small to certify —
+    // output must STILL be the exact top-k
+    val uniform = (1L to 300L).map(i => (i, s"w${i % 40} w${(i + 13) % 40}"))
+      .toDF("doc_id", "text").repartition(4)
+    assert(sketch(uniform, 10, 4) === plain(uniform, 10))
+  }
 }
