@@ -504,6 +504,37 @@ object PipelineConfig {
               d, g, expr(tk), weights, idc)
             case None => graft.llm.Mixture.resampleToMixture(d, g, weights, idc)
           }
+        // centrality-policy near-dedup: winnow pairs → components → keep
+        // each family's most PageRank-central member (ties → min id).
+        // cols = [idCol, textCol], expr = "k,w,minShared" (default "5,4,2")
+        case "dedup_keep_central" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_keep_central needs cols = [idCol, textCol]")
+          }
+          val Array(k, w, ms) =
+            t.expr.getOrElse("5,4,2").split(",").map(_.trim.toInt)
+          graft.llm.Dedup.applySurvivorsKeepCentral(d, idc,
+            graft.llm.Dedup.winnowNearDupPairs(d, idc, c, k, w, ms))
+        // α=1/2 temperature mixture (XLM): downsample each group to its
+        // sqrt-proportional share of a token budget. cols = [groupCol,
+        // idCol], expr = token-count SQL expr, name = budget expression
+        // "N" (absolute tokens) or "1/2" | "3/4"-style fraction of the
+        // corpus total
+        case "mixture_alpha" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("mixture_alpha needs cols = [groupCol, idCol]")
+          }
+          val tk = expr(t.expr.getOrElse(
+            sys.error("mixture_alpha needs expr = token-count expression")))
+          val budgetOf: Long => Long = t.name.getOrElse("1/2").trim match {
+            case frac if frac.contains("/") =>
+              val Array(num, den) = frac.split("/").map(_.trim.toLong)
+              total => total * num / den
+            case abs => _ => abs.toLong
+          }
+          graft.llm.Mixture.temperatureSelect(d, g, tk, budgetOf, idc)
         // incremental span removal against a PERSISTED span-df index
         // (read-only — index persistence belongs to the ingest loop,
         // streaming.Pipelines.boilerplateIngest, whose two-level layout

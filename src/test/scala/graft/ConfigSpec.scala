@@ -162,6 +162,46 @@ class ConfigSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("declared dedup_keep_central keeps each family's hub, not the min id") {
+    import spark.implicits._
+    // one star family: doc 9 holds the full text; 1/2/3 are DISJOINT
+    // 20-token segments of it, so each pairs only with 9 — 9 is the hub
+    // by construction and must survive under the centrality policy
+    // (min-id would keep 1)
+    val full = (1 to 60).map(j => s"tok$j").mkString(" ")
+    val seg = full.split(" ")
+    val docs = Seq(
+      (9L, full),
+      (1L, seg.slice(0, 20).mkString(" ")),
+      (2L, seg.slice(20, 40).mkString(" ")),
+      (3L, seg.slice(40, 60).mkString(" ")),
+      (50L, (1 to 30).map(j => s"solo$j").mkString(" ")))
+    val out = PipelineConfig.applyTransforms(docs.toDF("doc_id", "text"),
+      Seq(PipelineConfig.TransformConf(op = "dedup_keep_central",
+        cols = Seq("doc_id", "text"))))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(50L) && kept.contains(9L) && !kept.contains(1L),
+      s"got $kept")
+  }
+
+  test("declared mixture_alpha downsamples the head group to its sqrt share") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      val g = if (i <= 36) "head" else "tail"
+      (i, g, Seq.fill(if (g == "head") 9 else 1)("w").mkString(" "))
+    }
+    val out = PipelineConfig.applyTransforms(docs.toDF("doc_id", "grp", "text"),
+      Seq(PipelineConfig.TransformConf(op = "mixture_alpha",
+        cols = Seq("grp", "doc_id"),
+        expr = Some("size(split(trim(text), '\\\\s+'))"),
+        name = Some("3/4"))))
+    val kept = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("grp"))
+    val tail = docs.filter(_._2 == "tail").map(_._1).toSet
+    assert(tail.subsetOf(kept.map(_._1).toSet), "tail survives whole")
+    assert(kept.count(_._2 == "head") < 36, "head downsampled")
+  }
+
   test("declared lm_backoff and ppl_buckets append LM columns") {
     import spark.implicits._
     val docs = Seq(
