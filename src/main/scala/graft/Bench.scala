@@ -89,6 +89,7 @@ object Bench {
     "dedup_keep_central" -> "dkc",
     "mixture_alpha" -> "ma",
     "mixture_alpha_select" -> "mas",
+    "quality_nb" -> "nb",
     "dedup_exact" -> "de",
     "dedup_apply" -> "da",
     "dedup_minhash" -> "dm",

@@ -1,0 +1,154 @@
+package graft.llm
+
+import graft.functions.PortableMath
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained quality classification — the fastText/CCNet filtering
+  * shape (Joulin et al. 2017; Wenzek et al. 2020): train a cheap text
+  * classifier on labeled corpora (curated vs crawl, target language vs
+  * rest), score every document, filter or bucket on the margin. The model
+  * here is multinomial Naive Bayes with add-one smoothing over whitespace
+  * tokens: its training IS a count aggregation, so the distributed fit is
+  * exact (no SGD order-dependence anywhere — a deterministic-by-
+  * construction stand-in for fastText's epoch-sequential training, same
+  * feature family), and scoring is the engine-exact staged micro-log, so
+  * margins are bit-identical on any engine (the bigramLmScore stance).
+  *
+  * Scale shape: training = one corpus scan into a vocab-sized
+  * (token, c_pos, c_neg) table with map-side partial aggregation; scoring
+  * joins slim per-doc (token, multiplicity) rows against the model (AQE
+  * broadcasts a small model, hash-joins a large one) — text never rides a
+  * shuffle. The model is ADDITIVE across disjoint corpora (counts sum), so
+  * ingestion loops can accumulate it exactly like the BM25/n-gram indexes.
+  */
+object Classifier extends Serializable {
+
+  /** Sentinel model rows: keys contain spaces, which no whitespace-split
+    * token can, so they can never collide with a real token (the bm25Index
+    * convention). (c_pos, c_neg) carry the pair named by the key.
+    */
+  val TokenTotalsKey = " NP "
+  val VocabKey = " V "
+  val DocTotalsKey = " DC "
+
+  private val Reserved: Set[String] =
+    (PortableMath.microLnColumns ++ PortableMath.microLnSignedColumns ++
+      Seq("token", "m", "c_pos", "c_neg", "ap", "an", "bp", "bn", "lp_pos",
+        "contrib", "n_tokens", "nb_margin_micro", "nb_pos")).toSet
+
+  private def guard(idCol: String): Unit =
+    require(!Reserved(idCol),
+      s"idCol '$idCol' collides with a Classifier working/output column")
+
+  /** Fit the Naive Bayes model: one (token, c_pos, c_neg) row per distinct
+    * token of `corpus` — occurrence counts in the positive (`label` true)
+    * and negative class — plus the [[TokenTotalsKey]] (class token
+    * totals), [[VocabKey]] (vocabulary size, both columns) and
+    * [[DocTotalsKey]] (class document counts) sentinel rows. Null labels
+    * count as negative (cast semantics made explicit). Models over
+    * DISJOINT corpora merge by summing counts per token, recomputing only
+    * the vocab sentinel.
+    */
+  def naiveBayesTrain(corpus: DataFrame, textCol: String,
+      label: Column): DataFrame = {
+    val lab = corpus.select(
+      coalesce(label.cast("boolean"), lit(false)).as("__pos"),
+      col(textCol).as("__text"))
+    val tok = lab.select(col("__pos"),
+      explode(TextOps.tokens(col("__text"))).as("token"))
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("c_neg"))
+    val totals = counts.agg(
+        coalesce(sum("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(sum("c_neg"), lit(0L)).as("c_neg"))
+      .select(lit(TokenTotalsKey).as("token"), col("c_pos"), col("c_neg"))
+    val vocab = counts.agg(count(lit(1)).as("v"))
+      .select(lit(VocabKey).as("token"), col("v").as("c_pos"),
+        col("v").as("c_neg"))
+    val docs = lab.agg(
+        coalesce(sum(when(col("__pos"), 1L).otherwise(0L)), lit(0L))
+          .as("c_pos"),
+        coalesce(sum(when(!col("__pos"), 1L).otherwise(0L)), lit(0L))
+          .as("c_neg"))
+      .select(lit(DocTotalsKey).as("token"), col("c_pos"), col("c_neg"))
+    counts.unionByName(totals).unionByName(vocab).unionByName(docs)
+  }
+
+  /** Score `corpus` against a [[naiveBayesTrain]] model: per document, the
+    * add-one-smoothed log-odds margin in micro-nats,
+    *
+    *   margin = Σ_t m_t · [ln((c_pos_t+1)/(N_pos+V)) −
+    *                       ln((c_neg_t+1)/(N_neg+V))] + ln(d_pos/d_neg)
+    *
+    * every `ln` the engine-exact staged log (the class prior, a single
+    * data-dependent ratio, uses the JVM reference `microLnSignedRef`,
+    * which the staged SQL provably equals — PropertySpec). Tokens absent
+    * from the model score as unseen (count 0, smoothing floor). Documents
+    * with no tokens carry the bare prior. Fails fast on a model missing
+    * its sentinel totals (a malformed index must not score NULL — the
+    * bm25ScoreAgainstIndex lesson).
+    *
+    * Output: (idCol, n_tokens, nb_margin_micro, nb_pos).
+    */
+  def naiveBayesScore(corpus: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    guard(idCol)
+    val sentinels = model
+      .filter(col("token").isin(TokenTotalsKey, VocabKey, DocTotalsKey))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    require(Set(TokenTotalsKey, VocabKey, DocTotalsKey)
+        .subsetOf(sentinels.keySet),
+      "malformed NB model: sentinel totals missing — not a naiveBayesTrain output?")
+    val (np, nn) = sentinels(TokenTotalsKey)
+    val (v, _) = sentinels(VocabKey)
+    val (dp, dn) = sentinels(DocTotalsKey)
+    require(v > 0, "NB model has an empty vocabulary")
+    require(dp > 0 && dn > 0,
+      s"NB model needs both classes non-empty (docs: pos=$dp neg=$dn)")
+    val priorMicro = PortableMath.microLnSignedRef(dp, dn)
+
+    val dt = corpus
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("m"))
+    val joined = dt
+      .join(model.filter(!col("token")
+        .isin(TokenTotalsKey, VocabKey, DocTotalsKey)), Seq("token"), "left")
+      .select(col(idCol), col("m"),
+        (coalesce(col("c_pos"), lit(0L)) + 1L).as("ap"),
+        (coalesce(col("c_neg"), lit(0L)) + 1L).as("an"),
+        lit(np + v).as("bp"), lit(nn + v).as("bn"))
+    val chainP = PortableMath.microLnStages("ap", "bp",
+      PortableMath.sparkShiftLeft)
+    val chainN = PortableMath.microLnStages("an", "bn",
+      PortableMath.sparkShiftLeft)
+    val afterP = chainP.foldLeft(joined) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select(col(idCol), col("m"), col("an"), col("bn"),
+        col("lp").as("lp_pos"))
+    val scored = chainN.foldLeft(afterP) {
+        case (d, (n, s)) => d.withColumn(n, expr(s))
+      }
+      .select(col(idCol), col("m"),
+        (col("m") * (col("lp_pos") - col("lp"))).as("contrib"))
+    val sums = scored.groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_tokens"), sum(col("contrib")).as("s"))
+    corpus.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("s"), lit(0L)) + priorMicro).as("nb_margin_micro"))
+      .withColumn("nb_pos", col("nb_margin_micro") > 0L)
+  }
+
+  /** Train-and-score in one call (self-scored corpus — the usual "label by
+    * a cheap proxy, learn token evidence, rank everything" loop).
+    */
+  def naiveBayesSelfScore(corpus: DataFrame, idCol: String, textCol: String,
+      label: Column): DataFrame =
+    naiveBayesScore(corpus, idCol, textCol,
+      naiveBayesTrain(corpus, textCol, label).localCheckpoint())
+}

@@ -234,7 +234,14 @@ object CurationOps extends QueryPack {
       Mixture.temperatureSelect(t(s, dir).documents, "lang",
         TextOps.tokenCount(col("text")), budgetOf = total => total / 2L,
         idCol = "doc_id")
-        .select(col("doc_id"), col("lang"))))
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- Naive Bayes quality classifier (fastText/CCNet filtering
+    //      shape): train on a cheap proxy label (lang = en), score every
+    //      doc's add-one log-odds margin in exact staged micro-nats ----
+    "quality_nb" -> ((s, dir) =>
+      Classifier.naiveBayesSelfScore(t(s, dir).documents, "doc_id", "text",
+        col("lang") === "en")))
 
   private val WinnowK = 5
   private val WinnowW = 4
@@ -602,7 +609,60 @@ object CurationOps extends QueryPack {
     "graph_pagerank" -> graphPagerankSql,
     "dedup_keep_central" -> dedupKeepCentralSql,
     "mixture_alpha" -> alphaSql,
-    "mixture_alpha_select" -> alphaSelectSql)
+    "mixture_alpha_select" -> alphaSelectSql,
+    "quality_nb" -> nbSql)
+
+  /** Naive Bayes margin oracle: the identical count model and staged-log
+    * chains (positive-class, negative-class, and the signed prior chain)
+    * replayed in SQL, mirroring [[graft.llm.Classifier.naiveBayesScore]].
+    */
+  private def nbSql: String = {
+    val chainP = PortableMath.duckCteChain(
+      PortableMath.microLnStages("ap", "bp", PortableMath.duckShiftLeft),
+      "j", "pa")
+    val chainN = PortableMath.duckCteChain(
+      PortableMath.microLnStages("an", "bn", PortableMath.duckShiftLeft),
+      "p2", "na")
+    val chainPr = PortableMath.duckCteChain(
+      PortableMath.microLnSignedStages("dp", "dn", PortableMath.duckShiftLeft),
+      "dc", "pr")
+    s"""WITH lab AS (
+       |  SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
+       |tok AS (SELECT doc_id, pos, unnest($DuckToks) AS token FROM lab),
+       |cnt AS (SELECT token,
+       |          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS c_pos,
+       |          CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS c_neg
+       |        FROM tok GROUP BY 1),
+       |tt AS (SELECT CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS np,
+       |              CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS nn,
+       |              CAST(count(*) AS BIGINT) AS v FROM cnt),
+       |dc AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |                AS dp,
+       |              CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+       |                AS BIGINT) AS dn
+       |       FROM lab),
+       |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS m
+       |       FROM tok GROUP BY 1, 2),
+       |j AS (SELECT doc_id, m, c_pos + 1 AS ap, c_neg + 1 AS an,
+       |        np + v AS bp, nn + v AS bn
+       |      FROM dt JOIN cnt USING (token) CROSS JOIN tt),
+       |$chainP,
+       |p2 AS (SELECT doc_id, m, an, bn, lp AS lp_pos FROM pafin),
+       |$chainN,
+       |sm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+       |         CAST(sum(m * (lp_pos - lp)) AS BIGINT) AS s
+       |       FROM nafin GROUP BY 1),
+       |$chainPr
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sm.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sm.s, 0) + pr.lp AS BIGINT) AS nb_margin_micro,
+       |  (coalesce(sm.s, 0) + pr.lp > 0) AS nb_pos
+       |FROM documents d
+       |LEFT JOIN sm ON d.doc_id = sm.doc_id
+       |CROSS JOIN (SELECT lp FROM prfin) pr""".stripMargin
+  }
 
   /** Shared α=1/2 temperature-mixture CTEs, mirroring
     * [[graft.llm.Mixture.temperatureAllocation]]: exact integer sqrt via

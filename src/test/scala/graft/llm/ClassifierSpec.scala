@@ -1,0 +1,77 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.PortableMath
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, true, "good clean prose"),
+    (2L, true, "good text"),
+    (3L, false, "spam spam buy"),
+    (4L, false, "buy now"),
+    (5L, false, "now")).toDF("doc_id", "pos", "text")
+
+  test("naiveBayesScore reproduces the hand-computed add-one margin") {
+    val model = Classifier.naiveBayesTrain(docs, "text", col("pos"))
+    val got = Classifier.naiveBayesScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+
+    // counts: pos tokens = {good:2, clean:1, prose:1, text:1} N_pos=5;
+    // neg = {spam:2, buy:2, now:2} N_neg=6; V=7 → bp=12, bn=13;
+    // docs: dp=2, dn=3
+    def ln(a: Long, b: Long) = PortableMath.microLnSignedRef(a, b)
+    val prior = ln(2, 3)
+    def term(cp: Long, cn: Long) = ln(cp + 1, 12) - ln(cn + 1, 13)
+    val m1 = term(2, 0) + term(1, 0) + term(1, 0) + prior // good clean prose
+    assert(got(1L) === ((3L, m1, m1 > 0)))
+    val m3 = 2 * term(0, 2) + term(0, 2) + prior // spam spam buy
+    assert(got(3L) === ((3L, m3, m3 > 0)))
+    // polarity sanity
+    assert(got(1L)._3 && got(2L)._3 && !got(3L)._3 && !got(4L)._3)
+  }
+
+  test("NB models over disjoint corpora merge additively (sans vocab sentinel)") {
+    val half1 = docs.filter(col("doc_id") <= 2)
+    val half2 = docs.filter(col("doc_id") > 2)
+    val merged = Classifier.naiveBayesTrain(half1, "text", col("pos"))
+      .unionByName(Classifier.naiveBayesTrain(half2, "text", col("pos")))
+      .filter(col("token") =!= Classifier.VocabKey)
+      .groupBy("token").agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+    val full = Classifier.naiveBayesTrain(docs, "text", col("pos"))
+      .filter(col("token") =!= Classifier.VocabKey)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet ===
+      full.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet)
+  }
+
+  test("scoring fails fast on a model without sentinels and on one-class models") {
+    val bare = Seq(("tokenx", 1L, 0L)).toDF("token", "c_pos", "c_neg")
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.naiveBayesScore(docs, "doc_id", "text", bare)
+    }
+    assert(e1.getMessage.contains("malformed NB model"))
+    val onClass = Classifier.naiveBayesTrain(docs, "text", lit(true))
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.naiveBayesScore(docs, "doc_id", "text", onClass)
+    }
+    assert(e2.getMessage.contains("both classes"))
+  }
+
+  test("unseen tokens score at the smoothing floor, not NULL") {
+    val model = Classifier.naiveBayesTrain(docs, "text", col("pos"))
+      .localCheckpoint()
+    val fresh = Seq((9L, "zzz unseen words")).toDF("doc_id", "text")
+    val r = Classifier.naiveBayesScore(fresh, "doc_id", "text", model)
+      .collect()(0)
+    def ln(a: Long, b: Long) = PortableMath.microLnSignedRef(a, b)
+    // three unseen tokens: each scores the smoothing floor for BOTH
+    // classes, ln(1/12) - ln(1/13)
+    assert(r.getLong(2) === 3 * (ln(1, 12) - ln(1, 13)) + ln(2, 3))
+    assert(r.getLong(1) === 3L)
+  }
+}
