@@ -104,6 +104,7 @@ object Bench {
     "sim_ann_ivf" -> "sai",
     "sim_ann_pq" -> "sap",
     "pack_chunks" -> "pc",
+    "pack_shards" -> "ps",
     "cluster_kmeans" -> "km",
     "scd2_merge" -> "sc2",
     "text_boilerplate" -> "txb",

@@ -62,6 +62,39 @@ object Packing {
       pmod(beforeL, lit(budget.toLong)).as("tok_offset"))
   }
 
+  /** Token-balanced shard assignment by boustrophedon ("snake") ordering:
+    * rank documents by (token count desc, id asc), then deal rank blocks
+    * of `nShards` alternately forward and backward across the shards —
+    * the classic balanced-sharding pattern (snake draft): each
+    * back-and-forth pass gives every shard one big and one small pick, so
+    * shard token totals stay within ~one document of each other without
+    * any sequential greedy state. Use it to cut a corpus into equal-work
+    * training shards when [[packSequences]]'s id-hash sharding would let
+    * a skewed length distribution unbalance epochs.
+    *
+    * Scale: the global rank is [[graft.etl.Transforms.globalSortRank]] —
+    * range-partitioned sort + broadcast prefix offsets, never the
+    * SinglePartition window a naive global `row_number()` plans
+    * (PlanSpec-pinned). Everything after the rank is a map-only
+    * projection. The assignment is a pure function of (id, token count):
+    * layout-independent, engine-reproducible (window-SQL oracle).
+    *
+    * Output: (idCol, n_tokens, shard), shard ∈ [0, nShards).
+    */
+  def shardBalanced(df: DataFrame, idCol: String, tokensCol: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val slim = df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+    val ranked = graft.etl.Transforms.globalSortRank(slim,
+      Seq(col("n_tokens").desc, col(idCol).asc), "__snake_r")
+    ranked.select(col(idCol), col("n_tokens"),
+      expr(s"""CAST(CASE
+        | WHEN ((__snake_r - 1) DIV $nShards) % 2 = 0
+        |   THEN (__snake_r - 1) % $nShards
+        | ELSE $nShards - 1 - ((__snake_r - 1) % $nShards)
+        | END AS BIGINT)""".stripMargin).as("shard"))
+  }
+
   /** Exploded per-chunk view of [[packSequences]]: one row per
     * (document, sequence) intersection with the in-document token range
     * that lands in that sequence — what a copy kernel actually consumes.

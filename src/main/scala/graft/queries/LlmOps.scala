@@ -373,6 +373,14 @@ object LlmOps extends QueryPack {
       Packing.packChunks(t(s, dir).documents, "doc_id",
         TextOps.tokenCount(col("text")), budget = 512, nShards = 8)),
 
+    // ---- token-balanced snake sharding: rank by (tokens desc, id),
+    //      deal alternately forward/backward across 8 shards — equal-work
+    //      training shards, distributed rank (PlanSpec: no
+    //      SinglePartition) ----
+    "pack_shards" -> ((s, dir) =>
+      Packing.shardBalanced(t(s, dir).documents, "doc_id",
+        TextOps.tokenCount(col("text")), nShards = 8)),
+
     // ---- deterministic corpus shuffle: exact global (md5, id) rank at
     //      256-way parallelism — never the single-partition sort a naive
     //      global row_number() would plan (PlanSpec asserts this) ----
@@ -1347,6 +1355,20 @@ object LlmOps extends QueryPack {
          |)
          |SELECT doc_id FROM base
          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "pack_shards" ->
+      s"""WITH tokd AS (
+         |  SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+         |      AS BIGINT) AS r0
+         |  FROM tokd)
+         |SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+         |       ELSE 7 - (r0 % 8) END AS BIGINT) AS shard
+         |FROM r""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH d AS (

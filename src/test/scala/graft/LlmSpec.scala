@@ -387,6 +387,37 @@ class LlmSpec extends SparkSpec {
     assert(shuffled.exceptAll(packed).count() === 0)
   }
 
+  test("Packing.shardBalanced: exact snake assignment, balanced totals, layout-independent") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 97L).map(i => (i, Seq.fill(1 + rnd.nextInt(50))("w")
+      .mkString(" "))).toDF("doc_id", "text")
+    val n = 8
+    val got = Packing.shardBalanced(docs, "doc_id",
+        TextOps.tokenCount($"text"), n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // literal snake reference
+    val ref = got.map(t => (t._1, t._2)).sortBy { case (id, tk) => (-tk, id) }
+      .zipWithIndex.map { case ((id, tk), r0) =>
+        val pos = r0 % n
+        (id, tk, if ((r0 / n) % 2 == 0) pos.toLong else (n - 1 - pos).toLong)
+      }
+    assert(got.sortBy(_._1).toSeq === ref.sortBy(_._1).toSeq)
+
+    // balance: shard totals within 2× the largest document of each other
+    val totals = got.groupBy(_._3).map(_._2.map(_._2).sum)
+    val maxDoc = got.map(_._2).max
+    assert(totals.max - totals.min <= 2 * maxDoc,
+      s"totals=$totals maxDoc=$maxDoc")
+
+    // layout independence
+    val again = Packing.shardBalanced(
+        docs.repartition(5).sortWithinPartitions($"doc_id".desc),
+        "doc_id", TextOps.tokenCount($"text"), n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("Selection: histogram-pruned picks equal plain-window picks, incl. degenerate scores") {
     import org.apache.spark.sql.expressions.Window
     // group a: smooth score spread; group b: ALL MASS ON ONE SCORE (the

@@ -117,6 +117,13 @@ class PlanSpec extends SparkSpec {
       s"global rank fell back to a single-partition sort:\n${p.take(800)}")
   }
 
+  test("pack_shards snake rank is range-partitioned, never SinglePartition") {
+    val p = plan("pack_shards")
+    assert(p.contains("Window"), p.take(500))
+    assert(!p.contains("SinglePartition"),
+      s"snake rank fell back to a single-partition sort:\n${p.take(800)}")
+  }
+
   test("q36 profiling is one pass: single Expand, no SinglePartition agg") {
     // the exact multi-column ndv must plan ONE Expand over one scan —
     // a per-column plan would rescan lineitem 11 times
