@@ -151,4 +151,44 @@ object Classifier extends Serializable {
       label: Column): DataFrame =
     naiveBayesScore(corpus, idCol, textCol,
       naiveBayesTrain(corpus, textCol, label).localCheckpoint())
+
+  // ---------------------------------------------------------------------
+  // Keyed (2-column) model encoding — the additive (key, cnt) form the
+  // streaming indexed-ingest engine persists: key = "+ <token>" /
+  // "- <token>" (class prefix; tokens cannot contain a space, so prefixes
+  // never collide), cnt = the class count. The data-dependent VocabKey
+  // sentinel is DROPPED in keyed form (summing per-batch vocab sizes would
+  // double-count shared tokens) and recomputed on decode.
+  // ---------------------------------------------------------------------
+
+  /** Encode a [[naiveBayesTrain]] model as additive (key, cnt) rows. */
+  def toKeyedModel(model: DataFrame): DataFrame = {
+    val m = model.filter(col("token") =!= VocabKey)
+    m.select(concat(lit("+ "), col("token")).as("key"),
+        col("c_pos").as("cnt"))
+      .unionByName(m.select(concat(lit("- "), col("token")).as("key"),
+        col("c_neg").as("cnt")))
+  }
+
+  /** Merge two keyed models: counts sum per key (exact, order-free). */
+  def mergeKeyedModels(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("key").agg(sum(col("cnt")).as("cnt"))
+
+  /** Decode a keyed model back to [[naiveBayesScore]]'s 3-column form,
+    * recomputing the vocab sentinel from the decoded token set.
+    */
+  def fromKeyedModel(keyed: DataFrame): DataFrame = {
+    val m = keyed
+      .select(substring(col("key"), 1, 2).as("cls"),
+        expr("substring(key, 3)").as("token"), col("cnt"))
+      .groupBy("token").agg(
+        sum(when(col("cls") === "+ ", col("cnt")).otherwise(0L)).as("c_pos"),
+        sum(when(col("cls") === "- ", col("cnt")).otherwise(0L)).as("c_neg"))
+    val vocab = m
+      .filter(!col("token").isin(TokenTotalsKey, DocTotalsKey))
+      .agg(count(lit(1)).as("v"))
+      .select(lit(VocabKey).as("token"), col("v").as("c_pos"),
+        col("v").as("c_neg"))
+    m.unionByName(vocab)
+  }
 }

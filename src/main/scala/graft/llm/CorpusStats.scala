@@ -44,7 +44,9 @@ object CorpusStats extends Serializable {
     "n_tokens", "n_removed", "clean_text", "m", "lpm", "avg_nll_micro",
     "para", "para_df", "n_paras",
     // collocations working columns (incl. the signed-log stages)
-    "w", "bb", "tt", "c1a", "c1b", "lp_first", "pmi_micro") ++
+    "w", "bb", "tt", "c1a", "c1b", "lp_first", "pmi_micro",
+    // vocabTopKSketch working/output columns
+    "token", "freq") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 

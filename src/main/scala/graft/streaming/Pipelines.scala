@@ -340,6 +340,61 @@ object Pipelines {
       CorpusStats.mergeNgramIndex)
   }
 
+  /** Continuous Naive Bayes quality classification
+    * ([[graft.llm.Classifier]], streaming form): each batch is proxy-
+    * labeled by `labelExpr` (a SQL boolean over the (idCol, textCol)
+    * projection — the CCNet-style cheap heuristic label, e.g. a keyword
+    * or langid predicate on the text), its count evidence is folded into
+    * ONE additive class-prefixed (key, cnt) model over the shared
+    * base/delta engine, and the batch is scored against the ACCUMULATED
+    * model — so a fresh batch scores exactly as the batch operator would
+    * with the union corpus as training set (StreamingSpec proves the
+    * equality). Same caveat as every ingest loop: already-scored batches
+    * are immutable; evidence arriving later affects later batches only.
+    */
+  def nbScoreIngest(stream: DataFrame, idCol: String, textCol: String,
+      labelExpr: String, scoresDir: String, indexDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Classifier
+    indexedIngest(stream, idCol, textCol, scoresDir, indexDir,
+      checkpointDir, compactEvery, "key", "cnt",
+      (idx, fresh) => {
+        val freshIdx = Classifier.toKeyedModel(
+          Classifier.naiveBayesTrain(fresh, textCol, expr(labelExpr)))
+          .localCheckpoint()
+        val merged = Classifier.mergeKeyedModels(idx, freshIdx)
+        val model = Classifier.fromKeyedModel(merged).localCheckpoint()
+        // a young model may still be one-class (every doc so far on one
+        // side of the proxy) — scoring has no defined prior yet, so emit
+        // an empty scores partition and keep accumulating evidence; the
+        // batch operator over the same prefix corpus fails the same way
+        val Array(dp, dn) = model
+          .filter(col("token") === Classifier.DocTotalsKey)
+          .select(col("c_pos"), col("c_neg"))
+          .collect().headOption
+          .map(r => Array(r.getLong(0), r.getLong(1)))
+          .getOrElse(Array(0L, 0L))
+        val out =
+          if (dp > 0 && dn > 0)
+            Classifier.naiveBayesScore(fresh, idCol, textCol, model)
+          else fresh.select(col(idCol), lit(0L).as("n_tokens"),
+            lit(0L).as("nb_margin_micro"), lit(false).as("nb_pos")).limit(0)
+        (out, freshIdx)
+      },
+      Classifier.mergeKeyedModels)
+  }
+
+  /** The accumulated keyed NB model at `indexDir` (written by
+    * [[nbScoreIngest]]): class-prefixed (key, cnt) rows; decode with
+    * [[graft.llm.Classifier.fromKeyedModel]]. Empty frame if empty.
+    */
+  def readNbModel(spark: SparkSession, indexDir: String): DataFrame =
+    indexState(spark, indexDir, None, "key", "cnt")._1.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("key", "cnt")
+    }
+
   /** The accumulated reference n-gram index at `indexDir` (written by
     * [[lmScoreIngest]]): level-prefixed (ng, cnt) rows. Empty frame if
     * the index is empty.

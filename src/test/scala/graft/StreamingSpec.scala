@@ -778,4 +778,48 @@ class StreamingSpec extends SparkSpec {
     assert(full(Retrieval.DocCountKey) === 4L)
     assert(full(Retrieval.TokenCountKey) === 14L)
   }
+
+  test("nbScoreIngest: batch margins equal the batch operator over the union corpus") {
+    import graft.llm.Classifier
+    val base = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    val label = "text LIKE '%good%'"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.nbScoreIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", label,
+      s"$base/scores", s"$base/index", s"$base/ckpt", compactEvery = 2)
+    // batch 0 is ONE-CLASS (all positive): no prior yet — must emit an
+    // empty scores partition and keep the evidence
+    val b0 = Seq((1L, "good clean prose"), (2L, "good text"))
+    val b1 = Seq((3L, "spam spam buy"), (4L, "buy now good"))
+    val b2 = Seq((5L, "fresh good words"), (6L, "buy spam"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def sset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"nb_margin_micro", $"nb_pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val out = spark.read.parquet(s"$base/scores")
+    assert(out.filter($"batch" === 0).count() === 0)
+    def score(docs: Seq[(Long, String)], trainOver: Seq[(Long, String)]) =
+      Classifier.naiveBayesScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text",
+        Classifier.naiveBayesTrain(trainOver.toDF("doc_id", "text"),
+          "text", org.apache.spark.sql.functions.expr(label)))
+    // batch 1: scored against accumulated evidence (b0 ∪ b1)
+    assert(sset(out.filter($"batch" === 1)) === sset(score(b1, b0 ++ b1)))
+    // batch 2: accumulated (b0 ∪ b1 ∪ b2)
+    assert(sset(out.filter($"batch" === 2)) ===
+      sset(score(b2, b0 ++ b1 ++ b2)))
+    // the resolved keyed model decodes to the batch model over the union
+    val resolved = Classifier.fromKeyedModel(graft.streaming.Pipelines
+        .readNbModel(spark, s"$base/index"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Classifier.naiveBayesTrain(
+        (b0 ++ b1 ++ b2).toDF("doc_id", "text"), "text",
+        org.apache.spark.sql.functions.expr(label))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resolved === full)
+  }
 }
