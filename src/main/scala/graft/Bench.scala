@@ -34,12 +34,12 @@ object Bench {
     * collision-free.
     */
   private val Overrides = Map(
-    "feat_category_index" -> "ftc",
-    "sim_neardup_cosine" -> "sind",
+    "feat_category_index" -> "fc",
+    "sim_neardup_cosine" -> "sn",
     "dedup_ngram_jaccard" -> "dj",
     "dedup_span_removal" -> "dsp",
     "dedup_against_ref" -> "dvr",
-    "dedup_vs_ref_near" -> "dvn",
+    "dedup_vs_ref_near" -> "dv",
     "mm_binary_stats" -> "mms",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
@@ -90,6 +90,8 @@ object Bench {
     "mixture_alpha" -> "ma",
     "mixture_alpha_select" -> "mas",
     "quality_nb" -> "nb",
+    "unigram_vocab" -> "uv",
+    "unigram_encode" -> "ue",
     "dedup_exact" -> "de",
     "dedup_apply" -> "da",
     "dedup_minhash" -> "dm",
@@ -106,7 +108,7 @@ object Bench {
     "pack_chunks" -> "pc",
     "pack_shards" -> "ps",
     "cluster_kmeans" -> "km",
-    "scd2_merge" -> "sc2",
+    "scd2_merge" -> "s2",
     "text_boilerplate" -> "txb",
     "text_commonness" -> "txc",
     "mixture_tokens" -> "mxt",
@@ -221,7 +223,9 @@ object Bench {
         .mkString("{", ",", "}")
       // basename only: the full dir is in the early line + bench_out.json
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","warm_reps":$reps,"queries":$q,"sf":"$sfShort"}"""
+      // no warm_reps here: the tail budget is the scarce resource and the
+      // rep count is in bench_out.json + the early full-name line
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$q,"sf":"$sfShort"}"""
     }
     val tailLine = Seq(3, 2).map(compact).find(_.length <= 1880)
       .getOrElse(compact(1))

@@ -99,6 +99,127 @@ object Tokenizer extends Serializable {
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Unigram-LM tokenizer pieces (the SentencePiece seed, Kudo 2018): all
+    * substrings of the word vocabulary up to `maxPieceLen` chars, counted
+    * at every occurrence weighted by word frequency, pruned to the
+    * `vocabSize` most frequent (count desc, piece asc — total order) with
+    * ALL single characters retained (full coverage, so every trained word
+    * stays segmentable), each scored `lp_micro = floor(ln(cnt/total)·10⁶)`
+    * via the engine-exact staged log. This is the seed-and-prune phase of
+    * the unigram trainer — the honest deterministic core; SentencePiece's
+    * EM refinement iterates expected counts on top of exactly this table
+    * and changes scores, not the mechanism, and [[unigramEncodeCounts]]
+    * consumes any (piece, lp_micro) table unchanged if one is refined
+    * elsewhere.
+    *
+    * Scale shape: one corpus scan into the word-frequency table (the BPE
+    * trainer's move), then substring explosion over the VOCAB-sized frame
+    * — |vocab|·O(word_len·maxPieceLen) slim (piece, cnt) rows, partial-
+    * aggregated before the shuffle; the prune is a TakeOrdered. Total and
+    * log-scores touch only the ≤ vocabSize+|alphabet| kept rows.
+    *
+    * Output: (piece, cnt, lp_micro).
+    */
+  def unigramPieces(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive, got $maxPieceLen")
+    val words = df
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val subs = words
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+           |  transform(sequence(1, least($maxPieceLen, length(word) - s + 1)),
+           |    l -> substring(word, s, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("c")).as("cnt"))
+      .localCheckpoint() // feeds the top-k, the singles, and nothing else twice
+    val kept = subs
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+      .unionByName(subs.filter(length(col("piece")) === 1))
+      .groupBy("piece").agg(max(col("cnt")).as("cnt"))
+      .localCheckpoint() // bounded: ≤ vocabSize + |alphabet| rows
+    val total = kept.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(total > 0, "unigramPieces: empty training vocabulary")
+    val chain = graft.functions.PortableMath.microLnStages("cnt",
+      total.toString, graft.functions.PortableMath.sparkShiftLeft)
+    chain.foldLeft(kept) { case (d, (n, s)) => d.withColumn(n, expr(s)) }
+      .select(col("piece"), col("cnt"), col("lp").as("lp_micro"))
+  }
+
+  /** Viterbi-encode the corpus against a (piece, lp_micro) table and count
+    * pieces per document — the unigram counterpart of
+    * [[applyMergesTokenCountsKernel]], and an exact integer DP: a word's
+    * best segmentation maximizes Σ lp over pieces, ties broken toward
+    * FEWER pieces, and both objectives ride one BIGINT key
+    * (`key' = key + lp·2²⁰ − 1`, score in the high bits, a descending
+    * piece budget in the low 20), so "max key" IS the deterministic
+    * argmax — no float, no tie ambiguity, and the DuckDB oracle replays
+    * the identical unrolled DP with plain `max`.
+    *
+    * Scale shape: the DP runs as a mapPartitions kernel over the DISTINCT
+    * word vocabulary with the piece table broadcast (it is vocabSize-
+    * bounded by construction); documents join the word→(pieces, nll) map.
+    * Words never trained (non-alphanumeric, or containing an unseen
+    * character) count as 1 piece with 0 nll — same convention as BPE's
+    * untrained words, mirrored by the oracle's left join.
+    *
+    * Output: (idCol, n_words, n_pieces, nll_micro) with
+    * `nll_micro = Σ −lp` over every encoded word instance.
+    */
+  def unigramEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = pieces.select(col("piece"), col("lp_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(table.nonEmpty, "unigramEncodeCounts: empty piece table")
+    val bc = spark.sparkContext.broadcast(table)
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val vocab = words.filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .select("word").distinct()
+    val L = maxPieceLen
+    val encoded = vocab.as[String].mapPartitions { it =>
+      val lpOf = bc.value
+      it.map { word =>
+        val n = word.length
+        val key = Array.fill(n + 1)(Long.MinValue)
+        key(0) = 1048575L // score 0, budget 2^20 − 1
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= L && l <= i) {
+            if (key(i - l) != Long.MinValue) {
+              lpOf.get(word.substring(i - l, i)) match {
+                case Some(lp) =>
+                  val cand = key(i - l) + lp * 1048576L - 1L
+                  if (cand > key(i)) key(i) = cand
+                case None => ()
+              }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        if (key(n) == Long.MinValue) (word, 1L, 0L) // unreachable: untrained
+        else {
+          val fm = java.lang.Math.floorMod(key(n), 1048576L)
+          val np = 1048575L - fm
+          val nll = -((key(n) - fm) / 1048576L)
+          (word, np, nll)
+        }
+      }
+    }.toDF("word", "np", "nllw")
+    words.join(encoded, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("np"), lit(1L))).as("n_pieces"),
+        sum(coalesce(col("nllw"), lit(0L))).as("nll_micro"))
+  }
+
   /** Apply a learned merge table and count the resulting BPE tokens per
     * document — the "encode" half of the tokenizer loop, and the token
     * counter a budget/packing stage should use once a tokenizer exists.

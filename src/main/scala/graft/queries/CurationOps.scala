@@ -241,12 +241,33 @@ object CurationOps extends QueryPack {
     //      doc's add-one log-odds margin in exact staged micro-nats ----
     "quality_nb" -> ((s, dir) =>
       Classifier.naiveBayesSelfScore(t(s, dir).documents, "doc_id", "text",
-        col("lang") === "en")))
+        col("lang") === "en")),
+
+    // ---- unigram-LM tokenizer pieces (SentencePiece seed-and-prune):
+    //      substring counts over the word vocab, top-64 + full single-char
+    //      coverage, staged-log scores ----
+    "unigram_vocab" -> ((s, dir) =>
+      Tokenizer.unigramPieces(t(s, dir).documents, "text", UnigramV,
+        UnigramL)),
+
+    // ---- the corpus Viterbi-encoded against those pieces: exact integer
+    //      DP (score ⊕ piece-count in one BIGINT key), per-doc piece and
+    //      nll totals; the oracle replays the unrolled DP ----
+    "unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      Tokenizer.unigramEncodeCounts(docs, "doc_id", "text",
+        Tokenizer.unigramPieces(docs, "text", UnigramV, UnigramL), UnigramL)
+    }))
 
   private val WinnowK = 5
   private val WinnowW = 4
   private val PrIters = 5
   private val PrDamp = 850000L
+  private val UnigramV = 64
+  private val UnigramL = 4
+  // oracle DP unroll bound — margin over the corpus max word length (8 at
+  // every sf); a longer word would hash-mismatch loudly
+  private val UnigramMaxWordLen = 12
 
   /** Winnow pairs over the planted corpus, memoized per (session, sf dir)
     * and localCheckpoint'd — the corpus-sized fingerprint pass runs once
@@ -610,7 +631,102 @@ object CurationOps extends QueryPack {
     "dedup_keep_central" -> dedupKeepCentralSql,
     "mixture_alpha" -> alphaSql,
     "mixture_alpha_select" -> alphaSelectSql,
-    "quality_nb" -> nbSql)
+    "quality_nb" -> nbSql,
+    "unigram_vocab" -> unigramVocabSql,
+    "unigram_encode" -> unigramEncodeSql)
+
+  /** Shared unigram-piece CTEs mirroring
+    * [[graft.llm.Tokenizer.unigramPieces]]: substring counts over the word
+    * vocabulary (DuckDB `range` is end-exclusive, hence the `+ 1`s),
+    * top-V + single-char coverage, staged-log scores. Ends in `pieces` =
+    * (piece, cnt, lp_micro).
+    */
+  private def unigramPieceCtes: String = unigramPieceCtesImpl(mat = false)
+
+  /** The same chain with the `pieces` result MATERIALIZED — the encode
+    * oracle references it from ~40 DP branches.
+    */
+  private def unigramPieceCtesMat: String = unigramPieceCtesImpl(mat = true)
+
+  private def unigramPieceCtesImpl(mat: Boolean): String = {
+    val M = if (mat) " MATERIALIZED" else ""
+    val lnChain = PortableMath.duckCteChain(
+      PortableMath.microLnStages("cnt", "utt", PortableMath.duckShiftLeft),
+      "ukj", "ug")
+    s"""uw AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($DuckToks) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$') GROUP BY 1),
+       |usub AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM (
+       |    SELECT c, unnest(flatten(list_transform(
+       |      range(1, len(word) + 1), s -> list_transform(
+       |        range(1, least($UnigramL, len(word) - s + 1) + 1),
+       |        l -> substr(word, s, l))))) AS piece
+       |    FROM uw) GROUP BY 1),
+       |utopk AS (SELECT piece, cnt FROM usub
+       |          ORDER BY cnt DESC, piece ASC LIMIT $UnigramV),
+       |ukept AS (SELECT piece, max(cnt) AS cnt FROM (
+       |    SELECT * FROM utopk
+       |    UNION ALL SELECT piece, cnt FROM usub WHERE length(piece) = 1)
+       |  GROUP BY 1),
+       |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS utt FROM ukept),
+       |ukj AS (SELECT piece, cnt, utt FROM ukept CROSS JOIN utot),
+       |$lnChain,
+       |pieces AS$M (SELECT piece, cnt, lp AS lp_micro FROM ugfin)""".stripMargin
+  }
+
+  private def unigramVocabSql: String =
+    s"""WITH $unigramPieceCtes
+       |SELECT piece, cnt, lp_micro FROM pieces""".stripMargin
+
+  /** The unrolled Viterbi DP (positions 1..[[UnigramMaxWordLen]]), exactly
+    * [[graft.llm.Tokenizer.unigramEncodeCounts]]'s integer key recurrence
+    * `k' = k + lp·2²⁰ − 1`; a word absent from its final-position CTE
+    * (unreachable, or longer than the unroll) falls to the untrained
+    * (1 piece, 0 nll) arm of the LEFT JOIN — the kernel's own convention.
+    */
+  private def unigramEncodeSql: String = {
+    // every DP stage and shared input is MATERIALIZED: DuckDB inlines
+    // plain CTEs, and the 4-ary ud-recurrence would otherwise expand into
+    // an exponential plan that re-opens the parquet once per leaf
+    // (observed as "Too many open files" at depth 16)
+    val dps = (1 to UnigramMaxWordLen).map { i =>
+      val branches = (1 to math.min(UnigramL, i)).map { l =>
+        s"""    SELECT d.word, d.k + p.lp_micro * 1048576 - 1 AS k
+           |    FROM ud${i - l} d JOIN pieces p
+           |      ON p.piece = substr(d.word, ${i - l + 1}, $l)
+           |    WHERE length(d.word) >= $i""".stripMargin
+      }
+      s"""ud$i AS MATERIALIZED (
+         |  SELECT word, max(k) AS k FROM (
+         |${branches.mkString("\n    UNION ALL\n")}
+         |  ) GROUP BY 1)""".stripMargin
+    }
+    val finals = (1 to UnigramMaxWordLen).map { i =>
+      s"SELECT word, k FROM ud$i WHERE length(word) = $i"
+    }
+    s"""WITH $unigramPieceCtesMat,
+       |uvd AS MATERIALIZED (
+       |  SELECT DISTINCT word
+       |  FROM (SELECT unnest($DuckToks) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[A-Za-z0-9]+$$')),
+       |ud0 AS MATERIALIZED (SELECT word, CAST(1048575 AS BIGINT) AS k FROM uvd),
+       |${dps.mkString(",\n")},
+       |udone AS (
+       |${finals.mkString("\n  UNION ALL\n")}),
+       |uenc AS (SELECT word,
+       |    CAST(1048575 - ((k % 1048576 + 1048576) % 1048576) AS BIGINT)
+       |      AS np,
+       |    CAST(-((k - ((k % 1048576 + 1048576) % 1048576)) // 1048576)
+       |      AS BIGINT) AS nllw
+       |  FROM udone),
+       |alltok AS (SELECT doc_id, unnest($DuckToks) AS word FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces,
+       |  CAST(sum(coalesce(nllw, 0)) AS BIGINT) AS nll_micro
+       |FROM alltok LEFT JOIN uenc USING (word) GROUP BY 1""".stripMargin
+  }
 
   /** Naive Bayes margin oracle: the identical count model and staged-log
     * chains (positive-class, negative-class, and the signed prior chain)

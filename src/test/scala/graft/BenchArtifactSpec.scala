@@ -19,7 +19,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     // mirror Bench.compact(2): every value at a pessimistic "999.99"
     val q = names.map(n => s""""${shortName(n)}":999.99""")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.99,"unit":"sec","warm_reps":3,"queries":$q,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$q,"sf":"sf0.1"}"""
     assert(line.length <= 1880,
       s"compact bench line is ${line.length} chars at worst-case widths — " +
         "over the ~1.9k budget the 2000-char driver tail allows; shorten " +

@@ -266,6 +266,64 @@ class CurationSpec extends SparkSpec {
     assert((kept -- tailIds).size < 36, "head group must be downsampled")
   }
 
+  // ----------------------------------------------------------- unigram
+
+  test("unigramPieces: substring counts, prune keeps singles, scores are staged logs") {
+    // corpus: "ab ab b" → words {ab:2, b:1}
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val got = Tokenizer.unigramPieces(df, "text", vocabSize = 2,
+        maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // substrings: ab→{a,b,ab}×2, b→{b}: a=2, b=3, ab=2.
+    // top-2 by (cnt desc, piece asc) = {b:3, a:2}; singles add nothing new
+    // except... a and b are singles; ab(2) loses to a(2) on the tie (piece
+    // asc). kept = {a:2, b:3}, total 5.
+    def lp(c: Long) = graft.functions.PortableMath.microLnRef(c, 5L)
+    assert(got.toSeq === Seq(("a", 2L, lp(2)), ("b", 3L, lp(3))))
+  }
+
+  test("unigramEncodeCounts: Viterbi prefers high-probability pieces, ties prefer fewer") {
+    // pieces: ab has much higher probability than a·b separately
+    val pieces = Seq(("a", -3000000L), ("b", -3000000L), ("ab", -1000000L))
+      .toDF("piece", "lp_micro")
+    val docs = Seq((1L, "abab ab a zz9!")).toDF("doc_id", "text")
+    val got = Tokenizer.unigramEncodeCounts(docs, "doc_id", "text", pieces,
+        maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // abab → [ab, ab] (2 pieces, nll 2e6); ab → [ab] (1, 1e6);
+    // a → [a] (1, 3e6); zz9! → non-alphanumeric → untrained (1, 0)
+    assert(got.toSeq === Seq((1L, 4L, 5L, 6000000L)))
+
+    // tie case: lp(ab) = lp(a) + lp(b) exactly → fewer pieces must win
+    val tie = Seq(("a", -1000000L), ("b", -1000000L), ("ab", -2000000L))
+      .toDF("piece", "lp_micro")
+    val got2 = Tokenizer.unigramEncodeCounts(
+        Seq((1L, "ab")).toDF("doc_id", "text"), "doc_id", "text", tie,
+        maxPieceLen = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq === Seq((1L, 2000000L))) // one piece, same nll
+  }
+
+  test("unigram loop: encoding the corpus against its own pieces is total and exact") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val pieces = Tokenizer.unigramPieces(docs, "text", UnigramTestV, 4)
+    val enc = Tokenizer.unigramEncodeCounts(docs, "doc_id", "text", pieces, 4)
+    // self-trained: every alphanumeric word is segmentable (singles kept),
+    // so n_pieces ≥ n_words and nll > 0 for every non-empty doc
+    assert(enc.filter(col("n_pieces") < col("n_words")).count() === 0)
+    assert(enc.filter(col("n_words") > 0 && col("nll_micro") <= 0)
+      .count() === 0)
+    // layout independence
+    val enc2 = Tokenizer.unigramEncodeCounts(docs.repartition(13),
+      "doc_id", "text", pieces, 4)
+    assert(enc.exceptAll(enc2).count() === 0)
+    assert(enc2.exceptAll(enc).count() === 0)
+  }
+
+  private val UnigramTestV = 64
+
   // --------------------------------------------------------------- bpe
 
   test("bpeMerges learns greedy left-to-right merges (adjacent pairs available, overlaps not)") {
