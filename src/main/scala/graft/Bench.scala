@@ -37,22 +37,22 @@ object Bench {
     "feat_category_index" -> "fc",
     "sim_neardup_cosine" -> "sn",
     "dedup_ngram_jaccard" -> "dj",
-    "dedup_span_removal" -> "dsp",
-    "dedup_against_ref" -> "dvr",
+    "dedup_span_removal" -> "dz",
+    "dedup_against_ref" -> "dr",
     "dedup_vs_ref_near" -> "dv",
     "mm_binary_stats" -> "mms",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
-    "dedup_keep_best" -> "ddb",
+    "dedup_keep_best" -> "db",
     "text_fingerprint" -> "tf",
     "feat_standardize" -> "fts",
-    "text_para_dedup" -> "txp",
+    "text_para_dedup" -> "xp",
     "d2_json_decode" -> "d2d",
     "d2_json_props" -> "d2p",
     "text_token_stats" -> "tt",
     "chunk_sliding" -> "ch",
     "decontaminate" -> "dn",
-    "dedup_components" -> "ddc",
+    "dedup_components" -> "dc",
     "sim_topk_brute" -> "stk",
     "text_repetition" -> "tr",
     "emb_quantize" -> "emq",
@@ -68,7 +68,7 @@ object Bench {
     "dsir_select" -> "dsk",
     "sim_hard_negatives" -> "shn",
     "curriculum_order" -> "cu",
-    "text_html_clean" -> "txh",
+    "text_html_clean" -> "xh",
     "ret_bm25_topk" -> "bm",
     "ret_hybrid_rrf" -> "rf",
     "ret_hybrid_ann" -> "rfa",
@@ -82,7 +82,7 @@ object Bench {
     "text_novelty" -> "nv",
     "text_lm_backoff" -> "lb",
     "text_entropy" -> "en",
-    "dedup_winnow" -> "ddw",
+    "dedup_winnow" -> "dw",
     "dedup_winnow_apply" -> "dwa",
     "quality_blocklist" -> "qb",
     "graph_pagerank" -> "pr",
@@ -92,6 +92,7 @@ object Bench {
     "quality_nb" -> "nb",
     "unigram_vocab" -> "uv",
     "unigram_encode" -> "ue",
+    "text_span_corrupt" -> "sk",
     "dedup_exact" -> "de",
     "dedup_apply" -> "da",
     "dedup_minhash" -> "dm",
@@ -109,19 +110,19 @@ object Bench {
     "pack_shards" -> "ps",
     "cluster_kmeans" -> "km",
     "scd2_merge" -> "s2",
-    "text_boilerplate" -> "txb",
-    "text_commonness" -> "txc",
+    "text_boilerplate" -> "xb",
+    "text_commonness" -> "xc",
     "mixture_tokens" -> "mxt",
     "ml_score_linear" -> "mll",
     "corpus_shuffle" -> "csh",
     "corpus_datacard" -> "dcd",
     "emb_centroids" -> "emc",
-    "sample_stratified" -> "sms",
+    "sample_stratified" -> "sf",
     "dedup_common_span" -> "dcs",
     "pipeline_curate" -> "pp",
     "split_leakage_free" -> "spl",
-    "text_vocab_topk" -> "txv",
-    "text_vocab_topk_mg" -> "txm",
+    "text_vocab_topk" -> "xv",
+    "text_vocab_topk_mg" -> "xm",
     "token_budget" -> "tb",
     "quality_gate" -> "qg")
   private val codePrefix = "^([a-z]\\d+)_.*$".r

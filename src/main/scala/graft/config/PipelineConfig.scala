@@ -535,6 +535,25 @@ object PipelineConfig {
             case abs => _ => abs.toLong
           }
           graft.llm.Mixture.temperatureSelect(d, g, tk, budgetOf, idc)
+        // Naive Bayes proxy-label quality filter: self-train on a cheap
+        // SQL label, keep rows the classifier calls positive (or annotate
+        // the margin). cols = [idCol, textCol], expr = label SQL boolean,
+        // name = "filter" (default) or "annotate"
+        case "nb_filter" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("nb_filter needs cols = [idCol, textCol]")
+          }
+          val scored = graft.llm.Classifier.naiveBayesSelfScore(d, idc, c,
+            expr(t.expr.getOrElse(
+              sys.error("nb_filter needs expr = proxy-label SQL boolean"))))
+          t.name.getOrElse("filter") match {
+            case "annotate" => d.join(scored, Seq(idc))
+            case "filter" => d.join(scored.filter(col("nb_pos"))
+              .select(col(idc)), Seq(idc), "left_semi")
+            case other => sys.error(
+              s"nb_filter mode '$other' (want filter|annotate)")
+          }
         // incremental span removal against a PERSISTED span-df index
         // (read-only — index persistence belongs to the ingest loop,
         // streaming.Pipelines.boilerplateIngest, whose two-level layout

@@ -352,4 +352,62 @@ object TextOps {
         (col("__wmin") % (1L << 20)).as("pos"),
         expr(s"__wmin div ${1L << 20}").as("fingerprint"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020): mask ~`noisePermille`‰
+    * of each document's tokens, coalesce adjacent masked tokens into
+    * spans, replace each span with `<extra_id_K>` in the input and emit
+    * `<extra_id_K> tokens…` pairs as the target — the denoising-objective
+    * pair construction a seq2seq pretraining pipeline materializes.
+    *
+    * T5 samples its noise mask; at corpus scale the mask must instead be a
+    * PURE FUNCTION of (doc, position) so the pairs are reproducible across
+    * runs, engines, and retries: token (id, pos) is masked iff its 40-bit
+    * md5 hash mod 1000 < noisePermille (the winnow hash idiom — exactly
+    * decodable in SQL). Expected span length then follows geometrically
+    * from the noise density rather than T5's explicit mean-span knob —
+    * the trade for determinism.
+    *
+    * Scale shape: one posexplode, one per-doc window (gaps-and-islands for
+    * span ids), one aggregation whose collect_list carries (pos, piece)
+    * structs sorted in-group — no shuffle wider than the doc's own tokens,
+    * text never rides a corpus-wide key. Output:
+    * (idCol, n_tokens, n_spans, input_text, target_text).
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      noisePermille: Int = 150): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(noisePermille >= 0 && noisePermille <= 1000,
+      s"noisePermille must be in [0, 1000], got $noisePermille")
+    val reserved = Seq("pos", "tok", "__scm", "__scs", "__sck", "n_tokens",
+      "n_spans", "input_text", "target_text").filter(_ == idCol)
+    require(reserved.isEmpty,
+      s"idCol '$idCol' collides with a spanCorrupt working/output column")
+    val tokd = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col("pos").cast("string"))), 1, 10), 16, 10).cast("long")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val masked = tokd
+      .withColumn("__scm", pmod(h, lit(1000L)) < noisePermille)
+      .withColumn("__scs",
+        col("__scm") && !coalesce(lag(col("__scm"), 1).over(w), lit(false)))
+      .withColumn("__sck",
+        sum(col("__scs").cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+    val sentinel = concat(lit("<extra_id_"), col("__sck"), lit(">"))
+    val inPiece = when(!col("__scm"), col("tok"))
+      .when(col("__scs"), sentinel)
+    val tgtPiece = when(col("__scs"), concat(sentinel, lit(" "), col("tok")))
+      .when(col("__scm"), col("tok"))
+    def joined(piece: Column) = array_join(
+      transform(
+        array_sort(collect_list(when(piece.isNotNull,
+          struct(col("pos").as("p"), piece.as("t"))))),
+        x => x.getField("t")), " ")
+    masked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__scs").cast("long")).as("n_spans"),
+        joined(inPiece).as("input_text"),
+        joined(tgtPiece).as("target_text"))
+  }
 }

@@ -388,6 +388,12 @@ object LlmOps extends QueryPack {
       graft.etl.Transforms.globalHashRank(
         t(s, dir).documents.select(col("doc_id")), "doc_id")),
 
+    // ---- T5-style span corruption: hash-deterministic noise mask,
+    //      adjacent masked tokens coalesce into <extra_id_K> spans,
+    //      (input, target) pair per document ----
+    "text_span_corrupt" -> ((s, dir) =>
+      TextOps.spanCorrupt(t(s, dir).documents, "doc_id", "text")),
+
     // ---- PII redaction: map-only regexp_replace chain over the same
     //      detector regexes text_pii counts with ----
     "text_redact" -> ((s, dir) =>
@@ -1670,6 +1676,41 @@ object LlmOps extends QueryPack {
          |  (${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) AS stopword_ratio,
          |  $duckQuality AS quality
          |FROM documents""".stripMargin,
+
+    "text_span_corrupt" -> {
+      // the winnow 40-bit md5 decode, over the (doc_id:pos) key
+      val hexDecode =
+        """CAST(list_sum(list_transform(range(1, 11), j ->
+          |  CAST(strpos('0123456789abcdef', substr(hx, j, 1)) - 1 AS BIGINT)
+          |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT)""".stripMargin
+      s"""WITH tokz AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |tokp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+         |         FROM tokz, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |hx0 AS (SELECT doc_id, pos, tok,
+         |          substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |            CAST(pos AS VARCHAR)), 1, 10) AS hx
+         |        FROM tokp),
+         |msk AS (SELECT doc_id, pos, tok,
+         |          ($hexDecode % 1000) < 150 AS m FROM hx0),
+         |stt AS (SELECT *, m AND NOT coalesce(lag(m) OVER (
+         |          PARTITION BY doc_id ORDER BY pos), false) AS s
+         |        FROM msk),
+         |kk AS (SELECT *, sum(CASE WHEN s THEN 1 ELSE 0 END) OVER (
+         |         PARTITION BY doc_id ORDER BY pos
+         |         ROWS UNBOUNDED PRECEDING) - 1 AS k
+         |       FROM stt),
+         |pcs AS (SELECT doc_id, pos, s,
+         |          CASE WHEN NOT m THEN tok
+         |               WHEN s THEN '<extra_id_' || k || '>' END AS ip,
+         |          CASE WHEN s THEN '<extra_id_' || k || '> ' || tok
+         |               WHEN m THEN tok END AS tp
+         |        FROM kk)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |  coalesce(string_agg(ip, ' ' ORDER BY pos), '') AS input_text,
+         |  coalesce(string_agg(tp, ' ' ORDER BY pos), '') AS target_text
+         |FROM pcs GROUP BY doc_id""".stripMargin
+    },
 
     "text_vocab_topk" ->
       s"""SELECT token, count(*) AS freq FROM (

@@ -82,10 +82,35 @@ object ScaleProbe {
     out.toSeq
   }
 
+  /** Planted probe graph: ~2% of n in dup edges plus a 1000-node chain
+    * (the diameter-heavy shape) — shared by the components and PageRank
+    * probes so their ratios are comparable.
+    */
+  private def probeEdges(spark: SparkSession, n: Long): DataFrame = {
+    val ids = spark.range(n).toDF("id")
+    val dupEdges = ids
+      .filter(pmod(col("id"), lit(100)) === 1 && col("id") > 1)
+      .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
+      .unionByName(ids
+        .filter(pmod(col("id"), lit(100)) === 2 && col("id") > 1)
+        .select(col("id").as("id_a"), (col("id") - 2).as("id_b")))
+    val chain = spark.range(1000).toDF("c")
+      .select((col("c") + n).as("id_a"), (col("c") + n + 1).as("id_b"))
+    dupEdges.unionByName(chain)
+  }
+
+  private var probeSpark: SparkSession = _
+
   private def time(label: String, n: Long)(f: => Long): (String, Double) = {
     val t0 = System.nanoTime()
     val rows = f
     val secs = (System.nanoTime() - t0) / 1e9
+    // drop every persisted RDD (incl. operators' localCheckpoints) between
+    // rows: with ~15 probe ops × 2 corpus sizes the accumulated blocks
+    // otherwise exhaust the heap before the ContextCleaner gets to them
+    // (observed as an OOM in the 200k gopher row)
+    probeSpark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     println(f"[scale] n=$n%-8d $label%-18s $secs%7.2f s  ($rows rows)")
     (label, secs)
   }
@@ -94,6 +119,7 @@ object ScaleProbe {
     val nSmall = args.headOption.map(_.toLong).getOrElse(50000L)
     val factor = args.lift(1).map(_.toInt).getOrElse(4)
     val spark = GraftSession.local(32, "scale-probe")
+    probeSpark = spark
     spark.sparkContext.setLogLevel("WARN")
 
     def runAll(n: Long): Map[String, Double] = {
@@ -139,17 +165,39 @@ object ScaleProbe {
           // edges (~2% of n) plus a 1000-node chain — the diameter-heavy
           // shape whose convergence must stay O(log n) rounds, so the 4×
           // wall ratio should track edge count, not blow up
-          val ids = spark.range(n).toDF("id")
-          val dupEdges = ids
-            .filter(pmod(col("id"), lit(100)) === 1 && col("id") > 1)
-            .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
-            .unionByName(ids
-              .filter(pmod(col("id"), lit(100)) === 2 && col("id") > 1)
-              .select(col("id").as("id_a"), (col("id") - 2).as("id_b")))
-          val chain = spark.range(1000).toDF("c")
-            .select((col("c") + n).as("id_a"), (col("c") + n + 1).as("id_b"))
-          Dedup.survivorAssignment(dupEdges.unionByName(chain),
+          Dedup.survivorAssignment(probeEdges(spark, n),
             localThreshold = 0).count()
+        },
+        time("pagerank_dist", n) {
+          // fixed 5 power iterations over the same planted graph: per
+          // round one edge-sized join + agg, so the wall ratio must track
+          // edge count — a superlinear ratio would mean rank rows stopped
+          // being slim (id, long) pairs
+          graft.llm.Graph.pageRankCentrality(probeEdges(spark, n)).count()
+        },
+        time("nb_score", n) {
+          // model is vocab-sized at any corpus size; scoring joins slim
+          // (id, token, m) rows — wall must track token volume
+          graft.llm.Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
+            pmod(col("doc_id"), lit(10)) === 0)
+            .agg(sum("nb_margin_micro")).collect().length.toLong
+        },
+        time("vocab_topk_mg", n) {
+          // per-partition sketches cap the shuffle at m rows/partition:
+          // the only n-scaled stage is the map-only scan (plus the
+          // confirm scan when partitions evict). m = 32768 because this
+          // corpus's Zipf tail puts the 100th count near N/4096 — the
+          // default capacity cannot certify and would fall back
+          CorpusStats.vocabTopKSketch(docs, "text", k = 100,
+            sketchCapacity = 32768).count()
+        },
+        time("unigram_encode", n) {
+          // pieces + DP kernel both run over the DISTINCT vocab with the
+          // piece table broadcast; the per-doc join is the n-scaled stage
+          val pieces = graft.llm.Tokenizer.unigramPieces(docs, "text", 256, 4)
+          graft.llm.Tokenizer.unigramEncodeCounts(docs, "doc_id", "text",
+              pieces)
+            .agg(sum("n_pieces")).collect().length.toLong
         },
         time("gopher_rules", n) {
           // line + n-gram + span aggregates: wall time must track token

@@ -202,6 +202,28 @@ class ConfigSpec extends SparkSpec {
     assert(kept.count(_._2 == "head") < 36, "head downsampled")
   }
 
+  test("declared nb_filter keeps classifier-positive rows; annotate keeps all") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good clean prose text"),
+      (2L, "good words here"),
+      (3L, "spam buy spam buy"),
+      (4L, "buy spam now")).toDF("doc_id", "text")
+    // proxy label: docs mentioning 'good'; evidence should generalize the
+    // polarity to the token level
+    val kept = PipelineConfig.applyTransforms(docs,
+      Seq(PipelineConfig.TransformConf(op = "nb_filter",
+        cols = Seq("doc_id", "text"), expr = Some("text LIKE '%good%'"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+    val annotated = PipelineConfig.applyTransforms(docs,
+      Seq(PipelineConfig.TransformConf(op = "nb_filter",
+        cols = Seq("doc_id", "text"), expr = Some("text LIKE '%good%'"),
+        name = Some("annotate"))))
+    assert(annotated.count() === 4)
+    assert(annotated.columns.contains("nb_margin_micro"))
+  }
+
   test("declared lm_backoff and ppl_buckets append LM columns") {
     import spark.implicits._
     val docs = Seq(

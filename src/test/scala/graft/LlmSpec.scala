@@ -418,6 +418,46 @@ class LlmSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("spanCorrupt: reconstruction, span structure, determinism, mask density") {
+    val docs = Tables(spark, sf0001).documents.limit(200)
+    val out = TextOps.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(out.nonEmpty)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, nTok, nSpans, in, tgt) =>
+      // sentinel sequences count 0..n_spans-1 in order, in both sides
+      val inKs = sentinel.findAllMatchIn(in).map(_.group(1).toInt).toSeq
+      val tgtKs = sentinel.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(inKs === (0 until nSpans.toInt) && tgtKs === inKs, s"doc $id")
+      // RECONSTRUCTION: splicing each target span back over its sentinel
+      // must reproduce the original token stream exactly
+      val spans = tgt.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.trim)
+      val rebuilt = sentinel.replaceAllIn(in,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+      val orig = docs.filter(col("doc_id") === id)
+        .select(col("text")).collect()(0).getString(0)
+      assert(rebuilt.split("\\s+").toSeq ===
+        orig.trim.split("\\s+").toSeq, s"doc $id")
+      assert(nTok === orig.trim.split("\\s+").length.toLong)
+    }
+    // aggregate mask density ~15% (hash-uniform; loose bounds)
+    val masked = out.map { case (_, nTok, _, in, _) =>
+      nTok - sentinel.replaceAllIn(in, "").trim.split("\\s+")
+        .count(_.nonEmpty).toLong
+    }.sum.toDouble
+    val total = out.map(_._2).sum.toDouble
+    assert(masked / total > 0.10 && masked / total < 0.20,
+      s"mask density ${masked / total}")
+    // pure function of (id, pos): layout never changes the pairs
+    val again = TextOps.spanCorrupt(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+      .toSet
+    assert(again === out.map(t => (t._1, t._4, t._5)).toSet)
+  }
+
   test("Selection: histogram-pruned picks equal plain-window picks, incl. degenerate scores") {
     import org.apache.spark.sql.expressions.Window
     // group a: smooth score spread; group b: ALL MASS ON ONE SCORE (the
