@@ -108,6 +108,7 @@ object Bench {
     "sim_ann_pq" -> "sap",
     "pack_chunks" -> "pc",
     "pack_shards" -> "ps",
+    "pack_length_buckets" -> "lk",
     "cluster_kmeans" -> "km",
     "scd2_merge" -> "s2",
     "text_boilerplate" -> "xb",

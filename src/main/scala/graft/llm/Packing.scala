@@ -95,6 +95,41 @@ object Packing {
         | END AS BIGINT)""".stripMargin).as("shard"))
   }
 
+  /** Length-bucketed batch assignment for inference/eval serving: group
+    * documents into power-of-two token-length buckets (floor(log2 n)) and
+    * deal fixed-size batches within each bucket in (length, id) order —
+    * batchmates have near-equal lengths, so padding waste per batch is
+    * bounded by the bucket's 2× spread instead of the corpus-wide max
+    * (the standard bucketed-batching trade).
+    *
+    * Scale: the within-bucket rank rides
+    * [[graft.etl.Transforms.globalSortRank]] on (bucket, n_tokens, id) —
+    * range-partitioned, never a per-bucket SinglePartition window even
+    * when one bucket holds most of the corpus — and bucket offsets are a
+    * ≤64-row collect. Assignment is a pure function of (id, token count):
+    * layout-independent, window-SQL oracle.
+    *
+    * Output: (idCol, n_tokens, bucket, batch_idx) — `batch_idx` is
+    * 0-based within the bucket.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val slim = df.select(col(idCol),
+      greatest(tokensCol.cast("long"), lit(1L)).as("n_tokens"))
+      // floor(log2 n) EXACTLY, via bit length (the PortableMath idiom) —
+      // a float log2 could waver at exact powers of two across engines
+      .withColumn("bucket",
+        (length(bin(col("n_tokens"))) - 1).cast("long"))
+    val ranked = graft.etl.Transforms.globalSortRank(slim,
+      Seq(col("bucket").asc, col("n_tokens").asc, col(idCol).asc),
+      "__lb_r")
+    val offsets = ranked.groupBy(col("bucket")).agg(min(col("__lb_r")).as("o"))
+    ranked.join(broadcast(offsets), Seq("bucket"))
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        expr(s"CAST((__lb_r - o) DIV $batchSize AS BIGINT)").as("batch_idx"))
+  }
+
   /** Exploded per-chunk view of [[packSequences]]: one row per
     * (document, sequence) intersection with the in-document token range
     * that lands in that sequence — what a copy kernel actually consumes.

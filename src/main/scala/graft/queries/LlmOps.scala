@@ -381,6 +381,14 @@ object LlmOps extends QueryPack {
       Packing.shardBalanced(t(s, dir).documents, "doc_id",
         TextOps.tokenCount(col("text")), nShards = 8)),
 
+    // ---- length-bucketed batching (inference serving): power-of-two
+    //      token-length buckets, fixed batches of 16 within each bucket
+    //      in (length, id) order — padding waste bounded by bucket
+    //      spread; rank via the distributed globalSortRank ----
+    "pack_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketBatches(t(s, dir).documents, "doc_id",
+        TextOps.tokenCount(col("text")), batchSize = 16)),
+
     // ---- deterministic corpus shuffle: exact global (md5, id) rank at
     //      256-way parallelism — never the single-partition sort a naive
     //      global row_number() would plan (PlanSpec asserts this) ----
@@ -1374,6 +1382,22 @@ object LlmOps extends QueryPack {
          |SELECT doc_id, n_tokens,
          |  CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
          |       ELSE 7 - (r0 % 8) END AS BIGINT) AS shard
+         |FROM r""".stripMargin,
+
+    "pack_length_buckets" ->
+      s"""WITH tokd AS (
+         |  SELECT doc_id,
+         |    GREATEST(CAST(len($DuckToks) AS BIGINT), 1) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |        CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+         |      FROM tokd),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |        row_number() OVER (PARTITION BY bucket
+         |          ORDER BY n_tokens ASC, doc_id ASC) - 1 AS r0
+         |      FROM b)
+         |SELECT doc_id, n_tokens, bucket,
+         |  CAST(r0 // 16 AS BIGINT) AS batch_idx
          |FROM r""".stripMargin,
 
     "pack_sequences" ->

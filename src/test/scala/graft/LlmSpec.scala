@@ -418,6 +418,36 @@ class LlmSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("lengthBucketBatches: batchmates share a bucket, batches fill, padding bounded") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 300L).map(i => (i, Seq.fill(1 + rnd.nextInt(200))("w")
+      .mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.lengthBucketBatches(docs, "doc_id",
+        TextOps.tokenCount($"text"), batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length === 300)
+    // bucket is the exact bit length - 1
+    got.foreach { case (_, n, b, _) =>
+      assert(b === (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong) }
+    got.groupBy(t => (t._3, t._4)).foreach { case ((b, _), batch) =>
+      assert(batch.length <= 16)
+      // padding bound: batchmates within the bucket's 2× spread
+      val lens = batch.map(_._2)
+      assert(lens.max < 2 * lens.min + 2, s"bucket $b spread $lens")
+    }
+    // batches within a bucket fill to batchSize except the last
+    got.groupBy(_._3).foreach { case (b, rows) =>
+      val sizes = rows.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ === 16), s"bucket $b sizes $sizes")
+    }
+    // layout independence
+    val again = Packing.lengthBucketBatches(docs.repartition(9), "doc_id",
+        TextOps.tokenCount($"text"), batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === got.map(t => (t._1, t._4)).toSet)
+  }
+
   test("spanCorrupt: reconstruction, span structure, determinism, mask density") {
     val docs = Tables(spark, sf0001).documents.limit(200)
     val out = TextOps.spanCorrupt(docs, "doc_id", "text")

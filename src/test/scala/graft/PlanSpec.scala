@@ -117,6 +117,23 @@ class PlanSpec extends SparkSpec {
       s"global rank fell back to a single-partition sort:\n${p.take(800)}")
   }
 
+  test("text_span_corrupt window is doc-partitioned; quality_nb joins without cartesian") {
+    val p = plan("text_span_corrupt")
+    assert(p.contains("Window"), p.take(500))
+    assert(!p.contains("SinglePartition"),
+      s"span ids fell into a single-partition window:\n${p.take(800)}")
+    val q = plan("quality_nb")
+    assert(!q.contains("CartesianProduct"),
+      s"NB scoring planned a cartesian:\n${q.take(800)}")
+    assert(q.contains("partial"), q.take(500)) // map-side combine on counts
+  }
+
+  test("pack_length_buckets rank is range-partitioned, never SinglePartition") {
+    val p = plan("pack_length_buckets")
+    assert(!p.contains("SinglePartition"),
+      s"bucket rank fell back to a single-partition sort:\n${p.take(800)}")
+  }
+
   test("pack_shards snake rank is range-partitioned, never SinglePartition") {
     val p = plan("pack_shards")
     assert(p.contains("Window"), p.take(500))
