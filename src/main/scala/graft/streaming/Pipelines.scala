@@ -429,6 +429,19 @@ object Pipelines {
     statelessIngest(stream, idCol, textCol, outDir, checkpointDir,
       d => TextOps.tokenEntropy(d, idCol, textCol))
 
+  /** Continuous T5 span-corruption pair construction
+    * ([[graft.llm.TextOps.spanCorrupt]], streaming form): the noise mask
+    * is a pure function of (doc, position), so the op is stateless per
+    * document and a streamed corpus yields bit-identical pairs to the
+    * batch operator over the union — the property that makes streaming
+    * pretraining-data assembly safe to retry and resume.
+    */
+  def spanCorruptIngest(stream: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpointDir: String,
+      noisePermille: Int = 150): org.apache.spark.sql.streaming.StreamingQuery =
+    statelessIngest(stream, idCol, textCol, outDir, checkpointDir,
+      d => TextOps.spanCorrupt(d, idCol, textCol, noisePermille))
+
   /** Shared engine of the STATELESS per-document signal loops: the operator
     * is independent per document — no corpus index, so each micro-batch
     * runs the batch operator over itself and appends under the same

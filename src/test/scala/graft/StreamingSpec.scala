@@ -707,6 +707,16 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text")
     assert(rows(gotE.select($"doc_id", $"n_tokens", $"n_types", $"entropy_micro"))
       === rows(expE.select($"doc_id", $"n_tokens", $"n_types", $"entropy_micro")))
+
+    // span corruption: mask is a pure (doc, pos) function → streamed pairs
+    // bit-equal the batch pairs over the union
+    val gotS = runLoop("sk", (s, out, ck) =>
+      graft.streaming.Pipelines.spanCorruptIngest(s, "doc_id", "text",
+        out, ck))
+    val expS = TextOps.spanCorrupt((b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(rows(gotS.select($"doc_id", $"input_text", $"target_text"))
+      === rows(expS.select($"doc_id", $"input_text", $"target_text")))
   }
 
   test("lmScoreIngest: batch scores equal the batch operator with the union as reference") {
