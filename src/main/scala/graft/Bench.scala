@@ -52,6 +52,7 @@ object Bench {
     "text_token_stats" -> "tt",
     "chunk_sliding" -> "ch",
     "decontaminate" -> "dn",
+    "decontaminate_report" -> "dnr",
     "dedup_components" -> "dc",
     "sim_topk_brute" -> "stk",
     "text_repetition" -> "tr",

@@ -914,6 +914,69 @@ object Dedup {
       corpus(idCol).cast("long") === contaminated("id"), "left_anti")
   }
 
+  /** Contamination AUDIT — the report the eval owner reads before trusting
+    * a benchmark number: for each held-out document, how many OTHER corpus
+    * documents share at least one contiguous `spanTokens`-token span with
+    * it, how many of its distinct spans are hit, and how many of its spans
+    * were excluded as boilerplate. Where [[decontaminate]] acts (drops
+    * corpus docs), this measures — the pair (how bad is the leak, which
+    * eval items are compromised) that decides whether decontamination or
+    * eval-item removal is the right response.
+    *
+    * Boilerplate cap: a span held by more than `maxDocsPerSpan` corpus
+    * documents is template chrome, not contamination — counting its
+    * holders would both blow the pair volume (the one place this op is
+    * pair-sized) and swamp the signal. Such spans are excluded from the
+    * doc counts and surfaced per item in `n_boiler_spans` instead, so the
+    * exclusion is visible, never silent.
+    *
+    * Scale mechanics: both sides reduce to (span_hash, id); the held-out
+    * side is distinct-span collapsed and the join is span-df-capped, so
+    * pairs ≤ |heldout spans|·cap. Docs with no corpus span stay in the
+    * output with zero counts. Self-pairs (`heldout ⊆ corpus` audits) are
+    * excluded from the doc counts.
+    *
+    * Output: (heldout_id, n_contaminated_docs, n_spans_hit,
+    * n_boiler_spans).
+    */
+  def decontaminationReport(corpus: DataFrame, heldout: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int = 13,
+      maxDocsPerSpan: Long = 10000L): DataFrame = {
+    require(maxDocsPerSpan >= 1, "maxDocsPerSpan must be positive")
+    val cSpans = spanHashes(corpus, idCol, textCol, spanTokens)
+      .localCheckpoint() // feeds the df counts AND the pair join
+    val dfc = cSpans.groupBy("span").agg(count(lit(1)).as("__dr_df"))
+    val hSpans = spanHashes(heldout, idCol, textCol, spanTokens)
+      .select(col("span"), col("id").as("heldout_id")).distinct()
+      .join(dfc, Seq("span"), "left") // null df = span absent from corpus
+      .localCheckpoint()
+    // one capped join feeds both counts; self-pairs excluded from each
+    // (a heldout ⊆ corpus audit would otherwise report every item as
+    // trivially hit by itself)
+    val hits = hSpans
+      .filter(col("__dr_df") <= maxDocsPerSpan)
+      .join(cSpans.select(col("span"), col("id").as("__dr_cid")), "span")
+      .filter(col("__dr_cid") =!= col("heldout_id"))
+      .localCheckpoint()
+    val docCounts = hits.select(col("heldout_id"), col("__dr_cid"))
+      .distinct()
+      .groupBy("heldout_id").agg(count(lit(1)).as("n_contaminated_docs"))
+    val spanHits = hits.select(col("heldout_id"), col("span")).distinct()
+      .groupBy("heldout_id").agg(count(lit(1)).as("n_spans_hit"))
+    val boiler = hSpans.groupBy("heldout_id").agg(
+      sum(when(col("__dr_df") > maxDocsPerSpan, 1L).otherwise(0L))
+        .as("n_boiler_spans"))
+    heldout.select(col(idCol).cast("long").as("heldout_id")).distinct()
+      .join(docCounts, Seq("heldout_id"), "left")
+      .join(spanHits, Seq("heldout_id"), "left")
+      .join(boiler, Seq("heldout_id"), "left")
+      .select(col("heldout_id"),
+        coalesce(col("n_contaminated_docs"), lit(0L))
+          .as("n_contaminated_docs"),
+        coalesce(col("n_spans_hit"), lit(0L)).as("n_spans_hit"),
+        coalesce(col("n_boiler_spans"), lit(0L)).as("n_boiler_spans"))
+  }
+
   /** Exact whole-document dedup of `corpus` against a reference corpus
     * (a blocklist, an earlier training run, a licensed-content registry),
     * with a broadcast Bloom pre-filter so the bulk of the corpus never

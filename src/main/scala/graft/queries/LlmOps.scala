@@ -251,6 +251,16 @@ object LlmOps extends QueryPack {
         .select(col("doc_id"))
     }),
 
+    // ---- contamination AUDIT: per eval item, how many other docs share
+    //      a 20-token span, how many of its spans are hit, and how many
+    //      were excluded as boilerplate (span df > 50) ----
+    "decontaminate_report" -> ((s, dir) => {
+      val corpus = t(s, dir).documents
+      val heldout = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
+      Dedup.decontaminationReport(corpus, heldout, "doc_id", "text",
+        spanTokens = 20, maxDocsPerSpan = 50L)
+    }),
+
     // ---- whole-document dedup against a reference corpus (blocklist /
     //      prior-run registry): broadcast Bloom pre-filter (fpp 1e-3, no
     //      false negatives) + exact md5 anti-join confirm — identical
@@ -1041,6 +1051,46 @@ object LlmOps extends QueryPack {
          |)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "decontaminate_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), sp AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks) - 18),
+         |           i -> array_to_string(list_slice(toks, i, i + 19), ' ')) END) AS s
+         |  FROM d
+         |), flat AS (
+         |  SELECT doc_id, unnest(s) AS span FROM sp
+         |), dfc AS (
+         |  SELECT span, CAST(count(*) AS BIGINT) AS df FROM flat GROUP BY 1
+         |), hj AS (
+         |  SELECT f.doc_id AS heldout_id, f.span, dfc.df
+         |  FROM flat f JOIN dfc USING (span) WHERE f.doc_id % 10 = 3
+         |), hits AS (
+         |  SELECT hj.heldout_id, hj.span, f.doc_id AS cid
+         |  FROM hj JOIN flat f USING (span)
+         |  WHERE hj.df <= 50 AND f.doc_id <> hj.heldout_id
+         |), dc AS (
+         |  SELECT heldout_id, CAST(count(DISTINCT cid) AS BIGINT) AS n
+         |  FROM hits GROUP BY 1
+         |), sh AS (
+         |  SELECT heldout_id, CAST(count(DISTINCT span) AS BIGINT) AS n
+         |  FROM hits GROUP BY 1
+         |), bl AS (
+         |  SELECT heldout_id, CAST(sum(CASE WHEN df > 50 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n
+         |  FROM hj GROUP BY 1
+         |)
+         |SELECT hh.doc_id AS heldout_id,
+         |  CAST(coalesce(dc.n, 0) AS BIGINT) AS n_contaminated_docs,
+         |  CAST(coalesce(sh.n, 0) AS BIGINT) AS n_spans_hit,
+         |  CAST(coalesce(bl.n, 0) AS BIGINT) AS n_boiler_spans
+         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 3) hh
+         |LEFT JOIN dc ON hh.doc_id = dc.heldout_id
+         |LEFT JOIN sh ON hh.doc_id = sh.heldout_id
+         |LEFT JOIN bl ON hh.doc_id = bl.heldout_id""".stripMargin,
 
     "dedup_against_ref" ->
       """SELECT doc_id FROM documents

@@ -418,6 +418,31 @@ class LlmSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("decontaminationReport: per-item doc/span counts, boilerplate capped, self excluded") {
+    val span = (1 to 6).map(j => s"s$j").mkString(" ") // a 6-token span
+    val boiler = (1 to 6).map(j => s"b$j").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span ua ub uc"), // shares `span` with heldout 100
+      (2L, s"ud ue $span"), // also shares `span`
+      (3L, s"$boiler va vb"), // boilerplate holder
+      (4L, s"$boiler vc vd"),
+      (5L, s"$boiler ve vf"),
+      (6L, "nothing shared at all here"),
+      (100L, s"$span wa wb"), // the heldout doc itself, in the corpus
+      (101L, s"$boiler xa xb")).toDF("doc_id", "text")
+    val heldout = corpus.filter(col("doc_id") >= 100L)
+    val got = Dedup.decontaminationReport(corpus, heldout, "doc_id", "text",
+        spanTokens = 6, maxDocsPerSpan = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // heldout 100: span `span` (df 3 ≤ cap) hits docs 1 and 2 — NOT
+    // itself; its unique spans hit nothing
+    assert(got(100L)._1 === 2L, s"got $got")
+    assert(got(100L)._2 >= 1L && got(100L)._3 === 0L)
+    // heldout 101: `boiler` has df 4 > cap → excluded, reported as boiler
+    assert(got(101L)._1 === 0L && got(101L)._3 >= 1L, s"got $got")
+  }
+
   test("lengthBucketBatches: batchmates share a bucket, batches fill, padding bounded") {
     val rnd = new scala.util.Random(23)
     val docs = (1L to 300L).map(i => (i, Seq.fill(1 + rnd.nextInt(200))("w")
