@@ -84,6 +84,10 @@ object Packing {
   def shardBalanced(df: DataFrame, idCol: String, tokensCol: Column,
       nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
+    // an idCol named like a working/output column would silently corrupt
+    // the slim projection (the Retrieval.guard contract)
+    require(!Set("n_tokens", "shard", "__snake_r")(idCol),
+      s"idCol '$idCol' collides with a shardBalanced working/output column")
     val slim = df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
     val ranked = graft.etl.Transforms.globalSortRank(slim,
       Seq(col("n_tokens").desc, col(idCol).asc), "__snake_r")
@@ -115,6 +119,8 @@ object Packing {
   def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: Column,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
+    require(!Set("n_tokens", "bucket", "batch_idx", "__lb_r", "o")(idCol),
+      s"idCol '$idCol' collides with a lengthBucketBatches working/output column")
     val slim = df.select(col(idCol),
       greatest(tokensCol.cast("long"), lit(1L)).as("n_tokens"))
       // floor(log2 n) EXACTLY, via bit length (the PortableMath idiom) —

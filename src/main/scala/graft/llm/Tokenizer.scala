@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer extends Serializable {
 
+  /** An idCol named like an encoder working/output column would corrupt
+    * the word join (the Retrieval.guard contract) — shared by the BPE
+    * fold/kernel encoders.
+    */
+  private def guardEncodeId(idCol: String): Unit =
+    require(!Set("word", "w", "ns", "n_words", "n_bpe_tokens")(idCol),
+      s"idCol '$idCol' collides with a BPE-encode working/output column")
+
   /** `"abc"` → `"  a  b  c  "` — see class doc. */
   private def encodeSymbols(c: org.apache.spark.sql.Column) =
     concat(lit("  "), regexp_replace(c, "(.)", "$1  "))
@@ -171,6 +179,11 @@ object Tokenizer extends Serializable {
     */
   def unigramEncodeCounts(df: DataFrame, idCol: String, textCol: String,
       pieces: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    // an idCol named like a working/output column would corrupt the
+    // word join (the Retrieval.guard contract)
+    require(!Set("word", "np", "nllw", "n_words", "n_pieces",
+        "nll_micro")(idCol),
+      s"idCol '$idCol' collides with a unigramEncodeCounts working/output column")
     val spark = df.sparkSession
     import spark.implicits._
     val table = pieces.select(col("piece"), col("lp_micro"))
@@ -236,6 +249,7 @@ object Tokenizer extends Serializable {
     */
   def applyMergesTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    guardEncodeId(idCol)
     val words = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("word"))
     val vocab = words.filter(col("word").rlike("^[A-Za-z0-9]+$"))
@@ -275,6 +289,7 @@ object Tokenizer extends Serializable {
     */
   def applyMergesTokenCountsKernel(df: DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    guardEncodeId(idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val words = df.select(col(idCol),

@@ -266,6 +266,27 @@ class CurationSpec extends SparkSpec {
     assert((kept -- tailIds).size < 36, "head group must be downsampled")
   }
 
+  test("packing/tokenizer id-column guards reject colliding names") {
+    val df = Seq((1L, "a b")).toDF("word", "text")
+    val cases: Seq[(String, () => Any)] = Seq(
+      "shardBalanced" -> (() => graft.llm.Packing.shardBalanced(
+        Seq((1L, "t")).toDF("shard", "text"), "shard", lit(1L), 2)),
+      "lengthBucketBatches" -> (() => graft.llm.Packing.lengthBucketBatches(
+        Seq((1L, "t")).toDF("bucket", "text"), "bucket", lit(1L), 2)),
+      "unigramEncodeCounts" -> (() => Tokenizer.unigramEncodeCounts(
+        df, "word", "text",
+        Seq(("a", -1L)).toDF("piece", "lp_micro"))),
+      "applyMergesTokenCounts" -> (() => Tokenizer.applyMergesTokenCounts(
+        df, "word", "text", Seq("a" -> "b"))),
+      "applyMergesTokenCountsKernel" -> (() =>
+        Tokenizer.applyMergesTokenCountsKernel(df, "word", "text",
+          Seq("a" -> "b"))))
+    cases.foreach { case (name, f) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("collides"), s"$name guard missing")
+    }
+  }
+
   // ----------------------------------------------------------- unigram
 
   test("unigramPieces: substring counts, prune keeps singles, scores are staged logs") {
