@@ -327,6 +327,45 @@ class CurationSpec extends SparkSpec {
     assert(got2.toSeq === Seq((1L, 2000000L))) // one piece, same nll
   }
 
+  test("property: Viterbi encode equals brute-force enumeration over all segmentations") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abc"
+    // random piece table over a tiny alphabet: every single char (coverage)
+    // plus random multi-char pieces, random negative micro scores —
+    // includes score ties by construction (small score grid)
+    val singles = alphabet.map(c => c.toString -> -(1 + rnd.nextInt(4)) * 500000L)
+    val multis = (1 to 8).map { _ =>
+      val len = 2 + rnd.nextInt(3)
+      Seq.fill(len)(alphabet(rnd.nextInt(3))).mkString ->
+        -(1 + rnd.nextInt(6)) * 500000L
+    }.distinct
+    val table = (singles ++ multis).toMap
+    val pieces = table.toSeq.toDF("piece", "lp_micro")
+    val words = (1 to 25).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(7))(alphabet(rnd.nextInt(3))).mkString))
+    val docs = words.toDF("doc_id", "text")
+    val got = Tokenizer.unigramEncodeCounts(docs, "doc_id", "text", pieces,
+        maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+
+    // brute force: enumerate EVERY segmentation, pick max score then min
+    // piece count (the documented tie rule)
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (table.contains(p)) segs(w.substring(l)).map(p +: _) else Nil
+      }
+    words.foreach { case (id, w) =>
+      val all = segs(w)
+      assert(all.nonEmpty, s"'$w' must be segmentable (singles covered)")
+      val best = all.map(s => (s.map(table).sum, s.length))
+        .maxBy { case (score, np) => (score, -np) }
+      assert(got(id) === ((best._2.toLong, -best._1)),
+        s"word '$w': got ${got(id)}, brute $best")
+    }
+  }
+
   test("unigram loop: encoding the corpus against its own pieces is total and exact") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val pieces = Tokenizer.unigramPieces(docs, "text", UnigramTestV, 4)

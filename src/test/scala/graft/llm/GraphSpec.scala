@@ -37,6 +37,38 @@ class GraphSpec extends SparkSpec {
     assert(clean(2L) > clean(1L) && clean(1L) === clean(3L))
   }
 
+  test("property: pageRankCentrality equals a sequential reference on random graphs") {
+    val rnd = new scala.util.Random(31)
+    (1 to 8).foreach { trial =>
+      val nNodes = 2 + rnd.nextInt(30)
+      val es = (1 to 2 * nNodes).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val got = Graph.pageRankCentrality(pairs(es: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // literal sequential replay of the documented integer recurrence
+      val undirected = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .filter { case (u, v) => u != v }.distinct
+      if (undirected.isEmpty) assert(got.isEmpty, s"trial $trial")
+      else {
+        val adj = undirected.groupBy(_._1).view
+          .mapValues(_.map(_._2)).toMap
+        val deg = adj.view.mapValues(_.size.toLong).toMap
+        var r = adj.keys.map(_ -> 1000000L).toMap
+        (1 to 5).foreach { _ =>
+          val in = adj.keys.map { n =>
+            n -> adj(n).map(nb => r(nb) / deg(nb)).sum
+          }.toMap
+          r = adj.keys.map(n => n -> (150000L + 850000L * in(n) / 1000000L))
+            .toMap
+        }
+        assert(got === r, s"trial $trial nodes=$nNodes")
+        // mass sanity: damped total stays near the node count
+        assert(got.values.sum > 0)
+      }
+    }
+  }
+
   test("applySurvivorsKeepCentral keeps the family hub, not the min id") {
     // family {1,2,3,9}: 9 is the hub (linked to all); min-id policy would
     // keep 1, centrality policy must keep 9. Node 7 is untouched.
