@@ -91,6 +91,7 @@ object Bench {
     "mixture_alpha" -> "ma",
     "mixture_alpha_select" -> "mas",
     "quality_nb" -> "nb",
+    "quality_nb_buckets" -> "nbq",
     "unigram_vocab" -> "uv",
     "unigram_encode" -> "ue",
     "text_span_corrupt" -> "sk",

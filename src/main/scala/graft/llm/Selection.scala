@@ -269,4 +269,35 @@ object Selection extends Serializable {
       .unionByName(boundaryIds)
     df.join(keptIds, Seq(idCol), "left_semi")
   }
+
+  /** Quantile stratification by ANY engine-exact integer score — the CCNet
+    * bucket move ([[CorpusStats.perplexityBuckets]]) generalized from LM
+    * perplexity to whatever signal the curation loop trusts (NB margins,
+    * Gopher counts, entropy): per group, `ntile(k)` over the TOTAL order
+    * (score desc, id asc), so membership is deterministic and
+    * hash-comparable across engines, unlike float-threshold bucketing.
+    * `qtile` 1 is the BEST (highest-score) slice; bucket labels head /
+    * middle / tail (head wins the k = 1 degenerate case).
+    *
+    * Scale: one shuffle on the group key, per-group sort inside the
+    * window — never a global sort; groups are the parallelism unit.
+    *
+    * Output: df's columns plus (qtile, bucket).
+    */
+  def scoreBuckets(df: DataFrame, idCol: String, score: Column,
+      groupCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val clash = Seq("qtile", "bucket", "__sbq_s").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved column(s) ${clash.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__sbq_s").desc, col(idCol).asc)
+    df.withColumn("__sbq_s", score)
+      .withColumn("qtile", ntile(k).over(w).cast("long"))
+      .withColumn("bucket",
+        when(col("qtile") === 1, "head")
+          .when(col("qtile") === k, "tail").otherwise("middle"))
+      .drop("__sbq_s")
+  }
 }

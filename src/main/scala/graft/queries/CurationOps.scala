@@ -243,6 +243,20 @@ object CurationOps extends QueryPack {
       Classifier.naiveBayesSelfScore(t(s, dir).documents, "doc_id", "text",
         col("lang") === "en")),
 
+    // ---- classifier margins stratified CCNet-style: per-language
+    //      terciles over the exact NB margin (head = most classifier-
+    //      positive third) ----
+    "quality_nb_buckets" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val scored = Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      Selection.scoreBuckets(
+        docs.select(col("doc_id"), col("lang"))
+          .join(scored.select(col("doc_id"), col("nb_margin_micro")),
+            Seq("doc_id")),
+        "doc_id", col("nb_margin_micro"), "lang")
+    }),
+
     // ---- unigram-LM tokenizer pieces (SentencePiece seed-and-prune):
     //      substring counts over the word vocab, top-64 + full single-char
     //      coverage, staged-log scores ----
@@ -632,6 +646,7 @@ object CurationOps extends QueryPack {
     "mixture_alpha" -> alphaSql,
     "mixture_alpha_select" -> alphaSelectSql,
     "quality_nb" -> nbSql,
+    "quality_nb_buckets" -> nbBucketsSql,
     "unigram_vocab" -> unigramVocabSql,
     "unigram_encode" -> unigramEncodeSql)
 
@@ -732,7 +747,29 @@ object CurationOps extends QueryPack {
     * chains (positive-class, negative-class, and the signed prior chain)
     * replayed in SQL, mirroring [[graft.llm.Classifier.naiveBayesScore]].
     */
-  private def nbSql: String = {
+  private def nbSql: String =
+    s"""WITH $nbCtes
+       |SELECT doc_id, n_tokens, margin AS nb_margin_micro,
+       |  (margin > 0) AS nb_pos
+       |FROM nbm""".stripMargin
+
+  private def nbBucketsSql: String =
+    s"""WITH $nbCtes,
+       |jb AS (
+       |  SELECT n.doc_id, d.lang, n.margin,
+       |    CAST(ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY n.margin DESC, n.doc_id ASC) AS BIGINT) AS qtile
+       |  FROM nbm n JOIN documents d ON n.doc_id = d.doc_id)
+       |SELECT doc_id, lang, margin AS nb_margin_micro, qtile,
+       |  CASE WHEN qtile = 1 THEN 'head' WHEN qtile = 3 THEN 'tail'
+       |       ELSE 'middle' END AS bucket
+       |FROM jb""".stripMargin
+
+  /** Shared NB margin CTE chain ending in `nbm` = (doc_id, n_tokens,
+    * margin) — the count model and three staged-log chains mirroring
+    * [[graft.llm.Classifier.naiveBayesScore]].
+    */
+  private def nbCtes: String = {
     val chainP = PortableMath.duckCteChain(
       PortableMath.microLnStages("ap", "bp", PortableMath.duckShiftLeft),
       "j", "pa")
@@ -742,7 +779,7 @@ object CurationOps extends QueryPack {
     val chainPr = PortableMath.duckCteChain(
       PortableMath.microLnSignedStages("dp", "dn", PortableMath.duckShiftLeft),
       "dc", "pr")
-    s"""WITH lab AS (
+    s"""lab AS (
        |  SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
        |tok AS (SELECT doc_id, pos, unnest($DuckToks) AS token FROM lab),
        |cnt AS (SELECT token,
@@ -770,14 +807,14 @@ object CurationOps extends QueryPack {
        |sm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
        |         CAST(sum(m * (lp_pos - lp)) AS BIGINT) AS s
        |       FROM nafin GROUP BY 1),
-       |$chainPr
-       |SELECT d.doc_id,
-       |  CAST(coalesce(sm.n_tokens, 0) AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(sm.s, 0) + pr.lp AS BIGINT) AS nb_margin_micro,
-       |  (coalesce(sm.s, 0) + pr.lp > 0) AS nb_pos
-       |FROM documents d
-       |LEFT JOIN sm ON d.doc_id = sm.doc_id
-       |CROSS JOIN (SELECT lp FROM prfin) pr""".stripMargin
+       |$chainPr,
+       |nbm AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sm.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(sm.s, 0) + pr.lp AS BIGINT) AS margin
+       |  FROM documents d
+       |  LEFT JOIN sm ON d.doc_id = sm.doc_id
+       |  CROSS JOIN (SELECT lp FROM prfin) pr)""".stripMargin
   }
 
   /** Shared α=1/2 temperature-mixture CTEs, mirroring

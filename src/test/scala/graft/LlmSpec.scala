@@ -418,6 +418,30 @@ class LlmSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
 
+  test("scoreBuckets: best-first quantiles per group, deterministic ties, k=1 degenerate") {
+    val df = (1L to 9L).map(i => (i, if (i <= 6) "a" else "b", i * 10L))
+      .toDF("id", "grp", "s")
+    val m = graft.llm.Selection.scoreBuckets(df, "id", col("s"), "grp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4)))
+      .toMap
+    // group a (ids 1..6, score asc with id): best two (6, 5) are head
+    assert(m(6L) === ((1L, "head")) && m(5L) === ((1L, "head")))
+    assert(m(1L) === ((3L, "tail")) && m(2L) === ((3L, "tail")))
+    assert(m(3L)._2 === "middle" && m(4L)._2 === "middle")
+    // group b has 3 rows: one per tercile
+    assert(m(9L)._2 === "head" && m(8L)._2 === "middle" && m(7L)._2 === "tail")
+    // k = 1: everything head
+    val k1 = graft.llm.Selection.scoreBuckets(df, "id", col("s"), "grp", 1)
+      .collect().map(_.getString(4)).toSet
+    assert(k1 === Set("head"))
+    // reserved collision fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Selection.scoreBuckets(
+        df.withColumnRenamed("s", "qtile"), "id", col("qtile"), "grp")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("decontaminationReport: per-item doc/span counts, boilerplate capped, self excluded") {
     val span = (1 to 6).map(j => s"s$j").mkString(" ") // a 6-token span
     val boiler = (1 to 6).map(j => s"b$j").mkString(" ")
