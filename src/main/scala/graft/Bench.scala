@@ -123,6 +123,7 @@ object Bench {
     "sample_stratified" -> "sf",
     "dedup_common_span" -> "dcs",
     "pipeline_curate" -> "pp",
+    "pipeline_curate2" -> "pq",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

@@ -257,6 +257,33 @@ object CurationOps extends QueryPack {
         "doc_id", col("nb_margin_micro"), "lang")
     }),
 
+    // ---- the round-8 operators COMPOSED end-to-end: NB quality filter →
+    //      winnow keep-central dedup → α=1/2 temperature mixture per
+    //      source → snake shards → per-(source, shard) totals. Each stage
+    //      is the standalone operator, re-based on the previous stage ----
+    "pipeline_curate2" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val scored = Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      val kept = docs
+        .join(scored.filter(col("nb_pos")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint() // three stages re-read the filtered corpus
+      val pairs = Dedup.winnowNearDupPairs(kept, "doc_id", "text",
+        k = WinnowK, w = WinnowW, minShared = 2)
+      val surv = Dedup.applySurvivorsKeepCentral(kept, "doc_id", pairs,
+        PrIters)
+      val sel = Mixture.temperatureSelect(surv, "source",
+        TextOps.tokenCount(col("text")), budgetOf = total => total / 2L,
+        idCol = "doc_id")
+      Packing.shardBalanced(sel, "doc_id",
+          TextOps.tokenCount(col("text")), nShards = 4)
+        .join(sel.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"))
+    }),
+
     // ---- unigram-LM tokenizer pieces (SentencePiece seed-and-prune):
     //      substring counts over the word vocab, top-64 + full single-char
     //      coverage, staged-log scores ----
@@ -647,6 +674,7 @@ object CurationOps extends QueryPack {
     "mixture_alpha_select" -> alphaSelectSql,
     "quality_nb" -> nbSql,
     "quality_nb_buckets" -> nbBucketsSql,
+    "pipeline_curate2" -> pipeline2Sql,
     "unigram_vocab" -> unigramVocabSql,
     "unigram_encode" -> unigramEncodeSql)
 
@@ -781,13 +809,13 @@ object CurationOps extends QueryPack {
       "dc", "pr")
     s"""lab AS (
        |  SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
-       |tok AS (SELECT doc_id, pos, unnest($DuckToks) AS token FROM lab),
+       |ntk AS (SELECT doc_id, pos, unnest($DuckToks) AS token FROM lab),
        |cnt AS (SELECT token,
        |          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
        |            AS c_pos,
        |          CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
        |            AS c_neg
-       |        FROM tok GROUP BY 1),
+       |        FROM ntk GROUP BY 1),
        |tt AS (SELECT CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS np,
        |              CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS nn,
        |              CAST(count(*) AS BIGINT) AS v FROM cnt),
@@ -797,7 +825,7 @@ object CurationOps extends QueryPack {
        |                AS BIGINT) AS dn
        |       FROM lab),
        |dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS m
-       |       FROM tok GROUP BY 1, 2),
+       |       FROM ntk GROUP BY 1, 2),
        |j AS (SELECT doc_id, m, c_pos + 1 AS ap, c_neg + 1 AS an,
        |        np + v AS bp, nn + v AS bn
        |      FROM dt JOIN cnt USING (token) CROSS JOIN tt),
@@ -824,12 +852,20 @@ object CurationOps extends QueryPack {
     * in `alc` = (lang, n, s, samp_micro, alloc); expects `tok` from
     * [[unimaxCtes]]'s shape.
     */
-  private def alphaCtes: String =
-    s"""tok AS (
-       |  SELECT doc_id, lang, CAST(len($DuckToks) AS BIGINT) AS ntok
-       |  FROM documents),
+  private def alphaCtes: String = alphaCtesOver(
+    s"""SELECT doc_id, lang, CAST(len($DuckToks) AS BIGINT) AS ntok
+       |  FROM documents""".stripMargin)
+
+  /** The α=1/2 mixture chain over an ARBITRARY `tok` = (doc_id, lang,
+    * ntok) body (the group column keeps the name `lang` whatever it is) —
+    * shared with the composed pipeline. Ends in `alc`.
+    */
+  private def alphaCtesOver(tokBody: String,
+      tokName: String = "tok"): String =
+    s"""$tokName AS MATERIALIZED (
+       |  $tokBody),
        |g AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS n
-       |      FROM tok GROUP BY 1),
+       |      FROM $tokName GROUP BY 1),
        |y AS (SELECT lang, n,
        |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS y0
        |      FROM g),
@@ -837,12 +873,12 @@ object CurationOps extends QueryPack {
        |         CASE WHEN (y0 + 1) * (y0 + 1) <= n THEN y0 + 1
        |              WHEN y0 * y0 > n THEN y0 - 1 ELSE y0 END AS s
        |       FROM y),
-       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+       |att AS (SELECT CAST(sum(n) AS BIGINT) AS t,
        |              CAST(sum(s) AS BIGINT) AS ss FROM sq),
        |fl AS (SELECT lang, n, s, (t // 2) AS budget, ss,
        |         CAST(((t // 2) * s) // ss AS BIGINT) AS fa,
        |         CAST((1000000 * s) // ss AS BIGINT) AS samp_micro
-       |       FROM sq CROSS JOIN tt),
+       |       FROM sq CROSS JOIN att),
        |alc AS (SELECT lang, n, s, samp_micro,
        |          CAST(fa + CASE WHEN row_number() OVER
        |              (ORDER BY s DESC, lang ASC)
@@ -884,12 +920,12 @@ object CurationOps extends QueryPack {
          |      JOIN deg g ON e.u = g.u
          |    GROUP BY e.v) c ON d.u = c.v)""".stripMargin
     }
-    s"""edges AS (
+    s"""edges AS MATERIALIZED (
        |  SELECT DISTINCT u, v FROM (
        |    SELECT id_a AS u, id_b AS v FROM wpairs WHERE id_a <> id_b
        |    UNION ALL
        |    SELECT id_b, id_a FROM wpairs WHERE id_a <> id_b)),
-       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+       |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
        |        FROM edges GROUP BY u),
        |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
        |${rounds.mkString(",\n")}""".stripMargin
@@ -904,10 +940,12 @@ object CurationOps extends QueryPack {
     * component (ties → min id), anti-selected — the centrality-policy twin
     * of [[dedupWinnowApplySql]].
     */
-  private def dedupKeepCentralSql: String =
-    s"""WITH RECURSIVE $winnowPairCtes,
-       |$pageRankCtes,
-       |reach(id, rt) AS (
+  /** Components + centrality-argmax ranking over `edges`/`r$PrIters` —
+    * ends in `ranked` (losers are rn > 1); shared by the standalone
+    * keep-central oracle and the composed pipeline.
+    */
+  private def keepCentralTailCtes: String =
+    s"""reach(id, rt) AS (
        |  SELECT DISTINCT u, u FROM edges
        |  UNION
        |  SELECT e.u, reach.rt FROM edges e JOIN reach ON e.v = reach.id),
@@ -915,9 +953,60 @@ object CurationOps extends QueryPack {
        |ranked AS (
        |  SELECT comp.id, row_number() OVER (PARTITION BY c
        |    ORDER BY COALESCE(rf.r, 0) DESC, comp.id ASC) AS rn
-       |  FROM comp LEFT JOIN r$PrIters rf ON comp.id = rf.id)
+       |  FROM comp LEFT JOIN r$PrIters rf ON comp.id = rf.id)""".stripMargin
+
+  private def dedupKeepCentralSql: String =
+    s"""WITH RECURSIVE $winnowPairCtes,
+       |$pageRankCtes,
+       |$keepCentralTailCtes
        |SELECT doc_id FROM base
        |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)""".stripMargin
+
+  /** The composed round-8 curation pipeline oracle: NB quality filter →
+    * winnow pairs → PageRank keep-central survivors → α=1/2 temperature
+    * mixture per source → snake shards → per-(source, shard) totals. Every
+    * stage is the SAME fragment its standalone query uses, re-based on the
+    * previous stage's output — proving the operators chain without engine
+    * drift.
+    */
+  private def pipeline2Sql: String = {
+    val filteredBase =
+      """SELECT d.doc_id, d.text FROM documents d
+        |  JOIN nbm ON d.doc_id = nbm.doc_id WHERE nbm.margin > 0""".stripMargin
+    val survTok =
+      raw"""SELECT s.doc_id, d.source AS lang,
+         |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+         |      AS ntok
+         |  FROM surv s JOIN documents d ON s.doc_id = d.doc_id""".stripMargin
+    s"""WITH RECURSIVE $nbCtes,
+       |${winnowPairCtesOver(filteredBase)},
+       |$pageRankCtes,
+       |$keepCentralTailCtes,
+       |surv AS MATERIALIZED (
+       |  SELECT doc_id FROM base
+       |  WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)),
+       |${alphaCtesOver(survTok, tokName = "atok")},
+       |run AS (
+       |  SELECT doc_id, lang, ntok, sum(ntok) OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM atok),
+       |sel AS MATERIALIZED (
+       |  SELECT doc_id, lang, ntok FROM run JOIN alc USING (lang)
+       |  WHERE cum <= least(n, alloc)),
+       |shr AS (
+       |  SELECT doc_id, lang, greatest(ntok, 1) AS n_tokens,
+       |    CAST(row_number() OVER (
+       |      ORDER BY greatest(ntok, 1) DESC, doc_id ASC) - 1 AS BIGINT)
+       |      AS r0
+       |  FROM sel)
+       |SELECT lang AS source,
+       |  CAST(CASE WHEN (r0 // 4) % 2 = 0 THEN r0 % 4
+       |       ELSE 3 - (r0 % 4) END AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+       |FROM shr GROUP BY 1, 2""".stripMargin
+  }
 
   private def blocklistSql: String = {
     // one shingle CTE per distinct phrase length, unioned
@@ -957,20 +1046,29 @@ object CurationOps extends QueryPack {
     * (none exist at oracle scale), so the exact self-join is the same
     * answer.
     */
-  private def winnowPairCtes: String = {
+  private def winnowPairCtes: String = winnowPairCtesOver(
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(list_slice(toks, 1,
+       |      CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)""".stripMargin)
+
+  /** The winnow-pair chain over an ARBITRARY `base` = (doc_id, text) body
+    * — shared by the planted-corpus queries and the composed pipeline.
+    * Ends in `wpairs` = (id_a, id_b, n_shared). `base` is MATERIALIZED:
+    * the pipeline feeds it from a staged-log chain that must not inline
+    * into every span scan.
+    */
+  private def winnowPairCtesOver(baseBody: String): String = {
     val kM1 = WinnowK - 1
     val wM1 = WinnowW - 1
     val hexDecode =
       """CAST(list_sum(list_transform(range(1, 11), j ->
         |  CAST(strpos('0123456789abcdef', substr(hx, j, 1)) - 1 AS BIGINT)
         |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT)""".stripMargin
-    s"""base AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000,
-       |    array_to_string(list_slice(toks, 1,
-       |      CAST(floor(len(toks) * 0.8) AS INT)), ' ')
-       |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)),
+    s"""base AS MATERIALIZED (
+       |  $baseBody),
        |tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
        |        FROM base),
        |sh0 AS (SELECT doc_id, i AS pos,
@@ -986,7 +1084,7 @@ object CurationOps extends QueryPack {
        |  FROM sh),
        |fps AS (SELECT DISTINCT doc_id,
        |          wmin // (CAST(1 AS BIGINT) << 20) AS h FROM win),
-       |wpairs AS (
+       |wpairs AS MATERIALIZED (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(count(*) AS BIGINT) AS n_shared
        |  FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
