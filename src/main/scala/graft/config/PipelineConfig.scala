@@ -554,6 +554,30 @@ object PipelineConfig {
             case other => sys.error(
               s"nb_filter mode '$other' (want filter|annotate)")
           }
+        // token-balanced snake sharding: append (n_tokens, shard) via the
+        // distributed rank. cols = [idCol], expr = token-count SQL expr,
+        // name = shard count (default 8)
+        case "shard_balanced" =>
+          val Seq(idc) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("shard_balanced needs cols = [idCol]")
+          }
+          val tk = expr(t.expr.getOrElse(
+            sys.error("shard_balanced needs expr = token-count expression")))
+          d.join(graft.llm.Packing.shardBalanced(d, idc, tk,
+            t.name.getOrElse("8").trim.toInt), Seq(idc))
+        // length-bucketed batching: append (n_tokens, bucket, batch_idx).
+        // cols = [idCol], expr = token-count SQL expr, name = batch size
+        // (default 16)
+        case "length_buckets" =>
+          val Seq(idc) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("length_buckets needs cols = [idCol]")
+          }
+          val tk = expr(t.expr.getOrElse(
+            sys.error("length_buckets needs expr = token-count expression")))
+          d.join(graft.llm.Packing.lengthBucketBatches(d, idc, tk,
+            t.name.getOrElse("16").trim.toInt), Seq(idc))
         // incremental span removal against a PERSISTED span-df index
         // (read-only — index persistence belongs to the ingest loop,
         // streaming.Pipelines.boilerplateIngest, whose two-level layout

@@ -202,6 +202,30 @@ class ConfigSpec extends SparkSpec {
     assert(kept.count(_._2 == "head") < 36, "head downsampled")
   }
 
+  test("declared shard_balanced and length_buckets append assignment columns") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + (i % 13).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "shard_balanced",
+        cols = Seq("doc_id"),
+        expr = Some("size(split(trim(text), '\\\\s+'))"),
+        name = Some("4"))))
+    assert(out.count() === 40)
+    val shards = out.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shards === Set(0L, 1L, 2L, 3L))
+    val out2 = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "length_buckets",
+        cols = Seq("doc_id"),
+        expr = Some("size(split(trim(text), '\\\\s+'))"),
+        name = Some("8"))))
+    assert(out2.columns.contains("bucket") &&
+      out2.columns.contains("batch_idx"))
+    assert(out2.count() === 40)
+  }
+
   test("declared nb_filter keeps classifier-positive rows; annotate keeps all") {
     import spark.implicits._
     val docs = Seq(
