@@ -41,6 +41,7 @@ object Bench {
     "dedup_against_ref" -> "dr",
     "dedup_vs_ref_near" -> "dv",
     "mm_binary_stats" -> "mms",
+    "mm_neardup" -> "mmn",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
     "dedup_keep_best" -> "db",

@@ -241,6 +241,17 @@ object PipelineConfig {
           }
           graft.llm.Dedup.dropNearDuplicatesKeepBest(d, idc, c,
             expr(t.expr.getOrElse(sys.error("dedup_keep_best needs a score expr"))))
+        // perceptual-hash image near-dedup over a BINARY column (JDK
+        // codec, ImageHash aHash/dHash): min-id survivor per hash
+        // component; undecodable rows always survive.
+        // cols = [idCol, binaryCol], expr = maxHamming (default 3)
+        case "dedup_image" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_image needs cols = [idCol, binaryCol]")
+          }
+          graft.llm.ImageHash.dropNearDuplicates(d, idc, bc,
+            t.expr.getOrElse("3").trim.toInt)
         // NEAR-dup decontamination against a reference parquet (an eval
         // suite): drops every row whose shingle-set Jaccard against ANY
         // reference doc reaches the threshold. cols = [idCol, textCol],
@@ -578,6 +589,58 @@ object PipelineConfig {
             sys.error("length_buckets needs expr = token-count expression")))
           d.join(graft.llm.Packing.lengthBucketBatches(d, idc, tk,
             t.name.getOrElse("16").trim.toInt), Seq(idc))
+        // MMR diverse selection: keep the k rows maximizing relevance −
+        // max-similarity-to-picked, annotated with (sel_rank,
+        // mmr_score_micro). cols = [idCol, vecCol], expr = relevance SQL
+        // expression, name = k (default 8). Bounded-k by contract
+        // (Selection.mmrSelect broadcasts ≤ k vectors per round).
+        case "mmr" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("mmr needs cols = [idCol, vecCol]")
+          }
+          d.join(graft.llm.Selection.mmrSelect(d, idc,
+            expr(t.expr.getOrElse(sys.error("mmr needs a relevance expr"))),
+            vc, t.name.getOrElse("8").trim.toInt), Seq(idc))
+        // unigram-LM tokenizer encode: train seed-and-prune pieces on THIS
+        // frame, Viterbi-encode each doc, annotate with (n_words,
+        // n_pieces, nll_micro). cols = [idCol, textCol],
+        // expr = "vocabSize,maxPieceLen" (default "64,4")
+        case "unigram_encode" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("unigram_encode needs cols = [idCol, textCol]")
+          }
+          val Array(v, l) = t.expr.getOrElse("64,4").split(",").map(_.trim.toInt)
+          val pieces = graft.llm.Tokenizer.unigramPieces(d, c, v, l)
+          d.join(graft.llm.Tokenizer.unigramEncodeCounts(d, idc, c, pieces, l),
+            Seq(idc))
+        // BPE encode through the production kernel: mine nMerges on THIS
+        // frame, annotate per-doc token counts. cols = [idCol, textCol],
+        // expr = nMerges (default 8). The merge TABLE is vocab-sized and
+        // collected once (the trainer contract, CurationOps bpe_encode).
+        case "bpe_encode" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("bpe_encode needs cols = [idCol, textCol]")
+          }
+          val merges = graft.llm.Tokenizer.bpeMerges(d, c,
+              t.expr.getOrElse("8").trim.toInt)
+            .orderBy("merge_rank").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          d.join(graft.llm.Tokenizer.applyMergesTokenCountsKernel(
+            d, idc, c, merges), Seq(idc))
+        // PMI collocations: REPLACES the frame with the corpus-level
+        // (w1, w2, c2, pmi_micro, rank) table — an aggregation op like
+        // profile, not a per-row annotation. cols = [textCol],
+        // expr = "minCount,k" (default "5,20")
+        case "collocations" =>
+          val Seq(c) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("collocations needs cols = [textCol]")
+          }
+          val Array(mc, k) = t.expr.getOrElse("5,20").split(",").map(_.trim)
+          graft.llm.CorpusStats.collocations(d, c, mc.toLong, k.toInt)
         // incremental span removal against a PERSISTED span-df index
         // (read-only — index persistence belongs to the ingest loop,
         // streaming.Pipelines.boilerplateIngest, whose two-level layout

@@ -1175,13 +1175,21 @@ object Dedup {
     * no O(n²) stage.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"), TextOps.simhash64(textCol).as("fp")),
+      maxHamming)
+
+  /** Pairs of 64-bit fingerprints within `maxHamming`, from an
+    * (id, fp BIGINT) frame — the shared candidate engine behind
+    * [[simhashNearDups]] and [[ImageHash.nearDupPairs]].
+    * Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hamming64Pairs(fp: DataFrame, maxHamming: Int): DataFrame = {
     // 4-chunk pigeonhole blocking guarantees a shared chunk only for
     // hamming ≤ 3; larger distances would silently miss qualifying pairs
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashNearDups chunk blocking is sound for maxHamming <= 3, got $maxHamming")
-    val fp = df.select(col(idCol).as("id"),
-      TextOps.simhash64(textCol).as("fp"))
+      s"hamming64Pairs chunk blocking is sound for maxHamming <= 3, got $maxHamming")
     // chunk extraction via SQL form: the shift amount is lambda-bound
     val chunks = fp.selectExpr("id", "fp",
       "posexplode(transform(sequence(0, 3), c -> (shiftrightunsigned(fp, c * 16) & 65535))) AS (chunk_idx, chunk)")

@@ -49,7 +49,7 @@ object Graph extends Serializable {
     * unrolled-CTE oracle finite (the kmeansInt8 trade).
     */
   def pageRankCentrality(pairs: DataFrame, iterations: Int = 5,
-      dampingMicro: Long = 850000L): DataFrame = {
+      dampingMicro: Long = 850000L, maxNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingMicro >= 0 && dampingMicro <= 1000000L,
       "dampingMicro must be a micro fraction in [0, 1e6]")
@@ -63,6 +63,18 @@ object Graph extends Serializable {
       .distinct().localCheckpoint()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // ENFORCE the documented accumulator bound (was Scaladoc-only through
+    // r8): total mass ≈ |nodes|·1e6 and the damping multiply must stay in
+    // BIGINT, i.e. |nodes|·1e6·850000 < 2^63 ⇔ |nodes| ≲ 1.08e7. A full
+    // web graph mis-fed here must fail loudly, not overflow silently.
+    // One count() over the already-checkpointed |nodes| frame — O(nodes),
+    // trivial next to the iteration joins.
+    val nNodes = deg.count()
+    require(nNodes <= maxNodes,
+      s"pageRankCentrality: $nNodes nodes exceeds the integer-micro " +
+        s"accumulator bound ($maxNodes). This operator ranks DUP-GRAPH " +
+        "components, not web graphs — run it per connected component " +
+        "(rank is only consumed within components) or rescale the unit.")
     val base = 1000000L - dampingMicro
     var rank = deg.select(col("u").as("id"), lit(1000000L).as("r"))
     var i = 0

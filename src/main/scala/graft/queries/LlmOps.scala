@@ -759,6 +759,26 @@ object LlmOps extends QueryPack {
           round(aggregate(col("features"), lit(0.0d),
             (a, x) => a + x.cast("double")) * 255.0).cast("long")
             .as("feature_checksum"))
+    }),
+
+    // ---- multimodal near-dup dedup through the REAL JDK codec path:
+    //      deterministic synthetic scenes keyed by doc ids, with every 4th
+    //      replanted as a JPEG at 1.5× resolution — the planted-transform
+    //      recall pattern of the ANN suite, in image form. Rows-only by
+    //      design (pixel decode is not SQL-expressible); ImageHashSpec pins
+    //      100% planted recall + zero false merges on this exact corpus ----
+    "mm_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+        .orderBy("doc_id").limit(160).as[Long]
+      val media = ids.flatMap { id =>
+        val base = (id, ImageHash.synthPng(id, 64, 48))
+        if (id % 4 == 0)
+          Seq(base, (id + 1000000L, ImageHash.synthJpeg(id, 96, 72)))
+        else Seq(base)
+      }.toDF("media_id", "media")
+      ImageHash.dropNearDuplicates(media, "media_id", "media", maxHamming = 3)
+        .select(col("media_id"))
     })
   )
 

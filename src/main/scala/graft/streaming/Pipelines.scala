@@ -527,12 +527,24 @@ object Pipelines {
           val (out, freshIdx) = step(existingIndex, fresh)
           out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           if (batchId % compactEvery == compactEvery - 1) {
-            merge(existingIndex, freshIdx)
-              .coalesce(1)
-              .write.mode("overwrite")
-              .parquet(s"$indexDir/batch=-${batchId + 1}")
+            // SIZE-AWARE compaction (was coalesce(1) through r8): the
+            // merged base gets ceil(liveBytes / 256 MiB) files, sized from
+            // the on-disk bytes of the partitions being folded — a term-df
+            // index is vocab-sized and usually one file, but a web-scale
+            // junk-token vocab must not funnel through a single task. The
+            // fresh delta isn't on disk yet; its bytes are bounded by one
+            // micro-batch and rounding up covers it.
             val fs = new org.apache.hadoop.fs.Path(indexDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val liveBytes = priorParts.map { v =>
+              val p = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v")
+              if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+            }.sum
+            val nFiles = math.max(1L, (liveBytes + (256L << 20) - 1) / (256L << 20)).toInt
+            merge(existingIndex, freshIdx)
+              .coalesce(nFiles)
+              .write.mode("overwrite")
+              .parquet(s"$indexDir/batch=-${batchId + 1}")
             (priorParts :+ batchId).distinct.foreach { v =>
               fs.delete(
                 new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)

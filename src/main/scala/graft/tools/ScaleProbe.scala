@@ -235,6 +235,29 @@ object ScaleProbe {
           graft.llm.Tokenizer.applyMergesTokenCountsKernel(docs, "doc_id",
               "text", syntheticMerges(4096))
             .agg(sum("n_bpe_tokens")).collect().length.toLong
+        },
+        time("composed_curate", n) {
+          // the pipeline_curate2 SHAPE end-to-end (NB filter → winnow
+          // pairs → keep-central → temperature mixture → snake shards):
+          // unit probes pin each operator, but here stage OUTPUTS feed
+          // stage inputs — a pair blowup born of the composition (the NB
+          // filter reshaping winnow buckets, the survivor set skewing the
+          // mixture walk) only shows up in the chained ratio
+          val scored = graft.llm.Classifier.naiveBayesSelfScore(docs,
+            "doc_id", "text", pmod(col("doc_id"), lit(10)) === 0)
+          val kept = docs.join(scored.filter(col("nb_pos"))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+          val pairs = Dedup.winnowNearDupPairs(kept, "doc_id", "text",
+            k = 5, w = 4, minShared = 2)
+          val surv = graft.llm.Dedup.applySurvivorsKeepCentral(kept,
+            "doc_id", pairs)
+          val withSrc = surv.withColumn("source", pmod(col("doc_id"), lit(5)))
+          val sel = graft.llm.Mixture.temperatureSelect(withSrc, "source",
+            graft.llm.TextOps.tokenCount(col("text")),
+            budgetOf = total => total / 2L, idCol = "doc_id")
+          graft.llm.Packing.shardBalanced(sel, "doc_id",
+            graft.llm.TextOps.tokenCount(col("text")), nShards = 4).count()
         }).toMap
     }
 

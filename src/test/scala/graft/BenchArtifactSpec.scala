@@ -42,10 +42,78 @@ class BenchArtifactSpec extends AnyFunSuite {
     // dependent; each is covered by recall/error-bound specs instead
     val rowsOnly = Set("q25_approx_distinct", "q33_approx_percentiles",
       "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_semdedup",
-      "ret_hybrid_ann")
+      "ret_hybrid_ann", "mm_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"queries without oracles beyond the documented set: " +
         s"${missing -- rowsOnly}; stale exceptions: ${rowsOnly -- missing}")
+  }
+
+  // Round-8 pack pinned verbatim (148 queries, validated against
+  // BENCH_r08.json's parsed key set): per-query round-over-round bench
+  // diffing is only mechanical if keys never churn, so every r8 query must
+  // stay in the pack under its exact r8 short key. New queries may add
+  // keys; existing ones may never move (VERDICT r8 "What's wrong" #3).
+  private val R8Keys: Map[String, String] = Map(
+    "bpe_encode" -> "bp", "bpe_merges" -> "bpe", "c7_sql_frontend" -> "c7",
+    "chunk_sliding" -> "ch", "cluster_kmeans" -> "km", "corpus_datacard" -> "dcd",
+    "corpus_shuffle" -> "csh", "curriculum_order" -> "cu", "d1_csv_decode" -> "d1",
+    "d2_json_decode" -> "d2d", "d2_json_props" -> "d2p", "decontaminate" -> "dn",
+    "decontaminate_report" -> "dnr", "dedup_against_ref" -> "dr", "dedup_apply" -> "da",
+    "dedup_common_span" -> "dcs", "dedup_components" -> "dc", "dedup_exact" -> "de",
+    "dedup_keep_best" -> "db", "dedup_keep_central" -> "dkc", "dedup_minhash" -> "dm",
+    "dedup_ngram_jaccard" -> "dj", "dedup_simhash" -> "ds", "dedup_span_removal" -> "dz",
+    "dedup_vs_ref_near" -> "dv", "dedup_winnow" -> "dw", "dedup_winnow_apply" -> "dwa",
+    "dsir_select" -> "dsk", "dsir_weights" -> "dsw", "e1_csv_encode" -> "e1",
+    "e3_key_values" -> "e3", "emb_centroids" -> "emc", "emb_quantize" -> "emq",
+    "feat_category_index" -> "fc", "feat_minmax" -> "ft_minmax", "feat_standardize" -> "fts",
+    "gopher_quality_gate" -> "gp", "graph_pagerank" -> "pr", "mixture_alpha" -> "ma",
+    "mixture_alpha_select" -> "mas", "mixture_resample" -> "mxd", "mixture_tokens" -> "mxt",
+    "mixture_unimax" -> "um", "mixture_unimax_select" -> "umx", "ml_score_linear" -> "mll",
+    "ml_score_tree" -> "ml_tree", "mm_binary_stats" -> "mms", "mm_features" -> "mf",
+    "o3_jdbc_roundtrip" -> "o3", "o5_dedup_id" -> "o5", "pack_chunks" -> "pc",
+    "pack_length_buckets" -> "lk", "pack_sequences" -> "pk", "pack_shards" -> "ps",
+    "pipeline_curate" -> "pp", "pipeline_curate2" -> "pq", "q10_topk" -> "q10",
+    "q11_distinct" -> "q11", "q12_setops" -> "q12", "q13_rollup" -> "q13",
+    "q14_time_buckets" -> "q14", "q15_cube" -> "q15", "q16_scalar_subquery" -> "q16",
+    "q17_string_funcs" -> "q17", "q18_date_funcs" -> "q18", "q19_conditional_agg" -> "q19",
+    "q1_pricing_summary" -> "q1", "q20_group_having" -> "q20", "q21_asof_join" -> "q21",
+    "q22_percentiles" -> "q22", "q23_exact_stats" -> "q23", "q24_pivot" -> "q24",
+    "q25_approx_distinct" -> "q25", "q26_sessionize" -> "q26", "q27_union" -> "q27",
+    "q28_window_misc" -> "q28", "q29_above_own_avg" -> "q29", "q2_filter_project" -> "q2",
+    "q30_setops_all" -> "q30", "q31_range_join" -> "q31", "q32_grouping_sets" -> "q32",
+    "q33_approx_percentiles" -> "q33", "q34_range_frame" -> "q34", "q35_funnel" -> "q35",
+    "q36_profile" -> "q36", "q37_retention" -> "q37", "q38_histogram" -> "q38",
+    "q3_revenue_by_segment" -> "q3", "q4_semi_join_agg" -> "q4", "q5_nation_volume" -> "q5",
+    "q6_anti_join" -> "q6", "q7_theta_left_join" -> "q7", "q8_window_topn_per_group" -> "q8",
+    "q9_window_running" -> "q9", "quality_blocklist" -> "qb", "quality_gate" -> "qg",
+    "quality_nb" -> "nb", "quality_nb_buckets" -> "nbq", "ret_bm25_topk" -> "bm",
+    "ret_hybrid_ann" -> "rfa", "ret_hybrid_rrf" -> "rf", "s1_text_lineage" -> "s1",
+    "s7_generator" -> "s7", "sample_per_group" -> "sg", "sample_split" -> "ss",
+    "sample_stratified" -> "sf", "sample_weighted" -> "sw", "scd2_merge" -> "s2",
+    "sel_cap_per_source" -> "sel", "sel_mmr" -> "mm", "sim_ann_ivf" -> "sai",
+    "sim_ann_lsh" -> "sal", "sim_ann_pq" -> "sap", "sim_hard_negatives" -> "shn",
+    "sim_neardup_cosine" -> "sn", "sim_semdedup" -> "sdd", "sim_topk_brute" -> "stk",
+    "split_leakage_free" -> "spl", "t1_transformer" -> "t1", "t2_expand" -> "t2",
+    "t3_batcher_bykey" -> "t3", "t5_pipeline_copy" -> "t5", "text_boilerplate" -> "xb",
+    "text_collocations" -> "clc", "text_commonness" -> "xc", "text_entropy" -> "en",
+    "text_fingerprint" -> "tf", "text_html_clean" -> "xh", "text_langid" -> "tl",
+    "text_lm_backoff" -> "lb", "text_lm_score" -> "tx_lm_score", "text_normalize" -> "tn",
+    "text_novelty" -> "nv", "text_para_dedup" -> "xp", "text_pii" -> "tp",
+    "text_ppl_buckets" -> "pl", "text_quality" -> "tq", "text_redact" -> "td",
+    "text_repetition" -> "tr", "text_span_corrupt" -> "sk", "text_tfidf" -> "ti",
+    "text_token_stats" -> "tt", "text_vocab_topk" -> "xv", "text_vocab_topk_mg" -> "xm",
+    "text_winnow" -> "wi", "token_budget" -> "tb", "unigram_encode" -> "ue",
+    "unigram_vocab" -> "uv"
+  )
+
+  test("r8 bench keys are stable: current keys are a superset of round 8's") {
+    val current = SparkEntry.queries.keySet
+    val dropped = R8Keys.keySet -- current
+    assert(dropped.isEmpty, s"round-8 queries missing from the pack: $dropped")
+    val moved = R8Keys.filter { case (n, k) => shortName(n) != k }
+    assert(moved.isEmpty,
+      s"round-8 short keys changed (breaks round-over-round diffing): " +
+        moved.map { case (n, k) => s"$n: $k -> ${shortName(n)}" }.mkString(", "))
   }
 }

@@ -769,4 +769,71 @@ class ConfigSpec extends SparkSpec {
     assert(byId(1L) === "alpha beta")
     assert(byId(2L) === "gamma & delta")
   }
+
+  test("declared mmr keeps the diverse top-k, not the relevance top-k") {
+    import spark.implicits._
+    // doc 2 is a near-copy of the most relevant doc 1; MMR must skip it
+    // for the orthogonal doc 3 (relevance alone would pick {1, 2})
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0), 2000000L),
+      (2L, Seq(1.0, 0.01), 1900000L),
+      (3L, Seq(0.0, 1.0), 1500000L),
+      (4L, Seq(0.0, 0.9), 100000L)).toDF("doc_id", "vec", "rel")
+    val out = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "mmr",
+        cols = Seq("doc_id", "vec"), expr = Some("rel"), name = Some("2"))))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L))
+    assert(out.columns.contains("sel_rank") &&
+      out.columns.contains("mmr_score_micro"))
+  }
+
+  test("declared unigram_encode and bpe_encode annotate tokenizer counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab ab"), (3L, "ba aa"))
+      .toDF("doc_id", "text")
+    val ue = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "unigram_encode",
+        cols = Seq("doc_id", "text"), expr = Some("16,2"))))
+    assert(ue.count() === 3)
+    assert(Seq("n_words", "n_pieces", "nll_micro").forall(ue.columns.contains))
+    val be = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "bpe_encode",
+        cols = Seq("doc_id", "text"), expr = Some("2"))))
+    assert(be.count() === 3)
+    assert(be.columns.contains("n_bpe_tokens"))
+    // with 'aa' minable as one merge, doc 1's bpe count drops below its
+    // character count — proof the mined table was actually applied
+    val c1 = be.filter($"doc_id" === 1).select("n_bpe_tokens")
+      .collect().head.getLong(0)
+    assert(c1 < 6, s"doc 1 bpe token count $c1 shows no merge applied")
+  }
+
+  test("declared collocations replaces the frame with the PMI table") {
+    import spark.implicits._
+    val docs = (1 to 8).map(i => (i.toLong, "strong coffee " * 3 + s"u$i"))
+      .toDF("doc_id", "text")
+    val out = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "collocations",
+        cols = Seq("text"), expr = Some("4,5"))))
+    assert(Seq("w1", "w2", "c2", "pmi_micro", "rank")
+      .forall(out.columns.contains))
+    val top = out.orderBy("rank").select("w1", "w2").collect().head
+    assert((top.getString(0), top.getString(1)) === ("strong", "coffee"))
+  }
+
+  test("declared dedup_image drops perceptual near-dups of a binary column") {
+    import spark.implicits._
+    // 1 and 2 are the same scene at different resolution+codec; 3 differs
+    val docs = Seq(
+      (1L, graft.llm.ImageHash.synthPng(42L, 64, 48)),
+      (2L, graft.llm.ImageHash.synthJpeg(42L, 96, 72)),
+      (3L, graft.llm.ImageHash.synthPng(43L, 64, 48)))
+      .toDF("media_id", "media")
+    val kept = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "dedup_image",
+        cols = Seq("media_id", "media"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
 }

@@ -329,6 +329,23 @@ class StreamingSpec extends SparkSpec {
     assert(resolved("alpha") === nBatches.toLong)
   }
 
+  test("a multi-file compacted base is read identically to a single-file one") {
+    // the size-aware compactor may emit >1 file per base partition at
+    // scale; the read path must aggregate across base files + deltas
+    val base = java.nio.file.Files.createTempDirectory("graft_mfb").toString
+    Seq(("alpha", 3L), ("beta", 2L), ("gamma", 1L))
+      .toDF("term", "df").repartition(3)
+      .write.parquet(s"$base/index/batch=-1")
+    Seq(("alpha", 1L), ("delta", 1L))
+      .toDF("term", "df")
+      .write.parquet(s"$base/index/batch=1")
+    val resolved = graft.streaming.Pipelines
+      .readTermDfIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(resolved === Map("alpha" -> 4L, "beta" -> 2L, "gamma" -> 1L,
+      "delta" -> 1L))
+  }
+
   test("paraDedupIngest: batch-vs-full equality, compaction-bounded index") {
     val base = java.nio.file.Files.createTempDirectory("graft_pdi").toString
     val mem = MemoryStream[(Long, String)](spark)

@@ -79,4 +79,16 @@ class GraphSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(9L, 7L))
   }
+
+  test("node count beyond the accumulator bound fails loudly, not silently") {
+    // the ~1e7 default bound is the documented 2^63 overflow limit; prove
+    // the guard trips by lowering maxNodes below a small graph's node count
+    val p = pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankCentrality(p, iterations = 1, maxNodes = 3L)
+    }
+    assert(e.getMessage.contains("accumulator bound"))
+    // at the default bound the same graph ranks fine
+    assert(Graph.pageRankCentrality(p, iterations = 1).count() == 5L)
+  }
 }
