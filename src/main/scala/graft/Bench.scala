@@ -42,6 +42,9 @@ object Bench {
     "dedup_vs_ref_near" -> "dv",
     "mm_binary_stats" -> "mms",
     "mm_neardup" -> "mmn",
+    "mm_image_meta" -> "mmi",
+    "mm_audio_neardup" -> "mma",
+    "sql_curate" -> "sqc",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
     "dedup_keep_best" -> "db",

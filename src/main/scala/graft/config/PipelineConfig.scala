@@ -252,6 +252,17 @@ object PipelineConfig {
           }
           graft.llm.ImageHash.dropNearDuplicates(d, idc, bc,
             t.expr.getOrElse("3").trim.toInt)
+        // energy-envelope audio near-dedup over a BINARY WAV column
+        // (AudioHash manual PCM-16 parse): min-id survivor per hash
+        // component; undecodable rows always survive.
+        // cols = [idCol, binaryCol], expr = maxHamming (default 3)
+        case "dedup_audio" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_audio needs cols = [idCol, binaryCol]")
+          }
+          graft.llm.AudioHash.dropNearDuplicates(d, idc, bc,
+            t.expr.getOrElse("3").trim.toInt)
         // NEAR-dup decontamination against a reference parquet (an eval
         // suite): drops every row whose shingle-set Jaccard against ANY
         // reference doc reaches the threshold. cols = [idCol, textCol],

@@ -117,6 +117,15 @@ case class Hamming64(left: Expression, right: Expression)
   * hook for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
+
+  // Column-helper bridge: the llm surface is written as Column combinators
+  // over codegen'd built-ins; ExpressionUtils round-trips them so delegated-
+  // SQL users (the C7 Athena-replacement path) reach the same expression
+  // DAGs by name — identical plans, identical hashes, no UDFs.
+  private def colFn(f: Seq[Column] => Column): Seq[Expression] => Expression =
+    es => org.apache.spark.sql.graftshim.ColumnBridge.expression(
+      f(es.map(org.apache.spark.sql.graftshim.ColumnBridge.column)))
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
     "graft_hamming64" -> (es => Hamming64(es(0), es(1))),
@@ -126,7 +135,16 @@ object GraftFunctions {
     // Powers graft.llm.Dedup.dropIfInReference's map-side pre-filter.
     "graft_bloom_contains" -> (es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        es(0), es(1))))
+        es(0), es(1))),
+    // ---- the LLM-curation scalar surface, SQL-visible ----
+    "graft_normalize" -> colFn { case Seq(c) => graft.llm.TextOps.normalize(c) },
+    "graft_tokens" -> colFn { case Seq(c) => graft.llm.TextOps.tokens(c) },
+    "graft_token_count" -> colFn { case Seq(c) => graft.llm.TextOps.tokenCount(c) },
+    "graft_bpe_token_count" -> colFn { case Seq(c) =>
+      graft.llm.TextOps.bpeTokenCount(c) },
+    "graft_quality" -> colFn { case Seq(c) => graft.llm.TextOps.qualityScore(c) },
+    "graft_quantize_int8" -> colFn { case Seq(c) =>
+      graft.llm.Similarity.quantizeInt8(c) })
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

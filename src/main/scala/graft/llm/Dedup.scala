@@ -1204,6 +1204,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Incremental form of [[hamming64Pairs]]: the pairs a `fresh`
+    * (id, fp BIGINT) batch introduces against itself and an `existing`
+    * index — fresh×fresh and fresh×existing, never existing×existing —
+    * value-identical to running [[hamming64Pairs]] over the union and
+    * keeping pairs that touch a fresh id. Ids must be disjoint between
+    * the two frames. The 16-byte (id, fp) index IS the complete
+    * similarity state (the streaming media-dedup loops ride this), so
+    * incremental passes never re-read historical bytes at all.
+    */
+  def hamming64PairsIncremental(fresh: DataFrame, existing: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hamming64Pairs chunk blocking is sound for maxHamming <= 3, got $maxHamming")
+    def chunks(df: DataFrame) = df.selectExpr("id", "fp",
+      "posexplode(transform(sequence(0, 3), c -> (shiftrightunsigned(fp, c * 16) & 65535))) AS (chunk_idx, chunk)")
+    val cf = chunks(fresh)
+    val ca = chunks(fresh.unionByName(existing))
+    // one side is always fresh; order is normalized afterwards, so the
+    // fresh×fresh double-match (both orders) collapses in the distinct
+    cf.as("l").join(ca.as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+          col("l.chunk") === col("r.chunk") && col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"),
+        when(col("l.id") < col("r.id"), col("l.fp")).otherwise(col("r.fp")).as("fp_a"),
+        when(col("l.id") < col("r.id"), col("r.fp")).otherwise(col("l.fp")).as("fp_b"))
+      .distinct()
+      .withColumn("hamming", TextOps.hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Near-dup candidate pairs from winnowing fingerprints
     * ([[TextOps.winnowFingerprints]]): doc pairs sharing at least
     * `minShared` selected fingerprints, with the exact shared count.

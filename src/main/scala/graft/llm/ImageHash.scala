@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * (a corrupt blob must not collide with every other corrupt blob).
   */
 case class ImageHashed(id: Long, decoded: Boolean, ahash: Long, dhash: Long,
-    img_w: Int, img_h: Int)
+    phash: Long, img_w: Int, img_h: Int)
 
 /** Perceptual-hash image near-duplicate detection — the REAL codec path of
   * the multimodal family ([[Multimodal]] keeps the stubbed feature kernel
@@ -54,6 +54,9 @@ object ImageHash {
   /** Grid side: 8×8 cells → 64-bit hashes. */
   val Grid = 8
 
+  /** pHash working grid: 32×32 luma, DCT'd, top-left 8×8 kept. */
+  val PGrid = 32
+
   /** Decode bytes to an image, None on any codec failure (corrupt bytes,
     * unknown format, zero-dimension payload). ImageIO's file-backed cache
     * is disabled process-wide on first use — executor-local, stateless.
@@ -69,17 +72,19 @@ object ImageHash {
     * Images narrower/shorter than the grid fall back to nearest-neighbor
     * sampling for the empty block (lo == hi ⇒ take pixel lo, clamped).
     */
-  def cellLumas(img: BufferedImage): Array[Long] = {
+  def cellLumas(img: BufferedImage): Array[Long] = cellLumas(img, Grid)
+
+  def cellLumas(img: BufferedImage, grid: Int): Array[Long] = {
     val w = img.getWidth; val h = img.getHeight
-    val out = new Array[Long](Grid * Grid)
+    val out = new Array[Long](grid * grid)
     var cy = 0
-    while (cy < Grid) {
-      val y0 = cy * h / Grid
-      val y1 = math.max(y0 + 1, (cy + 1) * h / Grid)
+    while (cy < grid) {
+      val y0 = cy * h / grid
+      val y1 = math.max(y0 + 1, (cy + 1) * h / grid)
       var cx = 0
-      while (cx < Grid) {
-        val x0 = cx * w / Grid
-        val x1 = math.max(x0 + 1, (cx + 1) * w / Grid)
+      while (cx < grid) {
+        val x0 = cx * w / grid
+        val x1 = math.max(x0 + 1, (cx + 1) * w / grid)
         var sum = 0L
         var y = math.min(y0, h - 1)
         val yEnd = math.min(y1, h)
@@ -96,12 +101,81 @@ object ImageHash {
           y += 1
         }
         val n = (yEnd - math.min(y0, h - 1)).toLong * (xEnd - xStart)
-        out(cy * Grid + cx) = sum / math.max(n, 1L)
+        out(cy * grid + cx) = sum / math.max(n, 1L)
         cx += 1
       }
       cy += 1
     }
     out
+  }
+
+  // DCT-II basis for the 32-point transform, built with StrictMath (bit-
+  // identical on every JVM/platform — Math.cos is only 1-ulp-accurate and
+  // may differ across architectures, which would make pHash partition-
+  // dependent on a heterogeneous cluster).
+  private lazy val DctBasis: Array[Array[Double]] = {
+    val b = Array.ofDim[Double](PGrid, PGrid)
+    var u = 0
+    while (u < PGrid) {
+      var x = 0
+      while (x < PGrid) {
+        b(u)(x) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * PGrid))
+        x += 1
+      }
+      u += 1
+    }
+    b
+  }
+
+  /** DCT perceptual hash (the "pHash" of the aHash/dHash/pHash family):
+    * 32×32 integer luma grid → 2-D DCT-II (fixed left-to-right
+    * accumulation, StrictMath basis — fully deterministic doubles) → the
+    * 63 AC coefficients of the top-left 8×8 block, thresholded against
+    * their median (strict >; the DC coefficient is excluded so global
+    * brightness shifts don't move bits). Bit i corresponds to zigzag-free
+    * row-major coefficient order with DC's bit pinned to 0. More robust
+    * than aHash/dHash to smooth local edits because low-frequency DCT
+    * coefficients integrate over the whole frame.
+    */
+  def pHash64(img: BufferedImage): Long = {
+    val cells = cellLumas(img, PGrid)
+    // rows then columns: separable 2-D DCT with a fixed accumulation order
+    val rows = Array.ofDim[Double](PGrid, PGrid)
+    var y = 0
+    while (y < PGrid) {
+      var u = 0
+      while (u < PGrid) {
+        var s = 0.0
+        var x = 0
+        while (x < PGrid) { s += DctBasis(u)(x) * cells(y * PGrid + x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < Grid) {
+      var u = 0
+      while (u < Grid) {
+        var s = 0.0
+        var yy = 0
+        while (yy < PGrid) { s += DctBasis(v)(yy) * rows(yy)(u); yy += 1 }
+        coef(v * Grid + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+    val median = sorted(31)
+    var bits = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
   }
 
   /** Average hash: bit i ⇔ 64·cell_i > Σcells (strict). */
@@ -146,8 +220,8 @@ object ImageHash {
           case Some(im) =>
             val cells = cellLumas(im)
             ImageHashed(id, decoded = true, aHash64(cells), dHash64(cells),
-              im.getWidth, im.getHeight)
-          case None => ImageHashed(id, decoded = false, 0L, 0L, 0, 0)
+              pHash64(im), im.getWidth, im.getHeight)
+          case None => ImageHashed(id, decoded = false, 0L, 0L, 0L, 0, 0)
         }
       })
   }

@@ -123,6 +123,23 @@ object LlmOps extends QueryPack {
         when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + FooterB))
           .otherwise(lit(""))).as("text"))
 
+  /** The deterministic synthetic image corpus shared by mm_neardup and
+    * mm_image_meta: one 64×48 PNG scene per doc id (first 160), every 4th
+    * replanted as a 96×72 JPEG rendition under id + 1000000 (the dims the
+    * mm_image_meta oracle hard-codes — change them together).
+    */
+  private def syntheticImageCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+      .orderBy("doc_id").limit(160).as[Long]
+    ids.flatMap { id =>
+      val base = (id, ImageHash.synthPng(id, 64, 48))
+      if (id % 4 == 0)
+        Seq(base, (id + 1000000L, ImageHash.synthJpeg(id, 96, 72)))
+      else Seq(base)
+    }.toDF("media_id", "media")
+  }
+
   /** Paragraph-structured planted corpus: FooterA as a LEADING paragraph
     * on every 4th doc, FooterB as a TRAILING one on every 7th — position
     * matters (the rebuild must keep the body in place after cutting
@@ -767,18 +784,63 @@ object LlmOps extends QueryPack {
     //      recall pattern of the ANN suite, in image form. Rows-only by
     //      design (pixel decode is not SQL-expressible); ImageHashSpec pins
     //      100% planted recall + zero false merges on this exact corpus ----
-    "mm_neardup" -> ((s, dir) => {
+    "mm_neardup" -> ((s, dir) =>
+      ImageHash.dropNearDuplicates(syntheticImageCorpus(s, dir),
+          "media_id", "media", maxHamming = 3)
+        .select(col("media_id"))),
+
+    // ---- the decoder metadata path, ORACLE-CHECKED: dims reported by the
+    //      real ImageIO decode must equal the render dims for every row —
+    //      a decode stub or silent fallback cannot fake this ----
+    "mm_image_meta" -> ((s, dir) =>
+      ImageHash.imageHashes(syntheticImageCorpus(s, dir), "media_id", "media")
+        .toDF()
+        .select(col("id").as("media_id"), col("decoded"),
+          col("img_w").cast("long").as("img_w"),
+          col("img_h").cast("long").as("img_h"))),
+
+    // ---- audio leg of the multimodal family: energy-envelope near-dup
+    //      dedup over WAV binary columns; planted renditions vary sample
+    //      rate (22050 vs 44100), volume (0.6×) and channel layout at
+    //      once. Rows-only (PCM decode is not SQL-expressible);
+    //      AudioHashSpec pins 100% recall + zero false merges ----
+    "mm_audio_neardup" -> ((s, dir) => {
       import s.implicits._
       val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
         .orderBy("doc_id").limit(160).as[Long]
-      val media = ids.flatMap { id =>
-        val base = (id, ImageHash.synthPng(id, 64, 48))
+      val clips = ids.flatMap { id =>
+        val base = (id, AudioHash.synthWav(id, 44100))
         if (id % 4 == 0)
-          Seq(base, (id + 1000000L, ImageHash.synthJpeg(id, 96, 72)))
+          Seq(base, (id + 1000000L,
+            AudioHash.synthWav(id, 22050, channels = 2, volumeMilli = 600)))
         else Seq(base)
       }.toDF("media_id", "media")
-      ImageHash.dropNearDuplicates(media, "media_id", "media", maxHamming = 3)
+      AudioHash.dropNearDuplicates(clips, "media_id", "media", maxHamming = 3)
         .select(col("media_id"))
+    }),
+
+    // ---- SQL-only curation through the registered function surface: the
+    //      C7 delegated-SQL path reaching the LLM scalar operators by NAME
+    //      (GraftFunctions bridges the Column helpers into the function
+    //      registry) — a user who only speaks SQL runs quality-gate →
+    //      normalize-dedup → per-language token accounting with zero Scala.
+    //      Same expression DAGs as the Column API, so the oracle is the
+    //      same engine-exact arithmetic as text_quality/text_normalize ----
+    "sql_curate" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir).documents.createOrReplaceTempView("docs_sqlc")
+      s.sql("""
+        WITH scored AS (
+          SELECT doc_id, lang, text, graft_token_count(text) AS n_tokens
+          FROM docs_sqlc WHERE graft_quality(text) >= 0.5
+        ), surv AS (
+          SELECT min(doc_id) AS doc_id
+          FROM scored GROUP BY md5(graft_normalize(text))
+        )
+        SELECT sc.lang, count(*) AS n_docs,
+               CAST(sum(sc.n_tokens) AS BIGINT) AS n_tokens
+        FROM scored sc JOIN surv v ON sc.doc_id = v.doc_id
+        GROUP BY sc.lang""")
     })
   )
 
@@ -1771,6 +1833,19 @@ object LlmOps extends QueryPack {
          |  $duckQuality AS quality
          |FROM documents""".stripMargin,
 
+    "sql_curate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text, CAST(len($DuckToks) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE ($duckQuality) >= 0.5
+         |), surv AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM scored GROUP BY md5($DuckNorm)
+         |)
+         |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(sc.n_tokens) AS BIGINT) AS n_tokens
+         |FROM scored sc JOIN surv v ON sc.doc_id = v.doc_id
+         |GROUP BY sc.lang""".stripMargin,
+
     "text_span_corrupt" -> {
       // the winnow 40-bit md5 decode, over the (doc_id:pos) key
       val hexDecode =
@@ -1911,6 +1986,21 @@ object LlmOps extends QueryPack {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,
         |  'text/plain' AS format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the decoder's metadata contract is engine-checkable: the synthetic
+    // corpus renders at known dims, so a decode that really ran must
+    // report exactly those dims for every row (including the planted
+    // JPEG renditions)
+    "mm_image_meta" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |              FROM documents ORDER BY doc_id LIMIT 160)
+        |SELECT doc_id AS media_id, true AS decoded,
+        |       CAST(64 AS BIGINT) AS img_w, CAST(48 AS BIGINT) AS img_h
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id + 1000000, true,
+        |       CAST(96 AS BIGINT), CAST(72 AS BIGINT)
+        |FROM base WHERE doc_id % 4 = 0""".stripMargin
   )
 }

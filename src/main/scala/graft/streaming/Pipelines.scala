@@ -181,6 +181,81 @@ object Pipelines {
       .start()
   }
 
+  /** Continuous image near-dedup over a binary media column: each
+    * micro-batch hashes its images ([[graft.llm.ImageHash]], map-only),
+    * pairs them against itself and the persisted perceptual-hash index
+    * ([[graft.llm.Dedup.hamming64PairsIncremental]] — never
+    * existing×existing), and writes survivors under `corpusDir/batch=`
+    * plus their hashes under `indexDir/batch=`. The 16-byte (id, fp)
+    * index IS the complete similarity state: historical image BYTES are
+    * never re-read. Undecodable rows always survive and never enter the
+    * index. Same idempotent per-batch layout as [[winnowIngest]] (a retry
+    * overwrites its own partitions and reads only PRIOR state).
+    */
+  def imageDedupIngest(stream: DataFrame, idCol: String, binCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    mediaDedupIngest(stream, idCol, binCol, corpusDir, indexDir,
+      checkpointDir, maxHamming,
+      (df, id, bin) => graft.llm.ImageHash.imageHashes(df, id, bin).toDF()
+        .filter(col("decoded")).select(col("id"), col("dhash").as("fp")))
+
+  /** Continuous audio near-dedup: [[imageDedupIngest]] with the
+    * energy-envelope hash ([[graft.llm.AudioHash]]) as the fingerprint.
+    */
+  def audioDedupIngest(stream: DataFrame, idCol: String, binCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    mediaDedupIngest(stream, idCol, binCol, corpusDir, indexDir,
+      checkpointDir, maxHamming,
+      (df, id, bin) => graft.llm.AudioHash.audioHashes(df, id, bin).toDF()
+        .filter(col("decoded")).select(col("id"), col("ehash").as("fp")))
+
+  private def mediaDedupIngest(stream: DataFrame, idCol: String,
+      binCol: String, corpusDir: String, indexDir: String,
+      checkpointDir: String, maxHamming: Int,
+      hashFn: (DataFrame, String, String) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.select(col(idCol), col(binCol)).localCheckpoint()
+        if (!fresh.isEmpty) {
+          // hash ONCE per batch; only these slim rows are ever persisted
+          val freshFp = hashFn(fresh, idCol, binCol).localCheckpoint()
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val haveIndex = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxPath)
+          val index =
+            if (haveIndex)
+              spark.read.parquet(indexDir)
+                .where(col("batch") =!= batchId) // retry sees PRIOR state
+                .select(col("id"), col("fp"))
+            else {
+              import spark.implicits._
+              Seq.empty[(Long, Long)].toDF("id", "fp")
+            }
+          val pairs = Dedup.hamming64PairsIncremental(freshFp, index, maxHamming)
+          val losers = Dedup.survivorAssignment(pairs)
+            .where(col("id") =!= col("survivor_id"))
+            .select(col("id"))
+          val kept = fresh.join(losers,
+            fresh(idCol).cast("long") === losers("id"), "left_anti")
+            .localCheckpoint()
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch=$batchId")
+          freshFp.join(kept.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Continuous boilerplate removal: each micro-batch of documents cleans
     * itself against the corpus-wide span frequencies — its own spans plus
     * the persisted span-df index — and appends both its cleaned rows and

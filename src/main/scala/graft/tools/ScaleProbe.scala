@@ -252,7 +252,8 @@ object ScaleProbe {
             k = 5, w = 4, minShared = 2)
           val surv = graft.llm.Dedup.applySurvivorsKeepCentral(kept,
             "doc_id", pairs)
-          val withSrc = surv.withColumn("source", pmod(col("doc_id"), lit(5)))
+          val withSrc = surv.withColumn("source",
+            pmod(col("doc_id"), lit(5)).cast("string"))
           val sel = graft.llm.Mixture.temperatureSelect(withSrc, "source",
             graft.llm.TextOps.tokenCount(col("text")),
             budgetOf = total => total / 2L, idCol = "doc_id")

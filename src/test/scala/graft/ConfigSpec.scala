@@ -836,4 +836,19 @@ class ConfigSpec extends SparkSpec {
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("declared dedup_audio drops envelope near-dups of a WAV column") {
+    import spark.implicits._
+    // 1 and 2 are the same clip resampled + volume-scaled; 3 differs
+    val docs = Seq(
+      (1L, graft.llm.AudioHash.synthWav(42L, 44100)),
+      (2L, graft.llm.AudioHash.synthWav(42L, 22050, volumeMilli = 600)),
+      (3L, graft.llm.AudioHash.synthWav(43L, 44100)))
+      .toDF("media_id", "media")
+    val kept = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "dedup_audio",
+        cols = Seq("media_id", "media"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
 }

@@ -60,4 +60,30 @@ class FunctionsSpec extends SparkSpec {
     // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project [graft_cosine"))
   }
+
+  test("bridged llm scalar functions equal their Column-API originals") {
+    GraftFunctions.register(spark)
+    val docs = Seq((1L, "The QUICK  brown fox, and the dog!"),
+      (2L, "a b c d e f g h i j k l m n o p"), (3L, "  x1 y2!  "))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bridge_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_normalize(text) AS n,
+        |  graft_token_count(text) AS tc, graft_bpe_token_count(text) AS bc,
+        |  graft_quality(text) AS q, size(graft_tokens(text)) AS nt
+        |FROM bridge_docs""".stripMargin)
+    val viaCol = docs.select($"doc_id",
+      graft.llm.TextOps.normalize($"text").as("n"),
+      graft.llm.TextOps.tokenCount($"text").as("tc"),
+      graft.llm.TextOps.bpeTokenCount($"text").as("bc"),
+      graft.llm.TextOps.qualityScore($"text").as("q"),
+      size(graft.llm.TextOps.tokens($"text")).as("nt"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // int8 quantization bridges too (array-returning)
+    val qzSql = spark.sql(
+      "SELECT graft_quantize_int8(array(1.0d, -1.0d, 0.5d)) AS q").collect().toSeq
+    val qzCol = spark.range(1).select(graft.llm.Similarity
+      .quantizeInt8(typedLit(Seq(1.0, -1.0, 0.5))).as("q")).collect().toSeq
+    assert(qzSql === qzCol)
+  }
 }

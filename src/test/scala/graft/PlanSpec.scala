@@ -280,4 +280,24 @@ class PlanSpec extends SparkSpec {
     // scoring cross join — the corpus side streams
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("image/audio hash pairing is an equi-join on chunks, never cartesian") {
+    import spark.implicits._
+    val media = (0L until 8L)
+      .map(i => (i, graft.llm.ImageHash.synthPng(i, 64, 48)))
+      .toDF("media_id", "media")
+    val ip = graft.llm.ImageHash.nearDupPairs(
+        graft.llm.ImageHash.imageHashes(media, "media_id", "media"))
+      .queryExecution.executedPlan.toString
+    assert(!ip.contains("CartesianProduct") &&
+      !ip.contains("BroadcastNestedLoopJoin"), ip.take(800))
+    val clips = (0L until 8L)
+      .map(i => (i, graft.llm.AudioHash.synthWav(i, 22050)))
+      .toDF("media_id", "media")
+    val ap = graft.llm.AudioHash.nearDupPairs(
+        graft.llm.AudioHash.audioHashes(clips, "media_id", "media"))
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct") &&
+      !ap.contains("BroadcastNestedLoopJoin"), ap.take(800))
+  }
 }

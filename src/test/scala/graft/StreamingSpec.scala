@@ -155,6 +155,57 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds.toSeq === Seq(1L, 2L, 8L))
   }
 
+  test("imageDedupIngest drops perceptual dups across and within batches") {
+    import graft.llm.ImageHash
+    val base = java.nio.file.Files.createTempDirectory("graft_idi").toString
+    val mem = MemoryStream[(Long, Array[Byte])](spark)
+    val q = graft.streaming.Pipelines.imageDedupIngest(
+      mem.toDF().toDF("media_id", "media"),
+      "media_id", "media", s"$base/corpus", s"$base/index", s"$base/ckpt")
+    // batch 1: scenes 1, 2, and a JPEG rendition of 1 (id 5) → 5 dropped
+    mem.addData((1L, ImageHash.synthPng(100L, 64, 48)),
+      (2L, ImageHash.synthPng(200L, 64, 48)),
+      (5L, ImageHash.synthJpeg(100L, 96, 72)))
+    q.processAllAvailable()
+    // batch 2: a cross-batch rendition of scene 2 + a fresh scene + junk
+    mem.addData((7L, ImageHash.synthJpeg(200L, 96, 72)),
+      (8L, ImageHash.synthPng(300L, 64, 48)),
+      (9L, Array[Byte](1, 2, 3)))
+    q.processAllAvailable(); q.stop()
+    val accepted = spark.read.parquet(s"$base/corpus")
+      .select($"media_id").collect().map(_.getLong(0)).sorted
+    assert(accepted.toSeq === Seq(1L, 2L, 8L, 9L))
+    // the hash index holds exactly the accepted DECODED media
+    val idxIds = spark.read.parquet(s"$base/index")
+      .select($"id").distinct().collect().map(_.getLong(0)).sorted
+    assert(idxIds.toSeq === Seq(1L, 2L, 8L))
+  }
+
+  test("audioDedupIngest: streamed outcome equals batch dedup over the union") {
+    import graft.llm.AudioHash
+    val base = java.nio.file.Files.createTempDirectory("graft_adi").toString
+    val mem = MemoryStream[(Long, Array[Byte])](spark)
+    val q = graft.streaming.Pipelines.audioDedupIngest(
+      mem.toDF().toDF("media_id", "media"),
+      "media_id", "media", s"$base/corpus", s"$base/index", s"$base/ckpt")
+    val b1 = Seq((1L, AudioHash.synthWav(100L, 44100)),
+      (2L, AudioHash.synthWav(200L, 44100)),
+      (5L, AudioHash.synthWav(100L, 22050, volumeMilli = 700)))
+    val b2 = Seq((7L, AudioHash.synthWav(200L, 22050, channels = 2)),
+      (8L, AudioHash.synthWav(300L, 44100)))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val accepted = spark.read.parquet(s"$base/corpus")
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    // min-id-survivor batch semantics over the union: streamed arrival
+    // order coincides with id order here, so outcomes must be identical
+    val batchKept = AudioHash.dropNearDuplicates(
+        (b1 ++ b2).toDF("media_id", "media"), "media_id", "media")
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === batchKept)
+    assert(accepted === Set(1L, 2L, 8L))
+  }
+
   test("winnowNearDupsIncremental equals the batch recompute's fresh-touching pairs") {
     import graft.llm.Dedup
     val mk = (tag: String, n: Int) => (1 to n).map(i => s"$tag$i").mkString(" ")

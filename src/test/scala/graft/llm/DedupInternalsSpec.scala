@@ -67,4 +67,22 @@ class DedupInternalsSpec extends graft.SparkSpec {
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 40L -> 40L))
   }
+
+  test("hamming64PairsIncremental equals the batch pairs touching fresh ids") {
+    // fingerprints chosen so every relation class exists: fresh×fresh dup
+    // (10/11), fresh×existing dup (12 vs 1), existing×existing dup (1/2 —
+    // must NOT be re-reported), and a distant fresh (13)
+    val existing = Seq((1L, 0x00000000000000FFL), (2L, 0x00000000000000FEL),
+      (3L, 0x7777000011110000L)).toDF("id", "fp")
+    val fresh = Seq((10L, 0x0F0F0F0F00000000L), (11L, 0x0F0F0F0F00000001L),
+      (12L, 0x00000000000000F7L), (13L, 0x123456789ABCDEF0L)).toDF("id", "fp")
+    val inc = Dedup.hamming64PairsIncremental(fresh, existing, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val freshIds = Set(10L, 11L, 12L, 13L)
+    val full = Dedup.hamming64Pairs(fresh.unionByName(existing), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .filter(p => freshIds(p._1) || freshIds(p._2)).toSet
+    assert(inc === full)
+    assert(inc === Set((10L, 11L, 1L), (1L, 12L, 1L), (2L, 12L, 2L)))
+  }
 }

@@ -59,6 +59,22 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("pHash is stable under resize+JPEG and separates distinct scenes") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val hashes = (0L until 16L).map { seed =>
+      val base = ImageHash.pHash64(ImageHash.synthImage(seed, 64, 48))
+      val resized = ImageHash.pHash64(ImageHash.synthImage(seed, 96, 72))
+      val jpg = ImageHash.pHash64(
+        ImageHash.decode(ImageHash.synthJpeg(seed, 64, 48)).get)
+      assert(ham(base, resized) <= 3, s"seed $seed resize moved pHash too far")
+      assert(ham(base, jpg) <= 3, s"seed $seed jpeg moved pHash too far")
+      base
+    }
+    for (i <- hashes.indices; j <- 0 until i)
+      assert(ham(hashes(i), hashes(j)) > 6,
+        s"seeds $i/$j pHashes too close: ${ham(hashes(i), hashes(j))}")
+  }
+
   test("planted PNG->JPEG+resize recall is 100% with zero false merges") {
     import spark.implicits._
     // the mm_neardup corpus shape: 160 base scenes, every 4th replanted as
