@@ -44,6 +44,7 @@ object Bench {
     "mm_neardup" -> "mmn",
     "mm_image_meta" -> "mmi",
     "mm_audio_neardup" -> "mma",
+    "mm_audio_meta" -> "mmam",
     "sql_curate" -> "sqc",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",

@@ -242,16 +242,20 @@ object PipelineConfig {
           graft.llm.Dedup.dropNearDuplicatesKeepBest(d, idc, c,
             expr(t.expr.getOrElse(sys.error("dedup_keep_best needs a score expr"))))
         // perceptual-hash image near-dedup over a BINARY column (JDK
-        // codec, ImageHash aHash/dHash): min-id survivor per hash
+        // codec, ImageHash aHash/dHash/pHash): min-id survivor per hash
         // component; undecodable rows always survive.
-        // cols = [idCol, binaryCol], expr = maxHamming (default 3)
+        // cols = [idCol, binaryCol], expr = maxHamming (default 3),
+        // name = hash choice: dhash (default) | ahash | phash
         case "dedup_image" =>
           val Seq(idc, bc) = t.cols match {
             case s if s.length == 2 => s
             case _ => sys.error("dedup_image needs cols = [idCol, binaryCol]")
           }
+          val hashCol = t.name.getOrElse("dhash")
+          require(Set("ahash", "dhash", "phash")(hashCol),
+            s"dedup_image hash must be ahash|dhash|phash, got '$hashCol'")
           graft.llm.ImageHash.dropNearDuplicates(d, idc, bc,
-            t.expr.getOrElse("3").trim.toInt)
+            t.expr.getOrElse("3").trim.toInt, hashCol)
         // energy-envelope audio near-dedup over a BINARY WAV column
         // (AudioHash manual PCM-16 parse): min-id survivor per hash
         // component; undecodable rows always survive.

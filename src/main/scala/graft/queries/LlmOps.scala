@@ -819,6 +819,27 @@ object LlmOps extends QueryPack {
         .select(col("media_id"))
     }),
 
+    // ---- the WAV parser's metadata contract, ORACLE-CHECKED: rate,
+    //      channel count and frame count of every synthetic clip are pure
+    //      arithmetic (n = rate · 65/100), so a parse that really ran must
+    //      report exactly those values for every row ----
+    "mm_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+        .orderBy("doc_id").limit(160).as[Long]
+      val clips = ids.flatMap { id =>
+        val base = (id, AudioHash.synthWav(id, 44100))
+        if (id % 4 == 0)
+          Seq(base, (id + 1000000L,
+            AudioHash.synthWav(id, 22050, channels = 2, volumeMilli = 600)))
+        else Seq(base)
+      }.toDF("media_id", "media")
+      AudioHash.audioHashes(clips, "media_id", "media").toDF()
+        .select(col("id").as("media_id"), col("decoded"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("channels").cast("long").as("channels"))
+    }),
+
     // ---- SQL-only curation through the registered function surface: the
     //      C7 delegated-SQL path reaching the LLM scalar operators by NAME
     //      (GraftFunctions bridges the Column helpers into the function
@@ -2001,6 +2022,22 @@ object LlmOps extends QueryPack {
         |UNION ALL
         |SELECT doc_id + 1000000, true,
         |       CAST(96 AS BIGINT), CAST(72 AS BIGINT)
+        |FROM base WHERE doc_id % 4 = 0""".stripMargin,
+
+    // the WAV parser's contract: frame count = rate · 0.65 s, mono bases
+    // at 44100, stereo 0.6×-volume renditions at 22050 for every 4th doc
+    "mm_audio_meta" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |              FROM documents ORDER BY doc_id LIMIT 160)
+        |SELECT doc_id AS media_id, true AS decoded,
+        |       CAST(44100 AS BIGINT) AS sample_rate,
+        |       CAST(44100 * 65 // 100 AS BIGINT) AS n_samples,
+        |       CAST(1 AS BIGINT) AS channels
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id + 1000000, true,
+        |       CAST(22050 AS BIGINT), CAST(22050 * 65 // 100 AS BIGINT),
+        |       CAST(2 AS BIGINT)
         |FROM base WHERE doc_id % 4 = 0""".stripMargin
   )
 }

@@ -835,6 +835,12 @@ class ConfigSpec extends SparkSpec {
         cols = Seq("media_id", "media"))))
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L))
+    // the DCT hash variant reaches the same verdict on this corpus
+    val keptP = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "dedup_image",
+        cols = Seq("media_id", "media"), name = Some("phash"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(keptP === Set(1L, 3L))
   }
 
   test("declared dedup_audio drops envelope near-dups of a WAV column") {
