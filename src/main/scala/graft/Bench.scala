@@ -45,6 +45,10 @@ object Bench {
     "mm_image_meta" -> "mmi",
     "mm_audio_neardup" -> "mma",
     "mm_audio_meta" -> "mmam",
+    "privacy_k_anon" -> "ka",
+    "privacy_suppress" -> "ks",
+    "privacy_l_div" -> "ld",
+    "privacy_generalize" -> "gk",
     "sql_curate" -> "sqc",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
@@ -237,8 +241,8 @@ object Bench {
       // rep count is in bench_out.json + the early full-name line
       s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$q,"sf":"$sfShort"}"""
     }
-    val tailLine = Seq(3, 2).map(compact).find(_.length <= 1880)
-      .getOrElse(compact(1))
+    val tailLine = Seq(3, 2, 1).map(compact).find(_.length <= 1880)
+      .getOrElse(compact(0))
     println(tailLine)
     Console.out.flush()
   }

@@ -645,6 +645,36 @@ object PipelineConfig {
             .map(r => (r.getString(1), r.getString(2))).toSeq
           d.join(graft.llm.Tokenizer.applyMergesTokenCountsKernel(
             d, idc, c, merges), Seq(idc))
+        // k-anonymity over quasi-identifier columns: annotate with
+        // (qi_group_n, k_anon) or suppress small groups.
+        // cols = quasi cols, expr = k (default 10),
+        // name = annotate (default) | filter
+        case "k_anonymize" =>
+          require(t.cols.nonEmpty, "k_anonymize needs cols = quasi columns")
+          val k = t.expr.getOrElse("10").trim.toLong
+          t.name.getOrElse("annotate") match {
+            case "annotate" => graft.llm.Privacy.kAnonymity(d, t.cols, k)
+            case "filter" => graft.llm.Privacy.suppressSmallGroups(d, t.cols, k)
+            case other => sys.error(s"k_anonymize name must be annotate|filter, got '$other'")
+          }
+        // l-diversity: distinct non-null sensitive values per QI group,
+        // annotated as (l_div, l_ok). cols = quasi cols :+ sensitiveCol
+        // (LAST), expr = l (default 2)
+        case "l_diversity" =>
+          require(t.cols.size >= 2,
+            "l_diversity needs cols = quasi columns :+ sensitive column")
+          graft.llm.Privacy.lDiversity(d, t.cols.init, t.cols.last,
+            t.expr.getOrElse("2").trim.toLong)
+        // generalize-to-k ladder: bucket the LAST col at the smallest
+        // power-of-2 width making every (quasi, bucket) group reach k;
+        // appends (qi_bucket, gen_width). cols = quasi cols :+ numCol,
+        // expr = "k,maxExp" (default "10,24")
+        case "generalize_k" =>
+          require(t.cols.size >= 2,
+            "generalize_k needs cols = quasi columns :+ numeric column")
+          val Array(k, me) = t.expr.getOrElse("10,24").split(",").map(_.trim)
+          graft.llm.Privacy.generalizeToK(d, t.cols.init, t.cols.last,
+            k.toLong, me.toInt)
         // PMI collocations: REPLACES the frame with the corpus-level
         // (w1, w2, c2, pmi_micro, rank) table — an aggregation op like
         // profile, not a per-row annotation. cols = [textCol],

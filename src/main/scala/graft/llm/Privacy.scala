@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy / compliance operators for training corpora: k-anonymity audit
+  * (Sweeney 2002), small-group suppression, l-diversity
+  * (Machanavajjhala et al. 2007), and ladder generalization — the
+  * releasability checks a dataset pipeline runs before rows with
+  * quasi-identifiers (QIs) leave the curation boundary.
+  *
+  * Scale posture: every operator is one shuffle on the QI tuple (window
+  * or groupBy over slim projections — never text, never O(n²)); the
+  * generalization ladder adds a |ladder|-row driver argmin (≤ 41 rows),
+  * nothing else collects. All arithmetic is integer/count-based, so every
+  * output is engine-exact against the DuckDB oracle.
+  */
+object Privacy {
+
+  private def guard(df: DataFrame, outCols: Seq[String]): Unit = {
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns collide with privacy output columns: $clash")
+  }
+
+  /** Annotate each row with its QI-group size and the k-anonymity flag:
+    * (input columns) + (qi_group_n, k_anon). A window count rather than a
+    * groupBy+join so NULL quasi-identifier values form one group exactly
+    * like SQL PARTITION BY (an equi-join would silently drop them).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    guard(df, Seq("qi_group_n", "k_anon"))
+    df.withColumn("qi_group_n",
+        count(lit(1)).over(Window.partitionBy(quasiCols.map(col): _*)))
+      .withColumn("k_anon", col("qi_group_n") >= k)
+  }
+
+  /** Keep only rows whose QI group reaches size k (suppression — the
+    * blunt release gate). Returns df's own columns.
+    */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    kAnonymity(df, quasiCols, k).filter(col("qi_group_n") >= k)
+      .drop("qi_group_n", "k_anon")
+
+  /** Annotate each row with its QI group's count of DISTINCT NON-NULL
+    * `sensitiveCol` values (l-diversity; NULL sensitive values don't
+    * count, matching SQL COUNT(DISTINCT)): + (l_div, l_ok).
+    *
+    * Exact two-phase distinct (DISTINCT (QI, sensitive) pairs → count per
+    * group) rather than a window dense_rank so the shuffle carries each
+    * distinct pair once; the join back is NULL-SAFE on the QI columns.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    guard(df, Seq("l_div", "l_ok"))
+    val counts = df.select((quasiCols :+ sensitiveCol).map(col): _*)
+      .filter(col(sensitiveCol).isNotNull)
+      .distinct()
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("l_div"))
+      // renamed QI columns break lineage with df (a derived self-join
+      // would otherwise hit the ambiguous-attribute analyzer check)
+      .select(quasiCols.map(c => col(c).as(s"__qi_$c")) :+ col("l_div"): _*)
+    val cond = quasiCols.map(c => df(c) <=> counts(s"__qi_$c")).reduce(_ && _)
+    df.join(counts, cond, "left")
+      .select(df.columns.map(df(_)) :+
+        coalesce(counts("l_div"), lit(0L)).as("l_div"): _*)
+      .withColumn("l_ok", col("l_div") >= l)
+  }
+
+  /** Global power-of-2 generalization ladder (the Mondrian idea reduced
+    * to one global recoding): bucket integer `numCol` at the SMALLEST
+    * width in {2^0 … 2^maxExp} for which EVERY (quasiCols, bucket) group
+    * reaches size k — falling back to the coarsest width if none does.
+    * Buckets are floor-aligned via the positive modulus
+    * (v − ((v % w + w) % w), negative-safe, identical in Spark and
+    * DuckDB). Output: input columns + (qi_bucket, gen_width).
+    *
+    * One pass evaluates the whole ladder: the slim (QIs, value)
+    * projection explodes over the widths (≤ 41× slim-row amplification,
+    * documented), aggregates per (width, QIs, bucket), and a
+    * |ladder|-row collect picks the width. NULL values bucket to NULL
+    * (their own group), matching SQL.
+    */
+  def generalizeToK(df: DataFrame, quasiCols: Seq[String], numCol: String,
+      k: Long, maxExp: Int = 24): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxExp >= 0 && maxExp <= 40, s"maxExp must be in [0, 40], got $maxExp")
+    guard(df, Seq("qi_bucket", "gen_width"))
+    val widths = (0 to maxExp).map(1L << _)
+    def bucket(v: Column, w: Column): Column = v - pmod(v, w)
+    val slim = df.select(
+      (quasiCols.map(col) :+ col(numCol).cast("long").as("__v")): _*)
+    val perWidth = slim
+      .withColumn("__w", explode(lit(widths.toArray)))
+      .withColumn("__b", bucket(col("__v"), col("__w")))
+      .groupBy((col("__w") +: quasiCols.map(col)) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__w"))
+      .agg(min(col("__n")).as("__mn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chosen = perWidth.filter(_._2 >= k).map(_._1)
+      .sorted.headOption.getOrElse(widths.last)
+    df.withColumn("qi_bucket",
+        bucket(col(numCol).cast("long"), lit(chosen)))
+      .withColumn("gen_width", lit(chosen))
+  }
+}

@@ -66,7 +66,39 @@ object MlOps extends QueryPack {
     "ml_score_tree" -> ((s, dir) =>
       Scoring.scoreTree(t(s, dir).lineitem, DemoTree, "pred")
         .select(col("l_orderkey"), col("l_linenumber").cast("long")
-          .as("l_linenumber"), col("pred_leaf"), col("pred")))
+          .as("l_linenumber"), col("pred_leaf"), col("pred"))),
+
+    // ---- privacy family: releasability checks over quasi-identifiers.
+    //      k-anonymity audit (window count on the QI tuple) ----
+    "privacy_k_anon" -> ((s, dir) =>
+      graft.llm.Privacy.kAnonymity(t(s, dir).customer,
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .select(col("c_custkey"), col("qi_group_n"), col("k_anon"))),
+
+    // ---- small-group suppression: the release gate form. documents
+    //      (lang, source) groups span 1–16 rows at the gate scales, so
+    //      k = 5 yields a MIXED outcome (some groups suppressed, some
+    //      released) rather than a degenerate all-or-nothing ----
+    "privacy_suppress" -> ((s, dir) =>
+      graft.llm.Privacy.suppressSmallGroups(t(s, dir).documents,
+          Seq("lang", "source"), k = 5)
+        .select(col("doc_id"))),
+
+    // ---- l-diversity: distinct non-null sensitive values per QI group,
+    //      exact two-phase distinct + null-safe join back ----
+    "privacy_l_div" -> ((s, dir) =>
+      graft.llm.Privacy.lDiversity(t(s, dir).orders,
+          Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 100)
+        .select(col("o_orderkey"), col("l_div"), col("l_ok"))),
+
+    // ---- generalize-to-k ladder: the whole power-of-2 width ladder
+    //      evaluated in one exploded aggregation; smallest width whose
+    //      every (event_type, bucket) group reaches k wins ----
+    "privacy_generalize" -> ((s, dir) =>
+      graft.llm.Privacy.generalizeToK(t(s, dir).events,
+          Seq("event_type"), "user_id", k = 50, maxExp = 24)
+        .select(col("event_id"), col("event_type"), col("qi_bucket"),
+          col("gen_width")))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -120,6 +152,48 @@ object MlOps extends QueryPack {
          |  CAST($leaf AS BIGINT) AS pred_leaf,
          |  CAST($value AS DOUBLE) AS pred
          |FROM lineitem""".stripMargin
-    }
+    },
+
+    "privacy_k_anon" ->
+      """SELECT c_custkey,
+        |  CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |    AS BIGINT) AS qi_group_n,
+        |  count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 10
+        |    AS k_anon
+        |FROM customer""".stripMargin,
+
+    "privacy_suppress" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents) WHERE n >= 5""".stripMargin,
+
+    "privacy_l_div" ->
+      """WITH d AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS l_div
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |  GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderkey, coalesce(d.l_div, 0) AS l_div,
+        |       coalesce(d.l_div, 0) >= 100 AS l_ok
+        |FROM orders o LEFT JOIN d
+        |  ON o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+        | AND o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority""".stripMargin,
+
+    "privacy_generalize" ->
+      """WITH w AS (SELECT CAST(1 AS BIGINT) << CAST(i AS INTEGER) AS wd
+        |           FROM (SELECT unnest(range(0, 25)) AS i)),
+        |g AS (SELECT wd, event_type,
+        |        user_id - ((user_id % wd + wd) % wd) AS b, count(*) AS n
+        |      FROM events, w GROUP BY wd, event_type, b),
+        |m AS (SELECT wd, min(n) AS mn FROM g GROUP BY wd),
+        |pick AS (SELECT coalesce(
+        |    (SELECT min(wd) FROM m WHERE mn >= 50),
+        |    (SELECT max(wd) FROM w)) AS wd)
+        |SELECT event_id, event_type,
+        |  CAST(user_id - ((user_id % pick.wd + pick.wd) % pick.wd)
+        |    AS BIGINT) AS qi_bucket,
+        |  CAST(pick.wd AS BIGINT) AS gen_width
+        |FROM events, pick""".stripMargin
   )
 }

@@ -16,17 +16,26 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's tail window at worst-case widths") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // mirror Bench's LAST degradation step, compact(1): the printed line
+    // mirror Bench's LAST degradation step, compact(0): the printed line
     // is the highest precision that fits, so the hard guarantee the
-    // driver needs is that the 1-decimal fallback ("999.9" worst case)
-    // always does — bench_out.json keeps full 3-decimal values regardless
-    val q = names.map(n => s""""${shortName(n)}":999.9""")
+    // driver needs is that the integer-seconds fallback ("999" worst
+    // case) always does — bench_out.json keeps full 3-decimal values
+    val q0 = names.map(n => s""""${shortName(n)}":999""")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","queries":$q,"sf":"sf0.1"}"""
-    assert(line.length <= 1880,
-      s"compact bench line is ${line.length} chars at worst-case widths — " +
+    val line0 = s"""{"metric":"total","value":9999,"unit":"sec","queries":$q0,"sf":"sf0.1"}"""
+    assert(line0.length <= 1880,
+      s"compact bench line is ${line0.length} chars at worst-case widths — " +
         "over the ~1.9k budget the 2000-char driver tail allows; shorten " +
         "new query names (qNN_* prefixes abbreviate automatically)")
+    // resolution guard: at REALISTIC widths (every query under 100 s,
+    // "99.9") the 1-decimal step must fit, so the tail artifact keeps
+    // sub-second resolution in practice
+    val q1 = names.map(n => s""""${shortName(n)}":99.9""")
+      .mkString("{", ",", "}")
+    val line1 = s"""{"metric":"total","value":9999.9,"unit":"sec","queries":$q1,"sf":"sf0.1"}"""
+    assert(line1.length <= 1880,
+      s"1-decimal bench line is ${line1.length} chars at realistic widths — " +
+        "sub-second resolution would be lost; shorten new query names")
   }
 
   test("abbreviated bench keys are collision-free for the current pack") {

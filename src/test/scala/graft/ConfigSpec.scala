@@ -843,6 +843,36 @@ class ConfigSpec extends SparkSpec {
     assert(keptP === Set(1L, 3L))
   }
 
+  test("declared privacy ops: k_anonymize, l_diversity, generalize_k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "us", "web", 10L), (2L, "us", "web", 11L), (3L, "us", "web", 12L),
+      (4L, "de", "book", 20L)).toDF("id", "country", "src", "age")
+    val ann = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "k_anonymize",
+        cols = Seq("country", "src"), expr = Some("3"))))
+    assert(ann.filter($"k_anon").count() === 3)
+    val kept = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "k_anonymize",
+        cols = Seq("country", "src"), expr = Some("3"),
+        name = Some("filter"))))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+    val ldiv = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "l_diversity",
+        cols = Seq("country", "age"), expr = Some("2"))))
+    assert(ldiv.filter($"l_ok").count() === 3)
+    // one QI group, ages 10..13: only width 8 (bucket 8..15) reaches k=4
+    val ages = Seq((1L, "us", 10L), (2L, "us", 11L), (3L, "us", 12L),
+      (4L, "us", 13L)).toDF("id", "country", "age")
+    val gen = PipelineConfig.applyTransforms(ages, Seq(
+      PipelineConfig.TransformConf(op = "generalize_k",
+        cols = Seq("country", "age"), expr = Some("4,8"))))
+    assert(gen.select("qi_bucket").distinct().as[Long].collect().toSeq
+      === Seq(8L))
+    assert(gen.select("gen_width").head().getLong(0) === 8L)
+  }
+
   test("declared dedup_audio drops envelope near-dups of a WAV column") {
     import spark.implicits._
     // 1 and 2 are the same clip resampled + volume-scaled; 3 differs
