@@ -46,6 +46,7 @@ object Bench {
     "mm_audio_neardup" -> "mma",
     "mm_audio_meta" -> "mmam",
     "privacy_k_anon" -> "ka",
+    "privacy_dp_counts" -> "dpc",
     "privacy_suppress" -> "ks",
     "privacy_l_div" -> "ld",
     "privacy_generalize" -> "gk",

@@ -665,6 +665,16 @@ object PipelineConfig {
             "l_diversity needs cols = quasi columns :+ sensitive column")
           graft.llm.Privacy.lDiversity(d, t.cols.init, t.cols.last,
             t.expr.getOrElse("2").trim.toLong)
+        // ε-DP noisy group counts: REPLACES the frame with
+        // (group cols…, n, noisy_n); deterministic md5-keyed Laplace.
+        // cols = group cols, expr = "epsilonMicro[,sensitivity]"
+        // (default "1000000,1"), name = seed (default "graft")
+        case "dp_counts" =>
+          require(t.cols.nonEmpty, "dp_counts needs cols = group columns")
+          val parts = t.expr.getOrElse("1000000,1").split(",").map(_.trim)
+          graft.llm.Privacy.dpNoisyCounts(d, t.cols, parts(0).toLong,
+            t.name.getOrElse("graft"),
+            if (parts.length > 1) parts(1).toLong else 1L)
         // generalize-to-k ladder: bucket the LAST col at the smallest
         // power-of-2 width making every (quasi, bucket) group reach k;
         // appends (qi_bucket, gen_width). cols = quasi cols :+ numCol,

@@ -75,6 +75,53 @@ object Privacy {
       .withColumn("l_ok", col("l_div") >= l)
   }
 
+  /** ε-differentially-private group counts (Dwork et al. 2006) with
+    * DETERMINISTIC seeded Laplace noise: exponential magnitude with a
+    * random sign IS the Laplace(b) distribution, so
+    *
+    *   noisy_n = n + sign · ⌊ b · (−ln u) ⌋,   b = sensitivity / ε
+    *
+    * where u ∈ (0, 1] and the sign come from md5(QIs ⊕ seed) — a keyed
+    * PRF, the standard PRG-based DP implementation shape: same seed →
+    * same release (reproducible builds), and the seed must stay secret
+    * for the guarantee to hold. md5 rather than xxhash64 because the
+    * oracle must replay the identical bits in DuckDB (the
+    * [[TextOps.simhash32]] precedent). The magnitude is the PortableMath
+    * staged log on (r, 2^48), r the first 12 hex digits + 1 — every step
+    * integer or correctly-rounded IEEE, so noisy_n is engine-exact. The
+    * hash grid truncates the Laplace tail at b·ln(2^48) ≈ 33.3·b
+    * (finite-precision DP's usual tail bound).
+    *
+    * Scale: one groupBy on the QI tuple; noise is a map-only expression
+    * over the |groups|-sized result. Output: (groupCols…, n, noisy_n).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilonMicro: Long,
+      seed: String, sensitivity: Long = 1L): DataFrame = {
+    require(epsilonMicro > 0, s"epsilonMicro must be positive, got $epsilonMicro")
+    require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    require(groupCols.nonEmpty, "need at least one group column")
+    guard(df, Seq("n", "noisy_n", "dph", "dpr", "dpd", "dps") ++
+      graft.functions.PortableMath.microLnColumns)
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("dph", md5(concat_ws("",
+        groupCols.map(col(_).cast("string")) :+ lit(seed): _*)))
+      // 48 uniform bits (+1 → u ∈ (0, 1]); 2^48 < 2^52 keeps the staged
+      // log's exact-integer-division precondition
+      .withColumn("dpr",
+        expr("CAST(conv(substring(dph, 1, 12), 16, 10) AS BIGINT) + 1"))
+      .withColumn("dpd", lit(1L << 48))
+      .withColumn("dps", expr(
+        "CASE WHEN CAST(conv(substring(dph, 13, 1), 16, 10) AS BIGINT) % 2 = 1 " +
+          "THEN 1 ELSE -1 END"))
+    val chain = graft.functions.PortableMath.microLnStages("dpr", "dpd",
+      graft.functions.PortableMath.sparkShiftLeft)
+    chain.foldLeft(counts) { case (d, (n, s)) => d.withColumn(n, expr(s)) }
+      // lp = ⌊ln(u)·10⁶⌋ ≤ 0; noise in counts = (−lp)·sens DIV εMicro
+      .withColumn("noisy_n", col("n") +
+        col("dps") * expr(s"((0 - lp) * $sensitivity DIV $epsilonMicro)"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("noisy_n")): _*)
+  }
+
   /** Global power-of-2 generalization ladder (the Mondrian idea reduced
     * to one global recoding): bucket integer `numCol` at the SMALLEST
     * width in {2^0 … 2^maxExp} for which EVERY (quasiCols, bucket) group

@@ -98,7 +98,15 @@ object MlOps extends QueryPack {
       graft.llm.Privacy.generalizeToK(t(s, dir).events,
           Seq("event_type"), "user_id", k = 50, maxExp = 24)
         .select(col("event_id"), col("event_type"), col("qi_bucket"),
-          col("gen_width")))
+          col("gen_width"))),
+
+    // ---- ε-DP noisy release counts: deterministic md5-keyed Laplace
+    //      via the PortableMath staged log — the oracle replays the
+    //      identical bit stream, so even the NOISE is engine-exact ----
+    "privacy_dp_counts" -> ((s, dir) =>
+      graft.llm.Privacy.dpNoisyCounts(t(s, dir).customer,
+          Seq("c_mktsegment"), epsilonMicro = 500000L, seed = "graft-r9")
+        .select(col("c_mktsegment"), col("n"), col("noisy_n")))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -179,6 +187,30 @@ object MlOps extends QueryPack {
         |FROM orders o LEFT JOIN d
         |  ON o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
         | AND o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority""".stripMargin,
+
+    "privacy_dp_counts" -> {
+      val lnCtes = graft.functions.PortableMath.duckCteChain(
+        graft.functions.PortableMath.microLnStages("dpr", "dpd",
+          graft.functions.PortableMath.duckShiftLeft), "d")
+      s"""WITH c AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+         |           FROM customer GROUP BY c_mktsegment),
+         |h AS (SELECT *, md5(c_mktsegment || chr(1) || 'graft-r9') AS dph
+         |      FROM c),
+         |d AS (SELECT *,
+         |  CAST(list_sum(list_transform(range(1, 13), j ->
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(dph, CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+         |    * (CAST(1 AS BIGINT) << CAST(4 * (12 - j) AS INTEGER))))
+         |    AS BIGINT) + 1 AS dpr,
+         |  CAST(281474976710656 AS BIGINT) AS dpd,
+         |  CASE WHEN (strpos('0123456789abcdef', substr(dph, 13, 1)) - 1) % 2 = 1
+         |       THEN 1 ELSE -1 END AS dps
+         |  FROM h),
+         |$lnCtes
+         |SELECT c_mktsegment, n,
+         |  CAST(n + dps * ((0 - lp) * 1 // 500000) AS BIGINT) AS noisy_n
+         |FROM lnfin""".stripMargin
+    },
 
     "privacy_generalize" ->
       """WITH w AS (SELECT CAST(1 AS BIGINT) << CAST(i AS INTEGER) AS wd

@@ -862,6 +862,11 @@ class ConfigSpec extends SparkSpec {
       PipelineConfig.TransformConf(op = "l_diversity",
         cols = Seq("country", "age"), expr = Some("2"))))
     assert(ldiv.filter($"l_ok").count() === 3)
+    val dp = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "dp_counts",
+        cols = Seq("country"), expr = Some("500000,1"), name = Some("s"))))
+    assert(dp.columns.toSeq === Seq("country", "n", "noisy_n"))
+    assert(dp.count() === 2)
     // one QI group, ages 10..13: only width 8 (bucket 8..15) reaches k=4
     val ages = Seq((1L, "us", 10L), (2L, "us", 11L), (3L, "us", 12L),
       (4L, "us", 13L)).toDF("id", "country", "age")

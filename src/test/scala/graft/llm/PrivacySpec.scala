@@ -56,6 +56,33 @@ class PrivacySpec extends SparkSpec {
       === Seq(0L))
   }
 
+  test("dpNoisyCounts replays the PRF + staged-log reference bit-exactly") {
+    import graft.functions.PortableMath
+    val df = ((1 to 24).map(i => (s"g${i % 8}", i))).toDF("g", "v")
+    val eps = 500000L
+    val got = Privacy.dpNoisyCounts(df, Seq("g"), eps, seed = "s")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ref(g: String, n: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + "" + "s").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val r = java.lang.Long.parseLong(hex.substring(0, 12), 16) + 1
+      val lp = PortableMath.microLnRef(r, 1L << 48)
+      val sign = if (Integer.parseInt(hex.substring(12, 13), 16) % 2 == 1) 1 else -1
+      n + sign * ((0 - lp) / eps)
+    }
+    (0 until 8).foreach { i =>
+      assert(got(s"g$i") === ((3L, ref(s"g$i", 3L))), s"group g$i")
+    }
+    // the Laplace tail is real: across 8 groups some noise is nonzero
+    assert(got.values.exists { case (n, nn) => nn != n },
+      s"all noise rounded to zero: $got")
+    // a different seed re-keys the PRF: some group's noise must move
+    val reseeded = Privacy.dpNoisyCounts(df, Seq("g"), eps, seed = "s2")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(reseeded != got.map { case (g, (_, nn)) => g -> nn })
+  }
+
   test("generalizeToK floor-aligns negatives and falls back to the coarsest width") {
     // negative floor alignment: -1 at width 4 buckets to -4, not 0
     val neg = Seq((1L, "g", -1L), (2L, "g", -2L), (3L, "g", -3L), (4L, "g", -4L))
