@@ -114,6 +114,45 @@ object Streams {
       }
   }
 
+  /** Streaming k-anonymity release gate ([[graft.llm.Privacy]] on a
+    * stream): rows are HELD in keyed state until their quasi-identifier
+    * group has accumulated `k` rows, then the whole backlog plus every
+    * later row of that group is released. Group counts only grow, so the
+    * released set converges to exactly the batch
+    * [[graft.llm.Privacy.suppressSmallGroups]] answer over everything
+    * ingested — the streamed form of the release gate, with the privacy
+    * property holding at every intermediate moment (no group is ever
+    * visible below size k).
+    *
+    * State is BOUNDED BY CONSTRUCTION at ≤ k−1 buffered rows per QI
+    * group (once released, state collapses to a released marker), so
+    * unbounded streams cost (distinct groups) · (k−1) rows of state —
+    * the operator's scale contract, no TTL needed.
+    */
+  def kAnonReleaseGate[T](ds: Dataset[T], quasiKey: T => String, k: Int)(
+      implicit e: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import ds.sparkSession.implicits._
+    // state: (buffer, released) — buffer is empty once the group is open.
+    // Kryo for the state (a generic Seq[T] has no derivable expression
+    // encoder); state never leaves the state store, so the row-encoder
+    // benefits don't apply to it anyway
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Seq[T], Boolean)] =
+      org.apache.spark.sql.Encoders.kryo[(Seq[T], Boolean)]
+    ds.groupByKey(quasiKey)
+      .flatMapGroupsWithState[(Seq[T], Boolean), T](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, items: Iterator[T], state: GroupState[(Seq[T], Boolean)]) =>
+          if (state.getOption.exists(_._2)) items // group already public
+          else {
+            val buf = state.getOption.map(_._1).getOrElse(Seq.empty) ++
+              items.toSeq
+            if (buf.size >= k) { state.update((Seq.empty, true)); buf.iterator }
+            else { state.update((buf, false)); Iterator.empty }
+          }
+      }
+  }
+
   /** Stream-static enrichment join: a stream joined to a (small) dimension
     * DataFrame — Spark broadcasts the static side per micro-batch, so the
     * stream is enriched map-side with no stateful shuffle. Left-outer:

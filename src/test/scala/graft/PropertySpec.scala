@@ -298,4 +298,56 @@ class PropertySpec extends SparkSpec {
         s"($c2,$c1,$v): lp=$lp true=$t")
     }
   }
+
+  test("property: incremental hamming pairs equal the batch pairs touching fresh ids") {
+    import graft.llm.Dedup
+    // clustered fingerprints (shared high bits) so hamming ≤ 3 pairs are
+    // common, across random fresh/existing splits
+    val fpGen: Gen[(Long, Long)] = for {
+      base <- Gen.oneOf(0x1111222233330000L, 0x0F0F0F0F00000000L,
+        0x7777000011110000L, -1L)
+      flip <- Gen.choose(0, 63)
+      more <- Gen.choose(0, 63)
+    } yield (base ^ (1L << flip), base ^ (1L << flip) ^ (1L << more))
+    val fps = sample(fpGen, 60).flatMap(p => Seq(p._1, p._2))
+      .distinct.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    val (freshRows, existRows) = fps.partition(_._1 % 3 == 0)
+    val fresh = freshRows.toDF("id", "fp")
+    val existing = existRows.toDF("id", "fp")
+    val freshIds = freshRows.map(_._1).toSet
+    val inc = Dedup.hamming64PairsIncremental(fresh, existing, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.hamming64Pairs(fresh.unionByName(existing), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => freshIds(p._1) || freshIds(p._2)).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "degenerate property run: no pairs generated")
+  }
+
+  test("property: generalizeToK picks a satisfying width no coarser than needed") {
+    import graft.llm.Privacy
+    val rowGen: Gen[(String, Long)] = for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(-64L, 64L)
+    } yield (g, v)
+    val rows = sample(rowGen, 120).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "grp", "v")
+    val k = 7L
+    val out = Privacy.generalizeToK(df, Seq("grp"), "v", k, maxExp = 10)
+    val w = out.select($"gen_width").head().getLong(0)
+    def minGroup(width: Long): Long =
+      rows.groupBy(r => (r._2, r._3 - java.lang.Math.floorMod(r._3, width)))
+        .map(_._2.size.toLong).min
+    // the chosen width satisfies k (unless it is the ladder fallback)…
+    if (w < (1L << 10)) assert(minGroup(w) >= k, s"width $w min ${minGroup(w)}")
+    // …and no strictly finer ladder width would have
+    if (w > 1) assert(minGroup(w / 2) < k,
+      s"width ${w / 2} already satisfies k — $w is not minimal")
+    // buckets in the output really are floor-aligned at the chosen width
+    val misaligned = out
+      .filter($"qi_bucket" =!= ($"v".cast("long") -
+        pmod($"v".cast("long"), lit(w)))).count()
+    assert(misaligned === 0L)
+  }
 }

@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSeq === Seq("a", "b", "c"))
   }
 
+  test("k-anonymity release gate: rows held until their group reaches k") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val gated = Streams.kAnonReleaseGate[(Long, String)](mem.toDS(), _._2, k = 3)
+    val q = gated.writeStream.format("memory").queryName("kanon")
+      .outputMode("append").start()
+    def released(): Set[Long] =
+      spark.table("kanon").as[(Long, String)].collect().map(_._1).toSet
+    // batch 1: us has only 2 rows, de 1 — NOTHING may be visible yet
+    mem.addData((1L, "us"), (2L, "us"), (3L, "de"))
+    q.processAllAvailable()
+    assert(released() === Set.empty)
+    // batch 2: us reaches 3 → its whole backlog releases; de still held
+    mem.addData((4L, "us"), (5L, "de"))
+    q.processAllAvailable()
+    assert(released() === Set(1L, 2L, 4L))
+    // batch 3: an open group releases immediately; de reaches 3
+    mem.addData((6L, "us"), (7L, "de"))
+    q.processAllAvailable(); q.stop()
+    assert(released() === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // convergence: the final released set equals the batch release gate
+    // over everything ingested (counts only grow, so the answers agree)
+    val all = Seq((1L, "us"), (2L, "us"), (3L, "de"), (4L, "us"),
+      (5L, "de"), (6L, "us"), (7L, "de")).toDF("id", "country")
+    val batchKept = graft.llm.Privacy.suppressSmallGroups(all,
+      Seq("country"), 3).select($"id").as[Long].collect().toSet
+    assert(released() === batchKept)
+  }
+
   test("nearDupIngest dedups each batch against the persisted index and itself") {
     val base = java.nio.file.Files.createTempDirectory("graft_ndi").toString
     val mem = MemoryStream[(Long, String)](spark)
