@@ -226,6 +226,32 @@ object ImageHash {
       })
   }
 
+  /** REAL image embeddings (not [[Multimodal.decodeStub]]): the 8×8
+    * integer area-average luma grid as a 64-dim `array<float>` vector —
+    * exactly the aHash cells, so resize-EXACT whenever 8 | dims and
+    * JPEG-stable within cell-average noise. This plugs image columns into
+    * every embedding operator ([[Similarity.semDedup]], brute/IVF/PQ ANN,
+    * k-means, hard negatives) with no new machinery: an image corpus
+    * becomes an embeddings corpus in one map-only pass. Undecodable rows
+    * are dropped (they carry no geometry; the dedup paths keep them via
+    * the decoded flag instead).
+    *
+    * Output: (idCol, `featCol` array<float>) matching the embeddings
+    * table shape.
+    */
+  def lumaFeatures(df: DataFrame, idCol: String, binCol: String,
+      featCol: String = "embedding"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decode(if (bytes == null) Array.emptyByteArray else bytes).map { im =>
+          (id, cellLumas(im).map(_.toFloat / 1000f))
+        }
+      })
+      .toDF(idCol, featCol)
+  }
+
   /** Near-dup pairs among DECODED images: hamming(`hashCol`) ≤ maxHamming,
     * id_a < id_b, via [[Dedup.hamming64Pairs]] chunk blocking (sound only
     * for maxHamming ≤ 3 — enforced there).

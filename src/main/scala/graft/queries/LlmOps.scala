@@ -2024,6 +2024,20 @@ object LlmOps extends QueryPack {
         |       CAST(96 AS BIGINT), CAST(72 AS BIGINT)
         |FROM base WHERE doc_id % 4 = 0""".stripMargin,
 
+    // near-dup semantics promoted from rows-only to a REAL oracle: the
+    // synthetic corpora plant one rendition per 4th base scene and the
+    // hash specs prove 100% recall with zero false merges, so the
+    // survivor set is EXACTLY the base ids — a wrong pairing (missed
+    // rendition, false merge, wrong survivor policy) changes the row set
+    // and fails the hash
+    "mm_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 160)""".stripMargin,
+
+    "mm_audio_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 160)""".stripMargin,
+
     // the WAV parser's contract: frame count = rate · 0.65 s, mono bases
     // at 44100, stereo 0.6×-volume renditions at 22050 for every 4th doc
     "mm_audio_meta" ->

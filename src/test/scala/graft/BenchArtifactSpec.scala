@@ -51,7 +51,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     // dependent; each is covered by recall/error-bound specs instead
     val rowsOnly = Set("q25_approx_distinct", "q33_approx_percentiles",
       "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_semdedup",
-      "ret_hybrid_ann", "mm_neardup", "mm_audio_neardup")
+      "ret_hybrid_ann")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"queries without oracles beyond the documented set: " +

@@ -97,6 +97,39 @@ class ImageHashSpec extends SparkSpec {
     assert(survivors == ids.toSet, "survivors must be exactly the base ids")
   }
 
+  test("lumaFeatures are resize-exact embeddings that drive SemDeDup on images") {
+    import spark.implicits._
+    // 24 scenes; every 3rd replanted as a JPEG at 1.5× resolution
+    val media = (0L until 24L).flatMap { id =>
+      val base = (id, ImageHash.synthPng(id, 64, 48))
+      if (id % 3 == 0) Seq(base, (id + 1000L, ImageHash.synthJpeg(id, 96, 72)))
+      else Seq(base)
+    }.toDF("media_id", "media")
+    val emb = ImageHash.lumaFeatures(media, "media_id", "media")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .localCheckpoint()
+    // resize-exactness: base and rendition vectors are cosine ≈ 1
+    val pairCos = emb.as("a").join(emb.as("b"),
+        col("b.media_id") === col("a.media_id") + 1000L)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    assert(pairCos >= 0.999, s"worst rendition cosine $pairCos")
+    // distinct scenes stay well-separated
+    val crossCos = emb.as("a").join(emb.as("b"),
+        col("a.media_id") < col("b.media_id") &&
+          col("b.media_id") =!= col("a.media_id") + 1000L &&
+          col("a.media_id") < 1000L && col("b.media_id") < 1000L)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    assert(crossCos < 0.999, s"distinct scenes too close: $crossCos")
+    // the existing embedding SemDeDup drops the renditions, nothing else
+    val kept = Similarity.semDedup(emb, threshold = 0.999, nClusters = 4,
+        idCol = "media_id", vecCol = "embedding")
+      .select("media_id").as[Long].collect().toSet
+    assert(kept === (0L until 24L).toSet,
+      s"SemDeDup over luma embeddings should keep exactly the bases: $kept")
+  }
+
   test("undecodable bytes never pair and always survive") {
     import spark.implicits._
     val media = Seq(
