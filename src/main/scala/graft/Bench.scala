@@ -51,6 +51,9 @@ object Bench {
     "privacy_l_div" -> "ld",
     "privacy_generalize" -> "gk",
     "sql_curate" -> "sqc",
+    "sft_chat_format" -> "sfc",
+    "sft_loss_mask" -> "sfm",
+    "sel_pref_pairs" -> "spp",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
     "dedup_keep_best" -> "db",

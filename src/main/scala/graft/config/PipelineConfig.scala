@@ -665,6 +665,36 @@ object PipelineConfig {
             "l_diversity needs cols = quasi columns :+ sensitive column")
           graft.llm.Privacy.lDiversity(d, t.cols.init, t.cols.last,
             t.expr.getOrElse("2").trim.toLong)
+        // SFT chat formatting: REPLACES the frame with one role-tagged
+        // training text per conversation (conv_id, chat_text, n_turns).
+        // cols = [convCol, orderCol, roleCol, contentCol]
+        case "chat_format" =>
+          val Seq(cv, o, rl, ct) = t.cols match {
+            case s if s.length == 4 => s
+            case _ => sys.error(
+              "chat_format needs cols = [convCol, orderCol, roleCol, contentCol]")
+          }
+          graft.llm.SftFormat.chatFormat(d, cv, o, rl, ct)
+        // loss-mask spans of the target role's content:
+        // (conv_id, span_idx, span_start, span_end).
+        // cols as chat_format, name = target role (default "assistant")
+        case "loss_mask" =>
+          val Seq(cv, o, rl, ct) = t.cols match {
+            case s if s.length == 4 => s
+            case _ => sys.error(
+              "loss_mask needs cols = [convCol, orderCol, roleCol, contentCol]")
+          }
+          graft.llm.SftFormat.lossMaskSpans(d, cv, o, rl, ct,
+            t.name.getOrElse("assistant"))
+        // preference pairs (RLHF/DPO shape): per group, best vs worst by
+        // an integer score expr. cols = [groupCol, idCol], expr = score
+        case "pref_pairs" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("pref_pairs needs cols = [groupCol, idCol]")
+          }
+          graft.llm.Selection.prefPairs(d, g, idc,
+            expr(t.expr.getOrElse(sys.error("pref_pairs needs a score expr"))))
         // ε-DP noisy group counts: REPLACES the frame with
         // (group cols…, n, noisy_n); deterministic md5-keyed Laplace.
         // cols = group cols, expr = "epsilonMicro[,sensitivity]"

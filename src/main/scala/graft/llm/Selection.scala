@@ -300,4 +300,45 @@ object Selection extends Serializable {
           .when(col("qtile") === k, "tail").otherwise("middle"))
       .drop("__sbq_s")
   }
+
+  /** Preference-pair construction (the RLHF/DPO dataset shape): per group,
+    * pair the BEST-scored item (chosen) with the WORST-scored (rejected),
+    * deterministic ties by min id on both sides; single-item groups emit
+    * nothing (no pair exists), and so do all-equal-score groups (best and
+    * worst resolve to the same min id — a zero-margin "preference" is not
+    * one). `score` must be an integer-exact expression for engine-exact
+    * margins.
+    *
+    * Scale: two rank windows over the same slim (group, id, score)
+    * projection — one shuffle on the group key, no joins against the
+    * corpus. Output: (groupCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin).
+    */
+  def prefPairs(df: DataFrame, groupCol: String, idCol: String,
+      score: Column): DataFrame = {
+    val reserved = Seq("__pp_s", "chosen_id", "rejected_id", "chosen_score",
+      "rejected_score", "margin")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved column(s) ${clash.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(groupCol), col(idCol).cast("long").as("__pp_id"),
+      score.cast("long").as("__pp_s"))
+    val best = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pp_s").desc, col("__pp_id").asc)
+    val worst = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pp_s").asc, col("__pp_id").asc)
+    slim.withColumn("__rb", row_number().over(best))
+      .withColumn("__rw", row_number().over(worst))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        max(when(col("__rb") === 1, col("__pp_id"))).as("chosen_id"),
+        max(when(col("__rb") === 1, col("__pp_s"))).as("chosen_score"),
+        max(when(col("__rw") === 1, col("__pp_id"))).as("rejected_id"),
+        max(when(col("__rw") === 1, col("__pp_s"))).as("rejected_score"))
+      .filter(col("__n") >= 2 && col("chosen_id") =!= col("rejected_id"))
+      .select(col(groupCol), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
 }

@@ -840,6 +840,26 @@ object LlmOps extends QueryPack {
           col("n_samples"), col("channels").cast("long").as("channels"))
     }),
 
+    // ---- SFT chat formatting: events as conversations (user = conv,
+    //      event order = turn order, type = role, props = content) →
+    //      one role-tagged training text per conversation ----
+    "sft_chat_format" -> ((s, dir) =>
+      SftFormat.chatFormat(t(s, dir).events,
+        "user_id", "event_id", "event_type", "props")),
+
+    // ---- loss-mask character spans of the target role's content inside
+    //      the formatted text — the piece a trainer actually masks ----
+    "sft_loss_mask" -> ((s, dir) =>
+      SftFormat.lossMaskSpans(t(s, dir).events,
+        "user_id", "event_id", "event_type", "props", targetRole = "click")),
+
+    // ---- preference-pair construction (RLHF/DPO dataset shape): per
+    //      source, longest doc chosen vs shortest rejected ----
+    "sel_pref_pairs" -> ((s, dir) =>
+      Selection.prefPairs(t(s, dir).documents.select(col("doc_id"),
+          col("source"), col("n_chars")),
+        "source", "doc_id", col("n_chars"))),
+
     // ---- SQL-only curation through the registered function surface: the
     //      C7 delegated-SQL path reaching the LLM scalar operators by NAME
     //      (GraftFunctions bridges the Column helpers into the function
@@ -1853,6 +1873,48 @@ object LlmOps extends QueryPack {
          |  (${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" and ")}) / len($DuckToks) AS stopword_ratio,
          |  $duckQuality AS quality
          |FROM documents""".stripMargin,
+
+    "sft_chat_format" ->
+      """SELECT CAST(user_id AS BIGINT) AS conv_id,
+        |  string_agg('<|' || event_type || '|>' || props || chr(10),
+        |    '' ORDER BY event_id) AS chat_text,
+        |  CAST(count(*) AS BIGINT) AS n_turns
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "sft_loss_mask" ->
+      """WITH t AS (SELECT CAST(user_id AS BIGINT) AS conv_id,
+        |             CAST(event_id AS BIGINT) AS ord, event_type AS role,
+        |             '<|' || event_type || '|>' || props || chr(10) AS piece
+        |           FROM events),
+        |o AS (SELECT *, CAST(sum(length(piece)) OVER (
+        |        PARTITION BY conv_id ORDER BY ord
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM t)
+        |SELECT conv_id,
+        |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord) - 1
+        |    AS BIGINT) AS span_idx,
+        |  CAST(end_off - length(piece) + length('<|' || role || '|>')
+        |    AS BIGINT) AS span_start,
+        |  CAST(end_off - 1 AS BIGINT) AS span_end
+        |FROM o WHERE role = 'click'""".stripMargin,
+
+    "sel_pref_pairs" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC, doc_id ASC) AS rw,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT b.source,
+        |  CAST(b.doc_id AS BIGINT) AS chosen_id,
+        |  CAST(w.doc_id AS BIGINT) AS rejected_id,
+        |  CAST(b.n_chars AS BIGINT) AS chosen_score,
+        |  CAST(w.n_chars AS BIGINT) AS rejected_score,
+        |  CAST(b.n_chars - w.n_chars AS BIGINT) AS margin
+        |FROM (SELECT * FROM r WHERE rb = 1 AND n >= 2) b
+        |JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
+        |WHERE b.doc_id <> w.doc_id""".stripMargin,
 
     "sql_curate" ->
       s"""WITH scored AS (

@@ -843,6 +843,28 @@ class ConfigSpec extends SparkSpec {
     assert(keptP === Set(1L, 3L))
   }
 
+  test("declared chat_format, loss_mask, pref_pairs ops") {
+    import spark.implicits._
+    val convo = Seq((1L, 1L, "user", "hi"), (1L, 2L, "assistant", "yo"))
+      .toDF("conv", "ord", "role", "content")
+    val text = PipelineConfig.applyTransforms(convo, Seq(
+      PipelineConfig.TransformConf(op = "chat_format",
+        cols = Seq("conv", "ord", "role", "content"))))
+    assert(text.select("chat_text").head().getString(0)
+      === "<|user|>hi\n<|assistant|>yo\n")
+    val mask = PipelineConfig.applyTransforms(convo, Seq(
+      PipelineConfig.TransformConf(op = "loss_mask",
+        cols = Seq("conv", "ord", "role", "content"))))
+    assert(mask.select("span_start", "span_end").head()
+      .toSeq === Seq(24L, 26L))
+    val pairs = PipelineConfig.applyTransforms(
+      Seq((1L, "a", 3L), (2L, "a", 9L)).toDF("id", "g", "sc"), Seq(
+        PipelineConfig.TransformConf(op = "pref_pairs",
+          cols = Seq("g", "id"), expr = Some("sc"))))
+    assert(pairs.select("chosen_id", "rejected_id", "margin").head()
+      .toSeq === Seq(2L, 1L, 6L))
+  }
+
   test("declared privacy ops: k_anonymize, l_diversity, generalize_k") {
     import spark.implicits._
     val docs = Seq(
