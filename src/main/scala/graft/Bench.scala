@@ -53,7 +53,10 @@ object Bench {
     "sql_curate" -> "sqc",
     "sft_chat_format" -> "sfc",
     "sft_loss_mask" -> "sfm",
+    "sft_validate" -> "sfv",
     "sel_pref_pairs" -> "spp",
+    "dedup_fuzzy" -> "dfz",
+    "dedup_fuzzy_apply" -> "dfa",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
     "dedup_keep_best" -> "db",

@@ -256,6 +256,32 @@ object PipelineConfig {
             s"dedup_image hash must be ahash|dhash|phash, got '$hashCol'")
           graft.llm.ImageHash.dropNearDuplicates(d, idc, bc,
             t.expr.getOrElse("3").trim.toInt, hashCol)
+        // edit-distance fuzzy near-dedup over a short key column
+        // (record-linkage shape; exact-recall q-gram blocking +
+        // threshold-Levenshtein confirm): min-id survivor per component.
+        // cols = [idCol, keyCol], expr = maxDist (default 2)
+        case "dedup_fuzzy" =>
+          val Seq(idc, kc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_fuzzy needs cols = [idCol, keyCol]")
+          }
+          graft.llm.Dedup.dropFuzzyDuplicates(d, idc, kc,
+            t.expr.getOrElse("2").trim.toInt)
+        // SFT conversation QA gate: REPLACES the frame with the
+        // per-conversation audit (n_turns, bad_first, n_role_repeats,
+        // n_unknown_role, n_empty, n_dup_ord, valid).
+        // cols = [convCol, orderCol, roleCol, contentCol],
+        // name = expected first role (default "user"),
+        // expr = comma-separated allowed roles (default "user,assistant")
+        case "validate_chat" =>
+          val Seq(cv, o, rl, ct) = t.cols match {
+            case s if s.length == 4 => s
+            case _ => sys.error(
+              "validate_chat needs cols = [convCol, orderCol, roleCol, contentCol]")
+          }
+          graft.llm.SftFormat.validateConversations(d, cv, o, rl, ct,
+            t.name.getOrElse("user"),
+            t.expr.getOrElse("user,assistant").split(",").map(_.trim).toSeq)
         // energy-envelope audio near-dedup over a BINARY WAV column
         // (AudioHash manual PCM-16 parse): min-id survivor per hash
         // component; undecodable rows always survive.

@@ -1331,4 +1331,99 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs over a short key column —
+    * the record-linkage / fuzzy-matching primitive (typo'd titles, OCR'd
+    * names, near-identical snippet prefixes). Output: (id_a, id_b, dist)
+    * with id_a < id_b and dist = levenshtein(key_a, key_b) ≤ `maxDist` —
+    * EXACT pair recall, never approximate:
+    *
+    * Blocking is positional q-gram pigeonhole (the count-filter behind
+    * q-gram edit-similarity joins, Gravano et al. 2001 VLDB): a key of
+    * length L has L−q+1 overlapping q-grams and one edit destroys at most
+    * q of them, so for L ≥ q·(maxDist+1) at least one q-gram survives
+    * every qualifying edit script EXACTLY, displaced by at most `maxDist`
+    * positions. Candidates therefore meet on (gram, position band) with
+    * band width maxDist+1 and ±1 band probes — guaranteed-complete, and
+    * positional banding prunes the cross-position collisions a bag-of-grams
+    * join would pay for. Keys shorter than q·(maxDist+1) fall back to a
+    * shared per-length-band block (complete because |len_a − len_b| ≤ dist;
+    * short-key populations are inherently low-cardinality so the block
+    * stays bounded). The Levenshtein confirm runs ONCE per distinct
+    * candidate pair via Spark's threshold form (O(maxDist·L) early-exit
+    * band DP, codegen'd — not the full O(L²) matrix).
+    *
+    * Scale: gram rows are (hash-sized gram, band, id, key) with q+band
+    * dedup per doc; the join is an equi-join on (gram, band) — never a
+    * cartesian; pair volume is collision-bounded and the keys that travel
+    * are the SHORT match keys, never document bodies. Degenerate blocks
+    * (a gram+band shared by a huge population, e.g. a boilerplate prefix)
+    * are capped at `maxBucketSize` ids — above it the block is dropped
+    * loudly-documented, the same escape hatch as the MinHash/winnow caps.
+    */
+  def fuzzyNearDupPairs(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val bandW = maxDist + 1
+    // pigeonhole sound from sLo up; sentinel blocking covers up to sHi-1.
+    // The schemes OVERLAP on [sLo, sHi) so a qualifying short-long pair
+    // always shares one: if either side is shorter than sLo, the other is
+    // shorter than sLo + maxDist = sHi (lengths differ by at most the
+    // distance) and both emit the sentinel.
+    val sLo = q * (maxDist + 1)
+    val sHi = sLo + maxDist
+    val slim = df.select(col(idCol).cast("long").as("__fid"),
+      coalesce(col(keyCol).cast("string"), lit("")).as("__fkey"))
+    // index rows: one per distinct (gram, band) per doc; the chr(0)-prefixed
+    // sentinel cannot collide with any real gram text
+    val grams = slim.selectExpr("__fid", "__fkey",
+      s"""explode(CASE
+         |  WHEN length(__fkey) >= $sHi
+         |  THEN array_distinct(transform(sequence(1, length(__fkey) - $q + 1),
+         |    p -> struct(substring(__fkey, p, $q) AS g,
+         |                CAST((p - 1) DIV $bandW AS INT) AS b)))
+         |  WHEN length(__fkey) >= $sLo
+         |  THEN concat(
+         |    array_distinct(transform(sequence(1, length(__fkey) - $q + 1),
+         |      p -> struct(substring(__fkey, p, $q) AS g,
+         |                  CAST((p - 1) DIV $bandW AS INT) AS b))),
+         |    array(struct(concat(chr(0), 'short') AS g,
+         |                 CAST(length(__fkey) DIV $bandW AS INT) AS b)))
+         |  ELSE array(struct(concat(chr(0), 'short') AS g,
+         |                CAST(length(__fkey) DIV $bandW AS INT) AS b))
+         |END) AS gb""".stripMargin)
+      .select(col("__fid"), col("__fkey"),
+        col("gb.g").as("__g"), col("gb.b").as("__b"))
+    // cap degenerate blocks BEFORE pairing: block size is a group count
+    val capped =
+      if (maxBucketSize > 0)
+        grams.withColumn("__bn",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__g"), col("__b"))))
+          .filter(col("__bn") <= maxBucketSize).drop("__bn")
+      else grams
+    // probe side widens to ±1 band so a ≤maxDist positional shift still meets
+    val probes = capped.select(col("__fid"), col("__fkey"), col("__g"),
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))
+    probes.as("l").join(capped.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
+          col("l.__fid") < col("r.__fid"))
+      .select(col("l.__fid").as("id_a"), col("r.__fid").as("id_b"),
+        col("l.__fkey").as("__ka"), col("r.__fkey").as("__kb"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Fuzzy dedup applied: [[fuzzyNearDupPairs]] → connected components →
+    * min-id survivor per family. Returns `df` minus every non-survivor.
+    */
+  def dropFuzzyDuplicates(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 100000): DataFrame =
+    applySurvivors(df, idCol,
+      survivorAssignment(fuzzyNearDupPairs(df, idCol, keyCol, maxDist, q,
+        maxBucketSize)))
 }

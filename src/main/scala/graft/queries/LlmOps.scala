@@ -860,6 +860,35 @@ object LlmOps extends QueryPack {
           col("source"), col("n_chars")),
         "source", "doc_id", col("n_chars"))),
 
+    // ---- conversation QA gate: per-conversation structural audit of the
+    //      SFT invariants (first role, alternation, role whitelist, empty
+    //      content, duplicate turn ids) — events-as-conversations with
+    //      'view' as the expected opener and 'error' outside the allowed
+    //      role set, so both failure modes actually fire on this corpus ----
+    "sft_validate" -> ((s, dir) =>
+      SftFormat.validateConversations(t(s, dir).events,
+        "user_id", "event_id", "event_type", "props",
+        firstRole = "view",
+        allowedRoles = Seq("view", "click", "purchase", "signup"))),
+
+    // ---- edit-distance fuzzy near-dup pairs (record-linkage shape) over
+    //      24-char key prefixes: positional q-gram pigeonhole blocking +
+    //      threshold-Levenshtein confirm; EXACT recall, so the oracle is
+    //      the brute-force distance join ----
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyNearDupPairs(
+        t(s, dir).documents.select(col("doc_id"),
+          substring(col("text"), 1, 24).as("key")),
+        "doc_id", "key", maxDist = 2)),
+
+    // ---- fuzzy dedup applied: pairs → components → min-id survivors ----
+    "dedup_fuzzy_apply" -> ((s, dir) =>
+      Dedup.dropFuzzyDuplicates(
+        t(s, dir).documents.select(col("doc_id"),
+          substring(col("text"), 1, 24).as("key")),
+        "doc_id", "key", maxDist = 2)
+        .select(col("doc_id"))),
+
     // ---- SQL-only curation through the registered function surface: the
     //      C7 delegated-SQL path reaching the LLM scalar operators by NAME
     //      (GraftFunctions bridges the Column helpers into the function
@@ -1915,6 +1944,64 @@ object LlmOps extends QueryPack {
         |FROM (SELECT * FROM r WHERE rb = 1 AND n >= 2) b
         |JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
         |WHERE b.doc_id <> w.doc_id""".stripMargin,
+
+    "sft_validate" ->
+      """WITH t AS (SELECT CAST(user_id AS BIGINT) AS conv_id,
+        |             CAST(event_id AS BIGINT) AS ord, event_type AS role,
+        |             coalesce(props, '') AS content FROM events),
+        |w AS (SELECT *,
+        |  row_number() OVER (PARTITION BY conv_id
+        |    ORDER BY ord, role, content) AS rn,
+        |  lag(role) OVER (PARTITION BY conv_id
+        |    ORDER BY ord, role, content) AS prev_role,
+        |  lag(ord) OVER (PARTITION BY conv_id
+        |    ORDER BY ord, role, content) AS prev_ord FROM t),
+        |a AS (SELECT conv_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(max(CASE WHEN rn = 1 AND role <> 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bad_first,
+        |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_role_repeats,
+        |  CAST(sum(CASE WHEN role IN ('view','click','purchase','signup')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_unknown_role,
+        |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty,
+        |  CAST(sum(CASE WHEN ord = prev_ord THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_ord
+        |FROM w GROUP BY conv_id)
+        |SELECT *, CAST(CASE WHEN bad_first + n_role_repeats + n_unknown_role
+        |  + n_empty + n_dup_ord = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid
+        |FROM a""".stripMargin,
+
+    "dedup_fuzzy" ->
+      """WITH k AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |             substring(text, 1, 24) AS key FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM k a JOIN k b
+        |  ON a.id < b.id AND abs(length(a.key) - length(b.key)) <= 2
+        |WHERE levenshtein(a.key, b.key) <= 2""".stripMargin,
+
+    "dedup_fuzzy_apply" ->
+      """WITH RECURSIVE k AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |             substring(text, 1, 24) AS key FROM documents),
+        |fpairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM k a JOIN k b
+        |    ON a.id < b.id AND abs(length(a.key) - length(b.key)) <= 2
+        |  WHERE levenshtein(a.key, b.key) <= 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM fpairs
+        |  UNION ALL SELECT id_b, id_a FROM fpairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(r) AS s FROM reach GROUP BY id)
+        |  WHERE id <> s)
+        |SELECT id AS doc_id FROM k
+        |WHERE id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "sql_curate" ->
       s"""WITH scored AS (

@@ -865,6 +865,23 @@ class ConfigSpec extends SparkSpec {
       .toSeq === Seq(2L, 1L, 6L))
   }
 
+  test("declared validate_chat and dedup_fuzzy ops") {
+    import spark.implicits._
+    val convo = Seq((1L, 1L, "user", "hi"), (1L, 2L, "user", "again"))
+      .toDF("conv", "ord", "role", "content")
+    val audit = PipelineConfig.applyTransforms(convo, Seq(
+      PipelineConfig.TransformConf(op = "validate_chat",
+        cols = Seq("conv", "ord", "role", "content"))))
+    val r = audit.select("n_role_repeats", "valid").head()
+    assert(r.toSeq === Seq(1L, 0L))
+    val fuzzy = PipelineConfig.applyTransforms(
+      Seq((1L, "the quick brown fox"), (2L, "the quick briwn fox"),
+        (3L, "completely different!!")).toDF("id", "k"), Seq(
+        PipelineConfig.TransformConf(op = "dedup_fuzzy",
+          cols = Seq("id", "k"), expr = Some("2"))))
+    assert(fuzzy.select("id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("declared privacy ops: k_anonymize, l_diversity, generalize_k") {
     import spark.implicits._
     val docs = Seq(

@@ -45,6 +45,36 @@ class SftFormatSpec extends SparkSpec {
     assert(cut === Map(1L -> "yo", 2L -> "solo"))
   }
 
+  test("validateConversations: clean conversation audits to all zeros") {
+    val got = SftFormat.validateConversations(convo, "conv", "ord", "role",
+        "content", "user", Seq("user", "assistant"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    // conv 1: user/assistant/user — clean
+    assert(got(1L) === Seq(3L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // conv 2: single assistant turn — bad first role only
+    assert(got(2L) === Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("validateConversations counts every failure mode independently") {
+    val bad = Seq(
+      (1L, 1L, "user", "hi"),
+      (1L, 2L, "user", "again"),      // role repeat
+      (1L, 3L, "system", "cfg"),      // unknown role
+      (1L, 4L, "assistant", "  "),    // whitespace-only content
+      (1L, 4L, "assistant", "dup"),   // duplicate ord (also a role repeat)
+      (2L, 1L, "user", "ok"),
+      (2L, 2L, "assistant", "fine")
+    ).toDF("conv", "ord", "role", "content")
+    val got = SftFormat.validateConversations(bad, "conv", "ord", "role",
+        "content", "user", Seq("user", "assistant"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    // n_turns, bad_first, n_role_repeats, n_unknown_role, n_empty, n_dup_ord, valid
+    assert(got(1L) === Seq(5L, 0L, 2L, 1L, 1L, 1L, 0L))
+    assert(got(2L) === Seq(2L, 0L, 0L, 0L, 0L, 0L, 1L))
+  }
+
   test("prefPairs: deterministic extremes, degenerate groups emit nothing") {
     val docs = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
