@@ -54,6 +54,8 @@ object Bench {
     "sft_chat_format" -> "sfc",
     "sft_loss_mask" -> "sfm",
     "sft_validate" -> "sfv",
+    "snap_diff" -> "snd",
+    "dq_report" -> "dqr",
     "sel_pref_pairs" -> "spp",
     "dedup_fuzzy" -> "dfz",
     "dedup_fuzzy_apply" -> "dfa",

@@ -282,6 +282,27 @@ object PipelineConfig {
           graft.llm.SftFormat.validateConversations(d, cv, o, rl, ct,
             t.name.getOrElse("user"),
             t.expr.getOrElse("user,assistant").split(",").map(_.trim).toSeq)
+        // snapshot diff vs a prior-snapshot parquet: REPLACES the frame
+        // with (key cols…, change added|removed|changed, old_hash,
+        // new_hash). cols = key columns, name = old-snapshot parquet path
+        case "snapshot_diff" =>
+          require(t.cols.nonEmpty, "snapshot_diff needs key cols")
+          val old = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("snapshot_diff needs name = old snapshot parquet path")))
+          graft.etl.Snapshot.diff(old, d, t.cols)
+        // one data-quality row expectation: REPLACES the frame with the
+        // 1-row (rule, checked, violations, pass) report.
+        // name = rule name, expr = boolean SQL predicate
+        case "expect" =>
+          graft.etl.Expectations.rowReport(d, Seq(
+            graft.etl.Expectations.Expectation(
+              t.name.getOrElse("expect"),
+              expr(t.expr.getOrElse(sys.error("expect needs a predicate expr"))))))
+        // uniqueness expectation over cols: same 1-row report shape
+        case "expect_unique" =>
+          require(t.cols.nonEmpty, "expect_unique needs cols")
+          graft.etl.Expectations.uniqueReport(d,
+            t.name.getOrElse("unique"), t.cols)
         // energy-envelope audio near-dedup over a BINARY WAV column
         // (AudioHash manual PCM-16 parse): min-id survivor per hash
         // component; undecodable rows always survive.

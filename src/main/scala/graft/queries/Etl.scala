@@ -139,6 +139,43 @@ object Etl extends QueryPack {
         Seq("k"), Seq("seg"), lit(java.sql.Date.valueOf("2024-06-01")))
     }),
 
+    // ---- snapshot diff (dataset versioning): documents vs a mutated
+    //      next-day snapshot — %17 keys removed, %13 texts changed, %11
+    //      keys re-added under new ids. Bodies never shuffle; the join
+    //      moves (key, digest) only and unchanged keys drop out ----
+    "snap_diff" -> ((s, dir) => {
+      val old = t(s, dir).documents
+      val k = col("doc_id")
+      val cur = old.filter(k % 17 =!= 0)
+        .withColumn("text", when(k % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(old.filter(k % 11 === 0).select(
+          (k + 1000000L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      Snapshot.diff(old, cur, Seq("doc_id"))
+    }),
+
+    // ---- data-quality expectation suite: row rules fused into one scan,
+    //      uniqueness via exact distinct counts, referential integrity via
+    //      semi-join — the pre-release assertion report ----
+    "dq_report" -> ((s, dir) => {
+      import s.implicits._
+      import Expectations.Expectation
+      val d = t(s, dir).documents
+      val ref = Seq("en", "fr", "es", "de").toDF("lang") // zh intentionally out
+      Expectations.report(d,
+        rows = Seq(
+          Expectation("text_not_null", col("text").isNotNull),
+          Expectation("lang_in_set",
+            col("lang").isInCollection(Seq("en", "fr", "es", "de", "zh"))),
+          Expectation("n_chars_positive", col("n_chars") > 0),
+          Expectation("n_chars_min_100", col("n_chars") >= 100),
+          Expectation("text_lowercase_ascii", col("text").rlike("^[a-z ]*$"))),
+        uniques = Seq(("doc_id_unique", Seq("doc_id")),
+          ("text_unique", Seq("text"))),
+        refs = Seq(("lang_ref_integrity", Seq("lang"), ref, Seq("lang"))))
+    }),
+
     // ---- T1: typed Transformer (map + Option filter) ----
     "t1_transformer" -> ((s, dir) => {
       import s.implicits._
@@ -302,6 +339,75 @@ object Etl extends QueryPack {
         |FROM upd
         |WHERE k IN (SELECT k FROM chg)
         |   OR k NOT IN (SELECT k FROM cur_open)""".stripMargin,
+
+    "snap_diff" ->
+      """WITH oldd AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(lang AS VARCHAR), chr(2)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)),
+        |    coalesce(CAST(source AS VARCHAR), chr(2)),
+        |    coalesce(CAST(text AS VARCHAR), chr(2)))) AS old_hash
+        |  FROM documents),
+        |cur0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |curd AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(concat_ws(chr(1),
+        |    coalesce(CAST(lang AS VARCHAR), chr(2)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)),
+        |    coalesce(CAST(source AS VARCHAR), chr(2)),
+        |    coalesce(CAST(text AS VARCHAR), chr(2)))) AS new_hash
+        |  FROM cur0)
+        |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  o.old_hash, c.new_hash
+        |FROM oldd o FULL OUTER JOIN curd c ON o.doc_id = c.doc_id
+        |WHERE o.doc_id IS NULL OR c.doc_id IS NULL
+        |   OR o.old_hash <> c.new_hash""".stripMargin,
+
+    "dq_report" ->
+      """SELECT rule, checked, violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM (
+        |  SELECT 'text_not_null' AS rule, CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0)
+        |      AS BIGINT) AS violations FROM documents
+        |  UNION ALL
+        |  SELECT 'lang_in_set', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN lang IN ('en','fr','es','de','zh')
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_positive', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN n_chars > 0 THEN 0 ELSE 1 END), 0)
+        |      AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_min_100', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN n_chars >= 100 THEN 0 ELSE 1 END), 0)
+        |      AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'text_lowercase_ascii', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN regexp_matches(text, '^[a-z ]*$')
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'doc_id_unique', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT coalesce(CAST(doc_id AS VARCHAR),
+        |      chr(2))) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'text_unique', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT coalesce(CAST(text AS VARCHAR),
+        |      chr(2))) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang_ref_integrity', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN lang IN ('en','fr','es','de')
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT) FROM documents
+        |)""".stripMargin,
 
     "t1_transformer" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -882,6 +882,27 @@ class ConfigSpec extends SparkSpec {
     assert(fuzzy.select("id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("declared snapshot_diff, expect, expect_unique ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snapcfg").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/old")
+    val cur = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v")
+    val diffed = PipelineConfig.applyTransforms(cur, Seq(
+      PipelineConfig.TransformConf(op = "snapshot_diff",
+        cols = Seq("k"), name = Some(s"$dir/old"))))
+    assert(diffed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(2L -> "changed", 3L -> "added"))
+    val exp = PipelineConfig.applyTransforms(cur, Seq(
+      PipelineConfig.TransformConf(op = "expect",
+        name = Some("k_positive"), expr = Some("k > 0"))))
+    assert(exp.head().toSeq === Seq("k_positive", 3L, 0L, 1L))
+    val unq = PipelineConfig.applyTransforms(
+      cur.unionByName(Seq((1L, "z")).toDF("k", "v")), Seq(
+        PipelineConfig.TransformConf(op = "expect_unique", cols = Seq("k"))))
+    assert(unq.head().toSeq === Seq("unique", 4L, 1L, 0L))
+  }
+
   test("declared privacy ops: k_anonymize, l_diversity, generalize_k") {
     import spark.implicits._
     val docs = Seq(
