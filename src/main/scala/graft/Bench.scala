@@ -56,6 +56,8 @@ object Bench {
     "sft_validate" -> "sfv",
     "snap_diff" -> "snd",
     "dq_report" -> "dqr",
+    "wordpiece_vocab" -> "wpv",
+    "wordpiece_encode" -> "wpe",
     "sel_pref_pairs" -> "spp",
     "dedup_fuzzy" -> "dfz",
     "dedup_fuzzy_apply" -> "dfa",

@@ -664,6 +664,21 @@ object PipelineConfig {
           d.join(graft.llm.Selection.mmrSelect(d, idc,
             expr(t.expr.getOrElse(sys.error("mmr needs a relevance expr"))),
             vc, t.name.getOrElse("8").trim.toInt), Seq(idc))
+        // WordPiece encode: build the vocab on THIS frame, greedy
+        // longest-match encode each doc, annotate with (n_words, n_pieces,
+        // n_unk). cols = [idCol, textCol],
+        // expr = "vocabSize,subLen,minCount" (default "12,3,100")
+        case "wordpiece_encode" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("wordpiece_encode needs cols = [idCol, textCol]")
+          }
+          val Array(v, sl, mc) =
+            t.expr.getOrElse("12,3,100").split(",").map(_.trim.toLong)
+          val vocab = graft.llm.Tokenizer.wordpieceVocab(d, c, v.toInt,
+            sl.toInt, mc)
+          d.join(graft.llm.Tokenizer.wordpieceEncodeCounts(d, idc, c, vocab),
+            Seq(idc))
         // unigram-LM tokenizer encode: train seed-and-prune pieces on THIS
         // frame, Viterbi-encode each doc, annotate with (n_words,
         // n_pieces, nll_micro). cols = [idCol, textCol],

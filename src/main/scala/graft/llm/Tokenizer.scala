@@ -338,4 +338,115 @@ object Tokenizer extends Serializable {
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("ns"), lit(1L))).as("n_bpe_tokens"))
   }
+
+  /** WordPiece vocabulary (Wu et al. 2016 / BERT's tokenizer family —
+    * completing the trio with [[bpeMerges]] and [[unigramPieces]]): a
+    * deterministic seed vocabulary of
+    *
+    *  - the top-`vocabSize` whole words by (freq desc, word asc),
+    *  - word-INITIAL prefixes (length 1..`subLen`) with summed word
+    *    frequency ≥ `minCount`, and
+    *  - `##`-prefixed CONTINUATION pieces: internal substrings (from
+    *    position 2, length 1..`subLen`, distinct per word) with summed
+    *    frequency ≥ `minCount` — the `##` marks "does not start a word",
+    *    exactly BERT's convention.
+    *
+    * Output: one `piece` column; continuation pieces carry the literal
+    * `##`. Scale: the whole build runs over the DISTINCT word table (a
+    * vocabulary, not the corpus) with bounded-length substring explodes;
+    * piece count is alphabet-bounded (≤ |Σ|^subLen per class), so the
+    * table always broadcasts.
+    */
+  def wordpieceVocab(df: DataFrame, textCol: String, vocabSize: Int = 12,
+      subLen: Int = 3, minCount: Long = 100L): DataFrame = {
+    require(vocabSize >= 1 && subLen >= 1 && minCount >= 0,
+      "wordpieceVocab: vocabSize/subLen must be >= 1, minCount >= 0")
+    val freq = df
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("word").asc)
+      .limit(vocabSize).select(col("word").as("piece"))
+    val prefixes = freq.selectExpr("freq",
+        s"""explode(transform(sequence(1, least($subLen, length(word))),
+           |  l -> substring(word, 1, l))) AS s""".stripMargin)
+      .groupBy("s").agg(sum("freq").as("w"))
+      .filter(col("w") >= minCount).select(col("s").as("piece"))
+    val conts = freq.selectExpr("freq",
+        s"""explode(CASE WHEN length(word) >= 2 THEN
+           |  array_distinct(flatten(transform(sequence(2, length(word)),
+           |    p -> filter(transform(sequence(1, $subLen),
+           |      l -> CASE WHEN p + l - 1 <= length(word)
+           |           THEN substring(word, p, l) END),
+           |      x -> x IS NOT NULL))))
+           |  ELSE array() END) AS s""".stripMargin)
+      .groupBy("s").agg(sum("freq").as("w"))
+      .filter(col("w") >= minCount)
+      .select(concat(lit("##"), col("s")).as("piece"))
+    top.unionByName(prefixes).unionByName(conts).distinct()
+  }
+
+  /** Greedy longest-match-first WordPiece encode (the actual BERT
+    * tokenization algorithm) against a [[wordpieceVocab]]-shaped piece
+    * table: at each position take the LONGEST matching piece — word-initial
+    * pieces at position 1, `##`-continuation pieces after — and if any
+    * position has no match the ENTIRE word becomes one `[UNK]`
+    * (WordPiece's whole-word-fallback, not a partial segmentation).
+    *
+    * Scale shape: the greedy loop runs as a mapPartitions kernel over the
+    * DISTINCT word vocabulary with the piece table broadcast (alphabet-
+    * bounded by construction); documents join the word→(pieces, unk) map.
+    * Words never trained (non-alphanumeric) count as one `[UNK]` — they
+    * would be `[UNK]` in any real WordPiece run — mirrored by the oracle's
+    * left-join coalesce.
+    *
+    * Output: (idCol, n_words, n_pieces, n_unk).
+    */
+  def wordpieceEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(!Set("word", "np", "unk", "n_words", "n_pieces", "n_unk")(idCol),
+      s"idCol '$idCol' collides with a wordpieceEncodeCounts working/output column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = vocab.select(col("piece").cast("string")).as[String].collect()
+    require(pieces.nonEmpty, "wordpieceEncodeCounts: empty piece table")
+    val initArr = pieces.filterNot(_.startsWith("##"))
+    val contArr = pieces.filter(_.startsWith("##")).map(_.substring(2))
+      .filter(_.nonEmpty)
+    val bcInit = spark.sparkContext.broadcast(initArr.toSet)
+    val bcCont = spark.sparkContext.broadcast(contArr.toSet)
+    val maxInit = if (initArr.isEmpty) 0 else initArr.map(_.length).max
+    val maxCont = if (contArr.isEmpty) 0 else contArr.map(_.length).max
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val vocabWords = words.filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .select("word").distinct()
+    val encoded = vocabWords.as[String].mapPartitions { it =>
+      val init = bcInit.value
+      val cont = bcCont.value
+      it.map { word =>
+        val n = word.length
+        var pos = 0
+        var np = 0L
+        var fail = false
+        while (pos < n && !fail) {
+          val (set, maxL) = if (pos == 0) (init, maxInit) else (cont, maxCont)
+          var l = math.min(maxL, n - pos)
+          var found = 0
+          while (l >= 1 && found == 0) {
+            if (set.contains(word.substring(pos, pos + l))) found = l
+            l -= 1
+          }
+          if (found == 0) fail = true
+          else { pos += found; np += 1 }
+        }
+        if (fail) (word, 1L, 1L) else (word, np, 0L)
+      }
+    }.toDF("word", "np", "unk")
+    words.join(encoded, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("np"), lit(1L))).as("n_pieces"),
+        sum(coalesce(col("unk"), lit(1L))).as("n_unk"))
+  }
 }

@@ -298,6 +298,23 @@ object CurationOps extends QueryPack {
       val docs = t(s, dir).documents
       Tokenizer.unigramEncodeCounts(docs, "doc_id", "text",
         Tokenizer.unigramPieces(docs, "text", UnigramV, UnigramL), UnigramL)
+    }),
+
+    // ---- WordPiece vocabulary (completing the BPE / unigram / WordPiece
+    //      trio): top-V whole words + frequent prefixes + ##-continuation
+    //      internal substrings ----
+    "wordpiece_vocab" -> ((s, dir) =>
+      Tokenizer.wordpieceVocab(t(s, dir).documents, "text", WpV, WpSubLen,
+        WpMinCount)),
+
+    // ---- greedy longest-match-first WordPiece encode (BERT's actual
+    //      algorithm, whole-word [UNK] fallback) — per-doc piece/unk
+    //      totals; the oracle replays the greedy walk as an unrolled
+    //      best-match chain ----
+    "wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      Tokenizer.wordpieceEncodeCounts(docs, "doc_id", "text",
+        Tokenizer.wordpieceVocab(docs, "text", WpV, WpSubLen, WpMinCount))
     }))
 
   private val WinnowK = 5
@@ -309,6 +326,13 @@ object CurationOps extends QueryPack {
   // oracle DP unroll bound — margin over the corpus max word length (8 at
   // every sf); a longer word would hash-mismatch loudly
   private val UnigramMaxWordLen = 12
+  private val WpV = 12
+  private val WpSubLen = 3
+  private val WpMinCount = 100L
+  // greedy-walk unroll bound: each live step consumes >= 1 char, so
+  // WpMaxWordLen steps settle every word up to that length (corpus max 8);
+  // longer words would hash-mismatch loudly, same contract as unigram
+  private val WpMaxWordLen = 12
 
   /** Winnow pairs over the planted corpus, memoized per (session, sf dir)
     * and localCheckpoint'd — the corpus-sized fingerprint pass runs once
@@ -676,7 +700,96 @@ object CurationOps extends QueryPack {
     "quality_nb_buckets" -> nbBucketsSql,
     "pipeline_curate2" -> pipeline2Sql,
     "unigram_vocab" -> unigramVocabSql,
-    "unigram_encode" -> unigramEncodeSql)
+    "unigram_encode" -> unigramEncodeSql,
+    "wordpiece_vocab" -> wordpieceVocabSql,
+    "wordpiece_encode" -> wordpieceEncodeSql)
+
+  /** Shared WordPiece-vocabulary CTEs mirroring
+    * [[graft.llm.Tokenizer.wordpieceVocab]]: word frequencies, top-V whole
+    * words, frequent prefixes, frequent `##` internal substrings (distinct
+    * per word before weighting, exactly like the Spark `array_distinct`).
+    * Ends in `wpvocab` = (piece).
+    */
+  private def wordpieceVocabCtes: String =
+    s"""wfreq AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM
+       |    (SELECT unnest($DuckToks) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$') GROUP BY 1),
+       |wtop AS (SELECT word AS piece FROM wfreq
+       |         ORDER BY freq DESC, word ASC LIMIT $WpV),
+       |wpre AS (SELECT substr(word, 1, l) AS s
+       |         FROM wfreq, generate_series(1, $WpSubLen) t(l)
+       |         WHERE l <= length(word)
+       |         GROUP BY 1 HAVING sum(freq) >= $WpMinCount),
+       |wsub0 AS (SELECT DISTINCT word, substr(word, p, l) AS s
+       |          FROM wfreq,
+       |            generate_series(2, $WpMaxWordLen) t(p),
+       |            generate_series(1, $WpSubLen) u(l)
+       |          WHERE length(word) >= 2 AND p <= length(word)
+       |            AND p + l - 1 <= length(word)),
+       |wsub AS (SELECT s FROM wsub0 JOIN wfreq USING (word)
+       |         GROUP BY 1 HAVING sum(freq) >= $WpMinCount),
+       |wpvocab AS MATERIALIZED (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM wtop
+       |  UNION ALL SELECT s FROM wpre
+       |  UNION ALL SELECT '##' || s FROM wsub))""".stripMargin
+
+  private def wordpieceVocabSql: String =
+    s"""WITH $wordpieceVocabCtes
+       |SELECT piece FROM wpvocab""".stripMargin
+
+  /** Greedy longest-match walk unrolled: each step joins the live states
+    * against the piece table for the longest match at the cursor (initial
+    * pieces at position 1, continuation pieces after), advances the
+    * cursor, and fails the WHOLE word to `[UNK]` (np = 1) when no piece
+    * matches — WordPiece's whole-word fallback. Terminal states (pos out
+    * of range) pass through unchanged; every stage is MATERIALIZED for the
+    * same plan-blowup reason as the unigram DP.
+    */
+  private def wordpieceEncodeSql: String = {
+    val steps = (1 to WpMaxWordLen).map { i =>
+      s"""bm$i AS MATERIALIZED (
+         |  SELECT s.word, CAST(max(length(p.raw)) AS BIGINT) AS l
+         |  FROM wst${i - 1} s JOIN wp p ON
+         |    (s.pos = 1 AND NOT p.cont
+         |      AND substr(s.word, 1, length(p.raw)) = p.raw)
+         |    OR (s.pos > 1 AND p.cont
+         |      AND substr(s.word, CAST(s.pos AS INT), length(p.raw)) = p.raw)
+         |  WHERE s.pos >= 1 AND s.pos <= length(s.word)
+         |  GROUP BY 1),
+         |wst$i AS MATERIALIZED (
+         |  SELECT word, pos, np FROM wst${i - 1}
+         |  WHERE pos < 1 OR pos > length(word)
+         |  UNION ALL
+         |  SELECT s.word,
+         |    CASE WHEN b.l IS NULL THEN -1 ELSE s.pos + b.l END,
+         |    CASE WHEN b.l IS NULL THEN CAST(1 AS BIGINT) ELSE s.np + 1 END
+         |  FROM wst${i - 1} s LEFT JOIN bm$i b USING (word)
+         |  WHERE s.pos >= 1 AND s.pos <= length(s.word))""".stripMargin
+    }
+    s"""WITH $wordpieceVocabCtes,
+       |wp AS MATERIALIZED (SELECT piece,
+       |    piece LIKE '##%' AS cont,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+       |         ELSE piece END AS raw
+       |  FROM wpvocab),
+       |wwords AS MATERIALIZED (
+       |  SELECT DISTINCT w AS word FROM
+       |    (SELECT unnest($DuckToks) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')),
+       |wst0 AS MATERIALIZED (SELECT word, CAST(1 AS BIGINT) AS pos,
+       |  CAST(0 AS BIGINT) AS np FROM wwords),
+       |${steps.mkString(",\n")},
+       |wenc AS (SELECT word, np,
+       |    CASE WHEN pos = -1 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS unk
+       |  FROM wst$WpMaxWordLen),
+       |alltok AS (SELECT doc_id, unnest($DuckToks) AS word FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces,
+       |  CAST(sum(coalesce(unk, 1)) AS BIGINT) AS n_unk
+       |FROM alltok LEFT JOIN wenc USING (word) GROUP BY 1""".stripMargin
+  }
 
   /** Shared unigram-piece CTEs mirroring
     * [[graft.llm.Tokenizer.unigramPieces]]: substring counts over the word

@@ -807,6 +807,11 @@ class ConfigSpec extends SparkSpec {
     val c1 = be.filter($"doc_id" === 1).select("n_bpe_tokens")
       .collect().head.getLong(0)
     assert(c1 < 6, s"doc 1 bpe token count $c1 shows no merge applied")
+    val wp = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "wordpiece_encode",
+        cols = Seq("doc_id", "text"), expr = Some("2,2,2"))))
+    assert(wp.count() === 3)
+    assert(Seq("n_words", "n_pieces", "n_unk").forall(wp.columns.contains))
   }
 
   test("declared collocations replaces the frame with the PMI table") {

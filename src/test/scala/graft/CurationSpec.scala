@@ -327,6 +327,30 @@ class CurationSpec extends SparkSpec {
     assert(got2.toSeq === Seq((1L, 2000000L))) // one piece, same nll
   }
 
+  test("wordpieceVocab: hand-computed top/prefix/continuation piece sets") {
+    // corpus: aa ×2, ab ×1, "b!" non-alnum (excluded). vocabSize=1 →
+    // top {aa}; prefixes ≥2: a(3), aa(2); conts ≥2: ##a(2). ab/##b at 1
+    // fall below minCount.
+    val docs = Seq((1L, "aa ab aa b!")).toDF("doc_id", "text")
+    val got = Tokenizer.wordpieceVocab(docs, "text", vocabSize = 1,
+      subLen = 3, minCount = 2L).as[String].collect().toSet
+    assert(got === Set("aa", "a", "##a"))
+  }
+
+  test("wordpieceEncodeCounts: greedy longest match, whole-word UNK fallback") {
+    val vocab = Seq("batch", "ba", "b", "##tch", "##es", "##s", "##t",
+      "##ch").toDF("piece")
+    val docs = Seq(
+      (1L, "batches bat"),  // batch·##es (2) + ba·##t (2)
+      (2L, "zzz batch !!")  // UNK (1) + batch (1) + non-alnum (1 unk)
+    ).toDF("doc_id", "text")
+    val rows = Tokenizer.wordpieceEncodeCounts(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows(1L) === ((2L, 4L, 0L)))
+    assert(rows(2L) === ((3L, 3L, 2L)))
+  }
+
   test("property: Viterbi encode equals brute-force enumeration over all segmentations") {
     val rnd = new scala.util.Random(41)
     val alphabet = "abc"
