@@ -58,6 +58,8 @@ object Bench {
     "dq_report" -> "dqr",
     "wordpiece_vocab" -> "wpv",
     "wordpiece_encode" -> "wpe",
+    "tok_oov_rate" -> "oov",
+    "label_kappa" -> "lk",
     "sel_pref_pairs" -> "spp",
     "dedup_fuzzy" -> "dfz",
     "dedup_fuzzy_apply" -> "dfa",

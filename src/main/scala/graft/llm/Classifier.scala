@@ -191,4 +191,49 @@ object Classifier extends Serializable {
         col("v").as("c_neg"))
     m.unionByName(vocab)
   }
+
+  /** Cohen's κ agreement between two label columns (Cohen 1960) — the
+    * label-QA audit for classifier-labeled corpora: chance-corrected
+    * agreement between two annotators (a declared label vs a model's
+    * prediction, or two model generations). Exact integer micro units:
+    *
+    *   κ·10⁶ = floor(10⁶ · (n·agree − S) / (n² − S)),
+    *   S = Σ_label  countA(label)·countB(label)
+    *
+    * (the classic (p_o − p_e)/(1 − p_e) multiplied through by n².) The
+    * products run in DECIMAL(38,0), exact past 10³⁰ — no overflow at any
+    * corpus size — and the floor division is the explicit pmod form, so
+    * negative κ (worse-than-chance) floors identically on every engine.
+    * The degenerate n² = S case (both columns constant and equal — p_e=1)
+    * reports 10⁶. NULL labels agree with nothing and group as their own
+    * marginal, never joining across annotators (SQL join semantics, both
+    * engines).
+    *
+    * Output: ONE row (n, agree, s_joint, kappa_micro). Scale: two
+    * label-cardinality aggregations + a label-sized join — corpus touches
+    * one scan.
+    */
+  def cohenKappaMicro(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val slim = df.select(col(colA).cast("string").as("__ck_a"),
+      col(colB).cast("string").as("__ck_b")).localCheckpoint()
+    val tot = slim.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("__ck_a") === col("__ck_b"), 1L).otherwise(0L)),
+        lit(0L)).as("agree"))
+    val ca = slim.groupBy(col("__ck_a").as("lbl"))
+      .agg(count(lit(1)).as("na"))
+    val cb = slim.groupBy(col("__ck_b").as("lbl"))
+      .agg(count(lit(1)).as("nb"))
+    val s = ca.join(cb, "lbl")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("s_joint"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    tot.crossJoin(s)
+      .withColumn("__nm", lit(1000000L).cast(dec) *
+        (col("n").cast(dec) * col("agree") - col("s_joint")))
+      .withColumn("__dn", col("n").cast(dec) * col("n") - col("s_joint"))
+      .select(col("n"), col("agree"), col("s_joint"),
+        when(col("__dn") === 0, lit(1000000L))
+          .otherwise(((col("__nm") - pmod(col("__nm"), col("__dn"))) /
+            col("__dn")).cast("long"))
+          .as("kappa_micro"))
+  }
 }

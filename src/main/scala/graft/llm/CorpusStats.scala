@@ -46,7 +46,9 @@ object CorpusStats extends Serializable {
     // collocations working columns (incl. the signed-log stages)
     "w", "bb", "tt", "c1a", "c1b", "lp_first", "pmi_micro",
     // vocabTopKSketch working/output columns
-    "token", "freq") ++
+    "token", "freq",
+    // oovRate working/output columns
+    "word", "n_oov", "oov_micro") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 
@@ -776,5 +778,33 @@ object CorpusStats extends Serializable {
         s"at capacity $m (kth=$kth, N=$n) — falling back to full aggregation")
       fullAgg
     }
+  }
+
+  /** Per-document out-of-vocabulary rate against a `vocab` frame (one
+    * `word` column) — the tokenizer-coverage audit a corpus release runs
+    * before committing to a vocabulary: how much of each document would
+    * fall outside it. Output: (idCol, n_tokens, n_oov, oov_micro) with
+    * `oov_micro = n_oov·10⁶ div n_tokens` (exact integer; both operands
+    * non-negative so truncation IS floor on every engine).
+    *
+    * Scale: the vocab is vocabulary-sized by contract and BROADCASTS as a
+    * membership flag; the corpus pass is one slim (id, token) explode +
+    * one aggregation on the document key — no corpus-side shuffle beyond
+    * the groupBy.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    require(!Set("word", "n_tokens", "n_oov", "oov_micro")(idCol),
+      s"idCol '$idCol' collides with an oovRate working/output column")
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val flagged = vocab.select(col("word").cast("string").as("word"))
+      .distinct().withColumn("__in_vocab", lit(1L))
+    words.join(broadcast(flagged), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro",
+        expr("n_oov * 1000000 DIV n_tokens"))
   }
 }

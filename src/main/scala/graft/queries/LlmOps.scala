@@ -871,6 +871,28 @@ object LlmOps extends QueryPack {
         firstRole = "view",
         allowedRoles = Seq("view", "click", "purchase", "signup"))),
 
+    // ---- tokenizer-coverage audit: per-doc OOV rate against the top-20
+    //      corpus vocabulary (the release check before committing to a
+    //      vocab) ----
+    "tok_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val vocab = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc).limit(20)
+        .select("word")
+      CorpusStats.oovRate(docs, "doc_id", "text", vocab)
+    }),
+
+    // ---- label-QA audit: Cohen's κ between the declared lang column and
+    //      the langid prediction — chance-corrected agreement, exact
+    //      integer micro units ----
+    "label_kappa" -> ((s, dir) =>
+      Classifier.cohenKappaMicro(
+        t(s, dir).documents.select(col("lang"),
+          TextOps.langId(col("text")).as("predicted")),
+        "lang", "predicted")),
+
     // ---- edit-distance fuzzy near-dup pairs (record-linkage shape) over
     //      24-char key prefixes: positional q-gram pigeonhole blocking +
     //      threshold-Levenshtein confirm; EXACT recall, so the oracle is
@@ -1046,6 +1068,21 @@ object LlmOps extends QueryPack {
        |     ELSE 'test' END""".stripMargin
   private def duckLangScore(lang: String): String =
     TextOps.LangMarkers.toMap.apply(lang).map(duckOcc).mkString("(", " + ", ")")
+
+  /** SQL twin of [[TextOps.langId]]: first language (in LangMarkers order)
+    * whose marker score ties-or-beats every other — the same CASE shape as
+    * the foldRight in the Column form.
+    */
+  private def duckLangIdCase: String = {
+    val ls = TextOps.LangMarkers.map(_._1)
+    val whens = ls.map { l =>
+      val conds = ls.filter(_ != l)
+        .map(o => s"${duckLangScore(l)} >= ${duckLangScore(o)}")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
   /** SQL twin of [[docsWithFooters]]. */
   private def duckFootered: String =
     s"""SELECT doc_id, text ||
@@ -1972,6 +2009,41 @@ object LlmOps extends QueryPack {
         |SELECT *, CAST(CASE WHEN bad_first + n_role_repeats + n_unknown_role
         |  + n_empty + n_dup_ord = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid
         |FROM a""".stripMargin,
+
+    "tok_oov_rate" ->
+      s"""WITH wf AS (SELECT w AS word, count(*) AS freq FROM
+         |       (SELECT unnest($DuckToks) AS w FROM documents) GROUP BY 1),
+         |v AS (SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT 20),
+         |tk AS (SELECT doc_id, unnest($DuckToks) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS oov_micro
+         |FROM tk LEFT JOIN v ON tk.word = v.word
+         |GROUP BY doc_id""".stripMargin,
+
+    "label_kappa" ->
+      s"""WITH lab AS (SELECT lang AS a, $duckLangIdCase AS b FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS agree FROM lab),
+         |ca AS (SELECT a AS lbl, CAST(count(*) AS BIGINT) AS na
+         |       FROM lab GROUP BY 1),
+         |cb AS (SELECT b AS lbl, CAST(count(*) AS BIGINT) AS nb
+         |       FROM lab GROUP BY 1),
+         |sj AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS s_joint
+         |       FROM ca JOIN cb USING (lbl)),
+         |k0 AS (SELECT n, agree, s_joint,
+         |    CAST(1000000 AS HUGEINT) *
+         |      (CAST(n AS HUGEINT) * agree - s_joint) AS nm,
+         |    CAST(n AS HUGEINT) * n - s_joint AS dn
+         |  FROM tot CROSS JOIN sj)
+         |SELECT n, agree, s_joint,
+         |  CAST(CASE WHEN dn = 0 THEN 1000000
+         |       ELSE (nm - ((nm % dn + dn) % dn)) // dn END AS BIGINT)
+         |    AS kappa_micro
+         |FROM k0""".stripMargin,
 
     "dedup_fuzzy" ->
       """WITH k AS (SELECT CAST(doc_id AS BIGINT) AS id,

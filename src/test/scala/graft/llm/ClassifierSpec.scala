@@ -74,4 +74,26 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getLong(2) === 3 * (ln(1, 12) - ln(1, 13)) + ln(2, 3))
     assert(r.getLong(1) === 3L)
   }
+
+  test("cohenKappaMicro: hand-computed agreement extremes") {
+    def kappa(rows: Seq[(String, String)]): Seq[Long] =
+      Classifier.cohenKappaMicro(rows.toDF("a", "b"), "a", "b")
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+
+    // perfect agreement, non-degenerate marginals: κ = 1
+    assert(kappa(Seq(("x", "x"), ("y", "y"))) === Seq(2L, 2L, 2L, 1000000L))
+    // both constant and equal: p_e = 1 (degenerate) → convention 10⁶
+    assert(kappa(Seq(("x", "x"), ("x", "x"))) === Seq(2L, 2L, 4L, 1000000L))
+    // classic 2x2: n=4, agree=2, S = 2·2 + 2·2 = 8 → κ = (8-8)/(16-8) = 0
+    assert(kappa(Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")))
+      === Seq(4L, 2L, 8L, 0L))
+    // total systematic disagreement: n=2, agree=0, S = 1·1 + 1·1 = 2
+    // → κ·10⁶ = floor(10⁶·(0 − 2)/(4 − 2)) = −10⁶ (floor, not trunc)
+    assert(kappa(Seq(("x", "y"), ("y", "x"))) === Seq(2L, 0L, 2L, -1000000L))
+    // floor on a non-divisible negative: n=3, agree=0, marginals
+    // a: x2 y1 / b: y2 x1 → S = 2·1 + 1·2 = 4; κ·10⁶ =
+    // floor(10⁶·(0−4)/(9−4)) = floor(−800000) = −800000
+    assert(kappa(Seq(("x", "y"), ("x", "y"), ("y", "x")))
+      === Seq(3L, 0L, 4L, -800000L))
+  }
 }

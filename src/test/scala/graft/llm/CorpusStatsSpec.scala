@@ -271,4 +271,19 @@ class CorpusStatsSpec extends SparkSpec {
       .toDF("doc_id", "text").repartition(4)
     assert(sketch(uniform, 10, 4) === plain(uniform, 10))
   }
+
+  test("oovRate: exact per-doc OOV counts and floored micro rate") {
+    val docs = Seq(
+      (1L, "aa bb cc"),     // 1 of 3 OOV → 333333
+      (2L, "aa aa"),        // 0 OOV
+      (3L, "zz yy xx")      // all OOV
+    ).toDF("doc_id", "text")
+    val vocab = Seq("aa", "bb").toDF("word")
+    val got = CorpusStats.oovRate(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 1L, 333333L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    assert(got(3L) === ((3L, 3L, 1000000L)))
+  }
 }
