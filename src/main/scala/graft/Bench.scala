@@ -59,7 +59,7 @@ object Bench {
     "wordpiece_vocab" -> "wpv",
     "wordpiece_encode" -> "wpe",
     "tok_oov_rate" -> "oov",
-    "label_kappa" -> "lk",
+    "label_kappa" -> "lkp",
     "sel_pref_pairs" -> "spp",
     "dedup_fuzzy" -> "dfz",
     "dedup_fuzzy_apply" -> "dfa",
