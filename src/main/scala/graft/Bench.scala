@@ -53,16 +53,17 @@ object Bench {
     "sql_curate" -> "sqc",
     "sft_chat_format" -> "sfc",
     "sft_loss_mask" -> "sfm",
-    "sft_validate" -> "sfv",
-    "snap_diff" -> "snd",
-    "dq_report" -> "dqr",
-    "wordpiece_vocab" -> "wpv",
-    "wordpiece_encode" -> "wpe",
-    "tok_oov_rate" -> "oov",
-    "label_kappa" -> "lkp",
-    "sel_pref_pairs" -> "spp",
-    "dedup_fuzzy" -> "dfz",
-    "dedup_fuzzy_apply" -> "dfa",
+    "sft_validate" -> "sv",
+    "snap_diff" -> "sp",
+    "dq_report" -> "dq",
+    "wordpiece_vocab" -> "wv",
+    "wordpiece_encode" -> "we",
+    "tok_oov_rate" -> "ov",
+    "label_kappa" -> "kp",
+    "url_canonicalize" -> "uc",
+    "sel_pref_pairs" -> "pf",
+    "dedup_fuzzy" -> "fz",
+    "dedup_fuzzy_apply" -> "fza",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
     "dedup_keep_best" -> "db",

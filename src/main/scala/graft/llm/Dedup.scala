@@ -1363,6 +1363,26 @@ object Dedup {
     */
   def fuzzyNearDupPairs(df: DataFrame, idCol: String, keyCol: String,
       maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    val grams = fuzzyGrams(df, idCol, keyCol, maxDist, q, maxBucketSize)
+    val probes = fuzzyProbes(grams)
+    probes.as("l").join(grams.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
+          col("l.__fid") < col("r.__fid"))
+      .select(col("l.__fid").as("id_a"), col("r.__fid").as("id_b"),
+        col("l.__fkey").as("__ka"), col("r.__fkey").as("__kb"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Capped (id, key, gram, band) block rows for the fuzzy join — the
+    * shared candidate engine behind [[fuzzyNearDupPairs]] and its
+    * incremental form.
+    */
+  private def fuzzyGrams(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, q: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val bandW = maxDist + 1
@@ -1375,7 +1395,7 @@ object Dedup {
     val sHi = sLo + maxDist
     val slim = df.select(col(idCol).cast("long").as("__fid"),
       coalesce(col(keyCol).cast("string"), lit("")).as("__fkey"))
-    // index rows: one per distinct (gram, band) per doc; the chr(0)-prefixed
+    // one row per distinct (gram, band) per doc; the chr(0)-prefixed
     // sentinel cannot collide with any real gram text
     val grams = slim.selectExpr("__fid", "__fkey",
       s"""explode(CASE
@@ -1396,27 +1416,18 @@ object Dedup {
       .select(col("__fid"), col("__fkey"),
         col("gb.g").as("__g"), col("gb.b").as("__b"))
     // cap degenerate blocks BEFORE pairing: block size is a group count
-    val capped =
-      if (maxBucketSize > 0)
-        grams.withColumn("__bn",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__g"), col("__b"))))
-          .filter(col("__bn") <= maxBucketSize).drop("__bn")
-      else grams
-    // probe side widens to ±1 band so a ≤maxDist positional shift still meets
-    val probes = capped.select(col("__fid"), col("__fkey"), col("__g"),
-      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))
-    probes.as("l").join(capped.as("r"),
-        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
-          col("l.__fid") < col("r.__fid"))
-      .select(col("l.__fid").as("id_a"), col("r.__fid").as("id_b"),
-        col("l.__fkey").as("__ka"), col("r.__fkey").as("__kb"))
-      .distinct()
-      .withColumn("dist",
-        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    if (maxBucketSize > 0)
+      grams.withColumn("__bn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__g"), col("__b"))))
+        .filter(col("__bn") <= maxBucketSize).drop("__bn")
+    else grams
   }
+
+  /** ±1-band probe expansion so a ≤maxDist positional shift still meets. */
+  private def fuzzyProbes(grams: DataFrame): DataFrame =
+    grams.select(col("__fid"), col("__fkey"), col("__g"),
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))
 
   /** Fuzzy dedup applied: [[fuzzyNearDupPairs]] → connected components →
     * min-id survivor per family. Returns `df` minus every non-survivor.
@@ -1426,4 +1437,42 @@ object Dedup {
     applySurvivors(df, idCol,
       survivorAssignment(fuzzyNearDupPairs(df, idCol, keyCol, maxDist, q,
         maxBucketSize)))
+
+  /** Incremental form of [[fuzzyNearDupPairs]]: the pairs a `fresh`
+    * (id, key) batch introduces against itself and an `existing`
+    * (id, key) index — fresh×fresh ∪ fresh×existing, never
+    * existing×existing (only FRESH rows probe; the index side is the
+    * union, so block caps see the same populations as a batch run over
+    * the union) — value-identical to the batch form over the union
+    * restricted to pairs that touch a fresh id. Ids must be disjoint
+    * between the two frames. The (id, short key) index IS the complete
+    * similarity state, so an ingestion loop never re-reads historical
+    * rows — the same contract as [[hamming64PairsIncremental]].
+    */
+  def fuzzyNearDupPairsIncremental(fresh: DataFrame, existing: DataFrame,
+      idCol: String, keyCol: String, maxDist: Int = 2, q: Int = 8,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val all = fresh.select(col(idCol), col(keyCol))
+      .unionByName(existing.select(col(idCol), col(keyCol)))
+    val gramsAll = fuzzyGrams(all, idCol, keyCol, maxDist, q, maxBucketSize)
+    val freshIds = fresh.select(col(idCol).cast("long").as("__fid")).distinct()
+    val probesFresh = fuzzyProbes(gramsAll.join(freshIds, Seq("__fid"),
+      "left_semi"))
+    // one side is always fresh; order is normalized afterwards, so the
+    // fresh×fresh double-match (both orders) collapses in the distinct
+    probesFresh.as("l").join(gramsAll.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
+          col("l.__fid") =!= col("r.__fid"))
+      .select(least(col("l.__fid"), col("r.__fid")).as("id_a"),
+        greatest(col("l.__fid"), col("r.__fid")).as("id_b"),
+        when(col("l.__fid") < col("r.__fid"), col("l.__fkey"))
+          .otherwise(col("r.__fkey")).as("__ka"),
+        when(col("l.__fid") < col("r.__fid"), col("r.__fkey"))
+          .otherwise(col("l.__fkey")).as("__kb"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -410,4 +410,36 @@ object TextOps {
         joined(inPiece).as("input_text"),
         joined(tgtPiece).as("target_text"))
   }
+
+  /** Canonical URL form for web-corpus dedup (the "same page, different
+    * URL string" problem every crawl pipeline has): lower-cased scheme and
+    * authority, default port stripped (`:80` for http, `:443` for https),
+    * fragment dropped, empty path normalized to `/`, and query parameters
+    * SORTED (`?b=2&a=1` ≡ `?a=1&b=2` — tracking params reorder freely) with
+    * empty params dropped. Returns NULL for strings without a
+    * `scheme://` prefix — not a URL, caller decides. Pure map-only Column
+    * expression (regexp extraction + array sort), no UDF, engine-exact:
+    * the DuckDB oracle runs the same extraction.
+    *
+    * Deliberately NOT done here: percent-encoding normalization and
+    * public-suffix (eTLD+1) reduction — both need lookup tables that
+    * belong to the caller's policy, not a canonical form.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+    val scheme = lower(regexp_extract(c, schemeRe, 1))
+    val auth = lower(regexp_extract(c, schemeRe + "([^/?#]*)", 2))
+    val authNoPort = when(scheme === "http",
+        regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_extract(c, schemeRe + "[^/?#]*([^?#]*)", 2)
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    val sortedQ = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "")), "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), authNoPort, pathNorm,
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
 }

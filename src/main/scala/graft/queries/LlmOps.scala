@@ -871,6 +871,23 @@ object LlmOps extends QueryPack {
         firstRole = "view",
         allowedRoles = Seq("view", "click", "purchase", "signup"))),
 
+    // ---- canonical-URL normalization (web-corpus dedup prep): scheme/
+    //      host case, default ports, fragments, empty paths, query-param
+    //      order — all collapsed to one canonical form; non-URLs → NULL.
+    //      Synthetic URLs derived from doc_id exercise every branch ----
+    "url_canonicalize" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val u = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://Example.COM:443/Item/"), id,
+            lit("?b=2&a=1&#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://EXAMPLE.com:80//x/"), id, lit("?z=9&y=8")))
+        .when(col("doc_id") % 4 === 2, lit("https://example.com"))
+        .otherwise(lit("not a url"))
+      t(s, dir).documents.select(col("doc_id"), u.as("url"),
+        TextOps.canonicalizeUrl(u).as("canonical_url"))
+    }),
+
     // ---- tokenizer-coverage audit: per-doc OOV rate against the top-20
     //      corpus vocabulary (the release check before committing to a
     //      vocab) ----
@@ -2009,6 +2026,41 @@ object LlmOps extends QueryPack {
         |SELECT *, CAST(CASE WHEN bad_first + n_role_repeats + n_unknown_role
         |  + n_empty + n_dup_ord = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid
         |FROM a""".stripMargin,
+
+    "url_canonicalize" ->
+      raw"""WITH u AS (SELECT doc_id,
+           |  CASE
+           |    WHEN doc_id % 4 = 0 THEN 'HTTPS://Example.COM:443/Item/' ||
+           |      CAST(doc_id AS VARCHAR) || '?b=2&a=1&#frag'
+           |    WHEN doc_id % 4 = 1 THEN 'http://EXAMPLE.com:80//x/' ||
+           |      CAST(doc_id AS VARCHAR) || '?z=9&y=8'
+           |    WHEN doc_id % 4 = 2 THEN 'https://example.com'
+           |    ELSE 'not a url' END AS url
+           |  FROM documents),
+           |parts AS (SELECT doc_id, url,
+           |  lower(coalesce(regexp_extract(url,
+           |    '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1), '')) AS scheme,
+           |  lower(coalesce(regexp_extract(url,
+           |    '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)', 2), '')) AS auth,
+           |  coalesce(regexp_extract(url,
+           |    '^([A-Za-z][A-Za-z0-9+.\-]*)://[^/?#]*([^?#]*)', 2), '')
+           |    AS path,
+           |  coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+           |  FROM u),
+           |norm AS (SELECT doc_id, url, scheme,
+           |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+           |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+           |       ELSE auth END AS auth,
+           |  CASE WHEN path = '' THEN '/' ELSE path END AS path,
+           |  coalesce(array_to_string(list_sort(list_filter(
+           |    string_split(q, '&'), x -> x <> '')), '&'), '') AS sq
+           |  FROM parts)
+           |SELECT doc_id, url,
+           |  CASE WHEN scheme = '' THEN NULL
+           |       ELSE scheme || '://' || auth || path ||
+           |         CASE WHEN sq = '' THEN '' ELSE '?' || sq END
+           |  END AS canonical_url
+           |FROM norm""".stripMargin,
 
     "tok_oov_rate" ->
       s"""WITH wf AS (SELECT w AS word, count(*) AS freq FROM

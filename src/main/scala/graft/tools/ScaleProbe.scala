@@ -140,6 +140,15 @@ object ScaleProbe {
         time("tfidf", n) {
           CorpusStats.tfidfKeywords(docs, "doc_id", "text", k = 5).count()
         },
+        time("fuzzy_pairs", n) {
+          // 24-char key prefixes: candidate volume is gram-collision
+          // bounded; a superlinear ratio would mean the positional-band
+          // blocking stopped pruning and the join degraded toward n²
+          Dedup.fuzzyNearDupPairs(
+            docs.select(col("doc_id"),
+              substring(col("text"), 1, 24).as("key")),
+            "doc_id", "key", maxDist = 2).count()
+        },
         time("lm_score", n) {
           CorpusStats.bigramLmScore(docs, "doc_id", "text").count()
         },

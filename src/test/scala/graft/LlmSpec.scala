@@ -736,4 +736,25 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === "a &amp; b <tag>")
     assert(out(3L) === "no markup here")
   }
+
+  test("canonicalizeUrl collapses case/port/fragment/query-order variants") {
+    val urls = Seq(
+      (1L, "HTTPS://Example.COM:443/Item/9?b=2&a=1&#frag"),
+      (2L, "https://example.com/Item/9?a=1&b=2"),
+      (3L, "http://EXAMPLE.com:80//x?z=9"),
+      (4L, "https://example.com"),
+      (5L, "https://example.com:8443/x"),  // non-default port survives
+      (6L, "not a url"),
+      (7L, "ftp://Host/File")
+    ).toDF("id", "url")
+    val got = urls.select($"id", TextOps.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("https://example.com/Item/9?a=1&b=2"))
+    assert(got(1L) === got(2L)) // the whole point: variants collapse
+    assert(got(3L) === Some("http://example.com//x?z=9"))
+    assert(got(4L) === Some("https://example.com/"))
+    assert(got(5L) === Some("https://example.com:8443/x"))
+    assert(got(6L) === None)
+    assert(got(7L) === Some("ftp://host/File"))
+  }
 }

@@ -300,4 +300,25 @@ class PlanSpec extends SparkSpec {
     assert(!ap.contains("CartesianProduct") &&
       !ap.contains("BroadcastNestedLoopJoin"), ap.take(800))
   }
+
+  test("dedup_fuzzy: candidate generation is an equi-join on (gram, band)") {
+    val p = plan("dedup_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("snap_diff: one keyed join over digests, no cartesian") {
+    val p = plan("snap_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // digests are computed map-side: the join keys/payload are
+    // (doc_id, md5), never the document body
+    assert(p.contains("md5"), p.take(800))
+  }
+
+  test("tok_oov_rate: the vocab joins as a broadcast membership flag") {
+    val p = plan("tok_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }

@@ -75,6 +75,30 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(uncapped.count() === 50L * 49 / 2)
   }
 
+  test("incremental pairs equal batch-over-union pairs touching fresh ids") {
+    val base = "abcdefgh" * 4
+    val existing = (1L to 12L).map { i =>
+      (i, if (i % 3 == 0) base else s"existing key number $i ${"y" * (i % 5).toInt}")
+    }.toDF("id", "key")
+    val fresh = Seq(
+      (101L, base),                                  // matches existing %3 family
+      (102L, base.updated(5, 'Q').mkString),         // 1 sub of the family
+      (103L, "a brand new fresh key!!"),
+      (104L, "a brand new fresh key!!")              // fresh×fresh pair
+    ).toDF("id", "key")
+    val inc = Dedup.fuzzyNearDupPairsIncremental(fresh, existing, "id", "key",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val freshIds = Set(101L, 102L, 103L, 104L)
+    val batch = Dedup.fuzzyNearDupPairs(existing.unionByName(fresh), "id",
+        "key", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .filter(p => freshIds(p._1) || freshIds(p._2))
+    assert(inc === batch)
+    assert(inc.contains((103L, 104L, 0L))) // within-batch pair present
+    assert(inc.exists(p => p._1 <= 12L))   // cross-index pair present
+  }
+
   test("dropFuzzyDuplicates keeps the min-id survivor per family") {
     val docs = Seq(
       (5L, "the quick brown fox jumps"),
