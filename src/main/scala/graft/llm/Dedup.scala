@@ -1343,91 +1343,118 @@ object Dedup {
     * length L has L−q+1 overlapping q-grams and one edit destroys at most
     * q of them, so for L ≥ q·(maxDist+1) at least one q-gram survives
     * every qualifying edit script EXACTLY, displaced by at most `maxDist`
-    * positions. Candidates therefore meet on (gram, position band) with
-    * band width maxDist+1 and ±1 band probes — guaranteed-complete, and
-    * positional banding prunes the cross-position collisions a bag-of-grams
-    * join would pay for. Keys shorter than q·(maxDist+1) fall back to a
-    * shared per-length-band block (complete because |len_a − len_b| ≤ dist;
-    * short-key populations are inherently low-cardinality so the block
-    * stays bounded). The Levenshtein confirm runs ONCE per distinct
-    * candidate pair via Spark's threshold form (O(maxDist·L) early-exit
-    * band DP, codegen'd — not the full O(L²) matrix).
+    * positions. Candidates meet on (gram, position band) with band width
+    * maxDist+1 and ±1 band probes — guaranteed-complete, and positional
+    * banding prunes the cross-position collisions a bag-of-grams join
+    * would pay for.
     *
-    * Scale: gram rows are (hash-sized gram, band, id, key) with q+band
-    * dedup per doc; the join is an equi-join on (gram, band) — never a
-    * cartesian; pair volume is collision-bounded and the keys that travel
-    * are the SHORT match keys, never document bodies. Degenerate blocks
-    * (a gram+band shared by a huge population, e.g. a boilerplate prefix)
-    * are capped at `maxBucketSize` ids — above it the block is dropped
-    * loudly-documented, the same escape hatch as the MinHash/winnow caps.
+    * Short keys (L < q·(maxDist+1) =: sLo) can't pigeonhole; they use
+    * per-length-band sentinel blocks in two namespaces (S indexed by
+    * short keys, B indexed by boundary-window keys [sLo, sLo+maxDist),
+    * each probed by the OTHER class) — this closes the short↔long
+    * completeness gap in both probe directions (the incremental form
+    * probes one-way) WITHOUT ever pairing two gram-capable keys through a
+    * sentinel: a corpus whose keys all sit exactly at the boundary length
+    * must pair through grams, not collapse into one all-pairs sentinel
+    * block (the first cut of this operator did exactly that — n²/2
+    * candidates at uniform key length).
+    *
+    * Scale: index rows are (id, gram, band) — the join and the candidate
+    * `distinct` carry BARE ID PAIRS (16 bytes); keys are joined back from
+    * the slim (id, key) frame only for the per-distinct-pair
+    * threshold-Levenshtein confirm (O(maxDist·L) early-exit band DP,
+    * codegen'd). Degenerate blocks (a gram+band shared by a huge
+    * population, e.g. a boilerplate prefix) are capped at `maxBucketSize`
+    * index rows — above it the block is dropped loudly-documented, the
+    * same escape hatch as the MinHash/winnow caps.
     */
   def fuzzyNearDupPairs(df: DataFrame, idCol: String, keyCol: String,
       maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
-    val grams = fuzzyGrams(df, idCol, keyCol, maxDist, q, maxBucketSize)
-    val probes = fuzzyProbes(grams)
-    probes.as("l").join(grams.as("r"),
-        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
-          col("l.__fid") < col("r.__fid"))
-      .select(col("l.__fid").as("id_a"), col("r.__fid").as("id_b"),
-        col("l.__fkey").as("__ka"), col("r.__fkey").as("__kb"))
-      .distinct()
-      .withColumn("dist",
-        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val slim = fuzzySlim(df, idCol, keyCol)
+    fuzzyConfirm(slim, fuzzyCandidates(slim, slim, maxDist, q, maxBucketSize),
+      maxDist)
   }
 
-  /** Capped (id, key, gram, band) block rows for the fuzzy join — the
-    * shared candidate engine behind [[fuzzyNearDupPairs]] and its
-    * incremental form.
+  private def fuzzySlim(df: DataFrame, idCol: String, keyCol: String) =
+    df.select(col(idCol).cast("long").as("__fid"),
+      coalesce(col(keyCol).cast("string"), lit("")).as("__fkey"))
+
+  /** Candidate id pairs: `probing` rows probe the (gram, band) blocks of
+    * `index` rows (both (id, key) slim frames; for the batch form they are
+    * the same frame). Returns distinct (id_a < id_b) pairs where at least
+    * one side probed. The sentinel scheme is asymmetric by design — see
+    * [[fuzzyNearDupPairs]].
     */
-  private def fuzzyGrams(df: DataFrame, idCol: String, keyCol: String,
+  private def fuzzyCandidates(probing: DataFrame, index: DataFrame,
       maxDist: Int, q: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val bandW = maxDist + 1
-    // pigeonhole sound from sLo up; sentinel blocking covers up to sHi-1.
-    // The schemes OVERLAP on [sLo, sHi) so a qualifying short-long pair
-    // always shares one: if either side is shorter than sLo, the other is
-    // shorter than sLo + maxDist = sHi (lengths differ by at most the
-    // distance) and both emit the sentinel.
     val sLo = q * (maxDist + 1)
     val sHi = sLo + maxDist
-    val slim = df.select(col(idCol).cast("long").as("__fid"),
-      coalesce(col(keyCol).cast("string"), lit("")).as("__fkey"))
-    // one row per distinct (gram, band) per doc; the chr(0)-prefixed
-    // sentinel cannot collide with any real gram text
-    val grams = slim.selectExpr("__fid", "__fkey",
-      s"""explode(CASE
-         |  WHEN length(__fkey) >= $sHi
-         |  THEN array_distinct(transform(sequence(1, length(__fkey) - $q + 1),
+    val gramsArr =
+      s"""array_distinct(transform(sequence(1, length(__fkey) - $q + 1),
          |    p -> struct(substring(__fkey, p, $q) AS g,
-         |                CAST((p - 1) DIV $bandW AS INT) AS b)))
-         |  WHEN length(__fkey) >= $sLo
-         |  THEN concat(
-         |    array_distinct(transform(sequence(1, length(__fkey) - $q + 1),
-         |      p -> struct(substring(__fkey, p, $q) AS g,
-         |                  CAST((p - 1) DIV $bandW AS INT) AS b))),
-         |    array(struct(concat(chr(0), 'short') AS g,
-         |                 CAST(length(__fkey) DIV $bandW AS INT) AS b)))
-         |  ELSE array(struct(concat(chr(0), 'short') AS g,
-         |                CAST(length(__fkey) DIV $bandW AS INT) AS b))
-         |END) AS gb""".stripMargin)
-      .select(col("__fid"), col("__fkey"),
-        col("gb.g").as("__g"), col("gb.b").as("__b"))
-    // cap degenerate blocks BEFORE pairing: block size is a group count
-    if (maxBucketSize > 0)
-      grams.withColumn("__bn",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__g"), col("__b"))))
-        .filter(col("__bn") <= maxBucketSize).drop("__bn")
-    else grams
+         |                CAST((p - 1) DIV $bandW AS INT) AS b)))""".stripMargin
+    // two sentinel namespaces keep the short/boundary pairing complete in
+    // BOTH probe directions (the incremental form probes one-way) without
+    // ever letting two gram-capable keys meet through a sentinel:
+    //   S — indexed by short keys (< sLo); probed by short + boundary keys
+    //   B — indexed by boundary keys [sLo, sHi); probed by short keys only
+    def sentinel(ns: String) =
+      s"""array(struct(concat(chr(0), '$ns') AS g,
+         |             CAST(length(__fkey) DIV $bandW AS INT) AS b))""".stripMargin
+    // INDEX rows: grams for gram-capable keys (+ B in the boundary
+    // window), sentinel S only below sLo
+    val idx = index.selectExpr("__fid",
+      s"""explode(CASE
+         |  WHEN length(__fkey) >= $sHi THEN $gramsArr
+         |  WHEN length(__fkey) >= $sLo THEN concat($gramsArr, ${sentinel("b")})
+         |  ELSE ${sentinel("s")} END) AS gb""".stripMargin)
+      .select(col("__fid"), col("gb.g").as("__g"), col("gb.b").as("__b"))
+    // cap degenerate blocks BEFORE pairing: block size is an index count
+    val capped =
+      if (maxBucketSize > 0)
+        idx.withColumn("__bn",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__g"), col("__b"))))
+          .filter(col("__bn") <= maxBucketSize).drop("__bn")
+      else idx
+    // PROBE rows: grams from sLo up, plus sentinel S through the boundary
+    // window [sLo, sHi); short keys probe both namespaces; ±1 band
+    // expansion covers the ≤maxDist positional / length shift
+    val probeBlocks = probing.selectExpr("__fid",
+      s"""explode(CASE
+         |  WHEN length(__fkey) >= $sHi THEN $gramsArr
+         |  WHEN length(__fkey) >= $sLo THEN concat($gramsArr, ${sentinel("s")})
+         |  ELSE concat(${sentinel("s")}, ${sentinel("b")}) END) AS gb""".stripMargin)
+      .select(col("__fid"), col("gb.g").as("__g"), col("gb.b").as("__b"))
+    val probes = probeBlocks.select(col("__fid"), col("__g"),
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))
+    // either order may be the probing side; normalized ids collapse the
+    // double-match in the distinct, which carries bare 16-byte id pairs
+    probes.as("l").join(capped.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
+          col("l.__fid") =!= col("r.__fid"))
+      .select(least(col("l.__fid"), col("r.__fid")).as("id_a"),
+        greatest(col("l.__fid"), col("r.__fid")).as("id_b"))
+      .distinct()
   }
 
-  /** ±1-band probe expansion so a ≤maxDist positional shift still meets. */
-  private def fuzzyProbes(grams: DataFrame): DataFrame =
-    grams.select(col("__fid"), col("__fkey"), col("__g"),
-      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))
+  /** Fetch both keys for each candidate id pair and keep pairs within
+    * `maxDist` (threshold-Levenshtein: -1 when exceeded).
+    */
+  private def fuzzyConfirm(slim: DataFrame, cand: DataFrame,
+      maxDist: Int): DataFrame =
+    cand
+      .join(slim.select(col("__fid").as("id_a"), col("__fkey").as("__ka")),
+        Seq("id_a"))
+      .join(slim.select(col("__fid").as("id_b"), col("__fkey").as("__kb")),
+        Seq("id_b"))
+      .withColumn("dist",
+        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
 
   /** Fuzzy dedup applied: [[fuzzyNearDupPairs]] → connected components →
     * min-id survivor per family. Returns `df` minus every non-survivor.
@@ -1452,27 +1479,9 @@ object Dedup {
   def fuzzyNearDupPairsIncremental(fresh: DataFrame, existing: DataFrame,
       idCol: String, keyCol: String, maxDist: Int = 2, q: Int = 8,
       maxBucketSize: Int = 100000): DataFrame = {
-    val all = fresh.select(col(idCol), col(keyCol))
-      .unionByName(existing.select(col(idCol), col(keyCol)))
-    val gramsAll = fuzzyGrams(all, idCol, keyCol, maxDist, q, maxBucketSize)
-    val freshIds = fresh.select(col(idCol).cast("long").as("__fid")).distinct()
-    val probesFresh = fuzzyProbes(gramsAll.join(freshIds, Seq("__fid"),
-      "left_semi"))
-    // one side is always fresh; order is normalized afterwards, so the
-    // fresh×fresh double-match (both orders) collapses in the distinct
-    probesFresh.as("l").join(gramsAll.as("r"),
-        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
-          col("l.__fid") =!= col("r.__fid"))
-      .select(least(col("l.__fid"), col("r.__fid")).as("id_a"),
-        greatest(col("l.__fid"), col("r.__fid")).as("id_b"),
-        when(col("l.__fid") < col("r.__fid"), col("l.__fkey"))
-          .otherwise(col("r.__fkey")).as("__ka"),
-        when(col("l.__fid") < col("r.__fid"), col("r.__fkey"))
-          .otherwise(col("l.__fkey")).as("__kb"))
-      .distinct()
-      .withColumn("dist",
-        levenshtein(col("__ka"), col("__kb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val freshSlim = fuzzySlim(fresh, idCol, keyCol)
+    val allSlim = freshSlim.unionByName(fuzzySlim(existing, idCol, keyCol))
+    fuzzyConfirm(allSlim,
+      fuzzyCandidates(freshSlim, allSlim, maxDist, q, maxBucketSize), maxDist)
   }
 }
