@@ -147,6 +147,9 @@ object Bench {
     "dedup_common_span" -> "dcs",
     "pipeline_curate" -> "pp",
     "pipeline_curate2" -> "pq",
+    "pipeline_sft" -> "pz",
+    "rank_bt" -> "rbt",
+    "cms_counts" -> "cms",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

@@ -282,6 +282,34 @@ object PipelineConfig {
           graft.llm.SftFormat.validateConversations(d, cv, o, rl, ct,
             t.name.getOrElse("user"),
             t.expr.getOrElse("user,assistant").split(",").map(_.trim).toSeq)
+        // canonical-URL normalization: appends `name` (default
+        // canonical_url) from the URL column in cols = [urlCol]
+        case "canonicalize_url" =>
+          val Seq(uc) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("canonicalize_url needs cols = [urlCol]")
+          }
+          d.withColumn(t.name.getOrElse("canonical_url"),
+            graft.llm.TextOps.canonicalizeUrl(col(uc)))
+        // tokenizer-coverage audit: annotate with (n_tokens, n_oov,
+        // oov_micro) against a vocab parquet (one `word` column).
+        // cols = [idCol, textCol], name = vocab parquet path
+        case "oov_rate" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("oov_rate needs cols = [idCol, textCol]")
+          }
+          val vocab = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("oov_rate needs name = vocab parquet path")))
+          d.join(graft.llm.CorpusStats.oovRate(d, idc, c, vocab), Seq(idc))
+        // Cohen's κ label agreement: REPLACES the frame with the 1-row
+        // (n, agree, s_joint, kappa_micro) report. cols = [colA, colB]
+        case "kappa" =>
+          val Seq(a, b) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("kappa needs cols = [colA, colB]")
+          }
+          graft.llm.Classifier.cohenKappaMicro(d, a, b)
         // snapshot diff vs a prior-snapshot parquet: REPLACES the frame
         // with (key cols…, change added|removed|changed, old_hash,
         // new_hash). cols = key columns, name = old-snapshot parquet path
@@ -656,6 +684,16 @@ object PipelineConfig {
         // mmr_score_micro). cols = [idCol, vecCol], expr = relevance SQL
         // expression, name = k (default 8). Bounded-k by contract
         // (Selection.mmrSelect broadcasts ≤ k vectors per round).
+        // Bradley–Terry strength fit: REPLACES the frame (a comparison
+        // log) with (id, strength_micro, n_wins, n_comparisons).
+        // cols = [winnerCol, loserCol], name = iterations (default 5)
+        case "bt_strength" =>
+          val Seq(wc, lc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("bt_strength needs cols = [winnerCol, loserCol]")
+          }
+          graft.llm.Ranking.btStrengths(d, wc, lc,
+            t.name.getOrElse("5").trim.toInt)
         case "mmr" =>
           val Seq(idc, vc) = t.cols match {
             case s if s.length == 2 => s

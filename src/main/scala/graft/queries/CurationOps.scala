@@ -261,6 +261,42 @@ object CurationOps extends QueryPack {
     //      winnow keep-central dedup → α=1/2 temperature mixture per
     //      source → snake shards → per-(source, shard) totals. Each stage
     //      is the standalone operator, re-based on the previous stage ----
+    // ---- composed SFT preparation pipeline: conversation QA gate →
+    //      chat formatting → token accounting → length-bucketed batch
+    //      assignment → per-batch panel. Every stage is the standalone
+    //      operator; the oracle re-bases each stage on the previous ----
+    "pipeline_sft" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      val audit = SftFormat.validateConversations(ev, "user_id", "event_id",
+        "event_type", "props", firstRole = "view",
+        allowedRoles = Seq("view", "click", "purchase", "signup", "error"))
+      // release gate: conversations must OPEN with a view (the full
+      // alternation audit is sft_validate's own query; long synthetic
+      // event chains always repeat roles, so the composition gates on the
+      // first-turn invariant)
+      val openOk = audit.filter(col("bad_first") === 0).select(col("conv_id"))
+      val text = SftFormat.chatFormat(ev, "user_id", "event_id",
+          "event_type", "props")
+        .join(openOk, Seq("conv_id"), "left_semi")
+        .localCheckpoint() // two stages re-read the formatted texts
+      val counted = text.select(col("conv_id"),
+        TextOps.tokenCount(col("chat_text")).as("__toks"))
+      Packing.lengthBucketBatches(counted, "conv_id", col("__toks"),
+          batchSize = 4)
+        .groupBy(col("bucket"), col("batch_idx"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(col("n_tokens")).as("n_tokens_total"))
+    }),
+
+    // ---- Bradley–Terry strength fit over a deterministic comparison
+    //      log (arena-style preference rating): adjacent docs within each
+    //      source "compete", longer wins, items are languages — fixed-
+    //      iteration integer MM whose oracle replays the identical
+    //      unrolled iterations (the graph_pagerank pattern) ----
+    "rank_bt" -> ((s, dir) =>
+      Ranking.btStrengths(btComparisons(s, dir), "winner", "loser",
+        BtIters)),
+
     "pipeline_curate2" -> ((s, dir) => {
       val docs = t(s, dir).documents
       val scored = Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
@@ -316,6 +352,31 @@ object CurationOps extends QueryPack {
       Tokenizer.wordpieceEncodeCounts(docs, "doc_id", "text",
         Tokenizer.wordpieceVocab(docs, "text", WpV, WpSubLen, WpMinCount))
     }))
+
+  private val BtIters = 5
+
+  /** Deterministic comparison log for the BT fit: within each source,
+    * each doc "plays" its doc_id predecessor; the longer text wins, ties
+    * and same-language pairs are skipped (a self-comparison rates
+    * nothing). Items are languages, so the fit answers "which language
+    * writes longer documents" with a proper paired-comparison strength
+    * rather than a mean — shared shape with the oracle's lag CTE.
+    */
+  private def btComparisons(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t(s, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .withColumn("prev_lang", lag(col("lang"), 1).over(w))
+      .withColumn("prev_nc", lag(col("n_chars"), 1).over(w))
+      .where(col("prev_lang").isNotNull && col("lang") =!= col("prev_lang") &&
+        col("n_chars") =!= col("prev_nc"))
+      .select(
+        when(col("n_chars") > col("prev_nc"), col("lang"))
+          .otherwise(col("prev_lang")).as("winner"),
+        when(col("n_chars") > col("prev_nc"), col("prev_lang"))
+          .otherwise(col("lang")).as("loser"))
+  }
 
   private val WinnowK = 5
   private val WinnowW = 4
@@ -702,7 +763,98 @@ object CurationOps extends QueryPack {
     "unigram_vocab" -> unigramVocabSql,
     "unigram_encode" -> unigramEncodeSql,
     "wordpiece_vocab" -> wordpieceVocabSql,
-    "wordpiece_encode" -> wordpieceEncodeSql)
+    "wordpiece_encode" -> wordpieceEncodeSql,
+    "pipeline_sft" -> pipelineSftSql,
+    "rank_bt" -> rankBtSql)
+
+  /** Unrolled integer Bradley–Terry MM oracle mirroring
+    * [[graft.llm.Ranking.btStrengths]]: the same lag-derived comparison
+    * log, pair/stat aggregation, and `BtIters` exact floor-division
+    * update rounds (the graph_pagerank unrolling pattern; `//` on
+    * positive BIGINTs matches Spark's `DIV`).
+    */
+  private def rankBtSql: String = {
+    val rounds = (1 to BtIters).map { k =>
+      s"""s$k AS (SELECT id, CAST(sum(t) AS BIGINT) AS s FROM (
+         |    SELECT a.lo AS id, (a.n * 1000000000000) // (pl.p + ph.p) AS t
+         |    FROM agg a JOIN p${k - 1} pl ON a.lo = pl.id
+         |                JOIN p${k - 1} ph ON a.hi = ph.id
+         |    UNION ALL
+         |    SELECT a.hi, (a.n * 1000000000000) // (pl.p + ph.p)
+         |    FROM agg a JOIN p${k - 1} pl ON a.lo = pl.id
+         |                JOIN p${k - 1} ph ON a.hi = ph.id)
+         |  GROUP BY id),
+         |p$k AS (SELECT st.id,
+         |    LEAST(GREATEST(((st.wins + 1) * 1000000000000) //
+         |      (coalesce(s.s, CAST(0 AS BIGINT)) +
+         |       1000000000000 // (pp.p + 1000000)),
+         |      CAST(1000 AS BIGINT)), CAST(1000000000 AS BIGINT)) AS p
+         |  FROM stats st JOIN p${k - 1} pp ON st.id = pp.id
+         |  LEFT JOIN s$k s ON st.id = s.id)""".stripMargin
+    }
+    s"""WITH g AS (SELECT lang, n_chars,
+       |        lag(lang) OVER (PARTITION BY source ORDER BY doc_id)
+       |          AS prev_lang,
+       |        lag(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+       |          AS prev_nc
+       |      FROM documents),
+       |cmp AS (SELECT
+       |    CASE WHEN n_chars > prev_nc THEN lang ELSE prev_lang END AS w,
+       |    CASE WHEN n_chars > prev_nc THEN prev_lang ELSE lang END AS l
+       |  FROM g WHERE prev_lang IS NOT NULL AND lang <> prev_lang
+       |    AND n_chars <> prev_nc),
+       |agg AS MATERIALIZED (SELECT least(w, l) AS lo, greatest(w, l) AS hi,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wlo
+       |  FROM cmp GROUP BY 1, 2),
+       |stats AS MATERIALIZED (SELECT id, CAST(sum(wn) AS BIGINT) AS wins,
+       |    CAST(sum(n) AS BIGINT) AS ncmp
+       |  FROM (SELECT lo AS id, wlo AS wn, n FROM agg
+       |        UNION ALL SELECT hi, n - wlo, n FROM agg) GROUP BY id),
+       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS p FROM stats),
+       |${rounds.mkString(",\n")}
+       |SELECT p.id, p.p AS strength_micro, st.wins AS n_wins,
+       |  st.ncmp AS n_comparisons
+       |FROM p$BtIters p JOIN stats st ON p.id = st.id""".stripMargin
+  }
+
+  /** Composed SFT pipeline oracle: each stage re-based on the previous —
+    * the sft_validate first-turn gate, the sft_chat_format rendering, the
+    * pack_length_buckets window — ending in the per-batch panel.
+    */
+  private def pipelineSftSql: String =
+    """WITH t AS (SELECT CAST(user_id AS BIGINT) AS conv_id,
+      |             CAST(event_id AS BIGINT) AS ord, event_type AS role,
+      |             coalesce(props, '') AS content,
+      |             '<|' || event_type || '|>' || coalesce(props, '') ||
+      |               chr(10) AS piece
+      |           FROM events),
+      |w AS (SELECT conv_id, role,
+      |  row_number() OVER (PARTITION BY conv_id
+      |    ORDER BY ord, role, content) AS rn FROM t),
+      |ok AS (SELECT conv_id FROM w GROUP BY conv_id
+      |       HAVING max(CASE WHEN rn = 1 AND role <> 'view'
+      |                  THEN 1 ELSE 0 END) = 0),
+      |txt AS (SELECT conv_id,
+      |          string_agg(piece, '' ORDER BY ord) AS chat_text
+      |        FROM t WHERE conv_id IN (SELECT conv_id FROM ok)
+      |        GROUP BY conv_id),
+      |tok AS (SELECT conv_id,
+      |          GREATEST(CAST(len(string_split_regex(trim(chat_text),
+      |            '\s+')) AS BIGINT), 1) AS n_tokens
+      |        FROM txt),
+      |b AS (SELECT conv_id, n_tokens,
+      |        CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket
+      |      FROM tok),
+      |r AS (SELECT conv_id, n_tokens, bucket,
+      |        row_number() OVER (PARTITION BY bucket
+      |          ORDER BY n_tokens ASC, conv_id ASC) - 1 AS r0
+      |      FROM b)
+      |SELECT bucket, CAST(r0 // 4 AS BIGINT) AS batch_idx,
+      |  CAST(count(*) AS BIGINT) AS n_convs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+      |FROM (SELECT bucket, r0, n_tokens FROM r)
+      |GROUP BY 1, 2""".stripMargin
 
   /** Shared WordPiece-vocabulary CTEs mirroring
     * [[graft.llm.Tokenizer.wordpieceVocab]]: word frequencies, top-V whole

@@ -211,6 +211,63 @@ object Pipelines {
       (df, id, bin) => graft.llm.AudioHash.audioHashes(df, id, bin).toDF()
         .filter(col("decoded")).select(col("id"), col("ehash").as("fp")))
 
+  /** Continuous fuzzy (edit-distance) dedup over a short key column: each
+    * micro-batch pairs against itself and the persisted (id, key) index
+    * via [[graft.llm.Dedup.fuzzyNearDupPairsIncremental]] — fresh×fresh ∪
+    * fresh×index, never index×index — drops its non-survivors (min-id
+    * within the touchable component, same immutable-batch contract as
+    * every ingest loop here: earlier batches are never revised), and
+    * appends survivors' (id, key) rows to the index. The short-key index
+    * IS the complete similarity state; historical rows are never re-read.
+    * Same idempotent `batch=` layout: a retry overwrites its own
+    * partitions and reads only PRIOR state.
+    */
+  def fuzzyDedupIngest(stream: DataFrame, idCol: String, keyCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      maxDist: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.localCheckpoint()
+        if (!fresh.isEmpty) {
+          val freshKeys = fresh
+            .select(col(idCol).cast("long").as("id"),
+              col(keyCol).cast("string").as("key"))
+            .localCheckpoint()
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val haveIndex = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxPath)
+          val index =
+            if (haveIndex)
+              spark.read.parquet(indexDir)
+                .where(col("batch") =!= batchId) // retry sees PRIOR state
+                .select(col("id"), col("key"))
+            else {
+              import spark.implicits._
+              Seq.empty[(Long, String)].toDF("id", "key")
+            }
+          val pairs = Dedup.fuzzyNearDupPairsIncremental(freshKeys, index,
+            "id", "key", maxDist)
+          val losers = Dedup.survivorAssignment(pairs)
+            .where(col("id") =!= col("survivor_id"))
+            .select(col("id"))
+          val kept = fresh.join(losers,
+            fresh(idCol).cast("long") === losers("id"), "left_anti")
+            .localCheckpoint()
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch=$batchId")
+          freshKeys.join(kept.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   private def mediaDedupIngest(stream: DataFrame, idCol: String,
       binCol: String, corpusDir: String, indexDir: String,
       checkpointDir: String, maxHamming: Int,

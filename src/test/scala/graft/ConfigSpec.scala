@@ -887,6 +887,36 @@ class ConfigSpec extends SparkSpec {
     assert(fuzzy.select("id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("declared canonicalize_url, oov_rate, kappa ops") {
+    import spark.implicits._
+    val urls = Seq((1L, "HTTP://A.com:80/x?b=1&a=2#f")).toDF("id", "u")
+    val cu = PipelineConfig.applyTransforms(urls, Seq(
+      PipelineConfig.TransformConf(op = "canonicalize_url", cols = Seq("u"))))
+    assert(cu.select("canonical_url").head().getString(0)
+      === "http://a.com/x?a=2&b=1")
+    val dir = java.nio.file.Files.createTempDirectory("oovcfg").toString
+    Seq("aa", "bb").toDF("word").write.mode("overwrite").parquet(s"$dir/v")
+    val docs = Seq((1L, "aa zz")).toDF("doc_id", "text")
+    val ov = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "oov_rate",
+        cols = Seq("doc_id", "text"), name = Some(s"$dir/v"))))
+    assert(ov.select("n_oov", "oov_micro").head().toSeq === Seq(1L, 500000L))
+    val kp = PipelineConfig.applyTransforms(
+      Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")).toDF("a", "b"), Seq(
+        PipelineConfig.TransformConf(op = "kappa", cols = Seq("a", "b"))))
+    assert(kp.select("kappa_micro").head().getLong(0) === 0L)
+  }
+
+  test("declared bt_strength op") {
+    import spark.implicits._
+    val log = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("w", "l")
+    val bt = PipelineConfig.applyTransforms(log, Seq(
+      PipelineConfig.TransformConf(op = "bt_strength", cols = Seq("w", "l"))))
+    val m = bt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("a", "b", "c"))
+    assert(m("a") > m("b") && m("b") > m("c"))
+  }
+
   test("declared snapshot_diff, expect, expect_unique ops") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snapcfg").toString

@@ -183,6 +183,33 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds.toSeq === Seq(1L, 2L, 8L))
   }
 
+  test("fuzzyDedupIngest: streamed outcome equals batch fuzzy dedup over the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fdi").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.fuzzyDedupIngest(
+      mem.toDF().toDF("rec_id", "key"),
+      "rec_id", "key", s"$base/corpus", s"$base/index", s"$base/ckpt",
+      maxDist = 2)
+    val b1 = Seq((1L, "the quick brown fox jumps"),
+      (2L, "an entirely different key!!"),
+      (5L, "the quick briwn fox jumps"))   // within-batch typo of 1
+    val b2 = Seq((7L, "the quick brown fox jumpz"), // cross-batch typo of 1
+      (8L, "another novel key entirely"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val accepted = spark.read.parquet(s"$base/corpus")
+      .select($"rec_id").collect().map(_.getLong(0)).toSet
+    val batchKept = graft.llm.Dedup.dropFuzzyDuplicates(
+        (b1 ++ b2).toDF("rec_id", "key"), "rec_id", "key", maxDist = 2)
+      .select($"rec_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === batchKept)
+    assert(accepted === Set(1L, 2L, 8L))
+    // the key index holds exactly the accepted rows
+    val idxIds = spark.read.parquet(s"$base/index")
+      .select($"id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(1L, 2L, 8L))
+  }
+
   test("imageDedupIngest drops perceptual dups across and within batches") {
     import graft.llm.ImageHash
     val base = java.nio.file.Files.createTempDirectory("graft_idi").toString
