@@ -41,29 +41,29 @@ object Bench {
     "dedup_against_ref" -> "dr",
     "dedup_vs_ref_near" -> "dv",
     "mm_binary_stats" -> "mms",
-    "mm_neardup" -> "mmn",
-    "mm_image_meta" -> "mmi",
-    "mm_audio_neardup" -> "mma",
-    "mm_audio_meta" -> "mmam",
+    "mm_neardup" -> "n",
+    "mm_image_meta" -> "i",
+    "mm_audio_neardup" -> "u",
+    "mm_audio_meta" -> "a",
     "privacy_k_anon" -> "ka",
-    "privacy_dp_counts" -> "dpc",
+    "privacy_dp_counts" -> "d",
     "privacy_suppress" -> "ks",
     "privacy_l_div" -> "ld",
     "privacy_generalize" -> "gk",
-    "sql_curate" -> "sqc",
-    "sft_chat_format" -> "sfc",
-    "sft_loss_mask" -> "sfm",
-    "sft_validate" -> "sv",
-    "snap_diff" -> "sp",
+    "sql_curate" -> "q",
+    "sft_chat_format" -> "h",
+    "sft_loss_mask" -> "l",
+    "sft_validate" -> "v",
+    "snap_diff" -> "s",
     "dq_report" -> "dq",
-    "wordpiece_vocab" -> "wv",
+    "wordpiece_vocab" -> "w",
     "wordpiece_encode" -> "we",
-    "tok_oov_rate" -> "ov",
-    "label_kappa" -> "kp",
+    "tok_oov_rate" -> "o",
+    "label_kappa" -> "k",
     "url_canonicalize" -> "uc",
     "sel_pref_pairs" -> "pf",
     "dedup_fuzzy" -> "fz",
-    "dedup_fuzzy_apply" -> "fza",
+    "dedup_fuzzy_apply" -> "f",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
     "dedup_keep_best" -> "db",
@@ -147,9 +147,9 @@ object Bench {
     "dedup_common_span" -> "dcs",
     "pipeline_curate" -> "pp",
     "pipeline_curate2" -> "pq",
-    "pipeline_sft" -> "pz",
-    "rank_bt" -> "rbt",
-    "cms_counts" -> "cms",
+    "pipeline_sft" -> "z",
+    "rank_bt" -> "r",
+    "cms_counts" -> "c",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

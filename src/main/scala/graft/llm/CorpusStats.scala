@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,7 +48,9 @@ object CorpusStats extends Serializable {
     // vocabTopKSketch working/output columns
     "token", "freq",
     // oovRate working/output columns
-    "word", "n_oov", "oov_micro") ++
+    "word", "n_oov", "oov_micro",
+    // count-min sketch working/output columns
+    "row", "rb", "freq_est") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 
@@ -806,5 +808,77 @@ object CorpusStats extends Serializable {
         sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_micro",
         expr("n_oov * 1000000 DIV n_tokens"))
+  }
+
+  /** Per-row CMS bucket: first 40 bits of md5("row:token") modulo `width` —
+    * the mm_features nibble idiom, deterministic and replayable in any
+    * engine with md5 (the oracle decodes the same 10 hex chars). */
+  private def cmsBucket(row: Int, token: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$row:"), token)), 1, 10), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-Min sketch of the corpus token frequencies (Cormode &
+    * Muthukrishnan 2005): `depth` hash rows × `width` buckets, cell =
+    * Σ counts of the tokens landing there. Returns `(row, bucket, cnt)` —
+    * at most depth·width rows of bounded, MERGEABLE state: sketches of two
+    * corpus halves sum cell-wise to the sketch of the union (it's a linear
+    * projection of the count vector), which is what makes this the
+    * frequency-tracking primitive for sharded and streaming ingest where
+    * [[vocabTopKSketch]]'s per-partition MG summaries answer only top-k.
+    *
+    * Point estimates read `min` over the token's `depth` cells —
+    * overcount-only (≤ N·e/width error at depth ln(1/δ) rows, the classic
+    * bound); [[cmsEstimates]] wires that lookup. Hashing is md5-derived
+    * (engine-portable, no seed state), so the whole sketch is
+    * oracle-hash-exact — not merely approximately right.
+    *
+    * Scale: one explode → one (token, count) aggregation with map-side
+    * combine, then a map-only expand to `depth` (row, bucket) keys and a
+    * second aggregation onto depth·width cells — shuffles carry token
+    * counts, never text, and the result is O(depth·width) regardless of
+    * corpus size.
+    */
+  def countMinSketch(corpus: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val counts = corpus
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    counts
+      .select(explode(array((0 until depth).map(r =>
+          struct(lit(r.toLong).as("row"),
+            cmsBucket(r, col("token"), width).as("bucket"))): _*)).as("rb"),
+        col("cnt"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** CMS point estimates for the exact top-`k` tokens: `(token, freq,
+    * freq_est)` with `freq_est = min` over the token's `depth` sketch
+    * cells — est ≥ freq always, and the pairing makes the sketch's
+    * accuracy itself a checked output rather than a claim. The top-k side
+    * is the [[vocabTopKSketch]] aggregation; the lookup joins k·depth slim
+    * probe rows against the depth·width cell table (broadcast-sized both
+    * sides).
+    */
+  def cmsEstimates(corpus: DataFrame, textCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cells = countMinSketch(corpus, textCol, depth, width)
+    val top = corpus
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+    top
+      .select(col("token"), col("freq"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r.toLong).as("row"),
+            cmsBucket(r, col("token"), width).as("bucket"))): _*)).as("rb"))
+      .join(cells, col("rb.row") === cells("row") &&
+        col("rb.bucket") === cells("bucket"))
+      .groupBy(col("token"))
+      .agg(max(col("freq")).as("freq"), min(col("cnt")).as("freq_est"))
   }
 }

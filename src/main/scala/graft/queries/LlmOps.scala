@@ -646,6 +646,13 @@ object LlmOps extends QueryPack {
     "text_vocab_topk_mg" -> ((s, dir) =>
       CorpusStats.vocabTopKSketch(t(s, dir).documents, "text", k = 100)),
 
+    // ---- Count-Min sketch frequency estimates for the exact top-20
+    //      tokens: (token, freq, freq_est) with md5-derived buckets, so
+    //      the depth×width linear sketch — the mergeable counting state
+    //      for sharded/streaming ingest — is itself oracle-hash-exact ----
+    "cms_counts" -> ((s, dir) =>
+      CorpusStats.cmsEstimates(t(s, dir).documents, "text", k = 20)),
+
     // ---- int8 embedding quantization: 4× storage cut, reconstruction
     //      quality verified by exact cosine vs the original ----
     "emb_quantize" -> ((s, dir) => {
@@ -2188,6 +2195,33 @@ object LlmOps extends QueryPack {
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the CMS cells replayed exactly: same md5-derived buckets (first 40
+    // bits as nibble arithmetic — the winnow/mm_features idiom, identical
+    // to Spark's conv(substr(md5, 1, 10), 16, 10)), same depth×width cell
+    // sums, min-over-rows estimates for the exact top-20
+    "cms_counts" -> {
+      def bucket(tok: String): String =
+        s"""CAST(list_sum(list_transform(range(1, 11), j ->
+           |  CAST(strpos('0123456789abcdef', substr(substr(md5(
+           |    CAST(r AS VARCHAR) || ':' || $tok), 1, 10), j, 1)) - 1
+           |    AS BIGINT)
+           |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT) % 256"""
+          .stripMargin
+      s"""WITH wc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest($DuckToks) AS token FROM documents)
+         |  GROUP BY token),
+         |cells AS (SELECT r, ${bucket("token")} AS b,
+         |    CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM wc CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+         |top AS (SELECT token, cnt AS freq FROM wc
+         |  ORDER BY cnt DESC, token ASC LIMIT 20)
+         |SELECT p.token, max(p.freq) AS freq, min(c.cell) AS freq_est
+         |FROM (SELECT token, freq, r, ${bucket("token")} AS b
+         |      FROM top CROSS JOIN range(0, 4) t(r)) p
+         |JOIN cells c ON p.r = c.r AND p.b = c.b
+         |GROUP BY p.token""".stripMargin
+    },
 
     "emb_centroids" ->
       s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -286,4 +286,49 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(2L) === ((2L, 0L, 0L)))
     assert(got(3L) === ((3L, 3L, 1000000L)))
   }
+
+  test("countMinSketch: linear/mergeable — half sketches sum cell-wise to the union sketch") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y"), (2L, "y z z z")).toDF("doc_id", "text")
+    val b = Seq((3L, "x w w"), (4L, "z y")).toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.countMinSketch(df, "text", depth = 3, width = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap.withDefaultValue(0L)
+    val ca = cells(a); val cb = cells(b); val cu = cells(a.unionByName(b))
+    assert((ca.keySet ++ cb.keySet) === cu.keySet)
+    cu.keys.foreach(k => assert(ca(k) + cb(k) === cu(k), s"cell $k"))
+  }
+
+  test("cmsEstimates: overcount-only, exact at collision-free width, and replays an md5 reference") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = CorpusStats.cmsEstimates(docs, "text", k = 4, depth = 4,
+        width = 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
+    got.foreach { case (t, (freq, est)) =>
+      assert(freq === exact(t))
+      assert(est >= freq, s"CMS must never undercount ($t)")
+    }
+    // independent replay of the documented bucket function: first 40 bits
+    // of md5("row:token") mod width, estimate = min cell
+    def bucket(r: Int, tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    exact.foreach { case (tok, n) =>
+      (0 until 4).foreach(r => cells((r, bucket(r, tok))) += n)
+    }
+    got.foreach { case (tok, (_, est)) =>
+      val ref = (0 until 4).map(r => cells((r, bucket(r, tok)))).min
+      assert(est === ref, s"estimate for $tok must equal the md5 replay")
+    }
+  }
 }
