@@ -45,24 +45,24 @@ object Bench {
     "mm_image_meta" -> "i",
     "mm_audio_neardup" -> "u",
     "mm_audio_meta" -> "a",
-    "privacy_k_anon" -> "ka",
+    "privacy_k_anon" -> "b",
     "privacy_dp_counts" -> "d",
-    "privacy_suppress" -> "ks",
-    "privacy_l_div" -> "ld",
-    "privacy_generalize" -> "gk",
+    "privacy_suppress" -> "e",
+    "privacy_l_div" -> "m",
+    "privacy_generalize" -> "t",
     "sql_curate" -> "q",
     "sft_chat_format" -> "h",
     "sft_loss_mask" -> "l",
     "sft_validate" -> "v",
     "snap_diff" -> "s",
-    "dq_report" -> "dq",
+    "dq_report" -> "j",
     "wordpiece_vocab" -> "w",
-    "wordpiece_encode" -> "we",
+    "wordpiece_encode" -> "y",
     "tok_oov_rate" -> "o",
     "label_kappa" -> "k",
-    "url_canonicalize" -> "uc",
-    "sel_pref_pairs" -> "pf",
-    "dedup_fuzzy" -> "fz",
+    "url_canonicalize" -> "x",
+    "sel_pref_pairs" -> "p",
+    "dedup_fuzzy" -> "g",
     "dedup_fuzzy_apply" -> "f",
     "sel_cap_per_source" -> "sel",
     "sel_mmr" -> "mm",
@@ -150,6 +150,7 @@ object Bench {
     "pipeline_sft" -> "z",
     "rank_bt" -> "r",
     "cms_counts" -> "c",
+    "hll_distinct" -> "hl",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

@@ -646,6 +646,18 @@ object LlmOps extends QueryPack {
     "text_vocab_topk_mg" -> ((s, dir) =>
       CorpusStats.vocabTopKSketch(t(s, dir).documents, "text", k = 100)),
 
+    // ---- deterministic HLL distinct tokens per language: fixed md5
+    //      hash + integer raw estimator make the approximate count
+    //      itself oracle-hash-exact (unlike approx_count_distinct's
+    //      engine-private HLL++); paired with the exact distinct so the
+    //      sketch's accuracy is a checked output ----
+    "hll_distinct" -> ((s, dir) => {
+      val tok = t(s, dir).documents
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      tok.groupBy("lang").agg(countDistinct(col("token")).as("n_exact"))
+        .join(Sketches.hllEstimate(tok, "lang", col("token")), Seq("lang"))
+    }),
+
     // ---- Count-Min sketch frequency estimates for the exact top-20
     //      tokens: (token, freq, freq_est) with md5-derived buckets, so
     //      the depth×width linear sketch — the mergeable counting state
@@ -2195,6 +2207,48 @@ object LlmOps extends QueryPack {
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the HLL registers and raw estimator replayed exactly: same 40-bit
+    // md5 hash (nibble arithmetic), same minimal-length bin() rank, same
+    // integer alpha literal from Sketches.alphaMicro
+    "hll_distinct" -> {
+      import graft.functions.PortableMath
+      val a = graft.llm.Sketches.alphaMicro(256)
+      val lnChain = PortableMath.duckCteChain(
+        PortableMath.microLnStages("greatest(v, 1)", "256",
+          PortableMath.duckShiftLeft), "r", "hln")
+      s"""WITH tok AS (SELECT lang, unnest($DuckToks) AS token
+         |  FROM documents),
+         |h AS (SELECT lang,
+         |    CAST(list_sum(list_transform(range(1, 11), j ->
+         |      CAST(strpos('0123456789abcdef', substr(substr(md5(token),
+         |        1, 10), j, 1)) - 1 AS BIGINT)
+         |      * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT) AS hv
+         |  FROM tok),
+         |reg AS (SELECT lang, hv % 256 AS j,
+         |    max(CASE WHEN hv // 256 = 0 THEN 33
+         |        ELSE 33 - length(bin(hv // 256)) END) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |s AS (SELECT lang,
+         |    CAST(sum(CAST(1 AS BIGINT) << (33 - mj)) +
+         |      (256 - count(*)) * (CAST(1 AS BIGINT) << 33) AS BIGINT)
+         |      AS sv,
+         |    CAST(256 - count(*) AS BIGINT) AS v
+         |  FROM reg GROUP BY 1),
+         |r AS (SELECT lang, sv, v,
+         |    CAST(($a * (562949953421312 // sv)) // 1000000 AS BIGINT)
+         |      AS raw
+         |  FROM s),
+         |$lnChain,
+         |ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
+         |    AS n_exact
+         |  FROM tok GROUP BY 1)
+         |SELECT ex.lang, ex.n_exact,
+         |  CAST(CASE WHEN f.raw <= 640 AND f.v > 0
+         |    THEN ((-f.lp) * 256) // 1000000 ELSE f.raw END AS BIGINT)
+         |    AS n_hll
+         |FROM ex JOIN hlnfin f ON ex.lang = f.lang""".stripMargin
+    },
 
     // the CMS cells replayed exactly: same md5-derived buckets (first 40
     // bits as nibble arithmetic — the winnow/mm_features idiom, identical
