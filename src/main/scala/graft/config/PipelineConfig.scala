@@ -684,6 +684,26 @@ object PipelineConfig {
         // mmr_score_micro). cols = [idCol, vecCol], expr = relevance SQL
         // expression, name = k (default 8). Bounded-k by contract
         // (Selection.mmrSelect broadcasts ≤ k vectors per round).
+        // Count-Min estimates: REPLACES the frame with (token, freq,
+        // freq_est) for the exact top-k tokens. cols = [textCol],
+        // expr = "k,depth,width" (default "20,4,256")
+        case "cms" =>
+          val Seq(c) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("cms needs cols = [textCol]")
+          }
+          val Array(k, dep, wid) = t.expr.getOrElse("20,4,256")
+            .split(",").map(_.trim)
+          graft.llm.CorpusStats.cmsEstimates(d, c, k.toInt, dep.toInt,
+            wid.toInt)
+        // deterministic HLL distinct estimate: REPLACES the frame with
+        // (groupCol, n_hll). cols = [groupCol, valueCol]
+        case "hll" =>
+          val Seq(g, vcol) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("hll needs cols = [groupCol, valueCol]")
+          }
+          graft.llm.Sketches.hllEstimate(d, g, col(vcol))
         // Bradley–Terry strength fit: REPLACES the frame (a comparison
         // log) with (id, strength_micro, n_wins, n_comparisons).
         // cols = [winnerCol, loserCol], name = iterations (default 5)

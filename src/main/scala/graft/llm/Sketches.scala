@@ -90,9 +90,18 @@ object Sketches extends Serializable {
       : DataFrame = {
     require(!Reserved(groupCol),
       s"groupCol '$groupCol' collides with a Sketches working column")
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, value), groupCol)
+  }
+
+  /** The estimator half of [[hllEstimate]], applied to an existing
+    * `(groupCol, j, mj)` register table — the entry point for merged
+    * sketches (shard union via `groupBy(g, j).max(mj)`, streaming
+    * ingest's max-merge-on-read). */
+  def hllEstimateFromRegisters(registers: DataFrame, groupCol: String)
+      : DataFrame = {
     val a = alphaMicro(256)
     val num = 256L * 256L * (1L << RMax)
-    val agg0 = hllRegisters(df, groupCol, value)
+    val agg0 = registers
       .groupBy(col(groupCol))
       .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RMax - mj)")) +
         (lit(256L) - count(lit(1))) * lit(1L << RMax)).as("__hll_s"),

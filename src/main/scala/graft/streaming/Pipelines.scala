@@ -268,6 +268,60 @@ object Pipelines {
       .start()
   }
 
+  /** Continuous Count-Min maintenance: each micro-batch writes ITS OWN
+    * delta sketch to `batch=<id>` — no state is read back, because the
+    * sketch is LINEAR ([[graft.llm.CorpusStats.countMinSketch]]): the
+    * corpus sketch is the cell-wise sum over batch partitions, taken at
+    * read time by [[cmsCells]]. Retries overwrite their own partition
+    * (idempotent), batches never contend, and the on-disk state stays
+    * O(batches · depth · width) — compactable by rewriting the summed
+    * cells, never by re-reading text.
+    */
+  def cmsIngest(stream: DataFrame, textCol: String, sketchDir: String,
+      checkpointDir: String, depth: Int = 4, width: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.CorpusStats.countMinSketch(batch.toDF(), textCol,
+            depth, width)
+            .write.mode("overwrite").parquet(s"$sketchDir/batch=$id")
+      }
+      .start()
+
+  /** The merged cell view over a [[cmsIngest]] directory: cell-wise sum
+    * across batch deltas = the sketch of everything ingested. */
+  def cmsCells(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Continuous HLL register maintenance — the max-merge twin of
+    * [[cmsIngest]]: per-batch registers land in `batch=<id>`, and the
+    * corpus registers are the element-wise max over partitions
+    * ([[hllRegisters]] merged by [[hllRegistersRead]]), feeding
+    * [[graft.llm.Sketches.hllEstimateFromRegisters]] for the running
+    * distinct count. Same idempotent append-only contract.
+    */
+  def hllIngest(stream: DataFrame, groupCol: String, valueCol: String,
+      regDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Sketches.hllRegisters(batch.toDF(), groupCol,
+            col(valueCol))
+            .write.mode("overwrite").parquet(s"$regDir/batch=$id")
+      }
+      .start()
+
+  /** The merged register view over a [[hllIngest]] directory. */
+  def hllRegistersRead(spark: SparkSession, groupCol: String,
+      regDir: String): DataFrame =
+    spark.read.parquet(regDir)
+      .groupBy(col(groupCol), col("j")).agg(max(col("mj")).as("mj"))
+
   private def mediaDedupIngest(stream: DataFrame, idCol: String,
       binCol: String, corpusDir: String, indexDir: String,
       checkpointDir: String, maxHamming: Int,

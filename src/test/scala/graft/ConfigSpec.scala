@@ -917,6 +917,22 @@ class ConfigSpec extends SparkSpec {
     assert(m("a") > m("b") && m("b") > m("c"))
   }
 
+  test("declared cms and hll sketch ops") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val cms = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "cms", cols = Seq("text"),
+        expr = Some("3,4,64"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(cms("a")._1 === 3L && cms("a")._2 >= 3L)
+    val hll = PipelineConfig.applyTransforms(
+      (1 to 50).map(i => ("g", s"v$i")).toDF("grp", "v"), Seq(
+        PipelineConfig.TransformConf(op = "hll", cols = Seq("grp", "v"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(hll("g") - 50L) <= 8L)
+  }
+
   test("declared snapshot_diff, expect, expect_unique ops") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("snapcfg").toString

@@ -210,6 +210,44 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds === Set(1L, 2L, 8L))
   }
 
+  test("cmsIngest: summed batch deltas equal the batch sketch of the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.cmsIngest(
+      mem.toDF().toDF("doc_id", "text"), "text",
+      s"$base/sketch", s"$base/ckpt", depth = 3, width = 32)
+    val b1 = Seq((1L, "x x y"), (2L, "y z z z"))
+    val b2 = Seq((3L, "x w w"), (4L, "z y"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = graft.streaming.Pipelines.cmsCells(spark, s"$base/sketch")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.llm.CorpusStats.countMinSketch(
+        (b1 ++ b2).toDF("doc_id", "text"), "text", depth = 3, width = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
+  test("hllIngest: max-merged registers give the batch estimate of the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val mem = MemoryStream[(String, String)](spark)
+    val q = graft.streaming.Pipelines.hllIngest(
+      mem.toDF().toDF("g", "v"), "g", "v", s"$base/reg", s"$base/ckpt")
+    val b1 = (1 to 300).map(i => ("g", s"t$i"))
+    val b2 = (200 to 500).map(i => ("g", s"t$i")) // overlap on purpose
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val merged = graft.streaming.Pipelines.hllRegistersRead(spark, "g",
+      s"$base/reg")
+    val streamed = graft.llm.Sketches.hllEstimateFromRegisters(merged, "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.llm.Sketches.hllEstimate(
+        (b1 ++ b2).toDF("g", "v"), "g", $"v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(math.abs(streamed("g") - 500.0) / 500.0 <= 0.15)
+  }
+
   test("imageDedupIngest drops perceptual dups across and within batches") {
     import graft.llm.ImageHash
     val base = java.nio.file.Files.createTempDirectory("graft_idi").toString
