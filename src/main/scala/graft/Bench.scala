@@ -151,6 +151,7 @@ object Bench {
     "rank_bt" -> "r",
     "cms_counts" -> "c",
     "hll_distinct" -> "hl",
+    "sample_es_k" -> "es",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

@@ -684,6 +684,22 @@ object PipelineConfig {
         // mmr_score_micro). cols = [idCol, vecCol], expr = relevance SQL
         // expression, name = k (default 8). Bounded-k by contract
         // (Selection.mmrSelect broadcasts ≤ k vectors per round).
+        // Efraimidis–Spirakis weighted sample without replacement: keeps
+        // k rows per group (probability ∝ weight), annotated with
+        // (priority_micro, sel_rank). cols = [groupCol, idCol],
+        // expr = weight SQL expression, name = "k" or "k,salt"
+        case "weighted_sample" =>
+          val Seq(g, idc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("weighted_sample needs cols = [groupCol, idCol]")
+          }
+          val (k, salt) = t.name.getOrElse("5").split(",", 2) match {
+            case Array(kk) => (kk.trim.toInt, "")
+            case Array(kk, sl) => (kk.trim.toInt, sl)
+          }
+          graft.llm.Selection.weightedSampleK(d, g, idc,
+            expr(t.expr.getOrElse(
+              sys.error("weighted_sample needs a weight expr"))), k, salt)
         // Count-Min estimates: REPLACES the frame with (token, freq,
         // freq_est) for the exact top-k tokens. cols = [textCol],
         // expr = "k,depth,width" (default "20,4,256")

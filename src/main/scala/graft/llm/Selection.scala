@@ -341,4 +341,58 @@ object Selection extends Serializable {
         col("chosen_score"), col("rejected_score"),
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis (2006) one-pass scheme: each row draws a uniform
+    * `u` and is ranked by `u^(1/w)`; the top k per group are a true
+    * weighted sample. Here `u` is md5-derived (RNG-free, the
+    * sample_weighted idiom: a row's fate never depends on partitioning or
+    * corpus growth) and the rank key is compared in exact integer space:
+    * `u^(1/w)` ordering ⇔ `ln(u)/w` ordering ⇔ ascending
+    * `priority_micro = (−lp)·10⁶ DIV w` with
+    * `lp = floor(ln((h+1)/2⁴⁰)·10⁶)` from
+    * [[graft.functions.PortableMath.microLnStages]] — all-positive floor
+    * division (Spark `DIV` truncates toward zero, DuckDB `//` floors;
+    * they agree only on non-negatives, which is why the NEGATIVE ln is
+    * flipped before dividing). Weights must be positive integers
+    * (micro-scale fractional weights upstream); non-positive weights are
+    * excluded, the standard ES convention.
+    *
+    * Scale: the ln chain evaluates map-only on a slim (group, id, w)
+    * projection; the per-group top-k is one rank window whose
+    * `sel_rank ≤ k` filter WindowGroupLimit pushes below the exchange
+    * (the [[capPerGroup]] shape — O(groups·k) rows shuffle, not the
+    * corpus), and the kept ids join back to the caller's rows.
+    *
+    * Output: the input row + `priority_micro` + `sel_rank` (1..k). A
+    * different `salt` draws an independent sample.
+    */
+  def weightedSampleK(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    guardReserved(df)
+    val working = Set("priority_micro", "sel_rank", "__ws_w", "__ws_a") ++
+      graft.functions.PortableMath.microLnColumns
+    val clash = df.columns.toSeq.filter(working)
+    require(clash.isEmpty,
+      s"input must not contain reserved column(s) ${clash.mkString(", ")}")
+    val slim = df.select(col(groupCol), col(idCol),
+        weight.cast("long").as("__ws_w"))
+      .where(col("__ws_w") > 0L)
+      .withColumn("__ws_a",
+        conv(substring(md5(concat(lit(s"$salt:"),
+          col(idCol).cast("string"))), 1, 10), 16, 10).cast("long") + 1L)
+    val staged = graft.functions.PortableMath
+      .microLnStages("__ws_a", (1L << 40).toString,
+        graft.functions.PortableMath.sparkShiftLeft)
+      .foldLeft(slim) { case (d, (n, s)) => d.withColumn(n, expr(s)) }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority_micro").asc, col(idCol).asc)
+    val kept = staged
+      .withColumn("priority_micro", expr("((-lp) * 1000000) DIV __ws_w"))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("sel_rank") <= k)
+      .select(col(idCol), col("priority_micro"), col("sel_rank"))
+    df.join(kept, Seq(idCol))
+  }
 }

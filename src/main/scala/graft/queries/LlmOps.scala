@@ -316,6 +316,16 @@ object LlmOps extends QueryPack {
     //      with probability = its quality score, decided by an md5-derived
     //      uniform — RNG-free, map-only, reproducible on any layout, and a
     //      doc's fate never changes as the corpus grows ----
+    // ---- Efraimidis–Spirakis weighted sampling without replacement:
+    //      5 docs per language, probability ∝ n_chars — md5-derived
+    //      uniforms ranked through the engine-exact staged ln, so the
+    //      weighted SAMPLE itself is deterministic and oracle-exact ----
+    "sample_es_k" -> ((s, dir) =>
+      Selection.weightedSampleK(t(s, dir).documents, "lang", "doc_id",
+          col("n_chars"), k = 5)
+        .select(col("lang"), col("doc_id"), col("priority_micro"),
+          col("sel_rank"))),
+
     "sample_weighted" -> ((s, dir) => {
       val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
         16, 10).cast("long").cast("double")
@@ -1351,6 +1361,38 @@ object LlmOps extends QueryPack {
          |WHERE CAST(CAST(concat('0x',
          |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |  AS DOUBLE) < ($duckQuality) * 4294967296.0""".stripMargin,
+
+    // the ES sample replayed exactly: same md5 uniform (40-bit nibble
+    // decode + 1), same staged ln(a/2^40) chain, same all-positive
+    // priority division and (priority, id) rank window
+    "sample_es_k" -> {
+      import graft.functions.PortableMath
+      val lnChain = PortableMath.duckCteChain(
+        PortableMath.microLnStages("a", (1L << 40).toString,
+          PortableMath.duckShiftLeft), "hh", "wsl")
+      s"""WITH sl AS (SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         |    CAST(n_chars AS BIGINT) AS w
+         |  FROM documents WHERE n_chars > 0),
+         |hh AS (SELECT lang, doc_id, w,
+         |    CAST(list_sum(list_transform(range(1, 11), j ->
+         |      CAST(strpos('0123456789abcdef', substr(substr(
+         |        md5(':' || CAST(doc_id AS VARCHAR)), 1, 10), j, 1)) - 1
+         |        AS BIGINT)
+         |      * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT) + 1
+         |      AS a
+         |  FROM sl),
+         |$lnChain,
+         |r AS (SELECT lang, doc_id,
+         |    CAST(((-lp) * 1000000) // w AS BIGINT) AS priority_micro
+         |  FROM wslfin),
+         |rk AS (SELECT lang, doc_id, priority_micro,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY priority_micro ASC, doc_id ASC) AS BIGINT)
+         |      AS sel_rank
+         |  FROM r)
+         |SELECT lang, doc_id, priority_micro, sel_rank
+         |FROM rk WHERE sel_rank <= 5""".stripMargin
+    },
 
     "dedup_span_removal" ->
       s"""WITH p AS ($duckFootered),

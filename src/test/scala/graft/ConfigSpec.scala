@@ -917,6 +917,16 @@ class ConfigSpec extends SparkSpec {
     assert(m("a") > m("b") && m("b") > m("c"))
   }
 
+  test("declared weighted_sample op") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => ("g", i, i)).toDF("grp", "id", "wt")
+    val got = PipelineConfig.applyTransforms(df, Seq(
+      PipelineConfig.TransformConf(op = "weighted_sample",
+        cols = Seq("grp", "id"), expr = Some("wt"), name = Some("4"))))
+    assert(got.count() === 4L)
+    assert(got.columns.toSet.contains("sel_rank"))
+  }
+
   test("declared cms and hll sketch ops") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")

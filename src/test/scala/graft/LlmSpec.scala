@@ -757,4 +757,49 @@ class LlmSpec extends SparkSpec {
     assert(got(6L) === None)
     assert(got(7L) === Some("ftp://host/File"))
   }
+
+  test("weightedSampleK: replays the ES priority reference and ignores partitioning") {
+    val rows = (1L to 60L).map(i => ("g", i, 1L + i % 7)).toDF("g", "id", "w")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Selection.weightedSampleK(df, "g", "id", $"w", k = 8)
+        .select($"id", $"priority_micro", $"sel_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = sample(rows)
+    assert(got === sample(rows.repartition(11)))
+    assert(got.size === 8)
+    // sequential reference: same md5 uniform, PortableMath.microLnRef ln,
+    // same all-positive floor division and (priority, id) order
+    val ref = (1L to 60L).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s":$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 10)
+      val a = java.lang.Long.parseLong(hex, 16) + 1L
+      val nll = -graft.functions.PortableMath.microLnRef(a, 1L << 40)
+      (i, nll * 1000000L / (1L + i % 7))
+    }.sortBy { case (id, p) => (p, id) }.take(8).zipWithIndex
+      .map { case ((id, p), r) => (id, p, r + 1L) }.toSet
+    assert(got === ref)
+  }
+
+  test("weightedSampleK: weights bias the sample; zero weights excluded; salts independent") {
+    // one heavy item among 200 light ones: weight 10000 vs 1 → the heavy
+    // id must be sampled (P(miss) < (1 - 10000/10200)^5 ≈ 1e-8 under ES;
+    // deterministic here, so this asserts the implementation direction)
+    val df = ((1L to 200L).map(i => ("g", i, 1L)) :+ (("g", 999L, 10000L)))
+      .toDF("g", "id", "w")
+    val ids = Selection.weightedSampleK(df, "g", "id", $"w", k = 5)
+      .select($"id").as[Long].collect().toSet
+    assert(ids.contains(999L))
+    // zero/negative weights can never be selected
+    val z = Selection.weightedSampleK(
+      Seq(("g", 1L, 0L), ("g", 2L, -3L), ("g", 3L, 5L)).toDF("g", "id", "w"),
+      "g", "id", $"w", k = 3).select($"id").as[Long].collect().toSeq
+    assert(z === Seq(3L))
+    // a different salt draws a different (here: provably different) sample
+    val s1 = Selection.weightedSampleK(df, "g", "id", $"w", k = 5, salt = "a")
+      .select($"id").as[Long].collect().toSet
+    val s2 = Selection.weightedSampleK(df, "g", "id", $"w", k = 5, salt = "b")
+      .select($"id").as[Long].collect().toSet
+    assert(s1 !== s2)
+  }
 }
