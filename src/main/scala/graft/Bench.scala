@@ -152,6 +152,7 @@ object Bench {
     "cms_counts" -> "c",
     "hll_distinct" -> "hl",
     "sample_es_k" -> "es",
+    "pipeline_rlhf" -> "rh",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

@@ -297,6 +297,26 @@ object CurationOps extends QueryPack {
       Ranking.btStrengths(btComparisons(s, dir), "winner", "loser",
         BtIters)),
 
+    // ---- composed RLHF-flavored pipeline: the BT arena fit feeds an
+    //      Efraimidis–Spirakis corpus-wide sample — 12 docs drawn with
+    //      probability ∝ their language's fitted strength. Each stage is
+    //      the standalone operator; the oracle re-bases the ES chain on
+    //      the unrolled MM rounds ----
+    "pipeline_rlhf" -> ((s, dir) => {
+      val bt = Ranking.btStrengths(btComparisons(s, dir), "winner", "loser",
+          BtIters)
+        .select(col("id").as("lang"), col("strength_micro"))
+        .localCheckpoint() // the fitted strengths are re-read per ES stage
+      val weighted = t(s, dir).documents
+        .select(col("doc_id"), col("lang"))
+        .join(bt, Seq("lang"))
+        .withColumn("grp", lit("all"))
+      Selection.weightedSampleK(weighted, "grp", "doc_id",
+          col("strength_micro"), k = 12)
+        .select(col("lang"), col("doc_id"), col("strength_micro"),
+          col("priority_micro"), col("sel_rank"))
+    }),
+
     "pipeline_curate2" -> ((s, dir) => {
       val docs = t(s, dir).documents
       val scored = Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
@@ -765,7 +785,43 @@ object CurationOps extends QueryPack {
     "wordpiece_vocab" -> wordpieceVocabSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
     "pipeline_sft" -> pipelineSftSql,
-    "rank_bt" -> rankBtSql)
+    "rank_bt" -> rankBtSql,
+    "pipeline_rlhf" -> pipelineRlhfSql)
+
+  /** Composed RLHF oracle: the shared [[btCtes]] MM rounds, then the
+    * sample_es_k chain (same md5 uniform, staged ln, all-positive floor
+    * division, rank window) over documents weighted by `p$BtIters`
+    * strengths — stage outputs re-based exactly like pipeline_curate2.
+    */
+  private def pipelineRlhfSql: String = {
+    import graft.functions.PortableMath
+    val lnChain = PortableMath.duckCteChain(
+      PortableMath.microLnStages("a", (1L << 40).toString,
+        PortableMath.duckShiftLeft), "hh", "wsl")
+    s"""WITH $btCtes,
+       |wdocs AS (SELECT d.lang, CAST(d.doc_id AS BIGINT) AS doc_id,
+       |    p.p AS w
+       |  FROM documents d JOIN p$BtIters p ON d.lang = p.id),
+       |hh AS (SELECT lang, doc_id, w,
+       |    CAST(list_sum(list_transform(range(1, 11), j ->
+       |      CAST(strpos('0123456789abcdef', substr(substr(
+       |        md5(':' || CAST(doc_id AS VARCHAR)), 1, 10), j, 1)) - 1
+       |        AS BIGINT)
+       |      * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT) + 1
+       |      AS a
+       |  FROM wdocs),
+       |$lnChain,
+       |rr AS (SELECT lang, doc_id, w,
+       |    CAST(((-lp) * 1000000) // w AS BIGINT) AS priority_micro
+       |  FROM wslfin),
+       |rk AS (SELECT lang, doc_id, w, priority_micro,
+       |    CAST(row_number() OVER (
+       |      ORDER BY priority_micro ASC, doc_id ASC) AS BIGINT)
+       |      AS sel_rank
+       |  FROM rr)
+       |SELECT lang, doc_id, w AS strength_micro, priority_micro, sel_rank
+       |FROM rk WHERE sel_rank <= 12""".stripMargin
+  }
 
   /** Unrolled integer Bradley–Terry MM oracle mirroring
     * [[graft.llm.Ranking.btStrengths]]: the same lag-derived comparison
@@ -773,7 +829,16 @@ object CurationOps extends QueryPack {
     * update rounds (the graph_pagerank unrolling pattern; `//` on
     * positive BIGINTs matches Spark's `DIV`).
     */
-  private def rankBtSql: String = {
+  private def rankBtSql: String =
+    s"""WITH $btCtes
+       |SELECT p.id, p.p AS strength_micro, st.wins AS n_wins,
+       |  st.ncmp AS n_comparisons
+       |FROM p$BtIters p JOIN stats st ON p.id = st.id""".stripMargin
+
+  /** The comparison log, pair/stat aggregation, and `BtIters` unrolled MM
+    * rounds (ending in `p$BtIters`) — shared by the standalone rank_bt
+    * oracle and the composed RLHF pipeline. */
+  private def btCtes: String = {
     val rounds = (1 to BtIters).map { k =>
       s"""s$k AS (SELECT id, CAST(sum(t) AS BIGINT) AS s FROM (
          |    SELECT a.lo AS id, (a.n * 1000000000000) // (pl.p + ph.p) AS t
@@ -792,7 +857,7 @@ object CurationOps extends QueryPack {
          |  FROM stats st JOIN p${k - 1} pp ON st.id = pp.id
          |  LEFT JOIN s$k s ON st.id = s.id)""".stripMargin
     }
-    s"""WITH g AS (SELECT lang, n_chars,
+    s"""g AS (SELECT lang, n_chars,
        |        lag(lang) OVER (PARTITION BY source ORDER BY doc_id)
        |          AS prev_lang,
        |        lag(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
@@ -812,10 +877,7 @@ object CurationOps extends QueryPack {
        |  FROM (SELECT lo AS id, wlo AS wn, n FROM agg
        |        UNION ALL SELECT hi, n - wlo, n FROM agg) GROUP BY id),
        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS p FROM stats),
-       |${rounds.mkString(",\n")}
-       |SELECT p.id, p.p AS strength_micro, st.wins AS n_wins,
-       |  st.ncmp AS n_comparisons
-       |FROM p$BtIters p JOIN stats st ON p.id = st.id""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 
   /** Composed SFT pipeline oracle: each stage re-based on the previous —
