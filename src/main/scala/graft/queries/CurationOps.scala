@@ -298,23 +298,24 @@ object CurationOps extends QueryPack {
         BtIters)),
 
     // ---- composed RLHF-flavored pipeline: the BT arena fit feeds an
-    //      Efraimidis–Spirakis corpus-wide sample — 12 docs drawn with
-    //      probability ∝ their language's fitted strength. Each stage is
-    //      the standalone operator; the oracle re-bases the ES chain on
-    //      the unrolled MM rounds ----
+    //      Efraimidis–Spirakis sample, 3 docs per SOURCE drawn with
+    //      probability ∝ their language's fitted strength (languages mix
+    //      within a source, so the weights genuinely differ inside each
+    //      group — and the rank window stays per-source, never global).
+    //      Each stage is the standalone operator; the oracle re-bases the
+    //      ES chain on the unrolled MM rounds ----
     "pipeline_rlhf" -> ((s, dir) => {
       val bt = Ranking.btStrengths(btComparisons(s, dir), "winner", "loser",
           BtIters)
         .select(col("id").as("lang"), col("strength_micro"))
         .localCheckpoint() // the fitted strengths are re-read per ES stage
       val weighted = t(s, dir).documents
-        .select(col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("source"))
         .join(bt, Seq("lang"))
-        .withColumn("grp", lit("all"))
-      Selection.weightedSampleK(weighted, "grp", "doc_id",
-          col("strength_micro"), k = 12)
-        .select(col("lang"), col("doc_id"), col("strength_micro"),
-          col("priority_micro"), col("sel_rank"))
+      Selection.weightedSampleK(weighted, "source", "doc_id",
+          col("strength_micro"), k = 3)
+        .select(col("source"), col("lang"), col("doc_id"),
+          col("strength_micro"), col("priority_micro"), col("sel_rank"))
     }),
 
     "pipeline_curate2" -> ((s, dir) => {
@@ -799,10 +800,10 @@ object CurationOps extends QueryPack {
       PortableMath.microLnStages("a", (1L << 40).toString,
         PortableMath.duckShiftLeft), "hh", "wsl")
     s"""WITH $btCtes,
-       |wdocs AS (SELECT d.lang, CAST(d.doc_id AS BIGINT) AS doc_id,
-       |    p.p AS w
+       |wdocs AS (SELECT d.source, d.lang,
+       |    CAST(d.doc_id AS BIGINT) AS doc_id, p.p AS w
        |  FROM documents d JOIN p$BtIters p ON d.lang = p.id),
-       |hh AS (SELECT lang, doc_id, w,
+       |hh AS (SELECT source, lang, doc_id, w,
        |    CAST(list_sum(list_transform(range(1, 11), j ->
        |      CAST(strpos('0123456789abcdef', substr(substr(
        |        md5(':' || CAST(doc_id AS VARCHAR)), 1, 10), j, 1)) - 1
@@ -811,16 +812,17 @@ object CurationOps extends QueryPack {
        |      AS a
        |  FROM wdocs),
        |$lnChain,
-       |rr AS (SELECT lang, doc_id, w,
+       |rr AS (SELECT source, lang, doc_id, w,
        |    CAST(((-lp) * 1000000) // w AS BIGINT) AS priority_micro
        |  FROM wslfin),
-       |rk AS (SELECT lang, doc_id, w, priority_micro,
-       |    CAST(row_number() OVER (
+       |rk AS (SELECT source, lang, doc_id, w, priority_micro,
+       |    CAST(row_number() OVER (PARTITION BY source
        |      ORDER BY priority_micro ASC, doc_id ASC) AS BIGINT)
        |      AS sel_rank
        |  FROM rr)
-       |SELECT lang, doc_id, w AS strength_micro, priority_micro, sel_rank
-       |FROM rk WHERE sel_rank <= 12""".stripMargin
+       |SELECT source, lang, doc_id, w AS strength_micro, priority_micro,
+       |  sel_rank
+       |FROM rk WHERE sel_rank <= 3""".stripMargin
   }
 
   /** Unrolled integer Bradley–Terry MM oracle mirroring
