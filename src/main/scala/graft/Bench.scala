@@ -153,6 +153,7 @@ object Bench {
     "hll_distinct" -> "hl",
     "sample_es_k" -> "es",
     "pipeline_rlhf" -> "rh",
+    "shard_manifest" -> "sh",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

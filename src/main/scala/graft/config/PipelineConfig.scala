@@ -684,6 +684,16 @@ object PipelineConfig {
         // mmr_score_micro). cols = [idCol, vecCol], expr = relevance SQL
         // expression, name = k (default 8). Bounded-k by contract
         // (Selection.mmrSelect broadcasts ≤ k vectors per round).
+        // shard reproducibility manifest: REPLACES the frame with
+        // (shardCol, n_docs, n_tokens, content_xor).
+        // cols = [shardCol, idCol, textCol]
+        case "shard_manifest" =>
+          val Seq(sc, idc, tc) = t.cols match {
+            case s if s.length == 3 => s
+            case _ =>
+              sys.error("shard_manifest needs cols = [shardCol, idCol, textCol]")
+          }
+          graft.llm.CorpusStats.shardManifest(d, sc, idc, tc)
         // Efraimidis–Spirakis weighted sample without replacement: keeps
         // k rows per group (probability ∝ weight), annotated with
         // (priority_micro, sel_rank). cols = [groupCol, idCol],

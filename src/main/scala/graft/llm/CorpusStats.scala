@@ -50,7 +50,9 @@ object CorpusStats extends Serializable {
     // oovRate working/output columns
     "word", "n_oov", "oov_micro",
     // count-min sketch working/output columns
-    "row", "rb", "freq_est") ++
+    "row", "rb", "freq_est",
+    // shardManifest working/output columns
+    "__sm_h", "n_docs", "content_xor") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 
@@ -852,6 +854,38 @@ object CorpusStats extends Serializable {
         col("cnt"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-shard reproducibility manifest: `(shardCol, n_docs, n_tokens,
+    * content_xor)` — the attestation a 100 TB corpus needs after every
+    * replication, migration, or recompaction: recompute the manifest on
+    * the copy and diff two tiny tables instead of the corpora.
+    * `content_xor` is the XOR-fold of each doc's 60-bit md5 of
+    * `id:text` — order-insensitive and overflow-free by construction
+    * (unlike a SUM, XOR cannot wrap, so Spark and a SQL oracle agree
+    * with no width gymnastics), sensitive to any single-document change,
+    * insertion, or deletion. The one blind spot, inherent to XOR: a
+    * row duplicated an EVEN number of times cancels out — pair the
+    * manifest with `n_docs` (it counts every row) as done here, which
+    * catches any pure duplication because the count moves even when the
+    * fold does not.
+    *
+    * Scale: map-only hash + one aggregation with map-side combine;
+    * output is |shards| rows. The manifest of a union is NOT derivable
+    * from the parts' folds alone unless shards are disjoint — which is
+    * exactly the sharding contract.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    guard(idCol)
+    df.select(col(shardCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col(textCol))), 1, 15), 16, 10).cast("long").as("__sm_h"))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(__sm_h)").as("content_xor"))
   }
 
   /** CMS point estimates for the exact top-`k` tokens: `(token, freq,

@@ -656,6 +656,15 @@ object LlmOps extends QueryPack {
     "text_vocab_topk_mg" -> ((s, dir) =>
       CorpusStats.vocabTopKSketch(t(s, dir).documents, "text", k = 100)),
 
+    // ---- per-shard reproducibility manifest: doc/token counts + an
+    //      order-insensitive 60-bit XOR content fold — the post-
+    //      replication attestation that turns "are the copies equal" into
+    //      a |shards|-row diff ----
+    "shard_manifest" -> ((s, dir) =>
+      CorpusStats.shardManifest(
+        t(s, dir).documents.withColumn("shard", pmod(col("doc_id"), lit(8L))),
+        "shard", "doc_id", "text")),
+
     // ---- deterministic HLL distinct tokens per language: fixed md5
     //      hash + integer raw estimator make the approximate count
     //      itself oracle-hash-exact (unlike approx_count_distinct's
@@ -2249,6 +2258,22 @@ object LlmOps extends QueryPack {
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the manifest replayed exactly: same 60-bit (15 hex nibbles) md5
+    // fold, same shard key and token count, bit_xor on both engines
+    "shard_manifest" ->
+      s"""WITH h AS (SELECT doc_id % 8 AS shard,
+         |    CAST(len($DuckToks) AS BIGINT) AS ntok,
+         |    CAST(list_sum(list_transform(range(1, 16), j ->
+         |      CAST(strpos('0123456789abcdef', substr(substr(
+         |        md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15),
+         |        j, 1)) - 1 AS BIGINT)
+         |      * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS BIGINT) AS hv
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(hv) AS BIGINT) AS content_xor
+         |FROM h GROUP BY shard""".stripMargin,
 
     // the HLL registers and raw estimator replayed exactly: same 40-bit
     // md5 hash (nibble arithmetic), same minimal-length bin() rank, same

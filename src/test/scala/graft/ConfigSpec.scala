@@ -917,6 +917,18 @@ class ConfigSpec extends SparkSpec {
     assert(m("a") > m("b") && m("b") > m("c"))
   }
 
+  test("declared shard_manifest op") {
+    import spark.implicits._
+    val docs = Seq((0L, 1L, "a b"), (0L, 2L, "c"), (1L, 3L, "d e f"))
+      .toDF("sh", "id", "text")
+    val m = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "shard_manifest",
+        cols = Seq("sh", "id", "text"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m === Map(0L -> ((2L, 3L)), 1L -> ((1L, 3L))))
+  }
+
   test("declared weighted_sample op") {
     import spark.implicits._
     val df = (1L to 30L).map(i => ("g", i, i)).toDF("grp", "id", "wt")

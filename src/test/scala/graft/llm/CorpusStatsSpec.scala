@@ -287,6 +287,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 3L, 1000000L)))
   }
 
+  test("shardManifest: layout-independent; edits, drops, and even-duplications all visible") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i % 4, i, s"text of doc $i"))
+      .toDF("shard", "doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.shardManifest(df, "shard", "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+    val base = manifest(docs)
+    assert(base.keySet === Set(0L, 1L, 2L, 3L))
+    assert(manifest(docs.repartition(7)) === base) // order-insensitive fold
+    // a one-character edit moves exactly its shard's fold, nothing else
+    val edited = manifest(docs.withColumn("text",
+      when($"doc_id" === 5L, lit("text of doc 5!")).otherwise($"text")))
+    assert(edited(1L) !== base(1L))
+    assert(edited.filterKeys(_ != 1L).toMap ===
+      base.filterKeys(_ != 1L).toMap)
+    // a dropped doc moves count, tokens, and fold
+    assert(manifest(docs.filter($"doc_id" =!= 8L))(0L) !== base(0L))
+    // XOR blind spot closed by n_docs: duplicating a row TWICE cancels
+    // the fold but not the count
+    val dup2 = manifest(docs.unionByName(
+      docs.filter($"doc_id" === 9L)).unionByName(
+      docs.filter($"doc_id" === 9L)))
+    assert(dup2(1L)._3 === base(1L)._3) // fold cancels (documented)
+    assert(dup2(1L)._1 !== base(1L)._1) // count catches it
+  }
+
   test("countMinSketch: linear/mergeable — half sketches sum cell-wise to the union sketch") {
     import spark.implicits._
     val a = Seq((1L, "x x y"), (2L, "y z z z")).toDF("doc_id", "text")
