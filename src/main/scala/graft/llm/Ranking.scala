@@ -68,20 +68,34 @@ object Ranking extends Serializable {
     */
   def btStrengths(comparisons: DataFrame, winnerCol: String,
       loserCol: String, iterations: Int = 5,
-      maxWinsPerItem: Long = 9000000L): DataFrame = {
-    require(iterations >= 1, "iterations must be >= 1")
+      maxWinsPerItem: Long = 9000000L): DataFrame =
+    btStrengthsFromPairCounts(btPairCounts(comparisons, winnerCol, loserCol),
+      iterations, maxWinsPerItem)
+
+  /** The comparison log collapsed to one row per unordered pair:
+    * `(lo, hi, n, wlo)` with `n` total comparisons and `wlo` wins by the
+    * lesser id — the only pass over the raw log, and ADDITIVE state:
+    * pair counts of two log halves sum row-wise to the union's, which is
+    * what [[graft.streaming.Pipelines.btIngest]] exploits (per-batch
+    * deltas, sum-on-read, refit from the merged counts). */
+  def btPairCounts(comparisons: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame = {
     val cmp = comparisons.select(
         col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
       .where(col("w") =!= col("l") && col("w").isNotNull && col("l").isNotNull)
-    // one row per unordered pair: total count + wins by the lesser id —
-    // the only pass over the raw comparison log
-    val pairAgg = cmp
+    cmp
       .groupBy(least(col("w"), col("l")).as("lo"),
         greatest(col("w"), col("l")).as("hi"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("w") < col("l"), 1L).otherwise(0L)).as("wlo"))
-      .localCheckpoint()
+  }
+
+  /** The MM fit over an existing `(lo, hi, n, wlo)` pair table. */
+  def btStrengthsFromPairCounts(pairCounts: DataFrame, iterations: Int = 5,
+      maxWinsPerItem: Long = 9000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val pairAgg = pairCounts.localCheckpoint()
     // per-item wins / total comparisons, derived from the pair table (not
     // the log) so the whole fit is pair-sized from here on
     val stats = pairAgg.select(col("lo").as("id"), col("wlo").as("wn"),

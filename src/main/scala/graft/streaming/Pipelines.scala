@@ -322,6 +322,33 @@ object Pipelines {
     spark.read.parquet(regDir)
       .groupBy(col(groupCol), col("j")).agg(max(col("mj")).as("mj"))
 
+  /** Continuous Bradley–Terry pair-count maintenance — the additive
+    * sibling of [[cmsIngest]]: each micro-batch collapses its comparison
+    * log to `(lo, hi, n, wlo)` deltas
+    * ([[graft.llm.Ranking.btPairCounts]]) in `batch=<id>`; the corpus
+    * pair table is the row-wise SUM over partitions, and
+    * [[graft.llm.Ranking.btStrengthsFromPairCounts]] refits from the
+    * merged counts whenever ratings are wanted — the fit consumes ONLY
+    * pair counts, so no comparison is ever re-read.
+    */
+  def btIngest(stream: DataFrame, winnerCol: String, loserCol: String,
+      pairDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Ranking.btPairCounts(batch.toDF(), winnerCol, loserCol)
+            .write.mode("overwrite").parquet(s"$pairDir/batch=$id")
+      }
+      .start()
+
+  /** The merged pair-count view over a [[btIngest]] directory. */
+  def btPairCountsRead(spark: SparkSession, pairDir: String): DataFrame =
+    spark.read.parquet(pairDir)
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("n")).as("n"), sum(col("wlo")).as("wlo"))
+
   private def mediaDedupIngest(stream: DataFrame, idCol: String,
       binCol: String, corpusDir: String, indexDir: String,
       checkpointDir: String, maxHamming: Int,

@@ -268,6 +268,36 @@ object ScaleProbe {
             budgetOf = total => total / 2L, idCol = "doc_id")
           graft.llm.Packing.shardBalanced(sel, "doc_id",
             graft.llm.TextOps.tokenCount(col("text")), nShards = 4).count()
+        },
+        time("bt_strengths", n) {
+          // n-scaled comparison log over a FIXED 200-item universe: the
+          // one log-sized pass is the pair aggregation; the 5 MM rounds
+          // then join the ≤200·199/2-row pair table against 200 strengths
+          // — wall must track the log size, with the iteration cost flat
+          val cmp = docs.select(
+            concat(lit("m"), pmod(xxhash64(col("doc_id")), lit(200)))
+              .as("winner"),
+            concat(lit("m"), pmod(xxhash64(col("doc_id") * 7), lit(200)))
+              .as("loser"))
+          graft.llm.Ranking.btStrengths(cmp, "winner", "loser").count()
+        },
+        time("weighted_sample", n) {
+          // map-only md5 uniform + staged ln, then a WindowGroupLimit-
+          // pushed top-k per group: both stages scan-shaped, so the 4×
+          // ratio must stay near 4
+          graft.llm.Selection.weightedSampleK(
+            docs.withColumn("grp", pmod(col("doc_id"), lit(20))),
+            "grp", "doc_id", graft.llm.TextOps.tokenCount(col("text")),
+            k = 10).count()
+        },
+        time("hll_tokens", n) {
+          // register build is one map-side-combined max agg over exploded
+          // tokens; estimate reads 256 rows/group — token-volume-linear
+          graft.llm.Sketches.hllEstimate(
+            docs.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("tok"))
+              .withColumn("grp", pmod(col("doc_id"), lit(8))),
+            "grp", col("tok")).count()
         }).toMap
     }
 

@@ -321,4 +321,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("rank_bt: MM rounds are hash joins on ids, never cartesian") {
+    val p = plan("rank_bt")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sample_es_k: the top-k rank pushes below the exchange") {
+    val p = plan("sample_es_k")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("cms_counts and hll_distinct aggregate with map-side partials, no cartesian") {
+    Seq("cms_counts", "hll_distinct").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: ${p.take(800)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("shard_manifest is one partial-agg'd aggregation — a single exchange") {
+    val p = plan("shard_manifest")
+    assert(nExchanges(p) === 1, p.take(800))
+    assert(p.contains("partial_"), p.take(800))
+  }
 }

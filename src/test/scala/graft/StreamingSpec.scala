@@ -248,6 +248,27 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamed("g") - 500.0) / 500.0 <= 0.15)
   }
 
+  test("btIngest: refit from summed pair deltas equals the batch fit of the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bt").toString
+    val mem = MemoryStream[(String, String)](spark)
+    val q = graft.streaming.Pipelines.btIngest(
+      mem.toDF().toDF("winner", "loser"), "winner", "loser",
+      s"$base/pairs", s"$base/ckpt")
+    val b1 = Seq(("a", "b"), ("a", "b"), ("b", "c"))
+    val b2 = Seq(("a", "c"), ("c", "b"), ("a", "b"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val merged = graft.streaming.Pipelines.btPairCountsRead(spark,
+      s"$base/pairs")
+    val streamed = graft.llm.Ranking.btStrengthsFromPairCounts(merged)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.llm.Ranking.btStrengths(
+        (b1 ++ b2).toDF("winner", "loser"), "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed("a") > streamed("b"))
+  }
+
   test("imageDedupIngest drops perceptual dups across and within batches") {
     import graft.llm.ImageHash
     val base = java.nio.file.Files.createTempDirectory("graft_idi").toString
