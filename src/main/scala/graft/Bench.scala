@@ -154,6 +154,8 @@ object Bench {
     "sample_es_k" -> "es",
     "pipeline_rlhf" -> "rh",
     "shard_manifest" -> "sh",
+    "curation_funnel" -> "cf",
+    "decontaminate_sem" -> "dse",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

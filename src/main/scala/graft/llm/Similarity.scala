@@ -74,6 +74,44 @@ object Similarity extends Serializable {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Semantic decontamination report — the embedding-space twin of
+    * [[Dedup.decontaminate]]'s lexical span matching: for every corpus
+    * vector, the nearest REFERENCE (eval-suite) vector and whether its
+    * cosine clears `threshold`. Catches paraphrased benchmark leakage
+    * that exact-span matching misses (the SemDeDup observation applied to
+    * the decontamination problem).
+    *
+    * Scale shape: the eval suite is the broadcast side (thousands of
+    * vectors — the corpus streams map-only against it, the mirror of the
+    * lexical path's broadcast inverted index); the per-corpus-vector
+    * argmax is a GROUP-BY max over a (sim, −eval_id) struct, not a
+    * window — partial aggregation collapses each corpus vector's |ref|
+    * candidate rows map-side, so the shuffle carries one row per corpus
+    * vector. Ties break to the smaller eval id; sims are rounded to 4
+    * decimals (the bruteForceTopK determinism idiom).
+    *
+    * Output: `(vec_id, eval_id, sim, contaminated)` for every corpus
+    * vector (self-pairs excluded if ids overlap).
+    */
+  def semanticContamination(corpus: DataFrame, ref: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__sc_v"))
+    val r = ref.select(col(idCol).as("eval_id"),
+      col(vecCol).cast("array<double>").as("__sc_r"))
+    c.join(broadcast(r), col("vec_id") =!= col("eval_id"))
+      .withColumn("sim", round(
+        graft.functions.GraftFunctions.graftCosine(col("__sc_v"),
+          col("__sc_r")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("negid"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.negid")).as("eval_id"),
+        col("__m.sim").as("sim"),
+        (col("__m.sim") >= threshold).as("contaminated"))
+  }
+
   /** Fixed max dimensionality of the precomputed hyperplane set. */
   private val MaxDim = 256
 

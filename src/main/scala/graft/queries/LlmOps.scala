@@ -656,6 +656,39 @@ object LlmOps extends QueryPack {
     "text_vocab_topk_mg" -> ((s, dir) =>
       CorpusStats.vocabTopKSketch(t(s, dir).documents, "text", k = 100)),
 
+    // ---- curation attrition funnel: cumulative survivor counts through
+    //      the standard filter chain (lang → quality → exact-dedup →
+    //      length) — the observability panel that says WHERE a corpus
+    //      shrinks, one pass + one dup window ----
+    "curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir).documents
+      val q = TextOps.qualityScore(col("text"))
+      val base = docs.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("f1", col("lang") === "en")
+        .withColumn("f2", col("f1") && q >= 0.5)
+      // dedup is applied to the quality survivors: the canonical copy is
+      // the min surviving doc_id per exact content hash
+      val minSurv = min(when(col("f2"), col("doc_id")))
+        .over(Window.partitionBy(md5(col("text"))))
+      base
+        .withColumn("f3", col("f2") && col("doc_id") === minSurv)
+        .withColumn("f4",
+          col("f3") && TextOps.tokenCount(col("text")) >= 50L)
+        .withColumn("ntok", TextOps.tokenCount(col("text")))
+        .select(col("ntok"), explode(array(
+          struct(lit("0_raw").as("stage"), lit(true).as("pass")),
+          struct(lit("1_lang").as("stage"), col("f1").as("pass")),
+          struct(lit("2_quality").as("stage"), col("f2").as("pass")),
+          struct(lit("3_dedup").as("stage"), col("f3").as("pass")),
+          struct(lit("4_length").as("stage"), col("f4").as("pass"))))
+          .as("s"))
+        .groupBy(col("s.stage").as("stage"))
+        .agg(sum(when(col("s.pass"), 1L).otherwise(0L)).as("n_docs"),
+          sum(when(col("s.pass"), col("ntok")).otherwise(0L))
+            .as("n_tokens"))
+    }),
+
     // ---- per-shard reproducibility manifest: doc/token counts + an
     //      order-insensitive 60-bit XOR content fold — the post-
     //      replication attestation that turns "are the copies equal" into
@@ -711,6 +744,17 @@ object LlmOps extends QueryPack {
       val e = t(s, dir).embeddings
       Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, k = 10,
         maxSim = 0.99)
+    }),
+
+    // ---- semantic decontamination: per corpus vector, the nearest
+    //      eval-suite vector (vec_id % 50 == 0 plays the eval set) and a
+    //      cosine-threshold contamination flag — catches paraphrased
+    //      leakage the lexical span matcher cannot ----
+    "decontaminate_sem" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      Similarity.semanticContamination(
+        e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0), threshold = 0.95)
     }),
 
     // ---- embedding near-dup pairs via hyperplane LSH + exact cosine ----
@@ -2259,6 +2303,36 @@ object LlmOps extends QueryPack {
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
 
+    // the funnel replayed stage by stage: same flags, same
+    // quality-survivor dup window, same cumulative AND chain
+    "curation_funnel" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    (lang = 'en') AS f1,
+         |    (lang = 'en' AND ($duckQuality) >= 0.5) AS f2
+         |  FROM documents),
+         |m AS (SELECT *, min(CASE WHEN f2 THEN doc_id END)
+         |    OVER (PARTITION BY md5(text)) AS mn FROM f),
+         |g AS (SELECT f1, f2, (f2 AND doc_id = mn) AS f3,
+         |    (f2 AND doc_id = mn AND len($DuckToks) >= 50) AS f4,
+         |    CAST(len($DuckToks) AS BIGINT) AS ntok
+         |  FROM m)
+         |SELECT stage, n_docs, n_tokens FROM (
+         |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens FROM g
+         |  UNION ALL SELECT '1_lang',
+         |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN f1 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+         |  UNION ALL SELECT '2_quality',
+         |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN f2 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+         |  UNION ALL SELECT '3_dedup',
+         |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN f3 THEN ntok ELSE 0 END) AS BIGINT) FROM g
+         |  UNION ALL SELECT '4_length',
+         |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN f4 THEN ntok ELSE 0 END) AS BIGINT) FROM g)
+         |""".stripMargin,
+
     // the manifest replayed exactly: same 60-bit (15 hex nibbles) md5
     // fold, same shard key and token count, bit_xor on both engines
     "shard_manifest" ->
@@ -2395,6 +2469,19 @@ object LlmOps extends QueryPack {
         |    ORDER BY sim DESC, neighbor_id ASC) AS rnk
         |  FROM scored WHERE sim <= 0.99)
         |WHERE rnk <= 10""".stripMargin,
+
+    "decontaminate_sem" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT c.vec_id, r.vec_id AS eval_id,
+        |    round(list_cosine_similarity(c.v, r.v), 4) AS sim
+        |  FROM e c JOIN e r ON c.vec_id <> r.vec_id
+        |  WHERE c.vec_id % 50 <> 0 AND r.vec_id % 50 = 0)
+        |SELECT vec_id, CAST(eval_id AS BIGINT) AS eval_id, sim,
+        |  (sim >= 0.95) AS contaminated
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, eval_id ASC) AS rnk FROM scored)
+        |WHERE rnk = 1""".stripMargin,
 
     "sim_neardup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

