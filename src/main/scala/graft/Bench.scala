@@ -156,6 +156,7 @@ object Bench {
     "shard_manifest" -> "sh",
     "curation_funnel" -> "cf",
     "decontaminate_sem" -> "dse",
+    "label_fleiss" -> "lf",
     "split_leakage_free" -> "spl",
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",

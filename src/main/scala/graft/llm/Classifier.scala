@@ -236,4 +236,62 @@ object Classifier extends Serializable {
             col("__dn")).cast("long"))
           .as("kappa_micro"))
   }
+
+  /** Fleiss' κ (Fleiss 1971) — [[cohenKappaMicro]]'s multi-rater
+    * generalization: chance-corrected agreement when every item carries
+    * the SAME number `n` of categorical ratings (n raters, or n repeated
+    * annotations). One row per rating in; one audit row out:
+    * `(n_items, n_raters, sa, s2, kappa_micro)` where
+    * `sa = Σᵢⱼ n_ij(n_ij−1)` (within-item agreement mass) and
+    * `s2 = Σⱼ c_j²` (label-marginal mass). κ is computed as one exact
+    * integer rational — with `M = N·n` and `B = N·n(n−1)`,
+    * `κ = (sa·M² − s2·B) / (B·(M² − s2))` — in DECIMAL(38,0) with the
+    * same explicit-pmod floor as Cohen, so negative κ floors identically
+    * on both engines; the degenerate all-one-label case (P_e = 1) pins
+    * κ = 1e6 by the Cohen convention. Practical overflow bound: exact
+    * through ~3e11 total ratings at n ≤ 1000 (sa·M² stays inside 38
+    * digits).
+    *
+    * Ragged inputs fail loudly (the equal-n precondition IS the Fleiss
+    * model; silently dropping items would bias κ) — the check is a
+    * 2-row bounded collect of distinct per-item counts.
+    *
+    * Scale: two label/item-keyed aggregations over slim string pairs and
+    * two 1-row totals; nothing corpus-sized ever sits on the driver.
+    */
+  def fleissKappaMicro(df: DataFrame, itemCol: String, labelCol: String)
+      : DataFrame = {
+    val slim = df.select(col(itemCol).cast("string").as("__fk_i"),
+      col(labelCol).cast("string").as("__fk_l")).localCheckpoint()
+    val perItem = slim.groupBy(col("__fk_i")).agg(count(lit(1)).as("ni"))
+      .localCheckpoint()
+    val distinctNs = perItem.select(col("ni")).distinct().limit(2).collect()
+    require(distinctNs.nonEmpty, "fleissKappaMicro: empty input")
+    require(distinctNs.length == 1,
+      "fleissKappaMicro: every item must carry the same number of " +
+        "ratings (the Fleiss model); found items with differing counts — " +
+        "rank-and-filter to a fixed n upstream")
+    val n = distinctNs.head.getLong(0)
+    require(n >= 2, s"fleissKappaMicro needs >= 2 ratings per item, got $n")
+    val nItems = perItem.count()
+    val cell = slim.groupBy(col("__fk_i"), col("__fk_l"))
+      .agg(count(lit(1)).as("nij")).localCheckpoint()
+    val sa = cell.agg(
+      coalesce(sum(col("nij") * (col("nij") - 1L)), lit(0L)).as("sa"))
+    val s2 = cell.groupBy(col("__fk_l")).agg(sum(col("nij")).as("cj"))
+      .agg(coalesce(sum(col("cj") * col("cj")), lit(0L)).as("s2"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = lit(nItems).cast(dec) * lit(n)
+    val b = lit(nItems).cast(dec) * lit(n) * lit(n - 1L)
+    sa.crossJoin(s2)
+      .withColumn("__nm", lit(1000000L).cast(dec) *
+        (col("sa").cast(dec) * m * m - col("s2").cast(dec) * b))
+      .withColumn("__dn", b * (m * m - col("s2").cast(dec)))
+      .select(lit(nItems).as("n_items"), lit(n).as("n_raters"),
+        col("sa"), col("s2"),
+        when(col("__dn") === 0, lit(1000000L))
+          .otherwise(((col("__nm") - pmod(col("__nm"), col("__dn"))) /
+            col("__dn")).cast("long"))
+          .as("kappa_micro"))
+  }
 }

@@ -656,6 +656,28 @@ object LlmOps extends QueryPack {
     "text_vocab_topk_mg" -> ((s, dir) =>
       CorpusStats.vocabTopKSketch(t(s, dir).documents, "text", k = 100)),
 
+    // ---- Fleiss' κ over events-as-annotations: each user's first three
+    //      events are three "raters" labeling the user with event types —
+    //      multi-rater chance-corrected agreement in exact integer micro
+    //      units (users with fewer than three events are excluded by the
+    //      rank-and-count filter, the documented fixed-n precondition) ----
+    "label_fleiss" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir).events.select(
+        col("user_id").cast("long").as("item"),
+        col("event_id").cast("long").as("ord"),
+        col("event_type").as("label"))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("ord"), col("label"))
+      val first3 = ev.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+      val full = first3
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("item"))))
+        .where(col("cnt") === 3)
+      Classifier.fleissKappaMicro(full, "item", "label")
+    }),
+
     // ---- curation attrition funnel: cumulative survivor counts through
     //      the standard filter chain (lang → quality → exact-dedup →
     //      length) — the observability panel that says WHERE a corpus
@@ -2302,6 +2324,42 @@ object LlmOps extends QueryPack {
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the Fleiss computation replayed exactly: same first-3 rank filter,
+    // same cell/marginal masses, same HUGEINT rational with explicit
+    // floor-mod (the label_kappa idiom)
+    "label_fleiss" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS item,
+         |    CAST(event_id AS BIGINT) AS ord, event_type AS label
+         |  FROM events),
+         |r AS (SELECT item, label, row_number() OVER (PARTITION BY item
+         |    ORDER BY ord, label) AS rn FROM ev),
+         |k3 AS (SELECT item, label FROM r WHERE rn <= 3),
+         |f AS (SELECT item, label FROM (SELECT *, count(*)
+         |    OVER (PARTITION BY item) AS c FROM k3) WHERE c = 3),
+         |cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM f GROUP BY 1, 2),
+         |sa AS (SELECT CAST(coalesce(sum(nij * (nij - 1)), 0) AS BIGINT)
+         |    AS sa FROM cell),
+         |s2 AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS s2
+         |  FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS cj
+         |        FROM cell GROUP BY 1)),
+         |nn AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS ni FROM f),
+         |k0 AS (SELECT ni, sa, s2,
+         |    CAST(ni AS HUGEINT) * 3 AS m,
+         |    CAST(ni AS HUGEINT) * 3 * 2 AS b
+         |  FROM nn CROSS JOIN sa CROSS JOIN s2),
+         |k1 AS (SELECT ni, sa, s2,
+         |    CAST(1000000 AS HUGEINT) *
+         |      (CAST(sa AS HUGEINT) * m * m - CAST(s2 AS HUGEINT) * b)
+         |      AS nm,
+         |    b * (m * m - CAST(s2 AS HUGEINT)) AS dn
+         |  FROM k0)
+         |SELECT ni AS n_items, CAST(3 AS BIGINT) AS n_raters, sa, s2,
+         |  CAST(CASE WHEN dn = 0 THEN 1000000
+         |       ELSE (nm - ((nm % dn + dn) % dn)) // dn END AS BIGINT)
+         |    AS kappa_micro
+         |FROM k1""".stripMargin,
 
     // the funnel replayed stage by stage: same flags, same
     // quality-survivor dup window, same cumulative AND chain

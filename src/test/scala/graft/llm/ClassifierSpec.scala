@@ -96,4 +96,33 @@ class ClassifierSpec extends SparkSpec {
     assert(kappa(Seq(("x", "y"), ("x", "y"), ("y", "x")))
       === Seq(3L, 0L, 4L, -800000L))
   }
+
+  test("fleissKappaMicro: hand values, conventions, ragged-input guard") {
+    import spark.implicits._
+    def fleiss(rows: Seq[(String, String)]) =
+      Classifier.fleissKappaMicro(rows.toDF("item", "label"), "item",
+        "label").collect()(0).toSeq.map(_.asInstanceOf[Long])
+
+    // two items × 3 ratings: A = x,x,x; B = x,y,y →
+    // sa = 6 + 2 = 8; c_x = 4, c_y = 2 → s2 = 20; M = 6, B = 12;
+    // κ = (8·36 − 20·12)/(12·(36 − 20)) = 48/192 = 0.25
+    assert(fleiss(Seq(("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "y")))
+      === Seq(2L, 3L, 8L, 20L, 250000L))
+    // unanimous single label: P_e = 1 (degenerate) → convention 10⁶
+    assert(fleiss(Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x")))
+      === Seq(2L, 2L, 4L, 16L, 1000000L))
+    // perfect per-item agreement, split marginals: κ = 1
+    assert(fleiss(Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y")))
+      === Seq(2L, 2L, 4L, 8L, 1000000L))
+    // worst within-item disagreement: A,B each split x/y → sa = 0,
+    // s2 = 8, M = 4, B = 4 → κ = (0 − 32)/(4·8) = −1 exactly
+    assert(fleiss(Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")))
+      === Seq(2L, 2L, 0L, 8L, -1000000L))
+    // ragged counts refuse loudly — silently dropping items would bias κ
+    val e = intercept[IllegalArgumentException] {
+      fleiss(Seq(("A", "x"), ("A", "x"), ("B", "x")))
+    }
+    assert(e.getMessage.contains("same number of ratings"))
+  }
 }
