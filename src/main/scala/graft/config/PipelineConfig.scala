@@ -684,6 +684,29 @@ object PipelineConfig {
         // mmr_score_micro). cols = [idCol, vecCol], expr = relevance SQL
         // expression, name = k (default 8). Bounded-k by contract
         // (Selection.mmrSelect broadcasts ≤ k vectors per round).
+        // Fleiss' κ multi-rater agreement: REPLACES the frame (one row
+        // per rating) with the 1-row (n_items, n_raters, sa, s2,
+        // kappa_micro) report. cols = [itemCol, labelCol]
+        case "fleiss" =>
+          val Seq(ic, lc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("fleiss needs cols = [itemCol, labelCol]")
+          }
+          graft.llm.Classifier.fleissKappaMicro(d, ic, lc)
+        // semantic decontamination report: REPLACES the frame with
+        // (vec_id, eval_id, sim, contaminated) vs a reference-embedding
+        // parquet. cols = [idCol, vecCol], name = ref parquet path,
+        // expr = cosine threshold (default 0.95)
+        case "decontaminate_sem" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("decontaminate_sem needs cols = [idCol, vecCol]")
+          }
+          val ref = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("decontaminate_sem needs name = ref parquet path")))
+          graft.llm.Similarity.semanticContamination(d, ref,
+            t.expr.getOrElse("0.95").trim.toDouble, idc, vc)
         // shard reproducibility manifest: REPLACES the frame with
         // (shardCol, n_docs, n_tokens, content_xor).
         // cols = [shardCol, idCol, textCol]

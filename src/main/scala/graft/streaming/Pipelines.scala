@@ -349,6 +349,36 @@ object Pipelines {
       .groupBy(col("lo"), col("hi"))
       .agg(sum(col("n")).as("n"), sum(col("wlo")).as("wlo"))
 
+  /** Continuous shard-manifest maintenance: per-batch manifests in
+    * `batch=<id>`, merged at read time by [[manifestRead]] — counts and
+    * token sums ADD, the content fold XORs (both associative and
+    * commutative, so the merged row equals the batch manifest of
+    * everything ingested regardless of arrival order). The attestation
+    * for a continuously-ingested corpus costs |shards| rows per batch
+    * and never re-reads text.
+    */
+  def manifestIngest(stream: DataFrame, shardCol: String, idCol: String,
+      textCol: String, manifestDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.CorpusStats.shardManifest(batch.toDF(), shardCol,
+            idCol, textCol)
+            .write.mode("overwrite").parquet(s"$manifestDir/batch=$id")
+      }
+      .start()
+
+  /** The merged manifest view over a [[manifestIngest]] directory. */
+  def manifestRead(spark: SparkSession, shardCol: String,
+      manifestDir: String): DataFrame =
+    spark.read.parquet(manifestDir)
+      .groupBy(col(shardCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+
   private def mediaDedupIngest(stream: DataFrame, idCol: String,
       binCol: String, corpusDir: String, indexDir: String,
       checkpointDir: String, maxHamming: Int,

@@ -917,6 +917,27 @@ class ConfigSpec extends SparkSpec {
     assert(m("a") > m("b") && m("b") > m("c"))
   }
 
+  test("declared fleiss and decontaminate_sem ops") {
+    import spark.implicits._
+    val ratings = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"))
+      .toDF("item", "lbl")
+    val fk = PipelineConfig.applyTransforms(ratings, Seq(
+      PipelineConfig.TransformConf(op = "fleiss", cols = Seq("item", "lbl"))))
+    assert(fk.columns.toSeq ===
+      Seq("n_items", "n_raters", "sa", "s2", "kappa_micro"))
+    assert(fk.head().getLong(0) === 2L)
+    val dir = java.nio.file.Files.createTempDirectory("semcfg").toString
+    Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/ref")
+    val corpus = Seq((1L, Array(0.99, 0.01)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val sc = PipelineConfig.applyTransforms(corpus, Seq(
+      PipelineConfig.TransformConf(op = "decontaminate_sem",
+        cols = Seq("vec_id", "embedding"), name = Some(s"$dir/ref"))))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sc === Map(1L -> true, 2L -> false))
+  }
+
   test("declared shard_manifest op") {
     import spark.implicits._
     val docs = Seq((0L, 1L, "a b"), (0L, 2L, "c"), (1L, 3L, "d e f"))

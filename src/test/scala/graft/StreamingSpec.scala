@@ -269,6 +269,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("a") > streamed("b"))
   }
 
+  test("manifestIngest: merged per-batch manifests equal the batch manifest of the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mf").toString
+    val mem = MemoryStream[(Long, Long, String)](spark)
+    val q = graft.streaming.Pipelines.manifestIngest(
+      mem.toDF().toDF("shard", "doc_id", "text"), "shard", "doc_id", "text",
+      s"$base/manifest", s"$base/ckpt")
+    val b1 = Seq((0L, 1L, "a b"), (1L, 2L, "c d e"))
+    val b2 = Seq((0L, 3L, "f"), (1L, 4L, "g h"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val streamed = asMap(graft.streaming.Pipelines.manifestRead(spark,
+      "shard", s"$base/manifest"))
+    val batch = asMap(graft.llm.CorpusStats.shardManifest(
+      (b1 ++ b2).toDF("shard", "doc_id", "text"), "shard", "doc_id",
+      "text"))
+    assert(streamed === batch)
+  }
+
   test("imageDedupIngest drops perceptual dups across and within batches") {
     import graft.llm.ImageHash
     val base = java.nio.file.Files.createTempDirectory("graft_idi").toString
