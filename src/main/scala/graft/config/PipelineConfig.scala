@@ -693,6 +693,16 @@ object PipelineConfig {
             case _ => sys.error("fleiss needs cols = [itemCol, labelCol]")
           }
           graft.llm.Classifier.fleissKappaMicro(d, ic, lc)
+        // Krippendorff's α (nominal): the ragged-table agreement report —
+        // REPLACES the frame with the 1-row (n_items, n_ratings, m_kinds,
+        // alpha_micro) panel. cols = [itemCol, labelCol]
+        case "krippendorff" =>
+          val Seq(ic, lc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("krippendorff needs cols = [itemCol, labelCol]")
+          }
+          graft.llm.Classifier.krippendorffAlphaMicro(d, ic, lc)
         // semantic decontamination report: REPLACES the frame with
         // (vec_id, eval_id, sim, contaminated) vs a reference-embedding
         // parquet. cols = [idCol, vecCol], name = ref parquet path,

@@ -294,4 +294,98 @@ object Classifier extends Serializable {
             col("__dn")).cast("long"))
           .as("kappa_micro"))
   }
+
+  /** Krippendorff's α, nominal data (Krippendorff 2004) — the agreement
+    * coefficient for RAGGED annotation tables, where [[fleissKappaMicro]]'s
+    * fixed-n precondition fails: raters may skip items, so items carry
+    * different rating counts. NULL labels are missing data (dropped before
+    * counting) and items left with fewer than 2 ratings are unpairable
+    * (excluded, the standard treatment) — exactly the cases Fleiss must
+    * reject loudly.
+    *
+    * With m_u ratings on pairable item u, n_uc of them in category c,
+    * n = Σ m_u and n_c the category marginals:
+    *
+    *   D_o = (1/n) Σ_u [ Σ_c n_uc (m_u − n_uc) ] / (m_u − 1)
+    *   D_e = Σ_c n_c (n − n_c) / (n (n − 1)),   α = 1 − D_o / D_e
+    *
+    * The per-item denominators (m_u − 1) are the exactness hazard; they
+    * are cleared by P = Π (m − 1) over the DISTINCT m values (each
+    * (m − 1) divides P, so every per-m term scales to an integer):
+    *
+    *   α·10⁶ = 10⁶ − floor(10⁶ · doNumP · (n − 1) / (P · deNum)),
+    *   doNumP = Σ_m  [Σ_{cells at m} n_uc (m − n_uc)] · P/(m − 1)
+    *
+    * — one exact DECIMAL(38,0) rational with the explicit-pmod floor, so
+    * worse-than-chance α floors identically on both engines. Degenerate
+    * deNum = 0 (every rating one category — D_e = 0) pins 10⁶, the Cohen
+    * convention. Exactness guard: ≤ 64 distinct rating counts and
+    * P ≤ 10¹², enforced loudly (a labeling panel has a handful of rater
+    * counts; a table that trips this is not an annotation table).
+    *
+    * Output: ONE row (n_items, n_ratings, m_kinds, alpha_micro). Scale:
+    * item- and label-keyed aggregations over slim string pairs; the only
+    * driver collect is the ≤ 65-row distinct-m probe.
+    */
+  def krippendorffAlphaMicro(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val slim = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__ka_i"),
+        col(labelCol).cast("string").as("__ka_l")).localCheckpoint()
+    val perItem = slim.groupBy(col("__ka_i")).agg(count(lit(1)).as("mi"))
+      .filter(col("mi") >= 2).localCheckpoint()
+    val ms = perItem.select(col("mi")).distinct().limit(65).collect()
+      .map(_.getLong(0))
+    require(ms.nonEmpty,
+      "krippendorffAlphaMicro: no pairable items (every item has < 2 " +
+        "non-null ratings)")
+    require(ms.length <= 64,
+      "krippendorffAlphaMicro: > 64 distinct per-item rating counts — " +
+        "not an annotation table; bucket rating counts upstream")
+    val p = ms.map(m => BigInt(m - 1)).product
+    require(p <= BigInt(10).pow(12),
+      s"krippendorffAlphaMicro: Π(m−1) over distinct rating counts = $p " +
+        "exceeds 1e12 — the exact-rational clearing denominator would " +
+        "overflow; bucket rating counts upstream")
+    val pLong = p.toLong
+    val nItems = perItem.count()
+    val cells = slim
+      .join(perItem.withColumnRenamed("__ka_i", "__ka_j"),
+        col("__ka_i") === col("__ka_j"))
+      .groupBy(col("__ka_i"), col("mi"), col("__ka_l"))
+      .agg(count(lit(1)).as("nuc")).localCheckpoint()
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // P/(m−1) per distinct m, computed exactly on the driver (each m−1
+    // divides P by construction) and planted as a CASE literal — no
+    // decimal division anywhere.
+    val factor = ms.tail.foldLeft(
+      when(col("mi") === ms.head, lit((p / BigInt(ms.head - 1)).toLong))) {
+      (acc, m) => acc.when(col("mi") === m, lit((p / BigInt(m - 1)).toLong))
+    }
+    val doNumP = cells
+      .groupBy(col("mi"))
+      .agg(coalesce(sum(col("nuc") * (col("mi") - col("nuc"))), lit(0L))
+        .cast(dec).as("dsum"))
+      .agg(coalesce(sum(col("dsum") * factor.cast(dec)),
+        lit(0L).cast(dec)).as("do_num_p"))
+    val nTot = cells.agg(coalesce(sum(col("nuc")), lit(0L)).as("n"))
+      .head().getLong(0)
+    val deNum = cells.groupBy(col("__ka_l"))
+      .agg(sum(col("nuc")).as("ncj"))
+      .agg(coalesce(sum(col("ncj").cast(dec) *
+          (lit(nTot).cast(dec) - col("ncj").cast(dec))),
+        lit(0L).cast(dec)).as("de_num"))
+    doNumP.crossJoin(deNum)
+      .withColumn("__nm", lit(1000000L).cast(dec) * col("do_num_p") *
+        lit(nTot - 1L).cast(dec))
+      .withColumn("__dn", lit(pLong).cast(dec) * col("de_num"))
+      .select(lit(nItems).as("n_items"), lit(nTot).as("n_ratings"),
+        lit(ms.length.toLong).as("m_kinds"),
+        when(col("__dn") === 0, lit(1000000L))
+          .otherwise(lit(1000000L) -
+            ((col("__nm") - pmod(col("__nm"), col("__dn"))) /
+              col("__dn")).cast("long"))
+          .as("alpha_micro"))
+  }
 }

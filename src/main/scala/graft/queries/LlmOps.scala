@@ -678,6 +678,24 @@ object LlmOps extends QueryPack {
       Classifier.fleissKappaMicro(full, "item", "label")
     }),
 
+    // ---- Krippendorff's α over the SAME annotation shape WITHOUT the
+    //      fixed-n filter: each user's first up-to-4 events are ratings,
+    //      so items are RAGGED (m ∈ {2,3,4}; single-event users are
+    //      unpairable and drop inside the operator) — the coefficient
+    //      Fleiss must reject, exact to the micro unit ----
+    "label_krippendorff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir).events.select(
+        col("user_id").cast("long").as("item"),
+        col("event_id").cast("long").as("ord"),
+        col("event_type").as("label"))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("ord"), col("label"))
+      val firstN = ev.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 4)
+      Classifier.krippendorffAlphaMicro(firstN, "item", "label")
+    }),
+
     // ---- curation attrition funnel: cumulative survivor counts through
     //      the standard filter chain (lang → quality → exact-dedup →
     //      length) — the observability panel that says WHERE a corpus
@@ -2360,6 +2378,48 @@ object LlmOps extends QueryPack {
          |       ELSE (nm - ((nm % dn + dn) % dn)) // dn END AS BIGINT)
          |    AS kappa_micro
          |FROM k1""".stripMargin,
+
+    // the α computation replayed exactly: same first-4 rank cut, same
+    // pairable filter, P = Π distinct (m−1) cleared through the HUGEINT
+    // rational with the explicit floor-mod (product() of a handful of
+    // small ints is double-exact far below 2^53, then cast back)
+    "label_krippendorff" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS BIGINT) AS item,
+         |    CAST(event_id AS BIGINT) AS ord, event_type AS label
+         |  FROM events),
+         |r AS (SELECT item, label, row_number() OVER (PARTITION BY item
+         |    ORDER BY ord, label) AS rn FROM ev),
+         |k AS (SELECT item, label FROM r WHERE rn <= 4),
+         |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS mi FROM k
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |pp AS (SELECT CAST(round(product(CAST(mm1 AS DOUBLE)))
+         |    AS HUGEINT) AS p
+         |  FROM (SELECT DISTINCT mi - 1 AS mm1 FROM pi)),
+         |cells AS (SELECT k.item, pi.mi, k.label,
+         |    CAST(count(*) AS BIGINT) AS nuc
+         |  FROM k JOIN pi USING (item) GROUP BY 1, 2, 3),
+         |dn0 AS (SELECT mi, CAST(coalesce(sum(nuc * (mi - nuc)), 0)
+         |    AS HUGEINT) AS dsum FROM cells GROUP BY 1),
+         |dnum AS (SELECT CAST(coalesce(sum(dsum * (p // (mi - 1))), 0)
+         |    AS HUGEINT) AS do_num_p FROM dn0 CROSS JOIN pp),
+         |nt AS (SELECT CAST(coalesce(sum(nuc), 0) AS HUGEINT) AS n,
+         |    CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM cells),
+         |de AS (SELECT CAST(coalesce(sum(CAST(ncj AS HUGEINT) *
+         |      (n - ncj)), 0) AS HUGEINT) AS de_num
+         |  FROM (SELECT label, CAST(sum(nuc) AS HUGEINT) AS ncj
+         |        FROM cells GROUP BY 1) CROSS JOIN nt),
+         |mk AS (SELECT CAST(count(*) AS BIGINT) AS m_kinds
+         |  FROM (SELECT DISTINCT mi FROM pi)),
+         |f AS (SELECT n_items, CAST(n AS BIGINT) AS n_ratings, m_kinds,
+         |    CAST(1000000 AS HUGEINT) * do_num_p * (n - 1) AS nm,
+         |    p * de_num AS dn
+         |  FROM nt CROSS JOIN dnum CROSS JOIN de CROSS JOIN mk
+         |    CROSS JOIN pp)
+         |SELECT n_items, n_ratings, m_kinds,
+         |  CAST(CASE WHEN dn = 0 THEN 1000000
+         |       ELSE 1000000 - (nm - ((nm % dn + dn) % dn)) // dn
+         |       END AS BIGINT) AS alpha_micro
+         |FROM f""".stripMargin,
 
     // the funnel replayed stage by stage: same flags, same
     // quality-survivor dup window, same cumulative AND chain

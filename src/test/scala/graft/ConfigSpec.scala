@@ -926,6 +926,14 @@ class ConfigSpec extends SparkSpec {
     assert(fk.columns.toSeq ===
       Seq("n_items", "n_raters", "sa", "s2", "kappa_micro"))
     assert(fk.head().getLong(0) === 2L)
+    // the ragged form routes through krippendorff (m = 3 and 2)
+    val ka = PipelineConfig.applyTransforms(
+      ratings.union(Seq(("A", "x")).toDF("item", "lbl")), Seq(
+        PipelineConfig.TransformConf(op = "krippendorff",
+          cols = Seq("item", "lbl"))))
+    assert(ka.columns.toSeq ===
+      Seq("n_items", "n_ratings", "m_kinds", "alpha_micro"))
+    assert(ka.head().getLong(2) === 2L)
     val dir = java.nio.file.Files.createTempDirectory("semcfg").toString
     Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/ref")

@@ -125,4 +125,40 @@ class ClassifierSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("same number of ratings"))
   }
+
+  test("krippendorffAlphaMicro: hand values, missing data, conventions") {
+    import spark.implicits._
+    def alpha(rows: Seq[(String, String)]) =
+      Classifier.krippendorffAlphaMicro(rows.toDF("item", "label"), "item",
+        "label").collect()(0).toSeq.map(_.asInstanceOf[Long])
+
+    // ragged counts are the POINT: A = x,x,y (m=3), B = x,y (m=2),
+    // C = z (m=1, unpairable → dropped). n = 5; P = (3−1)(2−1) = 2;
+    // doNumP = [2·1 + 1·2]·(P/2) + [1·1 + 1·1]·(P/1) = 4 + 4 = 8;
+    // marginals x:3 y:2 → deNum = 3·2 + 2·3 = 12.
+    // α = 1 − (8/2/5)/(12/20) = 1 − 4/3 → 10⁶ − floor(10⁶·8·4/24)
+    // = 10⁶ − 1333333 = −333333 (floor, not trunc)
+    assert(alpha(Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("C", "z")))
+      === Seq(2L, 5L, 2L, -333333L))
+    // exact rational with missing data: A = a,a,b; B = a,a; C = b,b;
+    // D = a (dropped); one NULL rating (dropped). D_o = 2/7, D_e = 4/7
+    // → α = 1/2 exactly
+    assert(alpha(Seq(("A", "a"), ("A", "a"), ("A", "b"),
+      ("B", "a"), ("B", "a"), ("C", "b"), ("C", "b"),
+      ("D", "a"), ("D", null)))
+      === Seq(3L, 7L, 2L, 500000L))
+    // perfect per-item agreement, split marginals, ragged m: α = 1
+    assert(alpha(Seq(("A", "x"), ("A", "x"),
+      ("B", "y"), ("B", "y"), ("B", "y")))
+      === Seq(2L, 5L, 2L, 1000000L))
+    // every rating one category: D_e = 0 (degenerate) → convention 10⁶
+    assert(alpha(Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x")))
+      === Seq(2L, 4L, 1L, 1000000L))
+    // nothing pairable refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      alpha(Seq(("A", "x"), ("B", "y")))
+    }
+    assert(e.getMessage.contains("no pairable items"))
+  }
 }
