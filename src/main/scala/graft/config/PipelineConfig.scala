@@ -717,6 +717,21 @@ object PipelineConfig {
             sys.error("decontaminate_sem needs name = ref parquet path")))
           graft.llm.Similarity.semanticContamination(d, ref,
             t.expr.getOrElse("0.95").trim.toDouble, idc, vc)
+        // ROUGE-L decontamination (the Self-Instruct SFT dedup gate):
+        // drops rows whose ROUGE-L vs any reference doc clears the
+        // threshold. cols = [idCol, textCol], name = ref parquet path
+        // (same idCol/textCol schema), expr = threshold fraction
+        // (default 0.7)
+        case "decontaminate_rougel" =>
+          val Seq(idc, tc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("decontaminate_rougel needs cols = [idCol, textCol]")
+          }
+          val ref = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("decontaminate_rougel needs name = ref parquet path")))
+          graft.llm.Dedup.dropRougeLOfReference(d, ref, idc, tc,
+            math.round(t.expr.getOrElse("0.7").trim.toDouble * 1000000L))
         // shard reproducibility manifest: REPLACES the frame with
         // (shardCol, n_docs, n_tokens, content_xor).
         // cols = [shardCol, idCol, textCol]

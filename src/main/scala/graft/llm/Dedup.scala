@@ -1121,6 +1121,154 @@ object Dedup {
     corpus.join(bad, corpus(idCol).cast("long") === bad("id"), "left_anti")
   }
 
+  /** ROUGE-L similarity of every corpus doc vs its closest reference item
+    * — the SFT-decontamination standard (Lin 2004; the Self-Instruct /
+    * Alpaca dedup gate flags instructions with ROUGE-L > 0.7 vs the
+    * existing pool). With β = 1 the score is a pure rational of the
+    * longest-common-subsequence length: F = 2·LCS/(|a| + |b|), so the
+    * whole computation is exact integer micro units —
+    * `rouge_l_micro = floor(2·10⁶·lcs / (la + lb))` — reproducible on any
+    * engine (an empty-vs-empty pair pins 0: nothing to leak).
+    *
+    * Output: ONE row per corpus doc `(id, best_ref_id, lcs,
+    * rouge_l_micro, flagged)`; `best` is the max score, ties to the
+    * smallest ref id (refs are scanned in ascending id order, so the
+    * tie-break is positional and exact).
+    *
+    * Scale mechanics: the reference suite (an eval set / instruction
+    * pool — bounded by contract, `maxRefTokens` guards the broadcast)
+    * ships once per executor with its vocabulary dictionary; the corpus
+    * pass is MAP-ONLY. Per (doc, ref) pair a sound O(la + lb) upper
+    * bound — lcs ≤ min(la, lb, multiset-overlap) — is tested against
+    * the best-so-far before the O(la·lb) DP runs (the flag threshold is
+    * subsumed: flagged derives from best), so the quadratic kernel only
+    * fires on genuinely-close pairs;
+    * doc tokens are dictionary-encoded once (tokens outside the
+    * reference vocabulary can never match, and collapse to −1). Inputs
+    * are TOKEN ARRAYS (compose with any tokenizer upstream).
+    */
+  def rougeLVsReference(corpus: DataFrame, reference: DataFrame,
+      idCol: String, tokensCol: String, refIdCol: String,
+      refTokensCol: String, thresholdMicro: Long = 700000L,
+      maxRefTokens: Long = 10000000L): DataFrame = {
+    require(thresholdMicro >= 0 && thresholdMicro <= 1000000L,
+      s"thresholdMicro must sit in [0, 1e6], got $thresholdMicro")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val refs: Array[(Long, Array[String])] = reference
+      .select(col(refIdCol).cast("long"), col(refTokensCol))
+      .as[(Long, Array[String])].collect().sortBy(_._1)
+    require(refs.nonEmpty, "rougeLVsReference: empty reference suite")
+    val totalTokens = refs.iterator.map(_._2.length.toLong).sum
+    require(totalTokens <= maxRefTokens,
+      s"reference carries $totalTokens tokens > maxRefTokens " +
+        s"$maxRefTokens — broadcast would be unbounded; decontaminate " +
+        "against a bounded suite, or fall back to n-gram overlap " +
+        "(nearDupsVsReference) for corpus-sized references")
+    // dictionary over the reference vocabulary; per-ref encoded arrays +
+    // token-count maps for the overlap bound (Integer-typed map: a Scala
+    // Int value type would silently unbox an absent key's null to 0)
+    val dict = new java.util.HashMap[String, Integer]()
+    refs.foreach(_._2.foreach { t =>
+      if (!dict.containsKey(t)) dict.put(t, Integer.valueOf(dict.size))
+    })
+    val refEnc: Array[Array[Int]] = refs.map(_._2.map(dict.get(_).intValue()))
+    val refCnt: Array[Array[Int]] = refEnc.map { ids =>
+      val c = new Array[Int](dict.size)
+      ids.foreach(i => c(i) += 1)
+      c
+    }
+    val refIds = refs.map(_._1)
+    val bRef = spark.sparkContext.broadcast((dict, refEnc, refCnt, refIds))
+    ensureParallelism(corpus.select(col(idCol).cast("long"),
+      col(tokensCol)))
+      .as[(Long, Array[String])]
+      .mapPartitions { it =>
+        val (dict, refEnc, refCnt, refIds) = bRef.value
+        it.map { case (id, toks) =>
+          val a: Array[Int] = toks.map { t =>
+            val v = dict.get(t); if (v == null) -1 else v.intValue()
+          }
+          val docCnt = new java.util.HashMap[Integer, Integer]()
+          a.foreach { i =>
+            if (i >= 0) {
+              val k = Integer.valueOf(i)
+              val p = docCnt.get(k)
+              docCnt.put(k, Integer.valueOf(if (p == null) 1 else p + 1))
+            }
+          }
+          val la = a.length
+          var bestScore = -1L; var bestRef = -1L; var bestLcs = 0L
+          var r = 0
+          while (r < refEnc.length) {
+            val b = refEnc(r); val lb = b.length
+            val denom = la + lb
+            if (denom == 0) {
+              if (bestScore < 0) { bestScore = 0L; bestRef = refIds(r) }
+            } else {
+              // lcs upper bound: multiset overlap with the ref counts
+              var overlap = 0
+              val cnt = refCnt(r)
+              val dit = docCnt.entrySet().iterator()
+              while (dit.hasNext) {
+                val e = dit.next()
+                overlap += math.min(e.getValue.intValue(),
+                  cnt(e.getKey.intValue()))
+              }
+              val ub = math.min(math.min(la, lb), overlap).toLong
+              val ubMicro = 2L * 1000000L * ub / denom
+              // the bound subsumes the flag threshold: flagged derives
+              // from best, and a ref whose CEILING can't beat the best
+              // (ties resolve to the earlier, smaller ref id) never
+              // changes the output
+              if (ubMicro > bestScore) {
+                // two-row LCS DP over int codes (−1 never matches)
+                val prev = new Array[Int](lb + 1)
+                val cur = new Array[Int](lb + 1)
+                var i = 0
+                while (i < la) {
+                  val ai = a(i)
+                  var j = 0
+                  while (j < lb) {
+                    cur(j + 1) =
+                      if (ai >= 0 && ai == b(j)) prev(j) + 1
+                      else math.max(prev(j + 1), cur(j))
+                    j += 1
+                  }
+                  System.arraycopy(cur, 0, prev, 0, lb + 1)
+                  i += 1
+                }
+                val lcs = prev(lb).toLong
+                val score = 2L * 1000000L * lcs / denom
+                if (score > bestScore) {
+                  bestScore = score; bestRef = refIds(r); bestLcs = lcs
+                }
+              }
+            }
+            r += 1
+          }
+          (id, bestRef, bestLcs, math.max(bestScore, 0L),
+            math.max(bestScore, 0L) >= thresholdMicro)
+        }
+      }
+      .toDF("id", "best_ref_id", "lcs", "rouge_l_micro", "flagged")
+  }
+
+  /** `corpus` minus every doc whose ROUGE-L vs ANY reference item clears
+    * the threshold ([[rougeLVsReference]] on whitespace tokens → flagged
+    * ids → anti-join) — the apply form of the Self-Instruct dedup gate.
+    */
+  def dropRougeLOfReference(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, thresholdMicro: Long = 700000L,
+      maxRefTokens: Long = 10000000L): DataFrame = {
+    val bad = rougeLVsReference(
+      corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__rl_t")),
+      reference.select(col(idCol), TextOps.tokens(col(textCol)).as("__rl_t")),
+      idCol, "__rl_t", idCol, "__rl_t", thresholdMicro, maxRefTokens)
+      .filter(col("flagged")).select(col("id")).distinct()
+    corpus.join(bad, corpus(idCol).cast("long") === bad("id"), "left_anti")
+  }
+
   /** Blocked exact-Jaccard similarity join over token sets: candidate pairs
     * limited to equal blocking keys PLUS an automatic set-size bucket.
     *

@@ -261,6 +261,21 @@ object LlmOps extends QueryPack {
         refNearSuite(s, dir), "doc_id", "text",
         shingleN = 3, threshold = 0.5)),
 
+    // ---- ROUGE-L decontamination (the Self-Instruct/Alpaca SFT dedup
+    //      gate): every doc scored against its closest reference item by
+    //      exact LCS, flag at 0.7. Both sides truncate to the first
+    //      $RougeK whitespace tokens so the oracle's unrolled
+    //      prefix-max DP stays bounded — the operator itself takes any
+    //      token arrays. Docs with id ≡ 0 mod 37 stand in for the
+    //      instruction pool (they self-match at 10⁶, proving the flag). ----
+    "dedup_rougel" -> ((s, dir) => {
+      val tok = t(s, dir).documents.select(col("doc_id"),
+        slice(TextOps.tokens(col("text")), 1, RougeK).as("toks"))
+      val ref = tok.filter(pmod(col("doc_id"), lit(37)) === 0)
+      Dedup.rougeLVsReference(tok, ref, "doc_id", "toks", "doc_id",
+        "toks", thresholdMicro = 700000L)
+    }),
+
     "decontaminate" -> ((s, dir) => {
       val corpus = t(s, dir).documents
       val heldout = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
@@ -1186,6 +1201,67 @@ object LlmOps extends QueryPack {
        |    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
        |  WHERE jac >= 0.5
        |)""".stripMargin
+  /** Token-truncation depth shared by the dedup_rougel query and its
+    * unrolled-DP oracle — both sides see exactly the first RougeK
+    * whitespace tokens, so the SQL replay needs exactly RougeK stages.
+    */
+  private val RougeK = 12
+
+  /** The dedup_rougel oracle: LCS via RougeK unrolled DP stages. Stage i
+    * fixes doc token a[i]; cand_j = dp_{i-1}[j-1] + 1 when a[i] = b_j
+    * else dp_{i-1}[j], then dp_i[j] = prefix max of cand over j (valid
+    * because adjacent dp values differ by at most 1, so the matched
+    * branch dominates dp_{i-1}[j]). Every stage is MATERIALIZED — the
+    * unigram_encode lesson: DuckDB inlines plain CTEs and a deep
+    * recurrence would re-expand exponentially.
+    */
+  private def rougeLSql: String = {
+    val stages = (1 to RougeK).map { i =>
+      s"""rl$i AS MATERIALIZED (
+         |  SELECT id, rid, j, la, lb, a, bj,
+         |    CAST(max(cand) OVER (PARTITION BY id, rid ORDER BY j)
+         |      AS BIGINT) AS dp
+         |  FROM (
+         |    SELECT id, rid, j, la, lb, a, bj,
+         |      CASE WHEN j = 0 THEN 0
+         |           WHEN la >= $i AND a[$i] = bj
+         |             THEN coalesce(lag(dp) OVER (PARTITION BY id, rid
+         |               ORDER BY j), 0) + 1
+         |           ELSE dp END AS cand
+         |    FROM rl${i - 1}))""".stripMargin
+    }
+    s"""WITH corp AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS id,
+       |    list_slice($DuckToks, 1, $RougeK) AS a FROM documents),
+       |corpl AS (SELECT id, a, CAST(len(a) AS BIGINT) AS la FROM corp),
+       |refs AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS rid,
+       |    list_slice($DuckToks, 1, $RougeK) AS b FROM documents
+       |  WHERE doc_id % 37 = 0),
+       |refx AS MATERIALIZED (
+       |  SELECT rid, CAST(len(b) AS BIGINT) AS lb, b,
+       |    unnest(generate_series(0, len(b))) AS j FROM refs),
+       |rl0 AS MATERIALIZED (
+       |  SELECT c.id, r.rid, CAST(r.j AS BIGINT) AS j, c.la, r.lb, c.a,
+       |    CASE WHEN r.j = 0 THEN NULL ELSE r.b[r.j] END AS bj,
+       |    CAST(0 AS BIGINT) AS dp
+       |  FROM corpl c CROSS JOIN refx r),
+       |${stages.mkString(",\n")},
+       |fin AS (SELECT id, rid, la, lb, dp AS lcs FROM rl$RougeK
+       |  WHERE j = lb),
+       |scored AS (SELECT id, rid, lcs,
+       |    CASE WHEN la + lb = 0 THEN 0
+       |         ELSE (2000000 * lcs) // (la + lb) END AS rouge
+       |  FROM fin),
+       |best AS (SELECT id, rid, lcs, rouge, row_number() OVER (
+       |    PARTITION BY id ORDER BY rouge DESC, rid ASC) AS rk
+       |  FROM scored)
+       |SELECT id, rid AS best_ref_id, CAST(lcs AS BIGINT) AS lcs,
+       |  CAST(rouge AS BIGINT) AS rouge_l_micro,
+       |  rouge >= 700000 AS flagged
+       |FROM best WHERE rk = 1""".stripMargin
+  }
+
   private def duckShingles(toksExpr: String): String =
     s"""(CASE WHEN len($toksExpr) < 3 THEN [array_to_string($toksExpr, ' ')]
        | ELSE list_transform(range(1, len($toksExpr) - 1),
@@ -1297,6 +1373,13 @@ object LlmOps extends QueryPack {
          |      (len(c.s) + len(r.s) - len(list_intersect(c.s, r.s))) AS jac
          |  FROM shc c, shr r)
          |WHERE jac >= 0.5""".stripMargin,
+
+    // ROUGE-L replayed as an UNROLLED prefix-max DP: stage i fixes doc
+    // token i; cand_j = dp_{i-1}[j-1]+1 on match else dp_{i-1}[j], and
+    // dp_i = running max of cand over j (adjacent dp differ by ≤ 1, so
+    // the matched branch already dominates dp_{i-1}[j]). RougeK stages,
+    // each one lag + one prefix-max window per (doc, ref) pair.
+    "dedup_rougel" -> rougeLSql,
 
     "dedup_common_span" ->
       s"""WITH base AS (

@@ -944,6 +944,15 @@ class ConfigSpec extends SparkSpec {
         cols = Seq("vec_id", "embedding"), name = Some(s"$dir/ref"))))
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(sc === Map(1L -> true, 2L -> false))
+    // ROUGE-L gate drops the near-verbatim doc, keeps the unrelated one
+    Seq((900L, "the dog sat on the mat")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/rref")
+    val rl = PipelineConfig.applyTransforms(
+      Seq((1L, "the cat sat on mat"), (2L, "unrelated words entirely"))
+        .toDF("doc_id", "text"),
+      Seq(PipelineConfig.TransformConf(op = "decontaminate_rougel",
+        cols = Seq("doc_id", "text"), name = Some(s"$dir/rref"))))
+    assert(rl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
   test("declared shard_manifest op") {

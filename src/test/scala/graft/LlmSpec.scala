@@ -101,6 +101,66 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRefShingles"))
   }
 
+  test("rougeLVsReference: hand LCS, tie-break, prune-equals-naive, drop form") {
+    def tok(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", graft.llm.TextOps.tokens($"text").as("toks"))
+    // LCS("the cat sat on mat", "the dog sat on the mat") = 4
+    // (the, sat, on, mat); la=5, lb=6 → 2·4e6/11 = 727272 → flagged at 0.7
+    val corpus = tok(Seq((1L, "the cat sat on mat"),
+      (2L, "completely unrelated words here")).toDF("doc_id", "text"))
+    val ref = tok(Seq((10L, "the dog sat on the mat"),
+      (11L, "the cat sat on mat")).toDF("doc_id", "text"))
+    val rows = Dedup.rougeLVsReference(corpus, ref, "doc_id", "toks",
+      "doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // doc 1 matches ref 11 exactly (1e6 beats 727272 vs ref 10)
+    assert(rows(1L) === ((11L, 5L, 1000000L, true)))
+    assert(!rows(2L)._4 && rows(2L)._3 < 700000L)
+    // score tie resolves to the SMALLEST ref id: two identical refs
+    val ref2 = tok(Seq((20L, "the cat sat on mat"),
+      (21L, "the cat sat on mat")).toDF("doc_id", "text"))
+    val best = Dedup.rougeLVsReference(corpus, ref2, "doc_id", "toks",
+      "doc_id", "toks").filter($"id" === 1L).head()
+    assert(best.getLong(1) === 20L)
+    // the overlap-bound prune never changes the answer: compare against
+    // a naive no-prune LCS over deterministic pseudo-random token seqs
+    def lcsNaive(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 20L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(s"t${rnd.nextInt(8)}")))
+    val refsR = (100L to 106L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(s"t${rnd.nextInt(8)}")))
+    val got = Dedup.rougeLVsReference(
+      docs.toDF("doc_id", "toks"), refsR.toDF("doc_id", "toks"),
+      "doc_id", "toks", "doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    docs.foreach { case (id, a) =>
+      val want = refsR.map { case (rid, b) =>
+        (rid, 2L * 1000000L * lcsNaive(a, b) / (a.length + b.length))
+      }.maxBy { case (rid, s) => (s, -rid) }
+      assert(got(id) === ((want._1, want._2)), s"doc $id")
+    }
+    // drop form anti-joins the flagged ids
+    val full = Seq((1L, "the cat sat on mat"),
+      (2L, "completely unrelated words here")).toDF("doc_id", "text")
+    val refT = Seq((10L, "the dog sat on the mat")).toDF("doc_id", "text")
+    assert(Dedup.dropRougeLOfReference(full, refT, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    // broadcast guard trips loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.rougeLVsReference(corpus, ref, "doc_id", "toks", "doc_id",
+        "toks", maxRefTokens = 3L)
+    }
+    assert(e.getMessage.contains("maxRefTokens"))
+  }
+
   test("dropNearDuplicatesKeepBest keeps the highest-score family member") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val trunc = (1 to 32).map(i => s"tok$i").mkString(" ")
