@@ -655,6 +655,31 @@ object PipelineConfig {
             case other => sys.error(
               s"nb_filter mode '$other' (want filter|annotate)")
           }
+        // batch-perceptron quality gate (the trained-linear complement to
+        // nb_filter): fit on a proxy label, then filter to predicted-
+        // positive rows or annotate with (margin, pred).
+        // cols = [idCol, textCol], expr = proxy-label SQL boolean,
+        // name = filter (default) | annotate
+        case "perceptron_filter" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("perceptron_filter needs cols = [idCol, textCol]")
+          }
+          val lab = d.withColumn("__pf_y", expr(t.expr.getOrElse(
+            sys.error("perceptron_filter needs expr = proxy-label SQL " +
+              "boolean"))))
+          val model = graft.llm.Classifier.perceptronTrain(lab, idc, c,
+            "__pf_y")
+          val scored = graft.llm.Classifier.perceptronScore(d, model, idc, c)
+          t.name.getOrElse("filter") match {
+            case "annotate" =>
+              d.join(scored.withColumnRenamed("id", idc), Seq(idc))
+            case "filter" => d.join(scored.filter(col("pred"))
+              .select(col("id").as(idc)), Seq(idc), "left_semi")
+            case other => sys.error(
+              s"perceptron_filter mode '$other' (want filter|annotate)")
+          }
         // token-balanced snake sharding: append (n_tokens, shard) via the
         // distributed rank. cols = [idCol], expr = token-count SQL expr,
         // name = shard count (default 8)

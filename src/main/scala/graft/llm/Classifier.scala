@@ -295,6 +295,105 @@ object Classifier extends Serializable {
           .as("kappa_micro"))
   }
 
+  /** Hashed token-count features (the hashing trick, Weinberger et al.
+    * 2009): token → first 40 md5 bits (the [[Sketches]] nibble idiom,
+    * replayable engine-exactly) folded into [0, dim). One slim
+    * (id, f, cnt) row per distinct (doc, bucket) — the feature table
+    * every linear model here consumes. Collisions are the hashing
+    * trick's documented trade-off, not an error: both engines collide
+    * identically.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= (1 << 20),
+      s"hashedFeatures: dim must sit in [1, 2^20], got $dim")
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("token")), 1, 10), 16, 10)
+          .cast("long"), lit(dim.toLong)).as("f"))
+      .groupBy("id", "f").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Batch perceptron over hashed features — a TRAINED linear quality /
+    * domain classifier whose distributed fit is exact (Rosenblatt 1958;
+    * the full-batch variant is subgradient descent on the summed
+    * perceptron loss). Per round, with integer weights w and labels
+    * y ∈ {−1, +1}:
+    *
+    *   margin_i = Σ_f w_f · cnt_if ;  mistakes = { i : y_i·margin_i ≤ 0 }
+    *   w ← w + Σ_{mistakes} y_i · cnt_i        (unit learning rate)
+    *
+    * Every update is a commutative integer SUM over misclassified docs,
+    * so — unlike epoch-sequential SGD — the fit is order-independent and
+    * bit-identical on any engine and any partitioning; round 1 from
+    * w = 0 marks every doc mistaken (y·0 ≤ 0), making the whole
+    * trajectory a closed-form CTE chain for the oracle.
+    *
+    * Scale shape: each round is one hash join of the slim feature table
+    * against the ≤dim-row weight table, one doc-keyed aggregation, one
+    * feature-keyed aggregation — O(iterations) shuffles of feature-sized
+    * rows, per-round localCheckpoint (the btStrengths loop shape).
+    * Overflow is guarded loudly: iterations · total-token-count ·
+    * max-doc-length must fit BIGINT margins.
+    *
+    * Returns the (f, w) model; weights are ADDITIVE only within a fit
+    * (not across corpora — the mistake set depends on w), so continuous
+    * ingestion refits from merged feature state like the NB loop.
+    */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, iterations: Int = 3,
+      maxMarginBound: Long = 8000000000000000000L): DataFrame = {
+    require(iterations >= 1, "perceptronTrain: iterations must be >= 1")
+    val feats = hashedFeatures(df, idCol, textCol, dim).localCheckpoint()
+    val lab = df.select(col(idCol).cast("long").as("id"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("y"))
+      .localCheckpoint()
+    val totTok = feats.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    require(totTok > 0, "perceptronTrain: empty corpus")
+    val maxDoc = feats.groupBy(col("id")).agg(sum(col("cnt")).as("s"))
+      .agg(max(col("s"))).head().getLong(0)
+    require(BigInt(iterations) * totTok * maxDoc <= BigInt(maxMarginBound),
+      s"perceptronTrain: iterations·totalTokens·maxDocLen = " +
+        s"${BigInt(iterations) * totTok * maxDoc} would overflow BIGINT " +
+        s"margins (bound $maxMarginBound) — lower iterations, cap doc " +
+        "length, or shard the corpus")
+    var w = feats.select(col("f")).distinct()
+      .withColumn("w", lit(0L)).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val margins = feats.join(w, "f").groupBy(col("id"))
+        .agg(sum(col("cnt") * col("w")).as("margin"))
+      val mistakes = lab.join(margins, Seq("id"), "left")
+        .filter(coalesce(col("margin"), lit(0L)) * col("y") <= 0)
+        .select(col("id"), col("y"))
+      val delta = feats.join(mistakes, "id").groupBy(col("f"))
+        .agg(sum(col("y") * col("cnt")).as("d"))
+      w = w.join(delta, Seq("f"), "left")
+        .select(col("f"), (col("w") + coalesce(col("d"), lit(0L))).as("w"))
+        .localCheckpoint()
+      i += 1
+    }
+    w
+  }
+
+  /** Margins of a [[perceptronTrain]] model over a corpus: one row per
+    * doc `(id, margin, pred)` — the same slim feature join as training
+    * (docs outside the model's vocabulary score 0, pred = false).
+    */
+  def perceptronScore(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, dim: Int = 256): DataFrame = {
+    val feats = hashedFeatures(df, idCol, textCol, dim)
+    val margins = feats
+      .join(model.select(col("f"), col("w")), "f")
+      .groupBy(col("id")).agg(sum(col("cnt") * col("w")).as("margin"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(margins, Seq("id"), "left")
+      .select(col("id"), coalesce(col("margin"), lit(0L)).as("margin"))
+      .withColumn("pred", col("margin") > 0)
+  }
+
   /** Krippendorff's α, nominal data (Krippendorff 2004) — the agreement
     * coefficient for RAGGED annotation tables, where [[fleissKappaMicro]]'s
     * fixed-n precondition fails: raters may skip items, so items carry

@@ -243,6 +243,20 @@ object CurationOps extends QueryPack {
       Classifier.naiveBayesSelfScore(t(s, dir).documents, "doc_id", "text",
         col("lang") === "en")),
 
+    // ---- batch perceptron over hashed features: the TRAINED linear
+    //      classifier complement to quality_nb — integer weights, every
+    //      round a commutative sum over misclassified docs, so the
+    //      distributed fit is exact and the whole 3-round trajectory
+    //      replays as a closed-form CTE chain ----
+    "quality_perceptron" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+        .withColumn("is_en", col("lang") === "en")
+      val model = Classifier.perceptronTrain(docs, "doc_id", "text",
+        "is_en", dim = PerceptronDim, iterations = PerceptronRounds)
+      Classifier.perceptronScore(docs, model, "doc_id", "text",
+        dim = PerceptronDim)
+    }),
+
     // ---- classifier margins stratified CCNet-style: per-language
     //      terciles over the exact NB margin (head = most classifier-
     //      positive third) ----
@@ -779,6 +793,7 @@ object CurationOps extends QueryPack {
     "mixture_alpha" -> alphaSql,
     "mixture_alpha_select" -> alphaSelectSql,
     "quality_nb" -> nbSql,
+    "quality_perceptron" -> perceptronSql,
     "quality_nb_buckets" -> nbBucketsSql,
     "pipeline_curate2" -> pipeline2Sql,
     "unigram_vocab" -> unigramVocabSql,
@@ -1098,6 +1113,52 @@ object CurationOps extends QueryPack {
        |  CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces,
        |  CAST(sum(coalesce(nllw, 0)) AS BIGINT) AS nll_micro
        |FROM alltok LEFT JOIN uenc USING (word) GROUP BY 1""".stripMargin
+  }
+
+  private val PerceptronDim = 64
+  private val PerceptronRounds = 3
+
+  /** Batch-perceptron oracle: the full training trajectory in closed
+    * form. From w = 0 every doc is mistaken (y·0 ≤ 0), so round 1's
+    * weight table is one aggregation; each later round is margins →
+    * mistake set → delta → weight merge, replayed verbatim. Feature
+    * hashing is the 40-bit md5 nibble decode folded mod dim — identical
+    * collisions on both engines.
+    */
+  private def perceptronSql: String = {
+    val hexDecode =
+      """CAST(list_sum(list_transform(range(1, 11), j ->
+        |  CAST(strpos('0123456789abcdef', substr(hx, j, 1)) - 1 AS BIGINT)
+        |  * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT)""".stripMargin
+    val rounds = (2 to PerceptronRounds).map { tIdx =>
+      s"""m$tIdx AS (SELECT doc_id, CAST(sum(cnt * wv) AS BIGINT) AS margin
+         |  FROM feat JOIN w${tIdx - 1} USING (f) GROUP BY 1),
+         |mi$tIdx AS (SELECT lab.doc_id, y
+         |  FROM lab LEFT JOIN m$tIdx USING (doc_id)
+         |  WHERE coalesce(margin, 0) * y <= 0),
+         |d$tIdx AS (SELECT f, CAST(sum(y * cnt) AS BIGINT) AS d
+         |  FROM feat JOIN mi$tIdx USING (doc_id) GROUP BY 1),
+         |w$tIdx AS MATERIALIZED (SELECT f, wv + coalesce(d, 0) AS wv
+         |  FROM w${tIdx - 1} LEFT JOIN d$tIdx USING (f))""".stripMargin
+    }
+    s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    unnest($DuckToks) AS token FROM documents),
+       |fh AS (SELECT doc_id, substr(md5(token), 1, 10) AS hx FROM tok),
+       |feat AS MATERIALIZED (SELECT doc_id,
+       |    ($hexDecode) % $PerceptronDim AS f,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM fh GROUP BY 1, 2),
+       |lab AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+       |w1 AS MATERIALIZED (SELECT f, CAST(sum(y * cnt) AS BIGINT) AS wv
+       |  FROM feat JOIN lab USING (doc_id) GROUP BY 1),
+       |${rounds.mkString(",\n")},
+       |mf AS (SELECT doc_id, CAST(sum(cnt * wv) AS BIGINT) AS margin
+       |  FROM feat JOIN w$PerceptronRounds USING (f) GROUP BY 1)
+       |SELECT lab.doc_id AS id,
+       |  CAST(coalesce(margin, 0) AS BIGINT) AS margin,
+       |  coalesce(margin, 0) > 0 AS pred
+       |FROM lab LEFT JOIN mf USING (doc_id)""".stripMargin
   }
 
   /** Naive Bayes margin oracle: the identical count model and staged-log

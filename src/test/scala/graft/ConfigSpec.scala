@@ -955,6 +955,24 @@ class ConfigSpec extends SparkSpec {
     assert(rl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("declared perceptron_filter op: filter and annotate modes") {
+    import spark.implicits._
+    val docs = Seq((1L, "good good", true), (2L, "bad", false))
+      .toDF("doc_id", "text", "lbl")
+    val kept = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "perceptron_filter",
+        cols = Seq("doc_id", "text"), expr = Some("lbl"))))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    val ann = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "perceptron_filter",
+        cols = Seq("doc_id", "text"), expr = Some("lbl"),
+        name = Some("annotate"))))
+    assert(ann.columns.toSet ===
+      Set("doc_id", "text", "lbl", "margin", "pred"))
+    assert(ann.count() === 2L)
+  }
+
   test("declared shard_manifest op") {
     import spark.implicits._
     val docs = Seq((0L, 1L, "a b"), (0L, 2L, "c"), (1L, 3L, "d e f"))

@@ -126,6 +126,47 @@ class ClassifierSpec extends SparkSpec {
     assert(e.getMessage.contains("same number of ratings"))
   }
 
+  test("perceptron: separable convergence, collision arithmetic, layout independence") {
+    import spark.implicits._
+    // separable, big dim → no collisions: round 1 marks everything
+    // mistaken, w picks up +1 on "good"'s bucket and −1 on "bad"'s;
+    // round 2 has no mistakes, so the model is already stable
+    val docs = Seq((1L, "good", true), (2L, "bad", false))
+      .toDF("doc_id", "text", "is_en")
+    val model = Classifier.perceptronTrain(docs, "doc_id", "text", "is_en",
+      dim = 1024, iterations = 3)
+    val scored = Classifier.perceptronScore(docs, model, "doc_id", "text",
+      dim = 1024).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(scored === Map(1L -> ((1L, true)), 2L -> ((-1L, false))))
+    // dim = 1 forces total collision — the fit oscillates, and the exact
+    // integer trajectory is hand-checkable: w1 = 2−1 = 1 (all mistaken);
+    // round 2 margins (2, 1) → only doc 2 mistaken → w2 = 0; round 3
+    // margins (0, 0) → all mistaken again → w3 = 1
+    val clash = Seq((1L, "a a", true), (2L, "b", false))
+      .toDF("doc_id", "text", "is_en")
+    val w3 = Classifier.perceptronTrain(clash, "doc_id", "text", "is_en",
+      dim = 1, iterations = 3).collect()
+    assert(w3.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    // batch updates are commutative sums → partitioning never changes
+    // the model
+    val wide = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3}", i % 2 == 0))
+      .toDF("doc_id", "text", "is_en")
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      Classifier.perceptronTrain(df, "doc_id", "text", "is_en",
+        dim = 16, iterations = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fit(wide.repartition(1)) === fit(wide.repartition(13)))
+    // the margin-overflow guard refuses loudly (bound parameterized so
+    // the trip is testable — the PageRank maxNodes pattern)
+    val e = intercept[IllegalArgumentException] {
+      Classifier.perceptronTrain(clash, "doc_id", "text", "is_en",
+        dim = 4, iterations = 3, maxMarginBound = 10L)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
   test("krippendorffAlphaMicro: hand values, missing data, conventions") {
     import spark.implicits._
     def alpha(rows: Seq[(String, String)]) =
