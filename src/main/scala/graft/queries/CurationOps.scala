@@ -371,6 +371,25 @@ object CurationOps extends QueryPack {
         Tokenizer.unigramPieces(docs, "text", UnigramV, UnigramL), UnigramL)
     }),
 
+    // ---- tokenizer FERTILITY per language (Rust et al. 2021): subword
+    //      pieces per whitespace word under the trained unigram
+    //      tokenizer, the multilingual-tokenizer-equity audit. Rides the
+    //      per-doc encode totals — one language-keyed aggregation on
+    //      top, exact integer ratio in micro units ----
+    "tok_fertility" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val enc = Tokenizer.unigramEncodeCounts(docs, "doc_id", "text",
+        Tokenizer.unigramPieces(docs, "text", UnigramV, UnigramL), UnigramL)
+      enc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("lang"), col("n_words").cast("long").as("n_words"),
+          col("n_pieces").cast("long").as("n_pieces"),
+          expr("(n_pieces * 1000000) DIV n_words").cast("long")
+            .as("fertility_micro"))
+    }),
+
     // ---- WordPiece vocabulary (completing the BPE / unigram / WordPiece
     //      trio): top-V whole words + frequent prefixes + ##-continuation
     //      internal substrings ----
@@ -798,6 +817,16 @@ object CurationOps extends QueryPack {
     "pipeline_curate2" -> pipeline2Sql,
     "unigram_vocab" -> unigramVocabSql,
     "unigram_encode" -> unigramEncodeSql,
+
+    // fertility = the same unrolled-DP encode totals, re-aggregated per
+    // language (WITH-in-subquery keeps the shared chain verbatim)
+    "tok_fertility" ->
+      s"""SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST((sum(n_pieces) * 1000000) // sum(n_words) AS BIGINT)
+         |    AS fertility_micro
+         |FROM ($unigramEncodeSql) enc JOIN documents USING (doc_id)
+         |GROUP BY lang""".stripMargin,
     "wordpiece_vocab" -> wordpieceVocabSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
     "pipeline_sft" -> pipelineSftSql,
