@@ -343,12 +343,26 @@ object Classifier extends Serializable {
     */
   def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 256, iterations: Int = 3,
+      maxMarginBound: Long = 8000000000000000000L): DataFrame =
+    perceptronTrainOnFeatures(
+      hashedFeatures(df, idCol, textCol, dim),
+      df.select(col(idCol).cast("long").as("id"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("y")),
+      iterations, maxMarginBound)
+
+  /** The fit over pre-built feature/label state — `feats` = (id, f, cnt),
+    * `lab` = (id, y ∈ {−1, +1}). This is the entry point for continuous
+    * ingestion: labeled feature counts are ADDITIVE across disjoint
+    * batches (unlike the fitted weights), so a streaming loop persists
+    * them and refits from the merged state.
+    */
+  def perceptronTrainOnFeatures(featsIn: DataFrame, labIn: DataFrame,
+      iterations: Int = 3,
       maxMarginBound: Long = 8000000000000000000L): DataFrame = {
     require(iterations >= 1, "perceptronTrain: iterations must be >= 1")
-    val feats = hashedFeatures(df, idCol, textCol, dim).localCheckpoint()
-    val lab = df.select(col(idCol).cast("long").as("id"),
-      when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("y"))
+    val feats = featsIn.select(col("id"), col("f"), col("cnt"))
       .localCheckpoint()
+    val lab = labIn.select(col("id"), col("y")).localCheckpoint()
     val totTok = feats.agg(coalesce(sum(col("cnt")), lit(0L)))
       .head().getLong(0)
     require(totTok > 0, "perceptronTrain: empty corpus")
@@ -376,6 +390,32 @@ object Classifier extends Serializable {
       i += 1
     }
     w
+  }
+
+  /** Labeled feature evidence as ADDITIVE (key, cnt) rows for the shared
+    * base/delta ingest engine: key = "y id f" (space-separated — ids and
+    * buckets are numeric, so the key is unambiguous). Disjoint batches
+    * produce disjoint id sets, so merging is a plain count-sum union and
+    * the merged state equals [[hashedFeatures]] of the union corpus.
+    */
+  def toPerceptronState(df: DataFrame, idCol: String, textCol: String,
+      labelExpr: Column, dim: Int): DataFrame =
+    hashedFeatures(df, idCol, textCol, dim)
+      .join(df.select(col(idCol).cast("long").as("id"),
+        when(labelExpr.cast("boolean"), 1L).otherwise(-1L).as("y")), "id")
+      .select(concat_ws(" ", col("y"), col("id"), col("f")).as("key"),
+        col("cnt"))
+
+  /** Decode [[toPerceptronState]] rows back to the (feats, lab) pair
+    * [[perceptronTrainOnFeatures]] consumes. */
+  def fromPerceptronState(state: DataFrame): (DataFrame, DataFrame) = {
+    val parts = state.select(
+      split(col("key"), " ").getItem(0).cast("long").as("y"),
+      split(col("key"), " ").getItem(1).cast("long").as("id"),
+      split(col("key"), " ").getItem(2).cast("long").as("f"),
+      col("cnt"))
+    (parts.select(col("id"), col("f"), col("cnt")),
+      parts.select(col("id"), col("y")).distinct())
   }
 
   /** Margins of a [[perceptronTrain]] model over a corpus: one row per

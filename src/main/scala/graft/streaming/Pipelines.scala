@@ -628,6 +628,40 @@ object Pipelines {
       Classifier.mergeKeyedModels)
   }
 
+  /** Continuous batch-perceptron quality classification
+    * ([[graft.llm.Classifier.perceptronTrainOnFeatures]], streaming
+    * form): the fitted weights are NOT additive across corpora (the
+    * mistake set depends on w), so the loop persists what IS additive —
+    * labeled hashed-feature counts, "y id f"-keyed over the shared
+    * base/delta engine — and REFITS from the merged state each batch.
+    * A fresh batch therefore scores exactly as the batch operator
+    * trained on the union corpus (StreamingSpec proves the equality);
+    * already-scored batches are immutable as in every ingest loop.
+    * Per-batch refit cost grows with the accumulated feature state —
+    * the price of exact batch-parity for a non-additive model; the
+    * state is slim integer rows, never text.
+    */
+  def perceptronScoreIngest(stream: DataFrame, idCol: String,
+      textCol: String, labelExpr: String, scoresDir: String,
+      indexDir: String, checkpointDir: String, dim: Int = 256,
+      iterations: Int = 3, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Classifier
+    indexedIngest(stream, idCol, textCol, scoresDir, indexDir,
+      checkpointDir, compactEvery, "key", "cnt",
+      (idx, fresh) => {
+        val freshIdx = Classifier.toPerceptronState(fresh, idCol, textCol,
+          expr(labelExpr), dim).localCheckpoint()
+        val merged = Classifier.mergeKeyedModels(idx, freshIdx)
+        val (feats, lab) = Classifier.fromPerceptronState(merged)
+        val model = Classifier.perceptronTrainOnFeatures(feats, lab,
+          iterations)
+        (Classifier.perceptronScore(fresh, model, idCol, textCol, dim),
+          freshIdx)
+      },
+      Classifier.mergeKeyedModels)
+  }
+
   /** The accumulated keyed NB model at `indexDir` (written by
     * [[nbScoreIngest]]): class-prefixed (key, cnt) rows; decode with
     * [[graft.llm.Classifier.fromKeyedModel]]. Empty frame if empty.

@@ -992,6 +992,40 @@ class StreamingSpec extends SparkSpec {
     assert(full(Retrieval.TokenCountKey) === 14L)
   }
 
+  test("perceptronScoreIngest: batch margins equal a refit on the union corpus") {
+    import graft.llm.Classifier
+    val base = java.nio.file.Files.createTempDirectory("graft_pc").toString
+    val label = "text LIKE '%good%'"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.perceptronScoreIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", label,
+      s"$base/scores", s"$base/index", s"$base/ckpt", dim = 32,
+      iterations = 3, compactEvery = 2)
+    val b0 = Seq((1L, "good clean prose"), (2L, "buy spam now"))
+    val b1 = Seq((3L, "spam spam buy"), (4L, "buy now good"))
+    val b2 = Seq((5L, "fresh good words"), (6L, "buy spam"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def sset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"margin", $"pred").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val out = spark.read.parquet(s"$base/scores")
+    def score(docs: Seq[(Long, String)], trainOver: Seq[(Long, String)]) = {
+      val tr = trainOver.toDF("doc_id", "text")
+        .withColumn("y", org.apache.spark.sql.functions.expr(label))
+      Classifier.perceptronScore(docs.toDF("doc_id", "text"),
+        Classifier.perceptronTrain(tr, "doc_id", "text", "y", dim = 32,
+          iterations = 3),
+        "doc_id", "text", dim = 32)
+    }
+    // every batch scores exactly as a fresh fit on the union-so-far
+    assert(sset(out.filter($"batch" === 0)) === sset(score(b0, b0)))
+    assert(sset(out.filter($"batch" === 1)) === sset(score(b1, b0 ++ b1)))
+    assert(sset(out.filter($"batch" === 2)) ===
+      sset(score(b2, b0 ++ b1 ++ b2)))
+  }
+
   test("nbScoreIngest: batch margins equal the batch operator over the union corpus") {
     import graft.llm.Classifier
     val base = java.nio.file.Files.createTempDirectory("graft_nb").toString
