@@ -183,6 +183,45 @@ object TextOps {
     }
   }
 
+  /** Unicode-script audit classes: (name, Java regex class, RE2 class) —
+    * the multilingual-pipeline script-detection step (mixed-script docs
+    * are a mojibake/spam signal; per-script corpus shares gate mixture
+    * design). Script properties match Unicode Script=X on both engines
+    * (letters only — spaces/digits are script Common); `digit` is the
+    * one explicit ASCII class.
+    */
+  val ScriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("hebrew", "\\p{IsHebrew}", "\\p{Hebrew}"),
+    ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("digit", "[0-9]", "[0-9]"))
+
+  /** Per-script character counts: chars-in-class = len − len(stripped),
+    * one map-only expression per class (no arrays). */
+  def scriptCounts(c: Column): Seq[(String, Column)] =
+    ScriptClasses.map { case (name, javaCls, _) =>
+      name -> (length(c) - length(regexp_replace(c, javaCls, "")))
+        .cast("long")
+    }
+
+  /** Dominant WRITING script (digits excluded): argmax of script counts
+    * with fixed preference order on ties — 'none' when no script
+    * character appears (the [[langId]] fold shape).
+    */
+  def dominantScript(c: Column): Column = {
+    val scores = scriptCounts(c).filter(_._1 != "digit")
+    scores.foldRight(lit("none"): Column) { case ((n, s), rest) =>
+      when(s > 0 &&
+          scores.filter(_._1 != n).map(o => s >= o._2).reduce(_ && _),
+        lit(n)).otherwise(rest)
+    }
+  }
+
   /** Quality-score components: char length, token count, mean word length,
     * punctuation ratio, stopword ratio — all per-row IEEE arithmetic,
     * engine-deterministic.

@@ -500,6 +500,18 @@ object LlmOps extends QueryPack {
         (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           size(TextOps.tokens(col("text")))).as("mean_word_len"))),
 
+    // ---- Unicode-script audit (the Dolma/ROOTS multilingual step):
+    //      per-script character counts + dominant writing script. Pure
+    //      length-difference expressions — map-only at any scale; mixed-
+    //      script docs are the classic mojibake/spam signal ----
+    "text_scripts" -> ((s, dir) => {
+      val cnts = TextOps.scriptCounts(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir).documents.select(
+        col("doc_id") +: length(col("text")).cast("long").as("n_chars") +:
+          cnts :+ TextOps.dominantScript(col("text")).as("dominant"): _*)
+    }),
+
     // ---- within-doc repetition signals (Gopher-style quality filters):
     //      type-token ratio + duplicate-bigram fraction. Pure Column
     //      expressions — map-only, zero exchanges at any scale. ----
@@ -1201,6 +1213,32 @@ object LlmOps extends QueryPack {
        |    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
        |  WHERE jac >= 0.5
        |)""".stripMargin
+  /** The text_scripts oracle, generated from [[TextOps.ScriptClasses]]
+    * so the class list and tie order can never drift between engines:
+    * counts once in a subquery, dominant as the same foldRight CASE
+    * over the named columns.
+    */
+  private def scriptsSql: String = {
+    val cls = graft.llm.TextOps.ScriptClasses
+    val cnts = cls.map { case (n, _, re2) =>
+      s"    CAST(length(text) - length(regexp_replace(text, '$re2', '', " +
+        s"'g')) AS BIGINT) AS $n"
+    }.mkString(",\n")
+    val scripts = cls.filter(_._1 != "digit").map(_._1)
+    val dom = scripts.foldRight("'none'") { (n, rest) =>
+      val ge = scripts.filter(_ != n).map(o => s"$n >= $o")
+        .mkString(" AND ")
+      s"CASE WHEN $n > 0 AND $ge THEN '$n' ELSE $rest END"
+    }
+    s"""WITH sc AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |$cnts
+       |  FROM documents)
+       |SELECT doc_id, n_chars, ${cls.map(_._1).mkString(", ")},
+       |  $dom AS dominant
+       |FROM sc""".stripMargin
+  }
+
   /** Token-truncation depth shared by the dedup_rougel query and its
     * unrolled-DP oracle — both sides see exactly the first RougeK
     * whitespace tokens, so the SQL replay needs exactly RougeK stages.
@@ -1948,6 +1986,10 @@ object LlmOps extends QueryPack {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($DuckToks) AS mean_word_len
          |FROM documents""".stripMargin,
+
+    // same length-difference counts via RE2's script classes; the
+    // dominant CASE replays the fixed tie order over the named columns
+    "text_scripts" -> scriptsSql,
 
     "text_repetition" ->
       s"""SELECT doc_id,

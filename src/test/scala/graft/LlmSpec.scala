@@ -348,6 +348,28 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq("en", "de", "es", "fr"))
   }
 
+  test("scriptCounts/dominantScript: planted multiscript texts") {
+    val df = Seq(
+      "Привет мир",      // pure Cyrillic
+      "hello 世界 123",   // Latin-dominant with Han + digits
+      "ab АБ",           // latin/cyrillic tie → list order wins
+      "12345",           // digits only → no writing script
+      "مرحبا שלום"       // Arabic + Hebrew, Arabic longer
+    ).toDF("text")
+    val m = TextOps.scriptCounts($"text").toMap
+    val got = df.select(m("latin").as("la"), m("cyrillic").as("cy"),
+      m("han").as("ha"), m("arabic").as("ar"), m("hebrew").as("he"),
+      m("digit").as("di"),
+      TextOps.dominantScript($"text").as("dom")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(got(0) === ((0L, 9L, 0L, 0L, 0L, 0L, "cyrillic")))
+    assert(got(1) === ((5L, 0L, 2L, 0L, 0L, 3L, "latin")))
+    assert(got(2) === ((2L, 2L, 0L, 0L, 0L, 0L, "latin")))
+    assert(got(3) === ((0L, 0L, 0L, 0L, 0L, 5L, "none")))
+    assert(got(4) === ((0L, 0L, 0L, 5L, 4L, 0L, "arabic")))
+  }
+
   test("Mixture.resampleToMixture: exact target proportions, equals plain rank") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, sf0001).documents
