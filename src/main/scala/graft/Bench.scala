@@ -161,7 +161,12 @@ object Bench {
     "text_vocab_topk" -> "xv",
     "text_vocab_topk_mg" -> "xm",
     "token_budget" -> "tb",
-    "quality_gate" -> "qg")
+    "quality_gate" -> "qg",
+    "label_krippendorff" -> "lkr",
+    "dedup_rougel" -> "drg",
+    "quality_perceptron" -> "qp",
+    "tok_fertility" -> "tfr",
+    "text_scripts" -> "xs")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

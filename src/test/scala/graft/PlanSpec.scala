@@ -347,4 +347,32 @@ class PlanSpec extends SparkSpec {
     assert(nExchanges(p) === 1, p.take(800))
     assert(p.contains("partial_"), p.take(800))
   }
+
+  test("text_scripts is map-only: zero exchanges, zero joins") {
+    val p = plan("text_scripts")
+    assert(nExchanges(p) === 0, p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("dedup_rougel: broadcast suite + map-only corpus pass — no join operator at all") {
+    // the reference pool rides a driver-collected broadcast inside the
+    // kernel, so the PLAN has no join node and no corpus-keyed exchange
+    // (only the ensureParallelism repartition of the scan may appear)
+    val p = plan("dedup_rougel")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("quality_perceptron: training rounds are hash joins, never cartesian") {
+    val p = plan("quality_perceptron")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("label_krippendorff and tok_fertility: slim keyed aggregations, no cartesian") {
+    Seq("label_krippendorff", "tok_fertility").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+  }
 }
