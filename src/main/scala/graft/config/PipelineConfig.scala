@@ -718,6 +718,13 @@ object PipelineConfig {
             case _ => sys.error("fleiss needs cols = [itemCol, labelCol]")
           }
           graft.llm.Classifier.fleissKappaMicro(d, ic, lc)
+        // shuffle-skew diagnostics: REPLACES the frame with the 1-row
+        // (n_rows, n_keys, max_count, min_count, mean_count_micro,
+        // top1_share_micro, gini_micro) report over the named key
+        // columns. cols = key columns
+        case "skew_report" =>
+          require(t.cols.nonEmpty, "skew_report needs cols = key columns")
+          graft.etl.Profile.skewReport(d, t.cols)
         // Krippendorff's α (nominal): the ragged-table agreement report —
         // REPLACES the frame with the 1-row (n_items, n_ratings, m_kinds,
         // alpha_micro) panel. cols = [itemCol, labelCol]

@@ -93,4 +93,60 @@ object Profile extends Serializable {
         col("dv_b").as("baseline"), col("dv_c").as("current"))
     nullDrift.unionByName(ndvDrift)
   }
+
+  /** Join/aggregation-key SKEW diagnostics — the report that says whether
+    * a planned `groupBy`/`join` on `keyCols` will melt a shuffle at scale
+    * and salting is warranted, BEFORE the job runs. One row:
+    *
+    *   (n_rows, n_keys, max_count, min_count, mean_count_micro,
+    *    top1_share_micro, gini_micro)
+    *
+    * `gini_micro` is the exact Gini coefficient of the per-key count
+    * distribution (0 = perfectly even, → 1 = one key owns everything),
+    * computed with the rank identity G = (2·Σᵢ i·cᵢ − (K+1)·ΣC) / (K·ΣC)
+    * over counts sorted ascending — all integer: DECIMAL(38,0) products,
+    * explicit-pmod floor. Ties need no ordering contract: a tie block
+    * occupies a fixed contiguous rank range, so Σ i·cᵢ is invariant
+    * under any internal order (both engines may rank ties freely and
+    * still agree).
+    *
+    * Scale shape: one key-count aggregation (map-side partial), the
+    * range-partitioned exact rank ([[Transforms.globalSortRank]] — never
+    * a single-partition window), and one 1-row total. NULL keys group as
+    * their own key (SQL GROUP BY semantics, both engines). Empty input
+    * refuses loudly — a skew report over nothing is a pipeline bug.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__sk_c"))
+      .select(col("__sk_c"))
+    val ranked = graft.etl.Transforms.globalSortRank(counts,
+      Seq(col("__sk_c")), rankCol = "__sk_i")
+    val dec = DecimalType(38, 0)
+    val agg = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      coalesce(sum(col("__sk_c")), lit(0L)).as("n_rows"),
+      coalesce(max(col("__sk_c")), lit(0L)).as("max_count"),
+      coalesce(min(col("__sk_c")), lit(0L)).as("min_count"),
+      coalesce(sum(col("__sk_i").cast(dec) * col("__sk_c").cast(dec)),
+        lit(0L).cast(dec)).as("__sk_a"))
+    val row = agg.head()
+    require(row.getLong(0) > 0, "skewReport: empty input")
+    def floorDiv(nm: Column, dn: Column): Column =
+      ((nm - pmod(nm, dn)) / dn).cast("long")
+    agg.select(
+      col("n_rows"), col("n_keys"), col("max_count"), col("min_count"),
+      floorDiv(col("n_rows").cast(dec) * lit(1000000L),
+        col("n_keys").cast(dec)).as("mean_count_micro"),
+      floorDiv(col("max_count").cast(dec) * lit(1000000L),
+        col("n_rows").cast(dec)).as("top1_share_micro"),
+      when(col("n_keys") === 1, lit(0L)).otherwise(
+        floorDiv(
+          (lit(2L).cast(dec) * col("__sk_a") -
+            (col("n_keys").cast(dec) + lit(1L)) * col("n_rows").cast(dec)) *
+            lit(1000000L),
+          col("n_keys").cast(dec) * col("n_rows").cast(dec)))
+        .as("gini_micro"))
+  }
 }

@@ -505,6 +505,14 @@ object Relational extends QueryPack {
     //      min / max in ONE pass over lineitem (etl.Profile) ----
     "q36_profile" -> ((s, dir) => Profile.profile(t(s, dir).lineitem)),
 
+    // ---- shuffle-skew diagnostics on a join key: exact Gini of the
+    //      per-key count distribution plus max/mean/top-share — the
+    //      "will this groupBy melt at 100 TB, do I salt" report, rank
+    //      via the range-partitioned globalSortRank (never a
+    //      single-partition window) ----
+    "q39_skew" -> ((s, dir) =>
+      Profile.skewReport(t(s, dir).lineitem, Seq("l_suppkey"))),
+
     // ---- cohort retention: users bucketed by first-event week, activity
     //      counted at week offsets — integer micros div keeps the offset
     //      engine-exact. Two shuffles, both on slim keys (user; cohort) ----
@@ -581,6 +589,30 @@ object Relational extends QueryPack {
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+
+    // the skew report replayed: same count/rank identity; ties need no
+    // ordering contract (a tie block's rank range is fixed, so Σ i·cᵢ is
+    // invariant under any internal order)
+    "q39_skew" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+        |  GROUP BY l_suppkey),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS HUGEINT)
+        |    AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_count,
+        |    CAST(min(c) AS BIGINT) AS min_count,
+        |    CAST(sum(i * c) AS HUGEINT) AS s_ic FROM r)
+        |SELECT n_rows, n_keys, max_count, min_count,
+        |  CAST((CAST(n_rows AS HUGEINT) * 1000000) // n_keys AS BIGINT)
+        |    AS mean_count_micro,
+        |  CAST((CAST(max_count AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+        |    AS top1_share_micro,
+        |  CAST(CASE WHEN n_keys = 1 THEN 0
+        |       ELSE ((2 * s_ic - (CAST(n_keys AS HUGEINT) + 1) * n_rows)
+        |             * 1000000) // (CAST(n_keys AS HUGEINT) * n_rows)
+        |       END AS BIGINT) AS gini_micro
+        |FROM a""".stripMargin,
 
     "q37_retention" ->
       """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),

@@ -303,6 +303,27 @@ object ScaleProbe {
               explode(split(col("text"), " ")).as("tok"))
               .withColumn("grp", pmod(col("doc_id"), lit(8))),
             "grp", col("tok")).count()
+        },
+        time("rouge_vs_ref", n) {
+          // fixed 500-item reference suite (24-token prefixes) vs the
+          // growing corpus (48-token prefixes): the suite broadcasts,
+          // the pass is map-only, and the overlap bound gates each DP —
+          // wall must track the corpus scan; a superlinear ratio would
+          // mean the prune stopped rejecting far pairs
+          val tokOf = (d: DataFrame, k: Int) => d.select(col("doc_id"),
+            slice(split(col("text"), " "), 1, k).as("toks"))
+          val ref = tokOf(docs.filter(pmod(col("doc_id"), lit(100)) === 3 &&
+            col("doc_id") < 50000L), 24)
+          Dedup.rougeLVsReference(tokOf(docs, 48), ref, "doc_id", "toks",
+            "doc_id", "toks").count()
+        },
+        time("perceptron_fit", n) {
+          // 3 rounds × (one feature-vs-weights hash join + two keyed
+          // aggs) over slim integer rows; the weight table is ≤dim rows
+          // at any corpus size — wall must track token volume
+          val lab = docs.withColumn("y", pmod(col("doc_id"), lit(10)) === 0)
+          graft.llm.Classifier.perceptronTrain(lab, "doc_id", "text", "y",
+            dim = 4096, iterations = 3).count()
         }).toMap
     }
 

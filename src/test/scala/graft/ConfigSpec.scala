@@ -955,6 +955,17 @@ class ConfigSpec extends SparkSpec {
     assert(rl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("declared skew_report op") {
+    import spark.implicits._
+    val r = PipelineConfig.applyTransforms(
+      Seq("a", "b", "c", "c").toDF("k"),
+      Seq(PipelineConfig.TransformConf(op = "skew_report",
+        cols = Seq("k"))))
+    assert(r.columns.toSeq === Seq("n_rows", "n_keys", "max_count",
+      "min_count", "mean_count_micro", "top1_share_micro", "gini_micro"))
+    assert(r.head().getLong(6) === 166666L)
+  }
+
   test("declared perceptron_filter op: filter and annotate modes") {
     import spark.implicits._
     val docs = Seq((1L, "good good", true), (2L, "bad", false))

@@ -50,4 +50,26 @@ class ProfileSpec extends SparkSpec {
       Profile.profile(df, Seq("nope"))
     }
   }
+
+  test("skewReport: hand Gini, even distribution, single key, NULL key, empty guard") {
+    import spark.implicits._
+    def report(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      Profile.skewReport(df, keys).head().toSeq.map(_.asInstanceOf[Long])
+    // counts {a:1, b:1, c:2}: sorted [1,1,2] → Σi·c = 9,
+    // G = (18 − 16)/12 = 1/6; mean = 4e6/3; top1 = 2e6/4
+    assert(report(Seq("a", "b", "c", "c").toDF("k"), Seq("k")) ===
+      Seq(4L, 3L, 2L, 1L, 1333333L, 500000L, 166666L))
+    // perfectly even {x:2, y:2} → Gini 0
+    assert(report(Seq("x", "x", "y", "y").toDF("k"), Seq("k"))(6) === 0L)
+    // a single key is trivially even
+    assert(report(Seq("z", "z").toDF("k"), Seq("k")) ===
+      Seq(2L, 1L, 2L, 2L, 2000000L, 1000000L, 0L))
+    // NULL keys group as their own key
+    assert(report(Seq(Some("a"), None, None).toDF("k"), Seq("k"))(1) === 2L)
+    // empty input refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Profile.skewReport(Seq.empty[String].toDF("k"), Seq("k"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
