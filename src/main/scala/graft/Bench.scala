@@ -166,7 +166,8 @@ object Bench {
     "dedup_rougel" -> "drg",
     "quality_perceptron" -> "qp",
     "tok_fertility" -> "tfr",
-    "text_scripts" -> "xs")
+    "text_scripts" -> "xs",
+    "sel_ess" -> "ses")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

@@ -116,6 +116,27 @@ object Profile extends Serializable {
     * their own key (SQL GROUP BY semantics, both engines). Empty input
     * refuses loudly — a skew report over nothing is a pipeline bug.
     */
+  /** The ACTIONABLE half of [[skewReport]]: per-heavy-key salting plan.
+    * Keys whose row count exceeds `targetPerKey` get
+    * `salt_factor = ceil(count / targetPerKey)` — the fan-out to append
+    * (`pmod(hash, salt_factor)`) on the build side and explode on the
+    * probe side so no single shuffle partition receives more than
+    * ~targetPerKey rows of that key. Output is heavy-keys-only (empty =
+    * no salting needed); integer ceil-div, exact on any engine.
+    */
+  def saltPlan(df: DataFrame, keyCols: Seq[String],
+      targetPerKey: Long): DataFrame = {
+    require(keyCols.nonEmpty, "saltPlan needs at least one key column")
+    require(targetPerKey > 0, s"targetPerKey must be positive, got " +
+      s"$targetPerKey")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetPerKey)
+      .select(keyCols.map(col) :+ col("n_rows") :+
+        expr(s"(n_rows + ${targetPerKey - 1}) DIV $targetPerKey")
+          .as("salt_factor"): _*)
+  }
+
   def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewReport needs at least one key column")
     val counts = df.groupBy(keyCols.map(col): _*)

@@ -395,4 +395,42 @@ object Selection extends Serializable {
       .select(col(idCol), col("priority_micro"), col("sel_rank"))
     df.join(kept, Seq(idCol))
   }
+
+  /** Effective-sample-size diagnostic for a weighted-sampling design
+    * (Kish 1965): per group, `ess = (Σw)² / Σw²` rows "effectively"
+    * contribute when rows are drawn proportionally to integer weight
+    * `w` — reported as the normalized fraction
+    * `ess_micro = floor(10⁶ · (Σw)² / (n · Σw²))` (10⁶ = perfectly even
+    * weights, → 0 = one row dominates). The degeneracy gate to run
+    * BEFORE [[weightedSampleK]] / a temperature mixture commits to a
+    * weighting. All-zero-weight groups pin 0 (nothing would be drawn);
+    * negative weights refuse loudly (not a sampling design). Exact
+    * DECIMAL(38,0) rational with the explicit-pmod floor; one
+    * partial-agg'd shuffle of (group, w, w²).
+    */
+  def essReport(df: DataFrame, weightCol: Column,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = weightCol.cast("long")
+    val base = df.select(groupCols.map(col) :+ w.as("__ess_w"): _*)
+    val neg = base.filter(col("__ess_w") < 0).limit(1).count()
+    require(neg == 0,
+      "essReport: negative weights — not a sampling design; clamp or " +
+        "shift upstream")
+    val grouped =
+      if (groupCols.isEmpty) base.groupBy()
+      else base.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__ess_w").cast(dec)), lit(0L).cast(dec))
+          .as("__sw"),
+        coalesce(sum(col("__ess_w").cast(dec) * col("__ess_w").cast(dec)),
+          lit(0L).cast(dec)).as("__sw2"))
+      .select(groupCols.map(col) :+ col("n") :+
+        when(col("__sw2") === 0, lit(0L)).otherwise {
+          val nm = lit(1000000L).cast(dec) * col("__sw") * col("__sw")
+          val dn = col("n").cast(dec) * col("__sw2")
+          ((nm - pmod(nm, dn)) / dn).cast("long")
+        }.as("ess_micro"): _*)
+  }
 }

@@ -404,6 +404,15 @@ object LlmOps extends QueryPack {
           TextOps.qualityScore(col("text")).as("quality")),
         "source", col("quality"), "doc_id", n = 10)),
 
+    // ---- effective-sample-size (Kish) diagnostic for token-weighted
+    //      sampling, per language: the weight-degeneracy gate to run
+    //      before a weighted draw or temperature mixture commits ----
+    "sel_ess" -> ((s, dir) =>
+      Selection.essReport(
+        t(s, dir).documents.select(col("lang"),
+          TextOps.tokenCount(col("text")).as("w")),
+        col("w"), Seq("lang"))),
+
     // ---- quality-aware near-dedup: same components as dedup_apply, but
     //      the kept member of each family is the HIGHEST-quality one
     //      (ties → min id), not the minimum id ----
@@ -1866,6 +1875,21 @@ object LlmOps extends QueryPack {
          |    ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM q)
          |SELECT doc_id, lang FROM r WHERE cum <= 5000""".stripMargin,
+
+    // the Kish identity replayed over the same integer token weights,
+    // HUGEINT rational with the explicit floor
+    "sel_ess" ->
+      s"""WITH w AS (SELECT lang, CAST(len($DuckToks) AS BIGINT) AS w
+         |  FROM documents),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(w) AS HUGEINT) AS sw,
+         |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2
+         |  FROM w GROUP BY 1)
+         |SELECT lang, n,
+         |  CAST(CASE WHEN sw2 = 0 THEN 0
+         |       ELSE (1000000 * sw * sw) // (n * sw2) END AS BIGINT)
+         |    AS ess_micro
+         |FROM a""".stripMargin,
 
     "sel_cap_per_source" ->
       s"""WITH q AS (

@@ -513,6 +513,14 @@ object Relational extends QueryPack {
     "q39_skew" -> ((s, dir) =>
       Profile.skewReport(t(s, dir).lineitem, Seq("l_suppkey"))),
 
+    // ---- the actionable half: per-heavy-key salting plan (fan-out =
+    //      ceil(count/target)) for keys that would overload a shuffle
+    //      partition — heavy-keys-only output, integer ceil-div ----
+    "q40_saltplan" -> ((s, dir) =>
+      Profile.saltPlan(t(s, dir).lineitem.withColumn("l_suppkey",
+        col("l_suppkey").cast("long")), Seq("l_suppkey"),
+        targetPerKey = 600L)),
+
     // ---- cohort retention: users bucketed by first-event week, activity
     //      counted at week offsets — integer micros div keeps the offset
     //      engine-exact. Two shuffles, both on slim keys (user; cohort) ----
@@ -613,6 +621,12 @@ object Relational extends QueryPack {
         |             * 1000000) // (CAST(n_keys AS HUGEINT) * n_rows)
         |       END AS BIGINT) AS gini_micro
         |FROM a""".stripMargin,
+
+    "q40_saltplan" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST((count(*) + 599) // 600 AS BIGINT) AS salt_factor
+        |FROM lineitem GROUP BY 1 HAVING count(*) > 600""".stripMargin,
 
     "q37_retention" ->
       """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),

@@ -628,6 +628,29 @@ object Pipelines {
       Classifier.mergeKeyedModels)
   }
 
+  /** Continuous ROUGE-L SFT decontamination
+    * ([[graft.llm.Dedup.rougeLVsReference]], streaming form): each
+    * micro-batch is scored against a FIXED reference suite (an eval set
+    * or instruction pool — the decontamination contract), so the signal
+    * is per-document with no corpus state: streamed output is IDENTICAL
+    * to the batch operator over the union, the [[blocklistIngest]]
+    * guarantee. The suite re-broadcasts per batch from its parquet dir
+    * (suite updates between batches take effect on the next batch).
+    */
+  def rougeFlagIngest(stream: DataFrame, idCol: String, textCol: String,
+      refDir: String, outDir: String, checkpointDir: String,
+      thresholdMicro: Long = 700000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.{Dedup, TextOps}
+    statelessIngest(stream, idCol, textCol, outDir, checkpointDir, d => {
+      val ref = d.sparkSession.read.parquet(refDir)
+      Dedup.rougeLVsReference(
+        d.select(col(idCol), TextOps.tokens(col(textCol)).as("__rf_t")),
+        ref.select(col(idCol), TextOps.tokens(col(textCol)).as("__rf_t")),
+        idCol, "__rf_t", idCol, "__rf_t", thresholdMicro)
+    })
+  }
+
   /** Continuous batch-perceptron quality classification
     * ([[graft.llm.Classifier.perceptronTrainOnFeatures]], streaming
     * form): the fitted weights are NOT additive across corpora (the

@@ -348,6 +348,29 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq("en", "de", "es", "fr"))
   }
 
+  test("essReport: Kish identity by hand, degenerate and guard cases") {
+    def ess(rows: Seq[(String, Long)]) =
+      Selection.essReport(rows.toDF("g", "w"), $"w", Seq("g")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // even weights → 10⁶; (3,1) → 16/(2·10) = 0.8; one dominant weight
+    // (9,1) → 100/(2·82) → 609756; all-zero pins 0
+    val got = ess(Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 1L),
+      ("c", 9L), ("c", 1L), ("z", 0L), ("z", 0L)))
+    assert(got("a") === ((2L, 1000000L)))
+    assert(got("b") === ((2L, 800000L)))
+    assert(got("c") === ((2L, 609756L)))
+    assert(got("z") === ((2L, 0L)))
+    // ungrouped form: one global row
+    val g = Selection.essReport(Seq(1L, 1L, 1L, 1L).toDF("w"), $"w")
+      .head()
+    assert((g.getLong(0), g.getLong(1)) === ((4L, 1000000L)))
+    // negative weights are not a sampling design
+    val e = intercept[IllegalArgumentException] {
+      Selection.essReport(Seq(-1L).toDF("w"), $"w")
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
   test("scriptCounts/dominantScript: planted multiscript texts") {
     val df = Seq(
       "Привет мир",      // pure Cyrillic

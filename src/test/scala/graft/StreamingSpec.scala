@@ -992,6 +992,33 @@ class StreamingSpec extends SparkSpec {
     assert(full(Retrieval.TokenCountKey) === 14L)
   }
 
+  test("rougeFlagIngest: streamed flags equal the batch operator (stateless)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    Seq((900L, "the dog sat on the mat")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/ref")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.rougeFlagIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$base/ref",
+      s"$base/out", s"$base/ckpt")
+    val b0 = Seq((1L, "the cat sat on mat"), (2L, "unrelated words here"))
+    val b1 = Seq((3L, "the dog sat on the mat"))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable(); q.stop()
+    def fm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"best_ref_id", $"rouge_l_micro", $"flagged")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val streamed = fm(spark.read.parquet(s"$base/out"))
+    def tok(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", graft.llm.TextOps.tokens($"text").as("t"))
+    val batch = fm(graft.llm.Dedup.rougeLVsReference(
+      tok((b0 ++ b1).toDF("doc_id", "text")),
+      tok(spark.read.parquet(s"$base/ref")),
+      "doc_id", "t", "doc_id", "t"))
+    assert(streamed === batch)
+    assert(streamed(3L)._3 && !streamed(2L)._3)
+  }
+
   test("perceptronScoreIngest: batch margins equal a refit on the union corpus") {
     import graft.llm.Classifier
     val base = java.nio.file.Files.createTempDirectory("graft_pc").toString
