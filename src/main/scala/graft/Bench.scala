@@ -167,7 +167,8 @@ object Bench {
     "quality_perceptron" -> "qp",
     "tok_fertility" -> "tfr",
     "text_scripts" -> "xs",
-    "sel_ess" -> "ses")
+    "sel_ess" -> "ses",
+    "vocab_zipf" -> "vz")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

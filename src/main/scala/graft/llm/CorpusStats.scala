@@ -915,4 +915,48 @@ object CorpusStats extends Serializable {
       .groupBy(col("token"))
       .agg(max(col("freq")).as("freq"), min(col("cnt")).as("freq_est"))
   }
+
+  /** Zipf tail index of the vocabulary — the Hill (1975) MLE over the
+    * top-k token frequencies, the vocabulary-health diagnostic (a healthy
+    * natural-language corpus sits near α ≈ 1; boilerplate/spam floods
+    * flatten the head, template storms steepen it). With f₁ ≥ … ≥ f_k
+    * the k largest frequencies (ties at the boundary broken by token
+    * asc — deterministic on both engines):
+    *
+    *   hill_alpha_micro = floor(10¹² · k / Σᵢ floor(10⁶·ln(fᵢ/f_k)))
+    *
+    * Each log term is the engine-exact staged micro-ln
+    * ([[graft.functions.PortableMath.microLnSignedStages]], the BM25 idf
+    * convention: per-term floors, then exact integer division). A
+    * degenerate head (all top-k frequencies equal — Σ = 0) pins 0: no
+    * tail decay is measurable.
+    *
+    * Output: ONE row (k_eff, f_k, sum_ln_micro, hill_alpha_micro).
+    * Scale: one partial-agg'd vocabulary count, a TakeOrdered top-k, the
+    * staged-ln map over ≤ k rows, one 1-row total.
+    */
+  def zipfAlpha(df: DataFrame, textCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"zipfAlpha needs k >= 2, got $k")
+    val freqs = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(k)
+      .localCheckpoint()
+    val head = freqs.agg(count(lit(1)).as("ke"),
+      coalesce(min(col("freq")), lit(0L)).as("fk")).head()
+    val (kEff, fk) = (head.getLong(0), head.getLong(1))
+    require(kEff >= 2, s"zipfAlpha: vocabulary has $kEff tokens (< 2)")
+    val chain = graft.functions.PortableMath.microLnSignedStages(
+      "freq", "fk", graft.functions.PortableMath.sparkShiftLeft)
+    val withLp = chain.foldLeft(freqs.withColumn("fk", lit(fk))) {
+      case (acc, (n, s)) => acc.withColumn(n, expr(s))
+    }
+    withLp
+      .agg(coalesce(sum(col("lp")), lit(0L)).as("sum_ln_micro"))
+      .select(lit(kEff).as("k_eff"), lit(fk).as("f_k"),
+        col("sum_ln_micro"),
+        when(col("sum_ln_micro") === 0, lit(0L))
+          .otherwise(expr(s"(1000000000000 * $kEff) DIV sum_ln_micro"))
+          .as("hill_alpha_micro"))
+  }
 }

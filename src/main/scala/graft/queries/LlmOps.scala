@@ -685,6 +685,12 @@ object LlmOps extends QueryPack {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    // ---- Zipf tail index (Hill MLE over the top-64 frequencies): the
+    //      vocabulary-health diagnostic — staged engine-exact micro-ln
+    //      per term, one integer division at the top ----
+    "vocab_zipf" -> ((s, dir) =>
+      CorpusStats.zipfAlpha(t(s, dir).documents, "text", k = 64)),
+
     // ---- the same top-k through the Misra-Gries heavy-hitter path:
     //      per-partition m-counter sketches bound the shuffle to m rows
     //      per partition regardless of vocabulary size, and the output is
@@ -2483,6 +2489,29 @@ object LlmOps extends QueryPack {
          |  SELECT unnest($DuckToks) AS token FROM documents)
          |GROUP BY token
          |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    // the Hill estimator replayed: same top-64 cut, the shared staged-ln
+    // CTE chain (duckCteChain — both engines evaluate the identical
+    // expression DAG), same integer division
+    "vocab_zipf" -> {
+      val chain = graft.functions.PortableMath.duckCteChain(
+        graft.functions.PortableMath.microLnSignedStages("freq", "fk",
+          graft.functions.PortableMath.duckShiftLeft), "zbase", "zl")
+      s"""WITH vf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($DuckToks) AS token FROM documents)
+         |  GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 64),
+         |hd AS (SELECT CAST(count(*) AS BIGINT) AS ke,
+         |    CAST(min(freq) AS BIGINT) AS fk FROM vf),
+         |zbase AS (SELECT freq, fk, ke FROM vf CROSS JOIN hd),
+         |$chain,
+         |zs AS (SELECT CAST(coalesce(sum(lp), 0) AS BIGINT)
+         |    AS sum_ln_micro, max(ke) AS ke, max(fk) AS fk FROM zlfin)
+         |SELECT ke AS k_eff, fk AS f_k, sum_ln_micro,
+         |  CAST(CASE WHEN sum_ln_micro = 0 THEN 0
+         |       ELSE (1000000000000 * CAST(ke AS HUGEINT)) // sum_ln_micro
+         |       END AS BIGINT) AS hill_alpha_micro
+         |FROM zs""".stripMargin
+    },
 
     // the sketch path is certified-exact, so its oracle IS the plain
     // aggregation — identical SQL to text_vocab_topk by construction

@@ -360,4 +360,29 @@ class CorpusStatsSpec extends SparkSpec {
       assert(est === ref, s"estimate for $tok must equal the md5 replay")
     }
   }
+
+  test("zipfAlpha: Hill estimate vs the staged-ln JVM reference; degenerate and guard") {
+    import spark.implicits._
+    import graft.functions.PortableMath
+    // frequencies 8/4/2 via planted repetition
+    val docs = Seq(("a " * 8) + ("b " * 4) + ("c " * 2)).toDF("text")
+    val r = CorpusStats.zipfAlpha(docs, "text", k = 3).head()
+    val s = PortableMath.microLnSignedRef(8, 2) +
+      PortableMath.microLnSignedRef(4, 2) +
+      PortableMath.microLnSignedRef(2, 2)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, s, 3000000000000L / s)))
+    // k above the vocabulary size clamps to k_eff
+    assert(CorpusStats.zipfAlpha(docs, "text", k = 64).head().getLong(0)
+      === 3L)
+    // all-equal head: no measurable decay → pinned 0
+    val even = Seq("x y z").toDF("text")
+    assert(CorpusStats.zipfAlpha(even, "text", k = 3).head().getLong(3)
+      === 0L)
+    // a vocabulary of one token cannot carry a tail
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.zipfAlpha(Seq("solo solo").toDF("text"), "text")
+    }
+    assert(e.getMessage.contains("< 2"))
+  }
 }
