@@ -718,6 +718,33 @@ object PipelineConfig {
             case _ => sys.error("fleiss needs cols = [itemCol, labelCol]")
           }
           graft.llm.Classifier.fleissKappaMicro(d, ic, lc)
+        // Kish effective-sample-size report: REPLACES the frame with one
+        // (groups..., n, ess_micro) row per group. cols = group columns
+        // (may be empty for one global row), expr = weight SQL expression
+        case "ess" =>
+          graft.llm.Selection.essReport(d, expr(t.expr.getOrElse(
+            sys.error("ess needs expr = weight SQL expression"))), t.cols)
+        // vocabulary Zipf tail index: REPLACES the frame with the 1-row
+        // (k_eff, f_k, sum_ln_micro, hill_alpha_micro) report.
+        // cols = [textCol], name = k (default 64)
+        case "zipf" =>
+          val Seq(tc) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("zipf needs cols = [textCol]")
+          }
+          graft.llm.CorpusStats.zipfAlpha(d, tc,
+            t.name.getOrElse("64").trim.toInt)
+        // Unicode-script audit: APPENDS per-script char counts and the
+        // dominant writing script. cols = [textCol]
+        case "scripts" =>
+          val Seq(tc) = t.cols match {
+            case s if s.length == 1 => s
+            case _ => sys.error("scripts needs cols = [textCol]")
+          }
+          val cnts = graft.llm.TextOps.scriptCounts(col(tc))
+          cnts.foldLeft(d) { case (acc, (n, c)) => acc.withColumn(n, c) }
+            .withColumn("dominant",
+              graft.llm.TextOps.dominantScript(col(tc)))
         // shuffle-skew diagnostics: REPLACES the frame with the 1-row
         // (n_rows, n_keys, max_count, min_count, mean_count_micro,
         // top1_share_micro, gini_micro) report over the named key

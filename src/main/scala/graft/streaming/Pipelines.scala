@@ -628,6 +628,21 @@ object Pipelines {
       Classifier.mergeKeyedModels)
   }
 
+  /** Continuous Unicode-script audit
+    * ([[graft.llm.TextOps.scriptCounts]]/[[graft.llm.TextOps.dominantScript]],
+    * streaming form): per-document script panel per micro-batch — pure
+    * map-only expressions, so streamed output is IDENTICAL to the batch
+    * operator over the union (the [[blocklistIngest]] guarantee).
+    */
+  def scriptAuditIngest(stream: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    statelessIngest(stream, idCol, textCol, outDir, checkpointDir, d =>
+      d.select(col(idCol) +:
+        graft.llm.TextOps.scriptCounts(col(textCol))
+          .map { case (n, c) => c.as(n) } :+
+        graft.llm.TextOps.dominantScript(col(textCol)).as("dominant"): _*))
+
   /** Continuous ROUGE-L SFT decontamination
     * ([[graft.llm.Dedup.rougeLVsReference]], streaming form): each
     * micro-batch is scored against a FIXED reference suite (an eval set

@@ -955,6 +955,27 @@ class ConfigSpec extends SparkSpec {
     assert(rl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("declared ess, zipf, and scripts ops") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa aa bb bb cc"), (2L, "Привет мир"))
+      .toDF("doc_id", "text")
+    val ess = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "ess",
+        expr = Some("length(text)"))))
+    assert(ess.columns.toSeq === Seq("n", "ess_micro"))
+    val z = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "zipf", cols = Seq("text"),
+        name = Some("3"))))
+    assert(z.columns.toSeq ===
+      Seq("k_eff", "f_k", "sum_ln_micro", "hill_alpha_micro"))
+    assert(z.head().getLong(0) === 3L)
+    val sc = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "scripts", cols = Seq("text"))))
+    assert(sc.columns.contains("cyrillic") && sc.columns.contains("dominant"))
+    assert(sc.filter($"doc_id" === 2L).head()
+      .getAs[String]("dominant") === "cyrillic")
+  }
+
   test("declared skew_report op") {
     import spark.implicits._
     val r = PipelineConfig.applyTransforms(

@@ -992,6 +992,22 @@ class StreamingSpec extends SparkSpec {
     assert(full(Retrieval.TokenCountKey) === 14L)
   }
 
+  test("scriptAuditIngest: streamed panel equals the batch expressions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sa").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.scriptAuditIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/out", s"$base/ckpt")
+    mem.addData((1L, "hello world"), (2L, "Привет мир"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select($"doc_id", $"latin", $"cyrillic", $"dominant").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got === Map(1L -> ((10L, 0L, "latin")),
+      2L -> ((0L, 9L, "cyrillic"))))
+  }
+
   test("rougeFlagIngest: streamed flags equal the batch operator (stateless)") {
     val base = java.nio.file.Files.createTempDirectory("graft_rg").toString
     Seq((900L, "the dog sat on the mat")).toDF("doc_id", "text")
