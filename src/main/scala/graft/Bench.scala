@@ -168,7 +168,9 @@ object Bench {
     "tok_fertility" -> "tfr",
     "text_scripts" -> "xs",
     "sel_ess" -> "ses",
-    "vocab_zipf" -> "vz")
+    "vocab_zipf" -> "vz",
+    "mm_video_neardup" -> "vn",
+    "mm_video_meta" -> "vm")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

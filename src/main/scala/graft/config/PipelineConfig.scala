@@ -256,6 +256,18 @@ object PipelineConfig {
             s"dedup_image hash must be ahash|dhash|phash, got '$hashCol'")
           graft.llm.ImageHash.dropNearDuplicates(d, idc, bc,
             t.expr.getOrElse("3").trim.toInt, hashCol)
+        // frame-fingerprint video near-dedup over multi-frame binary
+        // columns (animated GIF through the JDK codec; swap the decoder
+        // for other containers): min-id survivor per shared-frame
+        // component. cols = [idCol, binaryCol], expr = minShareMilli of
+        // the smaller clip's distinct frames (default 500)
+        case "dedup_video" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("dedup_video needs cols = [idCol, binaryCol]")
+          }
+          graft.llm.VideoHash.dropNearDuplicates(d, idc, bc,
+            t.expr.getOrElse("500").trim.toLong)
         // edit-distance fuzzy near-dedup over a short key column
         // (record-linkage shape; exact-recall q-gram blocking +
         // threshold-Levenshtein confirm): min-id survivor per component.

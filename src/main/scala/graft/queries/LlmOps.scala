@@ -140,6 +140,27 @@ object LlmOps extends QueryPack {
     }.toDF("media_id", "media")
   }
 
+  /** The deterministic synthetic VIDEO corpus (animated GIFs through the
+    * real JDK sequence codec) shared by mm_video_neardup and
+    * mm_video_meta: one 64×48 clip of `3 + id % 4` frames per doc id
+    * (first 120), every 4th replanted as a 96×72 rendition that DROPS the
+    * first frame (resize + truncation, the transforms a frame-fingerprint
+    * dedup must recall) under id + 1000000 — the frame arithmetic the
+    * mm_video_meta oracle hard-codes; change them together.
+    */
+  private def syntheticVideoCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+      .orderBy("doc_id").limit(120).as[Long]
+    ids.flatMap { id =>
+      val n = 3 + (id % 4).toInt
+      val base = (id, VideoHash.synthGif(id, 64, 48, n))
+      if (id % 4 == 0)
+        Seq(base, (id + 1000000L, VideoHash.synthGifSlice(id, 96, 72, 1, n)))
+      else Seq(base)
+    }.toDF("media_id", "media")
+  }
+
   /** Paragraph-structured planted corpus: FooterA as a LEADING paragraph
     * on every 4th doc, FooterB as a TRAILING one on every 7th — position
     * matters (the rebuild must keep the body in place after cutting
@@ -962,6 +983,26 @@ object LlmOps extends QueryPack {
         .select(col("id").as("media_id"), col("decoded"),
           col("img_w").cast("long").as("img_w"),
           col("img_h").cast("long").as("img_h"))),
+
+    // ---- VIDEO leg of the multimodal family, through the real JDK
+    //      multi-frame codec (animated GIF): per-frame aHash →
+    //      shared-frame candidate pairs → overlap verify → min-id
+    //      survivors. Renditions resize AND truncate at once; the oracle
+    //      pins the survivor set = exactly the base clips ----
+    "mm_video_neardup" -> ((s, dir) =>
+      VideoHash.dropNearDuplicates(syntheticVideoCorpus(s, dir),
+          "media_id", "media", minShareMilli = 500L)
+        .select(col("media_id"))),
+
+    // ---- the multi-frame decoder's metadata contract, ORACLE-CHECKED:
+    //      frame counts are pure arithmetic (3 + id%4 base, one less for
+    //      the truncated rendition), so a decode that really ran must
+    //      report exactly those counts for every row ----
+    "mm_video_meta" -> ((s, dir) =>
+      VideoHash.videoHashes(syntheticVideoCorpus(s, dir), "media_id",
+          "media").toDF()
+        .select(col("id").as("media_id"), col("decoded"),
+          col("n_frames"))),
 
     // ---- audio leg of the multimodal family: energy-envelope near-dup
     //      dedup over WAV binary columns; planted renditions vary sample
@@ -2848,6 +2889,25 @@ object LlmOps extends QueryPack {
     "mm_audio_neardup" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id
         |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 160)""".stripMargin,
+
+    // the video survivor set: every truncated+resized rendition collapses
+    // onto its base (share = 1000 of the smaller), so survivors are
+    // exactly the 120 base clips
+    "mm_video_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120)""".stripMargin,
+
+    // the multi-frame decoder's contract: base clips carry 3 + id%4
+    // frames, renditions one less (the dropped first frame)
+    "mm_video_meta" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |              FROM documents ORDER BY doc_id LIMIT 120)
+        |SELECT doc_id AS media_id, true AS decoded,
+        |       CAST(3 + doc_id % 4 AS BIGINT) AS n_frames
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id + 1000000, true, CAST(2 + doc_id % 4 AS BIGINT)
+        |FROM base WHERE doc_id % 4 = 0""".stripMargin,
 
     // the WAV parser's contract: frame count = rate · 0.65 s, mono bases
     // at 44100, stereo 0.6×-volume renditions at 22050 for every 4th doc

@@ -955,6 +955,20 @@ class ConfigSpec extends SparkSpec {
     assert(rl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("declared dedup_video op") {
+    import spark.implicits._
+    import graft.llm.VideoHash
+    val clips = Seq(
+      (1L, VideoHash.synthGif(5L, 64, 48, 4)),
+      (2L, VideoHash.synthGifSlice(5L, 96, 72, 1, 4)),
+      (3L, VideoHash.synthGif(6L, 64, 48, 4))).toDF("media_id", "media")
+    val kept = PipelineConfig.applyTransforms(clips, Seq(
+      PipelineConfig.TransformConf(op = "dedup_video",
+        cols = Seq("media_id", "media"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("declared ess, zipf, and scripts ops") {
     import spark.implicits._
     val docs = Seq((1L, "aa aa aa aa bb bb cc"), (2L, "Привет мир"))
