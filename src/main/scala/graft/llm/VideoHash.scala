@@ -110,6 +110,36 @@ object VideoHash {
       .select(col("id_a"), col("id_b"), col("shared"), col("share_milli"))
   }
 
+  /** Incremental shared-frame pairs for the streaming loop: fresh clips
+    * (as (id, sorted-distinct hs) sets) vs themselves AND a persisted
+    * (id, h) frame index — never index×index (prior batches are already
+    * mutually deduped; the fuzzyDedupIngest contract). Assumes fresh and
+    * index id sets are disjoint (disjoint batches). Output: (id_a, id_b).
+    */
+  def nearDupPairsIncremental(freshSets: DataFrame, indexFrames: DataFrame,
+      minShareMilli: Long = 500L, maxBucketSize: Int = 10000): DataFrame = {
+    val idxSets = indexFrames
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+    val all = freshSets.select(col("id"), col("hs"), lit(true).as("fr"))
+      .unionByName(idxSets.select(col("id"), col("hs"),
+        lit(false).as("fr")))
+      .localCheckpoint()
+    Dedup.pairsWithinBuckets(
+        all.select(col("id"), explode(col("hs")).as("h")),
+        Seq("h"), "id", maxBucketSize)
+      .join(all.select(col("id").as("id_a"), col("hs").as("ha"),
+        col("fr").as("fa")), "id_a")
+      .join(all.select(col("id").as("id_b"), col("hs").as("hb"),
+        col("fr").as("fb")), "id_b")
+      .filter(col("fa") || col("fb"))
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb")))
+        .cast("long"))
+      .filter(expr("(shared * 1000) DIV least(size(ha), size(hb))") >=
+        minShareMilli)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** The full video-dedup story: frame hashes → shared-frame pairs →
     * connected components → min-id survivor. Undecodable rows always
     * survive (they never pair).

@@ -211,6 +211,66 @@ object Pipelines {
       (df, id, bin) => graft.llm.AudioHash.audioHashes(df, id, bin).toDF()
         .filter(col("decoded")).select(col("id"), col("ehash").as("fp")))
 
+  /** Continuous VIDEO near-dedup over a multi-frame binary column: each
+    * micro-batch decodes and frame-hashes its clips
+    * ([[graft.llm.VideoHash]], map-only), pairs them against itself and
+    * the persisted (id, frame-hash) index — never index×index — on
+    * shared perceptual frames, drops fresh non-survivors, and appends
+    * survivors' frame rows. The slim frame-hash index IS the complete
+    * similarity state: historical clip BYTES are never re-read.
+    * Undecodable rows always survive and never enter the index. Same
+    * idempotent `batch=` layout and immutable-batch contract as
+    * [[fuzzyDedupIngest]].
+    */
+  def videoDedupIngest(stream: DataFrame, idCol: String, binCol: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      minShareMilli: Long = 500L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.{Dedup, VideoHash}
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.localCheckpoint()
+        if (!fresh.isEmpty) {
+          val sets = VideoHash.videoHashes(fresh, idCol, binCol).toDF()
+            .filter(col("decoded"))
+            .select(col("id"),
+              array_sort(array_distinct(col("frame_hashes"))).as("hs"))
+            .localCheckpoint()
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val haveIndex = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idxPath)
+          val index =
+            if (haveIndex)
+              spark.read.parquet(indexDir)
+                .where(col("batch") =!= batchId) // retry sees PRIOR state
+                .select(col("id"), col("h"))
+            else {
+              import spark.implicits._
+              Seq.empty[(Long, Long)].toDF("id", "h")
+            }
+          val pairs = VideoHash.nearDupPairsIncremental(sets, index,
+            minShareMilli)
+          val losers = Dedup.survivorAssignment(pairs)
+            .where(col("id") =!= col("survivor_id"))
+            .select(col("id"))
+          val kept = fresh.join(losers,
+            fresh(idCol).cast("long") === losers("id"), "left_anti")
+            .localCheckpoint()
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch=$batchId")
+          sets.join(kept.select(col(idCol).cast("long").as("id")),
+              Seq("id"), "left_semi")
+            .select(col("id"), explode(col("hs")).as("h"))
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Continuous fuzzy (edit-distance) dedup over a short key column: each
     * micro-batch pairs against itself and the persisted (id, key) index
     * via [[graft.llm.Dedup.fuzzyNearDupPairsIncremental]] — fresh×fresh ∪

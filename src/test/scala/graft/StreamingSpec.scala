@@ -992,6 +992,31 @@ class StreamingSpec extends SparkSpec {
     assert(full(Retrieval.TokenCountKey) === 14L)
   }
 
+  test("videoDedupIngest drops shared-frame renditions across and within batches") {
+    import graft.llm.VideoHash
+    val base = java.nio.file.Files.createTempDirectory("graft_vdi").toString
+    val mem = MemoryStream[(Long, Array[Byte])](spark)
+    val q = graft.streaming.Pipelines.videoDedupIngest(
+      mem.toDF().toDF("media_id", "media"), "media_id", "media",
+      s"$base/corpus", s"$base/index", s"$base/ckpt")
+    // batch 0: clip A + a WITHIN-batch rendition of it + undecodable junk
+    mem.addData((1L, VideoHash.synthGif(5L, 64, 48, 4)),
+      (2L, VideoHash.synthGifSlice(5L, 96, 72, 1, 4)),
+      (9L, "junk".getBytes))
+    q.processAllAvailable()
+    // batch 1: a CROSS-batch rendition of A + a genuinely new clip B
+    mem.addData((3L, VideoHash.synthGifSlice(5L, 96, 72, 0, 3)),
+      (4L, VideoHash.synthGif(6L, 64, 48, 4)))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.read.parquet(s"$base/corpus")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 9L)) // renditions 2 and 3 dropped; junk survives
+    // the index carries only survivors' frames, never the junk row
+    val idxIds = spark.read.parquet(s"$base/index")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(1L, 4L))
+  }
+
   test("scriptAuditIngest: streamed panel equals the batch expressions") {
     val base = java.nio.file.Files.createTempDirectory("graft_sa").toString
     val mem = MemoryStream[(Long, String)](spark)
