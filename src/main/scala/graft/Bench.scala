@@ -170,7 +170,8 @@ object Bench {
     "sel_ess" -> "ses",
     "vocab_zipf" -> "vz",
     "mm_video_neardup" -> "vn",
-    "mm_video_meta" -> "vm")
+    "mm_video_meta" -> "vm",
+    "mm_video_decon" -> "vd")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

@@ -151,6 +151,81 @@ object VideoHash {
     Dedup.applySurvivors(df, idCol, Dedup.survivorAssignment(pairs))
   }
 
+  /** Frame-level video DECONTAMINATION vs a reference clip set (an eval
+    * suite / takedown registry — bounded by contract): every corpus clip
+    * scored against its closest reference by shared-perceptual-frame
+    * fraction. The reference's frame hashes ship once per executor as an
+    * inverted hash→clip index (the [[Dedup.nearDupsVsReference]] shape);
+    * the corpus pass is MAP-ONLY — zero shuffle, exact counts, no recall
+    * bound when one side broadcasts.
+    *
+    * Output: one row per corpus clip
+    * `(id, best_ref_id, shared, share_milli, flagged)` — best by
+    * (share desc, ref id asc), `best_ref_id = −1` when no frame is
+    * shared or the clip is undecodable.
+    */
+  def vsReference(corpus: DataFrame, reference: DataFrame, idCol: String,
+      binCol: String, minShareMilli: Long = 500L,
+      maxRefFrames: Long = 1000000L): DataFrame = {
+    require(minShareMilli >= 1 && minShareMilli <= 1000,
+      s"minShareMilli must sit in [1, 1000], got $minShareMilli")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val refSets: Array[(Long, Array[Long])] =
+      videoHashes(reference, idCol, binCol)
+        .filter(_.decoded)
+        .map(v => (v.id, v.frame_hashes.distinct.sorted))
+        .collect().sortBy(_._1)
+    require(refSets.nonEmpty, "vsReference: empty/undecodable reference")
+    val total = refSets.iterator.map(_._2.length.toLong).sum
+    require(total <= maxRefFrames,
+      s"reference carries $total frames > maxRefFrames $maxRefFrames — " +
+        "broadcast would be unbounded; dedup against a bounded suite")
+    val refIds = refSets.map(_._1)
+    val refSizes = refSets.map(_._2.length)
+    val inv = new java.util.HashMap[Long, Array[Int]]()
+    refSets.iterator.zipWithIndex.foreach { case ((_, hs), slot) =>
+      hs.foreach { h =>
+        val prev = inv.get(h)
+        inv.put(h, if (prev == null) Array(slot) else prev :+ slot)
+      }
+    }
+    val bIdx = spark.sparkContext.broadcast((inv, refIds, refSizes))
+    videoHashes(corpus, idCol, binCol)
+      .mapPartitions { it =>
+        val (inv, refIds, refSizes) = bIdx.value
+        val counts = new Array[Int](refIds.length)
+        val touched = new Array[Int](refIds.length)
+        it.map { v =>
+          val hs = if (v.decoded) v.frame_hashes.distinct else Array.empty[Long]
+          var nTouched = 0
+          hs.foreach { h =>
+            val slots = inv.get(h)
+            if (slots != null) slots.foreach { r =>
+              if (counts(r) == 0) { touched(nTouched) = r; nTouched += 1 }
+              counts(r) += 1
+            }
+          }
+          var bestShare = -1L; var bestRef = -1L; var bestShared = 0L
+          var k = 0
+          while (k < nTouched) {
+            val r = touched(k)
+            val shared = counts(r).toLong
+            counts(r) = 0
+            val share = shared * 1000L / math.min(hs.length, refSizes(r))
+            if (share > bestShare ||
+                (share == bestShare && refIds(r) < bestRef)) {
+              bestShare = share; bestRef = refIds(r); bestShared = shared
+            }
+            k += 1
+          }
+          (v.id, bestRef, bestShared, math.max(bestShare, 0L),
+            bestShare >= minShareMilli)
+        }
+      }
+      .toDF("id", "best_ref_id", "shared", "share_milli", "flagged")
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic synthetic clips (validation / recall harness): the
   // planted-transform pattern, in video form — seed-derived frame scenes

@@ -1004,6 +1004,26 @@ object LlmOps extends QueryPack {
         .select(col("id").as("media_id"), col("decoded"),
           col("n_frames"))),
 
+    // ---- frame-level video decontamination vs a reference suite,
+    //      ORACLE-CHECKED: the renditions ARE the reference, so every
+    //      4th base clip must flag with share 1000 against exactly its
+    //      own rendition (shared = its n−1 = 2 surviving frames) and
+    //      every other clip must report (−1, 0, 0, false) — pure id
+    //      arithmetic a stubbed decode cannot fake ----
+    "mm_video_decon" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+        .orderBy("doc_id").limit(120).as[Long]
+      val corpus = ids
+        .map(id => (id, VideoHash.synthGif(id, 64, 48, 3 + (id % 4).toInt)))
+        .toDF("media_id", "media")
+      val ref = ids.filter((id: Long) => id % 4 == 0)
+        .map(id => (id + 1000000L,
+          VideoHash.synthGifSlice(id, 96, 72, 1, 3 + (id % 4).toInt)))
+        .toDF("media_id", "media")
+      VideoHash.vsReference(corpus, ref, "media_id", "media")
+    }),
+
     // ---- audio leg of the multimodal family: energy-envelope near-dup
     //      dedup over WAV binary columns; planted renditions vary sample
     //      rate (22050 vs 44100), volume (0.6×) and channel layout at
@@ -2896,6 +2916,22 @@ object LlmOps extends QueryPack {
     "mm_video_neardup" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id
         |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120)""".stripMargin,
+
+    // the decontamination arithmetic: every 4th clip flags against its
+    // own rendition (n−1 = 2 shared frames, share 1000 of the smaller),
+    // everything else reports the no-match sentinel row
+    "mm_video_decon" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+        |              FROM documents ORDER BY doc_id LIMIT 120)
+        |SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id + 1000000
+        |       ELSE -1 END AS BIGINT) AS best_ref_id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS shared,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1000 ELSE 0 END AS BIGINT)
+        |    AS share_milli,
+        |  (doc_id % 4 = 0) AS flagged
+        |FROM base""".stripMargin,
 
     // the multi-frame decoder's contract: base clips carry 3 + id%4
     // frames, renditions one less (the dropped first frame)

@@ -44,6 +44,28 @@ class VideoHashSpec extends SparkSpec {
     assert(a !== t64(VideoHash.synthGifSlice(3L, 64, 48, 1, 4)))
   }
 
+  test("vsReference: best-ref flagging, no-match sentinel, broadcast guard") {
+    val corpus = Seq(
+      (1L, VideoHash.synthGif(5L, 64, 48, 4)),
+      (2L, VideoHash.synthGif(6L, 64, 48, 4)),
+      (9L, "junk".getBytes)).toDF("media_id", "media")
+    val ref = Seq(
+      (100L, VideoHash.synthGifSlice(5L, 96, 72, 1, 4))).toDF("media_id", "media")
+    val got = VideoHash.vsReference(corpus, ref, "media_id", "media")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // clip 1 shares the rendition's all-3 frames → share 1000 of the
+    // smaller; clip 2 and the undecodable row report the sentinel
+    assert(got(1L) === ((100L, 3L, 1000L, true)))
+    assert(got(2L) === ((-1L, 0L, 0L, false)))
+    assert(got(9L) === ((-1L, 0L, 0L, false)))
+    val e = intercept[IllegalArgumentException] {
+      VideoHash.vsReference(corpus, ref, "media_id", "media",
+        maxRefFrames = 1L)
+    }
+    assert(e.getMessage.contains("maxRefFrames"))
+  }
+
   test("nearDupPairs reports shared counts and share fraction") {
     val df = Seq(
       (1L, VideoHash.synthGif(5L, 64, 48, 4)),
