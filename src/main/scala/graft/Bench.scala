@@ -162,12 +162,12 @@ object Bench {
     "text_vocab_topk_mg" -> "xm",
     "token_budget" -> "tb",
     "quality_gate" -> "qg",
-    "label_krippendorff" -> "lkr",
-    "dedup_rougel" -> "drg",
+    "label_krippendorff" -> "kr",
+    "dedup_rougel" -> "dg",
     "quality_perceptron" -> "qp",
-    "tok_fertility" -> "tfr",
+    "tok_fertility" -> "fy",
     "text_scripts" -> "xs",
-    "sel_ess" -> "ses",
+    "sel_ess" -> "se",
     "vocab_zipf" -> "vz",
     "mm_video_neardup" -> "vn",
     "mm_video_meta" -> "vm",

@@ -52,7 +52,9 @@ object CorpusStats extends Serializable {
     // count-min sketch working/output columns
     "row", "rb", "freq_est",
     // shardManifest working/output columns
-    "__sm_h", "n_docs", "content_xor") ++
+    "__sm_h", "n_docs", "content_xor",
+    // zipfAlpha working/output columns (incl. the signed-log stages)
+    "fk", "ke", "k_eff", "f_k", "sum_ln_micro", "hill_alpha_micro") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 

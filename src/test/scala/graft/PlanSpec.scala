@@ -375,4 +375,19 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
     }
   }
+
+  test("skew/salt/ess/zipf diagnostics: keyed aggregations, no cartesian") {
+    Seq("q39_skew", "q40_saltplan", "sel_ess", "vocab_zipf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("video queries: bucket equi-joins and broadcast kernels, never cartesian") {
+    Seq("mm_video_neardup", "mm_video_decon").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+  }
 }
