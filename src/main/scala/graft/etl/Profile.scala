@@ -137,6 +137,39 @@ object Profile extends Serializable {
           .as("salt_factor"): _*)
   }
 
+  /** APPLY a [[saltPlan]] to both sides of a planned equi-join, returning
+    * the two frames extended with a `__salt` column to ADD to the join
+    * keys: heavy probe keys scatter across `salt_factor` sub-keys (via a
+    * caller-named deterministic per-row column — a row id — hashed with
+    * xxhash64, so the scatter is reproducible across retries and
+    * engines), and heavy build keys REPLICATE once per salt value
+    * (`explode(sequence(...))`). Joining on `keyCols :+ "__salt"` then
+    * yields EXACTLY the unsalted join's rows — light keys carry salt 0 on
+    * both sides and are untouched — while no single shuffle partition
+    * receives more than ~count/salt_factor rows of a heavy key. The
+    * executable half of the skew story: [[skewReport]] says whether,
+    * [[saltPlan]] says how much, this wires it in.
+    */
+  def applySaltPlan(probe: DataFrame, build: DataFrame, plan: DataFrame,
+      keyCols: Seq[String], probeRowCol: String): (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "applySaltPlan needs at least one key column")
+    require(!probe.columns.contains("__salt") &&
+        !build.columns.contains("__salt"),
+      "inputs must not already carry __salt")
+    val factors = plan.select(keyCols.map(col) :+
+      col("salt_factor").as("__sf"): _*)
+    val p = probe.join(broadcast(factors), keyCols, "left")
+      .withColumn("__salt",
+        when(col("__sf").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col(probeRowCol)), col("__sf"))))
+      .drop("__sf")
+    val b = build.join(broadcast(factors), keyCols, "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), coalesce(col("__sf"), lit(1L)) - 1)))
+      .drop("__sf")
+    (p, b)
+  }
+
   def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewReport needs at least one key column")
     val counts = df.groupBy(keyCols.map(col): _*)

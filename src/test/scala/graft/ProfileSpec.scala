@@ -51,6 +51,38 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("applySaltPlan: salted join equals plain join; heavy keys scatter") {
+    import spark.implicits._
+    // key "hot" is 40× heavier than the rest
+    val probe = ((1L to 40L).map(i => (i, "hot")) ++
+      Seq((101L, "a"), (102L, "b"))).toDF("row_id", "k")
+    val build = Seq(("hot", 10L), ("a", 20L), ("b", 30L), ("c", 40L))
+      .toDF("k", "v")
+    val plan = Profile.saltPlan(probe, Seq("k"), targetPerKey = 10L)
+    assert(plan.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("hot", 40L, 4L)))
+    val (p, b) = Profile.applySaltPlan(probe, build, plan, Seq("k"),
+      "row_id")
+    val salted = p.join(b, Seq("k", "__salt"))
+      .select($"row_id", $"k", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = probe.join(build, Seq("k"))
+      .select($"row_id", $"k", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted === plain && plain.size === 42)
+    // the hot key really scatters: more than one salt value in use, and
+    // no (key, salt) cell above ceil(40/4) + slack
+    val cells = p.filter($"k" === "hot").groupBy($"__salt").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size > 1)
+    assert(cells.values.max <= 20L) // hash balance, generous bound
+    // light keys stay salt-0 on both sides
+    assert(p.filter($"k" === "a").head().getAs[Long]("__salt") === 0L)
+    assert(b.filter($"k" === "a").count() === 1L)
+    assert(b.filter($"k" === "hot").count() === 4L)
+  }
+
   test("skewReport: hand Gini, even distribution, single key, NULL key, empty guard") {
     import spark.implicits._
     def report(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
