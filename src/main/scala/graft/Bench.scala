@@ -171,7 +171,9 @@ object Bench {
     "vocab_zipf" -> "vz",
     "mm_video_neardup" -> "vn",
     "mm_video_meta" -> "vm",
-    "mm_video_decon" -> "vd")
+    "mm_video_decon" -> "vd",
+    "dedup_substring" -> "dsb",
+    "dedup_substring_runs" -> "dsr")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

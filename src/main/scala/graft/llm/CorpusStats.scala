@@ -54,7 +54,10 @@ object CorpusStats extends Serializable {
     // shardManifest working/output columns
     "__sm_h", "n_docs", "content_xor",
     // zipfAlpha working/output columns (incl. the signed-log stages)
-    "fk", "ke", "k_eff", "f_k", "sum_ln_micro", "hill_alpha_micro") ++
+    "fk", "ke", "k_eff", "f_k", "sum_ln_micro", "hill_alpha_micro",
+    // exact-substring dedup working/output columns
+    "n_occ", "keep_id", "id_a", "id_b", "pos_a", "pos_b", "diag", "island",
+    "run_len") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 
@@ -410,8 +413,11 @@ object CorpusStats extends Serializable {
     * `spanTokens`-token window whose exact text occurs in more than `maxDf`
     * distinct documents — the span-level exact-substring dedup of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-    * Better"), with corpus document-frequency as the dup criterion (a
-    * suffix array's role at single-machine scale).
+    * Better"), with corpus document-frequency as the dup criterion. For
+    * the paper's own any-duplicated-substring criterion (cut whenever ANY
+    * other doc shares, keep one occurrence) use
+    * [[removeDuplicateSubstrings]]; for the maximal runs themselves use
+    * [[maximalSharedRuns]].
     *
     * Output: (id, n_tokens, n_removed, clean_text) — one row per input doc;
     * a fully-covered doc keeps the row with clean_text = ''.
@@ -475,6 +481,120 @@ object CorpusStats extends Serializable {
     val merged = mergeSpanDfIndex(existingIndex, freshIndex)
     val frequent = merged.filter(col("span_df") > maxDf).select("h")
     (cutCovered(base, spans, frequent, idCol, spanTokens), freshIndex)
+  }
+
+  /** Exact-substring dedup at FULL suffix-array semantics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): delete
+    * every token that lies inside a substring of ≥ `minRunTokens` tokens
+    * shared with a LOWER-id document, keeping the lowest-id occurrence —
+    * the ExactSubstr criterion, where [[removeRepeatedSpans]] is the
+    * weaker corpus-frequency variant (cut only when > maxDf docs share).
+    *
+    * No suffix array and no pair materialization are needed, because
+    * window coverage IS run membership: a token position p in doc d lies
+    * inside a maximal run of R ≥ L tokens shared with doc d' **iff** some
+    * L-token window containing p matches d' (⇐: the window itself is a
+    * shared L-substring through p; ⇒: the run's windows start at
+    * [a, a+R−L] and `min(p, a+R−L)` starts one that covers p). So the
+    * exact removal set falls out of a per-window-hash `min(id)`: an
+    * occurrence is cut iff its doc id exceeds the hash's minimum doc id.
+    * The reference's span machinery only ever probed one fixed window
+    * length for a *frequency* criterion; this closes the acknowledged gap
+    * to true longest-match substring dedup for the removal side, and
+    * [[maximalSharedRuns]] reports the maximal runs themselves.
+    *
+    * Semantics notes: cross-document only — a substring repeated WITHIN
+    * one doc (and nowhere lower) is kept intact (within-doc repetition is
+    * the Gopher rules' job); "lowest id" keeps ALL of that doc's
+    * occurrences. Docs shorter than `minRunTokens` have no qualifying
+    * substring and pass through untouched.
+    *
+    * Output: (id, n_tokens, n_removed, clean_text) — one row per input
+    * doc, same contract as [[removeRepeatedSpans]].
+    *
+    * Scale (100 TB stance): ONE window-hash aggregation (md5, 32 B rows,
+    * map-side combined) → rejoin → position cut. No pairing stage, so a
+    * boilerplate substring shared by n docs costs n rows, never n²; the
+    * rebuild carries each kept token exactly once. Caps are unnecessary —
+    * every stage is linear in corpus token count.
+    */
+  def removeDuplicateSubstrings(df: DataFrame, idCol: String,
+      textCol: String, minRunTokens: Int): DataFrame = {
+    require(minRunTokens > 0,
+      s"minRunTokens must be positive, got $minRunTokens")
+    guard(idCol)
+    val base = tokenized(df, idCol, textCol)
+    val spans = spanFrame(base, idCol, minRunTokens)
+    // keep_id per window hash; HAVING n_occ >= 2 only shrinks the join
+    // side (a single-occurrence window can never satisfy id > keep_id)
+    val keeper = spans.groupBy("h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("keep_id"))
+    val covered = spans.join(keeper, "h")
+      .filter(col(idCol) > col("keep_id"))
+      .select(col(idCol), explode(sequence(col("pos"),
+        col("pos") + (minRunTokens - 1))).as("p"))
+      .distinct()
+    cutFromPositions(base, covered, idCol)
+  }
+
+  /** MAXIMAL shared token runs between document pairs — the report form of
+    * exact-substring dedup: every maximal-length match of ≥ `minRunTokens`
+    * whitespace tokens shared by two distinct documents, as
+    * (id_a, id_b, pos_a, pos_b, run_len) with id_a < id_b and 1-based
+    * token positions. "Maximal" is exact: the run extends neither left nor
+    * right (a 70-token shared footer reports ONE row of run_len 70, not 51
+    * window hits), which is what [[commonSpanPairs]]' fixed-window pair
+    * output cannot say.
+    *
+    * Algorithm — seed-and-island, the distributed equivalent of reading
+    * maximal repeats off a suffix array: (1) every L-token window hashes
+    * to (id, pos, h); (2) occurrence pairs per hash (id_a < id_b) are the
+    * window matches; (3) per (id_a, id_b, diagonal = pos_a − pos_b),
+    * CONTIGUOUS pos_a stretches are exactly the maximal runs (a run of R
+    * tokens matches all R−L+1 of its windows on one diagonal, and one
+    * token of extension would extend the window stretch too), each
+    * reported as run_len = stretch_count + L − 1. All three stages are
+    * hash/position rows — document text never shuffles.
+    *
+    * Scale: pairing is per-window-hash and `maxOccPerSpan` caps the
+    * degenerate boilerplate bucket (n occurrences of one window text →
+    * n²/2 seed pairs; buckets past the cap are dropped, loudly visible in
+    * the cap parameter — same contract as the LSH families). Run
+    * assembly is a window function partitioned by (pair, diagonal) — at
+    * most one run's windows per partition key. Use the removal form
+    * ([[removeDuplicateSubstrings]]) when only coverage is needed: it has
+    * no pair stage at all.
+    */
+  def maximalSharedRuns(df: DataFrame, idCol: String, textCol: String,
+      minRunTokens: Int, maxOccPerSpan: Int = 10000): DataFrame = {
+    require(minRunTokens > 0,
+      s"minRunTokens must be positive, got $minRunTokens")
+    require(maxOccPerSpan >= 2, s"maxOccPerSpan must be >= 2, got $maxOccPerSpan")
+    guard(idCol)
+    // one scan feeds the cap aggregation AND both self-join sides
+    val spans = spanFrame(tokenized(df, idCol, textCol), idCol, minRunTokens)
+      .localCheckpoint()
+    val okH = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ").between(2, maxOccPerSpan))
+      .select("h")
+    val wf = spans.join(okH, "h")
+    val seeds = wf.select(col("h"), col(idCol).cast("long").as("id_a"),
+        col("pos").cast("long").as("pos_a"))
+      .join(wf.select(col("h"), col(idCol).cast("long").as("id_b"),
+        col("pos").cast("long").as("pos_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+    val byDiag = Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    seeds
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(byDiag))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min("pos_a").as("pos_a"), min("pos_b").as("pos_b"),
+        (count(lit(1)) + (minRunTokens - 1)).as("run_len"))
+      .select("id_a", "id_b", "pos_a", "pos_b", "run_len")
   }
 
   /** Paragraph-level exact dedup (the CCNet recipe's first pass): delete
@@ -601,11 +721,19 @@ object CorpusStats extends Serializable {
     * text from the kept (pos, token) pairs.
     */
   private def cutCovered(base: DataFrame, spans: DataFrame,
-      frequent: DataFrame, idCol: String, L: Int): DataFrame = {
-    val covered = spans.join(frequent, "h")
+      frequent: DataFrame, idCol: String, L: Int): DataFrame =
+    cutFromPositions(base, spans.join(frequent, "h")
       .select(col(idCol), explode(sequence(col("pos"),
         col("pos") + (L - 1))).as("p"))
-      .distinct()
+      .distinct(), idCol)
+
+  /** Rebuild each doc's text from the tokens NOT listed in `covered`
+    * ((id, p) rows, 1-based token positions). Shared by the
+    * frequency-criterion cut ([[cutCovered]]) and the keep-lowest-id cut
+    * ([[removeDuplicateSubstrings]]).
+    */
+  private def cutFromPositions(base: DataFrame, covered: DataFrame,
+      idCol: String): DataFrame = {
     val toksPos = base.select(col(idCol),
       posexplode(col("tk")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))

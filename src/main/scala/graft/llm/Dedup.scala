@@ -753,7 +753,10 @@ object Dedup {
     * span — exact substring-granularity duplication / benchmark-contamination
     * detection at document-pair output (the doc-level form of
     * suffix-array training-data dedup; a doc shorter than the span window
-    * contributes its whole text as one span).
+    * contributes its whole text as one span). For the full suffix-array
+    * semantics — maximal run lengths per pair, or keep-one removal of any
+    * duplicated substring ≥ L — see [[CorpusStats.maximalSharedRuns]] and
+    * [[CorpusStats.removeDuplicateSubstrings]].
     *
     * Scale mechanics: each doc emits its distinct span hashes — the shuffle
     * carries (span_hash: long, id: long) pairs, never span text — and pair

@@ -637,6 +637,25 @@ object LlmOps extends QueryPack {
       CorpusStats.removeRepeatedSpans(docsWithFooters(s, dir), "doc_id",
         "text", spanTokens = 20, maxDf = 3)),
 
+    // ---- exact-substring dedup at full Lee et al. 2022 semantics: cut
+    //      every token inside a >= 20-token substring shared with a
+    //      LOWER-id doc (keep-one). No pair stage at all — coverage is a
+    //      per-window-hash min(id) rejoin, linear in corpus tokens ----
+    "dedup_substring" -> ((s, dir) =>
+      CorpusStats.removeDuplicateSubstrings(docsWithFooters(s, dir),
+        "doc_id", "text", minRunTokens = 20)),
+
+    // ---- maximal shared runs (the suffix-array report): every maximal
+    //      >= 20-token match between doc pairs with its exact length —
+    //      the planted 40/30-token footers and their 70-token
+    //      concatenation on %28 docs must come back as single maximal
+    //      rows, not window hits. Pair output => first-80-docs slice
+    //      (pair volume is the caller's contract, like commonSpanPairs) ----
+    "dedup_substring_runs" -> ((s, dir) =>
+      CorpusStats.maximalSharedRuns(
+        docsWithFooters(s, dir).orderBy("doc_id").limit(80),
+        "doc_id", "text", minRunTokens = 20)),
+
     // ---- paragraph-level exact dedup (the CCNet first pass): whole
     //      paragraphs repeating in > maxDf docs are cut; one md5 per
     //      paragraph, not per token position ----
@@ -1708,6 +1727,64 @@ object LlmOps extends QueryPack {
          |  CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
          |  coalesce(k.clean_text, '') AS clean_text
          |FROM toksq b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // keep-one exact-substring dedup: a window occurrence is cut iff its
+    // doc id exceeds the window hash's minimum doc id (window coverage IS
+    // run membership — see CorpusStats.removeDuplicateSubstrings)
+    "dedup_substring" ->
+      s"""WITH p AS ($duckFootered),
+         |toksq AS (SELECT doc_id, $DuckToks AS tk FROM p),
+         |spans AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(tk, i, i + 19), ' ')) AS h
+         |  FROM toksq, unnest(range(1, len(tk) - 18)) AS u(i)),
+         |keeper AS (SELECT h, min(doc_id) AS keep_id FROM spans
+         |           GROUP BY h HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.pos + o AS cp
+         |  FROM spans s JOIN keeper USING (h)
+         |  CROSS JOIN unnest(range(0, 20)) AS t(o)
+         |  WHERE s.doc_id > keeper.keep_id),
+         |tp AS (SELECT doc_id, i AS p, tk[i] AS tok
+         |       FROM toksq, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |    string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+         |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+         |  WHERE c.cp IS NULL GROUP BY t.doc_id)
+         |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM toksq b LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // maximal shared runs: window matches per (pair, diagonal) island into
+    // contiguous pos_a stretches; stretch count + 19 is the run length
+    "dedup_substring_runs" ->
+      s"""WITH p AS (
+         |  SELECT * FROM ($duckFootered) ORDER BY doc_id LIMIT 80),
+         |toksq AS (SELECT doc_id, $DuckToks AS tk FROM p),
+         |w AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(tk, i, i + 19), ' ')) AS h
+         |  FROM toksq, unnest(range(1, len(tk) - 18)) AS u(i)),
+         |okh AS (SELECT h FROM w GROUP BY h
+         |        HAVING count(*) BETWEEN 2 AND 10000),
+         |wf AS (SELECT w.* FROM w JOIN okh USING (h)),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, a.pos AS pos_a,
+         |         b.doc_id AS id_b, b.pos AS pos_b
+         |  FROM wf a JOIN wf b USING (h) WHERE a.doc_id < b.doc_id),
+         |g AS (
+         |  SELECT *, pos_a - pos_b AS diag,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a)
+         |      AS island
+         |  FROM pr)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |  CAST(min(pos_a) AS BIGINT) AS pos_a,
+         |  CAST(min(pos_b) AS BIGINT) AS pos_b,
+         |  CAST(count(*) + 19 AS BIGINT) AS run_len
+         |FROM g GROUP BY id_a, id_b, diag, island""".stripMargin,
 
     "text_para_dedup" ->
       s"""WITH d AS (
