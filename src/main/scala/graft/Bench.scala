@@ -172,8 +172,11 @@ object Bench {
     "mm_video_neardup" -> "vn",
     "mm_video_meta" -> "vm",
     "mm_video_decon" -> "vd",
-    "dedup_substring" -> "dsb",
-    "dedup_substring_runs" -> "dsr")
+    // single-char digit keys: the 26 letters were exhausted at r9 and the
+    // tail-line budget prices every key char; digits/uppercase are the
+    // remaining 1-char namespace for r10+ queries
+    "dedup_substring" -> "0",
+    "dedup_substring_runs" -> "1")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",
@@ -271,14 +274,25 @@ object Bench {
     def compact(decimals: Int): String = {
       val q = names.map(n => s"\"${shortKey(n)}\":${fmt(warmMed(n), decimals)}")
         .mkString("{", ",", "}")
-      // basename only: the full dir is in the early line + bench_out.json
-      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      // basename minus the constant "sf" prefix: the full dir is in the
+      // early line + bench_out.json, and every tail char is priced
+      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
+        .getOrElse(sfDir).stripPrefix("sf")
       // no warm_reps here: the tail budget is the scarce resource and the
       // rep count is in bench_out.json + the early full-name line
       s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$q,"sf":"$sfShort"}"""
     }
-    val tailLine = Seq(3, 2, 1).map(compact).find(_.length <= 1880)
-      .getOrElse(compact(0))
+    // last-resort fallback: a pack so large/slow that even integer seconds
+    // overflow the tail window still ships the headline total (the driver
+    // then loses per-query detail, never the round's bench artifact)
+    val headlineOnly =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{},"sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}"}"""
+    // budget 1900: the driver keeps the last 2000 chars of stdout and the
+    // sbt success footer printed after this line measured 73–74 chars in
+    // BENCH_r07–r09 tails (worst realistic shape ~76), leaving ≥ 1923
+    // for the line itself — 1900 keeps ≥ 23 chars of slack
+    val tailLine = Seq(3, 2, 1, 0).map(compact).find(_.length <= 1900)
+      .getOrElse(headlineOnly)
     println(tailLine)
     Console.out.flush()
   }

@@ -20,7 +20,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * (`dedup_exact`, `dedup_winnow`, `dedup_keep_best`, `decontaminate_near`, `quality_gate`,
   * `cap_per_group`,
   * `token_budget`, `mixture`, `normalize`,
-  * `redact`, `chunk`, `span_removal`, `span_clean_indexed`, `para_dedup`,
+  * `redact`, `chunk`, `span_removal`, `span_clean_indexed`,
+  * `substring_dedup`, `substring_runs`, `para_dedup`,
   * `para_clean_indexed`, `lm_score`, `lm_backoff`, `ppl_buckets`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
   * `score_linear`)
@@ -497,6 +498,37 @@ object PipelineConfig {
               else acc
             }
           cleaned.join(rest, Seq(idc))
+        // keep-one exact-substring dedup (Lee et al. 2022 ExactSubstr):
+        // cut every token inside a >= minRunTokens substring shared with a
+        // lower-id doc. cols = [idCol, textCol], expr = minRunTokens
+        // (default 20). Same rejoin contract as span_removal.
+        case "substring_dedup" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("substring_dedup needs cols = [idCol, textCol]")
+          }
+          val minRun = t.expr.getOrElse("20").trim.toInt
+          val rest = assertUniqueIds(d.drop(c), idc, "substring_dedup")
+          val cleaned = Seq("n_tokens", "n_removed")
+            .foldLeft(graft.llm.CorpusStats
+              .removeDuplicateSubstrings(d, idc, c, minRun)
+              .withColumnRenamed("clean_text", c)) { (acc, n) =>
+              if (rest.columns.contains(n))
+                acc.withColumnRenamed(n, n + "_substr")
+              else acc
+            }
+          cleaned.join(rest, Seq(idc))
+        // maximal shared runs (the exact-substring REPORT): replaces the
+        // frame with (id_a, id_b, pos_a, pos_b, run_len) rows. cols =
+        // [idCol, textCol], expr = "minRunTokens[,maxOccPerSpan]".
+        case "substring_runs" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("substring_runs needs cols = [idCol, textCol]")
+          }
+          val parts = t.expr.getOrElse("20").split(",").map(_.trim.toInt)
+          graft.llm.CorpusStats.maximalSharedRuns(d, idc, c, parts(0),
+            if (parts.length > 1) parts(1) else 10000)
         // paragraph-level exact dedup in place (cut corpus-frequent
         // paragraphs, rebuild text): cols = [idCol, textCol],
         // expr = maxDf (default 3). Same rejoin contract as span_removal.

@@ -142,6 +142,26 @@ object ScaleProbe {
             .agg(sum("n_removed"), sum(length(col("clean_text"))))
             .collect().length.toLong
         },
+        time("substring_removal", n) {
+          // keep-one exact-substring dedup has NO pair stage (coverage is
+          // a per-window-hash min(id) rejoin), so the planted footer on
+          // every 50th doc — whose occurrence buckets grow with n — must
+          // cost n rows, never n²: the wall ratio must track token volume
+          CorpusStats.removeDuplicateSubstrings(docs, "doc_id", "text",
+            minRunTokens = 20)
+            .agg(sum("n_removed"), sum(length(col("clean_text"))))
+            .collect().length.toLong
+        },
+        time("substring_runs", n) {
+          // the REPORT form does pair — so the cap must bind on the
+          // boilerplate footer (n/50 occurrences per window hash at both
+          // sizes, > 100): runs may come only from the isolated planted
+          // dup pairs (bucket size 2), keeping candidates span-bounded.
+          // A superlinear ratio here = the cap stopped pruning
+          CorpusStats.maximalSharedRuns(docs, "doc_id", "text",
+            minRunTokens = 20, maxOccPerSpan = 100)
+            .agg(sum("run_len")).collect().length.toLong
+        },
         time("tfidf", n) {
           CorpusStats.tfidfKeywords(docs, "doc_id", "text", k = 5).count()
         },

@@ -129,6 +129,28 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("declared substring_dedup cuts keep-one; substring_runs reports the maximal run") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1a u1b s1 s2 s3 s4"),  // lowest id holding the run: keeper
+      (2L, "x s1 s2 s3 s4"),        // shares the 4-token run → cut
+      (3L, "only unique tokens here")).toDF("id", "text")
+    val cleaned = PipelineConfig.applyTransforms(docs,
+      Seq(PipelineConfig.TransformConf(op = "substring_dedup",
+        cols = Seq("id", "text"), expr = Some("3"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_removed"))).toMap
+    assert(cleaned(1L) === ("u1a u1b s1 s2 s3 s4", 0L))
+    assert(cleaned(2L) === ("x", 4L))
+    assert(cleaned(3L) === ("only unique tokens here", 0L))
+    val runs = PipelineConfig.applyTransforms(docs,
+      Seq(PipelineConfig.TransformConf(op = "substring_runs",
+        cols = Seq("id", "text"), expr = Some("3"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(runs === Set((1L, 2L, 3L, 2L, 4L)))
+  }
+
   test("span_removal/para_dedup fail loudly on duplicate ids instead of multiplying rows") {
     import spark.implicits._
     val dup = Seq((1L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"))

@@ -85,4 +85,61 @@ class DedupInternalsSpec extends graft.SparkSpec {
     assert(inc === full)
     assert(inc === Set((10L, 11L, 1L), (1L, 12L, 1L), (2L, 12L, 2L)))
   }
+
+  test("maximalSharedRuns reports ONE maximal row per shared run, exact positions") {
+    // r1..r6 shared (6 tokens > L=3): the 4 window matches on one diagonal
+    // must island into a single run of length 6, not 4 window hits
+    val docs = Seq(
+      (1L, "a b r1 r2 r3 r4 r5 r6 c d"),
+      (2L, "e r1 r2 r3 r4 r5 r6")).toDF("doc_id", "text")
+    val got = CorpusStats.maximalSharedRuns(docs, "doc_id", "text",
+        minRunTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === Set((1L, 2L, 3L, 2L, 6L)))
+  }
+
+  test("maximalSharedRuns: multi-occurrence grams split by diagonal; within-doc pairs excluded") {
+    // "p q s" occurs twice in doc 1 and once in doc 2: two cross-doc runs
+    // (one per diagonal); the doc-1-internal repeat must NOT be a row
+    val docs = Seq(
+      (1L, "p q s t u p q s"),
+      (2L, "p q s z")).toDF("doc_id", "text")
+    val got = CorpusStats.maximalSharedRuns(docs, "doc_id", "text",
+        minRunTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === Set((1L, 2L, 1L, 1L, 3L), (1L, 2L, 6L, 1L, 3L)))
+  }
+
+  test("maximalSharedRuns: maxOccPerSpan drops the boilerplate bucket") {
+    val docs = (1L to 4L).map(i => (i, s"m1 m2 m3 k$i")).toDF("doc_id", "text")
+    // 4 occurrences of the shared 3-gram > cap 3 → dropped entirely
+    assert(CorpusStats.maximalSharedRuns(docs, "doc_id", "text",
+      minRunTokens = 3, maxOccPerSpan = 3).count() === 0L)
+    // cap lifted: C(4,2) = 6 pair runs of exactly the 3-token gram
+    val got = CorpusStats.maximalSharedRuns(docs, "doc_id", "text",
+        minRunTokens = 3, maxOccPerSpan = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got === (for { a <- 1L to 4L; b <- (a + 1) to 4L }
+      yield (a, b, 3L)).toSet)
+  }
+
+  test("removeDuplicateSubstrings: keep-lowest-id, short docs and within-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "r1 r2 r3 r4 a"),            // lowest id: keeper, untouched
+      (2L, "b r1 r2 r3 r4"),            // shares r1..r4 with doc 1 → cut
+      (3L, "c c"),                      // shorter than L → untouched
+      (4L, "w1 w2 w3 x w1 w2 w3")       // within-doc repeat only → kept
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.removeDuplicateSubstrings(docs, "doc_id", "text",
+        minRunTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 5L, 0L, "r1 r2 r3 r4 a"),
+      (2L, 5L, 4L, "b"),
+      (3L, 2L, 0L, "c c"),
+      (4L, 7L, 0L, "w1 w2 w3 x w1 w2 w3")))
+  }
 }
