@@ -176,7 +176,8 @@ object Bench {
     // tail-line budget prices every key char; digits/uppercase are the
     // remaining 1-char namespace for r10+ queries
     "dedup_substring" -> "0",
-    "dedup_substring_runs" -> "1")
+    "dedup_substring_runs" -> "1",
+    "pipeline_multimodal" -> "2")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",

@@ -573,9 +573,15 @@ object CorpusStats extends Serializable {
       s"minRunTokens must be positive, got $minRunTokens")
     require(maxOccPerSpan >= 2, s"maxOccPerSpan must be >= 2, got $maxOccPerSpan")
     guard(idCol)
-    // one scan feeds the cap aggregation AND both self-join sides
+    // deliberately UNCACHED: the spans frame is corpus-token-sized (34M
+    // rows at the 200k-doc probe), and pinning it (localCheckpoint blocks
+    // are unevictable) starves the self-join sorts of execution memory —
+    // it OOMed exactly that way at the 4× probe size. Recomputing the
+    // map-only scan for the cap agg and the join side costs two cheap
+    // scans; the self-join's two identical wf subplans collapse into one
+    // shuffle via ReusedExchange. Only the post-cap wf rows (pairs-worth,
+    // tiny once boilerplate buckets drop) flow beyond the scans.
     val spans = spanFrame(tokenized(df, idCol, textCol), idCol, minRunTokens)
-      .localCheckpoint()
     val okH = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ").between(2, maxOccPerSpan))
       .select("h")

@@ -1084,6 +1084,66 @@ object LlmOps extends QueryPack {
           col("n_samples"), col("channels").cast("long").as("channels"))
     }),
 
+    // ---- the multimodal CAPSTONE (pipeline_curate2's pattern over
+    //      binary columns), ORACLE-CHECKED end to end: image leg =
+    //      metadata gate (real decode must reject planted garbage bytes
+    //      on id%10==3) → dhash near-dup dedup (renditions at id+1e6
+    //      must merge into their base) → decontamination vs a reference
+    //      suite of 2× JPEG renditions (id%8==2 must flag — the ref ids
+    //      are disjoint from both plants: %8==2 is even, %10==3 is odd);
+    //      video leg = frame-hash dedup (dropped-frame 1.5× renditions
+    //      merge). Union → per-(modality, id%5-source) cap-15 mixture.
+    //      The final selection is pure id arithmetic NONE of whose stages
+    //      can be faked by a stub: every planted corruption, rendition
+    //      and contamination must be acted on for the hash to match ----
+    "pipeline_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+        .orderBy("doc_id").limit(160).as[Long].localCheckpoint()
+      val images = ids.flatMap { id =>
+        val base =
+          if (id % 10 == 3)
+            (id, Array.tabulate(64)(i => ((id * 31 + i) % 251).toByte))
+          else (id, ImageHash.synthPng(id, 64, 48))
+        if (id % 4 == 0)
+          Seq(base, (id + 1000000L, ImageHash.synthJpeg(id, 96, 72)))
+        else Seq(base)
+      }.toDF("media_id", "media")
+      val refSuite = ids.filter((id: Long) => id % 8 == 2)
+        .map(id => (id + 2000000L, ImageHash.synthJpeg(id, 128, 96)))
+        .toDF("media_id", "media")
+      // one decode pass feeds the gate, the dedup pairs AND the decon leg
+      val hashed = ImageHash.imageHashes(images, "media_id", "media")
+        .toDF().localCheckpoint()
+      val gated = images.join(hashed.filter(col("decoded"))
+        .select(col("id").as("media_id")), Seq("media_id"), "left_semi")
+      val imgSurv = Dedup.applySurvivors(gated, "media_id",
+        Dedup.survivorAssignment(ImageHash.nearDupPairs(
+          hashed.as[ImageHashed], maxHamming = 3)))
+      val refHashed = ImageHash.imageHashes(refSuite, "media_id", "media")
+        .toDF().filter(col("decoded"))
+        .select(col("id"), col("dhash").as("fp"))
+      val contaminated = Dedup.hamming64PairsIncremental(
+          hashed.filter(col("decoded"))
+            .select(col("id"), col("dhash").as("fp")),
+          refHashed, maxHamming = 3)
+        .filter(col("id_b") >= 2000000L) // only corpus-vs-ref hits flag
+        .select(col("id_a").as("media_id")).distinct()
+      val imgClean = imgSurv.join(contaminated, Seq("media_id"), "left_anti")
+        .select(col("media_id"), lit("image").as("modality"))
+      val vidSurv = VideoHash.dropNearDuplicates(
+          syntheticVideoCorpus(s, dir), "media_id", "media",
+          minShareMilli = 500L)
+        .select(col("media_id"), lit("video").as("modality"))
+      val mixed = Selection.capPerGroup(
+        imgClean.unionByName(vidSurv)
+          .withColumn("source", pmod(col("media_id"), lit(5)).cast("string"))
+          .withColumn("grp", concat(col("modality"), lit(":"), col("source"))),
+        "grp", negate(col("media_id")), "media_id", n = 15)
+      mixed.select(col("media_id"), col("modality"), col("source"),
+        col("rank"))
+    }),
+
     // ---- SFT chat formatting: events as conversations (user = conv,
     //      event order = turn order, type = role, props = content) →
     //      one role-tagged training text per conversation ----
@@ -2982,6 +3042,28 @@ object LlmOps extends QueryPack {
     "mm_neardup" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id
         |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 160)""".stripMargin,
+
+    // the capstone's final selection in pure id arithmetic: image leg =
+    // first 160 ids minus garbage plants (%10==3, gate) minus renditions
+    // (merged, never in the base id set) minus contaminated (%8==2);
+    // video leg = all 120 base clips; then cap 15 per (modality, id%5)
+    "pipeline_multimodal" ->
+      """WITH img AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 160)
+        |  WHERE doc_id % 10 <> 3 AND doc_id % 8 <> 2),
+        |vid AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, 'video' AS modality
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120)),
+        |u AS (SELECT * FROM img UNION ALL SELECT * FROM vid),
+        |r AS (
+        |  SELECT media_id, modality,
+        |    CAST(media_id % 5 AS VARCHAR) AS source,
+        |    row_number() OVER (PARTITION BY modality, media_id % 5
+        |      ORDER BY media_id ASC) AS rn
+        |  FROM u)
+        |SELECT media_id, modality, source, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 15""".stripMargin,
 
     "mm_audio_neardup" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id

@@ -152,6 +152,52 @@ object ScaleProbe {
             .agg(sum("n_removed"), sum(length(col("clean_text"))))
             .collect().length.toLong
         },
+        time("composed_multimodal", n) {
+          // the pipeline_multimodal image-leg SHAPE at n/10 media rows
+          // (PNG encode dominates corpus build, so the probe scales the
+          // id set, not the pixel dims): decode-gate → dhash dedup →
+          // decon vs a FIXED 200-image reference → per-source cap. Bytes
+          // are touched exactly once (one imageHashes pass feeds all
+          // three stages); pair volume is hamming-chunk bounded, so the
+          // 4× wall ratio must track the decode scan, not pairs
+          import graft.llm.{ImageHash, ImageHashed, Selection}
+          import spark.implicits._
+          val m = n / 10
+          // rendition dims stay multiples of 8 (32×24 → 64×48): the 8×8
+          // area-average grid is resize-exact only then, and the probe
+          // needs the planted pairs to actually exist
+          val media = spark.range(m).as[Long].flatMap { id =>
+            val base =
+              if (id % 10 == 3)
+                (id, Array.tabulate(64)(i => ((id * 31 + i) % 251).toByte))
+              else (id, ImageHash.synthPng(id, 32, 24))
+            if (id % 4 == 0)
+              Seq(base, (id + 10000000L, ImageHash.synthJpeg(id, 64, 48)))
+            else Seq(base)
+          }.toDF("media_id", "media")
+          val ref = spark.range(200).as[Long]
+            .map(id => (id * 8 + 2 + 20000000L,
+              ImageHash.synthJpeg(id * 8 + 2, 64, 48)))
+            .toDF("media_id", "media")
+          val hashed = ImageHash.imageHashes(media, "media_id", "media")
+            .toDF().localCheckpoint()
+          val gated = media.join(hashed.filter(col("decoded"))
+            .select(col("id").as("media_id")), Seq("media_id"), "left_semi")
+          val surv = Dedup.applySurvivors(gated, "media_id",
+            Dedup.survivorAssignment(ImageHash.nearDupPairs(
+              hashed.as[ImageHashed], maxHamming = 3)))
+          val refH = ImageHash.imageHashes(ref, "media_id", "media").toDF()
+            .filter(col("decoded")).select(col("id"), col("dhash").as("fp"))
+          val dirty = Dedup.hamming64PairsIncremental(
+              hashed.filter(col("decoded"))
+                .select(col("id"), col("dhash").as("fp")), refH, 3)
+            .filter(col("id_b") >= 20000000L)
+            .select(col("id_a").as("media_id")).distinct()
+          Selection.capPerGroup(
+            surv.join(dirty, Seq("media_id"), "left_anti")
+              .withColumn("src", pmod(col("media_id"), lit(5)).cast("string")),
+            "src", negate(col("media_id")), "media_id", n = 1000).count()
+        },
         time("substring_runs", n) {
           // the REPORT form does pair — so the cap must bind on the
           // boilerplate footer (n/50 occurrences per window hash at both
