@@ -260,10 +260,30 @@ object Classifier extends Serializable {
     * two 1-row totals; nothing corpus-sized ever sits on the driver.
     */
   def fleissKappaMicro(df: DataFrame, itemCol: String, labelCol: String)
-      : DataFrame = {
-    val slim = df.select(col(itemCol).cast("string").as("__fk_i"),
-      col(labelCol).cast("string").as("__fk_l")).localCheckpoint()
-    val perItem = slim.groupBy(col("__fk_i")).agg(count(lit(1)).as("ni"))
+      : DataFrame =
+    fleissKappaFromCells(
+      df.select(col(itemCol).cast("string").as("__fk_i"),
+          col(labelCol).cast("string").as("__fk_l"))
+        .groupBy(col("__fk_i"), col("__fk_l")).agg(count(lit(1)).as("nij")),
+      "__fk_i", "__fk_l", "nij")
+
+  /** Fleiss' κ from a PRE-AGGREGATED (item, label, n) cell table — the
+    * mergeable-state form: grouped rating counts are ADDITIVE, so cell
+    * tables over rating batches sum to the union's cells and a streaming
+    * loop ([[graft.streaming.Pipelines.agreementIngest]]) keeps only
+    * |items × labels| rows and refits on demand. Output is identical to
+    * [[fleissKappaMicro]] over the expanded rows (duplicate cells are
+    * re-summed here, so an un-merged multi-batch table is also fine).
+    */
+  def fleissKappaFromCells(cells0: DataFrame, itemCol: String,
+      labelCol: String, nCol: String): DataFrame = {
+    val cell = cells0
+      .select(col(itemCol).cast("string").as("__fk_i"),
+        col(labelCol).cast("string").as("__fk_l"),
+        col(nCol).cast("long").as("nij"))
+      .groupBy(col("__fk_i"), col("__fk_l")).agg(sum(col("nij")).as("nij"))
+      .localCheckpoint()
+    val perItem = cell.groupBy(col("__fk_i")).agg(sum(col("nij")).as("ni"))
       .localCheckpoint()
     val distinctNs = perItem.select(col("ni")).distinct().limit(2).collect()
     require(distinctNs.nonEmpty, "fleissKappaMicro: empty input")
@@ -274,8 +294,6 @@ object Classifier extends Serializable {
     val n = distinctNs.head.getLong(0)
     require(n >= 2, s"fleissKappaMicro needs >= 2 ratings per item, got $n")
     val nItems = perItem.count()
-    val cell = slim.groupBy(col("__fk_i"), col("__fk_l"))
-      .agg(count(lit(1)).as("nij")).localCheckpoint()
     val sa = cell.agg(
       coalesce(sum(col("nij") * (col("nij") - 1L)), lit(0L)).as("sa"))
     val s2 = cell.groupBy(col("__fk_l")).agg(sum(col("nij")).as("cj"))
@@ -467,12 +485,33 @@ object Classifier extends Serializable {
     * driver collect is the ≤ 65-row distinct-m probe.
     */
   def krippendorffAlphaMicro(df: DataFrame, itemCol: String,
-      labelCol: String): DataFrame = {
-    val slim = df
+      labelCol: String): DataFrame =
+    krippendorffAlphaFromCells(
+      df.filter(col(labelCol).isNotNull)
+        .select(col(itemCol).cast("string").as("__ka_i"),
+          col(labelCol).cast("string").as("__ka_l"))
+        .groupBy(col("__ka_i"), col("__ka_l")).agg(count(lit(1)).as("nuc")),
+      "__ka_i", "__ka_l", "nuc")
+
+  /** Krippendorff's α from a PRE-AGGREGATED (item, label, n) cell table —
+    * the mergeable-state form ([[fleissKappaFromCells]]'s contract): cell
+    * counts over rating batches SUM to the union's cells, so a streaming
+    * annotation loop refits from |items × labels| rows without re-reading
+    * a single rating. NULL labels are dropped here exactly as the row
+    * form drops them; duplicate cells re-sum, so an un-merged multi-batch
+    * table is also fine. Output identical to [[krippendorffAlphaMicro]]
+    * over the expanded rows.
+    */
+  def krippendorffAlphaFromCells(cells0: DataFrame, itemCol: String,
+      labelCol: String, nCol: String): DataFrame = {
+    val cellT = cells0
       .filter(col(labelCol).isNotNull)
       .select(col(itemCol).cast("string").as("__ka_i"),
-        col(labelCol).cast("string").as("__ka_l")).localCheckpoint()
-    val perItem = slim.groupBy(col("__ka_i")).agg(count(lit(1)).as("mi"))
+        col(labelCol).cast("string").as("__ka_l"),
+        col(nCol).cast("long").as("nuc"))
+      .groupBy(col("__ka_i"), col("__ka_l")).agg(sum(col("nuc")).as("nuc"))
+      .localCheckpoint()
+    val perItem = cellT.groupBy(col("__ka_i")).agg(sum(col("nuc")).as("mi"))
       .filter(col("mi") >= 2).localCheckpoint()
     val ms = perItem.select(col("mi")).distinct().limit(65).collect()
       .map(_.getLong(0))
@@ -489,11 +528,11 @@ object Classifier extends Serializable {
         "overflow; bucket rating counts upstream")
     val pLong = p.toLong
     val nItems = perItem.count()
-    val cells = slim
+    val cells = cellT
       .join(perItem.withColumnRenamed("__ka_i", "__ka_j"),
         col("__ka_i") === col("__ka_j"))
-      .groupBy(col("__ka_i"), col("mi"), col("__ka_l"))
-      .agg(count(lit(1)).as("nuc")).localCheckpoint()
+      .select(col("__ka_i"), col("mi"), col("__ka_l"), col("nuc"))
+      .localCheckpoint()
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // P/(m−1) per distinct m, computed exactly on the driver (each m−1
     // divides P by construction) and planted as a CASE literal — no

@@ -1515,18 +1515,26 @@ object Dedup {
     * the slim (id, key) frame only for the per-distinct-pair
     * threshold-Levenshtein confirm (O(maxDist·L) early-exit band DP,
     * codegen'd). Degenerate blocks (a gram+band shared by a huge
-    * population, e.g. a boilerplate prefix) are capped at `maxBucketSize`
-    * index rows — above it the block is dropped loudly-documented, the
-    * same escape hatch as the MinHash/winnow caps.
+    * population, e.g. a boilerplate key prefix — "https://" in a URL
+    * column is the canonical case) are capped at `maxBucketSize` index
+    * rows — above it the block is dropped loudly-documented, the same
+    * escape hatch as the MinHash/winnow caps. The block join is quadratic
+    * in block size exactly like those families (every probe row meets
+    * every index row of its block), so the default cap is aligned with
+    * theirs at 10000; dropping a block costs recall ONLY for pairs whose
+    * every other qualifying gram is also degenerate, and raising the cap
+    * buys that recall back at the documented n² candidate price
+    * (DedupInternalsSpec pins both regimes on a boilerplate-prefix
+    * corpus).
     */
   def fuzzyNearDupPairs(df: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
     val slim = fuzzySlim(df, idCol, keyCol)
     fuzzyConfirm(slim, fuzzyCandidates(slim, slim, maxDist, q, maxBucketSize),
       maxDist)
   }
 
-  private def fuzzySlim(df: DataFrame, idCol: String, keyCol: String) =
+  private[llm] def fuzzySlim(df: DataFrame, idCol: String, keyCol: String) =
     df.select(col(idCol).cast("long").as("__fid"),
       coalesce(col(keyCol).cast("string"), lit("")).as("__fkey"))
 
@@ -1536,7 +1544,7 @@ object Dedup {
     * one side probed. The sentinel scheme is asymmetric by design — see
     * [[fuzzyNearDupPairs]].
     */
-  private def fuzzyCandidates(probing: DataFrame, index: DataFrame,
+  private[llm] def fuzzyCandidates(probing: DataFrame, index: DataFrame,
       maxDist: Int, q: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
@@ -1611,7 +1619,7 @@ object Dedup {
     * min-id survivor per family. Returns `df` minus every non-survivor.
     */
   def dropFuzzyDuplicates(df: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 100000): DataFrame =
+      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 10000): DataFrame =
     applySurvivors(df, idCol,
       survivorAssignment(fuzzyNearDupPairs(df, idCol, keyCol, maxDist, q,
         maxBucketSize)))
@@ -1629,7 +1637,7 @@ object Dedup {
     */
   def fuzzyNearDupPairsIncremental(fresh: DataFrame, existing: DataFrame,
       idCol: String, keyCol: String, maxDist: Int = 2, q: Int = 8,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame = {
     val freshSlim = fuzzySlim(fresh, idCol, keyCol)
     val allSlim = freshSlim.unionByName(fuzzySlim(existing, idCol, keyCol))
     fuzzyConfirm(allSlim,

@@ -139,25 +139,53 @@ object Privacy {
   def generalizeToK(df: DataFrame, quasiCols: Seq[String], numCol: String,
       k: Long, maxExp: Int = 24): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(maxExp >= 0 && maxExp <= 40, s"maxExp must be in [0, 40], got $maxExp")
     guard(df, Seq("qi_bucket", "gen_width"))
+    val chosen = genWidthFromHist(
+      genLadderHist(df, quasiCols, numCol, maxExp), quasiCols, k, maxExp)
+    df.withColumn("qi_bucket",
+        bucket(col(numCol).cast("long"), lit(chosen)))
+      .withColumn("gen_width", lit(chosen))
+  }
+
+  private def bucket(v: Column, w: Column): Column = v - pmod(v, w)
+
+  /** The generalization ladder's MERGEABLE state: per-(width, QIs, bucket)
+    * row counts over every width in the ladder, as
+    * (__w, quasiCols…, __b, __n). Counts over disjoint row batches SUM to
+    * the union's histogram, so a streaming loop
+    * ([[graft.streaming.Pipelines.genLadderIngest]]) keeps
+    * |widths| · |QI buckets| rows and re-picks the release width on
+    * demand with [[genWidthFromHist]] — never re-reading a row.
+    */
+  def genLadderHist(df: DataFrame, quasiCols: Seq[String], numCol: String,
+      maxExp: Int = 24): DataFrame = {
+    require(maxExp >= 0 && maxExp <= 40, s"maxExp must be in [0, 40], got $maxExp")
     val widths = (0 to maxExp).map(1L << _)
-    def bucket(v: Column, w: Column): Column = v - pmod(v, w)
-    val slim = df.select(
-      (quasiCols.map(col) :+ col(numCol).cast("long").as("__v")): _*)
-    val perWidth = slim
+    df.select((quasiCols.map(col) :+ col(numCol).cast("long").as("__v")): _*)
       .withColumn("__w", explode(lit(widths.toArray)))
       .withColumn("__b", bucket(col("__v"), col("__w")))
       .groupBy((col("__w") +: quasiCols.map(col)) :+ col("__b"): _*)
       .agg(count(lit(1)).as("__n"))
+  }
+
+  /** Pick the smallest ladder width whose every (QIs, bucket) group
+    * reaches k, from a (possibly multi-batch) [[genLadderHist]] table —
+    * duplicate hist cells re-sum, so an un-merged batch union is fine.
+    * Falls back to the coarsest width, like [[generalizeToK]].
+    */
+  def genWidthFromHist(hist: DataFrame, quasiCols: Seq[String], k: Long,
+      maxExp: Int = 24): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxExp >= 0 && maxExp <= 40, s"maxExp must be in [0, 40], got $maxExp")
+    val widths = (0 to maxExp).map(1L << _)
+    val perWidth = hist
+      .groupBy((col("__w") +: quasiCols.map(col)) :+ col("__b"): _*)
+      .agg(sum(col("__n")).as("__n"))
       .groupBy(col("__w"))
       .agg(min(col("__n")).as("__mn"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val chosen = perWidth.filter(_._2 >= k).map(_._1)
+    perWidth.filter(_._2 >= k).map(_._1)
       .sorted.headOption.getOrElse(widths.last)
-    df.withColumn("qi_bucket",
-        bucket(col(numCol).cast("long"), lit(chosen)))
-      .withColumn("gen_width", lit(chosen))
   }
 }

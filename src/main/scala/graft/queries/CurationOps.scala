@@ -46,8 +46,7 @@ object CurationOps extends QueryPack {
         budgetOf = total => 3L * total / 4L)),
 
     // ---- first 8 BPE merges mined from the word-frequency table ----
-    "bpe_merges" -> ((s, dir) =>
-      Tokenizer.bpeMerges(t(s, dir).documents, "text", BpeMergeCount)),
+    "bpe_merges" -> ((s, dir) => bpeMergesShared(s, dir)),
 
     // ---- deterministic integer k-means over int8-quantized embeddings ----
     "cluster_kmeans" -> ((s, dir) =>
@@ -138,7 +137,7 @@ object CurationOps extends QueryPack {
     //      corpus with it and count BPE tokens per document ----
     "bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir).documents
-      val merges = Tokenizer.bpeMerges(docs, "text", BpeMergeCount)
+      val merges = bpeMergesShared(s, dir)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       // the kernel (scale) path — CurationSpec proves it fold-equivalent,
@@ -239,9 +238,7 @@ object CurationOps extends QueryPack {
     // ---- Naive Bayes quality classifier (fastText/CCNet filtering
     //      shape): train on a cheap proxy label (lang = en), score every
     //      doc's add-one log-odds margin in exact staged micro-nats ----
-    "quality_nb" -> ((s, dir) =>
-      Classifier.naiveBayesSelfScore(t(s, dir).documents, "doc_id", "text",
-        col("lang") === "en")),
+    "quality_nb" -> ((s, dir) => nbScoreShared(s, dir)),
 
     // ---- batch perceptron over hashed features: the TRAINED linear
     //      classifier complement to quality_nb — integer weights, every
@@ -262,8 +259,7 @@ object CurationOps extends QueryPack {
     //      positive third) ----
     "quality_nb_buckets" -> ((s, dir) => {
       val docs = t(s, dir).documents
-      val scored = Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
-        col("lang") === "en")
+      val scored = nbScoreShared(s, dir)
       Selection.scoreBuckets(
         docs.select(col("doc_id"), col("lang"))
           .join(scored.select(col("doc_id"), col("nb_margin_micro")),
@@ -307,9 +303,7 @@ object CurationOps extends QueryPack {
     //      source "compete", longer wins, items are languages — fixed-
     //      iteration integer MM whose oracle replays the identical
     //      unrolled iterations (the graph_pagerank pattern) ----
-    "rank_bt" -> ((s, dir) =>
-      Ranking.btStrengths(btComparisons(s, dir), "winner", "loser",
-        BtIters)),
+    "rank_bt" -> ((s, dir) => btStrengthsShared(s, dir)),
 
     // ---- composed RLHF-flavored pipeline: the BT arena fit feeds an
     //      Efraimidis–Spirakis sample, 3 docs per SOURCE drawn with
@@ -319,10 +313,8 @@ object CurationOps extends QueryPack {
     //      Each stage is the standalone operator; the oracle re-bases the
     //      ES chain on the unrolled MM rounds ----
     "pipeline_rlhf" -> ((s, dir) => {
-      val bt = Ranking.btStrengths(btComparisons(s, dir), "winner", "loser",
-          BtIters)
+      val bt = btStrengthsShared(s, dir)
         .select(col("id").as("lang"), col("strength_micro"))
-        .localCheckpoint() // the fitted strengths are re-read per ES stage
       val weighted = t(s, dir).documents
         .select(col("doc_id"), col("lang"), col("source"))
         .join(bt, Seq("lang"))
@@ -334,8 +326,7 @@ object CurationOps extends QueryPack {
 
     "pipeline_curate2" -> ((s, dir) => {
       val docs = t(s, dir).documents
-      val scored = Classifier.naiveBayesSelfScore(docs, "doc_id", "text",
-        col("lang") === "en")
+      val scored = nbScoreShared(s, dir)
       val kept = docs
         .join(scored.filter(col("nb_pos")).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
@@ -358,18 +349,12 @@ object CurationOps extends QueryPack {
     // ---- unigram-LM tokenizer pieces (SentencePiece seed-and-prune):
     //      substring counts over the word vocab, top-64 + full single-char
     //      coverage, staged-log scores ----
-    "unigram_vocab" -> ((s, dir) =>
-      Tokenizer.unigramPieces(t(s, dir).documents, "text", UnigramV,
-        UnigramL)),
+    "unigram_vocab" -> ((s, dir) => unigramPiecesShared(s, dir)),
 
     // ---- the corpus Viterbi-encoded against those pieces: exact integer
     //      DP (score ⊕ piece-count in one BIGINT key), per-doc piece and
     //      nll totals; the oracle replays the unrolled DP ----
-    "unigram_encode" -> ((s, dir) => {
-      val docs = t(s, dir).documents
-      Tokenizer.unigramEncodeCounts(docs, "doc_id", "text",
-        Tokenizer.unigramPieces(docs, "text", UnigramV, UnigramL), UnigramL)
-    }),
+    "unigram_encode" -> ((s, dir) => unigramEncodeShared(s, dir)),
 
     // ---- tokenizer FERTILITY per language (Rust et al. 2021): subword
     //      pieces per whitespace word under the trained unigram
@@ -378,8 +363,7 @@ object CurationOps extends QueryPack {
     //      top, exact integer ratio in micro units ----
     "tok_fertility" -> ((s, dir) => {
       val docs = t(s, dir).documents
-      val enc = Tokenizer.unigramEncodeCounts(docs, "doc_id", "text",
-        Tokenizer.unigramPieces(docs, "text", UnigramV, UnigramL), UnigramL)
+      val enc = unigramEncodeShared(s, dir)
       enc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(sum(col("n_words")).as("n_words"),
@@ -393,19 +377,15 @@ object CurationOps extends QueryPack {
     // ---- WordPiece vocabulary (completing the BPE / unigram / WordPiece
     //      trio): top-V whole words + frequent prefixes + ##-continuation
     //      internal substrings ----
-    "wordpiece_vocab" -> ((s, dir) =>
-      Tokenizer.wordpieceVocab(t(s, dir).documents, "text", WpV, WpSubLen,
-        WpMinCount)),
+    "wordpiece_vocab" -> ((s, dir) => wordpieceVocabShared(s, dir)),
 
     // ---- greedy longest-match-first WordPiece encode (BERT's actual
     //      algorithm, whole-word [UNK] fallback) — per-doc piece/unk
     //      totals; the oracle replays the greedy walk as an unrolled
     //      best-match chain ----
-    "wordpiece_encode" -> ((s, dir) => {
-      val docs = t(s, dir).documents
-      Tokenizer.wordpieceEncodeCounts(docs, "doc_id", "text",
-        Tokenizer.wordpieceVocab(docs, "text", WpV, WpSubLen, WpMinCount))
-    }))
+    "wordpiece_encode" -> ((s, dir) =>
+      Tokenizer.wordpieceEncodeCounts(t(s, dir).documents, "doc_id", "text",
+        wordpieceVocabShared(s, dir))))
 
   private val BtIters = 5
 
@@ -449,19 +429,68 @@ object CurationOps extends QueryPack {
   // longer words would hash-mismatch loudly, same contract as unigram
   private val WpMaxWordLen = 12
 
-  /** Winnow pairs over the planted corpus, memoized per (session, sf dir)
-    * and localCheckpoint'd — the corpus-sized fingerprint pass runs once
-    * for the pairs query and the applied query (deterministic, so both
-    * hashes equal standalone recomputation).
+  // ---- shared deterministic stages (StageMemo contract: every memoized
+  //      frame is bit-identical to standalone recomputation; the driver
+  //      oracle pins each consumer's hash independently) ----
+
+  /** Winnow pairs over the planted corpus — the pairs query and the
+    * applied query read one fingerprint pass.
     */
-  private val winnowPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def winnowPairsShared(s: SparkSession, dir: String): DataFrame =
-    winnowPairsCache.computeIfAbsent((s, dir), { key =>
-      Dedup.winnowNearDupPairs(plantedWinnowCorpus(key._1, key._2),
-          "doc_id", "text", k = WinnowK, w = WinnowW, minShared = 2)
-        .localCheckpoint()
-    })
+    StageMemo(s, dir, "winnow_pairs") {
+      Dedup.winnowNearDupPairs(plantedWinnowCorpus(s, dir),
+        "doc_id", "text", k = WinnowK, w = WinnowW, minShared = 2)
+    }
+
+  /** NB self-score over the corpus (train on lang=en, score everything) —
+    * quality_nb, its CCNet buckets, and pipeline_curate2 all ride one fit.
+    */
+  private def nbScoreShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "nb_self_score") {
+      Classifier.naiveBayesSelfScore(t(s, dir).documents, "doc_id", "text",
+        col("lang") === "en")
+    }
+
+  /** Bradley–Terry strengths over the arena log — rank_bt and
+    * pipeline_rlhf ride one MM fit.
+    */
+  private def btStrengthsShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bt_strengths") {
+      Ranking.btStrengths(btComparisons(s, dir), "winner", "loser", BtIters)
+    }
+
+  /** Unigram piece table — unigram_vocab and the encode ride one
+    * seed-and-prune pass.
+    */
+  private def unigramPiecesShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "unigram_pieces") {
+      Tokenizer.unigramPieces(t(s, dir).documents, "text", UnigramV,
+        UnigramL)
+    }
+
+  /** Per-doc unigram Viterbi encode totals — unigram_encode and
+    * tok_fertility ride one DP pass over the distinct vocab.
+    */
+  private def unigramEncodeShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "unigram_encode") {
+      Tokenizer.unigramEncodeCounts(t(s, dir).documents, "doc_id", "text",
+        unigramPiecesShared(s, dir), UnigramL)
+    }
+
+  /** WordPiece vocabulary — wordpiece_vocab and the encode ride one
+    * mining pass.
+    */
+  private def wordpieceVocabShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "wordpiece_vocab") {
+      Tokenizer.wordpieceVocab(t(s, dir).documents, "text", WpV, WpSubLen,
+        WpMinCount)
+    }
+
+  /** BPE merge table — bpe_merges and bpe_encode ride one mining run. */
+  private def bpeMergesShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bpe_merges") {
+      Tokenizer.bpeMerges(t(s, dir).documents, "text", BpeMergeCount)
+    }
 
   /** The planted-dup corpus the winnow family runs on: every doc plus an
     * 80%-truncated copy at doc_id + 100000 (same planting as the

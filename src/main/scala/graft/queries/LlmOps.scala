@@ -161,6 +161,58 @@ object LlmOps extends QueryPack {
     }.toDF("media_id", "media")
   }
 
+  /** The deterministic synthetic AUDIO corpus shared by mm_audio_neardup
+    * and mm_audio_meta: one 44.1 kHz tone clip per doc id (first 160),
+    * every 4th replanted resampled to 22.05 kHz, stereo, at 0.6× volume
+    * under id + 1000000 (the arithmetic the mm_audio_meta oracle
+    * hard-codes — change them together).
+    */
+  private def syntheticAudioCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
+      .orderBy("doc_id").limit(160).as[Long]
+    ids.flatMap { id =>
+      val base = (id, AudioHash.synthWav(id, 44100))
+      if (id % 4 == 0)
+        Seq(base, (id + 1000000L,
+          AudioHash.synthWav(id, 22050, channels = 2, volumeMilli = 600)))
+      else Seq(base)
+    }.toDF("media_id", "media")
+  }
+
+  // ---- shared decode passes (StageMemo contract: deterministic, so
+  //      every consumer's hash equals standalone recomputation — the
+  //      heavy codec work runs once per (session, sf) instead of once
+  //      per metadata/dedup/capstone consumer) ----
+
+  private def imageHashedShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "image_hashes") {
+      ImageHash.imageHashes(syntheticImageCorpus(s, dir), "media_id",
+        "media").toDF()
+    }
+
+  private def videoHashedShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "video_hashes") {
+      VideoHash.videoHashes(syntheticVideoCorpus(s, dir), "media_id",
+        "media").toDF()
+    }
+
+  private def videoSurvivorsShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "video_survivors") {
+      import s.implicits._
+      Dedup.applySurvivors(syntheticVideoCorpus(s, dir), "media_id",
+        Dedup.survivorAssignment(VideoHash.nearDupPairs(
+            videoHashedShared(s, dir).as[VideoHashed],
+            minShareMilli = 500L)
+          .select(col("id_a"), col("id_b"))))
+    }
+
+  private def audioHashedShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "audio_hashes") {
+      AudioHash.audioHashes(syntheticAudioCorpus(s, dir), "media_id",
+        "media").toDF()
+    }
+
   /** Paragraph-structured planted corpus: FooterA as a LEADING paragraph
     * on every 4th doc, FooterB as a TRAILING one on every 7th — position
     * matters (the rebuild must keep the body in place after cutting
@@ -988,17 +1040,19 @@ object LlmOps extends QueryPack {
     //      recall pattern of the ANN suite, in image form. Rows-only by
     //      design (pixel decode is not SQL-expressible); ImageHashSpec pins
     //      100% planted recall + zero false merges on this exact corpus ----
-    "mm_neardup" -> ((s, dir) =>
-      ImageHash.dropNearDuplicates(syntheticImageCorpus(s, dir),
-          "media_id", "media", maxHamming = 3)
-        .select(col("media_id"))),
+    "mm_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.applySurvivors(syntheticImageCorpus(s, dir), "media_id",
+          Dedup.survivorAssignment(ImageHash.nearDupPairs(
+            imageHashedShared(s, dir).as[ImageHashed], maxHamming = 3)))
+        .select(col("media_id"))
+    }),
 
     // ---- the decoder metadata path, ORACLE-CHECKED: dims reported by the
     //      real ImageIO decode must equal the render dims for every row —
     //      a decode stub or silent fallback cannot fake this ----
     "mm_image_meta" -> ((s, dir) =>
-      ImageHash.imageHashes(syntheticImageCorpus(s, dir), "media_id", "media")
-        .toDF()
+      imageHashedShared(s, dir)
         .select(col("id").as("media_id"), col("decoded"),
           col("img_w").cast("long").as("img_w"),
           col("img_h").cast("long").as("img_h"))),
@@ -1009,17 +1063,14 @@ object LlmOps extends QueryPack {
     //      survivors. Renditions resize AND truncate at once; the oracle
     //      pins the survivor set = exactly the base clips ----
     "mm_video_neardup" -> ((s, dir) =>
-      VideoHash.dropNearDuplicates(syntheticVideoCorpus(s, dir),
-          "media_id", "media", minShareMilli = 500L)
-        .select(col("media_id"))),
+      videoSurvivorsShared(s, dir).select(col("media_id"))),
 
     // ---- the multi-frame decoder's metadata contract, ORACLE-CHECKED:
     //      frame counts are pure arithmetic (3 + id%4 base, one less for
     //      the truncated rendition), so a decode that really ran must
     //      report exactly those counts for every row ----
     "mm_video_meta" -> ((s, dir) =>
-      VideoHash.videoHashes(syntheticVideoCorpus(s, dir), "media_id",
-          "media").toDF()
+      videoHashedShared(s, dir)
         .select(col("id").as("media_id"), col("decoded"),
           col("n_frames"))),
 
@@ -1050,16 +1101,9 @@ object LlmOps extends QueryPack {
     //      AudioHashSpec pins 100% recall + zero false merges ----
     "mm_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
-        .orderBy("doc_id").limit(160).as[Long]
-      val clips = ids.flatMap { id =>
-        val base = (id, AudioHash.synthWav(id, 44100))
-        if (id % 4 == 0)
-          Seq(base, (id + 1000000L,
-            AudioHash.synthWav(id, 22050, channels = 2, volumeMilli = 600)))
-        else Seq(base)
-      }.toDF("media_id", "media")
-      AudioHash.dropNearDuplicates(clips, "media_id", "media", maxHamming = 3)
+      Dedup.applySurvivors(syntheticAudioCorpus(s, dir), "media_id",
+          Dedup.survivorAssignment(AudioHash.nearDupPairs(
+            audioHashedShared(s, dir).as[AudioHashed], maxHamming = 3)))
         .select(col("media_id"))
     }),
 
@@ -1068,17 +1112,7 @@ object LlmOps extends QueryPack {
     //      arithmetic (n = rate · 65/100), so a parse that really ran must
     //      report exactly those values for every row ----
     "mm_audio_meta" -> ((s, dir) => {
-      import s.implicits._
-      val ids = t(s, dir).documents.select(col("doc_id").cast("long"))
-        .orderBy("doc_id").limit(160).as[Long]
-      val clips = ids.flatMap { id =>
-        val base = (id, AudioHash.synthWav(id, 44100))
-        if (id % 4 == 0)
-          Seq(base, (id + 1000000L,
-            AudioHash.synthWav(id, 22050, channels = 2, volumeMilli = 600)))
-        else Seq(base)
-      }.toDF("media_id", "media")
-      AudioHash.audioHashes(clips, "media_id", "media").toDF()
+      audioHashedShared(s, dir)
         .select(col("id").as("media_id"), col("decoded"),
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_samples"), col("channels").cast("long").as("channels"))
@@ -1131,9 +1165,7 @@ object LlmOps extends QueryPack {
         .select(col("id_a").as("media_id")).distinct()
       val imgClean = imgSurv.join(contaminated, Seq("media_id"), "left_anti")
         .select(col("media_id"), lit("image").as("modality"))
-      val vidSurv = VideoHash.dropNearDuplicates(
-          syntheticVideoCorpus(s, dir), "media_id", "media",
-          minShareMilli = 500L)
+      val vidSurv = videoSurvivorsShared(s, dir)
         .select(col("media_id"), lit("video").as("modality"))
       val mixed = Selection.capPerGroup(
         imgClean.unionByName(vidSurv)

@@ -439,6 +439,115 @@ object Pipelines {
         sum(col("n_tokens")).as("n_tokens"),
         expr("bit_xor(content_xor)").as("content_xor"))
 
+  /** Continuous label-agreement maintenance — the additive sibling of
+    * [[btIngest]] for annotation streams: each micro-batch collapses its
+    * (item, label) ratings to cell counts in `batch=<id>` (NULL labels
+    * dropped, the Krippendorff convention). Grouped rating counts are
+    * ADDITIVE, so the merged [[agreementCellsRead]] view feeds
+    * [[graft.llm.Classifier.fleissKappaFromCells]] /
+    * [[graft.llm.Classifier.krippendorffAlphaFromCells]] with output
+    * identical to the batch operator over every rating ever ingested —
+    * no rating is re-read, and the state is |items × labels| rows.
+    */
+  def agreementIngest(stream: DataFrame, itemCol: String, labelCol: String,
+      cellsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .filter(col(labelCol).isNotNull)
+            .select(col(itemCol).cast("string").as("item"),
+              col(labelCol).cast("string").as("label"))
+            .groupBy(col("item"), col("label"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$cellsDir/batch=$id")
+      }
+      .start()
+
+  /** The merged (item, label, n) cell view over an [[agreementIngest]]
+    * directory.
+    */
+  def agreementCellsRead(spark: SparkSession, cellsDir: String): DataFrame =
+    spark.read.parquet(cellsDir)
+      .groupBy(col("item"), col("label")).agg(sum(col("n")).as("n"))
+
+  /** Streaming small-group suppression with READ-TIME gating: batches
+    * append their rows verbatim plus their QI-group counts; the release
+    * view [[suppressedRead]] joins rows against the MERGED counts, so
+    * suppression is exact over the union — a group that reaches k only
+    * after later batches is released retroactively, where a per-batch
+    * filter would have dropped its early rows forever. The suppression
+    * boundary is the READ (rows are stored pre-release inside the
+    * curation perimeter), the same become-frequent-later resolution as
+    * the boilerplate index family — but here exactness needs no caveat,
+    * because the gate is evaluated only at release time.
+    */
+  def suppressIngest(stream: DataFrame, quasiCols: Seq[String],
+      rowsDir: String, countsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint()
+          b.write.mode("overwrite").parquet(s"$rowsDir/batch=$id")
+          b.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("qn"))
+            .write.mode("overwrite").parquet(s"$countsDir/batch=$id")
+        }
+      }
+      .start()
+  }
+
+  /** The released view over a [[suppressIngest]] pair of directories:
+    * rows whose QI group reaches k across EVERYTHING ingested. NULL QI
+    * values form one group (null-safe join), matching the batch
+    * operator; equals [[graft.llm.Privacy.suppressSmallGroups]] over the
+    * union exactly.
+    */
+  def suppressedRead(spark: SparkSession, rowsDir: String, countsDir: String,
+      quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = spark.read.parquet(rowsDir).drop("batch")
+    val counts = spark.read.parquet(countsDir)
+      .groupBy(quasiCols.map(col): _*).agg(sum(col("qn")).as("qn"))
+      .filter(col("qn") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__sq_$c")): _*)
+    val cond = quasiCols.map(c => rows(c) <=> counts(s"__sq_$c"))
+      .reduce(_ && _)
+    rows.join(counts, cond, "left_semi")
+  }
+
+  /** Continuous generalization-ladder maintenance: per-batch
+    * (width, QIs, bucket) count histograms in `batch=<id>`
+    * ([[graft.llm.Privacy.genLadderHist]]); histogram cells are additive,
+    * so [[genWidthRead]] re-picks the release width from the merged
+    * state — identical to [[graft.llm.Privacy.generalizeToK]]'s choice
+    * over everything ingested, without re-reading a row.
+    */
+  def genLadderIngest(stream: DataFrame, quasiCols: Seq[String],
+      numCol: String, histDir: String, checkpointDir: String,
+      maxExp: Int = 24): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.Privacy.genLadderHist(batch.toDF(), quasiCols, numCol,
+              maxExp)
+            .write.mode("overwrite").parquet(s"$histDir/batch=$id")
+      }
+      .start()
+
+  /** The release width picked from a [[genLadderIngest]] directory's
+    * merged histogram.
+    */
+  def genWidthRead(spark: SparkSession, histDir: String,
+      quasiCols: Seq[String], k: Long, maxExp: Int = 24): Long =
+    graft.llm.Privacy.genWidthFromHist(
+      spark.read.parquet(histDir).drop("batch"), quasiCols, k, maxExp)
+
   private def mediaDedupIngest(stream: DataFrame, idCol: String,
       binCol: String, corpusDir: String, indexDir: String,
       checkpointDir: String, maxHamming: Int,

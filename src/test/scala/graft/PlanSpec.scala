@@ -122,7 +122,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(500))
     assert(!p.contains("SinglePartition"),
       s"span ids fell into a single-partition window:\n${p.take(800)}")
-    val q = plan("quality_nb")
+    // audit the NB OPERATOR's plan directly: the quality_nb query now
+    // reads the StageMemo'd fit (a checkpoint scan by design), which
+    // would hide the fit's plan from this assertion
+    val q = graft.llm.Classifier.naiveBayesSelfScore(
+        graft.Tables(spark, sf0001).documents, "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
     assert(!q.contains("CartesianProduct"),
       s"NB scoring planned a cartesian:\n${q.take(800)}")
     assert(q.contains("partial"), q.take(500)) // map-side combine on counts

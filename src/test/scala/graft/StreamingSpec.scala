@@ -269,6 +269,86 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("a") > streamed("b"))
   }
 
+  test("agreementIngest: κ/α from summed cells equal the batch fit of the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_agr").toString
+    val mem = MemoryStream[(String, String)](spark)
+    val q = graft.streaming.Pipelines.agreementIngest(
+      mem.toDF().toDF("item", "label"), "item", "label",
+      s"$base/cells", s"$base/ckpt")
+    // 3 items × 4 ratings each, ratings arriving across two batches —
+    // the same ITEM receives ratings in both (cells must merge, not
+    // just concatenate)
+    val b1 = Seq(("i1", "x"), ("i1", "x"), ("i2", "x"), ("i2", "y"),
+      ("i3", "y"), ("i3", "y"))
+    val b2 = Seq(("i1", "x"), ("i1", "y"), ("i2", "y"), ("i2", "y"),
+      ("i3", "y"), ("i3", "x"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val cells = graft.streaming.Pipelines.agreementCellsRead(spark,
+      s"$base/cells")
+    val union = (b1 ++ b2).toDF("item", "label")
+    def one(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.collect().map(_.toSeq).head
+    assert(one(graft.llm.Classifier.fleissKappaFromCells(cells,
+        "item", "label", "n"))
+      === one(graft.llm.Classifier.fleissKappaMicro(union, "item", "label")))
+    assert(one(graft.llm.Classifier.krippendorffAlphaFromCells(cells,
+        "item", "label", "n"))
+      === one(graft.llm.Classifier.krippendorffAlphaMicro(union,
+        "item", "label")))
+  }
+
+  test("suppressIngest: read-time gate equals batch suppression, retroactive release") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sup").toString
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = graft.streaming.Pipelines.suppressIngest(
+      mem.toDF().toDF("id", "zip", "age"), Seq("zip", "age"),
+      s"$base/rows", s"$base/counts", s"$base/ckpt")
+    // group (z1, a) reaches k=2 only across batches — the batch-1 row
+    // must be released retroactively; (z9, c) never reaches k; the null
+    // QI rows form ONE group that reaches k
+    val b1 = Seq((1L, "z1", "a"), (2L, "z9", "c"), (3L, null: String, "a"))
+    val b2 = Seq((4L, "z1", "a"), (5L, null: String, "a"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val released = graft.streaming.Pipelines.suppressedRead(spark,
+      s"$base/rows", s"$base/counts", Seq("zip", "age"), k = 2)
+    val batch = graft.llm.Privacy.suppressSmallGroups(
+      (b1 ++ b2).toDF("id", "zip", "age"), Seq("zip", "age"), k = 2)
+    assert(ids(released) === ids(batch))
+    assert(ids(released) === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("genLadderIngest: width from merged histograms equals the batch ladder pick") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val q = graft.streaming.Pipelines.genLadderIngest(
+      mem.toDF().toDF("id", "region", "age"), Seq("region"), "age",
+      s"$base/hist", s"$base/ckpt", maxExp = 6)
+    // within each region, ages pair up only at width 8: singles at finer
+    // widths exist in BOTH batches' unions, so the pick must come from
+    // the MERGED histogram (each single batch alone would pick wider)
+    val b1 = Seq((1L, "r1", 10L), (2L, "r1", 17L), (3L, "r2", 33L))
+    val b2 = Seq((4L, "r1", 12L), (5L, "r1", 22L), (6L, "r2", 38L),
+      (7L, "r1", 18L), (8L, "r2", 34L), (9L, "r2", 39L))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamedW = graft.streaming.Pipelines.genWidthRead(spark,
+      s"$base/hist", Seq("region"), k = 2, maxExp = 6)
+    val batchW = graft.llm.Privacy.generalizeToK(
+        (b1 ++ b2).toDF("id", "region", "age"), Seq("region"), "age",
+        k = 2, maxExp = 6)
+      .select("gen_width").head().getLong(0)
+    assert(streamedW === batchW)
+    // and the merged pick is strictly finer than either batch's own pick
+    val w1 = graft.llm.Privacy.genWidthFromHist(
+      graft.llm.Privacy.genLadderHist(b1.toDF("id", "region", "age"),
+        Seq("region"), "age", maxExp = 6), Seq("region"), 2, maxExp = 6)
+    assert(streamedW <= w1)
+  }
+
   test("manifestIngest: merged per-batch manifests equal the batch manifest of the union") {
     val base = java.nio.file.Files.createTempDirectory("graft_mf").toString
     val mem = MemoryStream[(Long, Long, String)](spark)

@@ -86,6 +86,44 @@ class DedupInternalsSpec extends graft.SparkSpec {
     assert(inc === Set((10L, 11L, 1L), (1L, 12L, 1L), (2L, 12L, 2L)))
   }
 
+  test("fuzzyCandidates: boilerplate-prefix blocks stay capped at both settings") {
+    // 150 keys share an 8-char boilerplate prefix (the "https://" shape);
+    // suffixes are a 2-char base-26 id code repeated 4×, so with
+    // maxDist = 0 (band = exact position) the only other positional
+    // collisions are the p=2 straddle windows keyed by the code's FIRST
+    // char (ids ≡ mod 26) — every window sharing ≥ 2 suffix chars pins
+    // the whole code and thus the id
+    val n = 150
+    def key(id: Int): String = {
+      val c1 = ('a' + id % 26).toChar; val c2 = ('a' + id / 26).toChar
+      "PREFIX00" + (s"$c1$c2" * 4)
+    }
+    val docs = (0 until n).map(id => (id.toLong, key(id))).toDF("id", "k")
+    val slim = Dedup.fuzzySlim(docs, "id", "k")
+    def candidates(cap: Int): Set[(Long, Long)] =
+      Dedup.fuzzyCandidates(slim, slim, maxDist = 0, q = 8, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap above the degenerate block: the prefix block alone pairs
+    // everyone — candidates are exactly all C(150,2) distinct pairs
+    val loose = candidates(10000)
+    assert(loose.size === n * (n - 1) / 2)
+    // cap below it: every 150-member block drops; survivors are only the
+    // id≡id' (mod 26) straddle blocks — candidate volume collapses from
+    // quadratic-in-n to quadratic-in-block
+    val tight = candidates(100)
+    val want = (for {
+      a <- 0 until n; b <- (a + 1) until n if a % 26 == b % 26
+    } yield (a.toLong, b.toLong)).toSet
+    assert(tight === want)
+    assert(tight.size < loose.size / 20)
+    // the confirm stage is cap-independent here: all keys are distinct,
+    // so NO candidate survives threshold-Levenshtein at either setting
+    assert(Dedup.fuzzyNearDupPairs(docs, "id", "k", maxDist = 0, q = 8,
+      maxBucketSize = 10000).count() === 0L)
+    assert(Dedup.fuzzyNearDupPairs(docs, "id", "k", maxDist = 0, q = 8,
+      maxBucketSize = 100).count() === 0L)
+  }
+
   test("maximalSharedRuns reports ONE maximal row per shared run, exact positions") {
     // r1..r6 shared (6 tokens > L=3): the 4 window matches on one diagonal
     // must island into a single run of length 6, not 4 window hits
