@@ -203,4 +203,51 @@ object Profile extends Serializable {
           col("n_keys").cast(dec) * col("n_rows").cast(dec)))
         .as("gini_micro"))
   }
+
+  /** Per-group exact Gini of a non-negative value column — the same rank
+    * identity as [[skewReport]], one coefficient PER GROUP (the datacard's
+    * per-language length-inequality panel: gini of per-doc token counts).
+    * `tieCol` breaks value ties deterministically; since a tie block's
+    * ranks are a fixed contiguous range, Σ i·vᵢ — and therefore the
+    * coefficient — is invariant under the internal tie order, so both
+    * engines agree however they break ties.
+    *
+    * Ranks come from [[Transforms.globalSortRank]] over
+    * (group, value, tie) minus the group's min rank — range-partitioned
+    * exact ranking, never a per-group window pinning a giant group to one
+    * task. Groups of one value pin gini = 0.
+    *
+    * Output: one row per group — (groupCol, n_vals, sum_vals, gini_micro).
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val clash = Seq("__gg", "__gv", "__gt", "__gr", "__g0")
+      .filter(Seq(groupCol, valueCol, tieCol).contains)
+    require(clash.isEmpty,
+      s"giniByGroup reserved column(s) in use: ${clash.mkString(", ")}")
+    val dec = DecimalType(38, 0)
+    val vals = df.select(col(groupCol).as("__gg"),
+      col(valueCol).cast("long").as("__gv"), col(tieCol).as("__gt"))
+    val ranked = Transforms.globalSortRank(vals,
+      Seq(col("__gg").asc, col("__gv").asc, col("__gt").asc), "__gr")
+    val base = ranked.groupBy(col("__gg")).agg(min(col("__gr")).as("__g0"))
+    def floorDiv(nm: Column, dn: Column): Column =
+      ((nm - pmod(nm, dn)) / dn).cast("long")
+    ranked.join(base, Seq("__gg"))
+      .select(col("__gg"), col("__gv"),
+        (col("__gr") - col("__g0") + lit(1L)).as("__gr"))
+      .groupBy(col("__gg"))
+      .agg(count(lit(1)).as("n_vals"),
+        coalesce(sum(col("__gv")), lit(0L)).as("sum_vals"),
+        coalesce(sum(col("__gr").cast(dec) * col("__gv").cast(dec)),
+          lit(0L).cast(dec)).as("__ga"))
+      .select(col("__gg").as(groupCol), col("n_vals"), col("sum_vals"),
+        when(col("n_vals") === 1 || col("sum_vals") === 0, lit(0L))
+          .otherwise(floorDiv(
+            (lit(2L).cast(dec) * col("__ga") -
+              (col("n_vals").cast(dec) + lit(1L)) *
+                col("sum_vals").cast(dec)) * lit(1000000L),
+            col("n_vals").cast(dec) * col("sum_vals").cast(dec)))
+          .as("gini_micro"))
+  }
 }

@@ -57,7 +57,9 @@ object CorpusStats extends Serializable {
     "fk", "ke", "k_eff", "f_k", "sum_ln_micro", "hill_alpha_micro",
     // exact-substring dedup working/output columns
     "n_occ", "keep_id", "id_a", "id_b", "pos_a", "pos_b", "diag", "island",
-    "run_len") ++
+    "run_len",
+    // zipfAlphaByGroup per-group rank working columns
+    "__zg", "__zr", "__z0") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 
@@ -1093,6 +1095,51 @@ object CorpusStats extends Serializable {
         col("sum_ln_micro"),
         when(col("sum_ln_micro") === 0, lit(0L))
           .otherwise(expr(s"(1000000000000 * $kEff) DIV sum_ln_micro"))
+          .as("hill_alpha_micro"))
+  }
+
+  /** Per-group [[zipfAlpha]] — the Hill tail index of EACH group's own
+    * vocabulary (one corpus-health row per language for the datacard).
+    * Same estimator, same staged micro-ln, but NOTHING collects: the
+    * per-group top-k is cut with [[graft.etl.Transforms.globalSortRank]]
+    * over (group, freq desc, token asc) minus the group's min rank — a
+    * range-partitioned exact rank, never a per-group window that would
+    * pin a 100 TB group's whole vocabulary to one task. Groups whose
+    * vocabulary has < 2 tokens, or a flat top-k (Σln = 0), report 0 —
+    * the global form's `require` becomes a value here because one thin
+    * group must not fail the whole datacard.
+    *
+    * Output: one row per group — (groupCol, k_eff, sum_ln_micro,
+    * hill_alpha_micro).
+    */
+  def zipfAlphaByGroup(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"zipfAlphaByGroup needs k >= 2, got $k")
+    require(!Reserved(groupCol),
+      s"groupCol '$groupCol' collides with a zipfAlpha working column")
+    val freqs = df
+      .select(col(groupCol).as("__zg"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("__zg"), col("token")).agg(count(lit(1)).as("freq"))
+    val ranked = graft.etl.Transforms.globalSortRank(freqs,
+      Seq(col("__zg").asc, col("freq").desc, col("token").asc), "__zr")
+    val base = ranked.groupBy(col("__zg")).agg(min(col("__zr")).as("__z0"))
+    val topk = ranked.join(base, Seq("__zg"))
+      .filter(col("__zr") - col("__z0") < k)
+      .select(col("__zg"), col("freq"))
+    val heads = topk.groupBy(col("__zg"))
+      .agg(count(lit(1)).as("ke"), min(col("freq")).as("fk"))
+    val chain = graft.functions.PortableMath.microLnSignedStages(
+      "freq", "fk", graft.functions.PortableMath.sparkShiftLeft)
+    val withLp = chain.foldLeft(topk.join(heads, Seq("__zg"))) {
+      case (acc, (n, s)) => acc.withColumn(n, expr(s))
+    }
+    withLp.groupBy(col("__zg"))
+      .agg(max(col("ke")).as("k_eff"),
+        coalesce(sum(col("lp")), lit(0L)).as("sum_ln_micro"))
+      .select(col("__zg").as(groupCol), col("k_eff"), col("sum_ln_micro"),
+        when(col("k_eff") < 2 || col("sum_ln_micro") === 0, lit(0L))
+          .otherwise(expr("(1000000000000 * k_eff) DIV sum_ln_micro"))
           .as("hill_alpha_micro"))
   }
 }

@@ -471,7 +471,7 @@ object CurationOps extends QueryPack {
   /** Per-doc unigram Viterbi encode totals — unigram_encode and
     * tok_fertility ride one DP pass over the distinct vocab.
     */
-  private def unigramEncodeShared(s: SparkSession, dir: String): DataFrame =
+  private[queries] def unigramEncodeShared(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "unigram_encode") {
       Tokenizer.unigramEncodeCounts(t(s, dir).documents, "doc_id", "text",
         unigramPiecesShared(s, dir), UnigramL)
@@ -1131,7 +1131,7 @@ object CurationOps extends QueryPack {
     * (unreachable, or longer than the unroll) falls to the untrained
     * (1 piece, 0 nll) arm of the LEFT JOIN — the kernel's own convention.
     */
-  private def unigramEncodeSql: String = {
+  private[queries] def unigramEncodeSql: String = {
     // every DP stage and shared input is MATERIALIZED: DuckDB inlines
     // plain CTEs, and the 4-ary ud-recurrence would otherwise expand into
     // an exponential plan that re-opens the parquet once per leaf

@@ -979,12 +979,24 @@ object LlmOps extends QueryPack {
         .select(col("vec_id"))),
 
     // ---- corpus datacard: the per-language dataset-card panel every
-    //      corpus release ships — doc/token counts, exact-dup rate, mean
-    //      quality, long-doc share. ONE partial-agg'd shuffle (the exact
-    //      distinct pays the standard second phase) ----
+    //      corpus release ships, extended to the FULL health sheet — the
+    //      base doc/token/dup/quality counts plus every r9 diagnostic
+    //      re-based on its component op: script mix (dominantScript),
+    //      tokenizer-coverage OOV (CorpusStats.oovRate vs the global
+    //      top-20 vocab), per-language Zipf tail (zipfAlphaByGroup),
+    //      length inequality (Profile.giniByGroup over per-doc token
+    //      counts), and tokenizer fertility (the shared unigram encode).
+    //      Every leg aggregates to language cardinality before the joins,
+    //      so the final assembly is a chain of broadcast-sized joins; the
+    //      only windows are the bounded (lang × ≤8 scripts) mode pick and
+    //      the range-partitioned globalSortRank inside the components ----
     "corpus_datacard" -> ((s, dir) => {
+      val docs = t(s, dir).documents
       val toks = TextOps.tokenCount(col("text"))
-      t(s, dir).documents.groupBy(col("lang"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      def fdiv(nm: Column, dn: Column): Column =
+        ((nm - pmod(nm, dn)) / dn).cast("long")
+      val base = docs.groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(toks).as("total_tokens"),
@@ -992,6 +1004,67 @@ object LlmOps extends QueryPack {
             .as("mean_quality"),
           countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
           sum(when(toks >= 100, 1L).otherwise(0L)).as("n_long"))
+      // script mix: modal dominant script (ties → script name asc) +
+      // non-latin-dominant doc count. The window is bounded: one row per
+      // (lang, script class).
+      val doms = docs.select(col("lang"),
+        TextOps.dominantScript(col("text")).as("__dom"))
+      val domW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("__dc").desc, col("__dom").asc)
+      val domMode = doms.groupBy(col("lang"), col("__dom"))
+        .agg(count(lit(1)).as("__dc"))
+        .withColumn("__dr", row_number().over(domW))
+        .filter(col("__dr") === 1)
+        .select(col("lang"), col("__dom").as("dom_script"))
+      val nonLatin = doms.groupBy(col("lang"))
+        .agg(sum(when(col("__dom") =!= "latin", 1L).otherwise(0L))
+          .as("n_nonlatin_dom"))
+      // tokenizer coverage: per-lang OOV rate vs the global top-20 vocab
+      val vocab = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc).limit(20)
+        .select("word")
+      val oov = CorpusStats.oovRate(docs, "doc_id", "text", vocab)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("__nt"), sum(col("n_oov")).as("__no"))
+        .select(col("lang"),
+          fdiv(col("__no").cast(dec) * lit(1000000L),
+            col("__nt").cast(dec)).as("oov_micro"))
+      // per-language Zipf tail: Hill index of each language's own top-64
+      val zipf = CorpusStats.zipfAlphaByGroup(docs, "lang", "text", k = 64)
+        .select(col("lang"), col("hill_alpha_micro").as("zipf_alpha_micro"))
+      // per-language length inequality: exact Gini of per-doc token counts
+      val gini = graft.etl.Profile.giniByGroup(
+        docs.select(col("lang"), toks.as("n_toks"), col("doc_id")),
+        "lang", "n_toks", "doc_id")
+        .select(col("lang"), col("gini_micro").as("len_gini_micro"))
+      // tokenizer fertility: the shared unigram encode re-aggregated
+      val fert = CurationOps.unigramEncodeShared(s, dir)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("__fw"), sum(col("n_pieces")).as("__fp"))
+        .select(col("lang"),
+          when(col("__fw") === 0, lit(0L))
+            .otherwise(fdiv(col("__fp").cast(dec) * lit(1000000L),
+              col("__fw").cast(dec))).as("fertility_micro"))
+      base
+        .join(domMode, Seq("lang"), "left")
+        .join(nonLatin, Seq("lang"), "left")
+        .join(oov, Seq("lang"), "left")
+        .join(zipf, Seq("lang"), "left")
+        .join(gini, Seq("lang"), "left")
+        .join(fert, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("mean_quality"), col("n_unique"), col("n_long"),
+          coalesce(col("dom_script"), lit("none")).as("dom_script"),
+          coalesce(col("n_nonlatin_dom"), lit(0L)).as("n_nonlatin_dom"),
+          coalesce(col("oov_micro"), lit(0L)).as("oov_micro"),
+          coalesce(col("zipf_alpha_micro"), lit(0L)).as("zipf_alpha_micro"),
+          coalesce(col("len_gini_micro"), lit(0L)).as("len_gini_micro"),
+          coalesce(col("fertility_micro"), lit(0L)).as("fertility_micro"))
     }),
 
     // ---- composed curation pipeline: quality gate → exact dedup (min-id
@@ -1400,6 +1473,100 @@ object LlmOps extends QueryPack {
        |    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
        |  WHERE jac >= 0.5
        |)""".stripMargin
+  /** The extended corpus_datacard oracle: each health-sheet leg replays
+    * its component op — the scripts dominant fold ([[scriptsSql]] as a
+    * subquery), the global top-20 OOV join, the per-language Hill chain
+    * (the vocab_zipf staged-ln CTEs, PARTITIONed by lang), the per-language
+    * rank-identity Gini (the skewReport floor-mod idiom), and the shared
+    * unigram-encode fertility re-aggregation — then left-joins every leg
+    * onto the base panel exactly as the Spark side does.
+    */
+  private def datacardSql: String = {
+    val zlChain = graft.functions.PortableMath.duckCteChain(
+      graft.functions.PortableMath.microLnSignedStages("freq", "fk",
+        graft.functions.PortableMath.duckShiftLeft), "zbase", "zl")
+    s"""WITH base AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len($DuckToks)) AS BIGINT) AS total_tokens,
+       |    ${OracleSafe.sqlDavg(s"($duckQuality)")} AS mean_quality,
+       |    count(DISTINCT md5(text)) AS n_unique,
+       |    CAST(sum(CASE WHEN len($DuckToks) >= 100 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_long
+       |  FROM documents GROUP BY lang),
+       |doms AS (SELECT d.lang, s.dominant
+       |  FROM ($scriptsSql) s JOIN documents d USING (doc_id)),
+       |dcnt AS (SELECT lang, dominant, count(*) AS c
+       |  FROM doms GROUP BY 1, 2),
+       |dmode AS (SELECT lang, dominant AS dom_script FROM (
+       |    SELECT lang, dominant, row_number() OVER (PARTITION BY lang
+       |      ORDER BY c DESC, dominant ASC) AS r FROM dcnt) WHERE r = 1),
+       |nonlat AS (SELECT lang,
+       |    CAST(sum(CASE WHEN dominant <> 'latin' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_nonlatin_dom
+       |  FROM doms GROUP BY 1),
+       |wr AS (SELECT lang, unnest($DuckToks) AS word FROM documents),
+       |vocab AS (SELECT word FROM (
+       |    SELECT word, count(*) AS freq FROM wr GROUP BY 1
+       |    ORDER BY freq DESC, word ASC LIMIT 20)),
+       |oov AS (SELECT w.lang,
+       |    CAST((CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+       |        AS HUGEINT) * 1000000)
+       |      // CAST(count(*) AS HUGEINT) AS BIGINT) AS oov_micro
+       |  FROM wr w LEFT JOIN vocab v ON w.word = v.word GROUP BY 1),
+       |zf AS (SELECT lang, word AS token, CAST(count(*) AS BIGINT) AS freq
+       |  FROM wr GROUP BY 1, 2),
+       |zr AS (SELECT lang, freq, row_number() OVER (PARTITION BY lang
+       |    ORDER BY freq DESC, token ASC) AS r FROM zf),
+       |ztop AS (SELECT lang, freq FROM zr WHERE r <= 64),
+       |zh AS (SELECT lang, CAST(count(*) AS BIGINT) AS ke,
+       |    CAST(min(freq) AS BIGINT) AS fk FROM ztop GROUP BY 1),
+       |zbase AS (SELECT t.lang, t.freq, h.fk, h.ke
+       |  FROM ztop t JOIN zh h ON t.lang = h.lang),
+       |$zlChain,
+       |zs AS (SELECT lang, max(ke) AS ke,
+       |    CAST(coalesce(sum(lp), 0) AS BIGINT) AS s
+       |  FROM zlfin GROUP BY lang),
+       |zipf AS (SELECT lang, CAST(CASE WHEN ke < 2 OR s = 0 THEN 0
+       |    ELSE (1000000000000 * CAST(ke AS HUGEINT)) // s END AS BIGINT)
+       |    AS zipf_alpha_micro FROM zs),
+       |gl AS (SELECT lang, CAST(len($DuckToks) AS BIGINT) AS v, doc_id
+       |  FROM documents),
+       |gr AS (SELECT lang, v, row_number() OVER (PARTITION BY lang
+       |    ORDER BY v ASC, doc_id ASC) AS i FROM gl),
+       |gg AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(coalesce(sum(v), 0) AS HUGEINT) AS tot,
+       |    CAST(coalesce(sum(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)), 0)
+       |      AS HUGEINT) AS a
+       |  FROM gr GROUP BY lang),
+       |gini AS (SELECT lang, CAST(CASE WHEN n = 1 OR tot = 0 THEN 0 ELSE
+       |    ((2 * a - (n + 1) * tot) * 1000000
+       |      - ((((2 * a - (n + 1) * tot) * 1000000) % (n * tot)
+       |          + (n * tot)) % (n * tot)))
+       |      // (n * tot) END AS BIGINT) AS len_gini_micro FROM gg),
+       |fe AS (SELECT lang, CAST(sum(n_words) AS HUGEINT) AS fw,
+       |    CAST(sum(n_pieces) AS HUGEINT) AS fp
+       |  FROM (${CurationOps.unigramEncodeSql}) enc
+       |  JOIN documents USING (doc_id) GROUP BY lang),
+       |fert AS (SELECT lang, CAST(CASE WHEN fw = 0 THEN 0
+       |    ELSE (fp * 1000000) // fw END AS BIGINT) AS fertility_micro
+       |  FROM fe)
+       |SELECT b.lang, b.n_docs, b.total_tokens, b.mean_quality,
+       |  b.n_unique, b.n_long,
+       |  COALESCE(m.dom_script, 'none') AS dom_script,
+       |  CAST(COALESCE(nl.n_nonlatin_dom, 0) AS BIGINT) AS n_nonlatin_dom,
+       |  CAST(COALESCE(o.oov_micro, 0) AS BIGINT) AS oov_micro,
+       |  CAST(COALESCE(z.zipf_alpha_micro, 0) AS BIGINT)
+       |    AS zipf_alpha_micro,
+       |  CAST(COALESCE(g.len_gini_micro, 0) AS BIGINT) AS len_gini_micro,
+       |  CAST(COALESCE(f.fertility_micro, 0) AS BIGINT) AS fertility_micro
+       |FROM base b
+       |LEFT JOIN dmode m ON b.lang = m.lang
+       |LEFT JOIN nonlat nl ON b.lang = nl.lang
+       |LEFT JOIN oov o ON b.lang = o.lang
+       |LEFT JOIN zipf z ON b.lang = z.lang
+       |LEFT JOIN gini g ON b.lang = g.lang
+       |LEFT JOIN fert f ON b.lang = f.lang""".stripMargin
+  }
+
   /** The text_scripts oracle, generated from [[TextOps.ScriptClasses]]
     * so the class list and tie order can never drift between engines:
     * counts once in a subquery, dominant as the same foldRight CASE
@@ -1748,14 +1915,7 @@ object LlmOps extends QueryPack {
          |ORDER BY n_docs DESC, span ASC LIMIT 30""".stripMargin
     },
 
-    "corpus_datacard" ->
-      s"""SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(len($DuckToks)) AS BIGINT) AS total_tokens,
-         |  ${OracleSafe.sqlDavg(s"($duckQuality)")} AS mean_quality,
-         |  count(DISTINCT md5(text)) AS n_unique,
-         |  CAST(sum(CASE WHEN len($DuckToks) >= 100 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_long
-         |FROM documents GROUP BY lang""".stripMargin,
+    "corpus_datacard" -> datacardSql,
 
     "sample_weighted" ->
       s"""SELECT doc_id, lang FROM documents

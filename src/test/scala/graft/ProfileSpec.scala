@@ -104,4 +104,32 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("giniByGroup: hand values per group, tie-order invariance, " +
+      "single-value groups pin 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 1L, 2L), ("a", 1L, 3L), // even → 0
+      ("b", 0L, 1L), ("b", 0L, 2L), ("b", 10L, 3L), // (2·30 − 4·10)/30
+      ("c", 7L, 1L) // single row → 0
+    ).toDF("g", "v", "id")
+    val out = Profile.giniByGroup(df, "g", "v", "id").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((3L, 3L, 0L)))
+    assert(out("b") === ((3L, 10L, 666666L)))
+    assert(out("c") === ((1L, 7L, 0L)))
+    // value ties may rank in any internal order without moving Σ i·v —
+    // permute the tie column and the coefficient must not change
+    val permuted = Seq(("b", 0L, 9L), ("b", 10L, 1L), ("b", 0L, 5L))
+      .toDF("g", "v", "id")
+    assert(Profile.giniByGroup(permuted, "g", "v", "id")
+      .head().getLong(3) === 666666L)
+    // reserved working columns refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Profile.giniByGroup(df.withColumnRenamed("v", "__gv"), "g", "__gv",
+        "id")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

@@ -385,4 +385,32 @@ class CorpusStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("< 2"))
   }
+
+  test("zipfAlphaByGroup: per-group Hill equals the global estimator on " +
+      "that group alone; flat and thin groups pin 0") {
+    val docs = Seq(
+      ("en", "a a a a a a b b b c c d"),
+      ("en", "a a b c d e"),
+      ("fr", "u u u u v v w"),
+      ("fr", "u v w x x"),
+      ("flat", "p q r s"), // all top-k freqs equal → Σln = 0 → 0
+      ("thin", "z") // vocabulary of 1 → k_eff < 2 → 0 (no group require)
+    ).toDF("lang", "text")
+    val by = CorpusStats.zipfAlphaByGroup(docs, "lang", "text", k = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    for (g <- Seq("en", "fr")) {
+      val solo = CorpusStats.zipfAlpha(
+        docs.filter(col("lang") === g), "text", k = 4).head()
+      assert(by(g) === ((solo.getLong(0), solo.getLong(3))), g)
+    }
+    assert(by("flat")._2 === 0L)
+    assert(by("thin") === ((1L, 0L)))
+    // group columns that collide with working columns refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.zipfAlphaByGroup(docs.withColumnRenamed("lang", "freq"),
+        "freq", "text")
+    }
+    assert(e.getMessage.contains("collides"))
+  }
 }
