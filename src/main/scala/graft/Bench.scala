@@ -177,7 +177,9 @@ object Bench {
     // remaining 1-char namespace for r10+ queries
     "dedup_substring" -> "0",
     "dedup_substring_runs" -> "1",
-    "pipeline_multimodal" -> "2")
+    "pipeline_multimodal" -> "2",
+    "vocab_zipf_lang" -> "3",
+    "q41_gini_group" -> "4")
   private val codePrefix = "^([a-z]\\d+)_.*$".r
   private val FamilyAbbrev = Seq(
     "dedup_" -> "dd_", "text_" -> "tx_", "sim_" -> "si_",
@@ -232,16 +234,7 @@ object Bench {
       n -> (if (cold(n) < 0 || vs.exists(_ < 0)) -1.0 else median(vs))
     }.toMap
 
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-    // comma-decimal locale would render 12.345 as "12,345" — invalid JSON
-    def fmt(v: Double, decimals: Int): String =
-      if (v < 0) "-1"
-      else {
-        val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
-          Double.box(v))
-        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-        if (t.isEmpty) "0" else t
-      }
+    def fmt(v: Double, decimals: Int): String = Bench.fmt(v, decimals)
     def f3(v: Double): String = fmt(v, 3)
     def qjson(m: Map[String, Double]): String =
       names.map(n => s"\"$n\":${f3(m(n))}").mkString("{", ",", "}")
@@ -263,7 +256,49 @@ object Bench {
 
     // The driver keeps only the last ~2000 chars of stdout, so the line it
     // parses must be final AND short: keys abbreviate via Bench.shortName
-    // (full names are in bench_out.json and the early line above).
+    // (full names are in bench_out.json and the early line above), and
+    // precision degrades adaptively when the pack outgrows the budget —
+    // see [[tailLine]]. basename minus the constant "sf" prefix: the full
+    // dir is in the early line + bench_out.json, every tail char is priced
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir).stripPrefix("sf")
+    println(tailLine(names, warmMed, total, sfShort))
+    Console.out.flush()
+  }
+
+  // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+  // comma-decimal locale would render 12.345 as "12,345" — invalid JSON
+  private[graft] def fmt(v: Double, decimals: Int): String =
+    if (v < 0) "-1"
+    else {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
+
+  /** Tail-line budget: the driver keeps the last 2000 chars of stdout and
+    * the sbt success footer printed after the line measured 73–74 chars in
+    * BENCH_r07–r09 tails (worst realistic shape ~76), leaving ≥ 1924 for
+    * the line itself — 1910 keeps ≥ 14 chars of slack, 7× the observed
+    * footer variance.
+    */
+  private[graft] val TailBudget = 1910
+
+  /** The machine-parseable tail line, built at the highest precision the
+    * budget allows. Ladder: uniform 3 → 2 → 1 decimals; when even the
+    * uniform 1-decimal map overflows (the pack crossed ~195 entries at
+    * r10), precision degrades PER ENTRY, largest values first — stripping
+    * the decimal from a 45 s entry is a ≤ 1.1 % quantization, stripping
+    * it from a 0.4 s entry is 100 %, so sub-10 s entries keep sub-second
+    * resolution until every larger entry is already integer. (Full
+    * 3-decimal values always live in bench_out.json; the adaptive rung
+    * only prices the driver's tail window.) A pack so large that even
+    * all-integer overflows ships the headline total alone — the driver
+    * then loses per-query detail, never the round's bench artifact.
+    */
+  private[graft] def tailLine(names: Seq[String], med: Map[String, Double],
+      total: Double, sfShort: String): String = {
     val proposed: Map[String, String] = names.map(n => n -> shortName(n)).toMap
     // a key collision must not kill the round's bench artifact: colliding
     // entries fall back to their full names (the line may then exceed the
@@ -272,29 +307,27 @@ object Bench {
     val shortKey = proposed.map { case (n, s) =>
       n -> (if (collided(s)) n else s)
     }
-    def compact(decimals: Int): String = {
-      val q = names.map(n => s"\"${shortKey(n)}\":${fmt(warmMed(n), decimals)}")
+    // no warm_reps here: the tail budget is the scarce resource and the
+    // rep count is in bench_out.json + the early full-name line
+    def wrap(q: String, d: Int): String =
+      s"""{"metric":"total","value":${fmt(total, d)},"unit":"sec","queries":$q,"sf":"$sfShort"}"""
+    def qmap(dec: String => Int): String =
+      names.map(n => s"\"${shortKey(n)}\":${fmt(med(n), dec(n))}")
         .mkString("{", ",", "}")
-      // basename minus the constant "sf" prefix: the full dir is in the
-      // early line + bench_out.json, and every tail char is priced
-      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
-        .getOrElse(sfDir).stripPrefix("sf")
-      // no warm_reps here: the tail budget is the scarce resource and the
-      // rep count is in bench_out.json + the early full-name line
-      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$q,"sf":"$sfShort"}"""
+    val uniform = Seq(3, 2, 1).view.map(d => wrap(qmap(_ => d), d))
+      .find(_.length <= TailBudget)
+    def adaptive: Option[String] = {
+      val order = names.sortBy(n => (-med(n), n))
+      val dec = scala.collection.mutable.Map(names.map(_ -> 1): _*)
+      var line = wrap(qmap(dec), 1)
+      val it = order.iterator
+      while (line.length > TailBudget && it.hasNext) {
+        dec(it.next()) = 0
+        line = wrap(qmap(dec), 1)
+      }
+      Option.when(line.length <= TailBudget)(line)
     }
-    // last-resort fallback: a pack so large/slow that even integer seconds
-    // overflow the tail window still ships the headline total (the driver
-    // then loses per-query detail, never the round's bench artifact)
-    val headlineOnly =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{},"sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}"}"""
-    // budget 1900: the driver keeps the last 2000 chars of stdout and the
-    // sbt success footer printed after this line measured 73–74 chars in
-    // BENCH_r07–r09 tails (worst realistic shape ~76), leaving ≥ 1923
-    // for the line itself — 1900 keeps ≥ 23 chars of slack
-    val tailLine = Seq(3, 2, 1, 0).map(compact).find(_.length <= 1900)
-      .getOrElse(headlineOnly)
-    println(tailLine)
-    Console.out.flush()
+    def headlineOnly = wrap("{}", 3)
+    uniform.orElse(adaptive).getOrElse(headlineOnly)
   }
 }

@@ -778,6 +778,29 @@ object PipelineConfig {
           }
           graft.llm.CorpusStats.zipfAlpha(d, tc,
             t.name.getOrElse("64").trim.toInt)
+        // per-group Zipf tail index (the datacard's per-language leg):
+        // REPLACES the frame with one (groupCol, k_eff, sum_ln_micro,
+        // hill_alpha_micro) row per group; thin/flat groups report 0.
+        // cols = [groupCol, textCol], name = k (default 64)
+        case "zipf_by_group" =>
+          val Seq(zg, ztc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("zipf_by_group needs cols = [groupCol, textCol]")
+          }
+          graft.llm.CorpusStats.zipfAlphaByGroup(d, zg, ztc,
+            t.name.getOrElse("64").trim.toInt)
+        // per-group exact Gini of a non-negative value column (the
+        // datacard's length-inequality leg): REPLACES the frame with one
+        // (groupCol, n_vals, sum_vals, gini_micro) row per group.
+        // cols = [groupCol, valueCol, tieCol]
+        case "gini_by_group" =>
+          val Seq(gg, gv, gt) = t.cols match {
+            case s if s.length == 3 => s
+            case _ => sys.error(
+              "gini_by_group needs cols = [groupCol, valueCol, tieCol]")
+          }
+          graft.etl.Profile.giniByGroup(d, gg, gv, gt)
         // Unicode-script audit: APPENDS per-script char counts and the
         // dominant writing script. cols = [textCol]
         case "scripts" =>

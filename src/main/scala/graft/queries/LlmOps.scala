@@ -783,6 +783,14 @@ object LlmOps extends QueryPack {
     "vocab_zipf" -> ((s, dir) =>
       CorpusStats.zipfAlpha(t(s, dir).documents, "text", k = 64)),
 
+    // ---- the per-language Zipf tail (the datacard leg standalone):
+    //      each language's own Hill index over its own top-64 — per-group
+    //      top-k via the range-partitioned globalSortRank, no collects;
+    //      thin/flat groups pin 0 instead of failing the panel ----
+    "vocab_zipf_lang" -> ((s, dir) =>
+      CorpusStats.zipfAlphaByGroup(t(s, dir).documents, "lang", "text",
+        k = 64)),
+
     // ---- the same top-k through the Misra-Gries heavy-hitter path:
     //      per-partition m-counter sketches bound the shuffle to m rows
     //      per partition regardless of vocabulary size, and the output is
@@ -2899,6 +2907,34 @@ object LlmOps extends QueryPack {
          |SELECT ke AS k_eff, fk AS f_k, sum_ln_micro,
          |  CAST(CASE WHEN sum_ln_micro = 0 THEN 0
          |       ELSE (1000000000000 * CAST(ke AS HUGEINT)) // sum_ln_micro
+         |       END AS BIGINT) AS hill_alpha_micro
+         |FROM zs""".stripMargin
+    },
+
+    // the per-language Hill chain: the datacard zipf leg standalone,
+    // PARTITIONed by lang with the shared staged-ln CTE generator
+    "vocab_zipf_lang" -> {
+      val chain = graft.functions.PortableMath.duckCteChain(
+        graft.functions.PortableMath.microLnSignedStages("freq", "fk",
+          graft.functions.PortableMath.duckShiftLeft), "zbase", "zl")
+      s"""WITH wr AS (SELECT lang, unnest($DuckToks) AS token
+         |  FROM documents),
+         |zf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM wr GROUP BY 1, 2),
+         |zr AS (SELECT lang, freq, row_number() OVER (PARTITION BY lang
+         |    ORDER BY freq DESC, token ASC) AS r FROM zf),
+         |ztop AS (SELECT lang, freq FROM zr WHERE r <= 64),
+         |zh AS (SELECT lang, CAST(count(*) AS BIGINT) AS ke,
+         |    CAST(min(freq) AS BIGINT) AS fk FROM ztop GROUP BY 1),
+         |zbase AS (SELECT t.lang, t.freq, h.fk, h.ke
+         |  FROM ztop t JOIN zh h ON t.lang = h.lang),
+         |$chain,
+         |zs AS (SELECT lang, max(ke) AS ke,
+         |    CAST(coalesce(sum(lp), 0) AS BIGINT) AS s
+         |  FROM zlfin GROUP BY lang)
+         |SELECT lang, CAST(ke AS BIGINT) AS k_eff, s AS sum_ln_micro,
+         |  CAST(CASE WHEN ke < 2 OR s = 0 THEN 0
+         |       ELSE (1000000000000 * CAST(ke AS HUGEINT)) // s
          |       END AS BIGINT) AS hill_alpha_micro
          |FROM zs""".stripMargin
     },

@@ -513,6 +513,17 @@ object Relational extends QueryPack {
     "q39_skew" -> ((s, dir) =>
       Profile.skewReport(t(s, dir).lineitem, Seq("l_suppkey"))),
 
+    // ---- the grouped form of the q39 inequality audit: exact Gini of
+    //      the value distribution WITHIN each group (one coefficient per
+    //      return flag over line quantities) — rank via the same
+    //      range-partitioned globalSortRank, tie-order invariant ----
+    "q41_gini_group" -> ((s, dir) =>
+      Profile.giniByGroup(t(s, dir).lineitem
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid")),
+        "l_returnflag", "qty", "rid")),
+
     // ---- the actionable half: per-heavy-key salting plan (fan-out =
     //      ceil(count/target)) for keys that would overload a shuffle
     //      partition — heavy-keys-only output, integer ceil-div ----
@@ -627,6 +638,26 @@ object Relational extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST((count(*) + 599) // 600 AS BIGINT) AS salt_factor
         |FROM lineitem GROUP BY 1 HAVING count(*) > 600""".stripMargin,
+
+    // the rank-identity Gini replayed per group: contiguous per-group
+    // ranks via the window, then the same floor-mod integer formula
+    "q41_gini_group" ->
+      """WITH gl AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    l_orderkey * 10 + l_linenumber AS rid FROM lineitem),
+        |gr AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY v, rid) AS HUGEINT) AS i FROM gl),
+        |gg AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS tot,
+        |    CAST(sum(i * v) AS HUGEINT) AS a FROM gr GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_vals,
+        |  CAST(tot AS BIGINT) AS sum_vals,
+        |  CAST(CASE WHEN n = 1 OR tot = 0 THEN 0 ELSE
+        |    ((2 * a - (n + 1) * tot) * 1000000
+        |     - ((((2 * a - (n + 1) * tot) * 1000000) % (n * tot)
+        |         + (n * tot)) % (n * tot))) // (n * tot) END AS BIGINT)
+        |    AS gini_micro
+        |FROM gg""".stripMargin,
 
     "q37_retention" ->
       """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),

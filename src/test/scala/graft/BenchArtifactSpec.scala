@@ -6,10 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * only the LAST 2000 chars of stdout (measured from BENCH_r01/r02/r04,
   * all `parsed: null`), and sbt's success footer printed after the line
   * measured 73–74 chars across BENCH_r07–r09 tails (worst realistic shape
-  * ~76) — so the machine-parseable line Bench prints last must stay ≤ 1900
-  * chars (Bench's threshold; ≥ 23 chars slack) even at worst-case value
+  * ~76) — so the machine-parseable line Bench prints last must stay ≤
+  * Bench.TailBudget (1910; ≥ 14 chars slack) even at worst-case value
   * widths. Rounds 1–4 lost every per-query timing to this; a query-pack
-  * growth spurt must fail HERE, not in the round artifact.
+  * growth spurt must fail HERE, not in the round artifact. At r10 the
+  * pack crossed the size where a UNIFORM 1-decimal map fits, so the
+  * encoder degrades per entry, largest values first (Bench.tailLine);
+  * the guards below pin both the parseability floor and the guarantee
+  * that sub-10 s entries keep sub-second resolution.
   */
 class BenchArtifactSpec extends AnyFunSuite {
 
@@ -17,37 +21,40 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver's tail window at worst-case widths") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // mirror Bench's integer-seconds degradation step, compact(0), at the
     // worst widths a PASSING round can produce: every-query-at-"999" is
-    // not that (193 queries × ~1000 s would fail the driver's 2×-baseline
-    // gate ~100× over), so model the 12 widest at "999" and the rest
-    // sub-100 s ("99") — the same realism argument as the 1-decimal check
-    // below. A pack that still overflows THIS falls to Bench's
-    // headline-only line (empty queries map), which always fits, so the
-    // round's total survives even then; this assert is about keeping the
-    // per-query detail parseable
-    val q0 = names.zipWithIndex.map { case (n, i) =>
-      s""""${shortName(n)}":${if (i < 12) "999" else "99"}"""
-    }.mkString("{", ",", "}")
-    val line0 = s"""{"metric":"total","value":9999,"unit":"sec","queries":$q0,"sf":"0.1"}"""
-    assert(line0.length <= 1900,
-      s"compact bench line is ${line0.length} chars at worst-case widths — " +
-        "over the 1900-char budget the 2000-char driver tail allows; " +
-        "shorten new query names (qNN_* prefixes abbreviate automatically)")
-    // resolution guard: the 1-decimal step must fit at the worst widths a
-    // PASSING round can actually produce. Every-query-at-"99.9" is not
-    // that (177 queries × ~100 s ≈ 17,000 s total would fail the driver's
-    // 2×-baseline gate long before the line overflows); the widest
-    // realistic pack is a handful of two-digit queries over a sub-10 s
-    // field — modeled here as the 12 widest at "99.9" and the rest "9.9"
-    // (r8 measured: slowest query 4.6 s, 5 queries over 2 s)
-    val q1 = names.zipWithIndex.map { case (n, i) =>
-      s""""${shortName(n)}":${if (i < 12) "99.9" else "9.9"}"""
-    }.mkString("{", ",", "}")
-    val line1 = s"""{"metric":"total","value":9999.9,"unit":"sec","queries":$q1,"sf":"0.1"}"""
-    assert(line1.length <= 1900,
-      s"1-decimal bench line is ${line1.length} chars at realistic widths — " +
-        "sub-second resolution would be lost; shorten new query names")
+    // not that (195 queries × ~1000 s would fail the driver's 2×-baseline
+    // gate ~100× over), so model the 12 widest at 999 s and the rest
+    // sub-100 s. The encoder must ship a parseable per-query map (never
+    // the headline-only fallback) within the budget
+    val med0 = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 12) 999.0 else 99.0)
+    }.toMap
+    val line0 = Bench.tailLine(names, med0, 9999.0, "0.1")
+    assert(line0.length <= Bench.TailBudget,
+      s"tail line is ${line0.length} chars at worst-case widths — over " +
+        s"the ${Bench.TailBudget}-char budget the 2000-char driver tail " +
+        "allows; shorten new query names (qNN_* prefixes abbreviate " +
+        "automatically; single-char digit/uppercase overrides are the " +
+        "r10+ namespace)")
+    assert(!line0.contains("\"queries\":{}"),
+      "worst-case widths must not force the headline-only fallback")
+    // resolution guard: at the worst widths a PASSING round can actually
+    // produce (r7–r9 measured: slowest warm query 5.5 s, zero queries
+    // ≥ 10 s — modeled 2× worse as 12 queries at 99.9 s, rest 9.9 s),
+    // every sub-10 s entry must keep its decimal: the adaptive rung may
+    // only demote the large entries, where integer seconds are a ≤ 1 %
+    // quantization. bench_out.json always keeps full 3-decimal values.
+    val med1 = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 12) 99.9 else 9.9)
+    }.toMap
+    val line1 = Bench.tailLine(names, med1, 9999.9, "0.1")
+    assert(line1.length <= Bench.TailBudget,
+      s"adaptive bench line is ${line1.length} chars at realistic widths")
+    val sub10Kept = ":9.9".r.findAllIn(line1).size
+    assert(sub10Kept >= names.size - 12,
+      s"only $sub10Kept of ${names.size - 12} sub-10 s entries kept " +
+        "sub-second resolution — the adaptive rung demoted below the " +
+        "large-value tier; shorten new query names")
   }
 
   test("abbreviated bench keys are collision-free for the current pack") {

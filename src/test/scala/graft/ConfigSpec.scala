@@ -1149,4 +1149,26 @@ class ConfigSpec extends SparkSpec {
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("declared zipf_by_group and gini_by_group ops") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a a a a b b c"), ("en", "a b c d"),
+      ("flat", "p q r s")).toDF("lang", "text")
+    val z = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "zipf_by_group",
+        cols = Seq("lang", "text"), name = Some("4"))))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // 'en' decays (a=5 > b=3 > c=2 > d=1) → positive index; flat head → 0
+    assert(z("en") > 0L)
+    assert(z("flat") === 0L)
+    val g = PipelineConfig.applyTransforms(
+      Seq(("a", 1L, 1L), ("a", 1L, 2L), ("b", 0L, 1L), ("b", 10L, 2L))
+        .toDF("g", "v", "id"), Seq(
+        PipelineConfig.TransformConf(op = "gini_by_group",
+          cols = Seq("g", "v", "id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // [1,1] even → 0; [0,10]: (2·20 − 3·10)/(2·10) = 1/2
+    assert(g === Map("a" -> 0L, "b" -> 500000L))
+  }
 }
