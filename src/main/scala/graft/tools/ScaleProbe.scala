@@ -340,6 +340,35 @@ object ScaleProbe {
           graft.llm.Packing.shardBalanced(sel, "doc_id",
             graft.llm.TextOps.tokenCount(col("text")), nShards = 4).count()
         },
+        time("datacard_panel", n) {
+          // the extended corpus_datacard SHAPE (minus the separately
+          // probed unigram leg): per-group Zipf via the range-partitioned
+          // rank over the VOCAB, per-group Gini via the rank over DOCS,
+          // OOV vs a fixed top-20 vocab — every leg collapses to group
+          // cardinality before the joins, so the wall ratio must track
+          // token volume; a superlinear ratio would mean a rank or join
+          // stopped being range-partitioned/broadcast
+          val docs4 = docs.withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(4))))
+          val zipf = CorpusStats.zipfAlphaByGroup(docs4, "lang", "text",
+            k = 64)
+          val gini = graft.etl.Profile.giniByGroup(
+            docs4.select(col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_toks"),
+              col("doc_id")),
+            "lang", "n_toks", "doc_id")
+          val vocab = docs4
+            .select(explode(split(col("text"), " ")).as("word"))
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("word").asc).limit(20)
+            .select("word")
+          val oov = CorpusStats.oovRate(docs4, "doc_id", "text", vocab)
+            .join(docs4.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .groupBy(col("lang"))
+            .agg(sum(col("n_tokens")).as("nt"), sum(col("n_oov")).as("no"))
+          zipf.join(gini, Seq("lang")).join(oov, Seq("lang"))
+            .collect().length.toLong
+        },
         time("bt_strengths", n) {
           // n-scaled comparison log over a FIXED 200-item universe: the
           // one log-sized pass is the pair aggregation; the 5 MM rounds

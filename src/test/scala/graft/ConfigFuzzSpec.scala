@@ -250,6 +250,10 @@ class ConfigFuzzSpec extends SparkSpec {
       Seq(tc("krippendorff", cols = Seq("lang", "source")))),
     FuzzOp("skew_report", ReshapeOp,
       Seq(tc("skew_report", cols = Seq("lang")))),
+    FuzzOp("zipf_by_group", ReshapeOp,
+      Seq(tc("zipf_by_group", cols = Seq("lang", "text"), name = "8"))),
+    FuzzOp("gini_by_group", ReshapeOp,
+      Seq(tc("gini_by_group", cols = Seq("lang", "doc_id", "doc_id")))),
     FuzzOp("zipf", ReshapeOp,
       Seq(tc("zipf", cols = Seq("text"), name = "8"))),
     FuzzOp("cms", ReshapeOp,

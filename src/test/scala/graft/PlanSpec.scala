@@ -396,4 +396,25 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
     }
   }
+
+  test("corpus_datacard health sheet: lang-keyed joins, partitioned windows, " +
+      "no cartesian") {
+    val p = plan("corpus_datacard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // every window in the panel is partitioned (the script-mode pick by
+    // lang, the globalSortRank legs by their range-partition id) — a
+    // SinglePartition window would pin a language's vocab to one task
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(p.contains("partial_"), p.take(800)) // map-side combine
+  }
+
+  test("per-group gini/zipf components: range-partitioned ranks, no cartesian") {
+    Seq("q41_gini_group", "vocab_zipf_lang").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+      assert(!p.contains("SinglePartition"), s"$q: ${p.take(800)}")
+    }
+  }
 }
