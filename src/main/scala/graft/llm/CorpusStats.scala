@@ -1114,13 +1114,29 @@ object CorpusStats extends Serializable {
     */
   def zipfAlphaByGroup(df: DataFrame, groupCol: String, textCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 2, s"zipfAlphaByGroup needs k >= 2, got $k")
     require(!Reserved(groupCol),
       s"groupCol '$groupCol' collides with a zipfAlpha working column")
-    val freqs = df
-      .select(col(groupCol).as("__zg"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy(col("__zg"), col("token")).agg(count(lit(1)).as("freq"))
+    zipfAlphaByGroupFreqs(
+      df.select(col(groupCol).as("__zg"),
+          explode(TextOps.tokens(col(textCol))).as("token"))
+        .groupBy(col("__zg"), col("token")).agg(count(lit(1)).as("freq")),
+      "__zg", "token", "freq", k)
+      .withColumnRenamed("__zg", groupCol)
+  }
+
+  /** [[zipfAlphaByGroup]] over a PRE-AGGREGATED (group, token, freq)
+    * table — the fused-pipeline form: a caller that already owns the
+    * per-group term frequencies (the datacard builds ONE such table and
+    * feeds the Zipf, OOV, and vocabulary legs from it) skips a second
+    * full-corpus tokenize + shuffle. Same estimator, same output.
+    */
+  def zipfAlphaByGroupFreqs(freqTable: DataFrame, groupCol: String,
+      tokenCol: String, freqCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"zipfAlphaByGroupFreqs needs k >= 2, got $k")
+    require(groupCol == "__zg" || !Reserved(groupCol),
+      s"groupCol '$groupCol' collides with a zipfAlpha working column")
+    val freqs = freqTable.select(col(groupCol).as("__zg"),
+      col(tokenCol).as("token"), col(freqCol).cast("long").as("freq"))
     val ranked = graft.etl.Transforms.globalSortRank(freqs,
       Seq(col("__zg").asc, col("freq").desc, col("token").asc), "__zr")
     val base = ranked.groupBy(col("__zg")).agg(min(col("__zr")).as("__z0"))

@@ -191,6 +191,28 @@ object LlmOps extends QueryPack {
         "media").toDF()
     }
 
+  /** Per-(language, token) frequency table — ONE corpus tokenize +
+    * shuffle feeding the datacard's Zipf, OOV, and vocabulary legs (and
+    * the standalone vocab_zipf_lang). At 100 TB this is the difference
+    * between one full-corpus explode and three.
+    */
+  private def langTokFreqShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "lang_tok_freq") {
+      t(s, dir).documents
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+    }
+
+  /** Per-language Zipf panel — vocab_zipf_lang and the datacard leg ride
+    * one range-partitioned per-group Hill pass over the shared
+    * frequency table.
+    */
+  private def zipfLangShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "zipf_lang") {
+      CorpusStats.zipfAlphaByGroupFreqs(langTokFreqShared(s, dir),
+        "lang", "word", "freq", k = 64)
+    }
+
   private def videoHashedShared(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "video_hashes") {
       VideoHash.videoHashes(syntheticVideoCorpus(s, dir), "media_id",
@@ -786,10 +808,9 @@ object LlmOps extends QueryPack {
     // ---- the per-language Zipf tail (the datacard leg standalone):
     //      each language's own Hill index over its own top-64 — per-group
     //      top-k via the range-partitioned globalSortRank, no collects;
-    //      thin/flat groups pin 0 instead of failing the panel ----
-    "vocab_zipf_lang" -> ((s, dir) =>
-      CorpusStats.zipfAlphaByGroup(t(s, dir).documents, "lang", "text",
-        k = 64)),
+    //      thin/flat groups pin 0 instead of failing the panel. Shares
+    //      one pass with the datacard leg (StageMemo) ----
+    "vocab_zipf_lang" -> ((s, dir) => zipfLangShared(s, dir)),
 
     // ---- the same top-k through the Misra-Gries heavy-hitter path:
     //      per-partition m-counter sketches bound the shuffle to m rows
@@ -1028,21 +1049,28 @@ object LlmOps extends QueryPack {
       val nonLatin = doms.groupBy(col("lang"))
         .agg(sum(when(col("__dom") =!= "latin", 1L).otherwise(0L))
           .as("n_nonlatin_dom"))
-      // tokenizer coverage: per-lang OOV rate vs the global top-20 vocab
-      val vocab = docs
-        .select(explode(TextOps.tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
+      // tokenizer coverage: per-lang OOV rate vs the global top-20 vocab.
+      // Both legs ride the ONE shared (lang, word, freq) table — the
+      // oovRate computation re-expressed over pre-aggregated counts
+      // (identical sums: Σ per-doc n_tokens/n_oov per lang = Σ freq over
+      // that lang's (word) rows), so the corpus is tokenized once for
+      // vocab + OOV + Zipf together instead of once per leg
+      val ltf = langTokFreqShared(s, dir)
+      val vocab = ltf.groupBy(col("word"))
+        .agg(sum(col("freq")).as("freq"))
         .orderBy(col("freq").desc, col("word").asc).limit(20)
-        .select("word")
-      val oov = CorpusStats.oovRate(docs, "doc_id", "text", vocab)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("word"), lit(1L).as("__in_v"))
+      val oov = ltf.join(broadcast(vocab), Seq("word"), "left")
         .groupBy(col("lang"))
-        .agg(sum(col("n_tokens")).as("__nt"), sum(col("n_oov")).as("__no"))
+        .agg(sum(col("freq")).as("__nt"),
+          sum(when(col("__in_v").isNull, col("freq")).otherwise(0L))
+            .as("__no"))
         .select(col("lang"),
           fdiv(col("__no").cast(dec) * lit(1000000L),
             col("__nt").cast(dec)).as("oov_micro"))
       // per-language Zipf tail: Hill index of each language's own top-64
-      val zipf = CorpusStats.zipfAlphaByGroup(docs, "lang", "text", k = 64)
+      // (one shared pass with the standalone vocab_zipf_lang query)
+      val zipf = zipfLangShared(s, dir)
         .select(col("lang"), col("hill_alpha_micro").as("zipf_alpha_micro"))
       // per-language length inequality: exact Gini of per-doc token counts
       val gini = graft.etl.Profile.giniByGroup(

@@ -417,4 +417,45 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SinglePartition"), s"$q: ${p.take(800)}")
     }
   }
+
+  test("GLOBAL plan sweep: every query plans; no CartesianProduct anywhere; " +
+      "partition-less windows only in the documented bounded set") {
+    // The per-query pins above check the plans we worried about; this
+    // sweep locks the two unconditional 100 TB invariants across the
+    // WHOLE pack, so a new query (or a refactor of a shared helper)
+    // cannot quietly introduce an all-pairs product or pin a corpus to
+    // one task through an unpartitioned window. Tree-walk on the
+    // pre-AQE physical plan (incl. subquery plans) — string matching
+    // can't tell a 1-row aggregate's SinglePartition exchange (fine)
+    // from an unpartitioned window (not fine).
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // the ONLY two partition-less windows in the pack, both over frames
+    // bounded by construction, never by data volume:
+    //  - feat_category_index ranks the DISTINCT category dimension
+    //    (ml/Features.categoryIndex — category-cardinality rows)
+    //  - text_collocations ranks AFTER `.limit(k)` (CorpusStats
+    //    .collocations — ≤ k rows)
+    val partitionlessOk = Set("feat_category_index", "text_collocations")
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.sparkPlan
+        val carts = p.collectWithSubqueries {
+          case c: CartesianProductExec => c.nodeName
+        }
+        val windows = p.collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => "Window"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            "WindowGroupLimit"
+        }
+        carts.map(c => s"$name: $c") ++
+          (if (partitionlessOk(name)) Nil
+           else windows.map(w => s"$name: partition-less $w"))
+      } catch {
+        case e: Throwable => Seq(s"$name: failed to plan — ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
