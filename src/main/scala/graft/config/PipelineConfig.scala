@@ -1071,6 +1071,32 @@ object PipelineConfig {
               else acc
             }
             .join(restInc, Seq(idc))
+        // incremental keep-one exact-substring dedup against a PERSISTED
+        // keeper index (read-only — index persistence belongs to the
+        // ingest loop, streaming.Pipelines.substringDedupIngest, whose
+        // two-level layout readSubstrIndex understands):
+        // cols = [idCol, textCol], expr = minRunTokens (default 20),
+        // name = indexDir. Same rejoin contract as substring_dedup.
+        case "substring_dedup_indexed" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error(
+              "substring_dedup_indexed needs cols = [idCol, textCol]")
+          }
+          val minRunI = t.expr.getOrElse("20").trim.toInt
+          val idxS = graft.streaming.Pipelines.readSubstrIndex(
+            d.sparkSession, t.name.getOrElse(
+              sys.error("substring_dedup_indexed needs name = indexDir")))
+          val (cleanedS, _) = graft.llm.CorpusStats
+            .removeDuplicateSubstringsIncremental(idxS, d, idc, c, minRunI)
+          val restS = d.drop(c)
+          Seq("n_tokens", "n_removed")
+            .foldLeft(cleanedS.withColumnRenamed("clean_text", c)) { (acc, n) =>
+              if (restS.columns.contains(n))
+                acc.withColumnRenamed(n, n + "_substr")
+              else acc
+            }
+            .join(restS, Seq(idc))
         // incremental paragraph dedup against a PERSISTED paragraph-df
         // index (read-only — index persistence belongs to the ingest loop,
         // streaming.Pipelines.paraDedupIngest, whose two-level layout

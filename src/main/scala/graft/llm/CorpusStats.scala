@@ -460,6 +460,60 @@ object CorpusStats extends Serializable {
   def mergeSpanDfIndex(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("h").agg(sum(col("span_df")).as("span_df"))
 
+  /** Persisted keep-one substring index: (h, keep_id, n_occ) per L-token
+    * window hash — the exact-substring-dedup state an ingestion loop
+    * keeps between batches ([[removeDuplicateSubstrings]]' keeper table,
+    * without the ≥2 filter so single occurrences are remembered for
+    * future matches). Merge with [[mergeSubstrKeeperIndex]]: keep_id
+    * folds by min and occurrence counts add (ids are disjoint across
+    * batches), so merged state equals the index built over the union.
+    */
+  def substrKeeperIndex(df: DataFrame, idCol: String, textCol: String,
+      minRunTokens: Int): DataFrame = {
+    guard(idCol)
+    spanFrame(tokenized(df, idCol, textCol), idCol, minRunTokens)
+      .groupBy("h").agg(min(col(idCol)).cast("long").as("keep_id"),
+        count(lit(1)).as("n_occ"))
+  }
+
+  /** (min, sum) merge of keeper indexes built over DISJOINT doc sets. */
+  def mergeSubstrKeeperIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("h")
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n_occ")).as("n_occ"))
+
+  /** Incremental keep-one exact-substring dedup for continuous ingestion:
+    * clean a `fresh` batch against the corpus-wide window keepers — the
+    * batch's own windows PLUS the persisted `existingIndex`
+    * ([[substrKeeperIndex]] rows built with the same minRunTokens,
+    * disjoint ids) — without re-scanning historical text. Byte-identical
+    * on the fresh rows to [[removeDuplicateSubstrings]] over
+    * (existing ∪ fresh) under the ingest id contract (fresh ids exceed
+    * every indexed id — the immutable-batch ordering every dedup ingest
+    * here assumes): the min-id keeper of any window then always lives in
+    * the earliest batch that saw it, so no already-emitted doc is ever
+    * retroactively cut.
+    */
+  def removeDuplicateSubstringsIncremental(existingIndex: DataFrame,
+      fresh: DataFrame, idCol: String, textCol: String,
+      minRunTokens: Int): (DataFrame, DataFrame) = {
+    require(minRunTokens > 0,
+      s"minRunTokens must be positive, got $minRunTokens")
+    guard(idCol)
+    val base = tokenized(fresh, idCol, textCol)
+    val spans = spanFrame(base, idCol, minRunTokens)
+    val freshIndex = spans.groupBy("h")
+      .agg(min(col(idCol)).cast("long").as("keep_id"),
+        count(lit(1)).as("n_occ"))
+    val keeper = mergeSubstrKeeperIndex(existingIndex, freshIndex)
+      .filter(col("n_occ") >= 2).select(col("h"), col("keep_id"))
+    val covered = spans.join(keeper, "h")
+      .filter(col(idCol) > col("keep_id"))
+      .select(col(idCol), explode(sequence(col("pos"),
+        col("pos") + (minRunTokens - 1))).as("p"))
+      .distinct()
+    (cutFromPositions(base, covered, idCol), freshIndex)
+  }
+
   /** Incremental repeated-span removal for continuous ingestion: clean a
     * `fresh` batch against the corpus-wide span frequencies — the batch's
     * own spans PLUS the persisted `existingIndex` ([[spanDfIndex]] rows

@@ -631,6 +631,50 @@ object Pipelines {
       CorpusStats.mergeSpanDfIndex)
   }
 
+  /** Continuous keep-one exact-substring dedup (Lee et al. 2022
+    * ExactSubstr, streaming form): each micro-batch cuts every token
+    * lying inside a ≥ minRunTokens run shared with a lower-id doc seen so
+    * far — its own windows plus the persisted (h, keep_id, n_occ) keeper
+    * index ([[graft.llm.CorpusStats.removeDuplicateSubstringsIncremental]])
+    * — and appends both its cleaned rows and its index contribution,
+    * never re-reading historical text. The keeper state folds by
+    * (min keep_id, Σ n_occ), so merged state equals the index over the
+    * union; under the ingest id contract (batch ids increase), streamed
+    * output is byte-identical to the batch operator over the union. Same
+    * two-level base/delta index layout, idempotent `batch=` partitioning,
+    * and compaction cadence as [[boilerplateIngest]]; read the index
+    * externally with [[readSubstrIndex]].
+    */
+  def substringDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      cleanDir: String, indexDir: String, checkpointDir: String,
+      minRunTokens: Int = 20,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.CorpusStats
+    indexedIngestAgg(stream, idCol, textCol, cleanDir, indexDir,
+      checkpointDir, compactEvery, emptySubstrIndex, mergeAllSubstr,
+      (idx, fresh) => CorpusStats.removeDuplicateSubstringsIncremental(
+        idx, fresh, idCol, textCol, minRunTokens),
+      CorpusStats.mergeSubstrKeeperIndex)
+  }
+
+  private def emptySubstrIndex(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, Long)].toDF("h", "keep_id", "n_occ")
+  }
+
+  private def mergeAllSubstr(df: DataFrame): DataFrame =
+    df.groupBy("h").agg(min(col("keep_id")).as("keep_id"),
+      sum(col("n_occ")).as("n_occ"))
+
+  /** The corpus-wide substring keeper index at `indexDir` (written by
+    * [[substringDedupIngest]]): newest base + deltas after it, folded to
+    * one (h, keep_id, n_occ) row per window hash. Empty frame if the
+    * index is empty.
+    */
+  def readSubstrIndex(spark: SparkSession, indexDir: String): DataFrame =
+    indexStateAgg(spark, indexDir, None, mergeAllSubstr)._1
+      .getOrElse(emptySubstrIndex(spark))
+
   /** Continuous paragraph-level exact dedup (the CCNet first pass,
     * streaming form): each micro-batch cuts paragraphs that are frequent
     * across the corpus so far — its own paragraphs plus the persisted
@@ -994,6 +1038,24 @@ object Pipelines {
       compactEvery: Int, keyCol: String, cntCol: String,
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame),
       merge: (DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexedIngestAgg(stream, idCol, textCol, outDir, indexDir,
+      checkpointDir, compactEvery,
+      s => { import s.implicits._; Seq.empty[(String, Long)].toDF(keyCol, cntCol) },
+      _.groupBy(keyCol).agg(sum(col(cntCol)).as(cntCol)), step, merge)
+
+  /** [[indexedIngest]] generalized past (key, count) state: `empty` builds
+    * the zero-state frame and `mergeAll` folds raw persisted partition
+    * rows to one row per key — a (min, sum) keeper index composes here
+    * exactly like an additive count index.
+    */
+  private def indexedIngestAgg(stream: DataFrame, idCol: String,
+      textCol: String, outDir: String, indexDir: String,
+      checkpointDir: String, compactEvery: Int,
+      empty: SparkSession => DataFrame,
+      mergeAll: DataFrame => DataFrame,
+      step: (DataFrame, DataFrame) => (DataFrame, DataFrame),
+      merge: (DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
     stream.writeStream
@@ -1003,11 +1065,8 @@ object Pipelines {
         val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
         if (!fresh.isEmpty) {
           val (existing, priorParts) =
-            indexState(spark, indexDir, Some(batchId), keyCol, cntCol)
-          val existingIndex = existing.getOrElse {
-            import spark.implicits._
-            Seq.empty[(String, Long)].toDF(keyCol, cntCol)
-          }
+            indexStateAgg(spark, indexDir, Some(batchId), mergeAll)
+          val existingIndex = existing.getOrElse(empty(spark))
           val (out, freshIdx) = step(existingIndex, fresh)
           out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           if (batchId % compactEvery == compactEvery - 1) {
@@ -1107,7 +1166,13 @@ object Pipelines {
     */
   private def indexState(spark: SparkSession, indexDir: String,
       excludeBatch: Option[Long], keyCol: String,
-      cntCol: String): (Option[DataFrame], Seq[Long]) = {
+      cntCol: String): (Option[DataFrame], Seq[Long]) =
+    indexStateAgg(spark, indexDir, excludeBatch,
+      _.groupBy(keyCol).agg(sum(col(cntCol)).as(cntCol)))
+
+  private def indexStateAgg(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long],
+      mergeAll: DataFrame => DataFrame): (Option[DataFrame], Seq[Long]) = {
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idxPath)) return (None, Nil)
@@ -1128,8 +1193,7 @@ object Pipelines {
         (col("batch") > b && notCurrent)
       case None => col("batch") >= 0 && notCurrent
     }
-    val df = spark.read.parquet(indexDir).where(cond)
-      .groupBy(keyCol).agg(sum(col(cntCol)).as(cntCol))
+    val df = mergeAll(spark.read.parquet(indexDir).where(cond))
     (Some(df), vals.distinct)
   }
 

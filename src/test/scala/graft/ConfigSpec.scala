@@ -492,6 +492,31 @@ class ConfigSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq === Seq("batch=0"))
   }
 
+  test("declared substring_dedup_indexed cuts runs owned by indexed docs, read-only") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_cfg_ssi_idx").toString
+    // persisted history: doc 1 owns the 4-token run
+    graft.llm.CorpusStats.substrKeeperIndex(
+      Seq((1L, "h1a shared run of tokens h1b")).toDF("id", "text"),
+      "id", "text", minRunTokens = 4)
+      .write.parquet(s"$idxDir/batch=0")
+    // fresh doc 10 repeats the run (keeper id 1 < 10 → cut); doc 11 clean
+    val docs = Seq((10L, "x1 shared run of tokens x2"),
+      (11L, "y1 y2 y3 y4 y5")).toDF("id", "text")
+    val outRows = PipelineConfig.applyTransforms(docs, Seq(
+      PipelineConfig.TransformConf(op = "substring_dedup_indexed",
+        cols = Seq("id", "text"), expr = Some("4"), name = Some(idxDir))))
+      .select("id", "text", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(outRows.toSeq === Seq((10L, "x1 x2", 4L),
+      (11L, "y1 y2 y3 y4 y5", 0L)))
+    // read-only contract: the op left the index directory untouched
+    assert(new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      === Seq("batch=0"))
+  }
+
   test("declared decontaminate_near drops rows near-duplicating the reference") {
     import spark.implicits._
     val refDir = java.nio.file.Files.createTempDirectory("graft_cfg_dcn_ref").toString + "/ref"

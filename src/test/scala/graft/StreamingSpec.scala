@@ -479,6 +479,49 @@ class StreamingSpec extends SparkSpec {
     assert(df === 6L)
   }
 
+  test("substringDedupIngest: streamed union equals the batch ExactSubstr cut") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ssi").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Pipelines.substringDedupIngest(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/clean", s"$base/index", s"$base/ckpt",
+      minRunTokens = 4)
+    val run = (1 to 5).map(i => s"r$i").mkString(" ") // 5-token shared run
+    val b1 = Seq(
+      (1L, s"a1 b1 $run c1"), // lowest-id owner → kept verbatim
+      (2L, s"a2 $run b2")) // within-batch dup → run cut
+    val b2 = Seq(
+      (3L, s"x3 $run y3"), // cross-batch dup vs the keeper index → cut
+      (4L, "u4 v4 w4 z4 q4")) // unique → untouched
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val streamed = img(spark.read.parquet(s"$base/clean"))
+    // batch ids increase across batches, so the streamed output must be
+    // byte-identical to the batch operator over the whole union
+    val batch = img(graft.llm.CorpusStats.removeDuplicateSubstrings(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+      minRunTokens = 4))
+    assert(streamed === batch)
+    val byId = streamed.map(t => t._1 -> t._3).toMap
+    assert(byId === Map(1L -> 0L, 2L -> 5L, 3L -> 5L, 4L -> 0L))
+    // the persisted keeper state resolves to the union's index
+    val resolved = graft.streaming.Pipelines
+      .readSubstrIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val full = graft.llm.CorpusStats.substrKeeperIndex(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+      minRunTokens = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(resolved === full)
+  }
+
   test("boilerplateIngest compaction bounds the index partitions, output unchanged") {
     val base = java.nio.file.Files.createTempDirectory("graft_bpc").toString
     val mem = MemoryStream[(Long, String)](spark)
