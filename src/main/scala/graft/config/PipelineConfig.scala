@@ -778,6 +778,20 @@ object PipelineConfig {
           }
           graft.llm.CorpusStats.zipfAlpha(d, tc,
             t.name.getOrElse("64").trim.toInt)
+        // corpus-datacard health panel (minus the tokenizer-fertility
+        // leg): REPLACES the frame with one per-language row — base
+        // counts, exact mean quality, dup rate, script mix, OOV vs the
+        // global top-20 vocab, per-language Zipf tail, length Gini.
+        // cols = [idCol, textCol, langCol]
+        case "datacard" =>
+          val Seq(dcI, dcT, dcL) = t.cols match {
+            case s if s.length == 3 => s
+            case _ =>
+              sys.error("datacard needs cols = [idCol, textCol, langCol]")
+          }
+          graft.llm.CorpusStats.datacardPanel(
+            graft.llm.CorpusStats.datacardDocStats(d, dcI, dcT, dcL),
+            graft.llm.CorpusStats.langTokenFreqs(d, dcT, dcL), dcL, dcI)
         // per-group Zipf tail index (the datacard's per-language leg):
         // REPLACES the frame with one (groupCol, k_eff, sum_ln_micro,
         // hill_alpha_micro) row per group; thin/flat groups report 0.

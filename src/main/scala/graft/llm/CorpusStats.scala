@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.functions._
 
 /** Corpus-model text operators: statistics fitted over the whole corpus and
@@ -59,7 +60,13 @@ object CorpusStats extends Serializable {
     "n_occ", "keep_id", "id_a", "id_b", "pos_a", "pos_b", "diag", "island",
     "run_len",
     // zipfAlphaByGroup per-group rank working columns
-    "__zg", "__zr", "__z0") ++
+    "__zg", "__zr", "__z0",
+    // datacard panel working/output columns (docStats facts + legs;
+    // the group/id columns keep their CALLER names and are guarded)
+    "n_toks", "q6", "text_md5", "dominant",
+    "total_tokens", "mean_quality", "n_unique", "n_long", "__dc", "__dr",
+    "dom_script", "n_nonlatin_dom", "__in_v", "__nt", "__no",
+    "zipf_alpha_micro", "len_gini_micro") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 
@@ -398,6 +405,7 @@ object CorpusStats extends Serializable {
       langCol: String): DataFrame = {
     guard(idCol)
     import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
     val scored = bigramLmScore(df, idCol, textCol)
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("avg_nll_micro").asc, col(idCol).asc)
@@ -1211,5 +1219,111 @@ object CorpusStats extends Serializable {
         when(col("k_eff") < 2 || col("sum_ln_micro") === 0, lit(0L))
           .otherwise(expr("(1000000000000 * k_eff) DIV sum_ln_micro"))
           .as("hill_alpha_micro"))
+  }
+
+  // ---- the corpus-datacard panel, assembled from slim mergeable state
+  //      so the batch query and the streaming ingest share one truth ----
+
+  /** Slim per-document datacard facts — everything the health panel needs
+    * except token frequencies, ~40 bytes/doc with the text dropped:
+    * (lang, doc_id, n_toks, q6, text_md5, dominant). q6 is the quality
+    * score pre-cast to DECIMAL(18,6), the exact summand the panel's
+    * order-insensitive mean divides — storing the cast value is what
+    * makes a re-aggregation over persisted state bit-identical.
+    */
+  def datacardDocStats(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    guard(idCol); guard(langCol)
+    docs.select(col(langCol), col(idCol).cast("long").as(idCol),
+      TextOps.tokenCount(col(textCol)).as("n_toks"),
+      TextOps.qualityScore(col(textCol))
+        .cast(DecimalType(18, 6)).as("q6"),
+      md5(col(textCol).cast("binary")).as("text_md5"),
+      TextOps.dominantScript(col(textCol)).as("dominant"))
+  }
+
+  /** Per-(language, token) frequency table — the one tokenize + shuffle
+    * the panel's vocabulary, OOV, and Zipf legs share. Additive across
+    * disjoint doc sets ([[mergeLangTokenFreqs]]).
+    */
+  def langTokenFreqs(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    guard(langCol)
+    docs.select(col(langCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col(langCol), col("word")).agg(count(lit(1)).as("freq"))
+  }
+
+  /** Additive merge of frequency tables built over DISJOINT doc sets. */
+  def mergeLangTokenFreqs(a: DataFrame, b: DataFrame,
+      langCol: String = "lang"): DataFrame =
+    a.unionByName(b).groupBy(col(langCol), col("word"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** The per-language corpus health panel minus the tokenizer-fertility
+    * leg (a corpus-trained tokenizer has no mergeable form — the batch
+    * query joins that leg on top): base counts + order-insensitive mean
+    * quality, modal dominant script + non-latin share, OOV vs the global
+    * top-`vocabK` vocabulary, each language's own Zipf tail, and the
+    * length Gini — all from [[datacardDocStats]] facts and a
+    * [[langTokenFreqs]] table, so a STREAMED corpus (merged slim state,
+    * text never re-read) produces the bit-identical panel to a batch
+    * recompute. Every leg collapses to language cardinality before the
+    * joins; the only windows are the bounded (lang × ≤8 scripts) mode
+    * pick and the range-partitioned globalSortRank inside the components.
+    */
+  def datacardPanel(docStats: DataFrame, ltf: DataFrame,
+      langCol: String = "lang", idCol: String = "doc_id", vocabK: Int = 20,
+      zipfK: Int = 64): DataFrame = {
+    guard(idCol); guard(langCol)
+    val dec = DecimalType(38, 0)
+    def fdiv(nm: Column, dn: Column): Column =
+      ((nm - pmod(nm, dn)) / dn).cast("long")
+    val base = docStats.groupBy(col(langCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("total_tokens"),
+      (sum(col("q6")).cast("double") / count(lit(1))).as("mean_quality"),
+      countDistinct(col("text_md5")).as("n_unique"),
+      sum(when(col("n_toks") >= 100, 1L).otherwise(0L)).as("n_long"))
+    val domW = Window.partitionBy(col(langCol))
+      .orderBy(col("__dc").desc, col("dominant").asc)
+    val domMode = docStats.groupBy(col(langCol), col("dominant"))
+      .agg(count(lit(1)).as("__dc"))
+      .withColumn("__dr", row_number().over(domW))
+      .filter(col("__dr") === 1)
+      .select(col(langCol), col("dominant").as("dom_script"))
+    val nonLatin = docStats.groupBy(col(langCol))
+      .agg(sum(when(col("dominant") =!= "latin", 1L).otherwise(0L))
+        .as("n_nonlatin_dom"))
+    val vocab = ltf.groupBy(col("word"))
+      .agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(vocabK)
+      .select(col("word"), lit(1L).as("__in_v"))
+    val oov = ltf.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(langCol))
+      .agg(sum(col("freq")).as("__nt"),
+        sum(when(col("__in_v").isNull, col("freq")).otherwise(0L))
+          .as("__no"))
+      .select(col(langCol),
+        fdiv(col("__no").cast(dec) * lit(1000000L),
+          col("__nt").cast(dec)).as("oov_micro"))
+    val zipf = zipfAlphaByGroupFreqs(ltf, langCol, "word", "freq", zipfK)
+      .select(col(langCol), col("hill_alpha_micro").as("zipf_alpha_micro"))
+    val gini = graft.etl.Profile.giniByGroup(
+      docStats.select(col(langCol), col("n_toks"), col(idCol)),
+      langCol, "n_toks", idCol)
+      .select(col(langCol), col("gini_micro").as("len_gini_micro"))
+    base.join(domMode, Seq(langCol), "left")
+      .join(nonLatin, Seq(langCol), "left")
+      .join(oov, Seq(langCol), "left")
+      .join(zipf, Seq(langCol), "left")
+      .join(gini, Seq(langCol), "left")
+      .select(col(langCol), col("n_docs"), col("total_tokens"),
+        col("mean_quality"), col("n_unique"), col("n_long"),
+        coalesce(col("dom_script"), lit("none")).as("dom_script"),
+        coalesce(col("n_nonlatin_dom"), lit(0L)).as("n_nonlatin_dom"),
+        coalesce(col("oov_micro"), lit(0L)).as("oov_micro"),
+        coalesce(col("zipf_alpha_micro"), lit(0L)).as("zipf_alpha_micro"),
+        coalesce(col("len_gini_micro"), lit(0L)).as("len_gini_micro"))
   }
 }

@@ -198,9 +198,7 @@ object LlmOps extends QueryPack {
     */
   private def langTokFreqShared(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "lang_tok_freq") {
-      t(s, dir).documents
-        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
-        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+      CorpusStats.langTokenFreqs(t(s, dir).documents, "text", "lang")
     }
 
   /** Per-language Zipf panel — vocab_zipf_lang and the datacard leg ride
@@ -1021,63 +1019,19 @@ object LlmOps extends QueryPack {
     //      the range-partitioned globalSortRank inside the components ----
     "corpus_datacard" -> ((s, dir) => {
       val docs = t(s, dir).documents
-      val toks = TextOps.tokenCount(col("text"))
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       def fdiv(nm: Column, dn: Column): Column =
         ((nm - pmod(nm, dn)) / dn).cast("long")
-      val base = docs.groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(toks).as("total_tokens"),
-          OracleSafe.davg(TextOps.qualityScore(col("text")))
-            .as("mean_quality"),
-          countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
-          sum(when(toks >= 100, 1L).otherwise(0L)).as("n_long"))
-      // script mix: modal dominant script (ties → script name asc) +
-      // non-latin-dominant doc count. The window is bounded: one row per
-      // (lang, script class).
-      val doms = docs.select(col("lang"),
-        TextOps.dominantScript(col("text")).as("__dom"))
-      val domW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(col("__dc").desc, col("__dom").asc)
-      val domMode = doms.groupBy(col("lang"), col("__dom"))
-        .agg(count(lit(1)).as("__dc"))
-        .withColumn("__dr", row_number().over(domW))
-        .filter(col("__dr") === 1)
-        .select(col("lang"), col("__dom").as("dom_script"))
-      val nonLatin = doms.groupBy(col("lang"))
-        .agg(sum(when(col("__dom") =!= "latin", 1L).otherwise(0L))
-          .as("n_nonlatin_dom"))
-      // tokenizer coverage: per-lang OOV rate vs the global top-20 vocab.
-      // Both legs ride the ONE shared (lang, word, freq) table — the
-      // oovRate computation re-expressed over pre-aggregated counts
-      // (identical sums: Σ per-doc n_tokens/n_oov per lang = Σ freq over
-      // that lang's (word) rows), so the corpus is tokenized once for
-      // vocab + OOV + Zipf together instead of once per leg
-      val ltf = langTokFreqShared(s, dir)
-      val vocab = ltf.groupBy(col("word"))
-        .agg(sum(col("freq")).as("freq"))
-        .orderBy(col("freq").desc, col("word").asc).limit(20)
-        .select(col("word"), lit(1L).as("__in_v"))
-      val oov = ltf.join(broadcast(vocab), Seq("word"), "left")
-        .groupBy(col("lang"))
-        .agg(sum(col("freq")).as("__nt"),
-          sum(when(col("__in_v").isNull, col("freq")).otherwise(0L))
-            .as("__no"))
-        .select(col("lang"),
-          fdiv(col("__no").cast(dec) * lit(1000000L),
-            col("__nt").cast(dec)).as("oov_micro"))
-      // per-language Zipf tail: Hill index of each language's own top-64
-      // (one shared pass with the standalone vocab_zipf_lang query)
-      val zipf = zipfLangShared(s, dir)
-        .select(col("lang"), col("hill_alpha_micro").as("zipf_alpha_micro"))
-      // per-language length inequality: exact Gini of per-doc token counts
-      val gini = graft.etl.Profile.giniByGroup(
-        docs.select(col("lang"), toks.as("n_toks"), col("doc_id")),
-        "lang", "n_toks", "doc_id")
-        .select(col("lang"), col("gini_micro").as("len_gini_micro"))
-      // tokenizer fertility: the shared unigram encode re-aggregated
+      // the panel itself is the shared CorpusStats.datacardPanel over
+      // slim per-doc facts + the ONE (lang, word, freq) table (also fed
+      // to vocab_zipf_lang) — the same assembly the streaming ingest
+      // reads from merged state, so batch and stream share one truth
+      val panel = CorpusStats.datacardPanel(
+        CorpusStats.datacardDocStats(docs, "doc_id", "text", "lang"),
+        langTokFreqShared(s, dir))
+      // tokenizer fertility: the shared unigram encode re-aggregated —
+      // the one leg with no mergeable form (corpus-trained tokenizer),
+      // joined on top of the panel
       val fert = CurationOps.unigramEncodeShared(s, dir)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"))
@@ -1086,20 +1040,11 @@ object LlmOps extends QueryPack {
           when(col("__fw") === 0, lit(0L))
             .otherwise(fdiv(col("__fp").cast(dec) * lit(1000000L),
               col("__fw").cast(dec))).as("fertility_micro"))
-      base
-        .join(domMode, Seq("lang"), "left")
-        .join(nonLatin, Seq("lang"), "left")
-        .join(oov, Seq("lang"), "left")
-        .join(zipf, Seq("lang"), "left")
-        .join(gini, Seq("lang"), "left")
-        .join(fert, Seq("lang"), "left")
+      panel.join(fert, Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("total_tokens"),
           col("mean_quality"), col("n_unique"), col("n_long"),
-          coalesce(col("dom_script"), lit("none")).as("dom_script"),
-          coalesce(col("n_nonlatin_dom"), lit(0L)).as("n_nonlatin_dom"),
-          coalesce(col("oov_micro"), lit(0L)).as("oov_micro"),
-          coalesce(col("zipf_alpha_micro"), lit(0L)).as("zipf_alpha_micro"),
-          coalesce(col("len_gini_micro"), lit(0L)).as("len_gini_micro"),
+          col("dom_script"), col("n_nonlatin_dom"), col("oov_micro"),
+          col("zipf_alpha_micro"), col("len_gini_micro"),
           coalesce(col("fertility_micro"), lit(0L)).as("fertility_micro"))
     }),
 

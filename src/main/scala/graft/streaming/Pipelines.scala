@@ -675,6 +675,53 @@ object Pipelines {
     indexStateAgg(spark, indexDir, None, mergeAllSubstr)._1
       .getOrElse(emptySubstrIndex(spark))
 
+  /** Continuous corpus-datacard state: each micro-batch contributes its
+    * slim per-doc facts ([[graft.llm.CorpusStats.datacardDocStats]] —
+    * text dropped, quality pre-cast to the exact decimal summand) to
+    * `statsDir` and its (lang, word, freq) counts to the additive
+    * `ltfDir` index. [[datacardRead]] then assembles the FULL per-language
+    * health panel (minus the tokenizer-fertility leg, whose
+    * corpus-trained tokenizer has no mergeable form) from state alone —
+    * text is tokenized exactly once, at ingestion, and the panel is
+    * bit-identical to the batch [[graft.llm.CorpusStats.datacardPanel]]
+    * over the union because both read the same mergeable inputs.
+    */
+  def datacardIngest(stream: DataFrame, idCol: String, textCol: String,
+      langCol: String, statsDir: String, ltfDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.CorpusStats
+    indexedIngestAgg(stream, idCol, textCol, statsDir, ltfDir,
+      checkpointDir, compactEvery, emptyLtf(langCol),
+      mergeAllLtf(langCol),
+      (_, fresh) => (
+        CorpusStats.datacardDocStats(fresh, idCol, textCol, langCol),
+        CorpusStats.langTokenFreqs(fresh, textCol, langCol)),
+      (a, b) => CorpusStats.mergeLangTokenFreqs(a, b, langCol),
+      extraCols = Seq(langCol))
+  }
+
+  private def emptyLtf(langCol: String)(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, String, Long)].toDF(langCol, "word", "freq")
+  }
+
+  private def mergeAllLtf(langCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(col(langCol), col("word")).agg(sum(col("freq")).as("freq"))
+
+  /** The datacard panel assembled from [[datacardIngest]] state: slim
+    * per-doc facts + the resolved frequency index, never the text.
+    */
+  def datacardRead(spark: SparkSession, statsDir: String, ltfDir: String,
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val stats = spark.read.parquet(statsDir)
+      .select(col(langCol), col(idCol), col("n_toks"), col("q6"),
+        col("text_md5"), col("dominant"))
+    val ltf = indexStateAgg(spark, ltfDir, None, mergeAllLtf(langCol))._1
+      .getOrElse(emptyLtf(langCol)(spark))
+    graft.llm.CorpusStats.datacardPanel(stats, ltf, langCol, idCol)
+  }
+
   /** Continuous paragraph-level exact dedup (the CCNet first pass,
     * streaming form): each micro-batch cuts paragraphs that are frequent
     * across the corpus so far — its own paragraphs plus the persisted
@@ -1055,14 +1102,17 @@ object Pipelines {
       empty: SparkSession => DataFrame,
       mergeAll: DataFrame => DataFrame,
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame),
-      merge: (DataFrame, DataFrame) => DataFrame)
+      merge: (DataFrame, DataFrame) => DataFrame,
+      extraCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery > 0, s"compactEvery must be positive, got $compactEvery")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val fresh = batch.select(col(idCol), col(textCol)).localCheckpoint()
+        val fresh = batch
+          .select((Seq(idCol, textCol) ++ extraCols).map(col): _*)
+          .localCheckpoint()
         if (!fresh.isEmpty) {
           val (existing, priorParts) =
             indexStateAgg(spark, indexDir, Some(batchId), mergeAll)

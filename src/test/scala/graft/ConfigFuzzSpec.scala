@@ -254,6 +254,8 @@ class ConfigFuzzSpec extends SparkSpec {
       Seq(tc("zipf_by_group", cols = Seq("lang", "text"), name = "8"))),
     FuzzOp("gini_by_group", ReshapeOp,
       Seq(tc("gini_by_group", cols = Seq("lang", "doc_id", "doc_id")))),
+    FuzzOp("datacard", ReshapeOp,
+      Seq(tc("datacard", cols = Seq("doc_id", "text", "lang")))),
     FuzzOp("zipf", ReshapeOp,
       Seq(tc("zipf", cols = Seq("text"), name = "8"))),
     FuzzOp("cms", ReshapeOp,

@@ -479,6 +479,41 @@ class StreamingSpec extends SparkSpec {
     assert(df === 6L)
   }
 
+  test("datacardIngest: panel from merged state equals the batch panel " +
+      "over the union") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dci").toString
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = graft.streaming.Pipelines.datacardIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+      s"$base/stats", s"$base/ltf", s"$base/ckpt")
+    val b1 = Seq(
+      (1L, "alpha beta alpha gamma", "en"),
+      (2L, "un deux trois un", "fr"),
+      (3L, "кириллица текст здесь", "ru"))
+    val b2 = Seq(
+      (4L, "alpha alpha beta delta epsilon beta", "en"),
+      (5L, "quatre cinq un un deux", "fr"),
+      (6L, "alpha beta gamma delta", "en"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val streamed = img(graft.streaming.Pipelines.datacardRead(spark,
+      s"$base/stats", s"$base/ltf"))
+    // the panel from merged slim state must be bit-identical (incl. the
+    // exact-decimal mean and the integer micro legs) to the batch panel
+    // over the union — text tokenized once, at ingestion
+    val union = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val batch = img(graft.llm.CorpusStats.datacardPanel(
+      graft.llm.CorpusStats.datacardDocStats(union, "doc_id", "text", "lang"),
+      graft.llm.CorpusStats.langTokenFreqs(union, "text", "lang")))
+    assert(streamed === batch)
+    // sanity on the legs: ru is non-latin-dominant; en's Zipf head decays
+    val byLang = streamed.map(r => r.head -> r).toMap
+    assert(byLang("ru")(7) === 1L) // n_nonlatin_dom
+    assert(byLang("en")(9).asInstanceOf[Long] > 0L) // zipf_alpha_micro
+  }
+
   test("substringDedupIngest: streamed union equals the batch ExactSubstr cut") {
     val base = java.nio.file.Files.createTempDirectory("graft_ssi").toString
     val mem = MemoryStream[(Long, String)](spark)
