@@ -108,9 +108,11 @@ object ScaleProbe {
     // drop every persisted RDD (incl. operators' localCheckpoints) between
     // rows: with ~15 probe ops × 2 corpus sizes the accumulated blocks
     // otherwise exhaust the heap before the ContextCleaner gets to them
-    // (observed as an OOM in the 200k gopher row)
+    // (observed as an OOM in the 200k gopher row). BLOCKING: the async
+    // form loses the race against the next probe's allocation burst — the
+    // r10 default-heap run OOMed mid-suite with frees still queued
     probeSpark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     println(f"[scale] n=$n%-8d $label%-18s $secs%7.2f s  ($rows rows)")
     (label, secs)
   }

@@ -144,4 +144,27 @@ class BenchArtifactSpec extends AnyFunSuite {
       s"round-8 short keys changed (breaks round-over-round diffing): " +
         moved.map { case (n, k) => s"$n: $k -> ${shortName(n)}" }.mkString(", "))
   }
+
+  test("r9 bench keys are stable: every key in the committed BENCH_r09 " +
+      "artifact is still emitted") {
+    // No hand-pinned map this time: the committed round-9 artifact IS the
+    // contract. Parse the tail's machine line and require every short key
+    // it carried to still be produced by some current query — new keys
+    // may appear, recorded ones may never vanish or move (the judge diffs
+    // BENCH_r{N}.json round over round by key).
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_r09.json")), "UTF-8")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    val tail = (JsonMethods.parse(raw) \ "tail").extract[String]
+    val line = tail.split('\n').filter(_.startsWith("{\"metric\"")).last
+    val r9Keys = (JsonMethods.parse(line) \ "queries")
+      .asInstanceOf[JObject].obj.map(_._1).toSet
+    assert(r9Keys.size >= 190, s"r9 artifact parsed oddly: ${r9Keys.size} keys")
+    val currentKeys = SparkEntry.queries.keySet.map(shortName)
+    val vanished = r9Keys -- currentKeys
+    assert(vanished.isEmpty,
+      s"round-9 bench keys no longer emitted (breaks diffing): $vanished")
+  }
 }
