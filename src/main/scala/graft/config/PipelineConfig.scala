@@ -1077,7 +1077,7 @@ object PipelineConfig {
               sys.error("span_clean_indexed needs name = indexDir")))
           val (cleanedInc, _) = graft.llm.CorpusStats
             .removeRepeatedSpansIncremental(idx, d, idc, c, l, mdf)
-          val restInc = d.drop(c)
+          val restInc = assertUniqueIds(d.drop(c), idc, "span_clean_indexed")
           Seq("n_tokens", "n_removed")
             .foldLeft(cleanedInc.withColumnRenamed("clean_text", c)) { (acc, n) =>
               if (restInc.columns.contains(n))
@@ -1089,7 +1089,10 @@ object PipelineConfig {
         // keeper index (read-only — index persistence belongs to the
         // ingest loop, streaming.Pipelines.substringDedupIngest, whose
         // two-level layout readSubstrIndex understands):
-        // cols = [idCol, textCol], expr = minRunTokens (default 20),
+        // cols = [idCol, textCol], expr = minRunTokens (default 20) —
+        // MUST equal the minRunTokens the index was built with (window
+        // hashes don't encode L; a mismatch silently misses history,
+        // the same caller contract as the span/para indexed family),
         // name = indexDir. Same rejoin contract as substring_dedup.
         case "substring_dedup_indexed" =>
           val Seq(idc, c) = t.cols match {
@@ -1103,7 +1106,7 @@ object PipelineConfig {
               sys.error("substring_dedup_indexed needs name = indexDir")))
           val (cleanedS, _) = graft.llm.CorpusStats
             .removeDuplicateSubstringsIncremental(idxS, d, idc, c, minRunI)
-          val restS = d.drop(c)
+          val restS = assertUniqueIds(d.drop(c), idc, "substring_dedup_indexed")
           Seq("n_tokens", "n_removed")
             .foldLeft(cleanedS.withColumnRenamed("clean_text", c)) { (acc, n) =>
               if (restS.columns.contains(n))
@@ -1128,7 +1131,7 @@ object PipelineConfig {
               sys.error("para_clean_indexed needs name = indexDir")))
           val (cleanedPi, _) = graft.llm.CorpusStats
             .dropRepeatedParagraphsIncremental(idxP, d, idc, c, mdfI)
-          val restPi = d.drop(c)
+          val restPi = assertUniqueIds(d.drop(c), idc, "para_clean_indexed")
           Seq("n_paras", "n_removed")
             .foldLeft(cleanedPi.withColumnRenamed("clean_text", c)) { (acc, n) =>
               if (restPi.columns.contains(n))

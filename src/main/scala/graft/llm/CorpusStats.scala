@@ -405,7 +405,6 @@ object CorpusStats extends Serializable {
       langCol: String): DataFrame = {
     guard(idCol)
     import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
     val scored = bigramLmScore(df, idCol, textCol)
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("avg_nll_micro").asc, col(idCol).asc)
@@ -476,9 +475,22 @@ import org.apache.spark.sql.types.DecimalType
     * folds by min and occurrence counts add (ids are disjoint across
     * batches), so merged state equals the index built over the union.
     */
+  /** The keeper state is typed BIGINT: the streaming id contract orders
+    * ids numerically across batches, and a silent string→long cast would
+    * null out and disable the cut — refuse loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"$op keeper state requires an integral id column; '$idCol' is $dt")
+  }
+
   def substrKeeperIndex(df: DataFrame, idCol: String, textCol: String,
       minRunTokens: Int): DataFrame = {
     guard(idCol)
+    requireIntegralId(df, idCol, "substrKeeperIndex")
     spanFrame(tokenized(df, idCol, textCol), idCol, minRunTokens)
       .groupBy("h").agg(min(col(idCol)).cast("long").as("keep_id"),
         count(lit(1)).as("n_occ"))
@@ -507,6 +519,7 @@ import org.apache.spark.sql.types.DecimalType
     require(minRunTokens > 0,
       s"minRunTokens must be positive, got $minRunTokens")
     guard(idCol)
+    requireIntegralId(fresh, idCol, "removeDuplicateSubstringsIncremental")
     val base = tokenized(fresh, idCol, textCol)
     val spans = spanFrame(base, idCol, minRunTokens)
     val freshIndex = spans.groupBy("h")

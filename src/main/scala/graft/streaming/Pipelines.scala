@@ -714,9 +714,21 @@ object Pipelines {
     */
   def datacardRead(spark: SparkSession, statsDir: String, ltfDir: String,
       idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
-    val stats = spark.read.parquet(statsDir)
-      .select(col(langCol), col(idCol), col("n_toks"), col("q6"),
-        col("text_md5"), col("dominant"))
+    // a reader racing the first micro-batch sees no stats yet — an empty
+    // panel, not a PATH_NOT_FOUND crash (the readSubstrIndex convention)
+    val statsPath = new org.apache.hadoop.fs.Path(statsDir)
+    val statsExist = statsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(statsPath)
+    val stats =
+      if (statsExist) spark.read.parquet(statsDir)
+        .select(col(langCol), col(idCol), col("n_toks"), col("q6"),
+          col("text_md5"), col("dominant"))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"$langCol STRING, $idCol BIGINT, n_toks BIGINT, " +
+            "q6 DECIMAL(18,6), text_md5 STRING, dominant STRING"))
     val ltf = indexStateAgg(spark, ltfDir, None, mergeAllLtf(langCol))._1
       .getOrElse(emptyLtf(langCol)(spark))
     graft.llm.CorpusStats.datacardPanel(stats, ltf, langCol, idCol)

@@ -483,6 +483,9 @@ class StreamingSpec extends SparkSpec {
       "over the union") {
     val base = java.nio.file.Files.createTempDirectory("graft_dci").toString
     val mem = MemoryStream[(Long, String, String)](spark)
+    // a reader racing the first batch sees an EMPTY panel, not a crash
+    assert(graft.streaming.Pipelines.datacardRead(spark,
+      s"$base/stats", s"$base/ltf").count() === 0L)
     val q = graft.streaming.Pipelines.datacardIngest(
       mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
       s"$base/stats", s"$base/ltf", s"$base/ckpt")

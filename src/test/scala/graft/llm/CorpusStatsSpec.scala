@@ -386,6 +386,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("< 2"))
   }
 
+  test("substring keeper state refuses non-integral ids loudly") {
+    // the persisted keeper is typed BIGINT and the streaming contract
+    // orders ids numerically — a silent string→long cast would null out
+    // and disable the cut, so both entry points must refuse instead
+    val df = Seq(("doc-1", "w1 w2 w3")).toDF("id", "text")
+    Seq(
+      () => CorpusStats.substrKeeperIndex(df, "id", "text", 2),
+      () => CorpusStats.removeDuplicateSubstringsIncremental(
+        CorpusStats.substrKeeperIndex(
+          Seq((1L, "a b")).toDF("id", "text"), "id", "text", 2),
+        df, "id", "text", 2)
+    ).foreach { call =>
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("integral id"))
+    }
+  }
+
   test("zipfAlphaByGroup: per-group Hill equals the global estimator on " +
       "that group alone; flat and thin groups pin 0") {
     val docs = Seq(
