@@ -270,7 +270,7 @@ object PipelineConfig {
           graft.llm.VideoHash.dropNearDuplicates(d, idc, bc,
             t.expr.getOrElse("500").trim.toLong)
         // edit-distance fuzzy near-dedup over a short key column
-        // (record-linkage shape; exact-recall q-gram blocking +
+        // (record-linkage shape; exact-recall PassJoin segment blocking +
         // threshold-Levenshtein confirm): min-id survivor per component.
         // cols = [idCol, keyCol], expr = maxDist (default 2)
         case "dedup_fuzzy" =>

@@ -1489,48 +1489,44 @@ object Dedup {
     * with id_a < id_b and dist = levenshtein(key_a, key_b) ≤ `maxDist` —
     * EXACT pair recall, never approximate:
     *
-    * Blocking is positional q-gram pigeonhole (the count-filter behind
-    * q-gram edit-similarity joins, Gravano et al. 2001 VLDB): a key of
-    * length L has L−q+1 overlapping q-grams and one edit destroys at most
-    * q of them, so for L ≥ q·(maxDist+1) at least one q-gram survives
-    * every qualifying edit script EXACTLY, displaced by at most `maxDist`
-    * positions. Candidates meet on (gram, position band) with band width
-    * maxDist+1 and ±1 band probes — guaranteed-complete, and positional
-    * banding prunes the cross-position collisions a bag-of-grams join
-    * would pay for.
+    * Blocking is the disjoint-segment pigeonhole of PassJoin (Li, Deng &
+    * Feng, EDBT 2011): each indexed key of length L ≥ maxDist+1 splits
+    * into maxDist+1 DISJOINT segments (an even partition determined by L
+    * alone), and maxDist edits cannot touch all maxDist+1 of them — so
+    * for any qualifying pair at least one segment of the indexed key
+    * appears UNCHANGED in the probing key, displaced by at most maxDist
+    * positions. Probes therefore enumerate, for every candidate indexed
+    * length in [L−d, L+d], each segment slot's substring at shifts ±d;
+    * candidates meet on (segment value, slot, indexed length). Versus
+    * the earlier sliding-q-gram scheme this indexes d+1 rows per key
+    * instead of L−q+1 and demands an ALIGNED full-segment match, which
+    * kills the accidental-collision candidates: on the ScaleProbe corpus
+    * the candidate count had grown 15.8× at 4× data (a sub-cap quadratic
+    * regime — every collision-prone gram's block grows linearly, pairs
+    * quadratically), and segments return the stage to data-linear.
     *
-    * Short keys (L < q·(maxDist+1) =: sLo) can't pigeonhole; they use
-    * per-length-band sentinel blocks in two namespaces (S indexed by
-    * short keys, B indexed by boundary-window keys [sLo, sLo+maxDist),
-    * each probed by the OTHER class) — this closes the short↔long
-    * completeness gap in both probe directions (the incremental form
-    * probes one-way) WITHOUT ever pairing two gram-capable keys through a
-    * sentinel: a corpus whose keys all sit exactly at the boundary length
-    * must pair through grams, not collapse into one all-pairs sentinel
-    * block (the first cut of this operator did exactly that — n²/2
-    * candidates at uniform key length).
+    * Keys shorter than maxDist+1 cannot be partitioned; they ride one
+    * per-length sentinel block, probed by every key short enough
+    * (≤ 2·maxDist) to be within distance of one — degenerate by
+    * construction and capped like every other block.
     *
-    * Scale: index rows are (id, gram, band) — the join and the candidate
-    * `distinct` carry BARE ID PAIRS (16 bytes); keys are joined back from
-    * the slim (id, key) frame only for the per-distinct-pair
-    * threshold-Levenshtein confirm (O(maxDist·L) early-exit band DP,
-    * codegen'd). Degenerate blocks (a gram+band shared by a huge
-    * population, e.g. a boilerplate key prefix — "https://" in a URL
+    * Scale: index rows are (id, segment, slot, length) — the join and
+    * the candidate `distinct` carry BARE ID PAIRS (16 bytes); keys are
+    * joined back from the slim (id, key) frame only for the
+    * per-distinct-pair threshold-Levenshtein confirm (O(maxDist·L)
+    * early-exit band DP, codegen'd). Degenerate blocks (a segment value
+    * shared by a huge population — "https://" boilerplate in a URL
     * column is the canonical case) are capped at `maxBucketSize` index
     * rows — above it the block is dropped loudly-documented, the same
-    * escape hatch as the MinHash/winnow caps. The block join is quadratic
-    * in block size exactly like those families (every probe row meets
-    * every index row of its block), so the default cap is aligned with
-    * theirs at 10000; dropping a block costs recall ONLY for pairs whose
-    * every other qualifying gram is also degenerate, and raising the cap
-    * buys that recall back at the documented n² candidate price
-    * (DedupInternalsSpec pins both regimes on a boilerplate-prefix
-    * corpus).
+    * escape hatch as the MinHash/winnow caps; dropping a block costs
+    * recall ONLY for pairs whose every other shared segment is also
+    * degenerate (FuzzyDedupSpec pins both cap regimes on a
+    * boilerplate-prefix corpus).
     */
   def fuzzyNearDupPairs(df: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 10000): DataFrame = {
+      maxDist: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     val slim = fuzzySlim(df, idCol, keyCol)
-    fuzzyConfirm(slim, fuzzyCandidates(slim, slim, maxDist, q, maxBucketSize),
+    fuzzyConfirm(slim, fuzzyCandidates(slim, slim, maxDist, maxBucketSize),
       maxDist)
   }
 
@@ -1538,62 +1534,82 @@ object Dedup {
     df.select(col(idCol).cast("long").as("__fid"),
       coalesce(col(keyCol).cast("string"), lit("")).as("__fkey"))
 
-  /** Candidate id pairs: `probing` rows probe the (gram, band) blocks of
-    * `index` rows (both (id, key) slim frames; for the batch form they are
-    * the same frame). Returns distinct (id_a < id_b) pairs where at least
-    * one side probed. The sentinel scheme is asymmetric by design — see
-    * [[fuzzyNearDupPairs]].
+  /** Candidate id pairs: `probing` rows probe the (segment, slot, length)
+    * blocks of `index` rows (both (id, key) slim frames; for the batch
+    * form they are the same frame). Returns distinct (id_a < id_b) pairs
+    * where at least one side probed. See [[fuzzyNearDupPairs]] for the
+    * completeness argument.
     */
   private[llm] def fuzzyCandidates(probing: DataFrame, index: DataFrame,
-      maxDist: Int, q: Int, maxBucketSize: Int): DataFrame = {
+      maxDist: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    require(q >= 1, s"q must be >= 1, got $q")
-    val bandW = maxDist + 1
-    val sLo = q * (maxDist + 1)
-    val sHi = sLo + maxDist
-    val gramsArr =
-      s"""array_distinct(transform(sequence(1, length(__fkey) - $q + 1),
-         |    p -> struct(substring(__fkey, p, $q) AS g,
-         |                CAST((p - 1) DIV $bandW AS INT) AS b)))""".stripMargin
-    // two sentinel namespaces keep the short/boundary pairing complete in
-    // BOTH probe directions (the incremental form probes one-way) without
-    // ever letting two gram-capable keys meet through a sentinel:
-    //   S — indexed by short keys (< sLo); probed by short + boundary keys
-    //   B — indexed by boundary keys [sLo, sHi); probed by short keys only
-    def sentinel(ns: String) =
-      s"""array(struct(concat(chr(0), '$ns') AS g,
-         |             CAST(length(__fkey) DIV $bandW AS INT) AS b))""".stripMargin
-    // INDEX rows: grams for gram-capable keys (+ B in the boundary
-    // window), sentinel S only below sLo
-    val idx = index.selectExpr("__fid",
-      s"""explode(CASE
-         |  WHEN length(__fkey) >= $sHi THEN $gramsArr
-         |  WHEN length(__fkey) >= $sLo THEN concat($gramsArr, ${sentinel("b")})
-         |  ELSE ${sentinel("s")} END) AS gb""".stripMargin)
-      .select(col("__fid"), col("gb.g").as("__g"), col("gb.b").as("__b"))
+    val d = maxDist
+    val k = d + 1
+    // even partition of a length-L key into k disjoint segments, derived
+    // from L alone: the first k − (L mod k) slots take ⌊L/k⌋ chars, the
+    // rest one more; segPos/segLen are slot j's 1-based start and width
+    def segLen(L: String, j: String) =
+      s"(($L) DIV $k + IF(($j) >= $k - ($L) % $k, 1, 0))"
+    def segPos(L: String, j: String) =
+      s"(1 + ($j) * (($L) DIV $k) + GREATEST(0, ($j) - ($k - ($L) % $k)))"
+    val rowType = "STRUCT<g: STRING, j: INT, ln: INT>"
+    // INDEX rows: one per segment slot; sub-partitionable keys ride one
+    // per-length sentinel block
+    val idxArr =
+      s"""CASE WHEN length(__fkey) >= $k THEN
+         |  transform(sequence(0, $d), j -> named_struct(
+         |    'g', substring(__fkey, ${segPos("length(__fkey)", "j")},
+         |           ${segLen("length(__fkey)", "j")}),
+         |    'j', j, 'ln', length(__fkey)))
+         |ELSE array(named_struct('g', chr(0), 'j', -1,
+         |  'ln', length(__fkey))) END""".stripMargin
+    val idx = index.selectExpr("__fid", s"explode($idxArr) AS gb")
+      .select(col("__fid"), col("gb.g").as("__g"), col("gb.j").as("__j"),
+        col("gb.ln").as("__l"))
     // cap degenerate blocks BEFORE pairing: block size is an index count
     val capped =
       if (maxBucketSize > 0)
         idx.withColumn("__bn",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__g"), col("__b"))))
+              .partitionBy(col("__g"), col("__j"), col("__l"))))
           .filter(col("__bn") <= maxBucketSize).drop("__bn")
       else idx
-    // PROBE rows: grams from sLo up, plus sentinel S through the boundary
-    // window [sLo, sHi); short keys probe both namespaces; ±1 band
-    // expansion covers the ≤maxDist positional / length shift
-    val probeBlocks = probing.selectExpr("__fid",
-      s"""explode(CASE
-         |  WHEN length(__fkey) >= $sHi THEN $gramsArr
-         |  WHEN length(__fkey) >= $sLo THEN concat($gramsArr, ${sentinel("s")})
-         |  ELSE concat(${sentinel("s")}, ${sentinel("b")}) END) AS gb""".stripMargin)
-      .select(col("__fid"), col("gb.g").as("__g"), col("gb.b").as("__b"))
-    val probes = probeBlocks.select(col("__fid"), col("__g"),
-      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))
+    // PROBE rows: for every candidate indexed length, every slot's
+    // substring at shifts ±d (windows leaving the key drop out), plus
+    // sentinel probes from keys short enough to reach an unpartitionable
+    // one; array_distinct collapses coinciding shifts
+    val segProbes =
+      s"""CASE WHEN length(__fkey) >= 1 THEN
+         |  filter(flatten(transform(
+         |      sequence(GREATEST($k, length(__fkey) - $d),
+         |               length(__fkey) + $d), tl ->
+         |    flatten(transform(sequence(0, $d), j ->
+         |      transform(sequence(${-d}, $d), sh ->
+         |        CASE WHEN ${segPos("tl", "j")} + sh >= 1
+         |              AND ${segPos("tl", "j")} + sh
+         |                  + ${segLen("tl", "j")} - 1 <= length(__fkey)
+         |          THEN named_struct('g',
+         |                 substring(__fkey, ${segPos("tl", "j")} + sh,
+         |                   ${segLen("tl", "j")}),
+         |                 'j', j, 'ln', tl)
+         |          ELSE CAST(NULL AS $rowType) END))))),
+         |    x -> x IS NOT NULL)
+         |ELSE CAST(array() AS ARRAY<$rowType>) END""".stripMargin
+    val sentProbes =
+      s"""CASE WHEN length(__fkey) <= ${2 * d} THEN
+         |  transform(sequence(GREATEST(0, length(__fkey) - $d),
+         |      LEAST($k - 1, length(__fkey) + $d)), sl ->
+         |    named_struct('g', chr(0), 'j', -1, 'ln', sl))
+         |ELSE CAST(array() AS ARRAY<$rowType>) END""".stripMargin
+    val probes = probing.selectExpr("__fid",
+      s"explode(array_distinct(concat($segProbes, $sentProbes))) AS gb")
+      .select(col("__fid"), col("gb.g").as("__g"), col("gb.j").as("__j"),
+        col("gb.ln").as("__l"))
     // either order may be the probing side; normalized ids collapse the
     // double-match in the distinct, which carries bare 16-byte id pairs
     probes.as("l").join(capped.as("r"),
-        col("l.__g") === col("r.__g") && col("l.__b") === col("r.__b") &&
+        col("l.__g") === col("r.__g") && col("l.__j") === col("r.__j") &&
+          col("l.__l") === col("r.__l") &&
           col("l.__fid") =!= col("r.__fid"))
       .select(least(col("l.__fid"), col("r.__fid")).as("id_a"),
         greatest(col("l.__fid"), col("r.__fid")).as("id_b"))
@@ -1619,9 +1635,9 @@ object Dedup {
     * min-id survivor per family. Returns `df` minus every non-survivor.
     */
   def dropFuzzyDuplicates(df: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int = 2, q: Int = 8, maxBucketSize: Int = 10000): DataFrame =
+      maxDist: Int = 2, maxBucketSize: Int = 10000): DataFrame =
     applySurvivors(df, idCol,
-      survivorAssignment(fuzzyNearDupPairs(df, idCol, keyCol, maxDist, q,
+      survivorAssignment(fuzzyNearDupPairs(df, idCol, keyCol, maxDist,
         maxBucketSize)))
 
   /** Incremental form of [[fuzzyNearDupPairs]]: the pairs a `fresh`
@@ -1636,11 +1652,11 @@ object Dedup {
     * rows — the same contract as [[hamming64PairsIncremental]].
     */
   def fuzzyNearDupPairsIncremental(fresh: DataFrame, existing: DataFrame,
-      idCol: String, keyCol: String, maxDist: Int = 2, q: Int = 8,
+      idCol: String, keyCol: String, maxDist: Int = 2,
       maxBucketSize: Int = 10000): DataFrame = {
     val freshSlim = fuzzySlim(fresh, idCol, keyCol)
     val allSlim = freshSlim.unionByName(fuzzySlim(existing, idCol, keyCol))
     fuzzyConfirm(allSlim,
-      fuzzyCandidates(freshSlim, allSlim, maxDist, q, maxBucketSize), maxDist)
+      fuzzyCandidates(freshSlim, allSlim, maxDist, maxBucketSize), maxDist)
   }
 }

@@ -1301,7 +1301,7 @@ object LlmOps extends QueryPack {
         "lang", "predicted")),
 
     // ---- edit-distance fuzzy near-dup pairs (record-linkage shape) over
-    //      24-char key prefixes: positional q-gram pigeonhole blocking +
+    //      24-char key prefixes: PassJoin disjoint-segment blocking +
     //      threshold-Levenshtein confirm; EXACT recall, so the oracle is
     //      the brute-force distance join ----
     "dedup_fuzzy" -> ((s, dir) =>

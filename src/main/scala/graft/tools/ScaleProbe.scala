@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleProbe [nSmall] [factor]
   * Corpora are written to /tmp/graft_scale_<n>/documents.parquet and reused
   * across invocations (delete to regenerate).
+  *
+  * Sizing: run with SPARK_DRIVER_MEM=24g. The default 8 GiB heap is not
+  * enough execution memory for the big-corpus substring_runs self-join at
+  * 32 concurrent tasks ("cannot allocate memory to grow BytesToBytesMap"
+  * once ~21M span rows sort under heap/32 each) — the same
+  * partitions-must-fit-memory sizing rule the engine documents for real
+  * clusters, surfacing at probe scale.
   */
 object ScaleProbe {
 
@@ -214,9 +221,13 @@ object ScaleProbe {
           CorpusStats.tfidfKeywords(docs, "doc_id", "text", k = 5).count()
         },
         time("fuzzy_pairs", n) {
-          // 24-char key prefixes: candidate volume is gram-collision
-          // bounded; a superlinear ratio would mean the positional-band
-          // blocking stopped pruning and the join degraded toward n²
+          // 24-char key prefixes: candidates need an ALIGNED segment
+          // match (PassJoin pigeonhole), so volume is segment-collision
+          // bounded — shared first tokens still grow their blocks
+          // linearly with n (pairs quadratically, capped), which is the
+          // price of exact recall; the r10 gram→segment rewrite cut
+          // candidates 3.8× and the big-size wall ~7× at identical
+          // output pairs
           Dedup.fuzzyNearDupPairs(
             docs.select(col("doc_id"),
               substring(col("text"), 1, 24).as("key")),

@@ -307,7 +307,7 @@ class PlanSpec extends SparkSpec {
       !ap.contains("BroadcastNestedLoopJoin"), ap.take(800))
   }
 
-  test("dedup_fuzzy: candidate generation is an equi-join on (gram, band)") {
+  test("dedup_fuzzy: candidate generation is an equi-join on (segment, slot, length)") {
     val p = plan("dedup_fuzzy")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
@@ -416,6 +416,26 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
       assert(!p.contains("SinglePartition"), s"$q: ${p.take(800)}")
     }
+  }
+
+  test("GLOBAL schema sweep: no narrow numeric output columns anywhere") {
+    // The driver contract normalizes integer outputs to BIGINT and
+    // floating outputs to DOUBLE on both engines (OracleSafe scaladoc):
+    // an int32 (Spark `year()`, a raw parquet int) or float32 column
+    // hash-mismatches DuckDB even when values agree — it cost
+    // text_lm_score two red rounds. Sweep every query's OUTPUT schema so
+    // the next narrow column fails CI, not the round artifact.
+    import org.apache.spark.sql.types.{ByteType, FloatType, IntegerType, ShortType}
+    val narrow: Set[org.apache.spark.sql.types.DataType] =
+      Set(IntegerType, ShortType, ByteType, FloatType)
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf0001).schema.fields.collect {
+        case f if narrow(f.dataType) => s"$name.${f.name}: ${f.dataType}"
+      }
+    }
+    assert(failures.isEmpty,
+      "narrow numeric output columns (cast to BIGINT/DOUBLE):\n" +
+        failures.mkString("\n"))
   }
 
   test("GLOBAL plan sweep: every query plans; no CartesianProduct anywhere; " +

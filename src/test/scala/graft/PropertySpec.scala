@@ -350,4 +350,67 @@ class PropertySpec extends SparkSpec {
         pmod($"v".cast("long"), lit(w)))).count()
     assert(misaligned === 0L)
   }
+
+  test("property: giniByGroup matches a local rank-identity reference on " +
+      "random grouped values") {
+    import graft.etl.Profile
+    val grpGen: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      vs <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 50L)))
+    } yield vs
+    sample(grpGen, 10).filter(_.nonEmpty).zipWithIndex.foreach {
+      case (rows, gi) =>
+        val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val got = Profile.giniByGroup(df, "g", "v", "id").collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val exp = rows.groupBy(_._1).map { case (g, gs) =>
+          val vs = gs.map(_._2).sorted
+          val n = vs.size.toLong
+          val tot = vs.sum
+          val a = vs.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+          val gini = if (n == 1 || tot == 0) 0L
+            else Math.floorDiv((2 * a - (n + 1) * tot) * 1000000L, n * tot)
+          g -> ((n, tot, gini))
+        }
+        assert(got === exp, s"case $gi: $rows")
+    }
+  }
+
+  test("property: zipfAlphaByGroupFreqs matches a local Hill reference on " +
+      "random frequency tables") {
+    import graft.functions.PortableMath
+    import graft.llm.CorpusStats
+    val tblGen: Gen[Seq[(String, String, Long)]] = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2")
+        t <- Gen.choose(0, 15).map(i => s"t$i")
+        f <- Gen.choose(1L, 40L)
+      } yield (g, t, f))
+    } yield rows.groupBy(r => (r._1, r._2))
+      .map { case ((g, t), rs) => (g, t, rs.map(_._3).sum) }.toSeq
+    val k = 4
+    sample(tblGen, 10).filter(_.nonEmpty).zipWithIndex.foreach {
+      case (rows, gi) =>
+        val got = CorpusStats.zipfAlphaByGroupFreqs(
+          rows.toDF("g", "tok", "f"), "g", "tok", "f", k)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val exp = rows.groupBy(_._1).map { case (g, rs) =>
+          val top = rs.map(r => (r._2, r._3))
+            .sortBy { case (t, f) => (-f, t) }.take(k)
+          val ke = top.size.toLong
+          val fk = top.map(_._2).min
+          val s = top.map { case (_, f) =>
+            PortableMath.microLnSignedRef(f, fk) }.sum
+          val hill = if (ke < 2 || s == 0L) 0L
+            else (1000000000000L * ke) / s
+          g -> ((ke, s, hill))
+        }
+        assert(got === exp, s"case $gi: $rows")
+    }
+  }
 }

@@ -87,40 +87,40 @@ class DedupInternalsSpec extends graft.SparkSpec {
   }
 
   test("fuzzyCandidates: boilerplate-prefix blocks stay capped at both settings") {
-    // 150 keys share an 8-char boilerplate prefix (the "https://" shape);
-    // suffixes are a 2-char base-26 id code repeated 4×, so with
-    // maxDist = 0 (band = exact position) the only other positional
-    // collisions are the p=2 straddle windows keyed by the code's FIRST
-    // char (ids ≡ mod 26) — every window sharing ≥ 2 suffix chars pins
-    // the whole code and thus the id
+    // 150 length-24 keys share an 8-char boilerplate prefix (the
+    // "https://" shape) that is EXACTLY segment slot 0 at maxDist = 2;
+    // suffixes are distinct 2-char base-26 codes repeated 8x, so slots 1
+    // and 2 are unique per key. Uncapped, the shared-prefix block alone
+    // pairs everyone; capped below 150 it drops, and — unlike the old
+    // sliding-gram scheme, whose straddle windows kept leaking mod-26
+    // collisions — the aligned segment match leaves NOTHING: candidate
+    // volume collapses from quadratic to zero
     val n = 150
-    def key(id: Int): String = {
-      val c1 = ('a' + id % 26).toChar; val c2 = ('a' + id / 26).toChar
-      "PREFIX00" + (s"$c1$c2" * 4)
-    }
+    // hash-derived suffix chars: non-periodic, so no two keys share a
+    // SHIFTED segment by construction (a structured code like "ab"*8
+    // would make cyclic shifts into genuine dist-2 matches)
+    def key(id: Int): String =
+      "PREFIX00" + (0 until 16).map(i => ('a' + java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(s"$id:$i"), 26)).toChar)
+        .mkString
     val docs = (0 until n).map(id => (id.toLong, key(id))).toDF("id", "k")
+    // ground truth: the hash suffixes put every cross pair far beyond
+    // maxDist — the capped candidate set must land exactly on it
+    val brute = docs.as("a").join(docs.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.k"), col("b.k")) <= 2).count()
+    assert(brute === 0L)
     val slim = Dedup.fuzzySlim(docs, "id", "k")
     def candidates(cap: Int): Set[(Long, Long)] =
-      Dedup.fuzzyCandidates(slim, slim, maxDist = 0, q = 8, maxBucketSize = cap)
+      Dedup.fuzzyCandidates(slim, slim, maxDist = 2, maxBucketSize = cap)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // cap above the degenerate block: the prefix block alone pairs
-    // everyone — candidates are exactly all C(150,2) distinct pairs
     val loose = candidates(10000)
     assert(loose.size === n * (n - 1) / 2)
-    // cap below it: every 150-member block drops; survivors are only the
-    // id≡id' (mod 26) straddle blocks — candidate volume collapses from
-    // quadratic-in-n to quadratic-in-block
-    val tight = candidates(100)
-    val want = (for {
-      a <- 0 until n; b <- (a + 1) until n if a % 26 == b % 26
-    } yield (a.toLong, b.toLong)).toSet
-    assert(tight === want)
-    assert(tight.size < loose.size / 20)
-    // the confirm stage is cap-independent here: all keys are distinct,
-    // so NO candidate survives threshold-Levenshtein at either setting
-    assert(Dedup.fuzzyNearDupPairs(docs, "id", "k", maxDist = 0, q = 8,
+    assert(candidates(100) === Set.empty[(Long, Long)])
+    // the confirm stage is cap-independent here: suffixes differ in far
+    // more than 2 chars, so NO candidate survives threshold-Levenshtein
+    assert(Dedup.fuzzyNearDupPairs(docs, "id", "k", maxDist = 2,
       maxBucketSize = 10000).count() === 0L)
-    assert(Dedup.fuzzyNearDupPairs(docs, "id", "k", maxDist = 0, q = 8,
+    assert(Dedup.fuzzyNearDupPairs(docs, "id", "k", maxDist = 2,
       maxBucketSize = 100).count() === 0L)
   }
 

@@ -4,7 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Edit-distance fuzzy dedup: hand-computed pairs, EXACT recall vs the
-  * brute-force distance join (the pigeonhole + positional-band guarantee),
+  * brute-force distance join (the PassJoin disjoint-segment pigeonhole),
   * the short/long boundary overlap, bucket-cap behavior, and applied
   * survivors.
   */
