@@ -9,12 +9,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: leakcheck_manifest.sh <round>}"
-FILES=$(git ls-files | sort)
+# exclude the manifest itself (self-reference: stamping changes it) and
+# LEAKCHECK.json (driver-refreshed AFTER the builder stamps) — the r9
+# verdict's byte-drift was exactly these two; everything else is stable
+# at the stamped head, so the numbers reproduce bit-for-bit
+FILES=$(git ls-files | grep -v -e '^LEAKCHECK_MANIFEST.json$' -e '^LEAKCHECK.json$' | sort)
 N=$(printf '%s\n' "$FILES" | wc -l | tr -d ' ')
 BYTES=$(printf '%s\n' "$FILES" | xargs -d '\n' wc -c | tail -1 | awk '{print $1}')
 DIGEST=$(printf '%s\n' "$FILES" | xargs -d '\n' sha256sum | sort -k2 | sha256sum | awk '{print $1}')
 HEAD_SHA=$(git rev-parse HEAD)
 cat > LEAKCHECK_MANIFEST.json <<EOF
-{"round": ${ROUND}, "files_scanned": ${N}, "bytes": ${BYTES}, "tree_sha256": "${DIGEST}", "git_head": "${HEAD_SHA}", "scope": "git ls-files"}
+{"round": ${ROUND}, "files_scanned": ${N}, "bytes": ${BYTES}, "tree_sha256": "${DIGEST}", "git_head": "${HEAD_SHA}", "scope": "git ls-files minus LEAKCHECK_MANIFEST.json + LEAKCHECK.json (self-referential / driver-refreshed)"}
 EOF
 echo "LEAKCHECK_MANIFEST.json: ${N} files, ${BYTES} bytes, tree ${DIGEST:0:16}…"
