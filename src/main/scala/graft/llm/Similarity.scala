@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
   * Scale path: random-hyperplane LSH (SimHash for cosine, Charikar'02):
   * L independent tables of `bits` hyperplane signs; neighbor candidates are
   * corpus vectors sharing a bucket in ANY table — a bucket equi-join, shuffle
-  * bounded by bucket sizes, never n². Planes are pseudo-random but fully
-  * deterministic (xxhash64 of (table, bit, dim)), so results are reproducible
-  * across runs and cluster layouts.
+  * bounded by bucket sizes, never n².
+  *
+  * ENGINE-EXACT ANN (round 11): every approximate index here — LSH buckets,
+  * IVF cells, PQ codes, SemDeDup clusters — runs on int8-quantized vectors
+  * with md5-derived integer randomness, so the full candidate generation AND
+  * the final ranking replay bit-identically in any SQL engine (the
+  * [[Sketches]] "approximate algorithm with an exact answer" stance):
+  * hyperplanes are md5-byte integers, coarse/sub quantizers are integer
+  * k-means (the [[kmeansInt8]] trajectory idiom), and similarities are
+  * `dot / sqrt(na·nb)` over exact BIGINTs — a single exactly-rounded IEEE
+  * division+sqrt, identical on every engine (the ret_hybrid_rrf idiom).
   */
 object Similarity extends Serializable {
 
@@ -200,6 +208,87 @@ object Similarity extends Serializable {
     df.select(col(idCol).cast("long").as(asId),
       col(vecCol).cast("array<double>").as(asVec))
 
+  // ===== engine-exact integer ANN primitives =======================
+  //
+  // Everything below is exact integer (or single-rounding IEEE) arithmetic
+  // over [[quantizeInt8]] vectors: candidate sets, ranks and similarity
+  // values are bit-identical on any engine and any partitioning, so the
+  // ANN queries carry full DuckDB oracles (graft.queries.AnnOracleSql)
+  // instead of rows-only checks.
+
+  /** Narrow (id, int8-quantized vector) projection — the input relation of
+    * every integer ANN path. Quantization is amax-relative, hence
+    * scale-invariant: a scaled copy of a vector quantizes identically,
+    * which is what keeps planted-duplicate recall at 1.0.
+    */
+  private def q8Of(df: DataFrame, idCol: String, vecCol: String,
+      asId: String, asVec: String): DataFrame =
+    df.select(col(idCol).cast("long").as(asId),
+      quantizeInt8(col(vecCol).cast("array<double>")).as(asVec))
+
+  /** Exact cosine of two int8-quantized vectors: dot and norms are exact
+    * BIGINTs (|dot| ≤ dim·127² and na·nb ≤ (dim·127²)² < 2⁵³ at dim ≤ 256,
+    * so every cast to double is exact), and the final
+    * `dot / sqrt(na·nb)` is one correctly-rounded IEEE division over one
+    * correctly-rounded sqrt — bit-identical on any engine. Zero-norm
+    * vectors score −2.0 (below any real cosine). Codegen'd higher-order
+    * functions, no UDF.
+    */
+  def intCosine(qa: Column, qb: Column): Column = {
+    def nrm(v: Column): Column =
+      aggregate(v, lit(0L), (a, x) => a + x.cast("long") * x)
+    val dot = aggregate(zip_with(qa, qb, (x, y) => x.cast("long") * y),
+      lit(0L), (a, x) => a + x)
+    val na = nrm(qa)
+    val nb = nrm(qb)
+    when(na === 0L || nb === 0L, lit(-2.0))
+      .otherwise(dot.cast("double") / sqrt((na * nb).cast("double")))
+  }
+
+  /** md5-derived integer hyperplane component in [−128, 127]: the first
+    * byte of `md5("lsh:<table>:<bit>:<dim>")`. The [[Sketches]] md5-nibble
+    * idiom applied to plane generation — pseudo-random, layout-free, and
+    * replayable as two-nibble arithmetic in any SQL engine (a JVM-private
+    * LCG would not be).
+    */
+  private def planeInt(t: Int, b: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(s"lsh:$t:$b:$d".getBytes("UTF-8"))(0) & 0xff) - 128
+  }
+
+  /** (id, table, bucket) LSH index over int8-quantized vectors: bucket bit
+    * b of table t is the sign of the exact BIGINT dot product against the
+    * md5 plane (t, b); bit 0 is the most significant. Heavy arithmetic is
+    * primitive Scala inside mapPartitions (the [[lshFromVecs]] stance);
+    * the output feeds ordinary equi-joins.
+    */
+  private def intLshFromVecs(vecs: DataFrame, tables: Int, bits: Int,
+      idCol: String): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = Array.tabulate(tables, bits, MaxDim)(planeInt)
+    vecs.as[(Long, Seq[Int])]
+      .mapPartitions(_.flatMap { case (id, qv) =>
+        val q = qv.toArray
+        require(q.length <= MaxDim,
+          s"LSH supports embeddings up to $MaxDim dims, got ${q.length}")
+        Iterator.tabulate(tables) { t =>
+          var acc = 0L
+          var b = 0
+          while (b < bits) {
+            val plane = planes(t)(b)
+            var dot = 0L
+            var d = 0
+            while (d < q.length) { dot += q(d).toLong * plane(d); d += 1 }
+            acc = acc * 2 + (if (dot > 0) 1L else 0L)
+            b += 1
+          }
+          (id, t, acc)
+        }
+      })
+      .toDF(idCol, "table", "bucket")
+  }
+
   /** ANN top-k via hyperplane LSH: candidates share a bucket in any table;
     * exact cosine re-ranking on the candidate set.
     *
@@ -223,8 +312,9 @@ object Similarity extends Serializable {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 10000, multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qExact = lshIndex(queries, tables, bits, idCol, vecCol)
-      .withColumnRenamed(idCol, "query_id")
+    val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
+    val cv = q8Of(corpus, idCol, vecCol, "neighbor_id", "qb")
+    val qExact = intLshFromVecs(qv, tables, bits, "query_id")
     val q =
       if (!multiProbe) qExact
       else qExact.select(col("query_id"), col("table"),
@@ -233,8 +323,7 @@ object Similarity extends Serializable {
     // localCheckpoint: the index feeds BOTH the bucket-size audit and the
     // candidate join — without it the whole-corpus hyperplane kernel (the
     // dominant cost) would execute twice
-    val cFull = lshIndex(corpus, tables, bits, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
+    val cFull = intLshFromVecs(cv, tables, bits, "neighbor_id")
       .localCheckpoint()
     val okBuckets = cFull.groupBy("table", "bucket")
       .agg(count(lit(1)).as("__bsz"))
@@ -244,224 +333,149 @@ object Similarity extends Serializable {
     val cands = q.join(c, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-      .join(vectorsOf(queries, idCol, vecCol, "query_id", "va"), "query_id")
-      .join(vectorsOf(corpus, idCol, vecCol, "neighbor_id", "vb"), "neighbor_id")
+      .join(qv, "query_id")
+      .join(cv, "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cosineOfPairs(cands, "query_id", "neighbor_id")
-      .withColumn("sim", round(col("sim_raw"), 4))
+    cands.withColumn("sim", intCosine(col("qa"), col("qb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
 
-  /** L2-normalized copy of a vector (all-zero input stays zero). */
-  private def normalizeVec(x: Array[Double]): Array[Double] = {
-    var n = 0.0; var i = 0
-    while (i < x.length) { n += x(i) * x(i); i += 1 }
-    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
-    val y = new Array[Double](x.length)
-    i = 0; while (i < x.length) { y(i) = x(i) * inv; i += 1 }
-    y
+  /** Deterministic md5-ordered training sample of the (id, q8) relation:
+    * the `n` vectors with the smallest `(md5(id), id)` key. orderBy+limit
+    * plans as TakeOrdered (per-partition heap + driver merge of n rows),
+    * never a global single-partition sort — the standard stance for
+    * codebook training (100 TB never passes through training; FAISS trains
+    * on a sample too), and the md5 key makes the pick layout-free AND
+    * SQL-replayable (`ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`).
+    * The single-partition limit result is re-spread so per-iteration
+    * assignment work distributes; localCheckpoint because every Lloyd
+    * iteration re-reads it.
+    */
+  private def intTrainSample(vecs: DataFrame, n: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    vecs.toDF("__id", "__q")
+      .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
+      .limit(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
   }
 
-  /** Deterministic hash-ordered training sample: the `n` vectors with the
-    * smallest id hash. orderBy+limit plans as TakeOrdered (per-partition
-    * heap + driver merge of n rows), never a global single-partition sort —
-    * a bounded collect, the standard stance for codebook training (100 TB
-    * never passes through training; FAISS trains on a sample too).
+  /** Top-`topN` centroids per vector by exact quantized cosine, ties to
+    * the lower cell id — the shared assignment kernel of the IVF and
+    * SemDeDup paths. Map-only: the k×dim centroid table broadcasts and
+    * `topN = 1` collapses per-vector candidates map-side via a
+    * `max(struct(sim, −cid))` partial aggregation (never a window over
+    * the corpus); `topN > 1` (query probing — a small relation) ranks via
+    * a per-query window. Exactness: sims are [[intCosine]] doubles of
+    * exact BIGINTs, and `−cid` is an exact integer tiebreak, so the
+    * struct max is a total order identical to the oracle's
+    * `ORDER BY sim DESC, cid ASC`.
     */
-  private def trainSample(vecs: DataFrame, n: Int): Array[Array[Double]] = {
+  private def assignCells(vecs: DataFrame, cents: Array[(Int, Array[Int])],
+      topN: Int, idCol: String = "__id", qCol: String = "__q"): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    vecs.orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(n)
-      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
-  }
-
-  /** Deterministic driver-side Lloyd iterations. `spherical` assigns by
-    * max dot product and re-normalizes the cluster means (the cosine /
-    * unit-sphere variant); otherwise plain Euclidean k-means. Init is the
-    * first `k` samples (hash-ordered upstream → reproducible); an empty
-    * cluster keeps its previous centroid. Cost is O(iters·|sample|·k·dim)
-    * on the driver — milliseconds at the bounded sample sizes used here,
-    * with no per-iteration cluster job.
-    */
-  /** Nearest centroid of x (max dot for spherical, min L2 otherwise) —
-    * shared by the driver and distributed Lloyd paths.
-    */
-  private def nearestCentroid(cents: Array[Array[Double]], x: Array[Double],
-      spherical: Boolean): Int = {
-    var best = 0
-    var bestScore = if (spherical) Double.NegativeInfinity else Double.MaxValue
-    var c = 0
-    while (c < cents.length) {
-      val ct = cents(c)
-      var s = 0.0; var i = 0
-      if (spherical) { while (i < x.length) { s += x(i) * ct(i); i += 1 } }
-      else { while (i < x.length) { val t = x(i) - ct(i); s += t * t; i += 1 } }
-      if (if (spherical) s > bestScore else s < bestScore) { bestScore = s; best = c }
-      c += 1
-    }
-    best
-  }
-
-  private def centroidsFromSums(prev: Array[Array[Double]],
-      sums: Array[Array[Double]], counts: Array[Long],
-      spherical: Boolean): Array[Array[Double]] =
-    Array.tabulate(prev.length) { c =>
-      if (counts(c) == 0) prev(c) // empty cluster keeps its centroid
-      else {
-        val dim = prev(c).length
-        val mean = new Array[Double](dim)
-        var i = 0; while (i < dim) { mean(i) = sums(c)(i) / counts(c); i += 1 }
-        if (spherical) normalizeVec(mean) else mean
-      }
-    }
-
-  private def lloyd(samples: Array[Array[Double]], k: Int, iters: Int,
-      spherical: Boolean): Array[Array[Double]] = {
-    require(samples.nonEmpty, "lloyd: empty training sample")
-    val dim = samples.head.length
-    var cents = samples.take(k).map(_.clone)
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(cents.length, dim)(0.0)
-      val counts = new Array[Long](cents.length)
-      samples.foreach { x =>
-        val best = nearestCentroid(cents, x, spherical)
-        var i = 0; while (i < dim) { sums(best)(i) += x(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = centroidsFromSums(cents, sums, counts, spherical)
-    }
-    cents
-  }
-
-  /** Fixed-point scale for the distributed Lloyd accumulators: components
-    * are in [-1, 1] after normalization, so a scaled value fits 2^40 and a
-    * sum over the ≤ 2^22-row training sample stays far below Long overflow.
-    * Integer addition is associative — the aggregated sums (hence the
-    * centroids) are bit-identical under any partitioning or merge order,
-    * which double accumulation cannot guarantee.
-    */
-  private val LloydScale = 1L << 40
-  private val LloydMaxSample = 1L << 22
-
-  /** Distributed deterministic Lloyd: one `treeAggregate` pass over a
-    * DataFrame sample per iteration, per-cell sums carried as scaled longs.
-    * The scale path when `k` needs more training rows than a driver-side
-    * loop can afford (driver Lloyd is O(iters·sample·k·dim)): assignment
-    * cost spreads across the cluster and only k·dim longs come back per
-    * partition.
-    */
-  private def lloydDistributed(sample: DataFrame, init: Array[Array[Double]],
-      iters: Int, spherical: Boolean): Array[Array[Double]] = {
-    require(init.nonEmpty, "lloydDistributed: empty init")
-    val spark = sample.sparkSession
-    import spark.implicits._
-    val k = init.length
-    val dim = init.head.length
-    // persist the normalized sample: every iteration re-reads it, and
-    // without this each treeAggregate would re-scan the corpus, re-apply
-    // the sampling filter, and re-normalize from scratch
-    val rdd = sample.select(col("v")).as[Seq[Double]].rdd
-      .map(v => normalizeVec(v.toArray))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = init
-    try for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val (sums, counts) = rdd.treeAggregate(
-        (Array.fill(k)(new Array[Long](dim)), new Array[Long](k)))(
-        seqOp = { case ((s, c), x) =>
-          val best = nearestCentroid(bc.value, x, spherical)
-          var i = 0
-          while (i < dim) { s(best)(i) += math.round(x(i) * LloydScale); i += 1 }
-          c(best) += 1
-          (s, c)
-        },
-        combOp = { case ((s1, c1), (s2, c2)) =>
-          var cc = 0
-          while (cc < k) {
-            var i = 0
-            while (i < dim) { s1(cc)(i) += s2(cc)(i); i += 1 }
-            c1(cc) += c2(cc)
-            cc += 1
-          }
-          (s1, c1)
-        })
-      bc.destroy()
-      val dsums = sums.map(_.map(_.toDouble / LloydScale))
-      cents = centroidsFromSums(cents, dsums, counts, spherical)
-    } finally rdd.unpersist(blocking = false)
-    cents
-  }
-
-  /** Train `k` centroids over `vecs` (columns id, v), picking the path by
-    * training-volume: when the FAISS-style guideline of ~39 rows per
-    * centroid fits `trainSampleSize`, the sample collects and Lloyd runs
-    * on the driver (no cluster jobs); otherwise a deterministic
-    * hash-thresholded sample of ~39·k rows stays DISTRIBUTED and each
-    * iteration is one treeAggregate — so auto-sized indexes (√n cells,
-    * clamped at 4096) train on 39·k real rows instead of silently
-    * degenerating to an untrained 4096-row sample, without ever putting
-    * O(iters·sample·k·dim) on the driver.
-    */
-  private def trainCentroids(vecs: DataFrame, k: Int, iters: Int,
-      spherical: Boolean, trainSampleSize: Int,
-      nRows: Long = -1L): Array[Array[Double]] = {
-    val targetRows = 39L * k
-    if (targetRows <= trainSampleSize || iters == 0)
-      lloyd(trainSample(vecs, math.max(k, trainSampleSize)).map(normalizeVec),
-        k, iters, spherical)
+    val cdf = broadcast(
+      cents.toIndexedSeq.map { case (c, q) => (c, q.toSeq) }.toDF("cid", "__cq"))
+    val scored = vecs.crossJoin(cdf)
+      .withColumn("__sim", intCosine(col(qCol), col("__cq")))
+    if (topN == 1)
+      scored.groupBy(col(idCol))
+        .agg(max(struct(col("__sim"), (-col("cid")).cast("long").as("__nc")))
+          .as("__b"))
+        .select(col(idCol), (-col("__b.__nc")).cast("int").as("cid"))
     else {
-      val n = if (nRows >= 0) nRows else vecs.count()
-      require(targetRows <= LloydMaxSample,
-        s"training sample $targetRows exceeds the fixed-point bound $LloydMaxSample")
-      val init = trainSample(vecs, k).map(normalizeVec)
-      // deterministic content-hash threshold: ~targetRows rows, layout-free
-      val sample =
-        if (n <= targetRows) vecs
-        else {
-          val m = 1L << 20
-          val keep = math.max(1L, targetRows * m / n)
-          vecs.where(pmod(xxhash64(col("id")), lit(m)) < keep)
-        }
-      lloydDistributed(sample, init, iters, spherical)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__sim").desc, col("cid").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= topN)
+        .select(col(idCol), col("cid"))
     }
+  }
+
+  /** `k` integer centroids over an (id, q8) relation — the coarse
+    * quantizer of [[ivfTopK]] and [[semDedup]], trained with `iters`
+    * deterministic Lloyd rounds on the md5-ordered `trainSampleSize`
+    * sample. The [[kmeansInt8]] trajectory idiom at cosine metric:
+    * initialization is the k smallest-id sample vectors (cid in id
+    * order), assignment is the exact quantized-cosine argmax (ties to the
+    * lower cid), and the update is per-dimension `sum / count` truncating
+    * integer division (Spark, Scala and DuckDB `//` all truncate toward
+    * zero) — every step a total order on exact values, so the trajectory
+    * replays bit-identically in the unrolled SQL oracle.
+    *
+    * Scale shape: per iteration ONE broadcast of k×dim ints against the
+    * distributed sample (map-side argmax), then a slim
+    * (cid, dim, sum, count) aggregation — k·dim bounded rows collected,
+    * never sample-sized.
+    */
+  private def intCentroids(vecs: DataFrame, k: Int, iters: Int,
+      trainSampleSize: Int): Array[(Int, Array[Int])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    val sample = intTrainSample(vecs, math.max(k, trainSampleSize))
+    var cents: Array[(Int, Array[Int])] = sample.orderBy(col("__id"))
+      .limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Int](1).toArray) }
+    for (_ <- 1 to iters) {
+      val sums = assignCells(sample, cents, 1)
+        .join(sample, "__id")
+        .select(col("cid"), posexplode(col("__q")).as(Seq("__pos", "__x")))
+        .groupBy(col("cid"), col("__pos"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1)
+      cents = cents.map { case (c, prev) =>
+        sums.get(c) match {
+          case Some(rows) =>
+            (c, rows.map(_._2).sortBy(_._1)
+              .map { case (_, s, n) => (s / n).toInt }.toArray)
+          case None => (c, prev) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
   }
 
   /** IVF-flat ANN (the coarse-quantizer scale path, complementing LSH):
-    * `nCells` centroids are trained with `trainIters` deterministic
-    * spherical-Lloyd iterations over a bounded hash-sample of the corpus
-    * (`trainIters = 0` reproduces the untrained sampled-centroid stand-in),
-    * every corpus vector is assigned to its nearest centroid cell (map-only
-    * with broadcast centroids), and a query probes its `nProbe` nearest
-    * cells with exact cosine re-ranking inside them. Cell assignment cost
-    * is O(n·nCells·dim) map-only; query cost is bounded by probed-cell
-    * population, never n².
+    * `nCells` integer centroids are trained with `trainIters`
+    * deterministic Lloyd rounds ([[intCentroids]] — `trainIters = 0`
+    * reproduces the untrained sampled-centroid stand-in), every corpus
+    * vector is assigned to its nearest centroid cell (map-only with
+    * broadcast centroids), and a query probes its `nProbe` nearest cells
+    * with exact quantized-cosine re-ranking inside them. Cell assignment
+    * cost is O(n·nCells·dim) map-only; query cost is bounded by
+    * probed-cell population, never n². Fully engine-exact: training,
+    * assignment, probing and ranking are all integer/IEEE-exact, so a
+    * fixed-parameter call replays bit-identically in the unrolled SQL
+    * oracle (AnnOracleSql.ivfSql).
     *
     * `nCells = 0` (the default) auto-sizes the index from the corpus count
     * with the standard `√n` rule (what FAISS documents for IVF-flat),
-    * clamped to [16, 4096] — the clamp keeps driver-side training bounded
-    * (Lloyd is O(iters·sample·cells·dim)) and mean cell population at
-    * `n / cells = √n`, so probed-candidate cost grows with √corpus rather
-    * than staying fixed as data scales. `nProbe = 0` likewise auto-sizes
-    * to `max(4, √cells)`: the probed FRACTION shrinks as the index grows
-    * (the actual scale win) while small indexes keep enough probes for
-    * usable recall. Explicit values override both knobs exactly as before.
+    * clamped to [16, 4096] — the clamp keeps per-vector assignment cost
+    * bounded and mean cell population at `n / cells = √n`, so
+    * probed-candidate cost grows with √corpus rather than staying fixed
+    * as data scales. `nProbe = 0` likewise auto-sizes to `max(4, √cells)`:
+    * the probed FRACTION shrinks as the index grows (the actual scale win)
+    * while small indexes keep enough probes for usable recall. Explicit
+    * values override both knobs exactly as before.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 0, nProbe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 8, trainSampleSize: Int = 4096): DataFrame = {
+      trainIters: Int = 2, trainSampleSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
-    // one count against the corpus scan; feeds the auto codebook size and
-    // the trainer's sampling fraction, so it runs once per build
-    val nKnown = if (nCells > 0) -1L else vecs.count()
+    // one materialization of the narrow (id, q8) projection: the count,
+    // every training iteration, the assignment and the re-rank join all
+    // read it instead of rescanning the source
+    val cv = q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint()
+    val nKnown = if (nCells > 0) -1L else cv.count()
     val cells =
       if (nCells > 0) nCells
       else math.max(16, math.min(4096,
@@ -469,43 +483,20 @@ object Similarity extends Serializable {
     val probe =
       if (nProbe > 0) nProbe
       else math.max(4, math.round(math.sqrt(cells.toDouble)).toInt)
-    // trained unit centroids: cosine ranking below is scale-invariant, so
-    // normalizing them changes nothing about assignment semantics. The
-    // trainer scales its sample with the cell count (39·cells rows,
-    // distributed Lloyd when that exceeds the driver budget) — a 4096-cell
-    // auto-sized index trains on 160k real rows, not a degenerate
-    // one-sample-per-centroid collect.
-    val centroids = trainCentroids(vecs, cells, trainIters,
-      spherical = true, trainSampleSize, nRows = nKnown)
-
-    def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
-      val x = v.toArray
-      centroids.indices.map { c =>
-        val p = centroids(c)
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < x.length) { dot += x(i) * p(i); na += x(i) * x(i); nb += p(i) * p(i); i += 1 }
-        c -> dot / (math.sqrt(na) * math.sqrt(nb))
-      }.sortBy { case (c, s) => (-s, c) }.take(m).map(_._1)
-    }
-
-    val assigned = vecs.as[(Long, Seq[Double])]
-      .mapPartitions(_.map { case (id, v) => (id, v, nearestCells(v, 1).head) })
-      .toDF("neighbor_id", "vb", "cell")
-    val probes = vectorsOf(queries, idCol, vecCol, "query_id", "va")
-      .as[(Long, Seq[Double])]
-      .mapPartitions(_.flatMap { case (id, v) =>
-        nearestCells(v, probe).map(c => (id, v, c))
-      })
-      .toDF("query_id", "va", "cell")
-    val cands = probes.join(assigned, "cell")
+    val cents = intCentroids(cv, cells, trainIters, trainSampleSize)
+    val assigned = assignCells(cv, cents, 1)
+      .withColumnRenamed("__id", "neighbor_id")
+    val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
+    val probes = assignCells(qv, cents, probe, "query_id", "qa")
+    val cands = probes.join(assigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("va"), col("vb"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+      .join(qv, "query_id")
+      .join(cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),
+        "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cosineOfPairs(cands, "query_id", "neighbor_id")
-      .withColumn("sim", round(col("sim_raw"), 4))
+    cands.withColumn("sim", intCosine(col("qa"), col("qb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
@@ -518,24 +509,24 @@ object Similarity extends Serializable {
     * touches m bytes per vector instead of 4·d, and raw vectors are read
     * only for the final `rerank` candidates per query).
     *
-    * Codebooks are k-means-trained per subspace: `trainIters` deterministic
-    * Euclidean-Lloyd iterations over a bounded hash-sample of corpus
-    * subvectors, driver-side (no iterative cluster job; `trainIters = 0`
-    * reproduces the untrained sampled-codebook stand-in). Scoring is
-    * asymmetric: each query precomputes a LUT of subspace dot products
-    * against the codebooks (broadcast, `queries × m × codebookSize`
-    * doubles), the corpus code scan accumulates approximate similarity with
-    * `m` table lookups per vector, and per-partition bounded heaps emit
-    * only `queries × rerank` rows per partition — never the full
-    * query × corpus cross product. Exact cosine re-ranks the global
-    * top-`rerank` candidates down to `k`.
+    * Codebooks are integer-k-means-trained per subspace over the
+    * md5-ordered sample's int8-quantized subvectors — one grouped
+    * trajectory keyed by subspace (assignment = exact BIGINT squared-L2
+    * argmin, ties to the lower code; update = truncating integer mean;
+    * `trainIters = 0` reproduces the untrained sampled-codebook
+    * stand-in). Scoring is asymmetric: each query precomputes a LUT of
+    * exact integer subspace dot products against the codebooks
+    * (broadcast, `queries × m × codebookSize` longs), the corpus code
+    * scan accumulates approximate similarity with `m` table lookups per
+    * vector, and per-partition bounded heaps ordered by the total
+    * `(score desc, id asc)` order emit only `queries × rerank` rows per
+    * partition — never the full query × corpus cross product. Exact
+    * quantized cosine re-ranks the global top-`rerank` candidates down
+    * to `k`. Every stage is integer-exact, so a fixed-parameter call
+    * replays bit-identically in the unrolled SQL oracle
+    * (AnnOracleSql.pqSql); recall < 1 by design and is pinned by
+    * AnnRecallSpec.
     *
-    * All vectors are unit-normalized before encoding, so approximate inner
-    * product ranks like cosine. Recall < 1 by design (rows-only check;
-    * recall is pinned by SimilaritySpec's planted duplicates).
-    *
-    * NOTE: round 3 retuned the defaults (8 subspaces when the dim allows,
-    * codebookSize 16 → 32; recall 0.42 → 0.83 on the uniform worst case).
     * `m = 0` (the default) auto-picks the largest of 8/4/2/1 dividing the
     * embedding dim, so any even dim keeps working; an explicit `m` must
     * divide the dim exactly.
@@ -543,63 +534,106 @@ object Similarity extends Serializable {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 0, codebookSize: Int = 32, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 8, trainSampleSize: Int = 4096): DataFrame = {
+      trainIters: Int = 2, trainSampleSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    def normalize(x: Array[Double]): Array[Double] = normalizeVec(x)
-
-    val vecs = vectorsOf(corpus, idCol, vecCol, "id", "v")
-    // deterministic bounded training sample (normalized, like the encode path)
-    val samples = trainSample(vecs, math.max(codebookSize, trainSampleSize))
-      .map(normalize)
-    require(samples.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
-    val dim = samples.head.length
+    val cv = q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint()
+    val dimRow = cv.select(size(col("__q"))).head(1)
+    require(dimRow.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
+    val dim = dimRow.head.getInt(0)
     // m = 0 auto-picks the largest standard subspace count dividing dim,
     // so default-arg callers keep working on any even dim
     val mm = if (m > 0) m else Seq(8, 4, 2, 1).find(dim % _ == 0).get
     require(dim % mm == 0, s"m=$mm must divide dim=$dim")
     val sub = dim / mm
-    // codebooks(j) = per-subspace Euclidean k-means over the sample's j-th
-    // subvectors; codebooks(j)(c) is the c-th centroid of subspace j
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(mm) { j =>
-        val subvecs = samples.map(s =>
-          java.util.Arrays.copyOfRange(s, j * sub, (j + 1) * sub))
-        lloyd(subvecs, codebookSize, trainIters, spherical = false)
-      }
 
-    def encode(xn: Array[Double]): Array[Int] =
-      Array.tabulate(mm) { j =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < codebooks(j).length) {
-          val cb = codebooks(j)(c)
-          var d = 0.0; var i = 0
-          while (i < sub) {
-            val t = xn(j * sub + i) - cb(i); d += t * t; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+    // (id, j, subvector) relation — map-only explode+slice
+    def subsOf(src: DataFrame): DataFrame =
+      src.select(col("__id"),
+          explode(sequence(lit(0), lit(mm - 1))).as("__j"), col("__q"))
+        .select(col("__id"), col("__j"),
+          slice(col("__q"), col("__j") * sub + 1, lit(sub)).as("__sq"))
+
+    val sample = intTrainSample(cv, math.max(codebookSize, trainSampleSize))
+    val sampleSubs = subsOf(sample)
+    // init: subvectors of the codebookSize smallest-id sample vectors,
+    // code index in id order — one bounded collect
+    val initRows = sample.orderBy(col("__id")).limit(codebookSize).collect()
+      .map(_.getSeq[Int](1).toArray)
+    // codebooks(j)(c) — c-th centroid of subspace j, integer components
+    var codebooks: Array[Array[Array[Int]]] =
+      Array.tabulate(mm)(j => initRows.map(q => q.slice(j * sub, (j + 1) * sub)))
+
+    def cbDF() = broadcast(
+      (for (j <- 0 until mm; c <- codebooks(j).indices)
+        yield (j, c, codebooks(j)(c).toSeq)).toDF("__j", "__c", "__cq"))
+    def sqDist = aggregate(
+      zip_with(col("__sq"), col("__cq"),
+        (a, b) => (a - b).cast("long") * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+    for (_ <- 1 to trainIters) {
+      // grouped assignment: one broadcast join keyed by subspace, argmin
+      // collapsed map-side; update collects m·codebookSize·sub bounded rows
+      val asg = sampleSubs.join(cbDF(), "__j")
+        .withColumn("__d", sqDist)
+        .groupBy(col("__id"), col("__j"))
+        .agg(min(struct(col("__d"), col("__c"))).as("__b"))
+        .select(col("__id"), col("__j"), col("__b.__c").as("__c"))
+      val sums = asg.join(sampleSubs, Seq("__id", "__j"))
+        .select(col("__j"), col("__c"),
+          posexplode(col("__sq")).as(Seq("__pos", "__x")))
+        .groupBy(col("__j"), col("__c"), col("__pos"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getInt(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1)
+      codebooks = Array.tabulate(mm)(j => codebooks(j).zipWithIndex.map {
+        case (prev, c) => sums.get((j, c)) match {
+          case Some(rows) => rows.map(_._2).sortBy(_._1)
+            .map { case (_, s, n) => (s / n).toInt }.toArray
+          case None => prev // empty code keeps its centroid
         }
-        best
-      }
+      })
+    }
 
-    val codes = vecs.as[(Long, Seq[Double])]
-      .mapPartitions(_.map { case (id, v) => (id, encode(normalize(v.toArray))) })
+    // encode kernel: primitive argmin over the final codebooks — map-only,
+    // m small ints per corpus vector
+    val cbLocal = codebooks
+    val codes = cv.as[(Long, Seq[Int])]
+      .mapPartitions(_.map { case (id, qv) =>
+        val q = qv.toArray
+        val code = Array.tabulate(mm) { j =>
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cbLocal(j).length) {
+            val cb = cbLocal(j)(c)
+            var d = 0L; var i = 0
+            while (i < sub) {
+              val t = (q(j * sub + i) - cb(i)).toLong; d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, code)
+      })
       .toDF("neighbor_id", "code")
 
-    // per-query LUTs, broadcast with the closure (queries are a small set —
-    // same stance as bruteForceTopK)
-    val qluts: Array[(Long, Array[Array[Double]])] =
-      vectorsOf(queries, idCol, vecCol, "query_id", "va")
-        .as[(Long, Seq[Double])].collect()
+    // per-query integer LUTs, broadcast with the closure (queries are a
+    // small set — same stance as bruteForceTopK)
+    val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
+    val qluts: Array[(Long, Array[Array[Long]])] =
+      qv.as[(Long, Seq[Int])].collect()
         .map { case (qid, q) =>
-          val qn = normalize(q.toArray)
-          qid -> Array.tabulate(mm, codebooks(0).length) { (j, c) =>
-            val cb = codebooks(j)(c)
-            var s = 0.0; var i = 0
-            while (i < sub) { s += qn(j * sub + i) * cb(i); i += 1 }
+          val qa = q.toArray
+          qid -> Array.tabulate(mm, cbLocal(0).length) { (j, c) =>
+            val cb = cbLocal(j)(c)
+            var s = 0L; var i = 0
+            while (i < sub) { s += qa(j * sub + i).toLong * cb(i); i += 1 }
             s
           }
         }
@@ -607,20 +641,29 @@ object Similarity extends Serializable {
     val approx = codes.as[(Long, Seq[Int])]
       .mapPartitions { it =>
         // bounded per-(partition, query) heaps: emit rerank rows per query,
-        // not the full code scan
+        // not the full code scan. Heap order is the TOTAL (score desc,
+        // id asc) order — (s, −nid) lexicographic — so survivors are
+        // partition-layout-free, not just score-approximate
         val heaps = qluts.map { case (qid, _) =>
-          qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-            Ordering.by[(Double, Long), Double](_._1).reverse) // min-heap
+          qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+            Ordering.by[(Long, Long), (Long, Long)] {
+              case (s, nid) => (s, -nid)
+            }.reverse) // min-heap on the total order: head = worst kept
         }.toMap
         it.foreach { case (nid, codeSeq) =>
           val code = codeSeq.toArray
           qluts.foreach { case (qid, lut) =>
             if (qid != nid) {
-              var s = 0.0; var j = 0
+              var s = 0L; var j = 0
               while (j < mm) { s += lut(j)(code(j)); j += 1 }
               val h = heaps(qid)
               if (h.size < rerank) h.enqueue((s, nid))
-              else if (s > h.head._1) { h.dequeue(); h.enqueue((s, nid)) }
+              else {
+                val (ws, wn) = h.head
+                if (s > ws || (s == ws && nid < wn)) {
+                  h.dequeue(); h.enqueue((s, nid))
+                }
+              }
             }
           }
         }
@@ -636,13 +679,13 @@ object Similarity extends Serializable {
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
-      .join(vectorsOf(queries, idCol, vecCol, "query_id", "va"), "query_id")
-      .join(vectorsOf(corpus, idCol, vecCol, "neighbor_id", "vb"), "neighbor_id")
+      .join(qv, "query_id")
+      .join(cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),
+        "neighbor_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cosineOfPairs(cands, "query_id", "neighbor_id")
-      .withColumn("sim", round(col("sim_raw"), 4))
+    cands.withColumn("sim", intCosine(col("qa"), col("qb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
@@ -679,13 +722,14 @@ object Similarity extends Serializable {
   }
 
   /** SemDeDup — semantic dedup by embedding clustering (Abbas et al. 2023,
-    * arXiv:2303.09540): spherical k-means centroids trained on a bounded
-    * hash-sample, every vector assigned to its nearest centroid (map-only,
-    * broadcast centroids — same kernel as [[ivfTopK]]'s cell assignment),
-    * near-dup candidates generated ONLY within clusters, verified by exact
-    * cosine. A vector is dropped when any LOWER-ID vector in its cluster
-    * sits at cosine ≥ threshold (min-id survivor — deterministic given the
-    * centroids, reproducible across layouts). Returns the surviving rows.
+    * arXiv:2303.09540): integer k-means centroids trained on the
+    * md5-ordered sample ([[intCentroids]]), every vector assigned to its
+    * nearest centroid (map-only, broadcast centroids — the same
+    * [[assignCells]] kernel as [[ivfTopK]]), near-dup candidates generated
+    * ONLY within clusters, verified by exact quantized cosine. A vector is
+    * dropped when any LOWER-ID vector in its cluster sits at cosine ≥
+    * threshold (min-id survivor — deterministic given the centroids,
+    * reproducible across layouts). Returns the surviving rows.
     *
     * Scale mechanics: no cross-cluster pair is ever considered, so pair
     * volume is O(Σ cluster²) bounded by `maxClusterSize` and per-task
@@ -693,8 +737,10 @@ object Similarity extends Serializable {
     * ([[Dedup.pairsWithinBuckets]]); `nClusters = 0` auto-sizes to √n
     * like IVF, keeping mean cluster population at √n. Like all clustered
     * dedup, recall < 1 by design: a dup pair straddling a centroid
-    * boundary is missed (the paper accepts the same trade) — so this is
-    * rows-only checked, with recall pinned on planted dups in LlmSpec.
+    * boundary is missed (the paper accepts the same trade) — recall is
+    * pinned on planted dups in LlmSpec, while the full output of a
+    * fixed-parameter call replays bit-identically in the unrolled SQL
+    * oracle (AnnOracleSql.semDedupSql).
     *
     * A cluster LARGER than `maxClusterSize` is skipped wholesale (the
     * degenerate-bucket cap all LSH paths share) — its members pass
@@ -706,44 +752,23 @@ object Similarity extends Serializable {
     */
   def semDedup(df: DataFrame, threshold: Double, nClusters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 8, trainSampleSize: Int = 4096,
+      trainIters: Int = 2, trainSampleSize: Int = 4096,
       maxClusterSize: Int = 10000): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // one eager materialization of the narrow (id, vec) projection: every
-    // downstream stage — count, each Lloyd treeAggregate, assignment, and
+    // one eager materialization of the narrow (id, q8) projection: every
+    // downstream stage — count, each Lloyd iteration, assignment, and
     // both pair-side joins — would otherwise rescan and re-project the
-    // SOURCE per job (~13 scans for 8 training iters). Iterative ML input
-    // is the textbook localCheckpoint case; the checkpoint is compact
-    // binary on executor-local disk and carries no lineage.
-    val vecs = vectorsOf(df, idCol, vecCol, "id", "v").localCheckpoint()
+    // SOURCE per job. Iterative ML input is the textbook localCheckpoint
+    // case; the checkpoint is compact binary on executor-local disk and
+    // carries no lineage.
+    val vecs = q8Of(df, idCol, vecCol, "__id", "__q").localCheckpoint()
     val nKnown = if (nClusters > 0) -1L else vecs.count()
     val cells =
       if (nClusters > 0) nClusters
       else math.max(16, math.min(4096,
         math.round(math.sqrt(nKnown.toDouble)).toInt))
-    val centroids = trainCentroids(vecs, cells, trainIters,
-      spherical = true, trainSampleSize, nRows = nKnown)
-
-    def nearest(v: Seq[Double]): Int = {
-      val x = v.toArray
-      var best = 0; var bestScore = Double.NegativeInfinity
-      var c = 0
-      while (c < centroids.length) {
-        val p = centroids(c)
-        var dot = 0.0; var na = 0.0
-        var i = 0
-        while (i < x.length) { dot += x(i) * p(i); na += x(i) * x(i); i += 1 }
-        val s = if (na == 0.0) 0.0 else dot / math.sqrt(na)
-        if (s > bestScore) { bestScore = s; best = c }
-        c += 1
-      }
-      best
-    }
-
-    val assigned = vecs.as[(Long, Seq[Double])]
-      .mapPartitions(_.map { case (id, v) => (id, nearest(v)) })
-      .toDF("id", "cell")
+    val cents = intCentroids(vecs, cells, trainIters, trainSampleSize)
+    val assigned = assignCells(vecs, cents, 1)
+      .select(col("__id").as("id"), col("cid").as("cell"))
       // read twice (over-cap audit + pair generation): localCheckpoint
       // materializes once with no lingering cache entry to release
       .localCheckpoint()
@@ -758,11 +783,14 @@ object Similarity extends Serializable {
         "or nClusters")
     val pairs = Dedup.pairsWithinBuckets(assigned, Seq("cell"), "id",
       maxClusterSize)
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-    // pairsWithinBuckets emits sorted (id_a < id_b): the higher id drops
-    val dropIds = cosineOfPairs(pairs, "id_a", "id_b")
-      .filter(round(col("sim_raw"), 4) >= threshold)
+      .join(vecs.select(col("__id").as("id_a"), col("__q").as("qa")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"), col("__q").as("qb")), "id_b")
+    // pairsWithinBuckets emits sorted (id_a < id_b): the higher id drops.
+    // The threshold compares EXACT quantized-cosine doubles, so the cut
+    // is engine-identical (a planted scaled copy quantizes identically —
+    // sim exactly 1.0)
+    val dropIds = pairs.withColumn("sim", intCosine(col("qa"), col("qb")))
+      .filter(col("sim") >= threshold)
       .select(col("id_b").as("__drop")).distinct()
     df.join(dropIds, df(idCol).cast("long") === dropIds("__drop"), "left_anti")
   }

@@ -247,6 +247,56 @@ object Tokenizer extends Serializable {
     *
     * Output: (idCol, n_words, n_bpe_tokens).
     */
+  /** Each document's BPE piece STREAM, re-joined with single spaces —
+    * the sequence form of [[applyMergesTokenCounts]] (which only counts):
+    * every whitespace word is segmented by applying `merges` in rank
+    * order over the distinct vocabulary, non-alphanumeric words pass
+    * through whole (the trainer's vocabulary contract), and the doc's
+    * pieces concatenate in original word order. Output: (idCol,
+    * `bpe_text`), one row per input doc (empty text stays empty).
+    *
+    * The point of the string form: piece-level text is a drop-in `textCol`
+    * for every whitespace-token operator — in particular
+    * [[CorpusStats.removeDuplicateSubstrings]] composes with this to give
+    * BPE-token-level ExactSubstr dedup, the unit Lee et al. 2022 actually
+    * deduplicate over (r10 VERDICT ask #5). Engine-exact: the merge fold
+    * is literal non-overlapping replace (the applyMergesTokenCounts
+    * semantics) and the rebuild is an ordered array_join, so the oracle
+    * replays it with the same unrolled replace chain.
+    *
+    * Scale shape: the merge fold runs over the DISTINCT vocabulary (one
+    * row per word type, never per occurrence); per-doc rebuild is one
+    * (id)-keyed aggregation of slim (wpos, pieces) rows — the
+    * cutFromPositions rebuild idiom.
+    */
+  def bpePieceText(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    guardEncodeId(idCol)
+    require(!Set("wpos", "ps", "bpe_text")(idCol),
+      s"idCol '$idCol' collides with a bpePieceText working/output column")
+    val words = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
+    val vocab = words.filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      .select("word").distinct()
+    val applied = merges.foldLeft(
+        vocab.withColumn("w", encodeSymbols(col("word")))) {
+        case (d, (l, r)) => d.withColumn("w",
+          org.apache.spark.sql.functions.replace(col("w"),
+            lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+      // "  a  bc  " → "a bc": collapse the double-space separators and trim
+      .select(col("word"), trim(org.apache.spark.sql.functions.replace(
+        col("w"), lit("  "), lit(" "))).as("ps"))
+    val rebuilt = words.join(applied, Seq("word"), "left")
+      .select(col(idCol), col("wpos"),
+        coalesce(col("ps"), col("word")).as("ps"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("wpos"),
+        col("ps")))), s => s("ps")), " ").as("bpe_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("bpe_text"), lit("")).as("bpe_text"))
+  }
+
   def applyMergesTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     guardEncodeId(idCol)

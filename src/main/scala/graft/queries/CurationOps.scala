@@ -26,7 +26,7 @@ object CurationOps extends QueryPack {
     "q_vector_merge" -> "vector batch merge")
 
   private val Bm25K = 10
-  private val BpeMergeCount = 8
+  private[queries] val BpeMergeCount = 8
   private val KmeansK = 8
   private val KmeansIters = 3
 
@@ -96,9 +96,10 @@ object CurationOps extends QueryPack {
 
     // ---- the production hybrid-search shape: BM25 fused with a REAL ANN
     //      list (IVF-flat over the embeddings, seeded per query by its
-    //      top-1 lexical hit). IVF internals are hash/cell-dependent, so
-    //      this row is rows-only by design — AnnRecallSpec pins its
-    //      agreement with the exact-dense hybrid instead ----
+    //      top-1 lexical hit). Engine-exact since r11: the IVF index is
+    //      the integer-cosine k-means path, so the whole fusion replays in
+    //      AnnOracleSql.hybridAnnSql; AnnRecallSpec still pins its
+    //      agreement with the exact-dense hybrid ----
     "ret_hybrid_ann" -> ((s, dir) => {
       val tb = t(s, dir)
       val bm = Retrieval.bm25TopK(tb.documents, "doc_id", "text",
@@ -112,7 +113,10 @@ object CurationOps extends QueryPack {
       val seedVecs = emb.join(
         seedMap.select(col("item_id").as("vec_id")).distinct(), "vec_id")
       val ann = Similarity.ivfTopK(seedVecs, emb, k = Bm25K,
-        idCol = "vec_id", vecCol = "embedding")
+        nCells = AnnOracleSql.IvfCells, nProbe = AnnOracleSql.IvfProbe,
+        idCol = "vec_id", vecCol = "embedding",
+        trainIters = AnnOracleSql.IvfIters,
+        trainSampleSize = AnnOracleSql.TrainSample)
       val dense = ann.join(seedMap, ann("query_id") === seedMap("item_id"))
         .select(col("bm_query").as("query_id"),
           col("neighbor_id").as("item_id"), ann("rank"))
@@ -487,7 +491,7 @@ object CurationOps extends QueryPack {
     }
 
   /** BPE merge table — bpe_merges and bpe_encode ride one mining run. */
-  private def bpeMergesShared(s: SparkSession, dir: String): DataFrame =
+  private[queries] def bpeMergesShared(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "bpe_merges") {
       Tokenizer.bpeMerges(t(s, dir).documents, "text", BpeMergeCount)
     }
@@ -691,7 +695,7 @@ object CurationOps extends QueryPack {
     * (each carrying the raw `word` alongside its evolving symbol string)
     * and b1..bN winning-pair rows.
     */
-  private def bpeRounds: String = {
+  private[queries] def bpeRounds: String = {
     val enc = raw"'  ' || regexp_replace(word, '(.)', '\1  ', 'g')"
     val head =
       s"""w0 AS (
@@ -828,6 +832,7 @@ object CurationOps extends QueryPack {
     "bpe_merges" -> bpeSql,
     "cluster_kmeans" -> kmeansSql,
     "ret_hybrid_rrf" -> hybridRrfSql,
+    "ret_hybrid_ann" -> AnnOracleSql.hybridAnnSql(bm25Ctes, Bm25K),
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,

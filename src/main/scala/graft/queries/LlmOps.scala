@@ -728,6 +728,24 @@ object LlmOps extends QueryPack {
         docsWithFooters(s, dir).orderBy("doc_id").limit(80),
         "doc_id", "text", minRunTokens = 20)),
 
+    // ---- BPE-token-level ExactSubstr (the unit Lee et al. 2022 actually
+    //      deduplicate over): the corpus-trained merge table segments
+    //      every doc into its BPE piece stream (Tokenizer.bpePieceText),
+    //      and the SAME keep-one substring machinery cuts every piece
+    //      inside a >= 20-PIECE substring shared with a lower-id doc.
+    //      Piece-level windows cross word boundaries at sub-word
+    //      granularity, so cuts differ from the whitespace form
+    //      (DedupInternalsSpec pins a differing case) ----
+    "dedup_substring_bpe" -> ((s, dir) => {
+      val merges = CurationOps.bpeMergesShared(s, dir)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusStats.removeDuplicateSubstrings(
+        Tokenizer.bpePieceText(docsWithFooters(s, dir), "doc_id", "text",
+          merges),
+        "doc_id", "bpe_text", minRunTokens = 20)
+    }),
+
     // ---- paragraph-level exact dedup (the CCNet first pass): whole
     //      paragraphs repeating in > maxDf docs are cut; one md5 per
     //      paragraph, not per token position ----
@@ -962,25 +980,35 @@ object LlmOps extends QueryPack {
     "sim_neardup_cosine" -> ((s, dir) =>
       Similarity.cosineNearDups(vecsWithDups(s, dir), threshold = 0.99)),
 
-    // ---- LSH ANN top-k (scale path; rows-only check: LSH recall < 1 by
-    //      design, so no cross-engine oracle — see SimilaritySpec for the
-    //      recall test) ----
+    // ---- LSH ANN top-k (scale path). Engine-exact since r11: md5-integer
+    //      hyperplanes over int8-quantized vectors, so candidates AND
+    //      ranks replay in the unrolled AnnOracleSql.lshSql oracle; recall
+    //      stays pinned by AnnRecallSpec ----
     "sim_ann_lsh" -> ((s, dir) => {
+      import AnnOracleSql._
       val e = t(s, dir).embeddings
-      Similarity.annTopK(e.filter(col("vec_id") < 5), e, k = 10)
+      Similarity.annTopK(e.filter(col("vec_id") < NQueries), e, k = AnnK,
+        tables = LshTables, bits = LshBits, maxBucketSize = LshMaxBucket)
     }),
 
-    // ---- IVF-flat ANN (coarse quantizer scale path; rows-only like LSH) ----
+    // ---- IVF-flat ANN (coarse quantizer scale path; engine-exact
+    //      integer-cosine k-means — oracle AnnOracleSql.ivfSql) ----
     "sim_ann_ivf" -> ((s, dir) => {
+      import AnnOracleSql._
       val e = t(s, dir).embeddings
-      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
+      Similarity.ivfTopK(e.filter(col("vec_id") < NQueries), e, k = AnnK,
+        nCells = IvfCells, nProbe = IvfProbe, trainIters = IvfIters,
+        trainSampleSize = TrainSample)
     }),
 
-    // ---- product-quantization ANN (compressed code scan + asymmetric
-    //      distance + exact re-rank; rows-only like LSH/IVF) ----
+    // ---- product-quantization ANN (compressed code scan + integer
+    //      asymmetric LUT + exact re-rank; oracle AnnOracleSql.pqSql) ----
     "sim_ann_pq" -> ((s, dir) => {
+      import AnnOracleSql._
       val e = t(s, dir).embeddings
-      Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10)
+      Similarity.pqTopK(e.filter(col("vec_id") < NQueries), e, k = AnnK,
+        m = PqM, codebookSize = PqCb, rerank = PqRerank,
+        trainIters = PqIters, trainSampleSize = TrainSample)
     }),
 
     // ---- per-label embedding centroids (class/topic centroid primitive:
@@ -996,14 +1024,18 @@ object LlmOps extends QueryPack {
         .agg(OracleSafe.davg(col("x")).as("c"),
           count(lit(1)).as("n_vecs"))),
 
-    // ---- SemDeDup: embedding-cluster semantic dedup (rows-only by
-    //      design like the ANN family — a dup pair straddling a centroid
-    //      boundary is missed; recall pinned on planted dups in LlmSpec).
-    //      Scaled copies normalize to identical unit vectors, land in the
-    //      same cluster, and are dropped as min-id survivors. ----
-    "sim_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(vecsWithDups(s, dir), threshold = 0.99)
-        .select(col("vec_id"))),
+    // ---- SemDeDup: embedding-cluster semantic dedup (engine-exact
+    //      integer clusters since r11 — oracle AnnOracleSql.semDedupSql;
+    //      recall on planted dups stays pinned in LlmSpec). Scaled copies
+    //      quantize to identical int8 vectors, land in the same cluster,
+    //      and are dropped as min-id survivors at sim exactly 1.0. ----
+    "sim_semdedup" -> ((s, dir) => {
+      import AnnOracleSql._
+      Similarity.semDedup(vecsWithDups(s, dir), threshold = SemThreshold,
+        nClusters = SemClusters, trainIters = SemIters,
+        trainSampleSize = TrainSample, maxClusterSize = SemMaxCluster)
+        .select(col("vec_id"))
+    }),
 
     // ---- corpus datacard: the per-language dataset-card panel every
     //      corpus release ships, extended to the FULL health sheet — the
@@ -2018,6 +2050,58 @@ object LlmOps extends QueryPack {
          |  CAST(min(pos_b) AS BIGINT) AS pos_b,
          |  CAST(count(*) + 19 AS BIGINT) AS run_len
          |FROM g GROUP BY id_a, id_b, diag, island""".stripMargin,
+
+    // BPE-piece ExactSubstr: merges b1..bN are mined by the shared
+    // bpeRounds chain over raw documents (the frozen-tokenizer stance),
+    // re-applied to the footered corpus' vocabulary with the same
+    // unrolled literal-replace chain, each doc rebuilt as its piece
+    // stream, then the dedup_substring window/keeper/cut chain verbatim
+    "dedup_substring_bpe" -> {
+      val applyRounds = (1 to CurationOps.BpeMergeCount).map { i =>
+        s"""fa$i AS (SELECT word,
+           |  replace(w, ' ' || b.w1 || '  ' || b.w2 || ' ',
+           |             ' ' || b.w1 || b.w2 || ' ') AS w
+           |  FROM fa${i - 1}, b$i AS b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${CurationOps.bpeRounds},
+         |p AS ($duckFootered),
+         |ftok AS (SELECT doc_id, $DuckToks AS tk FROM p),
+         |wds AS (SELECT doc_id, i AS wpos, tk[i] AS word
+         |        FROM ftok, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |fv AS (SELECT DISTINCT word FROM wds
+         |       WHERE regexp_matches(word, '^[A-Za-z0-9]+$$')),
+         |fa0 AS (SELECT word,
+         |  '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w FROM fv),
+         |$applyRounds,
+         |wmap AS (SELECT word, trim(replace(w, '  ', ' ')) AS ps
+         |         FROM fa${CurationOps.BpeMergeCount}),
+         |bdoc AS (SELECT w.doc_id AS doc_id,
+         |    string_agg(coalesce(m.ps, w.word), ' ' ORDER BY w.wpos) AS text
+         |  FROM wds w LEFT JOIN wmap m USING (word) GROUP BY w.doc_id),
+         |toksq AS (SELECT doc_id, $DuckToks AS tk FROM bdoc),
+         |spans AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(tk, i, i + 19), ' ')) AS h
+         |  FROM toksq, unnest(range(1, len(tk) - 18)) AS u(i)),
+         |keeper AS (SELECT h, min(doc_id) AS keep_id FROM spans
+         |           GROUP BY h HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.pos + o AS cp
+         |  FROM spans s JOIN keeper USING (h)
+         |  CROSS JOIN unnest(range(0, 20)) AS t(o)
+         |  WHERE s.doc_id > keeper.keep_id),
+         |tp AS (SELECT doc_id, i AS p, tk[i] AS tok
+         |       FROM toksq, unnest(range(1, len(tk) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT t.doc_id, count(*) AS n_kept,
+         |    string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+         |  FROM tp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+         |  WHERE c.cp IS NULL GROUP BY t.doc_id)
+         |SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(b.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM toksq b LEFT JOIN kept k USING (doc_id)""".stripMargin
+    },
 
     "text_para_dedup" ->
       s"""WITH d AS (
@@ -3177,6 +3261,14 @@ object LlmOps extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY sim DESC, eval_id ASC) AS rnk FROM scored)
         |WHERE rnk = 1""".stripMargin,
+
+    // engine-exact ANN family (r10 VERDICT ask #1): the full approximate
+    // pipelines — hashes, codebooks, probes, candidates, ranks — replay as
+    // unrolled SQL because every stage is integer/IEEE-exact
+    "sim_ann_lsh" -> AnnOracleSql.lshSql,
+    "sim_ann_ivf" -> AnnOracleSql.ivfSql,
+    "sim_ann_pq" -> AnnOracleSql.pqSql,
+    "sim_semdedup" -> AnnOracleSql.semDedupSql,
 
     "sim_neardup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -66,11 +66,11 @@ class BenchArtifactSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is a documented rows-only exception") {
-    // rows-only by design: ANN/sketch outputs whose internals are hash-
-    // dependent; each is covered by recall/error-bound specs instead
-    val rowsOnly = Set("q25_approx_distinct", "q33_approx_percentiles",
-      "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_semdedup",
-      "ret_hybrid_ann")
+    // rows-only by design: ONLY the two Spark-internal approximate
+    // built-ins (HLL++ / KLL sketches with engine-private hashes) remain
+    // unreplayable; the ANN family went oracle-exact in r11
+    // (AnnOracleSql) and left this set
+    val rowsOnly = Set("q25_approx_distinct", "q33_approx_percentiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"queries without oracles beyond the documented set: " +

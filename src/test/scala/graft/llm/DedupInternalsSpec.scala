@@ -180,4 +180,40 @@ class DedupInternalsSpec extends graft.SparkSpec {
       (3L, 2L, 0L, "c c"),
       (4L, 7L, 0L, "w1 w2 w3 x w1 w2 w3")))
   }
+
+  test("bpePieceText segments by merge rank; unknown words pass through whole") {
+    val docs = Seq((1L, "alpha beta x-y")).toDF("doc_id", "text")
+    // merge 1 fuses a+l, merge 2 fuses the RESULT al+p — rank order
+    // matters; "x-y" is outside the [A-Za-z0-9]+ vocabulary contract
+    val got = Tokenizer.bpePieceText(docs, "doc_id", "text",
+        Seq(("a", "l"), ("al", "p"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "alp h a b e t a x-y")))
+  }
+
+  test("BPE-level and whitespace-level ExactSubstr cuts DIFFER: sub-word " +
+      "units cross the word-count threshold") {
+    // two docs share a 2-WORD phrase = 9 BPE pieces (char-level with no
+    // merges). At minRunTokens = 6: whitespace dedup sees 2 < 6 shared
+    // tokens (no cut); BPE dedup sees 9 >= 6 shared pieces (cut) — the
+    // Lee et al. 2022 unit finds duplication word counting cannot
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta x")
+    ).toDF("doc_id", "text")
+    val ws = CorpusStats.removeDuplicateSubstrings(docs, "doc_id", "text",
+        minRunTokens = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ws === Map(1L -> 0L, 2L -> 0L),
+      "whitespace level must not cut a 2-token shared phrase")
+    val bpe = CorpusStats.removeDuplicateSubstrings(
+        Tokenizer.bpePieceText(docs, "doc_id", "text", Seq.empty),
+        "doc_id", "bpe_text", minRunTokens = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(bpe === Set(
+      (1L, 9L, 0L, "a l p h a b e t a"),
+      (2L, 10L, 9L, "x")),
+      "BPE level must cut the 9-piece shared run from the higher id")
+  }
 }
