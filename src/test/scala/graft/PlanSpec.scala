@@ -418,6 +418,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_runs: spans frame stays UNCACHED; self-join reuses " +
+      "one exchange") {
+    // The r10 4×-probe OOM lesson (CorpusStats.maximalSharedRuns): the
+    // spans frame is corpus-token-sized, and pinning it (localCheckpoint
+    // blocks are unevictable) starves the self-join sorts of execution
+    // memory. Nothing but this pin guard stops a refactor from re-adding
+    // the checkpoint: a checkpointed frame surfaces as a Scan ExistingRDD
+    // leaf, so the plan must have NONE — and the two identical window-hash
+    // subplans must instead collapse into a ReusedExchange, which is what
+    // makes the uncached recompute cheap. At sf0.001 AQE broadcasts the
+    // tiny self-join (no exchange to reuse), so the reuse half is pinned
+    // under the at-scale shape: broadcast off, AQE off for this plan only.
+    val p = plan("dedup_substring_runs")
+    assert(!p.contains("ExistingRDD"),
+      s"spans frame got pinned (localCheckpoint scan found):\n${p.take(800)}")
+    val conf = spark.conf
+    val (abt, aqe) = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.enabled"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val pScale = plan("dedup_substring_runs")
+      assert(!pScale.contains("ExistingRDD"),
+        s"spans frame pinned at scale shape:\n${pScale.take(800)}")
+      assert(pScale.contains("ReusedExchange"),
+        s"self-join no longer reuses the spans exchange:\n${pScale.take(800)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("GLOBAL schema sweep: no narrow numeric output columns anywhere") {
     // The driver contract normalizes integer outputs to BIGINT and
     // floating outputs to DOUBLE on both engines (OracleSafe scaladoc):
