@@ -778,19 +778,22 @@ object PipelineConfig {
           }
           graft.llm.CorpusStats.zipfAlpha(d, tc,
             t.name.getOrElse("64").trim.toInt)
-        // corpus-datacard health panel (minus the tokenizer-fertility
-        // leg): REPLACES the frame with one per-language row — base
-        // counts, exact mean quality, dup rate, script mix, OOV vs the
-        // global top-20 vocab, per-language Zipf tail, length Gini.
-        // cols = [idCol, textCol, langCol]
+        // corpus-datacard health panel: REPLACES the frame with one
+        // per-language row — base counts, exact mean quality, dup rate,
+        // script mix, OOV vs the global top-20 vocab, per-language Zipf
+        // tail, length Gini. cols = [idCol, textCol, langCol]; name
+        // (optional) = path of a FROZEN (piece, lp_micro) tokenizer
+        // table, which adds the mergeable fertility_micro column (the
+        // streaming-safe fertility leg)
         case "datacard" =>
           val Seq(dcI, dcT, dcL) = t.cols match {
             case s if s.length == 3 => s
             case _ =>
               sys.error("datacard needs cols = [idCol, textCol, langCol]")
           }
+          val frozen = t.name.map(p => d.sparkSession.read.parquet(p.trim))
           graft.llm.CorpusStats.datacardPanel(
-            graft.llm.CorpusStats.datacardDocStats(d, dcI, dcT, dcL),
+            graft.llm.CorpusStats.datacardDocStats(d, dcI, dcT, dcL, frozen),
             graft.llm.CorpusStats.langTokenFreqs(d, dcT, dcL), dcL, dcI)
         // per-group Zipf tail index (the datacard's per-language leg):
         // REPLACES the frame with one (groupCol, k_eff, sum_ln_micro,

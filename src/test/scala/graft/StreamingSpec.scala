@@ -517,6 +517,50 @@ class StreamingSpec extends SparkSpec {
     assert(byLang("en")(9).asInstanceOf[Long] > 0L) // zipf_alpha_micro
   }
 
+  test("datacardIngest with a FROZEN tokenizer streams the fertility leg " +
+      "bit-identically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dcf").toString
+    // freeze a piece table trained on a fixed reference corpus — frozen is
+    // the mergeable-form requirement: a corpus-trained table drifts with
+    // every batch, a fixed broadcast table gives additive per-doc counts
+    val ref = Seq((0L, "alpha beta gamma delta un deux trois un alpha"))
+      .toDF("doc_id", "text")
+    val pieces = graft.llm.Tokenizer.unigramPieces(ref, "text", 16)
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = graft.streaming.Pipelines.datacardIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+      s"$base/stats", s"$base/ltf", s"$base/ckpt",
+      frozenPieces = Some(pieces))
+    val b1 = Seq(
+      (1L, "alpha beta alpha gamma", "en"),
+      (2L, "un deux trois un", "fr"))
+    val b2 = Seq(
+      (3L, "alpha alpha beta delta epsilon beta", "en"),
+      (4L, "quatre cinq un un deux", "fr"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val panel = graft.streaming.Pipelines.datacardRead(spark,
+      s"$base/stats", s"$base/ltf")
+    assert(panel.columns.last === "fertility_micro",
+      s"frozen-tokenizer panel must carry fertility: ${panel.columns.toSeq}")
+    val streamed = img(panel)
+    // FULL-panel bit-identity incl. fertility vs the batch panel with the
+    // same frozen table over the union (r10 VERDICT ask #3)
+    val union = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val batch = img(graft.llm.CorpusStats.datacardPanel(
+      graft.llm.CorpusStats.datacardDocStats(union, "doc_id", "text", "lang",
+        Some(pieces)),
+      graft.llm.CorpusStats.langTokenFreqs(union, "text", "lang")))
+    assert(streamed === batch)
+    // fertility is real: at least one piece per word → micro ratio ≥ 1e6
+    streamed.foreach { r =>
+      assert(r(11).asInstanceOf[Long] >= 1000000L,
+        s"fertility_micro must be >= 1e6: $r")
+    }
+  }
+
   test("substringDedupIngest: streamed union equals the batch ExactSubstr cut") {
     val base = java.nio.file.Files.createTempDirectory("graft_ssi").toString
     val mem = MemoryStream[(Long, String)](spark)
