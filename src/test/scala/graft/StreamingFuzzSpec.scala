@@ -1,0 +1,166 @@
+package graft
+
+import graft.llm.CorpusStats
+import graft.streaming.Pipelines
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Seeded fuzz over the indexed-ingest streaming loops (r10 VERDICT ask
+  * #6): random corpora with planted repetition, random batch split points,
+  * random compaction cadence, and random CHAINS of cleaner ops (stage N+1
+  * streams stage N's per-batch cleaned output) must satisfy, at every
+  * stage, the loop's documented invariant — the persisted two-level index
+  * resolves to the batch index over that stage's input union, and for the
+  * keep-one substring loop the streamed OUTPUT additionally equals the
+  * batch operator over the union. The hand-written per-op StreamingSpec
+  * cases pin one split each; this sweeps the space where cross-batch
+  * state bugs hide: compaction boundaries (compactEvery down to 1),
+  * deltas racing bases, empty batches, and chained id contracts.
+  */
+class StreamingFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SpanL = 4   // boilerplate span length
+  private val SpanDf = 2  // boilerplate df cut
+  private val SubL = 5    // substring keep-one run length
+  private val ParaDf = 2  // paragraph df cut
+
+  /** One streaming loop under test: how to start it, how to read its
+    * persisted index, the batch builder the index must equal over the
+    * input union, and (exact ops only) the batch operator the streamed
+    * OUTPUT must equal. `chains` marks ops whose (id, clean_text) output
+    * can feed a next stage.
+    */
+  private case class Stage(
+      name: String,
+      start: (DataFrame, String, Int) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      indexRead: String => DataFrame,
+      indexBatch: DataFrame => DataFrame,
+      outputBatch: Option[DataFrame => DataFrame],
+      chains: Boolean)
+
+  private lazy val stages: Seq[Stage] = Seq(
+    Stage("boilerplate",
+      (s, b, ce) => Pipelines.boilerplateIngest(s, "doc_id", "text",
+        s"$b/out", s"$b/idx", s"$b/ckpt", SpanL, SpanDf, ce),
+      b => Pipelines.readSpanDfIndex(spark, s"$b/idx"),
+      u => CorpusStats.spanDfIndex(u, "doc_id", "text", SpanL),
+      None, chains = true),
+    Stage("substring",
+      (s, b, ce) => Pipelines.substringDedupIngest(s, "doc_id", "text",
+        s"$b/out", s"$b/idx", s"$b/ckpt", SubL, ce),
+      b => Pipelines.readSubstrIndex(spark, s"$b/idx"),
+      u => CorpusStats.substrKeeperIndex(u, "doc_id", "text", SubL),
+      Some(u => CorpusStats.removeDuplicateSubstrings(u, "doc_id", "text",
+        SubL)),
+      chains = true),
+    Stage("para",
+      (s, b, ce) => Pipelines.paraDedupIngest(s, "doc_id", "text",
+        s"$b/out", s"$b/idx", s"$b/ckpt", ParaDf, ce),
+      b => Pipelines.readParaDfIndex(spark, s"$b/idx"),
+      u => CorpusStats.paraDfIndex(u, "doc_id", "text"),
+      None, chains = true),
+    Stage("tfidf",
+      (s, b, ce) => Pipelines.tfidfIngest(s, "doc_id", "text",
+        s"$b/out", s"$b/idx", s"$b/ckpt", 3, ce),
+      b => Pipelines.readTermDfIndex(spark, s"$b/idx"),
+      u => CorpusStats.termDfIndex(u, "doc_id", "text"),
+      None, chains = false))
+
+  /** Random corpus with planted cross-doc repetition: whole-paragraph
+    * footers (para/boilerplate signal) and a >= SubL-token shared run
+    * (substring signal), over random small-vocab bodies.
+    */
+  private def corpus(rnd: scala.util.Random): Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val footA = "f1 f2 f3 f4 f5"
+    val footB = "g1 g2 g3 g4 g5 g6"
+    val n = 12 + rnd.nextInt(10)
+    (0 until n).map { i =>
+      val body = Seq.fill(3 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val mid = if (rnd.nextInt(3) == 0) s"\n$footA\n" else "\n"
+      val tail = if (rnd.nextInt(3) == 0) footB else ""
+      (i.toLong, s"$body$mid$tail")
+    }
+  }
+
+  /** Ordered prefix cuts — the ingest id contract (batch ids increase)
+    * must hold, so splits reorder nothing. Empty batches allowed. */
+  private def splits(rnd: scala.util.Random, n: Int): Seq[(Int, Int)] = {
+    val nb = 2 + rnd.nextInt(3)
+    val cuts = (Seq.fill(nb - 1)(rnd.nextInt(n + 1)).sorted :+ n)
+    (0 +: cuts).zip(cuts).distinct
+  }
+
+  private def img(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  /** Run one stage over the given per-batch inputs; assert its index
+    * (and, if exact, output) invariants; return the streamed per-batch
+    * cleaned outputs for chaining (None if the op is terminal).
+    */
+  private def runStage(st: Stage, batches0: Seq[Seq[(Long, String)]],
+      compactEvery: Int): Option[Seq[Seq[(Long, String)]]] = {
+    // an empty slice fires no micro-batch, so it would shift the batch=i
+    // partition numbering the chain reads by position — drop empties up
+    // front (the random cuts still exercise 1-row and lopsided batches)
+    val batches = batches0.filter(_.nonEmpty)
+    val base = java.nio.file.Files.createTempDirectory(
+      s"graft_fuzz_${st.name}").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = st.start(mem.toDF().toDF("doc_id", "text"), base, compactEvery)
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val union = batches.flatten.toDF("doc_id", "text")
+    assert(img(st.indexRead(base)) === img(st.indexBatch(union)),
+      s"${st.name}: merged index != batch index over the union")
+    st.outputBatch.foreach { ob =>
+      val streamed = spark.read.parquet(s"$base/out")
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      assert(img(streamed) === img(ob(union)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")),
+        s"${st.name}: streamed output != batch operator over the union")
+    }
+    if (!st.chains) None
+    else Some(batches.indices.map { i =>
+      val dir = new java.io.File(s"$base/out/batch=$i")
+      if (!dir.exists()) Nil
+      else spark.read.parquet(dir.toString)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    })
+  }
+
+  test("seeded ingest chains: streamed state equals batch-over-union at " +
+      "every stage, across random splits and compaction cadences") {
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val docs = corpus(rnd)
+      val batches = splits(rnd, docs.size).map { case (a, b) =>
+        docs.slice(a, b)
+      }
+      // head op and compaction cadence rotate DETERMINISTICALLY so every
+      // loop is a chain head at least twice and every cadence (including
+      // compact-every-batch and never-compact) is exercised; corpus,
+      // splits and the chain tail stay seeded-random
+      val compactEvery = Seq(1, 2, 3, 16)(seed % 4)
+      val first = stages(seed % stages.size)
+      info(s"seed $seed: ${docs.size} docs, ${batches.size} batches, " +
+        s"compactEvery=$compactEvery, chain head=${first.name}")
+      val out = runStage(first, batches, compactEvery)
+      // chain a second stage over the streamed per-batch outputs when the
+      // head op produces a cleaned corpus
+      out.foreach { cleaned =>
+        val second = stages(rnd.nextInt(stages.size))
+        info(s"seed $seed: chain tail=${second.name}")
+        runStage(second, cleaned, compactEvery)
+      }
+    }
+  }
+}
