@@ -68,6 +68,61 @@ class JobSpec extends SparkSpec {
     assert(byName("good.ndjson") === FileStatus(2, 0))
   }
 
+  test("config-form curation pipeline: kill between steps, durable resume " +
+      "skips the completed step and reproduces the uninterrupted result") {
+    // The analytics surface running UNDER the control plane (r10 ask #8):
+    // pipeline_curate2's shape as a declared two-step pipeline — classifier
+    // gate + keep-central near-dedup into an intermediate, then temperature
+    // mixture + balanced sharding into the final corpus. A "kill" between
+    // the steps is the 1-step prefix committing to a durable LocalFsStore;
+    // the restart must skip step 1 (state doc, not memory) and produce a
+    // byte-equal final corpus to an uninterrupted run.
+    import graft.config.PipelineConfig
+    val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val tokExpr = "CAST(size(split(text, ' ')) AS BIGINT)"
+    def conf(midDir: String, outDir: String, nSteps: Int) = {
+      val step1 =
+        s"""{ "step": "curate", "kind": "stream",
+           |  "source": { "type": "parquet",
+           |              "paths": ["$sf0001/documents.parquet"] },
+           |  "transforms": [
+           |    { "op": "nb_filter", "cols": ["doc_id", "text"],
+           |      "expr": "n_chars > 400" },
+           |    { "op": "dedup_keep_central", "cols": ["doc_id", "text"] } ],
+           |  "sink": { "type": "parquet", "path": "$midDir",
+           |            "mode": "overwrite" } }""".stripMargin
+      val step2 =
+        s"""{ "step": "pack", "kind": "stream",
+           |  "source": { "type": "parquet", "paths": ["$midDir"] },
+           |  "transforms": [
+           |    { "op": "mixture_alpha", "cols": ["source", "doc_id"],
+           |      "expr": "$tokExpr", "name": "1/2" },
+           |    { "op": "shard_balanced", "cols": ["doc_id"],
+           |      "expr": "$tokExpr", "name": "4" } ],
+           |  "sink": { "type": "parquet", "path": "$outDir",
+           |            "mode": "overwrite" } }""".stripMargin
+      PipelineConfig.parse(s"""{ "id": "cur2", "name": "curate2",
+        | "steps": [${Seq(step1, step2).take(nSteps).mkString(",")}] }"""
+        .stripMargin)
+    }
+    // phase 1: the job dies AFTER step 1 commits
+    val st1 = PipelineConfig.run(spark, conf(s"$root/mid", s"$root/out", 1),
+      new LocalFsStore(s"$root/store"))
+    assert(st1.streams("curate").status === JobState.Complete)
+    // phase 2: restart on the SAME durable root — step 1 must skip (same
+    // startedMs proves the durable doc, not runner memory, carried it)
+    val st2 = PipelineConfig.run(spark, conf(s"$root/mid", s"$root/out", 2),
+      new LocalFsStore(s"$root/store"))
+    assert(st2.streams("curate").startedMs === st1.streams("curate").startedMs)
+    assert(st2.streams("pack").status === JobState.Complete)
+    // uninterrupted reference run → identical final corpus
+    PipelineConfig.run(spark, conf(s"$root/midC", s"$root/outC", 2),
+      new LocalFsStore(s"$root/storeC"))
+    def img(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(img(s"$root/out") === img(s"$root/outC"))
+    assert(img(s"$root/out").nonEmpty)
+  }
+
   test("run_cmd: stop_on_error=false continues, fatal latch stops next strict step (job-command.rs)") {
     val store = new InMemoryStore
     val r = new JobRunner("j4", "cmds", store)
