@@ -66,7 +66,9 @@ object CorpusStats extends Serializable {
     "n_toks", "q6", "text_md5", "dominant",
     "total_tokens", "mean_quality", "n_unique", "n_long", "__dc", "__dr",
     "dom_script", "n_nonlatin_dom", "__in_v", "__nt", "__no",
-    "zipf_alpha_micro", "len_gini_micro") ++
+    "zipf_alpha_micro", "len_gini_micro",
+    // frozen-tokenizer fertility facts + leg (r11)
+    "fert_words", "fert_pieces", "fertility_micro", "__fw", "__fp") ++
     graft.functions.PortableMath.microLnColumns ++
     graft.functions.PortableMath.microLnSignedColumns
 

@@ -1496,8 +1496,10 @@ object Dedup {
     * for any qualifying pair at least one segment of the indexed key
     * appears UNCHANGED in the probing key, displaced by at most maxDist
     * positions. Probes therefore enumerate, for every candidate indexed
-    * length in [L−d, L+d], each segment slot's substring at shifts ±d;
-    * candidates meet on (segment value, slot, indexed length). Versus
+    * length in [L−d, L+d], each segment slot's substring at the
+    * multi-match-aware shift window ([[fuzzyProbes]] — provably complete
+    * with ~3× fewer probes than the naive ±d set); candidates meet on
+    * (segment value, slot, indexed length). Versus
     * the earlier sliding-q-gram scheme this indexes d+1 rows per key
     * instead of L−q+1 and demands an ALIGNED full-segment match, which
     * kills the accidental-collision candidates: on the ScaleProbe corpus
@@ -1540,19 +1542,22 @@ object Dedup {
     * where at least one side probed. See [[fuzzyNearDupPairs]] for the
     * completeness argument.
     */
+  // even partition of a length-L key into k disjoint segments, derived
+  // from L alone: the first k − (L mod k) slots take ⌊L/k⌋ chars, the
+  // rest one more; segPos/segLen are slot j's 1-based start and width
+  private def fuzzySegLen(k: Int, L: String, j: String) =
+    s"(($L) DIV $k + IF(($j) >= $k - ($L) % $k, 1, 0))"
+  private def fuzzySegPos(k: Int, L: String, j: String) =
+    s"(1 + ($j) * (($L) DIV $k) + GREATEST(0, ($j) - ($k - ($L) % $k)))"
+  private val FuzzyRowType = "STRUCT<g: STRING, j: INT, ln: INT>"
+
   private[llm] def fuzzyCandidates(probing: DataFrame, index: DataFrame,
       maxDist: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val d = maxDist
     val k = d + 1
-    // even partition of a length-L key into k disjoint segments, derived
-    // from L alone: the first k − (L mod k) slots take ⌊L/k⌋ chars, the
-    // rest one more; segPos/segLen are slot j's 1-based start and width
-    def segLen(L: String, j: String) =
-      s"(($L) DIV $k + IF(($j) >= $k - ($L) % $k, 1, 0))"
-    def segPos(L: String, j: String) =
-      s"(1 + ($j) * (($L) DIV $k) + GREATEST(0, ($j) - ($k - ($L) % $k)))"
-    val rowType = "STRUCT<g: STRING, j: INT, ln: INT>"
+    def segLen(L: String, j: String) = fuzzySegLen(k, L, j)
+    def segPos(L: String, j: String) = fuzzySegPos(k, L, j)
     // INDEX rows: one per segment slot; sub-partitionable keys ride one
     // per-length sentinel block
     val idxArr =
@@ -1574,37 +1579,7 @@ object Dedup {
               .partitionBy(col("__g"), col("__j"), col("__l"))))
           .filter(col("__bn") <= maxBucketSize).drop("__bn")
       else idx
-    // PROBE rows: for every candidate indexed length, every slot's
-    // substring at shifts ±d (windows leaving the key drop out), plus
-    // sentinel probes from keys short enough to reach an unpartitionable
-    // one; array_distinct collapses coinciding shifts
-    val segProbes =
-      s"""CASE WHEN length(__fkey) >= 1 THEN
-         |  filter(flatten(transform(
-         |      sequence(GREATEST($k, length(__fkey) - $d),
-         |               length(__fkey) + $d), tl ->
-         |    flatten(transform(sequence(0, $d), j ->
-         |      transform(sequence(${-d}, $d), sh ->
-         |        CASE WHEN ${segPos("tl", "j")} + sh >= 1
-         |              AND ${segPos("tl", "j")} + sh
-         |                  + ${segLen("tl", "j")} - 1 <= length(__fkey)
-         |          THEN named_struct('g',
-         |                 substring(__fkey, ${segPos("tl", "j")} + sh,
-         |                   ${segLen("tl", "j")}),
-         |                 'j', j, 'ln', tl)
-         |          ELSE CAST(NULL AS $rowType) END))))),
-         |    x -> x IS NOT NULL)
-         |ELSE CAST(array() AS ARRAY<$rowType>) END""".stripMargin
-    val sentProbes =
-      s"""CASE WHEN length(__fkey) <= ${2 * d} THEN
-         |  transform(sequence(GREATEST(0, length(__fkey) - $d),
-         |      LEAST($k - 1, length(__fkey) + $d)), sl ->
-         |    named_struct('g', chr(0), 'j', -1, 'ln', sl))
-         |ELSE CAST(array() AS ARRAY<$rowType>) END""".stripMargin
-    val probes = probing.selectExpr("__fid",
-      s"explode(array_distinct(concat($segProbes, $sentProbes))) AS gb")
-      .select(col("__fid"), col("gb.g").as("__g"), col("gb.j").as("__j"),
-        col("gb.ln").as("__l"))
+    val probes = fuzzyProbes(probing, maxDist)
     // either order may be the probing side; normalized ids collapse the
     // double-match in the distinct, which carries bare 16-byte id pairs
     probes.as("l").join(capped.as("r"),
@@ -1619,6 +1594,57 @@ object Dedup {
   /** Fetch both keys for each candidate id pair and keep pairs within
     * `maxDist` (threshold-Levenshtein: -1 when exceeded).
     */
+  /** PROBE rows of the PassJoin join, one (id, segment value, slot,
+    * indexed length) row per selected substring: for every candidate
+    * indexed length tl, every slot's substring at the MULTI-MATCH-AWARE
+    * shifts (PassJoin §4.2) — with Δ = probe length − tl, slot j only
+    * needs shifts in [max(−j, Δ−(d−j)), min(j, Δ+(d−j))]: the j edits
+    * available before the slot bound the left displacement and the d−j
+    * after it bound the right, and the paper proves completeness is
+    * preserved. At d = 2 this emits ≤ 5 probes per candidate length
+    * instead of the naive (d+1)(2d+1) = 15 (r10 VERDICT ask #7 —
+    * FuzzyDedupSpec pins the reduction); the bounds never invert within
+    * the tl range (Δ ∈ [−d, d]). Sentinel probes from keys short enough
+    * to reach an unpartitionable one ride along; array_distinct collapses
+    * coinciding shifts. Exposed private[llm] so the spec can measure the
+    * probe volume directly.
+    */
+  private[llm] def fuzzyProbes(probing: DataFrame, maxDist: Int): DataFrame = {
+    val d = maxDist
+    val k = d + 1
+    def segLen(L: String, j: String) = fuzzySegLen(k, L, j)
+    def segPos(L: String, j: String) = fuzzySegPos(k, L, j)
+    val segProbes =
+      s"""CASE WHEN length(__fkey) >= 1 THEN
+         |  filter(flatten(transform(
+         |      sequence(GREATEST($k, length(__fkey) - $d),
+         |               length(__fkey) + $d), tl ->
+         |    flatten(transform(sequence(0, $d), j ->
+         |      transform(sequence(
+         |          GREATEST(-j, length(__fkey) - tl - ($d - j)),
+         |          LEAST(j, length(__fkey) - tl + ($d - j))), sh ->
+         |        CASE WHEN ${segPos("tl", "j")} + sh >= 1
+         |              AND ${segPos("tl", "j")} + sh
+         |                  + ${segLen("tl", "j")} - 1 <= length(__fkey)
+         |          THEN named_struct('g',
+         |                 substring(__fkey, ${segPos("tl", "j")} + sh,
+         |                   ${segLen("tl", "j")}),
+         |                 'j', j, 'ln', tl)
+         |          ELSE CAST(NULL AS $FuzzyRowType) END))))),
+         |    x -> x IS NOT NULL)
+         |ELSE CAST(array() AS ARRAY<$FuzzyRowType>) END""".stripMargin
+    val sentProbes =
+      s"""CASE WHEN length(__fkey) <= ${2 * d} THEN
+         |  transform(sequence(GREATEST(0, length(__fkey) - $d),
+         |      LEAST($k - 1, length(__fkey) + $d)), sl ->
+         |    named_struct('g', chr(0), 'j', -1, 'ln', sl))
+         |ELSE CAST(array() AS ARRAY<$FuzzyRowType>) END""".stripMargin
+    probing.selectExpr("__fid",
+      s"explode(array_distinct(concat($segProbes, $sentProbes))) AS gb")
+      .select(col("__fid"), col("gb.g").as("__g"), col("gb.j").as("__j"),
+        col("gb.ln").as("__l"))
+  }
+
   private def fuzzyConfirm(slim: DataFrame, cand: DataFrame,
       maxDist: Int): DataFrame =
     cand

@@ -65,6 +65,27 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("multi-match-aware probe selection: ~3x fewer probe rows, identical pairs") {
+    // PassJoin §4.2 (r10 ask #7): at d = 2 the naive probe set is
+    // 5 lengths × 3 slots × 5 shifts = 75 rows per key; the
+    // multi-match-aware windows admit at most ~19 (Σ over Δ of the
+    // [max(−j, Δ−(d−j)), min(j, Δ+(d−j))] window sizes). Pin the volume
+    // well under the naive bound AND re-assert exact recall on the same
+    // corpus, so a window-math mistake cannot trade completeness for
+    // speed silently.
+    val docs = (1L to 20L).map(i =>
+      (i, f"k$i%02d" + "abcdefgh" * 3)).toDF("id", "key")
+    val slim = Dedup.fuzzySlim(docs, "id", "key")
+    val nProbes = Dedup.fuzzyProbes(slim, 2).count()
+    assert(nProbes <= 20L * 25,
+      s"probe volume regressed toward the naive set: $nProbes rows")
+    val got = Dedup.fuzzyNearDupPairs(docs, "id", "key", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = brute(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("maxBucketSize drops degenerate blocks instead of exploding") {
     val docs = ((1L to 50L).map(i => (i, "identical prefix everywhere")) :+
       (99L, "one different key here!!")).toDF("id", "key")
