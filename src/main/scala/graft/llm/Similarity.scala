@@ -337,65 +337,107 @@ object Similarity extends Serializable {
       .join(cv, "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("sim", intCosine(col("qa"), col("qb")))
+    intCosineOfPairs(cands, "query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic md5-ordered training sample of the (id, q8) relation:
-    * the `n` vectors with the smallest `(md5(id), id)` key. orderBy+limit
-    * plans as TakeOrdered (per-partition heap + driver merge of n rows),
-    * never a global single-partition sort — the standard stance for
-    * codebook training (100 TB never passes through training; FAISS trains
-    * on a sample too), and the md5 key makes the pick layout-free AND
-    * SQL-replayable (`ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`).
-    * The single-partition limit result is re-spread so per-iteration
-    * assignment work distributes; localCheckpoint because every Lloyd
-    * iteration re-reads it.
+  /** Deterministic md5-ordered training sample of an (id, q8) relation,
+    * collected: the `n` vectors with the smallest `(md5(id), id)` key.
+    * orderBy+limit plans as TakeOrdered (per-partition heap + driver
+    * merge of n rows), never a global single-partition sort, and the
+    * collect is BOUNDED by `n` ≤ 4096 by construction — the standard
+    * stance for codebook training (100 TB never passes through training;
+    * FAISS trains on a sample too). The md5 key makes the pick
+    * layout-free AND SQL-replayable
+    * (`ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`).
     */
-  private def intTrainSample(vecs: DataFrame, n: Int): DataFrame = {
+  private def intSampleCollect(vecs: DataFrame,
+      n: Int): Array[(Long, Array[Int])] = {
     val spark = vecs.sparkSession
+    import spark.implicits._
     vecs.toDF("__id", "__q")
       .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
       .limit(n)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .as[(Long, Seq[Int])].collect()
+      .map { case (id, q) => (id, q.toArray) }
   }
 
-  /** Top-`topN` centroids per vector by exact quantized cosine, ties to
-    * the lower cell id — the shared assignment kernel of the IVF and
-    * SemDeDup paths. Map-only: the k×dim centroid table broadcasts and
-    * `topN = 1` collapses per-vector candidates map-side via a
-    * `max(struct(sim, −cid))` partial aggregation (never a window over
-    * the corpus); `topN > 1` (query probing — a small relation) ranks via
-    * a per-query window. Exactness: sims are [[intCosine]] doubles of
-    * exact BIGINTs, and `−cid` is an exact integer tiebreak, so the
-    * struct max is a total order identical to the oracle's
-    * `ORDER BY sim DESC, cid ASC`.
+  /** Exact quantized cosine of two int vectors in primitive Scala — the
+    * SAME arithmetic as the [[intCosine]] Column (exact Long dot/norms,
+    * one exactly-rounded IEEE division over one exactly-rounded sqrt;
+    * zero-norm → −2.0), so kernel and Catalyst paths are bit-identical
+    * and both replay in the SQL oracle.
+    */
+  private def intCosScala(a: Array[Int], b: Array[Int]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toLong * b(i)
+      na += a(i).toLong * a(i)
+      nb += b(i).toLong * b(i)
+      i += 1
+    }
+    if (na == 0L || nb == 0L) -2.0
+    else dot.toDouble / math.sqrt((na * nb).toDouble)
+  }
+
+  /** JIT-compiled exact quantized cosine over (a, b, qa, qb) pair rows —
+    * the candidate-verification kernel (same values as [[intCosine]] via
+    * [[intCosScala]]; Catalyst higher-order functions are interpreted,
+    * and a pair stage can carry 10⁵+ rows). Output: (aCol, bCol, sim).
+    */
+  private def intCosineOfPairs(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(aCol).cast("long"), col(bCol).cast("long"),
+        col("qa"), col("qb"))
+      .as[(Long, Long, Seq[Int], Seq[Int])]
+      .mapPartitions(_.map { case (a, b, qa, qb) =>
+        (a, b, intCosScala(qa.toArray, qb.toArray))
+      })
+      .toDF(aCol, bCol, "sim")
+  }
+
+  /** Indices of the top-`topN` centroids of `q` by (cosine desc, cid
+    * asc) — the strict-greater scan keeps the LOWEST cid on ties, the
+    * same total order as the oracle's `ORDER BY sim DESC, cid ASC`.
+    */
+  private def topCells(cents: Array[(Int, Array[Int])], q: Array[Int],
+      topN: Int): Array[Int] =
+    if (topN == 1) {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = intCosScala(q, cents(c)._2)
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      Array(cents(best)._1)
+    } else
+      cents.map { case (cid, cq) => (intCosScala(q, cq), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(topN).map(_._2)
+
+  /** Top-`topN` cell assignment of every (id, q8) row — a MAP-ONLY
+    * mapPartitions kernel with the k×dim centroid table riding the
+    * closure: no crossJoin, no window, no shuffle (the float path's
+    * `nearestCells` stance — Catalyst higher-order functions are
+    * interpreted and an assignment is pure per-row arithmetic). Output
+    * (id, cid), `topN` rows per input row.
     */
   private def assignCells(vecs: DataFrame, cents: Array[(Int, Array[Int])],
-      topN: Int, idCol: String = "__id", qCol: String = "__q"): DataFrame = {
+      topN: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val cdf = broadcast(
-      cents.toIndexedSeq.map { case (c, q) => (c, q.toSeq) }.toDF("cid", "__cq"))
-    val scored = vecs.crossJoin(cdf)
-      .withColumn("__sim", intCosine(col(qCol), col("__cq")))
-    if (topN == 1)
-      scored.groupBy(col(idCol))
-        .agg(max(struct(col("__sim"), (-col("cid")).cast("long").as("__nc")))
-          .as("__b"))
-        .select(col(idCol), (-col("__b.__nc")).cast("int").as("cid"))
-    else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__sim").desc, col("cid").asc)
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= topN)
-        .select(col(idCol), col("cid"))
-    }
+    vecs.as[(Long, Seq[Int])]
+      .mapPartitions(_.flatMap { case (id, qv) =>
+        topCells(cents, qv.toArray, topN).iterator.map(c => (id, c))
+      })
+      .toDF("__id", "cid")
   }
 
   /** `k` integer centroids over an (id, q8) relation — the coarse
@@ -405,39 +447,38 @@ object Similarity extends Serializable {
     * initialization is the k smallest-id sample vectors (cid in id
     * order), assignment is the exact quantized-cosine argmax (ties to the
     * lower cid), and the update is per-dimension `sum / count` truncating
-    * integer division (Spark, Scala and DuckDB `//` all truncate toward
-    * zero) — every step a total order on exact values, so the trajectory
-    * replays bit-identically in the unrolled SQL oracle.
+    * integer division (Scala and DuckDB `//` both truncate toward zero) —
+    * every step a total order on exact values, so the trajectory replays
+    * bit-identically in the unrolled SQL oracle.
     *
-    * Scale shape: per iteration ONE broadcast of k×dim ints against the
-    * distributed sample (map-side argmax), then a slim
-    * (cid, dim, sum, count) aggregation — k·dim bounded rows collected,
-    * never sample-sized.
+    * Runs as a DRIVER loop over the bounded collected sample (one Spark
+    * job total — the TakeOrdered sample collect): integer Lloyd over
+    * ≤ 4096 rows is microseconds-per-iteration arithmetic, and pushing it
+    * through per-iteration cluster jobs was pure scheduling overhead
+    * (r11 bench: the relational trainer cost sim_semdedup 14.5 s warm at
+    * 1000 vectors). The corpus-sized stages — assignment, probing,
+    * candidate join, re-rank — stay distributed.
     */
   private def intCentroids(vecs: DataFrame, k: Int, iters: Int,
       trainSampleSize: Int): Array[(Int, Array[Int])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
-    val sample = intTrainSample(vecs, math.max(k, trainSampleSize))
-    var cents: Array[(Int, Array[Int])] = sample.orderBy(col("__id"))
-      .limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Int](1).toArray) }
+    val sample = intSampleCollect(vecs, math.max(k, trainSampleSize))
+    require(sample.nonEmpty, "intCentroids: empty corpus — nothing to train")
+    val dim = sample.head._2.length
+    var cents: Array[(Int, Array[Int])] = sample.sortBy(_._1).take(k)
+      .zipWithIndex.map { case ((_, q), i) => (i, q.clone) }
     for (_ <- 1 to iters) {
-      val sums = assignCells(sample, cents, 1)
-        .join(sample, "__id")
-        .select(col("cid"), posexplode(col("__q")).as(Seq("__pos", "__x")))
-        .groupBy(col("cid"), col("__pos"))
-        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
-        .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
-        .groupBy(_._1)
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (_, q) =>
+        val best = topCells(cents, q, 1).head
+        var i = 0
+        while (i < dim) { sums(best)(i) += q(i); i += 1 }
+        counts(best) += 1L
+      }
       cents = cents.map { case (c, prev) =>
-        sums.get(c) match {
-          case Some(rows) =>
-            (c, rows.map(_._2).sortBy(_._1)
-              .map { case (_, s, n) => (s / n).toInt }.toArray)
-          case None => (c, prev) // empty cell keeps its centroid
-        }
+        if (counts(c) == 0L) (c, prev) // empty cell keeps its centroid
+        else (c, Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toInt))
       }
     }
     cents
@@ -487,7 +528,14 @@ object Similarity extends Serializable {
     val assigned = assignCells(cv, cents, 1)
       .withColumnRenamed("__id", "neighbor_id")
     val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
-    val probes = assignCells(qv, cents, probe, "query_id", "qa")
+    // probes broadcast EXPLICITLY: the join key (cid) has only nCells
+    // distinct values, so a shuffle join would funnel the whole corpus
+    // assignment through nCells reducer keys — broadcasting the bounded
+    // (queries × nProbe) side keeps the corpus scan map-only, the same
+    // stance as bruteForceTopK's broadcast query set
+    val probes = broadcast(assignCells(
+      qv.select(col("query_id"), col("qa")), cents, probe)
+      .withColumnRenamed("__id", "query_id"))
     val cands = probes.join(assigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -496,7 +544,7 @@ object Similarity extends Serializable {
         "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("sim", intCosine(col("qa"), col("qb")))
+    intCosineOfPairs(cands, "query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
@@ -539,64 +587,59 @@ object Similarity extends Serializable {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cv = q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint()
-    val dimRow = cv.select(size(col("__q"))).head(1)
-    require(dimRow.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
-    val dim = dimRow.head.getInt(0)
+    // DRIVER-loop codebook training over the bounded collected sample
+    // (the intCentroids stance — per-iteration cluster jobs were pure
+    // scheduling overhead): per subspace j, integer Euclidean Lloyd with
+    // argmin-L2 assignment (ties to the lower code) and truncating
+    // integer-mean updates — the exact trajectory the unrolled SQL
+    // oracle replays. Init: subvectors of the codebookSize smallest-id
+    // sample vectors, code index in id order. The sample also answers
+    // the dimensionality probe — no separate head() job.
+    val sample = intSampleCollect(cv,
+      math.max(codebookSize, trainSampleSize))
+    require(sample.nonEmpty, "pqTopK: corpus is empty — no codebook sample")
+    val dim = sample.head._2.length
     // m = 0 auto-picks the largest standard subspace count dividing dim,
     // so default-arg callers keep working on any even dim
     val mm = if (m > 0) m else Seq(8, 4, 2, 1).find(dim % _ == 0).get
     require(dim % mm == 0, s"m=$mm must divide dim=$dim")
     val sub = dim / mm
-
-    // (id, j, subvector) relation — map-only explode+slice
-    def subsOf(src: DataFrame): DataFrame =
-      src.select(col("__id"),
-          explode(sequence(lit(0), lit(mm - 1))).as("__j"), col("__q"))
-        .select(col("__id"), col("__j"),
-          slice(col("__q"), col("__j") * sub + 1, lit(sub)).as("__sq"))
-
-    val sample = intTrainSample(cv, math.max(codebookSize, trainSampleSize))
-    val sampleSubs = subsOf(sample)
-    // init: subvectors of the codebookSize smallest-id sample vectors,
-    // code index in id order — one bounded collect
-    val initRows = sample.orderBy(col("__id")).limit(codebookSize).collect()
-      .map(_.getSeq[Int](1).toArray)
+    val initRows = sample.sortBy(_._1).take(codebookSize).map(_._2)
     // codebooks(j)(c) — c-th centroid of subspace j, integer components
     var codebooks: Array[Array[Array[Int]]] =
       Array.tabulate(mm)(j => initRows.map(q => q.slice(j * sub, (j + 1) * sub)))
 
-    def cbDF() = broadcast(
-      (for (j <- 0 until mm; c <- codebooks(j).indices)
-        yield (j, c, codebooks(j)(c).toSeq)).toDF("__j", "__c", "__cq"))
-    def sqDist = aggregate(
-      zip_with(col("__sq"), col("__cq"),
-        (a, b) => (a - b).cast("long") * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    def bestCode(cb: Array[Array[Int]], q: Array[Int], j: Int): Int = {
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cq = cb(c)
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val t = (q(j * sub + i) - cq(i)).toLong; d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
 
     for (_ <- 1 to trainIters) {
-      // grouped assignment: one broadcast join keyed by subspace, argmin
-      // collapsed map-side; update collects m·codebookSize·sub bounded rows
-      val asg = sampleSubs.join(cbDF(), "__j")
-        .withColumn("__d", sqDist)
-        .groupBy(col("__id"), col("__j"))
-        .agg(min(struct(col("__d"), col("__c"))).as("__b"))
-        .select(col("__id"), col("__j"), col("__b.__c").as("__c"))
-      val sums = asg.join(sampleSubs, Seq("__id", "__j"))
-        .select(col("__j"), col("__c"),
-          posexplode(col("__sq")).as(Seq("__pos", "__x")))
-        .groupBy(col("__j"), col("__c"), col("__pos"))
-        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)),
-          (r.getInt(2), r.getLong(3), r.getLong(4))))
-        .groupBy(_._1)
-      codebooks = Array.tabulate(mm)(j => codebooks(j).zipWithIndex.map {
-        case (prev, c) => sums.get((j, c)) match {
-          case Some(rows) => rows.map(_._2).sortBy(_._1)
-            .map { case (_, s, n) => (s / n).toInt }.toArray
-          case None => prev // empty code keeps its centroid
+      codebooks = Array.tabulate(mm) { j =>
+        val cb = codebooks(j)
+        val sums = Array.fill(cb.length)(new Array[Long](sub))
+        val counts = new Array[Long](cb.length)
+        sample.foreach { case (_, q) =>
+          val best = bestCode(cb, q, j)
+          var i = 0
+          while (i < sub) { sums(best)(i) += q(j * sub + i); i += 1 }
+          counts(best) += 1L
         }
-      })
+        cb.zipWithIndex.map { case (prev, c) =>
+          if (counts(c) == 0L) prev // empty code keeps its centroid
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toInt)
+        }
+      }
     }
 
     // encode kernel: primitive argmin over the final codebooks — map-only,
@@ -685,7 +728,7 @@ object Similarity extends Serializable {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("sim", intCosine(col("qa"), col("qb")))
+    intCosineOfPairs(cands, "query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
@@ -789,7 +832,7 @@ object Similarity extends Serializable {
     // The threshold compares EXACT quantized-cosine doubles, so the cut
     // is engine-identical (a planted scaled copy quantizes identically —
     // sim exactly 1.0)
-    val dropIds = pairs.withColumn("sim", intCosine(col("qa"), col("qb")))
+    val dropIds = intCosineOfPairs(pairs, "id_a", "id_b")
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("__drop")).distinct()
     df.join(dropIds, df(idCol).cast("long") === dropIds("__drop"), "left_anti")
