@@ -144,7 +144,12 @@ object GraftFunctions {
       graft.llm.TextOps.bpeTokenCount(c) },
     "graft_quality" -> colFn { case Seq(c) => graft.llm.TextOps.qualityScore(c) },
     "graft_quantize_int8" -> colFn { case Seq(c) =>
-      graft.llm.Similarity.quantizeInt8(c) })
+      graft.llm.Similarity.quantizeInt8(c) },
+    // exact quantized cosine (r11 engine-exact ANN arithmetic): the
+    // SQL-frontend form of Similarity.intCosine — BIGINT dot/norms over
+    // int8 vectors, one exactly-rounded IEEE division, −2.0 on zero norm
+    "graft_int_cosine" -> colFn { case Seq(a, b) =>
+      graft.llm.Similarity.intCosine(a, b) })
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -313,6 +313,22 @@ object ScaleProbe {
           graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
             Seq("q1" -> "w17 w4242 w99", "q2" -> "w1234 w777"), 10).count()
         },
+        time("ann_ivf", n) {
+          // the r11 engine-exact IVF path at n/10 synthetic 64-dim
+          // vectors, FIXED 64 cells / 8 probes: training is one bounded
+          // TakeOrdered sample collect, corpus assignment and query
+          // probing are map-only kernels, and candidates are the probed
+          // fraction of the corpus (linear at fixed cells) — the 4× wall
+          // ratio must track vector volume; a blowup would mean the
+          // candidate join or re-rank stopped being probe-bounded
+          val m = n / 10
+          val emb = spark.range(m).toDF("vec_id").select(col("vec_id"),
+            transform(sequence(lit(1), lit(64)),
+              i => (pmod(xxhash64(col("vec_id") * 131 + i), lit(2001))
+                - 1000).cast("double") / 1000.0).as("embedding"))
+          graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+            k = 10, nCells = 64, nProbe = 8, trainIters = 2).count()
+        },
         time("bpe_merges", n) {
           // after the initial word count every round is vocab-sized; the
           // corpus-scaled stage is the one scan, so the ratio should

@@ -85,5 +85,16 @@ class FunctionsSpec extends SparkSpec {
     val qzCol = spark.range(1).select(graft.llm.Similarity
       .quantizeInt8(typedLit(Seq(1.0, -1.0, 0.5))).as("q")).collect().toSeq
     assert(qzSql === qzCol)
+    // exact quantized cosine: identical vectors score exactly 1.0 (the
+    // perfect-square sqrt is exact), zero-norm scores the −2.0 sentinel,
+    // and a hand case matches the driver-side arithmetic
+    val ic = spark.sql(
+      """SELECT graft_int_cosine(array(3, 4), array(3, 4)) AS same,
+        |  graft_int_cosine(array(0, 0), array(3, 4)) AS zero,
+        |  graft_int_cosine(array(1, 0), array(0, 1)) AS orth""".stripMargin)
+      .collect().head
+    assert(ic.getDouble(0) === 1.0)
+    assert(ic.getDouble(1) === -2.0)
+    assert(ic.getDouble(2) === 0.0)
   }
 }
