@@ -220,11 +220,39 @@ object Similarity extends Serializable {
     * every integer ANN path. Quantization is amax-relative, hence
     * scale-invariant: a scaled copy of a vector quantizes identically,
     * which is what keeps planted-duplicate recall at 1.0.
+    *
+    * Runs as a primitive mapPartitions kernel with EXACTLY the
+    * [[quantizeInt8]] arithmetic (`floor(x·127/amax + 0.5)`, all-zero →
+    * zeros — the same IEEE double ops, so kernel, Column and oracle agree
+    * bit-for-bit): the Column form's three chained higher-order functions
+    * are interpreted, and this projection is evaluated per corpus row on
+    * every ANN path (~0.4 s per evaluation at 4096×64 — the r11 bench's
+    * sim_ann_lsh residual).
     */
   private def q8Of(df: DataFrame, idCol: String, vecCol: String,
-      asId: String, asVec: String): DataFrame =
-    df.select(col(idCol).cast("long").as(asId),
-      quantizeInt8(col(vecCol).cast("array<double>")).as(asVec))
+      asId: String, asVec: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        val x = v.toArray
+        var amax = 0.0
+        var i = 0
+        while (i < x.length) {
+          val a = math.abs(x(i)); if (a > amax) amax = a; i += 1
+        }
+        val q = new Array[Int](x.length)
+        if (amax != 0.0) {
+          i = 0
+          while (i < x.length) {
+            q(i) = math.floor(x(i) * 127.0 / amax + 0.5).toInt; i += 1
+          }
+        }
+        (id, q)
+      })
+      .toDF(asId, asVec)
+  }
 
   /** Exact cosine of two int8-quantized vectors: dot and norms are exact
     * BIGINTs (|dot| ≤ dim·127² and na·nb ≤ (dim·127²)² < 2⁵³ at dim ≤ 256,
@@ -313,7 +341,11 @@ object Similarity extends Serializable {
       maxBucketSize: Int = 10000, multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
+    // one materialization: the quantized corpus feeds the index build AND
+    // the candidate re-rank join — without it the projection re-runs per
+    // consumer (the ivfTopK/semDedup checkpoint stance)
     val cv = q8Of(corpus, idCol, vecCol, "neighbor_id", "qb")
+      .localCheckpoint()
     val qExact = intLshFromVecs(qv, tables, bits, "query_id")
     val q =
       if (!multiProbe) qExact
