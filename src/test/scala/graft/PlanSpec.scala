@@ -418,6 +418,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_ann_ivf: the probe side broadcasts — the corpus assignment " +
+      "never shuffles on the nCells-ary cid key") {
+    // The IVF candidate join keys on cid, which has only nCells distinct
+    // values: a shuffle join would funnel the whole corpus assignment
+    // through nCells reducer keys (a guaranteed hotspot at scale). The
+    // bounded (queries × nProbe) probe side must broadcast instead, and
+    // no shuffle in the plan may hash-partition on cid alone.
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!"hashpartitioning\\(cid#\\d+, ".r.findFirstIn(p).isDefined,
+      s"corpus assignment shuffles on the low-cardinality cid key:\n${p.take(800)}")
+  }
+
   test("dedup_substring_runs: spans frame stays UNCACHED; self-join reuses " +
       "one exchange") {
     // The r10 4×-probe OOM lesson (CorpusStats.maximalSharedRuns): the
