@@ -842,6 +842,17 @@ object Similarity extends Serializable {
       else math.max(16, math.min(4096,
         math.round(math.sqrt(nKnown.toDouble)).toInt))
     val cents = intCentroids(vecs, cells, trainIters, trainSampleSize)
+    dropWithinCells(df, vecs, cents, threshold, idCol, maxClusterSize)
+  }
+
+  /** The within-cell half of SemDeDup, shared by the trained and frozen
+    * forms: assign every (id, q8) row to its cell, audit the cap loudly,
+    * generate chunked within-cell pairs, and anti-join the min-id drops
+    * back onto the caller's rows.
+    */
+  private def dropWithinCells(df: DataFrame, vecs: DataFrame,
+      cents: Array[(Int, Array[Int])], threshold: Double, idCol: String,
+      maxClusterSize: Int): DataFrame = {
     val assigned = assignCells(vecs, cents, 1)
       .select(col("__id").as("id"), col("cid").as("cell"))
       // read twice (over-cap audit + pair generation): localCheckpoint
@@ -868,6 +879,102 @@ object Similarity extends Serializable {
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("__drop")).distinct()
     df.join(dropIds, df(idCol).cast("long") === dropIds("__drop"), "left_anti")
+  }
+
+  /** The trained integer-centroid table of a corpus as a persistable
+    * (cid INT, q ARRAY<INT>) relation — [[intCentroids]] exposed so a
+    * centroid set can be FROZEN: persisted once, then reused by
+    * [[semDedupFrozen]] and the continuous
+    * [[graft.streaming.Pipelines.semDedupIngest]] loop, whose
+    * batch-equivalence depends on every batch seeing the same cells (a
+    * per-batch-trained quantizer would shift assignments as the corpus
+    * grows — the same no-mergeable-form argument as the datacard's
+    * frozen-tokenizer fertility leg).
+    */
+  def intCentroidTable(df: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSampleSize: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = q8Of(df, idCol, vecCol, "__id", "__q")
+    intCentroids(vecs, k, iters, trainSampleSize).toIndexedSeq
+      .map { case (c, q) => (c, q.toSeq) }.toDF("cid", "q")
+  }
+
+  /** Collect a (cid, q) centroid table, sorted by cid so argmax ties
+    * break to the lowest cid (the [[topCells]] scan order contract). */
+  private def centsFromTable(centroids: DataFrame): Array[(Int, Array[Int])] =
+    centroids.select(col("cid").cast("int"), col("q"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
+      .sortBy(_._1)
+
+  /** [[semDedup]] under a FROZEN centroid table (from
+    * [[intCentroidTable]]) — no training pass; assignment, within-cell
+    * verification and min-id survivorship are identical. This is the
+    * batch twin the streaming loop's equivalence is proven against.
+    */
+  def semDedupFrozen(df: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxClusterSize: Int = 10000): DataFrame = {
+    val vecs = q8Of(df, idCol, vecCol, "__id", "__q").localCheckpoint()
+    dropWithinCells(df, vecs, centsFromTable(centroids), threshold, idCol,
+      maxClusterSize)
+  }
+
+  /** Incremental SemDeDup under a frozen centroid table: the survivors a
+    * `fresh` batch keeps against itself AND the persisted (cell, id, q)
+    * state of everything ingested before it — a fresh id drops when ANY
+    * lower id in its cell (historical or in-batch) clears `threshold`.
+    * Because cells are frozen and the comparison set is the FULL history
+    * (not just prior survivors — a drop chain a→b→c must still cut c
+    * even though b is gone), streamed survivors over increasing-id
+    * batches equal [[semDedupFrozen]] over the union exactly
+    * (StreamingSpec proves it). Returns (surviving fresh rows, fresh
+    * (cell, id, q) state rows).
+    *
+    * Scale shape: history is PRUNED to the batch's touched cells before
+    * pairing (a cell-keyed equi-join — at a steady corpus the probe side
+    * is micro-batch-sized); the cap is evaluated against the population
+    * the batch actually sees, so a cell that outgrows it later stops
+    * deduplicating from that batch on, loudly — the become-frequent
+    * caveat every ingest loop documents.
+    */
+  private[graft] def semDedupIncremental(existing: DataFrame,
+      fresh: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String, vecCol: String,
+      maxClusterSize: Int): (DataFrame, DataFrame) = {
+    val cents = centsFromTable(centroids)
+    val vecs = q8Of(fresh, idCol, vecCol, "__id", "__q")
+    val freshIdx = assignCells(vecs, cents, 1)
+      .join(vecs, "__id")
+      .select(col("cid").as("cell"), col("__id").as("id"),
+        col("__q").as("q"))
+      .localCheckpoint()
+    val touched = freshIdx.select(col("cell")).distinct()
+    val all = existing.select(col("cell"), col("id"), col("q"))
+      .join(touched, "cell")
+      .unionByName(freshIdx)
+      .localCheckpoint()
+    val ok = all.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select("cell")
+    val oversize = all.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxClusterSize).count()
+    if (oversize > 0) System.err.println(
+      s"[graft] semDedupIncremental: $oversize cell(s) exceed " +
+        s"maxClusterSize=$maxClusterSize — their fresh rows pass " +
+        "through undeduplicated from this batch on")
+    val pairs = freshIdx.join(ok, "cell")
+      .select(col("cell"), col("id").as("id_b"), col("q").as("qb"))
+      .join(all.select(col("cell"), col("id").as("id_a"),
+        col("q").as("qa")), "cell")
+      .filter(col("id_a") < col("id_b"))
+    val dropIds = intCosineOfPairs(pairs, "id_a", "id_b")
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    val out = fresh.join(dropIds,
+      fresh(idCol).cast("long") === dropIds("__drop"), "left_anti")
+    (out, freshIdx)
   }
 
   /** Hard-negative mining for contrastive training (the in-batch-negative

@@ -675,6 +675,48 @@ object Pipelines {
     indexStateAgg(spark, indexDir, None, mergeAllSubstr)._1
       .getOrElse(emptySubstrIndex(spark))
 
+  /** Continuous SemDeDup (the embedding modality's ingest loop): each
+    * micro-batch of (id, embedding) rows is semantically deduplicated
+    * against itself and the persisted (cell, id, q8) state of everything
+    * ingested so far, under a FROZEN centroid table
+    * ([[graft.llm.Similarity.intCentroidTable]] — frozen is what makes
+    * the loop batch-equivalent: per-batch training would shift cells as
+    * the corpus grows, the datacard fertility leg's no-mergeable-form
+    * argument). Appends each batch's surviving rows under `cleanDir` and
+    * its full (cell, id, q) contribution to the state index — survivors
+    * alone would miss drop chains (a→b→c must cut c although b is gone),
+    * so the state carries every ingested vector, cell-pruned at probe
+    * time. Under the ingest id contract (batch ids increase), streamed
+    * survivors equal [[graft.llm.Similarity.semDedupFrozen]] over the
+    * union exactly; same two-level base/delta layout and compaction
+    * cadence as [[boilerplateIngest]]. Read the state externally with
+    * [[readSemDedupState]].
+    */
+  def semDedupIngest(stream: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double, cleanDir: String,
+      indexDir: String, checkpointDir: String,
+      maxClusterSize: Int = 10000,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    indexedIngestAgg(stream, idCol, vecCol, cleanDir, indexDir,
+      checkpointDir, compactEvery, emptySemDedupState,
+      _.dropDuplicates("id"),
+      (idx, fresh) => graft.llm.Similarity.semDedupIncremental(
+        idx, fresh, centroids, threshold, idCol, vecCol, maxClusterSize),
+      (a, b) => a.unionByName(b).dropDuplicates("id"))
+
+  private def emptySemDedupState(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Int, Long, Seq[Int])].toDF("cell", "id", "q")
+  }
+
+  /** The accumulated (cell, id, q8) SemDeDup state at `indexDir` (written
+    * by [[semDedupIngest]]): newest base + deltas, one row per ingested
+    * vector. Empty frame if the index is empty.
+    */
+  def readSemDedupState(spark: SparkSession, indexDir: String): DataFrame =
+    indexStateAgg(spark, indexDir, None, _.dropDuplicates("id"))._1
+      .getOrElse(emptySemDedupState(spark))
+
   /** Continuous corpus-datacard state: each micro-batch contributes its
     * slim per-doc facts ([[graft.llm.CorpusStats.datacardDocStats]] —
     * text dropped, quality pre-cast to the exact decimal summand) to

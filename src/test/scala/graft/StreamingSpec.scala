@@ -517,6 +517,44 @@ class StreamingSpec extends SparkSpec {
     assert(byLang("en")(9).asInstanceOf[Long] > 0L) // zipf_alpha_micro
   }
 
+  test("semDedupIngest: streamed survivors equal semDedupFrozen over the " +
+      "union; drop chains cross batches through non-survivor state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    // frozen 2-cell centroid table (the intCentroidTable contract: a
+    // per-batch-trained quantizer would shift cells as the corpus grows)
+    val cents = Seq((0, Seq(127, 0, 0, 0, 0, 0, 0, 0)),
+      (1, Seq(0, 127, 0, 0, 0, 0, 0, 0))).toDF("cid", "q")
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.Pipelines.semDedupIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, 0.99, s"$base/clean", s"$base/idx", s"$base/ckpt")
+    // quantized sims: cos(a,b) = cos(b,c) ≈ 0.995 ≥ t, cos(a,c) ≈ 0.979
+    // < t — so c's ONLY dropper is b, and b itself drops vs a: cutting c
+    // in batch 2 REQUIRES the state to carry the non-survivor b
+    val b1 = Seq(
+      (1L, v(1.0, 0.1)),   // a — chain head, survives
+      (2L, v(1.0, 0.0)),   // b — drops vs a
+      (10L, v(0.0, 1.0)))  // cell-1 original, survives
+    val b2 = Seq(
+      (3L, v(1.0, -0.1)),  // c — drops vs the already-dropped b
+      (11L, v(0.0, 1.0)),  // exact cross-batch dup of 10 → drops
+      (12L, v(0.3, 0.3)))  // equidistant tie → cell 0, no near-dup → survives
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(s"$base/clean")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val union = (b1 ++ b2).toDF("vec_id", "embedding")
+    val batch = graft.llm.Similarity.semDedupFrozen(union, cents, 0.99)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch)
+    assert(streamed === Set(1L, 10L, 12L),
+      s"chain/dup semantics drifted: $streamed")
+    // the persisted state carries EVERY ingested vector, not survivors
+    assert(graft.streaming.Pipelines.readSemDedupState(spark, s"$base/idx")
+      .count() === 6L)
+  }
+
   test("datacardIngest with a FROZEN tokenizer streams the fertility leg " +
       "bit-identically") {
     val base = java.nio.file.Files.createTempDirectory("graft_dcf").toString
