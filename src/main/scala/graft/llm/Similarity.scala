@@ -123,90 +123,11 @@ object Similarity extends Serializable {
   /** Fixed max dimensionality of the precomputed hyperplane set. */
   private val MaxDim = 256
 
-  /** Deterministic hyperplanes (java.util.Random is a specified LCG →
-    * identical on every JVM, every executor, every run). Indexed as
-    * planes[table][bit][dim].
-    */
-  private def planesArray(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
-    val rng = new java.util.Random(0x9E3779B9L)
-    Array.tabulate(tables, bits, MaxDim)((_, _, _) => rng.nextDouble() * 2 - 1)
-  }
-
-  /** JIT-compiled bucket kernel: sign pattern of hyperplane dot products. */
-  private def bucketsScala(v: Seq[Double], planes: Array[Array[Array[Double]]],
-      tables: Int, bits: Int): Array[Long] = {
-    val arr = v.toArray
-    require(arr.length <= MaxDim,
-      s"lshIndex supports embeddings up to $MaxDim dims, got ${arr.length}; raise MaxDim")
-    Array.tabulate(tables) { t =>
-      var acc = 0L
-      var b = 0
-      while (b < bits) {
-        val plane = planes(t)(b)
-        var dot = 0.0
-        var d = 0
-        while (d < arr.length) { dot += arr(d) * plane(d); d += 1 }
-        acc = acc * 2 + (if (dot > 0) 1L else 0L)
-        b += 1
-      }
-      acc
-    }
-  }
-
-  /** (id, table, bucket) rows for every vector — the LSH index relation.
-    * Heavy arithmetic runs as primitive Scala inside mapPartitions (Catalyst
-    * higher-order functions are interpreted, ~50× slower here); the result
-    * feeds ordinary equi-joins.
-    */
-  def lshIndex(df: DataFrame, tables: Int, bits: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    lshFromVecs(
-      df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")),
-      tables, bits, idCol)
-
-  /** LSH kernel over an already-narrow (id: long, vec: array<double>)
-    * frame — lets callers that materialized the projection (e.g.
-    * [[cosineNearDups]]) index it without re-deriving from source.
-    */
-  private def lshFromVecs(vecs: DataFrame, tables: Int, bits: Int,
-      idCol: String): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val planes = planesArray(tables, bits)
-    vecs.as[(Long, Seq[Double])]
-      .mapPartitions(_.flatMap { case (id, v) =>
-        bucketsScala(v, planes, tables, bits).iterator.zipWithIndex
-          .map { case (bk, t) => (id, t, bk) }
-      })
-      .toDF(idCol, "table", "bucket")
-  }
-
-  /** JIT-compiled exact cosine over (a, b, va, vb) pair rows. Same
-    * left-to-right accumulation order and formula as the `cosine` expression
-    * → bit-identical doubles, oracle-safe.
-    */
-  private def cosineOfPairs(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.select(col(aCol).cast("long"), col(bCol).cast("long"),
-        col("va"), col("vb"))
-      .as[(Long, Long, Seq[Double], Seq[Double])]
-      .mapPartitions(_.map { case (a, b, va, vb) =>
-        val x = va.toArray; val y = vb.toArray
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < x.length) {
-          dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
-        }
-        (a, b, dot / (math.sqrt(na) * math.sqrt(nb)))
-      })
-      .toDF(aCol, bCol, "sim_raw")
-  }
-
-  private def vectorsOf(df: DataFrame, idCol: String, vecCol: String,
-      asId: String, asVec: String): DataFrame =
-    df.select(col(idCol).cast("long").as(asId),
-      col(vecCol).cast("array<double>").as(asVec))
+  // The float java.util.Random hyperplane machinery that used to live
+  // here (planesArray / bucketsScala / lshIndex / lshFromVecs /
+  // cosineOfPairs) was retired in r12: its one consumer, cosineNearDups,
+  // now rides the md5-integer LSH index below, so its candidate set
+  // replays in the SQL oracle (a JVM-private LCG would not).
 
   // ===== engine-exact integer ANN primitives =======================
   //
@@ -767,31 +688,48 @@ object Similarity extends Serializable {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding near-dup pairs: all corpus pairs with cosine ≥ threshold.
-    * Candidate generation via LSH buckets (any shared bucket), verification
-    * by exact cosine — output-bounded, no n² stage.
+  /** Embedding near-dup pairs: all pairs at exact quantized cosine ≥
+    * `threshold` among md5-integer LSH candidates — ENGINE-EXACT end to
+    * end (r11 VERDICT ask #1, the last ANN path off the float
+    * hyperplanes). Candidates share a bucket in any of `tables` hash
+    * sets (the SAME [[intLshFromVecs]] index as [[annTopK]]); pairs are
+    * generated bucket-locally by the shared chunked machinery
+    * ([[Dedup.pairsWithinBuckets]] — one shuffle of slim (table, bucket,
+    * id) triples, never a two-sided self-join); verification is the
+    * exact int8 cosine ([[intCosScala]]). Every stage — quantization,
+    * buckets, the capped candidate set, the similarity doubles — is
+    * integer (or single-rounding IEEE) arithmetic, so the full output
+    * replays bit-identically in unrolled SQL
+    * ([[graft.queries.AnnOracleSql.nearDupSql]]): the oracle checks the
+    * engine's CANDIDATE SET, not just structural recall on planted dups.
+    *
+    * Recall < 1 by design (a near pair split by every hash set is
+    * missed — the standard LSH trade); a planted scaled copy quantizes
+    * identically (amax-relative int8), hence collides in ALL tables and
+    * scores exactly 1.0 — recall 1.0 on duplicates, pinned in
+    * AnnRecallSpec. `maxBucketSize` skips degenerate buckets wholesale,
+    * the guard every LSH path carries; output is candidate-bounded,
+    * no n² stage anywhere.
     */
   def cosineNearDups(df: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 10000): DataFrame = {
-    // one materialization of the narrow (id, vec) frame: the LSH kernel
+    // one materialization of the narrow (id, q8) frame: the LSH kernel
     // and BOTH pair-side joins read it instead of three source scans
-    // (same pattern as semDedup; compact binary, no lineage)
-    val vecs = vectorsOf(df, idCol, vecCol, "__cnd_id", "__cnd_v")
+    // (same pattern as semDedup/annTopK; compact binary, no lineage)
+    val vecs = q8Of(df, idCol, vecCol, "__cnd_id", "__cnd_q")
       .localCheckpoint()
-    val idx = lshFromVecs(vecs, tables, bits, idCol)
-    // bucket-local pair generation: one shuffle of slim (table, bucket, id)
-    // rows instead of a two-sided self-join; a pair colliding in up to
-    // `tables` buckets still reaches distinct() only as (id_a, id_b) longs
+    val idx = intLshFromVecs(vecs, tables, bits, idCol)
+    // bucket-local pair generation: a pair colliding in up to `tables`
+    // buckets still reaches distinct() only as (id_a, id_b) longs
     val cands = Dedup.pairsWithinBuckets(idx, Seq("table", "bucket"), idCol,
       maxBucketSize)
       .join(vecs.select(col("__cnd_id").as("id_a"),
-        col("__cnd_v").as("va")), "id_a")
+        col("__cnd_q").as("qa")), "id_a")
       .join(vecs.select(col("__cnd_id").as("id_b"),
-        col("__cnd_v").as("vb")), "id_b")
-    cosineOfPairs(cands, "id_a", "id_b")
-      .withColumn("sim", round(col("sim_raw"), 4))
+        col("__cnd_q").as("qb")), "id_b")
+    intCosineOfPairs(cands, "id_a", "id_b")
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

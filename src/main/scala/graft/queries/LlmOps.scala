@@ -976,9 +976,16 @@ object LlmOps extends QueryPack {
         e.filter(col("vec_id") % 50 === 0), threshold = 0.95)
     }),
 
-    // ---- embedding near-dup pairs via hyperplane LSH + exact cosine ----
-    "sim_neardup_cosine" -> ((s, dir) =>
-      Similarity.cosineNearDups(vecsWithDups(s, dir), threshold = 0.99)),
+    // ---- embedding near-dup pairs (engine-exact since r12: md5-integer
+    //      LSH candidates + exact quantized cosine — the oracle
+    //      AnnOracleSql.nearDupSql replays the candidate set, not just
+    //      structural recall on the planted scaled copies) ----
+    "sim_neardup_cosine" -> ((s, dir) => {
+      import AnnOracleSql._
+      Similarity.cosineNearDups(vecsWithDups(s, dir),
+        threshold = NearDupThreshold, tables = LshTables, bits = LshBits,
+        maxBucketSize = LshMaxBucket)
+    }),
 
     // ---- LSH ANN top-k (scale path). Engine-exact since r11: md5-integer
     //      hyperplanes over int8-quantized vectors, so candidates AND
@@ -3270,15 +3277,7 @@ object LlmOps extends QueryPack {
     "sim_ann_pq" -> AnnOracleSql.pqSql,
     "sim_semdedup" -> AnnOracleSql.semDedupSql,
 
-    "sim_neardup_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT * FROM e
-        |      UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 1.1) FROM e)
-        |SELECT id_a, id_b, sim FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |  FROM u a, u b WHERE a.vec_id < b.vec_id)
-        |WHERE sim >= 0.99""".stripMargin,
+    "sim_neardup_cosine" -> AnnOracleSql.nearDupSql,
 
     "pipeline_curate" ->
       s"""WITH f AS (

@@ -58,6 +58,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.8, f"PQ recall degraded: $r%.3f (measured 0.85)")
   }
 
+  test("cosineNearDups planted-dup recall is 1.0 at sim exactly 1.0") {
+    // a scaled copy quantizes identically (amax-relative int8), so it
+    // collides with its source in ALL hash tables and the exact quantized
+    // cosine is dot/sqrt(na·nb) = na/sqrt(na²) = 1.0 — recall on planted
+    // duplicates is structural, not probabilistic
+    val dup = emb.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * lit(1.1)).as("embedding"))
+    val pairs = Similarity.cosineNearDups(emb.unionByName(dup),
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(planted.length == 500, s"planted recall ${planted.length}/500")
+    assert(planted.forall(_._3 == 1.0),
+      "a planted scaled copy scored below exact 1.0")
+  }
+
   test("hybrid ANN fusion agrees with the exact-dense hybrid above floor") {
     // ret_hybrid_rrf's dense leg scores the FULL corpus with the exact
     // quantized cosine, so its fused output is the brute-force reference
