@@ -24,7 +24,8 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `substring_dedup`, `substring_runs`, `para_dedup`,
   * `para_clean_indexed`, `lm_score`, `lm_backoff`, `ppl_buckets`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
-  * `score_linear`)
+  * `score_linear`, and — the embedding modality, r11 VERDICT ask #3 —
+  * `train_centroids`, `semdedup`, `kmeans`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
@@ -860,6 +861,56 @@ object PipelineConfig {
             sys.error("decontaminate_sem needs name = ref parquet path")))
           graft.llm.Similarity.semanticContamination(d, ref,
             t.expr.getOrElse("0.95").trim.toDouble, idc, vc)
+        // train + REPLACE the frame with the frozen int8 centroid table
+        // (cid INT, q ARRAY<INT>) the `semdedup` op consumes — persist it
+        // via the step's sink, then point later steps (or the
+        // semDedupIngest loop) at that path. The frozen stance is the
+        // mergeable one: every batch sees the SAME cells. cols =
+        // [idCol, vecCol], expr = "k[,iters[,sampleSize]]"
+        // (defaults 2 iters, 4096 md5-ordered sample)
+        case "train_centroids" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("train_centroids needs cols = [idCol, vecCol]")
+          }
+          val p = t.expr.getOrElse(
+            sys.error("train_centroids needs expr = k[,iters[,sampleSize]]"))
+            .split(",").map(_.trim.toInt)
+          graft.llm.Similarity.intCentroidTable(d, p(0),
+            if (p.length > 1) p(1) else 2, idc, vc,
+            if (p.length > 2) p(2) else 4096)
+        // SemDeDup under a FROZEN centroid table (Abbas et al. 2023):
+        // drops rows whose embedding sits at exact quantized cosine >=
+        // threshold of a LOWER-ID row in the same frozen cell (min-id
+        // survivor). cols = [idCol, vecCol], name = centroid-table
+        // parquet path (train via `train_centroids`),
+        // expr = "threshold[,maxClusterSize]" (default 0.99,10000)
+        case "semdedup" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("semdedup needs cols = [idCol, vecCol]")
+          }
+          val cents = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("semdedup needs name = centroid-table parquet path")))
+          val p = t.expr.getOrElse("0.99").split(",").map(_.trim)
+          graft.llm.Similarity.semDedupFrozen(d, cents, p(0).toDouble,
+            idc, vc, if (p.length > 1) p(1).toInt else 10000)
+        // deterministic integer k-means assignment: REPLACES the frame
+        // with (idCol, cluster, dist) — exact BIGINT squared-L2 over
+        // int8-quantized vectors, lowest-index tie-break, truncating
+        // integer-mean updates (identical on any engine / parallelism).
+        // cols = [idCol, vecCol], expr = "k[,iters]" (default 2 iters)
+        case "kmeans" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("kmeans needs cols = [idCol, vecCol]")
+          }
+          val p = t.expr.getOrElse(
+            sys.error("kmeans needs expr = k[,iters]"))
+            .split(",").map(_.trim.toInt)
+          graft.llm.Similarity.kmeansInt8(d, p(0),
+            if (p.length > 1) p(1) else 2, idc, vc)
         // ROUGE-L decontamination (the Self-Instruct SFT dedup gate):
         // drops rows whose ROUGE-L vs any reference doc clears the
         // threshold. cols = [idCol, textCol], name = ref parquet path

@@ -72,18 +72,34 @@ class ConfigFuzzSpec extends SparkSpec {
   private lazy val fixtureDir: String =
     java.nio.file.Files.createTempDirectory("graft-fuzz").toString
 
+  // deterministic 8-dim embedding: 5 direction families, each row a
+  // scaled copy of its family base (amax-relative int8 quantization maps
+  // scaled copies to IDENTICAL codes → the semdedup op has real dups to
+  // drop, with min-id survivors)
+  private def embFor(i: Int): Seq[Double] = {
+    val fam = i % 5
+    val scale = 1.0 + 0.07 * (i / 5)
+    (0 until 8).map(j => (math.sin(fam + j * 0.7) + 2.0) * scale)
+  }
+
   private lazy val base: DataFrame = {
     val rows = (1 to 46).map { i =>
       (i.toLong, Seq("en", "fr", "de")(i % 3),
-        if (i % 2 == 0) "web" else "book", textFor(i))
+        if (i % 2 == 0) "web" else "book", textFor(i), embFor(i))
     } ++ Seq( // planted exact dups (higher ids lose to min-id survivors)
-      (47L, "fr", "web", textFor(3)), (48L, "en", "book", textFor(6)))
-    val df = rows.toDF("doc_id", "lang", "source", "text").cache()
+      (47L, "fr", "web", textFor(3), embFor(47)),
+      (48L, "en", "book", textFor(6), embFor(48)))
+    val df = rows.toDF("doc_id", "lang", "source", "text", "emb").cache()
     // external artifacts for the path-parameterized ops
     df.select("doc_id", "text").filter(col("doc_id").isin(1L, 5L, 9L))
       .coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/ref")
     FuzzWords.take(4).toDF("word")
       .coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/vocab")
+    // frozen centroid table for the semdedup op (the train_centroids →
+    // semdedup chain ConfigSpec drives through JobRunner)
+    graft.llm.Similarity.intCentroidTable(df, k = 4, iters = 2,
+        idCol = "doc_id", vecCol = "emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/cents")
     df
   }
 
@@ -108,7 +124,8 @@ class ConfigFuzzSpec extends SparkSpec {
     FuzzOp("withColumn", AnnotateOp,
       Seq(tc("withColumn", expr = "length(text)", name = "t_len"))),
     FuzzOp("select_core", MapOp,
-      Seq(tc("select", cols = Seq("doc_id", "lang", "source", "text")))),
+      Seq(tc("select", cols = Seq("doc_id", "lang", "source", "text",
+        "emb")))),
     FuzzOp("repartition", MapOp, Seq(tc("repartition", expr = "8"))),
     // text cleanup in place
     FuzzOp("normalize", MapOp, Seq(tc("normalize", cols = Seq("text")))),
@@ -131,6 +148,12 @@ class ConfigFuzzSpec extends SparkSpec {
         expr = "5,4,2"))),
     FuzzOp("dedup_fuzzy", FilterOp,
       Seq(tc("dedup_fuzzy", cols = Seq("doc_id", "text"), expr = "1"))),
+    // embedding modality (r11 VERDICT ask #3): frozen-quantizer SemDeDup
+    // against the fixture centroid table — scaled family members are
+    // exact quantized dups, so this filter genuinely drops rows
+    FuzzOp("semdedup", FilterOp,
+      Seq(tc("semdedup", cols = Seq("doc_id", "emb"),
+        name = s"$fixtureDir/cents", expr = "0.995"))),
     FuzzOp("decontaminate_near", FilterOp,
       Seq(tc("decontaminate_near", cols = Seq("doc_id", "text"),
         name = s"$fixtureDir/ref", expr = "3,0.5"))),
@@ -288,13 +311,20 @@ class ConfigFuzzSpec extends SparkSpec {
     FuzzOp("expect_unique", ReshapeOp,
       Seq(tc("expect_unique", cols = Seq("doc_id"))),
       needsUniqueIds = true),
-    FuzzOp("profile", ReshapeOp, Seq(tc("profile"))))
+    FuzzOp("profile", ReshapeOp, Seq(tc("profile"))),
+    // embedding reshapes: deterministic integer k-means assignment and
+    // fresh centroid training (both replace the frame, terminal)
+    FuzzOp("kmeans", ReshapeOp,
+      Seq(tc("kmeans", cols = Seq("doc_id", "emb"), expr = "3,2"))),
+    FuzzOp("train_centroids", ReshapeOp,
+      Seq(tc("train_centroids", cols = Seq("doc_id", "emb"),
+        expr = "4,2"))))
 
   test("100 seeded declarative pipelines: compose, round-trip, " +
       "invariants, deterministic replay") {
     val rng = new scala.util.Random(20260815L)
     val baseCount = base.count()
-    val CoreCols = Set("doc_id", "lang", "source", "text")
+    val CoreCols = Set("doc_id", "lang", "source", "text", "emb")
     var composed = Map.empty[String, Int]
     for (i <- 1 to 100) {
       var df = base

@@ -1002,6 +1002,60 @@ class ConfigSpec extends SparkSpec {
     assert(rl.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("declared embedding ops: train_centroids → semdedup through " +
+      "JobRunner, kmeans assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("embcfg").toString
+    // deterministic corpus: two tight families (scaled copies quantize
+    // identically) + singletons, written as the pipeline's parquet input
+    val corpus = (0L until 20L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i % 5 + j * 0.7) + 2.0)
+      (i, base.map(_ * (1.0 + 0.1 * (i / 5))).toSeq)
+    }.toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(s"$dir/in")
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "emb1", "name": "semdedup-chain", "steps": [
+         |  { "step": "train", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$dir/in"] },
+         |    "transforms": [ { "op": "train_centroids",
+         |      "cols": ["vec_id", "embedding"], "expr": "4,2" } ],
+         |    "sink": { "type": "parquet", "path": "$dir/cents" } },
+         |  { "step": "dedup", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$dir/in"] },
+         |    "transforms": [ { "op": "semdedup",
+         |      "cols": ["vec_id", "embedding"], "name": "$dir/cents",
+         |      "expr": "0.99" } ],
+         |    "sink": { "type": "parquet", "path": "$dir/out" } } ] }""".stripMargin)
+    // declared surface round-trips
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    val st = PipelineConfig.run(spark, conf, new InMemoryStore)
+    assert(st.streams("train").status === JobState.Complete)
+    assert(st.streams("dedup").status === JobState.Complete)
+    // the persisted centroid table IS the intCentroidTable output
+    val cents = spark.read.parquet(s"$dir/cents")
+    assert(cents.columns.sorted.toSeq === Seq("cid", "q"))
+    assert(cents.count() === 4L)
+    // config survivors ≡ direct semDedupFrozen over the same frozen table
+    val direct = graft.llm.Similarity
+      .semDedupFrozen(spark.read.parquet(s"$dir/in"), cents, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaCfg = spark.read.parquet(s"$dir/out")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaCfg === direct)
+    // a scaled family deduplicates: strictly fewer survivors than rows
+    assert(viaCfg.size < 20 && viaCfg.nonEmpty)
+    // kmeans reshape ≡ kmeansInt8
+    val viaOp = PipelineConfig.applyTransforms(corpus, Seq(
+      PipelineConfig.TransformConf(op = "kmeans",
+        cols = Seq("vec_id", "embedding"), expr = Some("3,2"))))
+    assert(viaOp.columns.toSeq === Seq("vec_id", "cluster", "dist"))
+    val directK = graft.llm.Similarity.kmeansInt8(corpus, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaOp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === directK)
+  }
+
   test("declared dedup_video op") {
     import spark.implicits._
     import graft.llm.VideoHash
