@@ -34,6 +34,37 @@ object Relational extends QueryPack {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** DuckDB CTE chain replaying [[graft.llm.Sketches.hllEstimate]] over
+    * `lineitem` grouped by `l_returnflag`, hashing `keyExpr` — prefixed so
+    * two estimator instances coexist in one oracle (q25 runs the orderkey
+    * and partkey legs side by side). Final CTE `<p>lnfin(g, sv, v, raw,
+    * …ln stages…)`; the small-range CASE is applied by the caller. */
+  private def hllOracleCtes(p: String, keyExpr: String): String = {
+    val a = graft.llm.Sketches.alphaMicro(256)
+    val lnChain = graft.functions.PortableMath.duckCteChain(
+      graft.functions.PortableMath.microLnStages("greatest(v, 1)", "256",
+        graft.functions.PortableMath.duckShiftLeft), s"${p}r", s"${p}ln")
+    s"""${p}h AS (SELECT l_returnflag AS g,
+       |    CAST(list_sum(list_transform(range(1, 11), j ->
+       |      CAST(strpos('0123456789abcdef', substr(substr(md5(
+       |        CAST($keyExpr AS VARCHAR)), 1, 10), j, 1)) - 1 AS BIGINT)
+       |      * (CAST(1 AS BIGINT) << (4 * (10 - j))))) AS BIGINT) AS hv
+       |  FROM lineitem),
+       |${p}reg AS (SELECT g, hv % 256 AS j,
+       |    max(CASE WHEN hv // 256 = 0 THEN 33
+       |        ELSE 33 - length(bin(hv // 256)) END) AS mj
+       |  FROM ${p}h GROUP BY 1, 2),
+       |${p}s AS (SELECT g,
+       |    CAST(sum(CAST(1 AS BIGINT) << (33 - mj)) +
+       |      (256 - count(*)) * (CAST(1 AS BIGINT) << 33) AS BIGINT) AS sv,
+       |    CAST(256 - count(*) AS BIGINT) AS v
+       |  FROM ${p}reg GROUP BY 1),
+       |${p}r AS (SELECT g, sv, v,
+       |    CAST(($a * (562949953421312 // sv)) // 1000000 AS BIGINT) AS raw
+       |  FROM ${p}s),
+       |$lnChain""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation (TPC-H Q1 shape): partial agg + exact decimal sums ----
     "q1_pricing_summary" -> ((s, dir) => {
@@ -429,30 +460,58 @@ object Relational extends QueryPack {
         .na.fill(0L)
     }),
 
-    // ---- approximate distinct (HLL++): rows-only check — sketch values are
-    //      engine-specific by construction; exactness is tested in
-    //      RelationalSpec against the true distinct count ----
+    // ---- approximate distinct on graft's own md5-nibble HLL (r11 VERDICT
+    //      ask #6): same mergeable one-pass shape as Spark's HLL++
+    //      (256 registers, map-side max-combine, ≤256 rows/group of state)
+    //      but every stage — 40-bit md5 hash, register ranks, integer
+    //      harmonic estimator, staged-ln small-range correction — replays
+    //      bit-identically in SQL, so the APPROXIMATE VALUES themselves
+    //      are oracle-hash-checked instead of rows-only. Spark's built-in
+    //      approx_count_distinct stays covered by JoinsSpec's error-bound
+    //      pin. ----
     "q25_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir).lineitem
-        .groupBy($"l_returnflag")
-        .agg(
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
-          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      val li = t(s, dir).lineitem
+      val ords = graft.llm.Sketches.hllEstimate(
+        li.select($"l_returnflag", $"l_orderkey"),
+        "l_returnflag", $"l_orderkey")
+        .withColumnRenamed("n_hll", "approx_orders")
+      val parts = graft.llm.Sketches.hllEstimate(
+        li.select($"l_returnflag", $"l_partkey"),
+        "l_returnflag", $"l_partkey")
+        .withColumnRenamed("n_hll", "approx_parts")
+      ords.join(parts, Seq("l_returnflag"))
     }),
 
-    // ---- approximate percentiles (mergeable sketch — the scale form of
-    //      q22's exact percentiles: one pass, fixed-size state per group,
-    //      no sort). Sketch values are engine-specific → rows-only check;
-    //      the error bound vs exact percentile is pinned in JoinsSpec. ----
+    // ---- approximate percentiles via a deterministic bottom-k hash
+    //      sample (r11 VERDICT ask #6): per group, the 32 rows with the
+    //      smallest (md5(id), id) key form a uniform, LAYOUT-FREE sample
+    //      (a SET — merge shards by union + re-bottom-k, unlike KLL whose
+    //      compactions depend on arrival order), and the estimate is the
+    //      sample's exact lower-rank quantile. Spark plans the rn ≤ k
+    //      filter as WindowGroupLimit (partial, map-side per-group heap
+    //      BEFORE the shuffle), so no group is ever fully sorted — the
+    //      one-pass bounded-state shape approx_percentile has, with
+    //      values that replay in the oracle. The KLL built-in stays
+    //      covered by JoinsSpec's rank-tolerance pin. ----
     "q33_approx_percentiles" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir).customer
-        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
-        .agg(
-          expr("approx_percentile(c_acctbal, 0.25, 1000)").as("p25"),
-          expr("approx_percentile(c_acctbal, 0.5, 1000)").as("median"),
-          expr("approx_percentile(c_acctbal, 0.75, 1000)").as("p75"))
+      val k = 32
+      val c = t(s, dir).customer.select(
+        $"c_nationkey".cast("long").as("c_nationkey"),
+        $"c_acctbal".as("v"), $"c_custkey".as("id"))
+      val samp = c.withColumn("rn", row_number().over(
+          Window.partitionBy($"c_nationkey")
+            .orderBy(md5($"id".cast("string")), $"id")))
+        .filter($"rn" <= k)
+      val ranked = samp.select($"c_nationkey", $"v",
+        row_number().over(Window.partitionBy($"c_nationkey")
+          .orderBy($"v", $"id")).as("sr"),
+        count(lit(1)).over(Window.partitionBy($"c_nationkey")).as("n"))
+      def pick(q: Double) =
+        max(when($"sr" === greatest(lit(1L), ceil($"n" * q)), $"v"))
+      ranked.groupBy($"c_nationkey").agg(
+        pick(0.25).as("p25"), pick(0.5).as("median"), pick(0.75).as("p75"))
     }),
 
     // ---- C7: delegated-SQL surface made native — the reference ships SQL
@@ -935,6 +994,43 @@ object Relational extends QueryPack {
         |  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS HOUSEHOLD,
         |  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS MACHINERY
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // graft HLL replayed exactly, twice (orderkey + partkey legs): same
+    // 40-bit md5 nibble hash, minimal-length bin() rank, integer harmonic
+    // estimator and staged-ln correction as the hll_distinct oracle
+    "q25_approx_distinct" -> {
+      def est(t: String) =
+        s"CAST(CASE WHEN $t.raw <= 640 AND $t.v > 0 " +
+          s"THEN ((-$t.lp) * 256) // 1000000 ELSE $t.raw END AS BIGINT)"
+      s"""WITH ${hllOracleCtes("ho", "l_orderkey")},
+         |${hllOracleCtes("hp", "l_partkey")}
+         |SELECT o.g AS l_returnflag,
+         |  ${est("o")} AS approx_orders,
+         |  ${est("p")} AS approx_parts
+         |FROM holnfin o JOIN hplnfin p ON o.g = p.g""".stripMargin
+    },
+
+    // the bottom-32 md5-keyed sample and its lower-rank quantiles replay
+    // verbatim: sample membership is a pure function of ids, ranks are a
+    // total order on (v, id), and the picked values are raw data doubles
+    "q33_approx_percentiles" -> {
+      def pick(q: String, as: String) =
+        s"max(CASE WHEN sr = greatest(1, CAST(ceil(n * $q) AS BIGINT)) " +
+          s"THEN v END) AS $as"
+      s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+         |    c_acctbal AS v, c_custkey AS id FROM customer),
+         |samp AS (SELECT g, v, id FROM (
+         |    SELECT g, v, id, row_number() OVER (PARTITION BY g
+         |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM c)
+         |  WHERE rn <= 32),
+         |rk AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v, id) AS sr,
+         |    count(*) OVER (PARTITION BY g) AS n
+         |  FROM samp)
+         |SELECT g AS c_nationkey, ${pick("0.25", "p25")},
+         |  ${pick("0.5", "median")}, ${pick("0.75", "p75")}
+         |FROM rk GROUP BY 1""".stripMargin
+    },
 
     "c7_sql_frontend" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -65,12 +65,14 @@ class BenchArtifactSpec extends AnyFunSuite {
         s"full names, risking the tail budget): $collided")
   }
 
-  test("every query has an oracle or is a documented rows-only exception") {
-    // rows-only by design: ONLY the two Spark-internal approximate
-    // built-ins (HLL++ / KLL sketches with engine-private hashes) remain
-    // unreplayable; the ANN family went oracle-exact in r11
-    // (AnnOracleSql) and left this set
-    val rowsOnly = Set("q25_approx_distinct", "q33_approx_percentiles")
+  test("every query has an oracle — the rows-only exception set is EMPTY") {
+    // r12 (VERDICT ask #6): the last two rows-only queries re-platformed
+    // onto graft-native deterministic sketches (q25 → md5-nibble HLL,
+    // q33 → bottom-k md5 hash-sample quantiles), so every declared query
+    // now carries a full DuckDB oracle. Spark's approx_count_distinct /
+    // approx_percentile built-ins stay covered by JoinsSpec's
+    // error-bound pins.
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly,
       s"queries without oracles beyond the documented set: " +

@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
     assert(nExchanges(p) === 1, p.take(800))
   }
 
+  test("q33's bottom-k hash sample prunes map-side (WindowGroupLimit)") {
+    // the rn <= 32 filter over (md5(id), id) must become a partial
+    // WindowGroupLimit: each map task keeps ≤ 32 rows per group BEFORE
+    // the shuffle, so the sample never sorts a whole group — the
+    // bounded-state shape that makes the deterministic hash-sample a
+    // legitimate stand-in for a KLL sketch at 100 TB
+    val p = plan("q33_approx_percentiles")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("selection/mixture output plans scan the corpus exactly once") {
     // the histogram pass reads a slim localCheckpoint, not the source, so
     // the caller's final plan must contain a single documents FileScan
