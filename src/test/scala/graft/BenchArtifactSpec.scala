@@ -137,6 +137,76 @@ class BenchArtifactSpec extends AnyFunSuite {
     "unigram_vocab" -> "uv"
   )
 
+  test("noise field ranks below per-query resolution in the tail line") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // r11-realistic widths (every query ≤ 3 s): the pack sits 2 chars
+    // under the budget at uniform 1-decimal, so the 13-char noise field
+    // cannot fit — the encoder must ship full per-query resolution and
+    // DROP the field, never demote entries to make room for diagnostics
+    val med = names.map(_ -> 2.3).toMap
+    val tight = Bench.tailLine(names, med, 199 * 2.3, "0.1", noise = 14.3)
+    assert(tight.length <= Bench.TailBudget)
+    assert(!tight.contains("\"noise\""),
+      "noise must be sacrificed before per-query resolution")
+    // the field's presence must never change what resolution ships: once
+    // dropped, the line is identical to one that never had the field
+    assert(tight === Bench.tailLine(names, med, 199 * 2.3, "0.1"),
+      "requesting noise cost per-query resolution")
+    // at a pack (or value widths) with room, the field ships
+    val small = names.take(150)
+    val roomy = Bench.tailLine(small, med, 150 * 2.3, "0.1", noise = 14.3)
+    assert(roomy.contains("\"noise\":14.3"),
+      "noise must ship whenever the budget allows")
+  }
+
+  test("regression band consumes the measured noise floor") {
+    // the r11 lesson: driver totals across rounds (94.1 → 109.4 s) moved
+    // MORE than any real plan change while one run's own warm reps spanned
+    // 106–120 s — so the band check must price in the run's measured
+    // spread, not eyeball it. Pin the gate's arithmetic:
+    val prev = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> -1.0)
+    val cur = Map("a" -> 1.7, "b" -> 2.0, "c" -> 2.5, "d" -> 5.0)
+    // a: inside 1.5×+0.3 (≤ 1.8) — clean
+    // b: outside the bare band but covered by its own 0.4 s spread — noise
+    // c: outside band + spread — a real regression, flagged
+    // d: failed in the previous round (−1) — never flagged
+    val flagged = Bench.flaggedRegressions(prev, cur,
+      Map("b" -> 0.4, "c" -> 0.3))
+    assert(flagged === Seq("c"))
+    // spread never NEGATIVELY narrows the band (a −1 failed-spread entry
+    // must not turn the bare band into an impossible one)
+    assert(Bench.flaggedRegressions(Map("x" -> 1.0), Map("x" -> 1.7),
+      Map("x" -> -1.0)) === Seq.empty)
+  }
+
+  test("bench_out.json carries the per-query spread map the band check " +
+      "consumes") {
+    // artifact contract (r12+): every run of graft.Bench writes a
+    // "spread" map (per-query max−min across warm reps) and
+    // "noise_total_sec" (spread of the rep totals) next to "queries".
+    // Skip when the tree has no artifact yet (fresh clone pre-bench).
+    val p = java.nio.file.Paths.get("bench_out.json")
+    assume(java.nio.file.Files.exists(p), "no bench_out.json in the tree")
+    val json = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    import org.json4s._
+    val obj = json.asInstanceOf[JObject].obj.toMap
+    assume(obj.contains("spread"),
+      "pre-r12 artifact without a spread map (refreshed by the next run)")
+    def keys(f: String) = obj(f).asInstanceOf[JObject].obj.map(_._1).toSet
+    assert(keys("spread") === keys("queries"),
+      "spread map must cover exactly the query set")
+    val spreads = obj("spread").asInstanceOf[JObject].obj.map(_._2)
+      .collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
+    assert(spreads.forall(s => s >= 0.0 || s == -1.0),
+      "spreads are max−min (≥ 0) or the −1 failure marker")
+    val JDouble(noise) = obj("noise_total_sec"): @unchecked
+    val totals = obj("rep_totals").asInstanceOf[JArray].arr
+      .collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
+    assert(math.abs(noise - (totals.max - totals.min)) < 0.01,
+      "noise_total_sec must equal the spread of the rep totals")
+  }
+
   test("r8 bench keys are stable: current keys are a superset of round 8's") {
     val current = SparkEntry.queries.keySet
     val dropped = R8Keys.keySet -- current

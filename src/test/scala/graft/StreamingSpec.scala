@@ -642,6 +642,71 @@ class StreamingSpec extends SparkSpec {
     assert(resolved === full)
   }
 
+  test("substringDedupIngest KILLED between micro-batches resumes from " +
+      "the persisted index (mid-stream kill-and-resume capstone)") {
+    // the r11 batch capstone (JobSpec) proves config pipelines resume
+    // between durable steps; this one kills an INGEST LOOP mid-stream:
+    // stop the query after batch 0, re-open a NEW query from the same
+    // checkpoint + base/delta index dirs, and require (a) the old drop
+    // is not replayed, (b) cross-batch dedup still sees batch-0 state —
+    // i.e. the loop's memory genuinely lives in the persisted index, not
+    // in the stopped query's JVM state
+    val in = java.nio.file.Files.createTempDirectory("graft_ssk_in")
+    val base = java.nio.file.Files.createTempDirectory("graft_ssk").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = graft.streaming.Pipelines.substringDedupIngest(
+      spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
+      "doc_id", "text", s"$base/clean", s"$base/index", s"$base/ckpt",
+      minRunTokens = 4)
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    val b1 = Seq((1L, s"a1 b1 $run c1"), (2L, s"a2 $run b2"))
+    val b2 = Seq((3L, s"x3 $run y3"), (4L, "u4 v4 w4 z4 q4"))
+    val b3 = Seq((5L, s"k5 $run m5"))
+    drop("a.ndjson", b1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // the kill
+    drop("b.ndjson", b2)
+    val q2 = start() // re-open from checkpoint + persisted index
+    q2.processAllAvailable()
+    drop("c.ndjson", b3)
+    q2.processAllAvailable(); q2.stop()
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val streamed = spark.read.parquet(s"$base/clean")
+    // (a) no replay: the killed batch's docs appear exactly once
+    assert(streamed.groupBy($"doc_id").count()
+      .filter($"count" > 1).count() === 0,
+      "resume replayed an already-committed micro-batch")
+    // (b) final state ≡ one uninterrupted run ≡ the batch operator
+    val batch = img(graft.llm.CorpusStats.removeDuplicateSubstrings(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text",
+      minRunTokens = 4))
+    assert(img(streamed) === batch)
+    // docs 3 and 5 deduplicate against BATCH-0 state that only the
+    // persisted index could have carried across the kill
+    val removed = img(streamed).map(t => t._1 -> t._3).toMap
+    assert(removed === Map(1L -> 0L, 2L -> 5L, 3L -> 5L, 4L -> 0L,
+      5L -> 5L))
+    // the resolved keeper index equals the batch index of the union
+    val resolved = graft.streaming.Pipelines
+      .readSubstrIndex(spark, s"$base/index")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val full = graft.llm.CorpusStats.substrKeeperIndex(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text",
+      minRunTokens = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(resolved === full)
+  }
+
   test("boilerplateIngest compaction bounds the index partitions, output unchanged") {
     val base = java.nio.file.Files.createTempDirectory("graft_bpc").toString
     val mem = MemoryStream[(Long, String)](spark)
