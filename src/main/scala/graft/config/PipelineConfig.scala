@@ -258,6 +258,54 @@ object PipelineConfig {
             s"dedup_image hash must be ahash|dhash|phash, got '$hashCol'")
           graft.llm.ImageHash.dropNearDuplicates(d, idc, bc,
             t.expr.getOrElse("3").trim.toInt, hashCol)
+        // decode gate: keep only rows whose binary column decodes to an
+        // image (undecodable bytes carry no perceptual hash, so every
+        // downstream media op would silently pass them through — gate
+        // them out explicitly, the pipeline_multimodal stance).
+        // cols = [idCol, binaryCol]
+        case "image_gate" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("image_gate needs cols = [idCol, binaryCol]")
+          }
+          val ok = graft.llm.ImageHash.imageHashes(d, idc, bc).toDF()
+            .filter(col("decoded")).select(col("id"))
+          d.join(ok, d(idc).cast("long") === ok("id"), "left_semi")
+        // perceptual decontamination vs a reference image suite: drops
+        // rows whose dhash sits within maxHamming of ANY decoded
+        // reference image. cols = [idCol, binaryCol] (the ref parquet
+        // carries the same two columns; ref ids must be disjoint from
+        // corpus ids), name = ref parquet path, expr = maxHamming
+        // (default 3)
+        case "decontaminate_image" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("decontaminate_image needs cols = [idCol, binaryCol]")
+          }
+          val ref = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("decontaminate_image needs name = ref parquet path")))
+          val maxH = t.expr.getOrElse("3").trim.toInt
+          def fp(df: DataFrame) = graft.llm.ImageHash
+            .imageHashes(df, idc, bc).toDF()
+            .filter(col("decoded"))
+            .select(col("id"), col("dhash").as("fp"))
+          val refIds = fp(ref).select(col("id").as("__ref_id"))
+          val pairs = graft.llm.Dedup
+            .hamming64PairsIncremental(fp(d), fp(ref), maxH)
+          // contaminated = the corpus side of every corpus-vs-ref hit
+          // (pair ids are (least, greatest)-normalized, so the corpus id
+          // can land on either side)
+          val contaminated = pairs
+            .join(refIds, pairs("id_b") === refIds("__ref_id"), "left_semi")
+            .select(col("id_a").as("__cont"))
+            .unionByName(pairs
+              .join(refIds, pairs("id_a") === refIds("__ref_id"),
+                "left_semi")
+              .select(col("id_b").as("__cont")))
+            .distinct()
+          d.join(contaminated, d(idc).cast("long") === col("__cont"),
+            "left_anti")
         // frame-fingerprint video near-dedup over multi-frame binary
         // columns (animated GIF through the JDK codec; swap the decoder
         // for other containers): min-id survivor per shared-frame

@@ -1056,6 +1056,93 @@ class ConfigSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === directK)
   }
 
+  test("config-driven multimodal capstone: declared gate → dedup → decon " +
+      "→ mixture reproduces pipeline_multimodal through JobRunner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llm.{ImageHash, VideoHash}
+    val dir = java.nio.file.Files.createTempDirectory("mmcfg").toString
+    // regenerate pipeline_multimodal's media corpora (same formulas) and
+    // persist them as the parquet inputs a user's config would point at
+    val ids = Tables(spark, sf0001).documents
+      .select(col("doc_id").cast("long")).orderBy("doc_id").limit(160)
+      .as[Long].collect().toSeq
+    ids.flatMap { id =>
+      val base =
+        if (id % 10 == 3)
+          (id, Array.tabulate(64)(i => ((id * 31 + i) % 251).toByte))
+        else (id, ImageHash.synthPng(id, 64, 48))
+      if (id % 4 == 0)
+        Seq(base, (id + 1000000L, ImageHash.synthJpeg(id, 96, 72)))
+      else Seq(base)
+    }.toDF("media_id", "media")
+      .write.mode("overwrite").parquet(s"$dir/images")
+    ids.filter(_ % 8 == 2)
+      .map(id => (id + 2000000L, ImageHash.synthJpeg(id, 128, 96)))
+      .toDF("media_id", "media")
+      .write.mode("overwrite").parquet(s"$dir/imgref")
+    ids.take(120).flatMap { id =>
+      val n = 3 + (id % 4).toInt
+      val base = (id, VideoHash.synthGif(id, 64, 48, n))
+      if (id % 4 == 0)
+        Seq(base, (id + 1000000L, VideoHash.synthGifSlice(id, 96, 72, 1, n)))
+      else Seq(base)
+    }.toDF("media_id", "media")
+      .write.mode("overwrite").parquet(s"$dir/videos")
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "mm1", "name": "multimodal", "steps": [
+         |  { "step": "img", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$dir/images"] },
+         |    "transforms": [
+         |      { "op": "image_gate", "cols": ["media_id", "media"] },
+         |      { "op": "dedup_image", "cols": ["media_id", "media"],
+         |        "expr": "3" },
+         |      { "op": "decontaminate_image",
+         |        "cols": ["media_id", "media"], "name": "$dir/imgref",
+         |        "expr": "3" },
+         |      { "op": "withColumn", "name": "modality", "expr": "'image'" },
+         |      { "op": "select", "cols": ["media_id", "modality"] } ],
+         |    "sink": { "type": "parquet", "path": "$dir/outimg" } },
+         |  { "step": "vid", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$dir/videos"] },
+         |    "transforms": [
+         |      { "op": "dedup_video", "cols": ["media_id", "media"],
+         |        "expr": "500" },
+         |      { "op": "withColumn", "name": "modality", "expr": "'video'" },
+         |      { "op": "select", "cols": ["media_id", "modality"] } ],
+         |    "sink": { "type": "parquet", "path": "$dir/outvid" } },
+         |  { "step": "mix", "kind": "stream",
+         |    "source": { "type": "parquet",
+         |      "paths": ["$dir/outimg", "$dir/outvid"] },
+         |    "transforms": [
+         |      { "op": "withColumn", "name": "source",
+         |        "expr": "CAST(pmod(media_id, 5) AS STRING)" },
+         |      { "op": "withColumn", "name": "grp",
+         |        "expr": "concat(modality, ':', source)" },
+         |      { "op": "cap_per_group", "cols": ["grp", "media_id"],
+         |        "expr": "-media_id", "name": "15" },
+         |      { "op": "select",
+         |        "cols": ["media_id", "modality", "source", "rank"] } ],
+         |    "sink": { "type": "parquet", "path": "$dir/outmix" } } ] }"""
+        .stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    val st = PipelineConfig.run(spark, conf, new InMemoryStore)
+    assert(Seq("img", "vid", "mix")
+      .forall(s => st.streams(s).status === JobState.Complete))
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .select($"media_id", $"modality", $"source", $"rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val viaCfg = img(spark.read.parquet(s"$dir/outmix"))
+    val direct = img(
+      graft.queries.LlmOps.queries("pipeline_multimodal")(spark, sf0001))
+    assert(viaCfg === direct,
+      "declared multimodal chain diverged from pipeline_multimodal")
+    assert(viaCfg.nonEmpty && viaCfg.exists(_._2 == "image") &&
+      viaCfg.exists(_._2 == "video"))
+  }
+
   test("declared dedup_video op") {
     import spark.implicits._
     import graft.llm.VideoHash
