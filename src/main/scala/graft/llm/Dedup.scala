@@ -715,12 +715,45 @@ object Dedup {
     * exact-Jaccard verified pairs via sorted-array merge. All shuffles carry
     * either (id, band, bucket) triples or 8-byte-per-shingle hash arrays —
     * never raw shingle strings.
+    *
+    * TUNING AT SCALE (r12, measured): a pair at Jaccard `s` collides in
+    * one band with probability s^r (r = numHashes/bands rows per band),
+    * so the S-curve knee sits at (1/bands)^(1/r). The default r = 2
+    * puts the knee at 0.125 — far below the 0.5 confirm threshold — a
+    * HIGH-RECALL stance whose price is candidate volume: ScaleProbe's
+    * `minhash_cands` row measured 557k → 8.9M candidates at 4× docs
+    * (n² exactly, the false-positive term) while confirmed pairs stayed
+    * perfectly linear (`minhash_pairs`: 1498 → 5998). At test scale the
+    * confirm stage absorbs this; at 10⁸+ docs pick r ≥ 4 (e.g.
+    * numHashes = 128, bands = 32 → knee 0.42) so unrelated-pair
+    * collisions fall by the ~s² per-band factor — detection of a true
+    * s = 2/3 near-dup is still 1 − (1 − (2/3)⁴)^32 ≈ 0.999.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64,
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame =
     minhashNearDupsScoped(df, idCol, textCol, shingleN, numHashes, bands,
       threshold, maxBucketSize)._1
+
+  /** Candidate-pair volume of the banded stage BEFORE Jaccard
+    * confirmation — the LSH false-positive growth term, exposed as a
+    * diagnostic (ScaleProbe's `minhash_cands` row). For FIXED
+    * (numHashes, bands), two unrelated docs collide in one band with a
+    * small constant probability, so the candidate count grows ~n² while
+    * true pairs stay linear; [[minhashNearDups]]'s wall tracks this
+    * count directly. When it outgrows the data ratio on a real corpus,
+    * raise rows-per-band (fewer `bands` at the same `numHashes` —
+    * collision probability falls geometrically per extra row) or lower
+    * `maxBucketSize`: precision knobs the API already exposes, at a
+    * recall trade the banding scaladoc quantifies.
+    */
+  def minhashCandidateCount(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucketSize: Int = 10000): Long = {
+    val sets = hashedShingleSets(df, idCol, textCol, shingleN)
+    pairsWithinBuckets(bandFromSets(sets, numHashes, bands),
+      Seq("band", "bucket"), "id", maxBucketSize).count()
+  }
 
   /** [[minhashNearDups]] plus a release handle for the shared shingle-set
     * cache. The plain form leaves the cache to Spark's LRU eviction (fine

@@ -108,7 +108,16 @@ object ScaleProbe {
 
   private var probeSpark: SparkSession = _
 
+  /** Optional row filter (args after nSmall/factor): run only the named
+    * rows — iterating on one operator's ratio costs minutes, not the
+    * full ~20-minute suite. Unselected rows report −1 and are skipped
+    * BEFORE their body evaluates (`f` is by-name). */
+  private var onlyRows: Set[String] = Set.empty
+  private def selected(label: String): Boolean =
+    onlyRows.isEmpty || onlyRows(label)
+
   private def time(label: String, n: Long)(f: => Long): (String, Double) = {
+    if (!selected(label)) return (label, -1.0)
     val t0 = System.nanoTime()
     val rows = f
     val secs = (System.nanoTime() - t0) / 1e9
@@ -127,6 +136,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toLong).getOrElse(50000L)
     val factor = args.lift(1).map(_.toInt).getOrElse(4)
+    onlyRows = args.drop(2).toSet
     val spark = GraftSession.local(32, "scale-probe")
     probeSpark = spark
     spark.sparkContext.setLogLevel("WARN")
@@ -139,9 +149,27 @@ object ScaleProbe {
           // linearly (verified: 49001 → 196001), but the components stage
           // is O(log n) star-contraction ROUNDS — when 4x edges trip one
           // extra round the wall ratio reads ≈ 4·(r+1)/r, not 4.0. A true
-          // pair blowup would show in the row counts, not just the wall
+          // pair blowup would show in the row counts, not just the wall.
+          // WALL CAVEAT (r12, measured): this row and the span/substring
+          // rows below are spill-heavy — their wall ratios swung 2.7x–9.2x
+          // across three same-day runs on an idle machine at identical
+          // row counts. Judge them by the printed ROW counts (and the
+          // minhash_pairs row below); the wall is weather
           Dedup.dropNearDuplicates(docs, "doc_id", "text",
             maxBucketSize = 10000).count()
+        },
+        time("minhash_pairs", n) {
+          // wall-independent TRUE-pair signal: planted dups are ~2% of
+          // n, so the printed confirmed-pair count must scale linearly
+          // (measured 1498 → 5998 at 4x — exactly 4.00x)
+          Dedup.minhashNearDups(docs, "doc_id", "text").count()
+        },
+        time("minhash_cands", n) {
+          // wall-independent CANDIDATE signal: the pre-confirm volume is
+          // the n²·p false-positive term of fixed-width banding — the
+          // number to watch (and the knob rows-per-band tunes) when the
+          // near_dup_drop wall reads superlinear
+          Dedup.minhashCandidateCount(docs, "doc_id", "text")
         },
         time("span_removal", n) {
           // aggregate REAL output columns: a bare count() lets Catalyst
@@ -329,57 +357,6 @@ object ScaleProbe {
           graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
             k = 10, nCells = 64, nProbe = 8, trainIters = 2).count()
         },
-        {
-          // continuous SemDeDup (r11 VERDICT ask #4): the per-batch cost
-          // of the incremental path must track the BATCH and its touched
-          // cells, never the accumulated history. Setup (untimed): a
-          // frozen 256-cell centroid table trained on a FIXED uniform
-          // sample (independent of n — the frozen stance); a history of
-          // n vectors concentrated 99% in 8 "heavy" directions the batch
-          // never probes plus a 1% uniform tail; and a fixed
-          // 2048-vector batch of scaled copies of 8 OTHER directions
-          // (amax-relative int8 makes a scaled copy quantize — and land —
-          // identically to its direction). The timed stage is ONE
-          // incremental batch against the grown state: the touched-cell
-          // prune keeps the history join micro-batch-cell-sized, so the
-          // 4x-history wall ratio must stay near 1; if the prune broke,
-          // the pair stage would see the heavy cells and main's guarded
-          // ratio below would trip. History state is built via the same
-          // entry point with the pair stage left lazy (only ._2 is
-          // materialized), so setup stays linear.
-          def dirVec(seed: Column): Column =
-            transform(sequence(lit(1), lit(64)),
-              i => (pmod(xxhash64(seed * 131 + i), lit(2001)) - 1000)
-                .cast("double") / 1000.0)
-          def scaled(v: Column, id: Column): Column =
-            transform(v, x =>
-              x * (lit(1.0) + pmod(id, lit(97)).cast("double") / 1000.0))
-          val trainTbl = spark.range(4096).toDF("vec_id")
-            .select(col("vec_id"), dirVec(col("vec_id") + 7777)
-              .as("embedding"))
-          val cents = graft.llm.Similarity
-            .intCentroidTable(trainTbl, 256, 2).localCheckpoint()
-          val hist = spark.range(n).toDF("vec_id").select(col("vec_id"),
-            when(pmod(col("vec_id"), lit(100)) === 0,
-              dirVec(col("vec_id")))
-              .otherwise(scaled(
-                dirVec(lit(100) + pmod(col("vec_id"), lit(8))),
-                col("vec_id")))
-              .as("embedding"))
-          import spark.implicits._
-          val noState =
-            Seq.empty[(Int, Long, Seq[Int])].toDF("cell", "id", "q")
-          val histIdx = graft.llm.Similarity.semDedupIncremental(noState,
-            hist, cents, 0.99, "vec_id", "embedding", Int.MaxValue)._2
-          val batch = spark.range(2048).toDF("vec_id").select(
-            (col("vec_id") + n * 10).as("vec_id"),
-            scaled(dirVec(pmod(col("vec_id"), lit(8))), col("vec_id"))
-              .as("embedding")).localCheckpoint()
-          time("semdedup_incr", n) {
-            graft.llm.Similarity.semDedupIncremental(histIdx, batch,
-              cents, 0.99, "vec_id", "embedding", 10000)._1.count()
-          }
-        },
         time("bpe_merges", n) {
           // after the initial word count every round is vocab-sized; the
           // corpus-scaled stage is the one scan, so the ratio should
@@ -499,6 +476,57 @@ object ScaleProbe {
           val lab = docs.withColumn("y", pmod(col("doc_id"), lit(10)) === 0)
           graft.llm.Classifier.perceptronTrain(lab, "doc_id", "text", "y",
             dim = 4096, iterations = 3).count()
+        },
+        if (!selected("semdedup_incr")) ("semdedup_incr", -1.0) else {
+          // continuous SemDeDup (r11 VERDICT ask #4): the per-batch cost
+          // of the incremental path must track the BATCH and its touched
+          // cells, never the accumulated history. Setup (untimed): a
+          // frozen 256-cell centroid table trained on a FIXED uniform
+          // sample (independent of n — the frozen stance); a history of
+          // n vectors concentrated 99% in 8 "heavy" directions the batch
+          // never probes plus a 1% uniform tail; and a fixed
+          // 2048-vector batch of scaled copies of 8 OTHER directions
+          // (amax-relative int8 makes a scaled copy quantize — and land —
+          // identically to its direction). The timed stage is ONE
+          // incremental batch against the grown state: the touched-cell
+          // prune keeps the history join micro-batch-cell-sized, so the
+          // 4x-history wall ratio must stay near 1; if the prune broke,
+          // the pair stage would see the heavy cells and main's guarded
+          // ratio below would trip. History state is built via the same
+          // entry point with the pair stage left lazy (only ._2 is
+          // materialized), so setup stays linear.
+          def dirVec(seed: Column): Column =
+            transform(sequence(lit(1), lit(64)),
+              i => (pmod(xxhash64(seed * 131 + i), lit(2001)) - 1000)
+                .cast("double") / 1000.0)
+          def scaled(v: Column, id: Column): Column =
+            transform(v, x =>
+              x * (lit(1.0) + pmod(id, lit(97)).cast("double") / 1000.0))
+          val trainTbl = spark.range(4096).toDF("vec_id")
+            .select(col("vec_id"), dirVec(col("vec_id") + 7777)
+              .as("embedding"))
+          val cents = graft.llm.Similarity
+            .intCentroidTable(trainTbl, 256, 2).localCheckpoint()
+          val hist = spark.range(n).toDF("vec_id").select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(100)) === 0,
+              dirVec(col("vec_id")))
+              .otherwise(scaled(
+                dirVec(lit(100) + pmod(col("vec_id"), lit(8))),
+                col("vec_id")))
+              .as("embedding"))
+          import spark.implicits._
+          val noState =
+            Seq.empty[(Int, Long, Seq[Int])].toDF("cell", "id", "q")
+          val histIdx = graft.llm.Similarity.semDedupIncremental(noState,
+            hist, cents, 0.99, "vec_id", "embedding", Int.MaxValue)._2
+          val batch = spark.range(2048).toDF("vec_id").select(
+            (col("vec_id") + n * 10).as("vec_id"),
+            scaled(dirVec(pmod(col("vec_id"), lit(8))), col("vec_id"))
+              .as("embedding")).localCheckpoint()
+          time("semdedup_incr", n) {
+            graft.llm.Similarity.semDedupIncremental(histIdx, batch,
+              cents, 0.99, "vec_id", "embedding", 10000)._1.count()
+          }
         }).toMap
     }
 
@@ -507,7 +535,7 @@ object ScaleProbe {
     val small = runAll(nSmall)
     val big = runAll(nSmall * factor)
     println(f"[scale] == ratios at ${factor}x data (linear = $factor.0) ==")
-    small.keys.toSeq.sorted.foreach { k =>
+    small.keys.toSeq.sorted.filter(k => small(k) >= 0).foreach { k =>
       println(f"[scale] $k%-18s ${big(k) / small(k)}%5.2fx")
     }
     // bounded-growth guard (r11 VERDICT ask #4): a FIXED batch against
@@ -516,7 +544,7 @@ object ScaleProbe {
     // of history. 2.5 leaves noise headroom over the ~1.0 design point
     // while sitting far under the ~4.0 a broken prune would read.
     val sdr = big("semdedup_incr") / small("semdedup_incr")
-    require(sdr <= 2.5,
+    require(!selected("semdedup_incr") || sdr <= 2.5,
       f"[scale] semdedup_incr wall grew $sdr%.2fx at ${factor}x history " +
         "— the cell-pruned history join stopped being micro-batch-sized")
     spark.stop()
