@@ -25,7 +25,7 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `para_clean_indexed`, `lm_score`, `lm_backoff`, `ppl_buckets`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
   * `score_linear`, and — the embedding modality, r11 VERDICT ask #3 —
-  * `train_centroids`, `semdedup`, `kmeans`)
+  * `train_centroids`, `semdedup`, `kmeans`, `ann_topk`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
@@ -944,6 +944,25 @@ object PipelineConfig {
           val p = t.expr.getOrElse("0.99").split(",").map(_.trim)
           graft.llm.Similarity.semDedupFrozen(d, cents, p(0).toDouble,
             idc, vc, if (p.length > 1) p(1).toInt else 10000)
+        // ANN top-k (md5-integer LSH + exact quantized-cosine re-rank —
+        // the engine-exact annTopK): REPLACES the frame with (query_id,
+        // neighbor_id, sim, rank) for every query vector in the `name`
+        // parquet (same idCol/vecCol schema) against the frame as the
+        // corpus. expr = "k[,tables[,bits]]" (defaults 8 tables, 8 bits)
+        case "ann_topk" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("ann_topk needs cols = [idCol, vecCol]")
+          }
+          val queries = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("ann_topk needs name = query-vectors parquet path")))
+          val p = t.expr.getOrElse(
+            sys.error("ann_topk needs expr = k[,tables[,bits]]"))
+            .split(",").map(_.trim.toInt)
+          graft.llm.Similarity.annTopK(queries, d, p(0),
+            tables = if (p.length > 1) p(1) else 8,
+            bits = if (p.length > 2) p(2) else 8,
+            idCol = idc, vecCol = vc)
         // deterministic integer k-means assignment: REPLACES the frame
         // with (idCol, cluster, dist) — exact BIGINT squared-L2 over
         // int8-quantized vectors, lowest-index tie-break, truncating

@@ -755,6 +755,32 @@ object Dedup {
       Seq("band", "bucket"), "id", maxBucketSize).count()
   }
 
+  /** The (bands, rowsPerBand) split of `numHashes` whose S-curve knee
+    * `(1/b)^(1/r)` sits closest to — without exceeding — `threshold`:
+    * the MMDS banding recipe (Leskovec/Rajaraman/Ullman §3.4.3) as a
+    * function, so corpus-scale callers stop hand-picking the precision/
+    * recall point. Among divisor splits r·b = numHashes, larger r means
+    * geometrically fewer unrelated-pair collisions (the n²·p candidate
+    * term [[minhashCandidateCount]] measures) at a recall cost only
+    * near the threshold; keeping the knee ≤ threshold preserves the
+    * high-recall stance for pairs the confirm stage would accept.
+    * Falls back to the most-selective split (largest r) when every
+    * knee exceeds the threshold.
+    */
+  def bandingFor(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      s"need numHashes > 0 and threshold in (0,1), got $numHashes, $threshold")
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r)) // (bands, rows)
+      .filter(_._1 >= 1)
+    def knee(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+    splits.filter { case (b, r) => knee(b, r) <= threshold }
+      .sortBy { case (b, r) => (-knee(b, r), r) }
+      .headOption
+      .getOrElse(splits.maxBy(_._2))
+  }
+
   /** [[minhashNearDups]] plus a release handle for the shared shingle-set
     * cache. The plain form leaves the cache to Spark's LRU eviction (fine
     * for one-shot queries); loops over many corpora should call the

@@ -1054,6 +1054,18 @@ class ConfigSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaOp.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === directK)
+    // ann_topk reshape ≡ annTopK against persisted query vectors
+    corpus.filter($"vec_id" < 3).write.mode("overwrite").parquet(s"$dir/q")
+    def annImg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val viaAnn = annImg(PipelineConfig.applyTransforms(corpus, Seq(
+      PipelineConfig.TransformConf(op = "ann_topk",
+        cols = Seq("vec_id", "embedding"), name = Some(s"$dir/q"),
+        expr = Some("5")))))
+    assert(viaAnn === annImg(graft.llm.Similarity.annTopK(
+      spark.read.parquet(s"$dir/q"), corpus, 5)))
+    assert(viaAnn.nonEmpty)
   }
 
   test("config-driven multimodal capstone: declared gate → dedup → decon " +

@@ -216,4 +216,24 @@ class DedupInternalsSpec extends graft.SparkSpec {
       (2L, 10L, 9L, "x")),
       "BPE level must cut the 9-piece shared run from the higher id")
   }
+  test("bandingFor places the S-curve knee at-but-under the threshold") {
+    // the MMDS recipe: knee = (1/b)^(1/r). At 128 hashes / t = 0.5 the
+    // best admissible split is r = 4 (knee 0.420) — NOT the high-recall
+    // r = 2 default (knee 0.125, the measured n² candidate term)
+    assert(Dedup.bandingFor(128, 0.5) === ((32, 4)))
+    assert(Dedup.bandingFor(96, 0.5) === ((24, 4))) // knee 0.452
+    // high thresholds want deep bands
+    assert(Dedup.bandingFor(128, 0.9) === ((8, 16))) // knee 0.878
+    // a threshold below every knee falls back to the most selective split
+    assert(Dedup.bandingFor(16, 0.01) === ((1, 16)))
+    // knees never exceed the threshold (except the documented fallback)
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); nh <- Seq(64, 96, 128, 256)) {
+      val (b, r) = Dedup.bandingFor(nh, t)
+      assert(b * r === nh)
+      if (math.pow(1.0 / nh, 1.0) <= t) // a feasible split exists
+        assert(math.pow(1.0 / b, 1.0 / r) <= t + 1e-12,
+          s"knee over threshold at nh=$nh t=$t: ($b, $r)")
+    }
+  }
+
 }
