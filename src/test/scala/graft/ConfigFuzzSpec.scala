@@ -100,6 +100,9 @@ class ConfigFuzzSpec extends SparkSpec {
     graft.llm.Similarity.intCentroidTable(df, k = 4, iters = 2,
         idCol = "doc_id", vecCol = "emb")
       .coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/cents")
+    // query vectors for the ann_topk reshape
+    df.select(col("doc_id"), col("emb")).filter(col("doc_id") <= 3L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/qv")
     df
   }
 
@@ -316,6 +319,9 @@ class ConfigFuzzSpec extends SparkSpec {
     // fresh centroid training (both replace the frame, terminal)
     FuzzOp("kmeans", ReshapeOp,
       Seq(tc("kmeans", cols = Seq("doc_id", "emb"), expr = "3,2"))),
+    FuzzOp("ann_topk", ReshapeOp,
+      Seq(tc("ann_topk", cols = Seq("doc_id", "emb"),
+        name = s"$fixtureDir/qv", expr = "5"))),
     FuzzOp("train_centroids", ReshapeOp,
       Seq(tc("train_centroids", cols = Seq("doc_id", "emb"),
         expr = "4,2"))))
