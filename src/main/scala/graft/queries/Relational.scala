@@ -471,16 +471,26 @@ object Relational extends QueryPack {
     //      pin. ----
     "q25_approx_distinct" -> ((s, dir) => {
       import s.implicits._
+      // BOTH sketches from ONE lineitem scan: a two-element explode
+      // (leg tag, key) feeds a single register aggregation keyed by the
+      // composite (flag, leg) — at 100 TB the parquet scan dominates and
+      // this reads it once where per-leg hllEstimate calls would read it
+      // twice. Register contents per (flag, leg) are IDENTICAL to the
+      // per-leg form (same md5 hash per value), so the estimates — and
+      // the oracle — are unchanged.
       val li = t(s, dir).lineitem
-      val ords = graft.llm.Sketches.hllEstimate(
-        li.select($"l_returnflag", $"l_orderkey"),
-        "l_returnflag", $"l_orderkey")
-        .withColumnRenamed("n_hll", "approx_orders")
-      val parts = graft.llm.Sketches.hllEstimate(
-        li.select($"l_returnflag", $"l_partkey"),
-        "l_returnflag", $"l_partkey")
-        .withColumnRenamed("n_hll", "approx_parts")
-      ords.join(parts, Seq("l_returnflag"))
+      val keyed = li.select($"l_returnflag", explode(array(
+          struct(lit("o").as("leg"), $"l_orderkey".cast("string").as("v")),
+          struct(lit("p").as("leg"), $"l_partkey".cast("string").as("v"))))
+          .as("e"))
+        .select(concat($"l_returnflag", lit("|"), $"e.leg").as("__g"),
+          $"e.v".as("v"))
+      val est = graft.llm.Sketches.hllEstimate(keyed, "__g", $"v")
+        .select(split($"__g", "\\|").getItem(0).as("l_returnflag"),
+          split($"__g", "\\|").getItem(1).as("leg"), $"n_hll")
+      est.groupBy($"l_returnflag").agg(
+        max(when($"leg" === "o", $"n_hll")).as("approx_orders"),
+        max(when($"leg" === "p", $"n_hll")).as("approx_parts"))
     }),
 
     // ---- approximate percentiles via a deterministic bottom-k hash

@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
     assert(nExchanges(p) === 1, p.take(800))
   }
 
+  test("q25 builds both HLL legs from ONE lineitem scan") {
+    // the fused two-element explode reads the fact table once; the
+    // per-leg hllEstimate form this replaced scanned it twice — at
+    // 100 TB the scan IS the cost
+    val p = plan("q25_approx_distinct")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"q25: $scans lineitem scans\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q33's bottom-k hash sample prunes map-side (WindowGroupLimit)") {
     // the rn <= 32 filter over (md5(id), id) must become a partial
     // WindowGroupLimit: each map task keeps ≤ 32 rows per group BEFORE
