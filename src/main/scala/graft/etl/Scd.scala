@@ -47,7 +47,11 @@ object Scd {
       .withColumn("__in_upd", lit(true)).alias("u")
 
     val joinCond = keyCols.map(k => col(s"o.$k") <=> col(s"u.$k")).reduce(_ && _)
-    val j = open.join(upd, joinCond, "full_outer")
+    // one materialization: the merged frame feeds BOTH the surviving-old
+    // and fresh-open branches — left lazy, the full-outer join (and every
+    // scan under it) executes twice (the r12 scan audit read scd2_merge
+    // at 7 source scans; the join output is slim key+track+date rows)
+    val j = open.join(upd, joinCond, "full_outer").localCheckpoint()
     val inOld = col("o.__in_cur").isNotNull
     val inNew = col("u.__in_upd").isNotNull
     val changed = trackCols.map(c => !(col(s"o.$c") <=> col(s"u.$c"))).reduce(_ || _)

@@ -187,13 +187,18 @@ object CorpusStats extends Serializable {
       .select(col(idCol), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
     // reduce instances to per-doc DISTINCT bigrams first: the scoring join
     // then moves (doc, w1, w2, multiplicity) rows instead of every token
-    // pair, and the corpus bigram counts re-aggregate from the same frame
-    // under the same (w1, w2) partitioning — Catalyst reuses the exchange
+    // pair. perDoc feeds BOTH the corpus bigram counts and the final
+    // multiplicity join, and uni feeds BOTH the model join and the vocab
+    // total — one slim materialization each, or every consumer re-scans
+    // the source (the r12 scan audit read text_lm_score at 4 scans;
+    // now 2: one bigram pass, one unigram pass)
     val perDoc = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     val c2 = perDoc.groupBy("w1", "w2").agg(sum(col("m")).as("c2"))
     val uni = df.select(explode(tk).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val v = uni.agg(count(lit(1)).as("vocab"))
     // model-sized joins build (w1, w2, lp); instances join the model ONCE.
     // lp = floor(ln((c2+1)/(c1+V))·10⁶) via PortableMath's engine-exact
@@ -258,20 +263,21 @@ object CorpusStats extends Serializable {
     */
   def ngramIndex(df: DataFrame, textCol: String): DataFrame = {
     val t = TextOps.tokens(col(textCol))
-    val tri = df.filter(size(t) >= 3).select(explode(arrays_zip(
-        slice(t, lit(1), size(t) - 2),
-        slice(t, lit(2), size(t) - 2),
-        slice(t, lit(3), size(t) - 2))).as("tg"))
-      .select(concat(lit("3:"), col("tg")("0"), lit(" "), col("tg")("1"),
-        lit(" "), col("tg")("2")).as("ng"))
-    val big = df.filter(size(t) >= 2).select(explode(arrays_zip(
-        slice(t, lit(1), size(t) - 1),
-        slice(t, lit(2), size(t) - 1))).as("bg"))
-      .select(concat(lit("2:"), col("bg")("0"), lit(" "),
-        col("bg")("1")).as("ng"))
-    val uni = df.select(explode(t).as("w"))
-      .select(concat(lit("1:"), col("w")).as("ng"))
-    tri.unionByName(big).unionByName(uni)
+    // all three levels from ONE scan: the union-of-three-branches form
+    // this replaced read the corpus three times (the r12 scan audit's
+    // biggest term — at 100 TB the scan IS the cost). Key multiset is
+    // identical, so counts, oracle and goldens are unchanged.
+    def grams(n: Int) = {
+      val empty = array().cast("array<string>")
+      if (n == 1) transform(t, w => concat(lit("1:"), w))
+      else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          concat((lit(s"$n:") +: (0 until n).flatMap(j =>
+            (if (j == 0) Seq.empty else Seq(lit(" "))) :+
+              element_at(t, (i + j).cast("int")))): _*)))
+        .otherwise(empty)
+    }
+    df.select(explode(concat(grams(3), grams(2), grams(1))).as("ng"))
       .groupBy("ng").agg(count(lit(1)).as("cnt"))
   }
 
@@ -299,10 +305,19 @@ object CorpusStats extends Serializable {
   }
 
   def stupidBackoffScoreAgainstIndex(fresh: DataFrame, idCol: String,
-      textCol: String, index: DataFrame): DataFrame = {
+      textCol: String, index0: DataFrame): DataFrame = {
     guard(idCol)
     import graft.functions.PortableMath
     val ln04 = StupidBackoffDiscountMicro
+
+    // one materialization each for the two multiply-consumed frames: the
+    // index feeds FIVE level-key joins plus the token total, and perDoc
+    // feeds the model vocabulary AND the final multiplicity join — left
+    // lazy, every consumer re-derives its input (the r12 scan audit
+    // measured text_lm_backoff at TWENTY source scans: 6 index consumers
+    // × 3 branch scans + 2 fresh scans; now 1 + 1). Slim columns only —
+    // (ng, cnt) and (id, w1..w3, m) — the established checkpoint shape.
+    val index = index0.localCheckpoint()
 
     def trigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
       docTrigrams(d, textCol, cols)
@@ -315,6 +330,7 @@ object CorpusStats extends Serializable {
     val perDoc = trigrams(fresh, Seq(col(idCol)))
       .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     val v3 = perDoc.select("w1", "w2", "w3").distinct()
     def cntAs(k: String, as: String) =
       index.select(col("ng").as(k), col("cnt").as(as))
@@ -867,9 +883,15 @@ object CorpusStats extends Serializable {
         arrays_zip(slice(tk, lit(1), size(tk) - 1),
           slice(tk, lit(2), size(tk) - 1))).as("bg"))
       .select(col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+    // one materialization each: c2 feeds its own total AND the PMI join,
+    // uni feeds its total AND both word-side joins — left lazy, the
+    // corpus tokenizes five times (r12 scan audit; now twice). Both are
+    // aggregate-sized (vocab / distinct bigrams), never corpus-sized.
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val uni = df.select(explode(tk).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val totB = c2.agg(sum(col("c2")).as("bb"))
     val totT = uni.agg(sum(col("c1")).as("tt"))
     val joined = c2.filter(col("c2") >= minCount)

@@ -740,9 +740,15 @@ object LlmOps extends QueryPack {
       val merges = CurationOps.bpeMergesShared(s, dir)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // one materialization of the BPE-encoded corpus: the substring
+      // machinery reads its input from several branches (the spans frame
+      // itself stays deliberately uncached — the r11 PlanSpec pin), and
+      // each un-materialized read would re-run the per-word merge-fold
+      // kernel — the expensive part (r12 scan audit: 12 source scans,
+      // each paying the full BPE encode; now the encode runs once)
       CorpusStats.removeDuplicateSubstrings(
         Tokenizer.bpePieceText(docsWithFooters(s, dir), "doc_id", "text",
-          merges),
+          merges).localCheckpoint(),
         "doc_id", "bpe_text", minRunTokens = 20)
     }),
 

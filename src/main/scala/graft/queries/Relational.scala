@@ -555,11 +555,19 @@ object Relational extends QueryPack {
     "q35_funnel" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir).events.select($"user_id", $"event_type", $"ts")
+      // each stage frame feeds the NEXT stage and the final join — one
+      // tiny (user, ts) materialization per stage, or the cascade
+      // re-derives upstream stages per consumer (the r12 scan audit read
+      // this at 6 event scans; now 3, each a pushed event_type filter —
+      // the per-stage predicate reaches the parquet scan, which beats
+      // one unfiltered scan into per-user event lists)
       val v = e.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"ts").as("t_view"))
+        .localCheckpoint()
       val c = e.filter($"event_type" === "click").join(v, "user_id")
         .where($"ts" > $"t_view")
         .groupBy($"user_id").agg(min($"ts").as("t_click"))
+        .localCheckpoint()
       val p = e.filter($"event_type" === "purchase").join(c, "user_id")
         .where($"ts" > $"t_click")
         .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
