@@ -263,21 +263,27 @@ object CorpusStats extends Serializable {
     */
   def ngramIndex(df: DataFrame, textCol: String): DataFrame = {
     val t = TextOps.tokens(col(textCol))
-    // all three levels from ONE scan: the union-of-three-branches form
-    // this replaced read the corpus three times (the r12 scan audit's
-    // biggest term — at 100 TB the scan IS the cost). Key multiset is
-    // identical, so counts, oracle and goldens are unchanged.
-    def grams(n: Int) = {
-      val empty = array().cast("array<string>")
-      if (n == 1) transform(t, w => concat(lit("1:"), w))
-      else when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)), i =>
-          concat((lit(s"$n:") +: (0 until n).flatMap(j =>
-            (if (j == 0) Seq.empty else Seq(lit(" "))) :+
-              element_at(t, (i + j).cast("int")))): _*)))
-        .otherwise(empty)
-    }
-    df.select(explode(concat(grams(3), grams(2), grams(1))).as("ng"))
+    // three codegen'd branch scans, deliberately: a single-scan form via
+    // transform(sequence, i -> element_at...) was tried in r12 and cost
+    // text_lm_backoff 2.1 s -> 10 s — Catalyst higher-order functions are
+    // INTERPRETED, and arrays_zip/slice are not. Three pruned scans of
+    // one text column beat one interpreted pass; the multi-CONSUMER
+    // blowup (the audit's real 20-scan term) is fixed downstream by
+    // materializing the index once in stupidBackoffScoreAgainstIndex.
+    val tri = df.filter(size(t) >= 3).select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 2),
+        slice(t, lit(2), size(t) - 2),
+        slice(t, lit(3), size(t) - 2))).as("tg"))
+      .select(concat(lit("3:"), col("tg")("0"), lit(" "), col("tg")("1"),
+        lit(" "), col("tg")("2")).as("ng"))
+    val big = df.filter(size(t) >= 2).select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1))).as("bg"))
+      .select(concat(lit("2:"), col("bg")("0"), lit(" "),
+        col("bg")("1")).as("ng"))
+    val uni = df.select(explode(t).as("w"))
+      .select(concat(lit("1:"), col("w")).as("ng"))
+    tri.unionByName(big).unionByName(uni)
       .groupBy("ng").agg(count(lit(1)).as("cnt"))
   }
 

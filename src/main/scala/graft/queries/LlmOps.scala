@@ -740,15 +740,17 @@ object LlmOps extends QueryPack {
       val merges = CurationOps.bpeMergesShared(s, dir)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      // one materialization of the BPE-encoded corpus: the substring
-      // machinery reads its input from several branches (the spans frame
-      // itself stays deliberately uncached — the r11 PlanSpec pin), and
-      // each un-materialized read would re-run the per-word merge-fold
-      // kernel — the expensive part (r12 scan audit: 12 source scans,
-      // each paying the full BPE encode; now the encode runs once)
+      // the BPE-encoded frame is deliberately NOT materialized: the
+      // substring machinery reads it from several lazy branches (12 in
+      // the r12 scan audit), but a localCheckpoint here measured 0.37 s
+      // -> 1.44 s at sf0.1 — serializing the encoded corpus costs more
+      // than re-running the codegen'd merge-fold kernel per branch, the
+      // same economics as the pinned uncached spans frame. At a scale
+      // where the encode dominates, materialize BEFORE calling (the
+      // pipeline form persists encoded text as a real column anyway).
       CorpusStats.removeDuplicateSubstrings(
         Tokenizer.bpePieceText(docsWithFooters(s, dir), "doc_id", "text",
-          merges).localCheckpoint(),
+          merges),
         "doc_id", "bpe_text", minRunTokens = 20)
     }),
 
