@@ -236,4 +236,24 @@ class DedupInternalsSpec extends graft.SparkSpec {
     }
   }
 
+  test("minhashCandidateCount counts the pre-confirm pair volume") {
+    import spark.implicits._
+    // two exact copies + one unrelated doc: the copies share every band
+    // bucket (identical signatures) yet count ONCE as a distinct pair;
+    // the unrelated doc shares no shingles, so no band collision at
+    // r = 2 is realistically possible on 3-token vocabulary-disjoint text
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "uno dos tres cuatro cinco seis")
+    ).toDF("doc_id", "text")
+    val cands = graft.llm.Dedup.minhashCandidateCount(docs, "doc_id", "text")
+    assert(cands === 1L, s"expected the copy pair only, got $cands")
+    // candidates always dominate confirmed pairs — the confirm stage can
+    // only reject
+    val confirmed = graft.llm.Dedup.minhashNearDups(docs, "doc_id", "text")
+      .count()
+    assert(confirmed <= cands && confirmed === 1L)
+  }
+
 }
