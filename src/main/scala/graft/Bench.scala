@@ -245,7 +245,13 @@ object Bench {
       val vs = warmReps.map(_(n))
       n -> (if (cold(n) < 0 || vs.exists(_ < 0)) -1.0 else vs.max - vs.min)
     }.toMap
-    val repTotals = warmReps.map(_.values.filter(_ >= 0).sum)
+    // rep totals over the INTERSECTION of queries that succeeded in every
+    // pass (warmMed >= 0 ⇔ cold and all warm reps succeeded): a query
+    // failing in some reps but not others would otherwise make the rep
+    // totals cover different query sets, inflating the noise floor that
+    // flaggedRegressions and the tail line report
+    val okNames = names.filter(n => warmMed(n) >= 0)
+    val repTotals = warmReps.map(r => okNames.map(r).sum)
     val noise = repTotals.max - repTotals.min
 
     def fmt(v: Double, decimals: Int): String = Bench.fmt(v, decimals)

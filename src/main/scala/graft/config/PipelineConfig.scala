@@ -291,8 +291,15 @@ object PipelineConfig {
             .filter(col("decoded"))
             .select(col("id"), col("dhash").as("fp"))
           val refIds = fp(ref).select(col("id").as("__ref_id"))
+          // the (small) reference suite is the FRESH side: the extra
+          // self-pair term of the incremental kernel is then ref × ref,
+          // not corpus × corpus — the wasted pair volume scales with the
+          // benchmark suite's internal near-dups instead of the corpus's.
+          // Assumes ref ids are disjoint from corpus ids (the
+          // pipeline_multimodal convention), so self-pairs on either
+          // side can never name a corpus row
           val pairs = graft.llm.Dedup
-            .hamming64PairsIncremental(fp(d), fp(ref), maxH)
+            .hamming64PairsIncremental(fp(ref), fp(d), maxH)
           // contaminated = the corpus side of every corpus-vs-ref hit
           // (pair ids are (least, greatest)-normalized, so the corpus id
           // can land on either side)

@@ -41,7 +41,12 @@ object Scd {
     // (<=>), so a row with a NULL key value is a legitimate participant —
     // testing a key column for null would misread it as "side absent" and
     // silently drop it from the merge
+    // project BEFORE the join: downstream branches only ever read
+    // keyCols ++ trackCols ++ dates from each side, so the checkpointed
+    // join output stays slim even when the caller's dimension carries
+    // wide payload columns the merge never touches
     val open = current.filter(col(validTo).isNull)
+      .select(outCols.map(col): _*)
       .withColumn("__in_cur", lit(true)).alias("o")
     val upd = updates.select((keyCols ++ trackCols).map(col): _*)
       .withColumn("__in_upd", lit(true)).alias("u")
@@ -50,7 +55,8 @@ object Scd {
     // one materialization: the merged frame feeds BOTH the surviving-old
     // and fresh-open branches — left lazy, the full-outer join (and every
     // scan under it) executes twice (the r12 scan audit read scd2_merge
-    // at 7 source scans; the join output is slim key+track+date rows)
+    // at 7 source scans; both sides are projected to key+track+date rows
+    // above, so the checkpointed frame is slim by construction)
     val j = open.join(upd, joinCond, "full_outer").localCheckpoint()
     val inOld = col("o.__in_cur").isNotNull
     val inNew = col("u.__in_upd").isNotNull

@@ -764,8 +764,13 @@ object Dedup {
     * term [[minhashCandidateCount]] measures) at a recall cost only
     * near the threshold; keeping the knee ≤ threshold preserves the
     * high-recall stance for pairs the confirm stage would accept.
-    * Falls back to the most-selective split (largest r) when every
-    * knee exceeds the threshold.
+    * When every knee exceeds the threshold (threshold < 1/numHashes,
+    * the r = 1 knee), no split can reach it — fall back to the
+    * SMALLEST-knee split (b = numHashes, r = 1), the closest achievable
+    * knee and the maximum-recall choice, consistent with the
+    * high-recall stance (the old largest-r fallback had knee 1.0:
+    * only identical signatures became candidates, i.e. minimum recall
+    * exactly when the caller asked for the most).
     */
   def bandingFor(numHashes: Int, threshold: Double): (Int, Int) = {
     require(numHashes > 0 && threshold > 0 && threshold < 1,
@@ -778,7 +783,7 @@ object Dedup {
     splits.filter { case (b, r) => knee(b, r) <= threshold }
       .sortBy { case (b, r) => (-knee(b, r), r) }
       .headOption
-      .getOrElse(splits.maxBy(_._2))
+      .getOrElse(splits.minBy { case (b, r) => knee(b, r) })
   }
 
   /** [[minhashNearDups]] plus a release handle for the shared shingle-set

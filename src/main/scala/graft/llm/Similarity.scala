@@ -208,7 +208,9 @@ object Similarity extends Serializable {
   /** (id, table, bucket) LSH index over int8-quantized vectors: bucket bit
     * b of table t is the sign of the exact BIGINT dot product against the
     * md5 plane (t, b); bit 0 is the most significant. Heavy arithmetic is
-    * primitive Scala inside mapPartitions (the [[lshFromVecs]] stance);
+    * primitive Scala inside mapPartitions (no Catalyst higher-order
+    * functions in the per-row hot loop — the measured-faster stance the
+    * retired float path also used);
     * the output feeds ordinary equi-joins.
     */
   private def intLshFromVecs(vecs: DataFrame, tables: Int, bits: Int,

@@ -224,8 +224,10 @@ class DedupInternalsSpec extends graft.SparkSpec {
     assert(Dedup.bandingFor(96, 0.5) === ((24, 4))) // knee 0.452
     // high thresholds want deep bands
     assert(Dedup.bandingFor(128, 0.9) === ((8, 16))) // knee 0.878
-    // a threshold below every knee falls back to the most selective split
-    assert(Dedup.bandingFor(16, 0.01) === ((1, 16)))
+    // a threshold below every knee (here < 1/16) is unreachable; the
+    // fallback is the SMALLEST knee (r = 1, knee 1/numHashes) — the
+    // maximum-recall split, closest to the requested low threshold
+    assert(Dedup.bandingFor(16, 0.01) === ((16, 1)))
     // knees never exceed the threshold (except the documented fallback)
     for (t <- Seq(0.3, 0.5, 0.7, 0.9); nh <- Seq(64, 96, 128, 256)) {
       val (b, r) = Dedup.bandingFor(nh, t)
