@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.etl.Profile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -33,6 +33,43 @@ object Relational extends QueryPack {
   import OracleSafe._
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Per-group approximate quantiles from a deterministic bottom-k hash
+    * sample: the k rows with the smallest (md5(id), id) key per group
+    * form a uniform, layout-free sample of the group (replayable in any
+    * engine), and each estimate is the sample's exact lower-rank
+    * quantile. Input must carry columns (`grpCol`, `v`, `id`); output is
+    * (`grpCol`, p25, median, p75). The rn ≤ k filter plans as a partial
+    * WindowGroupLimit — a map-side per-group heap BEFORE the shuffle —
+    * so no group is ever fully sorted (PlanSpec pin via q33).
+    *
+    * Rank-error bound (the k → accuracy trade): the population rank of
+    * a uniform k-sample's q-quantile is ≈ Normal with mean q·n and
+    * sd n·√(q(1−q)/k), so k = 32 gives sd ≈ 0.088·n at the median —
+    * about ±17 % of n at 95 % confidence, shrinking as 1/√k. JoinsSpec
+    * pins this band on lineitem (n ≫ k), plus a red-case showing a
+    * VALUE-ordered "sample" (the bias a future edit could introduce by
+    * changing the sample key) lands far outside it.
+    *
+    * `sampleOrder` exists for that red-case only; production callers
+    * keep the default hash order.
+    */
+  private[graft] def bottomKQuantiles(df: DataFrame, grpCol: String, k: Int,
+      sampleOrder: Seq[Column] =
+        Seq(md5(col("id").cast("string")), col("id"))): DataFrame = {
+    val g = col(grpCol)
+    val samp = df.withColumn("rn", row_number().over(
+        Window.partitionBy(g).orderBy(sampleOrder: _*)))
+      .filter(col("rn") <= k)
+    val ranked = samp.select(g, col("v"),
+      row_number().over(Window.partitionBy(g)
+        .orderBy(col("v"), col("id"))).as("sr"),
+      count(lit(1)).over(Window.partitionBy(g)).as("n"))
+    def pick(q: Double) =
+      max(when(col("sr") === greatest(lit(1L), ceil(col("n") * q)), col("v")))
+    ranked.groupBy(g).agg(
+      pick(0.25).as("p25"), pick(0.5).as("median"), pick(0.75).as("p75"))
+  }
 
   /** DuckDB CTE chain replaying [[graft.llm.Sketches.hllEstimate]] over
     * `lineitem` grouped by `l_returnflag`, hashing `keyExpr` — prefixed so
@@ -503,25 +540,15 @@ object Relational extends QueryPack {
     //      BEFORE the shuffle), so no group is ever fully sorted — the
     //      one-pass bounded-state shape approx_percentile has, with
     //      values that replay in the oracle. The KLL built-in stays
-    //      covered by JoinsSpec's rank-tolerance pin. ----
+    //      covered by JoinsSpec's rank-tolerance pin; the ESTIMATOR's
+    //      accuracy (not just determinism) is pinned by JoinsSpec's
+    //      bottom-k rank-tolerance test on lineitem, where n >> k. ----
     "q33_approx_percentiles" -> ((s, dir) => {
       import s.implicits._
-      val k = 32
-      val c = t(s, dir).customer.select(
-        $"c_nationkey".cast("long").as("c_nationkey"),
-        $"c_acctbal".as("v"), $"c_custkey".as("id"))
-      val samp = c.withColumn("rn", row_number().over(
-          Window.partitionBy($"c_nationkey")
-            .orderBy(md5($"id".cast("string")), $"id")))
-        .filter($"rn" <= k)
-      val ranked = samp.select($"c_nationkey", $"v",
-        row_number().over(Window.partitionBy($"c_nationkey")
-          .orderBy($"v", $"id")).as("sr"),
-        count(lit(1)).over(Window.partitionBy($"c_nationkey")).as("n"))
-      def pick(q: Double) =
-        max(when($"sr" === greatest(lit(1L), ceil($"n" * q)), $"v"))
-      ranked.groupBy($"c_nationkey").agg(
-        pick(0.25).as("p25"), pick(0.5).as("median"), pick(0.75).as("p75"))
+      bottomKQuantiles(t(s, dir).customer.select(
+          $"c_nationkey".cast("long").as("c_nationkey"),
+          $"c_acctbal".as("v"), $"c_custkey".as("id")),
+        "c_nationkey", k = 32)
     }),
 
     // ---- C7: delegated-SQL surface made native — the reference ships SQL

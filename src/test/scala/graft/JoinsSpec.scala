@@ -122,4 +122,54 @@ class JoinsSpec extends SparkSpec {
     assert(math.abs(rankOfApprox - n / 2.0) <= n / 100.0 + 1,
       s"approx $approx sits at rank $rankOfApprox of $n (exact median $exact)")
   }
+
+  test("q33's bottom-k sample quantiles track exact ranks; a value-biased sample does not") {
+    // the q33 ESTIMATOR (graft's deterministic bottom-k hash sample),
+    // exercised where n >> k so it genuinely approximates: lineitem
+    // l_extendedprice by l_returnflag at sf0.01 (~20k rows/group, k=32).
+    // The q33 pack query itself runs on sf-sized customer groups, where
+    // an oracle hash-pass proves determinism but not accuracy — a sample
+    // biased by its ordering key would still hash-pass. This pin closes
+    // that: the rank of a uniform k-sample's q-quantile is ~N(q·n,
+    // n²·q(1−q)/k), so we assert |rank − q·n| ≤ 4·n·√(q(1−q)/k) + ties
+    // slack (4 sd ≈ a 6e-5 two-sided miss rate per assertion — and the
+    // md5 sample is deterministic, so green here is green forever).
+    val li = Tables(spark, sf001).lineitem.select(
+      $"l_returnflag".as("g"), $"l_extendedprice".as("v"),
+      ($"l_orderkey" * 10 + $"l_linenumber").as("id"))
+    val k = 32
+    val nByG = li.groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nByG.values.forall(_ > 1000), s"need n >> k=$k, got $nByG")
+
+    def maxRankDev(est: org.apache.spark.sql.DataFrame): Map[(String, Double), Double] = {
+      val qs = Seq(0.25 -> "p25", 0.5 -> "median", 0.75 -> "p75")
+      est.collect().flatMap { r =>
+        val g = r.getString(0)
+        qs.map { case (q, cn) =>
+          val v = r.getDouble(r.fieldIndex(cn))
+          val rank = li.filter($"g" === g && $"v" <= v).count()
+          (g, q) -> math.abs(rank - q * nByG(g))
+        }
+      }.toMap
+    }
+    def tol(g: String, q: Double): Double =
+      4.0 * nByG(g) * math.sqrt(q * (1 - q) / k) + 1
+
+    // green: the real estimator, every (group, quantile) inside the band
+    val dev = maxRankDev(
+      graft.queries.Relational.bottomKQuantiles(li, "g", k))
+    dev.foreach { case ((g, q), d) =>
+      assert(d <= tol(g, q), s"group $g q=$q rank deviation $d > ${tol(g, q)}")
+    }
+
+    // red: the bias a future edit could introduce — sampling by a key
+    // correlated with the VALUE (here v itself: the k smallest values).
+    // Its median estimate sits at population rank ~k/2 instead of n/2,
+    // far outside the band, proving the pin actually detects sample bias
+    val biased = maxRankDev(graft.queries.Relational.bottomKQuantiles(
+      li, "g", k, sampleOrder = Seq($"v", $"id")))
+    assert(nByG.keys.forall(g => biased((g, 0.5)) > tol(g, 0.5)),
+      s"value-ordered sample should violate the rank band: $biased")
+  }
 }
