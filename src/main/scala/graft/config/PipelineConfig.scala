@@ -24,8 +24,10 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `substring_dedup`, `substring_runs`, `para_dedup`,
   * `para_clean_indexed`, `lm_score`, `lm_backoff`, `ppl_buckets`,
   * `tfidf_keywords`, `tfidf_indexed`, `profile`, `drift`, `standardize`,
-  * `score_linear`, and — the embedding modality, r11 VERDICT ask #3 —
-  * `train_centroids`, `semdedup`, `kmeans`, `ann_topk`)
+  * `score_linear`, and — the embedding modality, r11 VERDICT ask #3,
+  * completed to every engine-exact ANN path in r13 —
+  * `train_centroids`, `semdedup`, `kmeans`, `ann_topk`, `ann_ivf`,
+  * `ann_pq`, `cosine_neardup`)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
@@ -970,6 +972,63 @@ object PipelineConfig {
             tables = if (p.length > 1) p(1) else 8,
             bits = if (p.length > 2) p(2) else 8,
             idCol = idc, vecCol = vc)
+        // IVF-flat ANN (coarse-quantizer cells, √n auto-sizing): same
+        // (query_id, neighbor_id, sim, rank) reshape as ann_topk, the
+        // scale path for corpora where LSH tables over-generate. The
+        // deterministic md5-sample training makes the declared op ≡ the
+        // direct ivfTopK call at equal parameters (no hidden RNG state
+        // to persist). expr = "k[,nCells[,nProbe]]" (0 = auto √n / √cells)
+        case "ann_ivf" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("ann_ivf needs cols = [idCol, vecCol]")
+          }
+          val queries = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("ann_ivf needs name = query-vectors parquet path")))
+          val p = t.expr.getOrElse(
+            sys.error("ann_ivf needs expr = k[,nCells[,nProbe]]"))
+            .split(",").map(_.trim.toInt)
+          graft.llm.Similarity.ivfTopK(queries, d, p(0),
+            nCells = if (p.length > 1) p(1) else 0,
+            nProbe = if (p.length > 2) p(2) else 0,
+            idCol = idc, vecCol = vc)
+        // product-quantization ANN (compressed code scan + exact re-rank
+        // of the top-`rerank` candidates): the 100 TB scan-cost path.
+        // expr = "k[,m[,codebookSize[,rerank]]]" (m = 0 auto-divides dim)
+        case "ann_pq" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("ann_pq needs cols = [idCol, vecCol]")
+          }
+          val queries = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("ann_pq needs name = query-vectors parquet path")))
+          val p = t.expr.getOrElse(
+            sys.error("ann_pq needs expr = k[,m[,codebookSize[,rerank]]]"))
+            .split(",").map(_.trim.toInt)
+          graft.llm.Similarity.pqTopK(queries, d, p(0),
+            m = if (p.length > 1) p(1) else 0,
+            codebookSize = if (p.length > 2) p(2) else 32,
+            rerank = if (p.length > 3) p(3) else 64,
+            idCol = idc, vecCol = vc)
+        // embedding near-dup pairs (md5-integer LSH buckets + exact
+        // quantized cosine): REPLACES the frame with (id_a, id_b, sim)
+        // for every bucket-colliding pair at sim >= threshold — the
+        // pair-emitting form; chain a join/anti-join to drop one side.
+        // expr = "threshold[,tables[,bits[,maxBucketSize]]]"
+        case "cosine_neardup" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ =>
+              sys.error("cosine_neardup needs cols = [idCol, vecCol]")
+          }
+          val p = t.expr.getOrElse(sys.error(
+            "cosine_neardup needs expr = threshold[,tables[,bits[,maxBucketSize]]]"))
+            .split(",").map(_.trim)
+          graft.llm.Similarity.cosineNearDups(d, p(0).toDouble,
+            tables = if (p.length > 1) p(1).toInt else 8,
+            bits = if (p.length > 2) p(2).toInt else 8,
+            idCol = idc, vecCol = vc,
+            maxBucketSize = if (p.length > 3) p(3).toInt else 10000)
         // deterministic integer k-means assignment: REPLACES the frame
         // with (idCol, cluster, dist) — exact BIGINT squared-L2 over
         // int8-quantized vectors, lowest-index tie-break, truncating

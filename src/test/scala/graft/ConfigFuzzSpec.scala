@@ -322,6 +322,15 @@ class ConfigFuzzSpec extends SparkSpec {
     FuzzOp("ann_topk", ReshapeOp,
       Seq(tc("ann_topk", cols = Seq("doc_id", "emb"),
         name = s"$fixtureDir/qv", expr = "5"))),
+    FuzzOp("ann_ivf", ReshapeOp,
+      Seq(tc("ann_ivf", cols = Seq("doc_id", "emb"),
+        name = s"$fixtureDir/qv", expr = "5"))),
+    FuzzOp("ann_pq", ReshapeOp,
+      Seq(tc("ann_pq", cols = Seq("doc_id", "emb"),
+        expr = "5,4,8,8", name = s"$fixtureDir/qv"))),
+    FuzzOp("cosine_neardup", ReshapeOp,
+      Seq(tc("cosine_neardup", cols = Seq("doc_id", "emb"),
+        expr = "0.999"))),
     FuzzOp("train_centroids", ReshapeOp,
       Seq(tc("train_centroids", cols = Seq("doc_id", "emb"),
         expr = "4,2"))))
@@ -352,12 +361,20 @@ class ConfigFuzzSpec extends SparkSpec {
               (!op.needsUniqueIds || uniqueIds))
           val op = cands(rng.nextInt(cands.size))
           val conf = op.variants(rng.nextInt(op.variants.size))
-          val next = PipelineConfig.applyTransforms(df, Seq(conf))
-          val cols = next.columns
+          // eager-fit ops (naive_bayes, perceptron, centroid training)
+          // validate their preconditions at build time — e.g. an NB fit
+          // on a frame an earlier op left single-class fails loudly, by
+          // design. For the fuzzer that is just "not composable HERE":
+          // retry with another op, like the schema refusals below
+          val built = scala.util.Try {
+            val n = PipelineConfig.applyTransforms(df, Seq(conf))
+            (n, n.columns)
+          }
+          val (next, cols) = built.getOrElse((df, Array.empty[String]))
           // refuse schemas a user could not legally build on: duplicate
           // names (two annotators sharing an output column) or leaked
           // working columns — the op model retries with another op
-          if (cols.distinct.length == cols.length &&
+          if (built.isSuccess && cols.distinct.length == cols.length &&
               !cols.exists(_.startsWith("__"))) {
             df = next
             confs :+= conf

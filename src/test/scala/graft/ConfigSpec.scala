@@ -1068,6 +1068,60 @@ class ConfigSpec extends SparkSpec {
     assert(viaAnn.nonEmpty)
   }
 
+  test("declared ANN surface completed: ann_ivf, ann_pq, cosine_neardup " +
+      "≡ direct calls, near-dup chain through JobRunner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("anncfg").toString
+    // same deterministic two-family corpus as the semdedup chain test:
+    // scaled copies quantize identically, so near-dup pairs exist
+    val corpus = (0L until 20L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i % 5 + j * 0.7) + 2.0)
+      (i, base.map(_ * (1.0 + 0.1 * (i / 5))).toSeq)
+    }.toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(s"$dir/in")
+    corpus.filter($"vec_id" < 3).write.mode("overwrite").parquet(s"$dir/q")
+    def img(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // ann_ivf reshape ≡ ivfTopK (deterministic md5-sample training —
+    // no persisted quantizer state needed for declared ≡ direct)
+    val viaIvf = img(PipelineConfig.applyTransforms(corpus, Seq(
+      PipelineConfig.TransformConf(op = "ann_ivf",
+        cols = Seq("vec_id", "embedding"), name = Some(s"$dir/q"),
+        expr = Some("4")))))
+    assert(viaIvf === img(graft.llm.Similarity.ivfTopK(
+      spark.read.parquet(s"$dir/q"), corpus, 4)) && viaIvf.nonEmpty)
+    // ann_pq reshape ≡ pqTopK at explicit subspace/codebook params
+    val viaPq = img(PipelineConfig.applyTransforms(corpus, Seq(
+      PipelineConfig.TransformConf(op = "ann_pq",
+        cols = Seq("vec_id", "embedding"), name = Some(s"$dir/q"),
+        expr = Some("4,4,8,8")))))
+    assert(viaPq === img(graft.llm.Similarity.pqTopK(
+      spark.read.parquet(s"$dir/q"), corpus, 4, m = 4, codebookSize = 8,
+      rerank = 8)) && viaPq.nonEmpty)
+    // cosine_neardup through a DECLARED JobRunner pipeline: parse →
+    // round-trip → run → persisted pairs ≡ direct cosineNearDups
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "ann1", "name": "neardup-chain", "steps": [
+         |  { "step": "pairs", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$dir/in"] },
+         |    "transforms": [ { "op": "cosine_neardup",
+         |      "cols": ["vec_id", "embedding"], "expr": "0.999" } ],
+         |    "sink": { "type": "parquet", "path": "$dir/pairs" } } ] }"""
+        .stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    val st = PipelineConfig.run(spark, conf, new InMemoryStore)
+    assert(st.streams("pairs").status === JobState.Complete)
+    def pairImg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCfg = pairImg(spark.read.parquet(s"$dir/pairs"))
+    assert(viaCfg === pairImg(
+      graft.llm.Similarity.cosineNearDups(corpus, 0.999)))
+    // the planted scaled families collide in every table at sim 1.0
+    assert(viaCfg.nonEmpty && viaCfg.forall(_._3 >= 0.999))
+  }
+
   test("config-driven multimodal capstone: declared gate → dedup → decon " +
       "→ mixture reproduces pipeline_multimodal through JobRunner") {
     import spark.implicits._
