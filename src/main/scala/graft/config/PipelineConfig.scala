@@ -273,6 +273,31 @@ object PipelineConfig {
           val ok = graft.llm.ImageHash.imageHashes(d, idc, bc).toDF()
             .filter(col("decoded")).select(col("id"))
           d.join(ok, d(idc).cast("long") === ok("id"), "left_semi")
+        // audio decode gate: keeps only rows whose binary column decodes
+        // as WAV (the AudioHash corrupt-input contract — undecodable
+        // bytes surface as decoded=false, never as a zero-hash pair).
+        // Without this gate a corrupt audio column silently passes
+        // dedup_audio. cols = [idCol, binaryCol]
+        case "audio_gate" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("audio_gate needs cols = [idCol, binaryCol]")
+          }
+          val ok = graft.llm.AudioHash.audioHashes(d, idc, bc).toDF()
+            .filter(col("decoded")).select(col("id"))
+          d.join(ok, d(idc).cast("long") === ok("id"), "left_semi")
+        // video decode gate: keeps only rows whose binary column decodes
+        // to at least one frame (animated GIF through the JDK codec —
+        // same swap-the-decoder stance as dedup_video).
+        // cols = [idCol, binaryCol]
+        case "video_gate" =>
+          val Seq(idc, bc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("video_gate needs cols = [idCol, binaryCol]")
+          }
+          val ok = graft.llm.VideoHash.videoHashes(d, idc, bc).toDF()
+            .filter(col("decoded")).select(col("id"))
+          d.join(ok, d(idc).cast("long") === ok("id"), "left_semi")
         // perceptual decontamination vs a reference image suite: drops
         // rows whose dhash sits within maxHamming of ANY decoded
         // reference image. cols = [idCol, binaryCol] (the ref parquet

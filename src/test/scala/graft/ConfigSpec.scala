@@ -1382,6 +1382,85 @@ class ConfigSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("declared audio/video decode gates close the corrupt-bytes hole; " +
+      "tri-modality gated chain through JobRunner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llm.{AudioHash, ImageHash, VideoHash}
+    val dir = java.nio.file.Files.createTempDirectory("gatecfg").toString
+    def junk(id: Long) =
+      Array.tabulate(64)(i => ((id * 31 + i) % 251).toByte)
+    // each corpus: 4 decodable + 2 corrupt byte rows
+    val audio = (0L until 4L).map(i => (i, AudioHash.synthWav(i, 8000)))
+      .++(Seq((8L, junk(8L)), (9L, junk(9L)))).toDF("media_id", "media")
+    val video = (0L until 4L).map(i => (i, VideoHash.synthGif(i, 32, 24, 3)))
+      .++(Seq((8L, junk(8L)), (9L, junk(9L)))).toDF("media_id", "media")
+    val image = (0L until 4L).map(i => (i, ImageHash.synthPng(i, 32, 24)))
+      .++(Seq((8L, junk(8L)), (9L, junk(9L)))).toDF("media_id", "media")
+    // the hole the gates close: dedup_audio/video only drop near-dups
+    // AMONG decoded rows — corrupt bytes never pair, so they silently
+    // survive an ungated dedup
+    val ungated = PipelineConfig.applyTransforms(audio, Seq(
+      PipelineConfig.TransformConf(op = "dedup_audio",
+        cols = Seq("media_id", "media"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(Set(8L, 9L).subsetOf(ungated),
+      "corrupt audio should demonstrate the ungated pass-through hole")
+    audio.write.mode("overwrite").parquet(s"$dir/aud")
+    video.write.mode("overwrite").parquet(s"$dir/vid")
+    image.write.mode("overwrite").parquet(s"$dir/img")
+    def step(name: String, gate: String, dedup: String, expr: Option[String]) =
+      s"""{ "step": "$name", "kind": "stream",
+         |  "source": { "type": "parquet", "paths": ["$dir/$name"] },
+         |  "transforms": [
+         |    { "op": "$gate", "cols": ["media_id", "media"] },
+         |    { "op": "$dedup", "cols": ["media_id", "media"]${expr
+             .map(e => s""", "expr": "$e"""").getOrElse("")} },
+         |    { "op": "withColumn", "name": "modality",
+         |      "expr": "'$name'" },
+         |    { "op": "select", "cols": ["media_id", "modality"] } ],
+         |  "sink": { "type": "parquet", "path": "$dir/out_$name" } }"""
+        .stripMargin
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "g1", "name": "tri-modal-gated", "steps": [
+         |  ${step("img", "image_gate", "dedup_image", Some("3"))},
+         |  ${step("aud", "audio_gate", "dedup_audio", None)},
+         |  ${step("vid", "video_gate", "dedup_video", Some("500"))},
+         |  { "step": "mix", "kind": "stream",
+         |    "source": { "type": "parquet",
+         |      "paths": ["$dir/out_img", "$dir/out_aud", "$dir/out_vid"] },
+         |    "sink": { "type": "parquet", "path": "$dir/out_mix" } } ] }"""
+        .stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    val st = PipelineConfig.run(spark, conf, new InMemoryStore)
+    assert(Seq("img", "aud", "vid", "mix")
+      .forall(s => st.streams(s).status === JobState.Complete))
+    val mixed = spark.read.parquet(s"$dir/out_mix")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // every modality present, NO corrupt id anywhere downstream
+    assert(Seq("img", "aud", "vid")
+      .forall(m => mixed.exists(_._2 == m)))
+    assert(!mixed.exists(p => p._1 == 8L || p._1 == 9L),
+      s"corrupt bytes passed a declared gate: $mixed")
+    // gate ≡ the direct decoded-filter semantics
+    val directAud = AudioHash.audioHashes(audio, "media_id", "media")
+      .toDF().filter(col("decoded")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val gatedAud = PipelineConfig.applyTransforms(audio, Seq(
+      PipelineConfig.TransformConf(op = "audio_gate",
+        cols = Seq("media_id", "media"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(gatedAud === directAud)
+    val directVid = VideoHash.videoHashes(video, "media_id", "media")
+      .toDF().filter(col("decoded")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val gatedVid = PipelineConfig.applyTransforms(video, Seq(
+      PipelineConfig.TransformConf(op = "video_gate",
+        cols = Seq("media_id", "media"))))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(gatedVid === directVid)
+  }
+
   test("declared zipf_by_group and gini_by_group ops") {
     import spark.implicits._
     val docs = Seq(
