@@ -880,10 +880,17 @@ object Similarity extends Serializable {
     * deduplicating from that batch on, loudly — the become-frequent
     * caveat every ingest loop documents.
     */
-  private[graft] def semDedupIncremental(existing: DataFrame,
-      fresh: DataFrame, centroids: DataFrame, threshold: Double,
-      idCol: String, vecCol: String,
-      maxClusterSize: Int): (DataFrame, DataFrame) = {
+  /** The incremental batch's intermediate frames — (freshIdx, touched
+    * cells, cell-pruned history ∪ batch, candidate pairs) — with exactly
+    * the lineage [[semDedupIncremental]] consumes. Split out so
+    * ScaleProbe can assert the prune's health on COUNTS (touched cells,
+    * pruned-history rows, candidate pairs: volume signals that survive
+    * a noisy machine) instead of wall ratios alone (r12 VERDICT ask #6).
+    */
+  private[graft] def semDedupIncrementalFrames(existing: DataFrame,
+      fresh: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, maxClusterSize: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cents = centsFromTable(centroids)
     val vecs = q8Of(fresh, idCol, vecCol, "__id", "__q")
     val freshIdx = assignCells(vecs, cents, 1)
@@ -898,17 +905,26 @@ object Similarity extends Serializable {
       .localCheckpoint()
     val ok = all.groupBy("cell").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxClusterSize).select("cell")
+    val pairs = freshIdx.join(ok, "cell")
+      .select(col("cell"), col("id").as("id_b"), col("q").as("qb"))
+      .join(all.select(col("cell"), col("id").as("id_a"),
+        col("q").as("qa")), "cell")
+      .filter(col("id_a") < col("id_b"))
+    (freshIdx, touched, all, pairs)
+  }
+
+  private[graft] def semDedupIncremental(existing: DataFrame,
+      fresh: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String, vecCol: String,
+      maxClusterSize: Int): (DataFrame, DataFrame) = {
+    val (freshIdx, _, all, pairs) = semDedupIncrementalFrames(existing,
+      fresh, centroids, idCol, vecCol, maxClusterSize)
     val oversize = all.groupBy("cell").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxClusterSize).count()
     if (oversize > 0) System.err.println(
       s"[graft] semDedupIncremental: $oversize cell(s) exceed " +
         s"maxClusterSize=$maxClusterSize — their fresh rows pass " +
         "through undeduplicated from this batch on")
-    val pairs = freshIdx.join(ok, "cell")
-      .select(col("cell"), col("id").as("id_b"), col("q").as("qb"))
-      .join(all.select(col("cell"), col("id").as("id_a"),
-        col("q").as("qa")), "cell")
-      .filter(col("id_a") < col("id_b"))
     val dropIds = intCosineOfPairs(pairs, "id_a", "id_b")
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("__drop")).distinct()

@@ -143,7 +143,7 @@ object ScaleProbe {
 
     def runAll(n: Long): Map[String, Double] = {
       val docs = spark.read.parquet(s"${materialize(spark, n)}/documents.parquet")
-      Seq(
+      (Seq(
         time("near_dup_drop", n) {
           // expected ratio ~4–5x at 4x data: output rows scale exactly
           // linearly (verified: 49001 → 196001), but the components stage
@@ -476,8 +476,8 @@ object ScaleProbe {
           val lab = docs.withColumn("y", pmod(col("doc_id"), lit(10)) === 0)
           graft.llm.Classifier.perceptronTrain(lab, "doc_id", "text", "y",
             dim = 4096, iterations = 3).count()
-        },
-        if (!selected("semdedup_incr")) ("semdedup_incr", -1.0) else {
+        }) ++ (
+        if (!selected("semdedup_incr")) Seq("semdedup_incr" -> -1.0) else {
           // continuous SemDeDup (r11 VERDICT ask #4): the per-batch cost
           // of the incremental path must track the BATCH and its touched
           // cells, never the accumulated history. Setup (untimed): a
@@ -523,11 +523,31 @@ object ScaleProbe {
             (col("vec_id") + n * 10).as("vec_id"),
             scaled(dirVec(pmod(col("vec_id"), lit(8))), col("vec_id"))
               .as("embedding")).localCheckpoint()
-          time("semdedup_incr", n) {
+          // wall-independent VOLUME signals (r12 VERDICT ask #6): the
+          // prune's health is a count property — touched cells are a
+          // function of the FIXED batch alone, and the candidate-pair
+          // volume is dominated by the in-batch term, so both must stay
+          // ~constant as history grows no matter how noisy the machine.
+          // hist_rows is the 1%-uniform-tail leakage into touched cells
+          // (grows with the TAIL, stays micro-batch-scale) — printed for
+          // triage, asserted only through the pair count it feeds.
+          // Counted BEFORE the timed row: time() drops every persisted
+          // RDD afterwards, including the setup checkpoints both share
+          val (fIdx, touched, allv, pairs) = graft.llm.Similarity
+            .semDedupIncrementalFrames(histIdx, batch, cents,
+              "vec_id", "embedding", 10000)
+          val cells = touched.count().toDouble
+          val cand = pairs.count().toDouble
+          val histRows = (allv.count() - fIdx.count()).toDouble
+          println(f"[scale] n=$n%-8d semdedup_volumes   cells=$cells%.0f " +
+            f"hist_rows=$histRows%.0f cand_pairs=$cand%.0f")
+          val wall = time("semdedup_incr", n) {
             graft.llm.Similarity.semDedupIncremental(histIdx, batch,
               cents, 0.99, "vec_id", "embedding", 10000)._1.count()
           }
-        }).toMap
+          Seq(wall, "semdedup_cells" -> cells,
+            "semdedup_hist_rows" -> histRows, "semdedup_cand_pairs" -> cand)
+        })).toMap
     }
 
     // warm the JVM/codegen on the small corpus before measuring
@@ -538,15 +558,34 @@ object ScaleProbe {
     small.keys.toSeq.sorted.filter(k => small(k) >= 0).foreach { k =>
       println(f"[scale] $k%-18s ${big(k) / small(k)}%5.2fx")
     }
-    // bounded-growth guard (r11 VERDICT ask #4): a FIXED batch against
-    // 4x the accumulated SemDeDup state must cost ~the same — the
-    // touched-cell prune is what makes the ingest loop viable at 100 TB
-    // of history. 2.5 leaves noise headroom over the ~1.0 design point
-    // while sitting far under the ~4.0 a broken prune would read.
-    val sdr = big("semdedup_incr") / small("semdedup_incr")
-    require(!selected("semdedup_incr") || sdr <= 2.5,
-      f"[scale] semdedup_incr wall grew $sdr%.2fx at ${factor}x history " +
-        "— the cell-pruned history join stopped being micro-batch-sized")
+    // bounded-growth guard (r11 VERDICT ask #4, volume form r12 ask #6):
+    // a FIXED batch against 4x the accumulated SemDeDup state must see
+    // the same work — the touched-cell prune is what makes the ingest
+    // loop viable at 100 TB of history. PRIMARY signals are counts,
+    // which survive a noisy machine: touched cells are a function of
+    // the fixed batch alone (must be EQUAL), and candidate pairs are
+    // dominated by the constant in-batch term (1.25 leaves room for the
+    // uniform tail's linear-in-history leakage into touched cells,
+    // ~0.1% of the pair volume at the probe's mixture — a broken prune
+    // reads ~n/batch x). The wall ratio stays a SECONDARY signal with
+    // its noise-headroom band.
+    if (selected("semdedup_incr")) {
+      require(big("semdedup_cells") == small("semdedup_cells"),
+        f"[scale] touched cells moved ${small("semdedup_cells")}%.0f → " +
+          f"${big("semdedup_cells")}%.0f under a FIXED batch — cell " +
+          "assignment is reading history state")
+      val pr = big("semdedup_cand_pairs") / small("semdedup_cand_pairs")
+      require(pr <= 1.25,
+        f"[scale] candidate pairs grew $pr%.2fx at ${factor}x history " +
+          "(cand_pairs " + f"${small("semdedup_cand_pairs")}%.0f → " +
+          f"${big("semdedup_cand_pairs")}%.0f) — the cell-pruned " +
+          "history join stopped being micro-batch-sized")
+      val sdr = big("semdedup_incr") / small("semdedup_incr")
+      require(sdr <= 2.5,
+        f"[scale] semdedup_incr wall grew $sdr%.2fx at ${factor}x " +
+          "history with healthy volumes — investigate the plan, not " +
+          "the prune")
+    }
     spark.stop()
   }
 }
