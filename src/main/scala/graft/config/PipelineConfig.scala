@@ -44,6 +44,12 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   *       "sink": { "type": "parquet", "path": "out/decoded" } },
   *     { "step": "publish", "kind": "command", "sql": "SELECT 1" } ] }
   * ```
+  *
+  * A third kind, `"ingest"`, declares a STREAMING loop (r12 VERDICT ask
+  * #7): the step starts the named pipeline over a file-watching
+  * readStream, drains every available micro-batch, and stops — loop
+  * memory lives in the sink's `options.checkpoint`/`options.index`
+  * dirs, so re-running the config resumes mid-stream without replay.
   */
 object PipelineConfig {
 
@@ -140,6 +146,28 @@ object PipelineConfig {
       case "sql" => noCorrupt(spark.sql(c.query.getOrElse(
         sys.error("source type 'sql' requires a query"))))
       case other => sys.error(s"unknown source type: $other")
+    }
+  }
+
+  /** Streaming twin of [[buildSource]] for `kind = "ingest"` steps: a
+    * file-watching readStream over the declared paths. Streaming file
+    * sources require an explicit schema (no inference race with the
+    * writer), and exactly one path glob — Spark's file stream tracks one
+    * directory's progress per source in the checkpoint.
+    */
+  def buildStreamSource(spark: SparkSession, c: SourceConf): DataFrame = {
+    val ddl = StructType.fromDDL(c.schema.getOrElse(
+      sys.error(s"ingest source '${c.`type`}' requires a schema")))
+    val path = c.paths match {
+      case Seq(one) => one
+      case _ => sys.error("ingest source declares exactly one path glob")
+    }
+    val r = spark.readStream.options(c.options).schema(ddl)
+    c.`type` match {
+      case "json" | "json_files" => r.json(path)
+      case "csv" | "csv_files" => r.csv(path)
+      case "parquet" => r.parquet(path)
+      case other => sys.error(s"unknown ingest source type: $other")
     }
   }
 
@@ -1441,6 +1469,50 @@ object PipelineConfig {
             spark.sql(s.sql.getOrElse(sys.error(s"step ${s.step}: command needs sql")))
               .collect()
             ()
+          }
+        // a declared INGEST LOOP (r12 VERDICT ask #7): starts the named
+        // streaming pipeline, drains every available micro-batch, and
+        // stops — one run() = one session of the loop. The loop's memory
+        // lives in the sink's checkpoint + index dirs, NOT this JVM, so
+        // re-running the same config resumes mid-stream without
+        // replaying committed batches: the declared form of the
+        // kill-and-resume capstone (StreamingSpec), proven equivalent
+        // in ConfigSpec. Sink carries the paths: `path` = clean output,
+        // options.index / options.checkpoint = the durable state dirs.
+        case "ingest" =>
+          val src = s.source.getOrElse(
+            sys.error(s"step ${s.step}: ingest needs a source"))
+          val sink = s.sink.getOrElse(
+            sys.error(s"step ${s.step}: ingest needs a sink"))
+          val cleanDir = sink.path.getOrElse(
+            sys.error(s"step ${s.step}: ingest sink needs path"))
+          val indexDir = sink.options.getOrElse("index",
+            sys.error(s"step ${s.step}: ingest sink needs options.index"))
+          val ckptDir = sink.options.getOrElse("checkpoint",
+            sys.error(s"step ${s.step}: ingest sink needs options.checkpoint"))
+          val t = s.transforms match {
+            case Seq(one) => one
+            case _ =>
+              sys.error(s"step ${s.step}: ingest declares exactly one loop op")
+          }
+          runner.runCmd(s.step, s.stopOnError) {
+            val sdf = buildStreamSource(spark, src)
+            val q = t.op match {
+              // keep-one exact-substring dedup with a persisted
+              // base/delta keeper index; expr = minRunTokens[,compactEvery]
+              case "substring_dedup_ingest" =>
+                val Seq(idc, tc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "substring_dedup_ingest needs cols = [idCol, textCol]")
+                }
+                val p = t.expr.getOrElse("20").split(",").map(_.trim.toInt)
+                graft.streaming.Pipelines.substringDedupIngest(sdf, idc, tc,
+                  cleanDir, indexDir, ckptDir, p(0),
+                  if (p.length > 1) p(1) else 16)
+              case other => sys.error(s"unknown ingest loop op: $other")
+            }
+            try q.processAllAvailable() finally q.stop()
           }
         case other => sys.error(s"unknown step kind: $other")
       }

@@ -1461,6 +1461,68 @@ class ConfigSpec extends SparkSpec {
     assert(gatedVid === directVid)
   }
 
+  test("declared ingest loop: substring_dedup_ingest killed between " +
+      "config runs resumes from the persisted index (capstone via config)") {
+    import spark.implicits._
+    // the StreamingSpec kill-and-resume capstone, driven ENTIRELY from a
+    // declared pipeline: each PipelineConfig.run drains what's available
+    // and stops (the "kill"); the next run re-opens from the declared
+    // checkpoint + index dirs. Same rows as the direct-call capstone.
+    val in = java.nio.file.Files.createTempDirectory("cfg_ssk_in")
+    val base = java.nio.file.Files.createTempDirectory("cfg_ssk").toString
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "ing1", "name": "substring-loop", "steps": [
+         |  { "step": "loop", "kind": "ingest",
+         |    "source": { "type": "json", "paths": ["$in/*.ndjson"],
+         |      "schema": "doc_id LONG, text STRING" },
+         |    "transforms": [ { "op": "substring_dedup_ingest",
+         |      "cols": ["doc_id", "text"], "expr": "4" } ],
+         |    "sink": { "type": "parquet", "path": "$base/clean",
+         |      "options": { "index": "$base/index",
+         |        "checkpoint": "$base/ckpt" } } } ] }""".stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    val b1 = Seq((1L, s"a1 b1 $run c1"), (2L, s"a2 $run b2"))
+    val b2 = Seq((3L, s"x3 $run y3"), (4L, "u4 v4 w4 z4 q4"))
+    val b3 = Seq((5L, s"k5 $run m5"))
+    // three loop SESSIONS over a growing input dir — the kill is the
+    // end of each config run; a fresh store per run re-executes the step
+    drop("a.ndjson", b1)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete)
+    drop("b.ndjson", b2)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete)
+    drop("c.ndjson", b3)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete)
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val streamed = spark.read.parquet(s"$base/clean")
+    // no replay across config runs: every doc written exactly once
+    assert(streamed.groupBy($"doc_id").count()
+      .filter($"count" > 1).count() === 0,
+      "a re-run config session replayed a committed micro-batch")
+    // final state ≡ the batch operator over the union — the same
+    // equivalence the direct-call capstone pins
+    assert(img(streamed) === img(
+      graft.llm.CorpusStats.removeDuplicateSubstrings(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text",
+        minRunTokens = 4)))
+    // cross-session dedup: docs 3 and 5 lose the run against BATCH-0
+    // state only the persisted index could carry between config runs
+    val removed = img(streamed).map(t => t._1 -> t._3).toMap
+    assert(removed === Map(1L -> 0L, 2L -> 5L, 3L -> 5L, 4L -> 0L,
+      5L -> 5L))
+  }
+
   test("declared zipf_by_group and gini_by_group ops") {
     import spark.implicits._
     val docs = Seq(
