@@ -187,16 +187,39 @@ object Selection extends Serializable {
     * engine-identical and the DuckDB oracle replays the whole greedy
     * trajectory. Ties break to the smaller id.
     *
-    * Scale shape: like the Lloyd/BPE trainers, one bounded job per
-    * selection round — the selected set (≤ k quantized vectors)
-    * broadcasts, candidates scan map-only, only the 1-row argmax
-    * collects. For bounded k (suite curation), not corpus-sized output.
+    * Scale shape: greedy MMR is inherently sequential, but it does NOT
+    * need one Spark job per pick. Each distributed pass collects the
+    * top-`bufferM` candidates by CURRENT score (slim rows: id, rel,
+    * quantized vector, score) and the driver then serves picks from that
+    * buffer locally, for as long as a provable bound holds: once the
+    * selected set is non-empty, every candidate's score
+    * `rel − max-sim(selected)` is NON-INCREASING as the set grows, so a
+    * non-collected candidate can never beat the refill pass's m-th row
+    * `(s_m, id_m)` — the locally-updated buffer best is the exact global
+    * argmax whenever `score > s_m`, or `score == s_m` with `id ≤ id_m`
+    * (refill ties at s_m all carry ids > id_m). When the bound fails, one
+    * fresh distributed pass refills the buffer (and its own top row always
+    * passes, so every pass makes progress). Round 1 stays a separate
+    * pure-relevance pass: `rel − max-sim` is NOT bounded by `rel` when
+    * similarities go negative, so the monotone argument only starts once
+    * something is selected. Each pass is map-only over the candidates vs
+    * a ≤ k broadcast, collecting ≤ bufferM slim rows — typical job count
+    * is 2 (pick-1 pass + one refill serving picks 2..k) instead of k.
     *
     * Output: (idCol, sel_rank 1..k, mmr_score_micro at selection time).
     */
   def mmrSelect(df: DataFrame, idCol: String, relevance: Column,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int): DataFrame =
+    mmrSelect(df, idCol, relevance, vecCol, k, math.max(4 * k, 64))
+
+  /** [[mmrSelect]] with an explicit buffer size (exposed so tests can
+    * force the refill / bound-rejection paths with a tiny `bufferM`;
+    * any bufferM ≥ 1 yields the identical greedy trajectory).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, relevance: Column,
+      vecCol: String, k: Int, bufferM: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(bufferM > 0, s"bufferM must be positive, got $bufferM")
     val spark = df.sparkSession
     import spark.implicits._
     val cands = df.select(col(idCol).cast("long").as("__mid"),
@@ -209,41 +232,94 @@ object Selection extends Serializable {
         |ELSE CAST(floor(CAST(__mdot AS DOUBLE) /
         |  sqrt(CAST(__mna * __mnb AS DOUBLE)) *
         |  CAST(1000000 AS DOUBLE)) AS BIGINT) END""".stripMargin)
+    // Exact local mirror of simMicro over quantized vectors: BIGINT
+    // dot/norms, one IEEE divide + sqrt + multiply + floor in the same
+    // order as the SQL expression, so driver-side buffer updates produce
+    // bit-identical scores to a distributed pass. Length-mismatched
+    // vectors mirror zip_with's null (max() skips it): None = no update.
+    def simLocal(a: Array[Int], b: Array[Int]): Option[Long] = {
+      if (a.length != b.length) None
+      else {
+        var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+        while (i < a.length) {
+          val x = a(i).toLong; val y = b(i).toLong
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0L || nb == 0L) Some(-2000000L)
+        else Some(math.floor(dot.toDouble / math.sqrt((na * nb).toDouble)
+          * 1000000.0d).toLong)
+      }
+    }
     var picked = Vector.empty[(Long, Long, Long)]
     var selVecs = Vector.empty[(Long, Seq[Int])]
-    var r = 1
-    var exhausted = false
+    // Round 1: pure-relevance argmax, its own pass (see scaladoc).
+    cands.orderBy(col("__mrel").desc, col("__mid").asc).limit(1)
+      .select(col("__mid"), col("__mrel"), col("__mq"))
+      .as[(Long, Long, Seq[Int])].collect().headOption.foreach {
+        case (id, rel0, q) =>
+          picked :+= ((id, 1L, rel0)); selVecs :+= ((id, q))
+      }
+    // Buffer of (id, rel, qvec, current score); `bound` is the refill's
+    // m-th (score, id) — None when the refill returned < bufferM rows,
+    // i.e. the buffer holds EVERY remaining candidate.
+    final case class Ent(id: Long, rel: Long, q: Array[Int],
+        var score: Long)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Ent]
+    var bound: Option[(Long, Long)] = None
+    var bufHoldsAll = false
+    def refill(): Unit = {
+      val sel = broadcast(selVecs.toDF("__msid", "__msq"))
+      val rows = cands.filter(!col("__mid").isin(picked.map(_._1): _*))
+        .crossJoin(sel)
+        .withColumn("__mdot", expr("aggregate(zip_with(__mq, __msq," +
+          " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x)"))
+        .withColumn("__mna", expr("aggregate(__mq, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("__mnb", expr("aggregate(__msq, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
+        .withColumn("__msim", simMicro)
+        .groupBy(col("__mid"), col("__mrel"), col("__mq"))
+        .agg(max(col("__msim")).as("__mmax"))
+        .select(col("__mid"), col("__mrel"), col("__mq"),
+          (col("__mrel") - col("__mmax")).as("__msc"))
+        .orderBy(col("__msc").desc, col("__mid").asc).limit(bufferM)
+        .as[(Long, Long, Seq[Int], Long)].collect()
+      buf.clear()
+      rows.foreach { case (id, rel, q, sc) => buf += Ent(id, rel, q.toArray, sc) }
+      bufHoldsAll = rows.length < bufferM
+      bound = if (bufHoldsAll) None
+              else Some((rows.last._4, rows.last._1))
+    }
+    var r = 2
+    var exhausted = picked.isEmpty
     while (r <= k && !exhausted) {
-      val best: Option[(Long, Long, Seq[Int])] =
-        if (r == 1)
-          cands.orderBy(col("__mrel").desc, col("__mid").asc).limit(1)
-            .select(col("__mid"), col("__mrel"), col("__mq"))
-            .as[(Long, Long, Seq[Int])].collect().headOption
-        else {
-          val sel = broadcast(selVecs.toDF("__msid", "__msq"))
-          cands.filter(!col("__mid").isin(picked.map(_._1): _*))
-            .crossJoin(sel)
-            .withColumn("__mdot", expr("aggregate(zip_with(__mq, __msq," +
-              " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT)," +
-              " (a, x) -> a + x)"))
-            .withColumn("__mna", expr("aggregate(__mq, CAST(0 AS BIGINT)," +
-              " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-            .withColumn("__mnb", expr("aggregate(__msq, CAST(0 AS BIGINT)," +
-              " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-            .withColumn("__msim", simMicro)
-            .groupBy(col("__mid"), col("__mrel"), col("__mq"))
-            .agg(max(col("__msim")).as("__mmax"))
-            .select(col("__mid"), (col("__mrel") - col("__mmax")).as("__msc"),
-              col("__mq"))
-            .orderBy(col("__msc").desc, col("__mid").asc).limit(1)
-            .as[(Long, Long, Seq[Int])].collect().headOption
+      // local best by (score desc, id asc)
+      var bi = -1; var j = 0
+      while (j < buf.length) {
+        if (bi < 0 || buf(j).score > buf(bi).score ||
+            (buf(j).score == buf(bi).score && buf(j).id < buf(bi).id)) bi = j
+        j += 1
+      }
+      val safe = bi >= 0 && (bound match {
+        case None => true
+        case Some((sm, im)) =>
+          buf(bi).score > sm || (buf(bi).score == sm && buf(bi).id <= im)
+      })
+      if (safe) {
+        val e = buf.remove(bi)
+        picked :+= ((e.id, r.toLong, e.score))
+        selVecs :+= ((e.id, e.q.toSeq))
+        buf.foreach { c =>
+          simLocal(c.q, e.q).foreach(s =>
+            c.score = math.min(c.score, c.rel - s))
         }
-      best match {
-        case Some((id, sc, q)) =>
-          picked :+= ((id, r.toLong, sc))
-          selVecs :+= ((id, q))
-          r += 1
-        case None => exhausted = true
+        r += 1
+      } else if (bufHoldsAll) {
+        exhausted = true // buffer held every remaining candidate: done
+      } else {
+        refill() // its own top row always passes the bound → progress
+        if (buf.isEmpty) exhausted = true
       }
     }
     spark.createDataFrame(picked)

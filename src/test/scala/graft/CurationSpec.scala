@@ -684,6 +684,43 @@ class CurationSpec extends SparkSpec {
     assert(scores(3L) < 0L) // near-copy's penalty pushed it far negative
   }
 
+  test("mmrSelect buffered argmax: any bufferM yields the same trajectory") {
+    import graft.llm.Selection
+    // an adversarial set: clusters of near-copies so buffer scores
+    // REORDER after each pick (the redundancy penalty knocks out the
+    // rest of the picked item's cluster), plus negative-similarity
+    // vectors — exercising local updates, bound rejections and refills
+    val rng = Seq( // (id, vec, rel) — three clusters + two anti-vectors
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1000L),
+      (2L, Seq(0.99f, 0.02f, 0.0f, 0.0f), 995L),
+      (3L, Seq(0.98f, 0.03f, 0.0f, 0.0f), 990L),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 900L),
+      (5L, Seq(0.01f, 0.99f, 0.0f, 0.0f), 895L),
+      (6L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 800L),
+      (7L, Seq(0.0f, 0.02f, 0.99f, 0.0f), 790L),
+      (8L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 100L),
+      (9L, Seq(0.0f, -1.0f, 0.0f, 0.0f), 90L),
+      (10L, Seq(0.0f, 0.0f, 0.0f, 1.0f), 50L))
+      .toDF("vec_id", "embedding", "rel")
+    val wide = Selection
+      .mmrSelect(rng, "vec_id", col("rel"), "embedding", 8, bufferM = 1000)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (m <- Seq(1, 2, 3)) {
+      val tight = Selection
+        .mmrSelect(rng, "vec_id", col("rel"), "embedding", 8, bufferM = m)
+        .orderBy("sel_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(tight === wide, s"bufferM=$m diverged from the full pass")
+    }
+    // sanity: rank 1 is the raw-relevance winner; rank 2 is the
+    // anti-vector (negative similarity is a diversity REWARD under the
+    // unclamped objective: 100 − (−10⁶) beats every cluster head)
+    assert(wide.head._1 === 1L)
+    assert(wide(1)._1 === 8L)
+    assert(wide.map(_._1).distinct.size === wide.size)
+  }
+
   // --------------------------------------------------------- blocklist
 
   test("blocklistCounts: token-exact phrase instances, zero rows kept") {
