@@ -1384,11 +1384,15 @@ object CorpusStats extends Serializable {
       docStats.select(col(langCol), col("n_toks"), col(idCol)),
       langCol, "n_toks", idCol)
       .select(col(langCol), col("gini_micro").as("len_gini_micro"))
-    val joined = base.join(domMode, Seq(langCol), "left")
-      .join(nonLatin, Seq(langCol), "left")
-      .join(oov, Seq(langCol), "left")
-      .join(zipf, Seq(langCol), "left")
-      .join(gini, Seq(langCol), "left")
+    // every leg is ≤ language-cardinality rows — broadcast EXPLICITLY
+    // rather than riding size estimates (aggregate estimates flip to
+    // sort-merge at real corpus scale, shuffling both sides on lang for
+    // frames that are bounded by #languages regardless of corpus size)
+    val joined = base.join(broadcast(domMode), Seq(langCol), "left")
+      .join(broadcast(nonLatin), Seq(langCol), "left")
+      .join(broadcast(oov), Seq(langCol), "left")
+      .join(broadcast(zipf), Seq(langCol), "left")
+      .join(broadcast(gini), Seq(langCol), "left")
       .select(col(langCol), col("n_docs"), col("total_tokens"),
         col("mean_quality"), col("n_unique"), col("n_long"),
         coalesce(col("dom_script"), lit("none")).as("dom_script"),
@@ -1405,7 +1409,7 @@ object CorpusStats extends Serializable {
           when(col("__fw") === 0, lit(0L))
             .otherwise(fdiv(col("__fp").cast(dec) * lit(1000000L),
               col("__fw").cast(dec))).as("fertility_micro"))
-      joined.join(fert, Seq(langCol), "left")
+      joined.join(broadcast(fert), Seq(langCol), "left")
         .select(joined.columns.map(col) :+
           coalesce(col("fertility_micro"), lit(0L))
             .as("fertility_micro"): _*)

@@ -1033,10 +1033,14 @@ object Dedup {
     val boiler = hSpans.groupBy("heldout_id").agg(
       sum(when(col("__dr_df") > maxDocsPerSpan, 1L).otherwise(0L))
         .as("n_boiler_spans"))
+    // every report leg aggregates to ≤ |heldout| rows — eval suites are
+    // broadcast-sized by the same doctrine that broadcasts their span
+    // set in [[decontaminate]], so hint it instead of letting aggregate
+    // size estimates plan heldout-keyed sort-merge joins
     heldout.select(col(idCol).cast("long").as("heldout_id")).distinct()
-      .join(docCounts, Seq("heldout_id"), "left")
-      .join(spanHits, Seq("heldout_id"), "left")
-      .join(boiler, Seq("heldout_id"), "left")
+      .join(broadcast(docCounts), Seq("heldout_id"), "left")
+      .join(broadcast(spanHits), Seq("heldout_id"), "left")
+      .join(broadcast(boiler), Seq("heldout_id"), "left")
       .select(col("heldout_id"),
         coalesce(col("n_contaminated_docs"), lit(0L))
           .as("n_contaminated_docs"),

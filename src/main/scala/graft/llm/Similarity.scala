@@ -494,7 +494,9 @@ object Similarity extends Serializable {
     val cands = probes.join(assigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-      .join(qv, "query_id")
+      // the query-vector side is bounded like the probes — broadcast it
+      // too, or the candidate list pays a query_id sort-merge shuffle
+      .join(broadcast(qv), "query_id")
       .join(cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),
         "neighbor_id")
     val w = Window.partitionBy(col("query_id"))

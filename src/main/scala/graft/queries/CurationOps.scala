@@ -117,7 +117,11 @@ object CurationOps extends QueryPack {
         idCol = "vec_id", vecCol = "embedding",
         trainIters = AnnOracleSql.IvfIters,
         trainSampleSize = AnnOracleSql.TrainSample)
-      val dense = ann.join(seedMap, ann("query_id") === seedMap("item_id"))
+      // seedMap is one row per query (bounded query set) — broadcast
+      // explicitly; size estimates would plan a sort-merge join that
+      // shuffles the ANN list on a frame bounded by |queries|
+      val dense = ann.join(broadcast(seedMap),
+          ann("query_id") === seedMap("item_id"))
         .select(col("bm_query").as("query_id"),
           col("neighbor_id").as("item_id"), ann("rank"))
       Retrieval.rrfFuse(Seq(bm, dense), Bm25K)

@@ -1087,7 +1087,7 @@ object LlmOps extends QueryPack {
           when(col("__fw") === 0, lit(0L))
             .otherwise(fdiv(col("__fp").cast(dec) * lit(1000000L),
               col("__fw").cast(dec))).as("fertility_micro"))
-      panel.join(fert, Seq("lang"), "left")
+      panel.join(broadcast(fert), Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("total_tokens"),
           col("mean_quality"), col("n_unique"), col("n_long"),
           col("dom_script"), col("n_nonlatin_dom"), col("oov_micro"),

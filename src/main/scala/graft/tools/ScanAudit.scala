@@ -56,6 +56,24 @@ object ScanAudit {
       .flatMap(l => TableRe.findFirstMatchIn(l).map(_.group(1)))
       .toSeq.groupBy(identity).view.mapValues(_.size).toMap
 
+  /** Shuffle-Exchange count in a physical plan's string form: one per
+    * `Exchange <partitioning>` operator line. BroadcastExchange is NOT
+    * counted — a broadcast of a small side is the shape we WANT instead
+    * of a shuffle, so counting it would penalize the fix. ReusedExchange
+    * is NOT counted: the shuffle it references was already counted at
+    * its definition site and costs nothing again at runtime (its line
+    * also textually embeds the reused `Exchange …`, hence the whole-line
+    * exclusion). At 100 TB every unit here is a full repartition of a
+    * corpus-sized frame over the wire — the audit exists because shuffle
+    * count, like scan count, is a plan property that silently regresses.
+    */
+  def shuffleCount(executedPlan: String): Int =
+    executedPlan.linesIterator.count { l =>
+      val i = l.indexOf("Exchange ")
+      i >= 0 && !l.contains("ReusedExchange") &&
+        (i == 0 || !l.charAt(i - 1).isLetter) // excludes BroadcastExchange
+    }
+
   /** Scan counts for one pack query's executed plan at `sfDir`. Eager
     * construction steps (localCheckpoint, bounded collects) run as a
     * side effect of planning — that is the price of auditing the plan
@@ -71,19 +89,26 @@ object ScanAudit {
     val spark = GraftSession.local(8, "scan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     var flagged = 0
+    var shuffles = 0
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try {
-        scanCounts(spark, sfDir, name)
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        tableScanCounts(plan)
           .filter(_._2 > 1).toSeq.sortBy(_._1).foreach { case (t, n) =>
             flagged += 1
             println(s"[scan-audit] $name: $t scanned ${n}x")
           }
+        val sh = shuffleCount(plan)
+        shuffles += sh
+        println(s"[shuffle-audit] $name: $sh")
       } catch {
         case e: Throwable =>
           println(s"[scan-audit] $name: PLAN FAILED ${e.getMessage}")
       }
     }
-    println(s"[scan-audit] == ${flagged} multi-scan (query, table) rows ==")
+    println(s"[scan-audit] == ${flagged} multi-scan (query, table) rows, " +
+      s"$shuffles shuffles across the pack ==")
     spark.stop()
   }
 }

@@ -102,28 +102,126 @@ class ScanAuditSpec extends SparkSpec {
     "dedup_substring_bpe" -> Map("documents" -> 12)
   )
 
+  /** Per-query shuffle-Exchange bound (r13, the scan audit's sibling):
+    * at 100 TB every shuffle is a full repartition of its frame over the
+    * wire, so a query growing a shuffle is the same silent regression
+    * class as a query growing a scan. Counting follows
+    * [[ScanAudit.shuffleCount]]: BroadcastExchange is NOT a shuffle (it
+    * is the fix), ReusedExchange is NOT counted (its shuffle already
+    * counted once). Absent = 0 — zero-shuffle queries (65 of the pack)
+    * stay pinned at zero. The recorded numbers are the measured sf0.001
+    * plans after the r13 broadcast-hint pass (slim per-group legs —
+    * datacard panel joins, heldout report legs, ANN query/seed sides —
+    * are broadcast EXPLICITLY instead of riding size estimates, which
+    * flip to sort-merge at real scale). The big counts are dominated by
+    * partial-agg'd slim exchanges (per-language cells, vocab tables,
+    * (query,item) top-k lists), not corpus-width rows; the remaining
+    * SortMergeJoins in the pack are honest corpus-scale joins (anti-join
+    * drop lists, full-outer snapshot diff, event funnels) that no
+    * broadcast can absorb.
+    */
+  private val shuffleBound: Map[String, Int] = Map(
+    "bpe_encode" -> 2, "c7_sql_frontend" -> 1,
+    "cluster_kmeans" -> 1, "cms_counts" -> 4,
+    "corpus_datacard" -> 19, "corpus_shuffle" -> 1,
+    "curation_funnel" -> 2, "curriculum_order" -> 1,
+    "decontaminate" -> 7, "decontaminate_report" -> 6,
+    "decontaminate_sem" -> 1, "dedup_against_ref" -> 1,
+    "dedup_common_span" -> 6, "dedup_exact" -> 1,
+    "dedup_fuzzy" -> 2, "dedup_keep_best" -> 6,
+    "dedup_keep_central" -> 10, "dedup_ngram_jaccard" -> 2,
+    "dedup_rougel" -> 1, "dedup_span_removal" -> 4,
+    "dedup_substring" -> 3, "dedup_substring_bpe" -> 10,
+    "dedup_vs_ref_near" -> 1, "dq_report" -> 8,
+    "dsir_select" -> 7, "dsir_weights" -> 7,
+    "emb_centroids" -> 1, "feat_category_index" -> 2,
+    "feat_minmax" -> 1, "feat_standardize" -> 1,
+    "gopher_quality_gate" -> 9, "hll_distinct" -> 4,
+    "label_fleiss" -> 3, "label_kappa" -> 4,
+    "label_krippendorff" -> 4, "mixture_alpha_select" -> 1,
+    "mixture_resample" -> 1, "mixture_tokens" -> 1,
+    "mixture_unimax_select" -> 1, "pack_chunks" -> 1,
+    "pack_length_buckets" -> 3, "pack_sequences" -> 1,
+    "pack_shards" -> 1, "pipeline_curate" -> 2,
+    "pipeline_curate2" -> 8, "pipeline_multimodal" -> 1,
+    "pipeline_rlhf" -> 3, "pipeline_sft" -> 2,
+    "privacy_dp_counts" -> 1, "privacy_k_anon" -> 1,
+    "privacy_l_div" -> 2, "privacy_suppress" -> 1,
+    "q11_distinct" -> 1, "q12_setops" -> 2,
+    "q13_rollup" -> 1, "q14_time_buckets" -> 1,
+    "q15_cube" -> 1, "q16_scalar_subquery" -> 1,
+    "q19_conditional_agg" -> 1, "q1_pricing_summary" -> 1,
+    "q20_group_having" -> 1, "q21_asof_join" -> 2,
+    "q22_percentiles" -> 1, "q23_exact_stats" -> 1,
+    "q24_pivot" -> 2, "q25_approx_distinct" -> 3,
+    "q26_sessionize" -> 1, "q27_union" -> 1,
+    "q28_window_misc" -> 1, "q29_above_own_avg" -> 1,
+    "q30_setops_all" -> 3, "q32_grouping_sets" -> 1,
+    "q33_approx_percentiles" -> 1, "q34_range_frame" -> 1,
+    "q35_funnel" -> 2, "q36_profile" -> 2,
+    "q37_retention" -> 3, "q38_histogram" -> 1,
+    "q39_skew" -> 2, "q3_revenue_by_segment" -> 1,
+    "q40_saltplan" -> 1, "q41_gini_group" -> 4,
+    "q4_semi_join_agg" -> 1, "q5_nation_volume" -> 1,
+    "q7_theta_left_join" -> 1, "q8_window_topn_per_group" -> 1,
+    "q9_window_running" -> 1, "quality_blocklist" -> 2,
+    "quality_gate" -> 1, "quality_nb_buckets" -> 1,
+    "quality_perceptron" -> 3, "ret_bm25_topk" -> 11,
+    "ret_hybrid_ann" -> 5, "ret_hybrid_rrf" -> 3,
+    "s1_text_lineage" -> 1, "sample_es_k" -> 1,
+    "sample_per_group" -> 1, "sel_cap_per_source" -> 1,
+    "sel_ess" -> 1, "sel_pref_pairs" -> 1,
+    "sft_chat_format" -> 1, "sft_loss_mask" -> 1,
+    "sft_validate" -> 1, "shard_manifest" -> 1,
+    "sim_ann_ivf" -> 1, "sim_ann_lsh" -> 3,
+    "sim_ann_pq" -> 2, "sim_hard_negatives" -> 1,
+    "sim_neardup_cosine" -> 4, "sim_semdedup" -> 12,
+    "sim_topk_brute" -> 1, "snap_diff" -> 2,
+    "sql_curate" -> 2, "t3_batcher_bykey" -> 1,
+    "t5_pipeline_copy" -> 1, "text_boilerplate" -> 2,
+    "text_collocations" -> 2, "text_commonness" -> 2,
+    "text_entropy" -> 2, "text_lm_backoff" -> 3,
+    "text_lm_score" -> 3, "text_novelty" -> 2,
+    "text_para_dedup" -> 4, "text_ppl_buckets" -> 4,
+    "text_span_corrupt" -> 1, "text_tfidf" -> 4,
+    "text_vocab_topk" -> 1, "text_vocab_topk_mg" -> 1,
+    "text_winnow" -> 1, "tok_fertility" -> 1,
+    "tok_oov_rate" -> 2, "token_budget" -> 1,
+    "vocab_zipf" -> 1, "wordpiece_encode" -> 2
+  )
+
   test("allowlist names only live pack queries") {
-    val unknown = allowed.keySet -- SparkEntry.queries.keySet
+    val unknown = (allowed.keySet ++ shuffleBound.keySet) --
+      SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"stale allowlist entries: $unknown")
   }
 
-  test("every pack query's per-table scan count is within its bound") {
+  test("every pack query's scan and shuffle counts are within bounds") {
     val violations = Seq.newBuilder[String]
     val slack = Seq.newBuilder[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val counts =
-        try ScanAudit.scanCounts(spark, sf0001, name)
+      val plan =
+        try SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString
         catch {
           case e: Throwable =>
             violations += s"$name: plan failed: ${e.getMessage}"
-            Map.empty[String, Int]
+            ""
         }
-      counts.foreach { case (table, n) =>
+      ScanAudit.tableScanCounts(plan).foreach { case (table, n) =>
         val bound = allowed.getOrElse(name, Map.empty).getOrElse(table, 1)
         if (n > bound)
           violations += s"$name: $table scanned ${n}x (bound $bound)"
         else if (n < bound)
           slack += s"$name: $table ${n}x under bound $bound"
+      }
+      if (plan.nonEmpty) {
+        val sh = ScanAudit.shuffleCount(plan)
+        val bound = shuffleBound.getOrElse(name, 0)
+        if (sh > bound)
+          violations += s"$name: $sh shuffles (bound $bound)"
+        else if (sh < bound)
+          slack += s"$name: $sh shuffles under bound $bound"
       }
     }
     val s = slack.result()
@@ -131,7 +229,7 @@ class ScanAuditSpec extends SparkSpec {
       info(s"ratchet candidates (count under bound): ${s.mkString("; ")}")
     val v = violations.result()
     assert(v.isEmpty,
-      s"scan-count regressions (fuse the scan or document the bound):\n" +
+      s"plan-shape regressions (fix the plan or document the bound):\n" +
         v.mkString("\n"))
   }
 }
