@@ -721,6 +721,44 @@ class CurationSpec extends SparkSpec {
     assert(wide.map(_._1).distinct.size === wide.size)
   }
 
+  test("mmrSelect job count is buffered, not one job per pick") {
+    import graft.llm.Selection
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // wall-independent pin of the r13 buffering claim: k picks must NOT
+    // cost k Spark jobs. Relevance gaps (10⁷ per rank) dominate the
+    // cosine penalty range (≤ 2·10⁶), so buffer scores never reorder
+    // across the bound and ONE refill serves picks 2..k locally — the
+    // whole run is the eager localCheckpoint + pick-1 pass + one refill,
+    // a handful of jobs independent of k. (Clustered data where picks
+    // suppress whole duplicate classes legitimately refills more often —
+    // the trajectory-equality test above covers that regime.)
+    val n = 200
+    val vecs = (1 to n).map { i =>
+      val a = (i % 17).toFloat / 17f
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        (i % 5).toFloat / 5f), (2000L - i) * 10000000L)
+    }.toDF("vec_id", "embedding", "rel")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    val k = 24
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val r = Selection.mmrSelect(vecs, "vec_id", col("rel"),
+          "embedding", k).collect()
+        Thread.sleep(500) // let the async listener bus drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.length === k)
+    // sequential form = k+1 jobs minimum (checkpoint + one per pick);
+    // buffered form is a constant handful and does not grow with k
+    assert(counter.get() <= 6,
+      s"mmrSelect($k picks) ran ${counter.get()} jobs — buffering broke")
+  }
+
   // --------------------------------------------------------- blocklist
 
   test("blocklistCounts: token-exact phrase instances, zero rows kept") {
