@@ -116,6 +116,26 @@ object ScaleProbe {
   private def selected(label: String): Boolean =
     onlyRows.isEmpty || onlyRows(label)
 
+  /** Listener-summed shuffle-write RECORDS across every stage `f` runs —
+    * the wall-independent "what do the Exchanges carry" meter behind the
+    * shufvol probe rows. The sleep drains the async listener bus; stage
+    * events are posted before the action returns in practice, the pad is
+    * for stragglers.
+    */
+  private def shuffleRecordsOf(f: => Long): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    probeSpark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(1000) }
+    finally probeSpark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
   private def time(label: String, n: Long)(f: => Long): (String, Double) = {
     if (!selected(label)) return (label, -1.0)
     val t0 = System.nanoTime()
@@ -547,6 +567,47 @@ object ScaleProbe {
           }
           Seq(wall, "semdedup_cells" -> cells,
             "semdedup_hist_rows" -> histRows, "semdedup_cand_pairs" -> cand)
+        }) ++ (
+        if (!selected("shufvol")) Seq.empty else {
+          // Shuffle-VOLUME meter (r13, the shuffle audit's runtime half):
+          // ScanAuditSpec pins how many Exchanges each plan HAS; this row
+          // family pins what they CARRY. A listener sums shuffle-write
+          // RECORDS while each op runs over a fixed-partition (8) slim
+          // frame at n and factor·n. The map-side-bounded family — per-
+          // group top-k (WindowGroupLimit heap), HLL register partial-agg
+          // (≤ 256 registers/group/partition), the bottom-k quantile
+          // sample — must shuffle ≤ parts × groups × bound rows,
+          // CONSTANT in n; the exact-distinct contrast row (unique keys,
+          // so partial agg cannot reduce) must shuffle linearly, proving
+          // the meter measures. Records are counted, never clocked —
+          // these ratios survive any machine weather.
+          val base = docs.select(pmod(col("doc_id"), lit(16)).as("g"),
+              length(col("text")).cast("long").as("v"),
+              col("doc_id").as("id"))
+            .repartition(8).localCheckpoint() // eager, BEFORE any meter
+          // every row consumes REAL output columns (the span_removal
+          // lesson above): a bare count() lets Catalyst prune the agg
+          // expressions — the first hll cut measured distinct(g), 129
+          // records, instead of the register table
+          val topk = shuffleRecordsOf(graft.llm.Selection.capPerGroup(
+            base, "g", col("v"), "id", 16)
+            .agg(sum("v"), sum("rank")).collect().length.toLong).toDouble
+          val hll = shuffleRecordsOf(graft.llm.Sketches.hllEstimate(
+            base.select(col("g").cast("string").as("g"), col("id")),
+            "g", col("id").cast("string"))
+            .agg(sum("n_hll")).collect().length.toLong).toDouble
+          val bk = shuffleRecordsOf(graft.queries.Relational
+            .bottomKQuantiles(base, "g", 32)
+            .agg(sum("p25"), sum("median"), sum("p75"))
+            .collect().length.toLong).toDouble
+          val dist = shuffleRecordsOf(
+            base.select(col("id")).distinct().count()).toDouble
+          println(f"[scale] n=$n%-8d shufvol_records    topk=$topk%.0f " +
+            f"hll=$hll%.0f bottomk=$bk%.0f distinct=$dist%.0f")
+          probeSpark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          Seq("shufvol_topk_recs" -> topk, "shufvol_hll_recs" -> hll,
+            "shufvol_bottomk_recs" -> bk, "shufvol_distinct_recs" -> dist)
         })).toMap
     }
 
@@ -585,6 +646,35 @@ object ScaleProbe {
         f"[scale] semdedup_incr wall grew $sdr%.2fx at ${factor}x " +
           "history with healthy volumes — investigate the plan, not " +
           "the prune")
+    }
+    // shuffle-volume guards (r13): the bounded family's shuffle records
+    // are parts × groups × bound — independent of n — so their ratio at
+    // factor× data must stay ≈ 1 (1.3 leaves room for a straggler stage
+    // retry); the unique-key distinct contrast must move ≈ linearly or
+    // the meter itself is broken. Pure record counts: no wall anywhere.
+    if (selected("shufvol")) {
+      for (k <- Seq("shufvol_topk_recs", "shufvol_bottomk_recs")) {
+        val r = big(k) / small(k)
+        require(r <= 1.3,
+          f"[scale] $k grew $r%.2fx at ${factor}x data (" +
+            f"${small(k)}%.0f → ${big(k)}%.0f) — the map-side bound " +
+            "stopped capping the shuffle")
+      }
+      // HLL registers FILL toward their ceiling as n grows (78% full at
+      // 50k/8-partition, ~100% at 200k — a ratio test would be fragile),
+      // so the guard is the absolute bound itself: parts × groups × 256
+      // register rows + the estimator's two slim downstream stages
+      val hllCeil = 8.0 * 16 * 256 + 64
+      require(big("shufvol_hll_recs") <= hllCeil &&
+          small("shufvol_hll_recs") <= hllCeil,
+        f"[scale] hll register shuffle exceeded its parts×groups×256 " +
+          f"ceiling ($hllCeil%.0f): ${small("shufvol_hll_recs")}%.0f → " +
+          f"${big("shufvol_hll_recs")}%.0f — partial aggregation " +
+          "stopped bounding the map output")
+      val dr = big("shufvol_distinct_recs") / small("shufvol_distinct_recs")
+      require(dr >= factor * 0.7,
+        f"[scale] the linear contrast row moved only $dr%.2fx at " +
+          f"${factor}x data — the shuffle meter is not measuring")
     }
     spark.stop()
   }
