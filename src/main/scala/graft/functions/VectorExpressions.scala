@@ -113,6 +113,187 @@ case class Hamming64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared base for the int8-vector kernels: array<int> × array<int> input
+  * checks and the fused BIGINT dot/norm loop, with the [[CosineSim]]
+  * null/mismatch stance (null element → null result, length mismatch →
+  * loud IllegalArgumentException — dims are uniform by construction, and
+  * a silent null would hide a broken quantization upstream).
+  */
+sealed trait IntVecKernel { self: BinaryExpression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> inputs, got (${left.dataType}, ${right.dataType})")
+  }
+  override def nullable: Boolean = true
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  /** (dot, na, nb) over the two int arrays, or null-marker on a null
+    * element. Exact BIGINT accumulation — no overflow at int8 × 2¹⁵ dims. */
+  protected final def dotNorms(a: Any, b: Any): (Long, Long, Long, Boolean) = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return (0L, 0L, 0L, true)
+      val xv = x.getInt(i).toLong; val yv = y.getInt(i).toLong
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    (dot, na, nb, false)
+  }
+
+  /** Shared codegen prelude: declares `<p>dot/<p>na/<p>nb` longs. */
+  protected final def genDotNorms(ctx: CodegenContext, ev: ExprCode,
+      a: String, b: String, p: String): String = {
+    s"""
+       |int ${p}n = $a.numElements();
+       |if (${p}n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: array lengths differ (" + ${p}n + " vs " + $b.numElements() + ")");
+       |}
+       |long ${p}dot = 0L, ${p}na = 0L, ${p}nb = 0L;
+       |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+       |  if ($a.isNullAt(${p}i) || $b.isNullAt(${p}i)) { ${ev.isNull} = true; break; }
+       |  long ${p}x = (long) $a.getInt(${p}i);
+       |  long ${p}y = (long) $b.getInt(${p}i);
+       |  ${p}dot += ${p}x * ${p}y; ${p}na += ${p}x * ${p}x; ${p}nb += ${p}y * ${p}y;
+       |}
+     """.stripMargin
+  }
+}
+
+/** Exact quantized cosine over array<int> (int8-quantized) vectors —
+  * BIGINT dot/norms, ONE correctly-rounded IEEE division over one
+  * correctly-rounded sqrt (`CAST(dot AS DOUBLE) / sqrt(CAST(na*nb AS
+  * DOUBLE))`), −2.0 on a zero norm: bit-identical to the documented
+  * oracle semantics the interpreted `aggregate(zip_with(...))` form
+  * computed, now inside whole-stage codegen.
+  */
+case class IntCosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with IntVecKernel {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (dot, na, nb, isNull) = dotNorms(a, b)
+    if (isNull) null
+    else if (na == 0L || nb == 0L) -2.0d
+    else dot.toDouble / math.sqrt((na * nb).toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("ic")
+      s"""
+         |${genDotNorms(ctx, ev, a, b, p)}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = (${p}na == 0L || ${p}nb == 0L) ? -2.0D
+         |    : (double) ${p}dot / java.lang.Math.sqrt((double) (${p}na * ${p}nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `⌊cosine · 10⁶⌋` over array<int> vectors as BIGINT, −2000000 on a zero
+  * norm — the engine-exact micro similarity of the MMR / SemDeDup family
+  * (`floor(CAST(dot AS DOUBLE) / sqrt(CAST(na·nb AS DOUBLE)) · 10⁶)`,
+  * the floor of an exactly-rounded IEEE double on exact inputs, so any
+  * engine replays it bit-identically). Same values as the interpreted
+  * HOF chain it replaces, fused into whole-stage codegen.
+  */
+case class IntCosineMicro(left: Expression, right: Expression)
+    extends BinaryExpression with IntVecKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_cosine_micro"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (dot, na, nb, isNull) = dotNorms(a, b)
+    if (isNull) null
+    else if (na == 0L || nb == 0L) -2000000L
+    else math.floor(dot.toDouble / math.sqrt((na * nb).toDouble)
+      * 1000000.0d).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("im")
+      s"""
+         |${genDotNorms(ctx, ev, a, b, p)}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = (${p}na == 0L || ${p}nb == 0L) ? -2000000L
+         |    : (long) java.lang.Math.floor((double) ${p}dot
+         |        / java.lang.Math.sqrt((double) (${p}na * ${p}nb)) * 1000000.0D);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact BIGINT squared L2 distance `Σ(a−b)²` over array<int> vectors —
+  * the k-means assignment kernel (same values as the interpreted
+  * `aggregate(zip_with(...))` form it replaces).
+  */
+case class IntSqDistL2(left: Expression, right: Expression)
+    extends BinaryExpression with IntVecKernel {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = (x.getInt(i) - y.getInt(i)).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("sq")
+      s"""
+         |int ${p}n = $a.numElements();
+         |if (${p}n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: array lengths differ (" + ${p}n + " vs " + $b.numElements() + ")");
+         |}
+         |long ${p}acc = 0L;
+         |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+         |  if ($a.isNullAt(${p}i) || $b.isNullAt(${p}i)) { ${ev.isNull} = true; break; }
+         |  long ${p}d = (long) ($a.getInt(${p}i) - $b.getInt(${p}i));
+         |  ${p}acc += ${p}d * ${p}d;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = ${p}acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Registration: per-session temp functions plus a `SparkSessionExtensions`
   * hook for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -145,11 +326,13 @@ object GraftFunctions {
     "graft_quality" -> colFn { case Seq(c) => graft.llm.TextOps.qualityScore(c) },
     "graft_quantize_int8" -> colFn { case Seq(c) =>
       graft.llm.Similarity.quantizeInt8(c) },
-    // exact quantized cosine (r11 engine-exact ANN arithmetic): the
-    // SQL-frontend form of Similarity.intCosine — BIGINT dot/norms over
-    // int8 vectors, one exactly-rounded IEEE division, −2.0 on zero norm
-    "graft_int_cosine" -> colFn { case Seq(a, b) =>
-      graft.llm.Similarity.intCosine(a, b) })
+    // exact quantized int8-vector kernels (r11 engine-exact ANN
+    // arithmetic; native codegen'd since r13 — the interpreted
+    // aggregate(zip_with(...)) forms they replace produced identical
+    // values but paid boxed per-element eval on corpus-sized paths)
+    "graft_int_cosine" -> (es => IntCosineSim(es(0), es(1))),
+    "graft_int_cosine_micro" -> (es => IntCosineMicro(es(0), es(1))),
+    "graft_int_sqdist" -> (es => IntSqDistL2(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -161,6 +344,17 @@ object GraftFunctions {
   def graftHamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
   def graftBloomContains(bloom: Column, key: Column): Column =
     call_function("graft_bloom_contains", bloom, key)
+
+  /** Registration-free Column forms of the int8 kernels (direct
+    * expression construction — usable inside library code that never
+    * touches the SQL function registry). */
+  private def direct(e: Expression): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(e)
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
+  def intCosineCol(a: Column, b: Column): Column = direct(IntCosineSim(ex(a), ex(b)))
+  def intCosineMicroCol(a: Column, b: Column): Column = direct(IntCosineMicro(ex(a), ex(b)))
+  def intSqDistCol(a: Column, b: Column): Column = direct(IntSqDistL2(ex(a), ex(b)))
 }
 
 /** `spark.sql.extensions`-loadable function injection. */

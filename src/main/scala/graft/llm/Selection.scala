@@ -227,28 +227,22 @@ object Selection extends Serializable {
         graft.llm.Similarity.quantizeInt8(col(vecCol).cast("array<double>"))
           .as("__mq"))
       .localCheckpoint()
-    val simMicro = expr(
-      """CASE WHEN __mna = 0 OR __mnb = 0 THEN CAST(-2000000 AS BIGINT)
-        |ELSE CAST(floor(CAST(__mdot AS DOUBLE) /
-        |  sqrt(CAST(__mna * __mnb AS DOUBLE)) *
-        |  CAST(1000000 AS DOUBLE)) AS BIGINT) END""".stripMargin)
-    // Exact local mirror of simMicro over quantized vectors: BIGINT
+    // Exact local mirror of the graft_int_cosine_micro kernel: BIGINT
     // dot/norms, one IEEE divide + sqrt + multiply + floor in the same
-    // order as the SQL expression, so driver-side buffer updates produce
-    // bit-identical scores to a distributed pass. Length-mismatched
-    // vectors mirror zip_with's null (max() skips it): None = no update.
-    def simLocal(a: Array[Int], b: Array[Int]): Option[Long] = {
-      if (a.length != b.length) None
-      else {
-        var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-        while (i < a.length) {
-          val x = a(i).toLong; val y = b(i).toLong
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        if (na == 0L || nb == 0L) Some(-2000000L)
-        else Some(math.floor(dot.toDouble / math.sqrt((na * nb).toDouble)
-          * 1000000.0d).toLong)
+    // order as the Expression's codegen, so driver-side buffer updates
+    // produce bit-identical scores to a distributed pass. Mismatched
+    // lengths throw, the kernel's loud-refusal stance.
+    def simLocal(a: Array[Int], b: Array[Int]): Long = {
+      require(a.length == b.length,
+        s"mmrSelect: vector lengths differ (${a.length} vs ${b.length})")
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        val x = a(i).toLong; val y = b(i).toLong
+        dot += x * y; na += x * x; nb += y * y; i += 1
       }
+      if (na == 0L || nb == 0L) -2000000L
+      else math.floor(dot.toDouble / math.sqrt((na * nb).toDouble)
+        * 1000000.0d).toLong
     }
     var picked = Vector.empty[(Long, Long, Long)]
     var selVecs = Vector.empty[(Long, Seq[Int])]
@@ -271,14 +265,8 @@ object Selection extends Serializable {
       val sel = broadcast(selVecs.toDF("__msid", "__msq"))
       val rows = cands.filter(!col("__mid").isin(picked.map(_._1): _*))
         .crossJoin(sel)
-        .withColumn("__mdot", expr("aggregate(zip_with(__mq, __msq," +
-          " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT)," +
-          " (a, x) -> a + x)"))
-        .withColumn("__mna", expr("aggregate(__mq, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-        .withColumn("__mnb", expr("aggregate(__msq, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-        .withColumn("__msim", simMicro)
+        .withColumn("__msim", graft.llm.Similarity
+          .intCosineMicro(col("__mq"), col("__msq")))
         .groupBy(col("__mid"), col("__mrel"), col("__mq"))
         .agg(max(col("__msim")).as("__mmax"))
         .select(col("__mid"), col("__mrel"), col("__mq"),
@@ -311,8 +299,7 @@ object Selection extends Serializable {
         picked :+= ((e.id, r.toLong, e.score))
         selVecs :+= ((e.id, e.q.toSeq))
         buf.foreach { c =>
-          simLocal(c.q, e.q).foreach(s =>
-            c.score = math.min(c.score, c.rel - s))
+          c.score = math.min(c.score, c.rel - simLocal(c.q, e.q))
         }
         r += 1
       } else if (bufHoldsAll) {

@@ -180,19 +180,21 @@ object Similarity extends Serializable {
     * so every cast to double is exact), and the final
     * `dot / sqrt(na·nb)` is one correctly-rounded IEEE division over one
     * correctly-rounded sqrt — bit-identical on any engine. Zero-norm
-    * vectors score −2.0 (below any real cosine). Codegen'd higher-order
-    * functions, no UDF.
+    * vectors score −2.0 (below any real cosine). A native codegen'd
+    * Expression (r13) — the interpreted `aggregate(zip_with(...))` form
+    * it replaces produced identical values but paid boxed per-element
+    * eval; no UDF.
     */
-  def intCosine(qa: Column, qb: Column): Column = {
-    def nrm(v: Column): Column =
-      aggregate(v, lit(0L), (a, x) => a + x.cast("long") * x)
-    val dot = aggregate(zip_with(qa, qb, (x, y) => x.cast("long") * y),
-      lit(0L), (a, x) => a + x)
-    val na = nrm(qa)
-    val nb = nrm(qb)
-    when(na === 0L || nb === 0L, lit(-2.0))
-      .otherwise(dot.cast("double") / sqrt((na * nb).cast("double")))
-  }
+  def intCosine(qa: Column, qb: Column): Column =
+    graft.functions.GraftFunctions.intCosineCol(qa, qb)
+
+  /** `⌊intCosine · 10⁶⌋` as BIGINT with a −2000000 zero-norm sentinel —
+    * the engine-exact micro similarity the MMR / SemDeDup family ranks
+    * by, as a native codegen'd kernel (interpreted HOFs stay off
+    * corpus-sized paths).
+    */
+  def intCosineMicro(qa: Column, qb: Column): Column =
+    graft.functions.GraftFunctions.intCosineMicroCol(qa, qb)
 
   /** md5-derived integer hyperplane component in [−128, 127]: the first
     * byte of `md5("lsh:<table>:<bit>:<dim>")`. The [[Sketches]] md5-nibble
@@ -1013,10 +1015,10 @@ object Similarity extends Serializable {
     def assigned(): DataFrame = {
       import spark.implicits._
       val cents = broadcast(centroids.toIndexedSeq.toDF("__kc", "__kcv"))
-      val dist = aggregate(
-        zip_with(col("__kq"), col("__kcv"),
-          (a, b) => (a - b).cast("long") * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      // native codegen'd Σ(a−b)² kernel — the corpus × k assignment scan
+      // is the hot loop, and interpreted HOFs stay off corpus-sized paths
+      val dist = graft.functions.GraftFunctions
+        .intSqDistCol(col("__kq"), col("__kcv"))
       vecs.crossJoin(cents)
         .withColumn("__kd", dist)
         .groupBy(col("__kid"))

@@ -79,14 +79,9 @@ object CurationOps extends QueryPack {
         .orderBy(col("sim").desc, col("item_id").asc)
       val dense = q8.select(col("item_id"), col("q").as("qb"))
         .crossJoin(broadcast(seeds))
-        .withColumn("dot", expr("aggregate(zip_with(qa, qb," +
-          " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .withColumn("na", expr("aggregate(qa, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-        .withColumn("nb", expr("aggregate(qb, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-        .withColumn("sim", expr("CASE WHEN na = 0 OR nb = 0 THEN CAST(-2.0 AS DOUBLE)" +
-          " ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END"))
+        // native codegen'd kernel: the corpus × broadcast-seeds scan is
+        // the hot loop (same values as the HOF chain it replaces)
+        .withColumn("sim", Similarity.intCosine(col("qa"), col("qb")))
         .withColumn("rank", row_number().over(wD).cast("long"))
         .filter(col("rank") <= Bm25K)
         .select(col("query_id"), col("item_id"), col("rank"))
@@ -195,18 +190,11 @@ object CurationOps extends QueryPack {
           .as("__q"))
       val q0 = q8.filter(col("vec_id") === 0).select(col("__q").as("__q0"))
       val rel = q8.crossJoin(broadcast(q0))
-        .withColumn("__mdot", expr("aggregate(zip_with(__q, __q0," +
-          " (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT)," +
-          " (a, x) -> a + x)"))
-        .withColumn("__mna", expr("aggregate(__q, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-        .withColumn("__mnb", expr("aggregate(__q0, CAST(0 AS BIGINT)," +
-          " (a, x) -> a + CAST(x AS BIGINT) * x)"))
-        .withColumn("rel_micro", expr(
-          """CASE WHEN __mna = 0 OR __mnb = 0 THEN CAST(-2000000 AS BIGINT)
-            |ELSE CAST(floor(CAST(__mdot AS DOUBLE) /
-            |  sqrt(CAST(__mna * __mnb AS DOUBLE)) *
-            |  CAST(1000000 AS DOUBLE)) AS BIGINT) END""".stripMargin))
+        // native codegen'd micro-cosine kernel (same values as the HOF
+        // chain it replaces — the oracle replays the arithmetic, not
+        // the plan)
+        .withColumn("rel_micro",
+          Similarity.intCosineMicro(col("__q"), col("__q0")))
         .select(col("vec_id"), col("embedding"), col("rel_micro"))
       Selection.mmrSelect(rel, "vec_id", col("rel_micro"), "embedding",
         k = MmrK)

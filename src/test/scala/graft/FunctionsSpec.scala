@@ -97,4 +97,74 @@ class FunctionsSpec extends SparkSpec {
     assert(ic.getDouble(1) === -2.0)
     assert(ic.getDouble(2) === 0.0)
   }
+
+  test("int8 kernels match the interpreted HOF forms bit-for-bit") {
+    GraftFunctions.register(spark)
+    // the r13 native expressions replaced aggregate(zip_with(...)) chains;
+    // this is the regression pin that they compute the IDENTICAL values —
+    // the old HOF formulas are reproduced verbatim as the reference
+    val q8 = Tables(spark, sf0001).embeddings.limit(100)
+      .select($"vec_id",
+        Similarity.quantizeInt8($"embedding".cast("array<double>")).as("q"))
+    val pairs = q8.as("a").join(q8.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .limit(800).select(col("a.q").as("qa"), col("b.q").as("qb"))
+      .localCheckpoint()
+    val hofCos = expr("CASE WHEN aggregate(qa, CAST(0 AS BIGINT)," +
+      " (a, x) -> a + CAST(x AS BIGINT) * x) = 0 OR" +
+      " aggregate(qb, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) = 0" +
+      " THEN CAST(-2.0 AS DOUBLE) ELSE" +
+      " CAST(aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y)," +
+      " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) /" +
+      " sqrt(CAST(aggregate(qa, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) *" +
+      " aggregate(qb, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) AS DOUBLE)) END")
+    val cosDiff = pairs
+      .select((Similarity.intCosine($"qa", $"qb") - hofCos).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(cosDiff === 0.0)
+    val hofMicro = expr("CASE WHEN aggregate(qa, CAST(0 AS BIGINT)," +
+      " (a, x) -> a + CAST(x AS BIGINT) * x) = 0 OR" +
+      " aggregate(qb, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) = 0" +
+      " THEN CAST(-2000000 AS BIGINT) ELSE" +
+      " CAST(floor(CAST(aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y)," +
+      " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) /" +
+      " sqrt(CAST(aggregate(qa, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) *" +
+      " aggregate(qb, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) AS DOUBLE)) *" +
+      " CAST(1000000 AS DOUBLE)) AS BIGINT) END")
+    val microBad = pairs
+      .filter(Similarity.intCosineMicro($"qa", $"qb") =!= hofMicro).count()
+    assert(microBad === 0L)
+    val hofSq = expr("aggregate(zip_with(qa, qb," +
+      " (a, b) -> CAST(a - b AS BIGINT) * (a - b)), CAST(0 AS BIGINT)," +
+      " (acc, x) -> acc + x)")
+    val sqBad = pairs
+      .filter(GraftFunctions.intSqDistCol($"qa", $"qb") =!= hofSq).count()
+    assert(sqBad === 0L)
+  }
+
+  test("int8 kernels: sentinels, nulls, mismatches, codegen, SQL registry") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_int_cosine_micro(array(3, 4), array(3, 4)) AS same,
+        |  graft_int_cosine_micro(array(0, 0), array(3, 4)) AS zero,
+        |  graft_int_sqdist(array(1, 2, 3), array(4, 6, 8)) AS sq,
+        |  graft_int_cosine_micro(array(1, CAST(NULL AS INT)), array(1, 2)) AS ne
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) === 1000000L)
+    assert(r.getLong(1) === -2000000L)
+    assert(r.getLong(2) === (9L + 16L + 25L))
+    assert(r.isNullAt(3)) // null element → null, the HOF stance
+    // length mismatch refuses loudly (silent nulls would hide a broken
+    // quantization upstream)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_int_cosine_micro(array(1), array(1, 2))")
+        .collect()
+    }
+    assert(ex.getMessage != null)
+    // the kernels run inside whole-stage codegen on a column path
+    val q8 = Tables(spark, sf0001).embeddings.limit(10)
+      .select(Similarity.quantizeInt8($"embedding".cast("array<double>")).as("q"))
+    val plan = q8.select(Similarity.intCosineMicro($"q", $"q").as("m"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
 }
