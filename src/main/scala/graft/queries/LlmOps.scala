@@ -191,6 +191,17 @@ object LlmOps extends QueryPack {
         "media").toDF()
     }
 
+  /** DSIR importance weights over the documents (target = English) — the
+    * weights query and the top-k selection ride ONE fit (two hashed-
+    * feature corpus scans otherwise; the memoized frame is slim
+    * (id, n_feats, weight) rows).
+    */
+  private def dsirWeightsShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "dsir_weights") {
+      Dsir.importanceWeights(t(s, dir).documents, "doc_id", "text",
+        col("lang") === "en")
+    }
+
   /** Per-(language, token) frequency table — ONE corpus tokenize +
     * shuffle feeding the datacard's Zipf, OOV, and vocabulary legs (and
     * the standalone vocab_zipf_lang). At 100 TB this is the difference
@@ -653,13 +664,15 @@ object LlmOps extends QueryPack {
     //      hashed unigram+bigram buckets, portable fixed-point log-ratio
     //      vs the English subset as target — BIGINT weights, oracle-
     //      hash-exact. dsir_select keeps the top-100 most target-like. ----
-    "dsir_weights" -> ((s, dir) =>
-      Dsir.importanceWeights(t(s, dir).documents, "doc_id", "text",
-        col("lang") === "en")),
+    "dsir_weights" -> ((s, dir) => dsirWeightsShared(s, dir)),
 
+    // the top-k selection rides the SAME memoized fit (StageMemo
+    // contract: bit-identical to Dsir.selectTopK's standalone
+    // recomputation — same (weight desc, id asc) TakeOrdered shape)
     "dsir_select" -> ((s, dir) =>
-      Dsir.selectTopK(t(s, dir).documents, "doc_id", "text",
-        col("lang") === "en", k = 100)),
+      dsirWeightsShared(s, dir)
+        .orderBy(col("weight_micro").desc, col("doc_id").asc)
+        .limit(100)),
 
     // ---- PII surface counts (email / URL / phone regex detectors) over a
     //      corpus with deterministically injected PII. regexp_count is a

@@ -45,8 +45,6 @@ class ScanAuditSpec extends SparkSpec {
     "dedup_exact" -> Map("documents" -> 2), // winner ids + row fetch
     "dedup_keep_central" -> Map("documents" -> 2),
     "dedup_winnow_apply" -> Map("documents" -> 2),
-    "dsir_select" -> Map("documents" -> 2), // target vs raw slice
-    "dsir_weights" -> Map("documents" -> 2),
     "feat_category_index" -> Map("events" -> 2), // vocab fit + encode
     "feat_minmax" -> Map("lineitem" -> 2), // bounds fit + apply
     "feat_standardize" -> Map("lineitem" -> 2), // moments fit + apply
@@ -133,7 +131,6 @@ class ScanAuditSpec extends SparkSpec {
     "dedup_rougel" -> 1, "dedup_span_removal" -> 4,
     "dedup_substring" -> 3, "dedup_substring_bpe" -> 10,
     "dedup_vs_ref_near" -> 1, "dq_report" -> 8,
-    "dsir_select" -> 7, "dsir_weights" -> 7,
     "emb_centroids" -> 1, "feat_category_index" -> 2,
     "feat_minmax" -> 1, "feat_standardize" -> 1,
     "gopher_quality_gate" -> 9, "hll_distinct" -> 4,
