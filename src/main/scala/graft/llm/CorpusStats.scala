@@ -426,10 +426,18 @@ object CorpusStats extends Serializable {
     * head|middle|tail).
     */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
+      langCol: String): DataFrame =
+    perplexityBucketsFromScores(df, idCol, langCol,
+      bigramLmScore(df, idCol, textCol))
+
+  /** [[perplexityBuckets]] from a precomputed [[bigramLmScore]] frame —
+    * the shared-fit entry point: one LM fit feeds both the per-doc score
+    * query and the bucket assignment instead of two corpus fits.
+    */
+  def perplexityBucketsFromScores(df: DataFrame, idCol: String,
+      langCol: String, scored: DataFrame): DataFrame = {
     guard(idCol)
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramLmScore(df, idCol, textCol)
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("avg_nll_micro").asc, col(idCol).asc)
     df.select(col(idCol), col(langCol))

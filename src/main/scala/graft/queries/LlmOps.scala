@@ -202,6 +202,14 @@ object LlmOps extends QueryPack {
         col("lang") === "en")
     }
 
+  /** Bigram-LM corpus fit — the per-doc score query and the perplexity
+    * buckets ride ONE fit (slim per-doc score rows).
+    */
+  private def lmScoreShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "lm_score") {
+      CorpusStats.bigramLmScore(t(s, dir).documents, "doc_id", "text")
+    }
+
   /** Per-(language, token) frequency table — ONE corpus tokenize +
     * shuffle feeding the datacard's Zipf, OOV, and vocabulary legs (and
     * the standalone vocab_zipf_lang). At 100 TB this is the difference
@@ -783,8 +791,7 @@ object LlmOps extends QueryPack {
     // ---- smoothed bigram LM score fitted on the corpus itself (the
     //      CCNet-shape perplexity quality signal), accumulated as
     //      floor(ln·10⁶) BIGINTs so the sum is order-independent ----
-    "text_lm_score" -> ((s, dir) =>
-      CorpusStats.bigramLmScore(t(s, dir).documents, "doc_id", "text")),
+    "text_lm_score" -> ((s, dir) => lmScoreShared(s, dir)),
 
     // ---- corpus-frequency commonness signals: per-doc sum and min of
     //      corpus-wide token frequencies (rare-token docs are noise or
@@ -822,9 +829,12 @@ object LlmOps extends QueryPack {
 
     // ---- CCNet-style head/middle/tail perplexity terciles per language
     //      (corpus stratification by LM fluency before sampling) ----
+    // the bucket assignment rides the SAME memoized LM fit as
+    // text_lm_score (StageMemo contract: bit-identical to the
+    // standalone perplexityBuckets recomputation)
     "text_ppl_buckets" -> ((s, dir) =>
-      CorpusStats.perplexityBuckets(t(s, dir).documents, "doc_id", "text",
-        "lang")),
+      CorpusStats.perplexityBucketsFromScores(t(s, dir).documents,
+        "doc_id", "lang", lmScoreShared(s, dir))),
 
     // ---- corpus vocabulary: token frequencies, deterministic top-100
     //      (tokenizer-training preprocessing). explode → partial-agg'd

@@ -178,8 +178,8 @@ class ScanAuditSpec extends SparkSpec {
     "t5_pipeline_copy" -> 1, "text_boilerplate" -> 2,
     "text_collocations" -> 2, "text_commonness" -> 2,
     "text_entropy" -> 2, "text_lm_backoff" -> 3,
-    "text_lm_score" -> 3, "text_novelty" -> 2,
-    "text_para_dedup" -> 4, "text_ppl_buckets" -> 4,
+    "text_ppl_buckets" -> 1, "text_novelty" -> 2,
+    "text_para_dedup" -> 4,
     "text_span_corrupt" -> 1, "text_tfidf" -> 4,
     "text_vocab_topk" -> 1, "text_vocab_topk_mg" -> 1,
     "text_winnow" -> 1, "tok_fertility" -> 1,
