@@ -210,6 +210,18 @@ object LlmOps extends QueryPack {
       CorpusStats.bigramLmScore(t(s, dir).documents, "doc_id", "text")
     }
 
+  /** Fuzzy (edit-distance) near-dup pairs over the 24-char key prefix —
+    * the pair report and the applied dedup ride ONE PassJoin stage
+    * (slim (id_a, id_b, dist) rows).
+    */
+  private def fuzzyPairsShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "fuzzy_pairs") {
+      Dedup.fuzzyNearDupPairs(
+        t(s, dir).documents.select(col("doc_id"),
+          substring(col("text"), 1, 24).as("key")),
+        "doc_id", "key", maxDist = 2)
+    }
+
   /** Per-(language, token) frequency table — ONE corpus tokenize +
     * shuffle feeding the datacard's Zipf, OOV, and vocabulary legs (and
     * the standalone vocab_zipf_lang). At 100 TB this is the difference
@@ -1374,18 +1386,16 @@ object LlmOps extends QueryPack {
     //      24-char key prefixes: PassJoin disjoint-segment blocking +
     //      threshold-Levenshtein confirm; EXACT recall, so the oracle is
     //      the brute-force distance join ----
-    "dedup_fuzzy" -> ((s, dir) =>
-      Dedup.fuzzyNearDupPairs(
-        t(s, dir).documents.select(col("doc_id"),
-          substring(col("text"), 1, 24).as("key")),
-        "doc_id", "key", maxDist = 2)),
+    "dedup_fuzzy" -> ((s, dir) => fuzzyPairsShared(s, dir)),
 
-    // ---- fuzzy dedup applied: pairs → components → min-id survivors ----
+    // ---- fuzzy dedup applied: pairs → components → min-id survivors,
+    //      riding the SAME memoized pair stage as dedup_fuzzy (the exact
+    //      composition dropFuzzyDuplicates plans) ----
     "dedup_fuzzy_apply" -> ((s, dir) =>
-      Dedup.dropFuzzyDuplicates(
+      Dedup.applySurvivors(
         t(s, dir).documents.select(col("doc_id"),
           substring(col("text"), 1, 24).as("key")),
-        "doc_id", "key", maxDist = 2)
+        "doc_id", Dedup.survivorAssignment(fuzzyPairsShared(s, dir)))
         .select(col("doc_id"))),
 
     // ---- SQL-only curation through the registered function surface: the

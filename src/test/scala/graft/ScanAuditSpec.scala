@@ -78,7 +78,6 @@ class ScanAuditSpec extends SparkSpec {
     "cms_counts" -> Map("documents" -> 2),
     "decontaminate" -> Map("documents" -> 5),
     "dedup_common_span" -> Map("documents" -> 4),
-    "dedup_fuzzy" -> Map("documents" -> 4),
     "dedup_ngram_jaccard" -> Map("documents" -> 2),
     "dedup_span_removal" -> Map("documents" -> 4),
     "dedup_substring" -> Map("documents" -> 4),
@@ -126,7 +125,7 @@ class ScanAuditSpec extends SparkSpec {
     "decontaminate" -> 7, "decontaminate_report" -> 6,
     "decontaminate_sem" -> 1, "dedup_against_ref" -> 1,
     "dedup_common_span" -> 6, "dedup_exact" -> 1,
-    "dedup_fuzzy" -> 2, "dedup_keep_best" -> 6,
+    "dedup_keep_best" -> 6,
     "dedup_keep_central" -> 10, "dedup_ngram_jaccard" -> 2,
     "dedup_rougel" -> 1, "dedup_span_removal" -> 4,
     "dedup_substring" -> 3, "dedup_substring_bpe" -> 10,
