@@ -837,6 +837,14 @@ object Dedup {
   /** (span_hash: long, id: long) rows — each doc's distinct `spanTokens`-
     * token contiguous spans, 64-bit-hashed so shuffles never carry text.
     */
+  /** The (span, id) corpus table [[decontaminate]] and
+    * [[decontaminationReport]] both consume — exposed so callers can
+    * build it ONCE and feed both entry points (at 100 TB the corpus
+    * tokenize+shingle pass IS the cost of either op). */
+  private[graft] def corpusSpanHashes(df: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int): DataFrame =
+    spanHashes(df, idCol, textCol, spanTokens)
+
   private def spanHashes(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     val spark = df.sparkSession
@@ -939,9 +947,20 @@ object Dedup {
     * [[commonSpanPairs]] on the union.
     */
   def decontaminate(corpus: DataFrame, heldout: DataFrame, idCol: String,
-      textCol: String, spanTokens: Int = 13): DataFrame = {
+      textCol: String, spanTokens: Int = 13): DataFrame =
+    decontaminate(corpus, heldout, idCol, textCol, spanTokens,
+      spanHashes(corpus, idCol, textCol, spanTokens))
+
+  /** [[decontaminate]] from a precomputed corpus span-hash table — the
+    * shared-fit entry point (`corpusSpans` must be the (span, id) table
+    * [[corpusSpanHashes]] builds at the SAME spanTokens; the drop screen
+    * and the audit report can then ride one corpus tokenize pass).
+    */
+  private[graft] def decontaminate(corpus: DataFrame, heldout: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int,
+      corpusSpans: DataFrame): DataFrame = {
     val toksLen = size(split(trim(col(textCol)), "\\s+"))
-    val cSpans = spanHashes(corpus, idCol, textCol, spanTokens)
+    val cSpans = corpusSpans
     val hSpans = spanHashes(heldout, idCol, textCol, spanTokens)
       .select(col("span")).distinct()
     val mainBad = cSpans.join(hSpans, Seq("span"), "left_semi")
@@ -1008,10 +1027,21 @@ object Dedup {
     */
   def decontaminationReport(corpus: DataFrame, heldout: DataFrame,
       idCol: String, textCol: String, spanTokens: Int = 13,
-      maxDocsPerSpan: Long = 10000L): DataFrame = {
+      maxDocsPerSpan: Long = 10000L): DataFrame =
+    decontaminationReport(corpus, heldout, idCol, textCol, spanTokens,
+      maxDocsPerSpan,
+      spanHashes(corpus, idCol, textCol, spanTokens)
+        .localCheckpoint()) // feeds the df counts AND the pair join
+
+  /** [[decontaminationReport]] from a precomputed (and materialized)
+    * corpus span-hash table — the shared-fit entry point pairing with
+    * the [[decontaminate]] overload.
+    */
+  private[graft] def decontaminationReport(corpus: DataFrame,
+      heldout: DataFrame, idCol: String, textCol: String, spanTokens: Int,
+      maxDocsPerSpan: Long, corpusSpans: DataFrame): DataFrame = {
     require(maxDocsPerSpan >= 1, "maxDocsPerSpan must be positive")
-    val cSpans = spanHashes(corpus, idCol, textCol, spanTokens)
-      .localCheckpoint() // feeds the df counts AND the pair join
+    val cSpans = corpusSpans
     val dfc = cSpans.groupBy("span").agg(count(lit(1)).as("__dr_df"))
     val hSpans = spanHashes(heldout, idCol, textCol, spanTokens)
       .select(col("span"), col("id").as("heldout_id")).distinct()

@@ -210,6 +210,16 @@ object LlmOps extends QueryPack {
       CorpusStats.bigramLmScore(t(s, dir).documents, "doc_id", "text")
     }
 
+  /** Corpus (span, id) hashes at spanTokens=20 — the decontamination
+    * drop screen and the audit report ride ONE corpus tokenize+shingle
+    * pass (slim 16-byte rows; at 100 TB that pass IS the cost of
+    * either op).
+    */
+  private def corpusSpansShared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "corpus_spans20") {
+      Dedup.corpusSpanHashes(t(s, dir).documents, "doc_id", "text", 20)
+    }
+
   /** Fuzzy (edit-distance) near-dup pairs over the 24-char key prefix —
     * the pair report and the applied dedup ride ONE PassJoin stage
     * (slim (id_a, id_b, dist) rows).
@@ -403,7 +413,8 @@ object LlmOps extends QueryPack {
     "decontaminate" -> ((s, dir) => {
       val corpus = t(s, dir).documents
       val heldout = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
-      Dedup.decontaminate(corpus, heldout, "doc_id", "text", spanTokens = 20)
+      Dedup.decontaminate(corpus, heldout, "doc_id", "text",
+          spanTokens = 20, corpusSpansShared(s, dir))
         .select(col("doc_id"))
     }),
 
@@ -414,7 +425,7 @@ object LlmOps extends QueryPack {
       val corpus = t(s, dir).documents
       val heldout = corpus.filter(pmod(col("doc_id"), lit(10)) === 3)
       Dedup.decontaminationReport(corpus, heldout, "doc_id", "text",
-        spanTokens = 20, maxDocsPerSpan = 50L)
+        spanTokens = 20, maxDocsPerSpan = 50L, corpusSpansShared(s, dir))
     }),
 
     // ---- whole-document dedup against a reference corpus (blocklist /

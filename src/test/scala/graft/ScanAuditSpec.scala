@@ -76,7 +76,7 @@ class ScanAuditSpec extends SparkSpec {
     // TEXT — pruned text-column re-reads per algorithm stage
     "bpe_encode" -> Map("documents" -> 2),
     "cms_counts" -> Map("documents" -> 2),
-    "decontaminate" -> Map("documents" -> 5),
+    "decontaminate" -> Map("documents" -> 4),
     "dedup_common_span" -> Map("documents" -> 4),
     "dedup_ngram_jaccard" -> Map("documents" -> 2),
     "dedup_span_removal" -> Map("documents" -> 4),
@@ -122,7 +122,7 @@ class ScanAuditSpec extends SparkSpec {
     "cluster_kmeans" -> 1, "cms_counts" -> 4,
     "corpus_datacard" -> 19, "corpus_shuffle" -> 1,
     "curation_funnel" -> 2, "curriculum_order" -> 1,
-    "decontaminate" -> 7, "decontaminate_report" -> 6,
+    "decontaminate" -> 6, "decontaminate_report" -> 6,
     "decontaminate_sem" -> 1, "dedup_against_ref" -> 1,
     "dedup_common_span" -> 6, "dedup_exact" -> 1,
     "dedup_keep_best" -> 6,
