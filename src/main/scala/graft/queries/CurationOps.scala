@@ -30,11 +30,19 @@ object CurationOps extends QueryPack {
   private val KmeansK = 8
   private val KmeansIters = 3
 
+  /** BM25 top-k lexical ranking — the standalone report and BOTH hybrid
+    * fusions ride ONE corpus scoring pass (the memoized frame is slim:
+    * k·|queries| ranked rows).
+    */
+  private def bm25Shared(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bm25_topk") {
+      Retrieval.bm25TopK(t(s, dir).documents, "doc_id", "text",
+        Bm25Queries, Bm25K)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- BM25 top-k lexical retrieval, exact fixed-point scoring ----
-    "ret_bm25_topk" -> ((s, dir) =>
-      Retrieval.bm25TopK(t(s, dir).documents, "doc_id", "text",
-        Bm25Queries, Bm25K)),
+    "ret_bm25_topk" -> ((s, dir) => bm25Shared(s, dir)),
 
     // ---- UniMax budget allocation across languages: 1-epoch cap,
     //      budget = 3/4 of the corpus tokens (exercises both the capped
@@ -64,12 +72,10 @@ object CurationOps extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val tb = t(s, dir)
       // the BM25 ranking fans out three ways (seeds, dense ranking, and
-      // the fusion union); localCheckpoint computes the corpus-sized
-      // scoring ONCE and replays k·|queries| rows
-      val bm = Retrieval.bm25TopK(tb.documents, "doc_id", "text",
-          Bm25Queries, Bm25K)
+      // the fusion union) — the StageMemo'd frame is already
+      // materialized, so every consumer replays k·|queries| rows
+      val bm = bm25Shared(s, dir)
         .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
-        .localCheckpoint()
       val q8 = tb.embeddings.select(col("vec_id").as("item_id"),
         Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("q"))
       val seeds = bm.filter(col("rank") === 1)
@@ -97,10 +103,8 @@ object CurationOps extends QueryPack {
     //      agreement with the exact-dense hybrid ----
     "ret_hybrid_ann" -> ((s, dir) => {
       val tb = t(s, dir)
-      val bm = Retrieval.bm25TopK(tb.documents, "doc_id", "text",
-          Bm25Queries, Bm25K)
+      val bm = bm25Shared(s, dir)
         .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
-        .localCheckpoint()
       val emb = tb.embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       val seedMap = bm.filter(col("rank") === 1)

@@ -82,7 +82,6 @@ class ScanAuditSpec extends SparkSpec {
     "dedup_span_removal" -> Map("documents" -> 4),
     "dedup_substring" -> Map("documents" -> 4),
     "dedup_substring_runs" -> Map("documents" -> 4),
-    "ret_bm25_topk" -> Map("documents" -> 4),
     "text_commonness" -> Map("documents" -> 2),
     "text_novelty" -> Map("documents" -> 4),
     "text_para_dedup" -> Map("documents" -> 4),
@@ -162,7 +161,7 @@ class ScanAuditSpec extends SparkSpec {
     "q7_theta_left_join" -> 1, "q8_window_topn_per_group" -> 1,
     "q9_window_running" -> 1, "quality_blocklist" -> 2,
     "quality_gate" -> 1, "quality_nb_buckets" -> 1,
-    "quality_perceptron" -> 3, "ret_bm25_topk" -> 11,
+    "quality_perceptron" -> 3,
     "ret_hybrid_ann" -> 5, "ret_hybrid_rrf" -> 3,
     "s1_text_lineage" -> 1, "sample_es_k" -> 1,
     "sample_per_group" -> 1, "sel_cap_per_source" -> 1,
