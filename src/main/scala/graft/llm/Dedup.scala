@@ -834,9 +834,6 @@ object Dedup {
     pairsWithinBuckets(spanHashes(df, idCol, textCol, spanTokens),
       Seq("span"), "id", maxBucketSize)
 
-  /** (span_hash: long, id: long) rows — each doc's distinct `spanTokens`-
-    * token contiguous spans, 64-bit-hashed so shuffles never carry text.
-    */
   /** The (span, id) corpus table [[decontaminate]] and
     * [[decontaminationReport]] both consume — exposed so callers can
     * build it ONCE and feed both entry points (at 100 TB the corpus
@@ -845,6 +842,9 @@ object Dedup {
       textCol: String, spanTokens: Int): DataFrame =
     spanHashes(df, idCol, textCol, spanTokens)
 
+  /** (span_hash: long, id: long) rows — each doc's distinct `spanTokens`-
+    * token contiguous spans, 64-bit-hashed so shuffles never carry text.
+    */
   private def spanHashes(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     val spark = df.sparkSession
