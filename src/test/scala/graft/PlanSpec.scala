@@ -254,7 +254,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ret_bm25_topk: idf model broadcasts, no cartesian, top-k prunes early") {
-    val p = plan("ret_bm25_topk")
+    // the pack query returns the StageMemo'd checkpoint (r13 shared-fit
+    // sweep), so the SHAPE pin targets the underlying operator directly
+    val p = graft.llm.Retrieval.bm25TopK(
+        Tables(spark, sf0001).documents, "doc_id", "text",
+        graft.queries.CurationOps.Bm25Queries, 10)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(800))
     // the query-term/idf model joins postings as a broadcast hash join —
     // the corpus-sized posting side must stream, never shuffle against a
