@@ -1510,6 +1510,19 @@ object PipelineConfig {
                 graft.streaming.Pipelines.substringDedupIngest(sdf, idc, tc,
                   cleanDir, indexDir, ckptDir, p(0),
                   if (p.length > 1) p(1) else 16)
+              // self-target DSIR feature ingestion with exact retro-
+              // scoring state (path = per-doc features, options.index =
+              // the (bkt, cr, ct) distributions); cols = [idCol,
+              // textCol, targetCol], expr = compactEvery (default 16)
+              case "dsir_self_ingest" =>
+                val Seq(idc, tc, tgt) = t.cols match {
+                  case s3 if s3.length == 3 => s3
+                  case _ => sys.error(
+                    "dsir_self_ingest needs cols = [idCol, textCol, targetCol]")
+                }
+                graft.streaming.Pipelines.dsirSelfIngest(sdf, idc, tc, tgt,
+                  cleanDir, indexDir, ckptDir,
+                  t.expr.map(_.trim.toInt).getOrElse(16))
               case other => sys.error(s"unknown ingest loop op: $other")
             }
             try q.processAllAvailable() finally q.stop()

@@ -864,6 +864,97 @@ object Pipelines {
       Dsir.mergeFeatureDist)
   }
 
+  /** Self-target continuous DSIR with EXACT retro-scoring — the variant
+    * that closes [[dsirIngest]]'s streaming caveat: instead of weights
+    * frozen at ingestion time, each batch persists its per-doc hashed
+    * FEATURES (slim (id, bkt, m) integer rows — the text is tokenized
+    * exactly once, at ingestion) plus one additive (bkt, cr, ct)
+    * raw/target distribution delta, where target mass comes from the
+    * stream's own boolean `targetCol` flag (in-domain exemplars arrive
+    * interleaved with raw docs — no pre-built target distribution
+    * needed). [[dsirRetroScore]] then scores EVERY ingested doc against
+    * the FULL accumulated distributions — bit-identical to
+    * [[graft.llm.Dsir.importanceWeights]] over everything ingested,
+    * without re-reading any text. Same two-level base/delta layout and
+    * compaction cadence as every loop here.
+    */
+  def dsirSelfIngest(stream: DataFrame, idCol: String, textCol: String,
+      targetCol: String, featsDir: String, distDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dsir
+    indexedIngestAgg(stream, idCol, textCol, featsDir, distDir,
+      checkpointDir, compactEvery, emptyDsirDist, mergeAllDsirDist,
+      (_, fresh) => {
+        val feats = Dsir.hashedFeatures(fresh, idCol, textCol)
+          .localCheckpoint() // one tokenize feeds the rows and BOTH dists
+        val raw = Dsir.featureDist(feats).withColumnRenamed("cnt", "cr")
+        val tgt = Dsir.featureDist(feats.join(
+            fresh.filter(col(targetCol)).select(col(idCol)),
+            Seq(idCol), "left_semi"))
+          .withColumnRenamed("cnt", "ct")
+        val delta = raw.join(tgt, Seq("bkt"), "left")
+          .select(col("bkt"), col("cr"),
+            coalesce(col("ct"), lit(0L)).as("ct"))
+        (feats, delta)
+      },
+      (a, b) => mergeAllDsirDist(a.unionByName(b)),
+      extraCols = Seq(targetCol))
+  }
+
+  private def emptyDsirDist(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, Long)].toDF("bkt", "cr", "ct")
+  }
+
+  private def mergeAllDsirDist(df: DataFrame): DataFrame =
+    df.groupBy(col("bkt"))
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+
+  /** Exact retro-score over [[dsirSelfIngest]] state: every committed
+    * batch's persisted features, weighted against the resolved FULL
+    * (bkt, cr, ct) distributions — [[graft.llm.Dsir.importanceWeights]]
+    * over the whole ingested corpus, replayed from slim state. The
+    * target side keeps only ct > 0 buckets, so an ingest with NO flagged
+    * exemplars fails loudly (the batch operator's empty-target contract)
+    * instead of silently scoring against a uniform prior.
+    */
+  def dsirRetroScore(spark: SparkSession, featsDir: String,
+      distDir: String, idCol: String = "doc_id"): DataFrame = {
+    import graft.llm.Dsir
+    val committed = committedBatchIds(spark, featsDir)
+    val feats =
+      if (committed.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            s"$idCol BIGINT, bkt STRING, m BIGINT"))
+      else spark.read.parquet(featsDir)
+        .where(col("batch").isin(committed: _*))
+        .select(col(idCol), col("bkt"), col("m"))
+    val dist = indexStateAgg(spark, distDir, None, mergeAllDsirDist)._1
+      .getOrElse(emptyDsirDist(spark))
+    Dsir.weightsOfFeatures(feats,
+      dist.select(col("bkt"), col("cr")),
+      dist.filter(col("ct") > 0).select(col("bkt"), col("ct")), idCol)
+  }
+
+  /** Batch ids under `dir` whose `batch=` partition carries a `_SUCCESS`
+    * marker — the committed-partitions read convention (a reader
+    * concurrent with a batch overwrite must not see a half-written
+    * partition). */
+  private def committedBatchIds(spark: SparkSession,
+      dir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix("batch=").toLong).toOption)
+  }
+
   /** Continuous BM25 scoring over the shared indexed-ingest engine: each
     * batch's documents are scored for the fixed `queries` against the
     * ACCUMULATED corpus statistics — document frequencies, document count

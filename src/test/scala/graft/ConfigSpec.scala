@@ -1523,6 +1523,51 @@ class ConfigSpec extends SparkSpec {
       5L -> 5L))
   }
 
+  test("declared ingest loop: dsir_self_ingest across config sessions " +
+      "retro-scores exactly (the closed DSIR streaming caveat, via config)") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cfg_dsi_in")
+    val base = java.nio.file.Files.createTempDirectory("cfg_dsi").toString
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "ing2", "name": "dsir-loop", "steps": [
+         |  { "step": "loop", "kind": "ingest",
+         |    "source": { "type": "json", "paths": ["$in/*.ndjson"],
+         |      "schema": "doc_id LONG, text STRING, is_tgt BOOLEAN" },
+         |    "transforms": [ { "op": "dsir_self_ingest",
+         |      "cols": ["doc_id", "text", "is_tgt"], "expr": "2" } ],
+         |    "sink": { "type": "parquet", "path": "$base/feats",
+         |      "options": { "index": "$base/dist",
+         |        "checkpoint": "$base/ckpt" } } } ] }""".stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    def drop(name: String, rows: Seq[(Long, String, Boolean)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t, g) =>
+          s"""{"doc_id":$id,"text":"$t","is_tgt":$g}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val b1 = Seq((1L, "apple banana iron", true),
+      (2L, "zinc copper iron", false))
+    val b2 = Seq((3L, "apple cherry banana", true),
+      (4L, "iron zinc zinc", false),
+      (5L, "banana banana apple cherry", false))
+    drop("a.ndjson", b1)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete)
+    drop("b.ndjson", b2)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete)
+    // the retro-score over state two config sessions built equals the
+    // batch operator over the union — including the FIRST session's docs
+    def wset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_feats", $"weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = graft.streaming.Pipelines.dsirRetroScore(
+      spark, s"$base/feats", s"$base/dist")
+    val expect = graft.llm.Dsir.importanceWeights(
+      (b1 ++ b2).toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", $"is_tgt")
+    assert(wset(got) === wset(expect))
+  }
+
   test("declared zipf_by_group and gini_by_group ops") {
     import spark.implicits._
     val docs = Seq(

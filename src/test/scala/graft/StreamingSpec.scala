@@ -1181,6 +1181,53 @@ class StreamingSpec extends SparkSpec {
     assert(resolved === full)
   }
 
+  test("dsirSelfIngest + dsirRetroScore: retro-score equals the batch operator over the union") {
+    import graft.llm.Dsir
+    val base = java.nio.file.Files.createTempDirectory("graft_dss").toString
+    val mem = MemoryStream[(Long, String, Boolean)](spark)
+    val q = graft.streaming.Pipelines.dsirSelfIngest(
+      mem.toDF().toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", "is_tgt",
+      s"$base/feats", s"$base/dist", s"$base/ckpt", compactEvery = 2)
+    // in-domain exemplars (fruit vocab) arrive INTERLEAVED with raw docs
+    val b1 = Seq((1L, "apple banana iron", true),
+      (2L, "zinc copper iron", false))
+    val b2 = Seq((3L, "apple cherry banana", true),
+      (4L, "iron zinc zinc", false))
+    val b3 = Seq((5L, "banana banana apple cherry", false))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable(); q.stop()
+    def wset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_feats", $"weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the closed caveat: EVERY batch — including batch 0 — retro-scores
+    // against the FULL accumulated distributions, bit-identical to the
+    // batch operator over the union, with no text re-read
+    val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text", "is_tgt")
+    val expect = Dsir.importanceWeights(union, "doc_id", "text", $"is_tgt")
+    val got = graft.streaming.Pipelines.dsirRetroScore(
+      spark, s"$base/feats", s"$base/dist")
+    assert(wset(got) === wset(expect))
+    // the fruit-vocab raw doc outweighs the metal-vocab raw doc
+    val w = wset(got).map(t => t._1 -> t._3).toMap
+    assert(w(5L) > w(4L))
+    // empty-target contract: an ingest with NO flagged exemplars fails
+    // loudly at scoring time, the batch operator's raise_error stance
+    val base2 = java.nio.file.Files.createTempDirectory("graft_dss2").toString
+    val mem2 = MemoryStream[(Long, String, Boolean)](spark)
+    val q2 = graft.streaming.Pipelines.dsirSelfIngest(
+      mem2.toDF().toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", "is_tgt",
+      s"$base2/feats", s"$base2/dist", s"$base2/ckpt")
+    mem2.addData((9L, "no exemplars here", false))
+    q2.processAllAvailable(); q2.stop()
+    intercept[Exception] {
+      graft.streaming.Pipelines.dsirRetroScore(
+        spark, s"$base2/feats", s"$base2/dist").collect()
+    }
+  }
+
   test("blocklistIngest/entropyIngest: streamed signals equal the batch operator over the union") {
     import graft.llm.TextOps
     val b1 = Seq((1L, "clean words here"), (2L, "a bad phrase and a dup here"))
