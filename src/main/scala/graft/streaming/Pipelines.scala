@@ -887,11 +887,15 @@ object Pipelines {
       checkpointDir, compactEvery, emptyDsirDist, mergeAllDsirDist,
       (_, fresh) => {
         val feats = Dsir.hashedFeatures(fresh, idCol, textCol)
+          // the per-row target flag makes every doc's FULL contribution
+          // to both distributions recoverable from its persisted rows —
+          // what [[dsirForget]]'s exact subtraction rides
+          .join(fresh.select(col(idCol), col(targetCol).as("is_tgt")),
+            Seq(idCol))
           .localCheckpoint() // one tokenize feeds the rows and BOTH dists
         val raw = Dsir.featureDist(feats).withColumnRenamed("cnt", "cr")
-        val tgt = Dsir.featureDist(feats.join(
-            fresh.filter(col(targetCol)).select(col(idCol)),
-            Seq(idCol), "left_semi"))
+        val tgt = Dsir.featureDist(
+            feats.filter(col("is_tgt")).drop("is_tgt"))
           .withColumnRenamed("cnt", "ct")
         val delta = raw.join(tgt, Seq("bkt"), "left")
           .select(col("bkt"), col("cr"),
@@ -918,25 +922,64 @@ object Pipelines {
     * target side keeps only ct > 0 buckets, so an ingest with NO flagged
     * exemplars fails loudly (the batch operator's empty-target contract)
     * instead of silently scoring against a uniform prior.
+    *
+    * `forgotten` (an id frame) enables EXACT deletion propagation
+    * without touching a committed batch: the tombstoned docs are
+    * excluded from the scored set AND their full contribution is
+    * subtracted from both distributions (recoverable because each
+    * persisted row carries its target flag) — bit-identical to an
+    * ingest that never saw them. Subtractive unlearning is possible
+    * here because the state is ADDITIVE; keeper-style (min, sum)
+    * indexes are not invertible and need a recompute instead.
     */
   def dsirRetroScore(spark: SparkSession, featsDir: String,
-      distDir: String, idCol: String = "doc_id"): DataFrame = {
+      distDir: String, idCol: String = "doc_id",
+      forgotten: Option[DataFrame] = None): DataFrame = {
     import graft.llm.Dsir
     val committed = committedBatchIds(spark, featsDir)
-    val feats =
+    val all =
       if (committed.isEmpty)
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(
-            s"$idCol BIGINT, bkt STRING, m BIGINT"))
+            s"$idCol BIGINT, bkt STRING, m BIGINT, is_tgt BOOLEAN"))
       else spark.read.parquet(featsDir)
         .where(col("batch").isin(committed: _*))
-        .select(col(idCol), col("bkt"), col("m"))
+        .select(col(idCol), col("bkt"), col("m"), col("is_tgt"))
     val dist = indexStateAgg(spark, distDir, None, mergeAllDsirDist)._1
       .getOrElse(emptyDsirDist(spark))
-    Dsir.weightsOfFeatures(feats,
-      dist.select(col("bkt"), col("cr")),
-      dist.filter(col("ct") > 0).select(col("bkt"), col("ct")), idCol)
+    // Deletion propagation (right-to-be-forgotten / unlearning for
+    // curation state): every persisted batch stays IMMUTABLE — the
+    // tombstoned docs' rows still sit on disk — but because each row
+    // carries its target flag, a forgotten doc's FULL contribution to
+    // both distributions is recoverable from its own rows, so the
+    // resolved (bkt, cr, ct) index is corrected by EXACT subtraction.
+    // Buckets whose raw mass hits zero drop out entirely (featureDist
+    // over the surviving corpus would not contain them), so the result
+    // is bit-identical to an ingest that never saw the forgotten docs.
+    val (feats, rawD, tgtD) = forgotten match {
+      case None =>
+        (all.drop("is_tgt"),
+          dist.select(col("bkt"), col("cr")),
+          dist.filter(col("ct") > 0).select(col("bkt"), col("ct")))
+      case Some(ids) =>
+        val gone = ids.select(col(ids.columns.head).cast("long").as(idCol))
+        val dead = all.join(gone, Seq(idCol), "left_semi")
+        val deadRaw = Dsir.featureDist(dead).withColumnRenamed("cnt", "dr")
+        val deadTgt = Dsir
+          .featureDist(dead.filter(col("is_tgt")).drop("is_tgt"))
+          .withColumnRenamed("cnt", "dt")
+        val corrected = dist
+          .join(deadRaw, Seq("bkt"), "left")
+          .join(deadTgt, Seq("bkt"), "left")
+          .select(col("bkt"),
+            (col("cr") - coalesce(col("dr"), lit(0L))).as("cr"),
+            (col("ct") - coalesce(col("dt"), lit(0L))).as("ct"))
+        (all.join(gone, Seq(idCol), "left_anti").drop("is_tgt"),
+          corrected.filter(col("cr") > 0).select(col("bkt"), col("cr")),
+          corrected.filter(col("ct") > 0).select(col("bkt"), col("ct")))
+    }
+    Dsir.weightsOfFeatures(feats, rawD, tgtD, idCol)
   }
 
   /** Batch ids under `dir` whose `batch=` partition carries a `_SUCCESS`

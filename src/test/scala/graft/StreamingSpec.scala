@@ -1212,6 +1212,16 @@ class StreamingSpec extends SparkSpec {
     // the fruit-vocab raw doc outweighs the metal-vocab raw doc
     val w = wset(got).map(t => t._1 -> t._3).toMap
     assert(w(5L) > w(4L))
+    // deletion propagation: forgetting docs 3 (a TARGET exemplar) and 4
+    // retro-scores bit-identically to an ingest that never saw them —
+    // committed batches untouched, contributions exactly subtracted
+    val forgot = graft.streaming.Pipelines.dsirRetroScore(
+      spark, s"$base/feats", s"$base/dist",
+      forgotten = Some(Seq(3L, 4L).toDF("doc_id")))
+    val expectForgot = Dsir.importanceWeights(
+      (b1 ++ b3).toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", $"is_tgt")
+    assert(wset(forgot) === wset(expectForgot))
     // empty-target contract: an ingest with NO flagged exemplars fails
     // loudly at scoring time, the batch operator's raise_error stance
     val base2 = java.nio.file.Files.createTempDirectory("graft_dss2").toString
