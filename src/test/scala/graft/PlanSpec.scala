@@ -548,4 +548,52 @@ class PlanSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("AQE skew-join ENGAGES under the session config (runtime proof)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, pmod, when}
+    // GraftSession turns spark.sql.adaptive.skewJoin.enabled on; this
+    // proves the knob actually FIRES at runtime — a skewed sort-merge
+    // join must show skew=true in the final adaptive plan, meaning the
+    // hot partition was split instead of landing on one straggler task.
+    // Thresholds are lowered so probe-scale bytes qualify as skew (the
+    // ratios, not the absolute sizes, are what a real cluster tunes);
+    // broadcast is disabled to force the SMJ that skew handling targets.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 64
+      // key 0 carries ~100x the rows of every other key
+      val left = spark.range(120000)
+        .select((when($"id" < 100000L, 0L).otherwise(pmod($"id", lit(100))))
+          .as("k"), concat(lit(pad), $"id".cast("string")).as("payload"))
+      val right = spark.range(100)
+        .select($"id".as("k"), concat(lit("r"), $"id").as("rv"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS DataFrame's own queryExecution — count()
+      // would execute a different plan instance and leave the inspected
+      // adaptive plan unexecuted (isFinalPlan=false)
+      assert(joined.collect().length === 120000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(300))
+      assert(finalPlan.contains("skew=true"),
+        "the skewed partition was NOT split — AQE skew-join never " +
+          s"fired:\n${finalPlan.take(1200)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
