@@ -27,7 +27,9 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `score_linear`, and — the embedding modality, r11 VERDICT ask #3,
   * completed to every engine-exact ANN path in r13 —
   * `train_centroids`, `semdedup`, `kmeans`, `ann_topk`, `ann_ivf`,
-  * `ann_pq`, `cosine_neardup`)
+  * `ann_pq`, `cosine_neardup`, plus the declared ingest loops
+  * (`substring_dedup_ingest`, `dsir_self_ingest`) and the exact
+  * retro-scorer `dsir_retro_score` with tombstone deletion propagation)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
@@ -714,6 +716,26 @@ object PipelineConfig {
         // index persistence belongs to the ingest loop,
         // streaming.Pipelines.tfidfIngest, whose two-level layout
         // readTermDfIndex understands) — REPLACES the frame with
+        // exact DSIR retro-score over dsir_self_ingest state: REPLACES
+        // the frame with (idCol, n_feats, weight_micro) for every
+        // ingested doc, weighted against the full accumulated
+        // distributions; cols = [idCol] (default doc_id), name =
+        // "featsDir;distDir", expr = optional forgotten-ids parquet path
+        // (deletion propagation — tombstoned docs are excluded and their
+        // contributions exactly subtracted)
+        case "dsir_retro_score" =>
+          val idc = t.cols match {
+            case Seq(one) => one
+            case Seq() => "doc_id"
+            case _ => sys.error("dsir_retro_score takes cols = [idCol]")
+          }
+          val Array(fd, dd) = t.name.getOrElse(
+            sys.error("dsir_retro_score needs name = \"featsDir;distDir\""))
+            .split(";").map(_.trim)
+          val forgotten = t.expr.map(p =>
+            d.sparkSession.read.parquet(p.trim).select(col(idc)))
+          graft.streaming.Pipelines.dsirRetroScore(
+            d.sparkSession, fd, dd, idc, forgotten)
         // (id, term, tf, df, tfidf_key, rank): cols = [idCol, textCol],
         // expr = k (default 5), name = indexDir
         case "tfidf_indexed" =>

@@ -1566,6 +1566,31 @@ class ConfigSpec extends SparkSpec {
       (b1 ++ b2).toDF("doc_id", "text", "is_tgt"),
       "doc_id", "text", $"is_tgt")
     assert(wset(got) === wset(expect))
+    // the scorer is declarable too: a dsir_retro_score step with a
+    // forgotten-ids tombstone parquet, run through JobRunner, equals the
+    // batch operator over the surviving corpus
+    val tomb = s"$base/forgot"
+    Seq(4L).toDF("doc_id").write.parquet(tomb)
+    val scoreOut = s"$base/scored"
+    val conf2 = PipelineConfig.parse(
+      s"""{ "id": "ing2s", "name": "dsir-score", "steps": [
+         |  { "step": "score", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "doc_id LONG",
+         |      "lines": ["{\\"doc_id\\":0}"] },
+         |    "transforms": [ { "op": "dsir_retro_score",
+         |      "cols": ["doc_id"], "expr": "$tomb",
+         |      "name": "$base/feats;$base/dist" } ],
+         |    "sink": { "type": "json", "path": "$scoreOut" } } ] }""".stripMargin)
+    assert(PipelineConfig.run(spark, conf2, new InMemoryStore)
+      .commands.isEmpty || true) // run() throws on failure; reaching here = ok
+    val declared = spark.read.json(scoreOut)
+      .select($"doc_id", $"n_feats", $"weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expectForgot = graft.llm.Dsir.importanceWeights(
+      (b1 ++ b2).filterNot(_._1 == 4L).toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", $"is_tgt")
+    assert(declared === wset(expectForgot))
   }
 
   test("declared zipf_by_group and gini_by_group ops") {
