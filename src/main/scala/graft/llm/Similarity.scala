@@ -341,23 +341,20 @@ object Similarity extends Serializable {
     else dot.toDouble / math.sqrt((na * nb).toDouble)
   }
 
-  /** JIT-compiled exact quantized cosine over (a, b, qa, qb) pair rows —
-    * the candidate-verification kernel (same values as [[intCosine]] via
-    * [[intCosScala]]; Catalyst higher-order functions are interpreted,
-    * and a pair stage can carry 10⁵+ rows). Output: (aCol, bCol, sim).
+  /** Exact quantized cosine over (a, b, qa, qb) pair rows — the
+    * candidate-verification stage. Since r13 this is the native
+    * [[intCosine]] Expression (same values as the retired mapPartitions
+    * kernel via [[intCosScala]] — both compute
+    * `(double) dot / sqrt((double)(na·nb))` on exact BIGINTs), which
+    * keeps a 10⁵+-row pair stage INSIDE whole-stage codegen instead of
+    * breaking the fusion at a serialization boundary.
+    * Output: (aCol, bCol, sim).
     */
   private def intCosineOfPairs(pairs: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.select(col(aCol).cast("long"), col(bCol).cast("long"),
-        col("qa"), col("qb"))
-      .as[(Long, Long, Seq[Int], Seq[Int])]
-      .mapPartitions(_.map { case (a, b, qa, qb) =>
-        (a, b, intCosScala(qa.toArray, qb.toArray))
-      })
-      .toDF(aCol, bCol, "sim")
-  }
+      bCol: String): DataFrame =
+    pairs.select(col(aCol).cast("long").as(aCol),
+      col(bCol).cast("long").as(bCol),
+      intCosine(col("qa"), col("qb")).as("sim"))
 
   /** Indices of the top-`topN` centroids of `q` by (cosine desc, cid
     * asc) — the strict-greater scan keeps the LOWEST cid on ties, the
