@@ -906,6 +906,14 @@ object Pipelines {
       extraCols = Seq(targetCol))
   }
 
+  /** The resolved (bkt, cr, ct) raw/target distribution index at
+    * `distDir` (written by [[dsirSelfIngest]]): newest base + deltas
+    * after it, one row per bucket. Empty frame if the index is empty.
+    */
+  def readDsirDist(spark: SparkSession, distDir: String): DataFrame =
+    indexStateAgg(spark, distDir, None, mergeAllDsirDist)._1
+      .getOrElse(emptyDsirDist(spark))
+
   private def emptyDsirDist(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq.empty[(String, Long, Long)].toDF("bkt", "cr", "ct")
@@ -946,8 +954,7 @@ object Pipelines {
       else spark.read.parquet(featsDir)
         .where(col("batch").isin(committed: _*))
         .select(col(idCol), col("bkt"), col("m"), col("is_tgt"))
-    val dist = indexStateAgg(spark, distDir, None, mergeAllDsirDist)._1
-      .getOrElse(emptyDsirDist(spark))
+    val dist = readDsirDist(spark, distDir)
     // Deletion propagation (right-to-be-forgotten / unlearning for
     // curation state): every persisted batch stays IMMUTABLE — the
     // tombstoned docs' rows still sit on disk — but because each row

@@ -39,7 +39,10 @@ class StreamingFuzzSpec extends SparkSpec {
       indexRead: String => DataFrame,
       indexBatch: DataFrame => DataFrame,
       outputBatch: Option[DataFrame => DataFrame],
-      chains: Boolean)
+      chains: Boolean,
+      // op-specific invariant over (state base dir, input union) — the
+      // dsir stage's retro-score ≡ batch-operator equality rides here
+      extraCheck: (String, DataFrame) => Unit = (_, _) => ())
 
   private lazy val stages: Seq[Stage] = Seq(
     Stage("boilerplate",
@@ -67,7 +70,39 @@ class StreamingFuzzSpec extends SparkSpec {
         s"$b/out", s"$b/idx", s"$b/ckpt", 3, ce),
       b => Pipelines.readTermDfIndex(spark, s"$b/idx"),
       u => CorpusStats.termDfIndex(u, "doc_id", "text"),
-      None, chains = false))
+      None, chains = false),
+    Stage("dsir",
+      // target flag derived from the id (doc 0 is always present as a
+      // chain head, so the target side is never empty)
+      (s, b, ce) => Pipelines.dsirSelfIngest(
+        s.withColumn("is_tgt", pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", "is_tgt",
+        s"$b/out", s"$b/idx", s"$b/ckpt", ce),
+      b => Pipelines.readDsirDist(spark, s"$b/idx"),
+      u => {
+        import graft.llm.Dsir
+        val f = Dsir.hashedFeatures(u, "doc_id", "text")
+        val raw = Dsir.featureDist(f).withColumnRenamed("cnt", "cr")
+        val tgt = Dsir.featureDist(f.join(
+            u.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+          .withColumnRenamed("cnt", "ct")
+        raw.join(tgt, Seq("bkt"), "left")
+          .select(col("bkt"), col("cr"),
+            coalesce(col("ct"), lit(0L)).as("ct"))
+      },
+      None, chains = false,
+      extraCheck = (b, u) => {
+        import graft.llm.Dsir
+        val got = Pipelines.dsirRetroScore(spark, s"$b/out", s"$b/idx")
+          .collect().map(_.toSeq).toSet
+        val expect = Dsir.importanceWeights(
+            u.withColumn("is_tgt", pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text", col("is_tgt"))
+          .collect().map(_.toSeq).toSet
+        assert(got === expect,
+          "dsir: retro-score != batch operator over the union")
+      }))
 
   /** Random corpus with planted cross-doc repetition: whole-paragraph
     * footers (para/boilerplate signal) and a >= SubL-token shared run
@@ -120,6 +155,7 @@ class StreamingFuzzSpec extends SparkSpec {
     val union = batches.flatten.toDF("doc_id", "text")
     assert(img(st.indexRead(base)) === img(st.indexBatch(union)),
       s"${st.name}: merged index != batch index over the union")
+    st.extraCheck(base, union)
     st.outputBatch.foreach { ob =>
       val streamed = spark.read.parquet(s"$base/out")
         .select("doc_id", "n_tokens", "n_removed", "clean_text")
