@@ -3,12 +3,33 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one machine-parseable JSON line with per-query seconds.
   *
-  * Methodology (round 3): one cold pass pays one-time costs (JVM JIT, codegen
-  * compilation, parquet footer caches), then `SPARK_GRAFT_WARM_REPS` (default
-  * 3) warm passes; the reported per-query number is the *median* across warm
-  * reps, so a single container-load spike cannot masquerade as a plan
-  * regression (the round-2 harness could not tell the two apart). The headline
-  * `value` is the sum of warm medians.
+  * Methodology (round 3, statistical power rebuilt round 14): one cold pass
+  * pays one-time costs (JVM JIT, codegen compilation, parquet footer caches,
+  * StageMemo'd shared fits), then `SPARK_GRAFT_WARM_REPS` (default 5) warm
+  * passes; the reported per-query number is the *median* across warm reps,
+  * so a single container-load spike cannot masquerade as a plan regression
+  * (the round-2 harness could not tell the two apart). The headline `value`
+  * is the sum of warm medians (the "best-of" total); `median_total_sec` is
+  * the median of the rep totals — a single-pass cost a user would actually
+  * observe — reported beside it.
+  *
+  * Round-14 noise methodology (r13 VERDICT ask #1 — the old floor, max−min
+  * of rep totals, DOUBLED to 14.25 s as the pack shrank to 80 s, eroding
+  * the round-over-round gate's power): (a) warm reps rise 3→5; (b) each
+  * warm rep runs the queries in a DIFFERENT deterministic order
+  * ([[repOrder]], md5-keyed — no JVM RNG), so per-query spreads capture
+  * scheduling/neighbor noise instead of a fixed-order bias (safe for
+  * attribution: StageMemo'd shared fits are cold-pass costs, hits in every
+  * warm rep regardless of order); (c) `noise_total_sec` is now the
+  * JACKKNIFE RANGE of the headline — recompute the sum-of-medians leaving
+  * each rep out, take max−min — which measures exactly the judge's stated
+  * hazard ("the verdict is one noisy rep away from meaningless"): how far
+  * the reported total can move if any single rep were luck. With 5 reps a
+  * leave-one-out median shifts at most between adjacent order statistics,
+  * so the floor honestly shrinks as reps grow, unlike the old rep-total
+  * spread (kept as `rep_total_spread_sec` for continuity), which can only
+  * widen with more samples and measured single-PASS variance, not the
+  * variance of the median-aggregated statistic anyone compares.
   *
   * Artifact contract (round 5): the driver keeps only the LAST 2000 chars of
   * stdout (measured from BENCH_r01/r02/r04 `tail` fields), and sbt's
@@ -195,15 +216,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "5").toInt.max(1)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
     // a failed query must be visibly failed (-1), never a fast-looking timing
-    def runAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def runAll(order: Seq[String]): Map[String, Double] = order.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val secs =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -213,34 +237,29 @@ object Bench {
             -1.0
         }
       name -> secs
-    }
+    }.toMap
 
-    def freshPass(): Map[String, Double] = {
+    def freshPass(order: Seq[String]): Map[String, Double] = {
       spark.sharedState.cacheManager.clearCache() // every pass re-reads inputs
-      runAll()
+      runAll(order)
     }
 
-    val cold = runAll()
-    val warmReps = Seq.fill(reps)(freshPass())
+    val cold = runAll(names)
+    // each warm rep runs a different deterministic order (see scaladoc):
+    // per-query spreads then price scheduling/neighbor effects, not a
+    // fixed-order bias
+    val warmReps = (0 until reps).map(i => freshPass(repOrder(names, i)))
 
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     // a query that failed in any pass is failed, full stop
-    val names = cold.keys.toSeq.sorted
     val warmMed = names.map { n =>
       val vs = warmReps.map(_(n))
       n -> (if (cold(n) < 0 || vs.exists(_ < 0)) -1.0 else median(vs))
     }.toMap
 
-    // measured noise floor (r11 VERDICT ask #5): per-query spread =
-    // max − min across the warm reps of ONE run, and the run's total
-    // noise = spread of the rep totals. r11's driver total (109.4 s) vs
-    // the same-head builder run (96.0 s) differed by more than any real
-    // plan change while the three warm reps inside one artifact spanned
-    // 106–120 s — so round-over-round judgments must price this in:
-    // [[flaggedRegressions]] widens the band by each query's spread.
+    // measured noise (r11 ask #5, rebuilt r14 — see scaladoc): per-query
+    // spread = max − min across the warm reps of ONE run (feeds
+    // [[flaggedRegressions]]' widened band), headline noise = the
+    // jackknife range of the sum-of-medians total.
     val warmSpread = names.map { n =>
       val vs = warmReps.map(_(n))
       n -> (if (cold(n) < 0 || vs.exists(_ < 0)) -1.0 else vs.max - vs.min)
@@ -248,11 +267,13 @@ object Bench {
     // rep totals over the INTERSECTION of queries that succeeded in every
     // pass (warmMed >= 0 ⇔ cold and all warm reps succeeded): a query
     // failing in some reps but not others would otherwise make the rep
-    // totals cover different query sets, inflating the noise floor that
-    // flaggedRegressions and the tail line report
+    // totals cover different query sets, inflating the reported spreads
     val okNames = names.filter(n => warmMed(n) >= 0)
     val repTotals = warmReps.map(r => okNames.map(r).sum)
-    val noise = repTotals.max - repTotals.min
+    val repSpread = repTotals.max - repTotals.min
+    val medianTotal = median(repTotals)
+    val jack = jackknifeTotals(okNames, warmReps)
+    val noise = if (jack.isEmpty) 0.0 else jack.max - jack.min
 
     def fmt(v: Double, decimals: Int): String = Bench.fmt(v, decimals)
     def f3(v: Double): String = fmt(v, 3)
@@ -260,11 +281,14 @@ object Bench {
       names.map(n => s"\"$n\":${f3(m(n))}").mkString("{", ",", "}")
     val total = warmMed.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold_total_sec":${f3(coldTotal)},"warm_reps":$reps,"noise_total_sec":${f3(noise)},"queries":${qjson(warmMed)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold_total_sec":${f3(coldTotal)},"median_total_sec":${f3(medianTotal)},"warm_reps":$reps,"noise_total_sec":${f3(noise)},"rep_total_spread_sec":${f3(repSpread)},"queries":${qjson(warmMed)},"sf":"$sfDir"}"""
 
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","warm_reps":$reps,
                   |"rep_totals":[${repTotals.map(f3).mkString(",")}],
+                  |"median_total_sec":${f3(medianTotal)},
+                  |"jackknife_totals":[${jack.map(f3).mkString(",")}],
                   |"noise_total_sec":${f3(noise)},
+                  |"rep_total_spread_sec":${f3(repSpread)},
                   |"cold":${qjson(cold)},
                   |${warmReps.zipWithIndex.map { case (r, i) => s"\"warm_rep$i\":${qjson(r)}" }.mkString(",\n")},
                   |"spread":${qjson(warmSpread)},
@@ -288,6 +312,40 @@ object Bench {
     println(tailLine(names, warmMed, total, sfShort, noise))
     Console.out.flush()
   }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Deterministic per-rep query order: sort by md5 of `"$rep:$name"`.
+    * Different reps get effectively independent permutations, the same rep
+    * always gets the same one (reproducible artifacts, no JVM RNG), and
+    * rep indices never collide with the sorted cold-pass order.
+    */
+  private[graft] def repOrder(names: Seq[String], rep: Int): Seq[String] =
+    names.sortBy { n =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$rep:$n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+
+  /** Leave-one-rep-out totals of the headline statistic: entry `i` is the
+    * sum over `names` of each query's median across every warm rep EXCEPT
+    * rep `i`. Their range (max − min) is the reported `noise_total_sec` —
+    * the exact sensitivity of the published total to any single rep. A
+    * single-rep run has no leave-one-out sample; it degrades to the rep
+    * totals themselves (range 0 — one rep cannot estimate its own noise,
+    * and a 0 floor makes the regression gate maximally strict, the safe
+    * failure direction).
+    */
+  private[graft] def jackknifeTotals(names: Seq[String],
+      warmReps: Seq[Map[String, Double]]): Seq[Double] =
+    if (warmReps.size < 2) warmReps.map(r => names.map(r).sum)
+    else warmReps.indices.map { i =>
+      val rest = warmReps.patch(i, Nil, 1)
+      names.map(n => median(rest.map(_(n)))).sum
+    }
 
   /** Round-over-round regression verdicts with the measured noise floor
     * priced in: query `n` is flagged when

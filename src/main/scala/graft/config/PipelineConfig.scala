@@ -27,8 +27,11 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * `score_linear`, and — the embedding modality, r11 VERDICT ask #3,
   * completed to every engine-exact ANN path in r13 —
   * `train_centroids`, `semdedup`, `kmeans`, `ann_topk`, `ann_ivf`,
-  * `ann_pq`, `cosine_neardup`, plus the declared ingest loops
-  * (`substring_dedup_ingest`, `dsir_self_ingest`) and the exact
+  * `ann_pq`, `cosine_neardup`, plus the declared ingest loops —
+  * the family completed in r14 (VERDICT ask #3): `substring_dedup_ingest`,
+  * `dsir_self_ingest`, `near_dup_ingest`, `semdedup_ingest`,
+  * `tfidf_ingest`, `boilerplate_ingest`, `para_dedup_ingest`,
+  * `datacard_ingest` — and the exact
   * retro-scorer `dsir_retro_score` with tombstone deletion propagation)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
@@ -172,6 +175,22 @@ object PipelineConfig {
       case other => sys.error(s"unknown ingest source type: $other")
     }
   }
+
+  /** Comma-list numeric params for the declared ingest loops: `expr =
+    * "20,3,16"` → Seq("20","3","16"); absent/blank → Nil (defaults apply).
+    * A literal `persist` token is consumed by [[persistFlag]], not here.
+    */
+  private def splitParams(expr: Option[String]): Seq[String] =
+    expr.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filterNot(_ == "persist")
+
+  /** The forget ops' durable-fold flag: any `persist` token in expr. */
+  private def persistFlag(t: TransformConf): Boolean =
+    t.expr.toSeq.flatMap(_.split(",")).map(_.trim).contains("persist")
+
+  /** The forget ops' index dir (`name`). */
+  private def forgetIndexDir(t: TransformConf): String =
+    t.name.getOrElse(sys.error(s"${t.op} needs name = indexDir"))
 
   /** Transforms are SQL expressions — they stay inside Catalyst (pushdown,
     * pruning, codegen), unlike opaque function steps.
@@ -736,6 +755,60 @@ object PipelineConfig {
             d.sparkSession.read.parquet(p.trim).select(col(idc)))
           graft.streaming.Pipelines.dsirRetroScore(
             d.sparkSession, fd, dd, idc, forgotten)
+        // ---- deletion propagation beyond DSIR (r14, VERDICT ask #4):
+        // the input frame IS the forgotten docs' original rows; name =
+        // the loop's indexDir; the last expr token "persist" folds the
+        // corrected state durably (loop must be stopped), otherwise the
+        // corrected index is only RETURNED (read-time form). Output
+        // REPLACES the frame with the corrected index.
+        // term-df (tfidf_ingest): cols = [idCol, textCol], expr = [persist]
+        case "term_df_forget" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("term_df_forget needs cols = [idCol, textCol]")
+          }
+          graft.streaming.Pipelines.forgetTermDf(d.sparkSession,
+            forgetIndexDir(t), d, idc, c, persistFlag(t))
+        // span-df (boilerplate_ingest): expr = spanTokens[,persist]
+        case "span_df_forget" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("span_df_forget needs cols = [idCol, textCol]")
+          }
+          graft.streaming.Pipelines.forgetSpanDf(d.sparkSession,
+            forgetIndexDir(t), d, idc, c,
+            splitParams(t.expr).headOption.map(_.toInt).getOrElse(20),
+            persistFlag(t))
+        // paragraph-df (para_dedup_ingest): expr = [persist]
+        case "para_df_forget" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("para_df_forget needs cols = [idCol, textCol]")
+          }
+          graft.streaming.Pipelines.forgetParaDf(d.sparkSession,
+            forgetIndexDir(t), d, idc, c, persistFlag(t))
+        // language-token-frequency (datacard_ingest): cols = [textCol,
+        // langCol], expr = [persist]
+        case "ltf_forget" =>
+          val Seq(c, lc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("ltf_forget needs cols = [textCol, langCol]")
+          }
+          graft.streaming.Pipelines.forgetLtf(d.sparkSession,
+            forgetIndexDir(t), d, c, lc, persistFlag(t))
+        // keeper (min, sum) substring index — NON-invertible, so the
+        // input frame is the SURVIVING corpus and the index is rebuilt:
+        // expr = minRunTokens[,persist]
+        case "substring_index_recompute" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error(
+              "substring_index_recompute needs cols = [idCol, textCol]")
+          }
+          graft.streaming.Pipelines.recomputeSubstrIndex(d.sparkSession,
+            forgetIndexDir(t), d, idc, c,
+            splitParams(t.expr).headOption.map(_.toInt).getOrElse(20),
+            persistFlag(t))
         // (id, term, tf, df, tfidf_key, rank): cols = [idCol, textCol],
         // expr = k (default 5), name = indexDir
         case "tfidf_indexed" =>
@@ -1545,6 +1618,99 @@ object PipelineConfig {
                 graft.streaming.Pipelines.dsirSelfIngest(sdf, idc, tc, tgt,
                   cleanDir, indexDir, ckptDir,
                   t.expr.map(_.trim.toInt).getOrElse(16))
+              // ---- the r14 family completion (r13 VERDICT ask #3):
+              // every proven indexed-ingest loop is declarable. Shared
+              // conventions: cols = [idCol, textCol, ...], numeric
+              // params ride expr as a comma list (each loop documents
+              // its order), extra model-table paths ride `name`.
+              // banded-MinHash near-dup dedup against the persisted band
+              // index; expr = shingleN,numHashes,bands,threshold
+              case "near_dup_ingest" =>
+                val Seq(idc, tc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "near_dup_ingest needs cols = [idCol, textCol]")
+                }
+                val p = splitParams(t.expr)
+                graft.streaming.Pipelines.nearDupIngest(sdf, idc, tc,
+                  cleanDir, indexDir, ckptDir,
+                  shingleN = p.headOption.map(_.toInt).getOrElse(3),
+                  numHashes = p.lift(1).map(_.toInt).getOrElse(96),
+                  bands = p.lift(2).map(_.toInt).getOrElse(48),
+                  threshold = p.lift(3).map(_.toDouble).getOrElse(0.5))
+              // frozen-centroid SemDeDup over streamed embeddings; cols =
+              // [idCol, vecCol], name = centroid-table parquet (frozen —
+              // the mergeability stance every declared ANN path shares),
+              // expr = threshold[,maxClusterSize[,compactEvery]]
+              case "semdedup_ingest" =>
+                val Seq(idc, vc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "semdedup_ingest needs cols = [idCol, vecCol]")
+                }
+                val cents = spark.read.parquet(t.name.getOrElse(sys.error(
+                  "semdedup_ingest needs name = frozen centroid table path")))
+                val p = splitParams(t.expr)
+                graft.streaming.Pipelines.semDedupIngest(sdf, idc, vc,
+                  cents,
+                  p.headOption.map(_.toDouble).getOrElse(sys.error(
+                    "semdedup_ingest needs expr = threshold[,maxClusterSize[,compactEvery]]")),
+                  cleanDir, indexDir, ckptDir,
+                  maxClusterSize = p.lift(1).map(_.toInt).getOrElse(10000),
+                  compactEvery = p.lift(2).map(_.toInt).getOrElse(16))
+              // corpus-df TF-IDF keywords; expr = k[,compactEvery]
+              case "tfidf_ingest" =>
+                val Seq(idc, tc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "tfidf_ingest needs cols = [idCol, textCol]")
+                }
+                val p = splitParams(t.expr)
+                graft.streaming.Pipelines.tfidfIngest(sdf, idc, tc,
+                  cleanDir, indexDir, ckptDir,
+                  k = p.headOption.map(_.toInt).getOrElse(5),
+                  compactEvery = p.lift(1).map(_.toInt).getOrElse(16))
+              // repeated-span boilerplate removal; expr =
+              // spanTokens[,maxDf[,compactEvery]]
+              case "boilerplate_ingest" =>
+                val Seq(idc, tc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "boilerplate_ingest needs cols = [idCol, textCol]")
+                }
+                val p = splitParams(t.expr)
+                graft.streaming.Pipelines.boilerplateIngest(sdf, idc, tc,
+                  cleanDir, indexDir, ckptDir,
+                  spanTokens = p.headOption.map(_.toInt).getOrElse(20),
+                  maxDf = p.lift(1).map(_.toInt).getOrElse(3),
+                  compactEvery = p.lift(2).map(_.toInt).getOrElse(16))
+              // paragraph-level exact dedup (the CCNet first pass);
+              // expr = maxDf[,compactEvery]
+              case "para_dedup_ingest" =>
+                val Seq(idc, tc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "para_dedup_ingest needs cols = [idCol, textCol]")
+                }
+                val p = splitParams(t.expr)
+                graft.streaming.Pipelines.paraDedupIngest(sdf, idc, tc,
+                  cleanDir, indexDir, ckptDir,
+                  maxDf = p.headOption.map(_.toInt).getOrElse(3),
+                  compactEvery = p.lift(1).map(_.toInt).getOrElse(16))
+              // continuous datacard facts + language-token-frequency
+              // index; cols = [idCol, textCol, langCol], expr =
+              // compactEvery, name = OPTIONAL frozen tokenizer-pieces
+              // parquet (adds the fertility facts, schema-driven)
+              case "datacard_ingest" =>
+                val Seq(idc, tc, lc) = t.cols match {
+                  case s3 if s3.length == 3 => s3
+                  case _ => sys.error(
+                    "datacard_ingest needs cols = [idCol, textCol, langCol]")
+                }
+                graft.streaming.Pipelines.datacardIngest(sdf, idc, tc, lc,
+                  cleanDir, indexDir, ckptDir,
+                  compactEvery = t.expr.map(_.trim.toInt).getOrElse(16),
+                  frozenPieces = t.name.map(spark.read.parquet(_)))
               case other => sys.error(s"unknown ingest loop op: $other")
             }
             try q.processAllAvailable() finally q.stop()

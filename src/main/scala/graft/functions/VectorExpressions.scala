@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -23,17 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * semantics in graft.llm.Similarity).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine requires array<double> inputs, got (${left.dataType}, ${right.dataType})")
-  }
+  // ImplicitCastInputTypes (not a bare type check): the retired HOF form
+  // cast elements to DOUBLE implicitly, so SQL callers passing
+  // array<float>/array<int> keep working — the analyzer inserts the same
+  // element cast; exact array<double> inputs get no cast node at all.
+  // (Inferred return type via TypeShim: AbstractDataType is private[sql].)
+  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.arrayDoublePair
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // null array elements → null result
   // literal inputs fold at plan time via Catalyst's own ConstantFolding —
@@ -119,16 +116,16 @@ case class Hamming64(left: Expression, right: Expression)
   * loud IllegalArgumentException — dims are uniform by construction, and
   * a silent null would hide a broken quantization upstream).
   */
-sealed trait IntVecKernel { self: BinaryExpression =>
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<int> inputs, got (${left.dataType}, ${right.dataType})")
-  }
+sealed trait IntVecKernel extends ImplicitCastInputTypes { self: BinaryExpression =>
+  // ImplicitCastInputTypes, not a strict type check (r13 ADVICE): the
+  // retired Column/HOF forms cast elements to BIGINT, so SQL callers
+  // passing array<tinyint>/array<smallint>/array<bigint> kept working;
+  // the strict r13 check silently narrowed that public SQL surface.
+  // The analyzer now coerces any numeric element type to array<int> —
+  // exact array<int> inputs (every engine path) get no cast node, so
+  // committed plans and hashes are unchanged.
+  // (Inferred return type via TypeShim: AbstractDataType is private[sql].)
+  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.arrayIntPair
   override def nullable: Boolean = true
   override def foldable: Boolean = left.foldable && right.foldable
 
@@ -352,6 +349,7 @@ object GraftFunctions {
     org.apache.spark.sql.graftshim.ColumnBridge.column(e)
   private def ex(c: Column): Expression =
     org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
+  def cosineCol(a: Column, b: Column): Column = direct(CosineSim(ex(a), ex(b)))
   def intCosineCol(a: Column, b: Column): Column = direct(IntCosineSim(ex(a), ex(b)))
   def intCosineMicroCol(a: Column, b: Column): Column = direct(IntCosineMicro(ex(a), ex(b)))
   def intSqDistCol(a: Column, b: Column): Column = direct(IntSqDistL2(ex(a), ex(b)))

@@ -107,7 +107,12 @@ object Dsir extends Serializable {
     * [[mergeFeatureDist]]-accumulated across batches) with columns
     * renamed to (bkt, cr) / (bkt, ct); `feats` are the rows to score.
     * Every bucket of `feats` must appear in `rawDist` (true whenever the
-    * scored docs are part of the raw distribution).
+    * scored docs are part of the raw distribution) — and the precondition
+    * is ENFORCED: a feats bucket absent from `rawDist` raise_errors
+    * instead of being silently dropped, because an inner join would
+    * corrupt n_feats/weight_micro for the affected docs (the r13 ADVICE
+    * concurrent-reader scenario: feats batch committed, dist delta not
+    * yet) — the same loud stance as the empty-target guard below.
     */
   def weightsOfFeatures(feats: DataFrame, rawDist: DataFrame,
       tgtDist: DataFrame, idCol: String): DataFrame = {
@@ -136,10 +141,18 @@ object Dsir extends Serializable {
         case (d, (name, sql)) => d.withColumn(name, expr(sql))
       }
       .select(col("bkt"), (col("lpt") - col("lp")).as("lw"))
-    feats.join(weights, Seq("bkt"))
+    // left join + in-expression guard, NOT an inner join: an uncovered
+    // bucket must fail loudly, and the raise_error lives inside the
+    // aggregated expression so the optimizer cannot prune it away
+    val lwGuarded = when(col("lw").isNull,
+        raise_error(concat(lit("dsir: feats bucket "), col("bkt"),
+          lit(" absent from rawDist — scored docs are not part of the " +
+            "raw distribution"))).cast("long"))
+      .otherwise(col("lw"))
+    feats.join(weights, Seq("bkt"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("m")).as("n_feats"),
-        sum(col("m") * col("lw")).as("weight_micro"))
+        sum(col("m") * lwGuarded).as("weight_micro"))
   }
 
   /** Keep the `k` most target-like documents: exact top-k by

@@ -29,13 +29,18 @@ object Similarity extends Serializable {
 
   /** Cosine similarity between two array<float/double> columns, computed in
     * double. Per-row IEEE arithmetic — deterministic, engine-comparable.
+    *
+    * Delegates to the native codegen'd kernel
+    * ([[graft.functions.CosineSim]]) — bit-compatible with the retired
+    * interpreted `aggregate(zip_with(...))` form (same left-to-right
+    * accumulation; FunctionsSpec pins the equality against the verbatim
+    * old formula), so "the cosine" a contributor reaches for is never the
+    * boxed interpreted one (r13 VERDICT #3). One contract sharpening: a
+    * length mismatch now raises instead of nulling (the kernel's loud
+    * stance); float inputs coerce via ImplicitCastInputTypes.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineCol(a, b)
 
   /** Symmetric per-vector int8 quantization: `q_i = floor(x_i * 127 / amax
     * + 0.5)` with `amax = max |x_i|` — a 4× (vs float32) storage cut for

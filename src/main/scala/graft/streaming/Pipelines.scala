@@ -699,7 +699,7 @@ object Pipelines {
       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     indexedIngestAgg(stream, idCol, vecCol, cleanDir, indexDir,
       checkpointDir, compactEvery, emptySemDedupState,
-      _.dropDuplicates("id"),
+      mergeAllSemDedup,
       (idx, fresh) => graft.llm.Similarity.semDedupIncremental(
         idx, fresh, centroids, threshold, idCol, vecCol, maxClusterSize),
       (a, b) => a.unionByName(b).dropDuplicates("id"))
@@ -709,12 +709,24 @@ object Pipelines {
     Seq.empty[(Int, Long, Seq[Int])].toDF("cell", "id", "q")
   }
 
+  /** Fold raw persisted state partitions to one row per id, PROJECTED to
+    * the state schema. The explicit select matters: the frame read off
+    * disk carries the `batch` partition column, and a bare
+    * `dropDuplicates("id")` (unlike the groupBy every count index uses)
+    * would leak it into the resolved state — at compaction, the
+    * `unionByName` against a batch-less fresh delta then fails the whole
+    * ingest (r14 find: the declared-config fuzz twin was the first
+    * caller to compact semdedup state).
+    */
+  private def mergeAllSemDedup(df: DataFrame): DataFrame =
+    df.select(col("cell"), col("id"), col("q")).dropDuplicates("id")
+
   /** The accumulated (cell, id, q8) SemDeDup state at `indexDir` (written
     * by [[semDedupIngest]]): newest base + deltas, one row per ingested
     * vector. Empty frame if the index is empty.
     */
   def readSemDedupState(spark: SparkSession, indexDir: String): DataFrame =
-    indexStateAgg(spark, indexDir, None, _.dropDuplicates("id"))._1
+    indexStateAgg(spark, indexDir, None, mergeAllSemDedup)._1
       .getOrElse(emptySemDedupState(spark))
 
   /** Continuous corpus-datacard state: each micro-batch contributes its
@@ -944,7 +956,27 @@ object Pipelines {
       distDir: String, idCol: String = "doc_id",
       forgotten: Option[DataFrame] = None): DataFrame = {
     import graft.llm.Dsir
-    val committed = committedBatchIds(spark, featsDir)
+    // Consistent-prefix read under a CONCURRENT ingest (r13 ADVICE): the
+    // writer commits feats batch=N strictly BEFORE the dist delta
+    // batch=N, so a reader in that window would see feature rows whose
+    // buckets are absent from the resolved (bkt, cr, ct) index —
+    // weightsOfFeatures now raise_errors on that, but routine concurrency
+    // should not fail at all. Score exactly the batches whose dist
+    // contribution is resolvable AND resolve the dist from exactly the
+    // batches being scored: a base partition batch=-(b+1) covers every
+    // ingested batch ≤ b (feats for those committed before their deltas,
+    // and replays are content-identical by the foreachBatch checkpoint
+    // contract), and each positive delta is an independent additive
+    // partition, so the two-sided intersection is exact — bit-identical
+    // to importanceWeights over the prefix corpus.
+    val featsCommitted = committedBatchIds(spark, featsDir)
+    val distParts = committedBatchIds(spark, distDir)
+    val baseOpt = distParts.filter(_ < 0).map(v => -v - 1).sorted.lastOption
+    val featsSet = featsCommitted.toSet
+    val scoredDeltas = distParts
+      .filter(v => v >= 0 && baseOpt.forall(v > _) && featsSet(v))
+    val committed = featsCommitted
+      .filter(n => baseOpt.exists(n <= _) || scoredDeltas.contains(n))
     val all =
       if (committed.isEmpty)
         spark.createDataFrame(
@@ -954,7 +986,11 @@ object Pipelines {
       else spark.read.parquet(featsDir)
         .where(col("batch").isin(committed: _*))
         .select(col(idCol), col("bkt"), col("m"), col("is_tgt"))
-    val dist = readDsirDist(spark, distDir)
+    val distIncluded = baseOpt.map(b => -(b + 1)).toSeq ++ scoredDeltas
+    val dist =
+      if (distIncluded.isEmpty) emptyDsirDist(spark)
+      else mergeAllDsirDist(spark.read.parquet(distDir)
+        .where(col("batch").isin(distIncluded: _*)))
     // Deletion propagation (right-to-be-forgotten / unlearning for
     // curation state): every persisted batch stays IMMUTABLE — the
     // tombstoned docs' rows still sit on disk — but because each row
@@ -1004,6 +1040,144 @@ object Pipelines {
       .flatMap(p => scala.util.Try(
         p.getName.stripPrefix("batch=").toLong).toOption)
   }
+
+  // ------------------------------------------------------------------
+  // Deletion propagation beyond DSIR (r13 VERDICT ask #4): the term-df,
+  // span-df, paragraph-df and language-token-frequency indexes are
+  // ADDITIVE counts over doc-disjoint batches, so a forgotten doc's full
+  // contribution is exactly subtractable — PROVIDED the caller supplies
+  // the forgotten docs' ORIGINAL rows (unlike DSIR, these loops do not
+  // persist per-doc contributions; the right-to-be-forgotten request
+  // carries the data subject's records). Keeper-style (min, sum) indexes
+  // are NOT invertible (the kept min-id may itself be the forgotten doc)
+  // and take the documented recompute-from-survivors path instead.
+  // ------------------------------------------------------------------
+
+  /** Exact-subtraction forget over an additive `(keyCols..., cntCol)`
+    * two-level index: resolve the current state, subtract `contribution`
+    * (the family's index builder over the FORGOTTEN docs' original
+    * rows), drop keys whose count hits zero — bit-identical to the index
+    * built over the surviving corpus, because counts over disjoint doc
+    * batches are additive. `persist = true` additionally folds the
+    * corrected state into a NEW base partition and deletes the
+    * superseded partitions ([[foldAsNewBase]] — run it while the ingest
+    * loop is stopped: the index convention is single-writer), so the
+    * forgotten mass physically leaves disk and later ingest batches keep
+    * composing on top.
+    */
+  def forgetAdditiveIndex(spark: SparkSession, indexDir: String,
+      contribution: DataFrame, keyCols: Seq[String], cntCol: String,
+      persist: Boolean = false): DataFrame = {
+    val mergeAll: DataFrame => DataFrame =
+      _.groupBy(keyCols.map(col): _*).agg(sum(col(cntCol)).as(cntCol))
+    indexStateAgg(spark, indexDir, None, mergeAll)._1 match {
+      case None => contribution.limit(0) // empty index: nothing to forget
+      case Some(idx) =>
+        val gone = mergeAll(contribution).withColumnRenamed(cntCol, "__gone")
+        val corrected = idx.join(gone, keyCols, "left")
+          .select(keyCols.map(col) :+
+            (col(cntCol) - coalesce(col("__gone"), lit(0L))).as(cntCol): _*)
+          .filter(col(cntCol) > 0)
+        if (persist) foldAsNewBase(spark, indexDir, corrected)
+        else corrected
+    }
+  }
+
+  /** Recompute-from-survivors for a NON-invertible index (the substring
+    * keeper's (min keep_id, n_occ) rows): `rebuilt` must be the family's
+    * index builder over the SURVIVING corpus. `persist = true` folds it
+    * as the new base exactly like [[forgetAdditiveIndex]].
+    */
+  def recomputeIndex(spark: SparkSession, indexDir: String,
+      rebuilt: DataFrame, persist: Boolean = false): DataFrame =
+    if (persist) foldAsNewBase(spark, indexDir, rebuilt) else rebuilt
+
+  /** Replace the whole two-level index state with `corrected`, written as
+    * a new base partition `batch=-(maxSeen+1)` (the compaction naming, so
+    * the next ingest batch — id > maxSeen by the checkpoint contract —
+    * lands AFTER the base and future reads resolve base + new deltas).
+    * Write order is crash-minimizing: the corrected frame materializes
+    * into a staging dir first (reading the OLD partitions), then renames
+    * into place, then the superseded partitions are deleted — a reader
+    * racing the swap sees either the old state or the new, except in the
+    * in-place case (state already a lone base) where a millisecond empty
+    * window exists; run forgets while the loop is stopped. An EMPTY
+    * index persists nothing (there is no batch id to anchor the base
+    * without stealing the first future batch's slot) — the returned
+    * frame is the corrected (empty) state either way.
+    */
+  private def foldAsNewBase(spark: SparkSession, indexDir: String,
+      corrected: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Nil
+      else fs.listStatus(path).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    if (parts.isEmpty) return corrected
+    val maxB = parts.map(v => if (v < 0) -v - 1 else v).max
+    val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=-${maxB + 1}")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/.forget_staging")
+    // materializes from the OLD partitions — must complete before deletes
+    corrected.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+    parts.filterNot(_ == -(maxB + 1)).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)
+    }
+    spark.read.parquet(target.toString)
+  }
+
+  /** Exact forget over a [[tfidfIngest]] term-df index: subtract the
+    * forgotten docs' distinct-term contributions. */
+  def forgetTermDf(spark: SparkSession, indexDir: String,
+      forgotten: DataFrame, idCol: String, textCol: String,
+      persist: Boolean = false): DataFrame =
+    forgetAdditiveIndex(spark, indexDir,
+      graft.llm.CorpusStats.termDfIndex(forgotten, idCol, textCol),
+      Seq("term"), "df", persist)
+
+  /** Exact forget over a [[boilerplateIngest]] span-df index (same
+    * `spanTokens` the loop ran with). */
+  def forgetSpanDf(spark: SparkSession, indexDir: String,
+      forgotten: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, persist: Boolean = false): DataFrame =
+    forgetAdditiveIndex(spark, indexDir,
+      graft.llm.CorpusStats.spanDfIndex(forgotten, idCol, textCol,
+        spanTokens),
+      Seq("h"), "span_df", persist)
+
+  /** Exact forget over a [[paraDedupIngest]] paragraph-df index. */
+  def forgetParaDf(spark: SparkSession, indexDir: String,
+      forgotten: DataFrame, idCol: String, textCol: String,
+      persist: Boolean = false): DataFrame =
+    forgetAdditiveIndex(spark, indexDir,
+      graft.llm.CorpusStats.paraDfIndex(forgotten, idCol, textCol),
+      Seq("h"), "para_df", persist)
+
+  /** Exact forget over a [[datacardIngest]] language-token-frequency
+    * index (freq is a plain token count — additive). */
+  def forgetLtf(spark: SparkSession, indexDir: String,
+      forgotten: DataFrame, textCol: String, langCol: String,
+      persist: Boolean = false): DataFrame =
+    forgetAdditiveIndex(spark, indexDir,
+      graft.llm.CorpusStats.langTokenFreqs(forgotten, textCol, langCol),
+      Seq(langCol, "word"), "freq", persist)
+
+  /** Recompute-from-survivors for the [[substringDedupIngest]] keeper
+    * index — the documented non-invertible path: (min keep_id, n_occ)
+    * cannot be corrected by subtraction when the kept id itself is
+    * forgotten, so the index is rebuilt over the surviving corpus (same
+    * `minRunTokens` the loop ran with).
+    */
+  def recomputeSubstrIndex(spark: SparkSession, indexDir: String,
+      survivors: DataFrame, idCol: String, textCol: String,
+      minRunTokens: Int, persist: Boolean = false): DataFrame =
+    recomputeIndex(spark, indexDir,
+      graft.llm.CorpusStats.substrKeeperIndex(survivors, idCol, textCol,
+        minRunTokens),
+      persist)
 
   /** Continuous BM25 scoring over the shared indexed-ingest engine: each
     * batch's documents are scored for the fixed `queries` against the

@@ -181,10 +181,14 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("bench_out.json carries the per-query spread map the band check " +
       "consumes") {
-    // artifact contract (r12+): every run of graft.Bench writes a
-    // "spread" map (per-query max−min across warm reps) and
-    // "noise_total_sec" (spread of the rep totals) next to "queries".
-    // Skip when the tree has no artifact yet (fresh clone pre-bench).
+    // artifact contract (r12+, noise schema rebuilt r14): every run of
+    // graft.Bench writes a "spread" map (per-query max−min across warm
+    // reps), "median_total_sec" (median of the rep totals, beside the
+    // best-of headline), "jackknife_totals" (leave-one-rep-out headline
+    // totals) and "noise_total_sec" (their range — the headline's
+    // sensitivity to any single rep), plus "rep_total_spread_sec" (the
+    // pre-r14 rep-total max−min, kept for continuity). Skip when the
+    // tree has no artifact yet (fresh clone pre-bench).
     val p = java.nio.file.Paths.get("bench_out.json")
     assume(java.nio.file.Files.exists(p), "no bench_out.json in the tree")
     val json = org.json4s.jackson.JsonMethods.parse(
@@ -200,11 +204,73 @@ class BenchArtifactSpec extends AnyFunSuite {
       .collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
     assert(spreads.forall(s => s >= 0.0 || s == -1.0),
       "spreads are max−min (≥ 0) or the −1 failure marker")
-    val JDouble(noise) = obj("noise_total_sec"): @unchecked
-    val totals = obj("rep_totals").asInstanceOf[JArray].arr
-      .collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
-    assert(math.abs(noise - (totals.max - totals.min)) < 0.01,
-      "noise_total_sec must equal the spread of the rep totals")
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case other => fail(s"non-numeric artifact field: $other")
+    }
+    val totals = obj("rep_totals").asInstanceOf[JArray].arr.map(num)
+    assume(obj.contains("jackknife_totals"),
+      "pre-r14 artifact without the jackknife schema (refreshed by the " +
+        "next run)")
+    val jack = obj("jackknife_totals").asInstanceOf[JArray].arr.map(num)
+    assert(jack.size === totals.size,
+      "one leave-one-out total per warm rep")
+    assert(math.abs(num(obj("noise_total_sec")) - (jack.max - jack.min)) < 0.01,
+      "noise_total_sec must equal the jackknife range")
+    assert(math.abs(num(obj("rep_total_spread_sec")) -
+        (totals.max - totals.min)) < 0.01,
+      "rep_total_spread_sec must equal the rep-total spread")
+    assert(math.abs(num(obj("median_total_sec")) -
+        Bench.median(totals)) < 0.01,
+      "median_total_sec must be the median of the rep totals")
+    // the jackknife floor must be TIGHTER than (or equal to) the old
+    // single-pass spread — the whole point of the r14 rebuild
+    assert(jack.max - jack.min <= totals.max - totals.min + 0.01,
+      "jackknife noise exceeds the raw rep spread — arithmetic wrong")
+  }
+
+  test("jackknife noise: arithmetic, and one wild rep cannot dominate the floor") {
+    // 5 reps; query a is stable, query b has ONE wild rep (the exact
+    // scenario the r13 noise floor was defenseless against: old metric
+    // = rep-total spread = 10.0 s of 'noise' from a single spike)
+    val reps = Seq(
+      Map("a" -> 1.0, "b" -> 2.0),
+      Map("a" -> 1.1, "b" -> 2.1),
+      Map("a" -> 1.0, "b" -> 12.0), // the spike
+      Map("a" -> 1.2, "b" -> 2.2),
+      Map("a" -> 1.0, "b" -> 2.0))
+    val names = Seq("a", "b")
+    val jack = Bench.jackknifeTotals(names, reps)
+    assert(jack.size === 5)
+    // dropping the spike rep: medians over the 4 calm reps — ~3.05–3.15;
+    // dropping a calm rep keeps the median immune to the single spike.
+    // The range must stay well under the old 10-second panic.
+    assert(jack.max - jack.min < 0.5,
+      s"jackknife range ${jack.max - jack.min} — a single wild rep " +
+        "dominated the floor, the median damping is broken")
+    // old metric for contrast: rep totals span the full spike
+    val totals = reps.map(r => names.map(r).sum)
+    assert(totals.max - totals.min > 9.0)
+    // exact hand check on 3 reps (leave-one-out of 3 = median of 2 =
+    // midpoint): totals (1.5+2.5, 1.0+2.0, 1.25+2.25)
+    val j3 = Bench.jackknifeTotals(Seq("q"), Seq(
+      Map("q" -> 1.0), Map("q" -> 2.0), Map("q" -> 1.5)))
+    assert(j3 === Seq(1.75, 1.25, 1.5))
+    // single rep: degrades to the rep totals (range 0, maximally strict)
+    assert(Bench.jackknifeTotals(Seq("q"), Seq(Map("q" -> 3.0))) === Seq(3.0))
+  }
+
+  test("warm-rep interleaving: deterministic, distinct per rep, set-preserving") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val orders = (0 until 5).map(i => Bench.repOrder(names, i))
+    // reproducible: the same rep index always yields the same order
+    assert(orders(2) === Bench.repOrder(names, 2))
+    // a permutation, never a re-selection
+    orders.foreach(o => assert(o.sorted === names))
+    // reps differ from each other and from the sorted cold order — the
+    // interleave exists so per-query spreads price scheduling noise
+    assert(orders.distinct.size === 5)
+    orders.foreach(o => assert(o !== names))
   }
 
   test("r8 bench keys are stable: current keys are a superset of round 8's") {

@@ -1583,7 +1583,7 @@ class ConfigSpec extends SparkSpec {
          |      "name": "$base/feats;$base/dist" } ],
          |    "sink": { "type": "json", "path": "$scoreOut" } } ] }""".stripMargin)
     assert(PipelineConfig.run(spark, conf2, new InMemoryStore)
-      .commands.isEmpty || true) // run() throws on failure; reaching here = ok
+      .streams("score").status === JobState.Complete)
     val declared = spark.read.json(scoreOut)
       .select($"doc_id", $"n_feats", $"weight_micro").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -1613,5 +1613,170 @@ class ConfigSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     // [1,1] even → 0; [0,10]: (2·20 − 3·10)/(2·10) = 1/2
     assert(g === Map("a" -> 0L, "b" -> 500000L))
+  }
+
+  // ------------------------- r14: the declared ingest-loop family
+  // completed (r13 VERDICT ask #3). Shared harness: the DECLARED loop
+  // runs as TWO config sessions over a growing input dir (each run
+  // drains and stops — the kill; the next resumes from the declared
+  // checkpoint + index, so cross-session state equality IS the
+  // kill-and-resume proof), and must produce bit-identical outputs,
+  // batch partitions included, to the DIRECT-call loop fed the same
+  // two batches through a MemoryStream.
+
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private def imgAll(dir: String): Set[Seq[Any]] =
+    spark.read.parquet(dir).collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toString
+      case x => x
+    }).toSet
+
+  /** Drive `op` declared (2 config sessions) and `direct` (MemoryStream,
+    * 2 batches); assert out-dir and index-dir images match exactly.
+    * Returns the declared state base dir (out/idx/ckpt live under it).
+    */
+  private def declaredEqualsDirect(op: String, cols: Seq[String],
+      expr: String, name: Option[String], schema: String,
+      lines1: Seq[String], lines2: Seq[String],
+      direct: String => org.apache.spark.sql.streaming.StreamingQuery,
+      addBatch: Int => Unit): String = {
+    val in = java.nio.file.Files.createTempDirectory(s"cfg_${op}_in")
+    val db = java.nio.file.Files.createTempDirectory(s"cfg_$op").toString
+    val nameField = name.fold("")(n => s""""name": "$n", """)
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "r14_$op", "name": "$op-loop", "steps": [
+         |  { "step": "loop", "kind": "ingest",
+         |    "source": { "type": "json", "paths": ["$in/*.ndjson"],
+         |      "schema": "$schema" },
+         |    "transforms": [ { "op": "$op", $nameField
+         |      "cols": [${cols.map(c => s""""$c"""").mkString(", ")}],
+         |      "expr": "$expr" } ],
+         |    "sink": { "type": "parquet", "path": "$db/out",
+         |      "options": { "index": "$db/idx",
+         |        "checkpoint": "$db/ckpt" } } } ] }""".stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf, op)
+    def drop(fname: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(fname),
+        lines.mkString("\n").getBytes("UTF-8"))
+    drop("a.ndjson", lines1)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete, op)
+    drop("b.ndjson", lines2)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .commands("loop").status === JobState.Complete, op)
+    // direct twin over the same two batches
+    val mb = java.nio.file.Files.createTempDirectory(s"dir_$op").toString
+    val q = direct(mb)
+    try {
+      addBatch(0); q.processAllAvailable()
+      addBatch(1); q.processAllAvailable()
+    } finally q.stop()
+    assert(imgAll(s"$db/out") === imgAll(s"$mb/out"),
+      s"$op: declared out != direct out")
+    assert(imgAll(s"$db/idx") === imgAll(s"$mb/idx"),
+      s"$op: declared index != direct index")
+    db
+  }
+
+  test("declared ingest loops equal the direct calls: near_dup / tfidf / " +
+      "boilerplate / para_dedup (two config sessions = kill-and-resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val docATrunc = (1 to 32).map(i => s"alpha$i").mkString(" ")
+    val docB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val footer = "f1 f2 f3 f4"
+    // fixture exercises every loop's state: a cross-batch near-dup (7 of
+    // 1), a repeated 4-token span + paragraph footer, recurring terms
+    val b1 = Seq(
+      (1L, s"$docA\n$footer"),
+      (2L, s"$docB\n$footer"),
+      (3L, "fresh words appear here once"))
+    val b2 = Seq(
+      (7L, s"$docATrunc\nnovel tail seven"),
+      (8L, s"delta mix beta1 words\n$footer"))
+    def lines(b: Seq[(Long, String)]): Seq[String] =
+      b.map { case (id, t) => s"""{"doc_id":$id,"text":"${jsonEsc(t)}"}""" }
+    val loops: Seq[(String, String,
+        (String, org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.streaming.StreamingQuery)] = Seq(
+      ("near_dup_ingest", "3,96,48,0.5",
+        (mb, s) => graft.streaming.Pipelines.nearDupIngest(s,
+          "doc_id", "text", s"$mb/out", s"$mb/idx", s"$mb/ckpt")),
+      ("tfidf_ingest", "3,2",
+        (mb, s) => graft.streaming.Pipelines.tfidfIngest(s,
+          "doc_id", "text", s"$mb/out", s"$mb/idx", s"$mb/ckpt", 3, 2)),
+      ("boilerplate_ingest", "4,2,2",
+        (mb, s) => graft.streaming.Pipelines.boilerplateIngest(s,
+          "doc_id", "text", s"$mb/out", s"$mb/idx", s"$mb/ckpt", 4, 2, 2)),
+      ("para_dedup_ingest", "2,2",
+        (mb, s) => graft.streaming.Pipelines.paraDedupIngest(s,
+          "doc_id", "text", s"$mb/out", s"$mb/idx", s"$mb/ckpt", 2, 2)))
+    loops.foreach { case (op, expr, start) =>
+      val mem = MemoryStream[(Long, String)](spark)
+      declaredEqualsDirect(op, Seq("doc_id", "text"), expr, None,
+        "doc_id LONG, text STRING", lines(b1), lines(b2),
+        mb => start(mb, mem.toDF().toDF("doc_id", "text")),
+        i => { mem.addData((if (i == 0) b1 else b2): _*); () })
+    }
+  }
+
+  test("declared semdedup_ingest equals the direct call (frozen centroid " +
+      "table by path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val centDir = java.nio.file.Files
+      .createTempDirectory("cfg_sdi_cents").toString
+    Seq((0, Seq(127, 0, 0, 0, 0, 0, 0, 0)),
+        (1, Seq(0, 127, 0, 0, 0, 0, 0, 0))).toDF("cid", "q")
+      .coalesce(1).write.mode("overwrite").parquet(centDir)
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    val b1 = Seq((1L, v(1.0, 0.1)), (2L, v(1.0, 0.0)), (10L, v(0.0, 1.0)))
+    val b2 = Seq((3L, v(1.0, -0.1)), (11L, v(0.0, 1.0)), (12L, v(0.3, 0.3)))
+    def lines(b: Seq[(Long, Seq[Double])]): Seq[String] =
+      b.map { case (id, e) =>
+        s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}""" }
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    declaredEqualsDirect("semdedup_ingest", Seq("vec_id", "embedding"),
+      "0.99,10000,2", Some(centDir),
+      "vec_id LONG, embedding ARRAY<DOUBLE>", lines(b1), lines(b2),
+      mb => graft.streaming.Pipelines.semDedupIngest(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        spark.read.parquet(centDir), 0.99,
+        s"$mb/out", s"$mb/idx", s"$mb/ckpt", 10000, 2),
+      i => { mem.addData((if (i == 0) b1 else b2): _*); () })
+  }
+
+  test("declared datacard_ingest equals the direct call and the batch panel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val b1 = Seq((1L, "alpha beta alpha gamma", "en"),
+      (2L, "un deux trois un", "fr"))
+    val b2 = Seq((4L, "alpha alpha beta delta epsilon beta", "en"),
+      (5L, "quatre cinq un un deux", "fr"))
+    def lines(b: Seq[(Long, String, String)]): Seq[String] =
+      b.map { case (id, t, l) =>
+        s"""{"doc_id":$id,"text":"${jsonEsc(t)}","lang":"$l"}""" }
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val db = declaredEqualsDirect("datacard_ingest",
+      Seq("doc_id", "text", "lang"),
+      "2", None, "doc_id LONG, text STRING, lang STRING",
+      lines(b1), lines(b2),
+      mb => graft.streaming.Pipelines.datacardIngest(
+        mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text",
+        "lang", s"$mb/out", s"$mb/idx", s"$mb/ckpt", 2),
+      i => { mem.addData((if (i == 0) b1 else b2): _*); () })
+    // and the assembled panel over declared state equals the batch panel
+    val panel = graft.streaming.Pipelines.datacardRead(spark,
+      s"$db/out", s"$db/idx")
+      .collect().map(_.toSeq).toSet
+    val union = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val batch = graft.llm.CorpusStats.datacardPanel(
+      graft.llm.CorpusStats.datacardDocStats(union, "doc_id", "text", "lang"),
+      graft.llm.CorpusStats.langTokenFreqs(union, "text", "lang"))
+      .collect().map(_.toSeq).toSet
+    assert(panel === batch)
   }
 }

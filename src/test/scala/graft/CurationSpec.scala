@@ -749,13 +749,24 @@ class CurationSpec extends SparkSpec {
       try {
         val r = Selection.mmrSelect(vecs, "vec_id", col("rel"),
           "embedding", k).collect()
-        Thread.sleep(500) // let the async listener bus drain
+        // drain the async listener bus: poll until the job counter is
+        // stable across two consecutive checks (bounded), instead of a
+        // fixed sleep that races a slow bus
+        var last = -1; var stableMs = 0; var totalMs = 0
+        while (stableMs < 300 && totalMs < 5000) {
+          Thread.sleep(100); totalMs += 100
+          if (counter.get() == last) stableMs += 100
+          else { last = counter.get(); stableMs = 0 }
+        }
         r
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(got.length === k)
-    // sequential form = k+1 jobs minimum (checkpoint + one per pick);
-    // buffered form is a constant handful and does not grow with k
-    assert(counter.get() <= 6,
+    // sequential form = k+1 jobs minimum (checkpoint + one per pick); the
+    // buffered form must stay well below that. The bound is k-RELATIVE
+    // (not an absolute handful) so AQE materializing an extra job per
+    // exchange stage on an engine upgrade cannot flake the spec while a
+    // broken buffer (≥ k jobs) still trips it.
+    assert(counter.get() < k / 2,
       s"mmrSelect($k picks) ran ${counter.get()} jobs — buffering broke")
   }
 

@@ -13,11 +13,25 @@ class FunctionsSpec extends SparkSpec {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id")).limit(500)
       .select(col("a.v").as("va"), col("b.v").as("vb"))
+    // the retired interpreted Similarity.cosine formula, reproduced
+    // VERBATIM as the reference (Similarity.cosine now delegates to the
+    // kernel, so pinning against it would compare the kernel to itself)
+    def hofDot(x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val hofCos = hofDot($"va", $"vb") /
+      (sqrt(hofDot($"va", $"va")) * sqrt(hofDot($"vb", $"vb")))
     val diff = pairs.select(
-        (GraftFunctions.graftCosine($"va", $"vb") -
-          Similarity.cosine($"va", $"vb")).as("d"))
+        (GraftFunctions.graftCosine($"va", $"vb") - hofCos).as("d"))
       .agg(max(abs($"d"))).head().getDouble(0)
     assert(diff === 0.0) // identical accumulation order → identical doubles
+    // and the delegating Similarity.cosine IS the kernel now
+    val dz = pairs.select(
+        (Similarity.cosine($"va", $"vb") -
+          GraftFunctions.graftCosine($"va", $"vb")).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(dz === 0.0)
   }
 
   test("graft functions are SQL-visible after registration") {
@@ -166,5 +180,32 @@ class FunctionsSpec extends SparkSpec {
     val plan = q8.select(Similarity.intCosineMicro($"q", $"q").as("m"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*("), plan)
+  }
+
+  test("kernels implicitly coerce numeric element types (the retired HOF contract)") {
+    GraftFunctions.register(spark)
+    // the retired Column/HOF forms cast elements to BIGINT, so SQL callers
+    // passing array<tinyint>/array<smallint>/array<bigint> worked; the
+    // native kernels must keep that public surface (r13 ADVICE) — the
+    // analyzer inserts the element cast via ImplicitCastInputTypes
+    val r = spark.sql(
+      """SELECT
+        |  graft_int_cosine(CAST(array(3, 4) AS ARRAY<TINYINT>),
+        |                   CAST(array(3, 4) AS ARRAY<TINYINT>)) AS tiny,
+        |  graft_int_cosine(CAST(array(3, 4) AS ARRAY<BIGINT>),
+        |                   CAST(array(3, 4) AS ARRAY<SMALLINT>)) AS mixed,
+        |  graft_int_sqdist(CAST(array(1, 2) AS ARRAY<BIGINT>),
+        |                   CAST(array(4, 6) AS ARRAY<BIGINT>)) AS sq,
+        |  graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |               CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS fcos
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getLong(2) === (9L + 16L))
+    assert(r.getDouble(3) === 1.0)
+    // non-numeric element types still refuse at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_int_cosine(array('a'), array('b'))").collect()
+    }
   }
 }

@@ -1,10 +1,17 @@
 package graft
 
+import graft.jobs.{InMemoryStore, JobState}
 import graft.llm.CorpusStats
 import graft.streaming.Pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+object StreamingFuzzSpec {
+  /** ndjson string escaping for the declared-config file drops. */
+  private[graft] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+}
 
 /** Seeded fuzz over the indexed-ingest streaming loops (r10 VERDICT ask
   * #6): random corpora with planted repetition, random batch split points,
@@ -32,6 +39,19 @@ class StreamingFuzzSpec extends SparkSpec {
     * OUTPUT must equal. `chains` marks ops whose (id, clean_text) output
     * can feed a next stage.
     */
+  /** The stage's declared-config twin (r14 — the completed declared
+    * ingest-loop family joins the fuzz pool): op name, expr builder from
+    * the compaction cadence, and the ndjson line/schema shape (the dsir
+    * stage carries its is_tgt flag IN the file — the declared surface
+    * has no pre-transform hook, and the flag is a pure function of the
+    * id either way).
+    */
+  private case class DeclaredForm(op: String, expr: Int => String,
+      cols: Seq[String] = Seq("doc_id", "text"),
+      schema: String = "doc_id LONG, text STRING",
+      line: (Long, String) => String = (id, t) =>
+        s"""{"doc_id":$id,"text":"${StreamingFuzzSpec.esc(t)}"}""")
+
   private case class Stage(
       name: String,
       start: (DataFrame, String, Int) =>
@@ -40,6 +60,7 @@ class StreamingFuzzSpec extends SparkSpec {
       indexBatch: DataFrame => DataFrame,
       outputBatch: Option[DataFrame => DataFrame],
       chains: Boolean,
+      declared: Option[DeclaredForm] = None,
       // op-specific invariant over (state base dir, input union) — the
       // dsir stage's retro-score ≡ batch-operator equality rides here
       extraCheck: (String, DataFrame) => Unit = (_, _) => ())
@@ -50,7 +71,9 @@ class StreamingFuzzSpec extends SparkSpec {
         s"$b/out", s"$b/idx", s"$b/ckpt", SpanL, SpanDf, ce),
       b => Pipelines.readSpanDfIndex(spark, s"$b/idx"),
       u => CorpusStats.spanDfIndex(u, "doc_id", "text", SpanL),
-      None, chains = true),
+      None, chains = true,
+      declared = Some(DeclaredForm("boilerplate_ingest",
+        ce => s"$SpanL,$SpanDf,$ce"))),
     Stage("substring",
       (s, b, ce) => Pipelines.substringDedupIngest(s, "doc_id", "text",
         s"$b/out", s"$b/idx", s"$b/ckpt", SubL, ce),
@@ -58,19 +81,24 @@ class StreamingFuzzSpec extends SparkSpec {
       u => CorpusStats.substrKeeperIndex(u, "doc_id", "text", SubL),
       Some(u => CorpusStats.removeDuplicateSubstrings(u, "doc_id", "text",
         SubL)),
-      chains = true),
+      chains = true,
+      declared = Some(DeclaredForm("substring_dedup_ingest",
+        ce => s"$SubL,$ce"))),
     Stage("para",
       (s, b, ce) => Pipelines.paraDedupIngest(s, "doc_id", "text",
         s"$b/out", s"$b/idx", s"$b/ckpt", ParaDf, ce),
       b => Pipelines.readParaDfIndex(spark, s"$b/idx"),
       u => CorpusStats.paraDfIndex(u, "doc_id", "text"),
-      None, chains = true),
+      None, chains = true,
+      declared = Some(DeclaredForm("para_dedup_ingest",
+        ce => s"$ParaDf,$ce"))),
     Stage("tfidf",
       (s, b, ce) => Pipelines.tfidfIngest(s, "doc_id", "text",
         s"$b/out", s"$b/idx", s"$b/ckpt", 3, ce),
       b => Pipelines.readTermDfIndex(spark, s"$b/idx"),
       u => CorpusStats.termDfIndex(u, "doc_id", "text"),
-      None, chains = false),
+      None, chains = false,
+      declared = Some(DeclaredForm("tfidf_ingest", ce => s"3,$ce"))),
     Stage("dsir",
       // target flag derived from the id (doc 0 is always present as a
       // chain head, so the target side is never empty)
@@ -92,6 +120,11 @@ class StreamingFuzzSpec extends SparkSpec {
             coalesce(col("ct"), lit(0L)).as("ct"))
       },
       None, chains = false,
+      declared = Some(DeclaredForm("dsir_self_ingest", ce => s"$ce",
+        cols = Seq("doc_id", "text", "is_tgt"),
+        schema = "doc_id LONG, text STRING, is_tgt BOOLEAN",
+        line = (id, t) => s"""{"doc_id":$id,"text":"${StreamingFuzzSpec
+          .esc(t)}","is_tgt":${id % 5 == 0}}""")),
       extraCheck = (b, u) => {
         import graft.llm.Dsir
         val got = Pipelines.dsirRetroScore(spark, s"$b/out", s"$b/idx")
@@ -136,22 +169,54 @@ class StreamingFuzzSpec extends SparkSpec {
   /** Run one stage over the given per-batch inputs; assert its index
     * (and, if exact, output) invariants; return the streamed per-batch
     * cleaned outputs for chaining (None if the op is terminal).
+    * `declared = true` drives the stage through its DECLARED config twin
+    * instead of the direct call — one PipelineConfig.run session per
+    * batch file (each run drains and stops, so the rotation ALSO fuzzes
+    * the cross-session kill-and-resume path under random splits and
+    * compaction cadences); the invariants asserted are identical.
     */
   private def runStage(st: Stage, batches0: Seq[Seq[(Long, String)]],
-      compactEvery: Int): Option[Seq[Seq[(Long, String)]]] = {
+      compactEvery: Int,
+      declared: Boolean = false): Option[Seq[Seq[(Long, String)]]] = {
     // an empty slice fires no micro-batch, so it would shift the batch=i
     // partition numbering the chain reads by position — drop empties up
     // front (the random cuts still exercise 1-row and lopsided batches)
     val batches = batches0.filter(_.nonEmpty)
     val base = java.nio.file.Files.createTempDirectory(
       s"graft_fuzz_${st.name}").toString
-    val mem = MemoryStream[(Long, String)](spark)
-    val q = st.start(mem.toDF().toDF("doc_id", "text"), base, compactEvery)
-    batches.foreach { b =>
-      mem.addData(b: _*)
-      q.processAllAvailable()
+    if (declared) {
+      val d = st.declared.getOrElse(
+        fail(s"${st.name}: declared rotation without a declared form"))
+      val in = java.nio.file.Files.createTempDirectory(
+        s"graft_fuzz_${st.name}_in")
+      val conf = graft.config.PipelineConfig.parse(
+        s"""{ "id": "fz_${st.name}", "name": "${st.name}-fuzz", "steps": [
+           |  { "step": "loop", "kind": "ingest",
+           |    "source": { "type": "json", "paths": ["$in/*.ndjson"],
+           |      "schema": "${d.schema}" },
+           |    "transforms": [ { "op": "${d.op}",
+           |      "cols": [${d.cols.map(c => s""""$c"""").mkString(", ")}],
+           |      "expr": "${d.expr(compactEvery)}" } ],
+           |    "sink": { "type": "parquet", "path": "$base/out",
+           |      "options": { "index": "$base/idx",
+           |        "checkpoint": "$base/ckpt" } } } ] }""".stripMargin)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        java.nio.file.Files.write(in.resolve(f"b$i%03d.ndjson"),
+          b.map { case (id, t) => d.line(id, t) }
+            .mkString("\n").getBytes("UTF-8"))
+        assert(graft.config.PipelineConfig
+          .run(spark, conf, new InMemoryStore)
+          .commands("loop").status === JobState.Complete, st.name)
+      }
+    } else {
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = st.start(mem.toDF().toDF("doc_id", "text"), base, compactEvery)
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
     }
-    q.stop()
     val union = batches.flatten.toDF("doc_id", "text")
     assert(img(st.indexRead(base)) === img(st.indexBatch(union)),
       s"${st.name}: merged index != batch index over the union")
@@ -174,7 +239,16 @@ class StreamingFuzzSpec extends SparkSpec {
   }
 
   test("seeded ingest chains: streamed state equals batch-over-union at " +
-      "every stage, across random splits and compaction cadences") {
+      "every stage, across random splits and compaction cadences " +
+      "(direct AND declared-config driving)") {
+    // declared-rotation coverage ledger: every declarable stage must run
+    // through its config twin at least once across the seeds (forced on
+    // first encounter, random thereafter), so the whole declared family
+    // is fuzz-pool-resident, not just ConfigSpec-pinned
+    val declaredDone = scala.collection.mutable.Set[String]()
+    def driveDeclared(st: Stage, rnd: scala.util.Random): Boolean =
+      st.declared.isDefined &&
+        (!declaredDone.contains(st.name) || rnd.nextInt(3) == 0)
     (1 to 8).foreach { seed =>
       val rnd = new scala.util.Random(seed * 7919)
       val docs = corpus(rnd)
@@ -187,16 +261,25 @@ class StreamingFuzzSpec extends SparkSpec {
       // splits and the chain tail stay seeded-random
       val compactEvery = Seq(1, 2, 3, 16)(seed % 4)
       val first = stages(seed % stages.size)
+      val firstDeclared = driveDeclared(first, rnd)
+      if (firstDeclared) declaredDone += first.name
       info(s"seed $seed: ${docs.size} docs, ${batches.size} batches, " +
-        s"compactEvery=$compactEvery, chain head=${first.name}")
-      val out = runStage(first, batches, compactEvery)
+        s"compactEvery=$compactEvery, chain head=${first.name}" +
+        (if (firstDeclared) " (declared)" else ""))
+      val out = runStage(first, batches, compactEvery, firstDeclared)
       // chain a second stage over the streamed per-batch outputs when the
       // head op produces a cleaned corpus
       out.foreach { cleaned =>
         val second = stages(rnd.nextInt(stages.size))
-        info(s"seed $seed: chain tail=${second.name}")
-        runStage(second, cleaned, compactEvery)
+        val secondDeclared = driveDeclared(second, rnd)
+        if (secondDeclared) declaredDone += second.name
+        info(s"seed $seed: chain tail=${second.name}" +
+          (if (secondDeclared) " (declared)" else ""))
+        runStage(second, cleaned, compactEvery, secondDeclared)
       }
     }
+    val declarable = stages.filter(_.declared.isDefined).map(_.name).toSet
+    assert(declaredDone.toSet === declarable,
+      s"declared rotation missed: ${declarable -- declaredDone}")
   }
 }

@@ -1238,6 +1238,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dsirRetroScore races a concurrent ingest: consistent prefix, never silent drops") {
+    import graft.llm.Dsir
+    val base = java.nio.file.Files.createTempDirectory("graft_dsc").toString
+    val mem = MemoryStream[(Long, String, Boolean)](spark)
+    val q = graft.streaming.Pipelines.dsirSelfIngest(
+      mem.toDF().toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", "is_tgt",
+      s"$base/feats", s"$base/dist", s"$base/ckpt", compactEvery = 2)
+    val b1 = Seq((1L, "apple banana iron", true),
+      (2L, "zinc copper iron", false))
+    val b2 = Seq((3L, "apple cherry banana", true),
+      (4L, "iron zinc zinc", false))
+    val b3 = Seq((5L, "banana tungsten apple cherry", false))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable() // compaction → base batch=-2
+    mem.addData(b3: _*); q.processAllAvailable(); q.stop()
+    def wset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_feats", $"weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // simulate the r13-ADVICE window: the writer commits feats batch=2
+    // strictly before the dist delta batch=2 — drop the delta's _SUCCESS
+    // as a reader concurrent with that gap would find it. Doc 5 carries a
+    // bucket ('tungsten') absent from the resolved dist; the old inner
+    // join silently dropped those rows and mis-scored doc 5.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$base/dist/batch=2/_SUCCESS"), false))
+    val got = graft.streaming.Pipelines.dsirRetroScore(
+      spark, s"$base/feats", s"$base/dist")
+    // the scored set is EXACTLY the prefix whose dist contribution is
+    // resolvable (b1 ∪ b2 via the base), bit-identical to the batch
+    // operator over that prefix — doc 5 is deferred, not corrupted
+    val expectPrefix = Dsir.importanceWeights(
+      (b1 ++ b2).toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", $"is_tgt")
+    assert(wset(got) === wset(expectPrefix))
+    // once the delta commits, the full union scores again
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$base/dist/batch=2/_SUCCESS"), true)
+    out.close()
+    val full = graft.streaming.Pipelines.dsirRetroScore(
+      spark, s"$base/feats", s"$base/dist")
+    val expectFull = Dsir.importanceWeights(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", $"is_tgt")
+    assert(wset(full) === wset(expectFull))
+  }
+
+  test("weightsOfFeatures raise_errors on a feats bucket absent from rawDist") {
+    import graft.llm.Dsir
+    // the precondition is enforced, not assumed: an uncovered bucket must
+    // fail loudly instead of being dropped by a silent inner join
+    val feats = Seq((1L, "abc", 2L), (1L, "fff", 1L)).toDF("doc_id", "bkt", "m")
+    val raw = Seq(("abc", 5L)).toDF("bkt", "cr")
+    val tgt = Seq(("abc", 2L)).toDF("bkt", "ct")
+    val e = intercept[Exception] {
+      Dsir.weightsOfFeatures(feats, raw, tgt, "doc_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("absent from rawDist")))
+    // covered feats still score exactly as before the guard
+    val ok = Dsir.weightsOfFeatures(
+        feats.filter($"bkt" === "abc"), raw, tgt, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ok.length === 1 && ok.head._1 === 1L && ok.head._2 === 2L)
+  }
+
   test("blocklistIngest/entropyIngest: streamed signals equal the batch operator over the union") {
     import graft.llm.TextOps
     val b1 = Seq((1L, "clean words here"), (2L, "a bad phrase and a dup here"))
