@@ -324,6 +324,17 @@ object CurationOps extends QueryPack {
           col("strength_micro"), col("priority_micro"), col("sel_rank"))
     }),
 
+    // Cost breakdown (r13 ask #8 — the pack's #1 query is COMPOSITION
+    // cost, not a defect; graft.tools.CurateProfile reproduces this,
+    // isolated per stage at sf0.1/local[32], cold upper bounds):
+    //   nb_self_score 5.6 s COLD but StageMemo'd (warm bench: memo hit),
+    //   filter+checkpoint 0.3 s, winnow pairs over the KEPT subset 2.3 s,
+    //   keep-central contraction 3.6 s, temperature select 1.5 s, shard
+    //   balance 1.8 s — five genuinely distinct passes that pipeline
+    //   lazily to the ~3 s warm number. No further shared stage exists:
+    //   the pair stage runs over the NB-FILTERED corpus (reusing any
+    //   full-corpus pair stage would pair MORE rows, then filter), and
+    //   quality_perceptron fits a different model than the NB leg.
     "pipeline_curate2" -> ((s, dir) => {
       val docs = t(s, dir).documents
       val scored = nbScoreShared(s, dir)

@@ -1000,6 +1000,8 @@ object LlmOps extends QueryPack {
           array_max(transform(col("v"), x => abs(x))).as("amax"),
           Similarity.quantizeInt8(col("v")).as("q"))
         .select(col("vec_id"), col("amax"),
+          // interpreted HOF, MEASURED cold: this query runs 0.15 s warm
+          // over one scan — a kernel would save nothing (r13 #3 sweep)
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
           round(graft.functions.GraftFunctions.graftCosine(col("v"),
             Similarity.dequantizeInt8(col("q"), col("amax"))), 4).as("recon_cos"))
@@ -1176,6 +1178,8 @@ object LlmOps extends QueryPack {
       val media = Multimodal.fromText(t(s, dir).documents, "doc_id", "text")
       Multimodal.extractFeatures(media.as[MediaRecord]).toDF()
         .select(col("media_id"), col("n_bytes"),
+          // interpreted HOF, MEASURED: 0.22 s warm, 8-element arrays —
+          // below any kernel's payoff threshold (r13 #3 sweep)
           round(aggregate(col("features"), lit(0.0d),
             (a, x) => a + x.cast("double")) * 255.0).cast("long")
             .as("feature_checksum"))

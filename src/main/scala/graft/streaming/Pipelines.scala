@@ -771,6 +771,15 @@ object Pipelines {
   private def mergeAllLtf(langCol: String)(df: DataFrame): DataFrame =
     df.groupBy(col(langCol), col("word")).agg(sum(col("freq")).as("freq"))
 
+  /** The resolved (lang, word, freq) language-token-frequency index at
+    * `ltfDir` (written by [[datacardIngest]]): newest base + deltas, one
+    * row per (language, word). Empty frame if the index is empty.
+    */
+  def readLtfIndex(spark: SparkSession, ltfDir: String,
+      langCol: String = "lang"): DataFrame =
+    indexStateAgg(spark, ltfDir, None, mergeAllLtf(langCol))._1
+      .getOrElse(emptyLtf(langCol)(spark))
+
   /** The datacard panel assembled from [[datacardIngest]] state: slim
     * per-doc facts + the resolved frequency index, never the text.
     */

@@ -1779,4 +1779,82 @@ class ConfigSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(panel === batch)
   }
+
+  test("declared forget ops: term_df_forget (read-time then persist) and " +
+      "substring_index_recompute rewrite loop state from a config file") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.llm.CorpusStats
+    import graft.streaming.Pipelines
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // ---- state built by the term-df loop
+    val tb = java.nio.file.Files.createTempDirectory("cfg_fgt").toString
+    val memT = MemoryStream[(Long, String)](spark)
+    val qT = Pipelines.tfidfIngest(memT.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$tb/kw", s"$tb/idx", s"$tb/ckpt", 3)
+    val b1 = Seq((1L, "shared words alpha beta"),
+      (2L, "shared words gamma delta"))
+    val b2 = Seq((4L, "shared zeta eta"), (5L, "alpha beta theta"))
+    memT.addData(b1: _*); qT.processAllAvailable()
+    memT.addData(b2: _*); qT.processAllAvailable(); qT.stop()
+    val survivors = (b1 ++ b2).filterNot(r => r._1 == 2L || r._1 == 4L)
+      .toDF("doc_id", "text")
+    // declared READ-TIME forget: the step's source IS the forgotten rows
+    def forgetConf(expr: String, out: String) = PipelineConfig.parse(
+      s"""{ "id": "fgt", "name": "forget", "steps": [
+         |  { "step": "forget", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "doc_id LONG, text STRING",
+         |      "lines": [
+         |        "{\\"doc_id\\":2,\\"text\\":\\"shared words gamma delta\\"}",
+         |        "{\\"doc_id\\":4,\\"text\\":\\"shared zeta eta\\"}" ] },
+         |    "transforms": [ { "op": "term_df_forget",
+         |      "cols": ["doc_id", "text"], "name": "$tb/idx",
+         |      "expr": "$expr" } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    val c1 = forgetConf("", s"$tb/view")
+    assert(PipelineConfig.parse(PipelineConfig.toJson(c1)) === c1)
+    assert(PipelineConfig.run(spark, c1, new InMemoryStore)
+      .streams("forget").status === JobState.Complete)
+    val viewed = spark.read.json(s"$tb/view").select($"term", $"df")
+    assert(img(viewed) ===
+      img(CorpusStats.termDfIndex(survivors, "doc_id", "text")))
+    // state untouched by the read-time form
+    assert(img(Pipelines.readTermDfIndex(spark, s"$tb/idx")) ===
+      img(CorpusStats.termDfIndex((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")))
+    // declared DURABLE forget: the persist token folds the state
+    assert(PipelineConfig.run(spark, forgetConf("persist", s"$tb/view2"),
+      new InMemoryStore).streams("forget").status === JobState.Complete)
+    assert(img(Pipelines.readTermDfIndex(spark, s"$tb/idx")) ===
+      img(CorpusStats.termDfIndex(survivors, "doc_id", "text")))
+    // ---- keeper recompute, declared: source = the SURVIVING corpus
+    val kb = java.nio.file.Files.createTempDirectory("cfg_krc").toString
+    val memK = MemoryStream[(Long, String)](spark)
+    val qK = Pipelines.substringDedupIngest(
+      memK.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$kb/clean", s"$kb/idx", s"$kb/ckpt", 4)
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    memK.addData((1L, s"a1 $run b1"), (2L, s"a2 $run b2"))
+    qK.processAllAvailable(); qK.stop()
+    val kSurv = Seq((2L, s"a2 $run b2")).toDF("doc_id", "text")
+    val c2 = PipelineConfig.parse(
+      s"""{ "id": "krc", "name": "recompute", "steps": [
+         |  { "step": "rebuild", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "doc_id LONG, text STRING",
+         |      "lines": [
+         |        "{\\"doc_id\\":2,\\"text\\":\\"a2 $run b2\\"}" ] },
+         |    "transforms": [ { "op": "substring_index_recompute",
+         |      "cols": ["doc_id", "text"], "name": "$kb/idx",
+         |      "expr": "4,persist" } ],
+         |    "sink": { "type": "json", "path": "$kb/view" } } ] }""".stripMargin)
+    assert(PipelineConfig.run(spark, c2, new InMemoryStore)
+      .streams("rebuild").status === JobState.Complete)
+    val rebuilt = Pipelines.readSubstrIndex(spark, s"$kb/idx")
+    assert(img(rebuilt) ===
+      img(CorpusStats.substrKeeperIndex(kSurv, "doc_id", "text", 4)))
+    assert(rebuilt.filter($"keep_id" === 1L).count() === 0L)
+  }
 }

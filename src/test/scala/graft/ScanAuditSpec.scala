@@ -191,9 +191,12 @@ class ScanAuditSpec extends SparkSpec {
     assert(unknown.isEmpty, s"stale allowlist entries: $unknown")
   }
 
-  test("every pack query's scan and shuffle counts are within bounds") {
+  test("every pack query's scan and shuffle counts are within bounds, " +
+      "and the generated baseline ratchets automatically") {
     val violations = Seq.newBuilder[String]
     val slack = Seq.newBuilder[String]
+    val measured = scala.collection.mutable.TreeMap[
+      String, (Map[String, Int], Int)]()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan =
         try SparkEntry.queries(name)(spark, sf0001)
@@ -203,7 +206,8 @@ class ScanAuditSpec extends SparkSpec {
             violations += s"$name: plan failed: ${e.getMessage}"
             ""
         }
-      ScanAudit.tableScanCounts(plan).foreach { case (table, n) =>
+      val scans = ScanAudit.tableScanCounts(plan)
+      scans.foreach { case (table, n) =>
         val bound = allowed.getOrElse(name, Map.empty).getOrElse(table, 1)
         if (n > bound)
           violations += s"$name: $table scanned ${n}x (bound $bound)"
@@ -217,11 +221,71 @@ class ScanAuditSpec extends SparkSpec {
           violations += s"$name: $sh shuffles (bound $bound)"
         else if (sh < bound)
           slack += s"$name: $sh shuffles under bound $bound"
+        measured(name) = (scans, sh)
       }
     }
     val s = slack.result()
     if (s.nonEmpty)
       info(s"ratchet candidates (count under bound): ${s.mkString("; ")}")
+
+    // ---- the generated EXACT baseline (r13 VERDICT ask #7): the
+    // reason-family maps above are hand-edited CEILINGS; this file pins
+    // the exact measured counts, so slack under a ceiling is no longer
+    // headroom for silent regression. ANY increase over the recorded
+    // count fails; a decrease REWRITES the file in place (the ratchet
+    // tightens in the same change that earned it — commit the diff).
+    // Loosening is only possible explicitly: raise the reasoned ceiling
+    // AND regenerate with SCAN_BASELINE_REGEN=1.
+    val basePath = java.nio.file.Paths.get("scan_baseline.json")
+    def render(m: collection.Map[String, (Map[String, Int], Int)]): String =
+      m.map { case (q, (scans, sh)) =>
+        val scanJson = scans.toSeq.sorted
+          .map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
+        s"""  "$q": {"scans":$scanJson,"shuffles":$sh}"""
+      }.mkString("{\n", ",\n", "\n}\n")
+    val regen = sys.env.contains("SCAN_BASELINE_REGEN")
+    if (!java.nio.file.Files.exists(basePath) || regen) {
+      java.nio.file.Files.write(basePath, render(measured).getBytes("UTF-8"))
+      info(s"scan_baseline.json ${if (regen) "regenerated" else "created"} " +
+        s"(${measured.size} queries)")
+    } else {
+      import org.json4s._
+      val base = org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(basePath), "UTF-8"))
+        .asInstanceOf[JObject].obj.toMap.map { case (q, v) =>
+          val o = v.asInstanceOf[JObject].obj.toMap
+          val scans = o("scans").asInstanceOf[JObject].obj.map {
+            case (t, JInt(n)) => t -> n.toInt
+            case (t, other) => fail(s"bad baseline scan count $t=$other")
+          }.toMap
+          val JInt(sh) = o("shuffles"): @unchecked
+          q -> ((scans, sh.toInt))
+        }
+      var tightened = false
+      measured.foreach { case (q, (scans, sh)) =>
+        base.get(q) match {
+          case None => tightened = true // new query: join the baseline
+          case Some((bScans, bSh)) =>
+            scans.foreach { case (t, n) =>
+              val b = bScans.getOrElse(t, 0)
+              if (n > b) violations += s"$q: $t scanned ${n}x, baseline $b" +
+                " (raise the reasoned ceiling AND SCAN_BASELINE_REGEN=1)"
+              else if (n < b) tightened = true
+            }
+            if (sh > bSh) violations += s"$q: $sh shuffles, baseline $bSh" +
+              " (raise the reasoned ceiling AND SCAN_BASELINE_REGEN=1)"
+            else if (sh < bSh) tightened = true
+            if (bScans.keySet != scans.keySet) tightened = true
+        }
+      }
+      if (base.keySet != measured.keySet) tightened = true // prune stale
+      if (tightened && violations.result().isEmpty) {
+        java.nio.file.Files.write(basePath,
+          render(measured).getBytes("UTF-8"))
+        info("scan_baseline.json ratcheted down — commit the diff")
+      }
+    }
+
     val v = violations.result()
     assert(v.isEmpty,
       s"plan-shape regressions (fix the plan or document the bound):\n" +

@@ -707,6 +707,176 @@ class StreamingSpec extends SparkSpec {
     assert(resolved === full)
   }
 
+  // ---------------- deletion propagation beyond DSIR (r13 ask #4) ----
+
+  test("forgetTermDf: exact subtraction equals batch-over-survivors; the " +
+      "durable fold composes with continued ingestion") {
+    import graft.llm.CorpusStats
+    import graft.streaming.Pipelines
+    val in = java.nio.file.Files.createTempDirectory("graft_tfg_in")
+    val base = java.nio.file.Files.createTempDirectory("graft_tfg").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = Pipelines.tfidfIngest(
+      spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
+      "doc_id", "text", s"$base/kw", s"$base/idx", s"$base/ckpt", 3)
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val b1 = Seq((1L, "shared words alpha beta"),
+      (2L, "shared words gamma delta"),
+      (3L, "unique trio epsilon"))
+    val b2 = Seq((4L, "shared zeta eta"), (5L, "alpha beta theta"))
+    drop("a.ndjson", b1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    drop("b.ndjson", b2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // forget docs 2 and 4 — their ORIGINAL rows, the caller-supplied form
+    val gone = Seq(b1(1), b2.head).toDF("doc_id", "text")
+    val survivors = (b1 ++ b2).filterNot(r => r._1 == 2L || r._1 == 4L)
+      .toDF("doc_id", "text")
+    // read-time form: corrected view, state untouched
+    val corrected = Pipelines.forgetTermDf(spark, s"$base/idx",
+      gone, "doc_id", "text")
+    assert(img(corrected) ===
+      img(CorpusStats.termDfIndex(survivors, "doc_id", "text")))
+    assert(img(Pipelines.readTermDfIndex(spark, s"$base/idx")) ===
+      img(CorpusStats.termDfIndex((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")), "read-time forget must not touch state")
+    // durable form: the fold rewrites the index, the reader agrees
+    Pipelines.forgetTermDf(spark, s"$base/idx", gone, "doc_id", "text",
+      persist = true)
+    assert(img(Pipelines.readTermDfIndex(spark, s"$base/idx")) ===
+      img(CorpusStats.termDfIndex(survivors, "doc_id", "text")))
+    // composition: the loop resumes from the same checkpoint and the
+    // resolved index is survivors ∪ the new batch — the fold is a real
+    // base the two-level layout keeps building on
+    val b3 = Seq((6L, "shared words iota"), (7L, "fresh kappa"))
+    drop("c.ndjson", b3)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(img(Pipelines.readTermDfIndex(spark, s"$base/idx")) ===
+      img(CorpusStats.termDfIndex(
+        survivors.unionByName(b3.toDF("doc_id", "text")),
+        "doc_id", "text")))
+  }
+
+  test("forgetSpanDf / forgetParaDf / forgetLtf: exact subtraction equals " +
+      "batch-over-survivors, read-time and durable") {
+    import graft.llm.CorpusStats
+    import graft.streaming.Pipelines
+    val foot = "f1 f2 f3 f4"
+    val b1 = Seq((1L, s"alpha beta gamma delta\n$foot", "en"),
+      (2L, s"un deux trois quatre\n$foot", "fr"))
+    val b2 = Seq((4L, s"epsilon zeta eta theta\n$foot", "en"),
+      (5L, "cinq six sept huit", "fr"))
+    val goneIds = Set(2L, 4L)
+    val survivors = (b1 ++ b2).filterNot(r => goneIds(r._1))
+    val gone2 = (b1 ++ b2).filter(r => goneIds(r._1))
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // one loop per family over the same two batches
+    val sb = java.nio.file.Files.createTempDirectory("graft_sfg").toString
+    val pb = java.nio.file.Files.createTempDirectory("graft_pfg").toString
+    val db = java.nio.file.Files.createTempDirectory("graft_dfg").toString
+    val memS = MemoryStream[(Long, String)](spark)
+    val qS = Pipelines.boilerplateIngest(memS.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$sb/out", s"$sb/idx", s"$sb/ckpt", 4, 2)
+    val memP = MemoryStream[(Long, String)](spark)
+    val qP = Pipelines.paraDedupIngest(memP.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$pb/out", s"$pb/idx", s"$pb/ckpt", 2)
+    val memD = MemoryStream[(Long, String, String)](spark)
+    val qD = Pipelines.datacardIngest(
+      memD.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+      s"$db/stats", s"$db/ltf", s"$db/ckpt")
+    for (b <- Seq(b1, b2)) {
+      memS.addData(b.map(r => (r._1, r._2)): _*); qS.processAllAvailable()
+      memP.addData(b.map(r => (r._1, r._2)): _*); qP.processAllAvailable()
+      memD.addData(b: _*); qD.processAllAvailable()
+    }
+    qS.stop(); qP.stop(); qD.stop()
+    val goneDf = gone2.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    val survDf = survivors.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    // span-df
+    assert(img(Pipelines.forgetSpanDf(spark, s"$sb/idx", goneDf,
+        "doc_id", "text", 4)) ===
+      img(CorpusStats.spanDfIndex(survDf, "doc_id", "text", 4)))
+    Pipelines.forgetSpanDf(spark, s"$sb/idx", goneDf, "doc_id", "text", 4,
+      persist = true)
+    assert(img(Pipelines.readSpanDfIndex(spark, s"$sb/idx")) ===
+      img(CorpusStats.spanDfIndex(survDf, "doc_id", "text", 4)))
+    // para-df
+    assert(img(Pipelines.forgetParaDf(spark, s"$pb/idx", goneDf,
+        "doc_id", "text")) ===
+      img(CorpusStats.paraDfIndex(survDf, "doc_id", "text")))
+    Pipelines.forgetParaDf(spark, s"$pb/idx", goneDf, "doc_id", "text",
+      persist = true)
+    assert(img(Pipelines.readParaDfIndex(spark, s"$pb/idx")) ===
+      img(CorpusStats.paraDfIndex(survDf, "doc_id", "text")))
+    // ltf (datacard frequency leg)
+    val goneLang = gone2.toDF("doc_id", "text", "lang").drop("doc_id")
+    val survLang = survivors.toDF("doc_id", "text", "lang").drop("doc_id")
+    assert(img(Pipelines.forgetLtf(spark, s"$db/ltf", goneLang,
+        "text", "lang")) ===
+      img(CorpusStats.langTokenFreqs(survLang, "text", "lang")))
+    Pipelines.forgetLtf(spark, s"$db/ltf", goneLang, "text", "lang",
+      persist = true)
+    assert(img(Pipelines.readLtfIndex(spark, s"$db/ltf")) ===
+      img(CorpusStats.langTokenFreqs(survLang, "text", "lang")))
+  }
+
+  test("recomputeSubstrIndex: the keeper index is rebuilt over survivors " +
+      "(min-id reassignment subtraction cannot express) and keeps composing") {
+    import graft.llm.CorpusStats
+    import graft.streaming.Pipelines
+    val in = java.nio.file.Files.createTempDirectory("graft_krc_in")
+    val base = java.nio.file.Files.createTempDirectory("graft_krc").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = Pipelines.substringDedupIngest(
+      spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
+      "doc_id", "text", s"$base/clean", s"$base/idx", s"$base/ckpt",
+      minRunTokens = 4)
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    // doc 1 is the min-id KEEPER of the shared run — forgetting IT is
+    // exactly the case subtraction cannot express (keep_id must move)
+    val b1 = Seq((1L, s"a1 $run b1"), (2L, s"a2 $run b2"))
+    val b2 = Seq((3L, s"x3 $run y3"), (4L, "u4 v4 w4 z4"))
+    drop("a.ndjson", b1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    drop("b.ndjson", b2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val survivors = (b1 ++ b2).filterNot(_._1 == 1L).toDF("doc_id", "text")
+    // read-time: rebuilt view only
+    assert(img(Pipelines.recomputeSubstrIndex(spark, s"$base/idx",
+        survivors, "doc_id", "text", 4)) ===
+      img(CorpusStats.substrKeeperIndex(survivors, "doc_id", "text", 4)))
+    // durable: fold, reader agrees, keep_id of the shared run moved 1→2
+    Pipelines.recomputeSubstrIndex(spark, s"$base/idx", survivors,
+      "doc_id", "text", 4, persist = true)
+    val rebuilt = Pipelines.readSubstrIndex(spark, s"$base/idx")
+    assert(img(rebuilt) ===
+      img(CorpusStats.substrKeeperIndex(survivors, "doc_id", "text", 4)))
+    assert(rebuilt.filter($"keep_id" === 1L).count() === 0L)
+    assert(rebuilt.filter($"keep_id" === 2L).count() > 0L)
+    // composition: the loop resumes and the rebuilt base keeps merging
+    val b3 = Seq((5L, s"k5 $run m5"), (6L, "n6 o6 p6 q6"))
+    drop("c.ndjson", b3)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(img(Pipelines.readSubstrIndex(spark, s"$base/idx")) ===
+      img(CorpusStats.substrKeeperIndex(
+        survivors.unionByName(b3.toDF("doc_id", "text")),
+        "doc_id", "text", 4)))
+  }
+
   test("boilerplateIngest compaction bounds the index partitions, output unchanged") {
     val base = java.nio.file.Files.createTempDirectory("graft_bpc").toString
     val mem = MemoryStream[(Long, String)](spark)
