@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Round-14 noise methodology (r13 VERDICT ask #1 — the old floor, max−min
   * of rep totals, DOUBLED to 14.25 s as the pack shrank to 80 s, eroding
-  * the round-over-round gate's power): (a) warm reps rise 3→5; (b) each
+  * the round-over-round gate's power): (a) warm reps rise 3→5, preceded
+  * by `SPARK_GRAFT_WARMUP_REPS` (default 1) UNRECORDED warmup passes —
+  * one cold pass does not absorb the JIT ramp at high thread counts; (b) each
   * warm rep runs the queries in a DIFFERENT deterministic order
   * ([[repOrder]], md5-keyed — no JVM RNG), so per-query spreads capture
   * scheduling/neighbor noise instead of a fixed-order bias (safe for
@@ -245,6 +247,15 @@ object Bench {
     }
 
     val cold = runAll(names)
+    // unrecorded warmup pass(es) between cold and the recorded reps: one
+    // cold pass does not fully absorb JIT/codegen ramp at high thread
+    // counts (a 5-rep r14 calibration run showed a monotone 139→105 s
+    // rep-total trend — drift the jackknife floor cannot damp away, only
+    // avoid). Default 1; SPARK_GRAFT_WARMUP_REPS=0 restores the old
+    // shape.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP_REPS", "1").toInt
+      .max(0)
+    (0 until warmup).foreach(i => freshPass(repOrder(names, -1 - i)))
     // each warm rep runs a different deterministic order (see scaladoc):
     // per-query spreads then price scheduling/neighbor effects, not a
     // fixed-order bias
@@ -283,7 +294,7 @@ object Bench {
     val coldTotal = cold.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold_total_sec":${f3(coldTotal)},"median_total_sec":${f3(medianTotal)},"warm_reps":$reps,"noise_total_sec":${f3(noise)},"rep_total_spread_sec":${f3(repSpread)},"queries":${qjson(warmMed)},"sf":"$sfDir"}"""
 
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","warm_reps":$reps,
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","warm_reps":$reps,"warmup_reps":$warmup,
                   |"rep_totals":[${repTotals.map(f3).mkString(",")}],
                   |"median_total_sec":${f3(medianTotal)},
                   |"jackknife_totals":[${jack.map(f3).mkString(",")}],

@@ -50,7 +50,10 @@ class StreamingFuzzSpec extends SparkSpec {
       cols: Seq[String] = Seq("doc_id", "text"),
       schema: String = "doc_id LONG, text STRING",
       line: (Long, String) => String = (id, t) =>
-        s"""{"doc_id":$id,"text":"${StreamingFuzzSpec.esc(t)}"}""")
+        s"""{"doc_id":$id,"text":"${StreamingFuzzSpec.esc(t)}"}""",
+      // model-table path (e.g. the frozen semdedup centroids) relative
+      // to the stage's base dir, written by Stage.prepare
+      nameOf: String => Option[String] = _ => None)
 
   private case class Stage(
       name: String,
@@ -61,9 +64,44 @@ class StreamingFuzzSpec extends SparkSpec {
       outputBatch: Option[DataFrame => DataFrame],
       chains: Boolean,
       declared: Option[DeclaredForm] = None,
+      // one-time per-run fixture setup under the base dir (frozen model
+      // tables shared by BOTH driving modes)
+      prepare: String => Unit = _ => (),
       // op-specific invariant over (state base dir, input union) — the
       // dsir stage's retro-score ≡ batch-operator equality rides here
       extraCheck: (String, DataFrame) => Unit = (_, _) => ())
+
+  // semdedup fuzz embeddings: 4 direction families keyed by id, scaled
+  // copies within a family (amax-relative int8 quantization maps them to
+  // IDENTICAL codes → real dups to drop). The Scala and Column forms
+  // compute bit-identical doubles (same Math.sin/×/+ in the same order),
+  // so the declared ndjson drop feeds the engine the exact vectors the
+  // direct MemoryStream path computes.
+  private def fuzzEmb(id: Long): Seq[Double] = {
+    val fam = (id % 4).toDouble
+    val scale = 1.0 + 0.07 * (id / 4).toDouble
+    (0 until 8).map(j => (math.sin(fam + j * 0.7) + 2.0) * scale)
+  }
+  private def fuzzEmbCol: org.apache.spark.sql.Column = {
+    val fam = pmod(col("doc_id"), lit(4)).cast("double")
+    val scale = lit(1.0) + lit(0.07) * floor(col("doc_id") / lit(4))
+    array((0 until 8).map(j =>
+      (sin(fam + lit(j * 0.7)) + lit(2.0)) * scale): _*)
+  }
+  private def fuzzLang(id: Long): String = Seq("en", "fr", "de")((id % 3).toInt)
+  private def fuzzLangCol: org.apache.spark.sql.Column =
+    element_at(array(lit("en"), lit("fr"), lit("de")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+  private def writeFuzzCents(base: String): Unit = {
+    def qz(v: Seq[Double]): Seq[Int] = {
+      val amax = v.map(math.abs).max
+      v.map(x => math.floor(x * 127 / amax + 0.5).toInt)
+    }
+    (0 until 4).map(f =>
+        (f, qz((0 until 8).map(j => math.sin(f + j * 0.7) + 2.0))))
+      .toDF("cid", "q")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/cents")
+  }
 
   private lazy val stages: Seq[Stage] = Seq(
     Stage("boilerplate",
@@ -135,6 +173,65 @@ class StreamingFuzzSpec extends SparkSpec {
           .collect().map(_.toSeq).toSet
         assert(got === expect,
           "dsir: retro-score != batch operator over the union")
+      }),
+    Stage("datacard",
+      // language derived from the id (same function in both drive modes)
+      (s, b, ce) => Pipelines.datacardIngest(
+        s.withColumn("lang", fuzzLangCol),
+        "doc_id", "text", "lang", s"$b/out", s"$b/idx", s"$b/ckpt", ce),
+      b => Pipelines.readLtfIndex(spark, s"$b/idx"),
+      u => CorpusStats.langTokenFreqs(
+        u.withColumn("lang", fuzzLangCol), "text", "lang"),
+      None, chains = false,
+      declared = Some(DeclaredForm("datacard_ingest", ce => s"$ce",
+        cols = Seq("doc_id", "text", "lang"),
+        schema = "doc_id LONG, text STRING, lang STRING",
+        line = (id, t) => s"""{"doc_id":$id,"text":"${StreamingFuzzSpec
+          .esc(t)}","lang":"${fuzzLang(id)}"}""")),
+      extraCheck = (b, u) => {
+        // the assembled panel over merged slim state is bit-identical
+        // to the batch panel over the union — the loop's full contract
+        val ul = u.withColumn("lang", fuzzLangCol)
+        val got = Pipelines.datacardRead(spark, s"$b/out", s"$b/idx")
+          .collect().map(_.toSeq).toSet
+        val expect = CorpusStats.datacardPanel(
+            CorpusStats.datacardDocStats(ul, "doc_id", "text", "lang"),
+            CorpusStats.langTokenFreqs(ul, "text", "lang"))
+          .collect().map(_.toSeq).toSet
+        assert(got === expect,
+          "datacard: streamed panel != batch panel over the union")
+      }),
+    Stage("semdedup",
+      // embeddings derived from the id, FROZEN centroid table written by
+      // prepare — the family-scaled copies quantize to identical codes
+      (s, b, ce) => Pipelines.semDedupIngest(
+        s.withColumn("emb", fuzzEmbCol).drop("text"),
+        "doc_id", "emb", spark.read.parquet(s"$b/cents"), 0.99,
+        s"$b/out", s"$b/idx", s"$b/ckpt", compactEvery = ce),
+      b => Pipelines.readSemDedupState(spark, s"$b/idx").select(col("id")),
+      // the state carries EVERY ingested vector, one row per id
+      u => u.select(col("doc_id").as("id")),
+      None, chains = false,
+      declared = Some(DeclaredForm("semdedup_ingest",
+        ce => s"0.99,10000,$ce",
+        cols = Seq("doc_id", "emb"),
+        schema = "doc_id LONG, emb ARRAY<DOUBLE>",
+        line = (id, _) => s"""{"doc_id":$id,"emb":[${fuzzEmb(id)
+          .mkString(",")}]}""",
+        nameOf = b => Some(s"$b/cents"))),
+      prepare = writeFuzzCents,
+      extraCheck = (b, u) => {
+        // streamed survivors ≡ semDedupFrozen over the union (the loop's
+        // documented batch equivalence under a frozen table)
+        val got = spark.read.parquet(s"$b/out")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val expect = graft.llm.Similarity.semDedupFrozen(
+            u.withColumn("emb", fuzzEmbCol),
+            spark.read.parquet(s"$b/cents"), 0.99,
+            idCol = "doc_id", vecCol = "emb")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        assert(got === expect,
+          "semdedup: streamed survivors != semDedupFrozen over the union")
       }))
 
   /** Random corpus with planted cross-doc repetition: whole-paragraph
@@ -184,17 +281,19 @@ class StreamingFuzzSpec extends SparkSpec {
     val batches = batches0.filter(_.nonEmpty)
     val base = java.nio.file.Files.createTempDirectory(
       s"graft_fuzz_${st.name}").toString
+    st.prepare(base)
     if (declared) {
       val d = st.declared.getOrElse(
         fail(s"${st.name}: declared rotation without a declared form"))
       val in = java.nio.file.Files.createTempDirectory(
         s"graft_fuzz_${st.name}_in")
+      val nameField = d.nameOf(base).fold("")(n => s""""name": "$n", """)
       val conf = graft.config.PipelineConfig.parse(
         s"""{ "id": "fz_${st.name}", "name": "${st.name}-fuzz", "steps": [
            |  { "step": "loop", "kind": "ingest",
            |    "source": { "type": "json", "paths": ["$in/*.ndjson"],
            |      "schema": "${d.schema}" },
-           |    "transforms": [ { "op": "${d.op}",
+           |    "transforms": [ { "op": "${d.op}", $nameField
            |      "cols": [${d.cols.map(c => s""""$c"""").mkString(", ")}],
            |      "expr": "${d.expr(compactEvery)}" } ],
            |    "sink": { "type": "parquet", "path": "$base/out",
