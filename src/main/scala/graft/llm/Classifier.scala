@@ -441,12 +441,23 @@ object Classifier extends Serializable {
     * (docs outside the model's vocabulary score 0, pred = false).
     */
   def perceptronScore(df: DataFrame, model: DataFrame, idCol: String,
-      textCol: String, dim: Int = 256): DataFrame = {
-    val feats = hashedFeatures(df, idCol, textCol, dim)
+      textCol: String, dim: Int = 256): DataFrame =
+    perceptronScoreOnFeatures(hashedFeatures(df, idCol, textCol, dim),
+      df.select(col(idCol).cast("long").as("id")), model)
+
+  /** [[perceptronScore]] from a prebuilt (id, f, cnt) feature table —
+    * the one-tokenize path: a caller that trains AND scores the same
+    * corpus builds `hashedFeatures` once (checkpointed) and feeds both
+    * legs, instead of paying the tokenize+hash+aggregate pass twice.
+    * `ids` carries one row per doc (featureless docs score margin 0,
+    * pred = false — the same left-join stance as the df form).
+    */
+  def perceptronScoreOnFeatures(feats: DataFrame, ids: DataFrame,
+      model: DataFrame): DataFrame = {
     val margins = feats
       .join(model.select(col("f"), col("w")), "f")
       .groupBy(col("id")).agg(sum(col("cnt") * col("w")).as("margin"))
-    df.select(col(idCol).cast("long").as("id"))
+    ids.select(col("id"))
       .join(margins, Seq("id"), "left")
       .select(col("id"), coalesce(col("margin"), lit(0L)).as("margin"))
       .withColumn("pred", col("margin") > 0)

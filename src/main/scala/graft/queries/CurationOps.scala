@@ -247,11 +247,17 @@ object CurationOps extends QueryPack {
     //      replays as a closed-form CTE chain ----
     "quality_perceptron" -> ((s, dir) => {
       val docs = t(s, dir).documents
-        .withColumn("is_en", col("lang") === "en")
-      val model = Classifier.perceptronTrain(docs, "doc_id", "text",
-        "is_en", dim = PerceptronDim, iterations = PerceptronRounds)
-      Classifier.perceptronScore(docs, model, "doc_id", "text",
-        dim = PerceptronDim)
+      // ONE tokenize+hash pass feeds the fit and the scoring leg (r14 —
+      // the score leg used to rebuild hashedFeatures over the corpus);
+      // values are bit-identical, the oracle CTE chain is unchanged
+      val feats = Classifier.hashedFeatures(docs, "doc_id", "text",
+        PerceptronDim).localCheckpoint()
+      val lab = docs.select(col("doc_id").cast("long").as("id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val model = Classifier.perceptronTrainOnFeatures(feats, lab,
+        iterations = PerceptronRounds)
+      Classifier.perceptronScoreOnFeatures(feats,
+        docs.select(col("doc_id").cast("long").as("id")), model)
     }),
 
     // ---- classifier margins stratified CCNet-style: per-language

@@ -60,7 +60,8 @@ class ScanAuditSpec extends SparkSpec {
     "q31_range_join" -> Map("events" -> 2), // range self-join
     "q37_retention" -> Map("events" -> 2), // cohort vs return slice
     "quality_blocklist" -> Map("documents" -> 3), // list fit + two gates
-    "quality_perceptron" -> Map("documents" -> 2), // train + score legs
+    // quality_perceptron: ONE scan since r14 (shared feats feed train
+    // AND score), so the default bound of 1 applies
     "sample_es_k" -> Map("documents" -> 2), // reservoir + row fetch
     "sim_ann_ivf" -> Map("embeddings" -> 2), // query vs corpus slice
     "sim_ann_lsh" -> Map("embeddings" -> 2),
@@ -161,7 +162,7 @@ class ScanAuditSpec extends SparkSpec {
     "q7_theta_left_join" -> 1, "q8_window_topn_per_group" -> 1,
     "q9_window_running" -> 1, "quality_blocklist" -> 2,
     "quality_gate" -> 1, "quality_nb_buckets" -> 1,
-    "quality_perceptron" -> 3,
+    "quality_perceptron" -> 2,
     "ret_hybrid_ann" -> 5, "ret_hybrid_rrf" -> 3,
     "s1_text_lineage" -> 1, "sample_es_k" -> 1,
     "sample_per_group" -> 1, "sel_cap_per_source" -> 1,
