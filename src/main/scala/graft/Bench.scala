@@ -198,6 +198,7 @@ object Bench {
     // single-char digit keys: the 26 letters were exhausted at r9 and the
     // tail-line budget prices every key char; digits/uppercase are the
     // remaining 1-char namespace for r10+ queries
+    "ret_bitext_mine" -> "5",
     "dedup_substring" -> "0",
     "dedup_substring_runs" -> "1",
     "pipeline_multimodal" -> "2",

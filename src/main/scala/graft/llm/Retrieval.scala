@@ -213,4 +213,90 @@ object Retrieval extends Serializable {
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the standard
+    * parallel-corpus mining step behind CCMatrix/WikiMatrix-scale
+    * multilingual pretraining sets): mine aligned cross-lingual pairs by
+    * the RATIO margin — a candidate (x, y) scores its cosine relative to
+    * the mean of each side's k-nearest-neighbor cosines, which suppresses
+    * "hub" vectors that are close to everything:
+    *
+    *   margin(x, y) = cos(x, y) / ((Σ_kNN(x)/cS + Σ_kNN(y)/cT) / 2)
+    *
+    * kept when x and y are MUTUAL bests by margin (the paper's
+    * intersection strategy) and margin ≥ threshold.
+    *
+    * Determinism contract (driver oracle): similarities are the exact
+    * int8-quantized micro cosine ([[Similarity.intCosineMicro]] — BIGINT,
+    * −2·10⁶ zero-norm sentinel); k-NN sums take the k highest sims with
+    * ties to the lower id; the margin is one exact integer division
+    *   margin_micro = (2 · sim · cS · cT · 10⁶) div (ΣS·cT + ΣT·cS)
+    * evaluated only where sim > 0 and the denominator is positive (a
+    * non-positive cosine or neighborhood mean can never be a mined pair,
+    * and restricting to positives makes truncating `div` ≡ flooring `//`
+    * across engines). Overflow bound: 2·10⁶·k²·10⁶ ≪ 2⁶³ for any sane k.
+    *
+    * Scale shape: the all-pairs stage here is the CANDIDATE GENERATOR for
+    * bounded sides (the smaller side broadcasts — one map-only scan of
+    * the larger). At 100 TB the same margin arithmetic runs over ANN
+    * candidates instead ([[Similarity.ivfTopK]] / LSH buckets supply each
+    * side's top-k lists, which is exactly what the sums and the argmax
+    * consume) — the mining math is already k-bounded per vector. The
+    * pair frame is slim (3 BIGINTs), localCheckpoint'ed because three
+    * stages consume it (two k-NN sums + the margin join).
+    *
+    * Inputs: two (id, vec) frames (source and target language sides).
+    * Output: (src_id, tgt_id, sim_micro, margin_micro), one row per mined
+    * pair.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4,
+      marginThresholdMicro: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"bitextMine: k must be >= 1, got $k")
+    def q8(df: DataFrame, out: String) = df.select(
+      col(idCol).cast("long").as(out),
+      Similarity.quantizeInt8(col(vecCol).cast("array<double>")).as(s"__q$out"))
+    val s = q8(src, "src_id")
+    val t = q8(tgt, "tgt_id")
+    val pairs = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"),
+        Similarity.intCosineMicro(col("__qsrc_id"), col("__qtgt_id"))
+          .as("sim"))
+      .localCheckpoint()
+    def knnSums(part: String, other: String) = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("sim").desc, col(other).asc)
+      pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(col(part))
+        .agg(sum(col("sim")).as(s"__sum$part"),
+          count(lit(1)).as(s"__cnt$part"))
+    }
+    val m = pairs
+      .join(broadcast(knnSums("src_id", "tgt_id")), "src_id")
+      .join(broadcast(knnSums("tgt_id", "src_id")), "tgt_id")
+      .filter(col("sim") > 0 &&
+        col("__sumsrc_id") * col("__cnttgt_id") +
+          col("__sumtgt_id") * col("__cntsrc_id") > 0)
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        expr("(2 * sim * __cntsrc_id * __cnttgt_id * 1000000) div " +
+          "(__sumsrc_id * __cnttgt_id + __sumtgt_id * __cntsrc_id)")
+          .as("margin"))
+    val fwd = m.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin").desc, col("tgt_id").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bwd = m.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("tgt_id"))
+          .orderBy(col("margin").desc, col("src_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    // bwd is one slim row per TARGET vector — bounded by the side size,
+    // broadcast explicitly (the estimate-robust stance: a size estimate
+    // flipping this to sort-merge would shuffle fwd for nothing)
+    fwd.join(broadcast(bwd), Seq("src_id", "tgt_id"), "left_semi")
+      .filter(col("margin") >= marginThresholdMicro)
+      .select(col("src_id"), col("tgt_id"), col("sim").as("sim_micro"),
+        col("margin").as("margin_micro"))
+  }
 }

@@ -362,4 +362,66 @@ object AnnOracleSql {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY rrf_micro DESC, item_id ASC) AS rn FROM f)
        |WHERE rn <= $bm25K""".stripMargin
+
+  // Bitext mining (Artetxe & Schwenk 2019, ratio margin): k-NN pool size
+  // and the mutual-best acceptance threshold in margin-micro units
+  // (1.05 = the pair's cosine must beat its neighborhood means by 5%).
+  val BitextK = 4
+  val BitextThresholdMicro = 1050000L
+
+  /** The exact int8 MICRO cosine over precomputed (dot, na, nb) BIGINTs —
+    * the [[graft.functions.IntCosineMicro]] replay (floor of one
+    * correctly-rounded IEEE division, −2·10⁶ zero-norm sentinel). */
+  private val SimMicroCase =
+    "CASE WHEN na = 0 OR nb = 0 THEN CAST(-2000000 AS BIGINT) " +
+      "ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))" +
+      " * 1000000.0) AS BIGINT) END"
+
+  /** `ret_bitext_mine`: the full margin-mining replay — parity-split
+    * sides, int8 quantization, exact micro-cosine pairs, per-side top-k
+    * sims (ties to the lower id), the exact integer ratio margin (pairs
+    * restricted to sim > 0 and positive denominators, so DuckDB's
+    * flooring `//` ≡ Spark's truncating `div`), mutual-best, threshold.
+    */
+  def bitextSql: String =
+    s"""WITH $EmbCte,
+       |${qzCte("e")},
+       |s AS (SELECT vec_id AS src_id, q FROM qz WHERE vec_id % 2 = 0),
+       |tt AS (SELECT vec_id AS tgt_id, q FROM qz WHERE vec_id % 2 = 1),
+       |p0 AS (SELECT s.src_id, tt.tgt_id,
+       |    ${listDot("s.q", "tt.q")} AS dot,
+       |    ${listDot("s.q", "s.q")} AS na,
+       |    ${listDot("tt.q", "tt.q")} AS nb
+       |  FROM s CROSS JOIN tt),
+       |p AS (SELECT src_id, tgt_id, $SimMicroCase AS sim FROM p0),
+       |ks AS (SELECT src_id, CAST(sum(sim) AS BIGINT) AS s_sum,
+       |         CAST(count(*) AS BIGINT) AS s_cnt
+       |  FROM (SELECT src_id, sim, row_number() OVER (PARTITION BY src_id
+       |          ORDER BY sim DESC, tgt_id ASC) AS rn FROM p)
+       |  WHERE rn <= $BitextK GROUP BY src_id),
+       |kt AS (SELECT tgt_id, CAST(sum(sim) AS BIGINT) AS t_sum,
+       |         CAST(count(*) AS BIGINT) AS t_cnt
+       |  FROM (SELECT tgt_id, sim, row_number() OVER (PARTITION BY tgt_id
+       |          ORDER BY sim DESC, src_id ASC) AS rn FROM p)
+       |  WHERE rn <= $BitextK GROUP BY tgt_id),
+       |m AS (SELECT p.src_id, p.tgt_id, p.sim,
+       |    CAST((2 * p.sim * ks.s_cnt * kt.t_cnt * 1000000)
+       |      // (ks.s_sum * kt.t_cnt + kt.t_sum * ks.s_cnt) AS BIGINT)
+       |      AS margin
+       |  FROM p JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+       |  WHERE p.sim > 0
+       |    AND ks.s_sum * kt.t_cnt + kt.t_sum * ks.s_cnt > 0),
+       |fwd AS (SELECT src_id, tgt_id, sim, margin
+       |  FROM (SELECT m.*, row_number() OVER (PARTITION BY src_id
+       |          ORDER BY margin DESC, tgt_id ASC) AS rn FROM m)
+       |  WHERE rn = 1),
+       |bwd AS (SELECT src_id, tgt_id
+       |  FROM (SELECT src_id, tgt_id, row_number() OVER (PARTITION BY tgt_id
+       |          ORDER BY margin DESC, src_id ASC) AS rn FROM m)
+       |  WHERE rn = 1)
+       |SELECT CAST(f.src_id AS BIGINT) AS src_id,
+       |  CAST(f.tgt_id AS BIGINT) AS tgt_id,
+       |  f.sim AS sim_micro, f.margin AS margin_micro
+       |FROM fwd f JOIN bwd b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+       |WHERE f.margin >= $BitextThresholdMicro""".stripMargin
 }

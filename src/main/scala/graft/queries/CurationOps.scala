@@ -95,6 +95,21 @@ object CurationOps extends QueryPack {
         .withColumnRenamed("item_id", "doc_id")
     }),
 
+    // ---- margin-based bitext mining (Artetxe & Schwenk 2019): mine
+    //      aligned pairs across the two parity "language" sides of the
+    //      embeddings table by the ratio margin over exact int8 micro
+    //      cosines — mutual-best + threshold, engine-exact end to end
+    //      (AnnOracleSql.bitextSql replays every stage) ----
+    "ret_bitext_mine" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Retrieval.bitextMine(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "v", k = AnnOracleSql.BitextK,
+        marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
+    }),
+
     // ---- the production hybrid-search shape: BM25 fused with a REAL ANN
     //      list (IVF-flat over the embeddings, seeded per query by its
     //      top-1 lexical hit). Engine-exact since r11: the IVF index is
@@ -846,6 +861,7 @@ object CurationOps extends QueryPack {
     "cluster_kmeans" -> kmeansSql,
     "ret_hybrid_rrf" -> hybridRrfSql,
     "ret_hybrid_ann" -> AnnOracleSql.hybridAnnSql(bm25Ctes, Bm25K),
+    "ret_bitext_mine" -> AnnOracleSql.bitextSql,
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,

@@ -163,6 +163,10 @@ class ScanAuditSpec extends SparkSpec {
     "q9_window_running" -> 1, "quality_blocklist" -> 2,
     "quality_gate" -> 1, "quality_nb_buckets" -> 1,
     "quality_perceptron" -> 2,
+    // ret_bitext_mine: two per-side k-NN windows + sums and the two
+    // mutual-best windows, all over the slim checkpointed pair frame
+    // (3 BIGINTs/row); the semi join and k-NN-sum joins broadcast
+    "ret_bitext_mine" -> 6,
     "ret_hybrid_ann" -> 5, "ret_hybrid_rrf" -> 3,
     "s1_text_lineage" -> 1, "sample_es_k" -> 1,
     "sample_per_group" -> 1, "sel_cap_per_source" -> 1,
