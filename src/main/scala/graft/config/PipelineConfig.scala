@@ -796,6 +796,23 @@ object PipelineConfig {
           }
           graft.streaming.Pipelines.forgetLtf(d.sparkSession,
             forgetIndexDir(t), d, c, lc, persistFlag(t))
+        // margin-based bitext mining (Artetxe & Schwenk 2019): the input
+        // frame is the SOURCE-language side; name = parquet path of the
+        // target side (same idCol/vecCol schema); expr =
+        // k[,marginThresholdMicro]. REPLACES the frame with the mined
+        // (src_id, tgt_id, sim_micro, margin_micro) pairs.
+        case "bitext_mine" =>
+          val Seq(idc, vc) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("bitext_mine needs cols = [idCol, vecCol]")
+          }
+          val tgt = d.sparkSession.read.parquet(t.name.getOrElse(
+            sys.error("bitext_mine needs name = target-side parquet path")))
+          val p = splitParams(t.expr)
+          graft.llm.Retrieval.bitextMine(d, tgt, idc, vc,
+            k = p.headOption.map(_.toInt).getOrElse(4),
+            marginThresholdMicro =
+              p.lift(1).map(_.toLong).getOrElse(1000000L))
         // keeper (min, sum) substring index — NON-invertible, so the
         // input frame is the SURVIVING corpus and the index is rebuilt:
         // expr = minRunTokens[,persist]

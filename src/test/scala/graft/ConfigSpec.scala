@@ -1857,4 +1857,34 @@ class ConfigSpec extends SparkSpec {
       img(CorpusStats.substrKeeperIndex(kSurv, "doc_id", "text", 4)))
     assert(rebuilt.filter($"keep_id" === 1L).count() === 0L)
   }
+
+  test("declared bitext_mine equals the direct call (target side by path)") {
+    import spark.implicits._
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    val src = Seq((0L, v(1.0, 0.05)), (2L, v(0.05, 1.0)),
+      (4L, v(0.0, 0.0, 1.0)))
+    val tgt = Seq((101L, v(1.0, 0.0)), (103L, v(0.0, 1.0)),
+      (109L, v(0.0, 0.0, 0.9, 0.3)))
+    val base = java.nio.file.Files.createTempDirectory("cfg_bxm").toString
+    src.toDF("id", "v").coalesce(1).write.parquet(s"$base/src")
+    tgt.toDF("id", "v").coalesce(1).write.parquet(s"$base/tgt")
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "bxm", "name": "bitext", "steps": [
+         |  { "step": "mine", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$base/src"] },
+         |    "transforms": [ { "op": "bitext_mine",
+         |      "cols": ["id", "v"], "name": "$base/tgt",
+         |      "expr": "2,1020000" } ],
+         |    "sink": { "type": "parquet", "path": "$base/out" } } ] }""".stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .streams("mine").status === JobState.Complete)
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val direct = graft.llm.Retrieval.bitextMine(
+      src.toDF("id", "v"), spark.read.parquet(s"$base/tgt"), "id", "v",
+      k = 2, marginThresholdMicro = 1020000L)
+    assert(img(spark.read.parquet(s"$base/out")) === img(direct))
+    assert(direct.count() > 0, "fixture drift: declared case mined nothing")
+  }
 }

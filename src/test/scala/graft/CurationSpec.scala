@@ -829,4 +829,96 @@ class CurationSpec extends SparkSpec {
     // more than one cluster used on real data
     assert(rows1.map(_._2).distinct.length > 1)
   }
+
+  test("bitextMine: mutual-best ratio-margin pairs, hub suppression, " +
+      "threshold — engine equals an independent driver model") {
+    import graft.llm.Retrieval
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    // planted geometry: 0↔101 and 2↔103 are true pairs; 105 is a HUB
+    // (moderate similarity to every source vector) that is 4's COSINE
+    // argmax, but the ratio margin must prefer the non-hub 109 (lower
+    // cosine, much lower neighborhood mean); 6 and 8 both best-match
+    // 107 but 107's best is 6 — (8, 107) must lose mutual-best even at
+    // a passing margin
+    val src = Seq(
+      (0L, v(1.0, 0.05)),
+      (2L, v(0.05, 1.0)),
+      (4L, v(0.0, 0.0, 1.0)),
+      (6L, v(0.0, 0.0, 0.0, 1.0)),
+      (8L, v(0.0, 0.0, 0.0, 0.9, 0.3)))
+    val tgt = Seq(
+      (101L, v(1.0, 0.0)),
+      (103L, v(0.0, 1.0)),
+      (105L, v(0.45, 0.45, 0.75, 0.45, 0.1)),
+      (107L, v(0.0, 0.0, 0.05, 1.0)),
+      (109L, v(0.0, 0.0, 0.6, 0.0, 0.0, 0.8)))
+    val k = 2
+    val thr = 1020000L
+    val got = Retrieval.bitextMine(
+        src.toDF("id", "v"), tgt.toDF("id", "v"), "id", "v",
+        k = k, marginThresholdMicro = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // independent driver model of the documented semantics
+    def qz(x: Seq[Double]): Seq[Long] = {
+      val amax = x.map(math.abs).max
+      if (amax == 0) x.map(_ => 0L)
+      else x.map(e => math.floor(e * 127 / amax + 0.5).toLong)
+    }
+    def simMicro(a: Seq[Long], b: Seq[Long]): Long = {
+      val dot = a.zip(b).map { case (p, q) => p * q }.sum
+      val na = a.map(p => p * p).sum; val nb = b.map(q => q * q).sum
+      if (na == 0 || nb == 0) -2000000L
+      else math.floor(dot.toDouble / math.sqrt((na * nb).toDouble)
+        * 1000000.0).toLong
+    }
+    val qs = src.map { case (i, x) => i -> qz(x) }
+    val qt = tgt.map { case (i, x) => i -> qz(x) }
+    val sims = (for ((si, sq) <- qs; (ti, tq) <- qt)
+      yield (si, ti) -> simMicro(sq, tq)).toMap
+    def topkSum(rows: Seq[(Long, Long)]): (Long, Long) = {
+      val top = rows.sortBy { case (oid, s) => (-s, oid) }.take(k)
+      (top.map(_._2).sum, top.size.toLong)
+    }
+    val sSum = qs.map { case (si, _) =>
+      si -> topkSum(qt.map { case (ti, _) => (ti, sims((si, ti))) }) }.toMap
+    val tSum = qt.map { case (ti, _) =>
+      ti -> topkSum(qs.map { case (si, _) => (si, sims((si, ti))) }) }.toMap
+    val margins: Map[(Long, Long), Long] = sims.toSeq.flatMap {
+      case ((si, ti), s) =>
+        val den = sSum(si)._1 * tSum(ti)._2 + tSum(ti)._1 * sSum(si)._2
+        if (s > 0 && den > 0)
+          Some((si, ti) ->
+            (2L * s * sSum(si)._2 * tSum(ti)._2 * 1000000L) / den)
+        else None
+    }.toMap
+    val fwd = margins.keys.map(_._1).map { si =>
+      margins.toSeq.filter(_._1._1 == si)
+        .minBy { case ((_, ti), m) => (-m, ti) }._1
+    }.toSet
+    val bwd = margins.keys.map(_._2).map { ti =>
+      margins.toSeq.filter(_._1._2 == ti)
+        .minBy { case ((s2, _), m) => (-m, s2) }._1
+    }.toSet
+    val model = (fwd intersect bwd).filter(margins(_) >= thr)
+      .map(p => (p._1, p._2, sims(p), margins(p)))
+    assert(got === model)
+    // the fixture genuinely exercises each claimed path:
+    val mined = got.map(p => (p._1, p._2))
+    assert(mined.contains((0L, 101L)) && mined.contains((2L, 103L)))
+    // hub suppression: 4's COSINE argmax is the hub 105, but the ratio
+    // margin prefers the non-hub 109 (the hub's high neighborhood mean
+    // dilutes its margin) — the property the margin exists to provide
+    val cosBest4 = sims.collect { case ((4L, ti), s) => (ti, s) }
+      .toSeq.sortBy { case (ti, s) => (-s, ti) }.head._1
+    assert(cosBest4 === 105L, s"fixture drift: hub not 4's cosine best")
+    assert(margins((4L, 109L)) > margins((4L, 105L)),
+      "fixture drift: margin did not out-rank the hub")
+    assert(mined.contains((4L, 109L)) && !mined.exists(_._2 == 105L))
+    // mutual-best: (8, 107) clears the threshold but 107 prefers 6
+    assert(margins((8L, 107L)) >= thr && fwd.contains((8L, 107L)) &&
+      !bwd.contains((8L, 107L)),
+      "fixture drift: mutual-best case inert")
+    assert(mined.contains((6L, 107L)) && !mined.exists(_._1 == 8L))
+  }
 }
