@@ -282,14 +282,20 @@ object Retrieval extends Serializable {
         expr("(2 * sim * __cntsrc_id * __cnttgt_id * 1000000) div " +
           "(__sumsrc_id * __cnttgt_id + __sumtgt_id * __cntsrc_id)")
           .as("margin"))
-    val fwd = m.withColumn("__rn", row_number().over(
-        Window.partitionBy(col("src_id"))
-          .orderBy(col("margin").desc, col("tgt_id").asc)))
-      .filter(col("__rn") === 1).drop("__rn")
-    val bwd = m.withColumn("__rn", row_number().over(
-        Window.partitionBy(col("tgt_id"))
-          .orderBy(col("margin").desc, col("src_id").asc)))
-      .filter(col("__rn") === 1)
+    // argmax via max_by hash aggregates, NOT rank-1 windows: a window
+    // must SORT every partition to discard all but one row, while max_by
+    // is a partial-aggregating single pass (2 full sorts of the pair
+    // frame saved, measured 3.2→2.x s at sf0.1). The ordering struct
+    // (margin, −id) is unique within a group, so ties resolve exactly
+    // like (margin DESC, id ASC) — the oracle's row_number ordering.
+    val fwd = m.groupBy(col("src_id"))
+      .agg(max_by(struct(col("tgt_id"), col("sim"), col("margin")),
+        struct(col("margin"), -col("tgt_id"))).as("__b"))
+      .select(col("src_id"), col("__b.tgt_id").as("tgt_id"),
+        col("__b.sim").as("sim"), col("__b.margin").as("margin"))
+    val bwd = m.groupBy(col("tgt_id"))
+      .agg(max_by(col("src_id"),
+        struct(col("margin"), -col("src_id"))).as("src_id"))
       .select(col("src_id"), col("tgt_id"))
     // bwd is one slim row per TARGET vector — bounded by the side size,
     // broadcast explicitly (the estimate-robust stance: a size estimate
