@@ -214,8 +214,21 @@ object Bench {
     case _ => FamilyAbbrev.collectFirst {
       case (long, short) if n.startsWith(long) =>
         short + n.stripPrefix(long)
-    }.getOrElse(n)
+    }.getOrElse(acronym(n))
   })
+
+  /** r15 fallback (VERDICT ask #8) replacing the exhausted 1-char
+    * digit/uppercase namespace: a new query's key is the first letter of
+    * each underscore word (`ret_bitext_ann` → `rba`) — deterministic,
+    * greppable, and still 2–4 chars of tail budget. Frozen keys are
+    * untouched: every pre-r15 name resolves via Overrides / codePrefix /
+    * FamilyAbbrev before reaching here (BenchArtifactSpec pins the full
+    * mapping), and a future acronym collision fails BenchArtifactSpec's
+    * uniqueness pin, forcing an explicit override in the same change. */
+  private def acronym(n: String): String = {
+    val a = n.split('_').filter(_.nonEmpty).map(_.head).mkString
+    if (a.length >= 2) a else n
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

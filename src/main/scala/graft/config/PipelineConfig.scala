@@ -799,8 +799,13 @@ object PipelineConfig {
         // margin-based bitext mining (Artetxe & Schwenk 2019): the input
         // frame is the SOURCE-language side; name = parquet path of the
         // target side (same idCol/vecCol schema); expr =
-        // k[,marginThresholdMicro]. REPLACES the frame with the mined
-        // (src_id, tgt_id, sim_micro, margin_micro) pairs.
+        // k[,marginThresholdMicro[,candidateSource]]. REPLACES the frame
+        // with the mined (src_id, tgt_id, sim_micro, margin_micro) pairs.
+        // candidateSource picks the pair generator: absent/"allpairs" =
+        // the bounded-sides cartesian (bitextMine); "ivf" or
+        // "ivf:nCells:nProbe" = the 100 TB candidate-fed path — per-side
+        // IVF top-k lists feed bitextMineFromCandidates (0 = auto-size,
+        // the ivfTopK √n rule)
         case "bitext_mine" =>
           val Seq(idc, vc) = t.cols match {
             case s if s.length == 2 => s
@@ -809,10 +814,24 @@ object PipelineConfig {
           val tgt = d.sparkSession.read.parquet(t.name.getOrElse(
             sys.error("bitext_mine needs name = target-side parquet path")))
           val p = splitParams(t.expr)
-          graft.llm.Retrieval.bitextMine(d, tgt, idc, vc,
-            k = p.headOption.map(_.toInt).getOrElse(4),
-            marginThresholdMicro =
-              p.lift(1).map(_.toLong).getOrElse(1000000L))
+          val k = p.headOption.map(_.toInt).getOrElse(4)
+          val thr = p.lift(1).map(_.toLong).getOrElse(1000000L)
+          p.lift(2).getOrElse("allpairs") match {
+            case "allpairs" =>
+              graft.llm.Retrieval.bitextMine(d, tgt, idc, vc, k, thr)
+            case ivf if ivf == "ivf" || ivf.startsWith("ivf:") =>
+              val ps = ivf.split(":")
+              val (cells, probe) = (ps.lift(1).map(_.toInt).getOrElse(0),
+                ps.lift(2).map(_.toInt).getOrElse(0))
+              def lists(q: DataFrame, c: DataFrame) =
+                graft.llm.Similarity.ivfTopK(q, c, k, cells, probe,
+                  idCol = idc, vecCol = vc)
+              graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
+                lists(d, tgt), lists(tgt, d), k, thr)
+            case other => sys.error(
+              s"bitext_mine: unknown candidateSource '$other' " +
+                "(allpairs | ivf | ivf:nCells:nProbe)")
+          }
         // keeper (min, sum) substring index — NON-invertible, so the
         // input frame is the SURVIVING corpus and the index is rebuilt:
         // expr = minRunTokens[,persist]

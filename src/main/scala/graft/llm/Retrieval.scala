@@ -238,12 +238,12 @@ object Retrieval extends Serializable {
     *
     * Scale shape: the all-pairs stage here is the CANDIDATE GENERATOR for
     * bounded sides (the smaller side broadcasts — one map-only scan of
-    * the larger). At 100 TB the same margin arithmetic runs over ANN
-    * candidates instead ([[Similarity.ivfTopK]] / LSH buckets supply each
-    * side's top-k lists, which is exactly what the sums and the argmax
-    * consume) — the mining math is already k-bounded per vector. The
-    * pair frame is slim (3 BIGINTs), localCheckpoint'ed because three
-    * stages consume it (two k-NN sums + the margin join).
+    * the larger). At 100 TB use [[bitextMineFromCandidates]]: the same
+    * margin arithmetic over ANN candidate lists ([[Similarity.ivfTopK]] /
+    * [[Similarity.annTopK]]) — the mining math is already k-bounded per
+    * vector, so only the candidate generator changes. The pair frame is
+    * slim (3 BIGINTs), localCheckpoint'ed because three stages consume it
+    * (two k-NN sums + the margin join).
     *
     * Inputs: two (id, vec) frames (source and target language sides).
     * Output: (src_id, tgt_id, sim_micro, margin_micro), one row per mined
@@ -252,17 +252,54 @@ object Retrieval extends Serializable {
   def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4,
       marginThresholdMicro: Long = 1000000L): DataFrame = {
-    require(k >= 1, s"bitextMine: k must be >= 1, got $k")
-    def q8(df: DataFrame, out: String) = df.select(
-      col(idCol).cast("long").as(out),
-      Similarity.quantizeInt8(col(vecCol).cast("array<double>")).as(s"__q$out"))
-    val s = q8(src, "src_id")
-    val t = q8(tgt, "tgt_id")
+    requireBitextK(k)
+    val s = q8Side(src, idCol, vecCol, "src_id")
+    val t = q8Side(tgt, idCol, vecCol, "tgt_id")
     val pairs = s.crossJoin(broadcast(t))
       .select(col("src_id"), col("tgt_id"),
         Similarity.intCosineMicro(col("__qsrc_id"), col("__qtgt_id"))
           .as("sim"))
       .localCheckpoint()
+    mineFromPairs(pairs, k, marginThresholdMicro, boundedSides = true)
+  }
+
+  /** The margin numerator `2·sim·cS·cT·10⁶` is exact BIGINT arithmetic
+    * evaluated only where sim > 0 (the filter precedes the expression),
+    * so its magnitude is ≤ 2·10⁶·k²·10⁶ = 2·10¹²·k²; that stays under
+    * 2⁶³ ≈ 9.22·10¹⁸ iff k ≤ 2147. Enforce 2000 — comfortably inside the
+    * exact bound, and far beyond any useful neighborhood (the paper uses
+    * k = 4). Without this guard an oversized k silently wraps the margin
+    * into garbage, violating the repo's loud-failure stance. */
+  private def requireBitextK(k: Int): Unit =
+    require(k >= 1 && k <= 2000,
+      s"bitextMine: k must be in [1, 2000] (margin-overflow bound), got $k")
+
+  /** The margin family's two SQL fragments, extracted as the single
+    * source of truth so PropertySpec can sweep the EXACT production
+    * expression (not a re-typed copy) against a BigInt driver model over
+    * adversarial sims / sentinel values / max-k counts. `sim` is the
+    * micro cosine of a (src, tgt) pair; `__sum*` / `__cnt*` are that
+    * side's top-k neighborhood sum and size. */
+  private[graft] val MarginKeepExpr: String =
+    "sim > 0 AND __sumsrc_id * __cnttgt_id + __sumtgt_id * __cntsrc_id > 0"
+  private[graft] val MarginMicroExpr: String =
+    "(2 * sim * __cntsrc_id * __cnttgt_id * 1000000) div " +
+      "(__sumsrc_id * __cnttgt_id + __sumtgt_id * __cntsrc_id)"
+
+  private def q8Side(df: DataFrame, idCol: String, vecCol: String,
+      out: String): DataFrame = df.select(
+    col(idCol).cast("long").as(out),
+    Similarity.quantizeInt8(col(vecCol).cast("array<double>"))
+      .as(s"__q$out"))
+
+  /** Shared margin-mining core over a scored pair frame `(src_id,
+    * tgt_id, sim)`: per-side top-k neighborhood sums, the exact integer
+    * ratio margin, mutual-best intersection, threshold. Both candidate
+    * generators ([[bitextMine]]'s bounded-sides cartesian and
+    * [[bitextMineFromCandidates]]'s ANN lists) funnel here so the
+    * determinism contract lives in exactly one place. */
+  private def mineFromPairs(pairs: DataFrame, k: Int,
+      marginThresholdMicro: Long, boundedSides: Boolean): DataFrame = {
     def knnSums(part: String, other: String) = {
       val w = Window.partitionBy(col(part))
         .orderBy(col("sim").desc, col(other).asc)
@@ -272,16 +309,20 @@ object Retrieval extends Serializable {
         .agg(sum(col("sim")).as(s"__sum$part"),
           count(lit(1)).as(s"__cnt$part"))
     }
+    // Per-vector aggregates (one slim row per side vector) and bwd's
+    // one-row-per-target argmax broadcast ONLY under the bounded-sides
+    // contract (the estimate-robust stance: a size estimate flipping
+    // these to sort-merge would shuffle the pair frame for nothing). In
+    // the candidate-fed scale path the sides are unbounded, so the same
+    // joins must stay shuffled hash joins on the id keys — AQE still
+    // upgrades them when a side happens to be small.
+    def hint(df: DataFrame) = if (boundedSides) broadcast(df) else df
     val m = pairs
-      .join(broadcast(knnSums("src_id", "tgt_id")), "src_id")
-      .join(broadcast(knnSums("tgt_id", "src_id")), "tgt_id")
-      .filter(col("sim") > 0 &&
-        col("__sumsrc_id") * col("__cnttgt_id") +
-          col("__sumtgt_id") * col("__cntsrc_id") > 0)
+      .join(hint(knnSums("src_id", "tgt_id")), "src_id")
+      .join(hint(knnSums("tgt_id", "src_id")), "tgt_id")
+      .filter(expr(MarginKeepExpr))
       .select(col("src_id"), col("tgt_id"), col("sim"),
-        expr("(2 * sim * __cntsrc_id * __cnttgt_id * 1000000) div " +
-          "(__sumsrc_id * __cnttgt_id + __sumtgt_id * __cntsrc_id)")
-          .as("margin"))
+        expr(MarginMicroExpr).as("margin"))
     // argmax via max_by hash aggregates, NOT rank-1 windows: a window
     // must SORT every partition to discard all but one row, while max_by
     // is a partial-aggregating single pass (2 full sorts of the pair
@@ -297,12 +338,65 @@ object Retrieval extends Serializable {
       .agg(max_by(col("src_id"),
         struct(col("margin"), -col("src_id"))).as("src_id"))
       .select(col("src_id"), col("tgt_id"))
-    // bwd is one slim row per TARGET vector — bounded by the side size,
-    // broadcast explicitly (the estimate-robust stance: a size estimate
-    // flipping this to sort-merge would shuffle fwd for nothing)
-    fwd.join(broadcast(bwd), Seq("src_id", "tgt_id"), "left_semi")
+    fwd.join(hint(bwd), Seq("src_id", "tgt_id"), "left_semi")
       .filter(col("margin") >= marginThresholdMicro)
       .select(col("src_id"), col("tgt_id"), col("sim").as("sim_micro"),
         col("margin").as("margin_micro"))
+  }
+
+  /** Candidate-fed margin mining — the 100 TB path [[bitextMine]]'s
+    * scaladoc promises: identical margin / mutual-best / threshold math,
+    * but the pair frame comes from per-side ANN top-k candidate lists
+    * ([[Similarity.ivfTopK]] / [[Similarity.annTopK]] / any frame with
+    * `(query_id, neighbor_id)`) instead of a cartesian product, so the
+    * scored pairs are ≤ 2·k'·(|S|+|T|) rows regardless of side sizes and
+    * NO stage is quadratic or broadcast-bounded.
+    *
+    * Semantics (Artetxe & Schwenk 2019 §"margin-based scoring at scale"):
+    *   - `srcCands` lists, per SOURCE vector (as `query_id`), its
+    *     retrieved target neighbors (`neighbor_id`); `tgtCands` the
+    *     reverse direction. Extra columns (sim, rank) are ignored — the
+    *     micro cosine is recomputed exactly here so the determinism
+    *     contract (int8 quantization, −2·10⁶ sentinel, truncating-div
+    *     margin) is bit-identical to the all-pairs path on the same
+    *     pairs.
+    *   - the scored pair set is the DISTINCT union of both directions;
+    *     each side's k-NN sum takes the top-k sims within that retrieved
+    *     neighborhood (ties to the lower id). When the candidate lists
+    *     are the exact top-k (recall 1), the union's windowed top-k
+    *     equals the global top-k — the forward list is a subset of the
+    *     union — so the whole output is provably equal to [[bitextMine]]
+    *     wherever all-pairs argmaxes land inside the retrieved
+    *     neighborhood (CurationSpec proves both equalities on planted
+    *     geometry, incl. an `ivfTopK(nProbe = nCells)` structural-recall-1
+    *     feed).
+    *
+    * Scale shape: candidates join back to the two quantized sides as
+    * shuffled hash joins on the id keys (both sides unbounded — nothing
+    * broadcast); the k-NN windows sort k-bounded partitions; the
+    * per-vector aggregate joins and the mutual-best semi-join shuffle on
+    * ids. localCheckpoint on the slim pair frame for the same
+    * three-consumer reason as the all-pairs path.
+    */
+  def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String,
+      srcCands: DataFrame, tgtCands: DataFrame, k: Int = 4,
+      marginThresholdMicro: Long = 1000000L): DataFrame = {
+    requireBitextK(k)
+    val s = q8Side(src, idCol, vecCol, "src_id")
+    val t = q8Side(tgt, idCol, vecCol, "tgt_id")
+    val cand = srcCands.select(
+        col("query_id").cast("long").as("src_id"),
+        col("neighbor_id").cast("long").as("tgt_id"))
+      .unionByName(tgtCands.select(
+        col("neighbor_id").cast("long").as("src_id"),
+        col("query_id").cast("long").as("tgt_id")))
+      .distinct()
+    val pairs = cand.join(s, "src_id").join(t, "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        Similarity.intCosineMicro(col("__qsrc_id"), col("__qtgt_id"))
+          .as("sim"))
+      .localCheckpoint()
+    mineFromPairs(pairs, k, marginThresholdMicro, boundedSides = false)
   }
 }

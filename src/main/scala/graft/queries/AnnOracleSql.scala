@@ -113,9 +113,10 @@ object AnnOracleSql {
     * cell keeps its centroid). Final centroids CTE: `${p}c<iters>`. The
     * kmeansSql trajectory pattern at cosine metric — the SQL mirror of
     * Similarity.intCentroids. */
-  private def kmeansCtes(p: String, k: Int, iters: Int): String = {
+  private def kmeansCtes(p: String, k: Int, iters: Int,
+      vecsCte: String = "qz"): String = {
     val smp =
-      s"""${p}smp AS (SELECT vec_id, q FROM qz
+      s"""${p}smp AS (SELECT vec_id, q FROM $vecsCte
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $TrainSample)""".stripMargin
     val c0 =
       s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
@@ -394,7 +395,17 @@ object AnnOracleSql {
        |    ${listDot("tt.q", "tt.q")} AS nb
        |  FROM s CROSS JOIN tt),
        |p AS (SELECT src_id, tgt_id, $SimMicroCase AS sim FROM p0),
-       |ks AS (SELECT src_id, CAST(sum(sim) AS BIGINT) AS s_sum,
+       |$bitextMarginTail""".stripMargin
+
+  /** The shared margin / mutual-best / threshold tail over a pair CTE
+    * `p(src_id, tgt_id, sim)` — per-side top-k sums (ties to the lower
+    * id), the exact integer ratio margin on sim > 0 / positive
+    * denominators, row_number argmax both ways, intersection, threshold.
+    * Verbatim the [[graft.llm.Retrieval]] `mineFromPairs` contract, so
+    * both candidate generators replay through one SQL tail exactly like
+    * both engine paths funnel through one Scala core. */
+  private def bitextMarginTail: String =
+    s"""ks AS (SELECT src_id, CAST(sum(sim) AS BIGINT) AS s_sum,
        |         CAST(count(*) AS BIGINT) AS s_cnt
        |  FROM (SELECT src_id, sim, row_number() OVER (PARTITION BY src_id
        |          ORDER BY sim DESC, tgt_id ASC) AS rn FROM p)
@@ -424,4 +435,43 @@ object AnnOracleSql {
        |  f.sim AS sim_micro, f.margin AS margin_micro
        |FROM fwd f JOIN bwd b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
        |WHERE f.margin >= $BitextThresholdMicro""".stripMargin
+
+  /** `ret_bitext_ann`: the candidate-fed (100 TB-shaped) mining replay —
+    * per-side IVF-flat top-k retrieval (one integer-k-means index PER
+    * SIDE: forward trains on the target vectors and probes with the
+    * source, backward the reverse — the
+    * [[graft.llm.Similarity.ivfTopK]] mirror at fixed
+    * `IvfCells`/`IvfProbe`/`IvfIters`), exact double-cosine re-rank to
+    * the top-`BitextK` lists, DISTINCT union of both directions as the
+    * scored pair set, then the identical margin tail as [[bitextSql]].
+    */
+  def bitextAnnSql: String = {
+    def direction(p: String, queries: String, corpus: String): String =
+      Seq(
+        kmeansCtes(p, IvfCells, IvfIters, corpus),
+        assignCtes(s"${p}asg", corpus, s"${p}c$IvfIters", 1),
+        assignCtes(s"${p}prb", queries, s"${p}c$IvfIters", IvfProbe),
+        s"""${p}cand AS (SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id
+           |  FROM ${p}prb pr JOIN ${p}asg a ON pr.cid = a.cid
+           |  WHERE pr.vec_id <> a.vec_id)""".stripMargin,
+        rerankCtes(s"${p}k", s"${p}cand", BitextK)
+      ).mkString(",\n")
+    s"""WITH $EmbCte,
+       |${qzCte("e")},
+       |s AS (SELECT vec_id, q FROM qz WHERE vec_id % 2 = 0),
+       |tt AS (SELECT vec_id, q FROM qz WHERE vec_id % 2 = 1),
+       |${direction("xf", "s", "tt")},
+       |${direction("xb", "tt", "s")},
+       |cand AS (SELECT query_id AS src_id, neighbor_id AS tgt_id FROM xfk
+       |  UNION
+       |  SELECT neighbor_id AS src_id, query_id AS tgt_id FROM xbk),
+       |p0 AS (SELECT c.src_id, c.tgt_id,
+       |    ${listDot("a.q", "b.q")} AS dot,
+       |    ${listDot("a.q", "a.q")} AS na,
+       |    ${listDot("b.q", "b.q")} AS nb
+       |  FROM cand c JOIN qz a ON a.vec_id = c.src_id
+       |              JOIN qz b ON b.vec_id = c.tgt_id),
+       |p AS (SELECT src_id, tgt_id, $SimMicroCase AS sim FROM p0),
+       |$bitextMarginTail""".stripMargin
+  }
 }

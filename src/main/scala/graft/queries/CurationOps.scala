@@ -110,6 +110,28 @@ object CurationOps extends QueryPack {
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),
 
+    // ---- the 100 TB-shaped bitext path: candidate-FED margin mining —
+    //      per-side IVF-flat top-k retrieval replaces the cartesian
+    //      candidate stage (no cross join anywhere in the plan), the
+    //      margin / mutual-best / threshold math is byte-identical to
+    //      ret_bitext_mine's (one shared core). Engine-exact end to end:
+    //      AnnOracleSql.bitextAnnSql replays both IVF indexes AND the
+    //      margin tail ----
+    "ret_bitext_ann" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      def topk(q: DataFrame, c: DataFrame) =
+        Similarity.ivfTopK(q, c, k = AnnOracleSql.BitextK,
+          nCells = AnnOracleSql.IvfCells, nProbe = AnnOracleSql.IvfProbe,
+          idCol = "vec_id", vecCol = "v")
+      Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
+        topk(srcDf, tgtDf), topk(tgtDf, srcDf),
+        k = AnnOracleSql.BitextK,
+        marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
+    }),
+
     // ---- the production hybrid-search shape: BM25 fused with a REAL ANN
     //      list (IVF-flat over the embeddings, seeded per query by its
     //      top-1 lexical hit). Engine-exact since r11: the IVF index is
@@ -862,6 +884,7 @@ object CurationOps extends QueryPack {
     "ret_hybrid_rrf" -> hybridRrfSql,
     "ret_hybrid_ann" -> AnnOracleSql.hybridAnnSql(bm25Ctes, Bm25K),
     "ret_bitext_mine" -> AnnOracleSql.bitextSql,
+    "ret_bitext_ann" -> AnnOracleSql.bitextAnnSql,
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,

@@ -51,10 +51,31 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(line1.length <= Bench.TailBudget,
       s"adaptive bench line is ${line1.length} chars at realistic widths")
     val sub10Kept = ":9.9".r.findAllIn(line1).size
-    assert(sub10Kept >= names.size - 12,
+    // r15 arithmetic: at 201 pack entries the uniform-1-decimal map is
+    // a few chars OVER the fixed 1910-char window even after the big
+    // tier and the noise field are sacrificed, so the adaptive rung must
+    // demote ⌈overflow/2⌉ ≈ 5 of the LARGEST sub-10 s entries — at the
+    // modeled 9.9 s that is a ≤ 1.1 % quantization (the rung demotes
+    // largest-first, so real 0.x entries keep their decimal until every
+    // ~10 s entry is already integer; the REAL r14-median line measures
+    // 1907 chars with 180 decimals kept). Allowance 8 prices ~1 more
+    // round of pack growth; past that, revisit the encoding (shorter
+    // keys or a second tail line), don't widen this again.
+    assert(sub10Kept >= names.size - 12 - 8,
       s"only $sub10Kept of ${names.size - 12} sub-10 s entries kept " +
         "sub-second resolution — the adaptive rung demoted below the " +
-        "large-value tier; shorten new query names")
+        "documented ≤ 8 largest-entry allowance; shorten new query names " +
+        "or rework the tail encoding")
+    // and demotion really is confined to the top of the sub-10 tier: at
+    // REALISTIC widths (most entries well under 2 s) nothing is demoted —
+    // sub-second entries never pay for pack growth first
+    val medReal = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 12) 99.9 else if (i < 40) 2.9 else 0.4)
+    }.toMap
+    val lineReal = Bench.tailLine(names, medReal, 1500.0, "0.1")
+    assert(lineReal.length <= Bench.TailBudget)
+    assert(":0.4".r.findAllIn(lineReal).size === names.size - 40,
+      "a sub-second entry lost its decimal while larger entries kept theirs")
   }
 
   test("abbreviated bench keys are collision-free for the current pack") {
@@ -63,6 +84,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(collided.isEmpty,
       s"these queries collide after qNN abbreviation (Bench falls back to " +
         s"full names, risking the tail budget): $collided")
+  }
+
+  test("r15+ queries key via the first-letter acronym fallback, not the " +
+      "retired digit namespace") {
+    // VERDICT r14 ask #8: new queries must land greppable (ret_bitext_ann
+    // → rba), while every frozen pre-r15 key is covered by the r8/r9
+    // stability pins below and the digit namespace stays closed.
+    assert(shortName("ret_bitext_ann") === "rba")
+    assert(shortName("some_future_query_name") === "sfqn")
+    // 1-word names keep their full name — an acronym of 1 char would
+    // re-open the exhausted single-char namespace
+    assert(shortName("futureword") === "futureword")
   }
 
   test("every query has an oracle — the rows-only exception set is EMPTY") {

@@ -1887,4 +1887,56 @@ class ConfigSpec extends SparkSpec {
     assert(img(spark.read.parquet(s"$base/out")) === img(direct))
     assert(direct.count() > 0, "fixture drift: declared case mined nothing")
   }
+
+  test("declared bitext_mine candidateSource=ivf equals the direct " +
+      "candidate-fed call") {
+    import spark.implicits._
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    val src = Seq((0L, v(1.0, 0.05)), (2L, v(0.05, 1.0)),
+      (4L, v(0.0, 0.0, 1.0)))
+    val tgt = Seq((101L, v(1.0, 0.0)), (103L, v(0.0, 1.0)),
+      (109L, v(0.0, 0.0, 0.9, 0.3)))
+    val base = java.nio.file.Files.createTempDirectory("cfg_bxa").toString
+    src.toDF("id", "v").coalesce(1).write.parquet(s"$base/src")
+    tgt.toDF("id", "v").coalesce(1).write.parquet(s"$base/tgt")
+    // nProbe = nCells: structural recall 1 on the tiny fixture, so the
+    // declared candidate-fed run must also equal plain all-pairs mining
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "bxa", "name": "bitext-ann", "steps": [
+         |  { "step": "mine", "kind": "stream",
+         |    "source": { "type": "parquet", "paths": ["$base/src"] },
+         |    "transforms": [ { "op": "bitext_mine",
+         |      "cols": ["id", "v"], "name": "$base/tgt",
+         |      "expr": "2,1020000,ivf:2:2" } ],
+         |    "sink": { "type": "parquet", "path": "$base/out" } } ] }""".stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .streams("mine").status === JobState.Complete)
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val srcDf = src.toDF("id", "v")
+    val tgtDf = spark.read.parquet(s"$base/tgt")
+    def lists(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      graft.llm.Similarity.ivfTopK(q, c, k = 2, nCells = 2, nProbe = 2,
+        idCol = "id", vecCol = "v")
+    val direct = graft.llm.Retrieval.bitextMineFromCandidates(
+      srcDf, tgtDf, "id", "v", lists(srcDf, tgtDf), lists(tgtDf, srcDf),
+      k = 2, marginThresholdMicro = 1020000L)
+    assert(img(spark.read.parquet(s"$base/out")) === img(direct))
+    assert(img(direct) === img(graft.llm.Retrieval.bitextMine(
+      srcDf, srcDf.sparkSession.read.parquet(s"$base/tgt"), "id", "v",
+      k = 2, marginThresholdMicro = 1020000L)))
+    assert(direct.count() > 0, "fixture drift: declared case mined nothing")
+    // the unknown-source red case fails loudly, not silently all-pairs
+    val bad = PipelineConfig.parse(PipelineConfig.toJson(conf)
+      .replace("ivf:2:2", "lsh").replace(s"$base/out", s"$base/out_bad"))
+    val e = intercept[Exception] {
+      PipelineConfig.run(spark, bad, new InMemoryStore)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("candidateSource")),
+      e.toString)
+  }
 }

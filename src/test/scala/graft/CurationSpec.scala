@@ -830,30 +830,36 @@ class CurationSpec extends SparkSpec {
     assert(rows1.map(_._2).distinct.length > 1)
   }
 
+  // planted bitext geometry shared by the all-pairs model test and the
+  // candidate-fed equality tests: 0↔101 and 2↔103 are true pairs; 105 is
+  // a HUB (moderate similarity to every source vector) that is 4's COSINE
+  // argmax, but the ratio margin must prefer the non-hub 109 (lower
+  // cosine, much lower neighborhood mean); 6 and 8 both best-match 107
+  // but 107's best is 6 — (8, 107) must lose mutual-best even at a
+  // passing margin
+  private def bv(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+  private lazy val bitextSrc = Seq(
+    (0L, bv(1.0, 0.05)),
+    (2L, bv(0.05, 1.0)),
+    (4L, bv(0.0, 0.0, 1.0)),
+    (6L, bv(0.0, 0.0, 0.0, 1.0)),
+    (8L, bv(0.0, 0.0, 0.0, 0.9, 0.3)))
+  private lazy val bitextTgt = Seq(
+    (101L, bv(1.0, 0.0)),
+    (103L, bv(0.0, 1.0)),
+    (105L, bv(0.45, 0.45, 0.75, 0.45, 0.1)),
+    (107L, bv(0.0, 0.0, 0.05, 1.0)),
+    (109L, bv(0.0, 0.0, 0.6, 0.0, 0.0, 0.8)))
+  private val BitextFixtureK = 2
+  private val BitextFixtureThr = 1020000L
+
   test("bitextMine: mutual-best ratio-margin pairs, hub suppression, " +
       "threshold — engine equals an independent driver model") {
     import graft.llm.Retrieval
-    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
-    // planted geometry: 0↔101 and 2↔103 are true pairs; 105 is a HUB
-    // (moderate similarity to every source vector) that is 4's COSINE
-    // argmax, but the ratio margin must prefer the non-hub 109 (lower
-    // cosine, much lower neighborhood mean); 6 and 8 both best-match
-    // 107 but 107's best is 6 — (8, 107) must lose mutual-best even at
-    // a passing margin
-    val src = Seq(
-      (0L, v(1.0, 0.05)),
-      (2L, v(0.05, 1.0)),
-      (4L, v(0.0, 0.0, 1.0)),
-      (6L, v(0.0, 0.0, 0.0, 1.0)),
-      (8L, v(0.0, 0.0, 0.0, 0.9, 0.3)))
-    val tgt = Seq(
-      (101L, v(1.0, 0.0)),
-      (103L, v(0.0, 1.0)),
-      (105L, v(0.45, 0.45, 0.75, 0.45, 0.1)),
-      (107L, v(0.0, 0.0, 0.05, 1.0)),
-      (109L, v(0.0, 0.0, 0.6, 0.0, 0.0, 0.8)))
-    val k = 2
-    val thr = 1020000L
+    val src = bitextSrc
+    val tgt = bitextTgt
+    val k = BitextFixtureK
+    val thr = BitextFixtureThr
     val got = Retrieval.bitextMine(
         src.toDF("id", "v"), tgt.toDF("id", "v"), "id", "v",
         k = k, marginThresholdMicro = thr)
@@ -920,5 +926,99 @@ class CurationSpec extends SparkSpec {
       !bwd.contains((8L, 107L)),
       "fixture drift: mutual-best case inert")
     assert(mined.contains((6L, 107L)) && !mined.exists(_._1 == 8L))
+  }
+
+  test("bitextMineFromCandidates fed exact top-k lists equals the " +
+      "all-pairs bitextMine on the planted geometry") {
+    import graft.llm.{Retrieval, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val srcDf = bitextSrc.toDF("id", "v")
+    val tgtDf = bitextTgt.toDF("id", "v")
+    // exact top-k candidate lists by the mining's OWN ordering (micro
+    // int8 cosine desc, neighbor id asc) — recall 1 by construction, so
+    // the union's windowed top-k provably equals the global top-k and
+    // the candidate-fed output must be identical to all-pairs
+    def exactLists(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) = {
+      val qd = q.select(col("id").cast("long").as("query_id"),
+        Similarity.quantizeInt8(col("v").cast("array<double>")).as("qa"))
+      val cd = c.select(col("id").cast("long").as("neighbor_id"),
+        Similarity.quantizeInt8(col("v").cast("array<double>")).as("qb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      qd.crossJoin(cd)
+        .withColumn("sim", Similarity.intCosineMicro(col("qa"), col("qb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BitextFixtureK)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val allPairs = rows(Retrieval.bitextMine(srcDf, tgtDf, "id", "v",
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr))
+    val fed = rows(Retrieval.bitextMineFromCandidates(srcDf, tgtDf,
+      "id", "v", exactLists(srcDf, tgtDf), exactLists(tgtDf, srcDf),
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr))
+    assert(allPairs.nonEmpty && fed === allPairs)
+  }
+
+  test("bitextMineFromCandidates fed ivfTopK at nProbe = nCells " +
+      "(structural recall 1) equals all-pairs, and its plan has no " +
+      "cartesian or nested-loop join") {
+    import graft.llm.{Retrieval, Similarity}
+    val srcDf = bitextSrc.toDF("id", "v")
+    val tgtDf = bitextTgt.toDF("id", "v")
+    // probing EVERY cell makes the IVF candidate set the full cross
+    // product before re-rank, so each side's top-k list is exact —
+    // recall is structurally 1 regardless of how training clusters
+    def lists(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(q, c, k = BitextFixtureK, nCells = 3, nProbe = 3,
+        idCol = "id", vecCol = "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val fed = Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "id", "v",
+      lists(srcDf, tgtDf), lists(tgtDf, srcDf),
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr)
+    val allPairs = rows(Retrieval.bitextMine(srcDf, tgtDf, "id", "v",
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr))
+    assert(rows(fed) === allPairs)
+    // the scale claim itself: the candidate-fed MINING plan is free of
+    // cartesian products and nested-loop joins (the ivf candidate stage
+    // broadcasts only bounded probe/centroid sides — asserted separately
+    // in ScanAuditSpec on the full ret_bitext_ann plan)
+    val minePlan = Retrieval.bitextMineFromCandidates(srcDf, tgtDf,
+        "id", "v",
+        lists(srcDf, tgtDf).select("query_id", "neighbor_id")
+          .localCheckpoint(),
+        lists(tgtDf, srcDf).select("query_id", "neighbor_id")
+          .localCheckpoint(),
+        k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr)
+      .queryExecution.executedPlan.toString
+    assert(!minePlan.contains("CartesianProduct"), minePlan)
+    assert(!minePlan.contains("BroadcastNestedLoopJoin"), minePlan)
+  }
+
+  test("bitextMine k guard: out-of-range k fails loudly (margin-overflow " +
+      "bound), in-range extremes are accepted") {
+    import graft.llm.Retrieval
+    val srcDf = bitextSrc.toDF("id", "v")
+    val tgtDf = bitextTgt.toDF("id", "v")
+    for (bad <- Seq(0, -1, 2001)) {
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.bitextMine(srcDf, tgtDf, "id", "v", k = bad)
+      }
+      assert(e.getMessage.contains("[1, 2000]"))
+      intercept[IllegalArgumentException] {
+        Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "id", "v",
+          srcDf.limit(0).selectExpr("id as query_id", "id as neighbor_id"),
+          tgtDf.limit(0).selectExpr("id as query_id", "id as neighbor_id"),
+          k = bad)
+      }
+    }
+    // k = 2000 is inside the exact bound (2·10¹²·k² < 2⁶³ ⇔ k ≤ 2147)
+    Retrieval.bitextMine(srcDf, tgtDf, "id", "v", k = 2000).collect()
   }
 }

@@ -565,4 +565,81 @@ class PropertySpec extends SparkSpec {
       assert(bits(gen(i.toLong)) === bits(ref(a, b)), s"case $i codegen")
     }
   }
+
+  // -------------- r14 VERDICT ask #7: bitext margin overflow sweep -----
+
+  test("property: the bitext margin division — the EXACT production " +
+      "expression vs a BigInt model over adversarial sims, sentinels " +
+      "and max-k counts (the k ≤ 2000 overflow bound pinned)") {
+    import graft.llm.Retrieval
+    // the adversarial envelope of mineFromPairs' inputs: sim is a micro
+    // cosine in [−10⁶, 10⁶] or the −2·10⁶ zero-norm sentinel; counts are
+    // 1..k with k at the enforced 2000 ceiling; each sum is a top-cnt
+    // neighborhood total, so |sum| ≤ cnt·2·10⁶ (sentinel-heavy
+    // neighborhoods drive sums deeply negative — the keep filter must
+    // drop those, never divide by them)
+    val simGen: Gen[Long] = Gen.frequency(
+      (6, Gen.choose(-1000000L, 1000000L)),
+      (2, Gen.oneOf(1000000L, 999999L, 1L, 0L, -1L)),
+      (2, Gen.const(-2000000L)))
+    val caseGen: Gen[(Long, Long, Long, Long, Long)] = for {
+      sim <- simGen
+      cS <- Gen.frequency((3, Gen.choose(1L, 2000L)),
+        (2, Gen.oneOf(1L, 2000L)))
+      cT <- Gen.frequency((3, Gen.choose(1L, 2000L)),
+        (2, Gen.oneOf(1L, 2000L)))
+      sS <- Gen.choose(-2000000L * cS, 1000000L * cS)
+      sT <- Gen.choose(-2000000L * cT, 1000000L * cT)
+    } yield (sim, sS, cS, sT, cT)
+    val cases = (sample(caseGen, 450) ++ Seq(
+      // pinned extremes: the documented worst case (max sim, max k,
+      // minimal positive denominator) and both just-outside-keep edges
+      (1000000L, 1L, 2000L, 0L, 2000L),
+      (1000000L, 2000000000L, 2000L, 2000000000L, 2000L),
+      (1L, 1L, 1L, 0L, 1L),
+      (0L, 5L, 1L, 5L, 1L), // sim = 0 → dropped
+      (5L, -5L, 1L, 5L, 1L), // den = 0 → dropped
+      (5L, -6L, 1L, 5L, 1L), // den < 0 → dropped
+      (-2000000L, 1L, 2000L, 1L, 2000L))).distinct
+    assert(cases.size >= 400, s"generator under-produced: ${cases.size}")
+    // BigInt driver model of keep + margin — overflow-free by
+    // construction, so any Long wrap in the engine expression shows up
+    // as an exact-value mismatch
+    def model(c: (Long, Long, Long, Long, Long)): Option[BigInt] = {
+      val (sim, sS, cS, sT, cT) = c
+      val den = BigInt(sS) * cT + BigInt(sT) * cS
+      if (sim > 0 && den > 0)
+        // Spark's BIGINT div truncates toward zero; both operands are
+        // positive here (the keep filter), so BigInt / matches exactly
+        Some(BigInt(2) * sim * cS * cT * 1000000 / den)
+      else None
+    }
+    val df = cases.zipWithIndex.map { case ((sim, sS, cS, sT, cT), i) =>
+      (i.toLong, sim, sS, cS, sT, cT)
+    }.toDF("i", "sim", "__sumsrc_id", "__cntsrc_id",
+        "__sumtgt_id", "__cnttgt_id")
+      .repartition(2) // codegen barrier, as in the kernel sweeps above
+    val got = df.filter(expr(Retrieval.MarginKeepExpr))
+      .select($"i", expr(Retrieval.MarginMicroExpr).as("margin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (c, i) =>
+      model(c) match {
+        case None => assert(!got.contains(i.toLong),
+          s"case $i $c: kept a row the keep filter must drop")
+        case Some(m) =>
+          assert(m.isValidLong,
+            s"case $i $c: model margin $m exceeds Long — the k ≤ 2000 " +
+              "bound is wrong")
+          assert(got.get(i.toLong) === Some(m.toLong),
+            s"case $i $c: engine ${got.get(i.toLong)} vs model $m")
+      }
+    }
+    // the bound is TIGHT at the contract edge: numerator at k = 2000 is
+    // 2·10⁶·2000²·10⁶ = 8·10¹⁸ < 2⁶³ ≈ 9.22·10¹⁸, but k = 2200 would
+    // overflow — the guard's ceiling is load-bearing, not decorative
+    assert(BigInt(2) * 1000000L * 2000L * 2000L * 1000000L <
+      BigInt(Long.MaxValue))
+    assert(BigInt(2) * 1000000L * 2200L * 2200L * 1000000L >
+      BigInt(Long.MaxValue))
+  }
 }

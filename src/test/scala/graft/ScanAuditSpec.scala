@@ -163,6 +163,13 @@ class ScanAuditSpec extends SparkSpec {
     "q9_window_running" -> 1, "quality_blocklist" -> 2,
     "quality_gate" -> 1, "quality_nb_buckets" -> 1,
     "quality_perceptron" -> 2,
+    // ret_bitext_ann: the candidate-FED mining plan deliberately trades
+    // the all-pairs path's broadcasts for shuffles because NOTHING is
+    // bounded at 100 TB sides — two ivf re-rank windows, the
+    // direction-union distinct, candidate-to-vector hash joins, two
+    // k-NN-sum windows + joins, two max_by argmax aggregates and the
+    // mutual-best semi join, every one over k-bounded slim frames
+    "ret_bitext_ann" -> 11,
     // ret_bitext_mine: two per-side k-NN windows + sums and the two
     // mutual-best windows, all over the slim checkpointed pair frame
     // (3 BIGINTs/row); the semi join and k-NN-sum joins broadcast
@@ -189,6 +196,57 @@ class ScanAuditSpec extends SparkSpec {
     "tok_oov_rate" -> 2, "token_budget" -> 1,
     "vocab_zipf" -> 1, "wordpiece_encode" -> 2
   )
+
+  /** Every executedPlan string fired while `body` runs — INCLUDING the
+    * eager localCheckpoint materializations, which the final plan string
+    * hides behind ExistingRDD scans. The QueryExecutionListener bus is
+    * async, so drain by polling for a stable count. */
+  private def capturedPlans(body: => Unit): Seq[String] = {
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      while (plans.size() != last && System.nanoTime() < deadline) {
+        last = plans.size()
+        Thread.sleep(500)
+      }
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("ret_bitext_ann (the candidate-fed 100 TB bitext path) has no " +
+      "cartesian product or nested-loop join in ANY executed stage") {
+    // THE scale claim of r15 ask #1: all-pairs bitextMine's candidate
+    // stage is a documented bounded-sides crossJoin; the candidate-fed
+    // path must be free of cartesians end to end — checkpointed ivf and
+    // pair stages included, which is why this captures every execution
+    // rather than reading the (checkpoint-truncated) final plan string.
+    val annPlans = capturedPlans(
+      SparkEntry.queries("ret_bitext_ann")(spark, sf0001).collect())
+    assert(annPlans.nonEmpty)
+    val hits = annPlans.flatMap(_.split("\n")).filter(l =>
+      l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
+    assert(hits.isEmpty, hits.mkString("\n"))
+    // and the all-pairs sibling still IS the documented cartesian (in
+    // its checkpointed pair stage) — if this flips, the two queries no
+    // longer cover distinct shapes and the ann query proves nothing
+    val minePlans = capturedPlans(
+      SparkEntry.queries("ret_bitext_mine")(spark, sf0001).collect())
+    assert(minePlans.exists(p => p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct")), minePlans.mkString("\n===\n"))
+  }
 
   test("allowlist names only live pack queries") {
     val unknown = (allowed.keySet ++ shuffleBound.keySet) --
