@@ -787,6 +787,17 @@ object PipelineConfig {
           }
           graft.streaming.Pipelines.forgetParaDf(d.sparkSession,
             forgetIndexDir(t), d, idc, c, persistFlag(t))
+        // BM25 (term, df) + sentinel-totals index (bm25_ingest): cols =
+        // [idCol, textCol], expr = [persist] — the forgotten docs'
+        // bm25Index carries its own sentinel rows, so one subtraction
+        // corrects dfs AND the N/T totals (r15)
+        case "bm25_df_forget" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error("bm25_df_forget needs cols = [idCol, textCol]")
+          }
+          graft.streaming.Pipelines.forgetBm25Df(d.sparkSession,
+            forgetIndexDir(t), d, idc, c, persistFlag(t))
         // language-token-frequency (datacard_ingest): cols = [textCol,
         // langCol], expr = [persist]
         case "ltf_forget" =>

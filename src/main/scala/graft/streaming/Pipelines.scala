@@ -978,8 +978,15 @@ object Pipelines {
     // contract), and each positive delta is an independent additive
     // partition, so the two-sided intersection is exact — bit-identical
     // to importanceWeights over the prefix corpus.
-    val featsCommitted = committedBatchIds(spark, featsDir)
+    // distDir is listed FIRST (r14 ADVICE): the writer commits feats
+    // batch=N strictly before dist batch=N, so a feats listing taken
+    // AFTER the dist listing is always at least as fresh — every batch
+    // the resolved base/deltas cover is then present in featsCommitted,
+    // and a dist compaction racing between the two listings can only
+    // WIDEN feats (harmless: the intersection below cuts it back), never
+    // leave the distributions spanning a superset of the scored docs.
     val distParts = committedBatchIds(spark, distDir)
+    val featsCommitted = committedBatchIds(spark, featsDir)
     val baseOpt = distParts.filter(_ < 0).map(v => -v - 1).sorted.lastOption
     val featsSet = featsCommitted.toSet
     val scoredDeltas = distParts
@@ -1083,9 +1090,23 @@ object Pipelines {
       case None => contribution.limit(0) // empty index: nothing to forget
       case Some(idx) =>
         val gone = mergeAll(contribution).withColumnRenamed(cntCol, "__gone")
+        // a corrected count BELOW zero always means a violated caller
+        // contract — rows "forgotten" that were never ingested, or one
+        // forget applied twice — so it raises in-expression (r14 ADVICE;
+        // the same loud stance as Dsir.weightsOfFeatures) instead of the
+        // old silent clamp, which would corrupt the surviving keys'
+        // counts while looking like a clean subtraction. Exactly zero is
+        // the legitimate key-fully-forgotten case and is dropped.
         val corrected = idx.join(gone, keyCols, "left")
           .select(keyCols.map(col) :+
             (col(cntCol) - coalesce(col("__gone"), lit(0L))).as(cntCol): _*)
+          .select(keyCols.map(col) :+
+            when(col(cntCol) < 0, raise_error(concat(
+                lit(s"forgetAdditiveIndex: corrected $cntCol < 0 for key ("),
+                concat_ws(", ", keyCols.map(k => col(k).cast("string")): _*),
+                lit(") — forgotten rows never ingested, or forgotten " +
+                  "twice"))).cast("long"))
+              .otherwise(col(cntCol)).as(cntCol): _*)
           .filter(col(cntCol) > 0)
         if (persist) foldAsNewBase(spark, indexDir, corrected)
         else corrected
@@ -1105,15 +1126,24 @@ object Pipelines {
     * a new base partition `batch=-(maxSeen+1)` (the compaction naming, so
     * the next ingest batch — id > maxSeen by the checkpoint contract —
     * lands AFTER the base and future reads resolve base + new deltas).
-    * Write order is crash-minimizing: the corrected frame materializes
-    * into a staging dir first (reading the OLD partitions), then renames
-    * into place, then the superseded partitions are deleted — a reader
-    * racing the swap sees either the old state or the new, except in the
-    * in-place case (state already a lone base) where a millisecond empty
-    * window exists; run forgets while the loop is stopped. An EMPTY
-    * index persists nothing (there is no batch id to anchor the base
-    * without stealing the first future batch's slot) — the returned
-    * frame is the corrected (empty) state either way.
+    * Write order is crash-SAFE, not just crash-minimizing (r14 ADVICE):
+    * the corrected frame materializes into a staging dir first (reading
+    * the OLD partitions); in the in-place case (the target base already
+    * exists) the old base is renamed ASIDE to `.forget_old` before the
+    * staging dir renames into place, and only after the install commits
+    * are `.forget_old` and the superseded partitions deleted. A crash at
+    * ANY point therefore leaves every row recoverable on disk (old state
+    * in `batch=`/`.forget_old`, new in `.forget_staging`) — never the
+    * old silent-empty-index window between a delete and a rename. A
+    * leftover `.forget_old` from a crashed fold fails the NEXT fold
+    * loudly with recovery instructions rather than being swept away.
+    * Readers racing the swap can still see a transient empty state in
+    * the in-place case — run forgets while the loop is stopped (the
+    * single-writer convention); the guarantee here is durability, not
+    * reader isolation. An EMPTY index persists nothing (there is no
+    * batch id to anchor the base without stealing the first future
+    * batch's slot) — the returned frame is the corrected (empty) state
+    * either way.
     */
   private def foldAsNewBase(spark: SparkSession, indexDir: String,
       corrected: DataFrame): DataFrame = {
@@ -1128,10 +1158,17 @@ object Pipelines {
     val maxB = parts.map(v => if (v < 0) -v - 1 else v).max
     val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=-${maxB + 1}")
     val staging = new org.apache.hadoop.fs.Path(s"$indexDir/.forget_staging")
-    // materializes from the OLD partitions — must complete before deletes
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/.forget_old")
+    if (fs.exists(old)) sys.error(
+      s"foldAsNewBase: $old exists — a prior fold crashed mid-swap. " +
+        s"Recover manually (if $target is complete, delete $old; " +
+        s"otherwise rename $old back to $target) before forgetting again.")
+    // materializes from the OLD partitions — must complete before any
+    // rename or delete touches them
     corrected.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(target)) fs.rename(target, old)
     fs.rename(staging, target)
+    if (fs.exists(old)) fs.delete(old, true)
     parts.filterNot(_ == -(maxB + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)
     }
@@ -1173,6 +1210,25 @@ object Pipelines {
     forgetAdditiveIndex(spark, indexDir,
       graft.llm.CorpusStats.langTokenFreqs(forgotten, textCol, langCol),
       Seq(langCol, "word"), "freq", persist)
+
+  /** Exact forget over a [[bm25Ingest]] corpus index (r14 VERDICT ask
+    * #4): the state is one additive (term, df) relation where the
+    * [[graft.llm.Retrieval.DocCountKey]]/[[graft.llm.Retrieval.TokenCountKey]]
+    * sentinel rows carry the corpus doc/token totals — and because
+    * [[graft.llm.Retrieval.bm25Index]] over the FORGOTTEN docs' original
+    * rows emits its own sentinel rows alongside the per-term dfs, ONE
+    * additive subtraction corrects everything: term document
+    * frequencies AND the N/T totals every later batch's idf and avgdl
+    * are computed from. Sentinel rows get exactly the df-row treatment
+    * (subtract, raise below zero, drop at zero — a zero doc count means
+    * the whole corpus was forgotten and the index legitimately empties).
+    */
+  def forgetBm25Df(spark: SparkSession, indexDir: String,
+      forgotten: DataFrame, idCol: String, textCol: String,
+      persist: Boolean = false): DataFrame =
+    forgetAdditiveIndex(spark, indexDir,
+      graft.llm.Retrieval.bm25Index(forgotten, idCol, textCol),
+      Seq("term"), "df", persist)
 
   /** Recompute-from-survivors for the [[substringDedupIngest]] keeper
     * index — the documented non-invertible path: (min keep_id, n_occ)

@@ -1858,6 +1858,55 @@ class ConfigSpec extends SparkSpec {
     assert(rebuilt.filter($"keep_id" === 1L).count() === 0L)
   }
 
+  test("declared bm25_df_forget equals the direct call (read-time then " +
+      "persist), sentinel totals included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.streaming.Pipelines
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val bb = java.nio.file.Files.createTempDirectory("cfg_bmf").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Pipelines.bm25Ingest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", Seq("qa" -> "shared alpha"),
+      s"$bb/scores", s"$bb/idx", s"$bb/ckpt", 3)
+    val b1 = Seq((1L, "shared words alpha beta"),
+      (2L, "shared words gamma delta"))
+    val b2 = Seq((4L, "shared zeta eta"), (5L, "alpha beta theta"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val survivors = (b1 ++ b2).filterNot(r => r._1 == 2L || r._1 == 4L)
+      .toDF("doc_id", "text")
+    def conf(expr: String, out: String) = PipelineConfig.parse(
+      s"""{ "id": "bmf", "name": "bm25-forget", "steps": [
+         |  { "step": "forget", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "doc_id LONG, text STRING",
+         |      "lines": [
+         |        "{\\"doc_id\\":2,\\"text\\":\\"shared words gamma delta\\"}",
+         |        "{\\"doc_id\\":4,\\"text\\":\\"shared zeta eta\\"}" ] },
+         |    "transforms": [ { "op": "bm25_df_forget",
+         |      "cols": ["doc_id", "text"], "name": "$bb/idx",
+         |      "expr": "$expr" } ],
+         |    "sink": { "type": "json", "path": "$out" } } ] }""".stripMargin)
+    val c1 = conf("", s"$bb/view")
+    assert(PipelineConfig.parse(PipelineConfig.toJson(c1)) === c1)
+    assert(PipelineConfig.run(spark, c1, new InMemoryStore)
+      .streams("forget").status === JobState.Complete)
+    val expect = Retrieval.bm25Index(survivors, "doc_id", "text")
+    assert(img(spark.read.json(s"$bb/view").select($"term", $"df")) ===
+      img(expect))
+    // state untouched by the read-time form; the sentinel rows survive
+    // the JSON round trip (space-keyed terms) and match the batch twin
+    assert(img(Pipelines.readBm25Index(spark, s"$bb/idx")) ===
+      img(Retrieval.bm25Index((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")))
+    assert(PipelineConfig.run(spark, conf("persist", s"$bb/view2"),
+      new InMemoryStore).streams("forget").status === JobState.Complete)
+    assert(img(Pipelines.readBm25Index(spark, s"$bb/idx")) === img(expect))
+  }
+
   test("declared bitext_mine equals the direct call (target side by path)") {
     import spark.implicits._
     def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)

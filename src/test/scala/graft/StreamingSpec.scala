@@ -827,6 +827,127 @@ class StreamingSpec extends SparkSpec {
       img(CorpusStats.langTokenFreqs(survLang, "text", "lang")))
   }
 
+  test("forgetBm25Df: exact subtraction equals batch-over-survivors " +
+      "INCLUDING the sentinel totals; the durable fold composes with " +
+      "continued ingestion; an un-ingested forget raises") {
+    import graft.llm.Retrieval
+    import graft.streaming.Pipelines
+    val in = java.nio.file.Files.createTempDirectory("graft_bfg_in")
+    val base = java.nio.file.Files.createTempDirectory("graft_bfg").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val queries = Seq("qa" -> "shared alpha")
+    def start() = Pipelines.bm25Ingest(
+      spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
+      "doc_id", "text", queries, s"$base/scores", s"$base/idx",
+      s"$base/ckpt", 3)
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val b1 = Seq((1L, "shared words alpha beta"),
+      (2L, "shared words gamma delta"),
+      (3L, "unique trio epsilon"))
+    val b2 = Seq((4L, "shared zeta eta"), (5L, "alpha beta theta"))
+    drop("a.ndjson", b1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    drop("b.ndjson", b2)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val gone = Seq(b1(1), b2.head).toDF("doc_id", "text")
+    val survivors = (b1 ++ b2).filterNot(r => r._1 == 2L || r._1 == 4L)
+      .toDF("doc_id", "text")
+    // read-time form: corrected view equals the batch index over
+    // survivors — per-term dfs AND the ' N '/' T ' sentinel totals
+    val corrected = Pipelines.forgetBm25Df(spark, s"$base/idx",
+      gone, "doc_id", "text")
+    assert(img(corrected) ===
+      img(Retrieval.bm25Index(survivors, "doc_id", "text")))
+    val sentinels = corrected
+      .filter(col("term").isin(Retrieval.DocCountKey, Retrieval.TokenCountKey))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sentinels(Retrieval.DocCountKey) === 3L)
+    assert(sentinels(Retrieval.TokenCountKey) === 10L,
+      "token total must drop by exactly the forgotten docs' lengths")
+    assert(img(Pipelines.readBm25Index(spark, s"$base/idx")) ===
+      img(Retrieval.bm25Index((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")), "read-time forget must not touch state")
+    // the corrected index SCORES like the survivor corpus: fresh docs
+    // ranked against it get batch-identical BM25 aggregates
+    val fresh = Seq((9L, "alpha shared probe")).toDF("doc_id", "text")
+    assert(img(Retrieval.bm25ScoreAgainstIndex(fresh, "doc_id", "text",
+        queries, corrected)) ===
+      img(Retrieval.bm25ScoreAgainstIndex(fresh, "doc_id", "text", queries,
+        Retrieval.bm25Index(survivors, "doc_id", "text"))))
+    // durable form + composition with continued ingestion
+    Pipelines.forgetBm25Df(spark, s"$base/idx", gone, "doc_id", "text",
+      persist = true)
+    assert(img(Pipelines.readBm25Index(spark, s"$base/idx")) ===
+      img(Retrieval.bm25Index(survivors, "doc_id", "text")))
+    val b3 = Seq((6L, "shared words iota"), (7L, "fresh kappa"))
+    drop("c.ndjson", b3)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(img(Pipelines.readBm25Index(spark, s"$base/idx")) ===
+      img(Retrieval.bm25Index(
+        survivors.unionByName(b3.toDF("doc_id", "text")),
+        "doc_id", "text")))
+    // r14 ADVICE red case: forgetting rows that were NEVER ingested
+    // drives a count negative — the subtraction must raise, not clamp.
+    // Three fabricated docs all containing "alpha" subtract df(alpha)=3
+    // from an index where only 2 surviving docs carry it.
+    val alien = Seq((101L, "alpha beta"), (102L, "alpha beta"),
+      (103L, "alpha beta")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Pipelines.forgetBm25Df(spark, s"$base/idx", alien, "doc_id", "text")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("forgetAdditiveIndex")), e.toString)
+  }
+
+  test("foldAsNewBase crash safety: a leftover .forget_old fails the " +
+      "next fold loudly with recovery instructions; a clean fold leaves " +
+      "no hidden dirs behind") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tb = java.nio.file.Files.createTempDirectory("graft_fcw").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Pipelines.tfidfIngest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$tb/kw", s"$tb/idx", s"$tb/ckpt", 3)
+    mem.addData((1L, "alpha beta"), (2L, "beta gamma"))
+    q.processAllAvailable(); q.stop()
+    val gone = Seq((2L, "beta gamma")).toDF("doc_id", "text")
+    // in-place durable fold (lone-base state after this): afterwards the
+    // index dir must contain ONLY batch= partitions — both hidden swap
+    // dirs cleaned up
+    Pipelines.forgetTermDf(spark, s"$tb/idx", gone, "doc_id", "text",
+      persist = true)
+    Pipelines.forgetTermDf(spark, s"$tb/idx",
+      spark.emptyDataFrame.selectExpr("CAST(1 AS LONG) AS doc_id",
+        "'x' AS text").limit(0), "doc_id", "text", persist = true)
+    val dir = new java.io.File(s"$tb/idx")
+    assert(!dir.listFiles().exists(_.getName.startsWith(".forget")),
+      dir.listFiles().map(_.getName).mkString(", "))
+    // a prior fold crashed between rename-aside and install: .forget_old
+    // exists — the next fold must refuse with recovery instructions, NOT
+    // sweep the only surviving copy of the old base away
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(s"$tb/idx/.forget_old"))
+    val e = intercept[RuntimeException] {
+      Pipelines.forgetTermDf(spark, s"$tb/idx",
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text",
+        persist = true)
+    }
+    assert(e.getMessage.contains("crashed mid-swap") &&
+      e.getMessage.contains("Recover manually"), e.getMessage)
+    // read-time forms keep working around the quarantined dir
+    assert(Pipelines.forgetTermDf(spark, s"$tb/idx",
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().isEmpty)
+  }
+
   test("recomputeSubstrIndex: the keeper index is rebuilt over survivors " +
       "(min-id reassignment subtraction cannot express) and keeps composing") {
     import graft.llm.CorpusStats
