@@ -387,6 +387,24 @@ object Bench {
         cur(n) > 1.5 * prev(n) + 0.3 + spread.getOrElse(n, 0.0).max(0.0)
     }
 
+  /** Cross-COMMIT form of [[flaggedRegressions]] (r14 VERDICT ask #6):
+    * the same noise-banded threshold, but `baseline` comes from the
+    * committed `bench_baseline.json` (per-query warm medians recorded at
+    * the commit that earned them) instead of an adjacent in-run round —
+    * so a query drifting slowly across rounds, each step inside the
+    * band, still trips once it exceeds the band around its RECORDED
+    * best. Returns human-readable violation strings; BenchBaselineSpec
+    * enforces them in CI with the scan-ratchet discipline (decrease
+    * rewrites in place, loosening needs a reasoned edit + regen env).
+    */
+  private[graft] def baselineViolations(baseline: Map[String, Double],
+      cur: Map[String, Double],
+      spread: Map[String, Double]): Seq[String] =
+    flaggedRegressions(baseline, cur, spread).map { n =>
+      f"$n: ${cur(n)}%.3f s vs recorded median ${baseline(n)}%.3f s " +
+        f"(band ${1.5 * baseline(n) + 0.3 + spread.getOrElse(n, 0.0).max(0.0)}%.3f)"
+    }
+
   // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
   // comma-decimal locale would render 12.345 as "12,345" — invalid JSON
   private[graft] def fmt(v: Double, decimals: Int): String =

@@ -117,23 +117,40 @@ case class Hamming64(left: Expression, right: Expression)
   * a silent null would hide a broken quantization upstream).
   */
 sealed trait IntVecKernel extends ImplicitCastInputTypes { self: BinaryExpression =>
-  // ImplicitCastInputTypes, not a strict type check (r13 ADVICE): the
-  // retired Column/HOF forms cast elements to BIGINT, so SQL callers
-  // passing array<tinyint>/array<smallint>/array<bigint> kept working;
-  // the strict r13 check silently narrowed that public SQL surface.
-  // The analyzer now coerces any numeric element type to array<int> —
-  // exact array<int> inputs (every engine path) get no cast node, so
-  // committed plans and hashes are unchanged.
+  // ImplicitCastInputTypes over a TypeCollection(array<int>, array<bigint>)
+  // (r13 ADVICE, tightened by r14 ADVICE): the retired Column/HOF forms
+  // widened elements to BIGINT losslessly, so SQL callers passing any
+  // integral array kept working; the first cut of this trait coerced
+  // everything to array<int>, which silently WRAPPED bigint elements
+  // outside Int32 — a silent-wrong-answer path on the public SQL
+  // surface. The collection fixes that: array<int> matches member 1 and
+  // array<bigint> matches member 2, each CAST-FREE (the kernel reads the
+  // physical element width directly, so big values accumulate exactly
+  // like the retired BIGINT HOF), while tinyint/smallint still widen
+  // implicitly to array<int> — lossless. Committed engine plans are
+  // byte-identical: every engine path feeds exact array<int>.
   // (Inferred return type via TypeShim: AbstractDataType is private[sql].)
-  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.arrayIntPair
+  override def inputTypes =
+    org.apache.spark.sql.graftshim.TypeShim.arrayIntOrLongPair
   override def nullable: Boolean = true
   override def foldable: Boolean = left.foldable && right.foldable
 
+  /** Physical element width of a side, resolved from the static type —
+    * ArrayData accessors are not polymorphic across int/long storage. */
+  protected final def longElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   /** (dot, na, nb) over the two int arrays, or null-marker on a null
-    * element. Exact BIGINT accumulation — no overflow at int8 × 2¹⁵ dims. */
+    * element. Exact BIGINT accumulation — no overflow at int8 × 2¹⁵ dims
+    * (bigint inputs inherit the retired HOF's plain BIGINT arithmetic,
+    * including its wrap beyond ±2⁶³ products — the int8 contract never
+    * gets near it). */
   protected final def dotNorms(a: Any, b: Any): (Long, Long, Long, Boolean) = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xl = longElems(left); val yl = longElems(right)
     val n = x.numElements()
     if (n != y.numElements())
       throw new IllegalArgumentException(
@@ -142,12 +159,18 @@ sealed trait IntVecKernel extends ImplicitCastInputTypes { self: BinaryExpressio
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return (0L, 0L, 0L, true)
-      val xv = x.getInt(i).toLong; val yv = y.getInt(i).toLong
+      val xv = if (xl) x.getLong(i) else x.getInt(i).toLong
+      val yv = if (yl) y.getLong(i) else y.getInt(i).toLong
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
     (dot, na, nb, false)
   }
+
+  /** Width-correct element accessor for generated code. */
+  protected final def genElem(e: Expression, arr: String,
+      idx: String): String =
+    if (longElems(e)) s"$arr.getLong($idx)" else s"(long) $arr.getInt($idx)"
 
   /** Shared codegen prelude: declares `<p>dot/<p>na/<p>nb` longs. */
   protected final def genDotNorms(ctx: CodegenContext, ev: ExprCode,
@@ -161,8 +184,8 @@ sealed trait IntVecKernel extends ImplicitCastInputTypes { self: BinaryExpressio
        |long ${p}dot = 0L, ${p}na = 0L, ${p}nb = 0L;
        |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
        |  if ($a.isNullAt(${p}i) || $b.isNullAt(${p}i)) { ${ev.isNull} = true; break; }
-       |  long ${p}x = (long) $a.getInt(${p}i);
-       |  long ${p}y = (long) $b.getInt(${p}i);
+       |  long ${p}x = ${genElem(left, a, s"${p}i")};
+       |  long ${p}y = ${genElem(right, b, s"${p}i")};
        |  ${p}dot += ${p}x * ${p}y; ${p}na += ${p}x * ${p}x; ${p}nb += ${p}y * ${p}y;
        |}
      """.stripMargin
@@ -257,11 +280,13 @@ case class IntSqDistL2(left: Expression, right: Expression)
     if (n != y.numElements())
       throw new IllegalArgumentException(
         s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
+    val xl = longElems(left); val yl = longElems(right)
     var acc = 0L
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val d = (x.getInt(i) - y.getInt(i)).toLong
+      val d = (if (xl) x.getLong(i) else x.getInt(i).toLong) -
+        (if (yl) y.getLong(i) else y.getInt(i).toLong)
       acc += d * d
       i += 1
     }
@@ -280,7 +305,7 @@ case class IntSqDistL2(left: Expression, right: Expression)
          |long ${p}acc = 0L;
          |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
          |  if ($a.isNullAt(${p}i) || $b.isNullAt(${p}i)) { ${ev.isNull} = true; break; }
-         |  long ${p}d = (long) ($a.getInt(${p}i) - $b.getInt(${p}i));
+         |  long ${p}d = ${genElem(left, a, s"${p}i")} - ${genElem(right, b, s"${p}i")};
          |  ${p}acc += ${p}d * ${p}d;
          |}
          |if (!${ev.isNull}) { ${ev.value} = ${p}acc; }

@@ -1,0 +1,104 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-commit bench ratchet (r14 VERDICT ask #6), the timing twin of
+  * the scan ratchet: `bench_baseline.json` records every pack query's
+  * warm MEDIAN at the commit that earned it, and this spec fails CI when
+  * the latest full-scale bench run (`bench_out.json`, refreshed by the
+  * driver each round) exceeds a query's recorded median by the same
+  * noise-banded threshold [[Bench.flaggedRegressions]] uses inside one
+  * run (1.5× + 0.3 s + that query's own measured spread) — so a query
+  * drifting a little every round, each step inside the adjacent-round
+  * band, still trips once it leaves the band around its recorded best.
+  *
+  * Discipline mirrors `scan_baseline.json`: a FASTER median rewrites the
+  * file in place (commit the diff — the ratchet tightens in the same
+  * change that earned it); new queries join on the same rewrite; a
+  * violation can only be accepted explicitly by regenerating with
+  * `BENCH_BASELINE_REGEN=1` alongside a reasoned commit message.
+  *
+  * Scale guard: comparisons only run when bench_out.json's `sf` matches
+  * the baseline's recorded sf — a local sf0.001 smoke run must neither
+  * fail the gate nor silently rewrite the sf0.1 baseline with garbage.
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+  private implicit val formats: Formats = DefaultFormats
+
+  private def readJson(p: String): Option[JValue] = {
+    val path = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(path)) None
+    else Some(JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(path), "UTF-8")))
+  }
+
+  private def qmap(j: JValue, field: String): Map[String, Double] =
+    (j \ field).asInstanceOf[JObject].obj.map {
+      case (k, v) => k -> v.extract[Double]
+    }.toMap
+
+  private def render(sf: String, qs: Map[String, Double]): String = {
+    val items = qs.toSeq.sortBy(_._1)
+    items.map { case (k, v) => s"""    "$k": ${Bench.fmt(v, 3)}""" }
+      .mkString(s"""{\n  "sf": "$sf",\n  "queries": {\n""", ",\n", "\n  }\n}\n")
+  }
+
+  test("per-query warm medians are within the recorded baseline band " +
+      "across commits; faster medians ratchet the baseline down") {
+    val baseJ = readJson("bench_baseline.json").getOrElse(
+      fail("bench_baseline.json missing — regenerate from a full-scale " +
+        "bench_out.json and commit it"))
+    val outJ = readJson("bench_out.json").getOrElse(
+      cancel("no bench_out.json in the working tree"))
+    val baseSf = (baseJ \ "sf").extract[String]
+    val outSf = (outJ \ "sf").extract[String]
+    if (outSf != baseSf)
+      cancel(s"bench_out.json is a $outSf run; baseline records $baseSf " +
+        "— local smoke runs are not comparable and must not ratchet")
+    val baseline = qmap(baseJ, "queries").filter(_._2 >= 0)
+    val cur = qmap(outJ, "queries")
+    val spread = qmap(outJ, "spread")
+    val violations = Bench.baselineViolations(baseline, cur, spread)
+    if (sys.env.contains("BENCH_BASELINE_REGEN")) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_baseline.json"),
+        render(baseSf, cur.filter(_._2 >= 0)).getBytes("UTF-8"))
+      info(s"bench_baseline.json regenerated (${cur.size} queries)")
+    } else {
+      assert(violations.isEmpty,
+        "bench regressions vs the committed per-query baseline (fix the " +
+          "plan, or accept explicitly with BENCH_BASELINE_REGEN=1 and a " +
+          "reasoned commit):\n" + violations.mkString("\n"))
+      // ratchet down: faster medians, new queries, pruned stale keys
+      val tightened = cur.filter(_._2 >= 0).exists { case (n, v) =>
+        baseline.get(n).forall(b => v < b)
+      } || (baseline.keySet -- cur.keySet).nonEmpty
+      if (tightened) {
+        val merged = cur.filter(_._2 >= 0).map { case (n, v) =>
+          n -> math.min(v, baseline.getOrElse(n, v))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_baseline.json"),
+          render(baseSf, merged).getBytes("UTF-8"))
+        info("bench_baseline.json ratcheted down — commit the diff")
+      }
+    }
+  }
+
+  test("red case: a deliberate slowdown past the band is flagged, inside " +
+      "the band is not") {
+    val baseline = Map("qa" -> 2.0, "qb" -> 0.4)
+    val spread = Map("qa" -> 0.2, "qb" -> 0.1)
+    // qa band: 1.5*2.0 + 0.3 + 0.2 = 3.5; qb band: 0.6 + 0.3 + 0.1 = 1.0
+    val flagged = Bench.baselineViolations(baseline,
+      Map("qa" -> 3.6, "qb" -> 0.9), spread)
+    assert(flagged.size === 1 && flagged.head.startsWith("qa:"), flagged)
+    assert(Bench.baselineViolations(baseline,
+      Map("qa" -> 3.4, "qb" -> 0.9), spread).isEmpty)
+    // failed queries (-1 sentinels) never compare
+    assert(Bench.baselineViolations(Map("qc" -> -1.0),
+      Map("qc" -> 99.0), Map.empty).isEmpty)
+  }
+}

@@ -208,4 +208,48 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_int_cosine(array('a'), array('b'))").collect()
     }
   }
+
+  test("array<bigint> elements outside Int32 are LOSSLESS in the int8 " +
+      "kernels (r14 ADVICE: no silent narrowing wrap on the SQL surface)") {
+    GraftFunctions.register(spark)
+    // 2.2·10⁹ does not fit Int32: the first kernel cut coerced bigint
+    // arrays to array<int>, wrapping it to −2 094 967 296 and returning
+    // a confidently wrong (negative!) similarity. The TypeCollection
+    // signature reads the longs directly: cos([2.2e9],[1]) = 1 exactly
+    // (dot = 2.2e9, √(na·nb) = √(4.84e18) = 2.2e9 — a perfect square),
+    // interpreted AND codegen (the repartition barrier forces the
+    // generated path). One big side only: na·nb must stay inside BIGINT,
+    // the same arithmetic envelope the retired BIGINT HOF had.
+    val sql =
+      """SELECT
+        |  graft_int_cosine(CAST(array(2200000000) AS ARRAY<BIGINT>),
+        |                   CAST(array(1) AS ARRAY<BIGINT>)) AS c,
+        |  graft_int_cosine_micro(CAST(array(2200000000) AS ARRAY<BIGINT>),
+        |                         CAST(array(1) AS ARRAY<BIGINT>)) AS m,
+        |  graft_int_sqdist(CAST(array(3000000000) AS ARRAY<BIGINT>),
+        |                   CAST(array(0) AS ARRAY<BIGINT>)) AS s
+        |""".stripMargin
+    val interp = spark.sql(sql).collect().head
+    assert(interp.getDouble(0) === 1.0)
+    assert(interp.getLong(1) === 1000000L)
+    assert(interp.getLong(2) === 9000000000000000000L)
+    val gen = spark.sql(s"SELECT * FROM VALUES (1) AS t(i)")
+      .repartition(2).selectExpr(
+        "graft_int_cosine(CAST(array(2200000000) AS ARRAY<BIGINT>)," +
+          " CAST(array(1) AS ARRAY<BIGINT>)) AS c",
+        "graft_int_sqdist(CAST(array(3000000000) AS ARRAY<BIGINT>)," +
+          " CAST(array(0) AS ARRAY<BIGINT>)) AS s")
+      .collect().head
+    assert(gen.getDouble(0) === 1.0)
+    assert(gen.getLong(1) === 9000000000000000000L)
+    // and the engine-exact array<int> path keeps its cast-free plan: a
+    // kernel call over int arrays must not grow a cast node
+    val plan = spark.sql(
+      "SELECT graft_int_cosine(CAST(array(3, 4) AS ARRAY<INT>), " +
+        "CAST(array(3, 4) AS ARRAY<INT>)) AS c")
+      .queryExecution.analyzed.toString
+    // an analyzer-inserted coercion would show as a DOUBLE cast wrapping
+    // the explicit one
+    assert(!plan.toLowerCase.contains("cast(cast("), plan)
+  }
 }

@@ -381,4 +381,86 @@ class StreamingFuzzSpec extends SparkSpec {
     assert(declaredDone.toSet === declarable,
       s"declared rotation missed: ${declarable -- declaredDone}")
   }
+
+  test("near_dup_ingest fuzz (r14 ask #5): survivors form an independent " +
+      "set under the pair predicate, every dropped doc has a batch-time " +
+      "witness pair, and the index carries exactly the survivors' bands " +
+      "— 8 seeds") {
+    // the 8th declared loop has no batch twin to equality-fuzz (greedy
+    // first-accepted semantics are order-dependent by design), but its
+    // INVARIANTS are order-free and fully checkable from outside:
+    //   1. no two surviving docs are near-dups of each other (the batch
+    //      minhashNearDups relation over the survivor corpus is empty);
+    //   2. every dropped doc appears in a near-dup pair over the docs
+    //      visible at its batch time (prior survivors ∪ its own batch) —
+    //      nothing vanishes without a witness;
+    //   3. the persisted band index is bit-identical to minhashBandIndex
+    //      over exactly the surviving docs.
+    import graft.llm.Dedup
+    import graft.streaming.Pipelines
+    // nearDupIngest's own parameter defaults — the invariant relations
+    // must be evaluated at the same (shingleN, numHashes, bands, thr)
+    val (sh, nh, bd, thr) = (3, 96, 48, 0.5)
+    var totalDropped = 0
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta")
+      // near-dup-prone corpus: ~40% of docs are copies of an earlier doc,
+      // half exact, half with one appended token (high-Jaccard near-dup)
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val n = 14 + rnd.nextInt(8)
+      (0 until n).foreach { i =>
+        val t =
+          if (i > 0 && rnd.nextInt(5) < 2) {
+            val prev = docs(rnd.nextInt(docs.size))._2
+            if (rnd.nextBoolean()) prev
+            else prev + " " + vocab(rnd.nextInt(vocab.size))
+          } else Seq.fill(6 + rnd.nextInt(8))(
+            vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        docs += ((i.toLong, t))
+      }
+      val batches = splits(rnd, docs.size)
+        .map { case (a, b) => docs.slice(a, b).toSeq }.filter(_.nonEmpty)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_fuzz_ndp").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = Pipelines.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$base/corpus", s"$base/idx", s"$base/ckpt",
+        sh, nh, bd, thr)
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val accepted = spark.read.parquet(s"$base/corpus")
+        .select(col("doc_id").cast("long"), col("text"),
+          col("batch").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val acceptedIds = accepted.map(_._1).toSet
+      val survDf = accepted.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text")
+      // 3. index ≡ survivors' bands, bit-exact
+      assert(img(spark.read.parquet(s"$base/idx")
+          .select("id", "band", "bucket")) ===
+        img(Dedup.minhashBandIndex(survDf, "doc_id", "text", sh, nh, bd)),
+        s"seed $seed: index != survivors' bands")
+      // 1. independence: the pair relation over survivors alone is empty
+      assert(Dedup.minhashNearDups(survDf, "doc_id", "text",
+          sh, nh, bd, thr).count() === 0L,
+        s"seed $seed: two survivors are near-dups of each other")
+      // 2. witness: every dropped doc pairs with something visible at
+      // its batch time (prior survivors ∪ its own batch)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val dropped = b.map(_._1).filterNot(acceptedIds)
+        totalDropped += dropped.size
+        if (dropped.nonEmpty) {
+          val ctx = (accepted.filter(_._3 < i).map(t => (t._1, t._2))
+            ++ b).toSeq.toDF("doc_id", "text")
+          val paired = Dedup.minhashNearDups(ctx, "doc_id", "text",
+              sh, nh, bd, thr)
+            .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+          dropped.foreach(d => assert(paired(d),
+            s"seed $seed batch $i: doc $d dropped without a witness pair"))
+        }
+      }
+    }
+    assert(totalDropped > 0, "fixture drift: fuzz corpora produced no drops")
+  }
 }
