@@ -608,6 +608,62 @@ object ScaleProbe {
             .foreach(_.unpersist(blocking = true))
           Seq("shufvol_topk_recs" -> topk, "shufvol_hll_recs" -> hll,
             "shufvol_bottomk_recs" -> bk, "shufvol_distinct_recs" -> dist)
+        }) ++ (
+        if (!selected("bitext")) Seq.empty else {
+          // Candidate-fed vs all-pairs bitext mining (r15 — the ask-#1
+          // scale claim made measurable). Two meters:
+          //   - shuffle RECORDS end-to-end for the candidate-fed path,
+          //     which must stay ~linear in side size (every stage is
+          //     k-bounded per vector).
+          //   - SCORED-PAIR volume for the contrast: all-pairs scores
+          //     exactly |S|·|T| pairs (quadratic by construction — the
+          //     bounded-sides contract's reason to exist), while the
+          //     candidate-fed pair set must honor its DOCUMENTED
+          //     absolute bound ≤ 2k(|S|+|T|) at any side size.
+          // Measured finding recorded here (first probe run): shuffle
+          // records CANNOT see the all-pairs danger — Spark 4 plans the
+          // rank-filtered k-NN windows as WindowGroupLimit, which caps
+          // each window's map output at k rows per group per partition,
+          // so even the all-pairs path shuffles linearly (90 001 records
+          // at 2000×2000 sides). Its quadratic cost is map-side COMPUTE
+          // (|S|·|T| cosine kernels inside the cross-join stage), which
+          // is exactly why the contrast row meters pair volume, not
+          // records. Sides are n/25; deterministic integer-derived
+          // vectors — varied sims, no RNG.
+          val side = math.max(400L, n / 25)
+          def vecs(parity: Int) = probeSpark.range(side)
+            .select((col("id") * 2 + parity).as("id"))
+            .withColumn("v", expr(
+              "transform(sequence(0, 7), " +
+                "j -> CAST(pmod(id * (j + 3), 101) AS DOUBLE) - 50.0)"))
+            .repartition(8).localCheckpoint() // eager, BEFORE any meter
+          val src = vecs(0); val tgt = vecs(1)
+          def lists(q: org.apache.spark.sql.DataFrame,
+              c: org.apache.spark.sql.DataFrame) =
+            graft.llm.Similarity.ivfTopK(q, c, 4, nCells = 32,
+              nProbe = 4, idCol = "id", vecCol = "v")
+          val cf = shuffleRecordsOf(
+            graft.llm.Retrieval.bitextMineFromCandidates(src, tgt,
+              "id", "v", lists(src, tgt), lists(tgt, src),
+              4, 1000000L).count()).toDouble
+          // scored-pair volumes: all-pairs by construction, candidate-fed
+          // rebuilt exactly as the operator builds it (union distinct of
+          // the two direction lists)
+          val apPairs = (side * side).toDouble
+          val cfPairs = lists(src, tgt)
+            .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+            .unionByName(lists(tgt, src)
+              .select(col("neighbor_id").as("a"), col("query_id").as("b")))
+            .distinct().count().toDouble
+          println(f"[scale] n=$n%-8d bitext_volumes     side=$side%d " +
+            f"candfed_recs=$cf%.0f candfed_pairs=$cfPairs%.0f " +
+            f"allpairs_pairs=$apPairs%.0f")
+          probeSpark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          Seq("bitext_candfed_recs" -> cf,
+            "bitext_candfed_pairs" -> cfPairs,
+            "bitext_allpairs_pairs" -> apPairs,
+            "bitext_side" -> side.toDouble)
         })).toMap
     }
 
@@ -675,6 +731,31 @@ object ScaleProbe {
       require(dr >= factor * 0.7,
         f"[scale] the linear contrast row moved only $dr%.2fx at " +
           f"${factor}x data — the shuffle meter is not measuring")
+    }
+    // bitext volume guards (r15): the candidate-fed mining path must
+    // shuffle ~linearly in side size AND honor its documented absolute
+    // scored-pair bound ≤ 2k(|S|+|T|) at every size; the all-pairs
+    // scored-pair volume is |S|·|T| by construction — printed beside it
+    // so the round artifact records the quadratic-vs-linear contrast in
+    // the same units. Pure counts, no wall.
+    if (selected("bitext")) {
+      val cr = big("bitext_candfed_recs") / small("bitext_candfed_recs")
+      require(cr <= factor * 1.4,
+        f"[scale] candidate-fed bitext shuffle grew $cr%.2fx at " +
+          f"${factor}x side size (${small("bitext_candfed_recs")}%.0f → " +
+          f"${big("bitext_candfed_recs")}%.0f) — a stage stopped being " +
+          "k-bounded per vector")
+      for (m <- Seq(small, big)) {
+        val bound = 2.0 * 4 * (2 * m("bitext_side"))
+        require(m("bitext_candfed_pairs") <= bound,
+          f"[scale] candidate-fed scored pairs " +
+            f"${m("bitext_candfed_pairs")}%.0f exceed the documented " +
+            f"2k(|S|+|T|) = $bound%.0f bound — candidate generation " +
+            "stopped being top-k lists")
+      }
+      val pr = big("bitext_allpairs_pairs") / big("bitext_candfed_pairs")
+      println(f"[scale] bitext contrast: all-pairs scores $pr%.0fx more " +
+        "pairs than the candidate-fed path at the large side size")
     }
     spark.stop()
   }
