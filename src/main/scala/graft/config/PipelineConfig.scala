@@ -816,7 +816,10 @@ object PipelineConfig {
         // the bounded-sides cartesian (bitextMine); "ivf" or
         // "ivf:nCells:nProbe" = the 100 TB candidate-fed path — per-side
         // IVF top-k lists feed bitextMineFromCandidates (0 = auto-size,
-        // the ivfTopK √n rule)
+        // the ivfTopK √n rule); "lsh" or "lsh:tables:bits" = the same
+        // candidate-fed path over hyperplane-LSH top-k lists (annTopK —
+        // the better generator when sides are too churn-heavy to train
+        // an IVF codebook per run)
         case "bitext_mine" =>
           val Seq(idc, vc) = t.cols match {
             case s if s.length == 2 => s
@@ -839,9 +842,18 @@ object PipelineConfig {
                   idCol = idc, vecCol = vc)
               graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
                 lists(d, tgt), lists(tgt, d), k, thr)
+            case lsh if lsh == "lsh" || lsh.startsWith("lsh:") =>
+              val ps = lsh.split(":")
+              val (tables, bits) = (ps.lift(1).map(_.toInt).getOrElse(8),
+                ps.lift(2).map(_.toInt).getOrElse(8))
+              def lists(q: DataFrame, c: DataFrame) =
+                graft.llm.Similarity.annTopK(q, c, k, tables, bits,
+                  idCol = idc, vecCol = vc)
+              graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
+                lists(d, tgt), lists(tgt, d), k, thr)
             case other => sys.error(
               s"bitext_mine: unknown candidateSource '$other' " +
-                "(allpairs | ivf | ivf:nCells:nProbe)")
+                "(allpairs | ivf[:nCells:nProbe] | lsh[:tables:bits])")
           }
         // keeper (min, sum) substring index — NON-invertible, so the
         // input frame is the SURVIVING corpus and the index is rebuilt:

@@ -1977,9 +1977,22 @@ class ConfigSpec extends SparkSpec {
       srcDf, srcDf.sparkSession.read.parquet(s"$base/tgt"), "id", "v",
       k = 2, marginThresholdMicro = 1020000L)))
     assert(direct.count() > 0, "fixture drift: declared case mined nothing")
+    // lsh candidate source: declared equals the direct annTopK-fed call
+    val confLsh = PipelineConfig.parse(PipelineConfig.toJson(conf)
+      .replace("ivf:2:2", "lsh:4:4").replace(s"$base/out", s"$base/out_lsh"))
+    assert(PipelineConfig.run(spark, confLsh, new InMemoryStore)
+      .streams("mine").status === JobState.Complete)
+    def lshLists(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      graft.llm.Similarity.annTopK(q, c, k = 2, tables = 4, bits = 4,
+        idCol = "id", vecCol = "v")
+    assert(img(spark.read.parquet(s"$base/out_lsh")) ===
+      img(graft.llm.Retrieval.bitextMineFromCandidates(
+        srcDf, tgtDf, "id", "v", lshLists(srcDf, tgtDf),
+        lshLists(tgtDf, srcDf), k = 2, marginThresholdMicro = 1020000L)))
     // the unknown-source red case fails loudly, not silently all-pairs
     val bad = PipelineConfig.parse(PipelineConfig.toJson(conf)
-      .replace("ivf:2:2", "lsh").replace(s"$base/out", s"$base/out_bad"))
+      .replace("ivf:2:2", "bogus").replace(s"$base/out", s"$base/out_bad"))
     val e = intercept[Exception] {
       PipelineConfig.run(spark, bad, new InMemoryStore)
     }

@@ -928,6 +928,89 @@ class CurationSpec extends SparkSpec {
     assert(mined.contains((6L, 107L)) && !mined.exists(_._1 == 8L))
   }
 
+  test("property: bitextMine equals the driver model on GENERATED " +
+      "geometries — zero-norm vectors, cross-side duplicates, random " +
+      "k and thresholds (12 seeded cases)") {
+    import graft.llm.Retrieval
+    // the fixed planted fixture above pins the named behaviors (hub
+    // suppression, mutual-best kill); this sweep pins the tie and
+    // sentinel LANDSCAPE — duplicate vectors make micro-sim ties
+    // likely, zero-norm rows inject the −2·10⁶ sentinel into the k-NN
+    // sums, and random k exercises neighborhoods smaller than k
+    def model(src: Seq[(Long, Seq[Double])], tgt: Seq[(Long, Seq[Double])],
+        k: Int, thr: Long): Set[(Long, Long, Long, Long)] = {
+      def qz(x: Seq[Double]): Seq[Long] = {
+        val amax = x.map(math.abs).max
+        if (amax == 0) x.map(_ => 0L)
+        else x.map(e => math.floor(e * 127 / amax + 0.5).toLong)
+      }
+      def simMicro(a: Seq[Long], b: Seq[Long]): Long = {
+        val dot = a.zip(b).map { case (p, q) => p * q }.sum
+        val na = a.map(p => p * p).sum; val nb = b.map(q => q * q).sum
+        if (na == 0 || nb == 0) -2000000L
+        else math.floor(dot.toDouble / math.sqrt((na * nb).toDouble)
+          * 1000000.0).toLong
+      }
+      val qs = src.map { case (i, x) => i -> qz(x) }
+      val qt = tgt.map { case (i, x) => i -> qz(x) }
+      val sims = (for ((si, sq) <- qs; (ti, tq) <- qt)
+        yield (si, ti) -> simMicro(sq, tq)).toMap
+      def topkSum(rows: Seq[(Long, Long)]): (Long, Long) = {
+        val top = rows.sortBy { case (oid, s) => (-s, oid) }.take(k)
+        (top.map(_._2).sum, top.size.toLong)
+      }
+      val sSum = qs.map { case (si, _) =>
+        si -> topkSum(qt.map { case (ti, _) => (ti, sims((si, ti))) }) }.toMap
+      val tSum = qt.map { case (ti, _) =>
+        ti -> topkSum(qs.map { case (si, _) => (si, sims((si, ti))) }) }.toMap
+      val margins: Map[(Long, Long), Long] = sims.toSeq.flatMap {
+        case ((si, ti), s) =>
+          val den = sSum(si)._1 * tSum(ti)._2 + tSum(ti)._1 * sSum(si)._2
+          if (s > 0 && den > 0)
+            Some((si, ti) ->
+              (2L * s * sSum(si)._2 * tSum(ti)._2 * 1000000L) / den)
+          else None
+      }.toMap
+      val fwd = margins.keys.map(_._1).map { si =>
+        margins.toSeq.filter(_._1._1 == si)
+          .minBy { case ((_, ti), m) => (-m, ti) }._1
+      }.toSet
+      val bwd = margins.keys.map(_._2).map { ti =>
+        margins.toSeq.filter(_._1._2 == ti)
+          .minBy { case ((s2, _), m) => (-m, s2) }._1
+      }.toSet
+      (fwd intersect bwd).filter(margins(_) >= thr)
+        .map(p => (p._1, p._2, sims(p), margins(p)))
+    }
+    var nonEmpty = 0
+    (1 to 12).foreach { c =>
+      val rnd = new scala.util.Random(c * 31337)
+      val dim = 4 + rnd.nextInt(3)
+      def vec(): Seq[Double] =
+        if (rnd.nextInt(8) == 0) Seq.fill(dim)(0.0)
+        else Seq.fill(dim)(rnd.nextInt(11) - 5.0)
+      val nS = 3 + rnd.nextInt(4); val nT = 3 + rnd.nextInt(4)
+      val src = (0 until nS).map(i => (i * 2L, vec()))
+      val tgt0 = (0 until nT).map(i => (i * 2L + 1, vec()))
+      // cross-side duplicate: a tgt vector copies a src vector, making
+      // an exact sim-1 pair and likely micro ties downstream
+      val tgt = if (rnd.nextBoolean())
+        tgt0.updated(0, (tgt0.head._1, src(rnd.nextInt(nS))._2))
+      else tgt0
+      val k = 1 + rnd.nextInt(3)
+      val thr = 900000L + rnd.nextInt(300000)
+      val got = Retrieval.bitextMine(src.toDF("id", "v"),
+          tgt.toDF("id", "v"), "id", "v", k, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val exp = model(src, tgt, k, thr)
+      assert(got === exp, s"case $c k=$k thr=$thr src=$src tgt=$tgt")
+      if (exp.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 4, s"only $nonEmpty non-empty cases — the " +
+      "generator stopped producing minable geometries")
+  }
+
   test("bitextMineFromCandidates fed exact top-k lists equals the " +
       "all-pairs bitextMine on the planted geometry") {
     import graft.llm.{Retrieval, Similarity}
