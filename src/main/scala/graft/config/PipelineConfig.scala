@@ -839,7 +839,7 @@ object PipelineConfig {
                 ps.lift(2).map(_.toInt).getOrElse(0))
               def lists(q: DataFrame, c: DataFrame) =
                 graft.llm.Similarity.ivfTopK(q, c, k, cells, probe,
-                  idCol = idc, vecCol = vc)
+                  idCol = idc, vecCol = vc, boundedQueries = false)
               graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
                 lists(d, tgt), lists(tgt, d), k, thr)
             case lsh if lsh == "lsh" || lsh.startsWith("lsh:") =>

@@ -469,7 +469,8 @@ object Similarity extends Serializable {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 0, nProbe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 2, trainSampleSize: Int = 4096): DataFrame = {
+      trainIters: Int = 2, trainSampleSize: Int = 4096,
+      boundedQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one materialization of the narrow (id, q8) projection: the count,
     // every training iteration, the assignment and the re-rank join all
@@ -487,20 +488,33 @@ object Similarity extends Serializable {
     val assigned = assignCells(cv, cents, 1)
       .withColumnRenamed("__id", "neighbor_id")
     val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
-    // probes broadcast EXPLICITLY: the join key (cid) has only nCells
-    // distinct values, so a shuffle join would funnel the whole corpus
-    // assignment through nCells reducer keys — broadcasting the bounded
-    // (queries × nProbe) side keeps the corpus scan map-only, the same
-    // stance as bruteForceTopK's broadcast query set
-    val probes = broadcast(assignCells(
+    // Two query-side contracts, identical results (hints never change
+    // rows — the oracle covers both):
+    //  - boundedQueries = true (the SEARCH contract, default): the query
+    //    set is thousands of vectors, so the probe and query-vector
+    //    frames broadcast EXPLICITLY — the join key (cid) has only
+    //    nCells distinct values and a shuffle join would funnel the
+    //    whole corpus assignment through nCells reducer keys; the
+    //    broadcast keeps the corpus scan map-only, the same stance as
+    //    bruteForceTopK's broadcast query set.
+    //  - boundedQueries = false (the CORPUS-MINING contract, r15 —
+    //    bitextMineFromCandidates retrieves with half the corpus as
+    //    queries): broadcasting an unbounded side would OOM the
+    //    executors at 100 TB, so the probe join shuffles BOTH sides on
+    //    cid instead. That is the natural IVF parallelism: with the √n
+    //    auto-sizing each cell holds ~√n corpus rows and ~nProbe·√n
+    //    probe rows, so nCells reduce tasks are balanced by
+    //    construction, and AQE's skew split handles a hot cell. The
+    //    re-rank join shuffles on query_id (high cardinality — no
+    //    funnel).
+    def hintQ(df: DataFrame) = if (boundedQueries) broadcast(df) else df
+    val probes = hintQ(assignCells(
       qv.select(col("query_id"), col("qa")), cents, probe)
       .withColumnRenamed("__id", "query_id"))
     val cands = probes.join(assigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-      // the query-vector side is bounded like the probes — broadcast it
-      // too, or the candidate list pays a query_id sort-merge shuffle
-      .join(broadcast(qv), "query_id")
+      .join(hintQ(qv), "query_id")
       .join(cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),
         "neighbor_id")
     val w = Window.partitionBy(col("query_id"))

@@ -1057,8 +1057,12 @@ class CurationSpec extends SparkSpec {
     // recall is structurally 1 regardless of how training clusters
     def lists(q: org.apache.spark.sql.DataFrame,
         c: org.apache.spark.sql.DataFrame) =
+      // boundedQueries = false: the corpus-mining contract this feed
+      // exists for — the equality below also proves the unbounded-mode
+      // plan (shuffled probe joins, no query-side broadcast) returns
+      // identical rows
       Similarity.ivfTopK(q, c, k = BitextFixtureK, nCells = 3, nProbe = 3,
-        idCol = "id", vecCol = "v")
+        idCol = "id", vecCol = "v", boundedQueries = false)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
