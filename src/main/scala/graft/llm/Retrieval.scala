@@ -376,7 +376,13 @@ object Retrieval extends Serializable {
     * broadcast); the k-NN windows sort k-bounded partitions; the
     * per-vector aggregate joins and the mutual-best semi-join shuffle on
     * ids. localCheckpoint on the slim pair frame for the same
-    * three-consumer reason as the all-pairs path.
+    * three-consumer reason as the all-pairs path. When generating the
+    * candidate lists with [[Similarity.ivfTopK]], pass
+    * `boundedQueries = false` — here the "queries" are a whole corpus
+    * side, and the search contract's query-side broadcast would OOM
+    * (the ScaleProbe `bitext` row and the `bitext_mine` config op both
+    * run that mode; [[Similarity.annTopK]] never broadcasts a query
+    * side).
     */
   def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String,
