@@ -424,12 +424,43 @@ class StreamingFuzzSpec extends SparkSpec {
         .map { case (a, b) => docs.slice(a, b).toSeq }.filter(_.nonEmpty)
       val base = java.nio.file.Files
         .createTempDirectory("graft_fuzz_ndp").toString
-      val mem = MemoryStream[(Long, String)](spark)
-      val q = Pipelines.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
-        "doc_id", "text", s"$base/corpus", s"$base/idx", s"$base/ckpt",
-        sh, nh, bd, thr)
-      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-      q.stop()
+      // every third seed drives the DECLARED config twin instead of the
+      // direct call (one PipelineConfig.run session per batch file — the
+      // cross-session kill-and-resume path, the runStage idiom), so the
+      // 8th loop is fuzz-pool-resident in BOTH forms like the other 7;
+      // the invariants asserted below are identical
+      val declared = seed % 3 == 0
+      if (declared) {
+        val in = java.nio.file.Files
+          .createTempDirectory("graft_fuzz_ndp_in")
+        val conf = graft.config.PipelineConfig.parse(
+          s"""{ "id": "fz_ndp_$seed", "name": "ndp-fuzz", "steps": [
+             |  { "step": "loop", "kind": "ingest",
+             |    "source": { "type": "json", "paths": ["$in/*.ndjson"],
+             |      "schema": "doc_id LONG, text STRING" },
+             |    "transforms": [ { "op": "near_dup_ingest",
+             |      "cols": ["doc_id", "text"],
+             |      "expr": "$sh,$nh,$bd,$thr" } ],
+             |    "sink": { "type": "parquet", "path": "$base/corpus",
+             |      "options": { "index": "$base/idx",
+             |        "checkpoint": "$base/ckpt" } } } ] }""".stripMargin)
+        batches.zipWithIndex.foreach { case (b, i) =>
+          java.nio.file.Files.write(in.resolve(f"b$i%03d.ndjson"),
+            b.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+              .mkString("\n").getBytes("UTF-8"))
+          assert(graft.config.PipelineConfig
+            .run(spark, conf, new InMemoryStore)
+            .commands("loop").status === JobState.Complete,
+            s"seed $seed declared batch $i")
+        }
+      } else {
+        val mem = MemoryStream[(Long, String)](spark)
+        val q = Pipelines.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", s"$base/corpus", s"$base/idx", s"$base/ckpt",
+          sh, nh, bd, thr)
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+      }
       val accepted = spark.read.parquet(s"$base/corpus")
         .select(col("doc_id").cast("long"), col("text"),
           col("batch").cast("long"))
