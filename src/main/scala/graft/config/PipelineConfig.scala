@@ -839,16 +839,20 @@ object PipelineConfig {
                 ps.lift(2).map(_.toInt).getOrElse(0))
               def lists(q: DataFrame, c: DataFrame) =
                 graft.llm.Similarity.ivfTopK(q, c, k, cells, probe,
-                  idCol = idc, vecCol = vc, boundedQueries = false)
+                  idCol = idc, vecCol = vc, boundedQueries = false,
+                  excludeSelf = false)
               graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
                 lists(d, tgt), lists(tgt, d), k, thr)
             case lsh if lsh == "lsh" || lsh.startsWith("lsh:") =>
               val ps = lsh.split(":")
               val (tables, bits) = (ps.lift(1).map(_.toInt).getOrElse(8),
                 ps.lift(2).map(_.toInt).getOrElse(8))
+              // excludeSelf = false on BOTH feeds: the two sides are
+              // separate corpora whose id spaces may collide — a true
+              // pair with src_id == tgt_id must stay a candidate
               def lists(q: DataFrame, c: DataFrame) =
                 graft.llm.Similarity.annTopK(q, c, k, tables, bits,
-                  idCol = idc, vecCol = vc)
+                  idCol = idc, vecCol = vc, excludeSelf = false)
               graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
                 lists(d, tgt), lists(tgt, d), k, thr)
             case other => sys.error(

@@ -382,7 +382,12 @@ object Retrieval extends Serializable {
     * side, and the search contract's query-side broadcast would OOM
     * (the ScaleProbe `bitext` row and the `bitext_mine` config op both
     * run that mode; [[Similarity.annTopK]] never broadcasts a query
-    * side).
+    * side). Pass `excludeSelf = false` on BOTH generators: the sides
+    * are separate corpora whose id spaces may collide (each numbered
+    * from 0), so `query_id = neighbor_id` is a legitimate cross-side
+    * candidate that the self-search default would silently erase —
+    * all-pairs [[bitextMine]] scores such pairs, and CurationSpec's
+    * colliding-id case pins the equality.
     */
   def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String,

@@ -268,7 +268,8 @@ object Similarity extends Serializable {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 10000, multiProbe: Boolean = true): DataFrame = {
+      maxBucketSize: Int = 10000, multiProbe: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
     // one materialization: the quantized corpus feeds the index build AND
@@ -292,8 +293,16 @@ object Similarity extends Serializable {
       .where(col("__bsz") <= maxBucketSize)
       .select(col("table"), col("bucket"))
     val c = cFull.join(okBuckets, Seq("table", "bucket"))
-    val cands = q.join(c, Seq("table", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
+    // excludeSelf = true is the SELF-SEARCH contract (queries drawn from
+    // the corpus — a query finding its own row is noise). Cross-corpus
+    // callers (the bitext candidate feed) MUST pass false: when the two
+    // corpora have overlapping id spaces (common — each numbered from 0),
+    // a true pair with src_id == tgt_id is a legitimate candidate that
+    // this filter would silently erase (r15 advice).
+    val cands0 = q.join(c, Seq("table", "bucket"))
+    val cands = (if (excludeSelf)
+        cands0.where(col("query_id") =!= col("neighbor_id"))
+      else cands0)
       .select(col("query_id"), col("neighbor_id")).distinct()
       .join(qv, "query_id")
       .join(cv, "neighbor_id")
@@ -470,7 +479,8 @@ object Similarity extends Serializable {
       nCells: Int = 0, nProbe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 2, trainSampleSize: Int = 4096,
-      boundedQueries: Boolean = true): DataFrame = {
+      boundedQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one materialization of the narrow (id, q8) projection: the count,
     // every training iteration, the assignment and the re-rank join all
@@ -511,8 +521,13 @@ object Similarity extends Serializable {
     val probes = hintQ(assignCells(
       qv.select(col("query_id"), col("qa")), cents, probe)
       .withColumnRenamed("__id", "query_id"))
-    val cands = probes.join(assigned, "cid")
-      .where(col("query_id") =!= col("neighbor_id"))
+    // excludeSelf: see annTopK — self-search keeps the filter, the
+    // cross-corpus bitext feed must NOT (colliding id spaces would
+    // silently lose src_id == tgt_id candidates, r15 advice).
+    val cands0 = probes.join(assigned, "cid")
+    val cands = (if (excludeSelf)
+        cands0.where(col("query_id") =!= col("neighbor_id"))
+      else cands0)
       .select(col("query_id"), col("neighbor_id"))
       .join(hintQ(qv), "query_id")
       .join(cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),

@@ -451,9 +451,13 @@ object AnnOracleSql {
         kmeansCtes(p, IvfCells, IvfIters, corpus),
         assignCtes(s"${p}asg", corpus, s"${p}c$IvfIters", 1),
         assignCtes(s"${p}prb", queries, s"${p}c$IvfIters", IvfProbe),
+        // NO self-exclusion filter: the engine's bitext feed runs
+        // ivfTopK(excludeSelf = false) — queries and corpus are separate
+        // sides whose id spaces may collide, so query_id = neighbor_id is
+        // a legitimate cross-side candidate (vacuous on the disjoint
+        // even/odd fixture, kept faithful to the engine plan)
         s"""${p}cand AS (SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id
-           |  FROM ${p}prb pr JOIN ${p}asg a ON pr.cid = a.cid
-           |  WHERE pr.vec_id <> a.vec_id)""".stripMargin,
+           |  FROM ${p}prb pr JOIN ${p}asg a ON pr.cid = a.cid)""".stripMargin,
         rerankCtes(s"${p}k", s"${p}cand", BitextK)
       ).mkString(",\n")
     s"""WITH $EmbCte,

@@ -125,7 +125,8 @@ object CurationOps extends QueryPack {
       def topk(q: DataFrame, c: DataFrame) =
         Similarity.ivfTopK(q, c, k = AnnOracleSql.BitextK,
           nCells = AnnOracleSql.IvfCells, nProbe = AnnOracleSql.IvfProbe,
-          idCol = "vec_id", vecCol = "v", boundedQueries = false)
+          idCol = "vec_id", vecCol = "v", boundedQueries = false,
+          excludeSelf = false)
       Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
         topk(srcDf, tgtDf), topk(tgtDf, srcDf),
         k = AnnOracleSql.BitextK,

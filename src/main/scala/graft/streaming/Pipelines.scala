@@ -1166,8 +1166,19 @@ object Pipelines {
     // materializes from the OLD partitions — must complete before any
     // rename or delete touches them
     corrected.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(staging, target)
+    // HDFS-semantics filesystems report rename failure by RETURNING
+    // false (e.g. destination exists), not by throwing — an unchecked
+    // false here would let the deletes below run after a failed swap
+    // and strand the index without its base (r15 advice). Abort loudly
+    // instead: nothing has been deleted yet, so every row is still
+    // recoverable from staging/old.
+    if (fs.exists(target)) require(fs.rename(target, old),
+      s"foldAsNewBase: rename $target -> $old FAILED (filesystem " +
+        "returned false); aborting before any delete — old base intact")
+    require(fs.rename(staging, target),
+      s"foldAsNewBase: rename $staging -> $target FAILED (filesystem " +
+        s"returned false); aborting — corrected state is in $staging, " +
+        s"prior base (if any) in $old")
     if (fs.exists(old)) fs.delete(old, true)
     parts.filterNot(_ == -(maxB + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch=$v"), true)

@@ -638,10 +638,17 @@ object ScaleProbe {
                 "j -> CAST(pmod(id * (j + 3), 101) AS DOUBLE) - 50.0)"))
             .repartition(8).localCheckpoint() // eager, BEFORE any meter
           val src = vecs(0); val tgt = vecs(1)
+          // boundedQueries = false: this row exists to meter the
+          // UNBOUNDED corpus-mining plan (the 100 TB claim) — the
+          // default broadcast mode emits no shuffle records for the
+          // probe join, so metering it would validate the wrong plan
+          // shape (r15 advice). Matches the bitext_mine config op and
+          // ret_bitext_ann.
           def lists(q: org.apache.spark.sql.DataFrame,
               c: org.apache.spark.sql.DataFrame) =
             graft.llm.Similarity.ivfTopK(q, c, 4, nCells = 32,
-              nProbe = 4, idCol = "id", vecCol = "v")
+              nProbe = 4, idCol = "id", vecCol = "v",
+              boundedQueries = false, excludeSelf = false)
           val cf = shuffleRecordsOf(
             graft.llm.Retrieval.bitextMineFromCandidates(src, tgt,
               "id", "v", lists(src, tgt), lists(tgt, src),

@@ -1088,6 +1088,47 @@ class CurationSpec extends SparkSpec {
     assert(!minePlan.contains("BroadcastNestedLoopJoin"), minePlan)
   }
 
+  test("bitextMineFromCandidates with COLLIDING id spaces: " +
+      "excludeSelf = false keeps src_id == tgt_id candidates and " +
+      "equals all-pairs; the self-search default would lose them") {
+    import graft.llm.{Retrieval, Similarity}
+    // two corpora EACH numbered from 0 (the common real-world case the
+    // r15 advice flagged): renumber the planted fixture so the known
+    // mutual-best pair (src 0 ↔ tgt 101) becomes (0, 0) — a true pair
+    // whose ids collide across sides
+    val srcDf = bitextSrc.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }.toDF("id", "v")
+    val tgtDf = bitextTgt.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }.toDF("id", "v")
+    def lists(excl: Boolean)(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(q, c, k = BitextFixtureK, nCells = 3, nProbe = 3,
+        idCol = "id", vecCol = "v", boundedQueries = false,
+        excludeSelf = excl)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val allPairs = rows(Retrieval.bitextMine(srcDf, tgtDf, "id", "v",
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr))
+    // fixture validity: the geometry must actually mine a colliding pair,
+    // otherwise this test can't distinguish the two modes
+    assert(allPairs.exists { case (s, t, _, _) => s == t },
+      s"fixture lost its colliding true pair: $allPairs")
+    val fed = rows(Retrieval.bitextMineFromCandidates(srcDf, tgtDf,
+      "id", "v", lists(excl = false)(srcDf, tgtDf),
+      lists(excl = false)(tgtDf, srcDf),
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr))
+    assert(fed === allPairs)
+    // contrast: the self-search default silently erases every colliding
+    // candidate — the divergence the excludeSelf flag exists to prevent
+    val fedSelfSearch = rows(Retrieval.bitextMineFromCandidates(srcDf,
+      tgtDf, "id", "v", lists(excl = true)(srcDf, tgtDf),
+      lists(excl = true)(tgtDf, srcDf),
+      k = BitextFixtureK, marginThresholdMicro = BitextFixtureThr))
+    assert(!fedSelfSearch.exists { case (s, t, _, _) => s == t })
+    assert(fedSelfSearch !== allPairs)
+  }
+
   test("bitextMine k guard: out-of-range k fails loudly (margin-overflow " +
       "bound), in-range extremes are accepted") {
     import graft.llm.Retrieval
