@@ -229,6 +229,39 @@ object Bench {
     val a = n.split('_').filter(_.nonEmpty).map(_.head).mkString
     if (a.length >= 2) a else n
   }
+  /** Fixed-work calibration probe (r15 VERDICT ask #1): a constant-size,
+    * plan-stable, IO-free task timed once per warm rep, published as
+    * `calib_sec` (per rep) in bench_out.json and as the median `calib`
+    * field in the parseable tail. Its purpose is to make the round
+    * artifact SELF-ADJUDICATING: the r15 driver bench read 107.6 s while
+    * the same commit measured 71.5 s (builder) and 78.6 s (judge), and
+    * nothing in the artifact could prove which runs were contaminated.
+    * The probe's work never changes (pinned row count, pinned input
+    * partitions, modular keys, no IO, no AQE-sensitive skew), so its
+    * timing moves ONLY with host conditions — a run whose calib is 1.5×
+    * the recorded baseline is a slow/contended host, not a plan
+    * regression, and [[BenchBaselineSpec]] scales the per-query band
+    * check by exactly that ratio (a genuinely regressed query still
+    * trips: a real 3× sits at 2× even after a 1.5× host discount).
+    * Shape: range → hash-agg partial → exchange → final agg → sort-agg
+    * count — one shuffle + one sort, the same machinery the pack's
+    * queries spend their time in. ~0.3 s at the bench's local[4]; five
+    * probes cost ~1.5 s of a ~75 s run.
+    */
+  private[graft] val CalibRows = 20000000L
+  private[graft] val CalibParts = 16
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val t0 = System.nanoTime()
+    spark.range(0L, CalibRows, 1L, CalibParts)
+      .selectExpr("id % 4096 AS g", "id AS v")
+      .groupBy("g")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .orderBy(col("s").desc, col("g").asc)
+      .count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -282,7 +315,18 @@ object Bench {
     // each warm rep runs a different deterministic order (see scaladoc):
     // per-query spreads then price scheduling/neighbor effects, not a
     // fixed-order bias
-    val warmReps = (0 until reps).map(i => freshPass(repOrder(names, i)))
+    // one calibration probe per recorded rep, timed immediately after the
+    // rep's queries under the same ambient conditions (see [[calibrate]]).
+    // One unrecorded probe first: the probe's own codegen/JIT ramp must
+    // not contaminate rep 0's reading (the warmup-pass stance, applied
+    // to the instrument itself)
+    calibrate(spark)
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val warmReps = (0 until reps).map { i =>
+      val r = freshPass(repOrder(names, i))
+      calibs += calibrate(spark)
+      r
+    }
 
     // a query that failed in any pass is failed, full stop
     val warmMed = names.map { n =>
@@ -315,14 +359,24 @@ object Bench {
       names.map(n => s"\"$n\":${f3(m(n))}").mkString("{", ",", "}")
     val total = warmMed.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold_total_sec":${f3(coldTotal)},"median_total_sec":${f3(medianTotal)},"warm_reps":$reps,"noise_total_sec":${f3(noise)},"rep_total_spread_sec":${f3(repSpread)},"queries":${qjson(warmMed)},"sf":"$sfDir"}"""
+    val calibMed = median(calibs.toSeq)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold_total_sec":${f3(coldTotal)},"median_total_sec":${f3(medianTotal)},"warm_reps":$reps,"noise_total_sec":${f3(noise)},"calib_median_sec":${f3(calibMed)},"rep_total_spread_sec":${f3(repSpread)},"queries":${qjson(warmMed)},"sf":"$sfDir"}"""
 
+    // short-key → full-name legend (r15 VERDICT ask #7): BENCH_r{N}.json's
+    // parsed.queries uses the abbreviated tail keys, and six frozen digit
+    // keys ("5", "0", …) are opaque without this map — publish the whole
+    // mapping here where bytes are free (the tail window never carries it)
+    val legend = names.map(n => s"""\"${shortName(n)}\":\"$n\"""")
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","warm_reps":$reps,"warmup_reps":$warmup,
                   |"rep_totals":[${repTotals.map(f3).mkString(",")}],
                   |"median_total_sec":${f3(medianTotal)},
                   |"jackknife_totals":[${jack.map(f3).mkString(",")}],
                   |"noise_total_sec":${f3(noise)},
+                  |"calib_sec":[${calibs.map(f3).mkString(",")}],
+                  |"calib_median_sec":${f3(calibMed)},
                   |"rep_total_spread_sec":${f3(repSpread)},
+                  |"keys":$legend,
                   |"cold":${qjson(cold)},
                   |${warmReps.zipWithIndex.map { case (r, i) => s"\"warm_rep$i\":${qjson(r)}" }.mkString(",\n")},
                   |"spread":${qjson(warmSpread)},
@@ -343,7 +397,7 @@ object Bench {
     // dir is in the early line + bench_out.json, every tail char is priced
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir).stripPrefix("sf")
-    println(tailLine(names, warmMed, total, sfShort, noise))
+    println(tailLine(names, warmMed, total, sfShort, noise, calibMed))
     Console.out.flush()
   }
 
@@ -408,11 +462,23 @@ object Bench {
     */
   private[graft] def baselineViolations(baseline: Map[String, Double],
       cur: Map[String, Double],
-      spread: Map[String, Double]): Seq[String] =
-    flaggedRegressions(baseline, cur, spread).map { n =>
-      f"$n: ${cur(n)}%.3f s vs recorded median ${baseline(n)}%.3f s " +
+      spread: Map[String, Double],
+      calibScale: Double = 1.0): Seq[String] = {
+    // calibScale > 1 = the run's fixed-work calibration probe read that
+    // much slower than the baseline's recorded host (r15 ask #1): divide
+    // every current timing by it before the band check, so a uniformly
+    // slow/contended host never trips the gate while a genuinely
+    // regressed query still does (a real 3× reads 2× after a 1.5× host
+    // discount — still past the 1.5× band). Never scale DOWN (< 1 would
+    // loosen the gate on a fast host, the unsafe direction).
+    val s = calibScale.max(1.0)
+    val scaled = cur.map { case (n, v) => n -> (if (v < 0) v else v / s) }
+    flaggedRegressions(baseline, scaled, spread).map { n =>
+      f"$n: ${cur(n)}%.3f s (÷$s%.2f host calib = ${scaled(n)}%.3f) vs " +
+        f"recorded median ${baseline(n)}%.3f s " +
         f"(band ${1.5 * baseline(n) + 0.3 + spread.getOrElse(n, 0.0).max(0.0)}%.3f)"
     }
+  }
 
   // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
   // comma-decimal locale would render 12.345 as "12,345" — invalid JSON
@@ -446,7 +512,8 @@ object Bench {
     * then loses per-query detail, never the round's bench artifact.
     */
   private[graft] def tailLine(names: Seq[String], med: Map[String, Double],
-      total: Double, sfShort: String, noise: Double = 0.0): String = {
+      total: Double, sfShort: String, noise: Double = 0.0,
+      calib: Double = -1.0): String = {
     val proposed: Map[String, String] = names.map(n => n -> shortName(n)).toMap
     // a key collision must not kill the round's bench artifact: colliding
     // entries fall back to their full names (the line may then exceed the
@@ -464,9 +531,17 @@ object Bench {
     // adaptive rung drops the field before it would demote any sub-10 s
     // entry past the large-value tier, so the r10 resolution guarantee
     // is unchanged.
+    // "calib" (median fixed-work probe seconds, 2 decimals — the per-rep
+    // array is in bench_out.json) shares the noise field's tier: the two
+    // together let the round artifact alone separate host contamination
+    // from plan regressions (r15's 107.6 s driver read vs 71.5/78.6 s
+    // same-commit), and both rank BELOW per-query resolution — phase 2
+    // sacrifices them before demoting any sub-10 s entry
     def wrap(q: String, d: Int, withNoise: Boolean): String = {
       val nz = if (withNoise) s""""noise":${fmt(noise, 1)},""" else ""
-      s"""{"metric":"total","value":${fmt(total, d)},"unit":"sec",$nz"queries":$q,"sf":"$sfShort"}"""
+      val cz = if (withNoise && calib >= 0)
+        s""""calib":${fmt(calib, 2)},""" else ""
+      s"""{"metric":"total","value":${fmt(total, d)},"unit":"sec",$nz$cz"queries":$q,"sf":"$sfShort"}"""
     }
     def qmap(dec: String => Int): String =
       names.map(n => s"\"${shortKey(n)}\":${fmt(med(n), dec(n))}")

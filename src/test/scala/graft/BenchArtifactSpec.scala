@@ -192,6 +192,34 @@ class BenchArtifactSpec extends AnyFunSuite {
       "noise must ship whenever the budget allows")
   }
 
+  test("calib field: ships with noise when the budget allows, shares its " +
+      "sacrifice tier, and the probe itself is fixed-work") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // roomy: both diagnostics fields ship
+    val med = names.map(_ -> 2.3).toMap
+    val small = names.take(150)
+    val roomy = Bench.tailLine(small, med, 150 * 2.3, "0.1",
+      noise = 14.3, calib = 0.412)
+    assert(roomy.contains("\"calib\":0.41"),
+      "calib must ship whenever the budget allows")
+    assert(roomy.contains("\"noise\":14.3"))
+    // tight: calib is sacrificed alongside noise BEFORE any per-query
+    // entry loses resolution — diagnostics never outrank data
+    val tight = Bench.tailLine(names, med, names.size * 2.3, "0.1",
+      noise = 14.3, calib = 0.412)
+    assert(tight.length <= Bench.TailBudget)
+    assert(!tight.contains("\"calib\""),
+      "calib must be sacrificed before per-query resolution")
+    assert(tight === Bench.tailLine(names, med, names.size * 2.3, "0.1"),
+      "requesting calib cost per-query resolution")
+    // schema pin: the probe's work constants are frozen — a change here
+    // breaks comparability of every recorded calib_sec and must be a
+    // deliberate, baseline-regenerating edit
+    assert(Bench.CalibRows === 20000000L && Bench.CalibParts === 16,
+      "calibration probe work changed — regenerate bench_baseline.json's " +
+        "calib_sec in the same commit and say why")
+  }
+
   test("regression band consumes the measured noise floor") {
     // the r11 lesson: driver totals across rounds (94.1 → 109.4 s) moved
     // MORE than any real plan change while one run's own warm reps spanned

@@ -39,10 +39,14 @@ class BenchBaselineSpec extends AnyFunSuite {
       case (k, v) => k -> v.extract[Double]
     }.toMap
 
-  private def render(sf: String, qs: Map[String, Double]): String = {
+  private def render(sf: String, qs: Map[String, Double],
+      calib: Option[Double]): String = {
     val items = qs.toSeq.sortBy(_._1)
+    val calibLine = calib
+      .map(c => s"""  "calib_sec": ${Bench.fmt(c, 3)},\n""").getOrElse("")
     items.map { case (k, v) => s"""    "$k": ${Bench.fmt(v, 3)}""" }
-      .mkString(s"""{\n  "sf": "$sf",\n  "queries": {\n""", ",\n", "\n  }\n}\n")
+      .mkString(s"""{\n  "sf": "$sf",\n$calibLine  "queries": {\n""",
+        ",\n", "\n  }\n}\n")
   }
 
   test("per-query warm medians are within the recorded baseline band " +
@@ -60,28 +64,56 @@ class BenchBaselineSpec extends AnyFunSuite {
     val baseline = qmap(baseJ, "queries").filter(_._2 >= 0)
     val cur = qmap(outJ, "queries")
     val spread = qmap(outJ, "spread")
-    val violations = Bench.baselineViolations(baseline, cur, spread)
+    // host-calibration discount (r15 VERDICT ask #1): both files may
+    // carry a fixed-work probe reading; a run whose probe is slower than
+    // the recorded one is on a slow/contended host, and every timing is
+    // divided by the ratio before the band check (Bench.baselineViolations
+    // annotates flagged queries with the applied discount). Absent on
+    // either side → scale 1 (the pre-calib behavior, the strict direction).
+    val baseCalib = (baseJ \ "calib_sec").extractOpt[Double].filter(_ > 0)
+    val curCalib = (outJ \ "calib_median_sec").extractOpt[Double]
+      .filter(_ > 0)
+    val calibScale = (for (b <- baseCalib; c <- curCalib) yield c / b)
+      .getOrElse(1.0)
+    if (calibScale > 1.0)
+      info(f"host calib discount ×$calibScale%.2f (run " +
+        f"${curCalib.get}%.3f s vs recorded ${baseCalib.get}%.3f s)")
+    val violations = Bench.baselineViolations(baseline, cur, spread,
+      calibScale)
+    // recorded calib follows the recorded medians: regen records the
+    // run's probe outright; a ratchet-down keeps the FASTEST host seen
+    // (min) — the medians being merged are mins across runs, so the
+    // matching host reference is the fastest one, and the discount stays
+    // conservative (only widens when the current host is slower than the
+    // best recorded)
+    def mergedCalib: Option[Double] = (baseCalib, curCalib) match {
+      case (Some(b), Some(c)) => Some(math.min(b, c))
+      case (b, c) => c.orElse(b)
+    }
     if (sys.env.contains("BENCH_BASELINE_REGEN")) {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_baseline.json"),
-        render(baseSf, cur.filter(_._2 >= 0)).getBytes("UTF-8"))
+        render(baseSf, cur.filter(_._2 >= 0), curCalib.orElse(baseCalib))
+          .getBytes("UTF-8"))
       info(s"bench_baseline.json regenerated (${cur.size} queries)")
     } else {
       assert(violations.isEmpty,
         "bench regressions vs the committed per-query baseline (fix the " +
           "plan, or accept explicitly with BENCH_BASELINE_REGEN=1 and a " +
           "reasoned commit):\n" + violations.mkString("\n"))
-      // ratchet down: faster medians, new queries, pruned stale keys
+      // ratchet down: faster medians, new queries, pruned stale keys,
+      // and a first-time / faster calib recording
       val tightened = cur.filter(_._2 >= 0).exists { case (n, v) =>
         baseline.get(n).forall(b => v < b)
-      } || (baseline.keySet -- cur.keySet).nonEmpty
+      } || (baseline.keySet -- cur.keySet).nonEmpty ||
+        mergedCalib != baseCalib
       if (tightened) {
         val merged = cur.filter(_._2 >= 0).map { case (n, v) =>
           n -> math.min(v, baseline.getOrElse(n, v))
         }
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_baseline.json"),
-          render(baseSf, merged).getBytes("UTF-8"))
+          render(baseSf, merged, mergedCalib).getBytes("UTF-8"))
         info("bench_baseline.json ratcheted down — commit the diff")
       }
     }
@@ -100,5 +132,34 @@ class BenchBaselineSpec extends AnyFunSuite {
     // failed queries (-1 sentinels) never compare
     assert(Bench.baselineViolations(Map("qc" -> -1.0),
       Map("qc" -> 99.0), Map.empty).isEmpty)
+  }
+
+  test("red case: a slow-host (calib-inflated) run never trips the " +
+      "gate, but a real +3x query on that same host flags exactly itself") {
+    val baseline = Map("qa" -> 2.0, "qb" -> 0.4, "qc" -> 1.0)
+    val spread = Map("qa" -> 0.1, "qb" -> 0.05, "qc" -> 0.1)
+    // the whole run inflated 1.8x by host contention (the r15 driver-run
+    // signature: uniform scaling, zero localized moves; 1.8 rather than
+    // the verdict's illustrative 1.5 because the band's own 1.5x+0.3
+    // allowance absorbs an EXACTLY-1.5x uniform inflation by
+    // construction) — the big queries trip the unscaled band, nothing
+    // survives the calib discount
+    val slowHost = Map("qa" -> 3.6, "qb" -> 0.72, "qc" -> 1.8)
+    assert(Bench.baselineViolations(baseline, slowHost, spread).nonEmpty,
+      "fixture must trip WITHOUT the discount, or it proves nothing")
+    assert(Bench.baselineViolations(baseline, slowHost, spread,
+      calibScale = 1.8).isEmpty)
+    // same slow host, but qa ALSO genuinely regressed 3x: 2.0*3*1.8 = 10.8
+    // raw; after the 1.8x discount it reads 6.0 = 3x its recorded median
+    // — still past the 1.5x+0.3+spread band. Exactly qa flags.
+    val slowHostRealRegression = slowHost + ("qa" -> 10.8)
+    val flagged = Bench.baselineViolations(baseline, slowHostRealRegression,
+      spread, calibScale = 1.8)
+    assert(flagged.size === 1 && flagged.head.startsWith("qa:"), flagged)
+    assert(flagged.head.contains("÷1.80 host calib"), flagged)
+    // the discount never runs backwards: a FASTER host (scale < 1) must
+    // not deflate the band — scale clamps at 1
+    assert(Bench.baselineViolations(baseline, Map("qa" -> 3.6),
+      Map("qa" -> 0.2), calibScale = 0.5).nonEmpty)
   }
 }
