@@ -436,6 +436,61 @@ object AnnOracleSql {
        |FROM fwd f JOIN bwd b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
        |WHERE f.margin >= $BitextThresholdMicro""".stripMargin
 
+  /** `ret_bitext_lsh`: the candidate-fed mining replay over hyperplane-LSH
+    * lists (r15 VERDICT ask #3 — the one candidate generator that had no
+    * driver-checked row): ONE md5-hyperplane index over all vectors (the
+    * planes are data-independent, so both sides share `bk` — exactly how
+    * the engine hashes each side with the same [[graft.llm.Similarity]]
+    * `intLshFromVecs` planes), then per direction: query-side 1-bit
+    * multi-probe, corpus-side degenerate-bucket cap, in-bucket candidates
+    * with NO self-exclusion (the engine feed runs
+    * `annTopK(excludeSelf = false)` — colliding cross-side ids are
+    * legitimate), exact quantized-cosine re-rank to the top-`BitextK`
+    * lists, DISTINCT union of directions, and the identical margin tail
+    * as [[bitextSql]]/[[bitextAnnSql]].
+    */
+  def bitextLshSql: String = {
+    def direction(p: String, queries: String, corpus: String): String =
+      Seq(
+        s"""${p}prb AS (SELECT k0.vec_id AS query_id, k0.t AS t,
+           |    xor(k0.bucket, m.mv) AS bucket
+           |  FROM bk k0 JOIN $queries sq ON k0.vec_id = sq.vec_id
+           |  CROSS JOIN msk m)""".stripMargin,
+        s"""${p}cidx AS (SELECT k0.vec_id AS vec_id, k0.t AS t,
+           |    k0.bucket AS bucket
+           |  FROM bk k0 JOIN $corpus sc ON k0.vec_id = sc.vec_id)""".stripMargin,
+        s"""${p}ok AS (SELECT t, bucket FROM ${p}cidx GROUP BY 1, 2
+           |  HAVING count(*) <= $LshMaxBucket)""".stripMargin,
+        s"""${p}cand AS (SELECT DISTINCT pr.query_id AS query_id,
+           |    c.vec_id AS neighbor_id
+           |  FROM ${p}prb pr JOIN ${p}cidx c
+           |    ON pr.t = c.t AND pr.bucket = c.bucket
+           |  JOIN ${p}ok o ON c.t = o.t AND c.bucket = o.bucket)""".stripMargin,
+        rerankCtes(s"${p}k", s"${p}cand", BitextK)
+      ).mkString(",\n")
+    s"""WITH $EmbCte,
+       |${qzCte("e")},
+       |$lshBucketCtes,
+       |msk AS (SELECT CAST(0 AS BIGINT) AS mv
+       |        UNION ALL
+       |        SELECT CAST(1 AS BIGINT) << mb.b FROM range(0, $LshBits) AS mb(b)),
+       |s AS (SELECT vec_id FROM qz WHERE vec_id % 2 = 0),
+       |tt AS (SELECT vec_id FROM qz WHERE vec_id % 2 = 1),
+       |${direction("xf", "s", "tt")},
+       |${direction("xb", "tt", "s")},
+       |cand AS (SELECT query_id AS src_id, neighbor_id AS tgt_id FROM xfk
+       |  UNION
+       |  SELECT neighbor_id AS src_id, query_id AS tgt_id FROM xbk),
+       |p0 AS (SELECT c.src_id, c.tgt_id,
+       |    ${listDot("a.q", "b.q")} AS dot,
+       |    ${listDot("a.q", "a.q")} AS na,
+       |    ${listDot("b.q", "b.q")} AS nb
+       |  FROM cand c JOIN qz a ON a.vec_id = c.src_id
+       |              JOIN qz b ON b.vec_id = c.tgt_id),
+       |p AS (SELECT src_id, tgt_id, $SimMicroCase AS sim FROM p0),
+       |$bitextMarginTail""".stripMargin
+  }
+
   /** `ret_bitext_ann`: the candidate-fed (100 TB-shaped) mining replay —
     * per-side IVF-flat top-k retrieval (one integer-k-means index PER
     * SIDE: forward trains on the target vectors and probes with the

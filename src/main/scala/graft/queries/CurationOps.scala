@@ -133,6 +133,30 @@ object CurationOps extends QueryPack {
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),
 
+    // ---- the SAME candidate-fed mining core over the OTHER generator:
+    //      per-side hyperplane-LSH top-k lists (annTopK — the feed for
+    //      churn-heavy sides where training an IVF codebook per run is
+    //      wasted work; never broadcasts a query side). excludeSelf =
+    //      false: the sides are separate corpora whose id spaces may
+    //      collide. Engine-exact: AnnOracleSql.bitextLshSql replays the
+    //      md5-hyperplane index, multi-probe, bucket cap, re-rank AND
+    //      the shared margin tail ----
+    "ret_bitext_lsh" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      def topk(q: DataFrame, c: DataFrame) =
+        Similarity.annTopK(q, c, k = AnnOracleSql.BitextK,
+          tables = AnnOracleSql.LshTables, bits = AnnOracleSql.LshBits,
+          idCol = "vec_id", vecCol = "v",
+          maxBucketSize = AnnOracleSql.LshMaxBucket, excludeSelf = false)
+      Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
+        topk(srcDf, tgtDf), topk(tgtDf, srcDf),
+        k = AnnOracleSql.BitextK,
+        marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
+    }),
+
     // ---- the production hybrid-search shape: BM25 fused with a REAL ANN
     //      list (IVF-flat over the embeddings, seeded per query by its
     //      top-1 lexical hit). Engine-exact since r11: the IVF index is
@@ -886,6 +910,7 @@ object CurationOps extends QueryPack {
     "ret_hybrid_ann" -> AnnOracleSql.hybridAnnSql(bm25Ctes, Bm25K),
     "ret_bitext_mine" -> AnnOracleSql.bitextSql,
     "ret_bitext_ann" -> AnnOracleSql.bitextAnnSql,
+    "ret_bitext_lsh" -> AnnOracleSql.bitextLshSql,
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,

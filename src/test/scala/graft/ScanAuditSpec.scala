@@ -170,6 +170,12 @@ class ScanAuditSpec extends SparkSpec {
     // k-NN-sum windows + joins, two max_by argmax aggregates and the
     // mutual-best semi join, every one over k-bounded slim frames
     "ret_bitext_ann" -> 11,
+    // ret_bitext_lsh: the same candidate-fed mining tail (windows, k-NN
+    // sum joins, argmax aggregates, mutual-best semi join) fed by two
+    // hyperplane-LSH lists — per side: bucket-cap aggregate, candidate
+    // distinct, re-rank window over id-keyed hash joins. All slim,
+    // k-bounded frames; nothing corpus-sized shuffles twice
+    "ret_bitext_lsh" -> 11,
     // ret_bitext_mine: two per-side k-NN windows + sums and the two
     // mutual-best windows, all over the slim checkpointed pair frame
     // (3 BIGINTs/row); the semi join and k-NN-sum joins broadcast
@@ -233,12 +239,15 @@ class ScanAuditSpec extends SparkSpec {
     // path must be free of cartesians end to end — checkpointed ivf and
     // pair stages included, which is why this captures every execution
     // rather than reading the (checkpoint-truncated) final plan string.
-    val annPlans = capturedPlans(
-      SparkEntry.queries("ret_bitext_ann")(spark, sf0001).collect())
-    assert(annPlans.nonEmpty)
-    val hits = annPlans.flatMap(_.split("\n")).filter(l =>
-      l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
-    assert(hits.isEmpty, hits.mkString("\n"))
+    for (q <- Seq("ret_bitext_ann", "ret_bitext_lsh")) {
+      val annPlans = capturedPlans(
+        SparkEntry.queries(q)(spark, sf0001).collect())
+      assert(annPlans.nonEmpty)
+      val hits = annPlans.flatMap(_.split("\n")).filter(l =>
+        l.contains("CartesianProduct") ||
+          l.contains("BroadcastNestedLoopJoin"))
+      assert(hits.isEmpty, s"$q: " + hits.mkString("\n"))
+    }
     // and the all-pairs sibling still IS the documented cartesian (in
     // its checkpointed pair stage) — if this flips, the two queries no
     // longer cover distinct shapes and the ann query proves nothing
