@@ -872,6 +872,25 @@ object PipelineConfig {
             forgetIndexDir(t), d, idc, c,
             splitParams(t.expr).headOption.map(_.toInt).getOrElse(20),
             persistFlag(t))
+        // near_dup band index — NON-invertible (greedy displacement
+        // decisions are never revisited), so the input frame is the
+        // SURVIVING corpus and the (id, band, bucket) index is rebuilt
+        // with the loop's own parameters:
+        // expr = shingleN,numHashes,bands[,persist] (defaults mirror
+        // near_dup_ingest's 3,96,48)
+        case "near_dup_recompute" =>
+          val Seq(idc, c) = t.cols match {
+            case s if s.length == 2 => s
+            case _ => sys.error(
+              "near_dup_recompute needs cols = [idCol, textCol]")
+          }
+          val p = splitParams(t.expr)
+          graft.streaming.Pipelines.recomputeNearDupIndex(d.sparkSession,
+            forgetIndexDir(t), d, idc, c,
+            shingleN = p.headOption.map(_.toInt).getOrElse(3),
+            numHashes = p.lift(1).map(_.toInt).getOrElse(96),
+            bands = p.lift(2).map(_.toInt).getOrElse(48),
+            persist = persistFlag(t))
         // (id, term, tf, df, tfidf_key, rank): cols = [idCol, textCol],
         // expr = k (default 5), name = indexDir
         case "tfidf_indexed" =>

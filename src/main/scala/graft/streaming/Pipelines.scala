@@ -1255,6 +1255,38 @@ object Pipelines {
         minRunTokens),
       persist)
 
+  /** Recompute-from-survivors for the [[nearDupIngest]] MinHash band
+    * index (r15 VERDICT ask #4 — the last persisted index with neither an
+    * exact subtraction nor a documented recompute path). Forgetting is
+    * NON-invertible here twice over: (a) the index rows are raw
+    * (id, band, bucket) signatures, so subtraction could only remove the
+    * forgotten ids' rows — which a filter does fine — but (b) the greedy
+    * loop's DISPLACEMENT decisions cannot be replayed: a doc that was
+    * dropped in some past batch because it collided with a now-forgotten
+    * survivor stays dropped (its text was never accepted into the corpus;
+    * re-admitting it would need the raw feed replayed). So the contract
+    * is exactly [[recomputeSubstrIndex]]'s: the caller passes the
+    * SURVIVING corpus (post-forget), the band index is rebuilt from it
+    * with the same parameters the loop ran with, and prior displacement
+    * decisions are NOT revisited — future batches dedup against the
+    * survivors only. `persist = true` folds the rebuilt index in as the
+    * new base partition via the crash-safe [[foldAsNewBase]] protocol.
+    *
+    * Parameter discipline: `shingleN`/`numHashes`/`bands` MUST match the
+    * loop's (defaults mirror [[nearDupIngest]]'s 3/96/48, not
+    * [[graft.llm.Dedup.minhashBandIndex]]'s standalone 3/128/64) — a
+    * mismatched rebuild would silently change every future batch's
+    * collision probability.
+    */
+  def recomputeNearDupIndex(spark: SparkSession, indexDir: String,
+      survivors: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 48,
+      persist: Boolean = false): DataFrame =
+    recomputeIndex(spark, indexDir,
+      graft.llm.Dedup.minhashBandIndex(survivors, idCol, textCol,
+        shingleN, numHashes, bands),
+      persist)
+
   /** Continuous BM25 scoring over the shared indexed-ingest engine: each
     * batch's documents are scored for the fixed `queries` against the
     * ACCUMULATED corpus statistics — document frequencies, document count

@@ -1858,6 +1858,53 @@ class ConfigSpec extends SparkSpec {
     assert(rebuilt.filter($"keep_id" === 1L).count() === 0L)
   }
 
+  test("declared near_dup_recompute equals the direct call: the band " +
+      "index is rebuilt over the surviving corpus and folds durably") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.llm.Dedup
+    import graft.streaming.Pipelines
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val nb = java.nio.file.Files.createTempDirectory("cfg_ndr").toString
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Pipelines.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$nb/corpus", s"$nb/idx", s"$nb/ckpt",
+      3, 96, 48, 0.5)
+    val dup = "alpha beta gamma delta eps zeta"
+    mem.addData((1L, dup), (2L, dup), (3L, "one two three four five six"))
+    q.processAllAvailable(); q.stop()
+    // forget survivor 1; the surviving corpus is doc 3 alone. Declared
+    // form: the step's SOURCE is the surviving corpus, expr carries the
+    // loop's own parameters + the persist token
+    val conf = PipelineConfig.parse(
+      s"""{ "id": "ndr", "name": "recompute", "steps": [
+         |  { "step": "rebuild", "kind": "stream",
+         |    "source": { "type": "json_lines",
+         |      "schema": "doc_id LONG, text STRING",
+         |      "lines": [
+         |        "{\\"doc_id\\":3,\\"text\\":\\"one two three four five six\\"}" ] },
+         |    "transforms": [ { "op": "near_dup_recompute",
+         |      "cols": ["doc_id", "text"], "name": "$nb/idx",
+         |      "expr": "3,96,48,persist" } ],
+         |    "sink": { "type": "json", "path": "$nb/view" } } ] }""".stripMargin)
+    assert(PipelineConfig.parse(PipelineConfig.toJson(conf)) === conf)
+    assert(PipelineConfig.run(spark, conf, new InMemoryStore)
+      .streams("rebuild").status === JobState.Complete)
+    val surv = Seq((3L, "one two three four five six")).toDF("doc_id", "text")
+    val expected = img(Dedup.minhashBandIndex(surv, "doc_id", "text",
+      3, 96, 48))
+    // the streamed view AND the folded state both equal the direct
+    // rebuild (json re-read widens ints — cast back to the index schema)
+    assert(img(spark.read.json(s"$nb/view")
+      .select($"id".cast("long"), $"band".cast("int"),
+        $"bucket".cast("long"))) === expected)
+    val folded = spark.read.parquet(s"$nb/idx")
+      .select("id", "band", "bucket")
+    assert(img(folded) === expected)
+    assert(folded.where($"id" === 1L).count() === 0L)
+  }
+
   test("declared bm25_df_forget equals the direct call (read-time then " +
       "persist), sentinel totals included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -494,4 +494,140 @@ class StreamingFuzzSpec extends SparkSpec {
     }
     assert(totalDropped > 0, "fixture drift: fuzz corpora produced no drops")
   }
+
+  test("near_dup forget-then-ingest fuzz (r15 ask #4): recompute over " +
+      "survivors keeps every loop invariant across a forget, forgotten " +
+      "docs stop shadowing, displaced docs stay dropped — 6 seeds") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val (sh, nh, bd, thr) = (3, 96, 48, 0.5)
+    var contDropped = 0
+    var reaccepted = 0
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 48611)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta")
+      def freshText() = Seq.fill(6 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val n = 10 + rnd.nextInt(6)
+      (0 until n).foreach { i =>
+        val t =
+          if (i > 0 && rnd.nextInt(5) < 2) docs(rnd.nextInt(docs.size))._2
+          else freshText()
+        docs += ((i.toLong, t))
+      }
+      val in = java.nio.file.Files.createTempDirectory("graft_fndr_in")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_fndr").toString
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      def runBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        java.nio.file.Files.write(in.resolve(name),
+          rows.map { case (id, t) =>
+            s"""{"doc_id":$id,"text":"${StreamingFuzzSpec.esc(t)}"}""" }
+            .mkString("\n").getBytes("UTF-8"))
+        val q = Pipelines.nearDupIngest(
+          spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
+          "doc_id", "text", s"$base/corpus", s"$base/idx", s"$base/ckpt",
+          sh, nh, bd, thr)
+        q.processAllAvailable(); q.stop()
+      }
+      splits(rnd, docs.size).map { case (a, b) => docs.slice(a, b).toSeq }
+        .filter(_.nonEmpty).zipWithIndex
+        .foreach { case (b, i) => runBatch(f"b$i%03d.ndjson", b) }
+      def corpus() = spark.read.parquet(s"$base/corpus")
+        .select($"doc_id".cast("long"), $"text", $"batch".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val accepted1 = corpus()
+      // forget a random non-empty survivor subset, rebuild from survivors
+      val forgotten = accepted1.map(_._1)
+        .filter(_ => rnd.nextBoolean()) match {
+          case f if f.nonEmpty => f.toSet
+          case _ => Set(accepted1(rnd.nextInt(accepted1.length))._1)
+        }
+      val survivors1 = accepted1.filterNot(t => forgotten(t._1))
+        .map(t => (t._1, t._2)).toSeq
+      // every 3rd seed drives the DECLARED twin (the config op is then
+      // fuzz-pool-resident like the other forget ops)
+      if (seed % 3 == 0) {
+        val lines = survivors1.map { case (id, t) =>
+          s"""        "{\\"doc_id\\":$id,\\"text\\":\\"${
+            StreamingFuzzSpec.esc(t).replace("\\", "\\\\")
+              .replace("\"", "\\\"")}\\"}"""" }
+          .mkString(",\n")
+        val conf = graft.config.PipelineConfig.parse(
+          s"""{ "id": "fndr_$seed", "name": "recompute", "steps": [
+             |  { "step": "rebuild", "kind": "stream",
+             |    "source": { "type": "json_lines",
+             |      "schema": "doc_id LONG, text STRING",
+             |      "lines": [
+             |$lines ] },
+             |    "transforms": [ { "op": "near_dup_recompute",
+             |      "cols": ["doc_id", "text"], "name": "$base/idx",
+             |      "expr": "$sh,$nh,$bd,persist" } ],
+             |    "sink": { "type": "json", "path": "$base/view" } } ] }"""
+            .stripMargin)
+        assert(graft.config.PipelineConfig
+          .run(spark, conf, new InMemoryStore)
+          .streams("rebuild").status === JobState.Complete,
+          s"seed $seed declared recompute")
+      } else
+        Pipelines.recomputeNearDupIndex(spark, s"$base/idx",
+          survivors1.toDF("doc_id", "text"), "doc_id", "text",
+          sh, nh, bd, persist = true)
+      // continued ingestion: copies of random PRIOR docs (forgotten ones
+      // included — shadowing must have stopped) + fresh docs
+      val cont = (0 until 4 + rnd.nextInt(4)).map { j =>
+        val id = (n + j).toLong
+        if (rnd.nextBoolean()) (id, docs(rnd.nextInt(docs.size))._2)
+        else (id, freshText())
+      }
+      runBatch("cont.ndjson", cont)
+      val accepted2 = corpus()
+      val acceptedIds2 = accepted2.map(_._1).toSet
+      // current survivor corpus = post-forget survivors ∪ continuation
+      // survivors (forgotten rows are still disk-resident — the index is
+      // the similarity state, so they must NOT count)
+      val survNow = accepted2.filterNot(t => forgotten(t._1))
+        .map(t => (t._1, t._2)).toSeq
+      val survDf = survNow.toDF("doc_id", "text")
+      // 3. index ≡ current survivors' bands, bit-exact across the fold
+      assert(img(spark.read.parquet(s"$base/idx")
+          .select("id", "band", "bucket")) ===
+        img(Dedup.minhashBandIndex(survDf, "doc_id", "text", sh, nh, bd)),
+        s"seed $seed: post-forget index != current survivors' bands")
+      // 1. independence among current survivors
+      assert(Dedup.minhashNearDups(survDf, "doc_id", "text",
+          sh, nh, bd, thr).count() === 0L,
+        s"seed $seed: two post-forget survivors are near-dups")
+      // 2. witness for every continuation drop, against what was visible
+      // to its batch: post-forget survivors ∪ the batch itself
+      val dropped = cont.map(_._1).filterNot(acceptedIds2)
+      contDropped += dropped.size
+      if (dropped.nonEmpty) {
+        val ctx = (survivors1 ++ cont).toDF("doc_id", "text")
+        val paired = Dedup.minhashNearDups(ctx, "doc_id", "text",
+            sh, nh, bd, thr)
+          .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+        dropped.foreach(d => assert(paired(d),
+          s"seed $seed: continuation doc $d dropped without a witness"))
+      }
+      // shadowing audit: a continuation copy of a FORGOTTEN doc whose
+      // text no longer matches any survivor must be accepted
+      val forgottenTexts = accepted1.filter(t => forgotten(t._1))
+        .map(_._2).toSet
+      val survTexts1 = survivors1.map(_._2).toSet
+      reaccepted += cont.count { case (id, t) =>
+        forgottenTexts(t) && !survTexts1(t) && acceptedIds2(id) &&
+          cont.filter(_._1 < id).forall(_._2 != t)
+      }
+    }
+    assert(contDropped > 0,
+      "fixture drift: no continuation drops — the witness check is vacuous")
+    assert(reaccepted > 0,
+      "fixture drift: no continuation doc re-tested a forgotten text — " +
+        "the stopped-shadowing claim is vacuous")
+  }
 }

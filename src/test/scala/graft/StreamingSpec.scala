@@ -998,6 +998,68 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text", 4)))
   }
 
+  test("recomputeNearDupIndex: the band index is rebuilt over survivors " +
+      "(greedy displacement is non-invertible), forgotten docs stop " +
+      "shadowing, and the loop keeps composing") {
+    import graft.llm.Dedup
+    import graft.streaming.Pipelines
+    val (sh, nh, bd) = (3, 96, 48) // nearDupIngest's own defaults
+    val in = java.nio.file.Files.createTempDirectory("graft_ndr_in")
+    val base = java.nio.file.Files.createTempDirectory("graft_ndr").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = Pipelines.nearDupIngest(
+      spark.readStream.schema(schema).json(in.toString + "/*.ndjson"),
+      "doc_id", "text", s"$base/corpus", s"$base/idx", s"$base/ckpt",
+      sh, nh, bd, 0.5)
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def acceptedIds = spark.read.parquet(s"$base/corpus")
+      .select($"doc_id".cast("long")).collect().map(_.getLong(0)).toSet
+    val dupA = "alpha beta gamma delta eps zeta"
+    val dupB = "one two three four five six"
+    // batch 1: doc 2 displaced by 1; batch 2: doc 3 dropped against the
+    // index of survivor 1, doc 4 unique
+    drop("a.ndjson", Seq((1L, dupA), (2L, dupA)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    drop("b.ndjson", Seq((3L, dupA), (4L, dupB)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(acceptedIds === Set(1L, 4L))
+    // forget survivor 1: docs 2 and 3 it displaced STAY dropped (their
+    // text was never accepted — greedy semantics are not replayed); the
+    // surviving corpus is doc 4 alone
+    val survivors = Seq((4L, dupB)).toDF("doc_id", "text")
+    // read-time: rebuilt view only, state untouched
+    assert(img(Pipelines.recomputeNearDupIndex(spark, s"$base/idx",
+        survivors, "doc_id", "text", sh, nh, bd)) ===
+      img(Dedup.minhashBandIndex(survivors, "doc_id", "text", sh, nh, bd)))
+    assert(spark.read.parquet(s"$base/idx").where($"id" === 1L).count() > 0)
+    // durable: fold as the new base — survivor 1's bands are gone
+    Pipelines.recomputeNearDupIndex(spark, s"$base/idx", survivors,
+      "doc_id", "text", sh, nh, bd, persist = true)
+    val rebuilt = spark.read.parquet(s"$base/idx")
+      .select("id", "band", "bucket")
+    assert(img(rebuilt) ===
+      img(Dedup.minhashBandIndex(survivors, "doc_id", "text", sh, nh, bd)))
+    assert(rebuilt.where($"id" === 1L).count() === 0L)
+    // composition: the loop resumes against the rebuilt base. Doc 5
+    // duplicates the FORGOTTEN doc 1 — accepted now, even though doc 1's
+    // text is still resident in the corpus dir (the index is the
+    // similarity state; unindexed corpus rows are unreachable as
+    // candidates). Doc 6 duplicates the still-surviving doc 4 — dropped.
+    drop("c.ndjson", Seq((5L, dupA), (6L, dupB)))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(acceptedIds === Set(1L, 4L, 5L))
+    val after = Seq((4L, dupB), (5L, dupA)).toDF("doc_id", "text")
+    assert(img(spark.read.parquet(s"$base/idx")
+        .select("id", "band", "bucket")) ===
+      img(Dedup.minhashBandIndex(after, "doc_id", "text", sh, nh, bd)))
+  }
+
   test("boilerplateIngest compaction bounds the index partitions, output unchanged") {
     val base = java.nio.file.Files.createTempDirectory("graft_bpc").toString
     val mem = MemoryStream[(Long, String)](spark)
