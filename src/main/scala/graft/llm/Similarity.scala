@@ -514,9 +514,11 @@ object Similarity extends Serializable {
     //    cid instead. That is the natural IVF parallelism: with the √n
     //    auto-sizing each cell holds ~√n corpus rows and ~nProbe·√n
     //    probe rows, so nCells reduce tasks are balanced by
-    //    construction, and AQE's skew split handles a hot cell. The
-    //    re-rank join shuffles on query_id (high cardinality — no
-    //    funnel).
+    //    construction, and AQE's skew split handles a hot cell (proven
+    //    at runtime, not assumed: PlanSpec plants a half-the-corpus
+    //    cell and asserts skew=true on the executed cid join, with a
+    //    knob-off red case). The re-rank join shuffles on query_id
+    //    (high cardinality — no funnel).
     def hintQ(df: DataFrame) = if (boundedQueries) broadcast(df) else df
     val probes = hintQ(assignCells(
       qv.select(col("query_id"), col("qa")), cents, probe)

@@ -549,6 +549,83 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("ivfTopK(boundedQueries = false): AQE skew-split FIRES on the " +
+      "cid probe join when one cell holds half the corpus (runtime " +
+      "proof), and the red case shows the knob is load-bearing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // The unbounded corpus-mining mode's scaladoc (Similarity.scala)
+    // leans on "AQE's skew split handles a hot cell" — this proves the
+    // claim at runtime (the r13 skew-join idiom, f69cd9c, extended to
+    // the actual operator): plant a degenerate geometry where HALF the
+    // corpus shares one direction (identical int8 quantization → one
+    // k-means cell), run the shuffled probe join, and assert the
+    // executed adaptive plan split the hot cid partition instead of
+    // landing it on one straggler task. Thresholds are lowered so
+    // probe-scale bytes qualify (the ratios are what a cluster tunes);
+    // broadcast is disabled because at the 100 TB contract NEITHER side
+    // fits — AQE upgrading this test's small sides to broadcast would
+    // bypass the very machinery under proof.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ids < 20000: one shared direction (identical vectors → identical
+      // q8 → one cell); ids ≥ 20000: spread across varied directions
+      def geom(nHot: Int, nRest: Int, idOffset: Long) =
+        spark.range(nHot + nRest)
+          .select((col("id") + idOffset).as("vec_id"), col("id").as("i"))
+          .withColumn("embedding", expr(
+            s"""CASE WHEN i < $nHot
+               |  THEN transform(sequence(0, 15), j ->
+               |    CAST(CASE WHEN j = 0 THEN 100.0 ELSE 1.0 END AS DOUBLE))
+               |  ELSE transform(sequence(0, 15), j ->
+               |    CAST(pmod(i * (j + 7), 97) AS DOUBLE) - 48.0)
+               |END""".stripMargin))
+          .drop("i")
+      val corpus = geom(20000, 20000, 0L).localCheckpoint()
+      val queries = geom(200, 200, 1000000L).localCheckpoint()
+      def run() = {
+        val res = graft.llm.Similarity.ivfTopK(queries, corpus, k = 4,
+          nCells = 8, nProbe = 2, boundedQueries = false)
+        assert(res.collect().nonEmpty)
+        res.queryExecution.executedPlan.toString
+      }
+      val finalPlan = run()
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(300))
+      val skewLines = finalPlan.split("\n").filter(_.contains("skew=true"))
+      assert(skewLines.nonEmpty,
+        "the hot cell's partition was NOT split — AQE skew handling " +
+          s"never fired on the probe join:\n${finalPlan.take(1500)}")
+      // attribution: the split is on the cid-keyed probe join, not some
+      // incidental high-cardinality join
+      assert(skewLines.exists(_.contains("cid")),
+        s"skew=true fired, but not on the cid probe join:\n" +
+          skewLines.mkString("\n"))
+      // red case: with the knob off the same geometry must NOT split —
+      // proving the green case measured the knob, not a plan accident
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      assert(!run().contains("skew=true"),
+        "skew=true with skewJoin.enabled=false — the green assertion " +
+          "is not measuring AQE skew handling")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE skew-join ENGAGES under the session config (runtime proof)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, lit, pmod, when}
