@@ -388,6 +388,32 @@ object Retrieval extends Serializable {
     * candidate that the self-search default would silently erase —
     * all-pairs [[bitextMine]] scores such pairs, and CurationSpec's
     * colliding-id case pins the equality.
+    *
+    * Behavior at recall < 1 (MEASURED, r16 — CurationSpec pins this
+    * exact curve on 40 planted pairs + 60 distractors/side, ivf lists
+    * at nCells = 8, k = 4, threshold 1.02):
+    * {{{
+    *   nProbe   mined   ∩ all-pairs   recovered planted   spurious
+    *      8      69         69               34               0
+    *      6      69         69               34               0
+    *      4      70         68               34               2
+    *      2      70         66               32               4
+    *      1      71         65               32               6
+    * }}}
+    * Two findings worth the table. (1) Planted-pair recovery decays
+    * GENTLY and monotonically (94% survives single-probe retrieval) —
+    * the mining tail is robust to imperfect lists because a true pair
+    * only needs both endpoints retrieved once across the two
+    * directions. (2) The mined set is NOT a subset of the all-pairs
+    * result below full recall — the intuitive "margins only shrink when
+    * neighbors are missing" is FALSE: a missed neighbor shrinks the
+    * retrieved k-NN SUM, which sits in the margin's DENOMINATOR, so
+    * sparse neighborhoods INFLATE margins and push borderline
+    * distractor pairs over the threshold. The extras are
+    * distractor-side artifacts (no planted source is ever mis-mined to
+    * a wrong target at any probe count), and they grow as probes
+    * shrink; production settings choosing nProbe are trading exactly
+    * this inflation tail against probe cost, not just recall.
     */
   def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String,
