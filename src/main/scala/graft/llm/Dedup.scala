@@ -328,8 +328,16 @@ object Dedup {
     if (localThreshold > 0 && pAll.count() <= localThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val us = pAll.select(col("u")).as[Long].collect()
-      val vs = pAll.select(col("v")).as[Long].collect()
+      // the count gate above admits at most localThreshold edges; the
+      // BoundedCollect contract makes that a runtime invariant rather
+      // than a comment (a racing upstream recompute between the count
+      // and the collects would otherwise grow unchecked)
+      val us = graft.tools.BoundedCollect(pAll.select(col("u")).as[Long],
+        localThreshold, "survivorAssignment local path: edge count gated" +
+          s" <= localThreshold ($localThreshold)")
+      val vs = graft.tools.BoundedCollect(pAll.select(col("v")).as[Long],
+        localThreshold, "survivorAssignment local path: edge count gated" +
+          s" <= localThreshold ($localThreshold)")
       val ids = (us ++ vs).distinct.sorted // dictionary: index ↔ id, id-ordered
       val parent = Array.tabulate(ids.length)(identity)
       def idxOf(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
@@ -913,8 +921,16 @@ object Dedup {
       .select(col("span"), col("n_docs")).limit(0)
     val cutoff = topCounts.min
     val candHashes = counts.where(col("n_docs") >= cutoff)
+    // candidates = spans at or above the k-th largest count. Normally
+    // ~k + ties, but a degenerate corpus (every span equally common —
+    // boilerplate-only shards exist) makes "ties at the cutoff" the
+    // whole span table; 10M longs (~80 MB driver + broadcast) is the
+    // loud ceiling before that silently becomes an OOM
     val candSet = spark.sparkContext.broadcast(
-      candHashes.select(col("span")).as[Long].collect().toSet)
+      graft.tools.BoundedCollect(
+        candHashes.select(col("span")).as[Long], 10000000L,
+        s"topBoilerplateSpans candidates: ~k=$k + cutoff ties; a " +
+          "degenerate all-ties corpus is the documented failure").toSet)
     val texts = ensureParallelism(
       corpus.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]

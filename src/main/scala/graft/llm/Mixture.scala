@@ -93,9 +93,11 @@ object Mixture extends Serializable {
       .localCheckpoint()
 
     // |groups|×256 rows — bounded, the only driver-side state
-    val hist = slim.groupBy(col(groupCol).as("g"), bucket.as("b"))
-      .agg(sum(col("__mxm")).as("n"))
-      .collect()
+    val hist = graft.tools.BoundedCollect(
+      slim.groupBy(col(groupCol).as("g"), bucket.as("b"))
+        .agg(sum(col("__mxm")).as("n")),
+      1000000L, "Mixture histogram: |groups| x 256 cells — mixture " +
+        "groups are a curated axis (languages/domains), not free text")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     if (hist.isEmpty) return inMix // no weighted group present
 
@@ -163,9 +165,10 @@ object Mixture extends Serializable {
   def unimaxAllocation(df: DataFrame, groupCol: String, tokenCount: Column,
       maxEpochs: Long, budgetOf: Long => Long): DataFrame = {
     val spark = df.sparkSession
-    val groups = df.groupBy(col(groupCol))
-      .agg(sum(tokenCount).as("n"))
-      .collect()
+    val groups = graft.tools.BoundedCollect(
+      df.groupBy(col(groupCol)).agg(sum(tokenCount).as("n")),
+      1000000L, "unimaxAllocation: one row per mixture group — a " +
+        "curated axis, not a free-text key")
       .map(r => (r.getString(0), r.getLong(1)))
     val rows = waterfill(groups.toIndexedSeq, maxEpochs, budgetOf)
     spark.createDataFrame(rows)
@@ -234,9 +237,10 @@ object Mixture extends Serializable {
   def temperatureAllocation(df: DataFrame, groupCol: String,
       tokenCount: Column, budgetOf: Long => Long): DataFrame = {
     val spark = df.sparkSession
-    val groups = df.groupBy(col(groupCol))
-      .agg(sum(tokenCount).as("n"))
-      .collect()
+    val groups = graft.tools.BoundedCollect(
+      df.groupBy(col(groupCol)).agg(sum(tokenCount).as("n")),
+      1000000L, "temperatureAllocation: one row per mixture group — a " +
+        "curated axis, not a free-text key")
       .map(r => (r.getString(0), r.getLong(1)))
     val rows = temperatureMix(groups.toIndexedSeq, budgetOf)
     spark.createDataFrame(rows)

@@ -66,9 +66,11 @@ object Selection extends Serializable {
     */
   private def histogram(df: DataFrame, score: Column,
       measure: Column): Array[(String, Int, Long)] =
-    df.groupBy(col(G).as("g"), scoreBucket(score).as("b"))
-      .agg(sum(measure).as("m"))
-      .collect()
+    graft.tools.BoundedCollect(
+      df.groupBy(col(G).as("g"), scoreBucket(score).as("b"))
+        .agg(sum(measure).as("m")),
+      1000000L, "Selection histogram: |groups| x 256 cells — selection " +
+        "groups are a curated mixture axis (dozens), not a free-text key")
       .map { r =>
         if (r.isNullAt(1)) throw new IllegalArgumentException(
           "Selection: the score column contains NULLs — scores must be " +

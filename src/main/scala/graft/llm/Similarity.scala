@@ -659,10 +659,14 @@ object Similarity extends Serializable {
       .toDF("neighbor_id", "code")
 
     // per-query integer LUTs, broadcast with the closure (queries are a
-    // small set — same stance as bruteForceTopK)
+    // small set — same stance as bruteForceTopK); the bounded-queries
+    // SEARCH contract becomes a runtime invariant here: 65536 queries ×
+    // m×cb LUT longs is the loud ceiling before driver/broadcast OOM
     val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
     val qluts: Array[(Long, Array[Array[Long]])] =
-      qv.as[(Long, Seq[Int])].collect()
+      graft.tools.BoundedCollect(qv.as[(Long, Seq[Int])], 65536L,
+        "pqTopK bounded-queries contract: the query set is a search " +
+          "workload (thousands), never a corpus side")
         .map { case (qid, q) =>
           val qa = q.toArray
           qid -> Array.tabulate(mm, cbLocal(0).length) { (j, c) =>
