@@ -847,14 +847,14 @@ object PipelineConfig {
               val ps = lsh.split(":")
               val (tables, bits) = (ps.lift(1).map(_.toInt).getOrElse(8),
                 ps.lift(2).map(_.toInt).getOrElse(8))
-              // excludeSelf = false on BOTH feeds: the two sides are
-              // separate corpora whose id spaces may collide — a true
-              // pair with src_id == tgt_id must stay a candidate
-              def lists(q: DataFrame, c: DataFrame) =
-                graft.llm.Similarity.annTopK(q, c, k, tables, bits,
-                  idCol = idc, vecCol = vc, excludeSelf = false)
+              // annTopKBitext hashes each side once and never
+              // self-excludes (cross-corpus id collisions are
+              // legitimate candidates)
+              val (srcLists, tgtLists) = graft.llm.Similarity
+                .annTopKBitext(d, tgt, k, tables, bits,
+                  idCol = idc, vecCol = vc)
               graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
-                lists(d, tgt), lists(tgt, d), k, thr)
+                srcLists, tgtLists, k, thr)
             case other => sys.error(
               s"bitext_mine: unknown candidateSource '$other' " +
                 "(allpairs | ivf[:nCells:nProbe] | lsh[:tables:bits])")

@@ -207,6 +207,26 @@ object Similarity extends Serializable {
     * replayable as two-nibble arithmetic in any SQL engine (a JVM-private
     * LCG would not be).
     */
+  /** LSH bucket-width auto-sizing (r16): pick `bits` so the EXPECTED
+    * per-bucket population stays ~[[LshTargetBucketPop]] as the corpus
+    * grows — `2^bits ≈ n / 16`, clamped to [4, 20]. This is the LSH
+    * analog of [[ivfTopK]]'s √n cell rule and the difference between a
+    * linear and a quadratic candidate stage: at FIXED bits, per-bucket
+    * population is n/2^bits, so candidate volume (and the distinct's
+    * shuffle) is |Q|·n/2^bits ∝ n² — metered exactly quadratic (15.94×
+    * at 4× sides) by the ScaleProbe `bitext_lsh` row before this rule.
+    * With the rule, candidates per query stay ~tables·(bits+1)·16 (the
+    * multi-probe factor grows only logarithmically). The clamp ceiling
+    * (2^20 buckets/table) bounds plane-table cost; recall at a given
+    * population is governed by `tables`, unchanged. Fixed-parameter
+    * callers (the oracle-replayed pack queries) are untouched — the
+    * rule only fires at `bits = 0`.
+    */
+  private[graft] val LshTargetBucketPop = 16
+  private[graft] def autoLshBits(n: Long): Int = math.max(4, math.min(20,
+    math.ceil(math.log(math.max(1.0, n.toDouble / LshTargetBucketPop))
+      / math.log(2.0)).toInt))
+
   private def planeInt(t: Int, b: Int, d: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (md.digest(s"lsh:$t:$b:$d".getBytes("UTF-8"))(0) & 0xff) - 128
@@ -277,16 +297,22 @@ object Similarity extends Serializable {
     // consumer (the ivfTopK/semDedup checkpoint stance)
     val cv = q8Of(corpus, idCol, vecCol, "neighbor_id", "qb")
       .localCheckpoint()
-    val qExact = intLshFromVecs(qv, tables, bits, "query_id")
+    // bits = 0 auto-sizes from the corpus count (see [[autoLshBits]]) —
+    // the LSH analog of ivfTopK's √n cell rule, and the knob the 100 TB
+    // contract needs: at FIXED bits the per-bucket population grows with
+    // the corpus, making candidate volume n²/2^bits (metered quadratic
+    // by the ScaleProbe bitext_lsh row before this rule existed)
+    val bitsN = if (bits > 0) bits else autoLshBits(cv.count())
+    val qExact = intLshFromVecs(qv, tables, bitsN, "query_id")
     val q =
       if (!multiProbe) qExact
       else qExact.select(col("query_id"), col("table"),
-        explode(array((lit(0L) +: (0 until bits).map(b => lit(1L << b)))
+        explode(array((lit(0L) +: (0 until bitsN).map(b => lit(1L << b)))
           .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
     // localCheckpoint: the index feeds BOTH the bucket-size audit and the
     // candidate join — without it the whole-corpus hyperplane kernel (the
     // dominant cost) would execute twice
-    val cFull = intLshFromVecs(cv, tables, bits, "neighbor_id")
+    val cFull = intLshFromVecs(cv, tables, bitsN, "neighbor_id")
       .localCheckpoint()
     val okBuckets = cFull.groupBy("table", "bucket")
       .agg(count(lit(1)).as("__bsz"))
@@ -313,6 +339,73 @@ object Similarity extends Serializable {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Both-direction LSH top-k candidate lists for cross-corpus (bitext)
+    * mining in ONE pass per side: the md5 hyperplanes are
+    * data-independent, so each side is int8-quantized and
+    * hyperplane-hashed exactly once, and the same checkpointed index
+    * serves as the multi-probed QUERY side of one direction and the
+    * bucket-capped CORPUS side of the other. Row-identical to two
+    * [[annTopK]]`(excludeSelf = false)` calls — CurationSpec pins the
+    * equality — at half the kernel cost (the whole-corpus hyperplane
+    * dot products dominate annTopK, and the two-call form runs them
+    * twice per side). No self-exclusion by construction: cross-corpus
+    * id collisions are legitimate candidates (r15 advice). Returns
+    * (srcLists, tgtLists): srcLists retrieves tgt neighbors per src
+    * query, tgtLists the reverse — exactly the two frames
+    * [[graft.llm.Retrieval.bitextMineFromCandidates]] takes.
+    */
+  def annTopKBitext(src: DataFrame, tgt: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 10000, multiProbe: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // one quantization + one hyperplane pass per side, both checkpointed:
+    // each frame feeds two directions (and the index additionally feeds
+    // its own bucket-size audit). bits = 0 auto-sizes ([[autoLshBits]])
+    // from the LARGER side — one width for both directions keeps the
+    // shared-index optimization (per-direction widths would force four
+    // hashings), and bitext sides are comparable by use case
+    def q8side(df: DataFrame) =
+      q8Of(df, idCol, vecCol, "__id", "__q").localCheckpoint()
+    val sv = q8side(src)
+    val tv = q8side(tgt)
+    val bitsN =
+      if (bits > 0) bits
+      else autoLshBits(math.max(sv.count(), tv.count()))
+    val sh = intLshFromVecs(sv, tables, bitsN, "__id").localCheckpoint()
+    val th = intLshFromVecs(tv, tables, bitsN, "__id").localCheckpoint()
+    def direction(qv: DataFrame, qh: DataFrame, cv: DataFrame,
+        ch: DataFrame): DataFrame = {
+      val qExact = qh.withColumnRenamed("__id", "query_id")
+      val q =
+        if (!multiProbe) qExact
+        else qExact.select(col("query_id"), col("table"),
+          explode(array((lit(0L) +: (0 until bitsN).map(b => lit(1L << b)))
+            .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+      val cFull = ch.withColumnRenamed("__id", "neighbor_id")
+      val okBuckets = cFull.groupBy("table", "bucket")
+        .agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= maxBucketSize)
+        .select(col("table"), col("bucket"))
+      val cands = q.join(cFull.join(okBuckets, Seq("table", "bucket")),
+          Seq("table", "bucket"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+        .join(qv.select(col("__id").as("query_id"), col("__q").as("qa")),
+          "query_id")
+        .join(cv.select(col("__id").as("neighbor_id"),
+          col("__q").as("qb")), "neighbor_id")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      intCosineOfPairs(cands, "query_id", "neighbor_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+    }
+    (direction(sv, sh, tv, th), direction(tv, th, sv, sh))
   }
 
   /** Deterministic md5-ordered training sample of an (id, q8) relation,

@@ -146,13 +146,15 @@ object CurationOps extends QueryPack {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
       val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
-      def topk(q: DataFrame, c: DataFrame) =
-        Similarity.annTopK(q, c, k = AnnOracleSql.BitextK,
-          tables = AnnOracleSql.LshTables, bits = AnnOracleSql.LshBits,
-          idCol = "vec_id", vecCol = "v",
-          maxBucketSize = AnnOracleSql.LshMaxBucket, excludeSelf = false)
+      // annTopKBitext: each side quantized + hyperplane-hashed ONCE,
+      // the shared index probed in one direction and capped in the other
+      // — row-identical to two annTopK calls at half the kernel cost
+      val (srcLists, tgtLists) = Similarity.annTopKBitext(srcDf, tgtDf,
+        k = AnnOracleSql.BitextK, tables = AnnOracleSql.LshTables,
+        bits = AnnOracleSql.LshBits, idCol = "vec_id", vecCol = "v",
+        maxBucketSize = AnnOracleSql.LshMaxBucket)
       Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
-        topk(srcDf, tgtDf), topk(tgtDf, srcDf),
+        srcLists, tgtLists,
         k = AnnOracleSql.BitextK,
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),

@@ -665,10 +665,42 @@ object ScaleProbe {
           println(f"[scale] n=$n%-8d bitext_volumes     side=$side%d " +
             f"candfed_recs=$cf%.0f candfed_pairs=$cfPairs%.0f " +
             f"allpairs_pairs=$apPairs%.0f")
+          // the OTHER candidate generator (r16): annTopKBitext's shared
+          // hyperplane index, metered on the same sides and the same
+          // absolute pair bound — the lsh feed's linearity is now
+          // recorded beside the ivf feed's, not assumed from it.
+          // bits = 0 (the autoLshBits rule) + a population-scaled bucket
+          // cap are the point of the row. Measured history, recorded:
+          // fixed bits = 8 metered the candidate distinct at 15.94x
+          // records for 4x sides (bucket population ∝ n at fixed width
+          // ⇒ n²/2^bits candidates) — autoLshBits exists because of
+          // that reading. Auto width ALONE still metered 8.78x: these
+          // structured vectors hash into skewed buckets, and a heavy
+          // bucket's candidate volume is popQ·popC — quadratic no
+          // matter the width. The full linear contract is width (keeps
+          // the TYPICAL bucket at the 16-target) + maxBucketSize (the
+          // hard per-bucket bound, here 8x the target), which this row
+          // guards end-to-end; the recall cost of a dropped mega-bucket
+          // is annTopK's documented degenerate-bucket trade
+          val (lf, lb) = graft.llm.Similarity.annTopKBitext(src, tgt, 4,
+            tables = 4, bits = 0, idCol = "id", vecCol = "v",
+            maxBucketSize = 8 * graft.llm.Similarity.LshTargetBucketPop)
+          val lshRecs = shuffleRecordsOf(
+            graft.llm.Retrieval.bitextMineFromCandidates(src, tgt,
+              "id", "v", lf, lb, 4, 1000000L).count()).toDouble
+          val lshPairs = lf
+            .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+            .unionByName(lb
+              .select(col("neighbor_id").as("a"), col("query_id").as("b")))
+            .distinct().count().toDouble
+          println(f"[scale] n=$n%-8d bitext_lsh         side=$side%d " +
+            f"lsh_recs=$lshRecs%.0f lsh_pairs=$lshPairs%.0f")
           probeSpark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           Seq("bitext_candfed_recs" -> cf,
             "bitext_candfed_pairs" -> cfPairs,
+            "bitext_lsh_recs" -> lshRecs,
+            "bitext_lsh_pairs" -> lshPairs,
             "bitext_allpairs_pairs" -> apPairs,
             "bitext_side" -> side.toDouble)
         })).toMap
@@ -752,11 +784,17 @@ object ScaleProbe {
           f"${factor}x side size (${small("bitext_candfed_recs")}%.0f → " +
           f"${big("bitext_candfed_recs")}%.0f) — a stage stopped being " +
           "k-bounded per vector")
-      for (m <- Seq(small, big)) {
+      val lr = big("bitext_lsh_recs") / small("bitext_lsh_recs")
+      require(lr <= factor * 1.4,
+        f"[scale] lsh-fed bitext shuffle grew $lr%.2fx at ${factor}x " +
+          f"side size (${small("bitext_lsh_recs")}%.0f → " +
+          f"${big("bitext_lsh_recs")}%.0f) — a stage stopped being " +
+          "k-bounded per vector")
+      for (m <- Seq(small, big); key <- Seq("bitext_candfed_pairs",
+          "bitext_lsh_pairs")) {
         val bound = 2.0 * 4 * (2 * m("bitext_side"))
-        require(m("bitext_candfed_pairs") <= bound,
-          f"[scale] candidate-fed scored pairs " +
-            f"${m("bitext_candfed_pairs")}%.0f exceed the documented " +
+        require(m(key) <= bound,
+          f"[scale] $key ${m(key)}%.0f exceeds the documented " +
             f"2k(|S|+|T|) = $bound%.0f bound — candidate generation " +
             "stopped being top-k lists")
       }

@@ -1184,6 +1184,65 @@ class CurationSpec extends SparkSpec {
     })
   }
 
+  test("annTopKBitext (one hashing pass per side) is row-identical to " +
+      "two annTopK(excludeSelf = false) calls, both directions") {
+    import graft.llm.Similarity
+    // the optimization claim is EXACT equality, not approximate: the md5
+    // hyperplanes are data-independent, so hashing a side once and
+    // reusing the index across directions must reproduce the two-call
+    // rows bit-for-bit. Colliding-id fixture on purpose — the shared
+    // path must also preserve the no-self-exclusion contract.
+    val srcDf = bitextSrc.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }.toDF("id", "v")
+    val tgtDf = bitextTgt.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }.toDF("id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val (fwd, bwd) = Similarity.annTopKBitext(srcDf, tgtDf, k = 3,
+      tables = 4, bits = 4, idCol = "id", vecCol = "v")
+    assert(rows(fwd) === rows(Similarity.annTopK(srcDf, tgtDf, k = 3,
+      tables = 4, bits = 4, idCol = "id", vecCol = "v",
+      excludeSelf = false)))
+    assert(rows(bwd) === rows(Similarity.annTopK(tgtDf, srcDf, k = 3,
+      tables = 4, bits = 4, idCol = "id", vecCol = "v",
+      excludeSelf = false)))
+    assert(rows(fwd).nonEmpty && rows(bwd).nonEmpty, "fixture inert")
+  }
+
+  test("autoLshBits: the width rule's arithmetic is pinned and " +
+      "annTopK(bits = 0) equals the explicit call at the computed width") {
+    import graft.llm.Similarity
+    // 2^bits ≈ n / 16, clamped [4, 20] — the LSH analog of ivfTopK's √n
+    // cell rule (fixed width makes candidate volume n²/2^bits; the
+    // ScaleProbe bitext_lsh row metered it 15.94x at 4x sides)
+    assert(Similarity.autoLshBits(0L) === 4)
+    assert(Similarity.autoLshBits(256L) === 4)
+    assert(Similarity.autoLshBits(257L) === 5)
+    assert(Similarity.autoLshBits(2000L) === 7)
+    assert(Similarity.autoLshBits(8000L) === 9)
+    assert(Similarity.autoLshBits(4096L) === 8) // the historical default
+    assert(Similarity.autoLshBits(Long.MaxValue) === 20)
+    val srcDf = bitextSrc.toDF("id", "v")
+    val tgtDf = bitextTgt.toDF("id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // 5-row corpus → autoLshBits = 4; the auto call must be bit-identical
+    // to the explicit one (the rule picks a width, nothing else changes)
+    val auto = rows(Similarity.annTopK(srcDf, tgtDf, k = 3, tables = 4,
+      bits = 0, idCol = "id", vecCol = "v", excludeSelf = false))
+    assert(auto === rows(Similarity.annTopK(srcDf, tgtDf, k = 3,
+      tables = 4, bits = 4, idCol = "id", vecCol = "v",
+      excludeSelf = false)))
+    assert(auto.nonEmpty)
+    val (af, ab) = Similarity.annTopKBitext(srcDf, tgtDf, k = 3,
+      tables = 4, bits = 0, idCol = "id", vecCol = "v")
+    val (ef, eb) = Similarity.annTopKBitext(srcDf, tgtDf, k = 3,
+      tables = 4, bits = 4, idCol = "id", vecCol = "v")
+    assert(rows(af) === rows(ef) && rows(ab) === rows(eb))
+  }
+
   test("bitextMineFromCandidates with COLLIDING id spaces: " +
       "excludeSelf = false keeps src_id == tgt_id candidates and " +
       "equals all-pairs; the self-search default would lose them") {
