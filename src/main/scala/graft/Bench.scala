@@ -229,6 +229,19 @@ object Bench {
     val a = n.split('_').filter(_.nonEmpty).map(_.head).mkString
     if (a.length >= 2) a else n
   }
+
+  /** The collision-RESOLVED name → short-key map both the tail line and
+    * the bench_out.json legend use: a key collision must not kill the
+    * round's bench artifact, so colliding entries fall back to their
+    * full names (the line may then exceed the tail window, but every
+    * non-colliding round still parses — and the legend describes what
+    * the tail actually keys by). */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    val proposed: Map[String, String] =
+      names.map(n => n -> shortName(n)).toMap
+    val collided = proposed.groupBy(_._2).filter(_._2.size > 1).keySet
+    proposed.map { case (n, s) => n -> (if (collided(s)) n else s) }
+  }
   /** Fixed-work calibration probe (r15 VERDICT ask #1): a constant-size,
     * plan-stable, IO-free task timed once per warm rep, published as
     * `calib_sec` (per rep) in bench_out.json and as the median `calib`
@@ -243,22 +256,46 @@ object Bench {
     * regression, and [[BenchBaselineSpec]] scales the per-query band
     * check by exactly that ratio (a genuinely regressed query still
     * trips: a real 3× sits at 2× even after a 1.5× host discount).
-    * Shape: range → hash-agg partial → exchange → final agg → sort-agg
-    * count — one shuffle + one sort, the same machinery the pack's
-    * queries spend their time in. ~0.3 s at the bench's local[4]; five
-    * probes cost ~1.5 s of a ~75 s run.
+    * Shape: range → per-row projection → hash-agg partial → exchange →
+    * final agg → sort of the 4096 group rows → driver collect. The
+    * result is CONSUMED via collect(), not count() — a count() here let
+    * Catalyst prune the sum/count aggregates and EliminateSorts drop
+    * the sort entirely (verified against the optimized plan in review),
+    * leaving a probe that never exercised the machinery its contract
+    * documents. The checksum fold over the collected rows both defeats
+    * dead-code elimination and pins the probe's ARITHMETIC: a changed
+    * checksum means the probe's work changed and recorded calibs are no
+    * longer comparable (CalibProbeVersion must bump). ~0.3 s at the
+    * bench's local[4]; five probes cost ~1.5 s of a ~75 s run.
+    *
+    * [[CalibProbeVersion]] stamps every recorded reading: the baseline
+    * gate only applies a host discount when the versions match — a
+    * probe-shape change (like the count()→collect() fix this version
+    * number exists for) makes old readings incomparable, and comparing
+    * across versions could mis-scale the gate in the LOOSE direction.
     */
   private[graft] val CalibRows = 20000000L
   private[graft] val CalibParts = 16
+  private[graft] val CalibProbeVersion = 2
   private[graft] def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val t0 = System.nanoTime()
-    spark.range(0L, CalibRows, 1L, CalibParts)
+    val rows = spark.range(0L, CalibRows, 1L, CalibParts)
       .selectExpr("id % 4096 AS g", "id AS v")
       .groupBy("g")
       .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
       .orderBy(col("s").desc, col("g").asc)
-      .count()
+      .collect()
+    var check = 0L
+    var i = 0
+    while (i < rows.length) {
+      check = check * 31 + rows(i).getLong(1) + rows(i).getLong(2)
+      i += 1
+    }
+    require(rows.length == 4096 && check == 321488248504609152L,
+      s"calibration probe result drifted (n=${rows.length}, " +
+        s"check=$check) — its work is no longer the recorded work; " +
+        "bump CalibProbeVersion and re-record bench_baseline.json")
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -365,9 +402,13 @@ object Bench {
     // short-key → full-name legend (r15 VERDICT ask #7): BENCH_r{N}.json's
     // parsed.queries uses the abbreviated tail keys, and six frozen digit
     // keys ("5", "0", …) are opaque without this map — publish the whole
-    // mapping here where bytes are free (the tail window never carries it)
-    val legend = names.map(n => s"""\"${shortName(n)}\":\"$n\"""")
-      .mkString("{", ",", "}")
+    // mapping here where bytes are free (the tail window never carries
+    // it). Built from the SAME collision-resolved map tailLine keys by
+    // (raw shortName would emit duplicate JSON keys on a collision while
+    // the tail falls back to full names — the legend must describe the
+    // tail, not the ideal)
+    val legend = shortKeys(names).toSeq.sortBy(_._1)
+      .map { case (n, s) => s"""\"$s\":\"$n\"""" }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","warm_reps":$reps,"warmup_reps":$warmup,
                   |"rep_totals":[${repTotals.map(f3).mkString(",")}],
                   |"median_total_sec":${f3(medianTotal)},
@@ -375,6 +416,7 @@ object Bench {
                   |"noise_total_sec":${f3(noise)},
                   |"calib_sec":[${calibs.map(f3).mkString(",")}],
                   |"calib_median_sec":${f3(calibMed)},
+                  |"calib_probe_version":$CalibProbeVersion,
                   |"rep_total_spread_sec":${f3(repSpread)},
                   |"keys":$legend,
                   |"cold":${qjson(cold)},
@@ -473,10 +515,17 @@ object Bench {
     // loosen the gate on a fast host, the unsafe direction).
     val s = calibScale.max(1.0)
     val scaled = cur.map { case (n, v) => n -> (if (v < 0) v else v / s) }
-    flaggedRegressions(baseline, scaled, spread).map { n =>
+    // the spread is measured on the SAME host-inflated reps as cur, so
+    // it must be discounted consistently — leaving it raw would widen
+    // the band twice on a slow host and let a real regression hide
+    // inside its own inflated spread (review finding, r16)
+    val scaledSpread = spread.map {
+      case (n, v) => n -> (if (v < 0) v else v / s)
+    }
+    flaggedRegressions(baseline, scaled, scaledSpread).map { n =>
       f"$n: ${cur(n)}%.3f s (÷$s%.2f host calib = ${scaled(n)}%.3f) vs " +
         f"recorded median ${baseline(n)}%.3f s " +
-        f"(band ${1.5 * baseline(n) + 0.3 + spread.getOrElse(n, 0.0).max(0.0)}%.3f)"
+        f"(band ${1.5 * baseline(n) + 0.3 + scaledSpread.getOrElse(n, 0.0).max(0.0)}%.3f)"
     }
   }
 
@@ -514,14 +563,7 @@ object Bench {
   private[graft] def tailLine(names: Seq[String], med: Map[String, Double],
       total: Double, sfShort: String, noise: Double = 0.0,
       calib: Double = -1.0): String = {
-    val proposed: Map[String, String] = names.map(n => n -> shortName(n)).toMap
-    // a key collision must not kill the round's bench artifact: colliding
-    // entries fall back to their full names (the line may then exceed the
-    // tail window, but every non-colliding round still parses)
-    val collided = proposed.groupBy(_._2).filter(_._2.size > 1).keySet
-    val shortKey = proposed.map { case (n, s) =>
-      n -> (if (collided(s)) n else s)
-    }
+    val shortKey = shortKeys(names)
     // no warm_reps here: the tail budget is the scarce resource and the
     // rep count is in bench_out.json + the early full-name line. "noise"
     // (≤ ~12 chars, 1 decimal) is the one diagnostics field worth a tail

@@ -332,11 +332,15 @@ object Dedup {
       // BoundedCollect contract makes that a runtime invariant rather
       // than a comment (a racing upstream recompute between the count
       // and the collects would otherwise grow unchecked)
+      // clamp under Int.MaxValue: localThreshold is a Long knob and a
+      // caller passing e.g. 3e9 was legal before the contract existed
+      // (the count gate still protects — edges here are <= the gate)
+      val bound = math.min(localThreshold, Int.MaxValue - 1L)
       val us = graft.tools.BoundedCollect(pAll.select(col("u")).as[Long],
-        localThreshold, "survivorAssignment local path: edge count gated" +
+        bound, "survivorAssignment local path: edge count gated" +
           s" <= localThreshold ($localThreshold)")
       val vs = graft.tools.BoundedCollect(pAll.select(col("v")).as[Long],
-        localThreshold, "survivorAssignment local path: edge count gated" +
+        bound, "survivorAssignment local path: edge count gated" +
           s" <= localThreshold ($localThreshold)")
       val ids = (us ++ vs).distinct.sorted // dictionary: index ↔ id, id-ordered
       val parent = Array.tabulate(ids.length)(identity)

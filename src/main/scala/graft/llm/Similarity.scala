@@ -303,28 +303,45 @@ object Similarity extends Serializable {
     // the corpus, making candidate volume n²/2^bits (metered quadratic
     // by the ScaleProbe bitext_lsh row before this rule existed)
     val bitsN = if (bits > 0) bits else autoLshBits(cv.count())
-    val qExact = intLshFromVecs(qv, tables, bitsN, "query_id")
-    val q =
-      if (!multiProbe) qExact
-      else qExact.select(col("query_id"), col("table"),
-        explode(array((lit(0L) +: (0 until bitsN).map(b => lit(1L << b)))
-          .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
     // localCheckpoint: the index feeds BOTH the bucket-size audit and the
     // candidate join — without it the whole-corpus hyperplane kernel (the
     // dominant cost) would execute twice
     val cFull = intLshFromVecs(cv, tables, bitsN, "neighbor_id")
       .localCheckpoint()
-    val okBuckets = cFull.groupBy("table", "bucket")
+    lshTopKCore(qv, intLshFromVecs(qv, tables, bitsN, "query_id"),
+      cv, cFull, k, bitsN, maxBucketSize, multiProbe, excludeSelf)
+  }
+
+  /** The one multi-probe/bucket-cap/distinct/re-rank pipeline BOTH
+    * [[annTopK]] and [[annTopKBitext]] run (extracted in r16 review: two
+    * hand-mirrored copies made the pinned "row-identical" contract a
+    * memory test for future editors; one core makes it true by
+    * construction). Frames: `qv(query_id, qa)` / `cv(neighbor_id, qb)`
+    * quantized vectors, `qh(query_id, table, bucket)` /
+    * `ch(neighbor_id, table, bucket)` their hyperplane indexes at
+    * `bitsN`.
+    *
+    * excludeSelf = true is the SELF-SEARCH contract (queries drawn from
+    * the corpus — a query finding its own row is noise). Cross-corpus
+    * callers (the bitext candidate feed) MUST pass false: when the two
+    * corpora have overlapping id spaces (common — each numbered from 0),
+    * a true pair with src_id == tgt_id is a legitimate candidate that
+    * this filter would silently erase (r15 advice).
+    */
+  private def lshTopKCore(qv: DataFrame, qh: DataFrame, cv: DataFrame,
+      ch: DataFrame, k: Int, bitsN: Int, maxBucketSize: Int,
+      multiProbe: Boolean, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q =
+      if (!multiProbe) qh
+      else qh.select(col("query_id"), col("table"),
+        explode(array((lit(0L) +: (0 until bitsN).map(b => lit(1L << b)))
+          .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+    val okBuckets = ch.groupBy("table", "bucket")
       .agg(count(lit(1)).as("__bsz"))
       .where(col("__bsz") <= maxBucketSize)
       .select(col("table"), col("bucket"))
-    val c = cFull.join(okBuckets, Seq("table", "bucket"))
-    // excludeSelf = true is the SELF-SEARCH contract (queries drawn from
-    // the corpus — a query finding its own row is noise). Cross-corpus
-    // callers (the bitext candidate feed) MUST pass false: when the two
-    // corpora have overlapping id spaces (common — each numbered from 0),
-    // a true pair with src_id == tgt_id is a legitimate candidate that
-    // this filter would silently erase (r15 advice).
+    val c = ch.join(okBuckets, Seq("table", "bucket"))
     val cands0 = q.join(c, Seq("table", "bucket"))
     val cands = (if (excludeSelf)
         cands0.where(col("query_id") =!= col("neighbor_id"))
@@ -377,34 +394,18 @@ object Similarity extends Serializable {
       else autoLshBits(math.max(sv.count(), tv.count()))
     val sh = intLshFromVecs(sv, tables, bitsN, "__id").localCheckpoint()
     val th = intLshFromVecs(tv, tables, bitsN, "__id").localCheckpoint()
+    // no self-exclusion by construction (cross-corpus id collisions are
+    // legitimate candidates); the pipeline itself is THE shared
+    // [[lshTopKCore]] annTopK runs — row-identity is by construction,
+    // not by mirrored code
     def direction(qv: DataFrame, qh: DataFrame, cv: DataFrame,
-        ch: DataFrame): DataFrame = {
-      val qExact = qh.withColumnRenamed("__id", "query_id")
-      val q =
-        if (!multiProbe) qExact
-        else qExact.select(col("query_id"), col("table"),
-          explode(array((lit(0L) +: (0 until bitsN).map(b => lit(1L << b)))
-            .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
-      val cFull = ch.withColumnRenamed("__id", "neighbor_id")
-      val okBuckets = cFull.groupBy("table", "bucket")
-        .agg(count(lit(1)).as("__bsz"))
-        .where(col("__bsz") <= maxBucketSize)
-        .select(col("table"), col("bucket"))
-      val cands = q.join(cFull.join(okBuckets, Seq("table", "bucket")),
-          Seq("table", "bucket"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-        .join(qv.select(col("__id").as("query_id"), col("__q").as("qa")),
-          "query_id")
-        .join(cv.select(col("__id").as("neighbor_id"),
-          col("__q").as("qb")), "neighbor_id")
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      intCosineOfPairs(cands, "query_id", "neighbor_id")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("sim"),
-          col("rank").cast("long").as("rank"))
-    }
+        ch: DataFrame): DataFrame =
+      lshTopKCore(
+        qv.select(col("__id").as("query_id"), col("__q").as("qa")),
+        qh.withColumnRenamed("__id", "query_id"),
+        cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),
+        ch.withColumnRenamed("__id", "neighbor_id"),
+        k, bitsN, maxBucketSize, multiProbe, excludeSelf = false)
     (direction(sv, sh, tv, th), direction(tv, th, sv, sh))
   }
 

@@ -220,9 +220,15 @@ class BenchArtifactSpec extends AnyFunSuite {
     // schema pin: the probe's work constants are frozen — a change here
     // breaks comparability of every recorded calib_sec and must be a
     // deliberate, baseline-regenerating edit
-    assert(Bench.CalibRows === 20000000L && Bench.CalibParts === 16,
-      "calibration probe work changed — regenerate bench_baseline.json's " +
-        "calib_sec in the same commit and say why")
+    assert(Bench.CalibRows === 20000000L && Bench.CalibParts === 16 &&
+      Bench.CalibProbeVersion === 2,
+      "calibration probe work changed — bump CalibProbeVersion AND " +
+        "regenerate bench_baseline.json's calib recording in the same " +
+        "commit (the version gate keeps old readings from mis-scaling " +
+        "the band)")
+    // (the probe's execute-what-you-time guarantee — its internal
+    // checksum require over the collected sorted rows — is exercised
+    // with a live session in PlanSpec's calibration-probe case)
   }
 
   test("regression band consumes the measured noise floor") {

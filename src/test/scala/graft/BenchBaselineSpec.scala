@@ -40,10 +40,11 @@ class BenchBaselineSpec extends AnyFunSuite {
     }.toMap
 
   private def render(sf: String, qs: Map[String, Double],
-      calib: Option[Double]): String = {
+      calib: Option[(Double, Int)]): String = {
     val items = qs.toSeq.sortBy(_._1)
-    val calibLine = calib
-      .map(c => s"""  "calib_sec": ${Bench.fmt(c, 3)},\n""").getOrElse("")
+    val calibLine = calib.map { case (c, ver) =>
+      s"""  "calib_sec": ${Bench.fmt(c, 3)},\n""" +
+        s"""  "calib_probe_version": $ver,\n""" }.getOrElse("")
     items.map { case (k, v) => s"""    "$k": ${Bench.fmt(v, 3)}""" }
       .mkString(s"""{\n  "sf": "$sf",\n$calibLine  "queries": {\n""",
         ",\n", "\n  }\n}\n")
@@ -70,24 +71,41 @@ class BenchBaselineSpec extends AnyFunSuite {
     // divided by the ratio before the band check (Bench.baselineViolations
     // annotates flagged queries with the applied discount). Absent on
     // either side → scale 1 (the pre-calib behavior, the strict direction).
-    val baseCalib = (baseJ \ "calib_sec").extractOpt[Double].filter(_ > 0)
-    val curCalib = (outJ \ "calib_median_sec").extractOpt[Double]
-      .filter(_ > 0)
-    val calibScale = (for (b <- baseCalib; c <- curCalib) yield c / b)
-      .getOrElse(1.0)
+    // readings are only comparable at the SAME probe version: a probe
+    // shape change (e.g. the v2 count()→collect() fix — v1 timed a plan
+    // with the sort and aggregates optimized away) makes old calibs
+    // incomparable, and a cross-version ratio could mis-scale the gate
+    // in the LOOSE direction. Version mismatch → no discount (strict),
+    // and the next rewrite replaces the recording with the current
+    // version's.
+    val baseCalib = for {
+      c <- (baseJ \ "calib_sec").extractOpt[Double] if c > 0
+      v <- (baseJ \ "calib_probe_version").extractOpt[Int]
+        .orElse(Some(1))
+    } yield (c, v)
+    val curCalib = for {
+      c <- (outJ \ "calib_median_sec").extractOpt[Double] if c > 0
+      v <- (outJ \ "calib_probe_version").extractOpt[Int].orElse(Some(1))
+    } yield (c, v)
+    val calibScale = (for ((b, bv) <- baseCalib; (c, cv) <- curCalib
+      if bv == cv) yield c / b).getOrElse(1.0)
     if (calibScale > 1.0)
       info(f"host calib discount ×$calibScale%.2f (run " +
-        f"${curCalib.get}%.3f s vs recorded ${baseCalib.get}%.3f s)")
+        f"${curCalib.get._1}%.3f s vs recorded ${baseCalib.get._1}%.3f s)")
+    for ((b, bv) <- baseCalib; (_, cv) <- curCalib if bv != cv)
+      info(s"calib probe version changed ($bv → $cv): no discount " +
+        "applied; the recording refreshes on the next rewrite")
     val violations = Bench.baselineViolations(baseline, cur, spread,
       calibScale)
     // recorded calib follows the recorded medians: regen records the
     // run's probe outright; a ratchet-down keeps the FASTEST host seen
-    // (min) — the medians being merged are mins across runs, so the
-    // matching host reference is the fastest one, and the discount stays
-    // conservative (only widens when the current host is slower than the
-    // best recorded)
-    def mergedCalib: Option[Double] = (baseCalib, curCalib) match {
-      case (Some(b), Some(c)) => Some(math.min(b, c))
+    // (min) at matching versions — the medians being merged are mins
+    // across runs, so the matching host reference is the fastest one,
+    // and the discount stays conservative. A version change always
+    // adopts the current reading (old ones are incomparable).
+    def mergedCalib: Option[(Double, Int)] = (baseCalib, curCalib) match {
+      case (Some((b, bv)), Some((c, cv))) if bv == cv =>
+        Some((math.min(b, c), cv))
       case (b, c) => c.orElse(b)
     }
     if (sys.env.contains("BENCH_BASELINE_REGEN")) {
@@ -161,5 +179,14 @@ class BenchBaselineSpec extends AnyFunSuite {
     // not deflate the band — scale clamps at 1
     assert(Bench.baselineViolations(baseline, Map("qa" -> 3.6),
       Map("qa" -> 0.2), calibScale = 0.5).nonEmpty)
+    // the spread is discounted CONSISTENTLY with cur (review finding):
+    // both are measured in the same host-inflated units, and a raw
+    // spread would widen the band twice — here a real 3x regression
+    // (2.0*3*1.8 = 10.8 raw) carrying its own inflated 3.0 s spread
+    // must still trip (scaled: 6.0 vs band 3.0+0.3+3.0/1.8 = 4.97;
+    // unscaled spread would read 6.0 vs 6.3 and hide it)
+    assert(Bench.baselineViolations(Map("qa" -> 2.0), Map("qa" -> 10.8),
+      Map("qa" -> 3.0), calibScale = 1.8).nonEmpty,
+      "a regression hid inside its own host-inflated spread")
   }
 }

@@ -626,6 +626,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the bench calibration probe executes the machinery it times") {
+    // v1 of the probe consumed its plan via count(): EliminateSorts
+    // dropped the orderBy and column pruning removed the sum/count
+    // aggregates, so the probe timed a plan with the very machinery
+    // under measurement optimized away (review finding, r16). v2
+    // collect()s and checksums the 4096 sorted rows — the checksum
+    // require inside calibrate() fails if the aggregates or ordering
+    // ever stop executing, and this case drives it under a live session
+    val s = Bench.calibrate(spark)
+    assert(s > 0.0 && s < 60.0, s"calibration probe read $s s")
+  }
+
   test("AQE skew-join ENGAGES under the session config (runtime proof)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, lit, pmod, when}
