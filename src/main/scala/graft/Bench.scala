@@ -268,6 +268,19 @@ object Bench {
     * longer comparable (CalibProbeVersion must bump). ~0.3 s at the
     * bench's local[4]; five probes cost ~1.5 s of a ~75 s run.
     *
+    * Attribution caveat (r16 advice): the probe runs through the SAME
+    * Spark session as the benchmarked queries, so its timing tracks
+    * host conditions AND any engine-global condition — codegen
+    * disabled, a session-wide planner slowdown, a shuffle-config
+    * change would inflate probe and queries alike, and an uncapped
+    * discount would wave such a uniform real regression through as
+    * "host contention". That is why [[baselineViolations]] clamps the
+    * discount at [[MaxCalibDiscount]]: past it the run is treated as
+    * at-most-2×-contended and anything beyond must answer to the band
+    * undivided. Observed host contention (r15/r16 driver runs) sits at
+    * 1.4–1.6×, comfortably inside the cap; a >2× probe reading is
+    * loud in the artifact either way (`calib_median_sec`).
+    *
     * [[CalibProbeVersion]] stamps every recorded reading: the baseline
     * gate only applies a host discount when the versions match — a
     * probe-shape change (like the count()→collect() fix this version
@@ -502,6 +515,15 @@ object Bench {
     * enforces them in CI with the scan-ratchet discipline (decrease
     * rewrites in place, loosening needs a reasoned edit + regen env).
     */
+  /** Ceiling on the calibration host discount (r16 advice): the probe
+    * shares the benchmarked session, so an ENGINE-global regression
+    * (codegen off, planner slowdown) inflates probe and queries by the
+    * same factor and would self-discount without a cap. 2× covers every
+    * observed contention reading (1.4–1.6×) with headroom; beyond it
+    * the excess is NOT discounted and the band check sees it.
+    */
+  private[graft] val MaxCalibDiscount = 2.0
+
   private[graft] def baselineViolations(baseline: Map[String, Double],
       cur: Map[String, Double],
       spread: Map[String, Double],
@@ -512,8 +534,11 @@ object Bench {
     // slow/contended host never trips the gate while a genuinely
     // regressed query still does (a real 3× reads 2× after a 1.5× host
     // discount — still past the 1.5× band). Never scale DOWN (< 1 would
-    // loosen the gate on a fast host, the unsafe direction).
-    val s = calibScale.max(1.0)
+    // loosen the gate on a fast host, the unsafe direction), and never
+    // discount past MaxCalibDiscount (an uncapped ratio would let an
+    // engine-global real regression fully self-discount — the probe
+    // rides the same session; see the calibrate scaladoc).
+    val s = calibScale.max(1.0).min(MaxCalibDiscount)
     val scaled = cur.map { case (n, v) => n -> (if (v < 0) v else v / s) }
     // the spread is measured on the SAME host-inflated reps as cur, so
     // it must be discounted consistently — leaving it raw would widen

@@ -418,10 +418,25 @@ object Retrieval extends Serializable {
   def bitextMineFromCandidates(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String,
       srcCands: DataFrame, tgtCands: DataFrame, k: Int = 4,
-      marginThresholdMicro: Long = 1000000L): DataFrame = {
+      marginThresholdMicro: Long = 1000000L): DataFrame =
+    mineFromCandidateFrames(
+      q8Side(src, idCol, vecCol, "src_id"),
+      q8Side(tgt, idCol, vecCol, "tgt_id"),
+      srcCands, tgtCands, k, marginThresholdMicro)
+
+  /** The candidate-fed mining tail over PRE-QUANTIZED sides — `s` is a
+    * `(src_id, __qsrc_id)` frame, `t` a `(tgt_id, __qtgt_id)` frame
+    * (the [[q8Side]] shapes). [[bitextMineFromCandidates]] quantizes
+    * then delegates here; the continuous bitext loop's read path
+    * ([[graft.streaming.Pipelines.bitextRetroMine]]) enters directly
+    * with persisted int8 state (quantization is per-row deterministic,
+    * so persisted rows are bit-identical to a fresh [[q8Side]] pass —
+    * one tail, no drift).
+    */
+  private[graft] def mineFromCandidateFrames(s: DataFrame, t: DataFrame,
+      srcCands: DataFrame, tgtCands: DataFrame, k: Int,
+      marginThresholdMicro: Long): DataFrame = {
     requireBitextK(k)
-    val s = q8Side(src, idCol, vecCol, "src_id")
-    val t = q8Side(tgt, idCol, vecCol, "tgt_id")
     val cand = srcCands.select(
         col("query_id").cast("long").as("src_id"),
         col("neighbor_id").cast("long").as("tgt_id"))

@@ -363,12 +363,19 @@ object Similarity extends Serializable {
     * data-independent, so each side is int8-quantized and
     * hyperplane-hashed exactly once, and the same checkpointed index
     * serves as the multi-probed QUERY side of one direction and the
-    * bucket-capped CORPUS side of the other. Row-identical to two
-    * [[annTopK]]`(excludeSelf = false)` calls — CurationSpec pins the
-    * equality — at half the kernel cost (the whole-corpus hyperplane
-    * dot products dominate annTopK, and the two-call form runs them
-    * twice per side). No self-exclusion by construction: cross-corpus
-    * id collisions are legitimate candidates (r15 advice). Returns
+    * bucket-capped CORPUS side of the other. At FIXED `bits` this is
+    * row-identical to two [[annTopK]]`(excludeSelf = false)` calls —
+    * CurationSpec pins the equality — at half the kernel cost (the
+    * whole-corpus hyperplane dot products dominate annTopK, and the
+    * two-call form runs them twice per side). The row-identity claim is
+    * SCOPED to explicit-bits callers (r16 advice): at `bits = 0` each
+    * annTopK call auto-sizes from its own CORPUS side while this shared
+    * index picks one width from the larger side, so when unequal side
+    * sizes straddle an [[autoLshBits]] boundary the smaller-corpus
+    * direction runs at a wider index here than the two-call form would
+    * use (CurationSpec pins the width divergence on exactly such
+    * sizes). No self-exclusion by construction: cross-corpus id
+    * collisions are legitimate candidates (r15 advice). Returns
     * (srcLists, tgtLists): srcLists retrieves tgt neighbors per src
     * query, tgtLists the reverse — exactly the two frames
     * [[graft.llm.Retrieval.bitextMineFromCandidates]] takes.
@@ -378,7 +385,6 @@ object Similarity extends Serializable {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 10000, multiProbe: Boolean = true)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     // one quantization + one hyperplane pass per side, both checkpointed:
     // each frame feeds two directions (and the index additionally feeds
     // its own bucket-size audit). bits = 0 auto-sizes ([[autoLshBits]])
@@ -386,25 +392,62 @@ object Similarity extends Serializable {
     // shared-index optimization (per-direction widths would force four
     // hashings), and bitext sides are comparable by use case
     def q8side(df: DataFrame) =
-      q8Of(df, idCol, vecCol, "__id", "__q").localCheckpoint()
+      q8Of(df, idCol, vecCol, "id", "q").localCheckpoint()
     val sv = q8side(src)
     val tv = q8side(tgt)
     val bitsN =
       if (bits > 0) bits
       else autoLshBits(math.max(sv.count(), tv.count()))
-    val sh = intLshFromVecs(sv, tables, bitsN, "__id").localCheckpoint()
-    val th = intLshFromVecs(tv, tables, bitsN, "__id").localCheckpoint()
-    // no self-exclusion by construction (cross-corpus id collisions are
-    // legitimate candidates); the pipeline itself is THE shared
-    // [[lshTopKCore]] annTopK runs — row-identity is by construction,
-    // not by mirrored code
+    val sh = lshStateFromQ8(sv, tables, bitsN).localCheckpoint()
+    val th = lshStateFromQ8(tv, tables, bitsN).localCheckpoint()
+    bitextListsFromState(sv, sh, tv, th, k, bitsN, maxBucketSize,
+      multiProbe)
+  }
+
+  /** The narrow `(id, q)` int8 state rows of a corpus — EXACTLY the
+    * [[quantizeInt8]] arithmetic via the primitive kernel. This is the
+    * per-side frame the continuous bitext loop
+    * ([[graft.streaming.Pipelines.bitextIngest]]) persists per batch:
+    * quantization is per-row deterministic, so batch-computed rows union
+    * to exactly the frame a batch call would compute over the union.
+    */
+  private[graft] def q8State(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = q8Of(df, idCol, vecCol, "id", "q")
+
+  /** The `(id, table, bucket)` hyperplane index rows of a `(id, q)`
+    * frame at a FIXED width — the other half of the persisted bitext
+    * state (planes are md5-derived and data-independent, so per-batch
+    * hashing composes additively; a frozen `bits` is the contract, the
+    * same stance as the streaming SemDeDup loop's frozen centroids).
+    */
+  private[graft] def lshStateFromQ8(vecs: DataFrame, tables: Int,
+      bits: Int): DataFrame = {
+    require(bits > 0, "lshStateFromQ8: persisted-state hashing needs a " +
+      "FIXED bits width (auto-sizing would re-width as the corpus grows, " +
+      "making old index rows unreadable)")
+    intLshFromVecs(vecs.toDF("__id", "__q"), tables, bits, "id")
+  }
+
+  /** Both-direction candidate lists from PRECOMPUTED per-side state —
+    * `sv`/`tv` are `(id, q)` frames ([[q8State]]), `sh`/`th` their
+    * `(id, table, bucket)` indexes at `bitsN` ([[lshStateFromQ8]]).
+    * The pipeline is THE shared [[lshTopKCore]] annTopK runs (no
+    * self-exclusion — cross-corpus id collisions are legitimate), so
+    * state-fed retrieval is row-identical to [[annTopKBitext]] over the
+    * same vectors by construction. This is the read path of the
+    * continuous bitext loop: accumulated state goes in, fresh hashing
+    * never happens.
+    */
+  private[graft] def bitextListsFromState(sv: DataFrame, sh: DataFrame,
+      tv: DataFrame, th: DataFrame, k: Int, bitsN: Int,
+      maxBucketSize: Int, multiProbe: Boolean): (DataFrame, DataFrame) = {
     def direction(qv: DataFrame, qh: DataFrame, cv: DataFrame,
         ch: DataFrame): DataFrame =
       lshTopKCore(
-        qv.select(col("__id").as("query_id"), col("__q").as("qa")),
-        qh.withColumnRenamed("__id", "query_id"),
-        cv.select(col("__id").as("neighbor_id"), col("__q").as("qb")),
-        ch.withColumnRenamed("__id", "neighbor_id"),
+        qv.select(col("id").as("query_id"), col("q").as("qa")),
+        qh.select(col("id").as("query_id"), col("table"), col("bucket")),
+        cv.select(col("id").as("neighbor_id"), col("q").as("qb")),
+        ch.select(col("id").as("neighbor_id"), col("table"), col("bucket")),
         k, bitsN, maxBucketSize, multiProbe, excludeSelf = false)
     (direction(sv, sh, tv, th), direction(tv, th, sv, sh))
   }

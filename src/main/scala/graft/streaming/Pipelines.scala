@@ -1057,6 +1057,157 @@ object Pipelines {
         p.getName.stripPrefix("batch=").toLong).toOption)
   }
 
+  /** Continuous BITEXT-side ingestion (r16 VERDICT ask #1 — the last
+    * curation family with no streaming twin): each micro-batch of one
+    * language side's `(id, vec)` rows is int8-quantized ONCE
+    * ([[graft.llm.Similarity.q8State]]) and hyperplane-hashed ONCE at a
+    * FROZEN `tables`×`bits` width
+    * ([[graft.llm.Similarity.lshStateFromQ8]] — the md5 planes are
+    * data-independent, so per-batch hashing composes additively; a
+    * frozen width is the contract, exactly the streaming SemDeDup
+    * loop's frozen-centroid stance), persisting slim `(id, q)` rows
+    * under `vecsDir/batch=` and `(id, table, bucket)` rows under
+    * `idxDir/batch=`. The accumulated state IS
+    * [[graft.llm.Similarity.annTopKBitext]]'s checkpointed shared
+    * index, durably: historical vectors are never re-quantized or
+    * re-hashed, and [[bitextRetroMine]] re-runs candidate generation +
+    * margin mining over the merged sides at read time — mining is a
+    * pure function of the two sides, so streamed state mines EXACTLY
+    * what a batch [[graft.llm.Retrieval.bitextMineFromCandidates]] over
+    * the unions would (StreamingSpec proves the equality; the driver
+    * oracle replays a full ingest+mine round trip as `ret_bitext_ingest`).
+    *
+    * Run one loop per language side — the sides are separate corpora
+    * with separate arrival streams, and the state is per-side. Same
+    * idempotent `batch=` layout, `_SUCCESS`-gated reads, and two-level
+    * base/delta compaction (index side) as every loop here. Unlike the
+    * dedup loops there is NO cross-batch survivorship: state rows are
+    * pure per-doc functions of their vector, so batches need no id
+    * monotonicity and the forget story is an exact tombstone anti-join
+    * (see [[bitextRetroMine]]) — invertible, unlike near_dup's greedy
+    * displacement state.
+    */
+  def bitextIngest(stream: DataFrame, idCol: String, vecCol: String,
+      vecsDir: String, idxDir: String, checkpointDir: String,
+      tables: Int = 8, bits: Int = 8,
+      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bits > 0 && tables > 0,
+      s"bitextIngest: needs FIXED tables > 0 and bits > 0 (got $tables, " +
+        s"$bits) — auto-sizing would re-width the index as the corpus " +
+        "grows, orphaning persisted buckets")
+    indexedIngestAgg(stream, idCol, vecCol, vecsDir, idxDir,
+      checkpointDir, compactEvery,
+      emptyBitextIdx,
+      _.select(col("id"), col("table"), col("bucket")),
+      (_, fresh) => {
+        // one quantization feeds BOTH persisted frames
+        val q8 = graft.llm.Similarity.q8State(fresh, idCol, vecCol)
+          .localCheckpoint()
+        (q8, graft.llm.Similarity.lshStateFromQ8(q8, tables, bits))
+      },
+      (a, b) => a.unionByName(b))
+  }
+
+  private def emptyBitextIdx(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Int, Long)].toDF("id", "table", "bucket")
+  }
+
+  /** One side's resolved bitext state: (`(id, q)` vectors,
+    * `(id, table, bucket)` index rows) over exactly the batches whose
+    * BOTH frames are committed. The loop writes a batch's vecs rows
+    * strictly BEFORE its index rows, so the index listing is taken
+    * first (the dsirRetroScore consistent-prefix argument with vecs
+    * playing feats and the index playing dist): every batch the
+    * resolved index base/deltas cover is then present in the vecs
+    * listing, and a batch whose index rows have not landed yet is
+    * EXCLUDED from both frames — a vector with no index rows would
+    * silently never be a candidate, the one inconsistency this
+    * intersection forbids.
+    */
+  def readBitextSide(spark: SparkSession, vecsDir: String,
+      idxDir: String): (DataFrame, DataFrame) = {
+    val idxParts = committedBatchIds(spark, idxDir)
+    val vecsCommitted = committedBatchIds(spark, vecsDir)
+    val baseOpt = idxParts.filter(_ < 0).map(v => -v - 1).sorted.lastOption
+    val vecsSet = vecsCommitted.toSet
+    val deltas = idxParts
+      .filter(v => v >= 0 && baseOpt.forall(v > _) && vecsSet(v))
+    val vecsBatches = vecsCommitted
+      .filter(n => baseOpt.exists(n <= _) || deltas.contains(n))
+    val vecs =
+      if (vecsBatches.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(Long, Seq[Int])].toDF("id", "q")
+      } else spark.read.parquet(vecsDir)
+        .where(col("batch").isin(vecsBatches: _*))
+        .select(col("id"), col("q"))
+    val idxIncluded = baseOpt.map(b => -(b + 1)).toSeq ++ deltas
+    val idx =
+      if (idxIncluded.isEmpty) emptyBitextIdx(spark)
+      else spark.read.parquet(idxDir)
+        .where(col("batch").isin(idxIncluded: _*))
+        .select(col("id"), col("table"), col("bucket"))
+    (vecs, idx)
+  }
+
+  /** Read-time margin mining over two [[bitextIngest]] states: resolve
+    * each side's accumulated `(id, q)` + `(id, table, bucket)` frames,
+    * run THE shared candidate pipeline
+    * ([[graft.llm.Similarity.bitextListsFromState]] — the same
+    * `lshTopKCore` every LSH path runs, no re-hashing) in both
+    * directions, and feed the candidate lists through THE shared margin
+    * tail ([[graft.llm.Retrieval.mineFromCandidateFrames]]). `bits`,
+    * `maxBucketSize` and `multiProbe` must match what retrieval should
+    * see — `bits` MUST be the loops' frozen width (the probe masks are
+    * width-dependent).
+    *
+    * Exactness: quantization and hashing are per-row deterministic and
+    * mining is a pure function of the two sides, so this equals
+    * `bitextMineFromCandidates(srcUnion, tgtUnion, …,
+    * annTopKBitext(srcUnion, tgtUnion, …))` bit-for-bit — streamed ≡
+    * batch-over-union with NO caveat, the property the dedup loops can
+    * only approximate (their state carries decisions; this state
+    * carries facts).
+    *
+    * Forgetting (`forgottenSrc`/`forgottenTgt`, id frames): an exact
+    * tombstone anti-join on BOTH frames of the affected side — the
+    * state is per-doc rows, so exclusion is bit-identical to an ingest
+    * that never saw those docs (margins of surviving pairs reflow
+    * automatically because k-NN sums are recomputed here, at read
+    * time). Contrast near_dup's non-invertible greedy state, which
+    * needs a rebuild. For durable removal, fold the anti-joined frames
+    * as new bases with the loops stopped; read-time exclusion needs no
+    * stop.
+    */
+  def bitextRetroMine(spark: SparkSession, srcVecsDir: String,
+      srcIdxDir: String, tgtVecsDir: String, tgtIdxDir: String,
+      k: Int = 4, bits: Int = 8, maxBucketSize: Int = 10000,
+      multiProbe: Boolean = true, marginThresholdMicro: Long = 1000000L,
+      forgottenSrc: Option[DataFrame] = None,
+      forgottenTgt: Option[DataFrame] = None): DataFrame = {
+    def side(vecsDir: String, idxDir: String,
+        forgotten: Option[DataFrame]): (DataFrame, DataFrame) = {
+      val (v0, i0) = readBitextSide(spark, vecsDir, idxDir)
+      forgotten match {
+        case None => (v0, i0)
+        case Some(ids) =>
+          val gone = ids
+            .select(col(ids.columns.head).cast("long").as("id"))
+          (v0.join(gone, Seq("id"), "left_anti"),
+            i0.join(gone, Seq("id"), "left_anti"))
+      }
+    }
+    val (sv, sh) = side(srcVecsDir, srcIdxDir, forgottenSrc)
+    val (tv, th) = side(tgtVecsDir, tgtIdxDir, forgottenTgt)
+    val (srcLists, tgtLists) = graft.llm.Similarity.bitextListsFromState(
+      sv, sh, tv, th, k, bits, maxBucketSize, multiProbe)
+    graft.llm.Retrieval.mineFromCandidateFrames(
+      sv.select(col("id").as("src_id"), col("q").as("__qsrc_id")),
+      tv.select(col("id").as("tgt_id"), col("q").as("__qtgt_id")),
+      srcLists, tgtLists, k, marginThresholdMicro)
+  }
+
   // ------------------------------------------------------------------
   // Deletion propagation beyond DSIR (r13 VERDICT ask #4): the term-df,
   // span-df, paragraph-df and language-token-frequency indexes are

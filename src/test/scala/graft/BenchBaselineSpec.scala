@@ -92,6 +92,13 @@ class BenchBaselineSpec extends AnyFunSuite {
     if (calibScale > 1.0)
       info(f"host calib discount ×$calibScale%.2f (run " +
         f"${curCalib.get._1}%.3f s vs recorded ${baseCalib.get._1}%.3f s)")
+    if (calibScale > Bench.MaxCalibDiscount)
+      info(f"WARNING: calib ratio ×$calibScale%.2f exceeds the " +
+        f"×${Bench.MaxCalibDiscount}%.1f discount cap — the discount is " +
+        "CLAMPED there. Either the host is pathologically contended or " +
+        "an engine-global regression is inflating probe and queries " +
+        "alike (the probe shares the session and cannot tell the two " +
+        "apart); investigate before accepting any violation")
     for ((b, bv) <- baseCalib; (_, cv) <- curCalib if bv != cv)
       info(s"calib probe version changed ($bv → $cv): no discount " +
         "applied; the recording refreshes on the next rewrite")
@@ -179,6 +186,16 @@ class BenchBaselineSpec extends AnyFunSuite {
     // not deflate the band — scale clamps at 1
     assert(Bench.baselineViolations(baseline, Map("qa" -> 3.6),
       Map("qa" -> 0.2), calibScale = 0.5).nonEmpty)
+    // and it never runs PAST MaxCalibDiscount (r16 advice): the probe
+    // shares the session, so an engine-global 4x regression inflates
+    // probe and queries alike — uncapped, scale 4 would read qa as
+    // 8.0/4 = 2.0 (inside the 3.35 band) and wave the regression
+    // through; clamped at 2x it reads 4.0 and flags
+    val engineWide = Bench.baselineViolations(Map("qa" -> 2.0),
+      Map("qa" -> 8.0), Map("qa" -> 0.1), calibScale = 4.0)
+    assert(engineWide.nonEmpty,
+      "a uniform 4x engine regression fully self-discounted — the " +
+        "MaxCalibDiscount clamp is not applied")
     // the spread is discounted CONSISTENTLY with cur (review finding):
     // both are measured in the same host-inflated units, and a raw
     // spread would widen the band twice — here a real 3x regression

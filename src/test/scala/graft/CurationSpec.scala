@@ -1241,6 +1241,18 @@ class CurationSpec extends SparkSpec {
     val (ef, eb) = Similarity.annTopKBitext(srcDf, tgtDf, k = 3,
       tables = 4, bits = 4, idCol = "id", vecCol = "v")
     assert(rows(af) === rows(ef) && rows(ab) === rows(eb))
+    // bits = 0 row-identity SCOPING (r16 advice): annTopKBitext picks
+    // ONE width from the LARGER side, while the two-call annTopK form
+    // auto-sizes each direction from its own corpus — so when unequal
+    // side sizes straddle an autoLshBits boundary the smaller-corpus
+    // direction runs at different widths in the two forms, and the
+    // row-identity claim is scoped to explicit-bits callers (the
+    // equality pinned in the previous test uses bits = 4). Pin the
+    // divergent width arithmetic for a 600-vs-64-sided call: the
+    // shared index would run 6 bits in both directions, the two-call
+    // form would search the 64-vector corpus at 4.
+    assert(Similarity.autoLshBits(64L) === 4)
+    assert(Similarity.autoLshBits(600L) === 6)
   }
 
   test("bitextMineFromCandidates with COLLIDING id spaces: " +

@@ -1925,4 +1925,83 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(resolved === full)
   }
+
+  test("bitextIngest + bitextRetroMine: read-time mining over streamed " +
+      "per-side state equals batch candidate-fed mining over the unions " +
+      "(exactly — mining is a pure function of the sides)") {
+    import graft.llm.{Retrieval, Similarity}
+    import graft.streaming.Pipelines
+    val base = java.nio.file.Files.createTempDirectory("graft_bti").toString
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    // planted near-identical cross-side pairs + distractors; id spaces
+    // COLLIDE across sides on purpose (src 0 ↔ tgt 0 is a true pair —
+    // the excludeSelf=false contract must survive the state round trip)
+    val srcB1 = Seq((0L, v(1.0, 0.1)), (1L, v(0.0, 1.0)),
+      (2L, v(0.5, 0.5)))
+    val srcB2 = Seq((3L, v(0.9, -0.1)), (4L, v(0.1, 0.9, 0.2)))
+    val tgtB1 = Seq((0L, v(1.0, 0.12)), (5L, v(0.0, 0.95)))
+    val tgtB2 = Seq((6L, v(0.52, 0.48)), (7L, v(-1.0, 0.0)))
+    def ingest(name: String, batches: Seq[Seq[(Long, Seq[Double])]]): Unit = {
+      val mem = MemoryStream[(Long, Seq[Double])](spark)
+      val q = Pipelines.bitextIngest(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$base/$name/vecs", s"$base/$name/idx", s"$base/$name/ckpt",
+        tables = 4, bits = 4)
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    ingest("src", Seq(srcB1, srcB2))
+    ingest("tgt", Seq(tgtB1, tgtB2))
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def retro(fSrc: Option[org.apache.spark.sql.DataFrame] = None) =
+      Pipelines.bitextRetroMine(spark,
+        s"$base/src/vecs", s"$base/src/idx",
+        s"$base/tgt/vecs", s"$base/tgt/idx",
+        k = 2, bits = 4, marginThresholdMicro = 1000000L,
+        forgottenSrc = fSrc)
+    def batchMine(src: org.apache.spark.sql.DataFrame,
+        tgt: org.apache.spark.sql.DataFrame) = {
+      val (sl, tl) = Similarity.annTopKBitext(src, tgt, k = 2,
+        tables = 4, bits = 4, idCol = "vec_id", vecCol = "embedding")
+      Retrieval.bitextMineFromCandidates(src, tgt, "vec_id", "embedding",
+        sl, tl, k = 2, marginThresholdMicro = 1000000L)
+    }
+    val srcU = (srcB1 ++ srcB2).toDF("vec_id", "embedding")
+    val tgtU = (tgtB1 ++ tgtB2).toDF("vec_id", "embedding")
+    val mined = img(retro())
+    assert(mined === img(batchMine(srcU, tgtU)))
+    assert(mined.nonEmpty, "fixture inert — no pair cleared the margin")
+    // the colliding-id candidate (src 0, tgt 0) must SURVIVE the state
+    // round trip into the candidate lists (no self-exclusion — r15
+    // advice); whether it wins mutual-best is the margin tail's business
+    // (here src 0's dense neighborhood deflates its margin and (3, 0)
+    // wins tgt 0 instead — both checked against batch above)
+    val (svS, shS) = Pipelines.readBitextSide(spark,
+      s"$base/src/vecs", s"$base/src/idx")
+    val (tvS, thS) = Pipelines.readBitextSide(spark,
+      s"$base/tgt/vecs", s"$base/tgt/idx")
+    val (slS, _) = Similarity.bitextListsFromState(svS, shS, tvS, thS,
+      k = 2, bitsN = 4, maxBucketSize = 10000, multiProbe = true)
+    assert(slS.where($"query_id" === 0L && $"neighbor_id" === 0L)
+      .count() === 1L,
+      "colliding-id candidate (0, 0) lost by the state-fed feed")
+    // a reader racing the writer BETWEEN a batch's two commits (vecs
+    // landed, index not yet) must exclude that batch from BOTH frames —
+    // plant an orphan vecs partition and assert the read is unchanged
+    Seq((999L, Seq.fill(8)(127))).toDF("id", "q")
+      .write.parquet(s"$base/src/vecs/batch=99")
+    assert(img(retro()) === mined,
+      "an orphan vecs batch (no index rows yet) leaked into the read")
+    // forget = exact tombstone anti-join: mined state equals batch
+    // mining over sides that never saw the forgotten doc, margins
+    // reflowed (k-NN sums recompute at read time)
+    val gone = Seq(0L).toDF("id")
+    val minedF = img(retro(fSrc = Some(gone)))
+    assert(minedF === img(batchMine(
+      srcU.filter($"vec_id" =!= 0L), tgtU)))
+    assert(!minedF.exists(_.head == 0L),
+      "forgotten src doc still mined")
+    assert(minedF !== mined, "forget case inert — tombstone changed nothing")
+  }
 }
