@@ -31,8 +31,9 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * the family completed in r14 (VERDICT ask #3): `substring_dedup_ingest`,
   * `dsir_self_ingest`, `near_dup_ingest`, `semdedup_ingest`,
   * `tfidf_ingest`, `boilerplate_ingest`, `para_dedup_ingest`,
-  * `datacard_ingest` — and the exact
-  * retro-scorer `dsir_retro_score` with tombstone deletion propagation)
+  * `datacard_ingest`, `bitext_ingest` (r17, one loop per language
+  * side) — and the exact retro readers `dsir_retro_score` and
+  * `bitext_retro_mine`, both with tombstone deletion propagation)
   * makes the LLM-data, curation, and feature/scoring operators declarable —
   * a config file can express the standard corpus-curation chain end-to-end
   * (ConfigSpec drives one).
@@ -755,6 +756,33 @@ object PipelineConfig {
             d.sparkSession.read.parquet(p.trim).select(col(idc)))
           graft.streaming.Pipelines.dsirRetroScore(
             d.sparkSession, fd, dd, idc, forgotten)
+        // read-time bitext mining over two bitext_ingest states (r16
+        // ask #1): REPLACES the frame with the mined (src_id, tgt_id,
+        // sim_micro, margin_micro) pairs over everything both loops
+        // have committed. name = "srcVecs;srcIdx;tgtVecs;tgtIdx" plus
+        // optional 5th/6th segments = forgotten-id parquet tombstones
+        // per side (empty segment = none — exact deletion, the state
+        // is per-doc rows); expr =
+        // k,thresholdMicro,bits[,maxBucketSize[,multiProbe]] — bits
+        // MUST be the loops' frozen width
+        case "bitext_retro_mine" =>
+          val dirs = t.name.getOrElse(sys.error("bitext_retro_mine " +
+              "needs name = \"srcVecs;srcIdx;tgtVecs;tgtIdx\""))
+            .split(";", -1).map(_.trim)
+          require(dirs.length >= 4 && dirs.take(4).forall(_.nonEmpty),
+            "bitext_retro_mine needs 4 state dirs in name")
+          def tomb(i: Int) = dirs.lift(i).filter(_.nonEmpty)
+            .map(p => d.sparkSession.read.parquet(p))
+          val p = splitParams(t.expr)
+          graft.streaming.Pipelines.bitextRetroMine(d.sparkSession,
+            dirs(0), dirs(1), dirs(2), dirs(3),
+            k = p.headOption.map(_.toInt).getOrElse(4),
+            marginThresholdMicro =
+              p.lift(1).map(_.toLong).getOrElse(1000000L),
+            bits = p.lift(2).map(_.toInt).getOrElse(8),
+            maxBucketSize = p.lift(3).map(_.toInt).getOrElse(10000),
+            multiProbe = p.lift(4).forall(_.toBoolean),
+            forgottenSrc = tomb(4), forgottenTgt = tomb(5))
         // ---- deletion propagation beyond DSIR (r14, VERDICT ask #4):
         // the input frame IS the forgotten docs' original rows; name =
         // the loop's indexDir; the last expr token "persist" folds the
@@ -1793,6 +1821,24 @@ object PipelineConfig {
                   cleanDir, indexDir, ckptDir,
                   compactEvery = t.expr.map(_.trim.toInt).getOrElse(16),
                   frozenPieces = t.name.map(spark.read.parquet(_)))
+              // one BITEXT side's state ingestion (r16 ask #1): slim
+              // (id, q8) rows under path, (id, table, bucket)
+              // hyperplane rows under options.index, at a FROZEN
+              // tables×bits width; expr = tables,bits[,compactEvery].
+              // Run one loop per language side; mine at read time with
+              // the bitext_retro_mine batch op.
+              case "bitext_ingest" =>
+                val Seq(idc, vc) = t.cols match {
+                  case s2 if s2.length == 2 => s2
+                  case _ => sys.error(
+                    "bitext_ingest needs cols = [idCol, vecCol]")
+                }
+                val p = splitParams(t.expr)
+                graft.streaming.Pipelines.bitextIngest(sdf, idc, vc,
+                  cleanDir, indexDir, ckptDir,
+                  tables = p.headOption.map(_.toInt).getOrElse(8),
+                  bits = p.lift(1).map(_.toInt).getOrElse(8),
+                  compactEvery = p.lift(2).map(_.toInt).getOrElse(16))
               case other => sys.error(s"unknown ingest loop op: $other")
             }
             try q.processAllAvailable() finally q.stop()

@@ -159,6 +159,47 @@ object CurationOps extends QueryPack {
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),
 
+    // ---- the STREAMED form of the LSH bitext path (r16 VERDICT ask
+    //      #1): each parity side is ingested through the continuous
+    //      bitextIngest loop in two real micro-batches (MemoryStream +
+    //      foreachBatch, durable per-batch state under a temp dir),
+    //      then bitextRetroMine mines the accumulated state at read
+    //      time. Because quantization/hashing are per-row deterministic
+    //      and mining is a pure function of the sides, the round trip
+    //      is bit-identical to ret_bitext_lsh's batch path at the same
+    //      frozen parameters — so the SAME AnnOracleSql.bitextLshSql
+    //      replay hash-checks the whole ingest+mine loop ----
+    "ret_bitext_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val e = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bti_q").toString
+      def ingest(side: DataFrame, name: String): Unit = {
+        val rows = side.as[(Long, Seq[Double])].collect()
+        // two deterministic micro-batches per side (ids interleave —
+        // the loop needs no id monotonicity, state rows are facts)
+        val (b1, b2) = rows.partition(_._1 % 8 < 4)
+        val mem = MemoryStream[(Long, Seq[Double])](s)
+        val q = graft.streaming.Pipelines.bitextIngest(
+          mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
+          s"$base/$name/vecs", s"$base/$name/idx", s"$base/$name/ckpt",
+          tables = AnnOracleSql.LshTables, bits = AnnOracleSql.LshBits)
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+        q.stop()
+      }
+      ingest(e.filter(pmod(col("vec_id"), lit(2)) === 0), "src")
+      ingest(e.filter(pmod(col("vec_id"), lit(2)) === 1), "tgt")
+      graft.streaming.Pipelines.bitextRetroMine(s,
+        s"$base/src/vecs", s"$base/src/idx",
+        s"$base/tgt/vecs", s"$base/tgt/idx",
+        k = AnnOracleSql.BitextK, bits = AnnOracleSql.LshBits,
+        maxBucketSize = AnnOracleSql.LshMaxBucket,
+        marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
+    }),
+
     // ---- the production hybrid-search shape: BM25 fused with a REAL ANN
     //      list (IVF-flat over the embeddings, seeded per query by its
     //      top-1 lexical hit). Engine-exact since r11: the IVF index is
@@ -913,6 +954,10 @@ object CurationOps extends QueryPack {
     "ret_bitext_mine" -> AnnOracleSql.bitextSql,
     "ret_bitext_ann" -> AnnOracleSql.bitextAnnSql,
     "ret_bitext_lsh" -> AnnOracleSql.bitextLshSql,
+    // the streamed ingest+retro-mine round trip is bit-identical to the
+    // batch LSH path at the same frozen parameters, so ONE replay
+    // hash-checks both (the equality itself is StreamingSpec-pinned)
+    "ret_bitext_ingest" -> AnnOracleSql.bitextLshSql,
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,

@@ -1749,6 +1749,67 @@ class ConfigSpec extends SparkSpec {
       i => { mem.addData((if (i == 0) b1 else b2): _*); () })
   }
 
+  test("declared bitext_ingest equals the direct call; declared " +
+      "bitext_retro_mine mines the merged state with a tombstone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def v(x: Double*): Seq[Double] = x ++ Seq.fill(8 - x.size)(0.0)
+    val b1 = Seq((0L, v(1.0, 0.1)), (1L, v(0.0, 1.0)), (2L, v(0.5, 0.5)))
+    val b2 = Seq((3L, v(0.9, -0.1)), (4L, v(0.1, 0.9, 0.2)))
+    def lines(b: Seq[(Long, Seq[Double])]): Seq[String] =
+      b.map { case (id, e) =>
+        s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}""" }
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    // the declared loop (two config sessions = kill-and-resume) must
+    // write bit-identical vecs AND index partitions to the direct call,
+    // compaction included (compactEvery = 2 folds on the second batch)
+    val db = declaredEqualsDirect("bitext_ingest",
+      Seq("vec_id", "embedding"), "4,4,2", None,
+      "vec_id LONG, embedding ARRAY<DOUBLE>", lines(b1), lines(b2),
+      mb => graft.streaming.Pipelines.bitextIngest(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$mb/out", s"$mb/idx", s"$mb/ckpt",
+        tables = 4, bits = 4, compactEvery = 2),
+      i => { mem.addData((if (i == 0) b1 else b2): _*); () })
+    // a second (target-side) loop builds the other state; the declared
+    // bitext_retro_mine step over both states + a src tombstone must
+    // equal the direct read
+    def vimg(df: org.apache.spark.sql.DataFrame) = df
+      .select($"src_id", $"tgt_id", $"sim_micro", $"margin_micro")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val tgtRows = Seq((0L, v(1.0, 0.12)), (5L, v(0.0, 0.95)),
+      (6L, v(0.52, 0.48)))
+    val memT = MemoryStream[(Long, Seq[Double])](spark)
+    val tb = java.nio.file.Files.createTempDirectory("cfg_btx_tgt").toString
+    val qT = graft.streaming.Pipelines.bitextIngest(
+      memT.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$tb/out", s"$tb/idx", s"$tb/ckpt", tables = 4, bits = 4)
+    memT.addData(tgtRows: _*); qT.processAllAvailable(); qT.stop()
+    val tomb = s"$tb/forgot"
+    Seq(4L).toDF("vec_id").write.parquet(tomb)
+    val minedOut = s"$tb/mined"
+    val conf2 = PipelineConfig.parse(
+      s"""{ "id": "btm", "name": "bitext-mine", "steps": [
+         |  { "step": "mine", "kind": "stream",
+         |    "source": { "type": "json_lines", "schema": "doc_id LONG",
+         |      "lines": ["{\\"doc_id\\":0}"] },
+         |    "transforms": [ { "op": "bitext_retro_mine",
+         |      "expr": "2,1000000,4",
+         |      "name": "$db/out;$db/idx;$tb/out;$tb/idx;$tomb" } ],
+         |    "sink": { "type": "json", "path": "$minedOut" } } ] }""".stripMargin)
+    assert(PipelineConfig.run(spark, conf2, new InMemoryStore)
+      .streams("mine").status === JobState.Complete)
+    val declared = vimg(spark.read.json(minedOut))
+    val direct = vimg(graft.streaming.Pipelines.bitextRetroMine(spark,
+      s"$db/out", s"$db/idx", s"$tb/out", s"$tb/idx",
+      k = 2, bits = 4, forgottenSrc = Some(Seq(4L).toDF("vec_id"))))
+    assert(declared === direct)
+    assert(declared.nonEmpty, "fixture inert — nothing mined")
+    assert(!declared.exists(_._1 == 4L), "tombstoned src doc mined")
+  }
+
   test("declared datacard_ingest equals the direct call and the batch panel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -176,6 +176,11 @@ class ScanAuditSpec extends SparkSpec {
     // distinct, re-rank window over id-keyed hash joins. All slim,
     // k-bounded frames; nothing corpus-sized shuffles twice
     "ret_bitext_lsh" -> 11,
+    // ret_bitext_ingest: the SAME state-fed candidate + mining tail as
+    // ret_bitext_lsh (one shared lshTopKCore + margin core), read from
+    // the loop's persisted per-side parquet state instead of in-session
+    // checkpoints — identical 11-shuffle shape, nothing extra
+    "ret_bitext_ingest" -> 11,
     // ret_bitext_mine: two per-side k-NN windows + sums and the two
     // mutual-best windows, all over the slim checkpointed pair frame
     // (3 BIGINTs/row); the semi join and k-NN-sum joins broadcast

@@ -232,6 +232,55 @@ class StreamingFuzzSpec extends SparkSpec {
           .select(col("doc_id")).collect().map(_.getLong(0)).toSet
         assert(got === expect,
           "semdedup: streamed survivors != semDedupFrozen over the union")
+      }),
+    Stage("bitext",
+      // one language side's state loop (r17): embeddings derived from
+      // the id (same function in both drive modes), FROZEN 4x4 width
+      (s, b, ce) => Pipelines.bitextIngest(
+        s.withColumn("emb", fuzzEmbCol).drop("text"),
+        "doc_id", "emb", s"$b/out", s"$b/idx", s"$b/ckpt",
+        tables = 4, bits = 4, compactEvery = ce),
+      b => Pipelines.readBitextSide(spark, s"$b/out", s"$b/idx")._2,
+      // the resolved index rows must equal a batch hashing of the union
+      // at the frozen width — per-row determinism is the whole contract
+      u => graft.llm.Similarity.lshStateFromQ8(
+        graft.llm.Similarity.q8State(
+          u.withColumn("emb", fuzzEmbCol), "doc_id", "emb"), 4, 4),
+      None, chains = false,
+      declared = Some(DeclaredForm("bitext_ingest", ce => s"4,4,$ce",
+        cols = Seq("doc_id", "emb"),
+        schema = "doc_id LONG, emb ARRAY<DOUBLE>",
+        line = (id, _) => s"""{"doc_id":$id,"emb":[${fuzzEmb(id)
+          .mkString(",")}]}""")),
+      extraCheck = (b, u) => {
+        val ul = u.withColumn("emb", fuzzEmbCol).select("doc_id", "emb")
+        // resolved vecs state ≡ batch quantization over the union
+        val (v, _) = Pipelines.readBitextSide(spark, s"$b/out", s"$b/idx")
+        assert(img(v) === img(graft.llm.Similarity.q8State(
+            ul, "doc_id", "emb")),
+          "bitext: merged vecs state != batch quantization over the union")
+        // retro-mine against a second side (its own loop, one batch)
+        // equals batch candidate-fed mining over the unions — the
+        // streamed ≡ batch-EXACT contract under fuzzed splits/cadences
+        val tgtRows = (100L to 104L).map(i => (i, fuzzEmb(i + 2)))
+        val memT = MemoryStream[(Long, Seq[Double])](spark)
+        val qT = Pipelines.bitextIngest(
+          memT.toDF().toDF("doc_id", "emb"), "doc_id", "emb",
+          s"$b/tout", s"$b/tidx", s"$b/tckpt", tables = 4, bits = 4)
+        memT.addData(tgtRows: _*); qT.processAllAvailable(); qT.stop()
+        val mined = img(Pipelines.bitextRetroMine(spark,
+          s"$b/out", s"$b/idx", s"$b/tout", s"$b/tidx",
+          k = 2, bits = 4))
+        val tgtDf = tgtRows.toDF("doc_id", "emb")
+        val (sl, tl) = graft.llm.Similarity.annTopKBitext(ul, tgtDf,
+          k = 2, tables = 4, bits = 4, idCol = "doc_id", vecCol = "emb")
+        val batch = img(graft.llm.Retrieval.bitextMineFromCandidates(
+          ul, tgtDf, "doc_id", "emb", sl, tl, k = 2,
+          marginThresholdMicro = 1000000L))
+        assert(mined === batch,
+          "bitext: retro-mine != batch mining over the unions")
+        assert(mined.nonEmpty,
+          "bitext: fuzz fixture inert — family-identical vectors must mine")
       }))
 
   /** Random corpus with planted cross-doc repetition: whole-paragraph
