@@ -847,7 +847,9 @@ object PipelineConfig {
         // the ivfTopK √n rule); "lsh" or "lsh:tables:bits" = the same
         // candidate-fed path over hyperplane-LSH top-k lists (annTopK —
         // the better generator when sides are too churn-heavy to train
-        // an IVF codebook per run)
+        // an IVF codebook per run); "pq" or "pq:m:codebookSize" = the
+        // same path over product-quantized compressed-scan lists
+        // (pqTopK unbounded mode — r16 ask #5)
         case "bitext_mine" =>
           val Seq(idc, vc) = t.cols match {
             case s if s.length == 2 => s
@@ -883,9 +885,25 @@ object PipelineConfig {
                   idCol = idc, vecCol = vc)
               graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
                 srcLists, tgtLists, k, thr)
+            // "pq" or "pq:m:codebookSize" — per-side product-quantized
+            // top-k lists (r16 ask #5: PQ symmetry). Unbounded-queries
+            // mode (the query side IS a corpus side — LUTs shuffle, no
+            // driver collect) with excludeSelf = false (colliding id
+            // spaces)
+            case pq if pq == "pq" || pq.startsWith("pq:") =>
+              val ps = pq.split(":")
+              val (pm, pcb) = (ps.lift(1).map(_.toInt).getOrElse(0),
+                ps.lift(2).map(_.toInt).getOrElse(32))
+              def lists(q: DataFrame, c: DataFrame) =
+                graft.llm.Similarity.pqTopK(q, c, k, m = pm,
+                  codebookSize = pcb, idCol = idc, vecCol = vc,
+                  boundedQueries = false, excludeSelf = false)
+              graft.llm.Retrieval.bitextMineFromCandidates(d, tgt, idc, vc,
+                lists(d, tgt), lists(tgt, d), k, thr)
             case other => sys.error(
               s"bitext_mine: unknown candidateSource '$other' " +
-                "(allpairs | ivf[:nCells:nProbe] | lsh[:tables:bits])")
+                "(allpairs | ivf[:nCells:nProbe] | lsh[:tables:bits] | " +
+                "pq[:m:codebookSize])")
           }
         // keeper (min, sum) substring index — NON-invertible, so the
         // input frame is the SURVIVING corpus and the index is rebuilt:

@@ -707,11 +707,41 @@ object Similarity extends Serializable {
     * `m = 0` (the default) auto-picks the largest of 8/4/2/1 dividing the
     * embedding dim, so any even dim keeps working; an explicit `m` must
     * divide the dim exactly.
+    *
+    * Two query-side execution contracts (r17 — the ivfTopK treatment;
+    * hints and shuffle strategy never change rows, and the oracle
+    * covers both):
+    *   - `boundedQueries = true` (the SEARCH contract, default): the
+    *     query set is a search workload, its integer LUTs collect to
+    *     the driver under the `maxBoundedQueries` BoundedCollect
+    *     ceiling (a parameter since r17 — r16 hard-wired 65536; callers
+    *     with deliberate oversized-but-bounded workloads opt UP instead
+    *     of forking) and broadcast with the scan closure; per-partition
+    *     bounded heaps emit ≤ `rerank` rows per query per partition.
+    *   - `boundedQueries = false` (the CORPUS-MINING contract — the
+    *     bitext feed retrieves with half a corpus as queries): LUTs
+    *     become a distributed `(query_id, j, code, dot)` frame —
+    *     |Q|·m·codebookSize slim BIGINT rows, shuffled not broadcast —
+    *     the code scan explodes to (neighbor_id, j, code) and joins on
+    *     (j, code), and the per-pair approximate score is a partial-agg
+    *     SUM. Flat PQ scan is inherently |Q|·|C| WORK in either mode
+    *     (that is what "scan" means); this mode bounds the DRIVER and
+    *     BROADCAST memory, not the work — at 100 TB sides feed it
+    *     candidate cells first (ivf/lsh) when a full compressed scan
+    *     per query is not the intent.
+    *
+    * `excludeSelf` (r17): true is the self-search contract (a query
+    * drawn from the corpus finding its own row is noise — the historic
+    * hard-wired behavior); cross-corpus callers (the bitext feed) pass
+    * false, since colliding id spaces make `query_id = neighbor_id` a
+    * legitimate candidate (the annTopK/ivfTopK stance, r15 advice).
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 0, codebookSize: Int = 32, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 2, trainSampleSize: Int = 4096): DataFrame = {
+      trainIters: Int = 2, trainSampleSize: Int = 4096,
+      boundedQueries: Boolean = true, excludeSelf: Boolean = true,
+      maxBoundedQueries: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -795,59 +825,96 @@ object Similarity extends Serializable {
       })
       .toDF("neighbor_id", "code")
 
-    // per-query integer LUTs, broadcast with the closure (queries are a
-    // small set — same stance as bruteForceTopK); the bounded-queries
-    // SEARCH contract becomes a runtime invariant here: 65536 queries ×
-    // m×cb LUT longs is the loud ceiling before driver/broadcast OOM
     val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
-    val qluts: Array[(Long, Array[Array[Long]])] =
-      graft.tools.BoundedCollect(qv.as[(Long, Seq[Int])], 65536L,
-        "pqTopK bounded-queries contract: the query set is a search " +
-          "workload (thousands), never a corpus side")
-        .map { case (qid, q) =>
-          val qa = q.toArray
-          qid -> Array.tabulate(mm, cbLocal(0).length) { (j, c) =>
-            val cb = cbLocal(j)(c)
-            var s = 0L; var i = 0
-            while (i < sub) { s += qa(j * sub + i).toLong * cb(i); i += 1 }
-            s
+    val approx = if (boundedQueries) {
+      // per-query integer LUTs, broadcast with the closure (queries are
+      // a small set — same stance as bruteForceTopK); the
+      // bounded-queries SEARCH contract is a runtime invariant:
+      // maxBoundedQueries × m×cb LUT longs is the loud ceiling before
+      // driver/broadcast OOM
+      val qluts: Array[(Long, Array[Array[Long]])] =
+        graft.tools.BoundedCollect(qv.as[(Long, Seq[Int])],
+          maxBoundedQueries,
+          "pqTopK bounded-queries contract: the query set is a search " +
+            "workload (thousands), never a corpus side — pass " +
+            "boundedQueries = false (or raise maxBoundedQueries) for " +
+            "corpus-sized query sides")
+          .map { case (qid, q) =>
+            val qa = q.toArray
+            qid -> Array.tabulate(mm, cbLocal(0).length) { (j, c) =>
+              val cb = cbLocal(j)(c)
+              var s = 0L; var i = 0
+              while (i < sub) { s += qa(j * sub + i).toLong * cb(i); i += 1 }
+              s
+            }
           }
-        }
-
-    val approx = codes.as[(Long, Seq[Int])]
-      .mapPartitions { it =>
-        // bounded per-(partition, query) heaps: emit rerank rows per query,
-        // not the full code scan. Heap order is the TOTAL (score desc,
-        // id asc) order — (s, −nid) lexicographic — so survivors are
-        // partition-layout-free, not just score-approximate
-        val heaps = qluts.map { case (qid, _) =>
-          qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
-            Ordering.by[(Long, Long), (Long, Long)] {
-              case (s, nid) => (s, -nid)
-            }.reverse) // min-heap on the total order: head = worst kept
-        }.toMap
-        it.foreach { case (nid, codeSeq) =>
-          val code = codeSeq.toArray
-          qluts.foreach { case (qid, lut) =>
-            if (qid != nid) {
-              var s = 0L; var j = 0
-              while (j < mm) { s += lut(j)(code(j)); j += 1 }
-              val h = heaps(qid)
-              if (h.size < rerank) h.enqueue((s, nid))
-              else {
-                val (ws, wn) = h.head
-                if (s > ws || (s == ws && nid < wn)) {
-                  h.dequeue(); h.enqueue((s, nid))
+      codes.as[(Long, Seq[Int])]
+        .mapPartitions { it =>
+          // bounded per-(partition, query) heaps: emit rerank rows per
+          // query, not the full code scan. Heap order is the TOTAL
+          // (score desc, id asc) order — (s, −nid) lexicographic — so
+          // survivors are partition-layout-free, not just
+          // score-approximate
+          val heaps = qluts.map { case (qid, _) =>
+            qid -> new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+              Ordering.by[(Long, Long), (Long, Long)] {
+                case (s, nid) => (s, -nid)
+              }.reverse) // min-heap on the total order: head = worst kept
+          }.toMap
+          it.foreach { case (nid, codeSeq) =>
+            val code = codeSeq.toArray
+            qluts.foreach { case (qid, lut) =>
+              if (!excludeSelf || qid != nid) {
+                var s = 0L; var j = 0
+                while (j < mm) { s += lut(j)(code(j)); j += 1 }
+                val h = heaps(qid)
+                if (h.size < rerank) h.enqueue((s, nid))
+                else {
+                  val (ws, wn) = h.head
+                  if (s > ws || (s == ws && nid < wn)) {
+                    h.dequeue(); h.enqueue((s, nid))
+                  }
                 }
               }
             }
           }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.iterator.map { case (s, nid) => (qid, nid, s) }
+          }
         }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.iterator.map { case (s, nid) => (qid, nid, s) }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "approx")
+        .toDF("query_id", "neighbor_id", "approx")
+    } else {
+      // corpus-mining contract: the LUT is a distributed slim frame,
+      // never a driver collect — |Q|·m·cb (query_id, j, code, dot)
+      // BIGINT rows, joined to the exploded code scan on (j, code) and
+      // partial-agg-summed per (query, neighbor). Row-identical to the
+      // heap path: every (query, neighbor) pair's approx score is the
+      // same m-term integer sum, and the shared top-rerank window
+      // below applies the same total order either way.
+      val lutRows = qv.as[(Long, Seq[Int])]
+        .mapPartitions(_.flatMap { case (qid, q) =>
+          val qa = q.toArray
+          Iterator.tabulate(mm) { j =>
+            val cb = cbLocal(j)
+            Iterator.tabulate(cb.length) { c =>
+              var s = 0L; var i = 0
+              while (i < sub) {
+                s += qa(j * sub + i).toLong * cb(c)(i); i += 1
+              }
+              (qid, j, c, s)
+            }
+          }.flatten
+        })
+        .toDF("query_id", "j", "cid", "dv")
+      val codesExpl = codes.select(col("neighbor_id"),
+        posexplode(col("code")).as(Seq("j", "cid")))
+      val scored = codesExpl.join(lutRows, Seq("j", "cid"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dv")).as("approx"))
+      if (excludeSelf)
+        scored.where(col("query_id") =!= col("neighbor_id"))
+      else scored
+    }
 
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").asc)

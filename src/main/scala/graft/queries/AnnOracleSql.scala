@@ -251,62 +251,113 @@ object AnnOracleSql {
        |${rerankCtes("res", "ivcand", AnnK)}
        |SELECT query_id, neighbor_id, sim, rank FROM res""".stripMargin
 
-  /** sim_ann_pq: per-subspace integer codebooks (grouped unrolled k-means
-    * keyed by subspace), integer asymmetric-LUT scoring, top-`PqRerank`
-    * candidates, exact re-rank. */
-  def pqSql: String = {
+  /** One PQ retrieval direction over `(vec_id, q)` CTEs: per-subspace
+    * integer codebooks trained on the CORPUS side's md5-ordered sample
+    * (grouped unrolled k-means keyed by subspace), corpus encode,
+    * query-side integer LUT, asymmetric-score aggregation (optionally
+    * self-excluding — the engine's `excludeSelf` knob), top-`PqRerank`
+    * candidates, exact re-rank to `k` in CTE `${p}k`. Shared by
+    * [[pqSql]] (self-search: queries ⊂ corpus, excludeSelf) and
+    * [[bitextPqSql]] (one direction per side, no self-exclusion) — one
+    * builder, the mirror of the one engine path both call. */
+  private def pqDirectionCtes(p: String, queriesCte: String,
+      corpusCte: String, k: Int, excludeSelf: Boolean): String = {
     val sub = Dim / PqM
     def l2(a: String, b: String) = listL2(a, b, sub)
     val rounds = (1 to PqIters).map { i =>
-      s"""pa$i AS (SELECT vec_id, j, cid FROM (
+      s"""${p}a$i AS (SELECT vec_id, j, cid FROM (
          |    SELECT s.vec_id AS vec_id, s.j AS j, c.cid AS cid,
          |      row_number() OVER (PARTITION BY s.vec_id, s.j
          |        ORDER BY ${l2("s.sq", "c.sq")} ASC, c.cid ASC) AS rn
-         |    FROM sj s JOIN pc${i - 1} c ON s.j = c.j) WHERE rn = 1),
-         |pc$i AS (SELECT pp.j, pp.cid, coalesce(nc.sq, pp.sq) AS sq
-         |  FROM pc${i - 1} pp LEFT JOIN (
+         |    FROM ${p}sj s JOIN ${p}c${i - 1} c ON s.j = c.j) WHERE rn = 1),
+         |${p}c$i AS (SELECT pp.j, pp.cid, coalesce(nc.sq, pp.sq) AS sq
+         |  FROM ${p}c${i - 1} pp LEFT JOIN (
          |    SELECT j, cid, list(sv // cn ORDER BY pos) AS sq FROM (
          |      SELECT a.j AS j, a.cid AS cid, pos,
          |        CAST(sum(s.sq[pos]) AS BIGINT) AS sv,
          |        CAST(count(*) AS BIGINT) AS cn
-         |      FROM pa$i a JOIN sj s ON a.vec_id = s.vec_id AND a.j = s.j,
+         |      FROM ${p}a$i a JOIN ${p}sj s
+         |        ON a.vec_id = s.vec_id AND a.j = s.j,
          |           unnest(range(1, ${sub + 1})) AS u(pos)
          |      GROUP BY 1, 2, 3) GROUP BY j, cid) nc
          |    ON pp.j = nc.j AND pp.cid = nc.cid)""".stripMargin
     }
+    val selfFilter =
+      if (excludeSelf) "\n  WHERE l.query_id <> n.vec_id" else ""
+    Seq(
+      s"""${p}smp AS (SELECT vec_id, q FROM $corpusCte
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $TrainSample)""".stripMargin,
+      s"""${p}sj AS (SELECT vec_id, j,
+         |    list_slice(q, j * $sub + 1, j * $sub + $sub) AS sq
+         |  FROM ${p}smp, range(0, $PqM) AS jj(j))""".stripMargin,
+      s"""${p}c0 AS (SELECT j, CAST(row_number() OVER (PARTITION BY j
+         |      ORDER BY vec_id) - 1 AS BIGINT) AS cid, sq
+         |  FROM ${p}sj WHERE vec_id IN
+         |    (SELECT vec_id FROM ${p}smp ORDER BY vec_id LIMIT $PqCb))""".stripMargin,
+      rounds.mkString(",\n"),
+      s"""${p}cj AS (SELECT vec_id, j,
+         |    list_slice(q, j * $sub + 1, j * $sub + $sub) AS sq
+         |  FROM $corpusCte, range(0, $PqM) AS jj(j))""".stripMargin,
+      s"""${p}enc AS (SELECT vec_id, j, cid FROM (
+         |    SELECT s.vec_id AS vec_id, s.j AS j, c.cid AS cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY ${l2("s.sq", "c.sq")} ASC, c.cid ASC) AS rn
+         |    FROM ${p}cj s JOIN ${p}c$PqIters c ON s.j = c.j) WHERE rn = 1)""".stripMargin,
+      s"""${p}qj AS (SELECT vec_id, j,
+         |    list_slice(q, j * $sub + 1, j * $sub + $sub) AS sq
+         |  FROM $queriesCte, range(0, $PqM) AS jj(j))""".stripMargin,
+      s"""${p}lut AS (SELECT qs.vec_id AS query_id, c.j AS j, c.cid AS cid,
+         |    ${listDot("qs.sq", "c.sq", sub)} AS dv
+         |  FROM ${p}qj qs JOIN ${p}c$PqIters c ON qs.j = c.j)""".stripMargin,
+      s"""${p}apx AS (SELECT l.query_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(sum(l.dv) AS BIGINT) AS approx
+         |  FROM ${p}enc n JOIN ${p}lut l ON n.j = l.j AND n.cid = l.cid$selfFilter
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""${p}cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id ASC) AS rn
+         |    FROM ${p}apx) WHERE rn <= $PqRerank)""".stripMargin,
+      rerankCtes(s"${p}k", s"${p}cand", k)
+    ).mkString(",\n")
+  }
+
+  /** sim_ann_pq: per-subspace integer codebooks (grouped unrolled k-means
+    * keyed by subspace), integer asymmetric-LUT scoring, top-`PqRerank`
+    * candidates, exact re-rank. */
+  def pqSql: String =
     s"""WITH $EmbCte,
        |${qzCte("e")},
-       |pqsmp AS (SELECT vec_id, q FROM qz
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $TrainSample),
-       |sj AS (SELECT vec_id, j, list_slice(q, j * $sub + 1, j * $sub + $sub) AS sq
-       |  FROM pqsmp, range(0, $PqM) AS jj(j)),
-       |pc0 AS (SELECT j, CAST(row_number() OVER (PARTITION BY j
-       |      ORDER BY vec_id) - 1 AS BIGINT) AS cid, sq
-       |  FROM sj WHERE vec_id IN
-       |    (SELECT vec_id FROM pqsmp ORDER BY vec_id LIMIT $PqCb)),
-       |${rounds.mkString(",\n")},
-       |cj AS (SELECT vec_id, j, list_slice(q, j * $sub + 1, j * $sub + $sub) AS sq
-       |  FROM qz, range(0, $PqM) AS jj(j)),
-       |enc AS (SELECT vec_id, j, cid FROM (
-       |    SELECT s.vec_id AS vec_id, s.j AS j, c.cid AS cid,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.j
-       |        ORDER BY ${l2("s.sq", "c.sq")} ASC, c.cid ASC) AS rn
-       |    FROM cj s JOIN pc$PqIters c ON s.j = c.j) WHERE rn = 1),
-       |lut AS (SELECT qs.vec_id AS query_id, c.j AS j, c.cid AS cid,
-       |    ${listDot("qs.sq", "c.sq", sub)} AS dv
-       |  FROM (SELECT * FROM cj WHERE vec_id < $NQueries) qs
-       |  JOIN pc$PqIters c ON qs.j = c.j),
-       |apx AS (SELECT l.query_id AS query_id, n.vec_id AS neighbor_id,
-       |    CAST(sum(l.dv) AS BIGINT) AS approx
-       |  FROM enc n JOIN lut l ON n.j = l.j AND n.cid = l.cid
-       |  WHERE l.query_id <> n.vec_id GROUP BY 1, 2),
-       |cand AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY approx DESC, neighbor_id ASC) AS rn
-       |    FROM apx) WHERE rn <= $PqRerank),
-       |${rerankCtes("res", "cand", AnnK)}
-       |SELECT query_id, neighbor_id, sim, rank FROM res""".stripMargin
-  }
+       |pqv AS (SELECT vec_id, q FROM qz WHERE vec_id < $NQueries),
+       |${pqDirectionCtes("pq", "pqv", "qz", AnnK, excludeSelf = true)}
+       |SELECT query_id, neighbor_id, sim, rank FROM pqk""".stripMargin
+
+  /** `ret_bitext_pq`: the candidate-fed mining replay over per-side
+    * PRODUCT-QUANTIZED lists (r16 VERDICT ask #5 — PQ symmetry): one
+    * codebook set trained per CORPUS side (forward trains on the target
+    * vectors and scans with source LUTs, backward the reverse — the
+    * engine's `pqTopK(boundedQueries = false, excludeSelf = false)`
+    * mirror at fixed `PqM`/`PqCb`/`PqRerank`/`PqIters`), exact
+    * quantized-cosine re-rank to the top-`BitextK` lists, DISTINCT
+    * union of directions, and the identical margin tail as every other
+    * bitext replay. */
+  def bitextPqSql: String =
+    s"""WITH $EmbCte,
+       |${qzCte("e")},
+       |s AS (SELECT vec_id, q FROM qz WHERE vec_id % 2 = 0),
+       |tt AS (SELECT vec_id, q FROM qz WHERE vec_id % 2 = 1),
+       |${pqDirectionCtes("xf", "s", "tt", BitextK, excludeSelf = false)},
+       |${pqDirectionCtes("xb", "tt", "s", BitextK, excludeSelf = false)},
+       |cand AS (SELECT query_id AS src_id, neighbor_id AS tgt_id FROM xfk
+       |  UNION
+       |  SELECT neighbor_id AS src_id, query_id AS tgt_id FROM xbk),
+       |p0 AS (SELECT c.src_id, c.tgt_id,
+       |    ${listDot("a.q", "b.q")} AS dot,
+       |    ${listDot("a.q", "a.q")} AS na,
+       |    ${listDot("b.q", "b.q")} AS nb
+       |  FROM cand c JOIN qz a ON a.vec_id = c.src_id
+       |              JOIN qz b ON b.vec_id = c.tgt_id),
+       |p AS (SELECT src_id, tgt_id, $SimMicroCase AS sim FROM p0),
+       |$bitextMarginTail""".stripMargin
 
   /** sim_semdedup: integer-cosine clusters over the planted-dup union,
     * within-cluster pairs under the size cap, quantized-cosine threshold,

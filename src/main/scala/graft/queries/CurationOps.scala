@@ -159,6 +159,33 @@ object CurationOps extends QueryPack {
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),
 
+    // ---- the SAME candidate-fed mining core over the FOURTH generator
+    //      (r16 VERDICT ask #5 — PQ symmetry): per-side PRODUCT-
+    //      QUANTIZED top-k lists. pqTopK runs its corpus-mining
+    //      contract — boundedQueries = false (the query side IS a
+    //      corpus side: LUTs shuffle as slim BIGINT rows, no driver
+    //      collect/broadcast) and excludeSelf = false (colliding id
+    //      spaces). One codebook set per corpus side, the compressed
+    //      m-byte code scan replacing the full-vector candidate stage.
+    //      Engine-exact: AnnOracleSql.bitextPqSql replays both PQ
+    //      indexes AND the shared margin tail ----
+    "ret_bitext_pq" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      def topk(q: DataFrame, c: DataFrame) =
+        Similarity.pqTopK(q, c, k = AnnOracleSql.BitextK,
+          m = AnnOracleSql.PqM, codebookSize = AnnOracleSql.PqCb,
+          rerank = AnnOracleSql.PqRerank, idCol = "vec_id", vecCol = "v",
+          trainIters = AnnOracleSql.PqIters,
+          boundedQueries = false, excludeSelf = false)
+      Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
+        topk(srcDf, tgtDf), topk(tgtDf, srcDf),
+        k = AnnOracleSql.BitextK,
+        marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
+    }),
+
     // ---- the STREAMED form of the LSH bitext path (r16 VERDICT ask
     //      #1): each parity side is ingested through the continuous
     //      bitextIngest loop in two real micro-batches (MemoryStream +
@@ -958,6 +985,7 @@ object CurationOps extends QueryPack {
     // batch LSH path at the same frozen parameters, so ONE replay
     // hash-checks both (the equality itself is StreamingSpec-pinned)
     "ret_bitext_ingest" -> AnnOracleSql.bitextLshSql,
+    "ret_bitext_pq" -> AnnOracleSql.bitextPqSql,
     "text_collocations" -> collocationsSql,
     "mixture_unimax_select" -> unimaxSelectSql,
     "bpe_encode" -> bpeEncodeSql,

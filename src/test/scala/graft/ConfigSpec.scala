@@ -2098,6 +2098,21 @@ class ConfigSpec extends SparkSpec {
       img(graft.llm.Retrieval.bitextMineFromCandidates(
         srcDf, tgtDf, "id", "v", lshLists(srcDf, tgtDf),
         lshLists(tgtDf, srcDf), k = 2, marginThresholdMicro = 1020000L)))
+    // pq candidate source (r17): declared equals the direct
+    // unbounded-queries product-quantized feed
+    val confPq = PipelineConfig.parse(PipelineConfig.toJson(conf)
+      .replace("ivf:2:2", "pq:2:2").replace(s"$base/out", s"$base/out_pq"))
+    assert(PipelineConfig.run(spark, confPq, new InMemoryStore)
+      .streams("mine").status === JobState.Complete)
+    def pqLists(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      graft.llm.Similarity.pqTopK(q, c, k = 2, m = 2, codebookSize = 2,
+        idCol = "id", vecCol = "v", boundedQueries = false,
+        excludeSelf = false)
+    assert(img(spark.read.parquet(s"$base/out_pq")) ===
+      img(graft.llm.Retrieval.bitextMineFromCandidates(
+        srcDf, tgtDf, "id", "v", pqLists(srcDf, tgtDf),
+        pqLists(tgtDf, srcDf), k = 2, marginThresholdMicro = 1020000L)))
     // the unknown-source red case fails loudly, not silently all-pairs
     val bad = PipelineConfig.parse(PipelineConfig.toJson(conf)
       .replace("ivf:2:2", "bogus").replace(s"$base/out", s"$base/out_bad"))

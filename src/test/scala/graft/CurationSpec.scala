@@ -1255,6 +1255,47 @@ class CurationSpec extends SparkSpec {
     assert(Similarity.autoLshBits(600L) === 6)
   }
 
+  test("pqTopK corpus-mining contract: boundedQueries = false (shuffled " +
+      "LUT rows) is row-identical to the bounded heap scan; " +
+      "excludeSelf = false admits self rows; the bounded ceiling is a " +
+      "loud runtime contract") {
+    import graft.llm.Similarity
+    val e = graft.Tables(spark, sf0001).embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // execution contract, not semantics: the distributed-LUT join path
+    // must reproduce the driver-broadcast heap path bit-for-bit (same
+    // m-term integer sums, same total orders)
+    val bounded = rows(Similarity.pqTopK(q, e, k = 10,
+      idCol = "vec_id", vecCol = "v"))
+    val unbounded = rows(Similarity.pqTopK(q, e, k = 10,
+      idCol = "vec_id", vecCol = "v", boundedQueries = false))
+    assert(bounded === unbounded)
+    assert(bounded.nonEmpty, "fixture inert")
+    // excludeSelf = false (the cross-corpus contract): every query's own
+    // row is a legitimate candidate — its approx score survives the
+    // rerank cut and the exact cosine scores it 1.0
+    val selfIn = Similarity.pqTopK(q, e, k = 10, idCol = "vec_id",
+      vecCol = "v", boundedQueries = false, excludeSelf = false)
+    assert(selfIn.where($"query_id" === $"neighbor_id" && $"sim" === 1.0)
+      .count() === 10L, "self rows lost under excludeSelf = false")
+    // and the two knobs commute: bounded mode admits the same self rows
+    val selfInBounded = Similarity.pqTopK(q, e, k = 10, idCol = "vec_id",
+      vecCol = "v", excludeSelf = false)
+    assert(rows(selfIn) === rows(selfInBounded))
+    // the bounded-queries ceiling is a parameter now (r16 advice) and
+    // still a LOUD contract: 10 queries past a ceiling of 5 must raise,
+    // not silently truncate
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(q, e, k = 10, idCol = "vec_id", vecCol = "v",
+        maxBoundedQueries = 5L).collect()
+    }
+    assert(ex.getMessage.contains("bounded-queries contract"))
+  }
+
   test("bitextMineFromCandidates with COLLIDING id spaces: " +
       "excludeSelf = false keeps src_id == tgt_id candidates and " +
       "equals all-pairs; the self-search default would lose them") {

@@ -176,6 +176,12 @@ class ScanAuditSpec extends SparkSpec {
     // distinct, re-rank window over id-keyed hash joins. All slim,
     // k-bounded frames; nothing corpus-sized shuffles twice
     "ret_bitext_lsh" -> 11,
+    // ret_bitext_pq: the same candidate-fed mining tail over per-side
+    // product-quantized lists — per direction the compressed code scan
+    // joins shuffled LUT rows (the unbounded-queries contract: nothing
+    // broadcast-bounded), partial-agg'd to slim (query, neighbor,
+    // approx) rows, then the shared windows/k-NN/argmax/semi tail
+    "ret_bitext_pq" -> 11,
     // ret_bitext_ingest: the SAME state-fed candidate + mining tail as
     // ret_bitext_lsh (one shared lshTopKCore + margin core), read from
     // the loop's persisted per-side parquet state instead of in-session
