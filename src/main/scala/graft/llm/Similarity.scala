@@ -221,6 +221,23 @@ object Similarity extends Serializable {
     * population is governed by `tables`, unchanged. Fixed-parameter
     * callers (the oracle-replayed pack queries) are untouched — the
     * rule only fires at `bits = 0`.
+    *
+    * MEASURED recall at the capped-auto-width regime the ScaleProbe
+    * `bitext_lsh` row runs (r16 ask #4, AnnRecallSpec pins both rows):
+    * 712 vectors/side (auto width 6 bits, mean diverse bucket ≈ 8),
+    * cap = 8× the 16-target, planted amax-scaled copies as recoverable
+    * pairs, one 200-copy template mega-cluster:
+    * {{{
+    *   planted pairs          recall (cap = 128)   recall (uncapped)
+    *   diverse (512)               1.000                1.000
+    *   template mega-bucket (200)  0.000                1.000
+    * }}}
+    * The cap's recall cost is CONFINED to members of dropped
+    * mega-buckets (an identical-copy cluster is exactly what the
+    * degenerate-bucket guard exists to drop — its members are mutual
+    * duplicates, not retrieval targets); pairs in typical buckets lose
+    * nothing, because an amax-scaled copy collides in ALL tables and
+    * survives unless every one of its buckets is dropped.
     */
   private[graft] val LshTargetBucketPop = 16
   private[graft] def autoLshBits(n: Long): Int = math.max(4, math.min(20,

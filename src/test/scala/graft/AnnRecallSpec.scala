@@ -74,6 +74,66 @@ class AnnRecallSpec extends SparkSpec {
       "a planted scaled copy scored below exact 1.0")
   }
 
+  test("capped-auto-width LSH (the ScaleProbe bitext_lsh regime): " +
+      "planted-pair recall floor outside mega-buckets, zero recall " +
+      "inside the dropped one — the cap provably binds") {
+    // r16 VERDICT ask #4: autoLshBits + the population-scaled bucket cap
+    // bought the bitext_lsh ScaleProbe linearity (15.94x -> 2.93x at 4x
+    // sides) at a documented-but-unquantified recall cost. Quantify it:
+    // a corpus of DIVERSE vectors (typical buckets ~ the 16-target at
+    // auto width) plus one 200-copy TEMPLATE cluster (a mega-bucket in
+    // every table, over the 8x-target cap the probe row uses). Planted
+    // recoverable pairs are amax-scaled copies on the other side —
+    // identical int8 quantization, hence identical buckets in ALL
+    // tables: recall on them is structural wherever their bucket
+    // survives, and exactly zero where the cap drops it.
+    import graft.llm.Similarity
+    val nDiverse = 512
+    val nTemplate = 200
+    def v(id: Long): Seq[Double] =
+      (0 until 16).map(j => math.sin(id * 1.7 + j * 0.9))
+    val template = (0 until 16).map(j => math.sin(j * 0.37) + 1.5)
+    val srcRows = (0 until nDiverse).map(i => (i.toLong, v(i))) ++
+      (0 until nTemplate).map(i => ((10000 + i).toLong, template))
+    val tgtRows = srcRows.map { case (id, vec) => (id, vec.map(_ * 1.1)) }
+    val srcDf = srcRows.toDF("vec_id", "embedding")
+    val tgtDf = tgtRows.toDF("vec_id", "embedding")
+    // side = 712 -> autoLshBits = 6 (64 buckets/table, mean diverse
+    // population ~8); cap = 8x the 16-target, the ScaleProbe setting
+    val cap = 8 * Similarity.LshTargetBucketPop
+    // recovered = queries that retrieve ANY exact-quantization match
+    // (sim exactly 1.0). For diverse queries that is their planted
+    // partner; for template queries any of the 200 identical copies
+    // counts (k = 1 ties resolve to the lowest id — all equally perfect)
+    def pairs(maxBucket: Int): Set[Long] = {
+      val (fwd, _) = Similarity.annTopKBitext(srcDf, tgtDf, k = 1,
+        tables = 4, bits = 0, maxBucketSize = maxBucket)
+      fwd.filter($"sim" === 1.0)
+        .select($"query_id").collect().map(_.getLong(0)).toSet
+    }
+    val capped = pairs(cap)
+    val diverseRecall = capped.count(_ < nDiverse).toDouble / nDiverse
+    val templateRecall =
+      capped.count(_ >= 10000).toDouble / nTemplate
+    info(f"capped-auto-width recall: diverse $diverseRecall%.3f, " +
+      f"template $templateRecall%.3f")
+    // measured 1.000 on this geometry: a planted copy collides in ALL
+    // four tables, so it is lost only if EVERY table also drops its
+    // bucket — pin just under to absorb future md5-layout drift
+    assert(diverseRecall >= 0.98,
+      f"capped-auto-width diverse recall degraded: $diverseRecall%.3f")
+    // the cap BINDS: every template pair sits only in the dropped
+    // mega-bucket, so recall there is exactly zero...
+    assert(templateRecall === 0.0,
+      f"template pairs leaked past the cap: $templateRecall%.3f")
+    // ...and the red contrast — lifting the cap recovers ALL of them,
+    // proving the loss above is the cap's doing, not the width's
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.count(_ >= 10000) === nTemplate,
+      "uncapped run must recover every template pair")
+    assert(uncapped.count(_ < nDiverse).toDouble / nDiverse >= 0.98)
+  }
+
   test("hybrid ANN fusion agrees with the exact-dense hybrid above floor") {
     // ret_hybrid_rrf's dense leg scores the FULL corpus with the exact
     // quantized cosine, so its fused output is the brute-force reference
