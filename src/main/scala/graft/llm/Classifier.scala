@@ -95,9 +95,15 @@ object Classifier extends Serializable {
   def naiveBayesScore(corpus: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
     guard(idCol)
-    val sentinels = model
-      .filter(col("token").isin(TokenTotalsKey, VocabKey, DocTotalsKey))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    // a well-formed naiveBayesTrain model carries exactly ONE row per
+    // sentinel key — more means the frame is not a trained model (or
+    // two models were unioned), and growing a driver map from it would
+    // mask that
+    val sentinels = graft.tools.BoundedCollect(model
+        .filter(col("token").isin(TokenTotalsKey, VocabKey, DocTotalsKey)),
+        3L, "a naiveBayesTrain model has exactly one row per sentinel " +
+          "total (3 keys) — duplicates mean the frame is not one model")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     require(Set(TokenTotalsKey, VocabKey, DocTotalsKey)
         .subsetOf(sentinels.keySet),

@@ -1019,12 +1019,18 @@ object CorpusStats extends Serializable {
       toks.join(broadcast(cand), Seq("token"), "left_semi")
         .groupBy("token").agg(count(lit(1)).as("freq")))
       .localCheckpoint()
-    val n = corpus
-      .select(coalesce(sum(size(TextOps.tokens(col(textCol)))), lit(0L)))
-      .collect()(0).getLong(0)
+    // ungrouped aggregates return exactly one row — the certification
+    // cutoff reads ride the BoundedCollect registry like every other
+    // driver-side collect (r16 ask #8)
+    val n = graft.tools.BoundedCollect(corpus
+        .select(coalesce(sum(size(TextOps.tokens(col(textCol)))), lit(0L))),
+        1L, "an ungrouped SUM aggregate returns exactly one row")(0)
+      .getLong(0)
     val got = top.count()
     val kth = if (got < k) -1L
-      else top.agg(min(col("freq"))).collect()(0).getLong(0)
+      else graft.tools.BoundedCollect(top.agg(min(col("freq"))), 1L,
+        "an ungrouped MIN aggregate returns exactly one row")(0)
+        .getLong(0)
     if (got >= k && kth * (m + 1L) > n) top
     else {
       // certification failed — pathological skew for this capacity; the

@@ -483,10 +483,15 @@ object Similarity extends Serializable {
       n: Int): Array[(Long, Array[Int])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    vecs.toDF("__id", "__q")
-      .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
-      .limit(n)
-      .as[(Long, Seq[Int])].collect()
+    // the limit(n) IS the bound (TakeOrdered); the BoundedCollect wrap
+    // makes the training-sample contract a named runtime invariant like
+    // every other driver-side collect (r16 ask #8 registry)
+    graft.tools.BoundedCollect(vecs.toDF("__id", "__q")
+        .orderBy(md5(col("__id").cast("string")).asc, col("__id").asc)
+        .limit(n)
+        .as[(Long, Seq[Int])], n.toLong,
+        s"ANN codebook training samples at most n = $n vectors " +
+          "(trainSampleSize; the corpus never passes through training)")
       .map { case (id, q) => (id, q.toArray) }
   }
 

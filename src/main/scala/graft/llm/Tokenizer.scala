@@ -186,8 +186,15 @@ object Tokenizer extends Serializable {
       s"idCol '$idCol' collides with a unigramEncodeCounts working/output column")
     val spark = df.sparkSession
     import spark.implicits._
-    val table = pieces.select(col("piece"), col("lp_micro"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab-bounded by construction (unigramPieces trains with an
+    // explicit vocabSize); the runtime cap catches a corpus-sized frame
+    // mistakenly passed as a piece table before it becomes a driver map
+    val table = graft.tools.BoundedCollect(
+        pieces.select(col("piece"), col("lp_micro")), 1 << 20,
+        "a unigram piece table is vocabulary-sized (unigramPieces " +
+          "bounds it by vocabSize; real tokenizers stay well under 2^20 " +
+          "pieces) — a larger frame is not a piece table")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(table.nonEmpty, "unigramEncodeCounts: empty piece table")
     val bc = spark.sparkContext.broadcast(table)
     val words = df.select(col(idCol),
@@ -458,7 +465,12 @@ object Tokenizer extends Serializable {
       s"idCol '$idCol' collides with a wordpieceEncodeCounts working/output column")
     val spark = df.sparkSession
     import spark.implicits._
-    val pieces = vocab.select(col("piece").cast("string")).as[String].collect()
+    // same vocab-bounded invariant as the unigram table above
+    val pieces = graft.tools.BoundedCollect(
+      vocab.select(col("piece").cast("string")).as[String], 1 << 20,
+      "a WordPiece vocabulary is vocabulary-sized (wordpieceVocab " +
+        "bounds it by vocabSize; well under 2^20 pieces) — a larger " +
+        "frame is not a vocabulary")
     require(pieces.nonEmpty, "wordpieceEncodeCounts: empty piece table")
     val initArr = pieces.filterNot(_.startsWith("##"))
     val contArr = pieces.filter(_.startsWith("##")).map(_.substring(2))

@@ -7,11 +7,35 @@ import graft.tools.BoundedCollect
   * [[BoundedCollect]] turns those prose bounds into runtime raises. The
   * migrated sites (survivorAssignment's gated edge lists,
   * topBoilerplateSpans' cutoff-tie candidates, the Selection/Mixture
-  * group histograms and allocations, pqTopK's bounded-queries LUTs) are
-  * exercised by their own suites; this spec pins the helper's contract.
+  * group histograms and allocations, pqTopK's bounded-queries LUTs —
+  * since r17 also the unigram/WordPiece vocabulary tables, the NB
+  * model's sentinel reads, the ANN training-sample collect and the
+  * vocabTopKSketch certification cutoffs) are exercised by their own
+  * suites; this spec pins the helper's contract and counts the
+  * registry so silent un-migration is visible.
   */
 class BoundedCollectSpec extends SparkSpec {
   import spark.implicits._
+
+  test("registry: the migrated-site count only grows (grep-counted " +
+      "BoundedCollect call sites in src/main)") {
+    // not a substitute for the per-site suites — a tripwire against a
+    // refactor quietly reverting a site to a bare collect()
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val calls = java.nio.file.Files.walk(srcRoot).iterator()
+    var n = 0
+    calls.forEachRemaining { p =>
+      if (p.toString.endsWith(".scala") &&
+          !p.toString.endsWith("BoundedCollect.scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        n += "BoundedCollect\\(".r.findAllIn(text).size
+      }
+    }
+    // r16 migrated 8 sites; r17 adds 6 (two tokenizer vocab tables, the
+    // NB sentinels, the ANN training sample, two sketch cutoffs)
+    assert(n >= 14, s"BoundedCollect call sites dropped to $n — a " +
+      "migrated site reverted to a bare collect()")
+  }
 
   test("under the bound: every row is returned (the cap never truncates " +
       "a legal result)") {
