@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -192,6 +192,132 @@ sealed trait IntVecKernel extends ImplicitCastInputTypes { self: BinaryExpressio
   }
 }
 
+/** Symmetric per-vector int8 quantization over array<double> —
+  * `q_i = floor(x_i · 127 / amax + 0.5)` with `amax = max |x_i|`, all-zero
+  * → zeros — EXACTLY the arithmetic of the Column combinator it replaces
+  * (`array_max(transform(abs))` + two `transform`s, r17: three chained
+  * higher-order functions are INTERPRETED and this projection runs per
+  * corpus row on every ANN path) and of the retired `q8Of` mapPartitions
+  * kernel (which additionally paid a serialize/deserialize boundary that
+  * broke whole-stage codegen around the scan). Semantics preserved
+  * bit-for-bit (FunctionsSpec pins both equalities):
+  *   - null array → null;
+  *   - amax skips null elements (array_max semantics, NaN greatest);
+  *   - amax = 0 → ALL positions 0 (the zero-branch `transform(_ => 0)`
+  *     maps null elements too);
+  *   - otherwise null elements stay null, values are
+  *     `(int) floor(x·127/amax + 0.5)` — the same IEEE double ops, with
+  *     Spark's non-ANSI double→int truncation.
+  */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.arrayDoubleSingle
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_quantize_int8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var has = false
+    var anyNull = false
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) anyNull = true
+      else {
+        val v = math.abs(x.getDouble(i))
+        if (!has) { amax = v; has = true }
+        else if (v > amax || (v.isNaN && !amax.isNaN)) amax = v
+      }
+      i += 1
+    }
+    // the common (no null elements) case returns a PRIMITIVE-backed
+    // array: a fused consumer (e.g. the cosine kernel inside the same
+    // whole-stage-codegen span) then reads ints directly, where a boxed
+    // GenericArrayData would unbox per element per access — measured as
+    // a +1.4 s regression on ret_bitext_mine's pair stage, which reads
+    // each stream row's vector once per broadcast-side row
+    if (!anyNull) {
+      val out = new Array[Int](n)
+      if (!(has && amax == 0.0)) {
+        i = 0
+        while (i < n) {
+          out(i) = math.floor(x.getDouble(i) * 127.0 / amax + 0.5).toInt
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      if (has && amax == 0.0) {
+        i = 0; while (i < n) { out(i) = 0; i += 1 }
+      } else {
+        i = 0
+        while (i < n) {
+          if (!x.isNullAt(i))
+            out(i) = math.floor(x.getDouble(i) * 127.0 / amax + 0.5).toInt
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("qz")
+      s"""
+         |int ${p}n = $a.numElements();
+         |boolean ${p}has = false;
+         |boolean ${p}anyNull = false;
+         |double ${p}amax = 0.0D;
+         |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+         |  if ($a.isNullAt(${p}i)) { ${p}anyNull = true; }
+         |  else {
+         |    double ${p}v = java.lang.Math.abs($a.getDouble(${p}i));
+         |    if (!${p}has) { ${p}amax = ${p}v; ${p}has = true; }
+         |    else if (${p}v > ${p}amax ||
+         |        (java.lang.Double.isNaN(${p}v) &&
+         |            !java.lang.Double.isNaN(${p}amax))) ${p}amax = ${p}v;
+         |  }
+         |}
+         |if (!${p}anyNull) {
+         |  int[] ${p}prim = new int[${p}n];
+         |  if (!(${p}has && ${p}amax == 0.0D)) {
+         |    for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+         |      ${p}prim[${p}i] = (int) java.lang.Math
+         |        .floor($a.getDouble(${p}i) * 127.0D / ${p}amax + 0.5D);
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray(${p}prim);
+         |} else {
+         |  Object[] ${p}out = new Object[${p}n];
+         |  if (${p}has && ${p}amax == 0.0D) {
+         |    for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+         |      ${p}out[${p}i] = java.lang.Integer.valueOf(0);
+         |    }
+         |  } else {
+         |    for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+         |      if (!$a.isNullAt(${p}i)) {
+         |        ${p}out[${p}i] = java.lang.Integer.valueOf((int) java.lang.Math
+         |          .floor($a.getDouble(${p}i) * 127.0D / ${p}amax + 0.5D));
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${p}out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Exact quantized cosine over array<int> (int8-quantized) vectors —
   * BIGINT dot/norms, ONE correctly-rounded IEEE division over one
   * correctly-rounded sqrt (`CAST(dot AS DOUBLE) / sqrt(CAST(na*nb AS
@@ -346,8 +472,9 @@ object GraftFunctions {
     "graft_bpe_token_count" -> colFn { case Seq(c) =>
       graft.llm.TextOps.bpeTokenCount(c) },
     "graft_quality" -> colFn { case Seq(c) => graft.llm.TextOps.qualityScore(c) },
-    "graft_quantize_int8" -> colFn { case Seq(c) =>
-      graft.llm.Similarity.quantizeInt8(c) },
+    // native codegen'd quantizer (r17) — the Column-combinator form it
+    // replaces chained three interpreted HOFs per corpus row
+    "graft_quantize_int8" -> (es => QuantizeInt8(es(0))),
     // exact quantized int8-vector kernels (r11 engine-exact ANN
     // arithmetic; native codegen'd since r13 — the interpreted
     // aggregate(zip_with(...)) forms they replace produced identical
@@ -375,6 +502,7 @@ object GraftFunctions {
   private def ex(c: Column): Expression =
     org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
   def cosineCol(a: Column, b: Column): Column = direct(CosineSim(ex(a), ex(b)))
+  def quantizeInt8Col(v: Column): Column = direct(QuantizeInt8(ex(v)))
   def intCosineCol(a: Column, b: Column): Column = direct(IntCosineSim(ex(a), ex(b)))
   def intCosineMicroCol(a: Column, b: Column): Column = direct(IntCosineMicro(ex(a), ex(b)))
   def intSqDistCol(a: Column, b: Column): Column = direct(IntSqDistL2(ex(a), ex(b)))

@@ -387,19 +387,34 @@ object Classifier extends Serializable {
     val feats = featsIn.select(col("id"), col("f"), col("cnt"))
       .localCheckpoint()
     val lab = labIn.select(col("id"), col("y")).localCheckpoint()
-    val totTok = feats.agg(coalesce(sum(col("cnt")), lit(0L)))
-      .head().getLong(0)
+    // ONE aggregation job answers both overflow-guard questions (r17 —
+    // total tokens is the sum of the per-doc sums, so the separate
+    // whole-table sum was a second pass for the same number)
+    val guardRow = feats.groupBy(col("id")).agg(sum(col("cnt")).as("s"))
+      .agg(coalesce(sum(col("s")), lit(0L)), coalesce(max(col("s")), lit(0L)))
+      .head()
+    val totTok = guardRow.getLong(0)
+    val maxDoc = guardRow.getLong(1)
     require(totTok > 0, "perceptronTrain: empty corpus")
-    val maxDoc = feats.groupBy(col("id")).agg(sum(col("cnt")).as("s"))
-      .agg(max(col("s"))).head().getLong(0)
     require(BigInt(iterations) * totTok * maxDoc <= BigInt(maxMarginBound),
       s"perceptronTrain: iterations·totalTokens·maxDocLen = " +
         s"${BigInt(iterations) * totTok * maxDoc} would overflow BIGINT " +
         s"margins (bound $maxMarginBound) — lower iterations, cap doc " +
         "length, or shard the corpus")
+    // Round 1 in closed form (r17): from w = 0 every margin is 0, so
+    // y·0 ≤ 0 marks EVERY labeled doc mistaken (the scaladoc's oracle
+    // observation, now also the execution) — the round's margin join and
+    // mistake filter are dead work, and w₁ is directly
+    // Σ_{docs in lab} y·cnt per feature over the full feature domain
+    // (features whose docs all sit outside `lab` keep w = 0, exactly as
+    // the join-with-mistakes form left them).
+    val delta1 = feats.join(lab.select(col("id"), col("y")), "id")
+      .groupBy(col("f")).agg(sum(col("y") * col("cnt")).as("d"))
     var w = feats.select(col("f")).distinct()
-      .withColumn("w", lit(0L)).localCheckpoint()
-    var i = 0
+      .join(delta1, Seq("f"), "left")
+      .select(col("f"), coalesce(col("d"), lit(0L)).as("w"))
+      .localCheckpoint()
+    var i = 1
     while (i < iterations) {
       val margins = feats.join(w, "f").groupBy(col("id"))
         .agg(sum(col("cnt") * col("w")).as("margin"))

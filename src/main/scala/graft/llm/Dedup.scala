@@ -512,8 +512,14 @@ object Dedup {
   def applySurvivorsKeepCentral(df: DataFrame, idCol: String,
       pairs: DataFrame, iterations: Int = 5,
       dampingMicro: Long = 850000L): DataFrame = {
-    val assignment = survivorAssignment(pairs)
-    val ranks = Graph.pageRankCentrality(pairs, iterations, dampingMicro)
+    // pin the pair computation ONCE for its two consumers (r17): the
+    // assignment and the centrality fit each checkpoint their own derived
+    // frame, so an UN-materialized `pairs` lineage (pipeline_curate2
+    // feeds the raw winnow chain) re-ran the whole candidate generation
+    // twice — slim (id_a, id_b) rows, the established checkpoint shape
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val assignment = survivorAssignment(p)
+    val ranks = Graph.pageRankCentrality(p, iterations, dampingMicro)
     val members = assignment.join(ranks, Seq("id"), "left")
       .select(col("id"), col("survivor_id"),
         coalesce(col("rank_micro"), lit(0L)).as("__pc_r"))

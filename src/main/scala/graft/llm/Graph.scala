@@ -76,12 +76,21 @@ object Graph extends Serializable {
         "components, not web graphs — run it per connected component " +
         "(rank is only consumed within components) or rescale the unit.")
     val base = 1000000L - dampingMicro
+    // edge ⋈ deg ONCE, outside the loop (r17): deg(u) never changes, so
+    // re-joining it every round paid iterations−1 identical shuffles of
+    // the edge list; each round now joins only the rank table. Values
+    // unchanged — the per-edge `r DIV deg` sees the same (r, deg) pairs.
+    val edgesDeg = edges.join(deg, "u").localCheckpoint()
     var rank = deg.select(col("u").as("id"), lit(1000000L).as("r"))
     var i = 0
     while (i < iterations) {
-      val contrib = edges
-        .join(deg, "u")
-        .join(rank.select(col("id").as("u"), col("r")), "u")
+      // round 1 in closed form (r17): every rank is the 1000000 literal,
+      // so the rank join resolves to a constant — contrib is directly
+      // Σ (1000000 DIV deg) per target, the exact value the join form
+      // computed
+      val contrib = (if (i == 0)
+          edgesDeg.withColumn("r", lit(1000000L))
+        else edgesDeg.join(rank.select(col("id").as("u"), col("r")), "u"))
         .groupBy(col("v").as("id"))
         .agg(sum(expr("r DIV deg")).as("s"))
       // symmetric graph: every node receives from each neighbor, so the

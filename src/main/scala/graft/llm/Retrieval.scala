@@ -253,8 +253,14 @@ object Retrieval extends Serializable {
       vecCol: String, k: Int = 4,
       marginThresholdMicro: Long = 1000000L): DataFrame = {
     requireBitextK(k)
-    val s = q8Side(src, idCol, vecCol, "src_id")
-    val t = q8Side(tgt, idCol, vecCol, "tgt_id")
+    // materialize both slim q8 sides BEFORE the all-pairs join (r17): a
+    // quantize projection left fused into the broadcast-nested-loop stage
+    // re-evaluates per PAIR (measured 2× the stage in an interleaved A/B:
+    // kernel-fused 1.9–3.0 s, kernel+checkpoint 0.74–0.87 s at sf0.1) —
+    // the checkpoint pins one quantization per row and the n² stage then
+    // reads primitive int arrays
+    val s = q8Side(src, idCol, vecCol, "src_id").localCheckpoint()
+    val t = q8Side(tgt, idCol, vecCol, "tgt_id").localCheckpoint()
     val pairs = s.crossJoin(broadcast(t))
       .select(col("src_id"), col("tgt_id"),
         Similarity.intCosineMicro(col("__qsrc_id"), col("__qtgt_id"))

@@ -47,14 +47,15 @@ object Similarity extends Serializable {
     * embedding columns at corpus scale. `floor(+0.5)` rather than `round`
     * because engines disagree on round-half semantics; floor is IEEE-exact
     * everywhere. An all-zero vector quantizes to zeros (amax guard).
-    * Map-only Column expression — no shuffle, no UDF.
+    * Map-only Column expression — no shuffle, no UDF. Since r17 this is
+    * the native codegen'd kernel ([[graft.functions.QuantizeInt8]]) —
+    * bit-identical to the retired `array_max(transform(abs))` +
+    * two-`transform` combinator (FunctionsSpec pins the equality against
+    * the verbatim old formula), which chained three INTERPRETED
+    * higher-order functions per corpus row on every ANN path.
     */
-  def quantizeInt8(v: Column): Column = {
-    val amax = array_max(transform(v, x => abs(x.cast("double"))))
-    when(amax === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v,
-        x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("int")))
-  }
+  def quantizeInt8(v: Column): Column =
+    graft.functions.GraftFunctions.quantizeInt8Col(v)
 
   /** Inverse of [[quantizeInt8]]: `x_i ≈ q_i * amax / 127` using the amax of
     * the ORIGINAL vector column (store it alongside the int8 payload).
@@ -147,38 +148,22 @@ object Similarity extends Serializable {
     * scale-invariant: a scaled copy of a vector quantizes identically,
     * which is what keeps planted-duplicate recall at 1.0.
     *
-    * Runs as a primitive mapPartitions kernel with EXACTLY the
-    * [[quantizeInt8]] arithmetic (`floor(x·127/amax + 0.5)`, all-zero →
-    * zeros — the same IEEE double ops, so kernel, Column and oracle agree
-    * bit-for-bit): the Column form's three chained higher-order functions
-    * are interpreted, and this projection is evaluated per corpus row on
-    * every ANN path (~0.4 s per evaluation at 4096×64 — the r11 bench's
-    * sim_ann_lsh residual).
+    * Runs as the native codegen'd [[graft.functions.QuantizeInt8]]
+    * kernel — EXACTLY the [[quantizeInt8]] arithmetic
+    * (`floor(x·127/amax + 0.5)`, all-zero → zeros — the same IEEE double
+    * ops, so kernel, Column and oracle agree bit-for-bit). History: the
+    * r11 fix replaced the interpreted three-HOF Column form (~0.4 s per
+    * corpus evaluation at 4096×64) with a Dataset mapPartitions kernel;
+    * r17 replaces THAT with the codegen'd Expression, which computes the
+    * identical values without the serialize/deserialize boundary the
+    * Dataset hop paid (the projection now fuses into the scan's
+    * whole-stage-codegen span).
     */
   private def q8Of(df: DataFrame, idCol: String, vecCol: String,
-      asId: String, asVec: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions(_.map { case (id, v) =>
-        val x = v.toArray
-        var amax = 0.0
-        var i = 0
-        while (i < x.length) {
-          val a = math.abs(x(i)); if (a > amax) amax = a; i += 1
-        }
-        val q = new Array[Int](x.length)
-        if (amax != 0.0) {
-          i = 0
-          while (i < x.length) {
-            q(i) = math.floor(x(i) * 127.0 / amax + 0.5).toInt; i += 1
-          }
-        }
-        (id, q)
-      })
-      .toDF(asId, asVec)
-  }
+      asId: String, asVec: String): DataFrame =
+    df.select(col(idCol).cast("long").as(asId),
+      graft.functions.GraftFunctions.quantizeInt8Col(
+        col(vecCol).cast("array<double>")).as(asVec))
 
   /** Exact cosine of two int8-quantized vectors: dot and norms are exact
     * BIGINTs (|dot| ≤ dim·127² and na·nb ≤ (dim·127²)² < 2⁵³ at dim ≤ 256,
@@ -639,12 +624,32 @@ object Similarity extends Serializable {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 2, trainSampleSize: Int = 4096,
       boundedQueries: Boolean = true,
-      excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      excludeSelf: Boolean = true): DataFrame =
     // one materialization of the narrow (id, q8) projection: the count,
     // every training iteration, the assignment and the re-rank join all
     // read it instead of rescanning the source
-    val cv = q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint()
+    ivfTopKFromQ8(
+      q8Of(queries, idCol, vecCol, "query_id", "qa"),
+      q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint(),
+      k, nCells, nProbe, trainIters, trainSampleSize, boundedQueries,
+      excludeSelf)
+
+  /** [[ivfTopK]] over PRE-QUANTIZED frames — `qv` is a `(query_id, qa)`
+    * int8 frame, `cv` a MATERIALIZED `(__id, __q)` one (the caller owns
+    * the localCheckpoint so a frame shared across consumers — both
+    * directions of a bitext feed plus its mining tail — is quantized
+    * and persisted exactly once instead of once per consumer; r17,
+    * guide §1.2 "don't compute things twice"). Identical rows to
+    * [[ivfTopK]] over the un-quantized sources by construction:
+    * quantization is per-row deterministic and this IS the body
+    * [[ivfTopK]] runs.
+    */
+  private[graft] def ivfTopKFromQ8(qv: DataFrame, cv: DataFrame, k: Int,
+      nCells: Int = 0, nProbe: Int = 0,
+      trainIters: Int = 2, trainSampleSize: Int = 4096,
+      boundedQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nKnown = if (nCells > 0) -1L else cv.count()
     val cells =
       if (nCells > 0) nCells
@@ -656,7 +661,6 @@ object Similarity extends Serializable {
     val cents = intCentroids(cv, cells, trainIters, trainSampleSize)
     val assigned = assignCells(cv, cents, 1)
       .withColumnRenamed("__id", "neighbor_id")
-    val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
     // Two query-side contracts, identical results (hints never change
     // rows — the oracle covers both):
     //  - boundedQueries = true (the SEARCH contract, default): the query
@@ -763,11 +767,28 @@ object Similarity extends Serializable {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 2, trainSampleSize: Int = 4096,
       boundedQueries: Boolean = true, excludeSelf: Boolean = true,
+      maxBoundedQueries: Long = 65536L): DataFrame =
+    pqTopKFromQ8(
+      q8Of(queries, idCol, vecCol, "query_id", "qa"),
+      q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint(),
+      k, m, codebookSize, rerank, trainIters, trainSampleSize,
+      boundedQueries, excludeSelf, maxBoundedQueries)
+
+  /** [[pqTopK]] over PRE-QUANTIZED frames — `qv` is a `(query_id, qa)`
+    * int8 frame, `cv` a MATERIALIZED `(__id, __q)` one (the caller owns
+    * the localCheckpoint — the [[ivfTopKFromQ8]] contract, r17): a frame
+    * shared by both directions of a bitext feed and its mining tail is
+    * quantized and persisted once instead of once per consumer. Identical
+    * rows to [[pqTopK]] by construction — this IS its body.
+    */
+  private[graft] def pqTopKFromQ8(qv: DataFrame, cv: DataFrame, k: Int,
+      m: Int = 0, codebookSize: Int = 32, rerank: Int = 64,
+      trainIters: Int = 2, trainSampleSize: Int = 4096,
+      boundedQueries: Boolean = true, excludeSelf: Boolean = true,
       maxBoundedQueries: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
+    val spark = cv.sparkSession
     import spark.implicits._
-    val cv = q8Of(corpus, idCol, vecCol, "__id", "__q").localCheckpoint()
     // DRIVER-loop codebook training over the bounded collected sample
     // (the intCentroids stance — per-iteration cluster jobs were pure
     // scheduling overhead): per subspace j, integer Euclidean Lloyd with
@@ -847,7 +868,6 @@ object Similarity extends Serializable {
       })
       .toDF("neighbor_id", "code")
 
-    val qv = q8Of(queries, idCol, vecCol, "query_id", "qa")
     val approx = if (boundedQueries) {
       // per-query integer LUTs, broadcast with the closure (queries are
       // a small set — same stance as bruteForceTopK); the

@@ -120,15 +120,28 @@ object CurationOps extends QueryPack {
     "ret_bitext_ann" -> ((s, dir) => {
       val e = t(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      // quantize each side ONCE (r17, guide §1.2): the int8 frame feeds
+      // BOTH retrieval directions (query side of one, corpus side of the
+      // other) AND the mining tail — the previous one-call-per-direction
+      // shape re-quantized each side three times (2 ivfTopK internals +
+      // the tail's q8Side), i.e. six corpus passes for two sides. Values
+      // are bit-identical: quantization is per-row deterministic and the
+      // FromQ8 entries run the exact ivfTopK / mineFromCandidates bodies.
+      def q8side(side: DataFrame) =
+        Similarity.q8State(side, "vec_id", "v").localCheckpoint()
+      val sv = q8side(e.filter(pmod(col("vec_id"), lit(2)) === 0))
+      val tv = q8side(e.filter(pmod(col("vec_id"), lit(2)) === 1))
       def topk(q: DataFrame, c: DataFrame) =
-        Similarity.ivfTopK(q, c, k = AnnOracleSql.BitextK,
+        Similarity.ivfTopKFromQ8(
+          q.select(col("id").as("query_id"), col("q").as("qa")),
+          c.select(col("id").as("__id"), col("q").as("__q")),
+          k = AnnOracleSql.BitextK,
           nCells = AnnOracleSql.IvfCells, nProbe = AnnOracleSql.IvfProbe,
-          idCol = "vec_id", vecCol = "v", boundedQueries = false,
-          excludeSelf = false)
-      Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
-        topk(srcDf, tgtDf), topk(tgtDf, srcDf),
+          boundedQueries = false, excludeSelf = false)
+      Retrieval.mineFromCandidateFrames(
+        sv.select(col("id").as("src_id"), col("q").as("__qsrc_id")),
+        tv.select(col("id").as("tgt_id"), col("q").as("__qtgt_id")),
+        topk(sv, tv), topk(tv, sv),
         k = AnnOracleSql.BitextK,
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),
@@ -144,16 +157,29 @@ object CurationOps extends QueryPack {
     "ret_bitext_lsh" -> ((s, dir) => {
       val e = t(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
-      // annTopKBitext: each side quantized + hyperplane-hashed ONCE,
-      // the shared index probed in one direction and capped in the other
-      // — row-identical to two annTopK calls at half the kernel cost
-      val (srcLists, tgtLists) = Similarity.annTopKBitext(srcDf, tgtDf,
-        k = AnnOracleSql.BitextK, tables = AnnOracleSql.LshTables,
-        bits = AnnOracleSql.LshBits, idCol = "vec_id", vecCol = "v",
-        maxBucketSize = AnnOracleSql.LshMaxBucket)
-      Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
+      // annTopKBitext's internals, composed openly so the ONE quantized
+      // frame per side also feeds the mining tail (r17, guide §1.2 — the
+      // annTopKBitext + bitextMineFromCandidates shape re-quantized both
+      // sides for the tail): each side is int8-quantized and
+      // hyperplane-hashed exactly once, the shared index serves both
+      // directions (the r16 half-kernel-cost optimization, unchanged),
+      // and the same checkpointed q8 frames enter the margin tail
+      // directly. Row-identical to the two-call form by construction —
+      // bitextListsFromState/mineFromCandidateFrames ARE the bodies the
+      // wrappers run.
+      def q8side(side: DataFrame) =
+        Similarity.q8State(side, "vec_id", "v").localCheckpoint()
+      val sv = q8side(e.filter(pmod(col("vec_id"), lit(2)) === 0))
+      val tv = q8side(e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      def lsh(side: DataFrame) = Similarity.lshStateFromQ8(side,
+        AnnOracleSql.LshTables, AnnOracleSql.LshBits).localCheckpoint()
+      val (srcLists, tgtLists) = Similarity.bitextListsFromState(
+        sv, lsh(sv), tv, lsh(tv), k = AnnOracleSql.BitextK,
+        bitsN = AnnOracleSql.LshBits,
+        maxBucketSize = AnnOracleSql.LshMaxBucket, multiProbe = true)
+      Retrieval.mineFromCandidateFrames(
+        sv.select(col("id").as("src_id"), col("q").as("__qsrc_id")),
+        tv.select(col("id").as("tgt_id"), col("q").as("__qtgt_id")),
         srcLists, tgtLists,
         k = AnnOracleSql.BitextK,
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
@@ -172,16 +198,24 @@ object CurationOps extends QueryPack {
     "ret_bitext_pq" -> ((s, dir) => {
       val e = t(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val srcDf = e.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val tgtDf = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      // quantize each side ONCE for both PQ directions + the mining tail
+      // (r17 — the ret_bitext_ann rationale; FromQ8 runs pqTopK's body)
+      def q8side(side: DataFrame) =
+        Similarity.q8State(side, "vec_id", "v").localCheckpoint()
+      val sv = q8side(e.filter(pmod(col("vec_id"), lit(2)) === 0))
+      val tv = q8side(e.filter(pmod(col("vec_id"), lit(2)) === 1))
       def topk(q: DataFrame, c: DataFrame) =
-        Similarity.pqTopK(q, c, k = AnnOracleSql.BitextK,
+        Similarity.pqTopKFromQ8(
+          q.select(col("id").as("query_id"), col("q").as("qa")),
+          c.select(col("id").as("__id"), col("q").as("__q")),
+          k = AnnOracleSql.BitextK,
           m = AnnOracleSql.PqM, codebookSize = AnnOracleSql.PqCb,
-          rerank = AnnOracleSql.PqRerank, idCol = "vec_id", vecCol = "v",
-          trainIters = AnnOracleSql.PqIters,
+          rerank = AnnOracleSql.PqRerank, trainIters = AnnOracleSql.PqIters,
           boundedQueries = false, excludeSelf = false)
-      Retrieval.bitextMineFromCandidates(srcDf, tgtDf, "vec_id", "v",
-        topk(srcDf, tgtDf), topk(tgtDf, srcDf),
+      Retrieval.mineFromCandidateFrames(
+        sv.select(col("id").as("src_id"), col("q").as("__qsrc_id")),
+        tv.select(col("id").as("tgt_id"), col("q").as("__qtgt_id")),
+        topk(sv, tv), topk(tv, sv),
         k = AnnOracleSql.BitextK,
         marginThresholdMicro = AnnOracleSql.BitextThresholdMicro)
     }),
@@ -203,7 +237,7 @@ object CurationOps extends QueryPack {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val base = java.nio.file.Files
         .createTempDirectory("graft_bti_q").toString
-      def ingest(side: DataFrame, name: String): Unit = {
+      def start(side: DataFrame, name: String) = {
         val rows = side.as[(Long, Seq[Double])].collect()
         // two deterministic micro-batches per side (ids interleave —
         // the loop needs no id monotonicity, state rows are facts)
@@ -213,12 +247,24 @@ object CurationOps extends QueryPack {
           mem.toDF().toDF("vec_id", "v"), "vec_id", "v",
           s"$base/$name/vecs", s"$base/$name/idx", s"$base/$name/ckpt",
           tables = AnnOracleSql.LshTables, bits = AnnOracleSql.LshBits)
-        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
-        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
-        q.stop()
+        (mem, q, b1, b2)
       }
-      ingest(e.filter(pmod(col("vec_id"), lit(2)) === 0), "src")
-      ingest(e.filter(pmod(col("vec_id"), lit(2)) === 1), "tgt")
+      // the two sides are independent single-writer loops over separate
+      // state dirs, so their micro-batches OVERLAP (r17, guide §2.6 —
+      // streaming queries run on their own threads; feeding both before
+      // draining either back-fills the idle tail of each batch). Batch
+      // CONTENTS per side are unchanged, so the persisted state — and
+      // therefore the mined output — is bit-identical to the sequential
+      // form.
+      val (ms, qs, s1, s2) =
+        start(e.filter(pmod(col("vec_id"), lit(2)) === 0), "src")
+      val (mt, qt, t1, t2) =
+        start(e.filter(pmod(col("vec_id"), lit(2)) === 1), "tgt")
+      ms.addData(s1.toIndexedSeq: _*); mt.addData(t1.toIndexedSeq: _*)
+      qs.processAllAvailable(); qt.processAllAvailable()
+      ms.addData(s2.toIndexedSeq: _*); mt.addData(t2.toIndexedSeq: _*)
+      qs.processAllAvailable(); qt.processAllAvailable()
+      qs.stop(); qt.stop()
       graft.streaming.Pipelines.bitextRetroMine(s,
         s"$base/src/vecs", s"$base/src/idx",
         s"$base/tgt/vecs", s"$base/tgt/idx",

@@ -30,4 +30,7 @@ object TypeShim {
   /** (array<double>, array<double>) — the float cosine signature. */
   val arrayDoublePair: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  /** (array<double>) — the unary quantizer signature. */
+  val arrayDoubleSingle: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 }

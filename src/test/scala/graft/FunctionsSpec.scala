@@ -155,6 +155,57 @@ class FunctionsSpec extends SparkSpec {
     assert(sqBad === 0L)
   }
 
+  test("QuantizeInt8 kernel matches the retired HOF combinator bit-for-bit") {
+    GraftFunctions.register(spark)
+    // the r17 native expression replaced the Column combinator
+    // (array_max(transform(abs)) + two transforms); this is the regression
+    // pin that it computes IDENTICAL values — the old formula is
+    // reproduced verbatim as the reference (Similarity.quantizeInt8 now
+    // delegates to the kernel, so pinning against it would compare the
+    // kernel to itself)
+    def hofQuantize(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val amax = array_max(transform(v, x => abs(x.cast("double"))))
+      when(amax === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v,
+          x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("int")))
+    }
+    // real corpus vectors
+    val e = Tables(spark, sf0001).embeddings
+      .select($"embedding".cast("array<double>").as("v"))
+    val bad = e.filter(!(Similarity.quantizeInt8($"v") <=> hofQuantize($"v")))
+      .count()
+    assert(bad === 0L)
+    // adversarial shapes: all-zero, negatives, round-half boundaries,
+    // single element, empty array, null element, null array
+    val edge = Seq(
+      Seq(0.0, 0.0, 0.0), Seq(-1.0, 2.0, -4.0), Seq(0.5, -0.5, 1.0),
+      Seq(3.7), Seq.empty[Double], null.asInstanceOf[Seq[Double]])
+      .toDF("v")
+      .unionByName(spark.sql(
+        "SELECT array(1.0d, CAST(NULL AS DOUBLE), -2.0d) AS v")
+        .unionByName(spark.sql(
+          "SELECT array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)) AS v")))
+    val badEdge = edge
+      .filter(!(Similarity.quantizeInt8($"v") <=> hofQuantize($"v")))
+      .count()
+    assert(badEdge === 0L)
+    // the kernel runs inside whole-stage codegen on a column path
+    val plan = e.select(Similarity.quantizeInt8($"v").as("q"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_quantize_int8"), plan)
+    // and its generated Java actually COMPILES — UnsafeProjection.create
+    // silently falls back to interpreted eval on a codegen error (the
+    // plan string above cannot catch that), while a direct generate()
+    // throws. Regression pin for the r17 stripMargin line-leading-`||`
+    // codegen bug, which shipped correct values at interpreted speed.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+      .generate(Seq(graft.functions.QuantizeInt8(
+        BoundReference(0, ArrayType(DoubleType), nullable = true))),
+        subexpressionEliminationEnabled = false)
+  }
+
   test("int8 kernels: sentinels, nulls, mismatches, codegen, SQL registry") {
     GraftFunctions.register(spark)
     val r = spark.sql(
