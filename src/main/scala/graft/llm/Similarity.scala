@@ -745,12 +745,15 @@ object Similarity extends Serializable {
     *     of forking) and broadcast with the scan closure; per-partition
     *     bounded heaps emit ≤ `rerank` rows per query per partition.
     *   - `boundedQueries = false` (the CORPUS-MINING contract — the
-    *     bitext feed retrieves with half a corpus as queries): LUTs
-    *     become a distributed `(query_id, j, code, dot)` frame —
-    *     |Q|·m·codebookSize slim BIGINT rows, shuffled not broadcast —
-    *     the code scan explodes to (neighbor_id, j, code) and joins on
-    *     (j, code), and the per-pair approximate score is a partial-agg
-    *     SUM. Flat PQ scan is inherently |Q|·|C| WORK in either mode
+    *     bitext feed retrieves with half a corpus as queries): queries
+    *     are hashed into blocks of ≤ ~4096, the compressed code scan is
+    *     replicated once per block, and each block task builds its own
+    *     LUTs locally and runs the same bounded-heap scan as the search
+    *     contract (a cogroup — no driver collect, no broadcast, per-task
+    *     memory bounded by the block size; r17, replacing a relational
+    *     (j, code)-join form whose (query, neighbor) aggregation
+    *     materialized |Q|·|C|·m joined rows). Flat PQ scan is
+    *     inherently |Q|·|C| WORK in either mode
     *     (that is what "scan" means); this mode bounds the DRIVER and
     *     BROADCAST memory, not the work — at 100 TB sides feed it
     *     candidate cells first (ivf/lsh) when a full compressed scan
@@ -926,36 +929,87 @@ object Similarity extends Serializable {
         }
         .toDF("query_id", "neighbor_id", "approx")
     } else {
-      // corpus-mining contract: the LUT is a distributed slim frame,
-      // never a driver collect — |Q|·m·cb (query_id, j, code, dot)
-      // BIGINT rows, joined to the exploded code scan on (j, code) and
-      // partial-agg-summed per (query, neighbor). Row-identical to the
-      // heap path: every (query, neighbor) pair's approx score is the
-      // same m-term integer sum, and the shared top-rerank window
-      // below applies the same total order either way.
-      val lutRows = qv.as[(Long, Seq[Int])]
-        .mapPartitions(_.flatMap { case (qid, q) =>
-          val qa = q.toArray
-          Iterator.tabulate(mm) { j =>
-            val cb = cbLocal(j)
-            Iterator.tabulate(cb.length) { c =>
+      // corpus-mining contract: never a driver collect or broadcast of
+      // the query side. Since r17 this is a BLOCK-COGROUP kernel rather
+      // than the relational (j, code)-join form: that form materialized
+      // |Q|·|C|·m joined rows through a (query, neighbor) hash
+      // aggregation and then a window over |Q|·|C| pair scores — at
+      // sf0.1 a 50M-row intermediate for 6.25M pairs, and at scale a
+      // shuffle ∝ |Q|·|C|. Here queries are hashed into B blocks
+      // (pmod(query_id, B) — block membership cannot affect results:
+      // each query's scores are computed against ALL codes within its
+      // block), the compressed code scan is replicated B ways (shuffle
+      // ∝ B·|C| — with blocks of ≤ ~4096 queries that is |Q|·|C|/4096,
+      // three orders less than the aggregation's pair volume), and each
+      // block task builds its ≤ blockSize LUTs locally (≤ 8 MB of
+      // primitive longs) and runs the SAME bounded-heap scan as the
+      // bounded-queries path. Row-identical to both prior forms: every
+      // (query, neighbor) approx score is the same m-term integer sum,
+      // each query sees every code exactly once (within its one block),
+      // and the heap keeps top-rerank under the identical total
+      // (approx desc, id asc) order the shared window below re-applies.
+      val blockSize = 4096L
+      val nQ = qv.count()
+      val b = math.max(
+        cv.sparkSession.sparkContext.defaultParallelism.toLong,
+        (nQ + blockSize - 1) / blockSize).toInt
+      val qBlocked = qv.select(col("query_id"), col("qa"),
+          pmod(col("query_id"), lit(b.toLong)).cast("int").as("__blk"))
+        .as[(Long, Seq[Int], Int)]
+        .groupByKey(_._3)
+      val cBlocked = codes
+        .select(col("neighbor_id"), col("code"),
+          explode(lit((0 until b).toArray)).as("__blk"))
+        .as[(Long, Seq[Int], Int)]
+        .groupByKey(_._3)
+      val exclSelf = excludeSelf
+      val rr = rerank
+      qBlocked.cogroup(cBlocked) { (_, qIt, cIt) =>
+        val qs = qIt.map { case (qid, q, _) => (qid, q.toArray) }.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          // per-query LUT: m × cb exact integer subspace dot products
+          val luts = qs.map { case (_, qa) =>
+            Array.tabulate(mm, cbLocal(0).length) { (j, c) =>
+              val cb = cbLocal(j)(c)
               var s = 0L; var i = 0
-              while (i < sub) {
-                s += qa(j * sub + i).toLong * cb(c)(i); i += 1
-              }
-              (qid, j, c, s)
+              while (i < sub) { s += qa(j * sub + i).toLong * cb(i); i += 1 }
+              s
             }
-          }.flatten
-        })
-        .toDF("query_id", "j", "cid", "dv")
-      val codesExpl = codes.select(col("neighbor_id"),
-        posexplode(col("code")).as(Seq("j", "cid")))
-      val scored = codesExpl.join(lutRows, Seq("j", "cid"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(sum(col("dv")).as("approx"))
-      if (excludeSelf)
-        scored.where(col("query_id") =!= col("neighbor_id"))
-      else scored
+          }
+          // bounded min-heaps on the total (score, −id) order — head =
+          // worst kept, exactly the bounded-queries path's heap
+          val heaps = qs.map(_ =>
+            new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+              Ordering.by[(Long, Long), (Long, Long)] {
+                case (s, nid) => (s, -nid)
+              }.reverse))
+          cIt.foreach { case (nid, codeSeq, _) =>
+            val code = codeSeq.toArray
+            var qi = 0
+            while (qi < qs.length) {
+              val qid = qs(qi)._1
+              if (!exclSelf || qid != nid) {
+                val lut = luts(qi)
+                var s = 0L; var j = 0
+                while (j < mm) { s += lut(j)(code(j)); j += 1 }
+                val h = heaps(qi)
+                if (h.size < rr) h.enqueue((s, nid))
+                else {
+                  val (ws, wn) = h.head
+                  if (s > ws || (s == ws && nid < wn)) {
+                    h.dequeue(); h.enqueue((s, nid))
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+          qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
+            h.iterator.map { case (s, nid) => (qid, nid, s) }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx")
     }
 
     val wa = Window.partitionBy(col("query_id"))
