@@ -363,33 +363,97 @@ object TextOps {
     * shingle. Positions must stay below 2²⁰ (1M tokens/doc) for the
     * packed tie-break — documented, not guarded.
     *
-    * Map-only until the per-doc window (partitioned by doc, ordered by
-    * position — never SinglePartition); the output is one slim
-    * (id, pos, fingerprint) row per selected hash.
+    * SHUFFLE-FREE since r17: winnowing is doc-local by definition, so the
+    * whole selection — shingle hashes, sliding minima, per-doc distinct —
+    * runs as one mapPartitions kernel (zero exchanges; the retired Column
+    * form paid a corpus-wide hash-partition + sort for its per-doc window
+    * and copied every token k times through the md5 projection).
+    * Bit-identical to the retired form, replicated detail by detail
+    * (CurationSpec pins the equality against the verbatim old chain):
+    * Spark `trim` strips SPACES only (never tabs/newlines — unlike
+    * java.lang.String#trim), `split(c, "\\s+")` is Pattern.split with
+    * limit −1, the 40-bit hash is the integer value of md5's first five
+    * bytes, the packed tie-break and the leading-window/short-doc rules
+    * are as documented above, and a NULL text yields the Column form's
+    * degenerate (id, null, null) row.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1; got k=$k, w=$w")
     guardId(idCol, Set("__wtk", "__wpos", "__whash", "__wmin",
       "pos", "fingerprint"))
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol), tokens(col(textCol)).as("__wtk"))
-    val sh = base
-      .select(col(idCol), explode(sequence(lit(1),
-        greatest(size(col("__wtk")) - (k - 1), lit(1)))).as("__wpos"),
-        col("__wtk"))
-      .select(col(idCol), col("__wpos"),
-        conv(substring(md5(array_join(
-          slice(col("__wtk"), col("__wpos"), lit(k)), " ")), 1, 10), 16, 10)
-          .cast("long").as("__whash"))
-    val comb = col("__whash") * (1L << 20) + col("__wpos")
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
-      .rowsBetween(-(w - 1), 0)
-    sh.withColumn("__wmin", min(comb).over(frame))
-      .select(col(idCol), col("__wmin")).distinct()
-      .select(col(idCol),
-        (col("__wmin") % (1L << 20)).as("pos"),
-        expr(s"__wmin div ${1L << 20}").as("fingerprint"))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("pos", LongType, nullable = true),
+      StructField("fingerprint", LongType, nullable = true)))
+    val kk = k; val ww = w
+    df.select(col(idCol), col(textCol).cast("string").as("__wtxt"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val ws = java.util.regex.Pattern.compile("\\s+")
+        it.flatMap { row =>
+          val id = row.get(0)
+          val text = row.getString(1)
+          if (text == null) {
+            // Column-form degenerate row: null tokens → one null hash
+            Iterator.single(org.apache.spark.sql.Row(id, null, null))
+          } else {
+            // Spark trim strips 0x20 only (UTF8String.trim), NOT java trim
+            var lo = 0; var hi = text.length
+            while (lo < hi && text.charAt(lo) == ' ') lo += 1
+            while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+            val toks = ws.split(text.substring(lo, hi), -1)
+            val nsh = math.max(toks.length - (kk - 1), 1)
+            val hashes = new Array[Long](nsh)
+            var p = 0
+            while (p < nsh) {
+              val sb = new java.lang.StringBuilder
+              var j = p
+              val end = math.min(p + kk, toks.length)
+              while (j < end) {
+                if (j > p) sb.append(' ')
+                sb.append(toks(j))
+                j += 1
+              }
+              val d = md.digest(sb.toString.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              var h = 0L; var b = 0
+              while (b < 5) { h = h * 256 + (d(b) & 0xff); b += 1 }
+              hashes(p) = h
+              p += 1
+            }
+            // sliding min of hash·2²⁰ + (pos+1) over the trailing w
+            // window (leading windows shorter than w participate), then
+            // per-doc distinct of the selected packed values
+            val sel = new java.util.TreeSet[java.lang.Long]()
+            p = 0
+            while (p < nsh) {
+              var m = Long.MaxValue
+              var q = math.max(0, p - (ww - 1))
+              while (q <= p) {
+                val c = hashes(q) * (1L << 20) + (q + 1)
+                if (c < m) m = c
+                q += 1
+              }
+              sel.add(m)
+              p += 1
+            }
+            val out = new Array[org.apache.spark.sql.Row](sel.size)
+            val si = sel.iterator()
+            var oi = 0
+            while (si.hasNext) {
+              val m = si.next().longValue()
+              out(oi) = org.apache.spark.sql.Row(id,
+                m % (1L << 20), m / (1L << 20))
+              oi += 1
+            }
+            out.iterator
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 
   /** T5-style span corruption (Raffel et al. 2020): mask ~`noisePermille`‰

@@ -609,6 +609,53 @@ class CurationSpec extends SparkSpec {
     assert(density > 0.25 && density < 0.55, s"density $density")
   }
 
+  test("winnowFingerprints kernel matches the retired Column chain bit-for-bit") {
+    import graft.llm.TextOps
+    // the r17 mapPartitions kernel replaced the explode + md5-projection +
+    // per-doc-window Column chain (a corpus-wide exchange + sort for
+    // doc-local work); this pins the equality against the VERBATIM old
+    // chain — real corpus text plus the edge shapes the semantics notes
+    // call out (Spark trim is space-only; split keeps a leading empty
+    // token after a tab; short docs; empty and NULL text)
+    def columnForm(df: org.apache.spark.sql.DataFrame, idCol: String,
+        textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val base = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__wtk"))
+      val sh = base
+        .select(col(idCol), explode(sequence(lit(1),
+          greatest(size(col("__wtk")) - (k - 1), lit(1)))).as("__wpos"),
+          col("__wtk"))
+        .select(col(idCol), col("__wpos"),
+          conv(substring(md5(array_join(
+            slice(col("__wtk"), col("__wpos"), lit(k)), " ")), 1, 10), 16, 10)
+            .cast("long").as("__whash"))
+      val comb = col("__whash") * (1L << 20) + col("__wpos")
+      val frame = Window.partitionBy(col(idCol)).orderBy(col("__wpos"))
+        .rowsBetween(-(w - 1), 0)
+      sh.withColumn("__wmin", min(comb).over(frame))
+        .select(col(idCol), col("__wmin")).distinct()
+        .select(col(idCol),
+          (col("__wmin") % (1L << 20)).as("pos"),
+          expr(s"__wmin div ${1L << 20}").as("fingerprint"))
+    }
+    val real = Tables(spark, sf0001).documents.select(col("doc_id"), col("text"))
+    val edge = Seq[(java.lang.Long, String)](
+      (100001L, ""), (100002L, "   "), (100003L, "one"),
+      (100004L, "\tleading tab and  runs\n of ws"),
+      (100005L, "a b c d e"), (100006L, null))
+      .toDF("doc_id", "text")
+    for (df <- Seq(real, edge); (k, w) <- Seq((5, 4), (3, 7), (1, 1))) {
+      val kern = TextOps.winnowFingerprints(df, "doc_id", "text", k, w)
+      val cols = columnForm(df, "doc_id", "text", k, w)
+      assert(kern.exceptAll(cols).isEmpty && cols.exceptAll(kern).isEmpty,
+        s"kernel/Column divergence at k=$k w=$w")
+    }
+    // and the kernel plan is shuffle-free (the point of the swap)
+    val plan = TextOps.winnowFingerprints(real, "doc_id", "text", 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("winnowNearDupPairs finds every planted truncation pair with exact shared counts") {
     import graft.llm.Dedup
     val base = Tables(spark, sf0001).documents
