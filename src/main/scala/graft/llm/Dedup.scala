@@ -336,12 +336,14 @@ object Dedup {
       // caller passing e.g. 3e9 was legal before the contract existed
       // (the count gate still protects — edges here are <= the gate)
       val bound = math.min(localThreshold, Int.MaxValue - 1L)
-      val us = graft.tools.BoundedCollect(pAll.select(col("u")).as[Long],
+      // ONE collect job for both endpoint columns (r17 — the previous
+      // per-column collects ran the checkpointed edge scan twice)
+      val edgeRows = graft.tools.BoundedCollect(
+        pAll.select(col("u"), col("v")).as[(Long, Long)],
         bound, "survivorAssignment local path: edge count gated" +
           s" <= localThreshold ($localThreshold)")
-      val vs = graft.tools.BoundedCollect(pAll.select(col("v")).as[Long],
-        bound, "survivorAssignment local path: edge count gated" +
-          s" <= localThreshold ($localThreshold)")
+      val us = edgeRows.map(_._1)
+      val vs = edgeRows.map(_._2)
       val ids = (us ++ vs).distinct.sorted // dictionary: index ↔ id, id-ordered
       val parent = Array.tabulate(ids.length)(identity)
       def idxOf(x: Long): Int = java.util.Arrays.binarySearch(ids, x)

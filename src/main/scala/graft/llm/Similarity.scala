@@ -1325,12 +1325,20 @@ object Similarity extends Serializable {
     * a total order on integers, so the trajectory is identical on any engine
     * and any parallelism.
     *
-    * Scale shape: per iteration, ONE broadcast of the k×dim centroid table
-    * against the corpus (map-side distance + min), then a slim
-    * (cluster, dim, partial-sum) aggregation — k·dim rows collected to the
-    * driver (the [[ivfTopK]] centroid-collect pattern; bounded, never
-    * corpus-sized). The quantized vectors are localCheckpoint'ed once and
-    * reused across iterations.
+    * Scale shape (r17 — the update pass was a crossJoin of the corpus
+    * against the k-row centroid table into a corpus-keyed aggregation,
+    * then a second join + posexplode into the (cluster, dim) aggregation;
+    * per iteration that is two shuffles and an n·k-row intermediate for
+    * work that is per-row local): per iteration, ONE map-only
+    * mapPartitions pass assigns each vector (argmin of the exact BIGINT
+    * squared-L2 against the closure's k×dim centroid table, ties to the
+    * lowest index — the identical total order) and accumulates
+    * per-partition (cluster, dim) partial sums and counts, emitting
+    * ≤ partitions·k·dim slim rows into one tiny aggregation collected to
+    * the driver. Exact integer sums are order-independent, so the
+    * trajectory is bit-identical to the relational form. The final
+    * assignment is the same kernel emitting (id, cluster, dist) rows —
+    * map-only, no shuffle anywhere in the fit.
     *
     * Output: (idCol, cluster, dist) — final assignment with its squared-L2
     * distance to the winning centroid.
@@ -1348,42 +1356,83 @@ object Similarity extends Serializable {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Int](1)) }
     val spark = df.sparkSession
+    import spark.implicits._
 
-    def assigned(): DataFrame = {
-      import spark.implicits._
-      val cents = broadcast(centroids.toIndexedSeq.toDF("__kc", "__kcv"))
-      // native codegen'd Σ(a−b)² kernel — the corpus × k assignment scan
-      // is the hot loop, and interpreted HOFs stay off corpus-sized paths
-      val dist = graft.functions.GraftFunctions
-        .intSqDistCol(col("__kq"), col("__kcv"))
-      vecs.crossJoin(cents)
-        .withColumn("__kd", dist)
-        .groupBy(col("__kid"))
-        .agg(min(struct(col("__kd"), col("__kc"))).as("__kbest"))
-        .select(col("__kid"), col("__kbest.__kc").as("__kc"),
-          col("__kbest.__kd").as("__kd"))
+    // argmin of exact BIGINT squared L2 over the centroid table, ties to
+    // the lowest index — the same total order as the retired
+    // min(struct(dist, cluster)) aggregate
+    def bestOf(cents: Array[Array[Int]], q: Array[Int]): (Int, Long) = {
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cq = cents(c)
+        var d = 0L; var i = 0
+        while (i < q.length) {
+          val t = (q(i) - cq(i)).toLong; d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
     }
 
     for (_ <- 1 to iters) {
-      // k×dim bounded collect; sums fit easily (127 · n per cell)
-      val sums = assigned().join(vecs, "__kid")
-        .select(col("__kc"), posexplode(col("__kq")).as(Seq("__kp", "__kv")))
+      val cents = centroids.map(_._2.toArray)
+      // one map-only pass: per-partition (cluster, dim, sum) partial
+      // accumulators + a dim = -1 count sentinel per non-empty cluster;
+      // k×dim bounded collect (sums fit easily: 127 · n per cell)
+      val sums = vecs.select(col("__kq")).as[Seq[Int]]
+        .mapPartitions { it =>
+          var acc: Array[Array[Long]] = null
+          val cnt = new Array[Long](cents.length)
+          it.foreach { qv =>
+            val q = qv.toArray
+            if (acc == null)
+              acc = Array.fill(cents.length)(new Array[Long](q.length))
+            val (b, _) = bestOf(cents, q)
+            var i = 0
+            while (i < q.length) { acc(b)(i) += q(i); i += 1 }
+            cnt(b) += 1L
+          }
+          if (acc == null) Iterator.empty
+          else Iterator.range(0, cents.length).filter(cnt(_) > 0L)
+            .flatMap { c =>
+              Iterator.single((c, -1, cnt(c))) ++
+                Iterator.range(0, acc(c).length).map(p => (c, p, acc(c)(p)))
+            }
+        }
+        .toDF("__kc", "__kp", "__kv")
         .groupBy(col("__kc"), col("__kp"))
-        .agg(sum(col("__kv")).as("__ks"), count(lit(1)).as("__kn"))
+        .agg(sum(col("__kv")).as("__ks"))
         .collect()
-        .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+        .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2))))
         .groupBy(_._1)
       centroids = centroids.map { case (c, prev) =>
         sums.get(c) match {
           case Some(rows) =>
+            val n = rows.collectFirst { case (_, (-1, cn)) => cn }.get
             // truncating div matches DuckDB's `//` on negatives too
-            (c, rows.map(_._2).sortBy(_._1)
-              .map { case (_, s, n) => (s / n).toInt }.toSeq)
+            (c, rows.map(_._2).filter(_._1 >= 0).sortBy(_._1)
+              .map { case (_, s) => (s / n).toInt }.toSeq)
           case None => (c, prev) // empty cluster: keep previous centroid
         }
       }
     }
-    assigned().select(col("__kid").as(idCol),
-      col("__kc").cast("long").as("cluster"), col("__kd").as("dist"))
+    val finalCents = centroids.map(_._2.toArray)
+    val idField = vecs.schema("__kid")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idField.dataType,
+        idField.nullable),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    vecs.mapPartitions { rows =>
+      rows.map { r =>
+        val q = r.getSeq[Int](1).toArray
+        val (b, d) = bestOf(finalCents, q)
+        org.apache.spark.sql.Row(r.get(0), b.toLong, d)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
   }
 }
