@@ -207,39 +207,62 @@ object Profile extends Serializable {
   /** Per-group exact Gini of a non-negative value column — the same rank
     * identity as [[skewReport]], one coefficient PER GROUP (the datacard's
     * per-language length-inequality panel: gini of per-doc token counts).
-    * `tieCol` breaks value ties deterministically; since a tie block's
-    * ranks are a fixed contiguous range, Σ i·vᵢ — and therefore the
-    * coefficient — is invariant under the internal tie order, so both
-    * engines agree however they break ties.
+    * `tieCol` is accepted for API stability but no longer consulted:
+    * since a tie block's ranks are a fixed contiguous range, Σ i·vᵢ — and
+    * therefore the coefficient — is invariant under the internal tie
+    * order, so the whole rank pass collapses to BLOCK arithmetic over the
+    * distinct (group, value) pairs (r17, guide §2.3 "aggregate before you
+    * shuffle"): one partial-aggregated shuffle counts each block's
+    * multiplicity c, a range-partitioned weighted prefix sum
+    * ([[Transforms.globalSortPrefixSum]] — never a per-group window
+    * pinning a giant group to one task) recovers each block's starting
+    * rank p within its group, and the block contributes
+    * v · (p·c + c(c+1)/2) to Σ i·vᵢ exactly. Full rows never reach an
+    * exchange; only distinct (group, value) blocks do. Groups of one
+    * value pin gini = 0.
     *
-    * Ranks come from [[Transforms.globalSortRank]] over
-    * (group, value, tie) minus the group's min rank — range-partitioned
-    * exact ranking, never a per-group window pinning a giant group to one
-    * task. Groups of one value pin gini = 0.
-    *
-    * Output: one row per group — (groupCol, n_vals, sum_vals, gini_micro).
+    * Output: one row per group — (groupCol, n_vals, sum_vals, gini_micro);
+    * values identical to the retired row-rank form (ProfileSpec pins the
+    * hand values, PropertySpec the local rank-identity reference).
     */
   def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
       tieCol: String): DataFrame = {
-    val clash = Seq("__gg", "__gv", "__gt", "__gr", "__g0")
+    val clash = Seq("__gg", "__gv", "__gt", "__gr", "__g0", "__gc", "__gs")
       .filter(Seq(groupCol, valueCol, tieCol).contains)
     require(clash.isEmpty,
       s"giniByGroup reserved column(s) in use: ${clash.mkString(", ")}")
     val dec = DecimalType(38, 0)
-    val vals = df.select(col(groupCol).as("__gg"),
-      col(valueCol).cast("long").as("__gv"), col(tieCol).as("__gt"))
-    val ranked = Transforms.globalSortRank(vals,
-      Seq(col("__gg").asc, col("__gv").asc, col("__gt").asc), "__gr")
-    val base = ranked.groupBy(col("__gg")).agg(min(col("__gr")).as("__g0"))
+    val blocks = df.select(col(groupCol).as("__gg"),
+      col(valueCol).cast("long").as("__gv"))
+      .groupBy(col("__gg"), col("__gv"))
+      .agg(count(lit(1)).as("__gc"))
+    // inclusive prefix of block counts in (group, value) order; the group's
+    // own start is the min exclusive prefix over its blocks — subtracting
+    // it re-bases ranks to 1 within each group, exactly the retired
+    // rank-minus-group-min form.
+    val pre = Transforms.globalSortPrefixSum(blocks,
+      Seq(col("__gg").asc, col("__gv").asc), "__gc", "__gr")
+    val base = pre.groupBy(col("__gg"))
+      .agg(min(col("__gr") - col("__gc")).as("__g0"))
     def floorDiv(nm: Column, dn: Column): Column =
       ((nm - pmod(nm, dn)) / dn).cast("long")
-    ranked.join(base, Seq("__gg"))
-      .select(col("__gg"), col("__gv"),
-        (col("__gr") - col("__g0") + lit(1L)).as("__gr"))
+    // Σ_{i=p+1..p+c} i·v = v·(p·c + c(c+1)/2), with p the block's
+    // exclusive within-group prefix. c(c+1)/2 halves the EVEN factor on
+    // the long side (shiftright is exact integer halving; c ≥ 1) so every
+    // decimal stays scale-0 — a decimal `/ 2` would adopt scale 6 and burn
+    // six digits of the (38,0) headroom the rank sum needs at scale.
+    val tri = when(pmod(col("__gc"), lit(2)) === 0,
+      shiftright(col("__gc"), 1).cast(dec) * (col("__gc") + 1).cast(dec))
+      .otherwise(col("__gc").cast(dec) *
+        shiftright(col("__gc") + 1, 1).cast(dec))
+    pre.join(base, Seq("__gg"))
+      .select(col("__gg"), col("__gv"), col("__gc"),
+        (col("__gr") - col("__gc") - col("__g0")).as("__gs"))
       .groupBy(col("__gg"))
-      .agg(count(lit(1)).as("n_vals"),
-        coalesce(sum(col("__gv")), lit(0L)).as("sum_vals"),
-        coalesce(sum(col("__gr").cast(dec) * col("__gv").cast(dec)),
+      .agg(sum(col("__gc")).as("n_vals"),
+        coalesce(sum(col("__gc") * col("__gv")), lit(0L)).as("sum_vals"),
+        coalesce(sum(col("__gv").cast(dec) *
+          (col("__gs").cast(dec) * col("__gc").cast(dec) + tri)),
           lit(0L).cast(dec)).as("__ga"))
       .select(col("__gg").as(groupCol), col("n_vals"), col("sum_vals"),
         when(col("n_vals") === 1 || col("sum_vals") === 0, lit(0L))

@@ -225,6 +225,45 @@ object Transforms {
       .drop("__gsp", "__gso")
   }
 
+  /** Exact global INCLUSIVE prefix sum of `weightCol` in an arbitrary key
+    * order — [[globalSortRank]] generalized from row counting (weight 1)
+    * to weighted running totals: range-repartition on the key, freeze the
+    * partition ids, collect the ≤ numShufflePartitions per-partition
+    * weight sums into prefix offsets, and add each row's offset to its
+    * within-partition running sum. Equal keys land in one range
+    * partition, so the prefix is defined purely by the key order; as with
+    * globalSortRank the caller must make the key unique or ties
+    * accumulate in arbitrary order (fine when downstream consumers are
+    * tie-block invariant, e.g. [[graft.etl.Profile.giniByGroup]]).
+    */
+  def globalSortPrefixSum(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column], weightCol: String,
+      prefixCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "globalSortPrefixSum needs at least one key column")
+    val clash = Seq("__gsp", "__gso").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved column(s) ${clash.mkString(", ")}")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__gsp", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy("__gsp")
+      .agg(sum(col(weightCol)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) return df.withColumn(prefixCol, col(weightCol))
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offsetsDf = broadcast(df.sparkSession.createDataFrame(offsets)
+      .toDF("__gsp", "__gso"))
+    val w = Window.partitionBy(col("__gsp")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged.join(offsetsDf, "__gsp")
+      .withColumn(prefixCol, sum(col(weightCol)).over(w) + col("__gso"))
+      .drop("__gsp", "__gso")
+  }
+
   /** T5 `Pipeline`: source→sink copy with stats
     * (`etl-core/src/task/pipeline.rs:5-50`).
     *

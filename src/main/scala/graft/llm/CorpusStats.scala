@@ -338,20 +338,29 @@ object CorpusStats extends Serializable {
       .agg(count(lit(1)).as("m"))
       .localCheckpoint()
     val v3 = perDoc.select("w1", "w2", "w3").distinct()
-    def cntAs(k: String, as: String) =
-      index.select(col("ng").as(k), col("cnt").as(as))
-    val m0 = v3
-      .withColumn("k3", concat(lit("3:"), col("w1"), lit(" "), col("w2"),
-        lit(" "), col("w3")))
-      .withColumn("kp", concat(lit("2:"), col("w1"), lit(" "), col("w2")))
-      .withColumn("kb", concat(lit("2:"), col("w2"), lit(" "), col("w3")))
-      .withColumn("km", concat(lit("1:"), col("w2")))
-      .withColumn("kw", concat(lit("1:"), col("w3")))
-      .join(cntAs("k3", "c3"), Seq("k3"), "left")
-      .join(cntAs("kp", "cp"), Seq("kp"), "left")
-      .join(cntAs("kb", "cb2"), Seq("kb"), "left")
-      .join(cntAs("km", "cm"), Seq("km"), "left")
-      .join(cntAs("kw", "cw"), Seq("kw"), "left")
+    // ONE tagged-key lookup instead of five per-level joins (r17, guide
+    // §2.4): the five keys unpivot to (w1,w2,w3, tag, ng) rows, hit the
+    // index in a single equi-join, and a max(when) pivot rebuilds the
+    // c3/cp/cb2/cm/cw columns — the index is shuffled ONCE instead of
+    // five times, and the pivot's (w1,w2,w3) grouping leaves the model
+    // pre-partitioned for the final perDoc join. Values are identical:
+    // the index is unique per ng, so each tagged key matches ≤ 1 row and
+    // max(when) over the 5-row group reads off exactly the left-join
+    // results the five joins produced.
+    val keyed = v3.select(col("w1"), col("w2"), col("w3"),
+      explode(map(
+        lit("c3"), concat(lit("3:"), col("w1"), lit(" "), col("w2"),
+          lit(" "), col("w3")),
+        lit("cp"), concat(lit("2:"), col("w1"), lit(" "), col("w2")),
+        lit("cb2"), concat(lit("2:"), col("w2"), lit(" "), col("w3")),
+        lit("cm"), concat(lit("1:"), col("w2")),
+        lit("cw"), concat(lit("1:"), col("w3"))))
+        .as(Seq("__tag", "ng")))
+    def pick(tag: String) = max(when(col("__tag") === tag, col("cnt")))
+    val m0 = keyed.join(index, Seq("ng"), "left")
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(pick("c3").as("c3"), pick("cp").as("cp"), pick("cb2").as("cb2"),
+        pick("cm").as("cm"), pick("cw").as("cw"))
       .crossJoin(broadcast(ntot))
     // three staged-log chains, working columns selected away between them
     def chain(d: DataFrame, a: String, b: String, out: String,

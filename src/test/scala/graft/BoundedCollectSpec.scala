@@ -32,8 +32,12 @@ class BoundedCollectSpec extends SparkSpec {
       }
     }
     // r16 migrated 8 sites; r17 adds 6 (two tokenizer vocab tables, the
-    // NB sentinels, the ANN training sample, two sketch cutoffs)
-    assert(n >= 14, s"BoundedCollect call sites dropped to $n — a " +
+    // NB sentinels, the ANN training sample, two sketch cutoffs), then
+    // the r17 optimization pass MERGED survivorAssignment's two
+    // per-endpoint-column collects into one two-column call (one edge
+    // scan instead of two) — 14 sites became 13 with no contract lost:
+    // the merged call still carries the localThreshold bound
+    assert(n >= 13, s"BoundedCollect call sites dropped to $n — a " +
       "migrated site reverted to a bare collect()")
   }
 

@@ -269,14 +269,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
-  test("cluster_kmeans: centroid table broadcasts against the corpus") {
+  test("cluster_kmeans: final assignment is a map-only kernel — no join, " +
+      "no exchange") {
+    // r17: the per-iteration crossJoin(broadcast(centroids)) + argmin
+    // aggregation became a mapPartitions kernel closing over the k
+    // centroids (two shuffles/iteration removed); the final-assignment
+    // plan must stay join-free AND exchange-free
     val p = plan("cluster_kmeans")
     assert(!p.contains("CartesianProduct"), p.take(800))
-    // the k-row centroid side must be the broadcast side of the cross
-    // join; assignment aggregation must combine map-side
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
-    assert(p.contains("partial_min") || p.contains("partial min"),
-      s"assignment lost its partial min:\n${p.take(800)}")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("MapPartitions"), p.take(800))
   }
 
   test("text_collocations: top-k is TakeOrdered, never a global sort") {
